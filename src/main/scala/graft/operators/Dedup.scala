@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Document deduplication operators [EXT] (SURVEY.md §7.1 ext/Dedup):
+  * exact, word-3-gram Jaccard, MinHash-LSH, SimHash — all over the
+  * `documents` fixture table and all with full DuckDB oracles.
+  *
+  * Shared hashing convention (chosen to be expressible identically in both
+  * engines so results hash-match bit-for-bit): the base hash of a token or
+  * shingle is the first 15 hex digits of its md5, read as a base-16 integer
+  * (fits a signed 64-bit value), reduced mod a prime. All downstream
+  * arithmetic is integer → exact in both engines.
+  *
+  * Scale design (100 TB): everything is expressed as explode → shuffle on
+  * the shingle/band key → aggregate. Nothing is ever collected; candidate
+  * generation is LSH-banded (MinHash) or lossless-banded (SimHash, 4 bands
+  * catch every pair with hamming ≤ 3 by pigeonhole), so the quadratic
+  * all-pairs step only runs inside tiny candidate buckets. The brute-force
+  * variants exist only inside the DuckDB oracles.
+  */
+object Dedup {
+
+  private val M = 1000000007L // modulus for affine re-hash
+  /** 16 affine hash functions (a_i·h + b_i mod M) for the MinHash signature. */
+  private val As = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
+  private val Bs = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L)
+  private val K = As.size
+
+  /** base hash: first 15 md5 hex digits as int64 (identical in DuckDB via
+    * ('0x' || substr(md5(x),1,15))::BIGINT). */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** lowercased whitespace tokens of a document */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+
+  /** distinct word-3-gram shingles per doc (docs with <3 tokens drop out) */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .where(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("w")) - 3),
+            i =>
+              concat_ws(
+                " ",
+                element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2),
+                element_at(col("w"), i + 3)
+              )
+          )
+        ).as("sh")
+      )
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: one hash-aggregate pass ------------------------------
+    "x01_dedup_exact" -> ((s, d) => {
+      table(s, d, "documents")
+        .agg(
+          count(lit(1)).as("total_docs"),
+          count_distinct(md5(col("text"))).as("distinct_texts")
+        )
+        .select(
+          col("total_docs"),
+          col("distinct_texts"),
+          (col("total_docs") - col("distinct_texts")).as("dup_docs")
+        )
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs ------------------------------------
+    // inverted-index self-join on the shingle key; |A∩B| by count, Jaccard by
+    // inclusion–exclusion. Integer counts → the double division is identical
+    // in both engines.
+    "x02_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = sh
+        .as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+        .where(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- MinHash + LSH banding --------------------------------------------
+    // 16-component signature, 8 bands × 2 rows; candidate pairs = docs
+    // sharing ≥1 band bucket; output the signature-agreement estimate.
+    "x03_dedup_minhash" -> ((s, d) => {
+      val h = shingles(s, d).withColumn("h", pmod(baseHash(col("sh")), lit(2147483647L)))
+      val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(lit(a) * col("h") + lit(b), lit(M))).as(s"m$i")
+      }
+      val sig = h.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandStruct = (0 until K / 2).map { j =>
+        struct(lit(j).as("band"), col(s"m${2 * j}").as("k1"), col(s"m${2 * j + 1}").as("k2"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandStruct: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
+      val cand = bands
+        .as("a")
+        .join(
+          bands.as("b"),
+          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+            col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id")
+        )
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val agree = (0 until K)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), (agree / lit(K.toDouble)).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- SimHash ------------------------------------------------------------
+    // 62-bit frequency-weighted signature in two 31-bit halves; LSH over 4
+    // lossless bands (any pair with hamming ≤ 3 must agree on ≥1 band);
+    // exact hamming via bit_count(xor).
+    "x04_dedup_simhash" -> ((s, d) => {
+      val sig = simhashSignatures(s, d)
+      val bandKeys = array(
+        struct(lit(0).as("band"), col("lo").bitwiseAND(lit(32767L)).as("k")),
+        struct(lit(1).as("band"), shiftright(col("lo"), 15).as("k")),
+        struct(lit(2).as("band"), col("hi").bitwiseAND(lit(32767L)).as("k")),
+        struct(lit(3).as("band"), shiftright(col("hi"), 15).as("k"))
+      )
+      val bands = sig.select(col("doc_id"), explode(bandKeys).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.k"))
+      val cand = bands
+        .as("a")
+        .join(
+          bands.as("b"),
+          col("a.band") === col("b.band") && col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")
+        )
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b")), "doc_b")
+        .withColumn(
+          "hamming",
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long")
+        )
+        .where(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  /** SimHash signatures: per-token 31-bit hashes from two md5 windows,
+    * frequency-weighted bit votes, sign → bit, bits packed into two longs. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val freq = tokens(s, d)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("h1", pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), lit(2147483648L)))
+      .withColumn("h2", pmod(conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long"), lit(2147483648L)))
+    val votes = freq
+      .select(col("doc_id"), col("f"), col("h1"), col("h2"), explode(sequence(lit(0), lit(30))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(
+        sum(when(expr("shiftright(h1, b)").bitwiseAND(lit(1L)) === 1L, col("f")).otherwise(-col("f"))).as("v1"),
+        sum(when(expr("shiftright(h2, b)").bitwiseAND(lit(1L)) === 1L, col("f")).otherwise(-col("f"))).as("v2")
+      )
+    votes
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("v1") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("lo"),
+        sum(when(col("v2") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("hi")
+      )
+  }
+
+  // ---- oracles -------------------------------------------------------------
+
+  private val shinglesSql =
+    """words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM words, unnest(generate_series(1, len(w)-2)) t(i) WHERE len(w) >= 3)""".stripMargin
+
+  private val minhashSigSql = {
+    val mins = As.zip(Bs).zipWithIndex
+      .map { case ((a, b), i) => s"min(($a*h + $b) % $M) AS m$i" }
+      .mkString(", ")
+    s"""hashes AS (SELECT doc_id, ('0x' || substr(md5(sh),1,15))::BIGINT % 2147483647 AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashes GROUP BY doc_id)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
+        |  count(*) - count(DISTINCT md5(text)) AS dup_docs FROM documents""".stripMargin,
+    "x02_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
+         |  n_common / (ca.n + cb.n - n_common) AS jaccard
+         |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+         |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x03_dedup_minhash" -> {
+      val bandSelect = (0 until K / 2)
+        .map(j => s"SELECT doc_id, $j AS band, m${2 * j} AS k1, m${2 * j + 1} AS k2 FROM sig")
+        .mkString(" UNION ALL ")
+      val agree = (0 until K).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shinglesSql,
+         |$minhashSigSql,
+         |bands AS ($bandSelect),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, cast($agree AS BIGINT) / ${K}.0 AS est_jaccard
+         |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "x04_dedup_simhash" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |freq AS (
+        |  SELECT doc_id, tok, count(*) AS f FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+        |  GROUP BY doc_id, tok),
+        |hashed AS (
+        |  SELECT doc_id, f,
+        |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483648 AS h1,
+        |    ('0x' || substr(md5(tok),17,15))::BIGINT % 2147483648 AS h2
+        |  FROM freq),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h1 >> b) & 1 = 1 THEN f ELSE -f END) AS v1,
+        |    sum(CASE WHEN (h2 >> b) & 1 = 1 THEN f ELSE -f END) AS v2
+        |  FROM hashed, unnest(generate_series(0, 30)) t(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    cast(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+        |    cast(sum(CASE WHEN v2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  cast(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

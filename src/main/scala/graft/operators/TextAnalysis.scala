@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators [EXT] (SURVEY.md §7.1 ext/TextStats): token
+  * counting, quality scoring, n-gram-heuristic language ID, document
+  * fingerprinting (normalization md5, token-set md5, polynomial rolling
+  * hash). All per-row, all pure Catalyst expressions (higher-order array
+  * functions, no UDFs) → whole-stage codegen over a single scan, which is
+  * exactly the shape that streams through 100 TB without a shuffle.
+  *
+  * Every ratio/score is integer-derived double arithmetic written with the
+  * identical operation order in the DuckDB oracle, so values are
+  * bit-identical.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "que", "por"),
+    "fr" -> Seq("le", "les", "des", "et", "une")
+  )
+
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  private def inSet(arr: Column, set: Seq[String]): Column =
+    size(filter(arr, t => t.isInCollection(set))).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x07_text_tokens" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("text_chars")
+        )
+        .orderBy("doc_id")
+    }),
+    "x08_text_quality" -> ((s, d) => {
+      table(s, d, "documents")
+        .withColumn("w", toks)
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("stop_cnt", inSet(col("w"), stopwords))
+        .withColumn("char_sum", aggregate(transform(col("w"), t => length(t)), lit(0), (acc, x) => acc + x).cast("long"))
+        .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("avg_word_len", col("char_sum").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("score", col("stop_ratio") * 0.5 + col("avg_word_len") * 0.1)
+        .select("doc_id", "n_tokens", "stop_ratio", "avg_word_len", "score")
+        .orderBy("doc_id")
+    }),
+    "x09_text_langid" -> ((s, d) => {
+      val counted = markers.foldLeft(table(s, d, "documents").withColumn("w", toks)) {
+        case (df, (lang, ws)) => df.withColumn(s"c_$lang", inSet(col("w"), ws))
+      }
+      val m = greatest(markers.map { case (l, _) => col(s"c_$l") }: _*)
+      val pred = markers
+        .foldLeft(when(m === 0L, "und")) { case (c, (l, _)) => c.when(col(s"c_$l") === m, l) }
+        .otherwise("und")
+      counted
+        .withColumn("pred_lang", pred)
+        .groupBy("pred_lang", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang", "lang")
+    }),
+    "x10_text_fingerprint" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_norm"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp_sorted"),
+          aggregate(
+            transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L),
+            (acc, x) => pmod(acc * 31 + x, lit(1000000007L))
+          ).as("rolling_hash")
+        )
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    def inSetSql(set: Seq[String]) = set.map(w => s"'$w'").mkString("(", ", ", ")")
+    Map(
+      "x07_text_tokens" ->
+        """SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+          |  length(text) AS text_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "x08_text_quality" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+           |c AS (
+           |  SELECT doc_id, len(w) AS n_tokens,
+           |    len(list_filter(w, t -> t IN ${inSetSql(stopwords)})) AS stop_cnt,
+           |    cast(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS char_sum
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |  cast(stop_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE) AS stop_ratio,
+           |  cast(char_sum AS DOUBLE) / cast(n_tokens AS DOUBLE) AS avg_word_len,
+           |  (cast(stop_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE)) * 0.5
+           |    + (cast(char_sum AS DOUBLE) / cast(n_tokens AS DOUBLE)) * 0.1 AS score
+           |FROM c ORDER BY doc_id""".stripMargin,
+      "x09_text_langid" -> {
+        val cnts = markers
+          .map { case (l, ws) => s"len(list_filter(w, t -> t IN ${inSetSql(ws)})) AS c_$l" }
+          .mkString(", ")
+        val m = markers.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+        val whens = markers.map { case (l, _) => s"WHEN c_$l = $m THEN '$l'" }.mkString(" ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+           |c AS (SELECT doc_id, lang, $cnts FROM t),
+           |p AS (SELECT doc_id, lang,
+           |  CASE WHEN $m = 0 THEN 'und' $whens ELSE 'und' END AS pred_lang FROM c)
+           |SELECT pred_lang, lang, count(*) AS n FROM p
+           |GROUP BY pred_lang, lang ORDER BY pred_lang, lang""".stripMargin
+      },
+      "x10_text_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,
+          |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp_sorted,
+          |  list_reduce(
+          |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured-Streaming surface [EXT] (the reference is batch-only,
+  * SURVEY.md §2.6; the `events` fixture reserves room for this slice).
+  *
+  * The transforms are defined on plain DataFrames so the SAME logic runs in
+  * batch (driver's oracle check, `q20_events_window`) and as an incremental
+  * streaming query — the idiomatic Spark pattern: one declarative plan, two
+  * execution modes.
+  */
+object EventStreams {
+
+  /** Tumbling 5-minute counts per event type with a 10-minute watermark —
+    * late events beyond the watermark are dropped, state is bounded, so the
+    * query runs forever at any input rate. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful sessionization via mapGroupsWithState: per-user running
+    * totals with a processing-time idle timeout. State per key is O(1) —
+    * bounded memory regardless of stream length. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          val (n, tot, last) = rows.foldLeft((prev.nEvents, prev.total, prev.lastTs)) { case ((c, t, l), e) =>
+            (c + 1, t + e.value, math.max(l, e.ts.getTime))
+          }
+          state.update(SessionState(n, tot, last))
+          state.setTimeoutDuration("30 minutes")
+          SessionOut(user, n, tot)
+      }
+  }
+
+  /** Wire a streaming source through [[windowedCounts]] to a sink. */
+  def run(spark: SparkSession, source: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
+    windowedCounts(source).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .start(outPath)
+}
