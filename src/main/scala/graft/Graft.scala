@@ -33,7 +33,7 @@ object Graft {
     spark
   }
 
-  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   /** Read one of the driver-generated testdata tables (TESTDATA.md):
     * region nation customer supplier part orders lineitem events documents

@@ -29,20 +29,21 @@ object EventStreams {
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful sessionization via mapGroupsWithState: per-user running
-    * totals with a processing-time idle timeout. State per key is O(1) —
-    * bounded memory regardless of stream length. */
+    * totals carried across micro-batches. State per key is O(1) — bounded
+    * memory regardless of stream length. (Eviction of idle keys would add
+    * `GroupStateTimeout.ProcessingTimeTimeout`; kept timeout-free so
+    * `processAllAvailable` semantics stay deterministic in tests.) */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
           val (n, tot, last) = rows.foldLeft((prev.nEvents, prev.total, prev.lastTs)) { case ((c, t, l), e) =>
             (c + 1, t + e.value, math.max(l, e.ts.getTime))
           }
           state.update(SessionState(n, tot, last))
-          state.setTimeoutDuration("30 minutes")
           SessionOut(user, n, tot)
       }
   }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = TestSpark.tempDir()
+    // vec 1 ∥ vec 0 (cos=1), vec 2 ⟂ vec 0, vec 3 anti-parallel
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    TestSpark.writeTable(d, "embeddings", embs)
+    val docs = Seq(
+      (0L, "the cat and the hat", "en", "t", 19L),
+      (1L, "der hund und die katze ist da", "de", "t", 29L),
+      (2L, "xyzzy plugh", "zz", "t", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    d
+  }
+
+  test("brute-force cosine ranks parallel > angled > orthogonal > anti") {
+    val rows = Similarity
+      .queries("x05_sim_cosine_topk")(spark, dir)
+      .where("qid = 0")
+      .collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("nid"), r.getAs[Double]("cos")))
+    assert(rows.map(_._2).toSeq === Seq(1L, 4L, 2L, 3L))
+    assert(rows.head._3 === 1.0)
+    assert(math.abs(rows(2)._3) < 1e-12)
+    assert(rows(3)._3 === -1.0)
+  }
+
+  test("LSH ANN returns plausible neighbors (parallel vectors same bucket)") {
+    val rows = Similarity
+      .queries("x06_sim_ann_lsh")(spark, dir)
+      .where("qid = 0")
+      .collect()
+      .map(r => r.getAs[Long]("nid"))
+    // identical-direction vector must collide with its twin in every band
+    assert(rows.contains(1L))
+  }
+
+  test("token counting and quality score") {
+    val t = TextAnalysis.queries("x07_text_tokens")(spark, dir).collect()
+    assert(t.map(r => r.getAs[Long]("n_tokens")).toSeq === Seq(5L, 7L, 2L))
+    val q = TextAnalysis.queries("x08_text_quality")(spark, dir).where("doc_id = 0").head()
+    assert(q.getAs[Double]("stop_ratio") === 0.6) // the, and, the
+    assert(q.getAs[Double]("avg_word_len") === 3.0)
+  }
+
+  test("langid picks en for English stopwords, de for German, und for junk") {
+    val preds = TextAnalysis
+      .queries("x09_text_langid")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+      .toMap
+    assert(preds("en") === "en")
+    assert(preds("de") === "de")
+    assert(preds("zz") === "und")
+  }
+
+  test("fingerprints: same token multiset → same sorted fp, different rolling hash") {
+    val d2 = TestSpark.tempDir()
+    TestSpark.writeTable(
+      d2,
+      "documents",
+      Seq(
+        (0L, "alpha beta gamma", "en", "t", 1L),
+        (1L, "gamma beta alpha", "en", "t", 1L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    )
+    val fp = TextAnalysis.queries("x10_text_fingerprint")(spark, d2).collect()
+    assert(fp(0).getAs[String]("fp_sorted") === fp(1).getAs[String]("fp_sorted"))
+    assert(fp(0).getAs[String]("fp_norm") !== fp(1).getAs[String]("fp_norm"))
+    assert(fp(0).getAs[Long]("rolling_hash") !== fp(1).getAs[Long]("rolling_hash"))
+  }
+
+  test("multimodal: payload plumbing and stubbed decode schema") {
+    val decoded = Multimodal.decodeAll(spark, Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")))
+    val rows = decoded.collect()
+    assert(rows.length === 3)
+    assert(decoded.schema.fieldNames.toSeq === Seq("doc_id", "n_bytes", "format", "width", "height", "n_frames"))
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getAs[Long]("n_bytes") === 19L)
+    assert(r0.getAs[String]("format") === "fake/raw")
+  }
+}
