@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Second operator batch: the SQL entry point (temp views + spark.sql with
+  * correlated/scalar subqueries), CUBE, exact percentiles, ordered string
+  * aggregation, regex functions, an as-of join, deterministic hash
+  * sampling, and null-handling ops (SURVEY.md §2.4-§2.5 completeness).
+  *
+  * The as-of join (absent from both the reference and stock Spark) is
+  * composed from a union + running `last(ignoreNulls)` window — one shuffle
+  * on the key, no range explosion, the standard scalable Spark shape. The
+  * DuckDB oracle uses its native ASOF JOIN, so the test also proves the
+  * composition's semantics.
+  */
+object Advanced {
+
+  /** base hash → [0,100) bucket, identical in both engines (cf. Dedup). */
+  private def hashBucket(c: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_cube" -> ((s, d) => {
+      table(s, d, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          col("n_orders")
+        )
+        .orderBy("status", "yr")
+    }),
+    "q22_sql_exists" -> ((s, d) => {
+      // SQL entry point: temp views + correlated EXISTS through spark.sql
+      table(s, d, "supplier").createOrReplaceTempView("v_supplier")
+      table(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT s_name, s_acctbal FROM v_supplier
+              |WHERE EXISTS (SELECT 1 FROM v_lineitem
+              |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+              |ORDER BY s_name""".stripMargin)
+    }),
+    "q23_sql_in" -> ((s, d) => {
+      table(s, d, "part").createOrReplaceTempView("v_part")
+      table(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT p_brand, count(*) AS n_parts FROM v_part
+              |WHERE p_partkey IN (SELECT l_partkey FROM v_lineitem WHERE l_discount >= 0.09)
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+    "q24_sql_scalar_subquery" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("v_customer")
+      table(s, d, "nation").createOrReplaceTempView("v_nation")
+      s.sql("""SELECT n_name, count(*) AS n_rich FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+    "q25_union_by_name" -> ((s, d) => {
+      val c = table(s, d, "customer")
+        .select(col("c_acctbal").as("bal"), lit("customer").as("kind"))
+      val sup = table(s, d, "supplier")
+        .select(lit("supplier").as("kind"), col("s_acctbal").as("bal"))
+      c.unionByName(sup) // schema aligned by NAME, not position
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("total_bal"))
+        .orderBy("kind")
+    }),
+    "q26_string_agg" -> ((s, d) => {
+      // order-insensitive list agg made deterministic by sorting pre-concat
+      table(s, d, "nation")
+        .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name")
+    }),
+    "q27_percentiles" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("price_p90")
+        )
+        .orderBy("l_returnflag")
+    }),
+    "q28_regex" -> ((s, d) => {
+      table(s, d, "part")
+        .withColumn("grp", regexp_extract(col("p_type"), "^([A-Z]+)", 1))
+        .where(col("p_name").rlike("^(red|blue) "))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), count_distinct(regexp_replace(col("p_name"), "\\s+", "_")).as("n_names"))
+        .orderBy("grp")
+    }),
+    "q29_asof_join" -> ((s, d) => {
+      // as-of: for each purchase, the user's most recent click at-or-before it
+      val ev = graft.Graft.events(s, d).withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("us"), lit(null).cast("long").as("event_id"), lit(0).as("is_p"), col("us").as("click_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"), lit(1).as("is_p"), lit(null).cast("long").as("click_us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("is_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+        .where(col("is_p") === 1)
+        .select(
+          col("event_id"),
+          col("us").as("p_us"),
+          col("last_click_us"),
+          (col("us") - col("last_click_us")).as("gap_us")
+        )
+        .orderBy("event_id")
+    }),
+    "q30_hash_sample" -> ((s, d) => {
+      // deterministic 5% sample via md5 bucketing — reproducible across
+      // engines AND across cluster sizes (unlike rand()-based sampling)
+      table(s, d, "orders")
+        .where(hashBucket(col("o_orderkey")) < 5)
+        .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("sampled_total"))
+    }),
+    "q31_null_ops" -> ((s, d) => {
+      // left join fabricates nulls → coalesce / conditional-count handling
+      val o01 = table(s, d, "orders").where(year(col("o_orderdate")) === 2001)
+      table(s, d, "customer")
+        .join(o01, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_with_order"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("spend_or_zero")
+        )
+        .orderBy("c_mktsegment")
+    }),
+    // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
+    // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
+    "etl_i94_top_ports" -> ((s, _) => {
+      val dims = graft.etl.SasLabels.load(s, "/root/reference/I94_SAS_Labels_Descriptions.SAS")
+      val states = dims.states.select("code").collect().map(_.getString(0)).toSeq
+      val raw = graft.etl.Ingest
+        .csv(s, "/root/reference/immigration_data_sample.csv", graft.etl.Schemas.immigrationSample)
+        .drop("_row")
+      val star = graft.etl.Model.build(s, graft.etl.Clean.immigration(raw, states), dims)
+      star
+        .groupBy("port_code", "port_city", "port_state")
+        .agg(count(lit(1)).as("n_arrivals"))
+        .orderBy(col("n_arrivals").desc, col("port_code"))
+        .limit(10)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q21_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(cast(yr AS VARCHAR), 'ALL') AS yr, count(*) AS n_orders
+        |FROM (SELECT o_orderstatus, year(o_orderdate) AS yr FROM orders)
+        |GROUP BY CUBE (o_orderstatus, yr) ORDER BY status, yr""".stripMargin,
+    "q22_sql_exists" ->
+      """SELECT s_name, s_acctbal FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |ORDER BY s_name""".stripMargin,
+    "q23_sql_in" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q24_sql_scalar_subquery" ->
+      """SELECT n_name, count(*) AS n_rich FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q25_union_by_name" ->
+      """SELECT kind, count(*) AS n, round(sum(bal), 2) AS total_bal FROM (
+        |  SELECT c_acctbal AS bal, 'customer' AS kind FROM customer
+        |  UNION ALL SELECT s_acctbal AS bal, 'supplier' AS kind FROM supplier)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "q26_string_agg" ->
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.9) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_regex" ->
+      """SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS grp, count(*) AS n,
+        |  count(DISTINCT regexp_replace(p_name, '\s+', '_', 'g')) AS n_names
+        |FROM part WHERE regexp_matches(p_name, '^(red|blue) ')
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+    "q29_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS click_us FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.us AS p_us, c.click_us AS last_click_us,
+        |  p.us - c.click_us AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    "q30_hash_sample" ->
+      """SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sampled_total
+        |FROM orders
+        |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 5""".stripMargin,
+    "q31_null_ops" ->
+      """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_with_order,
+        |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS spend_or_zero
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE year(o_orderdate) = 2001) o
+        |ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
