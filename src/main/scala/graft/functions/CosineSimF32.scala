@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{Bridge, CosineSimF32Expr, RollingHashExpr}
+
+/** Public Column-API faces of graft's native codegen'd Catalyst expressions
+  * (SURVEY.md §7.3 preference order: built-in → native Expression → UDF;
+  * UDFs are never used in graft). Implementations live in
+  * [[org.apache.spark.sql.graftbridge]] (they need `private[sql]` types).
+  */
+object CosineSimF32 {
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(CosineSimF32Expr(Bridge.expression(a), Bridge.expression(b)))
+}
+
+object RollingHash {
+  def apply(s: Column, modulus: Long = 1000000007L): Column =
+    Bridge.column(RollingHashExpr(Bridge.expression(s), modulus))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Graft.table
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -29,10 +30,22 @@ object Similarity {
   /** float32 sqrt via double sqrt + downcast (exactly rounded). */
   private def sqrtF(x: Column): Column = sqrt(x.cast("double")).cast("float")
 
-  /** float32 cosine similarity, widened to double for output. */
-  private def cosineF(a: Column, b: Column): Column = {
+  /** float32 cosine from built-in higher-order functions — semantically
+    * identical to the native expression; kept as the reference formulation
+    * (the equivalence is asserted in SimilaritySpec). */
+  private[graft] def cosineDeclarative(a: Column, b: Column): Column = {
     val denom = sqrtF(dotF(a, a)) * sqrtF(dotF(b, b)) // float32 multiply
     (dotF(a, b).cast("double") / denom.cast("double")).cast("float").cast("double")
+  }
+
+  /** hot path: the codegen'd native Catalyst expression */
+  private def cosineF(a: Column, b: Column): Column = graft.functions.CosineSimF32(a, b)
+
+  /** double-precision cosine for array<double> (centroid math, no oracle) */
+  private def cosineD(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -89,6 +102,53 @@ object Similarity {
         .where(col("rk") <= 5)
         .select("qid", "rk", "nid", "cos")
         .orderBy("qid", "rk")
+    }),
+
+    // IVF-style ANN: inverted lists keyed by `label` (stand-in for a k-means
+    // coarse quantizer at this fixture scale), centroids = per-list mean
+    // vector. A query probes its 2 nearest centroids and searches only those
+    // lists — the candidate set shrinks by ~nlists/nprobe, and at 100 TB the
+    // list search is a shuffle on the list id instead of a cross join.
+    "x13_sim_ivf" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("label", "i")
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))), x => x.getField("c")).as("cvec"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qe_d"), col("embedding").as("qe"))
+      val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))
+      val probes = q
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosineD(col("qe_d"), col("cvec")))
+        .withColumn("crk", row_number().over(wc))
+        .where(col("crk") <= 2)
+        .select("qid", "qe", "label")
+      val wn = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      probes
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label")), Seq("label"))
+        .where(col("nid") =!= col("qid"))
+        .withColumn("cos", cosineF(col("qe"), col("ne")))
+        .withColumn("rk", row_number().over(wn).cast("long"))
+        .where(col("rk") <= 5)
+        .select("qid", "rk", "nid", "cos")
+        .orderBy("qid", "rk")
+    }),
+
+    // embedding-cosine near-dup pairs (the dedup face of similarity): at
+    // scale the same banded-LSH candidate generation applies; the threshold
+    // filter is what makes it a dedup operator
+    "x12_dedup_embedding" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", cosineF(col("ea"), col("eb")))
+        .where(col("cos") >= 0.4)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -101,7 +161,13 @@ object Similarity {
         |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id < 10)
-        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // x06 intentionally has no oracle: LSH bucketing is engine-specific → rows-only check
+    "x12_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

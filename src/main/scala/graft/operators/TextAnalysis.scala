@@ -36,16 +36,23 @@ object TextAnalysis {
         .select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
+          // BPE-ish subword count: letter runs / digit runs / single symbols
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long").as("n_subtokens"),
           length(col("text")).cast("long").as("text_chars")
         )
         .orderBy("doc_id")
     }),
     "x08_text_quality" -> ((s, d) => {
+      // explode + codegen'd conditional aggregation (interpreted array
+      // lambdas cost ~10× at sf0.1; the shuffle on doc_id is cheaper)
       table(s, d, "documents")
-        .withColumn("w", toks)
-        .withColumn("n_tokens", size(col("w")).cast("long"))
-        .withColumn("stop_cnt", inSet(col("w"), stopwords))
-        .withColumn("char_sum", aggregate(transform(col("w"), t => length(t)), lit(0), (acc, x) => acc + x).cast("long"))
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").isInCollection(stopwords), 1L).otherwise(0L)).as("stop_cnt"),
+          sum(length(col("tok")).cast("long")).as("char_sum")
+        )
         .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
         .withColumn("avg_word_len", col("char_sum").cast("double") / col("n_tokens").cast("double"))
         .withColumn("score", col("stop_ratio") * 0.5 + col("avg_word_len") * 0.1)
@@ -53,9 +60,14 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
     "x09_text_langid" -> ((s, d) => {
-      val counted = markers.foldLeft(table(s, d, "documents").withColumn("w", toks)) {
-        case (df, (lang, ws)) => df.withColumn(s"c_$lang", inSet(col("w"), ws))
+      val docs = table(s, d, "documents")
+      val aggCols = markers.map { case (l, ws) =>
+        sum(when(col("tok").isInCollection(ws), 1L).otherwise(0L)).as(s"c_$l")
       }
+      val counted = docs
+        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(aggCols.head, aggCols.tail: _*)
       val m = greatest(markers.map { case (l, _) => col(s"c_$l") }: _*)
       val pred = markers
         .foldLeft(when(m === 0L, "und")) { case (c, (l, _)) => c.when(col(s"c_$l") === m, l) }
@@ -72,11 +84,7 @@ object TextAnalysis {
           col("doc_id"),
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp_norm"),
           md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp_sorted"),
-          aggregate(
-            transform(split(col("text"), ""), c => ascii(c).cast("long")),
-            lit(0L),
-            (acc, x) => pmod(acc * 31 + x, lit(1000000007L))
-          ).as("rolling_hash")
+          graft.functions.RollingHash(col("text")).as("rolling_hash")
         )
         .orderBy("doc_id")
     })
@@ -87,6 +95,7 @@ object TextAnalysis {
     Map(
       "x07_text_tokens" ->
         """SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+          |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
           |  length(text) AS text_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
       "x08_text_quality" ->

@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Thin bridge into Spark's `private[sql]` Column↔Expression converters so
+  * graft's native Catalyst expressions (e.g. [[graft.functions.CosineSimF32]])
+  * can be used as ordinary `Column`s from the public DataFrame API. Lives
+  * under `org.apache.spark.sql` purely for access; contains no logic.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on a live session (the runtime counterpart
+    * of wiring `spark.sql.extensions=graft.plans.GraftExtensions` at
+    * session build time). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression
+  ): Unit =
+    spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+      .functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -84,6 +84,37 @@ class SimilarityTextSpec extends AnyFunSuite {
     assert(fp(0).getAs[Long]("rolling_hash") !== fp(1).getAs[Long]("rolling_hash"))
   }
 
+  test("native codegen'd cosine == declarative formulation on real data, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(20000)
+    val diffs = pairs
+      .withColumn("native", graft.functions.CosineSimF32(col("ea"), col("eb")))
+      .withColumn("decl", Similarity.cosineDeclarative(col("ea"), col("eb")))
+      .where(col("native") =!= col("decl"))
+      .count()
+    assert(diffs === 0L)
+    // and the native expression must be codegen-compatible (no fallback):
+    // execute an agg over it, then inspect the FINAL adaptive plan
+    val df = a.join(b, col("ia") < col("ib"))
+      .select(sum(graft.functions.CosineSimF32(col("ea"), col("eb"))).as("s"))
+    df.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple plan string;
+    // the cosine_f32 aggregate must sit inside one (no interpreted fallback)
+    val planLines = df.queryExecution.executedPlan.toString.linesIterator
+    assert(planLines.exists(l => l.contains("*(") && l.contains("cosine_f32")))
+  }
+
+  test("cosine_f32 is callable from SQL via GraftExtensions registration") {
+    val ext = new graft.plans.GraftExtensions()
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT cosine_f32(array(cast(1.0 as float)), array(cast(2.0 as float))) AS c").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(ext != null)
+  }
+
   test("multimodal: payload plumbing and stubbed decode schema") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")))
     val rows = decoded.collect()
