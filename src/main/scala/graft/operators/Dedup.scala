@@ -164,7 +164,13 @@ object Dedup {
   )
 
   /** SimHash signatures: per-token 31-bit hashes from two md5 windows,
-    * frequency-weighted bit votes, sign → bit, bits packed into two longs. */
+    * frequency-weighted bit votes, sign → bit, bits packed into two longs.
+    *
+    * The 31 bit-votes per hash are 62 conditional-sum aggregates over the
+    * (doc, token, freq) table — ONE shuffle on doc_id, fully codegen'd —
+    * instead of exploding a 31-row bit dimension (31× the rows plus a
+    * second shuffle). Results are arithmetically identical.
+    */
   private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val freq = tokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("tok"))
@@ -172,19 +178,15 @@ object Dedup {
       .agg(count(lit(1)).as("f"))
       .withColumn("h1", pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), lit(2147483648L)))
       .withColumn("h2", pmod(conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long"), lit(2147483648L)))
-    val votes = freq
-      .select(col("doc_id"), col("f"), col("h1"), col("h2"), explode(sequence(lit(0), lit(30))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(
-        sum(when(expr("shiftright(h1, b)").bitwiseAND(lit(1L)) === 1L, col("f")).otherwise(-col("f"))).as("v1"),
-        sum(when(expr("shiftright(h2, b)").bitwiseAND(lit(1L)) === 1L, col("f")).otherwise(-col("f"))).as("v2")
-      )
-    votes
+    def vote(h: String, b: Int) =
+      sum(when(shiftright(col(h), b).bitwiseAND(lit(1L)) === 1L, col("f")).otherwise(-col("f"))).as(s"v_${h}_$b")
+    val voteCols = (0 to 30).flatMap(b => Seq(vote("h1", b), vote("h2", b)))
+    def pack(h: String) =
+      (0 to 30).map(b => when(col(s"v_${h}_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    freq
       .groupBy("doc_id")
-      .agg(
-        sum(when(col("v1") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("lo"),
-        sum(when(col("v2") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("hi")
-      )
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), pack("h1").as("lo"), pack("h2").as("hi"))
   }
 
   // ---- oracles -------------------------------------------------------------

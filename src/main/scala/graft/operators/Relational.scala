@@ -210,10 +210,17 @@ object Relational {
         .orderBy("n_name")
     }),
     "q16_json" -> ((s, d) => {
+      // both JSON paths: get_json_object (jsonpath) and from_json (typed schema)
       graft.Graft.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k2", from_json(col("props"), lit("k INT")).getField("k").cast("long"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"), round(sum("value"), 2).as("sum_value"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"),
+          sum("k2").as("sum_k_typed"),
+          round(sum("value"), 2).as("sum_value")
+        )
         .orderBy("event_type")
     }),
 
@@ -339,6 +346,7 @@ object Relational {
     "q16_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_typed,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q17_rollup" ->

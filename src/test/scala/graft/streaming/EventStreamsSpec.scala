@@ -36,6 +36,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream end-to-end: readStream -> windowed agg -> parquet sink") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val base = graft.TestSpark.tempDir()
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType), StructField("value", DoubleType)))
+    import spark.implicits._
+    // two "arriving" files
+    Seq((ts(1), "click", 1.0), (ts(2), "click", 2.0)).toDF("ts", "event_type", "value")
+      .write.parquet(s"$in/chunk1")
+    Seq((ts(7), "view", 5.0)).toDF("ts", "event_type", "value")
+      .write.parquet(s"$in/chunk2")
+    val source = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+      .parquet(s"$in/*")
+    val q = EventStreams.run(spark, source, ckpt, out)
+    try q.processAllAvailable()
+    finally q.stop()
+    // append mode + watermark: windows close only when the watermark passes,
+    // so assert on sink files being produced and re-read cleanly
+    val written = spark.read.schema(
+      StructType(Seq(StructField("ws", TimestampType), StructField("event_type", StringType),
+        StructField("n", LongType), StructField("sum_value", DoubleType)))).parquet(out)
+    assert(written.schema.fieldNames.toSeq === Seq("ws", "event_type", "n", "sum_value"))
+    // drive the same data through the batch face: identical plan, final answer
+    val batch = EventStreams.windowedCounts(
+      spark.read.schema(schema).parquet(s"$in/*"))
+    val rows = batch.collect().map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[Long]("n"))).toMap
+    assert(rows(ts(0)) === 2L && rows(ts(5)) === 1L)
+  }
+
   test("stateful sessionization accumulates per-user state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
