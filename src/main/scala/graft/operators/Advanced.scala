@@ -134,6 +134,28 @@ object Advanced {
         )
         .orderBy("c_mktsegment")
     }),
+    "q32_pivot" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P")
+        )
+        .orderBy("o_orderpriority")
+    }),
+    "q33_explode" -> ((s, d) => {
+      // generator/lateral-view: one row per word of p_name
+      table(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"), col("p_brand"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"), count_distinct(col("p_brand")).as("n_brands"))
+        .orderBy("word")
+    }),
+
     // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
     // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
     "etl_i94_top_ports" -> ((s, _) => {
@@ -202,6 +224,16 @@ object Advanced {
       """SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sampled_total
         |FROM orders
         |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 5""".stripMargin,
+    "q32_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q33_explode" ->
+      """SELECT word, count(*) AS n, count(DISTINCT p_brand) AS n_brands
+        |FROM part, unnest(string_split(p_name, ' ')) t(word)
+        |GROUP BY word ORDER BY word""".stripMargin,
     "q31_null_ops" ->
       """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_with_order,
         |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS spend_or_zero

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tests for the 100 TB design disciplines themselves: partition pruning on
+  * partitioned layouts, shuffle-free bucketed joins, salted-join semantics,
+  * and the typed Dataset API boundary. */
+class ScaleDisciplineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitionBy layout yields partition pruning (PartitionFilters, not data filter)") {
+    val dir = TestSpark.tempDir()
+    val orders = Graft.table(spark, sf, "orders").withColumn("yr", year(col("o_orderdate")))
+    graft.etl.Ingest.writeParquet(orders, s"$dir/orders_part", partitionBy = Seq("yr"))
+    val pruned = spark.read.parquet(s"$dir/orders_part").where(col("yr") === 1997)
+    pruned.count()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(yr"), s"no partition filter in:\n$scan")
+    // the year predicate must NOT appear as a post-scan data filter
+    assert(!scan.contains("PushedFilters: [IsNotNull(yr)"), "partition column read as data column")
+    val expected = Graft.table(spark, sf, "orders").where(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() === expected)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = TestSpark.tempDir()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val o = Graft.table(s2, sf, "orders")
+    val l = Graft.table(s2, sf, "lineitem")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").mode("overwrite").saveAsTable("b_orders")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").mode("overwrite").saveAsTable("b_lineitem")
+    val joined = s2.table("b_orders").join(s2.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    val n = joined.count()
+    assert(n === Graft.table(s2, sf, "lineitem").count()) // every lineitem has its order
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffled:\n$plan")
+  }
+
+  test("salted join is semantically identical to the plain join") {
+    val o = Graft.table(spark, sf, "orders")
+    val c = Graft.table(spark, sf, "customer")
+    val plain = o.join(c, o("o_custkey") === c("c_custkey")).count()
+    val salted = Skew.saltedJoin(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 8).count()
+    assert(salted === plain)
+  }
+
+  test("typed Dataset boundary: case-class encoder round trip") {
+    import ScaleDisciplineSpec.Item
+    val ds = Graft
+      .table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .as[Item]
+    val heavy = ds.filter(_.l_quantity >= 49.0).map(i => i.l_returnflag).groupByKey(identity).count().collect().toMap
+    val oracle = Graft
+      .table(spark, sf, "lineitem")
+      .where(col("l_quantity") >= 49)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(heavy === oracle)
+  }
+}
+
+object ScaleDisciplineSpec {
+  final case class Item(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+}
