@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale robustness probe (not part of the driver contract): replicates the
+  * sf0.1 fact tables N× with shifted order keys (~10M lineitem rows at
+  * N=16), then runs the heavy relational queries. Confirms the plans that
+  * pass correctness at sf0.01 still behave at 100× that scale — no OOM, no
+  * quadratic blowup, runtimes scaling ~linearly with input.
+  *
+  * Usage: runMain graft.ScaleProbe [N] [workDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(16)
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val src = "/root/testdata/sf0.1"
+    val spark = Graft.session("graft-scaleprobe")
+    val skipGen = new java.io.File(s"$work/orders.parquet").exists() && args.contains("--skip-gen")
+
+    val copies = spark.range(n).toDF("rep")
+    if (!skipGen) {
+    def scaleFact(name: String, keyCols: Seq[String]): Unit = {
+      val t = Graft.table(spark, src, name)
+      val scaled = t
+        .crossJoin(broadcast(copies))
+        .select(t.columns.map {
+          case k if keyCols.contains(k) => (col(k) + col("rep") * 1000000000L).as(k)
+          case c => col(c)
+        }.toSeq: _*)
+      scaled.write.mode("overwrite").parquet(s"$work/$name.parquet")
+    }
+    scaleFact("lineitem", Seq("l_orderkey"))
+    scaleFact("orders", Seq("o_orderkey"))
+    Seq("region", "nation", "customer", "supplier", "part", "events", "documents", "embeddings")
+      .foreach { t =>
+        Graft.table(spark, src, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
+      }
+    println(s"[probe] generated ${n}x facts at $work")
+    }
+
+    val heavy = Seq(
+      "q01_pricing_summary", "q02_filter_project", "q04_join_shuffle", "q05_join_semi",
+      "q07_join_outer_hist", "q08_window_rank", "q10_topk", "q12_distinct_agg",
+      "q17_rollup", "q27_percentiles", "q30_hash_sample"
+    )
+    heavy.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, work).write.mode("overwrite").format("noop").save() // warm
+      val t0 = System.nanoTime()
+      fn(spark, work).write.mode("overwrite").format("noop").save()
+      println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (${n}x sf0.1)")
+    }
+    spark.stop()
+  }
+}

@@ -135,10 +135,21 @@ object Relational {
 
     // ---- windows ----------------------------------------------------------
     "q08_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      table(s, d, "orders")
+      // Two-phase top-k: a single window PARTITION BY c_mktsegment collapses
+      // to |segments| tasks (5 here — catastrophic at scale). Phase 1 takes
+      // the top-3 within (segment, physical partition) — every global top-3
+      // row necessarily survives — phase 2 ranks the ≤3·P·|segments|
+      // survivors exactly. Result is identical to the one-window form.
+      val joined = table(s, d, "orders")
         .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
+      val local = Window.partitionBy(col("c_mktsegment"), spark_partition_id()).orderBy(order: _*)
+      val global = Window.partitionBy("c_mktsegment").orderBy(order: _*)
+      joined
+        .withColumn("lrk", row_number().over(local))
+        .where(col("lrk") <= 3)
+        .withColumn("rk", row_number().over(global).cast("long"))
         .where(col("rk") <= 3)
         .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rk")
