@@ -134,6 +134,18 @@ object Advanced {
         )
         .orderBy("c_mktsegment")
     }),
+    // sketches: HLL distinct + KLL-style approximate percentile. No oracle —
+    // sketch implementations are engine-specific (rows-only check); the
+    // exact counterparts are oracle-checked in q12/q27.
+    "q34_approx_sketches" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("approx_p90")
+        )
+        .orderBy("l_returnflag")
+    }),
     "q32_pivot" -> ((s, d) => {
       table(s, d, "orders")
         .groupBy("o_orderpriority")
