@@ -135,21 +135,16 @@ object Relational {
 
     // ---- windows ----------------------------------------------------------
     "q08_window_rank" -> ((s, d) => {
-      // Two-phase top-k: a single window PARTITION BY c_mktsegment collapses
-      // to |segments| tasks (5 here — catastrophic at scale). Phase 1 takes
-      // the top-3 within (segment, physical partition) — every global top-3
-      // row necessarily survives — phase 2 ranks the ≤3·P·|segments|
-      // survivors exactly. Result is identical to the one-window form.
-      val joined = table(s, d, "orders")
+      // rank ≤ k over a low-cardinality partition key looks like a
+      // parallelism collapse, but Catalyst's InferWindowGroupLimit plans a
+      // partial WindowGroupLimit BEFORE the shuffle (top-3 per map
+      // partition) + a final one after — verified in the probe plan at 16×
+      // sf0.1 (4 s, linear). Declarative form is the right one; no
+      // hand-rolled two-phase needed.
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, d, "orders")
         .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .select("c_mktsegment", "o_orderkey", "o_totalprice")
-      val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
-      val local = Window.partitionBy(col("c_mktsegment"), spark_partition_id()).orderBy(order: _*)
-      val global = Window.partitionBy("c_mktsegment").orderBy(order: _*)
-      joined
-        .withColumn("lrk", row_number().over(local))
-        .where(col("lrk") <= 3)
-        .withColumn("rk", row_number().over(global).cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rk")
