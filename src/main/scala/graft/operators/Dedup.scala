@@ -95,6 +95,30 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- char-4-gram Jaccard ----------------------------------------------
+    // character shingles on whitespace-normalized text — robust to
+    // tokenization differences; same inverted-index join shape as the word
+    // variant (threshold 0.9: char-gram sets from a shared vocabulary
+    // overlap heavily, so near-dup needs a tight bound)
+    "x14_dedup_chargram" -> ((s, d) => {
+      val sh = table(s, d, "documents")
+        .select(col("doc_id"), regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+        .where(length(col("t")) >= 4)
+        .select(col("doc_id"), explode(expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")).as("sh"))
+        .distinct()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+        .where(col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- MinHash + LSH banding --------------------------------------------
     // 16-component signature, 8 bands × 2 rows; candidate pairs = docs
     // sharing ≥1 band bucket; output the signature-agreement estimate.
@@ -220,6 +244,20 @@ object Dedup {
          |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
          |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x14_dedup_chargram" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substr(t, i, 4) AS sh
+        |  FROM t, unnest(generate_series(1, length(t) - 3)) u(i) WHERE length(t) >= 4),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common / (ca.n + cb.n - n_common) AS jaccard
+        |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+        |WHERE n_common / (ca.n + cb.n - n_common) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x03_dedup_minhash" -> {
       val bandSelect = (0 until K / 2)
         .map(j => s"SELECT doc_id, $j AS band, m${2 * j} AS k1, m${2 * j + 1} AS k2 FROM sig")

@@ -63,6 +63,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** Stubbed media transforms — the full decode → resize → frame-sample
+    * chain a training-data pipeline runs over image/video columns. Real
+    * codecs are unavailable here (see builder brief), so the byte-level
+    * transforms are deterministic fakes; the Spark plumbing (binary in /
+    * binary out, per-partition batching, declared schemas) is real.
+    */
+
+  /** "Resize": keep a deterministic prefix + suffix of the payload
+    * proportional to the target box — stands in for pixel downsampling. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, math.min(payload.length, (w * h) / 64))
+    payload.take((n + 1) / 2) ++ payload.takeRight(n / 2)
+  }
+
+  /** "Frame sampling": every k-th 16-byte block as one frame payload. */
+  def frameSampleStub(payload: Array[Byte], everyK: Int): Seq[Array[Byte]] =
+    payload.grouped(16).grouped(everyK).map(_.head).map(_.toArray).toSeq
+
+  /** Distributed resize + frame-sample over the payload column: one
+    * mapPartitions pass, one output row per sampled frame (explode shape),
+    * schema declared up front. */
+  def transformMedia(spark: SparkSession, withPayloads: DataFrame, w: Int = 64, h: Int = 64, everyK: Int = 4): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("frame_bytes", LongType),
+        StructField("resized_bytes", LongType)
+      )
+    )
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val resized = resizeStub(bytes, w, h)
+        frameSampleStub(bytes, everyK).zipWithIndex.map { case (frame, i) =>
+          Row(id, i, frame.length.toLong, resized.length.toLong)
+        }
+      }
+    }(enc)
+  }
+
   /** Oracle-checkable face of the plumbing: byte length + digest of the
     * binary payload (metadata from the stub is engine-internal → tested in
     * the unit spec instead). */

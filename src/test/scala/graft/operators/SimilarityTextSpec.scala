@@ -124,4 +124,21 @@ class SimilarityTextSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("n_bytes") === 19L)
     assert(r0.getAs[String]("format") === "fake/raw")
   }
+
+  test("multimodal: resize + frame-sample plumbing explodes frames with declared schema") {
+    val media = Multimodal.transformMedia(
+      spark,
+      Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")),
+      w = 64, h = 64, everyK = 2
+    )
+    assert(media.schema.fieldNames.toSeq === Seq("doc_id", "frame_idx", "frame_bytes", "resized_bytes"))
+    val byDoc = media.collect().groupBy(_.getLong(0))
+    // doc 0: 19 bytes → 2 blocks of 16 → every 2nd → 1 frame
+    assert(byDoc(0L).length === 1)
+    assert(byDoc(0L).head.getAs[Long]("frame_bytes") === 16L)
+    // deterministic: rerun produces identical rows
+    val again = Multimodal.transformMedia(
+      spark, Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")), 64, 64, 2)
+    assert(again.collect().map(_.toString).sorted.toSeq === media.collect().map(_.toString).sorted.toSeq)
+  }
 }
