@@ -146,6 +146,21 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    "q35_range_join" -> ((s, d) => {
+      // composite equi+range join: equi key keeps it a hash/sort-merge join
+      // with the range as a post-join predicate (never a cross product)
+      val o = table(s, d, "orders")
+      val l = table(s, d, "lineitem")
+      o.join(
+        l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < date_add(col("o_orderdate").cast("date"), 120)
+      )
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_fast_ships"), round(sum("l_extendedprice"), 2).as("value"))
+        .orderBy("o_orderstatus")
+    }),
     "q32_pivot" -> ((s, d) => {
       table(s, d, "orders")
         .groupBy("o_orderpriority")
@@ -236,6 +251,14 @@ object Advanced {
       """SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sampled_total
         |FROM orders
         |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 5""".stripMargin,
+    "q35_range_join" ->
+      """SELECT o_orderstatus, count(*) AS n_fast_ships,
+        |  round(sum(l_extendedprice), 2) AS value
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate::DATE + INTERVAL 120 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q32_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",
