@@ -59,6 +59,50 @@ object Dedup {
       )
       .distinct()
 
+  /** distinct char-4-gram shingles of whitespace-normalized text */
+  private def charShingles(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      .where(length(col("t")) >= 4)
+      .select(col("doc_id"), explode(expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")).as("sh"))
+      .distinct()
+
+  /** 16-component MinHash signature per doc over a (doc_id, sh) table */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val h = sh.withColumn("h", pmod(baseHash(col("sh")), lit(2147483647L)))
+    val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(M))).as(s"m$i")
+    }
+    h.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** candidate pairs = docs agreeing on at least one band of `rows`
+    * consecutive signature components (default 8 bands × 2 rows).
+    *
+    * Band sizing is the precision/recall dial: 2-row bands catch low
+    * thresholds but admit ~all pairs when the corpus' baseline similarity
+    * is high (char-grams); 8-row bands keep candidates ~j_base^8 AND are
+    * pigeonhole-exact for agreement ≥ 15/16 (one mismatching component can
+    * break only one of the two bands). */
+  private def bandCandidates(sig: DataFrame, rows: Int = 2): DataFrame = {
+    val nBands = K / rows
+    val bandStruct = (0 until nBands).map { j =>
+      struct(
+        lit(j).as("band") +:
+          (0 until rows).map(r => col(s"m${j * rows + r}").as(s"k$r")): _*
+      )
+    }
+    val keyCols = (0 until rows).map(r => s"k$r")
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStruct: _*)).as("bk"))
+      .select(col("doc_id") +: ("band" +: keyCols).map(c => col(s"bk.$c").as(c)): _*)
+    val joinCond = (("band" +: keyCols).map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a.doc_id") < col("b.doc_id"))).reduce(_ && _)
+    bands.as("a").join(bands.as("b"), joinCond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: one hash-aggregate pass ------------------------------
     "x01_dedup_exact" -> ((s, d) => {
@@ -95,27 +139,27 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ---- char-4-gram Jaccard ----------------------------------------------
-    // character shingles on whitespace-normalized text — robust to
-    // tokenization differences; same inverted-index join shape as the word
-    // variant (threshold 0.9: char-gram sets from a shared vocabulary
-    // overlap heavily, so near-dup needs a tight bound)
+    // ---- char-4-gram near-dup via MinHash signatures -----------------------
+    // Character shingles come from a tiny alphabet, so common 4-grams occur
+    // in nearly every document: a raw inverted-index self-join is quadratic
+    // in |docs| per hot shingle (measured: minutes at 5000 docs), and even
+    // an exact-verify pass over LSH candidates pays |cand|·|shingles| when
+    // the baseline similarity is high. The corpus-scale design: compare
+    // SIGNATURES only — near-dup ⇔ ≥15/16 minhash components agree
+    // (est. jaccard ≥ 0.9375 ≥ threshold). Integer-deterministic, same
+    // pipeline in the DuckDB oracle.
     "x14_dedup_chargram" -> ((s, d) => {
-      val sh = table(s, d, "documents")
-        .select(col("doc_id"), regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
-        .where(length(col("t")) >= 4)
-        .select(col("doc_id"), explode(expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")).as("sh"))
-        .distinct()
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
-        .where(col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b", "jaccard")
+      val sig = minhashSigs(charShingles(s, d))
+      val cand = bandCandidates(sig, rows = 8)
+      val agree = (0 until K)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .withColumn("est_jaccard", agree / lit(K.toDouble))
+        .where(col("est_jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -123,25 +167,8 @@ object Dedup {
     // 16-component signature, 8 bands × 2 rows; candidate pairs = docs
     // sharing ≥1 band bucket; output the signature-agreement estimate.
     "x03_dedup_minhash" -> ((s, d) => {
-      val h = shingles(s, d).withColumn("h", pmod(baseHash(col("sh")), lit(2147483647L)))
-      val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(lit(a) * col("h") + lit(b), lit(M))).as(s"m$i")
-      }
-      val sig = h.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandStruct = (0 until K / 2).map { j =>
-        struct(lit(j).as("band"), col(s"m${2 * j}").as("k1"), col(s"m${2 * j + 1}").as("k2"))
-      }
-      val bands = sig.select(col("doc_id"), explode(array(bandStruct: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"))
-      val cand = bands
-        .as("a")
-        .join(
-          bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-            col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id")
-        )
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val sig = minhashSigs(shingles(s, d))
+      val cand = bandCandidates(sig)
       val agree = (0 until K)
         .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
         .reduce(_ + _)
@@ -228,6 +255,17 @@ object Dedup {
        |sig AS (SELECT doc_id, $mins FROM hashes GROUP BY doc_id)""".stripMargin
   }
 
+  private def bandUnionSql(rows: Int): String =
+    (0 until K / rows).map { j =>
+      val keys = (0 until rows).map(r => s"m${j * rows + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $j AS band, $keys FROM sig"
+    }.mkString(" UNION ALL ")
+
+  private def candSql(rows: Int): String = {
+    val conds = ("a.band = b.band" +: (0 until rows).map(r => s"a.k$r = b.k$r")).mkString(" AND ")
+    s"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON $conds AND a.doc_id < b.doc_id"
+  }
+
   def oracles: Map[String, String] = Map(
     "x01_dedup_exact" ->
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
@@ -244,20 +282,21 @@ object Dedup {
          |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
          |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "x14_dedup_chargram" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, substr(t, i, 4) AS sh
-        |  FROM t, unnest(generate_series(1, length(t) - 3)) u(i) WHERE length(t) >= 4),
-        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_common / (ca.n + cb.n - n_common) AS jaccard
-        |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
-        |WHERE n_common / (ca.n + cb.n - n_common) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x14_dedup_chargram" -> {
+      val agree = (0 until K).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, substr(t, i, 4) AS sh
+         |  FROM t, unnest(generate_series(1, length(t) - 3)) u(i) WHERE length(t) >= 4),
+         |$minhashSigSql,
+         |bands AS (${bandUnionSql(8)}),
+         |cand AS (${candSql(8)})
+         |SELECT doc_a, doc_b, cast($agree AS BIGINT) / ${K}.0 AS est_jaccard
+         |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE cast($agree AS BIGINT) / ${K}.0 >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "x03_dedup_minhash" -> {
       val bandSelect = (0 until K / 2)
         .map(j => s"SELECT doc_id, $j AS band, m${2 * j} AS k1, m${2 * j + 1} AS k2 FROM sig")

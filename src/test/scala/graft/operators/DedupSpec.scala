@@ -50,6 +50,16 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.getOrElse((0L, 1L), 0.0) > 0.5)
   }
 
+  test("chargram signature dedup finds the exact dup with est 1.0") {
+    val pairs = Dedup
+      .queries("x14_dedup_chargram")(spark, dir)
+      .collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("est_jaccard")))
+      .toMap
+    assert(pairs((0L, 2L)) === 1.0)
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: exact dup at hamming 0") {
     val pairs = Dedup
       .queries("x04_dedup_simhash")(spark, dir)
