@@ -223,18 +223,19 @@ object Dedup {
     * second shuffle). Results are arithmetically identical.
     */
   private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val freq = tokens(s, d)
+    // ±1 votes per token INSTANCE sum to the same integers as
+    // frequency-weighted votes per distinct token — so no (doc, tok, freq)
+    // pre-aggregation: explode → hash → ONE shuffle of 62 partial sums.
+    val hashed = tokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("f"))
       .withColumn("h1", pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), lit(2147483648L)))
       .withColumn("h2", pmod(conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long"), lit(2147483648L)))
     def vote(h: String, b: Int) =
-      sum(when(shiftright(col(h), b).bitwiseAND(lit(1L)) === 1L, col("f")).otherwise(-col("f"))).as(s"v_${h}_$b")
+      sum(when(shiftright(col(h), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_${h}_$b")
     val voteCols = (0 to 30).flatMap(b => Seq(vote("h1", b), vote("h2", b)))
     def pack(h: String) =
       (0 to 30).map(b => when(col(s"v_${h}_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    freq
+    hashed
       .groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), pack("h1").as("lo"), pack("h2").as("hi"))
