@@ -73,7 +73,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[ok] {name}: rows={len(spark_df)}")
     missing = sorted(set(oracle) - set(names))
     if missing:
-        print(f"[warn] oracle entries with no result dir: {missing}")
+        # a query that crashed in Verify writes no result dir — that IS a failure
+        print(f"[FAIL] oracle entries with no result dir (query crashed?): {missing}")
+        failures += len(missing)
     print(f"\n{len(names)} queries, {failures} failures")
     return 1 if failures else 0
 

@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * pass correctness at sf0.01 still behave at 100× that scale — no OOM, no
   * quadratic blowup, runtimes scaling ~linearly with input.
   *
-  * Usage: runMain graft.ScaleProbe [N] [workDir]
+  * Usage: runMain graft.ScaleProbe [N] [workDir] [--skip-gen]
+  * (--skip-gen reuses an existing workDir; flags may appear anywhere)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(16)
-    val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val n = positional.headOption.map(_.toInt).getOrElse(16)
+    val work = if (positional.length > 1) positional(1) else "/tmp/graft_scaleprobe"
     val src = "/root/testdata/sf0.1"
     val spark = Graft.session("graft-scaleprobe")
-    val skipGen = new java.io.File(s"$work/orders.parquet").exists() && args.contains("--skip-gen")
+    val skipGen = new java.io.File(s"$work/orders.parquet").exists() && flags.contains("--skip-gen")
 
     val copies = spark.range(n).toDF("rep")
     if (!skipGen) {

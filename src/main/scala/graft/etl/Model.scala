@@ -13,8 +13,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Model {
 
-  final case class Star(fact: DataFrame, decoded: DataFrame)
-
   /** Decode-join the cleaned fact against all five SAS-label dims. */
   def build(spark: SparkSession, fact: DataFrame, dims: SasLabels.Dims): DataFrame = {
     def dim(df: DataFrame, prefix: String) =

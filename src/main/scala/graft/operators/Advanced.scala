@@ -18,9 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Advanced {
 
-  /** base hash → [0,100) bucket, identical in both engines (cf. Dedup). */
+  /** base hash → [0,100) bucket, identical in both engines (see Hashing). */
   private def hashBucket(c: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+    graft.functions.Hashing.md5Bucket(c.cast("string"), 100L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cube" -> ((s, d) => {

@@ -31,8 +31,7 @@ object Dedup {
 
   /** base hash: first 15 md5 hex digits as int64 (identical in DuckDB via
     * ('0x' || substr(md5(x),1,15))::BIGINT). */
-  private def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def baseHash(c: Column): Column = graft.functions.Hashing.md5Window15(c)
 
   /** lowercased whitespace tokens of a document */
   private def tokens(s: SparkSession, d: String): DataFrame =
@@ -228,8 +227,8 @@ object Dedup {
     // pre-aggregation: explode → hash → ONE shuffle of 62 partial sums.
     val hashed = tokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("tok"))
-      .withColumn("h1", pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), lit(2147483648L)))
-      .withColumn("h2", pmod(conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long"), lit(2147483648L)))
+      .withColumn("h1", pmod(graft.functions.Hashing.md5Window15(col("tok")), lit(2147483648L)))
+      .withColumn("h2", pmod(graft.functions.Hashing.md5Window15(col("tok"), 17), lit(2147483648L)))
     def vote(h: String, b: Int) =
       sum(when(shiftright(col(h), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_${h}_$b")
     val voteCols = (0 to 30).flatMap(b => Seq(vote("h1", b), vote("h2", b)))

@@ -45,7 +45,7 @@ object Multimodal {
 
   /** Per-partition decode: the distributed plumbing a real codec plugs into.
     * One iterator pass, no materialization of the whole partition. */
-  def decodeAll(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+  def decodeAll(withPayloads: DataFrame): DataFrame = {
     val schema = StructType(
       Seq(StructField("doc_id", LongType), StructField("n_bytes", LongType)) ++ mediaMetaSchema.fields
     )
@@ -84,7 +84,7 @@ object Multimodal {
   /** Distributed resize + frame-sample over the payload column: one
     * mapPartitions pass, one output row per sampled frame (explode shape),
     * schema declared up front. */
-  def transformMedia(spark: SparkSession, withPayloads: DataFrame, w: Int = 64, h: Int = 64, everyK: Int = 4): DataFrame = {
+  def transformMedia(withPayloads: DataFrame, w: Int = 64, h: Int = 64, everyK: Int = 4): DataFrame = {
     val schema = StructType(
       Seq(
         StructField("doc_id", LongType),

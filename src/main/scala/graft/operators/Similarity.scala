@@ -74,8 +74,7 @@ object Similarity {
         .crossJoin(s_.range(dims.toLong).toDF("i"))
         .withColumn(
           "wgt",
-          (pmod(conv(substring(md5(concat_ws(":", col("p"), col("i"))), 1, 15), 16, 10).cast("long"), lit(2L)) * 2L - 1L)
-            .cast("double")
+          (graft.functions.Hashing.md5Bucket(concat_ws(":", col("p"), col("i")), 2L) * 2L - 1L).cast("double")
         )
       val comps = emb
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))

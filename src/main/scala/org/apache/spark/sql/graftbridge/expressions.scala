@@ -41,9 +41,15 @@ case class CosineSimF32Expr(left: Expression, right: Expression)
 }
 
 object CosineSimF32Expr {
-  /** Shared by interpreted eval and generated code — one tight loop. */
+  /** Shared by interpreted eval and generated code — one tight loop.
+    * Mismatched lengths raise (as DuckDB's list_cosine_similarity does) —
+    * silently truncating would mask ragged upstream data. */
   def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_f32: array length mismatch (${x.numElements()} vs ${y.numElements()})"
+      )
+    val n = x.numElements()
     var dot = 0f; var na = 0f; var nb = 0f
     var i = 0
     while (i < n) {

@@ -116,7 +116,7 @@ class SimilarityTextSpec extends AnyFunSuite {
   }
 
   test("multimodal: payload plumbing and stubbed decode schema") {
-    val decoded = Multimodal.decodeAll(spark, Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")))
+    val decoded = Multimodal.decodeAll(Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")))
     val rows = decoded.collect()
     assert(rows.length === 3)
     assert(decoded.schema.fieldNames.toSeq === Seq("doc_id", "n_bytes", "format", "width", "height", "n_frames"))
@@ -127,7 +127,6 @@ class SimilarityTextSpec extends AnyFunSuite {
 
   test("multimodal: resize + frame-sample plumbing explodes frames with declared schema") {
     val media = Multimodal.transformMedia(
-      spark,
       Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")),
       w = 64, h = 64, everyK = 2
     )
@@ -138,7 +137,7 @@ class SimilarityTextSpec extends AnyFunSuite {
     assert(byDoc(0L).head.getAs[Long]("frame_bytes") === 16L)
     // deterministic: rerun produces identical rows
     val again = Multimodal.transformMedia(
-      spark, Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")), 64, 64, 2)
+      Multimodal.withPayload(graft.Graft.table(spark, dir, "documents")), 64, 64, 2)
     assert(again.collect().map(_.toString).sorted.toSeq === media.collect().map(_.toString).sorted.toSeq)
   }
 }
