@@ -31,6 +31,18 @@ object Ingest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV sink (header on) — the reverse of S1 for interchange exports. */
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").option("sep", sep).csv(path)
+
+  /** JSON-lines source/sink — beyond the reference's surface but standard
+    * for document pipelines; schema explicit on read, like every source. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** S4: Parquet sink, overwrite mode (reference `dags/transform/airport.py:6-7`).
     * `partitionBy` defaults to the fact table's natural (year, month) — at
     * 100 TB a partitioned layout is what makes downstream month-range

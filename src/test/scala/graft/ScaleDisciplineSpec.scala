@@ -52,6 +52,17 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("csv and json-lines sinks round-trip with explicit schemas") {
+    val dir = TestSpark.tempDir()
+    val orig = Graft.table(spark, sf, "nation")
+    graft.etl.Ingest.writeCsv(orig, s"$dir/nation_csv", sep = ";")
+    val csvBack = graft.etl.Ingest.csv(spark, s"$dir/nation_csv", orig.schema, sep = ";")
+    assert(csvBack.orderBy("n_nationkey").collect().toSeq === orig.orderBy("n_nationkey").collect().toSeq)
+    graft.etl.Ingest.writeJsonLines(orig, s"$dir/nation_json")
+    val jsonBack = graft.etl.Ingest.jsonLines(spark, s"$dir/nation_json", orig.schema)
+    assert(jsonBack.orderBy("n_nationkey").collect().toSeq === orig.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("typed Dataset boundary: case-class encoder round trip") {
     import ScaleDisciplineSpec.Item
     val ds = Graft
