@@ -183,6 +183,34 @@ object Advanced {
         .orderBy("word")
     }),
 
+    "q36_sessionize" -> ((s, d) => {
+      // gap-based sessionization in batch: a new session starts when the
+      // gap to the previous event of the same user exceeds 30 min; session
+      // id = running count of session starts (the streaming face is
+      // EventStreams.sessionize via mapGroupsWithState)
+      val ev = graft.Graft.events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "us", "value")
+      val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sessions = ev
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L)
+        )
+        .withColumn("session_no", sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          round(sum("session_value"), 2).as("total_value")
+        )
+        .orderBy("user_id")
+    }),
+
     // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
     // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
     "etl_i94_top_ports" -> ((s, _) => {
@@ -251,6 +279,25 @@ object Advanced {
       """SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sampled_total
         |FROM orders
         |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 5""".stripMargin,
+    "q36_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, us, value,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL
+        |           OR us - lag(us, 1) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_no, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |  FROM sess GROUP BY user_id, session_no)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |  round(sum(session_value), 2) AS total_value
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q35_range_join" ->
       """SELECT o_orderstatus, count(*) AS n_fast_ships,
         |  round(sum(l_extendedprice), 2) AS value

@@ -117,6 +117,17 @@ object Dedup {
         )
     }),
 
+    // ---- dedup resolution: the surviving document set ----------------------
+    // detection (x01-x14) finds duplicates; resolution keeps one canonical
+    // row per group — min doc_id per exact-text hash, one shuffle
+    "x15_dedup_keep_first" -> ((s, d) => {
+      table(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+        .select("doc_id", "group_size")
+        .orderBy("doc_id")
+    }),
+
     // ---- n-gram Jaccard near-dup pairs ------------------------------------
     // inverted-index self-join on the shingle key; |A∩B| by count, Jaccard by
     // inclusion–exclusion. Integer counts → the double division is identical
@@ -270,6 +281,9 @@ object Dedup {
     "x01_dedup_exact" ->
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
         |  count(*) - count(DISTINCT md5(text)) AS dup_docs FROM documents""".stripMargin,
+    "x15_dedup_keep_first" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS group_size
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "x02_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
