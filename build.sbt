@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g thrashes GC when one JVM executes the whole 50+-query suite twice
+  // (Bench warm+timed): near-full heap → multi-minute single-thread GC
+  // stalls with 92% idle CPU. The box has 128 GiB; default high.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
