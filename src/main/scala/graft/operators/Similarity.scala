@@ -8,18 +8,33 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 /** Embedding similarity search [EXT] (SURVEY.md §7.1 ext/Similarity) over
   * `embeddings.embedding: array<float>`.
   *
-  * x05 is the exact brute-force cosine top-k baseline. Its float arithmetic
-  * deliberately mirrors DuckDB's `list_cosine_similarity` (float32 products
-  * + float32 accumulation + float32 sqrt/divide) so the oracle hash-matches
-  * bit-for-bit: float32 sqrt and divide are emulated through double ops +
-  * a cast back to float, which is exact by the 2p+2 double-rounding theorem.
+  * x05 is the exact brute-force cosine top-k baseline (broadcast the tiny
+  * query side, scan the corpus once). x06 is approximate top-k via
+  * random-hyperplane LSH; x13 is IVF-style list probing. x12 is the
+  * embedding near-dup operator: LSH-banded candidate generation + exact
+  * in-bucket verification. x16 is the exact all-pairs twin of x12,
+  * restructured as a block-distributed triangle join so even the exact
+  * baseline never degenerates into a driver-melting nested-loop broadcast.
   *
-  * x06 is the scale path: random-hyperplane LSH. Signatures are computed in
-  * one pass (posexplode → broadcast-join the 16×64 hyperplane table →
-  * re-aggregate), candidates meet only inside bucket partitions, and the
-  * exact re-rank runs per-bucket — the all-pairs product never happens. At
-  * 100 TB the bucket join shuffles on the 16-bit key; skewed buckets are
-  * AQE-split. Hyperplanes are seeded deterministically from md5, no RNG.
+  * Cross-engine float discipline: similarity scores cross the oracle gate as
+  * `cos_e6 = round(cos * 1e6)::bigint`. The raw float32 cosine (native
+  * codegen'd CosineSimF32, bit-equal to DuckDB's `list_cosine_similarity`)
+  * still drives ordering and thresholds; only the *emitted* column is
+  * integer, so the driver's hash compare never depends on float64 bit
+  * representation surviving two engines and a parquet round-trip.
+  *
+  * LSH determinism: hyperplane weights are ±1 seeded from md5, and
+  * projections quantize components to a 2^20 integer grid first — signature
+  * arithmetic is pure int64, so band buckets are bit-reproducible in any
+  * engine regardless of float summation order. The x12 oracle recomputes
+  * the identical pipeline in DuckDB SQL.
+  *
+  * Recall honesty: at x12's τ=0.4 (θ≈66°, per-plane agreement p≈0.63) NO
+  * sub-quadratic method can guarantee recall 1 — banding trades recall for
+  * pruning (measured in SimilarityTextSpec; production near-dup thresholds
+  * τ≥0.9 put banding in its effective regime). The gate therefore checks
+  * x12 against the same candidate generation (implementation correctness),
+  * while x16 pins the exact all-pairs ground truth.
   */
 object Similarity {
 
@@ -32,7 +47,7 @@ object Similarity {
 
   /** float32 cosine from built-in higher-order functions — semantically
     * identical to the native expression; kept as the reference formulation
-    * (the equivalence is asserted in SimilaritySpec). */
+    * (the equivalence is asserted in SimilarityTextSpec). */
   private[graft] def cosineDeclarative(a: Column, b: Column): Column = {
     val denom = sqrtF(dotF(a, a)) * sqrtF(dotF(b, b)) // float32 multiply
     (dotF(a, b).cast("double") / denom.cast("double")).cast("float").cast("double")
@@ -48,49 +63,74 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** gate-safe integer similarity: micro-units, round-half-away in both
+    * engines (DuckDB: `CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT)`). */
+  private def cosE6(c: Column): Column = round(c * lit(1000000)).cast("long")
+
+  // ---- deterministic hyperplane LSH machinery ------------------------------
+
+  /** component quantization grid: v → round(v * 2^20) as int64 */
+  private val Quant = 1L << 20
+  private val NPlanes = 32
+  private val BandRows = 4 // 8 OR-ed hash tables of 4 planes each
+  /** planes are generated for dims up to this cap; the position join drops
+    * unused rows, so no driver-side action is needed to discover the
+    * embedding dimensionality. */
+  private val MaxDims = 256
+
+  /** 32 deterministic ±1 hyperplanes: wgt(p,i) = md5("p:i") mod 2 → {-1,1}.
+    * Built as driver-local metadata (NPlanes×MaxDims tiny rows, same
+    * md5-window convention as [[graft.functions.Hashing.md5Window15]] and
+    * the DuckDB oracle) — constructing it from range().crossJoin(range())
+    * would plant a (harmless but assert-tripping) BroadcastNestedLoopJoin
+    * in every LSH plan. */
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def planes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for { p <- 0L until NPlanes; i <- 0L until MaxDims }
+      yield (p, i, (java.lang.Long.parseLong(md5Hex(s"$p:$i").take(15), 16) % 2) * 2 - 1)
+    rows.toDF("p", "i", "wgt")
+  }
+
+  /** (vec_id, band, bucket) signature rows. Projections are integer-exact:
+    * quantized components × ±1 weights summed as int64 — order-free, hence
+    * bit-reproducible in the DuckDB oracle. One shuffle on vec_id. */
+  private[graft] def bandSigs(s: SparkSession, emb: DataFrame): DataFrame = {
+    val comps = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("vq", round(col("v").cast("double") * Quant).cast("long"))
+      .join(broadcast(planes(s)), "i")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("vq") * col("wgt")).as("proj"))
+    comps
+      .groupBy(col("vec_id"), (col("p") / BandRows).cast("int").as("band"))
+      .agg(sum(when(col("proj") > 0, expr(s"shiftleft(1L, cast(p % $BandRows as int))")).otherwise(0L)).as("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 neighbors for the first 10 vectors (brute force baseline)
     "x05_sim_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val q = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       c.join(broadcast(q), col("nid") =!= col("qid"))
         .withColumn("cos", cosineF(col("qe"), col("ne")))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 5)
-        .select("qid", "rk", "nid", "cos")
+        .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"))
         .orderBy("qid", "rk")
     }),
 
     // LSH-bucketed approximate top-k (scale path; rows-only check)
     "x06_sim_ann_lsh" -> ((s, d) => {
-      val s_ = s
       val emb = table(s, d, "embeddings")
-      val dims = emb.select(size(col("embedding")).as("nd")).head().getInt(0)
-      // 16 deterministic hyperplanes: w(p,i) = ±1 from md5(p:i)
-      val planes = s_.range(16).toDF("p")
-        .crossJoin(s_.range(dims.toLong).toDF("i"))
-        .withColumn(
-          "wgt",
-          (graft.functions.Hashing.md5Bucket(concat_ws(":", col("p"), col("i")), 2L) * 2L - 1L).cast("double")
-        )
-      val comps = emb
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .join(broadcast(planes), "i")
-        .groupBy("vec_id", "p")
-        .agg(sum(col("v").cast("double") * col("wgt")).as("proj"))
-      // 4 OR-ed hash tables of 4 planes each: a pair is a candidate when it
-      // collides in ANY band → recall without 2^16-sparse buckets
-      val sig = comps
-        .groupBy(col("vec_id"), (col("p") / 4).cast("int").as("band"))
-        .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(p % 4 as int))")).otherwise(0L)).as("bucket"))
+      val sig = bandSigs(s, emb)
       val withSig = emb.join(sig, "vec_id")
       val q = withSig.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("band"), col("bucket"))
       val cand = withSig.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("band"), col("bucket"))
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       cand
         .join(broadcast(q), Seq("band", "bucket"))
@@ -99,61 +139,182 @@ object Similarity {
         .withColumn("cos", cosineF(col("qe"), col("ne")))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 5)
-        .select("qid", "rk", "nid", "cos")
+        .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"))
         .orderBy("qid", "rk")
     }),
 
-    // IVF-style ANN: inverted lists keyed by `label` (stand-in for a k-means
-    // coarse quantizer at this fixture scale), centroids = per-list mean
-    // vector. A query probes its 2 nearest centroids and searches only those
-    // lists — the candidate set shrinks by ~nlists/nprobe, and at 100 TB the
-    // list search is a shuffle on the list id instead of a cross join.
-    "x13_sim_ivf" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      val centroids = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("label", "i")
-        .agg(avg(col("v").cast("double")).as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))), x => x.getField("c")).as("cvec"))
-      val q = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qe_d"), col("embedding").as("qe"))
-      val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))
-      val probes = q
-        .crossJoin(broadcast(centroids))
-        .withColumn("ccos", cosineD(col("qe_d"), col("cvec")))
-        .withColumn("crk", row_number().over(wc))
-        .where(col("crk") <= 2)
-        .select("qid", "qe", "label")
-      val wn = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      probes
-        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label")), Seq("label"))
-        .where(col("nid") =!= col("qid"))
-        .withColumn("cos", cosineF(col("qe"), col("ne")))
-        .withColumn("rk", row_number().over(wn).cast("long"))
-        .where(col("rk") <= 5)
-        .select("qid", "rk", "nid", "cos")
-        .orderBy("qid", "rk")
-    }),
+    // IVF ANN: a real k-means coarse quantizer (distributed Lloyd
+    // iterations, deterministic seeds), inverted lists = cluster
+    // assignments, queries probe their nprobe nearest centroids and search
+    // only those lists. At 100 TB the index build (centroids + assignments)
+    // is computed once and persisted; the list search is a shuffle on the
+    // list id, candidate work shrinks by ~nprobe/nlist. nlist=8/nprobe=4
+    // here because the fixture embeddings are isotropic (worst case for
+    // IVF — no cluster structure to exploit); clustered corpora support
+    // much sharper nlist≫nprobe settings.
+    "x13_sim_ivf" -> ((s, d) => ivfTopK(s, table(s, d, "embeddings"), k = 5, nQueries = 10, nlist = 8, nprobe = 4)),
 
-    // embedding-cosine near-dup pairs (the dedup face of similarity): at
-    // scale the same banded-LSH candidate generation applies; the threshold
-    // filter is what makes it a dedup operator
-    "x12_dedup_embedding" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", cosineF(col("ea"), col("eb")))
-        .where(col("cos") >= 0.4)
-        .select("id_a", "id_b", "cos")
-        .orderBy("id_a", "id_b")
-    })
+    // embedding-cosine near-dup pairs, scale path: LSH-banded candidate
+    // generation (shuffle on the band bucket, never all-pairs), exact
+    // float32 cosine verification inside buckets only. The oracle recomputes
+    // the identical deterministic pipeline in DuckDB, so the gate checks
+    // implementation correctness end-to-end; recall vs. the exact ground
+    // truth (x16) is measured and asserted in SimilarityTextSpec.
+    "x12_dedup_embedding" -> ((s, d) => nearDupLsh(s, table(s, d, "embeddings"), tau = 0.4)),
+
+    // exact all-pairs near-dup twin of x12 (ground truth / calibration).
+    "x16_dedup_embedding_exact" -> ((s, d) => nearDupExact(s, table(s, d, "embeddings"), tau = 0.4))
   )
+
+  // ---- IVF machinery -------------------------------------------------------
+
+  /** Nearest-centroid assignment: broadcast the tiny centroid table against
+    * the corpus (the standard k-means map side — never a shuffle of the
+    * corpus). Returns (vec_id, cid). */
+  private def assignLists(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("ed"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosineD(col("ed"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** Distributed Lloyd k-means over cosine similarity: deterministic seeds
+    * (vec_id < nlist), each iteration = one broadcast assignment pass + one
+    * shuffle to re-average components. Iteration count is fixed (a build-time
+    * budget, the IVF-index norm) rather than convergence-tested. */
+  private[graft] def kmeansCentroids(s: SparkSession, emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var centroids = emb
+      .where(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      centroids = assignLists(emb, centroids)
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))), x => x.getField("c")).as("cvec"))
+    }
+    centroids
+  }
+
+  /** IVF top-k search: build (or at scale, load) the coarse quantizer,
+    * probe the nprobe nearest lists per query, exact-rank inside them. */
+  private[graft] def ivfTopK(
+      s: SparkSession,
+      emb: DataFrame,
+      k: Int,
+      nQueries: Int,
+      nlist: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val centroids = kmeansCentroids(s, emb, nlist, iters = 3)
+    val lists = assignLists(emb, centroids)
+    val q = emb
+      .where(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("qe"),
+        transform(col("embedding"), x => x.cast("double")).as("qd")
+      )
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probes = q
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosineD(col("qd"), col("cvec")))
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= nprobe)
+      .select("qid", "qe", "cid")
+    val corpus = lists
+      .join(emb.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
+      .select(col("vec_id").as("nid"), col("ne"), col("cid"))
+    val wn = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probes
+      .join(corpus, Seq("cid"))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("cos", cosineF(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(wn).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"))
+      .orderBy("qid", "rk")
+  }
+
+  /** LSH-banded near-dup: band-collision candidates → exact cos ≥ tau.
+    * Every join is equi-key (band bucket, then id); no all-pairs step. */
+  private[graft] def nearDupLsh(s: SparkSession, emb: DataFrame, tau: Double): DataFrame = {
+    val sig = bandSigs(s, emb)
+    val cand = sig.as("a")
+      .join(
+        sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id")
+      )
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("cos", cosineF(col("ea"), col("eb")))
+      .where(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), cosE6(col("cos")).as("cos_e6"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact all-pairs near-dup, distributed as a triangle block join: ids
+    * hash into B blocks, the B(B+1)/2 block pairs are the shuffle keys, each
+    * task compares one (n/B)² tile — O(n²) total work (inherent to
+    * exactness) but spread evenly across the cluster with bounded per-task
+    * memory, instead of a BroadcastNestedLoopJoin that ships one whole side
+    * everywhere. The block-pair relation is driver-local metadata (B² tiny
+    * rows), broadcast onto both sides; the tile join itself is equi-key on
+    * (bi, bj). */
+  private[graft] def nearDupExact(s: SparkSession, emb0: DataFrame, tau: Double, blocks: Int = 16): DataFrame = {
+    import s.implicits._
+    val emb = emb0.withColumn("blk", pmod(col("vec_id"), lit(blocks)))
+    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i.toLong, j.toLong)).toDF("bi", "bj")
+    val l = emb
+      .select(col("vec_id").as("id_l"), col("embedding").as("el"), col("blk").as("blk_l"))
+      .join(broadcast(bp), col("blk_l") === col("bi"))
+    val r = emb
+      .select(col("vec_id").as("id_r"), col("embedding").as("er"), col("blk").as("blk_r"))
+      .join(broadcast(bp), col("blk_r") === col("bj"))
+    l.join(r, Seq("bi", "bj"))
+      .where(col("blk_l") < col("blk_r") || (col("blk_l") === col("blk_r") && col("id_l") < col("id_r")))
+      .withColumn("cos", cosineF(col("el"), col("er")))
+      .where(col("cos") >= tau)
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        cosE6(col("cos")).as("cos_e6")
+      )
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- oracles -------------------------------------------------------------
+
+  /** DuckDB mirror of [[bandSigs]]: same md5-seeded ±1 planes, same 2^20
+    * quantization, same int64 sums — bit-identical band buckets. */
+  private val bandSigSql: String =
+    s"""planes AS (
+       |  SELECT p, i,
+       |    (('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1 AS wgt
+       |  FROM (SELECT unnest(range($NPlanes)) AS p), (SELECT unnest(range($MaxDims)) AS i)),
+       |comps AS (
+       |  SELECT vec_id, p,
+       |    sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * $Quant) AS BIGINT) * wgt) AS proj
+       |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i FROM embeddings) e
+       |  JOIN planes USING (i) GROUP BY vec_id, p),
+       |sig AS (
+       |  SELECT vec_id, CAST(p // $BandRows AS INT) AS band,
+       |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p % $BandRows AS INT)) ELSE 0 END) AS bucket
+       |  FROM comps GROUP BY vec_id, p // $BandRows)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x05_sim_cosine_topk" ->
-      """SELECT qid, rk, nid, cos FROM (
+      """SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6 FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
         |    list_cosine_similarity(a.embedding, b.embedding) AS cos,
         |    row_number() OVER (PARTITION BY a.vec_id
@@ -161,10 +322,22 @@ object Similarity {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id < 10)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
-    // x06 intentionally has no oracle: LSH bucketing is engine-specific → rows-only check
+    // x06/x13 intentionally have no oracle: approximate top-k is
+    // engine-specific → rows-only check + recall floor in SimilarityTextSpec
     "x12_dedup_embedding" ->
+      s"""WITH $bandSigSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6 FROM (
+         |  SELECT id_a, id_b, list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+         |  FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+         |            JOIN embeddings eb ON id_b = eb.vec_id)
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "x16_dedup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |  CAST(round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin

@@ -32,11 +32,11 @@ class SimilarityTextSpec extends AnyFunSuite {
       .queries("x05_sim_cosine_topk")(spark, dir)
       .where("qid = 0")
       .collect()
-      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("nid"), r.getAs[Double]("cos")))
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("nid"), r.getAs[Long]("cos_e6")))
     assert(rows.map(_._2).toSeq === Seq(1L, 4L, 2L, 3L))
-    assert(rows.head._3 === 1.0)
-    assert(math.abs(rows(2)._3) < 1e-12)
-    assert(rows(3)._3 === -1.0)
+    assert(rows.head._3 === 1000000L)
+    assert(rows(2)._3 === 0L)
+    assert(rows(3)._3 === -1000000L)
   }
 
   test("LSH ANN returns plausible neighbors (parallel vectors same bucket)") {
@@ -47,6 +47,66 @@ class SimilarityTextSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("nid"))
     // identical-direction vector must collide with its twin in every band
     assert(rows.contains(1L))
+  }
+
+  test("x12/x16 near-dup: LSH sound + pruned plans + measured recall floor") {
+    val emb = graft.Graft.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Similarity.nearDupLsh(spark, emb, 0.4)
+    val exact = Similarity.nearDupExact(spark, emb, 0.4)
+    // neither face may fall back to an all-pairs physical join
+    for (df <- Seq(lsh, exact)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+      assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (l, e) = (pairs(lsh), pairs(exact))
+    assert(l.subsetOf(e)) // exact in-bucket verification → precision 1
+    val recall = l.size.toDouble / e.size
+    // τ=0.4 (per-plane agreement ≈0.63) is far below LSH's effective regime:
+    // theory predicts ~50% recall with 4 bands × 4 rows. Assert the measured
+    // floor honestly instead of pretending banding is lossless here; the
+    // planted-pair test below shows recall 1 in the τ≥0.9 regime the
+    // operator actually targets.
+    assert(recall >= 0.4, s"recall $recall of ${e.size} exact pairs")
+  }
+
+  test("planted near-dups at τ=0.9: LSH = exact, recall 1 in the effective regime") {
+    val dims = 64
+    // seeded gaussians: deterministic (Java LCG spec) and actually random —
+    // base↔base cosines stay ~N(0, 1/64), far from the 0.9 threshold
+    def base(k: Int) = {
+      val rng = new java.util.Random(k * 7919L + 17)
+      Array.fill(dims)(rng.nextGaussian().toFloat)
+    }
+    def noisy(k: Int) = {
+      val rng = new java.util.Random(k * 104729L + 31)
+      base(k).map(v => v + 0.02f * rng.nextGaussian().toFloat)
+    }
+    val rows = (0 until 30).map(k => (k.toLong, base(k), 0)) ++
+      (0 until 30).map(k => (100L + k, noisy(k), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = pairs(Similarity.nearDupLsh(spark, emb, 0.9))
+    val e = pairs(Similarity.nearDupExact(spark, emb, 0.9))
+    assert((0 until 30).forall(k => e.contains((k.toLong, 100L + k)))) // ground truth sanity
+    assert(l === e)
+  }
+
+  test("ANN recall@5 floors vs brute force: LSH ≥ 0.6, IVF ≥ 0.8") {
+    val d = "/root/testdata/sf0.001"
+    def nbrs(name: String): Set[(Long, Long)] = Similarity
+      .queries(name)(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .toSet
+    val exact = nbrs("x05_sim_cosine_topk")
+    val lshRecall = (nbrs("x06_sim_ann_lsh") & exact).size.toDouble / exact.size
+    val ivfRecall = (nbrs("x13_sim_ivf") & exact).size.toDouble / exact.size
+    assert(lshRecall >= 0.6, s"LSH recall@5 $lshRecall")
+    assert(ivfRecall >= 0.8, s"IVF recall@5 $ivfRecall")
   }
 
   test("token counting and quality score") {
