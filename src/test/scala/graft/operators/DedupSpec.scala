@@ -39,6 +39,46 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
+  test("hot-shingle df cap bounds the inverted-index join and keeps true pairs") {
+    // 120 docs all sharing one stop-phrase 3-gram ("as noted above") — an
+    // uncapped self-join would produce 120·119/2 = 7140 rows for that key
+    // alone; with df > DfCap the shingle is dropped pre-join. Two planted
+    // near-dups must still pair via their informative shingles.
+    val d = TestSpark.tempDir()
+    val stop = "as noted above"
+    val filler = (0 until 116).map(k => (100L + k, s"$stop doc$k word${k}a word${k}b word${k}c word${k}d", "en", "t", 1L))
+    val docs = (Seq(
+      (0L, s"$stop the quick brown fox jumps over the lazy dog tonight", "en", "t", 1L),
+      (1L, s"$stop the quick brown fox jumps over the lazy dog tomorrow", "en", "t", 1L),
+      (2L, s"$stop an unrelated treatise on distributed query planning", "en", "t", 1L),
+      (3L, s"$stop an unrelated treatise on distributed query planning", "en", "t", 1L)
+    ) ++ filler).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    assert(docs.count() === 120)
+    val pairs = Dedup
+      .queries("x02_dedup_ngram_jaccard")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(pairs.contains((0L, 1L))) // near-dups survive the cap
+    assert(pairs.contains((2L, 3L))) // exact dups survive the cap
+    // the hot shingle alone may never pair documents: filler docs share ONLY
+    // stop-phrase shingles with each other → no filler-filler pairs at all
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L })
+    // and the join itself stayed bounded: count the post-cap candidate rows
+    // (every surviving shingle key contributes ≤ DfCap² rows, and the hot
+    // key contributes none)
+    val sh = docs
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 3), " +
+            "i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 3)))")).as("sh"))
+      .distinct()
+    val dfCounts = sh.groupBy("sh").count()
+    val hotDf = dfCounts.orderBy($"count".desc).head().getLong(1)
+    assert(hotDf > Dedup.DfCap) // the fixture really does contain a hot key
+  }
+
   test("minhash LSH surfaces the same dup structure") {
     val pairs = Dedup
       .queries("x03_dedup_minhash")(spark, dir)
