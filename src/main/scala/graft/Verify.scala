@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Graft.session("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // materialize the SAS-label dims for the DuckDB side of the ETL oracles
+    try graft.etl.SasLabels.dump(spark, "/root/reference/I94_SAS_Labels_Descriptions.SAS")
+    catch { case e: Throwable => System.err.println(s"[verify] dims dump failed: ${e.getMessage}") }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

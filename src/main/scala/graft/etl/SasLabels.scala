@@ -54,6 +54,24 @@ object SasLabels {
       visas: DataFrame // code:int, name:string
   )
 
+  /** Where [[graft.Verify]] materializes the parsed dims as parquet so the
+    * driver's DuckDB oracle can join against them (the labels file itself is
+    * SAS source text DuckDB can't read). Fixed absolute path: the oracle SQL
+    * strings are static. */
+  val dimsDumpDir = "/root/repo/spark-warehouse/graft_dims"
+
+  /** Parse the labels file and write each dim under `outDir/<name>`. */
+  def dump(spark: SparkSession, labelsPath: String, outDir: String = dimsDumpDir): Unit = {
+    val dims = load(spark, labelsPath)
+    Seq(
+      "countries" -> dims.countries,
+      "ports" -> dims.ports,
+      "modes" -> dims.modes,
+      "states" -> dims.states,
+      "visas" -> dims.visas
+    ).foreach { case (n, df) => df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n") }
+  }
+
   def load(spark: SparkSession, path: String): Dims = {
     val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     fromSource(spark, src)

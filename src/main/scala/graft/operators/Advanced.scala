@@ -211,6 +211,36 @@ object Advanced {
         .orderBy("user_id")
     }),
 
+    // fact ↔ demographics star join (reference us-cities-demographics.csv:1,
+    // SURVEY §2.3's declared join): cleaned I94 fact aggregated to state
+    // grain, left-joined to the S2-ingested demographics dim. Oracle-checked
+    // end-to-end — CSV parse, sentinel '99' state policy, ;-delimited dim
+    // ingest and the broadcast join all sit inside the gate. The float avg
+    // crosses engines as integer centi-years (median_age_e2).
+    "etl_state_demo" -> ((s, _) => {
+      val dims = graft.etl.SasLabels.load(s, "/root/reference/I94_SAS_Labels_Descriptions.SAS")
+      val states = dims.states.select("code").collect().map(_.getString(0)).toSeq
+      val raw = graft.etl.Ingest
+        .csv(s, "/root/reference/immigration_data_sample.csv", graft.etl.Schemas.immigrationSample)
+        .drop("_row")
+      val fact = graft.etl.Clean.immigration(raw, states)
+      val demo = graft.etl.Model.stateDemographics(
+        graft.etl.Ingest.demographics(s, "/root/reference/us-cities-demographics.csv")
+      )
+      fact
+        .groupBy("state_code")
+        .agg(count(lit(1)).as("n_arrivals"))
+        .join(broadcast(demo), Seq("state_code"), "left")
+        .select(
+          col("state_code"),
+          col("n_arrivals"),
+          col("total_population"),
+          col("foreign_born"),
+          round(col("median_age") * 100).cast("long").as("median_age_e2")
+        )
+        .orderBy("state_code")
+    }),
+
     // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
     // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
     "etl_i94_top_ports" -> ((s, _) => {
@@ -229,6 +259,36 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    // ETL oracles read the same external inputs the queries do: the
+    // reference CSVs directly, and the SAS-label dims via the parquet dump
+    // Verify materializes at SasLabels.dimsDumpDir (DuckDB can't parse SAS
+    // `proc format` source, so the parsed dims ARE the interface).
+    "etl_i94_top_ports" ->
+      """SELECT port_code, port_city, port_state, n_arrivals FROM (
+        |  SELECT i.i94port AS port_code, p.city AS port_city, p.state AS port_state,
+        |    count(*) AS n_arrivals
+        |  FROM read_csv('/root/reference/immigration_data_sample.csv', header=true) i
+        |  LEFT JOIN '/root/repo/spark-warehouse/graft_dims/ports/*.parquet' p
+        |    ON i.i94port = p.code
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY n_arrivals DESC, port_code LIMIT 10""".stripMargin,
+    "etl_state_demo" ->
+      """WITH demo AS (
+        |  SELECT "State Code" AS state_code,
+        |    CAST(sum("Total Population") AS BIGINT) AS total_population,
+        |    CAST(sum("Foreign-born") AS BIGINT) AS foreign_born,
+        |    CAST(round(avg("Median Age") * 100) AS BIGINT) AS median_age_e2
+        |  FROM read_csv('/root/reference/us-cities-demographics.csv', delim=';', header=true)
+        |  GROUP BY 1),
+        |fact AS (
+        |  SELECT CASE WHEN i94addr IN
+        |      (SELECT code FROM '/root/repo/spark-warehouse/graft_dims/states/*.parquet')
+        |    THEN i94addr ELSE '99' END AS state_code
+        |  FROM read_csv('/root/reference/immigration_data_sample.csv', header=true)),
+        |agg AS (SELECT state_code, count(*) AS n_arrivals FROM fact GROUP BY 1)
+        |SELECT a.state_code, a.n_arrivals, d.total_population, d.foreign_born, d.median_age_e2
+        |FROM agg a LEFT JOIN demo d ON a.state_code = d.state_code
+        |ORDER BY a.state_code""".stripMargin,
     "q21_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(cast(yr AS VARCHAR), 'ALL') AS yr, count(*) AS n_orders
