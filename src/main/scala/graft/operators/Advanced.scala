@@ -75,15 +75,18 @@ object Advanced {
         .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
         .orderBy("r_name")
     }),
+    // exact percentiles via the two-phase spillable shape (ExactPercentile)
+    // instead of the built-in's per-group value map — identical doubles,
+    // bounded memory at any distinct-value cardinality. Two passes, but each
+    // parquet scan prunes to (flag, one value column), so total I/O matches
+    // the one-pass built-in.
     "q27_percentiles" -> ((s, d) => {
-      table(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.75)").as("p75"),
-          expr("percentile(l_extendedprice, 0.9)").as("price_p90")
-        )
+      val li = table(s, d, "lineitem")
+      val qty = ExactPercentile(li, "l_returnflag", col("l_quantity"), Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      val price = ExactPercentile(li, "l_returnflag", col("l_extendedprice"), Seq("price_p90" -> 0.9))
+      qty
+        .join(price, Seq("l_returnflag"))
+        .select("l_returnflag", "p25", "p50", "p75", "price_p90")
         .orderBy("l_returnflag")
     }),
     "q28_regex" -> ((s, d) => {

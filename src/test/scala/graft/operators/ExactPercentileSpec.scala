@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExactPercentileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-phase exact percentile == built-in percentile, bit for bit, on real data") {
+    val li = graft.Graft.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val ps = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9, "p999" -> 0.999)
+    val ours = ExactPercentile(li, "l_returnflag", col("l_extendedprice"), ps)
+      .orderBy("l_returnflag")
+      .collect()
+    val builtin = li
+      .groupBy("l_returnflag")
+      .agg(
+        ps.map { case (nm, p) => expr(s"percentile(l_extendedprice, $p)").as(nm) }.head,
+        ps.tail.map { case (nm, p) => expr(s"percentile(l_extendedprice, $p)").as(nm) }: _*
+      )
+      .orderBy("l_returnflag")
+      .collect()
+    assert(ours.length === builtin.length)
+    ours.zip(builtin).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      ps.indices.foreach { i =>
+        // exact double equality — same interpolation arithmetic
+        assert(
+          java.lang.Double.doubleToLongBits(a.getDouble(i + 1)) ===
+            java.lang.Double.doubleToLongBits(b.getDouble(i + 1)),
+          s"${a.getString(0)} ${ps(i)._1}: ours=${a.getDouble(i + 1)} builtin=${b.getDouble(i + 1)}"
+        )
+      }
+    }
+  }
+
+  test("edge cases: single row, duplicated values, integer positions") {
+    val df = Seq(
+      ("a", 5.0),
+      ("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 9.0),
+      ("c", 1.0), ("c", 2.0), ("c", 3.0)
+    ).toDF("g", "v")
+    val r = ExactPercentile(df, "g", col("v"), Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0))
+      .orderBy("g")
+      .collect()
+      .map(row => (row.getString(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
+    assert(r(0) === (("a", 5.0, 5.0, 5.0)))
+    assert(r(1) === (("b", 1.0, 1.0, 9.0))) // p50 position 1.5 inside the run of 1.0s
+    assert(r(2) === (("c", 1.0, 2.0, 3.0))) // exact integer positions
+  }
+
+  test("plan: no percentile hash-map aggregate, window sort is the heavy op") {
+    val li = graft.Graft.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = ExactPercentile(li, "l_returnflag", col("l_quantity"), Seq("p50" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), "built-in map-buffer percentile leaked into the plan")
+    assert(plan.contains("Window") || plan.contains("RunningWindowFunction"), "expected the running-count window")
+  }
+}
