@@ -214,6 +214,23 @@ object Advanced {
         .orderBy("user_id")
     }),
 
+    // S7 catalog round-trip in the gated surface: write a managed table
+    // through the session catalog (saveAsTable → warehouse-dir parquet +
+    // catalog entry), then read it back BY NAME via spark.table and query
+    // it. The catalog implementation behind the identical API surface is a
+    // deployment knob (in-memory here; enableHiveSupport + a metastore on a
+    // cluster); what the engine guarantees is the name-addressed write/read
+    // contract, which this query proves end-to-end inside the oracle gate.
+    "q37_catalog_roundtrip" -> ((s, d) => {
+      val tbl = "graft_cat_region_summary"
+      table(s, d, "nation")
+        .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"), round(avg(length(col("n_name"))), 2).as("avg_comment_len"))
+        .write.mode("overwrite").saveAsTable(tbl)
+      s.table(tbl).orderBy("r_name")
+    }),
+
     // fact ↔ demographics star join (reference us-cities-demographics.csv:1,
     // SURVEY §2.3's declared join): cleaned I94 fact aggregated to state
     // grain, left-joined to the S2-ingested demographics dim. Oracle-checked
@@ -292,6 +309,11 @@ object Advanced {
         |SELECT a.state_code, a.n_arrivals, d.total_population, d.foreign_born, d.median_age_e2
         |FROM agg a LEFT JOIN demo d ON a.state_code = d.state_code
         |ORDER BY a.state_code""".stripMargin,
+    "q37_catalog_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  round(avg(length(n_name)), 2) AS avg_comment_len
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q21_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(cast(yr AS VARCHAR), 'ALL') AS yr, count(*) AS n_orders
