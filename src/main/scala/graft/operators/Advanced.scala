@@ -223,6 +223,13 @@ object Advanced {
     // contract, which this query proves end-to-end inside the oracle gate.
     "q37_catalog_roundtrip" -> ((s, d) => {
       val tbl = "graft_cat_region_summary"
+      // drop both the catalog entry AND any orphaned warehouse directory a
+      // previous session left behind (the in-memory catalog forgets tables
+      // across sessions but their managed locations persist — CTAS then
+      // refuses the non-empty location)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       table(s, d, "nation")
         .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
