@@ -214,6 +214,24 @@ object Advanced {
         .orderBy("user_id")
     }),
 
+    // S3 SAS7BDAT binary scan inside the gate: the deterministic fixture is
+    // written once through Sas7bdatWriter (+ a parquet twin for DuckDB);
+    // this query decodes the BINARY through the distributed page-range
+    // reader. Hash match vs the twin = the decode is value-exact; pandas
+    // cross-validation lives in scripts/check_sas7bdat.py.
+    "etl_sas7bdat_scan" -> ((s, _) => {
+      graft.sources.SasFixture.ensure(s)
+      graft.sources.Sas7bdat.read(s, graft.sources.SasFixture.sasPath)
+        .groupBy("category")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("value")).as("n_value"),
+          round(sum("value"), 2).as("sum_value"),
+          count(col("comment")).as("n_comment")
+        )
+        .orderBy("category")
+    }),
+
     // S7 catalog round-trip in the gated surface: write a managed table
     // through the session catalog (saveAsTable → warehouse-dir parquet +
     // catalog entry), then read it back BY NAME via spark.table and query
@@ -316,6 +334,11 @@ object Advanced {
         |SELECT a.state_code, a.n_arrivals, d.total_population, d.foreign_born, d.median_age_e2
         |FROM agg a LEFT JOIN demo d ON a.state_code = d.state_code
         |ORDER BY a.state_code""".stripMargin,
+    "etl_sas7bdat_scan" ->
+      """SELECT category, count(*) AS n, count(value) AS n_value,
+        |  round(sum(value), 2) AS sum_value, count(comment) AS n_comment
+        |FROM '/root/repo/spark-warehouse/graft_sas/twin/*.parquet'
+        |GROUP BY category ORDER BY category""".stripMargin,
     "q37_catalog_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations,
         |  round(avg(length(n_name)), 2) AS avg_comment_len

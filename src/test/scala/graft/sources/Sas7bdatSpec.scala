@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class Sas7bdatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("writer → reader round trip preserves every value, null and type") {
+    val dir = TestSpark.tempDir()
+    val path = s"$dir/t.sas7bdat"
+    val cols = Seq(
+      Sas7bdatWriter.WCol("num", isNum = true, 8),
+      Sas7bdatWriter.WCol("txt", isNum = false, 10)
+    )
+    val rows = Seq(
+      Seq(java.lang.Double.valueOf(1.5), "alpha"),
+      Seq(null, "beta"),
+      Seq(java.lang.Double.valueOf(-2.25e10), null),
+      Seq(java.lang.Double.valueOf(0.1), "ten chars!")
+    )
+    Sas7bdatWriter.write(path, cols, rows)
+    val df = Sas7bdat.read(spark, path)
+    assert(df.schema.fieldNames.toSeq === Seq("num", "txt"))
+    assert(df.schema.fields.map(_.dataType.typeName).toSeq === Seq("double", "string"))
+    val got = df.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(
+      got === Set(
+        (Some(1.5), Some("alpha")),
+        (None, Some("beta")),
+        (Some(-2.25e10), None),
+        (Some(0.1), Some("ten chars!"))
+      )
+    )
+  }
+
+  test("multi-page file: all rows decoded across distributed page ranges") {
+    SasFixture.ensure(spark)
+    val df = Sas7bdat.read(spark, SasFixture.sasPath)
+    assert(df.count() === 3000)
+    // exact value spot checks incl. both null patterns
+    val m = df.where("id in (0, 11, 13, 2999)").collect().map(r => r.getDouble(0) -> r).toMap
+    assert(m(0.0).isNullAt(1) && m(0.0).isNullAt(3)) // i=0: value and comment null
+    assert(m(11.0).isNullAt(1) && m(11.0).getString(2) === "cat4")
+    assert(m(13.0).isNullAt(3) && !m(13.0).isNullAt(1))
+    assert(m(2999.0).getString(3).startsWith("row 2999"))
+    // parquet twin agrees row-for-row (the gate's oracle contract)
+    val twin = spark.read.parquet(SasFixture.twinPath)
+    assert(df.exceptAll(twin).count() === 0 && twin.exceptAll(df).count() === 0)
+  }
+
+  test("metadata: page-splittable layout parsed from header + meta page only") {
+    SasFixture.ensure(spark)
+    val p = new org.apache.hadoop.fs.Path(SasFixture.sasPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = Sas7bdat.parseMeta { (pos, len) =>
+      val in = fs.open(p)
+      try { val b = new Array[Byte](len); in.readFully(pos, b); b } finally in.close()
+    }
+    assert(meta.u64 && meta.rowCount === 3000 && meta.cols.size === 4)
+    assert(meta.rowLength === 8 + 8 + 8 + 24)
+    assert(meta.cols.map(_.name) === Vector("id", "value", "category", "comment"))
+    assert(meta.cols.map(_.isNum) === Vector(true, true, false, false))
+    assert(meta.pageCount > 10) // genuinely multi-page → parallel scan
+  }
+
+  test("rejects non-sas and big-endian input with clear errors") {
+    val dir = TestSpark.tempDir()
+    val bad = s"$dir/bad.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), Array.fill[Byte](512)(7))
+    val e = intercept[IllegalArgumentException](Sas7bdat.read(spark, bad))
+    assert(e.getMessage.contains("magic"))
+  }
+}
