@@ -7,11 +7,29 @@ If pandas parses our bytes and sees the twin's values, writer and reader
 conform to the real-world format rather than merely agreeing with each other.
 
 Usage: python3 scripts/check_sas7bdat.py <file.sas7bdat> <twin_parquet_dir>
+   or: python3 scripts/check_sas7bdat.py --variants <dir>   (layout variants
+       written by `sbt "Test/runMain graft.sources.SasVariantGen <dir>"`)
 """
 import sys
 
 import numpy as np
 import pandas as pd
+
+
+def check_variants(d: str) -> int:
+    ok = True
+    for f in ("v32", "vmix", "v32mix"):
+        df = pd.read_sas(f"{d}/{f}.sas7bdat")
+        good = (
+            len(df) == 450
+            and list(df.columns) == ["a", "b"]
+            and np.array_equal(df["a"].to_numpy(np.float64), np.arange(450) * 0.5)
+            and df["b"].map(lambda b: b.decode() if isinstance(b, bytes) else str(b)).tolist()
+            == [f"s{i}" for i in range(450)]
+        )
+        print(("[ok] " if good else "[FAIL] ") + f)
+        ok = ok and good
+    return 0 if ok else 1
 
 
 def main(sas_path: str, twin_path: str) -> int:
@@ -43,4 +61,6 @@ def main(sas_path: str, twin_path: str) -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--variants":
+        sys.exit(check_variants(sys.argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

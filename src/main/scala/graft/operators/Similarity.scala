@@ -170,17 +170,19 @@ object Similarity {
 
   /** Nearest-centroid assignment: broadcast the tiny centroid table against
     * the corpus (the standard k-means map side — never a shuffle of the
-    * corpus). Returns (vec_id, cid). */
-  private def assignLists(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    * corpus). Argmax via a struct-max aggregate instead of a ranking
+    * window: partial aggregation collapses the nlist candidate rows
+    * map-side, so no sort and (under AQE) no meaningful shuffle — the
+    * window formulation was the slowest stage of the IVF build. Ties break
+    * to the lowest cid deterministically (-cid in the struct order).
+    * Returns (vec_id, cid). */
+  private def assignLists(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("ed"))
       .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosineD(col("ed"), col("cvec")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select("vec_id", "cid")
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(cosineD(col("ed"), col("cvec")).as("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
 
   /** Distributed Lloyd k-means over cosine similarity: deterministic seeds
     * (vec_id < nlist), each iteration = one broadcast assignment pass + one

@@ -64,6 +64,23 @@ class Sas7bdatSpec extends AnyFunSuite {
     assert(meta.pageCount > 10) // genuinely multi-page → parallel scan
   }
 
+  test("32-bit and mix-first-page layout variants round trip") {
+    val dir = TestSpark.tempDir()
+    val cols = Seq(
+      Sas7bdatWriter.WCol("a", isNum = true, 8),
+      Sas7bdatWriter.WCol("b", isNum = false, 6)
+    )
+    val rows = (0 until 450).map(i => Seq(java.lang.Double.valueOf(i * 0.5), s"s$i"): Seq[Any])
+    val expected = rows.map(r => (r(0).asInstanceOf[java.lang.Double].doubleValue(), r(1).toString)).toSet
+    for ((u64, mix) <- Seq((false, false), (true, true), (false, true))) {
+      val p = s"$dir/v_${u64}_$mix.sas7bdat"
+      Sas7bdatWriter.write(p, cols, rows, pageSize = 4096, u64 = u64, mixFirstPage = mix)
+      val df = Sas7bdat.read(spark, p)
+      assert(df.count() === 450, s"u64=$u64 mix=$mix")
+      assert(df.collect().map(r => (r.getDouble(0), r.getString(1))).toSet === expected, s"u64=$u64 mix=$mix")
+    }
+  }
+
   test("rejects non-sas and big-endian input with clear errors") {
     val dir = TestSpark.tempDir()
     val bad = s"$dir/bad.bin"
