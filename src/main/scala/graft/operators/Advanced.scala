@@ -214,6 +214,21 @@ object Advanced {
         .orderBy("user_id")
     }),
 
+    // skew-mitigation in the gate: the salted join must be SEMANTICALLY
+    // identical to a plain equi-join (the oracle is the plain join), while
+    // physically sharding each key over 8 sub-keys so a hot key spreads
+    // across tasks even where AQE's skew splitting can't help (co-grouping,
+    // pathological single-key skew)
+    "q38_salted_join" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val sup = table(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew
+        .saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("value"))
+        .orderBy("s_name")
+    }),
+
     // S3 SAS7BDAT binary scan inside the gate: the deterministic fixture is
     // written once through Sas7bdatWriter (+ a parquet twin for DuckDB);
     // this query decodes the BINARY through the distributed page-range
@@ -334,6 +349,10 @@ object Advanced {
         |SELECT a.state_code, a.n_arrivals, d.total_population, d.foreign_born, d.median_age_e2
         |FROM agg a LEFT JOIN demo d ON a.state_code = d.state_code
         |ORDER BY a.state_code""".stripMargin,
+    "q38_salted_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "etl_sas7bdat_scan" ->
       """SELECT category, count(*) AS n, count(value) AS n_value,
         |  round(sum(value), 2) AS sum_value, count(comment) AS n_comment

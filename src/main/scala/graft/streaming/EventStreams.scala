@@ -48,6 +48,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup [EXT]: the streaming face of the x01/x15 batch dedup
+    * operators. `dropDuplicatesWithinWatermark` keeps per-key state only
+    * until the watermark passes the key's event time — bounded state on an
+    * unbounded stream (a plain dropDuplicates would grow state forever).
+    * Dedup key defaults to the natural id; pass e.g. md5(text) upstream for
+    * content dedup of a document stream. */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream↔static enrichment join: per micro-batch hash join against a
+    * (broadcastable) dimension — no streaming state at all, the standard
+    * shape for decorating an event stream with slowly-changing dims. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Wire a streaming source through [[windowedCounts]] to a sink. */
   def run(spark: SparkSession, source: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
     windowedCounts(source).writeStream

@@ -36,6 +36,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate ids across micro-batches collapse, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = EventStreams.dedupStream(
+      input.toDF().toDF("event_id", "ts", "value")
+    )
+    val q = deduped.writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts(1), 1.0), (2L, ts(2), 2.0), (1L, ts(1, 30), 9.9))
+      q.processAllAvailable()
+      input.addData((2L, ts(3), 7.7), (3L, ts(4), 3.0)) // dup of 2 in a LATER batch
+      q.processAllAvailable()
+      val ids = spark.table("dd").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once, first wins
+      val firstOf1 = spark.table("dd").where("event_id = 1").head().getAs[Double]("value")
+      assert(firstOf1 === 1.0)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join decorates events without streaming state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression")).toDF("event_type", "kind")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = EventStreams.enrich(input.toDF().toDF("ts", "event_type", "value"), dim, "event_type")
+    val q = out.writeStream.format("memory").queryName("en").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "purchase", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("en").collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("kind"))).toSet
+      assert(rows === Set(("click", "interaction"), ("purchase", null))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
   test("file-source stream end-to-end: readStream -> windowed agg -> parquet sink") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
