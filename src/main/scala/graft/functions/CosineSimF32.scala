@@ -17,3 +17,8 @@ object RollingHash {
   def apply(s: Column, modulus: Long = 1000000007L): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(s), modulus))
 }
+
+object CharGramHashes {
+  def apply(s: Column, n: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.CharGramHashesExpr(Bridge.expression(s), n))
+}

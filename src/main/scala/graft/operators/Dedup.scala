@@ -62,22 +62,31 @@ object Dedup {
       )
       .distinct()
 
-  /** distinct char-4-gram shingles of whitespace-normalized text */
-  private def charShingles(s: SparkSession, d: String): DataFrame =
+  /** distinct char-4-gram hashes of whitespace-normalized text, via the
+    * native single-pass CharGramHashes expression: per-row dedup happens
+    * inside the expression, and the explode feeds the per-doc min-aggs
+    * directly — the old explode(substr…)→distinct path shuffled every
+    * (doc, gram) STRING once before aggregating (2 shuffles, heavy string
+    * churn; this is 1 shuffle of 16 partial mins per doc). */
+  private def charShingleHashes(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
       .select(col("doc_id"), regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
       .where(length(col("t")) >= 4)
-      .select(col("doc_id"), explode(expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")).as("sh"))
-      .distinct()
+      .select(col("doc_id"), explode(graft.functions.CharGramHashes(col("t"), 4)).as("hraw"))
 
-  /** 16-component MinHash signature per doc over a (doc_id, sh) table */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val h = sh.withColumn("h", pmod(baseHash(col("sh")), lit(2147483647L)))
+  /** 16-component MinHash signature per doc over (doc_id, hraw) raw
+    * md5-window hashes */
+  private def minhashSigsFromRaw(hashes: DataFrame): DataFrame = {
+    val h = hashes.withColumn("h", pmod(col("hraw"), lit(2147483647L)))
     val sigCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(M))).as(s"m$i")
     }
     h.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
+
+  /** 16-component MinHash signature per doc over a (doc_id, sh) table */
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    minhashSigsFromRaw(sh.select(col("doc_id"), baseHash(col("sh")).as("hraw")))
 
   /** candidate pairs = docs agreeing on at least one band of `rows`
     * consecutive signature components (default 8 bands × 2 rows).
@@ -173,7 +182,7 @@ object Dedup {
     // (est. jaccard ≥ 0.9375 ≥ threshold). Integer-deterministic, same
     // pipeline in the DuckDB oracle.
     "x14_dedup_chargram" -> ((s, d) => {
-      val sig = minhashSigs(charShingles(s, d))
+      val sig = minhashSigsFromRaw(charShingleHashes(s, d))
       val cand = bandCandidates(sig, rows = 8)
       val agree = (0 until K)
         .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))

@@ -104,3 +104,69 @@ object RollingHashExpr {
     h
   }
 }
+
+/** DISTINCT md5-window-15 hashes of every `n`-character gram of a string,
+  * as one `array<bigint>` — the single-pass replacement for
+  * `explode(transform(sequence…, substr)) → distinct → md5 → conv`.
+  *
+  * Hash convention is exactly [[graft.functions.Hashing.md5Window15]]
+  * (first 15 hex digits of md5 as int64 = big-endian u64 of the first 8
+  * digest bytes >>> 4), so DuckDB oracles keep computing
+  * `('0x' || substr(md5(sh),1,15))::BIGINT` over the string grams and
+  * hash-match. Grams are CODE-POINT windows to mirror SQL `substr`
+  * semantics on non-ASCII text. Deduplication happens here, inside the
+  * row, so downstream per-doc aggregates (MinHash mins) consume the
+  * explode directly — no (doc, gram) distinct shuffle exists at all.
+  * Output order is sorted for determinism.
+  */
+case class CharGramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharGramHashesExpr.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"org.apache.spark.sql.graftbridge.CharGramHashesExpr.compute($c, $n)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramHashesExpr {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    // code-point index of each char position (substr counts code points)
+    val cps = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < str.length) { cps.add(i); i += Character.charCount(str.codePointAt(i)) }
+    val total = cps.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var g = 0
+    while (g + n <= total) {
+      val from = cps.get(g)
+      val until = if (g + n < total) cps.get(g + n).intValue() else str.length
+      md.reset()
+      val digest = md.digest(str.substring(from, until).getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      seen.add(v >>> 4) // first 15 hex digits
+      g += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+}

@@ -100,6 +100,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("char_gram_hashes == declarative shingle pipeline on real data, and codegen'd") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val t = docs
+      .select($"doc_id", regexp_replace(lower(trim($"text")), "\\s+", " ").as("t"))
+      .where(length($"t") >= 4)
+    val native = t.select($"doc_id", explode(graft.functions.CharGramHashes($"t", 4)).as("h"))
+    val decl = t
+      .select($"doc_id", explode(expr("transform(sequence(1, length(t) - 3), i -> substr(t, i, 4))")).as("sh"))
+      .distinct()
+      .select($"doc_id", conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long").as("h"))
+    assert(native.exceptAll(decl).count() === 0 && decl.exceptAll(native).count() === 0)
+    val agg = native.groupBy("doc_id").agg(min("h").as("m"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("char_gram_hashes")))
+  }
+
   test("simhash: exact dup at hamming 0") {
     val pairs = Dedup
       .queries("x04_dedup_simhash")(spark, dir)
