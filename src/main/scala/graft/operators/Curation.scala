@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Training-data curation operators [EXT] — the filter/scrub stages a
+  * large-scale LLM data pipeline runs between ingest and dedup:
+  *
+  *   - x17 PII redaction: emails / IPv4s / phone numbers replaced with
+  *     typed placeholders, per-doc match counts; one codegen'd scan, no
+  *     shuffle — the 100 TB shape. (Patterns chosen to behave identically
+  *     under Java regex and DuckDB's RE2.)
+  *   - x18 benchmark decontamination: flag corpus docs sharing any exact
+  *     word-4-gram with a benchmark set (stand-in benchmark: doc_id % 50
+  *     = 0). Inverted-index semi-join on the gram key — never all-pairs;
+  *     the benchmark side is small, so its gram set broadcast-joins at
+  *     scale.
+  *   - x19 repetition detection (Gopher-style): top word-2-gram frequency
+  *     fraction per doc; docs above threshold are the boilerplate/spam
+  *     candidates. Two hash aggregations + a per-doc argmax.
+  *
+  * All three are oracle-checked end-to-end; planted-input behavior (real
+  * PII, real contamination) is additionally pinned in CurationSpec.
+  */
+object Curation {
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+\\d[\\d -]{7,}\\d"
+
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** distinct word-n-gram strings per doc */
+  private def wordGrams(s: SparkSession, d: String, n: Int): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= n)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("w")) - n),
+            i => concat_ws(" ", (1 to n).map(k => element_at(col("w"), i + k)): _*)
+          )
+        ).as("gram")
+      )
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- PII redaction: single codegen'd scan ------------------------------
+    "x17_pii_redact" -> ((s, d) => {
+      val redacted =
+        regexp_replace(
+          regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+          PhoneRe,
+          "<PHONE>"
+        )
+      table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+          regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+          md5(redacted).as("redacted_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: gram-key semi join ---------------------
+    "x18_decontaminate" -> ((s, d) => {
+      val grams = wordGrams(s, d, 4)
+      val bench = grams.where(col("doc_id") % 50 === 0).select("gram").distinct()
+      grams
+        .where(col("doc_id") % 50 =!= 0)
+        .join(bench, "gram") // inner on the gram key; count of distinct shared grams
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- repetition detection (top-2-gram fraction) ------------------------
+    "x19_repetition" -> ((s, d) => {
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(
+            transform(sequence(lit(0), size(col("w")) - 2), i =>
+              concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+          ).as("gram")
+        )
+      val counts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))
+      counts
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .withColumn("rep_ratio", col("cnt").cast("double") / col("tot").cast("double"))
+        .where(col("rep_ratio") >= 0.1)
+        .select(col("doc_id"), col("gram").as("top_gram"), col("cnt").as("top_cnt"), col("tot").as("n_grams"), col("rep_ratio"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x17_pii_redact" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+         |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x18_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+        |  FROM w, unnest(generate_series(1, len(w) - 3)) t(i) WHERE len(w) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "x19_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i) WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, gram, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS tot,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+        |  FROM c)
+        |SELECT doc_id, gram AS top_gram, cnt AS top_cnt, cast(tot AS BIGINT) AS n_grams,
+        |  cast(cnt AS DOUBLE) / cast(tot AS DOUBLE) AS rep_ratio
+        |FROM r WHERE rk = 1 AND cast(cnt AS DOUBLE) / cast(tot AS DOUBLE) >= 0.1
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = TestSpark.tempDir()
+    val docs = Seq(
+      (0L, "contact me at alice.smith+spam@example.co.uk or bob@test.io today", "en", "t", 1L),
+      (1L, "server at 10.0.42.7 responded then 192.168.1.254 timed out", "en", "t", 1L),
+      (2L, "call +1 555 123-4567 or +44 20 7946 0958 now", "en", "t", 1L),
+      (3L, "a perfectly clean document with no sensitive content at all", "en", "t", 1L),
+      // doc 50 is "benchmark" (50 % 50 == 0); doc 4 copies 4 of its words
+      (50L, "the quick brown fox jumps over the lazy dog", "en", "t", 1L),
+      (4L, "we note the quick brown fox appears here verbatim", "en", "t", 1L),
+      // repetition: "buy now" 6 times out of 11 2-grams
+      (5L, "buy now buy now buy now buy now buy now buy now", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    d
+  }
+
+  test("PII redaction counts and scrubs emails, IPs, phones; clean docs untouched") {
+    val r = Curation
+      .queries("x17_pii_redact")(spark, dir)
+      .collect()
+      .map(row => row.getAs[Long]("doc_id") -> row)
+      .toMap
+    assert(r(0L).getAs[Long]("n_emails") === 2L)
+    assert(r(1L).getAs[Long]("n_ips") === 2L)
+    assert(r(2L).getAs[Long]("n_phones") === 2L)
+    assert(r(3L).getAs[Long]("n_emails") + r(3L).getAs[Long]("n_ips") + r(3L).getAs[Long]("n_phones") === 0L)
+    // clean doc's redacted md5 == original md5; dirty docs' differ
+    import org.apache.spark.sql.functions._
+    val orig = graft.Graft.table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(3L).getAs[String]("redacted_md5") === orig(3L))
+    assert(r(0L).getAs[String]("redacted_md5") !== orig(0L))
+    // and the scrubbed text really contains the placeholder
+    val scrubbed = graft.Graft.table(spark, dir, "documents")
+      .where("doc_id = 0")
+      .select(regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
+      .head().getString(0)
+    assert(scrubbed === "contact me at <EMAIL> or <EMAIL> today")
+  }
+
+  test("decontamination flags the doc sharing a benchmark 4-gram, nothing else") {
+    val hits = Curation
+      .queries("x18_decontaminate")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared")))
+      .toMap
+    assert(hits === Map(4L -> 1L)) // "the quick brown fox", exactly once
+  }
+
+  test("repetition detector surfaces the boilerplate doc with the right ratio") {
+    val rows = Curation
+      .queries("x19_repetition")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("top_gram"), r.getAs[Long]("top_cnt"), r.getAs[Long]("n_grams")))
+    assert(rows.map(_._1).contains(5L))
+    val (_, gram, cnt, tot) = rows.find(_._1 == 5L).get
+    assert(gram === "buy now" && cnt === 6L && tot === 11L)
+  }
+}
