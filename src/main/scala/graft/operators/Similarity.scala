@@ -324,8 +324,28 @@ object Similarity {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id < 10)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
-    // x06/x13 intentionally have no oracle: approximate top-k is
-    // engine-specific → rows-only check + recall floor in SimilarityTextSpec
+    // x06's approximation is deterministic end-to-end (integer-exact band
+    // signatures + bit-exact float32 cosine re-rank), so unlike most ANN
+    // implementations it supports a full value oracle: DuckDB recomputes
+    // the identical pipeline. x13 stays rows-only: k-means centroids are
+    // float AVERAGES whose low bits depend on summation order — recall
+    // floor in SimilarityTextSpec covers it instead.
+    "x06_sim_ann_lsh" ->
+      s"""WITH $bandSigSql,
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qe, s.band, s.bucket
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+         |  JOIN q ON s.band = q.band AND s.bucket = q.bucket AND e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY list_cosine_similarity(qe, ne) DESC, nid) AS rk
+         |  FROM cand)
+         |SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6
+         |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "x12_dedup_embedding" ->
       s"""WITH $bandSigSql,
          |cand AS (
