@@ -22,3 +22,8 @@ object CharGramHashes {
   def apply(s: Column, n: Int): Column =
     Bridge.column(org.apache.spark.sql.graftbridge.CharGramHashesExpr(Bridge.expression(s), n))
 }
+
+object BandSigs {
+  def apply(emb: Column, nPlanes: Int, bandRows: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.BandSigsExpr(Bridge.expression(emb), nPlanes, bandRows))
+}

@@ -78,35 +78,18 @@ object Similarity {
     * embedding dimensionality. */
   private val MaxDims = 256
 
-  /** 32 deterministic ±1 hyperplanes: wgt(p,i) = md5("p:i") mod 2 → {-1,1}.
-    * Built as driver-local metadata (NPlanes×MaxDims tiny rows, same
-    * md5-window convention as [[graft.functions.Hashing.md5Window15]] and
-    * the DuckDB oracle) — constructing it from range().crossJoin(range())
-    * would plant a (harmless but assert-tripping) BroadcastNestedLoopJoin
-    * in every LSH plan. */
-  private def md5Hex(x: String): String =
-    java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  private def planes(s: SparkSession): DataFrame = {
-    import s.implicits._
-    val rows = for { p <- 0L until NPlanes; i <- 0L until MaxDims }
-      yield (p, i, (java.lang.Long.parseLong(md5Hex(s"$p:$i").take(15), 16) % 2) * 2 - 1)
-    rows.toDF("p", "i", "wgt")
-  }
-
-  /** (vec_id, band, bucket) signature rows. Projections are integer-exact:
-    * quantized components × ±1 weights summed as int64 — order-free, hence
-    * bit-reproducible in the DuckDB oracle. One shuffle on vec_id. */
-  private[graft] def bandSigs(s: SparkSession, emb: DataFrame): DataFrame = {
-    val comps = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .withColumn("vq", round(col("v").cast("double") * Quant).cast("long"))
-      .join(broadcast(planes(s)), "i")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("vq") * col("wgt")).as("proj"))
-    comps
-      .groupBy(col("vec_id"), (col("p") / BandRows).cast("int").as("band"))
-      .agg(sum(when(col("proj") > 0, expr(s"shiftleft(1L, cast(p % $BandRows as int))")).otherwise(0L)).as("bucket"))
-  }
+  /** (vec_id, band, bucket) signature rows via the native single-pass
+    * BandSigs expression: quantized components × md5-seeded ±1 weights,
+    * integer projections — order-free, hence bit-reproducible in the
+    * DuckDB oracles, which recompute the identical pipeline from first
+    * principles in SQL. Zero shuffles: each row emits its 8 band buckets
+    * inside whole-stage codegen (the previous formulation was a
+    * posexplode → broadcast weight join → two shuffled aggregations). */
+  private[graft] def bandSigs(s: SparkSession, emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      posexplode(graft.functions.BandSigs(col("embedding"), NPlanes, BandRows)).as(Seq("band", "bucket"))
+    )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 neighbors for the first 10 vectors (brute force baseline)

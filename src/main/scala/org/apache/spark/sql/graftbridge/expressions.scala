@@ -141,6 +141,90 @@ case class CharGramHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Hyperplane-LSH band signatures of one embedding, in one pass:
+  * `array<bigint>` where index = band and value = the band's bucket key.
+  *
+  * Matches graft.operators.Similarity's documented convention exactly —
+  * components quantized to round(v·2^20) int64, ±1 weights seeded from
+  * md5("p:i") (the same md5-window convention as Hashing.md5Window15),
+  * integer projections, bucket = Σ (proj>0) << (p % bandRows) — so the
+  * DuckDB oracles that recompute signatures from first principles in SQL
+  * still hash-match. Replaces a posexplode → broadcast-join → two shuffled
+  * aggregations pipeline with a per-row loop inside codegen: the signature
+  * stage becomes embarrassingly parallel, which is the shape you want when
+  * signing 100 TB of embeddings.
+  */
+case class BandSigsExpr(child: Expression, nPlanes: Int, bandRows: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_sigs"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BandSigsExpr.compute(a.asInstanceOf[ArrayData], nPlanes, bandRows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"org.apache.spark.sql.graftbridge.BandSigsExpr.compute($c, $nPlanes, $bandRows)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandSigsExpr {
+  val MaxDims = 256
+
+  /** ±1 weight matrix, md5("p:i") mod 2 → {-1, 1}; computed once per JVM.
+    * Identical to the SQL `(('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2) * 2 - 1`. */
+  private val weightCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Long]]]()
+  private def weights(nPlanes: Int): Array[Array[Long]] =
+    weightCache.computeIfAbsent(
+      nPlanes,
+      _ => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(nPlanes, MaxDims) { (p, i) =>
+          md.reset()
+          val digest = md.digest(s"$p:$i".getBytes("UTF-8"))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+          ((v >>> 4) % 2) * 2 - 1 // first 15 hex digits, mod 2, → ±1
+        }
+      }
+    )
+
+  def compute(emb: ArrayData, nPlanes: Int, bandRows: Int): ArrayData = {
+    val w = weights(nPlanes)
+    val n = math.min(emb.numElements(), MaxDims)
+    val vq = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // round half AWAY FROM ZERO — SQL round() semantics in both engines
+      // (math.round alone is half-toward-+∞, which differs on negative ties)
+      val d = emb.getFloat(i).toDouble * (1L << 20)
+      vq(i) = if (d < 0) -math.round(-d) else math.round(d)
+      i += 1
+    }
+    val nBands = nPlanes / bandRows
+    val buckets = new Array[Long](nBands)
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0L
+      val wp = w(p)
+      var j = 0
+      while (j < n) { proj += vq(j) * wp(j); j += 1 }
+      if (proj > 0) buckets(p / bandRows) |= 1L << (p % bandRows)
+      p += 1
+    }
+    ArrayData.toArrayData(buckets)
+  }
+}
+
 object CharGramHashesExpr {
   def compute(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
