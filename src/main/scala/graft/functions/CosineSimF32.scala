@@ -23,6 +23,11 @@ object CharGramHashes {
     Bridge.column(org.apache.spark.sql.graftbridge.CharGramHashesExpr(Bridge.expression(s), n))
 }
 
+object SimHashSig {
+  def apply(text: Column): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.SimHashSigExpr(Bridge.expression(text)))
+}
+
 object BandSigs {
   def apply(emb: Column, nPlanes: Int, bandRows: Int): Column =
     Bridge.column(org.apache.spark.sql.graftbridge.BandSigsExpr(Bridge.expression(emb), nPlanes, bandRows))

@@ -248,31 +248,17 @@ object Dedup {
   )
 
   /** SimHash signatures: per-token 31-bit hashes from two md5 windows,
-    * frequency-weighted bit votes, sign → bit, bits packed into two longs.
-    *
-    * The 31 bit-votes per hash are 62 conditional-sum aggregates over the
-    * (doc, token, freq) table — ONE shuffle on doc_id, fully codegen'd —
-    * instead of exploding a 31-row bit dimension (31× the rows plus a
-    * second shuffle). Results are arithmetically identical.
-    */
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    // ±1 votes per token INSTANCE sum to the same integers as
-    // frequency-weighted votes per distinct token — so no (doc, tok, freq)
-    // pre-aggregation: explode → hash → ONE shuffle of 62 partial sums.
-    val hashed = tokens(s, d)
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .withColumn("h1", pmod(graft.functions.Hashing.md5Window15(col("tok")), lit(2147483648L)))
-      .withColumn("h2", pmod(graft.functions.Hashing.md5Window15(col("tok"), 17), lit(2147483648L)))
-    def vote(h: String, b: Int) =
-      sum(when(shiftright(col(h), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_${h}_$b")
-    val voteCols = (0 to 30).flatMap(b => Seq(vote("h1", b), vote("h2", b)))
-    def pack(h: String) =
-      (0 to 30).map(b => when(col(s"v_${h}_$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    hashed
-      .groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"), pack("h1").as("lo"), pack("h2").as("hi"))
-  }
+    * ±1 bit votes per token instance, sign → bit, packed into two longs —
+    * all inside the native single-pass SimHashSig expression. The vote
+    * tally is per-document state only, so no explode and NO SHUFFLE exists
+    * in the signature stage at all (r01 shipped this as 62 conditional-sum
+    * aggregates over exploded tokens — one full shuffle of every token).
+    * Arithmetic is identical; the DuckDB oracle keeps recomputing
+    * signatures from first principles in SQL. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), graft.functions.SimHashSig(col("text")).as("sig"))
+      .select(col("doc_id"), element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
 
   // ---- oracles -------------------------------------------------------------
 

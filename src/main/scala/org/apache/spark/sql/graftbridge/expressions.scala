@@ -225,6 +225,74 @@ object BandSigsExpr {
   }
 }
 
+/** 62-bit SimHash signature of a document as `array<bigint>` of
+  * [lo, hi] — two 31-bit halves from two md5 windows per token.
+  *
+  * Exactly graft.operators.Dedup's documented convention: whitespace
+  * tokens of lower(trim(text)) (Spark's own UTF8String lower/trim so
+  * semantics match the `split(lower(trim(text)), '\\s+')` formulation),
+  * h1 = md5 hex[1..15] mod 2^31, h2 = md5 hex[17..31] mod 2^31, one ±1
+  * vote per token INSTANCE per bit, sign → bit. The SimHash vote tally is
+  * per-document state only, so the whole signature is a per-row loop —
+  * the explode → 62-conditional-sum aggregation it replaces shuffled every
+  * token to compute what this evaluates inside one codegen stage.
+  * The DuckDB oracle keeps recomputing signatures from first principles.
+  */
+case class SimHashSigExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_sig"
+
+  override protected def nullSafeEval(s: Any): Any =
+    SimHashSigExpr.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graftbridge.SimHashSigExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSigExpr {
+  def compute(s: UTF8String): ArrayData = {
+    val text = s.trim().toLowerCase.toString
+    val votes1 = new Array[Long](31)
+    val votes2 = new Array[Long](31)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val digest = md.digest(toks(t).getBytes("UTF-8"))
+      var hi1 = 0L; var hi2 = 0L
+      var b = 0
+      while (b < 8) {
+        hi1 = (hi1 << 8) | (digest(b) & 0xffL)
+        hi2 = (hi2 << 8) | (digest(b + 8) & 0xffL)
+        b += 1
+      }
+      val h1 = (hi1 >>> 4) % 2147483648L // md5 hex [1..15] mod 2^31
+      val h2 = (hi2 >>> 4) % 2147483648L // md5 hex [17..31] mod 2^31
+      var bit = 0
+      while (bit < 31) {
+        votes1(bit) += (if (((h1 >> bit) & 1L) == 1L) 1L else -1L)
+        votes2(bit) += (if (((h2 >> bit) & 1L) == 1L) 1L else -1L)
+        bit += 1
+      }
+      t += 1
+    }
+    var lo = 0L; var hi = 0L
+    var bit = 0
+    while (bit < 31) {
+      if (votes1(bit) > 0) lo |= 1L << bit
+      if (votes2(bit) > 0) hi |= 1L << bit
+      bit += 1
+    }
+    ArrayData.toArrayData(Array(lo, hi))
+  }
+}
+
 object CharGramHashesExpr {
   def compute(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
