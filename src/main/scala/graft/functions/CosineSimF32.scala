@@ -23,6 +23,11 @@ object CharGramHashes {
     Bridge.column(org.apache.spark.sql.graftbridge.CharGramHashesExpr(Bridge.expression(s), n))
 }
 
+object TokenGramHashes {
+  def apply(s: Column, n: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.TokenGramHashesExpr(Bridge.expression(s), n))
+}
+
 object SimHashSig {
   def apply(text: Column): Column =
     Bridge.column(org.apache.spark.sql.graftbridge.SimHashSigExpr(Bridge.expression(text)))

@@ -33,34 +33,16 @@ object Dedup {
   private val Bs = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L)
   private val K = As.size
 
-  /** base hash: first 15 md5 hex digits as int64 (identical in DuckDB via
-    * ('0x' || substr(md5(x),1,15))::BIGINT). */
-  private def baseHash(c: Column): Column = graft.functions.Hashing.md5Window15(c)
-
-  /** lowercased whitespace tokens of a document */
-  private def tokens(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents").select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
-
-  /** distinct word-3-gram shingles per doc (docs with <3 tokens drop out) */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    tokens(s, d)
-      .where(size(col("w")) >= 3)
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), size(col("w")) - 3),
-            i =>
-              concat_ws(
-                " ",
-                element_at(col("w"), i + 1),
-                element_at(col("w"), i + 2),
-                element_at(col("w"), i + 3)
-              )
-          )
-        ).as("sh")
-      )
-      .distinct()
+  /** distinct word-3-gram shingle HASHES per doc, via the native
+    * single-pass TokenGramHashes expression (per-row dedup; docs with
+    * <3 tokens yield empty arrays and drop out of the explode). Working in
+    * int64 hash space means the inverted-index joins and df-cap shuffles
+    * move 8-byte keys, never shingle strings — and no (doc, shingle)
+    * distinct shuffle exists at all. The oracles recompute the same
+    * `('0x' || substr(md5(gram),1,15))::BIGINT` from string grams. */
+  private def wordShingleHashes(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), explode(graft.functions.TokenGramHashes(col("text"), 3)).as("sh"))
 
   /** distinct char-4-gram hashes of whitespace-normalized text, via the
     * native single-pass CharGramHashes expression: per-row dedup happens
@@ -84,9 +66,6 @@ object Dedup {
     h.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** 16-component MinHash signature per doc over a (doc_id, sh) table */
-  private def minhashSigs(sh: DataFrame): DataFrame =
-    minhashSigsFromRaw(sh.select(col("doc_id"), baseHash(col("sh")).as("hraw")))
 
   /** candidate pairs = docs agreeing on at least one band of `rows`
     * consecutive signature components (default 8 bands × 2 rows).
@@ -154,7 +133,7 @@ object Dedup {
     // Jaccard here is over the informative shingle set, and the oracle
     // mirrors the cap). Per-key join work is then bounded by DfCap².
     "x02_dedup_ngram_jaccard" -> ((s, d) => {
-      val all = shingles(s, d)
+      val all = wordShingleHashes(s, d)
       val hot = all.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > DfCap).select("sh")
       val sh = all.join(hot, Seq("sh"), "left_anti")
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -200,7 +179,7 @@ object Dedup {
     // 16-component signature, 8 bands × 2 rows; candidate pairs = docs
     // sharing ≥1 band bucket; output the signature-agreement estimate.
     "x03_dedup_minhash" -> ((s, d) => {
-      val sig = minhashSigs(shingles(s, d))
+      val sig = minhashSigsFromRaw(wordShingleHashes(s, d).withColumnRenamed("sh", "hraw"))
       val cand = bandCandidates(sig)
       val agree = (0 until K)
         .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
@@ -295,13 +274,15 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "x02_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
          |kept AS (
-         |  SELECT s.* FROM sh s
-         |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap) k USING (sh)),
+         |  SELECT s.* FROM hsh s
+         |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
          |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
          |  n_common / (ca.n + cb.n - n_common) AS jaccard

@@ -293,6 +293,59 @@ object SimHashSigExpr {
   }
 }
 
+/** DISTINCT md5-window-15 hashes of every word `n`-gram (space-joined
+  * whitespace tokens of lower(trim(text))) — the word-shingle analog of
+  * [[CharGramHashesExpr]], same hash convention, same per-row dedup, same
+  * sorted-array determinism. The DuckDB oracles recompute
+  * `('0x' || substr(md5(gram), 1, 15))::BIGint` over string grams. */
+case class TokenGramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_gram_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TokenGramHashesExpr.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"org.apache.spark.sql.graftbridge.TokenGramHashesExpr.compute($c, $n)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenGramHashesExpr {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.trim().toLowerCase.toString.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var g = 0
+    while (g + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(g))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(g + k)); k += 1 }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      seen.add(v >>> 4)
+      g += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
 object CharGramHashesExpr {
   def compute(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
