@@ -34,7 +34,12 @@ object ScaleProbe {
     }
     scaleFact("lineitem", Seq("l_orderkey"))
     scaleFact("orders", Seq("o_orderkey"))
-    Seq("region", "nation", "customer", "supplier", "part", "events", "documents", "embeddings")
+    // documents replicate with shifted ids but IDENTICAL text — deliberately
+    // the dedup worst case: every doc gains n-1 exact clones, every shingle's
+    // document frequency multiplies by n. The probe then shows the df cap
+    // and signature-only comparisons absorbing it instead of going quadratic.
+    scaleFact("documents", Seq("doc_id"))
+    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
       .foreach { t =>
         Graft.table(spark, src, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
       }
@@ -44,7 +49,9 @@ object ScaleProbe {
     val heavy = Seq(
       "q01_pricing_summary", "q02_filter_project", "q04_join_shuffle", "q05_join_semi",
       "q07_join_outer_hist", "q08_window_rank", "q10_topk", "q12_distinct_agg",
-      "q17_rollup", "q27_percentiles", "q30_hash_sample"
+      "q17_rollup", "q27_percentiles", "q30_hash_sample",
+      "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x04_dedup_simhash",
+      "x14_dedup_chargram", "x17_pii_redact", "x19_repetition", "x20_dedup_pipeline"
     )
     heavy.foreach { name =>
       val fn = SparkEntry.queries(name)

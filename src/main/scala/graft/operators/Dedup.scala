@@ -195,36 +195,59 @@ object Dedup {
     // 62-bit frequency-weighted signature in two 31-bit halves; LSH over 4
     // lossless bands (any pair with hamming ≤ 3 must agree on ≥1 band);
     // exact hamming via bit_count(xor).
-    "x04_dedup_simhash" -> ((s, d) => {
-      val sig = simhashSignatures(s, d)
-      val bandKeys = array(
-        struct(lit(0).as("band"), col("lo").bitwiseAND(lit(32767L)).as("k")),
-        struct(lit(1).as("band"), shiftright(col("lo"), 15).as("k")),
-        struct(lit(2).as("band"), col("hi").bitwiseAND(lit(32767L)).as("k")),
-        struct(lit(3).as("band"), shiftright(col("hi"), 15).as("k"))
-      )
-      val bands = sig.select(col("doc_id"), explode(bandKeys).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.k"))
-      val cand = bands
-        .as("a")
-        .join(
-          bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")
-        )
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sig.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b")), "doc_b")
-        .withColumn(
-          "hamming",
-          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long")
-        )
-        .where(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+    "x04_dedup_simhash" -> ((s, d) => simhashPairs(table(s, d, "documents")).orderBy("doc_a", "doc_b")),
+
+    // ---- resolution-first dedup pipeline -----------------------------------
+    // The 16x clone probe showed why stage ordering matters: near-dup PAIR
+    // output is inherently quadratic in per-text clone count (every clone
+    // pair is a true duplicate), so mass-duplicated corpora must collapse
+    // exact clones first (x15 resolution) and only then run signature
+    // near-dup on the survivors. doc_a/doc_b are survivor ids; group sizes
+    // carry the collapsed multiplicity for weighting downstream.
+    "x20_dedup_pipeline" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val groups = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      val surv = docs.join(groups.select("doc_id"), "doc_id")
+      simhashPairs(surv)
+        .join(groups.select(col("doc_id").as("doc_a"), col("group_size").as("size_a")), "doc_a")
+        .join(groups.select(col("doc_id").as("doc_b"), col("group_size").as("size_b")), "doc_b")
+        .select("doc_a", "doc_b", "hamming", "size_a", "size_b")
         .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** SimHash near-dup pairs (hamming ≤ 3) over any (doc_id, text) set:
+    * 4 lossless 15/16-bit bands → candidates → exact hamming verify. */
+  private def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSigsOf(docs)
+    val bandKeys = array(
+      struct(lit(0).as("band"), col("lo").bitwiseAND(lit(32767L)).as("k")),
+      struct(lit(1).as("band"), shiftright(col("lo"), 15).as("k")),
+      struct(lit(2).as("band"), col("hi").bitwiseAND(lit(32767L)).as("k")),
+      struct(lit(3).as("band"), shiftright(col("hi"), 15).as("k"))
+    )
+    val bands = sig.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.k"))
+    val cand = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b")), "doc_b")
+      .withColumn(
+        "hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long")
+      )
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
 
   /** SimHash signatures: per-token 31-bit hashes from two md5 windows,
     * ±1 bit votes per token instance, sign → bit, packed into two longs —
@@ -234,8 +257,8 @@ object Dedup {
     * aggregates over exploded tokens — one full shuffle of every token).
     * Arithmetic is identical; the DuckDB oracle keeps recomputing
     * signatures from first principles in SQL. */
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
+  private def simhashSigsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), graft.functions.SimHashSig(col("text")).as("sig"))
       .select(col("doc_id"), element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
 
@@ -321,29 +344,48 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "x04_dedup_simhash" ->
-      """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |freq AS (
-        |  SELECT doc_id, tok, count(*) AS f FROM (SELECT doc_id, unnest(w) AS tok FROM words)
-        |  GROUP BY doc_id, tok),
-        |hashed AS (
-        |  SELECT doc_id, f,
-        |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483648 AS h1,
-        |    ('0x' || substr(md5(tok),17,15))::BIGINT % 2147483648 AS h2
-        |  FROM freq),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |    sum(CASE WHEN (h1 >> b) & 1 = 1 THEN f ELSE -f END) AS v1,
-        |    sum(CASE WHEN (h2 >> b) & 1 = 1 THEN f ELSE -f END) AS v2
-        |  FROM hashed, unnest(generate_series(0, 30)) t(b) GROUP BY doc_id, b),
-        |sig AS (
-        |  SELECT doc_id,
-        |    cast(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
-        |    cast(sum(CASE WHEN v2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS hi
-        |  FROM votes GROUP BY doc_id)
+      s"""WITH ${simhashSigCtes("documents")}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  cast(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x20_dedup_pipeline" ->
+      s"""WITH groups AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS group_size
+        |  FROM documents GROUP BY md5(text)),
+        |surv AS (SELECT d.doc_id, d.text FROM documents d JOIN groups USING (doc_id)),
+        |${simhashSigCtes("surv")},
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    cast(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3)
+        |SELECT p.doc_a, p.doc_b, p.hamming, ga.group_size AS size_a, gb.group_size AS size_b
+        |FROM p JOIN groups ga ON p.doc_a = ga.doc_id JOIN groups gb ON p.doc_b = gb.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  /** SimHash signature CTE chain (words → freq → hashed → votes → sig)
+    * over any (doc_id, text) relation — shared by the x04 and x20 oracles. */
+  private def simhashSigCtes(rel: String): String =
+    s"""words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM $rel),
+       |freq AS (
+       |  SELECT doc_id, tok, count(*) AS f FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+       |  GROUP BY doc_id, tok),
+       |hashed AS (
+       |  SELECT doc_id, f,
+       |    ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483648 AS h1,
+       |    ('0x' || substr(md5(tok),17,15))::BIGINT % 2147483648 AS h2
+       |  FROM freq),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h1 >> b) & 1 = 1 THEN f ELSE -f END) AS v1,
+       |    sum(CASE WHEN (h2 >> b) & 1 = 1 THEN f ELSE -f END) AS v2
+       |  FROM hashed, unnest(generate_series(0, 30)) t(b) GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    cast(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+       |    cast(sum(CASE WHEN v2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM votes GROUP BY doc_id)""".stripMargin
 }

@@ -70,6 +70,9 @@ object Similarity {
   // ---- deterministic hyperplane LSH machinery ------------------------------
 
   /** component quantization grid: v → round(v * 2^20) as int64 */
+  // Quant/MaxDims feed the oracle SQL and MUST match BandSigsExpr's
+  // hardcoded 2^20 grid and 256-dim cap (the expression computes what the
+  // SQL mirrors).
   private val Quant = 1L << 20
   private val NPlanes = 32
   private val BandRows = 4 // 8 OR-ed hash tables of 4 planes each

@@ -82,7 +82,6 @@ object Sas7bdat {
   private val ColTextSig = Set("fdffffff", "fdffffffffffffff")
   private val ColNameSig = Set("ffffffff", "ffffffffffffffff")
   private val ColAttrSig = Set("fcffffff", "fcffffffffffffff")
-  private val FormatSig = Set("fefbffff", "fefbffffffffffbe", "fefbffffffffffff")
   private def hex(b: Array[Byte], o: Int, len: Int): String =
     (o until o + len).map(i => f"${b(i) & 0xff}%02x").mkString
 

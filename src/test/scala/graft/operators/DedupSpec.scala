@@ -100,6 +100,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("resolution-first pipeline: exact clones collapse before near-dup, sizes carried") {
+    // near-dup = token REORDER: simhash is bag-of-tokens (order-invariant,
+    // hamming 0) while the exact md5 differs — a true near-dup, not a clone
+    val d = TestSpark.tempDir()
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).reverse.map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "t", 1L),
+      (1L, near, "en", "t", 1L), // near-dup of 0
+      (2L, base, "en", "t", 1L), // exact clone of 0 → must collapse
+      (3L, (1 to 60).map(i => s"zzz$i").mkString(" "), "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val rows = Dedup
+      .queries("x20_dedup_pipeline")(spark, d)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"),
+          r.getAs[Long]("size_a"), r.getAs[Long]("size_b"))
+      )
+    // doc 2 (exact clone of 0) must be collapsed into survivor 0 — it can
+    // never appear as a pair member; the 0↔1 near-dup survives with doc 0
+    // carrying its clone-group size of 2
+    assert(!rows.exists(r => r._1 == 2L || r._2 == 2L))
+    val nd = rows.find(r => r._1 == 0L && r._2 == 1L)
+    assert(nd.nonEmpty, s"expected (0,1) near-dup pair in ${rows.toSeq}")
+    assert(nd.get._4 === 2L && nd.get._5 === 1L)
+  }
+
   test("char_gram_hashes == declarative shingle pipeline on real data, and codegen'd") {
     import org.apache.spark.sql.functions._
     val docs = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
