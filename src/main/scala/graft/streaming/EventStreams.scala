@@ -65,6 +65,27 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream event-time join [EXT]: each purchase joined to the same
+    * user's clicks within the preceding hour — the streaming face of the
+    * q29 as-of/attribution join. Watermarks on BOTH sides plus the time
+    * range let Spark evict join state once the watermark passes
+    * `purchase_ts - 1 hour`, so state stays bounded on unbounded streams
+    * (an unconstrained stream-stream join would buffer forever). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"), col("value"))
+    p.join(
+      c,
+      expr("""p_user = c_user AND
+             |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+             |click_ts <= purchase_ts""".stripMargin)
+    ).select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Wire a streaming source through [[windowedCounts]] to a sink. */
   def run(spark: SparkSession, source: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
     windowedCounts(source).writeStream

@@ -71,6 +71,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: clicks within the hour match, state bounded by watermarks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = EventStreams.attributionJoin(
+      clicks.toDF().toDF("event_id", "ts", "user_id").select($"user_id", $"ts", $"event_id"),
+      purchases.toDF().toDF("event_id", "ts", "user_id", "value").select($"user_id", $"ts", $"event_id", $"value")
+    )
+    val q = joined.writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append).start()
+    try {
+      // user 7: clicks at :05 and :50, purchase at :55 — both in range;
+      // user 8: click with no purchase — must never appear in the output
+      clicks.addData((100L, ts(5), 7L), (101L, ts(50), 7L), (102L, ts(5), 8L))
+      purchases.addData((200L, ts(55), 7L, 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(rows === Set((200L, 100L), (200L, 101L)))
+    } finally q.stop()
+  }
+
   test("file-source stream end-to-end: readStream -> windowed agg -> parquet sink") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
