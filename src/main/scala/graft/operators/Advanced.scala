@@ -229,6 +229,30 @@ object Advanced {
         .orderBy("s_name")
     }),
 
+    // the reference's one real Spark transform (dags/transform/airport.py:
+    // csv → parquet), upgraded to engine discipline: explicit schema
+    // instead of inferSchema (no second scan), then the data model's
+    // declared airport↔port join on iata_code against the SAS ports dim.
+    // Exercises S1 quoted-CSV parse, S4 parquet sink, S5 scan and the
+    // broadcast dim join end-to-end in the gate.
+    "etl_airport_pipeline" -> ((s, _) => {
+      graft.etl.AirportFixture.ensure(s)
+      val raw = graft.etl.Ingest.csv(s, graft.etl.AirportFixture.csvPath, graft.etl.Schemas.airportCodes)
+      graft.etl.Ingest.writeParquet(raw, graft.etl.AirportFixture.parquetPath)
+      val airports = graft.etl.Ingest.parquet(s, graft.etl.AirportFixture.parquetPath)
+      val ports = graft.etl.SasLabels
+        .load(s, "/root/reference/I94_SAS_Labels_Descriptions.SAS")
+        .ports.select(col("code"), col("city"))
+      airports
+        .join(broadcast(ports), col("iata_code") === col("code"))
+        .groupBy("iso_country", "type")
+        .agg(
+          count(lit(1)).as("n_airports"),
+          round(avg(col("elevation_ft")) * 100).cast("long").as("avg_elev_e2")
+        )
+        .orderBy("iso_country", "type")
+    }),
+
     // S3 SAS7BDAT binary scan inside the gate: the deterministic fixture is
     // written once through Sas7bdatWriter (+ a parquet twin for DuckDB);
     // this query decodes the BINARY through the distributed page-range
@@ -349,6 +373,13 @@ object Advanced {
         |SELECT a.state_code, a.n_arrivals, d.total_population, d.foreign_born, d.median_age_e2
         |FROM agg a LEFT JOIN demo d ON a.state_code = d.state_code
         |ORDER BY a.state_code""".stripMargin,
+    "etl_airport_pipeline" ->
+      """SELECT a.iso_country, a.type, count(*) AS n_airports,
+        |  CAST(round(avg(a.elevation_ft) * 100) AS BIGINT) AS avg_elev_e2
+        |FROM read_csv('/root/repo/spark-warehouse/graft_airport/airport-codes.csv', header=true) a
+        |JOIN '/root/repo/spark-warehouse/graft_dims/ports/*.parquet' p
+        |  ON a.iata_code = p.code
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q38_salted_join" ->
       """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS value
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
