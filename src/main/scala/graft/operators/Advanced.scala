@@ -229,6 +229,41 @@ object Advanced {
         .orderBy("s_name")
     }),
 
+    // sink round-trips INSIDE the gate: the aggregate is written through the
+    // engine's CSV / JSON-lines sinks, read back with the schema-explicit
+    // readers, and only then returned — while the oracle computes the same
+    // aggregate straight from the parquet tables. A hash match therefore
+    // proves the sink+reader pair is value-preserving (quoting, null
+    // encoding, double formatting round-trip exactly).
+    "q39_csv_roundtrip" -> ((s, d) => {
+      val out = "/root/repo/spark-warehouse/graft_csv_rt"
+      val agg = table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      graft.etl.Ingest.writeCsv(agg.coalesce(1), out)
+      graft.etl.Ingest
+        .csv(s, out, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.DoubleType)
+        )))
+        .orderBy("o_orderpriority")
+    }),
+    "q40_jsonl_roundtrip" -> ((s, d) => {
+      val out = "/root/repo/spark-warehouse/graft_jsonl_rt"
+      val agg = table(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      graft.etl.Ingest.writeJsonLines(agg.coalesce(1), out)
+      graft.etl.Ingest
+        .jsonLines(s, out, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_mktsegment", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("avg_bal", org.apache.spark.sql.types.DoubleType)
+        )))
+        .orderBy("c_mktsegment")
+    }),
+
     // the reference's one real Spark transform (dags/transform/airport.py:
     // csv → parquet), upgraded to engine discipline: explicit schema
     // instead of inferSchema (no second scan), then the data model's
@@ -373,6 +408,12 @@ object Advanced {
         |SELECT a.state_code, a.n_arrivals, d.total_population, d.foreign_born, d.median_age_e2
         |FROM agg a LEFT JOIN demo d ON a.state_code = d.state_code
         |ORDER BY a.state_code""".stripMargin,
+    "q39_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q40_jsonl_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "etl_airport_pipeline" ->
       """SELECT a.iso_country, a.type, count(*) AS n_airports,
         |  CAST(round(avg(a.elevation_ft) * 100) AS BIGINT) AS avg_elev_e2
