@@ -215,10 +215,17 @@ object Sas7bdat {
     val rdd = spark.sparkContext
       .range(0, meta.pageCount, 1, parallelism)
       .mapPartitions { pages =>
-        val readAt = hadoopReadAt(new Path(pathStr), new Configuration())
-        pages.flatMap { i =>
-          val pg = readAt(meta.headerSize + i * meta.pageSize, meta.pageSize)
-          pageRows(meta, pg).map(vals => Row.fromSeq(vals.toIndexedSeq))
+        // one open stream per partition; seek + readFully per page
+        val p = new Path(pathStr)
+        val in = p.getFileSystem(new Configuration()).open(p)
+        val buf = new Array[Byte](meta.pageSize)
+        val it = pages.flatMap { i =>
+          in.readFully(meta.headerSize + i * meta.pageSize, buf)
+          pageRows(meta, buf).map(vals => Row.fromSeq(vals.toIndexedSeq)).toVector
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
+          def next(): Row = it.next()
         }
       }
     spark.createDataFrame(rdd, schema)
