@@ -35,13 +35,18 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", col("text").cast("binary"))
 
-  /** Stubbed decoder: a real implementation would parse the container
-    * header / decode frames here. The fake derives metadata from byte
-    * content deterministically so tests are stable. */
-  def decodeStub(payload: Array[Byte]): Row = {
-    val n = payload.length
-    Row("fake/raw", 16 + (n % 64), 16 + (n % 48), 1 + (n % 8))
-  }
+  /** Container-header decode: REAL metadata parsing for the formats whose
+    * headers carry dimensions (PNG/JPEG/GIF/BMP via
+    * [[graft.sources.ImageMeta]] — no codec library needed); unrecognized
+    * payloads fall back to the deterministic stub (the pixel-DECODE step
+    * proper remains stubbed: no codecs in this environment). */
+  def decodeStub(payload: Array[Byte]): Row =
+    graft.sources.ImageMeta.parse(payload) match {
+      case Some(m) => Row(m.format, m.width, m.height, 1)
+      case None =>
+        val n = payload.length
+        Row("fake/raw", 16 + (n % 64), 16 + (n % 48), 1 + (n % 8))
+    }
 
   /** Per-partition decode: the distributed plumbing a real codec plugs into.
     * One iterator pass, no materialization of the whole partition. */
@@ -110,6 +115,38 @@ object Multimodal {
     * binary payload (metadata from the stub is engine-internal → tested in
     * the unit spec instead). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // real binary metadata extraction in the gate: PNG/JPEG/GIF/BMP headers
+    // parsed from payload bytes, hash-checked against the fixture's twin
+    // metadata parquet (the oracle never sees the binary)
+    "x21_image_meta" -> ((s, _) => {
+      graft.sources.ImageFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("format", StringType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("n_bytes", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.ImageFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val bytes = r.getAs[Array[Byte]]("payload")
+            val m = graft.sources.ImageMeta.parse(bytes)
+            Row(
+              r.getAs[Long]("img_id"),
+              m.map(_.format).orNull,
+              m.map(x => Int.box(x.width)).orNull,
+              m.map(x => Int.box(x.height)).orNull,
+              bytes.length.toLong
+            )
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     "x11_multimodal_meta" -> ((s, d) => {
       withPayload(table(s, d, "documents"))
         .select(
@@ -122,6 +159,10 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "x21_image_meta" ->
+      """SELECT img_id, format, width, height, n_bytes
+        |FROM '/root/repo/spark-warehouse/graft_images/twin/*.parquet'
+        |ORDER BY img_id""".stripMargin,
     "x11_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin
