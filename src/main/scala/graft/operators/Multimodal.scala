@@ -147,6 +147,36 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // audio face of the same pattern: WAV/RIFF chunk walk → sample rate,
+    // channels, bit depth, arithmetic duration — hash-checked vs the twin
+    "x22_audio_meta" -> ((s, _) => {
+      graft.sources.AudioFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("sample_rate", IntegerType),
+          StructField("channels", IntegerType),
+          StructField("bits", IntegerType),
+          StructField("duration_ms", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.AudioFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val m = graft.sources.AudioMeta.parse(r.getAs[Array[Byte]]("payload"))
+            Row(
+              r.getAs[Long]("audio_id"),
+              m.map(x => Int.box(x.sampleRate)).orNull,
+              m.map(x => Int.box(x.channels)).orNull,
+              m.map(x => Int.box(x.bitsPerSample)).orNull,
+              m.map(x => Long.box(x.durationMs)).orNull
+            )
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
     "x11_multimodal_meta" -> ((s, d) => {
       withPayload(table(s, d, "documents"))
         .select(
@@ -159,6 +189,10 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "x22_audio_meta" ->
+      """SELECT audio_id, sample_rate, channels, bits, duration_ms
+        |FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet'
+        |ORDER BY audio_id""".stripMargin,
     "x21_image_meta" ->
       """SELECT img_id, format, width, height, n_bytes
         |FROM '/root/repo/spark-warehouse/graft_images/twin/*.parquet'

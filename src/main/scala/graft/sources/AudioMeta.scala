@@ -1,0 +1,55 @@
+package graft.sources
+
+/** Real audio-container metadata extraction (the audio face of
+  * [[ImageMeta]]): WAV/RIFF carries sample rate, channel count, bit depth
+  * and payload size in its `fmt `/`data` chunks — parsed from the first
+  * bytes, no decoder. Duration follows arithmetically. */
+object AudioMeta {
+
+  final case class Meta(format: String, sampleRate: Int, channels: Int, bitsPerSample: Int, dataBytes: Long) {
+    def durationMs: Long =
+      if (sampleRate <= 0 || channels <= 0 || bitsPerSample <= 0) 0L
+      else dataBytes * 8000L / (sampleRate.toLong * channels * bitsPerSample)
+  }
+
+  private def u16le(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
+
+  /** Walk RIFF chunks for `fmt ` and `data`; None if not a WAV. */
+  def parse(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var rate, chans, bits = 0
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (rate == 0 || dataBytes < 0)) {
+      val id = tag(b, i)
+      val len = u32le(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        chans = u16le(b, i + 10)
+        rate = u32le(b, i + 12).toInt
+        bits = u16le(b, i + 22)
+      } else if (id == "data") dataBytes = len
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && dataBytes >= 0) Some(Meta("audio/wav", rate, chans, bits, dataBytes)) else None
+  }
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Minimal spec-valid WAV with silence-like deterministic samples. */
+  def synthesize(rate: Int, channels: Int, bits: Int, nSamples: Int, seed: Int): Array[Byte] = {
+    val bytesPerSample = bits / 8
+    val data = Array.tabulate(nSamples * channels * bytesPerSample)(k => ((seed * 17 + k * 3) % 121).toByte)
+    val byteRate = rate * channels * bytesPerSample
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate.toLong) ++ le32(byteRate.toLong) ++
+      le16(channels * bytesPerSample) ++ le16(bits)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + fmt.length + 8 + data.length.toLong) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length.toLong) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+  }
+}

@@ -35,3 +35,37 @@ object ImageFixture {
     }
   }
 }
+
+/** WAV twin fixture for the x22 audio-metadata gate query (same pattern as
+  * [[ImageFixture]]: binary payloads + independent metadata twin). */
+object AudioFixture {
+  val dir = "/root/repo/spark-warehouse/graft_audio"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  private val rates = Seq(8000, 16000, 22050, 44100, 48000)
+
+  def rows: Seq[(Long, Array[Byte], Int, Int, Int, Long)] = (0 until 300).map { i =>
+    val rate = rates(i % rates.size)
+    val channels = 1 + (i % 2)
+    val bits = if (i % 3 == 0) 8 else 16
+    val nSamples = 50 + (i * 37) % 3000
+    val p = AudioMeta.synthesize(rate, channels, bits, nSamples, seed = i)
+    val meta = AudioMeta.Meta("audio/wav", rate, channels, bits, (nSamples * channels * (bits / 8)).toLong)
+    (i.toLong, p, rate, channels, bits, meta.durationMs)
+  }
+
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _, _, _) => (id, p) }
+        .toDF("audio_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, rate, ch, bits, durMs) => (id, rate, ch, bits, durMs) }
+        .toDF("audio_id", "sample_rate", "channels", "bits", "duration_ms")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
