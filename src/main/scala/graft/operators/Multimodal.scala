@@ -147,6 +147,34 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // video face: ISO-BMFF/MP4 box walk (moov/mvhd + trak/tkhd) → track
+    // dimensions + duration, hash-checked vs the twin
+    "x23_video_meta" -> ((s, _) => {
+      graft.sources.VideoFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("video_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("duration_ms", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.VideoFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val m = graft.sources.VideoMeta.parse(r.getAs[Array[Byte]]("payload"))
+            Row(
+              r.getAs[Long]("video_id"),
+              m.map(x => Int.box(x.width)).orNull,
+              m.map(x => Int.box(x.height)).orNull,
+              m.map(x => Long.box(x.durationMs)).orNull
+            )
+          }
+        }(enc)
+        .orderBy("video_id")
+    }),
     // audio face of the same pattern: WAV/RIFF chunk walk → sample rate,
     // channels, bit depth, arithmetic duration — hash-checked vs the twin
     "x22_audio_meta" -> ((s, _) => {
@@ -189,6 +217,10 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "x23_video_meta" ->
+      """SELECT video_id, width, height, duration_ms
+        |FROM '/root/repo/spark-warehouse/graft_video/twin/*.parquet'
+        |ORDER BY video_id""".stripMargin,
     "x22_audio_meta" ->
       """SELECT audio_id, sample_rate, channels, bits, duration_ms
         |FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet'

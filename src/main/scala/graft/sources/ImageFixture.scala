@@ -36,6 +36,34 @@ object ImageFixture {
   }
 }
 
+/** MP4 twin fixture for the x23 video-metadata gate query. */
+object VideoFixture {
+  val dir = "/root/repo/spark-warehouse/graft_video"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def rows: Seq[(Long, Array[Byte], Int, Int, Long)] = (0 until 200).map { i =>
+    val w = 160 + (i * 16) % 3840
+    val h = 120 + (i * 9) % 2160
+    val durMs = 500L + (i * 733) % 600000
+    (i.toLong, VideoMeta.synthesize(w, h, durMs, junk = 32 + (i * 19) % 256, seed = i), w, h, durMs)
+  }
+
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _, _) => (id, p) }
+        .toDF("video_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h, durMs) => (id, w, h, durMs) }
+        .toDF("video_id", "width", "height", "duration_ms")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
 /** WAV twin fixture for the x22 audio-metadata gate query (same pattern as
   * [[ImageFixture]]: binary payloads + independent metadata twin). */
 object AudioFixture {
