@@ -37,9 +37,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object ExactPercentile {
 
-  /** One output column per (alias, percentage), exact-interpolated. */
+  /** One output column per (alias, percentage), exact-interpolated.
+    * NULL values are excluded up front — the built-in `percentile` (and
+    * DuckDB `quantile_cont`) ignore NULLs, so counting them would shift
+    * every order-statistic position and could interpolate against a null
+    * endpoint (ADVICE r02). */
   def apply(df: DataFrame, group: String, value: Column, ps: Seq[(String, Double)]): DataFrame = {
     val counts = df
+      .where(value.isNotNull)
       .groupBy(col(group), value.as("x"))
       .agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(group).orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -70,16 +70,14 @@ object Similarity {
   // ---- deterministic hyperplane LSH machinery ------------------------------
 
   /** component quantization grid: v → round(v * 2^20) as int64 */
-  // Quant/MaxDims feed the oracle SQL and MUST match BandSigsExpr's
-  // hardcoded 2^20 grid and 256-dim cap (the expression computes what the
-  // SQL mirrors).
+  // Quant feeds the oracle SQL and MUST match BandSigsExpr's hardcoded
+  // 2^20 grid (the expression computes what the SQL mirrors). Plane
+  // weights are per-(plane, index) deterministic, so both engines derive
+  // the weight table from the observed embedding dimensionality — no
+  // silent component cap on either side (ADVICE r02).
   private val Quant = 1L << 20
   private val NPlanes = 32
   private val BandRows = 4 // 8 OR-ed hash tables of 4 planes each
-  /** planes are generated for dims up to this cap; the position join drops
-    * unused rows, so no driver-side action is needed to discover the
-    * embedding dimensionality. */
-  private val MaxDims = 256
 
   /** (vec_id, band, bucket) signature rows via the native single-pass
     * BandSigs expression: quantized components × md5-seeded ±1 weights,
@@ -198,8 +196,20 @@ object Similarity {
     * corpus path — the expensive half of IVF, run once per corpus. Returns
     * the index directory. */
   private[graft] def ivfEnsureIndex(s: SparkSession, d: String, nlist: Int, iters: Int): String = synchronized {
+    // Cache key includes a CONTENT fingerprint of the corpus files
+    // (name/size/mtime), not just the path — regenerating the corpus at the
+    // same path invalidates the persisted index instead of silently reusing
+    // stale centroids/lists (ADVICE r02).
+    val fp = {
+      val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stats =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
+        else Array(fs.getFileStatus(p))
+      stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").mkString(",")
+    }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$nlist|$iters".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(s"$d|$fp|$nlist|$iters".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = s"/root/repo/spark-warehouse/graft_ivf/$key"
     if (!new java.io.File(s"$dir/lists").exists()) {
       val emb = table(s, d, "embeddings")
@@ -310,7 +320,8 @@ object Similarity {
     s"""planes AS (
        |  SELECT p, i,
        |    (('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1 AS wgt
-       |  FROM (SELECT unnest(range($NPlanes)) AS p), (SELECT unnest(range($MaxDims)) AS i)),
+       |  FROM (SELECT unnest(range($NPlanes)) AS p),
+       |       (SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings))) AS i)),
        |comps AS (
        |  SELECT vec_id, p,
        |    sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * $Quant) AS BIGINT) * wgt) AS proj

@@ -31,6 +31,10 @@ object AudioMeta {
         rate = u32le(b, i + 12).toInt
         bits = u16le(b, i + 22)
       } else if (id == "data") dataBytes = len
+      // u32 chunk length: values over Int.MaxValue wrap negative after
+      // .toInt, making the advance ≤ 0 (infinite loop / negative index on
+      // untrusted executor-side bytes) — reject the file instead.
+      if (len > Int.MaxValue - 16) return None
       i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     if (rate > 0 && dataBytes >= 0) Some(Meta("audio/wav", rate, chans, bits, dataBytes)) else None

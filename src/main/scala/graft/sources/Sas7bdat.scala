@@ -204,6 +204,18 @@ object Sas7bdat {
     }
   }
 
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+    * round-trips it through its own `Writable` form so executor-side page
+    * reads resolve the filesystem with the DRIVER's configuration (S3A
+    * credentials, defaultFS, client tuning) instead of whatever the
+    * executor classpath defaults happen to be. */
+  private final class SerializableConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = { out.defaultWriteObject(); value.write(out) }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+    }
+  }
+
   /** Distributed scan: driver parses metadata, executors decode disjoint
     * page ranges (seek + readFully per page — splittable like any
     * fixed-block format). */
@@ -212,12 +224,13 @@ object Sas7bdat {
     val meta = parseMeta(hadoopReadAt(p, spark.sparkContext.hadoopConfiguration))
     val schema = sparkSchema(meta)
     val parallelism = math.max(1, math.min(meta.pageCount, spark.sparkContext.defaultParallelism.toLong)).toInt
+    val serConf = new SerializableConf(spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .range(0, meta.pageCount, 1, parallelism)
       .mapPartitions { pages =>
         // one open stream per partition; seek + readFully per page
         val p = new Path(pathStr)
-        val in = p.getFileSystem(new Configuration()).open(p)
+        val in = p.getFileSystem(serConf.value).open(p)
         val buf = new Array[Byte](meta.pageSize)
         val it = pages.flatMap { i =>
           in.readFully(meta.headerSize + i * meta.pageSize, buf)

@@ -177,30 +177,39 @@ case class BandSigsExpr(child: Expression, nPlanes: Int, bandRows: Int)
 }
 
 object BandSigsExpr {
-  val MaxDims = 256
 
-  /** ±1 weight matrix, md5("p:i") mod 2 → {-1, 1}; computed once per JVM.
-    * Identical to the SQL `(('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2) * 2 - 1`. */
+  /** ±1 weight matrix, md5("p:i") mod 2 → {-1, 1} — per-entry deterministic
+    * (independent of table size), identical to the SQL
+    * `(('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2) * 2 - 1`.
+    * The table GROWS to the observed embedding dimensionality (ADVICE r02:
+    * a fixed 256 cap silently ignored components of 384/768/1536-dim
+    * embeddings); sizing rounds up to a power of two so concurrent growth
+    * converges in O(log dims) regenerations per JVM. */
   private val weightCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Long]]]()
-  private def weights(nPlanes: Int): Array[Array[Long]] =
-    weightCache.computeIfAbsent(
-      nPlanes,
-      _ => {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Array.tabulate(nPlanes, MaxDims) { (p, i) =>
-          md.reset()
-          val digest = md.digest(s"$p:$i".getBytes("UTF-8"))
-          var v = 0L
-          var b = 0
-          while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
-          ((v >>> 4) % 2) * 2 - 1 // first 15 hex digits, mod 2, → ±1
-        }
-      }
-    )
+  private def genWeights(nPlanes: Int, dims: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dims) { (p, i) =>
+      md.reset()
+      val digest = md.digest(s"$p:$i".getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      ((v >>> 4) % 2) * 2 - 1 // first 15 hex digits, mod 2, → ±1
+    }
+  }
+  private def weights(nPlanes: Int, minDims: Int): Array[Array[Long]] = {
+    val cur = weightCache.get(nPlanes)
+    if (cur != null && cur(0).length >= minDims) cur
+    else {
+      var dims = 256
+      while (dims < minDims) dims <<= 1
+      weightCache.merge(nPlanes, genWeights(nPlanes, dims), (a, b) => if (a(0).length >= b(0).length) a else b)
+    }
+  }
 
   def compute(emb: ArrayData, nPlanes: Int, bandRows: Int): ArrayData = {
-    val w = weights(nPlanes)
-    val n = math.min(emb.numElements(), MaxDims)
+    val n = emb.numElements()
+    val w = weights(nPlanes, n)
     val vq = new Array[Long](n)
     var i = 0
     while (i < n) {

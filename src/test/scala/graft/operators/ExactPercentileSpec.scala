@@ -51,6 +51,28 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(r(2) === (("c", 1.0, 2.0, 3.0))) // exact integer positions
   }
 
+  test("NULL values are ignored, matching the built-in (ADVICE r02)") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", None), ("a", Some(5.0)),
+      ("b", Some(2.0)), ("b", None)
+    ).toDF("g", "v")
+    val ps = Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0)
+    val ours = ExactPercentile(df, "g", col("v"), ps).orderBy("g").collect()
+    val builtin = df
+      .groupBy("g")
+      .agg(
+        ps.map { case (nm, p) => expr(s"percentile(v, $p)").as(nm) }.head,
+        ps.tail.map { case (nm, p) => expr(s"percentile(v, $p)").as(nm) }: _*
+      )
+      .orderBy("g")
+      .collect()
+    ours.zip(builtin).foreach { case (a, b) =>
+      ps.indices.foreach(i => assert(a.getDouble(i + 1) === b.getDouble(i + 1), s"${a.getString(0)} ${ps(i)._1}"))
+    }
+    // with nulls counted, a-p50 would sit between a null and 1.0 instead of at 3.0
+    assert(ours.find(_.getString(0) == "a").get.getDouble(2) === 3.0)
+  }
+
   test("plan: no percentile hash-map aggregate, window sort is the heavy op") {
     val li = graft.Graft.table(spark, "/root/testdata/sf0.001", "lineitem")
     val plan = ExactPercentile(li, "l_returnflag", col("l_quantity"), Seq("p50" -> 0.5))

@@ -39,6 +39,24 @@ class SimilarityTextSpec extends AnyFunSuite {
     assert(rows(3)._3 === -1000000L)
   }
 
+  test("band signatures use components beyond index 255 (ADVICE r02: no silent dim cap)") {
+    // only component 290 is nonzero: under the old 256-dim truncation every
+    // projection would be 0 → all band buckets 0 for both vectors
+    val big = Seq(
+      (0L, Array.tabulate(384)(i => if (i == 290) 1.0f else 0.0f), 0),
+      (1L, Array.tabulate(384)(i => if (i == 290) -1.0f else 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val sigs = big
+      .select(graft.functions.BandSigs($"embedding", 32, 4).as("sigs"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("sigs"))
+    assert(sigs.forall(_.length === 8))
+    // opposite vectors flip every projection sign → complementary buckets,
+    // and at least one bucket per vector must be nonzero
+    assert(sigs.exists(_.exists(_ != 0L)), "all buckets zero — tail components ignored")
+    assert(sigs(0).zip(sigs(1)).forall { case (a, b) => (a & b) == 0L }, "opposite vectors share set bits")
+  }
+
   test("LSH ANN returns plausible neighbors (parallel vectors same bucket)") {
     val rows = Similarity
       .queries("x06_sim_ann_lsh")(spark, dir)

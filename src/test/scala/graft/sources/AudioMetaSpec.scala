@@ -25,6 +25,18 @@ class AudioMetaSpec extends AnyFunSuite {
     assert(AudioMeta.parse(ImageMeta.synthesize("image/png", 4, 4, 4, 1)) === None)
   }
 
+  test("malformed u32 chunk length is rejected instead of looping (ADVICE r02)") {
+    val base = AudioMeta.synthesize(8000, 1, 8, nSamples = 100, seed = 2)
+    // corrupt the fmt chunk length to 0xFFFFFFF8: advance would be 0 → spin
+    val evil = base.clone()
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte; evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(AudioMeta.parse(evil) === None) // must return, not hang
+    // and a merely-negative-index variant (0x80000010)
+    val evil2 = base.clone()
+    evil2(16) = 0x10.toByte; evil2(17) = 0; evil2(18) = 0; evil2(19) = 0x80.toByte
+    assert(AudioMeta.parse(evil2) === None)
+  }
+
   test("gate fixture payloads parse to exactly the twin metadata") {
     AudioFixture.rows.foreach { case (id, payload, rate, ch, bits, durMs) =>
       val m = AudioMeta.parse(payload)
