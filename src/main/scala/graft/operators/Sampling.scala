@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Graft.table
+import graft.functions.Hashing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Corpus sampling / split operators [EXT] — the selection layer of a
+  * training-data pipeline: deterministic train/val/test splits, per-language
+  * token-budget subsampling, and domain-mixture statistics. The reference
+  * has no analog (its analytics surface is declared, not implemented —
+  * SURVEY.md §0); these are the operations a 100 TB curation run needs
+  * between dedup (operators/Dedup) and tokenization.
+  *
+  * Scale shape: every operator here is a single scan plus either a
+  * low-cardinality hash aggregation (x24/x27 — partial map-side combine,
+  * shuffle carries a handful of groups) or a per-language window whose
+  * running sum is streaming over an external sort (x26) — no joins on the
+  * corpus, no driver-side state.
+  *
+  * Determinism: splits and sample order derive from the md5-window-15
+  * convention ([[graft.functions.Hashing]]), never from `rand()` — the same
+  * corpus always yields the same split/sample on any cluster layout, which
+  * is what makes training-data lineage reproducible (and what lets the
+  * DuckDB oracle recompute the identical assignment).
+  */
+object Sampling {
+
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** deterministic [0, 100) bucket of a document id */
+  private def docBucket: Column = Hashing.md5Bucket(col("doc_id").cast("string"), 100L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic 80/10/10 train/val/test split by content-free id hash:
+    // the assignment is a pure function of doc_id, so re-runs, retries and
+    // cluster re-partitioning can never move a document across splits.
+    "x24_hash_split" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(
+          when(docBucket < 80, "train").when(docBucket < 90, "val").otherwise("test").as("split"),
+          size(toks).cast("long").as("n_tokens")
+        )
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("split")
+    }),
+
+    // per-language token-budget subsample: documents are ranked by id hash
+    // (a deterministic shuffle) and kept while the language's running token
+    // count stays within budget — the standard way to cap a dominant
+    // language without biasing toward any document property. The window's
+    // running sum streams over a spillable sort, so per-task memory is O(1)
+    // rows at any corpus size.
+    "x26_token_budget_sample" -> ((s, d) => {
+      val budget = 2500L
+      val w = Window
+        .partitionBy("lang")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "documents")
+        .select(
+          col("lang"),
+          col("doc_id"),
+          size(toks).cast("long").as("doc_tokens"),
+          Hashing.md5Window15(col("doc_id").cast("string")).as("h")
+        )
+        .withColumn("cum_tokens", sum("doc_tokens").over(w))
+        .where(col("cum_tokens") <= budget)
+        .select("lang", "doc_id", "doc_tokens", "cum_tokens")
+        .orderBy("lang", "cum_tokens", "doc_id")
+    }),
+
+    // domain-mixture table: per (lang, source) document/token counts and the
+    // integer-ppm sampling weight each domain would get under
+    // proportional-to-tokens mixing. Two tiny aggregations; the corpus-total
+    // denominator is a 1-row broadcast, never a second scan of the data
+    // (the per-domain rollup already holds the sums).
+    "x27_domain_mixture" -> ((s, d) => {
+      val perDomain = table(s, d, "documents")
+        .select(col("lang"), col("source"), size(toks).cast("long").as("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      val total = perDomain.agg(sum("n_tokens").as("total_tokens"))
+      perDomain
+        .crossJoin(broadcast(total))
+        .select(
+          col("lang"),
+          col("source"),
+          col("n_docs"),
+          col("n_tokens"),
+          expr("(n_tokens * 1000000L) div total_tokens").as("weight_ppm")
+        )
+        .orderBy("lang", "source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x24_hash_split" ->
+      """WITH b AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "x26_token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS doc_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, doc_tokens,
+        |    CAST(sum(doc_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT lang, doc_id, doc_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 2500 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    "x27_domain_mixture" ->
+      """WITH d AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  (n_tokens * 1000000) // CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) AS weight_ppm
+        |FROM d ORDER BY lang, source""".stripMargin
+  )
+}

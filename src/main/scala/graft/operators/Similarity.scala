@@ -150,7 +150,70 @@ object Similarity {
     "x12_dedup_embedding" -> ((s, d) => nearDupLsh(s, table(s, d, "embeddings"), tau = 0.4)),
 
     // exact all-pairs near-dup twin of x12 (ground truth / calibration).
-    "x16_dedup_embedding_exact" -> ((s, d) => nearDupExact(s, table(s, d, "embeddings"), tau = 0.4))
+    "x16_dedup_embedding_exact" -> ((s, d) => nearDupExact(s, table(s, d, "embeddings"), tau = 0.4)),
+
+    // kNN label classification — the canonical similarity-search
+    // application (label propagation / weak supervision over a labeled
+    // seed set): majority label among the 5 nearest cosine neighbors.
+    // Same broadcast-query scan shape as x05 (at scale the neighbor stage
+    // swaps to the x06/x13 ANN path unchanged — the voting layer only sees
+    // (qid, label) pairs); votes are integers and neighbor order is the
+    // bit-exact float32 cosine, so the whole pipeline hash-matches DuckDB.
+    "x29_knn_classify" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb
+        .where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("tl"))
+      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label").as("nl"))
+      val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("nl"))
+      c.join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("cos", cosineF(col("qe"), col("ne")))
+        .withColumn("rk", row_number().over(wr))
+        .where(col("rk") <= 5)
+        .groupBy("qid", "tl", "nl")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrk", row_number().over(wv))
+        .where(col("vrk") === 1)
+        .select(
+          col("qid"),
+          col("tl").cast("long").as("true_label"),
+          col("nl").cast("long").as("pred_label"),
+          col("votes")
+        )
+        .orderBy("qid")
+    }),
+
+    // int8 symmetric quantization of the embedding column (the vector-store
+    // compression step: 4× smaller than float32, codes ∈ [−127, 127] with a
+    // per-vector scale). Pure per-row higher-order expressions — single
+    // scan, zero shuffles, embarrassingly parallel at any corpus size.
+    // Emitted metrics (scale, code checksum, max reconstruction error) are
+    // fixed-point integers; every float op involved (widen, multiply,
+    // divide, abs, round-half-away) is IEEE-correctly-rounded and ordered
+    // identically in the DuckDB oracle, so the gate hash-checks the full
+    // quantization arithmetic, not a summary.
+    "x30_embedding_quantize" -> ((s, d) => {
+      val code = (v: Column, scale: Column) =>
+        when(scale === 0.0, lit(0.0)).otherwise(round(v / scale * 127))
+      table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("xd"))
+        .withColumn("scale", array_max(transform(col("xd"), v => abs(v))))
+        .select(
+          col("vec_id"),
+          size(col("xd")).cast("long").as("n_dims"),
+          round(col("scale") * 1e9).cast("long").as("scale_e9"),
+          aggregate(
+            transform(col("xd"), v => code(v, col("scale")).cast("long")),
+            lit(0L),
+            (acc, c) => acc + c
+          ).as("sum_code"),
+          round(
+            array_max(transform(col("xd"), v => abs(code(v, col("scale")) * col("scale") / 127 - v))) * 1e9
+          ).cast("long").as("max_err_e9")
+        )
+        .orderBy("vec_id")
+    })
   )
 
   // ---- IVF machinery -------------------------------------------------------
@@ -375,6 +438,33 @@ object Similarity {
          |  FROM cand JOIN embeddings ea ON id_a = ea.vec_id
          |            JOIN embeddings eb ON id_b = eb.vec_id)
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "x29_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe, label AS tl FROM embeddings WHERE vec_id < 20),
+        |nn AS (
+        |  SELECT q.qid, q.tl, e.label AS nl,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rk
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+        |v AS (SELECT qid, tl, nl, count(*) AS votes FROM nn WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT qid, tl, nl, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS vrk FROM v)
+        |SELECT qid, CAST(tl AS BIGINT) AS true_label, CAST(nl AS BIGINT) AS pred_label, votes
+        |FROM best WHERE vrk = 1 ORDER BY qid""".stripMargin,
+    "x30_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, xd, list_max(list_transform(xd, v -> abs(v))) AS scale FROM e)
+        |SELECT vec_id, len(xd) AS n_dims,
+        |  CAST(round(scale * 1000000000) AS BIGINT) AS scale_e9,
+        |  CAST(list_sum(list_transform(xd, v ->
+        |    CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v / scale * 127) END AS BIGINT))) AS BIGINT) AS sum_code,
+        |  CAST(round(list_max(list_transform(xd, v ->
+        |    abs((CASE WHEN scale = 0 THEN 0 ELSE round(v / scale * 127) END) * scale / 127 - v)))
+        |    * 1000000000) AS BIGINT) AS max_err_e9
+        |FROM s ORDER BY vec_id""".stripMargin,
     "x16_dedup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Graft.table
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -78,6 +79,48 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy("pred_lang", "lang")
     }),
+    // TF-IDF keyword extraction: top-3 terms per query document, scored by
+    // the integer-exact variant score = tf · (N/df) in fixed-point ppm
+    // (one BIGINT multiply + floor divide, identical in both engines —
+    // log-based idf would hinge on libm ulp agreement, which invariant #7
+    // forbids across a hashed gate). Document frequencies are a full-corpus
+    // term aggregation (map-side combine, shuffle on term — the inverted-
+    // index shape); term frequencies are computed for the query docs only,
+    // so the per-doc side never scans the whole corpus.
+    "x25_tfidf_keywords" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tf = docs
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("(tf * n * 1000000L) div df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "score")
+        .orderBy("doc_id", "rk")
+    }),
+    // corpus vocabulary head: global term/document frequencies, top-20 by
+    // total term frequency. The canonical distributed word count — partial
+    // aggregation collapses per-task term counts before the shuffle, and
+    // the ordered limit plans as TakeOrderedAndProject (per-partition top-k,
+    // never a global sort materialization).
+    "x28_vocab_top_terms" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(20)
+    }),
     "x10_text_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
         .select(
@@ -126,6 +169,22 @@ object TextAnalysis {
            |SELECT pred_lang, lang, count(*) AS n FROM p
            |GROUP BY pred_lang, lang ORDER BY pred_lang, lang""".stripMargin
       },
+      "x25_tfidf_keywords" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE doc_id < 20 GROUP BY 1, 2),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |ranked AS (
+          |  SELECT doc_id, tf.term, (tf * n * 1000000) // df AS score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY (tf * n * 1000000) // df DESC, tf.term) AS rk
+          |  FROM tf JOIN df USING (term), n)
+          |SELECT doc_id, rk, term, score FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+      "x28_vocab_top_terms" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents)
+          |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t
+          |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
       "x10_text_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,

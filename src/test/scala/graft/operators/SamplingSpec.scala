@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 corpus operators: splits/sampling/mixture (Sampling), TF-IDF and
+  * vocabulary (TextAnalysis), kNN classification and int8 quantization
+  * (Similarity). Semantic properties on hand-built fixtures plus scale/plan
+  * discipline on the real sf tables.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val dir: String = {
+    val d = TestSpark.tempDir()
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s0", 16L),
+      (1L, "alpha beta beta", "en", "s0", 15L),
+      (2L, "alpha unique", "en", "s1", 12L),
+      (3L, "alpha alpha alpha", "de", "s1", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    // labels: vecs 0/1/2 point +x (label 7), vec 3 points +y (label 3),
+    // query 0 must be classified 7 by its parallel neighbors
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(2.0f, 0.1f), 7),
+      (2L, Array(3.0f, 0.05f), 7),
+      (3L, Array(0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    TestSpark.writeTable(d, "embeddings", embs)
+    d
+  }
+
+  test("x24 hash split: deterministic partition of the corpus, ~80/10/10") {
+    val rows = Sampling
+      .queries("x24_hash_split")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.keySet === Set("train", "val", "test"))
+    assert(rows.values.map(_._1).sum === 500L) // every doc in exactly one split
+    assert(rows("train")._1 > rows("val")._1 && rows("train")._1 > rows("test")._1)
+    // pure function of doc_id: a second evaluation is identical
+    val again = Sampling.queries("x24_hash_split")(spark, sf).collect().map(_.toSeq)
+    assert(again.toSeq === Sampling.queries("x24_hash_split")(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
+  test("x26 token budget: per-language cumulative cap is respected and binding") {
+    val rows = Sampling
+      .queries("x26_token_budget_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 2500L), "cum_tokens above budget")
+    val perLang = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // budget must actually bind at sf0.01 (every lang has >2500 tokens total)
+    assert(perLang.values.forall(t => t > 2000L && t <= 2500L), perLang.toString)
+  }
+
+  test("x27 domain mixture: ppm weights are proportional and sum to ~1e6") {
+    val rows = Sampling.queries("x27_domain_mixture")(spark, sf).collect()
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    // floor division loses < 1 ppm per domain
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length, s"wsum=$wsum")
+    val byTokens = rows.sortBy(-_.getAs[Long]("n_tokens")).map(_.getAs[Long]("weight_ppm"))
+    assert(byTokens.toSeq === byTokens.sortBy(-(_: Long)).toSeq, "weights not monotone in token share")
+  }
+
+  test("x25 TF-IDF: corpus-rare terms outscore corpus-wide terms") {
+    val rows = TextAnalysis
+      .queries("x25_tfidf_keywords")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 2: "unique" (df=1) must beat "alpha" (df=4) despite equal tf
+    val doc2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(doc2.head._3 === "unique")
+    assert(doc2.head._4 > doc2(1)._4)
+    // doc 1: tf=2 "beta" (df=2) outscores tf=1 "alpha" (df=4)
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.head._3 === "beta")
+  }
+
+  test("x28 vocabulary: global tf/df ranks the corpus-dominant term first") {
+    val rows = TextAnalysis
+      .queries("x28_vocab_top_terms")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head === (("alpha", 6L, 4L))) // 6 occurrences across all 4 docs
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-(_: Long)).toSeq)
+  }
+
+  test("x29 kNN classify: parallel cluster wins the vote") {
+    val rows = Similarity
+      .queries("x29_knn_classify")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q0 = rows.find(_._1 == 0L).get
+    assert(q0._2 === 7L && q0._3 === 7L, "query 0 should be voted into the +x cluster")
+    assert(q0._4 >= 2L)
+    val q3 = rows.find(_._1 == 3L).get
+    assert(q3._3 === 7L, "lone +y vector is outvoted by the +x cluster") // honest kNN failure mode
+  }
+
+  test("x30 quantization: codes bounded, max component exact, error within half-step") {
+    val rows = Similarity
+      .queries("x30_embedding_quantize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 500)
+    rows.foreach { case (id, nDims, scaleE9, sumCode, maxErrE9) =>
+      assert(nDims === 64L)
+      assert(math.abs(sumCode) <= 127L * nDims, s"vec $id code sum out of int8 range")
+      // quantization error is at most half a step = scale / 254 (+1 for the e9 rounding)
+      assert(maxErrE9 <= scaleE9 / 254 + 1, s"vec $id err $maxErrE9 vs bound ${scaleE9 / 254}")
+    }
+  }
+
+  test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
+    val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
+    // sort for the output ORDER BY is the only allowed exchange
+    assert(!p30.contains("hashpartitioning"), "x30 shuffled a per-row pipeline")
+    val p24 = Sampling.queries("x24_hash_split")(spark, sf).queryExecution.executedPlan.toString
+    assert(p24.contains("partial"), "x24 missing map-side partial aggregation")
+  }
+}
