@@ -151,6 +151,32 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- cross-document repeated-span profile ------------------------------
+    // The exact-substring-dedup diagnostic: for every document, what share
+    // of its word-5-gram spans also occurs in some OTHER document? (Within-
+    // doc repetition is x19; pairwise similarity is x02 — this is the
+    // per-document "how much of me is boilerplate" measure that drives span
+    // removal decisions.) One explode + one gram-key aggregation + one
+    // equi-join back; gram keys are 8-byte hashes (native TokenGramHashes),
+    // never strings. df is capped by nothing here because the aggregation
+    // output is one row per gram — the quadratic pair blowup of an
+    // inverted-index SELF-join cannot occur in this shape.
+    "x31_span_stats" -> ((s, d) => {
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"), explode(graft.functions.TokenGramHashes(col("text"), 5)).as("g"))
+      // TokenGramHashes dedups within the row, so count(*) = document freq
+      val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams
+        .join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_grams")
+        )
+        .withColumn("shared_ppm", expr("(n_shared_grams * 1000000L) div n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // ---- char-4-gram near-dup via MinHash signatures -----------------------
     // Character shingles come from a tiny alphabet, so common 4-grams occur
     // in nearly every document: a raw inverted-index self-join is quadratic
@@ -312,6 +338,21 @@ object Dedup {
          |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
          |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x31_span_stats" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+        |  FROM words, unnest(generate_series(1, len(w)-4)) t(i) WHERE len(w) >= 5),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams
+        |  FROM g JOIN df USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_shared_grams,
+        |  (n_shared_grams * 1000000) // n_grams AS shared_ppm
+        |FROM p ORDER BY doc_id""".stripMargin,
     "x14_dedup_chargram" -> {
       val agree = (0 until K).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH t AS (

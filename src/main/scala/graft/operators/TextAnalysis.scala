@@ -121,6 +121,30 @@ object TextAnalysis {
         .orderBy(col("tf").desc, col("term"))
         .limit(20)
     }),
+    // keyword document retrieval: rank the corpus against a term query by
+    // summed integer tf·idf. The query-term filter is applied at the explode
+    // (a pushed-down scan predicate at 100 TB — only matching tokens ever
+    // reach a shuffle), term stats aggregate over query terms only, and the
+    // final ordered limit plans as TakeOrderedAndProject.
+    "x32_keyword_search" -> ((s, d) => {
+      val qterms = Seq("table", "spark", "window")
+      val docs = table(s, d, "documents")
+      val hits = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .where(col("term").isInCollection(qterms))
+      val dfreq = hits.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      hits
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tscore", expr("(tf * n * 1000000L) div df"))
+        .groupBy("doc_id")
+        .agg(sum("tscore").as("score"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
     "x10_text_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
         .select(
@@ -185,6 +209,16 @@ object TextAnalysis {
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents)
           |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t
           |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
+      "x32_keyword_search" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+          |q AS (SELECT doc_id, term FROM t WHERE term IN ('table', 'spark', 'window')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
+          |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
+          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
       "x10_text_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,

@@ -119,6 +119,31 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("x31 span stats: planted shared 5-gram span is attributed to both docs") {
+    val d = TestSpark.tempDir()
+    val docs = Seq(
+      (0L, "one two three four five six", "en", "s", 27L), // grams: {12345, 23456}
+      (1L, "zz one two three four five", "en", "s", 26L), // shares "one two three four five"
+      (2L, "aa bb cc dd ee ff", "en", "s", 17L) // disjoint
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val rows = Dedup
+      .queries("x31_span_stats")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((0L, 2L, 1L, 500000L), (1L, 2L, 1L, 500000L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("x32 keyword search: integer tf-idf retrieval returns a full ranked page") {
+    val rows = TextAnalysis
+      .queries("x32_keyword_search")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-(_: Long)).toSeq, "scores not descending")
+    assert(rows.forall(r => r._2 > 0 && r._3 >= 1 && r._3 <= 3))
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
