@@ -205,6 +205,60 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
+    // REAL pixel decode + resize in the gate: 24bpp BMP payload bytes →
+    // pixel array → nearest-neighbor 8×8 resample → position-weighted
+    // checksum. The oracle recomputes the checksum from the fixture's pixel
+    // FORMULA plus the same integer resize mapping — it never parses a
+    // byte of BMP — so a hash match proves the decode and resample
+    // arithmetic end-to-end (not a twin echo). Compressed formats (PNG/
+    // JPEG deflate/DCT) remain stubbed per the environment.
+    "x33_bmp_decode_resize" -> ((s, _) => {
+      graft.sources.BmpFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.BmpFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val img = graft.sources.BmpPixels.decode(r.getAs[Array[Byte]]("payload")).get
+            val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+            Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
+    // REAL PCM sample decode: WAV data bytes → signed samples → integer
+    // loudness features (Σ|s|, peak). Oracle recomputes from the fixture's
+    // closed-form byte formula — again first-principles, not an echo.
+    "x34_audio_pcm_features" -> ((s, _) => {
+      graft.sources.AudioFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("n_samples", LongType),
+          StructField("sum_abs", LongType),
+          StructField("peak", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.AudioFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val (n, sumAbs, peak) =
+              graft.sources.AudioMeta.pcmFeatures(r.getAs[Array[Byte]]("payload")).get
+            Row(r.getAs[Long]("audio_id"), n, sumAbs, peak)
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
     "x11_multimodal_meta" -> ((s, d) => {
       withPayload(table(s, d, "documents"))
         .select(
@@ -231,6 +285,40 @@ object Multimodal {
         |ORDER BY img_id""".stripMargin,
     "x11_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // first-principles pixel oracle: fixture formula + the same integer
+    // nearest-neighbor mapping, never touching the BMP bytes
+    "x33_bmp_decode_resize" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_bmp/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj)
+        |SELECT img_id, width, height,
+        |  CAST(sum(wgt * (
+        |      3 * ((img_id * 7 + sx * 3 + sy * 5) % 256)
+        |    + 5 * ((img_id * 11 + sx + sy * 2) % 256)
+        |    + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
+        |FROM px GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
+    // first-principles PCM oracle: the synthesizer's byte formula
+    // b_k = (id*17 + 3k) % 121, reassembled into u8-biased / s16le samples
+    "x34_audio_pcm_features" ->
+      """WITH t AS (
+        |  SELECT audio_id AS id, channels, bits
+        |  FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet'),
+        |n AS (SELECT id, bits, (50 + (id * 37) % 3000) * channels AS total FROM t),
+        |s AS (SELECT id, bits, total, unnest(range(total)) AS m FROM n),
+        |v AS (
+        |  SELECT id, total, CASE WHEN bits = 16
+        |    THEN abs(((id * 17 + 6 * m) % 121) + 256 * ((id * 17 + 6 * m + 3) % 121))
+        |    ELSE abs(((id * 17 + 3 * m) % 121) - 128) END AS a
+        |  FROM s)
+        |SELECT id AS audio_id, CAST(max(total) AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS peak
+        |FROM v GROUP BY id ORDER BY audio_id""".stripMargin
   )
 }

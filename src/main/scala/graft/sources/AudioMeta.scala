@@ -40,6 +40,44 @@ object AudioMeta {
     if (rate > 0 && dataBytes >= 0) Some(Meta("audio/wav", rate, chans, bits, dataBytes)) else None
   }
 
+  /** REAL sample decode: WAV PCM payload bytes are raw LE samples (8-bit
+    * unsigned, 16-bit signed), so amplitude features run without any codec.
+    * Returns (total interleaved samples, Σ|sample|, max |sample|) — the
+    * loudness/clipping first pass of an audio curation pipeline. The x34
+    * oracle recomputes these from the fixture's closed-form sample formula,
+    * so a gate match proves the byte-level PCM decode arithmetic itself. */
+  def pcmFeatures(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    val meta = parse(b).filter(m => m.bitsPerSample == 8 || m.bitsPerSample == 16)
+    meta.flatMap { m =>
+      // locate the data chunk again (parse only kept its length)
+      var i = 12
+      var dataOfs = -1
+      while (i + 8 <= b.length && dataOfs < 0) {
+        val len = u32le(b, i + 4)
+        if (len > Int.MaxValue - 16) return None
+        if (tag(b, i) == "data") dataOfs = i + 8
+        else i += 8 + len.toInt + (len.toInt & 1)
+      }
+      val n = m.dataBytes.toInt / (m.bitsPerSample / 8)
+      if (dataOfs < 0 || dataOfs.toLong + m.dataBytes > b.length) None
+      else {
+        var sumAbs = 0L
+        var peak = 0L
+        var k = 0
+        while (k < n) {
+          val s =
+            if (m.bitsPerSample == 8) (b(dataOfs + k) & 0xff) - 128 // u8 with 128 bias
+            else (u16le(b, dataOfs + 2 * k).toShort).toInt // s16le sign-extended
+          val a = math.abs(s).toLong
+          sumAbs += a
+          if (a > peak) peak = a
+          k += 1
+        }
+        Some((n.toLong, sumAbs, peak))
+      }
+    }
+  }
+
   private def le32(v: Long): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
   private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)

@@ -37,6 +37,25 @@ class AudioMetaSpec extends AnyFunSuite {
     assert(AudioMeta.parse(evil2) === None)
   }
 
+  test("PCM features decode real sample bytes (8-bit bias, 16-bit sign extension)") {
+    // 16-bit: bytes k = (seed*17 + 3k) % 121 → sample m = b(2m) + 256*b(2m+1)
+    val b16 = AudioMeta.synthesize(8000, 1, 16, nSamples = 4, seed = 5)
+    val (n16, sum16, peak16) = AudioMeta.pcmFeatures(b16).get
+    val exp16 = (0 until 4).map(m => ((5 * 17 + 6 * m) % 121) + 256 * ((5 * 17 + 6 * m + 3) % 121))
+    assert(n16 === 4L && sum16 === exp16.sum.toLong && peak16 === exp16.max.toLong)
+    // 8-bit unsigned: sample = byte − 128
+    val b8 = AudioMeta.synthesize(8000, 2, 8, nSamples = 3, seed = 2)
+    val (n8, sum8, peak8) = AudioMeta.pcmFeatures(b8).get
+    val exp8 = (0 until 6).map(k => math.abs(((2 * 17 + 3 * k) % 121) - 128))
+    assert(n8 === 6L && sum8 === exp8.sum.toLong && peak8 === exp8.max.toLong)
+    // true sign extension: a hand-built s16le sample of -2 (0xFE 0xFF)
+    val neg = b16.clone()
+    val dataOfs = b16.length - 8 // 4 samples * 2 bytes from the end
+    neg(dataOfs) = 0xfe.toByte; neg(dataOfs + 1) = 0xff.toByte
+    val (_, _, peakNeg) = AudioMeta.pcmFeatures(neg).get
+    assert(peakNeg === math.max(2L, exp16.drop(1).max.toLong))
+  }
+
   test("gate fixture payloads parse to exactly the twin metadata") {
     AudioFixture.rows.foreach { case (id, payload, rate, ch, bits, durMs) =>
       val m = AudioMeta.parse(payload)
