@@ -8,9 +8,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 /** Multimodal column plumbing [EXT]: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * The decode step itself is STUBBED (no image/audio libraries in this
-  * environment — see the builder brief): [[decodeStub]] derives
-  * deterministic fake metadata from the raw bytes. Everything around it is
+  * Decode reality, format by format: container METADATA parsing is real for
+  * PNG/JPEG/GIF/BMP, WAV and MP4 (x21/x22/x23); full PIXEL/SAMPLE decode is
+  * real wherever the payload is raw bytes — 24bpp BMP decode + resize
+  * (x33, [[graft.sources.BmpPixels]]), WAV PCM loudness features (x34,
+  * [[graft.sources.AudioMeta.pcmFeatures]]), raw-video frame sampling
+  * (x35, [[graft.sources.RawVideo]]) — each hash-checked against a
+  * first-principles DuckDB oracle. Only COMPRESSED bitstreams (PNG deflate,
+  * JPEG DCT, MP3, H.264) fall back to [[decodeStub]], since no codec
+  * libraries exist in this environment. Everything around the decode is
   * the real Spark shape that scales to 100 TB of media:
   *   - payloads stay opaque `BinaryType` columns (never stringified);
   *   - decode runs via `mapPartitions` so a real codec would amortize
@@ -259,6 +265,35 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
+    // REAL frame sampling: raw uncompressed video payloads (rawvideo/y4m
+    // shape) → every-3rd-frame schedule → per-frame nearest-neighbor 4×4
+    // tile → weighted checksum, one output row per sampled frame (the
+    // explode shape of a frame-cutting pipeline). First-principles oracle
+    // again: the pixel formula + the sampling schedule + the resize map,
+    // recomputed entirely in SQL.
+    "x35_video_frame_sample" -> ((s, _) => {
+      graft.sources.RawVideoFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("video_id", LongType),
+          StructField("frame_idx", LongType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.RawVideoFixture.payloadPath)
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val v = graft.sources.RawVideo.decode(r.getAs[Array[Byte]]("payload")).get
+            val id = r.getAs[Long]("video_id")
+            graft.sources.RawVideo
+              .sampleIndices(v.nFrames, everyK = 3)
+              .map(t => Row(id, t.toLong, graft.sources.RawVideo.frameChecksum(v, t, 4, 4)))
+          }
+        }(enc)
+        .orderBy("video_id", "frame_idx")
+    }),
     "x11_multimodal_meta" -> ((s, d) => {
       withPayload(table(s, d, "documents"))
         .select(
@@ -304,6 +339,24 @@ object Multimodal {
         |    + 5 * ((img_id * 11 + sx + sy * 2) % 256)
         |    + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
         |FROM px GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
+    // first-principles frame oracle: sampling schedule + pixel formula +
+    // resize map, all recomputed in SQL
+    "x35_video_frame_sample" ->
+      """WITH t AS (
+        |  SELECT video_id AS id, width, height, n_frames
+        |  FROM '/root/repo/spark-warehouse/graft_rawvideo/twin/*.parquet'),
+        |fr AS (SELECT id, width, height, unnest(range(0, n_frames, 3)) AS t FROM t),
+        |g AS (SELECT unnest(range(4)) AS v),
+        |px AS (
+        |  SELECT id, t, (gj.v * 4 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 4 AS sx, (gj.v * height) // 4 AS sy
+        |  FROM fr, g gi, g gj)
+        |SELECT id AS video_id, t AS frame_idx,
+        |  CAST(sum(wgt * (
+        |      3 * ((id * 7 + t * 3 + sx * 5 + sy * 11) % 256)
+        |    + 5 * ((id * 11 + t * 5 + sx * 2 + sy * 3) % 256)
+        |    + 7 * ((id * 13 + t * 7 + sx + sy * 2) % 256))) AS BIGINT) AS checksum
+        |FROM px GROUP BY id, t ORDER BY video_id, frame_idx""".stripMargin,
     // first-principles PCM oracle: the synthesizer's byte formula
     // b_k = (id*17 + 3k) % 121, reassembled into u8-biased / s16le samples
     "x34_audio_pcm_features" ->
