@@ -48,15 +48,21 @@ object Curation {
       )
       .distinct()
 
+  /** The PII scrub as a reusable Column — email/IPv4/phone → placeholder
+    * tokens, three chained codegen'd regexp_replace passes. Stateless and
+    * per-row, so the same expression runs in batch (x17) and inside a
+    * streaming query ([[graft.streaming.EventStreams.curateDocs]]). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      PhoneRe,
+      "<PHONE>"
+    )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- PII redaction: single codegen'd scan ------------------------------
     "x17_pii_redact" -> ((s, d) => {
-      val redacted =
-        regexp_replace(
-          regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
-          PhoneRe,
-          "<PHONE>"
-        )
+      val redacted = redact(col("text"))
       table(s, d, "documents")
         .select(
           col("doc_id"),

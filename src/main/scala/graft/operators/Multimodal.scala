@@ -233,9 +233,14 @@ object Multimodal {
         .parquet(graft.sources.BmpFixture.payloadPath)
         .mapPartitions { it =>
           it.map { r =>
-            val img = graft.sources.BmpPixels.decode(r.getAs[Array[Byte]]("payload")).get
-            val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
-            Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
+            // undecodable payloads yield null metrics (quarantine-friendly),
+            // never a task-killing exception — same discipline as x21/x22
+            graft.sources.BmpPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null)
+            }
           }
         }(enc)
         .orderBy("img_id")
@@ -258,9 +263,10 @@ object Multimodal {
         .parquet(graft.sources.AudioFixture.payloadPath)
         .mapPartitions { it =>
           it.map { r =>
-            val (n, sumAbs, peak) =
-              graft.sources.AudioMeta.pcmFeatures(r.getAs[Array[Byte]]("payload")).get
-            Row(r.getAs[Long]("audio_id"), n, sumAbs, peak)
+            graft.sources.AudioMeta.pcmFeatures(r.getAs[Array[Byte]]("payload")) match {
+              case Some((n, sumAbs, peak)) => Row(r.getAs[Long]("audio_id"), n, sumAbs, peak)
+              case None => Row(r.getAs[Long]("audio_id"), null, null, null)
+            }
           }
         }(enc)
         .orderBy("audio_id")
@@ -285,11 +291,14 @@ object Multimodal {
         .parquet(graft.sources.RawVideoFixture.payloadPath)
         .mapPartitions { it =>
           it.flatMap { r =>
-            val v = graft.sources.RawVideo.decode(r.getAs[Array[Byte]]("payload")).get
             val id = r.getAs[Long]("video_id")
-            graft.sources.RawVideo
-              .sampleIndices(v.nFrames, everyK = 3)
-              .map(t => Row(id, t.toLong, graft.sources.RawVideo.frameChecksum(v, t, 4, 4)))
+            graft.sources.RawVideo.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(v) =>
+                graft.sources.RawVideo
+                  .sampleIndices(v.nFrames, everyK = 3)
+                  .map(t => Row(id, t.toLong, graft.sources.RawVideo.frameChecksum(v, t, 4, 4)))
+              case None => Seq(Row(id, null, null)) // quarantine row, never a thrown task
+            }
           }
         }(enc)
         .orderBy("video_id", "frame_idx")

@@ -86,6 +86,24 @@ object EventStreams {
     ).select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Streaming curation gate [EXT]: the per-document quality filter + PII
+    * scrub as an incremental query — documents arriving on a stream are
+    * token-counted, dropped when too short, and redacted, exactly the batch
+    * x08/x17 semantics (the expressions are shared, not re-implemented).
+    * Every transform is stateless/per-row, so there is NO state store at
+    * all: the query sustains any input rate and never grows memory — the
+    * ingest-time shape of a training-data pipeline that curates as data
+    * lands rather than in a nightly batch. */
+  def curateDocs(docs: DataFrame, minTokens: Int = 3): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .where(col("n_tokens") >= minTokens)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        graft.operators.Curation.redact(col("text")).as("text")
+      )
+
   /** Wire a streaming source through [[windowedCounts]] to a sink. */
   def run(spark: SparkSession, source: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
     windowedCounts(source).writeStream

@@ -185,12 +185,27 @@ class SimilarityTextSpec extends AnyFunSuite {
     assert(planLines.exists(l => l.contains("*(") && l.contains("cosine_f32")))
   }
 
-  test("cosine_f32 is callable from SQL via GraftExtensions registration") {
+  test("every native expression is callable from SQL via GraftExtensions registration") {
     val ext = new graft.plans.GraftExtensions()
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql("SELECT cosine_f32(array(cast(1.0 as float)), array(cast(2.0 as float))) AS c").head()
     assert(r.getDouble(0) === 1.0)
-    assert(ext != null)
+    assert(ext != null && graft.plans.GraftExtensions.all.size === 6)
+    // each SQL call must agree with its Column-API twin
+    assert(
+      spark.sql("SELECT rolling_hash('abc', 1000000007)").head().getLong(0) ===
+        Seq(("abc", 1)).toDF("text", "i").select(graft.functions.RollingHash($"text")).head().getLong(0)
+    )
+    val viaSql = spark.sql("SELECT token_gram_hashes('a b c d', 3)").head().getSeq[Long](0)
+    val viaCol = Seq(("a b c d", 1)).toDF("text", "i")
+      .select(graft.functions.TokenGramHashes($"text", 3)).head().getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.length === 2)
+    assert(spark.sql("SELECT char_gram_hashes('abcd', 4)").head().getSeq[Long](0).length === 1)
+    assert(spark.sql("SELECT simhash_sig('hello world')").head().getSeq[Long](0).length === 2)
+    assert(
+      spark.sql("SELECT band_sigs(array(cast(0.5 as float), cast(-0.25 as float)), 32, 4)")
+        .head().getSeq[Long](0).length === 8
+    )
   }
 
   test("multimodal: payload plumbing and stubbed decode schema") {

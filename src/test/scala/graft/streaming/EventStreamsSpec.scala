@@ -146,4 +146,29 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(last(8L) === 1L)
     } finally q.stop()
   }
+
+  test("streaming curation gate: short docs dropped, PII redacted, zero state store") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val curated = EventStreams.curateDocs(input.toDF().toDF("doc_id", "text"))
+    val q = curated.writeStream.format("memory").queryName("cur").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "contact me at alice@example.com for the data"),
+        (2L, "too short"), // 2 tokens < 3 → dropped
+        (3L, "server at 10.1.2.3 responded fine")
+      )
+      q.processAllAvailable()
+      input.addData((4L, "call +1 555 123 9876 before noon")) // later micro-batch
+      q.processAllAvailable()
+      val rows = spark.table("cur").collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(rows.keySet === Set(1L, 3L, 4L))
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("alice@"))
+      assert(rows(3L).contains("<IP>") && !rows(3L).contains("10.1.2.3"))
+      assert(rows(4L).contains("<PHONE>") && !rows(4L).contains("9876"))
+      // stateless: the progress log must report no state store operators
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
