@@ -360,6 +360,53 @@ object Advanced {
         .orderBy("state_code")
     }),
 
+    // LATERAL correlated subquery (SQL surface): per-customer top-2 orders
+    // through a lateral derived table — Catalyst decorrelates the
+    // ORDER BY/LIMIT into a per-key window group-limit, so the physical
+    // plan is the partial top-k shape, not one subquery execution per row.
+    "q41_lateral_topk" -> ((s, d) => {
+      table(s, d, "customer").createOrReplaceTempView("v_customer")
+      table(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+              |FROM v_customer,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM v_orders
+              |         WHERE o_custkey = c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+              |WHERE c_custkey < 20
+              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
+    // Time-series gap fill + forward fill: the spine of 5-minute buckets
+    // per user is generated with sequence/explode (never a driver loop),
+    // actual per-bucket aggregates left-join onto it, and missing values
+    // carry forward via last(_, ignoreNulls) over a streaming running
+    // window. Bucket arithmetic stays in integer epoch-seconds on the raw
+    // nanos column — no timezone-typed value ever crosses the gate
+    // (invariant #6).
+    "q42_gap_fill" -> ((s, d) => {
+      val e = table(s, d, "events")
+        .where(col("user_id") < 5)
+        .select(col("user_id"), expr("((ts div 1000000000) div 300) * 300").as("b"), col("value"))
+      val actual = e.groupBy("user_id", "b").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      val spine = actual
+        .groupBy("user_id")
+        .agg(min("b").as("mn"), max("b").as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"), lit(300L))).as("b"))
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(actual, Seq("user_id", "b"), "left")
+        .select(
+          col("user_id"),
+          col("b"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("v"), ignoreNulls = true).over(w).as("carried")
+        )
+        .orderBy("user_id", "b")
+    }),
+
     // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
     // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
     "etl_i94_top_ports" -> ((s, _) => {
@@ -378,6 +425,27 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "q41_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |WHERE c_custkey < 20
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q42_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, ((epoch_ns(ts) // 1000000000) // 300) * 300 AS b, value
+        |  FROM events WHERE user_id < 5),
+        |a AS (SELECT user_id, b, count(*) AS n, round(sum(value), 2) AS v FROM e GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM a GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(range(mn, mx + 300, 300)) AS b FROM r),
+        |j AS (SELECT s.user_id, s.b, coalesce(a.n, 0) AS n, a.v
+        |      FROM spine s LEFT JOIN a ON s.user_id = a.user_id AND s.b = a.b)
+        |SELECT user_id, b, CAST(n AS BIGINT) AS n,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM j ORDER BY user_id, b""".stripMargin,
     // ETL oracles read the same external inputs the queries do: the
     // reference CSVs directly, and the SAS-label dims via the parquet dump
     // Verify materializes at SasLabels.dimsDumpDir (DuckDB can't parse SAS

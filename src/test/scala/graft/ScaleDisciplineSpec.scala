@@ -26,6 +26,15 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("q41 lateral top-k decorrelates into a partial window group limit") {
+    val plan = SparkEntry.queries("q41_lateral_topk")(spark, sf).queryExecution.executedPlan.toString
+    // the correlated ORDER BY/LIMIT must become a per-key group limit with a
+    // map-side partial pass — never a per-outer-row subquery execution or a
+    // cartesian expansion
+    assert(plan.contains("WindowGroupLimit"), s"no group limit in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "lateral subquery expanded to a cartesian product")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = TestSpark.tempDir()
     val s2 = spark.newSession()
