@@ -56,7 +56,8 @@ object ScaleProbe {
       // (the clone corpus multiplies every df by n), x26 stresses the
       // per-lang running-sum window, x30/x32 are scan-shaped
       "x24_hash_split", "x25_tfidf_keywords", "x26_token_budget_sample",
-      "x30_embedding_quantize", "x31_span_stats", "x32_keyword_search"
+      "x30_embedding_quantize", "x31_span_stats", "x32_keyword_search",
+      "x36_winnow_fingerprint" // positional gram hashing, the heaviest per-row text op
     )
     heavy.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -37,3 +37,8 @@ object BandSigs {
   def apply(emb: Column, nPlanes: Int, bandRows: Int): Column =
     Bridge.column(org.apache.spark.sql.graftbridge.BandSigsExpr(Bridge.expression(emb), nPlanes, bandRows))
 }
+
+object WinnowFingerprints {
+  def apply(s: Column, n: Int, w: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.WinnowFingerprintExpr(Bridge.expression(s), n, w))
+}

@@ -145,6 +145,25 @@ object TextAnalysis {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
     }),
+    // winnowing document sketches (Schleimer et al.): window-min selection
+    // over POSITIONAL char-4-gram hashes, w=5 — any shared substring of
+    // ≥ w+n−1 = 8 chars contributes a shared fingerprint, which is the
+    // local-overlap guarantee x10's global fingerprints can't give. Native
+    // single-pass monotonic-deque expression (7th native expression);
+    // the oracle re-derives the same selection from substr+md5 in SQL.
+    "x36_winnow_fingerprint" -> ((s, d) => {
+      val t = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      table(s, d, "documents")
+        .select(col("doc_id"), graft.functions.WinnowFingerprints(t, 4, 5).as("fps"))
+        .where(size(col("fps")) > 0)
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          element_at(col("fps"), 1).as("fp_min"), // array is sorted
+          element_at(col("fps"), -1).as("fp_max")
+        )
+        .orderBy("doc_id")
+    }),
     "x10_text_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
         .select(
@@ -219,6 +238,19 @@ object TextAnalysis {
           |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      "x36_winnow_fingerprint" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+          |g AS (
+          |  SELECT doc_id, list_transform(range(1, length(t) - 2),
+          |    i -> ('0x' || substr(md5(substr(t, i::INT, 4)), 1, 15))::BIGINT) AS grams
+          |  FROM t WHERE length(t) >= 8),
+          |f AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(grams) - 3),
+          |    j -> list_min(grams[j:j+4]))) AS fps
+          |  FROM g)
+          |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min, list_max(fps) AS fp_max
+          |FROM f ORDER BY doc_id""".stripMargin,
       "x10_text_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,

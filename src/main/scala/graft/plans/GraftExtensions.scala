@@ -74,6 +74,13 @@ object GraftExtensions {
       classOf[BandSigsExpr],
       "band_sigs(emb, planes, rows) - hyperplane-LSH band bucket keys of a float array",
       es => BandSigsExpr(es.head, lit(es(1), "band_sigs planes").toInt, lit(es(2), "band_sigs rows").toInt)
+    ),
+    fn(
+      "winnow_fingerprints",
+      classOf[WinnowFingerprintExpr],
+      "winnow_fingerprints(s, n, w) - sorted distinct window-min char n-gram hashes (winnowing)",
+      es =>
+        WinnowFingerprintExpr(es.head, lit(es(1), "winnow n").toInt, lit(es(2), "winnow w").toInt)
     )
   )
 
@@ -89,6 +96,11 @@ object GraftExtensions {
       spark,
       "band_sigs",
       es => BandSigsExpr(es.head, lit(es(1), "planes").toInt, lit(es(2), "rows").toInt)
+    )
+    b.registerFunction(
+      spark,
+      "winnow_fingerprints",
+      es => WinnowFingerprintExpr(es.head, lit(es(1), "n").toInt, lit(es(2), "w").toInt)
     )
   }
 }

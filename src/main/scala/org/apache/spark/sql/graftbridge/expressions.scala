@@ -355,6 +355,84 @@ object TokenGramHashesExpr {
   }
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+  * standard local document sketch for plagiarism/overlap detection): over
+  * the POSITIONAL sequence of char `n`-gram md5-window hashes, slide a
+  * `w`-gram window and record each window's minimum; the sorted distinct
+  * minima are the fingerprint set. Guarantee: any shared substring of at
+  * least w+n−1 characters contributes at least one shared fingerprint.
+  *
+  * Single pass with a monotonic deque (O(length)), inside codegen — the
+  * oracle recomputes the identical selection in SQL from substr+md5 first
+  * principles (positions matter here, so [[CharGramHashesExpr]]'s per-row
+  * distinct is NOT reusable). Input is expected pre-normalized (the caller
+  * applies lower/trim/whitespace-collapse so both engines normalize
+  * identically). */
+case class WinnowFingerprintExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowFingerprintExpr.compute(s.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"org.apache.spark.sql.graftbridge.WinnowFingerprintExpr.compute($c, $n, $w)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprintExpr {
+  def compute(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val str = s.toString
+    // code-point starts (substr counts code points, like SQL)
+    val cps = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < str.length) { cps.add(i); i += Character.charCount(str.codePointAt(i)) }
+    val total = cps.size
+    val nGrams = total - n + 1
+    if (nGrams < w) return ArrayData.toArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = cps.get(g)
+      val until = if (g + n < total) cps.get(g + n).intValue() else str.length
+      md.reset()
+      val digest = md.digest(str.substring(from, until).getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      hashes(g) = v >>> 4 // first 15 md5 hex digits
+      g += 1
+    }
+    // sliding-window minimum via monotonic deque of indices
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Integer]()
+    var j = 0
+    while (j < nGrams) {
+      while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(j)) deque.pollLast()
+      deque.addLast(j)
+      if (deque.peekFirst() <= j - w) deque.pollFirst()
+      if (j >= w - 1) fps.add(hashes(deque.peekFirst()))
+      j += 1
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
 object CharGramHashesExpr {
   def compute(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString

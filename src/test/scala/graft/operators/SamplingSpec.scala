@@ -144,6 +144,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.forall(r => r._2 > 0 && r._3 >= 1 && r._3 <= 3))
   }
 
+  test("x36 winnowing: window-min matches brute force; shared substrings share fingerprints") {
+    import org.apache.spark.sql.functions.col
+    // brute-force reference on one string
+    val s = "the quick brown fox jumps"
+    def md5win(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+      (d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))) >>> 4
+    }
+    val grams = (0 to s.length - 4).map(i => md5win(s.substring(i, i + 4)))
+    val expected = grams.sliding(5).map(_.min).toSet.toSeq.sorted
+    val got = Seq((s, 1)).toDF("t", "i")
+      .select(graft.functions.WinnowFingerprints(col("t"), 4, 5))
+      .head().getSeq[Long](0)
+    assert(got === expected)
+    // guarantee: ≥8-char shared substring ⇒ ≥1 shared fingerprint
+    val shared = "zzqjxvkw" // 8 chars, appears in both
+    val a = Seq((s"aaa $shared bbb", 1)).toDF("t", "i")
+      .select(graft.functions.WinnowFingerprints(col("t"), 4, 5)).head().getSeq[Long](0).toSet
+    val b = Seq((s"ccc ddd $shared", 1)).toDF("t", "i")
+      .select(graft.functions.WinnowFingerprints(col("t"), 4, 5)).head().getSeq[Long](0).toSet
+    assert(a.intersect(b).nonEmpty, "winnowing guarantee violated")
+    // below the w+n−1 threshold → empty fingerprint set
+    val short = Seq(("1234567", 1)).toDF("t", "i")
+      .select(graft.functions.WinnowFingerprints(col("t"), 4, 5)).head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange

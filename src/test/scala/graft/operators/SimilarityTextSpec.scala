@@ -190,7 +190,8 @@ class SimilarityTextSpec extends AnyFunSuite {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql("SELECT cosine_f32(array(cast(1.0 as float)), array(cast(2.0 as float))) AS c").head()
     assert(r.getDouble(0) === 1.0)
-    assert(ext != null && graft.plans.GraftExtensions.all.size === 6)
+    assert(ext != null && graft.plans.GraftExtensions.all.size === 7)
+    assert(spark.sql("SELECT winnow_fingerprints('abcdefgh', 4, 5)").head().getSeq[Long](0).length === 1)
     // each SQL call must agree with its Column-API twin
     assert(
       spark.sql("SELECT rolling_hash('abc', 1000000007)").head().getLong(0) ===
