@@ -407,6 +407,32 @@ object Advanced {
         .orderBy("user_id", "b")
     }),
 
+    // SCD1 merge/upsert — the warehouse operation the reference's daily
+    // batch implies (each day's I94 month lands over the previous state):
+    // a changes batch (updates to existing keys + brand-new keys) merges
+    // into the snapshot as anti-join ⊎ changes. That is THE scale shape for
+    // merge without a table format: one shuffle on the key for the anti
+    // join, no full-table rewrite driver-side, works at any snapshot size.
+    // (With Delta/Iceberg this is `MERGE INTO`; the plan underneath is the
+    // same anti-join ⊎ union.)
+    "q43_merge_upsert" -> ((s, d) => {
+      val snap = table(s, d, "orders")
+      val updates = snap
+        .where(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      val inserts = snap
+        .where(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      val changes = updates.unionByName(inserts)
+      val merged = snap
+        .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(changes)
+      merged
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
     // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
     "etl_i94_top_ports" -> ((s, _) => {
@@ -446,6 +472,19 @@ object Advanced {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
         |FROM j ORDER BY user_id, b""".stripMargin,
+    "q43_merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT * REPLACE (round(o_totalprice * 1.1, 2) AS o_totalprice)
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |inserts AS (
+        |  SELECT * REPLACE (o_orderkey + 1000000000 AS o_orderkey)
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+        |merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL SELECT * FROM changes)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // ETL oracles read the same external inputs the queries do: the
     // reference CSVs directly, and the SAS-label dims via the parquet dump
     // Verify materializes at SasLabels.dimsDumpDir (DuckDB can't parse SAS
