@@ -249,6 +249,19 @@ object Advanced {
         )))
         .orderBy("o_orderpriority")
     }),
+    // ORC sink + scan round-trip (Spark's second builtin columnar format —
+    // same footer-driven pushdown/pruning machinery as parquet): aggregate,
+    // write ORC, read it back; the oracle computes the same aggregate from
+    // the source table, so the round-trip must preserve every value bit.
+    "q44_orc_roundtrip" -> ((s, d) => {
+      val out = "/root/repo/spark-warehouse/graft_orc_rt"
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("l_returnflag", "l_linestatus")
+    }),
     "q40_jsonl_roundtrip" -> ((s, d) => {
       val out = "/root/repo/spark-warehouse/graft_jsonl_rt"
       val agg = table(s, d, "customer")
@@ -521,6 +534,9 @@ object Advanced {
     "q40_jsonl_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q44_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_airport_pipeline" ->
       """SELECT a.iso_country, a.type, count(*) AS n_airports,
         |  CAST(round(avg(a.elevation_ft) * 100) AS BIGINT) AS avg_elev_e2

@@ -44,6 +44,66 @@ object Dedup {
     table(s, d, "documents")
       .select(col("doc_id"), explode(graft.functions.TokenGramHashes(col("text"), 3)).as("sh"))
 
+  /** x02's df-capped inverted-index Jaccard pairs (threshold 0.2) — also
+    * the edge set for [[connectedComponents]] / x37. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val all = wordShingleHashes(s, d)
+    val hot = all.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > DfCap).select("sh")
+    val sh = all.join(hot, Seq("sh"), "left_anti")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh
+      .as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= 0.2)
+  }
+
+  /** Distributed connected components by iterative min-label propagation —
+    * the union-find step that turns near-dup PAIRS into dedup GROUPS
+    * (production dedup keeps one survivor per component, not per pair).
+    *
+    * Each iteration is one equi-join + aggregation: every vertex adopts the
+    * minimum label among itself and its neighbors; convergence needs at
+    * most `diameter` iterations (dup clusters are shallow — stop as soon as
+    * no label changes). This is exactly GraphX's Pregel CC shape expressed
+    * on DataFrames: all-distributed, no driver-side graph. `localCheckpoint`
+    * truncates the growing lineage each round so iteration N's plan does
+    * not replay iterations 1..N−1 (the standard iterative-DataFrame
+    * discipline; same effect as Pregel's materialize-per-superstep).
+    * Returns (doc_id, cluster_id = component-min doc_id) for every vertex
+    * that appears in a pair. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct().withColumn("lbl", col("v"))
+    var changed = true
+    while (changed) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src").as("v"))
+        .agg(min("dlbl").as("nl"))
+      val next = labels
+        .join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("v"), col("lbl").as("old")), "v")
+        .where(col("lbl") =!= col("old"))
+        .limit(1)
+        .count() > 0
+      labels = next
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** distinct char-4-gram hashes of whitespace-normalized text, via the
     * native single-pass CharGramHashes expression: per-row dedup happens
     * inside the expression, and the explode feeds the per-doc min-aggs
@@ -132,23 +192,24 @@ object Dedup {
     // dropped BEFORE the join (they carry ~no similarity signal anyway —
     // Jaccard here is over the informative shingle set, and the oracle
     // mirrors the cap). Per-key join work is then bounded by DfCap².
-    "x02_dedup_ngram_jaccard" -> ((s, d) => {
-      val all = wordShingleHashes(s, d)
-      val hot = all.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > DfCap).select("sh")
-      val sh = all.join(hot, Seq("sh"), "left_anti")
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = sh
-        .as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
-        .where(col("jaccard") >= 0.2)
+    "x02_dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- near-dup clusters: pairs → connected components -------------------
+    // Pair detection (x02/x03/x04/x14) emits edges; RESOLUTION needs groups:
+    // "keep one survivor per component", not per pair — a transitively
+    // linked chain a~b~c is ONE duplicate family even if (a,c) never scored.
+    // x37 runs distributed min-label propagation over the x02 edge set and
+    // emits (doc_id, cluster_id, cluster size). The DuckDB oracle computes
+    // the same components with a recursive transitive-closure CTE.
+    "x37_dedup_clusters" -> ((s, d) => {
+      val cc = connectedComponents(jaccardPairs(s, d))
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
     }),
 
     // ---- cross-document repeated-span profile ------------------------------
@@ -338,6 +399,31 @@ object Dedup {
          |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
          |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x37_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+         |kept AS (
+         |  SELECT s.* FROM hsh s
+         |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
+         |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+         |  WHERE n_common / (ca.n + cb.n - n_common) >= 0.2),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size
+         |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "x31_span_stats" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

@@ -156,4 +156,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 2L)) === 0L)
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("connected components: transitive chains collapse, needs >1 propagation round") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 → several label-propagation rounds),
+    // separate pair 10-11, separate triangle 20-21-22
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert((1L to 5L).forall(cc(_) === 1L), "chain must collapse to min label 1")
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) === 20L))
+    assert(cc.size === 10)
+  }
 }
