@@ -164,6 +164,25 @@ object TextAnalysis {
         )
         .orderBy("doc_id")
     }),
+    // document chunking into fixed 64-token windows — the context-window
+    // preparation step (training sequence packing / RAG indexing) that
+    // turns variable-length documents into bounded units. Real text
+    // slicing: each chunk's actual token span is reassembled and
+    // fingerprinted, so the gate verifies the slice arithmetic and the
+    // chunk CONTENT, not just counts. Pure per-row generators (sequence →
+    // explode), single scan, no shuffle before the output sort.
+    "x38_doc_chunks" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), col("w"), explode(expr("sequence(0, CAST((size(w) - 1) div 64 AS BIGINT))")).as("chunk_idx"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          size(expr("slice(w, CAST(chunk_idx * 64 + 1 AS INT), 64)")).cast("long").as("chunk_tokens"),
+          md5(expr("array_join(slice(w, CAST(chunk_idx * 64 + 1 AS INT), 64), ' ')")).as("chunk_md5")
+        )
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "x10_text_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
         .select(
@@ -251,6 +270,14 @@ object TextAnalysis {
           |  FROM g)
           |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min, list_max(fps) AS fp_max
           |FROM f ORDER BY doc_id""".stripMargin,
+      "x38_doc_chunks" ->
+        """WITH w AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+          |c AS (SELECT doc_id, w, unnest(range((len(w) - 1) // 64 + 1)) AS ci FROM w)
+          |SELECT doc_id, ci AS chunk_idx,
+          |  len(w[(ci*64+1):(ci*64+64)]) AS chunk_tokens,
+          |  md5(array_to_string(w[(ci*64+1):(ci*64+64)], ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
       "x10_text_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm,

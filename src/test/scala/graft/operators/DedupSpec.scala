@@ -176,4 +176,28 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(20L, 21L, 22L).forall(cc(_) === 20L))
     assert(cc.size === 10)
   }
+
+  test("connected components property: random graphs match reference union-find") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(
+      25,
+      for { a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b } yield (math.min(a, b), math.max(a, b))
+    )
+    (1 to 5).foreach { seed =>
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(seed.toLong)).distinct
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+      val got = Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(got === expected, s"seed $seed, edges $edges")
+    }
+  }
 }

@@ -171,6 +171,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("x38 chunking: 64-token windows with exact boundaries and content digests") {
+    val d = TestSpark.tempDir()
+    val words130 = (1 to 130).map(i => s"w$i")
+    val docs = Seq((0L, words130.mkString(" "), "en", "s", 1L), (1L, "tiny doc", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val rows = TextAnalysis
+      .queries("x38_doc_chunks")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc0 = rows.filter(_._1 == 0L)
+    assert(doc0.map(c => (c._2, c._3)).toSeq === Seq((0L, 64L), (1L, 64L), (2L, 2L)))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(doc0(0)._4 === md5hex(words130.take(64).mkString(" ")))
+    assert(doc0(2)._4 === md5hex(words130.drop(128).mkString(" ")))
+    assert(rows.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq === Seq((0L, 2L)))
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
