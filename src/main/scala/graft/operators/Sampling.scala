@@ -50,23 +50,41 @@ object Sampling {
     // per-language token-budget subsample: documents are ranked by id hash
     // (a deterministic shuffle) and kept while the language's running token
     // count stays within budget — the standard way to cap a dominant
-    // language without biasing toward any document property. The window's
-    // running sum streams over a spillable sort, so per-task memory is O(1)
-    // rows at any corpus size.
+    // language without biasing toward any document property.
+    //
+    // Scale shape: a naive `Window.partitionBy(lang)` running sum puts an
+    // ENTIRE language in one task — at corpus scale the dominant language
+    // serializes through a single straggler. The distributed prefix-sum
+    // decomposition used here keeps the math identical: hash-RANGE buckets
+    // (order-preserving integer division of the 2^60 hash space) → tiny
+    // per-(lang, bucket) totals → exclusive prefix over the ≤B bucket rows
+    // → local running sum within each bucket plus its offset. Parallelism
+    // is B tasks per language; only B-row windows are ever single-task.
     "x26_token_budget_sample" -> ((s, d) => {
       val budget = 2500L
-      val w = Window
-        .partitionBy("lang")
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      table(s, d, "documents")
+      val buckets = 32L
+      val step = (1L << 60) / buckets // md5Window15 < 2^60
+      val docs = table(s, d, "documents")
         .select(
           col("lang"),
           col("doc_id"),
           size(toks).cast("long").as("doc_tokens"),
           Hashing.md5Window15(col("doc_id").cast("string")).as("h")
         )
-        .withColumn("cum_tokens", sum("doc_tokens").over(w))
+        .withColumn("bkt", expr(s"h div ${step}L")) // range bucket: preserves hash order
+      val wOff = Window.partitionBy("lang").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs
+        .groupBy("lang", "bkt")
+        .agg(sum("doc_tokens").as("bt"))
+        .withColumn("offset", coalesce(sum("bt").over(wOff), lit(0L)))
+        .select("lang", "bkt", "offset")
+      val wLoc = Window
+        .partitionBy("lang", "bkt")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .join(offsets, Seq("lang", "bkt"))
+        .withColumn("cum_tokens", col("offset") + sum("doc_tokens").over(wLoc))
         .where(col("cum_tokens") <= budget)
         .select("lang", "doc_id", "doc_tokens", "cum_tokens")
         .orderBy("lang", "cum_tokens", "doc_id")

@@ -59,6 +59,14 @@ class SamplingSpec extends AnyFunSuite {
     val perLang = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     // budget must actually bind at sf0.01 (every lang has >2500 tokens total)
     assert(perLang.values.forall(t => t > 2000L && t <= 2500L), perLang.toString)
+    // scale shape: the per-document running sum must be partitioned by
+    // (lang, bucket), never by lang alone — one task per language is the
+    // 100 TB straggler this operator exists to avoid
+    val plan = Sampling.queries("x26_token_budget_sample")(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(lang"), "missing window")
+    assert(plan.contains("windowspecdefinition(lang#") || plan.contains("bkt"), plan.take(400))
+    assert(plan.split("windowspecdefinition").exists(s => s.startsWith("(lang") && s.contains("bkt")),
+      "per-doc running sum not bucketed by (lang, bkt)")
   }
 
   test("x27 domain mixture: ppm weights are proportional and sum to ~1e6") {
