@@ -420,6 +420,27 @@ object Advanced {
         .orderBy("user_id", "b")
     }),
 
+    // Statistical window-function family: ntile / percent_rank / cume_dist
+    // / nth_value — the ranking functions q08 doesn't cover. All are
+    // integer-count-derived (percent_rank = (rank−1)/(n−1), cume_dist =
+    // rows≤current/n), so the emitted doubles are identical divisions in
+    // both engines; ORDER BY is total down to the key.
+    "q45_window_stats" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      table(s, d, "customer")
+        .where(col("c_custkey") < 200)
+        .select(
+          col("c_mktsegment"),
+          col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 2).over(w).as("second_key"),
+          first(col("c_custkey")).over(w).as("top_key")
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // SCD1 merge/upsert — the warehouse operation the reference's daily
     // batch implies (each day's I94 month lands over the previous state):
     // a changes batch (updates to existing keys + brand-new keys) merges
@@ -485,6 +506,16 @@ object Advanced {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
         |FROM j ORDER BY user_id, b""".stripMargin,
+    "q45_window_stats" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_custkey, 2) OVER w AS second_key,
+        |  first_value(c_custkey) OVER w AS top_key
+        |FROM customer WHERE c_custkey < 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q43_merge_upsert" ->
       """WITH updates AS (
         |  SELECT * REPLACE (round(o_totalprice * 1.1, 2) AS o_totalprice)
