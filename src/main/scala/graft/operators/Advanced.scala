@@ -449,11 +449,19 @@ object Advanced {
     // join, no full-table rewrite driver-side, works at any snapshot size.
     // (With Delta/Iceberg this is `MERGE INTO`; the plan underneath is the
     // same anti-join ⊎ union.)
+    // Money crosses this query as integer CENTS (invariant #7 applied to
+    // currency): a rounded double sum holds only while accumulated float
+    // error stays under half a cent, and a whole-table sum (~1.3e10 at
+    // sf0.1, ulp ≈ 2e-6 per addition) walks right up to that edge —
+    // observed flipping the last cent between engines. Integer cents are
+    // order-free and exact at any scale. The ×1.1 price bump is likewise
+    // integer: (cents·11 + 5) div 10 (half-up), identical in both engines.
     "q43_merge_upsert" -> ((s, d) => {
       val snap = table(s, d, "orders")
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       val updates = snap
         .where(col("o_orderkey") % 97 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("cents", expr("(cents * 11 + 5) div 10"))
       val inserts = snap
         .where(col("o_orderkey") % 101 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
@@ -463,7 +471,7 @@ object Advanced {
         .unionByName(changes)
       merged
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
         .orderBy("o_orderstatus")
     }),
 
@@ -517,17 +525,19 @@ object Advanced {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q43_merge_upsert" ->
-      """WITH updates AS (
-        |  SELECT * REPLACE (round(o_totalprice * 1.1, 2) AS o_totalprice)
-        |  FROM orders WHERE o_orderkey % 97 = 0),
+      """WITH snap AS (
+        |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |updates AS (
+        |  SELECT * REPLACE ((cents * 11 + 5) // 10 AS cents)
+        |  FROM snap WHERE o_orderkey % 97 = 0),
         |inserts AS (
         |  SELECT * REPLACE (o_orderkey + 1000000000 AS o_orderkey)
-        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |  FROM snap WHERE o_orderkey % 101 = 0),
         |changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
         |merged AS (
-        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  SELECT * FROM snap WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
         |  UNION ALL SELECT * FROM changes)
-        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // ETL oracles read the same external inputs the queries do: the
     // reference CSVs directly, and the SAS-label dims via the parquet dump
