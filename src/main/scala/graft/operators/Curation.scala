@@ -86,6 +86,10 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- compression-ratio quality signal (rows-only; see scaladoc) --------
+    "x39_compression_ratio" -> ((s, d) =>
+      compressionRatio(table(s, d, "documents")).orderBy("doc_id")),
+
     // ---- repetition detection (top-2-gram fraction) ------------------------
     "x19_repetition" -> ((s, d) => {
       val grams = table(s, d, "documents")
@@ -110,6 +114,43 @@ object Curation {
         .orderBy("doc_id")
     })
   )
+
+  /** Compression-ratio quality signal (the third classic text-quality
+    * family next to heuristic scoring x08 and repetition x19): highly
+    * repetitive/templated text deflates far below natural prose, and a
+    * near-1 ratio flags binary/garbage. One Deflater per partition
+    * (allocated once, reset per row — the mapPartitions amortization
+    * shape), BEST_COMPRESSION for stability. Rows-only in the gate: no SQL
+    * engine exposes deflate, so the semantics are pinned by CurationSpec
+    * (monotonicity vs repetition, determinism) instead of an oracle. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("n_bytes", LongType),
+        StructField("deflate_bytes", LongType),
+        StructField("ratio_e6", LongType)
+      )
+    )
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { it =>
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+      val buf = new Array[Byte](1 << 16)
+      it.map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        d.reset(); d.setInput(bytes); d.finish()
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        org.apache.spark.sql.Row(
+          r.getLong(0),
+          bytes.length.toLong,
+          out,
+          if (bytes.length == 0) 0L else out * 1000000L / bytes.length
+        )
+      }
+    }(enc)
+  }
 
   def oracles: Map[String, String] = Map(
     "x17_pii_redact" ->

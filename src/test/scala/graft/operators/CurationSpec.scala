@@ -67,4 +67,28 @@ class CurationSpec extends AnyFunSuite {
     val (_, gram, cnt, tot) = rows.find(_._1 == 5L).get
     assert(gram === "buy now" && cnt === 6L && tot === 11L)
   }
+
+  test("compression ratio: repetitive text deflates below varied text, deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spam " * 200),
+      (1L, (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")),
+      (2L, "tiny")
+    ).toDF("doc_id", "text")
+    val rows = Curation
+      .compressionRatio(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows(0L)._3 < rows(1L)._3, "repetitive text must compress harder than varied text")
+    assert(rows(0L)._3 < 100000L, "200x-repeated token should deflate below 10%")
+    assert(rows.values.forall(_._2 > 0))
+    // sizable text never inflates past ~1.1x; tiny inputs may (deflate
+    // stream overhead dominates) — which is itself a useful length signal
+    assert(rows.filter(_._2._1 >= 100).values.forall(_._3 <= 1100000L))
+    assert(rows(2L)._3 > 1000000L, "4-byte doc should inflate under stream overhead")
+    // deterministic across evaluations (one Deflater per partition, reset per row)
+    val again = Curation.compressionRatio(docs).collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.view.mapValues(_._3).toMap === again)
+  }
 }
