@@ -392,28 +392,16 @@ case class WinnowFingerprintExpr(child: Expression, n: Int, w: Int)
 
 object WinnowFingerprintExpr {
   def compute(s: UTF8String, n: Int, w: Int): ArrayData = {
-    val str = s.toString
-    // code-point starts (substr counts code points, like SQL)
-    val cps = new java.util.ArrayList[Integer]()
-    var i = 0
-    while (i < str.length) { cps.add(i); i += Character.charCount(str.codePointAt(i)) }
-    val total = cps.size
+    // gram hashing runs directly over the UTF-8 bytes: code-point starts
+    // are byte offsets, and md5 digests the byte slice in place — no
+    // per-gram String allocation or re-encode (identical digests: a
+    // code-point substring's UTF-8 form IS the byte slice)
+    val bytes = s.getBytes
+    val cps = GramBytes.codePointStarts(bytes)
+    val total = cps.length
     val nGrams = total - n + 1
     if (nGrams < w) return ArrayData.toArrayData(Array.emptyLongArray)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hashes = new Array[Long](nGrams)
-    var g = 0
-    while (g < nGrams) {
-      val from = cps.get(g)
-      val until = if (g + n < total) cps.get(g + n).intValue() else str.length
-      md.reset()
-      val digest = md.digest(str.substring(from, until).getBytes("UTF-8"))
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
-      hashes(g) = v >>> 4 // first 15 md5 hex digits
-      g += 1
-    }
+    val hashes = GramBytes.gramHashes(bytes, cps, n)
     // sliding-window minimum via monotonic deque of indices
     val fps = new java.util.TreeSet[java.lang.Long]()
     val deque = new java.util.ArrayDeque[Integer]()
@@ -435,30 +423,60 @@ object WinnowFingerprintExpr {
 
 object CharGramHashesExpr {
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    // code-point index of each char position (substr counts code points)
-    val cps = new java.util.ArrayList[Integer]()
-    var i = 0
-    while (i < str.length) { cps.add(i); i += Character.charCount(str.codePointAt(i)) }
-    val total = cps.size
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = s.getBytes
+    val cps = GramBytes.codePointStarts(bytes)
+    val total = cps.length
+    if (total < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    val hashes = GramBytes.gramHashes(bytes, cps, n)
     val seen = new java.util.TreeSet[java.lang.Long]()
     var g = 0
-    while (g + n <= total) {
-      val from = cps.get(g)
-      val until = if (g + n < total) cps.get(g + n).intValue() else str.length
-      md.reset()
-      val digest = md.digest(str.substring(from, until).getBytes("UTF-8"))
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
-      seen.add(v >>> 4) // first 15 hex digits
-      g += 1
-    }
+    while (g < hashes.length) { seen.add(hashes(g)); g += 1 }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     ArrayData.toArrayData(out)
+  }
+}
+
+/** Shared byte-level gram machinery: positional char n-gram md5-window-15
+  * hashes computed straight off a string's UTF-8 bytes (code-point starts
+  * are byte offsets; the digest consumes byte slices in place — zero
+  * per-gram allocation). Hash values are identical to digesting the
+  * code-point substring, because a substring's UTF-8 encoding IS the byte
+  * slice. */
+object GramBytes {
+  def codePointStarts(bytes: Array[Byte]): Array[Int] = {
+    val starts = new Array[Int](bytes.length)
+    var i = 0
+    var k = 0
+    while (i < bytes.length) {
+      starts(k) = i
+      k += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    java.util.Arrays.copyOf(starts, k)
+  }
+
+  /** hash of every positional n-gram: first 15 md5 hex digits as int64 */
+  def gramHashes(bytes: Array[Byte], cps: Array[Int], n: Int): Array[Long] = {
+    val total = cps.length
+    val nGrams = total - n + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = cps(g)
+      val until = if (g + n < total) cps(g + n) else bytes.length
+      md.reset()
+      md.update(bytes, from, until - from)
+      val digest = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      hashes(g) = v >>> 4
+      g += 1
+    }
+    hashes
   }
 }
