@@ -57,7 +57,10 @@ object ScaleProbe {
       // per-lang running-sum window, x30/x32 are scan-shaped
       "x24_hash_split", "x25_tfidf_keywords", "x26_token_budget_sample",
       "x30_embedding_quantize", "x31_span_stats", "x32_keyword_search",
-      "x36_winnow_fingerprint" // positional gram hashing, the heaviest per-row text op
+      "x36_winnow_fingerprint", // positional gram hashing, the heaviest per-row text op
+      // clone corpus = dense dup graph: every text's 16 clones pair up via
+      // shared shingles, so components run on ~100× the 1× edge count
+      "x37_dedup_clusters", "x38_doc_chunks"
     )
     heavy.foreach { name =>
       val fn = SparkEntry.queries(name)
