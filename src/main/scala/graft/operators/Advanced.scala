@@ -420,6 +420,45 @@ object Advanced {
         .orderBy("user_id", "b")
     }),
 
+    // Statistical aggregates (correlation + least-squares fit), integer-
+    // exact cross-engine: builtin corr/covar/stddev accumulate floats in
+    // partition order, so their low bits differ between engines — instead
+    // the five moment sums (Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs
+    // (quantity is integral, discount in integer percent; magnitudes
+    // bounded so n·Σx² stays well inside int64), and the final
+    // corr/slope/intercept are fixed-dividend double expressions over
+    // IDENTICAL integers in both engines — bit-equal, emitted in e6
+    // fixed-point. The shape is one partial+final hash aggregation; the
+    // closed-form OLS never iterates.
+    "q46_stats_regression" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(
+          col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("y")
+        )
+      li.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy")
+        )
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          col("sx"),
+          col("sy"),
+          col("sxy"),
+          expr("CAST(round(1000000 * CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT)").as("corr_e6"),
+          expr("CAST(round(1000000 * CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT)").as("slope_e6"),
+          expr("CAST(round(1000000 * (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n) AS BIGINT)").as("intercept_e6")
+        )
+        .orderBy("l_returnflag")
+    }),
+
     // Statistical window-function family: ntile / percent_rank / cume_dist
     // / nth_value — the ranking functions q08 doesn't cover. All are
     // integer-count-derived (percent_rank = (rank−1)/(n−1), cume_dist =
@@ -514,6 +553,22 @@ object Advanced {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
         |FROM j ORDER BY user_id, b""".stripMargin,
+    "q46_stats_regression" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sy, sxy,
+        |  CAST(round(1000000 * CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT) AS corr_e6,
+        |  CAST(round(1000000 * CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_e6,
+        |  CAST(round(1000000 * (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n) AS BIGINT) AS intercept_e6
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q45_window_stats" ->
       """SELECT c_mktsegment, c_custkey,
         |  ntile(4) OVER w AS quartile,
