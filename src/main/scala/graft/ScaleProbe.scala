@@ -63,11 +63,16 @@ object ScaleProbe {
       "x37_dedup_clusters", "x38_doc_chunks"
     )
     heavy.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      fn(spark, work).write.mode("overwrite").format("noop").save() // warm
-      val t0 = System.nanoTime()
-      fn(spark, work).write.mode("overwrite").format("noop").save()
-      println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (${n}x sf0.1)")
+      try {
+        val fn = SparkEntry.queries(name)
+        fn(spark, work).write.mode("overwrite").format("noop").save() // warm
+        val t0 = System.nanoTime()
+        fn(spark, work).write.mode("overwrite").format("noop").save()
+        println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (${n}x sf0.1)")
+      } catch {
+        // a failed query must not hide the rest of the probe
+        case e: Throwable => println(s"[probe] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -212,6 +212,22 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // ---- near-dup RESOLUTION: clusters → surviving document set ------------
+    // The final stage of the dedup arc (detect x02 → cluster x37 → resolve):
+    // keep the minimum doc_id of every near-dup component, plus every
+    // document that never entered a pair. The survivor list is what the
+    // downstream pipeline actually trains on. Anti-join of the corpus
+    // against (clustered − survivors) — one shuffle on doc_id.
+    "x40_dedup_resolve" -> ((s, d) => {
+      val cc = connectedComponents(jaccardPairs(s, d))
+      val drop = cc.where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      table(s, d, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy("lang")
+    }),
+
     // ---- cross-document repeated-span profile ------------------------------
     // The exact-substring-dedup diagnostic: for every document, what share
     // of its word-5-gram spans also occurs in some OTHER document? (Within-
@@ -399,6 +415,32 @@ object Dedup {
          |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
          |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x40_dedup_resolve" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+         |kept AS (
+         |  SELECT s.* FROM hsh s
+         |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
+         |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+         |  WHERE n_common / (ca.n + cb.n - n_common) >= 0.2),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |drop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+         |SELECT lang, count(*) AS n_survivors FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "x37_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,
          |hsh AS (
