@@ -177,6 +177,17 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size === 10)
   }
 
+  test("x40 resolution: one survivor per near-dup family plus all unclustered docs") {
+    // docs 0/1/2 form one component (0~1 near-dup, 0~2 exact) → survivor 0;
+    // doc 3 never pairs → survives untouched. 2 'en' survivors total.
+    val rows = Dedup
+      .queries("x40_dedup_resolve")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(rows === Map("en" -> 2L))
+  }
+
   test("connected components property: random graphs match reference union-find") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
