@@ -136,6 +136,10 @@ object Curation {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     docs.select(col("doc_id"), col("text")).mapPartitions { it =>
       val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+      // Deflater holds native (off-heap) buffers until end() — releasing at
+      // task completion, not finalization, keeps repeated runs flat.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
       val buf = new Array[Byte](1 << 16)
       it.map { r =>
         val bytes = r.getString(1).getBytes("UTF-8")

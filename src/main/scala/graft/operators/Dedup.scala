@@ -99,8 +99,16 @@ object Dedup {
         .where(col("lbl") =!= col("old"))
         .limit(1)
         .count() > 0
+      // The convergence check above was the last reader of the previous
+      // round's checkpointed blocks — drop them so executor storage stays
+      // O(1) in graph diameter, not O(rounds). (No-op on round 1, where
+      // `labels` is a plain derived plan, not a checkpoint.)
+      labels.unpersist()
       labels = next
     }
+    // The returned labels are self-contained checkpoint blocks; the edge
+    // blocks have no further readers.
+    edges.unpersist()
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -102,7 +102,11 @@ object TextAnalysis {
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(dfreq, "term")
         .crossJoin(broadcast(n))
-        .withColumn("score", expr("(tf * n * 1000000L) div df"))
+        // DECIMAL(38,0) intermediate: tf·n·1e6 wraps int64 already at
+        // n≈1e9 docs with tf≈1e4; 128-bit decimal gives exact headroom to
+        // ~1e38 and `div` floors back to BIGINT (the score itself must fit
+        // int64 — that bound is the output schema's, not the formula's).
+        .withColumn("score", expr("(cast(tf as decimal(38,0)) * n * 1000000) div df"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select("doc_id", "rk", "term", "score")
@@ -139,7 +143,8 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"))
         .join(dfreq, "term")
         .crossJoin(broadcast(n))
-        .withColumn("tscore", expr("(tf * n * 1000000L) div df"))
+        // Same DECIMAL(38,0) headroom as x25 (tf·n·1e6 wraps int64 at corpus scale)
+        .withColumn("tscore", expr("(cast(tf as decimal(38,0)) * n * 1000000) div df"))
         .groupBy("doc_id")
         .agg(sum("tscore").as("score"), count(lit(1)).as("n_terms_hit"))
         .orderBy(col("score").desc, col("doc_id"))

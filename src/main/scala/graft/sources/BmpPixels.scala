@@ -34,8 +34,13 @@ object BmpPixels {
     val bpp = u16le(b, 28)
     val compression = i32le(b, 30)
     if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOfs < 0 || dataOfs.toLong + stride.toLong * h > b.length) return None
+    // Stride in Long: a crafted width ≥ ~715M overflows Int `w * 3` to a
+    // negative stride that slips past the bounds guard. Rejecting
+    // strideL > b.length first also caps strideL ≤ 2^31, so strideL * h
+    // (h ≤ 2^31) cannot overflow Long in the second guard.
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOfs < 0 || strideL > b.length || dataOfs.toLong + strideL * h > b.length) return None
+    val stride = strideL.toInt
     Some(Image(w, h, (x, y) => {
       val o = dataOfs + (h - 1 - y) * stride + x * 3 // bottom-up rows, BGR
       ((b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff))

@@ -41,6 +41,22 @@ class BmpPixelsSpec extends AnyFunSuite {
     assert(BmpPixels.decode(ImageMeta.synthesize("image/bmp", 64, 64, junk = 10, seed = 1)) === None)
   }
 
+  test("rejects crafted headers whose Int stride overflows (quarantine, not throw)") {
+    def patch32(b: Array[Byte], o: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(o) = (v & 0xff).toByte; c(o + 1) = ((v >> 8) & 0xff).toByte
+      c(o + 2) = ((v >> 16) & 0xff).toByte; c(o + 3) = ((v >> 24) & 0xff).toByte
+      c
+    }
+    val ok = BmpPixels.synthesize(4, 4, (_, _) => (1, 2, 3))
+    // width ≥ ~715M made Int `w * 3` wrap negative pre-fix, slipping past the
+    // bounds guard and reading out of bounds later; now it must decode to None
+    for (w <- Seq(715827883, Int.MaxValue, 1431655766))
+      assert(BmpPixels.decode(patch32(ok, 18, w)) === None, s"w=$w")
+    // huge height with small width: stride*h must be computed in Long
+    assert(BmpPixels.decode(patch32(ok, 22, Int.MaxValue)) === None)
+  }
+
   test("gate fixture: decoded checksum equals the first-principles formula") {
     BmpFixture.rows.take(20).foreach { case (id, payload, w, h) =>
       val img = BmpPixels.decode(payload).get
