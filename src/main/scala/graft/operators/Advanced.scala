@@ -514,6 +514,31 @@ object Advanced {
         .orderBy("o_orderstatus")
     }),
 
+    // Higher-order array functions — the §2.5 functional surface over
+    // complex types: transform / filter / aggregate (fold) / zip_with /
+    // reverse / array_position evaluated per-row over a single scan (no
+    // shuffle at any scale; the lambda work parallelizes flat). Every
+    // float op widens float32→double and rounds to integer micro-units in
+    // the identical order in the DuckDB oracle (invariant #7), so the
+    // lambda arithmetic itself is hash-checked.
+    "q47_higher_order" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .where(col("vec_id") < 50)
+        .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("xd"))
+        .select(
+          col("vec_id"),
+          size(filter(col("xd"), v => v > 0)).cast("long").as("n_pos"),
+          aggregate(col("xd"), lit(0L), (acc, v) => acc + round(abs(v) * 1e6).cast("long")).as("l1_e6"),
+          aggregate(
+            zip_with(col("xd"), reverse(col("xd")), (a, b) => round(a * b * 1e6).cast("long")),
+            lit(0L),
+            (acc, v) => acc + v
+          ).as("rev_dot_e6"),
+          array_position(col("xd"), array_max(col("xd"))).cast("long").as("argmax_1based")
+        )
+        .orderBy("vec_id")
+    }),
+
     // Reference-parity ETL pipeline end-to-end (reads /root/reference, so
     // rows-only — the sf tables play no part): SURVEY.md §7.2 flagship.
     "etl_i94_top_ports" -> ((s, _) => {
@@ -532,6 +557,17 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "q47_higher_order" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id,
+        |  len(list_filter(xd, v -> v > 0)) AS n_pos,
+        |  CAST(list_sum(list_transform(xd, v -> CAST(round(abs(v) * 1000000) AS BIGINT))) AS BIGINT) AS l1_e6,
+        |  CAST(list_sum(list_transform(range(1, len(xd) + 1),
+        |    i -> CAST(round(xd[i::INT] * xd[(len(xd) + 1 - i)::INT] * 1000000) AS BIGINT))) AS BIGINT) AS rev_dot_e6,
+        |  CAST(list_position(xd, list_max(xd)) AS BIGINT) AS argmax_1based
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q41_lateral_topk" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer,

@@ -90,6 +90,41 @@ object Curation {
     "x39_compression_ratio" -> ((s, d) =>
       compressionRatio(table(s, d, "documents")).orderBy("doc_id")),
 
+    // ---- line-level boilerplate dedup (CCNet-style) ------------------------
+    // Remove the lines that repeat across many documents (nav bars, cookie
+    // banners, signatures) while keeping each document's unique content in
+    // its original line order. The corpus-wide line-frequency table is one
+    // hash aggregation on the normalized line key; the filter joins lines
+    // back to that table on the same key (inverted-index shape — at 100 TB
+    // the high-df boilerplate table is tiny and broadcasts). The sf tables
+    // carry no newlines, so this runs on a planted 400-doc fixture whose
+    // boilerplate/unique structure both engines read from parquet.
+    "x41_line_dedup" -> ((s, _) => {
+      LineFixture.ensure(s)
+      val lines = s.read
+        .parquet(LineFixture.docsPath)
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("lkey", lower(trim(col("line"))))
+      val lineDf = lines.groupBy("lkey").agg(countDistinct("doc_id").as("line_df"))
+      lines
+        .join(lineDf, "lkey")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("line_df") < LineFixture.dfThreshold, 1L).otherwise(0L)).as("n_kept"),
+          sort_array(
+            collect_list(when(col("line_df") < LineFixture.dfThreshold, struct(col("pos"), col("line"))))
+          ).as("kept")
+        )
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          col("n_kept"),
+          md5(concat_ws("\n", transform(col("kept"), x => x.getField("line")))).as("kept_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- repetition detection (top-2-gram fraction) ------------------------
     "x19_repetition" -> ((s, d) => {
       val grams = table(s, d, "documents")
@@ -190,6 +225,55 @@ object Curation {
         |SELECT doc_id, gram AS top_gram, cnt AS top_cnt, cast(tot AS BIGINT) AS n_grams,
         |  cast(cnt AS DOUBLE) / cast(tot AS DOUBLE) AS rep_ratio
         |FROM r WHERE rk = 1 AND cast(cnt AS DOUBLE) / cast(tot AS DOUBLE) >= 0.1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "x41_line_dedup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls
+         |  FROM '${LineFixture.docsPath}/*.parquet'),
+         |l AS (
+         |  SELECT doc_id, i AS pos, ls[i] AS line, lower(trim(ls[i])) AS lkey
+         |  FROM src, unnest(generate_series(1, len(ls))) t(i)),
+         |d AS (SELECT lkey, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN line_df < ${LineFixture.dfThreshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN line_df < ${LineFixture.dfThreshold} THEN line END,
+         |    chr(10) ORDER BY pos), '')) AS kept_md5
+         |FROM l JOIN d USING (lkey)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+}
+
+/** Planted multi-line corpus for x41: 400 documents whose lines mix a
+  * 10-line boilerplate pool (each pool line lands in ~10% of documents →
+  * line df ≈ 40, far above the threshold) with per-document unique content
+  * lines (df = 1). Deterministic formulas only, so the expected survivor
+  * set is computable in the spec without re-running the operator. */
+object LineFixture {
+  val dir = "/root/repo/spark-warehouse/graft_lines"
+  val docsPath = s"$dir/docs"
+
+  /** lines with df >= this are boilerplate (pool lines sit at df ≈ 40) */
+  val dfThreshold = 20
+
+  private val pool: IndexedSeq[String] = (0 until 10).map(k =>
+    s"boilerplate $k: subscribe to our newsletter for updates and offers"
+  )
+
+  /** doc i = 4 + i%4 lines; every line with j % 3 == 1 is a pool line,
+    * the rest carry doc-unique content. Mirrored in CurationSpec. */
+  def docLines(i: Int): Seq[String] =
+    (0 until (4 + i % 4)).map { j =>
+      if (j % 3 == 1) pool((i + j) % 10)
+      else s"doc $i line $j word${(i * 7 + j) % 13} word${(i * 11 + j) % 17} content"
+    }
+
+  def rows: Seq[(Long, String)] = (0 until 400).map(i => (i.toLong, docLines(i).mkString("\n")))
+
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!new java.io.File(docsPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(docsPath)
+    }
+  }
 }

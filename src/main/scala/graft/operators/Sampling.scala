@@ -90,6 +90,34 @@ object Sampling {
         .orderBy("lang", "cum_tokens", "doc_id")
     }),
 
+    // stratified proportional sample: a 200-document corpus sample whose
+    // per-language allocation is the exact integer floor of the stratum's
+    // share (quota_g = n_g·200 div N), filled by the stratum's lowest
+    // id-hashes — deterministic under retries and re-partitioning, like
+    // every selection here (no rand()). Allocation needs only the tiny
+    // per-stratum count table (broadcast); selection is per-stratum
+    // smallest-k by hash, which at corpus scale runs via the same
+    // hash-range bucket decomposition x26 demonstrates (quota_g consumed
+    // bucket-by-bucket in hash order) — the window form below is the
+    // sf-scale expression of the same math.
+    "x43_stratified_sample" -> ((s, d) => {
+      val total = 200L
+      val docs = table(s, d, "documents")
+        .select(col("lang"), col("doc_id"), Hashing.md5Window15(col("doc_id").cast("string")).as("h"))
+      val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+      val n = strata.agg(sum("n_g").as("n"))
+      val quotas = strata
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("n_g"), expr(s"(n_g * ${total}L) div n").as("quota"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      docs
+        .join(broadcast(quotas), "lang")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= col("quota"))
+        .select("lang", "rk", "doc_id", "n_g", "quota")
+        .orderBy("lang", "rk")
+    }),
+
     // domain-mixture table: per (lang, source) document/token counts and the
     // integer-ppm sampling weight each domain would get under
     // proportional-to-tokens mixing. Two tiny aggregations; the corpus-total
@@ -136,6 +164,20 @@ object Sampling {
         |  FROM t)
         |SELECT lang, doc_id, doc_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2500 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    "x43_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_g FROM t GROUP BY lang),
+        |q AS (SELECT lang, n_g,
+        |  (n_g * 200) // CAST((SELECT sum(n_g) FROM g) AS BIGINT) AS quota FROM g),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM t)
+        |SELECT r.lang, rk, doc_id, n_g, quota
+        |FROM r JOIN q USING (lang) WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
     "x27_domain_mixture" ->
       """WITH d AS (
         |  SELECT lang, source, count(*) AS n_docs,

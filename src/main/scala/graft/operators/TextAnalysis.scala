@@ -150,6 +150,46 @@ object TextAnalysis {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
     }),
+    // bigram-coherence scoring: the n-gram-LM stand-in for model-based
+    // quality filtering (a perplexity filter without a model). Corpus-wide
+    // bigram and bigram-prefix counts give each transition an integer
+    // probability cnt(w1 w2)·1e6 div cnt(w1 ·); a document's score is the
+    // floor-mean of its transitions. Natural text scores high (its
+    // transitions recur corpus-wide); shuffled/garbage text scores near the
+    // uniform floor. Pure BIGINT throughout — a log-prob mean would gamble
+    // on libm ulp agreement across engines (invariant #7).
+    //
+    // Scale shape: both count tables are corpus aggregations with map-side
+    // combine (the word-count shape); the scored side joins per-doc bigrams
+    // to those stats on the gram key — an inverted-index join, never a
+    // corpus self-join. The prefix table is NOT a second scan: it
+    // re-aggregates the bigram counts by w1 (tiny input).
+    "x42_bigram_coherence" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val bigrams = docs
+        .select(col("doc_id"), toks.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(
+            transform(sequence(lit(0), size(col("w")) - 2), i =>
+              struct(element_at(col("w"), i + 1).as("w1"), element_at(col("w"), i + 2).as("w2")))
+          ).as("g")
+        )
+        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      val cnt2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val cnt1 = cnt2.groupBy("w1").agg(sum("cnt2").as("cnt1"))
+      bigrams
+        .where(col("doc_id") < 30)
+        .join(cnt2, Seq("w1", "w2"))
+        .join(cnt1, Seq("w1"))
+        .withColumn("p_ppm", expr("(cnt2 * 1000000L) div cnt1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("sum_ppm"))
+        .withColumn("coherence_ppm", expr("sum_ppm div n_bigrams"))
+        .select("doc_id", "n_bigrams", "coherence_ppm")
+        .orderBy("doc_id")
+    }),
     // winnowing document sketches (Schleimer et al.): window-min selection
     // over POSITIONAL char-4-gram hashes, w=5 — any shared substring of
     // ≥ w+n−1 = 8 chars contributes a shared fingerprint, which is the
@@ -262,6 +302,20 @@ object TextAnalysis {
           |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      "x42_bigram_coherence" ->
+        """WITH w AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+          |g AS (
+          |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i) WHERE len(w) >= 2),
+          |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM g GROUP BY 1, 2),
+          |c1 AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+          |p AS (
+          |  SELECT g.doc_id, (cnt2 * 1000000) // cnt1 AS p_ppm
+          |  FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) WHERE g.doc_id < 30)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  (CAST(sum(p_ppm) AS BIGINT)) // count(*) AS coherence_ppm
+          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x36_winnow_fingerprint" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),

@@ -198,6 +198,55 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq === Seq((0L, 2L)))
   }
 
+  test("x43 stratified sample: exact floor quotas per stratum, deterministic hash fill") {
+    val rows = Sampling
+      .queries("x43_stratified_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val langCounts = graft.Graft
+      .table(spark, sf, "documents")
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val n = langCounts.values.sum
+    val byLang = rows.groupBy(_._1)
+    for ((lang, nG) <- langCounts) {
+      val quota = nG * 200L / n
+      val got = byLang.getOrElse(lang, Array.empty)
+      assert(got.length.toLong === quota, s"$lang expected $quota got ${got.length}")
+      assert(got.map(_._2).sorted.toSeq === (1L to quota), s"$lang ranks not 1..quota")
+      assert(got.forall(t => t._4 === nG && t._5 === quota))
+    }
+    // pure function of (doc_id, stratum counts): second run is identical
+    val again = Sampling
+      .queries("x43_stratified_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("x42 bigram coherence: corpus-common transitions outscore novel ones, exact ppm") {
+    val d = TestSpark.tempDir()
+    // 10 identical docs "alpha beta gamma delta"; doc 10 mixes novel words.
+    // Corpus prefix counts: alpha→11 (10×alpha-beta + 1×alpha-zeta),
+    // beta→11, gamma→10, zeta→1. Docs 0-9: transitions 10/11, 10/11, 10/10
+    // → ppm 909090, 909090, 1000000 → floor-mean 939393. Doc 10:
+    // 1/11, 1/1, 1/11 → ppm 90909, 1000000, 90909 → floor-mean 393939.
+    val docs = ((0 until 10).map(i => (i.toLong, "alpha beta gamma delta", "en", "s", 1L)) :+
+      ((10L, "alpha zeta beta eta", "en", "s", 1L))).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val rows = TextAnalysis
+      .queries("x42_bigram_coherence")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (i <- 0L until 10L) assert(rows(i) === ((3L, (909090L + 909090L + 1000000L) / 3)), s"doc $i")
+    assert(rows(10L) === ((3L, (90909L + 1000000L + 90909L) / 3)))
+    assert(rows(10L)._2 < rows(0L)._2, "novel transitions must lower the score")
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
