@@ -13,6 +13,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The materialized RDD behind a `localCheckpoint`ed frame (or a narrow
+    * projection of one). `Dataset.unpersist` only talks to the CacheManager
+    * and never frees checkpoint blocks — iterative algorithms
+    * ([[graft.operators.Dedup.connectedComponents]]) must unpersist the
+    * underlying RDD directly once a round's blocks have no more readers.
+    * Returns None for plans not backed by an RDD scan. */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Register a function builder on a live session (the runtime counterpart
     * of wiring `spark.sql.extensions=graft.plans.GraftExtensions` at
     * session build time). */

@@ -177,6 +177,18 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size === 10)
   }
 
+  test("connected components: checkpoint blocks from earlier rounds are released") {
+    import spark.implicits._
+    // a diameter-15 path forces many propagation rounds; storage must stay
+    // O(1) in rounds (only the live round's checkpoint + edges may remain)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val path = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(path).collect()
+    assert(cc.length === 16 && cc.forall(_.getAs[Long]("cluster_id") === 1L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2, s"leaked checkpoint blocks: $before -> $after persistent RDDs")
+  }
+
   test("x40 resolution: one survivor per near-dup family plus all unclustered docs") {
     // docs 0/1/2 form one component (0~1 near-dup, 0~2 exact) → survivor 0;
     // doc 3 never pairs → survives untouched. 2 'en' survivors total.
