@@ -250,6 +250,21 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("ws", "event_type")
+    }),
+
+    // sliding (overlapping) time windows — the q20 tumbling twin with
+    // width 10 min / slide 5 min, so every event lands in exactly two
+    // windows. Spark's `window()` generates the window set per row inside
+    // codegen before the aggregation shuffle (the overlap factor multiplies
+    // shuffle rows by w/slide — bounded and known, unlike a self-join
+    // formulation). The oracle expands the same two bucket starts per event
+    // from integer arithmetic.
+    "q48_sliding_window" -> ((s, d) => {
+      graft.Graft.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
     })
   )
 
@@ -363,6 +378,12 @@ object Relational {
     "q20_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q48_sliding_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE,
+        |    '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, unnest([0, 1]) t(k)
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
 }

@@ -118,6 +118,24 @@ object Sampling {
         .orderBy("lang", "rk")
     }),
 
+    // output compaction planning — the small-files problem is a first-order
+    // operational concern at 100 TB (a 1000-executor write of per-task
+    // files floods the namenode/object store with millions of tiny
+    // objects). Plan per-partition output file counts from the data's
+    // actual byte volume: n_files = ⌈bytes / target⌉, rows_per_file the
+    // matching ceil — the numbers a writer feeds into repartitionByRange
+    // before the sink (demonstrated in LineDedupSpec). One aggregation;
+    // target here is 64 KiB standing in for the production 128 MiB.
+    "x45_compaction_plan" -> ((s, d) => {
+      val target = 64L * 1024
+      table(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text")).cast("long")).as("n_bytes"))
+        .withColumn("n_files", expr(s"(n_bytes + ${target}L - 1) div ${target}L"))
+        .withColumn("rows_per_file", expr("(n_docs + n_files - 1) div n_files"))
+        .orderBy("lang")
+    }),
+
     // domain-mixture table: per (lang, source) document/token counts and the
     // integer-ppm sampling weight each domain would get under
     // proportional-to-tokens mixing. Two tiny aggregations; the corpus-total
@@ -178,6 +196,16 @@ object Sampling {
         |  FROM t)
         |SELECT r.lang, rk, doc_id, n_g, quota
         |FROM r JOIN q USING (lang) WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
+    "x45_compaction_plan" ->
+      """WITH d AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY lang),
+        |f AS (SELECT lang, n_docs, n_bytes,
+        |  (n_bytes + 65535) // 65536 AS n_files FROM d)
+        |SELECT lang, n_docs, n_bytes, n_files,
+        |  (n_docs + n_files - 1) // n_files AS rows_per_file
+        |FROM f ORDER BY lang""".stripMargin,
     "x27_domain_mixture" ->
       """WITH d AS (
         |  SELECT lang, source, count(*) AS n_docs,

@@ -92,7 +92,49 @@ object Similarity {
       posexplode(graft.functions.BandSigs(col("embedding"), NPlanes, BandRows)).as(Seq("band", "bucket"))
     )
 
+  /** ±1 sign for projection plane j, component i — parity of the standard
+    * md5-window hash of "j_i". Row-independent, so the 8×64 matrix is built
+    * once driver-side; the DuckDB oracle re-derives every sign from the same
+    * md5 formula in SQL (nothing is smuggled as a literal). */
+  private[graft] def projSign(j: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Johnson-Lindenstrauss dimensionality reduction, quantized for exact
+    // cross-engine arithmetic: 64-dim float embeddings → micro-unit integers
+    // → 8 projected components y_j = Σ_i sign(j,i)·q_i with md5-derived ±1
+    // planes (the Achlioptas sparse-sign construction). Pure integer sums
+    // are order-free, so the projection is bit-exact in any engine — a
+    // float dot product would depend on accumulation order (invariant #7).
+    // Per-row, zero shuffles: the 100 TB shape for embedding preprocessing
+    // (shrink 64→8 dims BEFORE any shuffle-heavy ANN/dedup stage).
+    "x44_random_projection" -> ((s, d) => {
+      val signs: Seq[Seq[Long]] = (0 until 8).map(j => (0 until 64).map(i => projSign(j, i)))
+      table(s, d, "embeddings")
+        .where(size(col("embedding")) === 64)
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("q")
+        )
+        .select(
+          col("vec_id") +: signs.zipWithIndex.map { case (row, j) =>
+            aggregate(
+              zip_with(col("q"), typedLit(row), (x, sg) => x * sg),
+              lit(0L),
+              (a, v) => a + v
+            ).as(s"y${j}_e6")
+          }: _*
+        )
+        .orderBy("vec_id")
+    }),
+
     // exact top-5 neighbors for the first 10 vectors (brute force baseline)
     "x05_sim_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -452,6 +494,19 @@ object Similarity {
         |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS vrk FROM v)
         |SELECT qid, CAST(tl AS BIGINT) AS true_label, CAST(nl AS BIGINT) AS pred_label, votes
         |FROM best WHERE vrk = 1 ORDER BY qid""".stripMargin,
+    "x44_random_projection" -> {
+      val cols = (0 until 8)
+        .map { j =>
+          s"""  CAST(list_sum(list_transform(range(1, 65), i ->
+             |    CAST(round(CAST(embedding[i::INT] AS DOUBLE) * 1000000) AS BIGINT) *
+             |    (CASE WHEN ('0x' || substr(md5('${j}_' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+             |      THEN 1 ELSE -1 END))) AS BIGINT) AS y${j}_e6""".stripMargin
+        }
+        .mkString(",\n")
+      s"""SELECT vec_id,
+         |$cols
+         |FROM embeddings WHERE len(embedding) = 64 ORDER BY vec_id""".stripMargin
+    },
     "x30_embedding_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd FROM embeddings),

@@ -47,6 +47,67 @@ class LineDedupSpec extends AnyFunSuite {
     assert(rows.values.forall { case (n, k, _) => k < n && k >= 3 })
   }
 
+  test("x44 random projection: basis vectors read off the sign matrix exactly") {
+    import spark.implicits._
+    val d = TestSpark.tempDir()
+    // e_i basis embeddings: projection of e_i must be column i of the sign
+    // matrix (×1e6), which pins every sign and the quantization arithmetic
+    val basis = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(64)(k => if (k == i) 1.0f else 0.0f), 0)
+    }
+    // plus a short vector that must be filtered out, and a mixed vector
+    val rows = basis :+ ((100L, Array(1.0f, 2.0f), 0)) :+
+      ((101L, Array.tabulate(64)(k => (k % 3 - 1).toFloat), 0))
+    TestSpark.writeTable(d, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val got = Similarity
+      .queries("x44_random_projection")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(j => r.getLong(1 + j)))
+      .toMap
+    assert(!got.contains(100L), "non-64-dim vector must be excluded")
+    for (i <- 0 until 64; j <- 0 until 8)
+      assert(got(i.toLong)(j) === Similarity.projSign(j, i) * 1000000L, s"e_$i plane $j")
+    // linearity: proj(mixed) = Σ_i mixed_i · proj(e_i)
+    val mixed = Array.tabulate(64)(k => (k % 3 - 1).toLong)
+    for (j <- 0 until 8)
+      assert(got(101L)(j) === (0 until 64).map(i => mixed(i) * Similarity.projSign(j, i) * 1000000L).sum)
+  }
+
+  test("x45 compaction plan: ceil laws hold and the planned file count is writable") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Sampling
+      .queries("x45_compaction_plan")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((lang, nDocs, nBytes, nFiles, rowsPerFile) <- rows) {
+      assert(nFiles === (nBytes + 65535L) / 65536L, s"$lang n_files")
+      assert(rowsPerFile * nFiles >= nDocs && (rowsPerFile - 1) * nFiles < nDocs, s"$lang rows_per_file")
+    }
+    // the plan is actionable: writing one stratum with repartition(n_files)
+    // yields exactly n_files parquet parts
+    val (lang, _, _, nFiles, _) = rows.head
+    val out = TestSpark.tempDir() + "/compact"
+    graft.Graft
+      .table(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.col("lang") === lang)
+      .repartition(nFiles.toInt)
+      .write
+      .parquet(out)
+    val parts = new java.io.File(out).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parts === nFiles.toInt)
+  }
+
+  test("q48 sliding windows: every event lands in exactly two 10-minute windows") {
+    val sf = "/root/testdata/sf0.001"
+    val slid = Advanced.queries.getOrElse("q48_sliding_window", Relational.queries("q48_sliding_window"))(spark, sf).collect()
+    val tumb = Relational.queries("q20_events_window")(spark, sf).collect()
+    assert(slid.map(_.getAs[Long]("n")).sum === 2L * tumb.map(_.getAs[Long]("n")).sum)
+    // window starts align to the 5-minute slide grid
+    val starts = slid.map(_.getAs[String]("ws")).distinct
+    assert(starts.forall(s => s.endsWith(":00") && (s.substring(14, 16).toInt % 5 === 0)), starts.take(3).mkString(","))
+  }
+
   test("q47 higher-order functions: lambda arithmetic matches plain Scala") {
     val sf = "/root/testdata/sf0.001"
     val got = Advanced
