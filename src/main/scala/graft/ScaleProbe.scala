@@ -60,7 +60,14 @@ object ScaleProbe {
       "x36_winnow_fingerprint", // positional gram hashing, the heaviest per-row text op
       // clone corpus = dense dup graph: every text's 16 clones pair up via
       // shared shingles, so components run on ~100× the 1× edge count
-      "x37_dedup_clusters", "x38_doc_chunks"
+      "x37_dedup_clusters", "x38_doc_chunks",
+      // round-4 corpus ops over the scaled documents: x42 multiplies every
+      // bigram/prefix count by n (the coherence join keys get n× hotter),
+      // x43 stresses the per-stratum ranking window, x45 the byte rollup;
+      // x44/q47/q48 ride along at base scale (events/embeddings are not
+      // replicated) as scan-shape sanity checks
+      "x42_bigram_coherence", "x43_stratified_sample", "x45_compaction_plan",
+      "x44_random_projection", "q47_higher_order", "q48_sliding_window"
     )
     heavy.foreach { name =>
       try {
