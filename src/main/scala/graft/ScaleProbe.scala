@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * pass correctness at sf0.01 still behave at 100× that scale — no OOM, no
   * quadratic blowup, runtimes scaling ~linearly with input.
   *
-  * Usage: runMain graft.ScaleProbe [N] [workDir] [--skip-gen]
-  * (--skip-gen reuses an existing workDir; flags may appear anywhere)
+  * Usage: runMain graft.ScaleProbe [N] [workDir] [--skip-gen] [--only=a,b]
+  * (--skip-gen reuses an existing workDir; --only filters the query list —
+  * useful because x04's clone-corpus quadratic contaminates same-JVM
+  * timings of everything after it; flags may appear anywhere)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -67,9 +69,14 @@ object ScaleProbe {
       // x44/q47/q48 ride along at base scale (events/embeddings are not
       // replicated) as scan-shape sanity checks
       "x42_bigram_coherence", "x43_stratified_sample", "x45_compaction_plan",
-      "x44_random_projection", "q47_higher_order", "q48_sliding_window"
+      "x44_random_projection", "q47_higher_order", "q48_sliding_window",
+      // bloom build multiplies by n only through the benchmark gram set;
+      // the probe side is the broadcast-join scan shape
+      "x46_bloom_decontaminate"
     )
-    heavy.foreach { name =>
+    val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
+    val selected = only.fold(heavy)(o => heavy.filter(o.contains))
+    selected.foreach { name =>
       try {
         val fn = SparkEntry.queries(name)
         fn(spark, work).write.mode("overwrite").format("noop").save() // warm

@@ -86,6 +86,44 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // ---- Bloom-filter decontamination (the compact-filter scale path) -----
+    // x18 joins corpus grams against the benchmark gram SET — exact, but at
+    // 100 TB the benchmark set itself can be too large to broadcast and the
+    // join shuffles every corpus gram. The Bloom path compresses the
+    // benchmark to a fixed ~8 KiB bit array (1041 63-bit int64 blocks — bit 63 stays clear
+    // because DuckDB rejects sign-bit shifts — k=3
+    // md5-window hashes) built with one bit_or aggregation, then probes
+    // corpus grams against the BROADCAST bitset — no shuffle carries
+    // benchmark data. Flags are a deterministic superset of x18's (false
+    // positives possible, bounded by (1-e^{-kn/m})^k; zero on the sf
+    // fixtures — CurationSpec pins the superset law). Every hash/bit step
+    // is integer arithmetic the oracle replicates exactly.
+    "x46_bloom_decontaminate" -> ((s, d) => {
+      val m = 65536L
+      val starts = Seq(1, 9, 17) // md5 hex windows → k=3 independent hashes
+      def pos(st: Int) = graft.functions.Hashing.md5Window15(col("gram"), st) % m
+      val grams = wordGrams(s, d, 4)
+      val bloom = grams
+        .where(col("doc_id") % 50 === 0)
+        .select(col("gram"))
+        .distinct()
+        .select(explode(array(starts.map(pos): _*)).as("pos"))
+        .groupBy(expr("pos div 63").as("blk"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pos % 63 as int)))").as("bits"))
+      grams
+        .where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("gram"), explode(array(starts.map(pos): _*)).as("pos"))
+        .withColumn("blk", expr("pos div 63"))
+        .join(broadcast(bloom), Seq("blk"), "left")
+        .withColumn("hit", coalesce(expr("shiftright(bits, cast(pos % 63 as int)) & 1"), lit(0L)))
+        .groupBy("doc_id", "gram")
+        .agg(sum("hit").as("hits"))
+        .where(col("hits") === starts.size.toLong)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bloom_hits"))
+        .orderBy("doc_id")
+    }),
+
     // ---- compression-ratio quality signal (rows-only; see scaladoc) --------
     "x39_compression_ratio" -> ((s, d) =>
       compressionRatio(table(s, d, "documents")).orderBy("doc_id")),
@@ -226,6 +264,28 @@ object Curation {
         |  cast(cnt AS DOUBLE) / cast(tot AS DOUBLE) AS rep_ratio
         |FROM r WHERE rk = 1 AND cast(cnt AS DOUBLE) / cast(tot AS DOUBLE) >= 0.1
         |ORDER BY doc_id""".stripMargin,
+    "x46_bloom_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+        |  FROM w, unnest(generate_series(1, len(w) - 3)) t(i) WHERE len(w) >= 4),
+        |bpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(gram), s, 15))::BIGINT % 65536 AS pos
+        |  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), unnest([1, 9, 17]) t(s)),
+        |bloom AS (
+        |  SELECT pos // 63 AS blk, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        |  FROM bpos GROUP BY 1),
+        |probe AS (
+        |  SELECT doc_id, gram, ('0x' || substr(md5(gram), s, 15))::BIGINT % 65536 AS pos
+        |  FROM g, unnest([1, 9, 17]) t(s) WHERE doc_id % 50 <> 0),
+        |chk AS (
+        |  SELECT doc_id, gram,
+        |    sum(CASE WHEN (bits >> CAST(pos % 63 AS INT)) & 1 = 1 THEN 1 ELSE 0 END) AS hits
+        |  FROM probe LEFT JOIN bloom ON pos // 63 = blk
+        |  GROUP BY doc_id, gram)
+        |SELECT doc_id, count(*) AS n_bloom_hits FROM chk WHERE hits = 3
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x41_line_dedup" ->
       s"""WITH src AS (
          |  SELECT doc_id, string_split(text, chr(10)) AS ls

@@ -58,6 +58,30 @@ class CurationSpec extends AnyFunSuite {
     assert(hits === Map(4L -> 1L)) // "the quick brown fox", exactly once
   }
 
+  test("bloom decontamination: superset of the exact join, exact on the planted fixture") {
+    // planted fixture: doc 4 shares exactly one 4-gram with benchmark doc 50
+    val bloomHits = Curation
+      .queries("x46_bloom_decontaminate")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bloom_hits")))
+      .toMap
+    assert(bloomHits === Map(4L -> 1L), "no false positives expected at this fill factor")
+    // superset law on the real corpus: the bloom can only over-flag
+    val sf = "/root/testdata/sf0.01"
+    val exact = Curation
+      .queries("x18_decontaminate")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared")))
+      .toMap
+    val bloom = Curation
+      .queries("x46_bloom_decontaminate")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bloom_hits")))
+      .toMap
+    assert(exact.forall { case (id, n) => bloom.getOrElse(id, 0L) >= n },
+      "bloom missed a true contamination hit")
+  }
+
   test("repetition detector surfaces the boilerplate doc with the right ratio") {
     val rows = Curation
       .queries("x19_repetition")(spark, dir)
