@@ -53,7 +53,8 @@ object ScaleProbe {
       "q07_join_outer_hist", "q08_window_rank", "q10_topk", "q12_distinct_agg",
       "q17_rollup", "q27_percentiles", "q30_hash_sample",
       "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x04_dedup_simhash",
-      "x14_dedup_chargram", "x17_pii_redact", "x19_repetition", "x20_dedup_pipeline",
+      "x14_dedup_chargram", "x17_pii_redact", "x18_decontaminate", "x19_repetition",
+      "x20_dedup_pipeline",
       // round-3 corpus ops: x25/x31 carry full-corpus term aggregations
       // (the clone corpus multiplies every df by n), x26 stresses the
       // per-lang running-sum window, x30/x32 are scan-shaped

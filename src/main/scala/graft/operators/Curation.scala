@@ -32,9 +32,10 @@ object Curation {
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
-  /** distinct word-n-gram strings per doc */
-  private def wordGrams(s: SparkSession, d: String, n: Int): DataFrame =
-    table(s, d, "documents")
+  /** word-n-gram strings per doc; `dedup = false` skips the per-doc
+    * distinct shuffle for callers that filter grams map-side first (x46) */
+  private def wordGrams(s: SparkSession, d: String, n: Int, dedup: Boolean = true): DataFrame = {
+    val g = table(s, d, "documents")
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) >= n)
       .select(
@@ -46,7 +47,8 @@ object Curation {
           )
         ).as("gram")
       )
-      .distinct()
+    if (dedup) g.distinct() else g
+  }
 
   /** The PII scrub as a reusable Column — email/IPv4/phone → placeholder
     * tokens, three chained codegen'd regexp_replace passes. Stateless and
@@ -100,25 +102,47 @@ object Curation {
     // is integer arithmetic the oracle replicates exactly.
     "x46_bloom_decontaminate" -> ((s, d) => {
       val m = 65536L
+      val nBlocks = (m / 63 + 1).toInt
       val starts = Seq(1, 9, 17) // md5 hex windows → k=3 independent hashes
-      def pos(st: Int) = graft.functions.Hashing.md5Window15(col("gram"), st) % m
+      def pos(st: Int) = conv(substring(col("h"), st, 15), 16, 10).cast("long") % m
       val grams = wordGrams(s, d, 4)
-      val bloom = grams
+      // Build: one bit_or aggregation over the benchmark gram hashes →
+      // densified into a SINGLE array row (≤1041 int64 blocks, 8 KiB FIXED
+      // regardless of benchmark cardinality) that cross-joins as a 1-row
+      // broadcast — the tiny-metadata exception (see x25/x27). Staying one
+      // DAG (no driver collect) keeps the shared gram-scan subtree
+      // reusable by Spark's exchange reuse.
+      val bloomRow = grams
         .where(col("doc_id") % 50 === 0)
-        .select(col("gram"))
-        .distinct()
+        .select(md5(col("gram")).as("h"))
         .select(explode(array(starts.map(pos): _*)).as("pos"))
         .groupBy(expr("pos div 63").as("blk"))
         .agg(expr("bit_or(shiftleft(1L, cast(pos % 63 as int)))").as("bits"))
-      grams
+        .agg(map_from_entries(collect_list(struct(col("blk"), col("bits")))).as("bm"))
+        .select(
+          transform(sequence(lit(0L), lit(nBlocks - 1L)), i => coalesce(element_at(col("bm"), i), lit(0L)))
+            .as("bloom_arr")
+        )
+      // Probe: 3 map-side bit tests per RAW gram against the broadcast
+      // array — BEFORE any shuffle. x18 (and the naive bloom) must
+      // distinct-shuffle every (doc, gram) string first; here only the
+      // grams that pass the filter (≈ true contaminations + the tiny FP
+      // band) ever reach the distinct, so the shuffle volume collapses
+      // from the whole corpus gram stream to the contamination set. This
+      // is the filter-pushdown shape a Bloom exists for.
+      def bitSet(st: Int): Column = {
+        val p = pos(st)
+        val blk = (p.cast("double") / 63).cast("int") + lit(1) // element_at is 1-based
+        val bit = (p % 63L).cast("int")
+        call_function("shiftright", element_at(col("bloom_arr"), blk), bit).bitwiseAND(lit(1L)) === lit(1L)
+      }
+      wordGrams(s, d, 4, dedup = false)
         .where(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("gram"), explode(array(starts.map(pos): _*)).as("pos"))
-        .withColumn("blk", expr("pos div 63"))
-        .join(broadcast(bloom), Seq("blk"), "left")
-        .withColumn("hit", coalesce(expr("shiftright(bits, cast(pos % 63 as int)) & 1"), lit(0L)))
-        .groupBy("doc_id", "gram")
-        .agg(sum("hit").as("hits"))
-        .where(col("hits") === starts.size.toLong)
+        .withColumn("h", md5(col("gram")))
+        .crossJoin(broadcast(bloomRow))
+        .where(starts.map(bitSet).reduce(_ && _))
+        .select("doc_id", "gram")
+        .distinct()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bloom_hits"))
         .orderBy("doc_id")

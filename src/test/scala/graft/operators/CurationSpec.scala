@@ -80,6 +80,16 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(exact.forall { case (id, n) => bloom.getOrElse(id, 0L) >= n },
       "bloom missed a true contamination hit")
+    // plan shape: benchmark data reaches the probe only as the 1-row
+    // broadcast bitset (tiny-metadata BNLJ) — never via a gram-keyed
+    // shuffle join like x18's
+    val plan = Curation
+      .queries("x46_bloom_decontaminate")(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), "bitset not broadcast as 1-row metadata")
+    assert(!plan.contains("SortMergeJoin"), "bloom probe degenerated into a shuffle join")
   }
 
   test("repetition detector surfaces the boilerplate doc with the right ratio") {
