@@ -514,6 +514,30 @@ object Advanced {
         .orderBy("o_orderstatus")
     }),
 
+    // Incremental aggregate maintenance — the materialized-view merge law.
+    // A snapshot aggregate (orders before the cut date) is combined with a
+    // delta aggregate (orders on/after it) by re-aggregating the mergeable
+    // state (count + integer-cent sum); non-mergeable measures (avg) are
+    // DERIVED from the maintained sums, never maintained directly — the
+    // classic incremental-view lesson. The oracle recomputes the aggregate
+    // from scratch over the full table, so the hash match PROVES the
+    // algebraic merge equals full recomputation. At 100 TB this is the
+    // difference between re-scanning history daily and scanning one day.
+    "q49_incremental_agg" -> ((s, d) => {
+      val orders = table(s, d, "orders")
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      def agg(df: DataFrame) =
+        df.groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val snapshot = agg(orders.where(col("o_orderdate") < "1997-01-01"))
+      val delta = agg(orders.where(col("o_orderdate") >= "1997-01-01"))
+      snapshot
+        .unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(sum("n").as("n_orders"), sum("cents").as("total_cents"))
+        .withColumn("avg_cents", expr("total_cents div n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Higher-order array functions — the §2.5 functional surface over
     // complex types: transform / filter / aggregate (fold) / zip_with /
     // reverse / array_position evaluated per-row over a single scan (no
@@ -557,6 +581,13 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    "q49_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q47_higher_order" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd

@@ -136,6 +136,51 @@ object Sampling {
         .orderBy("lang")
     }),
 
+    // z-order layout — multi-dimensional clustering for data skipping (the
+    // layout Delta/Iceberg OPTIMIZE ZORDER lowers to). Both dims are
+    // min-max scaled to 16 bits with integer arithmetic, bit-interleaved
+    // into a 32-bit Morton key, and bucketed into 64 z-ranges; the output
+    // is each bucket's min/max on BOTH original dims — exactly the
+    // row-group statistics a scan would prune on. Because the bucket fixes
+    // the top 3 interleaved bits of each dim, every bucket provably spans
+    // ≤ 1/8 of each dim's range (+1 scaling quantum) — a 2-dim skipping
+    // guarantee no single-column sort can give; the spec asserts the bound.
+    // Scale shape: one tiny bounds aggregate broadcast back (tiny-metadata
+    // crossJoin), then per-row integer math; the groupBy carries 64 groups.
+    "x47_zorder_layout" -> ((s, d) => {
+      val orders = table(s, d, "orders")
+        .select(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days")
+        )
+      val bounds = orders.agg(
+        min("o_custkey").as("cmin"),
+        max("o_custkey").as("cmax"),
+        min("days").as("dmin"),
+        max("days").as("dmax")
+      )
+      orders
+        .crossJoin(broadcast(bounds))
+        .withColumn("cx", expr("((o_custkey - cmin) * 65535L) div greatest(cmax - cmin, 1)"))
+        .withColumn("dy", expr("((days - dmin) * 65535L) div greatest(dmax - dmin, 1)"))
+        .withColumn(
+          "zkey",
+          expr("""aggregate(sequence(0, 15), 0L, (acc, b) ->
+                 |  acc + shiftleft(shiftright(cx, b) & 1, 2 * b)
+                 |      + shiftleft(shiftright(dy, b) & 1, 2 * b + 1))""".stripMargin)
+        )
+        .withColumn("bucket", expr("zkey div 67108864")) // 2^32 / 64 ranges
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_custkey").as("c_lo"),
+          max("o_custkey").as("c_hi"),
+          min("days").as("d_lo"),
+          max("days").as("d_hi")
+        )
+        .orderBy("bucket")
+    }),
+
     // domain-mixture table: per (lang, source) document/token counts and the
     // integer-ppm sampling weight each domain would get under
     // proportional-to-tokens mixing. Two tiny aggregations; the corpus-total
@@ -196,6 +241,26 @@ object Sampling {
         |  FROM t)
         |SELECT r.lang, rk, doc_id, n_g, quota
         |FROM r JOIN q USING (lang) WHERE rk <= quota ORDER BY lang, rk""".stripMargin,
+    "x47_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days
+        |  FROM orders),
+        |b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |             min(days) AS dmin, max(days) AS dmax FROM o),
+        |s AS (
+        |  SELECT o_custkey, days,
+        |    ((o_custkey - cmin) * 65535) // greatest(cmax - cmin, 1) AS cx,
+        |    ((days - dmin) * 65535) // greatest(dmax - dmin, 1) AS dy
+        |  FROM o, b),
+        |z AS (
+        |  SELECT o_custkey, days,
+        |    CAST(list_sum(list_transform(range(0, 16), b ->
+        |      (((cx >> b) & 1) << (2 * b)) + (((dy >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zkey
+        |  FROM s)
+        |SELECT zkey // 67108864 AS bucket, count(*) AS n,
+        |  min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+        |  CAST(min(days) AS BIGINT) AS d_lo, CAST(max(days) AS BIGINT) AS d_hi
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "x45_compaction_plan" ->
       """WITH d AS (
         |  SELECT lang, count(*) AS n_docs,

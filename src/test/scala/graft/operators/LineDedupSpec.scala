@@ -108,6 +108,69 @@ class LineDedupSpec extends AnyFunSuite {
     assert(starts.forall(s => s.endsWith(":00") && (s.substring(14, 16).toInt % 5 === 0)), starts.take(3).mkString(","))
   }
 
+  test("q49 incremental agg: snapshot+delta merge equals direct full aggregation") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val merged = Advanced
+      .queries("q49_incremental_agg")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val direct = graft.Graft
+      .table(spark, sf, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(2) / r.getLong(1))))
+      .toMap
+    assert(merged === direct)
+    // the merge must actually merge: both sides of the cut are non-empty
+    val orders = graft.Graft.table(spark, sf, "orders")
+    assert(orders.where(col("o_orderdate") < "1997-01-01").limit(1).count() === 1)
+    assert(orders.where(col("o_orderdate") >= "1997-01-01").limit(1).count() === 1)
+  }
+
+  test("x47 z-order: every bucket provably spans <= 1/8 of BOTH dims") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val rows = Sampling
+      .queries("x47_zorder_layout")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.map(_._2).sum === graft.Graft.table(spark, sf, "orders").count())
+    val b = graft.Graft
+      .table(spark, sf, "orders")
+      .agg(
+        min("o_custkey"),
+        max("o_custkey"),
+        min(datediff(col("o_orderdate"), lit("1992-01-01"))),
+        max(datediff(col("o_orderdate"), lit("1992-01-01")))
+      )
+      .head()
+    val (cR, dR) = (b.getLong(1) - b.getLong(0), (b.getInt(3) - b.getInt(2)).toLong)
+    // a bucket fixes the top 3 interleaved bits of each scaled dim, so its
+    // span is at most range/8 plus the min-max scaling quantum
+    for ((bucket, _, cLo, cHi, dLo, dHi) <- rows) {
+      assert(cHi - cLo <= cR / 8 + cR / 65535 + 2, s"bucket $bucket custkey span")
+      assert(dHi - dLo <= dR / 8 + dR / 65535 + 2, s"bucket $bucket date span")
+    }
+    // and the layout is genuinely 2-dimensional: no single-column sort can
+    // bound BOTH dims at once — a date-sorted 64-bucket layout leaves the
+    // custkey span at essentially the full range
+    val dateSorted = graft.Graft
+      .table(spark, sf, "orders")
+      .withColumn("days", datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      .withColumn("bkt", ntile(64).over(org.apache.spark.sql.expressions.Window.orderBy("days")))
+      .groupBy("bkt")
+      .agg((max("o_custkey") - min("o_custkey")).as("span"))
+      .agg(avg("span"))
+      .head()
+      .getDouble(0)
+    val zAvg = rows.map(r => r._4 - r._3).sum.toDouble / rows.length
+    assert(zAvg < dateSorted * 0.5, s"z-order custkey locality ($zAvg) should beat date-sort ($dateSorted)")
+  }
+
   test("q47 higher-order functions: lambda arithmetic matches plain Scala") {
     val sf = "/root/testdata/sf0.001"
     val got = Advanced
