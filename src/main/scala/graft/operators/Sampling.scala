@@ -29,6 +29,14 @@ object Sampling {
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
+  /** SQL fragment: min-max scale `x` into [0, 65535] with int64-safe
+    * arithmetic — multiply-first while exact (range < 2^47), divide-first
+    * beyond. Mirrored verbatim in the x47 oracle. */
+  private def scale16(x: String, lo: String, hi: String): String =
+    s"""CASE WHEN ($hi - $lo) <= 140737488355327L
+       |  THEN (($x - $lo) * 65535L) div greatest($hi - $lo, 1L)
+       |  ELSE least(($x - $lo) div greatest(($hi - $lo) div 65535L, 1L), 65535L) END""".stripMargin
+
   /** deterministic [0, 100) bucket of a document id */
   private def docBucket: Column = Hashing.md5Bucket(col("doc_id").cast("string"), 100L)
 
@@ -161,8 +169,15 @@ object Sampling {
       )
       orders
         .crossJoin(broadcast(bounds))
-        .withColumn("cx", expr("((o_custkey - cmin) * 65535L) div greatest(cmax - cmin, 1)"))
-        .withColumn("dy", expr("((days - dmin) * 65535L) div greatest(dmax - dmin, 1)"))
+        // Overflow-aware 16-bit scaling (the ADVICE-r03 class): multiply-
+        // first is exact but (x-min)·65535 wraps int64 once the range
+        // exceeds 2^47; beyond that, divide by the precomputed step
+        // (overflow-free for any int64 range, least() clamps the step-
+        // rounding overshoot). Small ranges MUST multiply first — dividing
+        // a small range by its ~1 step never reaches the top interleave
+        // bits and would collapse every row into one bucket.
+        .withColumn("cx", expr(scale16("o_custkey", "cmin", "cmax")))
+        .withColumn("dy", expr(scale16("days", "dmin", "dmax")))
         .withColumn(
           "zkey",
           expr("""aggregate(sequence(0, 15), 0L, (acc, b) ->
@@ -249,8 +264,12 @@ object Sampling {
         |             min(days) AS dmin, max(days) AS dmax FROM o),
         |s AS (
         |  SELECT o_custkey, days,
-        |    ((o_custkey - cmin) * 65535) // greatest(cmax - cmin, 1) AS cx,
-        |    ((days - dmin) * 65535) // greatest(dmax - dmin, 1) AS dy
+        |    CASE WHEN (cmax - cmin) <= 140737488355327
+        |      THEN ((o_custkey - cmin) * 65535) // greatest(cmax - cmin, 1)
+        |      ELSE least((o_custkey - cmin) // greatest((cmax - cmin) // 65535, 1), 65535) END AS cx,
+        |    CASE WHEN (dmax - dmin) <= 140737488355327
+        |      THEN ((days - dmin) * 65535) // greatest(dmax - dmin, 1)
+        |      ELSE least((days - dmin) // greatest((dmax - dmin) // 65535, 1), 65535) END AS dy
         |  FROM o, b),
         |z AS (
         |  SELECT o_custkey, days,

@@ -183,7 +183,9 @@ object TextAnalysis {
         .where(col("doc_id") < 30)
         .join(cnt2, Seq("w1", "w2"))
         .join(cnt1, Seq("w1"))
-        .withColumn("p_ppm", expr("(cnt2 * 1000000L) div cnt1"))
+        // DECIMAL(38,0) headroom: a stop-phrase bigram's corpus count ×1e6
+        // brushes int64 at web scale (same class as the x25 fix)
+        .withColumn("p_ppm", expr("(cast(cnt2 as decimal(38,0)) * 1000000) div cnt1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("sum_ppm"))
         .withColumn("coherence_ppm", expr("sum_ppm div n_bigrams"))
