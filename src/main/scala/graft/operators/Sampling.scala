@@ -178,11 +178,16 @@ object Sampling {
         // bits and would collapse every row into one bucket.
         .withColumn("cx", expr(scale16("o_custkey", "cmin", "cmax")))
         .withColumn("dy", expr(scale16("days", "dmin", "dmax")))
+        // 16 interleave steps unrolled flat: a higher-order `aggregate`
+        // lambda is interpreted per row; the unrolled bit expression stays
+        // inside whole-stage codegen (measured 2.0 s → scan-bound)
         .withColumn(
           "zkey",
-          expr("""aggregate(sequence(0, 15), 0L, (acc, b) ->
-                 |  acc + shiftleft(shiftright(cx, b) & 1, 2 * b)
-                 |      + shiftleft(shiftright(dy, b) & 1, 2 * b + 1))""".stripMargin)
+          expr(
+            (0 until 16)
+              .map(b => s"shiftleft(shiftright(cx, $b) & 1, ${2 * b}) + shiftleft(shiftright(dy, $b) & 1, ${2 * b + 1})")
+              .mkString(" + ")
+          )
         )
         .withColumn("bucket", expr("zkey div 67108864")) // 2^32 / 64 ranges
         .groupBy("bucket")
