@@ -252,6 +252,31 @@ object Relational {
         .orderBy("ws", "event_type")
     }),
 
+    // value-based RANGE window frame — the frame family q09's ROWS frames
+    // don't cover: each order aggregates its customer's orders within the
+    // PRECEDING 30 DAYS by value distance, not row count (peers at equal
+    // days are all included, per SQL RANGE semantics — identical in both
+    // engines). One shuffle on the partition key; the frame evaluates
+    // inside the sorted window pass.
+    "q50_range_frame" -> ((s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy("days")
+        .rangeBetween(-30, Window.currentRow)
+      table(s, d, "orders")
+        .where(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")
+        )
+        .withColumn("w30_n", count(lit(1)).over(w))
+        .withColumn("w30_cents", sum("cents").over(w))
+        .select("o_custkey", "o_orderkey", "days", "w30_n", "w30_cents")
+        .orderBy("o_custkey", "days", "o_orderkey")
+    }),
+
     // sliding (overlapping) time windows — the q20 tumbling twin with
     // width 10 min / slide 5 min, so every event lands in exactly two
     // windows. Spark's `window()` generates the window set per row inside
@@ -379,6 +404,19 @@ object Relational {
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q50_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT o_custkey, o_orderkey, days,
+        |  count(*) OVER w AS w30_n,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS w30_cents
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, days, o_orderkey""".stripMargin,
     "q48_sliding_window" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE,
         |    '%Y-%m-%d %H:%M:%S') AS ws,

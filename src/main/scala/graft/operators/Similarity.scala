@@ -117,22 +117,48 @@ object Similarity {
     // (shrink 64→8 dims BEFORE any shuffle-heavy ANN/dedup stage).
     "x44_random_projection" -> ((s, d) => {
       val signs: Seq[Seq[Long]] = (0 until 8).map(j => (0 until 64).map(i => projSign(j, i)))
+      // flat unrolled sums, not aggregate(zip_with(...)): higher-order
+      // lambdas evaluate interpreted per row, while the unrolled ±q_i tree
+      // stays inside whole-stage codegen (same x47 lesson). Integer
+      // addition is associative, so the unrolled order is value-identical
+      // to the fold.
+      val q = (0 until 64).map(i =>
+        round(element_at(col("embedding"), i + 1).cast("double") * 1e6).cast("long")
+      )
       table(s, d, "embeddings")
         .where(size(col("embedding")) === 64)
         .select(
-          col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("q")
-        )
-        .select(
           col("vec_id") +: signs.zipWithIndex.map { case (row, j) =>
-            aggregate(
-              zip_with(col("q"), typedLit(row), (x, sg) => x * sg),
-              lit(0L),
-              (a, v) => a + v
-            ).as(s"y${j}_e6")
+            row.zip(q).map { case (sg, qi) => if (sg > 0) qi else -qi }.reduce(_ + _).as(s"y${j}_e6")
           }: _*
         )
         .orderBy("vec_id")
+    }),
+
+    // Per-label embedding centroids in exact integer arithmetic: each
+    // component quantized to micro-units, then (label, dim) sums — the
+    // mean-pooling step of cluster analysis / prototype classification,
+    // made accumulation-order-free (a float mean would be shuffle-order
+    // dependent; integer sums hash-match in any engine). Shuffle shape:
+    // explode to (label, dim) keys with map-side partial aggregation —
+    // the shuffle carries nLabels×nDims partial sums, not vectors.
+    // (DuckDB's // and Spark's div both truncate toward zero, so the
+    // signed mean division is cross-engine exact.)
+    "x48_label_centroids" -> ((s, d) => {
+      table(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_e6")
+        )
+        .select(
+          col("label"),
+          col("dim").cast("long").as("dim"),
+          col("n"),
+          expr("sum_e6 div n").as("c_e6")
+        )
+        .orderBy("label", "dim")
     }),
 
     // exact top-5 neighbors for the first 10 vectors (brute force baseline)
@@ -494,6 +520,14 @@ object Similarity {
         |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS vrk FROM v)
         |SELECT qid, CAST(tl AS BIGINT) AS true_label, CAST(nl AS BIGINT) AS pred_label, votes
         |FROM best WHERE vrk = 1 ORDER BY qid""".stripMargin,
+    "x48_label_centroids" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i::INT] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) // count(*) AS c_e6
+        |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "x44_random_projection" -> {
       val cols = (0 until 8)
         .map { j =>

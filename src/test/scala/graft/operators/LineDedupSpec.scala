@@ -171,6 +171,33 @@ class LineDedupSpec extends AnyFunSuite {
     assert(zAvg < dateSorted * 0.5, s"z-order custkey locality ($zAvg) should beat date-sort ($dateSorted)")
   }
 
+  test("q50 range frame: 30-day value window matches a brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val got = Relational
+      .queries("q50_range_frame")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val orders = graft.Graft
+      .table(spark, sf, "orders")
+      .where(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.size === orders.length)
+    val byCust = orders.groupBy(_._1)
+    for ((ck, ok, d, _) <- orders) {
+      val inFrame = byCust(ck).filter(o => o._3 >= d - 30 && o._3 <= d)
+      assert(got((ck, ok)) === ((inFrame.length.toLong, inFrame.map(_._4).sum)), s"cust $ck order $ok")
+    }
+  }
+
   test("q47 higher-order functions: lambda arithmetic matches plain Scala") {
     val sf = "/root/testdata/sf0.001"
     val got = Advanced

@@ -247,6 +247,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows(10L)._2 < rows(0L)._2, "novel transitions must lower the score")
   }
 
+  test("x48 label centroids: integer mean per (label, dim) matches hand arithmetic") {
+    val rows = Similarity
+      .queries("x48_label_centroids")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // fixture: label 7 = vecs (1,0),(2,0.1),(3,0.05); label 3 = (0,1)
+    assert(rows((7L, 0L)) === ((3L, (1000000L + 2000000L + 3000000L) / 3)))
+    assert(rows((7L, 1L)) === ((3L, (0L + 100000L + 50000L) / 3)))
+    assert(rows((3L, 0L)) === ((1L, 0L)))
+    assert(rows((3L, 1L)) === ((1L, 1000000L)))
+    assert(rows.size === 4)
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
