@@ -42,3 +42,16 @@ object WinnowFingerprints {
   def apply(s: Column, n: Int, w: Int): Column =
     Bridge.column(org.apache.spark.sql.graftbridge.WinnowFingerprintExpr(Bridge.expression(s), n, w))
 }
+
+/** KMV distinct-count sketch aggregate (native TypedImperativeAggregate —
+  * bounded k-long buffer, map-side partials, mergeable). Returns the k
+  * smallest distinct input hashes as a sorted array<long>; see
+  * [[org.apache.spark.sql.graftbridge.KmvSketchAgg]] for the estimator. */
+object KmvSketch {
+  def apply(hash: Column, k: Int): Column =
+    Bridge.column(
+      org.apache.spark.sql.graftbridge
+        .KmvSketchAgg(Bridge.expression(hash), k)
+        .toAggregateExpression()
+    )
+}

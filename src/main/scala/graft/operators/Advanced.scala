@@ -149,6 +149,40 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    // KMV distinct-count sketch — the mergeable-sketch counterpart of q34's
+    // HLL, as a native TypedImperativeAggregate with a bounded k-long buffer
+    // (graftbridge.KmvSketchAgg). Unlike HLL, the KMV state (k smallest
+    // distinct md5 hashes) is order-free, so the gate hash-checks the FULL
+    // sketch: kth minimum, retained count, and the (k-1)·2^60/v_k estimate,
+    // all reproduced from first principles by the DuckDB oracle. ndv_exact
+    // rides along so the result itself documents the sketch's error.
+    "x49_kmv_distinct" -> ((s, d) => {
+      val k = 256
+      table(s, d, "lineitem")
+        .select(
+          col("l_returnflag"),
+          col("l_orderkey"),
+          graft.functions.Hashing.md5Window15(col("l_orderkey").cast("string")).as("h")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("ndv_exact"),
+          graft.functions.KmvSketch(col("h"), k).as("sk")
+        )
+        .select(
+          col("l_returnflag"),
+          col("ndv_exact"),
+          size(col("sk")).cast("long").as("n_retained"),
+          get(col("sk"), lit(k - 1)).as("kth_hash"), // null while sketch not yet full
+          when(size(col("sk")) < k, size(col("sk")).cast("long"))
+            .otherwise(
+              round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) / get(col("sk"), lit(k - 1)))
+                .cast("long")
+            )
+            .as("ndv_est")
+        )
+        .orderBy("l_returnflag")
+    }),
     "q35_range_join" -> ((s, d) => {
       // composite equi+range join: equi key keeps it a hash/sort-merge join
       // with the range as a post-join predicate (never a cross product)
@@ -581,6 +615,32 @@ object Advanced {
   )
 
   def oracles: Map[String, String] = Map(
+    // Recomputes the KMV sketch from first principles: k smallest DISTINCT
+    // md5-window hashes per group (a set minimum — order-free, hence exactly
+    // reproducible), then the same double-precision (k-1)·2^60/v_k estimate.
+    // 255.0·2^60 is exactly representable in double and IEEE division +
+    // round-half-away match Spark bit-for-bit.
+    "x49_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        |  FROM h),
+        |sk AS (
+        |  SELECT l_returnflag, count(*) AS n_retained, max(h) AS vk
+        |  FROM r WHERE rk <= 256 GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS ndv_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, ex.ndv_exact, s.n_retained,
+        |  CASE WHEN s.n_retained < 256 THEN NULL ELSE s.vk END AS kth_hash,
+        |  CASE WHEN s.n_retained < 256 THEN s.n_retained
+        |       ELSE CAST(round(255.0 * 1152921504606846976.0 / s.vk) AS BIGINT)
+        |  END AS ndv_est
+        |FROM sk s JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "q49_incremental_agg" ->
       """WITH o AS (
         |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
