@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Advanced, Curation, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Advanced, Curation, Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TopKPerKey}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -30,11 +30,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Curation.queries ++ Sampling.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Curation.queries ++ Sampling.queries ++
+      TopKPerKey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ Curation.oracles ++ Sampling.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Curation.oracles ++ Sampling.oracles ++
+      TopKPerKey.oracles
 }

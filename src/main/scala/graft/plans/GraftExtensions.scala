@@ -15,8 +15,12 @@ import org.apache.spark.sql.graftbridge._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // whole-operator extension: top-k-per-key logical node → two-phase
+    // bounded-heap physical plan (see graftbridge/plans.scala)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -24,6 +24,42 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Wrap a DataFrame in a [[TopKPerKeyNode]] (keys/order arrive as columns
+    * of `df`; unresolved attributes are resolved by the analyzer against the
+    * child). Installs [[TopKPerKeyStrategy]] on the session's experimental
+    * strategies if absent — idempotent, so the operator is self-contained on
+    * any session (the `spark.sql.extensions` path in
+    * [[graft.plans.GraftExtensions]] covers extension-built sessions). */
+  def topKPerKey(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    // Eager ColumnNode→Catalyst conversion: the lazy ColumnNodeExpression
+    // from ExpressionUtils.expression is a driver-side shim that custom nodes
+    // never get rewritten out of (and it is not serializable into tasks).
+    def catalystExpr(c: Column): Expression =
+      org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+    val sortOrders = order.map(catalystExpr).map {
+      case so: org.apache.spark.sql.catalyst.expressions.SortOrder => so
+      case e =>
+        org.apache.spark.sql.catalyst.expressions.SortOrder(
+          e,
+          org.apache.spark.sql.catalyst.expressions.Ascending
+        )
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark,
+      TopKPerKeyNode(keys.map(catalystExpr), sortOrders, k, ds.queryExecution.analyzed)
+    )
+  }
+
   /** Register a function builder on a live session (the runtime counterpart
     * of wiring `spark.sql.extensions=graft.plans.GraftExtensions` at
     * session build time). */

@@ -1,0 +1,148 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute,
+  BaseOrdering,
+  Expression,
+  RowOrdering,
+  SortOrder,
+  UnsafeProjection,
+  UnsafeRow
+}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution,
+  Distribution,
+  Partitioning,
+  UnspecifiedDistribution
+}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** graft's whole-operator Catalyst extension: top-k rows per key as a first-
+  * class logical node + planner strategy + two-phase physical operator —
+  * SURVEY.md §7.3's preference (c): custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan` registered through `SparkSessionExtensions`
+  * ([[graft.plans.GraftExtensions]]).
+  *
+  * Why the built-ins genuinely can't express this shape: the declarative
+  * spelling — `row_number() OVER (PARTITION BY key ORDER BY ord) <= k` —
+  * plans as Sort → WindowGroupLimit(Partial) → Exchange → Sort →
+  * WindowGroupLimit(Final) → Window → Filter (q41 keeps that plan in the
+  * gate; ScaleDisciplineSpec asserts it). Spark's group-limit rewrite
+  * already fixes the shuffle volume, but both phases still pay a FULL local
+  * sort of every input partition first — O(n log n) compares and a sort
+  * buffer proportional to the partition (UnsafeExternalSorter, spilling past
+  * memory) just to keep k rows per key, plus a Window re-rank pass after the
+  * shuffle. This operator replaces sort-then-limit with bounded k-row heaps
+  * hashed by key:
+  *   - partial phase (before any exchange): one streaming pass, each input
+  *     partition reduces to ≤ k rows per key — same map-side-combine
+  *     contract as partial aggregation, same ≤ k · keys · partitions shuffle
+  *     volume as WindowGroupLimit;
+  *   - final phase (after the single hash exchange on the keys): merges the
+  *     partial survivors with the same bounded heaps.
+  * Admission is one compare against the heap root, so rows outside the top-k
+  * cost O(1) and are never copied or buffered: O(n log k) worst case, O(n)
+  * on the typical mostly-losing stream, memory O(k · keys-per-partition)
+  * regardless of group size — no sort buffer, no spill cliff on hot keys; a
+  * billion-row key costs the same heap as a hundred-row key.
+  *
+  * Determinism contract: `order` must be a TOTAL order over the input (tie-
+  * broken down to a unique key), exactly like the gate's ORDER BY convention
+  * — equal-ranked rows would otherwise make "the" top k ambiguous in any
+  * engine. Output rows surface ascending in `order` within each key; key
+  * groups themselves are in no particular order (callers sort downstream).
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan
+) extends UnaryNode {
+
+  require(k >= 1, s"top_k_per_key: k must be >= 1, got $k")
+
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKeyNode]] as final(exchange-requiring) over partial — the
+  * partial/final split mirrors HashAggregate's: EnsureRequirements sees the
+  * final node's `ClusteredDistribution` requirement and inserts exactly one
+  * hash exchange on the keys, fed by the already-reduced partial output. */
+object TopKPerKeyStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap per-key top-k. One pass over the input partition: rows hash
+  * to their key's k-capacity heap (root = worst retained row); a row beats
+  * the root or the heap is short, else it is dropped without a copy. Emits
+  * each key's survivors ascending in `order`.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(keys) :: Nil
+
+  override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortExprs = order
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord: BaseOrdering = RowOrdering.create(sortExprs, childOutput)
+      // Max-heap on the sort order: peek() is the WORST retained row, so
+      // admission is a single compare against the root.
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          heaps.put(key.copy(), heap) // keyProj reuses its row: copy on retain
+        }
+        if (heap.size() < kk) heap.offer(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.offer(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val arr = heap.toArray(new Array[InternalRow](heap.size()))
+        java.util.Arrays.sort(arr, ord)
+        arr.iterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
