@@ -73,13 +73,39 @@ object ScaleProbe {
       "x44_random_projection", "q47_higher_order", "q48_sliding_window",
       // bloom build multiplies by n only through the benchmark gram set;
       // the probe side is the broadcast-join scan shape
-      "x46_bloom_decontaminate"
+      "x46_bloom_decontaminate",
+      // custom bounded-heap top-k-per-key vs its declarative twin: the clone
+      // corpus multiplies every supplier's group 16x, which the window twin
+      // pays for in local sort volume and the heap admits in O(1) rejects
+      "q51_topk_per_key", "q51_window_twin"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
+    // probe-only twins (not in the driver gate): the declarative
+    // sort+group-limit formulation of q51, for a same-JVM head-to-head
+    // against the custom bounded-heap operator
+    val extras: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("q51_window_twin" -> { (s, d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        Graft
+          .table(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(
+            col("l_suppkey"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents")
+          )
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      })
+
     selected.foreach { name =>
       try {
-        val fn = SparkEntry.queries(name)
+        val fn = extras.getOrElse(name, SparkEntry.queries(name))
         fn(spark, work).write.mode("overwrite").format("noop").save() // warm
         val t0 = System.nanoTime()
         fn(spark, work).write.mode("overwrite").format("noop").save()
