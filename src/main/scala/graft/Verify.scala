@@ -5,13 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (local iteration;
+    // the driver always passes exactly two args → full surface)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val spark = Graft.session("graft-verify")
     new java.io.File(outDir).mkdirs()
     // materialize the SAS-label dims for the DuckDB side of the ETL oracles
     try graft.etl.SasLabels.dump(spark, "/root/reference/I94_SAS_Labels_Descriptions.SAS")
     catch { case e: Throwable => System.err.println(s"[verify] dims dump failed: ${e.getMessage}") }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reshaping + recursive-query surface (SURVEY.md §2 widening, round 4).
+  *
+  * q52 unpivot (melt) — the inverse of q32's pivot, via `Dataset.unpivot`
+  * (Spark's native UNPIVOT; reference notebooks reshape with pandas-style
+  * melt, `Capstone Project Template.ipynb` cell 5's wide→long inspection).
+  * q53 GROUPING SETS — the general form behind q17 ROLLUP / q21 CUBE:
+  * explicitly enumerated grouping sets in one pass (Spark expands to a
+  * single Expand + hash-agg, not one scan per set).
+  * q54 map functions — `map_from_entries` / `map_keys` / `map_values` /
+  * `element_at` / `aggregate` over a map column built from an aggregation.
+  * q55 recursive reach — Spark has NO recursive CTE; the engine expresses
+  * bounded-depth graph reachability (supplier → order → customer bipartite
+  * hops) as driver-side iterative frontier joins, checked against DuckDB's
+  * native `WITH RECURSIVE`. This is the missing-SQL-surface showcase: a
+  * reference user's recursive query maps to this iteration shape.
+  *
+  * Scale notes:
+  *   - q52/q53/q54 are single-shuffle hash aggregations on low-cardinality
+  *     keys (map-side partial combine; the shuffle carries group rows, not
+  *     input rows).
+  *   - q55's frontier BFS is the standard Pregel-style iteration: each hop
+  *     is one shuffle join of the (small) frontier against the edge table,
+  *     plus a left-anti against visited. Edges are deduped once up front
+  *     (duplicate lineitem (supp, order) pairs would multiply path counts
+  *     without changing min-hop). At real diameter, lineage is cut per
+  *     round with localCheckpoint + block release exactly as
+  *     [[Dedup.connectedComponents]] does; at the fixed 3-hop depth here
+  *     the lineage is shallow enough that checkpointing would cost more
+  *     than it saves.
+  */
+object Reshape {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pivot → unpivot round trip: wide per-priority status counts melted
+    // back to long form. Absent (priority, status) combos surface as NULL
+    // cells in the pivot; unpivot keeps them, so the melt filters them out
+    // to restore the exact long-form aggregate.
+    "q52_unpivot" -> ((s, d) => {
+      val wide = table(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      wide
+        .unpivot(Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")), "status", "n_orders")
+        .where(col("n_orders").isNotNull)
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    // explicit GROUPING SETS: per-status, per-priority, and per-pair
+    // subtotals in ONE scan (Catalyst plans a single Expand ×3 + one
+    // hash-agg — not three scans unioned). Money stays integer cents
+    // (invariant: float sums are accumulation-order-dependent).
+    "q53_grouping_sets" -> ((s, d) => {
+      table(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |  coalesce(o_orderpriority, 'ALL') AS priority,
+              |  count(*) AS n_orders,
+              |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+              |FROM v_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+              |                        (o_orderstatus, o_orderpriority))
+              |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // map-typed column surface: build status→count maps per priority from
+    // an aggregation, then read them back through map_keys / map_values /
+    // element_at / aggregate. Entries are sorted before map construction so
+    // key order (and thus the joined key string) is deterministic.
+    "q54_map_funcs" -> ((s, d) => {
+      table(s, d, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_orderpriority")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .select(
+          col("o_orderpriority"),
+          size(col("m")).cast("long").as("n_statuses"),
+          coalesce(element_at(col("m"), lit("F")), lit(0L)).as("f_n"),
+          coalesce(element_at(col("m"), lit("O")), lit(0L)).as("o_n"),
+          array_join(map_keys(col("m")), ",").as("statuses"),
+          aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("total")
+        )
+        .orderBy("o_orderpriority")
+    }),
+
+    // bounded-depth BFS over the supplier→order→customer bipartite graph
+    // from supplier 1: min-hop per node, summarized as (node_type, hop)
+    // counts. Spark-side: iterative frontier joins (no recursive CTE in
+    // Spark SQL); oracle-side: DuckDB WITH RECURSIVE path enumeration +
+    // min(hop) — same min-hop semantics, independently derived.
+    "q55_recursive_reach" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select(
+        concat(lit("S"), col("l_suppkey").cast("string")).as("a"),
+        concat(lit("O"), col("l_orderkey").cast("string")).as("b")
+      )
+      val oc = table(s, d, "orders").select(
+        concat(lit("O"), col("o_orderkey").cast("string")).as("a"),
+        concat(lit("C"), col("o_custkey").cast("string")).as("b")
+      )
+      // undirected: both directions, deduped once (one shuffle) so repeated
+      // lineitem (supp, order) pairs don't re-expand the frontier.
+      val edges = li
+        .union(oc)
+        .union(li.select(col("b").as("a"), col("a").as("b")))
+        .union(oc.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .withColumnRenamed("a", "src")
+        .withColumnRenamed("b", "dst")
+      import s.implicits._
+      var visited = Seq(("S1", 0L)).toDF("node", "hop")
+      var frontier = visited
+      for (h <- 1 to 3) {
+        frontier = frontier
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(h.toLong).as("hop"))
+          .distinct()
+          .join(visited, Seq("node"), "left_anti")
+        visited = visited.union(frontier)
+      }
+      visited
+        .groupBy(substring(col("node"), 1, 1).as("node_type"), col("hop"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("node_type", "hop")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q52_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q53_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "q54_map_funcs" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_recursive_reach" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'S' || l_suppkey::VARCHAR AS src, 'O' || l_orderkey::VARCHAR AS dst FROM lineitem
+        |    UNION ALL SELECT 'O' || l_orderkey::VARCHAR, 'S' || l_suppkey::VARCHAR FROM lineitem
+        |    UNION ALL SELECT 'O' || o_orderkey::VARCHAR, 'C' || o_custkey::VARCHAR FROM orders
+        |    UNION ALL SELECT 'C' || o_custkey::VARCHAR, 'O' || o_orderkey::VARCHAR FROM orders)),
+        |walk(node, hop) AS (
+        |  SELECT 'S1', 0
+        |  UNION
+        |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hop < 3),
+        |minhop AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+        |SELECT substr(node, 1, 1) AS node_type, hop, count(*) AS n
+        |FROM minhop GROUP BY 1, 2 ORDER BY node_type, hop""".stripMargin
+  )
+}

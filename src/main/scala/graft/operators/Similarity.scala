@@ -135,6 +135,49 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the corpus cheaply, then run exact near-dup ONLY within
+    // clusters — the cluster equi-join bounds the quadratic. Here the
+    // cluster id is the 8-bit sign code of the x44 quantized JL projection
+    // (deterministic, integer-exact, derivable in SQL — a k-means
+    // assignment would not be oracle-checkable bit-for-bit); within a code
+    // bucket, pairs at float32 cosine ≥ 0.4 mark the higher vec_id as a
+    // semantic duplicate, keep-lowest-id survivors. Scale shape: one
+    // per-row projection scan (no shuffle), one shuffle on code, candidate
+    // pairs bounded per bucket — at 100 TB you widen the code (more
+    // planes ⇒ smaller buckets) instead of changing the plan. The paper's
+    // k-means clusters trade recall differently; the within-cluster
+    // dedup-and-keep-one contract is identical.
+    "x50_semdedup" -> ((s, d) => {
+      val q = (0 until 64).map(i =>
+        round(element_at(col("embedding"), i + 1).cast("double") * 1e6).cast("long")
+      )
+      val ys = (0 until 8).map { j =>
+        (0 until 64).map(i => if (projSign(j, i) > 0) q(i) else -q(i)).reduce(_ + _)
+      }
+      val code = ys.zipWithIndex
+        .map { case (y, j) => when(y >= 0, lit(1L << j)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      val sig = table(s, d, "embeddings")
+        .where(size(col("embedding")) === 64)
+        .select(col("vec_id"), col("embedding"), code.as("code"))
+      val dups = sig
+        .as("a")
+        .join(sig.as("b"), col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
+        .where(cosineF(col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      sig
+        .select("vec_id", "code")
+        .join(dups.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          col("code"),
+          when(col("dup").isNotNull, 0L).otherwise(1L).as("kept")
+        )
+        .orderBy("vec_id")
+    }),
+
     // Per-label embedding centroids in exact integer arithmetic: each
     // component quantized to micro-units, then (label, dim) sums — the
     // mean-pooling step of cluster analysis / prototype classification,
@@ -540,6 +583,33 @@ object Similarity {
       s"""SELECT vec_id,
          |$cols
          |FROM embeddings WHERE len(embedding) = 64 ORDER BY vec_id""".stripMargin
+    },
+    "x50_semdedup" -> {
+      val ySql = (0 until 8)
+        .map { j =>
+          s"""    CAST(list_sum(list_transform(range(1, 65), i ->
+             |      CAST(round(CAST(embedding[i::INT] AS DOUBLE) * 1000000) AS BIGINT) *
+             |      (CASE WHEN ('0x' || substr(md5('${j}_' || (i-1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+             |        THEN 1 ELSE -1 END))) AS BIGINT) AS y$j""".stripMargin
+        }
+        .mkString(",\n")
+      val codeSql = (0 until 8)
+        .map(j => s"(CASE WHEN y$j >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding,
+         |$ySql
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |sig AS (
+         |  SELECT vec_id, embedding, CAST($codeSql AS BIGINT) AS code FROM proj),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sig a JOIN sig b ON a.code = b.code AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+         |SELECT s.vec_id, s.code,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM sig s LEFT JOIN dups d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin
     },
     "x30_embedding_quantize" ->
       """WITH e AS (

@@ -60,6 +60,56 @@ object TextAnalysis {
         .select("doc_id", "n_tokens", "stop_ratio", "avg_word_len", "score")
         .orderBy("doc_id")
     }),
+    // Gopher-style document-quality rule filter (Rae et al. 2021,
+    // arXiv:2112.11446 §A1.1, thresholds adapted to the fixture's 10-99-word
+    // documents): word-count bounds, mean-word-length bounds, symbol
+    // density, and minimum stopword evidence — the standard pre-training
+    // heuristic gate that runs BEFORE any expensive dedup/scoring stage.
+    // All metrics are integer-derived (char counts, permille, fixed-point
+    // mean), so the verdict is bit-reproducible cross-engine; per-rule fail
+    // counts are reported so a corpus owner can see which rule bites.
+    // Scale shape: one codegen'd scan + a tiny per-lang hash agg.
+    "x51_gopher_filter" -> ((s, d) => {
+      val nWords = size(toks).cast("long")
+      // sum of token lengths == non-whitespace chars of the trimmed text
+      // (stays in codegen; an aggregate() lambda would run interpreted)
+      val wordChars = length(regexp_replace(trim(col("text")), "\\s", "")).cast("long")
+      val symCnt = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long")
+      val stopCnt = inSet(toks, stopwords)
+      val base = table(s, d, "documents")
+        .select(
+          col("lang"),
+          nWords.as("n_words"),
+          wordChars.as("word_chars"),
+          symCnt.as("sym_cnt"),
+          length(col("text")).cast("long").as("n_chars"),
+          stopCnt.as("stop_cnt")
+        )
+        .withColumn("mean_len_e3", expr("(word_chars * 1000) div n_words"))
+        .withColumn("sym_permille", expr("(sym_cnt * 1000) div greatest(n_chars, 1)"))
+        .select(
+          col("lang"),
+          (col("n_words") >= 15L && col("n_words") <= 80L).as("r_words"),
+          (col("mean_len_e3") >= 2000L && col("mean_len_e3") <= 10000L).as("r_wordlen"),
+          (col("sym_permille") <= 100L).as("r_sym"),
+          (col("stop_cnt") >= 2L).as("r_stop")
+        )
+      def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L))
+      base
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(
+            when(col("r_words") && col("r_wordlen") && col("r_sym") && col("r_stop"), 1L)
+              .otherwise(0L)
+          ).as("pass_all"),
+          fails("r_words").as("fail_words"),
+          fails("r_wordlen").as("fail_wordlen"),
+          fails("r_sym").as("fail_sym"),
+          fails("r_stop").as("fail_stop")
+        )
+        .orderBy("lang")
+    }),
     "x09_text_langid" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val aggCols = markers.map { case (l, ws) =>
@@ -264,6 +314,30 @@ object TextAnalysis {
            |  (cast(stop_cnt AS DOUBLE) / cast(n_tokens AS DOUBLE)) * 0.5
            |    + (cast(char_sum AS DOUBLE) / cast(n_tokens AS DOUBLE)) * 0.1 AS score
            |FROM c ORDER BY doc_id""".stripMargin,
+      "x51_gopher_filter" ->
+        s"""WITH m AS (
+           |  SELECT lang,
+           |    len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+           |    length(regexp_replace(trim(text), '\\s', '', 'g')) AS word_chars,
+           |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS sym_cnt,
+           |    length(text) AS n_chars,
+           |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           |                    t -> t IN ${inSetSql(stopwords)})) AS stop_cnt
+           |  FROM documents),
+           |r AS (
+           |  SELECT lang,
+           |    (n_words >= 15 AND n_words <= 80) AS r_words,
+           |    ((word_chars * 1000) // n_words BETWEEN 2000 AND 10000) AS r_wordlen,
+           |    ((sym_cnt * 1000) // greatest(n_chars, 1) <= 100) AS r_sym,
+           |    (stop_cnt >= 2) AS r_stop
+           |  FROM m)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE r_words AND r_wordlen AND r_sym AND r_stop) AS BIGINT) AS pass_all,
+           |  CAST(count(*) FILTER (WHERE NOT r_words) AS BIGINT) AS fail_words,
+           |  CAST(count(*) FILTER (WHERE NOT r_wordlen) AS BIGINT) AS fail_wordlen,
+           |  CAST(count(*) FILTER (WHERE NOT r_sym) AS BIGINT) AS fail_sym,
+           |  CAST(count(*) FILTER (WHERE NOT r_stop) AS BIGINT) AS fail_stop
+           |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
       "x09_text_langid" -> {
         val cnts = markers
           .map { case (l, ws) => s"len(list_filter(w, t -> t IN ${inSetSql(ws)})) AS c_$l" }

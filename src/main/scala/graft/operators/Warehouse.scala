@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse temporal modeling (round 4): the dimension-maintenance shapes a
+  * reference user runs downstream of ingestion.
+  *
+  * q56 SCD2 — slowly-changing-dimension type-2 interval construction from an
+  * event log (gaps-and-islands): consecutive equal states per user collapse
+  * into one validity interval `[valid_from, valid_to)`, the current interval
+  * open-ended. This is the standard CDC→dimension materialization; the
+  * reference's star-schema ETL (SURVEY.md §7.2) stops at snapshot dims, SCD2
+  * is what production warehouses layer on top.
+  * q57 arg-max/arg-min — `max_by`/`min_by` per group with an explicitly
+  * deterministic composite ordering key (value then event_id), so ties can
+  * never make the result engine- or partitioning-dependent.
+  *
+  * Scale shape: q56 is two windows over the same `(user_id)` partitioning
+  * (one ROWS running sum, one per-run lead) + one hash agg between them —
+  * Catalyst reuses the exchange, so the log shuffles once; per-user
+  * partitions are bounded (no global sort). q57 is a single hash agg with
+  * map-side partial `max_by` — the shuffle carries one row per
+  * (event_type), not the log. Timestamps cross the oracle gate as epoch
+  * micros (invariant #6: never raw timestamp columns).
+  */
+object Warehouse {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_scd2_intervals" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = ev
+        .withColumn(
+          "chg",
+          when(lag("event_type", 1).over(w).isNull || col("event_type") =!= lag("event_type", 1).over(w), 1L)
+            .otherwise(0L)
+        )
+        .withColumn("run_id", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(min("ts").as("vf"), count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy("user_id").orderBy("run_id")
+      runs
+        .withColumn("vt", lead("vf", 1).over(w2))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          // vf/vt are TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+          // cast reads the naive value as UTC — same convention as DuckDB's
+          // epoch_us over naive timestamps.
+          unix_micros(col("vf").cast("timestamp")).as("valid_from_us"),
+          coalesce(unix_micros(col("vt").cast("timestamp")), lit(-1L)).as("valid_to_us"),
+          when(col("vt").isNull, 1L).otherwise(0L).as("is_current"),
+          col("n_events")
+        )
+        .orderBy("user_id", "valid_from_us")
+    }),
+
+    "q57_argmax" -> ((s, d) => {
+      // composite ordering key: cents of value (exact — two decimals in the
+      // fixture) then event_id; unique, so arg-max is total-order unique.
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("event_type"),
+          col("user_id"),
+          col("event_id"),
+          (expr("CAST(round(value * 100) AS BIGINT)") * lit(1000000000000L) + col("event_id")).as("k")
+        )
+      ev.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          max_by(col("user_id"), col("k")).as("top_user"),
+          min_by(col("user_id"), col("k")).as("bottom_user"),
+          expr("max(k) div 1000000000000").as("max_cents"),
+          expr("min(k) div 1000000000000").as("min_cents")
+        )
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q56_scd2_intervals" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type, min(ts) AS vf, count(*) AS n_events
+        |  FROM runs0 GROUP BY 1, 2, 3),
+        |iv AS (
+        |  SELECT user_id, event_type, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) AS vt, n_events
+        |  FROM runs)
+        |SELECT user_id, event_type,
+        |  epoch_us(vf) AS valid_from_us,
+        |  coalesce(epoch_us(vt), -1) AS valid_to_us,
+        |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |  n_events
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+    "q57_argmax" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  arg_max(user_id, k) AS top_user,
+        |  arg_min(user_id, k) AS bottom_user,
+        |  max(k) // 1000000000000 AS max_cents,
+        |  min(k) // 1000000000000 AS min_cents
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Graft, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ReshapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q52 unpivot inverts the pivot back to the long-form aggregate") {
+    val melted = Reshape.queries("q52_unpivot")(spark, sf).collect()
+    val direct = Graft
+      .table(spark, sf, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+      .collect()
+    assert(melted.length === direct.length)
+    melted.zip(direct).foreach { case (m, d) =>
+      assert(m.getAs[String]("o_orderpriority") === d.getAs[String]("o_orderpriority"))
+      assert(m.getAs[String]("status") === d.getAs[String]("o_orderstatus"))
+      assert(m.getAs[Long]("n_orders") === d.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("q53 grouping sets: pair rows match plain groupBy, single-dim rows match their marginals") {
+    val rows = Reshape.queries("q53_grouping_sets")(spark, sf).collect()
+    val pairs = rows.filter(r => r.getAs[String]("status") != "ALL" && r.getAs[String]("priority") != "ALL")
+    val byStatus = rows.filter(r => r.getAs[String]("status") != "ALL" && r.getAs[String]("priority") == "ALL")
+    val byPriority = rows.filter(r => r.getAs[String]("status") == "ALL" && r.getAs[String]("priority") != "ALL")
+    val direct = Graft
+      .table(spark, sf, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[String]("o_orderpriority")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(pairs.length === direct.size)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("n_orders") === direct((r.getAs[String]("status"), r.getAs[String]("priority"))))
+    }
+    // marginals are sums of their pair rows (no () grouping set declared)
+    byStatus.foreach { r =>
+      val st = r.getAs[String]("status")
+      assert(r.getAs[Long]("n_orders") === direct.collect { case ((s, _), n) if s == st => n }.sum)
+    }
+    byPriority.foreach { r =>
+      val pr = r.getAs[String]("priority")
+      assert(r.getAs[Long]("n_orders") === direct.collect { case ((_, p), n) if p == pr => n }.sum)
+    }
+    assert(!rows.exists(r => r.getAs[String]("status") == "ALL" && r.getAs[String]("priority") == "ALL"))
+  }
+
+  test("q54 map funcs: totals reconcile and key strings are sorted") {
+    val rows = Reshape.queries("q54_map_funcs")(spark, sf).collect()
+    val perPriority = Graft
+      .table(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { r =>
+      // aggregate(map_values) must equal the plain per-priority count
+      assert(r.getAs[Long]("total") === perPriority(r.getAs[String]("o_orderpriority")))
+      val keys = r.getAs[String]("statuses").split(",").toSeq
+      assert(keys === keys.sorted, s"map keys not sorted: $keys")
+      assert(keys.distinct.size.toLong === r.getAs[Long]("n_statuses"))
+    }
+  }
+
+  test("q55 BFS min-hops on a planted supplier-order-customer graph") {
+    val dir = TestSpark.tempDir()
+    // S1-{O10,O12}; O10-{S1,S4,C100}; O12-C101; O11-{S2,C100}; O13-{S3,C102}
+    // → hop0 S1; hop1 O10,O12; hop2 S4,C100,C101; hop3 O11; S2 is hop 4
+    // (beyond depth), S3/O13/C102 disconnected from S1.
+    TestSpark.writeTable(dir, "lineitem",
+      Seq((10L, 1L), (10L, 4L), (12L, 1L), (11L, 2L), (13L, 3L)).toDF("l_orderkey", "l_suppkey"))
+    TestSpark.writeTable(dir, "orders",
+      Seq((10L, 100L), (11L, 100L), (12L, 101L), (13L, 102L)).toDF("o_orderkey", "o_custkey"))
+    val got = Reshape
+      .queries("q55_recursive_reach")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("hop")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(got === Map(("S", 0L) -> 1L, ("O", 1L) -> 2L, ("S", 2L) -> 1L, ("C", 2L) -> 2L, ("O", 3L) -> 1L))
+  }
+}

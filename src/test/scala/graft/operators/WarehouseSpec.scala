@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q56/q57 on planted event logs. Fixture `ts` is raw TIMESTAMP(NANOS)
+  * longs, exactly like the driver tables ([[graft.Graft.events]] converts). */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nanos(sec: Long): Long = sec * 1000000000L
+  private def us(sec: Long): Long = sec * 1000000L
+
+  test("q56 collapses consecutive equal states into SCD2 validity intervals") {
+    val dir = TestSpark.tempDir()
+    val rows = Seq(
+      // user 7: A A B A → three intervals, the last open-ended
+      (0L, nanos(10), 7L, "A", 1.0, "{}"),
+      (1L, nanos(20), 7L, "A", 1.0, "{}"),
+      (2L, nanos(30), 7L, "B", 1.0, "{}"),
+      (3L, nanos(40), 7L, "A", 1.0, "{}"),
+      // user 8: single state stays one open interval
+      (4L, nanos(15), 8L, "C", 1.0, "{}"),
+      (5L, nanos(25), 8L, "C", 1.0, "{}")
+    )
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("q56_scd2_intervals")(spark, dir)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from_us")) ->
+          (r.getAs[String]("event_type"), r.getAs[Long]("valid_to_us"), r.getAs[Long]("is_current"), r.getAs[Long]("n_events"))
+      )
+      .toMap
+    assert(got.size === 4)
+    assert(got((7L, us(10))) === (("A", us(30), 0L, 2L)))
+    assert(got((7L, us(30))) === (("B", us(40), 0L, 1L)))
+    assert(got((7L, us(40))) === (("A", -1L, 1L, 1L)))
+    assert(got((8L, us(15))) === (("C", -1L, 1L, 2L)))
+  }
+
+  test("q57 arg-max breaks value ties by event_id, deterministically") {
+    val dir = TestSpark.tempDir()
+    val rows = Seq(
+      (10L, nanos(1), 5L, "x", 2.00, "{}"),
+      (11L, nanos(2), 6L, "x", 2.00, "{}"), // tie on value → higher event_id wins
+      (12L, nanos(3), 4L, "x", 1.00, "{}"),
+      (13L, nanos(4), 9L, "y", 7.50, "{}")
+    )
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("q57_argmax")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r)
+      .toMap
+    assert(got("x").getAs[Long]("top_user") === 6L)
+    assert(got("x").getAs[Long]("bottom_user") === 4L)
+    assert(got("x").getAs[Long]("max_cents") === 200L)
+    assert(got("x").getAs[Long]("min_cents") === 100L)
+    assert(got("y").getAs[Long]("top_user") === 9L)
+  }
+}
