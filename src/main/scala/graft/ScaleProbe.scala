@@ -77,7 +77,15 @@ object ScaleProbe {
       // custom bounded-heap top-k-per-key vs its declarative twin: the clone
       // corpus multiplies every supplier's group 16x, which the window twin
       // pays for in local sort volume and the heap admits in O(1) rejects
-      "q51_topk_per_key", "q51_window_twin"
+      "q51_topk_per_key", "q51_window_twin",
+      // round-4 late additions: q52/q53/q54 aggregate the 16x orders (Expand
+      // multiplies rows 3x in q53 — the probe shows it stays linear); q55
+      // runs BFS over the ~10M-row scaled lineitem edge graph (the real
+      // frontier-join stress); q56/q57 ride at base events scale; x51 runs
+      // the rule scan over the 16x clone corpus; x50 rides at base
+      // embeddings scale as a shape check
+      "q52_unpivot", "q53_grouping_sets", "q54_map_funcs", "q55_recursive_reach",
+      "q56_scd2_intervals", "q57_argmax", "x50_semdedup", "x51_gopher_filter"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -95,16 +95,19 @@ object Reshape {
     // Spark SQL); oracle-side: DuckDB WITH RECURSIVE path enumeration +
     // min(hop) — same min-hop semantics, independently derived.
     "q55_recursive_reach" -> ((s, d) => {
-      val li = table(s, d, "lineitem").select(
-        concat(lit("S"), col("l_suppkey").cast("string")).as("a"),
-        concat(lit("O"), col("l_orderkey").cast("string")).as("b")
-      )
-      val oc = table(s, d, "orders").select(
-        concat(lit("O"), col("o_orderkey").cast("string")).as("a"),
-        concat(lit("C"), col("o_custkey").cast("string")).as("b")
-      )
+      // nodes packed into one long — id·4 + type tag (1=S, 2=O, 3=C): the
+      // frontier joins shuffle 8-byte keys, not strings (≈3× less shuffle
+      // volume at the 16× probe scale, and cheaper hash/compare per row)
+      val li = table(s, d, "lineitem")
+        .select((col("l_suppkey") * 4 + 1).as("a"), (col("l_orderkey") * 4 + 2).as("b"))
+      val oc = table(s, d, "orders")
+        .select((col("o_orderkey") * 4 + 2).as("a"), (col("o_custkey") * 4 + 3).as("b"))
       // undirected: both directions, deduped once (one shuffle) so repeated
-      // lineitem (supp, order) pairs don't re-expand the frontier.
+      // lineitem (supp, order) pairs don't re-expand the frontier; the
+      // eager localCheckpoint materializes the deduped edge table ONCE so
+      // the three BFS rounds probe blocks instead of re-running
+      // scan→union→distinct per round (42.9 s → see NOTES; same lesson as
+      // Dedup.connectedComponents).
       val edges = li
         .union(oc)
         .union(li.select(col("b").as("a"), col("a").as("b")))
@@ -112,8 +115,9 @@ object Reshape {
         .distinct()
         .withColumnRenamed("a", "src")
         .withColumnRenamed("b", "dst")
+        .localCheckpoint()
       import s.implicits._
-      var visited = Seq(("S1", 0L)).toDF("node", "hop")
+      var visited = Seq((5L, 0L)).toDF("node", "hop") // supplier 1 = 1·4+1
       var frontier = visited
       for (h <- 1 to 3) {
         frontier = frontier
@@ -124,7 +128,13 @@ object Reshape {
         visited = visited.union(frontier)
       }
       visited
-        .groupBy(substring(col("node"), 1, 1).as("node_type"), col("hop"))
+        .groupBy(
+          when(pmod(col("node"), lit(4L)) === 1L, "S")
+            .when(pmod(col("node"), lit(4L)) === 2L, "O")
+            .otherwise("C")
+            .as("node_type"),
+          col("hop")
+        )
         .agg(count(lit(1)).as("n"))
         .orderBy("node_type", "hop")
     })
@@ -155,17 +165,18 @@ object Reshape {
       """WITH RECURSIVE
         |edges AS (
         |  SELECT DISTINCT src, dst FROM (
-        |    SELECT 'S' || l_suppkey::VARCHAR AS src, 'O' || l_orderkey::VARCHAR AS dst FROM lineitem
-        |    UNION ALL SELECT 'O' || l_orderkey::VARCHAR, 'S' || l_suppkey::VARCHAR FROM lineitem
-        |    UNION ALL SELECT 'O' || o_orderkey::VARCHAR, 'C' || o_custkey::VARCHAR FROM orders
-        |    UNION ALL SELECT 'C' || o_custkey::VARCHAR, 'O' || o_orderkey::VARCHAR FROM orders)),
+        |    SELECT l_suppkey * 4 + 1 AS src, l_orderkey * 4 + 2 AS dst FROM lineitem
+        |    UNION ALL SELECT l_orderkey * 4 + 2, l_suppkey * 4 + 1 FROM lineitem
+        |    UNION ALL SELECT o_orderkey * 4 + 2, o_custkey * 4 + 3 FROM orders
+        |    UNION ALL SELECT o_custkey * 4 + 3, o_orderkey * 4 + 2 FROM orders)),
         |walk(node, hop) AS (
-        |  SELECT 'S1', 0
+        |  SELECT 5, 0
         |  UNION
         |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.node
         |  WHERE w.hop < 3),
         |minhop AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
-        |SELECT substr(node, 1, 1) AS node_type, hop, count(*) AS n
+        |SELECT CASE node % 4 WHEN 1 THEN 'S' WHEN 2 THEN 'O' ELSE 'C' END AS node_type,
+        |  hop, count(*) AS n
         |FROM minhop GROUP BY 1, 2 ORDER BY node_type, hop""".stripMargin
   )
 }

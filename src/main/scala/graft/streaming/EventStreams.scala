@@ -156,6 +156,53 @@ object EventStreams {
         graft.operators.Curation.redact(col("text")).as("text")
       )
 
+  /** Streaming CDC upsert sink [EXT]: the streaming face of the q43 batch
+    * merge. Each micro-batch of keyed changes is MERGEd into a parquet
+    * target — existing rows for arriving keys are replaced, new keys
+    * appended (keep-latest-per-key). `foreachBatch` is the standard
+    * exactly-once-ish upsert shape on plain files: the merge itself is
+    * idempotent (re-delivering a batch rewrites the same rows), which is
+    * what makes checkpoint-replay after failure safe without a
+    * transactional table format. Within a batch, ties on the same key are
+    * broken by the monotonic `seq` column (last writer wins,
+    * deterministically — micro-batch row order is not a contract).
+    *
+    * Scale note: the target is re-read and rewritten per batch — correct
+    * and simple at dimension-table scale (the SCD/q56 use case); a fact-
+    * scale target would partition by key range and rewrite only touched
+    * partitions (dynamic partition overwrite), same merge law per
+    * partition. */
+  def upsertSink(
+      changes: DataFrame,
+      spark: SparkSession,
+      checkpoint: String,
+      tablePath: String,
+      key: String = "event_id"
+  ): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key)
+          .orderBy(col("seq").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .drop("rn")
+        val target = new java.io.File(tablePath)
+        val merged =
+          if (target.exists()) {
+            val cur = batch.sparkSession.read.parquet(tablePath)
+            cur.join(latest.select(key), Seq(key), "left_anti").unionByName(latest)
+          } else latest
+        // rewrite via a temp dir: the sink must never read and overwrite
+        // the same files in one job (self-overwrite corrupts the scan)
+        val tmp = tablePath + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        batch.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+      }
+      .start()
+
   /** Wire a streaming source through [[windowedCounts]] to a sink. */
   def run(spark: SparkSession, source: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
     windowedCounts(source).writeStream

@@ -203,4 +203,25 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("foreachBatch upsert sink keeps latest row per key across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = graft.TestSpark.tempDir()
+    val input = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("event_id", "seq", "payload"),
+      spark, s"$dir/ckpt", s"$dir/table")
+    def tableNow(): Map[Long, (Long, String)] =
+      spark.read.parquet(s"$dir/table").collect()
+        .map(r => r.getAs[Long]("event_id") -> ((r.getAs[Long]("seq"), r.getAs[String]("payload")))).toMap
+    try {
+      input.addData((1L, 1L, "a"), (2L, 2L, "b"), (1L, 3L, "a2")) // in-batch tie on key 1 → seq 3 wins
+      q.processAllAvailable()
+      assert(tableNow() === Map(1L -> ((3L, "a2")), 2L -> ((2L, "b"))))
+      input.addData((2L, 4L, "b2"), (3L, 5L, "c")) // update key 2, insert key 3
+      q.processAllAvailable()
+      assert(tableNow() === Map(1L -> ((3L, "a2")), 2L -> ((4L, "b2")), 3L -> ((5L, "c"))))
+    } finally q.stop()
+  }
 }
