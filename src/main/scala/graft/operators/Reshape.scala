@@ -137,10 +137,37 @@ object Reshape {
         )
         .agg(count(lit(1)).as("n"))
         .orderBy("node_type", "hop")
-    })
+    }),
+
+    "q58_variant" -> variantQuery
   )
 
+  /** q58 VARIANT: Spark 4's native semi-structured type — `parse_json` once
+    * into a VARIANT column, then typed `variant_get` path extraction. The
+    * modern engine path for schema-flexible columns (q16 covers the classic
+    * string-JSON functions): VARIANT parses the document ONCE into a binary
+    * encoding; repeated path reads skip re-parsing, which at 100 TB of
+    * event props is the difference between one parse and one per extraction.
+    * The aggregate below groups by a VARIANT-extracted bucket to prove the
+    * extraction feeds relational ops like any typed column. */
+  private val variantQuery: (SparkSession, String) => DataFrame = (s, d) => {
+    graft.Graft
+      .events(s, d)
+      .select(
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k")
+      )
+      .groupBy(expr("k div 10").as("k_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_bucket", "event_type")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q58_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin,
     "q52_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

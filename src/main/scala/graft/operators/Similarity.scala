@@ -158,9 +158,14 @@ object Similarity {
       val code = ys.zipWithIndex
         .map { case (y, j) => when(y >= 0, lit(1L << j)).otherwise(lit(0L)) }
         .reduce(_ + _)
+      // the sig subplan feeds BOTH self-join sides and the final survivor
+      // join — materialize the projection once (localCheckpoint) instead of
+      // re-running the 512-term scan three times; at corpus scale the
+      // projection pass dominates, the join probes blocks.
       val sig = table(s, d, "embeddings")
         .where(size(col("embedding")) === 64)
         .select(col("vec_id"), col("embedding"), code.as("code"))
+        .localCheckpoint()
       val dups = sig
         .as("a")
         .join(sig.as("b"), col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))

@@ -71,6 +71,18 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q58 variant_get extraction agrees with the string-JSON twin") {
+    val viaVariant = Reshape.queries("q58_variant")(spark, sf).collect()
+    val viaString = Graft
+      .events(spark, sf)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(expr("k div 10").as("k_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_bucket", "event_type")
+      .collect()
+    assert(viaVariant.map(_.toSeq).toSeq === viaString.map(_.toSeq).toSeq)
+  }
+
   test("q55 BFS min-hops on a planted supplier-order-customer graph") {
     val dir = TestSpark.tempDir()
     // S1-{O10,O12}; O10-{S1,S4,C100}; O12-C101; O11-{S2,C100}; O13-{S3,C102}
