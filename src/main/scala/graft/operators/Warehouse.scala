@@ -59,6 +59,52 @@ object Warehouse {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    // Ordered funnel analysis: how many users progressed signup → click →
+    // purchase IN ORDER (each later stage strictly after an earlier-stage
+    // event). One window partition per user computes running "stage
+    // reached" flags with an exclusive frame (UNBOUNDED PRECEDING .. -1),
+    // so a stage event only counts if its predecessor happened strictly
+    // before it — the sequential-pattern query behind every product
+    // funnel dashboard (the MATCH_RECOGNIZE use case, expressed with
+    // windows both engines share).
+    // Scale shape: ONE shuffle on user_id; both chained Window operators
+    // and the per-user aggregate reuse the same exchange+sort. Per-user
+    // event counts are bounded, so no partition outgrows a task.
+    "q59_funnel" -> ((s, d) => {
+      val wPrev = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graft.Graft
+        .events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn(
+          "seen_signup",
+          coalesce(max(when(col("event_type") === "signup", 1L).otherwise(0L)).over(wPrev), lit(0L))
+        )
+        .withColumn(
+          "is_q_click",
+          when(col("event_type") === "click" && col("seen_signup") === 1L, 1L).otherwise(0L)
+        )
+        .withColumn("seen_q_click", coalesce(max(col("is_q_click")).over(wPrev), lit(0L)))
+        .withColumn(
+          "is_q_purchase",
+          when(col("event_type") === "purchase" && col("seen_q_click") === 1L, 1L).otherwise(0L)
+        )
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("s1"),
+          max(col("is_q_click")).as("s2"),
+          max(col("is_q_purchase")).as("s3")
+        )
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum("s1").as("users_signup"),
+          sum("s2").as("users_click_after"),
+          sum("s3").as("users_purchase_after")
+        )
+    }),
+
     "q57_argmax" -> ((s, d) => {
       // composite ordering key: cents of value (exact — two decimals in the
       // fixture) then event_id; unique, so arg-max is total-order unique.
@@ -107,6 +153,36 @@ object Warehouse {
         |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
         |  n_events
         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+    "q59_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+        |f1 AS (
+        |  SELECT *, coalesce(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_signup
+        |  FROM ev),
+        |f2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND seen_signup = 1 THEN 1 ELSE 0 END AS is_q_click
+        |  FROM f1),
+        |f3 AS (
+        |  SELECT *, coalesce(max(is_q_click)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_q_click
+        |  FROM f2),
+        |f4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND seen_q_click = 1 THEN 1 ELSE 0 END AS is_q_purchase
+        |  FROM f3),
+        |per_user AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s1,
+        |    max(is_q_click) AS s2,
+        |    max(is_q_purchase) AS s3
+        |  FROM f4 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(s1) AS BIGINT) AS users_signup,
+        |  CAST(sum(s2) AS BIGINT) AS users_click_after,
+        |  CAST(sum(s3) AS BIGINT) AS users_purchase_after
+        |FROM per_user""".stripMargin,
     "q57_argmax" ->
       """WITH ev AS (
         |  SELECT event_type, user_id, event_id,

@@ -40,6 +40,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got((8L, us(15))) === (("C", -1L, 1L, 2L)))
   }
 
+  test("q59 funnel requires strict stage order (signup before click before purchase)") {
+    val dir = TestSpark.tempDir()
+    val rows = Seq(
+      // user 1: in order → reaches all three stages
+      (0L, nanos(10), 1L, "signup", 1.0, "{}"),
+      (1L, nanos(20), 1L, "click", 1.0, "{}"),
+      (2L, nanos(30), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE signup → stalls at stage 1
+      (3L, nanos(10), 2L, "click", 1.0, "{}"),
+      (4L, nanos(20), 2L, "signup", 1.0, "{}"),
+      (5L, nanos(30), 2L, "purchase", 1.0, "{}"),
+      // user 3: purchase between signup and click → click qualifies, purchase doesn't
+      (6L, nanos(10), 3L, "signup", 1.0, "{}"),
+      (7L, nanos(20), 3L, "purchase", 1.0, "{}"),
+      (8L, nanos(30), 3L, "click", 1.0, "{}"),
+      // user 4: never signs up
+      (9L, nanos(10), 4L, "view", 1.0, "{}"),
+      // user 5: signup and click share a timestamp — event_id order makes
+      // the signup strictly precede, so the click qualifies
+      (10L, nanos(10), 5L, "signup", 1.0, "{}"),
+      (11L, nanos(10), 5L, "click", 1.0, "{}")
+    )
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Warehouse.queries("q59_funnel")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") === 5L)
+    assert(r.getAs[Long]("users_signup") === 4L) // users 1,2,3,5
+    assert(r.getAs[Long]("users_click_after") === 3L) // users 1,3,5
+    assert(r.getAs[Long]("users_purchase_after") === 1L) // user 1 only
+  }
+
   test("q57 arg-max breaks value ties by event_id, deterministically") {
     val dir = TestSpark.tempDir()
     val rows = Seq(
