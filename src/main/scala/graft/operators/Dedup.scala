@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Graft.table
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -271,6 +272,65 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-document duplicated-span REMOVAL ----------------------------
+    // The action x31 diagnoses: rewrite each document dropping every word
+    // covered by a word-5-gram that also occurs in ANOTHER document — the
+    // distributed rendering of exact-substring dedup (Lee et al. 2022,
+    // arXiv:2107.06499, who use suffix arrays at 50-token spans; the
+    // positional-gram + window formulation below needs no global suffix
+    // structure and every stage is key-bounded). Pipeline: positional
+    // grams via lead() (one doc_id shuffle) → gram df over DISTINCT docs
+    // (gram-key agg, one row per gram — no pair join can blow up) → flag
+    // join back → coverage = max(dup_start) over ROWS [-4, 0] (the window
+    // union of 5-wide intervals) → survivors reassembled in order.
+    // Output text is the normalized (lowercased, space-joined) token
+    // stream; survivors_md5 digests it for the gate.
+    "x52_span_dedup" -> ((s, d) => {
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val gramStr = concat_ws(
+        " ",
+        col("word"),
+        lead("word", 1).over(wDoc),
+        lead("word", 2).over(wDoc),
+        lead("word", 3).over(wDoc),
+        lead("word", 4).over(wDoc)
+      )
+      val words = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "word")))
+      val withGram = words
+        .withColumn("w4", lead("word", 4).over(wDoc)) // null ⇒ pos > n-5: no full gram starts here
+        .withColumn("gh", when(col("w4").isNotNull, graft.functions.Hashing.md5Window15(gramStr)))
+        .drop("w4")
+      val dupGrams = withGram
+        .where(col("gh").isNotNull)
+        .select("doc_id", "gh")
+        .distinct() // df counts DOCUMENTS, not occurrences
+        .groupBy("gh")
+        .agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2)
+        .select(col("gh"), lit(1L).as("dup"))
+      val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+      withGram
+        .join(dupGrams, Seq("gh"), "left")
+        .withColumn("dup_start", coalesce(col("dup"), lit(0L)))
+        .withColumn("covered", max(col("dup_start")).over(wCov))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("covered")).as("n_dropped"),
+          md5(
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("covered") === 0L, struct(col("pos"), col("word"))))),
+                x => x.getField("word")
+              ),
+              " "
+            )
+          ).as("survivors_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- char-4-gram near-dup via MinHash signatures -----------------------
     // Character shingles come from a tiny alphabet, so common 4-grams occur
     // in nearly every document: a raw inverted-index self-join is quadratic
@@ -483,6 +543,32 @@ object Dedup {
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT doc_id, cluster_id, cluster_size
          |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "x52_span_dedup" ->
+      """WITH warr AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |words AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+        |  FROM warr, unnest(generate_series(1, len(w))) t(i)),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS gh
+        |  FROM warr, unnest(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5),
+        |df AS (
+        |  SELECT gh, count(*) AS df FROM (SELECT DISTINCT doc_id, gh FROM g) GROUP BY gh),
+        |starts AS (
+        |  SELECT g.doc_id, g.pos, CASE WHEN df.df >= 2 THEN 1 ELSE 0 END AS dup_start
+        |  FROM g JOIN df USING (gh)),
+        |flagged AS (
+        |  SELECT wo.doc_id, wo.pos, wo.word, coalesce(st.dup_start, 0) AS dup_start
+        |  FROM words wo LEFT JOIN starts st ON wo.doc_id = st.doc_id AND wo.pos = st.pos),
+        |cov AS (
+        |  SELECT *, max(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM flagged)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(covered) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '')) AS survivors_md5
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x31_span_stats" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

@@ -139,7 +139,30 @@ object Reshape {
         .orderBy("node_type", "hop")
     }),
 
-    "q58_variant" -> variantQuery
+    "q58_variant" -> variantQuery,
+
+    // multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (min / difference of per-row counts) — the set-op family
+    // q11's distinct variants can't express. Catalyst plans both as a
+    // single count-aggregate + generate (no pairwise join).
+    "q60_set_ops_all" -> ((s, d) => {
+      val o = table(s, d, "orders")
+      def statuses(yr: Int) =
+        o.where(year(col("o_orderdate")) === yr).select("o_orderstatus")
+      val a = statuses(1996)
+      val b = statuses(1997)
+      a.intersectAll(b)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("o_orderstatus"), col("n"))
+        .unionAll(
+          a.exceptAll(b)
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"))
+            .select(lit("except_all").as("op"), col("o_orderstatus"), col("n"))
+        )
+        .orderBy("op", "o_orderstatus")
+    })
   )
 
   /** q58 VARIANT: Spark 4's native semi-structured type — `parse_json` once
@@ -157,17 +180,32 @@ object Reshape {
         col("event_type"),
         expr("variant_get(parse_json(props), '$.k', 'long')").as("k")
       )
+      // k >= 0 guard pins bucket semantics cross-engine: Spark's `div`
+      // truncates toward zero, DuckDB's `//` floors — they only agree on
+      // non-negatives (fixture k is always >= 0; the guard makes the
+      // contract explicit on any data)
+      .where(col("k") >= 0L)
       .groupBy(expr("k div 10").as("k_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
       .orderBy("k_bucket", "event_type")
   }
 
   def oracles: Map[String, String] = Map(
+    "q60_set_ops_all" ->
+      """WITH a AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1996),
+        |     b AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1997),
+        |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT 'intersect_all' AS op, o_orderstatus, count(*) AS n FROM ia GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, o_orderstatus, count(*) AS n FROM ea GROUP BY 2
+        |ORDER BY op, o_orderstatus""".stripMargin,
     "q58_variant" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin,
+        |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 0
+        |GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin,
     "q52_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

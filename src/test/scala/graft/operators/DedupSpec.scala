@@ -223,4 +223,27 @@ class DedupSpec extends AnyFunSuite {
       assert(got === expected, s"seed $seed, edges $edges")
     }
   }
+
+  test("x52 span dedup drops exactly the cross-document duplicated spans") {
+    val d = TestSpark.tempDir()
+    val shared = "the big dog runs very fast" // 6 words → 2 dup gram starts per doc
+    val docs = Seq(
+      (0L, s"alpha beta $shared gamma delta", "en", "t", 1L), // covered positions 2-7
+      (1L, s"$shared zeta eta theta", "en", "t", 1L), // covered positions 0-5
+      (2L, "completely unique words that never repeat anywhere else at all", "en", "t", 1L),
+      (3L, "tiny doc here", "en", "t", 1L) // < 5 words: no grams at all
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup
+      .queries("x52_span_dedup")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"), r.getAs[Long]("n_dropped"), r.getAs[String]("survivors_md5"))))
+      .toMap
+    assert(got(0L) === ((10L, 6L, md5hex("alpha beta gamma delta"))))
+    assert(got(1L) === ((9L, 6L, md5hex("zeta eta theta"))))
+    assert(got(2L) === ((10L, 0L, md5hex("completely unique words that never repeat anywhere else at all"))))
+    assert(got(3L) === ((3L, 0L, md5hex("tiny doc here"))))
+  }
 }
