@@ -98,6 +98,53 @@ object Sampling {
         .orderBy("lang", "cum_tokens", "doc_id")
     }),
 
+    // Sequence packing — the concat-and-chunk step of LLM pre-training:
+    // documents are laid end-to-end in deterministic hash order and the
+    // token stream is cut into fixed 512-token training sequences; a
+    // document whose interval crosses a cut boundary is split across
+    // sequences. Emitted per document: its global token offset, first/last
+    // sequence ids, and whether it was split — everything a loader needs to
+    // materialize packed sequences without re-scanning the corpus.
+    //
+    // Scale shape: the global running offset is the same distributed
+    // prefix-sum decomposition as x26 (hash-RANGE buckets → tiny per-bucket
+    // totals → exclusive prefix over ≤B rows → local window + offset) — a
+    // single global `Window.orderBy` would serialize the whole corpus
+    // through one task.
+    "x53_sequence_pack" -> ((s, d) => {
+      val seqLen = 512L
+      val buckets = 32L
+      val step = (1L << 60) / buckets
+      val docs = table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          Hashing.md5Window15(col("doc_id").cast("string")).as("h")
+        )
+        .withColumn("bkt", expr(s"h div ${step}L"))
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs
+        .groupBy("bkt")
+        .agg(sum("n_tokens").as("bt"))
+        .withColumn("boff", coalesce(sum("bt").over(wOff), lit(0L)))
+        .select("bkt", "boff")
+      val wLoc = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .join(offsets, Seq("bkt"))
+        .withColumn("offset", col("boff") + coalesce(sum("n_tokens").over(wLoc), lit(0L)))
+        .withColumn("seq_first", expr(s"offset div ${seqLen}L"))
+        .withColumn("seq_last", expr(s"(offset + n_tokens - 1) div ${seqLen}L"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("offset"),
+          col("seq_first"),
+          col("seq_last"),
+          when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L).as("split")
+        )
+        .orderBy("doc_id")
+    }),
+
     // stratified proportional sample: a 200-document corpus sample whose
     // per-language allocation is the exact integer floor of the stratum's
     // share (quota_g = n_g·200 div N), filled by the stratum's lowest
@@ -234,6 +281,23 @@ object Sampling {
         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "x53_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM t)
+        |SELECT doc_id, n_tokens, "offset",
+        |  "offset" // 512 AS seq_first,
+        |  ("offset" + n_tokens - 1) // 512 AS seq_last,
+        |  CAST(CASE WHEN "offset" // 512 <> ("offset" + n_tokens - 1) // 512
+        |       THEN 1 ELSE 0 END AS BIGINT) AS split
+        |FROM o ORDER BY doc_id""".stripMargin,
     "x26_token_budget_sample" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

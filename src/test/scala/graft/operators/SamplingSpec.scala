@@ -261,6 +261,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.size === 4)
   }
 
+  test("x53 sequence packing: offsets are a permutation prefix sum; splits exactly at cut boundaries") {
+    // independent recompute: hash-order the sf docs in plain Scala, lay the
+    // token stream end-to-end, and derive every offset/seq/split from first
+    // principles — then require the distributed two-phase prefix sum to
+    // agree row for row.
+    def md5win(s: String): Long = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Graft
+      .table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.toLowerCase.split("\\s+").length.toLong)
+    val ordered = docs.sortBy { case (id, _) => (md5win(id.toString), id) }
+    var cum = 0L
+    val expected = ordered.map { case (id, n) =>
+      val off = cum; cum += n
+      id -> ((n, off, off / 512, (off + n - 1) / 512))
+    }.toMap
+    val got = Sampling
+      .queries("x53_sequence_pack")(spark, sf)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("offset"), r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last")))
+      )
+      .toMap
+    assert(got === expected)
+    // the packing must be gapless: total tokens == final cum, and every
+    // sequence id in [0, last] is touched by at least one doc
+    val touched = got.values.flatMap(v => v._3 to v._4).toSet
+    assert(touched === (0L to (cum - 1) / 512).toSet)
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
