@@ -85,7 +85,13 @@ object ScaleProbe {
       // the rule scan over the 16x clone corpus; x50 rides at base
       // embeddings scale as a shape check
       "q52_unpivot", "q53_grouping_sets", "q54_map_funcs", "q55_recursive_reach",
-      "q56_scd2_intervals", "q57_argmax", "x50_semdedup", "x51_gopher_filter"
+      "q56_scd2_intervals", "q57_argmax", "x50_semdedup", "x51_gopher_filter",
+      // x52's gram df and coverage windows run over the 16x clone corpus
+      // (every 5-gram's df jumps to ≥16 ⇒ every word covered — the
+      // worst-case full-redaction path); x53's prefix sum spans 80k docs;
+      // q58-q60 ride at their natural scales (events base, orders 16x)
+      "x52_span_dedup", "x53_sequence_pack", "q58_variant", "q59_funnel",
+      "q60_set_ops_all"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
