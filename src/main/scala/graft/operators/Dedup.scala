@@ -45,9 +45,10 @@ object Dedup {
     table(s, d, "documents")
       .select(col("doc_id"), explode(graft.functions.TokenGramHashes(col("text"), 3)).as("sh"))
 
-  /** x02's df-capped inverted-index Jaccard pairs (threshold 0.2) — also
-    * the edge set for [[connectedComponents]] / x37. */
-  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** df-capped inverted-index shared-shingle counts per pair, with both
+    * docs' (capped-space) shingle counts attached — the common substrate of
+    * x02's Jaccard and x54's containment. */
+  private[graft] def commonCounts(s: SparkSession, d: String): DataFrame = {
     val all = wordShingleHashes(s, d)
     val hot = all.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") > DfCap).select("sh")
     val sh = all.join(hot, Seq("sh"), "left_anti")
@@ -60,9 +61,14 @@ object Dedup {
     common
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+  }
+
+  /** x02's df-capped inverted-index Jaccard pairs (threshold 0.2) — also
+    * the edge set for [[connectedComponents]] / x37. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    commonCounts(s, d)
       .withColumn("jaccard", col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= 0.2)
-  }
 
   /** Distributed connected components by iterative min-label propagation —
     * the union-find step that turns near-dup PAIRS into dedup GROUPS
@@ -213,6 +219,24 @@ object Dedup {
     "x02_dedup_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(s, d)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- asymmetric containment (subset / quote detection) -----------------
+    // Jaccard is blind to asymmetry: a short document fully quoted inside a
+    // long one scores |A|/|B| ≈ 0 even though containment(A) = 1. x54
+    // reports both directed containments cont_x = |grams(A)∩grams(B)| /
+    // |grams(x)| over the same df-capped shingle space as x02, keeping
+    // pairs where either direction ≥ 0.8 — the measure behind "drop the
+    // quoted subset, keep the superset" curation policy. Integer ppm per
+    // invariant #7; the pair join is the x02 inverted index (df cap bounds
+    // per-key fanout), NOT a fresh candidate scheme — containment recall
+    // only needs ONE shared uncapped gram to surface the pair.
+    "x54_containment" -> ((s, d) =>
+      commonCounts(s, d)
+        .withColumn("cont_a_ppm", expr("(n_common * 1000000L) div n_a"))
+        .withColumn("cont_b_ppm", expr("(n_common * 1000000L) div n_b"))
+        .where(col("cont_a_ppm") >= 800000L || col("cont_b_ppm") >= 800000L)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "cont_a_ppm", "cont_b_ppm")
         .orderBy("doc_a", "doc_b")),
 
     // ---- near-dup clusters: pairs → connected components -------------------
@@ -475,6 +499,26 @@ object Dedup {
     "x15_dedup_keep_first" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "x54_containment" ->
+      s"""WITH $shinglesSql,
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+         |kept AS (
+         |  SELECT s.* FROM hsh s
+         |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
+         |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b, n_common,
+         |    (n_common * 1000000) // ca.n AS cont_a_ppm,
+         |    (n_common * 1000000) // cb.n AS cont_b_ppm
+         |  FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, n_common, cont_a_ppm, cont_b_ppm
+         |FROM j WHERE cont_a_ppm >= 800000 OR cont_b_ppm >= 800000
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "x02_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |hsh AS (

@@ -224,6 +224,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("x54 containment catches a fully-quoted subset that Jaccard misses") {
+    val d = TestSpark.tempDir()
+    val quote = "the storm gathered over the eastern ridge tonight" // 8 words → 6 shingles
+    val filler = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (0L, quote, "en", "t", 1L), // fully contained in doc 1
+      (1L, s"$quote $filler", "en", "t", 1L),
+      (2L, "entirely unrelated content about parquet row groups and codecs", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val cont = Dedup
+      .queries("x54_containment")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> ((r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm"))))
+      .toMap
+    // doc 0's 6 shingles all occur in doc 1 (and "tonight filler1" bridging
+    // grams belong to doc 1 only) → containment(a) = 1e6 exactly
+    assert(cont((0L, 1L))._1 === 1000000L)
+    assert(cont((0L, 1L))._2 < 800000L)
+    assert(!cont.contains((0L, 2L)) && !cont.contains((1L, 2L)))
+    // the same pair is BELOW x02's jaccard threshold — asymmetry is the point
+    val jac = Dedup.queries("x02_dedup_ngram_jaccard")(spark, d).collect()
+    assert(!jac.exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L))
+  }
+
   test("x52 span dedup drops exactly the cross-document duplicated spans") {
     val d = TestSpark.tempDir()
     val shared = "the big dog runs very fast" // 6 words → 2 dup gram starts per doc
