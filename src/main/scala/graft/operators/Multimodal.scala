@@ -245,6 +245,65 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // Perceptual-hash image dedup: the content-level dedup step of a
+    // multimodal curation pipeline (metadata x21 → decode x33 → fingerprint
+    // → dedup). aHash over the REAL decoded 8×8 resample: bit k set iff
+    // cell gray (r+g+b) exceeds the tile mean (compared as gray·64 > Σgray
+    // — integer-exact, no division). The 64-bit hash is carried as two
+    // 32-bit halves (hi/lo) so neither engine touches the sign bit.
+    // Near-dup pairs via 4×16-bit bands (pigeonhole: hamming ≤ 3 leaves
+    // ≥1 band equal) + exact bit_count verify — never an all-pairs join;
+    // the DuckDB oracle recomputes every hash from the fixture's pixel
+    // FORMULA (first principles, as x33) and brute-forces the tiny pair
+    // space exactly.
+    "x55_image_phash" -> ((s, _) => {
+      graft.sources.PhashFixture.ensure(s)
+      val schema = StructType(
+        Seq(StructField("img_id", LongType), StructField("hi", LongType), StructField("lo", LongType))
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val sigs = s.read
+        .parquet(graft.sources.PhashFixture.payloadPath)
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            graft.sources.BmpPixels.decode(r.getAs[Array[Byte]]("payload")).map { img =>
+              val grays = graft.sources.BmpPixels
+                .resizeNearest(img, 8, 8)
+                .map { case (pr, pg, pb) => (pr + pg + pb).toLong }
+              val total = grays.sum
+              var hi = 0L; var lo = 0L
+              grays.zipWithIndex.foreach { case (g0, k) =>
+                if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
+              }
+              Row(r.getAs[Long]("img_id"), hi, lo)
+            }
+          }
+        }(enc)
+        .localCheckpoint() // decode once; bands + both verify sides probe blocks
+      val bands = sigs.select(
+        col("img_id"),
+        posexplode(
+          array(expr("hi % 65536"), expr("hi div 65536"), expr("lo % 65536"), expr("lo div 65536"))
+        ).as(Seq("band", "bk"))
+      )
+      val cand = bands
+        .as("a")
+        .join(
+          bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.img_id") < col("b.img_id")
+        )
+        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"))
+        .distinct()
+      cand
+        .join(sigs.select(col("img_id").as("img_a"), col("hi").as("hi_a"), col("lo").as("lo_a")), "img_a")
+        .join(sigs.select(col("img_id").as("img_b"), col("hi").as("hi_b"), col("lo").as("lo_b")), "img_b")
+        .withColumn("hamming", expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+        .where(col("hamming") <= 3L)
+        .select("img_a", "img_b", "hamming")
+        .orderBy("img_a", "img_b")
+    }),
+
     // REAL PCM sample decode: WAV data bytes → signed samples → integer
     // loudness features (Σ|s|, peak). Oracle recomputes from the fixture's
     // closed-form byte formula — again first-principles, not an echo.
@@ -348,6 +407,41 @@ object Multimodal {
         |    + 5 * ((img_id * 11 + sx + sy * 2) % 256)
         |    + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
         |FROM px GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
+    // first-principles aHash oracle: pixel formula (+ the near-clone bump,
+    // saturating at 255) → 8×8 sample grays → integer mean compare → 64-bit
+    // hash in two halves → exact brute-force hamming over the tiny fixture
+    "x55_image_phash" ->
+      """WITH t AS (
+        |  SELECT img_id, src_id, bumped, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_phash/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |cell AS (
+        |  SELECT img_id, src_id, bumped,
+        |    (gj.v * 8 + gi.v) AS k,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |gray AS (
+        |  SELECT img_id, k,
+        |    CASE WHEN bumped AND sx = 0 AND sy = 0 THEN
+        |        least((src_id * 7 + sx * 3 + sy * 5) % 256 + 120, 255)
+        |      + least((src_id * 11 + sx + sy * 2) % 256 + 120, 255)
+        |      + least((src_id * 13 + sx * 2 + sy) % 256 + 120, 255)
+        |    ELSE
+        |        (src_id * 7 + sx * 3 + sy * 5) % 256
+        |      + (src_id * 11 + sx + sy * 2) % 256
+        |      + (src_id * 13 + sx * 2 + sy) % 256 END AS gr
+        |  FROM cell),
+        |tot AS (SELECT img_id, sum(gr) AS total FROM gray GROUP BY img_id),
+        |sig AS (
+        |  SELECT gray.img_id,
+        |    CAST(sum(CASE WHEN gr * 64 > total AND k < 32  THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN gr * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM gray JOIN tot USING (img_id) GROUP BY gray.img_id)
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY img_a, img_b""".stripMargin,
     // first-principles frame oracle: sampling schedule + pixel formula +
     // resize map, all recomputed in SQL
     "x35_video_frame_sample" ->

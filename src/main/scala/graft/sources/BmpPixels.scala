@@ -117,3 +117,50 @@ object BmpFixture {
     }
   }
 }
+
+/** Fixture for x55 perceptual-hash image dedup: 100 base BMPs plus 10 exact
+  * clones (same source formula, new ids) and 10 near-clones (pixel (0, 0)
+  * brightened, saturating at 255 — which perturbs exactly ONE 8×8 sample
+  * cell, since widths/heights ≥ 16 map cell (0, 0) alone to that pixel).
+  * The twin table carries (src_id, bumped) so the DuckDB oracle can
+  * recompute every aHash from the closed-form pixel formula. */
+object PhashFixture {
+  val dir = "/root/repo/spark-warehouse/graft_phash"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  /** pixel formula by SOURCE id — mirrored verbatim in the x55 oracle SQL */
+  def rgbAt(src: Long, bump: Boolean)(x: Int, y: Int): (Int, Int, Int) = {
+    val r = ((src * 7 + x * 3 + y * 5) % 256).toInt
+    val g = ((src * 11 + x + y * 2) % 256).toInt
+    val b = ((src * 13 + x * 2 + y) % 256).toInt
+    if (bump && x == 0 && y == 0)
+      (math.min(r + 120, 255), math.min(g + 120, 255), math.min(b + 120, 255))
+    else (r, g, b)
+  }
+
+  def dims(src: Long): (Int, Int) = ((16 + (src * 5) % 24).toInt, (16 + (src * 3) % 20).toInt)
+
+  def rows: Seq[(Long, Long, Boolean, Int, Int, Array[Byte])] =
+    ((0L until 100L).map(i => (i, i, false)) ++
+      (100L until 110L).map(i => (i, i - 100L, false)) ++ // exact clones of 0..9
+      (110L until 120L).map(i => (i, i - 100L, true))) // near-clones of 10..19
+      .map { case (id, src, bump) =>
+        val (w, h) = dims(src)
+        (id, src, bump, w, h, BmpPixels.synthesize(w, h, rgbAt(src, bump)))
+      }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, _, _, _, _, p) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, src, bump, w, h, _) => (id, src, bump, w, h) }
+        .toDF("img_id", "src_id", "bumped", "width", "height")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
