@@ -325,6 +325,10 @@ object Dedup {
         .withColumn("w4", lead("word", 4).over(wDoc)) // null ⇒ pos > n-5: no full gram starts here
         .withColumn("gh", when(col("w4").isNotNull, graft.functions.Hashing.md5Window15(gramStr)))
         .drop("w4")
+        // feeds BOTH the df aggregation and the flag join's left side —
+        // materialize the tokenize+window pass once (same discipline as
+        // x50's sig / q55's edges) instead of re-running it per reference
+        .localCheckpoint()
       val dupGrams = withGram
         .where(col("gh").isNotNull)
         .select("doc_id", "gh")

@@ -116,6 +116,10 @@ object Warehouse {
           col("event_id"),
           (expr("CAST(round(value * 100) AS BIGINT)") * lit(1000000000000L) + col("event_id")).as("k")
         )
+        // k >= 0 guard: Spark's div truncates toward zero, DuckDB's //
+        // floors — they only agree on non-negatives (same contract as q58;
+        // fixture values are always >= 0, the guard makes it explicit)
+        .where(col("k") >= 0L)
       ev.groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
@@ -187,12 +191,13 @@ object Warehouse {
       """WITH ev AS (
         |  SELECT event_type, user_id, event_id,
         |    CAST(round(value * 100) AS BIGINT) * 1000000000000 + event_id AS k
-        |  FROM events)
+        |  FROM events),
+        |evp AS (SELECT * FROM ev WHERE k >= 0)
         |SELECT event_type, count(*) AS n,
         |  arg_max(user_id, k) AS top_user,
         |  arg_min(user_id, k) AS bottom_user,
         |  max(k) // 1000000000000 AS max_cents,
         |  min(k) // 1000000000000 AS min_cents
-        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM evp GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -189,19 +189,41 @@ object EventStreams {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .drop("rn")
+        // Crash-safe swap: the staging dir always holds a COMPLETE merged
+        // table, so every window is recoverable — (a) die before the target
+        // delete: target still has batch N-1, checkpoint replays batch N
+        // idempotently; (b) die between delete and rename: target is gone
+        // but staging has the full batch-N table, and the read below falls
+        // back to it; (c) die after the rename: target is the new table.
+        // Directory rename is the atomicity primitive (local FS/HDFS); an
+        // object store would need a manifest or transactional table format.
         val target = new java.io.File(tablePath)
-        val merged =
-          if (target.exists()) {
-            val cur = batch.sparkSession.read.parquet(tablePath)
+        val staging = new java.io.File(tablePath + ".staging")
+        val sourcePath =
+          if (target.exists()) Some(tablePath)
+          else if (staging.exists()) Some(staging.getPath) // recover window (b)
+          else None
+        val merged = sourcePath match {
+          case Some(p) =>
+            val cur = batch.sparkSession.read.parquet(p)
             cur.join(latest.select(key), Seq(key), "left_anti").unionByName(latest)
-          } else latest
-        // rewrite via a temp dir: the sink must never read and overwrite
-        // the same files in one job (self-overwrite corrupts the scan)
-        val tmp = tablePath + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        batch.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+          case None => latest
+        }
+        val tmp = new java.io.File(tablePath + ".staging.next")
+        merged.write.mode("overwrite").parquet(tmp.getPath)
+        // promote: next → staging (the recovery copy), then swap into place
+        if (staging.exists()) deleteRecursively(staging)
+        require(tmp.renameTo(staging), s"rename ${tmp.getPath} -> ${staging.getPath} failed")
+        if (target.exists()) deleteRecursively(target)
+        require(staging.renameTo(target), s"rename ${staging.getPath} -> $tablePath failed")
       }
       .start()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** Wire a streaming source through [[windowedCounts]] to a sink. */
   def run(spark: SparkSession, source: DataFrame, checkpoint: String, outPath: String): StreamingQuery =

@@ -222,6 +222,20 @@ class EventStreamsSpec extends AnyFunSuite {
       input.addData((2L, 4L, "b2"), (3L, 5L, "c")) // update key 2, insert key 3
       q.processAllAvailable()
       assert(tableNow() === Map(1L -> ((3L, "a2")), 2L -> ((4L, "b2")), 3L -> ((5L, "c"))))
-    } finally q.stop()
+      // crash window (b): target deleted after a batch, staging (= the full
+      // merged table, renamed into place on success) absent → simulate the
+      // narrow window by reconstructing it: move target back to staging
+      q.stop()
+      assert(new java.io.File(s"$dir/table").renameTo(new java.io.File(s"$dir/table.staging")))
+      val q2 = EventStreams.upsertSink(
+        input.toDF().toDF("event_id", "seq", "payload"),
+        spark, s"$dir/ckpt", s"$dir/table")
+      try {
+        input.addData((4L, 6L, "d"))
+        q2.processAllAvailable()
+        // rows from batches before the "crash" survived via the staging copy
+        assert(tableNow() === Map(1L -> ((3L, "a2")), 2L -> ((4L, "b2")), 3L -> ((5L, "c")), 4L -> ((6L, "d"))))
+      } finally q2.stop()
+    } finally if (!q.isActive) () else q.stop()
   }
 }
