@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: top-k-per-key logical node → two-phase
     // bounded-heap physical plan (see graftbridge/plans.scala)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // optimizer rewrite: declarative row_number()-rank-filter top-k queries
+    // re-plan onto the heap operator automatically (disable per session via
+    // spark.graft.topkRewrite.enabled=false)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }
 

@@ -146,3 +146,83 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 }
+
+/** Optimizer rewrite: recognize the DECLARATIVE per-key top-k pattern
+  *
+  *   Filter(rn <= k, Window([row_number() AS rn], part, ord, child))
+  *
+  * and re-plan it as `Window(rn, part, ord, TopKPerKeyNode(part, ord, k,
+  * child))` — the bounded-heap operator reduces every key to its k
+  * survivors (no per-partition sort, no spill cliff), and the retained
+  * Window re-ranks only those ≤k rows per key, so the query's schema and
+  * row values (including the rank column) are bit-identical. The Filter is
+  * dropped: by construction every surviving row satisfies rn <= k.
+  *
+  * This is the "let Catalyst optimize" completion of the q51 operator: a
+  * user writes the idiomatic window-rank query and the session plans the
+  * heap operator automatically. The rule is injected by
+  * [[graft.plans.GraftExtensions]] (so it runs in the user-provided
+  * optimizer batch, AFTER InferWindowGroupLimit — hence the rule also
+  * strips the WindowGroupLimit node Spark inferred below the Window), and
+  * can be disabled per session with `spark.graft.topkRewrite.enabled`.
+  *
+  * Bail-outs (the rule rewrites nothing unless ALL hold): exactly one
+  * window expression and it is a plain `row_number()`; a bare `rn <= lit` /
+  * `rn < lit` (or mirrored) filter on that attribute; non-empty orderSpec;
+  * 1 <= k <= Int.MaxValue. rank()/dense_rank() are NOT rewritten — their
+  * tie semantics can keep more than k rows, which the heap cannot express.
+  */
+object TopKRewriteRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** k such that `cond` ⇔ rn <= k, for the given rank attribute. */
+  private def limitOf(cond: Expression, rn: ExprId): Option[Long] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if a.exprId == rn => asLong(v)
+    case LessThan(a: AttributeReference, Literal(v, _)) if a.exprId == rn => asLong(v).map(_ - 1)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if a.exprId == rn => asLong(v)
+    case GreaterThan(Literal(v, _), a: AttributeReference) if a.exprId == rn => asLong(v).map(_ - 1)
+    case _ => None
+  }
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topkRewrite.enabled", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else
+      plan.transform {
+        case f @ Filter(
+              cond,
+              w @ Window(
+                Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+                partSpec,
+                orderSpec,
+                wChild,
+                _
+              )
+            ) if orderSpec.nonEmpty =>
+          limitOf(cond, alias.exprId) match {
+            case Some(k) if k >= 1 && k <= Int.MaxValue =>
+              // InferWindowGroupLimit has already run in the main batches;
+              // its node below the Window is subsumed by the heap operator.
+              val child = wChild match {
+                case WindowGroupLimit(_, _, _, _, inner) => inner
+                case other => other
+              }
+              w.copy(child = TopKPerKeyNode(partSpec, orderSpec, k.toInt, child))
+            case _ => f
+          }
+      }
+}
