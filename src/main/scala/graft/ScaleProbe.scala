@@ -91,7 +91,10 @@ object ScaleProbe {
       // worst-case full-redaction path); x53's prefix sum spans 80k docs;
       // q58-q60 ride at their natural scales (events base, orders 16x)
       "x52_span_dedup", "x53_sequence_pack", "q58_variant", "q59_funnel",
-      "q60_set_ops_all"
+      "q60_set_ops_all",
+      // x54 rides the x02 inverted index over the 16x clone corpus (every
+      // clone pair is a 100%-containment pair — the dense worst case)
+      "x54_containment"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -141,6 +141,25 @@ object Reshape {
 
     "q58_variant" -> variantQuery,
 
+    // edit-distance fuzzy matching — the approximate-string-join primitive
+    // (entity resolution, typo-tolerant dim lookups). The 25-name nation
+    // side is driver-bounded, so the all-pairs comparison is a broadcast
+    // nested loop over a tiny relation — the ONE shape where that plan is
+    // correct; at scale one side is always reduced (q-gram prefix filter or
+    // x03-style LSH candidates) before exact levenshtein verification.
+    "q61_fuzzy_match" -> ((s, d) => {
+      val n = table(s, d, "nation").select(col("n_name"))
+      n.as("a")
+        .join(n.as("b"), col("a.n_name") < col("b.n_name"))
+        .select(
+          col("a.n_name").as("name_a"),
+          col("b.n_name").as("name_b"),
+          levenshtein(col("a.n_name"), col("b.n_name")).cast("long").as("dist")
+        )
+        .where(col("dist") <= 1L)
+        .orderBy("name_a", "name_b")
+    }),
+
     // multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
     // multiplicity (min / difference of per-row counts) — the set-op family
     // q11's distinct variants can't express. Catalyst plans both as a
@@ -191,6 +210,12 @@ object Reshape {
   }
 
   def oracles: Map[String, String] = Map(
+    "q61_fuzzy_match" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "q60_set_ops_all" ->
       """WITH a AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1996),
         |     b AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1997),

@@ -110,6 +110,33 @@ object TextAnalysis {
         )
         .orderBy("lang")
     }),
+    // Vocabulary coverage / OOV rate — the tokenizer-fit metric: what
+    // fraction of each document's tokens fall inside the corpus' top-10
+    // vocabulary (x28 builds the full ranked vocabulary; this measures the
+    // documents against it). Rank order is total (tf desc, term asc), so
+    // the vocab set — and therefore every coverage number — is
+    // deterministic. Scale shape: the vocab is a LIMIT-10 aggregate →
+    // broadcast to the token stream (the dim side of the join is bounded
+    // by construction), one per-doc hash agg after.
+    "x56_vocab_coverage" -> ((s, d) => {
+      val tokens = table(s, d, "documents").select(col("doc_id"), explode(toks).as("term"))
+      val vocab = tokens
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term").asc)
+        .limit(10)
+        .select(col("term"), lit(1L).as("in_v"))
+      tokens
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_v"), lit(0L))).as("in_vocab")
+        )
+        .withColumn("coverage_ppm", expr("(in_vocab * 1000000) div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "x09_text_langid" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val aggCols = markers.map { case (l, ws) =>
@@ -338,6 +365,21 @@ object TextAnalysis {
            |  CAST(count(*) FILTER (WHERE NOT r_sym) AS BIGINT) AS fail_sym,
            |  CAST(count(*) FILTER (WHERE NOT r_stop) AS BIGINT) AS fail_stop
            |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+      "x56_vocab_coverage" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |  FROM documents),
+          |vocab AS (
+          |  SELECT term FROM (
+          |    SELECT term, count(*) AS tf FROM tok GROUP BY term
+          |    ORDER BY tf DESC, term ASC LIMIT 10)),
+          |j AS (
+          |  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS in_v
+          |  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  CAST(sum(in_v) AS BIGINT) AS in_vocab,
+          |  (sum(in_v) * 1000000) // count(*) AS coverage_ppm
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x09_text_langid" -> {
         val cnts = markers
           .map { case (l, ws) => s"len(list_filter(w, t -> t IN ${inSetSql(ws)})) AS c_$l" }

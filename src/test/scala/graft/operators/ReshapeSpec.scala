@@ -83,6 +83,17 @@ class ReshapeSpec extends AnyFunSuite {
     assert(viaVariant.map(_.toSeq).toSeq === viaString.map(_.toSeq).toSeq)
   }
 
+  test("q61 fuzzy match keeps distance-1 name pairs and drops distance-2") {
+    val rows = Reshape
+      .queries("q61_fuzzy_match")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b")) -> r.getAs[Long]("dist"))
+      .toMap
+    assert(rows.values.forall(_ == 1L))
+    assert(rows.contains(("NATION_1", "NATION_2"))) // single substitution
+    assert(!rows.contains(("NATION_12", "NATION_21"))) // transposition = distance 2
+  }
+
   test("q55 BFS min-hops on a planted supplier-order-customer graph") {
     val dir = TestSpark.tempDir()
     // S1-{O10,O12}; O10-{S1,S4,C100}; O12-C101; O11-{S2,C100}; O13-{S3,C102}

@@ -297,6 +297,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(touched === (0L to (cum - 1) / 512).toSet)
   }
 
+  test("x56 vocab coverage: dominant terms are in-vocab, unique terms are OOV") {
+    // fixture (dir): "alpha" appears in all 4 docs (top of vocab, 50-term
+    // vocab covers every fixture term except none — so plant an OOV check
+    // against the sf corpus instead, where 50 < |vocab|)
+    val cov = TextAnalysis
+      .queries("x56_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("coverage_ppm"))
+      .toMap
+    assert(cov.size === 500)
+    // the sf corpus has far more than 50 distinct terms, so coverage must
+    // be strictly between 0 and 1 somewhere (the metric discriminates)
+    assert(cov.values.exists(v => v > 0L && v < 1000000L))
+    assert(cov.values.forall(v => v >= 0L && v <= 1000000L))
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
