@@ -48,6 +48,35 @@ object EventStreams {
       }
   }
 
+  final case class TopKState(items: List[(Long, Long)]) // (score, event_id), ascending
+  final case class TopKOut(event_type: String, rank: Int, event_id: Long, score: Long)
+
+  /** Streaming top-k-per-key — the incremental face of the q51 bounded-heap
+    * operator: per key, mapGroupsWithState carries ONLY the current top-k
+    * (score, id) pairs across micro-batches (state O(k) per key regardless
+    * of stream length — the same bounded-memory contract as the batch
+    * exec's heaps), emitting each key's refreshed ranking. Scores are
+    * integer cents with event_id tie-break, the gate's total-order
+    * convention, so the ranking is deterministic under any batch split —
+    * asserted in the spec by feeding the same rows in different batch
+    * arrangements. */
+  def streamingTopK(events: Dataset[Event], k: Int = 3): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TopKState, TopKOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (key: String, rows: Iterator[Event], state: GroupState[TopKState]) =>
+        val incoming = rows.map(e => (math.round(e.value * 100), e.event_id))
+        val merged = (state.getOption.map(_.items).getOrElse(Nil) ++ incoming)
+          .sortBy { case (s, id) => (-s, -id) } // best first: high score, high id
+          .take(k)
+        state.update(TopKState(merged))
+        merged.zipWithIndex.iterator.map { case ((s, id), i) => TopKOut(key, i + 1, id, s) }
+      }
+  }
+
   final case class GapState(start: Long, last: Long, n: Long, total: Double)
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, total_value: Double)
 

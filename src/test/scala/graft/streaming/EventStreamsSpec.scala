@@ -204,6 +204,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k state stays bounded and the ranking is batch-split invariant") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def run(batches: Seq[Seq[(Long, Double)]]): Map[(String, Int), (Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val q = EventStreams
+        .streamingTopK(input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value").as[EventStreams.Event], k = 2)
+        .writeStream.format("memory").queryName("stk").outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b =>
+          input.addData(b.map { case (id, v) => (id, ts(1), 1L, "buy", v) })
+          q.processAllAvailable()
+        }
+        // memory sink in Update mode appends each refresh; the LAST rank
+        // rows per key are the current ranking
+        spark.table("stk").collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rank")) -> ((r.getAs[Long]("event_id"), r.getAs[Long]("score"))))
+          .toMap // toMap keeps the LAST occurrence; collect preserves batch order, so this is the final refresh
+      } finally q.stop()
+    }
+    // deterministic check: feed in ONE batch vs THREE batches; final top-2 equal
+    val rows = Seq((1L, 5.00), (2L, 9.00), (3L, 7.50), (4L, 1.00), (5L, 9.00))
+    val oneShot = run(Seq(rows))
+    val split = run(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)))
+    // top-2 by (cents, event_id): (5, 900) then (2, 900)
+    assert(oneShot(("buy", 1)) === ((5L, 900L)))
+    assert(oneShot(("buy", 2)) === ((2L, 900L)))
+    assert(split(("buy", 1)) === ((5L, 900L)))
+    assert(split(("buy", 2)) === ((2L, 900L)))
+  }
+
   test("foreachBatch upsert sink keeps latest row per key across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
