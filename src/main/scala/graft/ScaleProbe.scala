@@ -94,7 +94,10 @@ object ScaleProbe {
       "q60_set_ops_all",
       // x54 rides the x02 inverted index over the 16x clone corpus (every
       // clone pair is a 100%-containment pair — the dense worst case)
-      "x54_containment"
+      "x54_containment",
+      // 5 Pregel supersteps over the ~24M-edge graph: per-iteration join +
+      // agg with lineage cut per round
+      "q62_pagerank"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

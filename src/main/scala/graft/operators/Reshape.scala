@@ -141,6 +141,57 @@ object Reshape {
 
     "q58_variant" -> variantQuery,
 
+    // PageRank over the supplier↔order↔customer graph, 5 fixed iterations
+    // in integer micro-units — the third graph-analytics shape (q55 BFS
+    // reachability, x37 connected components, and now importance
+    // propagation). All arithmetic is integer (r div deg contributions,
+    // damping as ·850 div 1000), so the sum order cannot perturb a single
+    // unit and the DuckDB oracle (5 unrolled CTE iterations of the same
+    // formulas) matches bit-for-bit. Scale shape per iteration: ONE shuffle
+    // join of ranks against the (localCheckpointed once) edge table + one
+    // hash agg on dst — Pregel's superstep on DataFrames; lineage is cut
+    // per round exactly like connectedComponents.
+    "q62_pagerank" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select((col("l_suppkey") * 4 + 1).as("a"), (col("l_orderkey") * 4 + 2).as("b"))
+      val oc = table(s, d, "orders")
+        .select((col("o_orderkey") * 4 + 2).as("a"), (col("o_custkey") * 4 + 3).as("b"))
+      val edges = li
+        .union(oc)
+        .union(li.select(col("b").as("a"), col("a").as("b")))
+        .union(oc.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .withColumnRenamed("a", "src")
+        .withColumnRenamed("b", "dst")
+        .localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 5) {
+        val contribs = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          .groupBy("node")
+          .agg(sum("c").as("sc"))
+        ranks = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"), expr("150000 + (850 * coalesce(sc, 0)) div 1000").as("r"))
+          .localCheckpoint()
+      }
+      ranks
+        .select(
+          when(pmod(col("node"), lit(4L)) === 1L, "S")
+            .when(pmod(col("node"), lit(4L)) === 2L, "O")
+            .otherwise("C")
+            .as("node_type"),
+          expr("node div 4").as("id"),
+          col("r")
+        )
+        .orderBy(col("r").desc, col("node_type"), col("id"))
+        .limit(20)
+    }),
+
     // edit-distance fuzzy matching — the approximate-string-join primitive
     // (entity resolution, typo-tolerant dim lookups). The 25-name nation
     // side is driver-bounded, so the all-pairs comparison is a broadcast
@@ -210,6 +261,31 @@ object Reshape {
   }
 
   def oracles: Map[String, String] = Map(
+    "q62_pagerank" -> {
+      val iters = (1 to 5)
+        .map { i =>
+          s"""r$i AS (
+             |  SELECT n.node, 150000 + (850 * coalesce(s.sc, 0)) // 1000 AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node, sum(r.r // d.deg) AS sc
+             |    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT l_suppkey * 4 + 1 AS src, l_orderkey * 4 + 2 AS dst FROM lineitem
+         |    UNION ALL SELECT l_orderkey * 4 + 2, l_suppkey * 4 + 1 FROM lineitem
+         |    UNION ALL SELECT o_orderkey * 4 + 2, o_custkey * 4 + 3 FROM orders
+         |    UNION ALL SELECT o_custkey * 4 + 3, o_orderkey * 4 + 2 FROM orders)),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |r0 AS (SELECT node, 1000000 AS r FROM nodes),
+         |$iters
+         |SELECT CASE node % 4 WHEN 1 THEN 'S' WHEN 2 THEN 'O' ELSE 'C' END AS node_type,
+         |  node // 4 AS id, CAST(r AS BIGINT) AS r
+         |FROM r5 ORDER BY r DESC, node_type, id LIMIT 20""".stripMargin
+    },
     "q61_fuzzy_match" ->
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist

@@ -83,6 +83,36 @@ class ReshapeSpec extends AnyFunSuite {
     assert(viaVariant.map(_.toSeq).toSeq === viaString.map(_.toSeq).toSeq)
   }
 
+  test("q62 pagerank matches a plain-Scala recompute on a planted graph") {
+    val dir = TestSpark.tempDir()
+    TestSpark.writeTable(dir, "lineitem",
+      Seq((10L, 1L), (10L, 4L), (12L, 1L), (11L, 2L), (13L, 3L)).toDF("l_orderkey", "l_suppkey"))
+    TestSpark.writeTable(dir, "orders",
+      Seq((10L, 100L), (11L, 100L), (12L, 101L), (13L, 102L)).toDF("o_orderkey", "o_custkey"))
+    // reference implementation: same integer formulas, plain Scala
+    val rawEdges = Seq((10L, 1L), (10L, 4L), (12L, 1L), (11L, 2L), (13L, 3L)).flatMap { case (o, sup) =>
+      Seq((sup * 4 + 1, o * 4 + 2), (o * 4 + 2, sup * 4 + 1))
+    } ++ Seq((10L, 100L), (11L, 100L), (12L, 101L), (13L, 102L)).flatMap { case (o, c) =>
+      Seq((o * 4 + 2, c * 4 + 3), (c * 4 + 3, o * 4 + 2))
+    }
+    val edges = rawEdges.distinct
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = edges.map(_._1).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val sc = edges.groupBy(_._2).map { case (dst, es) => dst -> es.map(e => r(e._1) / deg(e._1)).sum }
+      r = nodes.map(n => n -> (150000L + 850L * sc.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    val got = Reshape
+      .queries("q62_pagerank")(spark, dir)
+      .collect()
+      .map(x => (x.getAs[String]("node_type"), x.getAs[Long]("id")) -> x.getAs[Long]("r"))
+      .toMap
+    val tag = Map(1L -> "S", 2L -> "O", 3L -> "C")
+    val expected = r.map { case (n, v) => (tag(n % 4), n / 4) -> v }
+    assert(got === expected) // 10 nodes < limit 20 → full ranking comparable
+  }
+
   test("q61 fuzzy match keeps distance-1 name pairs and drops distance-2") {
     val rows = Reshape
       .queries("q61_fuzzy_match")(spark, sf)
