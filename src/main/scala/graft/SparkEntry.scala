@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Advanced, Curation, Dedup, Multimodal, Relational, Reshape, Sampling, Similarity, TextAnalysis, TopKPerKey, Warehouse}
+import graft.operators.{Advanced, Analytic, Curation, Dedup, Multimodal, Relational, Reshape, Sampling, Similarity, TextAnalysis, TopKPerKey, Warehouse}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -31,12 +31,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Curation.queries ++ Sampling.queries ++
-      TopKPerKey.queries ++ Reshape.queries ++ Warehouse.queries
+      TopKPerKey.queries ++ Reshape.queries ++ Warehouse.queries ++ Analytic.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Curation.oracles ++ Sampling.oracles ++
-      TopKPerKey.oracles ++ Reshape.oracles ++ Warehouse.oracles
+      TopKPerKey.oracles ++ Reshape.oracles ++ Warehouse.oracles ++ Analytic.oracles
 }

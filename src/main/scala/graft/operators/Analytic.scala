@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.Graft.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Analytic / scalar SQL-surface widening (SURVEY.md §2.4–§2.5, round 4).
+  *
+  * q63 distribution windows — ntile / percent_rank / cume_dist, the ranking
+  * family q08 doesn't cover. percent_rank and cume_dist are each a SINGLE
+  * IEEE double division ((rank−1)/(n−1), rank/n) so they hash identically
+  * cross-engine without the fixed-point dance multi-op float pipelines need;
+  * the window order is made total with the key column so ntile's bucket
+  * boundaries are deterministic under ties.
+  * q64 IGNORE NULLS navigation — first / nth_value over a full frame with
+  * planted NULLs: the "first observed measurement per entity" shape (q42's
+  * LOCF covers the running-carry variant; this is the whole-partition one).
+  * q65 bitwise aggregates — bit_and / bit_or / bit_xor, the bitmap-rollup
+  * primitives (flag unions, permission masks). Integer-exact by definition.
+  * q66 median — the interpolated-percentile aggregate on integer cents: the
+  * midpoint of two int64s is exactly representable in double, so even-count
+  * groups still hash identically cross-engine (contrast q27's full exact
+  * percentiles, which stay integer end-to-end).
+  * q67 try-arithmetic — try_divide / try_element_at: NULL-on-error instead
+  * of throw-under-ANSI, the safe-math surface pipelines use for dirty data.
+  * q68 calendar arithmetic — date_trunc to week/quarter grain, add_months
+  * (end-of-month clamped identically in both engines: Jan 31 + 1 month =
+  * Feb 29), last_day. Extends q14's scalar date functions to interval math.
+  *
+  * Scale notes: q63/q64 shuffle once on the partition key (window exchange);
+  * q65–q68 are single two-phase hash aggregations (map-side partials carry
+  * one row per group). Nothing here materializes per-row output at scale —
+  * every query reduces to group cardinality.
+  */
+object Analytic {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // quartile assignment + rank-distribution stats per market segment. The
+    // window order (cents, custkey) is total, so ntile's near-equal bucket
+    // split — which is ROW-position, not value, based — is deterministic.
+    "q63_ntile_distribution" -> ((s, d) => {
+      val base = table(s, d, "customer")
+        .select(
+          col("c_mktsegment").as("seg"),
+          col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents")
+        )
+      val w = Window.partitionBy("seg").orderBy(col("cents"), col("c_custkey"))
+      base
+        .select(
+          col("seg"),
+          col("cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * 1e6).as("pr_e6"),
+          floor(cume_dist().over(w) * 1e6).as("cd_e6")
+        )
+        .groupBy("seg", "quartile")
+        .agg(
+          count(lit(1)).as("n"),
+          min("cents").as("min_cents"),
+          max("cents").as("max_cents"),
+          min("pr_e6").as("pr_min_e6"),
+          max("cd_e6").as("cd_max_e6")
+        )
+        .orderBy("seg", "quartile")
+    }),
+
+    // first / second non-null measurement per user: 'view' events carry no
+    // amount (planted NULLs), so IGNORE NULLS navigation must skip them.
+    // Full frame (unbounded both ways) makes the answers constant per
+    // partition; the aggregation then collapses to one row per user.
+    "q64_ignore_nulls" -> ((s, d) => {
+      val e = table(s, d, "events")
+        .select(
+          col("user_id"),
+          col("ts"),
+          col("event_id"),
+          when(col("event_type") =!= "view", expr("CAST(round(value * 100) AS BIGINT)")).as("cents")
+        )
+      val wf = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.select(
+        col("user_id"),
+        col("cents"),
+        first(col("cents"), ignoreNulls = true).over(wf).as("fc"),
+        nth_value(col("cents"), 2, ignoreNulls = true).over(wf).as("sc")
+      ).groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_null"),
+          max("fc").as("first_cents"),
+          max("sc").as("second_cents")
+        )
+        .orderBy("user_id")
+    }),
+
+    // bitmap-style rollup: AND / OR / XOR of the quantity bits per flag.
+    "q65_bitwise_agg" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("ql"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(ql)").as("b_and"),
+          expr("bit_or(ql)").as("b_or"),
+          expr("bit_xor(ql)").as("b_xor"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          col("l_returnflag"),
+          col("b_and"),
+          col("b_or"),
+          col("b_xor"),
+          // scalar bitwise layer over the aggregates: mask + shift
+          col("b_or").bitwiseAND(lit(255L)).as("or_low8"),
+          shiftleft(col("b_and"), 2).as("and_shl2"),
+          col("n")
+        )
+        .orderBy("l_returnflag")),
+
+    // interpolated median over integer cents per priority. Even-count
+    // groups land on (a+b)/2 — exact in double for cents < 2^52, so the
+    // double output is still hash-stable cross-engine.
+    "q66_median" -> ((s, d) =>
+      table(s, d, "orders")
+        .select(col("o_orderpriority"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), median(col("cents")).as("med_cents"))
+        .orderBy("o_orderpriority")),
+
+    // NULL-on-error arithmetic: try_divide hits /0 exactly when quantity=1
+    // (unit price over the remaining quantity), try_element_at indexes past
+    // a 1-element array whenever linenumber > 1. The per-flag aggregate
+    // counts both error populations and sums the surviving ratios in fixed
+    // point (single division + single multiply → floor: deterministic IEEE).
+    "q67_try_arith" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(
+          col("l_returnflag"),
+          expr("try_divide(l_extendedprice, l_quantity - 1)").as("ratio"),
+          expr("try_element_at(array(CAST(l_quantity AS BIGINT)), CAST(l_linenumber AS INT))").as("q1")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ratio").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          sum(floor(col("ratio") * 100)).as("sum_ratio_c"),
+          count(col("q1")).as("n_first_line"),
+          sum("q1").as("sum_q1")
+        )
+        .orderBy("l_returnflag")),
+
+    // calendar grain + interval math per quarter: week-of-order floor,
+    // month-end, and the +1 month clamp (Jan 31 → Feb 29 on leap years —
+    // both engines clamp to month end rather than overflowing). DATE values
+    // are emitted as ISO strings: Spark writes date32 parquet where DuckDB's
+    // client surfaces datetime64, so a typed date column hash-mismatches on
+    // representation even when every value agrees — text pins the value.
+    "q68_calendar_arith" -> ((s, d) =>
+      table(s, d, "orders")
+        .select(
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr"),
+          date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("wk"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("ld"),
+          date_format(add_months(col("o_orderdate").cast("date"), 1), "yyyy-MM-dd").as("p1m")
+        )
+        .groupBy("qtr")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct("wk").as("n_weeks"),
+          min("wk").as("wk_min"),
+          max("ld").as("ld_max"),
+          max("p1m").as("p1m_max")
+        )
+        .orderBy("qtr"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q63_ntile_distribution" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |w AS (
+        |  SELECT seg, cents,
+        |    CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |    CAST(floor(percent_rank() OVER win * 1e6) AS BIGINT) AS pr_e6,
+        |    CAST(floor(cume_dist() OVER win * 1e6) AS BIGINT) AS cd_e6
+        |  FROM b WINDOW win AS (PARTITION BY seg ORDER BY cents, c_custkey))
+        |SELECT seg, quartile, count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  min(pr_e6) AS pr_min_e6, max(cd_e6) AS cd_max_e6
+        |FROM w GROUP BY seg, quartile ORDER BY seg, quartile""".stripMargin,
+    "q64_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'view'
+        |         THEN CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, cents,
+        |    first_value(cents IGNORE NULLS) OVER win AS fc,
+        |    nth_value(cents, 2 IGNORE NULLS) OVER win AS sc
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  max(fc) AS first_cents, max(sc) AS second_cents
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q65_bitwise_agg" ->
+      """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS ql FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, bit_and(ql) AS b_and, bit_or(ql) AS b_or,
+        |    bit_xor(ql) AS b_xor, count(*) AS n
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, b_and, b_or, b_xor,
+        |  b_or & 255 AS or_low8, b_and << 2 AS and_shl2, n
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q66_median" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  median(CAST(round(o_totalprice * 100) AS BIGINT)) AS med_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q67_try_arith" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    l_extendedprice / nullif(l_quantity - 1, 0) AS ratio,
+        |    ([CAST(l_quantity AS BIGINT)])[l_linenumber] AS q1
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+        |  CAST(sum(CAST(floor(ratio * 100) AS BIGINT)) AS BIGINT) AS sum_ratio_c,
+        |  count(q1) AS n_first_line,
+        |  CAST(sum(q1) AS BIGINT) AS sum_q1
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q68_calendar_arith" ->
+      """WITH t AS (
+        |  SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr,
+        |    strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+        |    strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld,
+        |    strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS p1m
+        |  FROM orders)
+        |SELECT qtr, count(*) AS n, count(DISTINCT wk) AS n_weeks,
+        |  min(wk) AS wk_min, max(ld) AS ld_max, max(p1m) AS p1m_max
+        |FROM t GROUP BY qtr ORDER BY qtr""".stripMargin
+  )
+}
