@@ -209,6 +209,43 @@ object Curation {
         .where(col("rep_ratio") >= 0.1)
         .select(col("doc_id"), col("gram").as("top_gram"), col("cnt").as("top_cnt"), col("tot").as("n_grams"), col("rep_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // ---- URL canonicalization + dedup --------------------------------------
+    // The web-corpus ingest gate: collapse surface URL variants (scheme and
+    // host case, `www.`, explicit ports, trailing slash, fragments) onto one
+    // canonical (host, path) key, keep the lowest-id capture per key. Built
+    // on Spark's parse_url (Hive's URL extraction surface); ports are
+    // stripped from the host key (canonicalization is port-insensitive
+    // here — documented policy, not an accident). One projection + one hash
+    // aggregation: the 100 TB shape is a straight map-side scan, shuffle on
+    // the canonical key only.
+    "x58_url_canonicalize" -> ((s, _) => {
+      UrlFixture.ensure(s)
+      s.read
+        .parquet(UrlFixture.urlsPath)
+        .select(
+          col("url_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query")
+        )
+        .select(
+          col("url_id"),
+          regexp_replace(regexp_replace(lower(col("host")), ":[0-9]+$", ""), "^www\\.", "")
+            .as("canon_host"),
+          when(regexp_replace(col("path"), "/$", "") === "", "/")
+            .otherwise(regexp_replace(col("path"), "/$", ""))
+            .as("canon_path"),
+          (col("query").isNotNull && col("query") =!= "").as("has_q")
+        )
+        .groupBy("canon_host", "canon_path")
+        .agg(
+          count(lit(1)).as("n_urls"),
+          min("url_id").as("keeper_id"),
+          sum(when(col("has_q"), 1L).otherwise(0L)).as("n_with_query")
+        )
+        .orderBy("canon_host", "canon_path")
     })
   )
 
@@ -323,7 +360,26 @@ object Curation {
          |  md5(coalesce(string_agg(CASE WHEN line_df < ${LineFixture.dfThreshold} THEN line END,
          |    chr(10) ORDER BY pos), '')) AS kept_md5
          |FROM l JOIN d USING (lkey)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // host/path/query extraction re-derived with RE2 — independent of
+    // Spark's java.net.URI-based parse_url, so a hash match pins the
+    // canonicalization SEMANTICS, not a shared parser
+    "x58_url_canonicalize" ->
+      s"""WITH u AS (SELECT url_id, url FROM '${UrlFixture.urlsPath}/*.parquet'),
+         |p AS (
+         |  SELECT url_id,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+         |      ':[0-9]+$$', ''), '^www\\.', '') AS canon_host,
+         |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+         |      '/$$', '') AS path0,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS q
+         |  FROM u)
+         |SELECT canon_host,
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS canon_path,
+         |  count(*) AS n_urls, min(url_id) AS keeper_id,
+         |  CAST(sum(CASE WHEN q <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_query
+         |FROM p GROUP BY 1, 2 ORDER BY canon_host, canon_path""".stripMargin
   )
 }
 
@@ -332,6 +388,40 @@ object Curation {
   * line df ≈ 40, far above the threshold) with per-document unique content
   * lines (df = 1). Deterministic formulas only, so the expected survivor
   * set is computable in the spec without re-running the operator. */
+/** Fixture for x58 URL canonicalization: 50 canonical targets, each
+  * published under 1–6 surface variants (scheme/host case, `www.` prefix,
+  * explicit default and non-default ports, trailing slash + fragment,
+  * query string). Target t carries variants 0..(t%6), so group sizes and
+  * keeper ids follow a closed form the spec pins. */
+object UrlFixture {
+  val dir = "/root/repo/spark-warehouse/graft_urls"
+  val urlsPath = s"$dir/urls"
+
+  /** variant v of target t; url_id = t*6 + v */
+  def url(t: Int, v: Int): String = {
+    val (h, p, g) = (t % 7, t % 11, t % 5)
+    v match {
+      case 0 => s"http://host$h.example.com/dir$p/page$g"
+      case 1 => s"HTTP://WWW.Host$h.Example.COM/dir$p/page$g"
+      case 2 => s"https://host$h.example.com:443/dir$p/page$g"
+      case 3 => s"http://host$h.example.com:8080/dir$p/page$g"
+      case 4 => s"http://host$h.example.com/dir$p/page$g/#frag"
+      case _ => s"http://www.host$h.example.com/dir$p/page$g?b=2&a=1"
+    }
+  }
+
+  def rows: Seq[(Long, String)] =
+    for (t <- 0 until 50; v <- 0 to t % 6) yield ((t * 6 + v).toLong, url(t, v))
+
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!new java.io.File(urlsPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      rows.toDF("url_id", "url").coalesce(1).write.mode("overwrite").parquet(urlsPath)
+    }
+  }
+}
+
 object LineFixture {
   val dir = "/root/repo/spark-warehouse/graft_lines"
   val docsPath = s"$dir/docs"

@@ -125,4 +125,19 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.compressionRatio(docs).collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(rows.view.mapValues(_._3).toMap === again)
   }
+
+  test("x58 url canonicalization collapses every surface variant onto its target") {
+    val rows = Curation.queries("x58_url_canonicalize")(spark, "unused").collect()
+    // 50 targets, target t published under t%6+1 variants with keeper t*6
+    assert(rows.length === 50)
+    val byKeeper = rows.map(r => r.getAs[Long]("keeper_id") -> r).toMap
+    (0 until 50).foreach { t =>
+      val r = byKeeper(t * 6L)
+      assert(r.getAs[Long]("n_urls") === (t % 6 + 1).toLong, s"target $t group size")
+      assert(r.getAs[String]("canon_host") === s"host${t % 7}.example.com", s"target $t host")
+      assert(r.getAs[String]("canon_path") === s"/dir${t % 11}/page${t % 5}", s"target $t path")
+      // the query-string variant is v=5, present only when t%6 == 5
+      assert(r.getAs[Long]("n_with_query") === (if (t % 6 == 5) 1L else 0L), s"target $t query")
+    }
+  }
 }
