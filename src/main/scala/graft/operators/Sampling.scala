@@ -269,6 +269,48 @@ object Sampling {
           expr("(n_tokens * 1000000L) div total_tokens").as("weight_ppm")
         )
         .orderBy("lang", "source")
+    }),
+
+    // temperature-scaled domain resampling — the data-mixing step behind
+    // multi-domain training sets: sampling weight ∝ n_d^α with α = 0.5
+    // flattens the domain distribution (small domains upsampled relative
+    // to x27's proportional mixing, dominant domains capped). Integer
+    // discipline throughout: w_d = floor(sqrt(n_d)) (IEEE sqrt is
+    // correctly rounded, so both engines floor the SAME double), targets
+    // are integer floor divisions of a broadcast 1-row denominator, and
+    // selection is the md5-ranked deterministic shuffle every sampler in
+    // this module uses. A domain whose target exceeds its supply surfaces
+    // as n_selected < target — the upsampling shortfall a production
+    // pipeline fills by repetition (epoch weighting), kept visible here.
+    "x59_temperature_mix" -> ((s, d) => {
+      val total = 300L
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("doc_id"), Hashing.md5Window15(col("doc_id").cast("string")).as("h"))
+      val strata = docs
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      val sw = strata.agg(sum("w").as("sum_w"))
+      val quotas = strata
+        .crossJoin(broadcast(sw))
+        .select(col("source"), col("n_docs"), col("w"), expr(s"(${total}L * w) div sum_w").as("target"))
+      val wnd = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs
+        .join(broadcast(quotas.select("source", "target")), "source")
+        .withColumn("rk", row_number().over(wnd).cast("long"))
+        .where(col("rk") <= col("target"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"), sum("doc_id").as("sel_digest"))
+        .join(quotas, Seq("source"), "right")
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("w"),
+          col("target"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sel_digest"), lit(0L)).as("sel_digest")
+        )
+        .orderBy("source")
     })
   )
 
@@ -366,6 +408,25 @@ object Sampling {
         |  FROM documents GROUP BY lang, source)
         |SELECT lang, source, n_docs, n_tokens,
         |  (n_tokens * 1000000) // CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) AS weight_ppm
-        |FROM d ORDER BY lang, source""".stripMargin
+        |FROM d ORDER BY lang, source""".stripMargin,
+    "x59_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t GROUP BY source),
+        |q AS (SELECT source, n_docs, w,
+        |  (300 * w) // CAST((SELECT sum(w) FROM g) AS BIGINT) AS target FROM g),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t),
+        |sel AS (
+        |  SELECT r.source, count(*) AS n_selected, CAST(sum(doc_id) AS BIGINT) AS sel_digest
+        |  FROM r JOIN q USING (source) WHERE rk <= target GROUP BY r.source)
+        |SELECT q.source, n_docs, w, target,
+        |  coalesce(n_selected, 0) AS n_selected,
+        |  coalesce(sel_digest, 0) AS sel_digest
+        |FROM q LEFT JOIN sel USING (source) ORDER BY source""".stripMargin
   )
 }

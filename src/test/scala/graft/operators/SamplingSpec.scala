@@ -313,6 +313,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(cov.values.forall(v => v >= 0L && v <= 1000000L))
   }
 
+  test("x59 temperature mixing flattens the domain distribution and respects supply") {
+    val rows = Sampling.queries("x59_temperature_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val totalTarget = rows.map(_.getAs[Long]("target")).sum
+    // floor divisions can only lose mass: Σ targets ≤ the 300 budget
+    assert(totalTarget <= 300L && totalTarget > 0L)
+    rows.foreach { r =>
+      val (n, w, t, sel) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("w"), r.getAs[Long]("target"), r.getAs[Long]("n_selected"))
+      assert(w === math.floor(math.sqrt(n.toDouble)).toLong)
+      assert(sel === math.min(t, n), s"${r.getAs[String]("source")}: selected=$sel target=$t supply=$n")
+    }
+    // α=0.5 flattening: the smallest domain's sampled FRACTION of its
+    // supply is at least the largest domain's (upsample small, cap big)
+    val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+    val largest = rows.maxBy(_.getAs[Long]("n_docs"))
+    if (smallest.getAs[Long]("n_docs") < largest.getAs[Long]("n_docs")) {
+      val fSmall = smallest.getAs[Long]("target").toDouble / smallest.getAs[Long]("n_docs")
+      val fLarge = largest.getAs[Long]("target").toDouble / largest.getAs[Long]("n_docs")
+      assert(fSmall >= fLarge, s"temperature failed to flatten: $fSmall < $fLarge (totalDocs=$totalDocs)")
+    }
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
