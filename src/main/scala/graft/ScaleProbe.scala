@@ -97,7 +97,15 @@ object ScaleProbe {
       "x54_containment",
       // 5 Pregel supersteps over the ~24M-edge graph: per-iteration join +
       // agg with lineage cut per round
-      "q62_pagerank"
+      "q62_pagerank",
+      // round-4 analytic batch: q65-q68 aggregate the 16x lineitem/orders;
+      // q63 (customer) and q64 (events) ride at base scale as window-shape
+      // checks; x57 iterates over base embeddings (k·dims broadcast per
+      // round); x59's per-source ranking window runs over the 16x clone
+      // corpus (every source's stratum multiplies 16x)
+      "q63_ntile_distribution", "q64_ignore_nulls", "q65_bitwise_agg",
+      "q66_median", "q67_try_arith", "q68_calendar_arith",
+      "x57_kmeans", "x59_temperature_mix"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

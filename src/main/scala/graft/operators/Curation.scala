@@ -246,6 +246,57 @@ object Curation {
           sum(when(col("has_q"), 1L).otherwise(0L)).as("n_with_query")
         )
         .orderBy("canon_host", "canon_path")
+    }),
+
+    // ---- C4-style rule filter (Raffel et al. 2020 §2.2) --------------------
+    // The second classic rule gate next to x51's Gopher rules. Line level:
+    // keep lines ending in terminal punctuation, with ≥5 words, not
+    // mentioning javascript. Page level: drop pages containing "lorem
+    // ipsum", curly braces, or a bad-word hit; then require ≥3 surviving
+    // sentences (kept lines, each punctuation-terminated, stand in for
+    // sentences). Verdict reports the FIRST violated page rule in a fixed
+    // precedence so the output is deterministic under overlapping
+    // violations. Single scan + per-doc line explode + one hash agg — at
+    // 100 TB this is scan-bound map work, shuffling one row per document.
+    "x60_c4_filter" -> ((s, _) => {
+      C4Fixture.ensure(s)
+      val docs = s.read.parquet(C4Fixture.docsPath)
+      val lineKeep = col("line").rlike("[.!?\"]$") &&
+        size(split(trim(col("line")), "\\s+")) >= 5 &&
+        !lower(col("line")).contains("javascript")
+      docs
+        .select(col("doc_id"), col("text"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("keep_line", lineKeep)
+        .groupBy("doc_id")
+        .agg(
+          first(col("text")).as("text"),
+          count(lit(1)).as("n_lines"),
+          sum(when(col("keep_line"), 1L).otherwise(0L)).as("n_kept"),
+          // order-deterministic digest: collect (pos, line) structs, sort
+          // by pos, THEN join — collect_list order is not a contract
+          md5(
+            concat_ws(
+              "\n",
+              transform(
+                array_sort(collect_list(when(col("keep_line"), struct(col("pos"), col("line"))))),
+                x => x.getField("line")
+              )
+            )
+          ).as("kept_md5")
+        )
+        .select(
+          col("doc_id"),
+          col("n_lines"),
+          col("n_kept"),
+          when(lower(col("text")).contains("lorem ipsum"), "lorem_ipsum")
+            .when(col("text").contains("{"), "curly_brace")
+            .when(lower(col("text")).rlike("\\bbadword1\\b"), "bad_word")
+            .when(col("n_kept") < 3, "too_few_sentences")
+            .otherwise("keep")
+            .as("verdict"),
+          col("kept_md5")
+        )
+        .orderBy("doc_id")
     })
   )
 
@@ -379,7 +430,33 @@ object Curation {
          |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS canon_path,
          |  count(*) AS n_urls, min(url_id) AS keeper_id,
          |  CAST(sum(CASE WHEN q <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_query
-         |FROM p GROUP BY 1, 2 ORDER BY canon_host, canon_path""".stripMargin
+         |FROM p GROUP BY 1, 2 ORDER BY canon_host, canon_path""".stripMargin,
+    // line rules + page-rule precedence re-derived in RE2 over the same
+    // planted corpus
+    "x60_c4_filter" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text, str_split(text, chr(10)) AS ls
+         |  FROM '${C4Fixture.docsPath}/*.parquet'),
+         |l AS (
+         |  SELECT doc_id, text, i AS pos, ls[i] AS line,
+         |    (regexp_matches(ls[i], '[.!?"]$$')
+         |     AND len(regexp_split_to_array(trim(ls[i]), '\\s+')) >= 5
+         |     AND NOT contains(lower(ls[i]), 'javascript')) AS keep_line
+         |  FROM src, unnest(generate_series(1, len(ls))) t(i)),
+         |agg AS (
+         |  SELECT doc_id, any_value(text) AS text, count(*) AS n_lines,
+         |    CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    md5(coalesce(string_agg(CASE WHEN keep_line THEN line END,
+         |      chr(10) ORDER BY pos), '')) AS kept_md5
+         |  FROM l GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_kept,
+         |  CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+         |       WHEN contains(text, '{') THEN 'curly_brace'
+         |       WHEN regexp_matches(lower(text), '\\bbadword1\\b') THEN 'bad_word'
+         |       WHEN n_kept < 3 THEN 'too_few_sentences'
+         |       ELSE 'keep' END AS verdict,
+         |  kept_md5
+         |FROM agg ORDER BY doc_id""".stripMargin
   )
 }
 
@@ -388,6 +465,40 @@ object Curation {
   * line df ≈ 40, far above the threshold) with per-document unique content
   * lines (df = 1). Deterministic formulas only, so the expected survivor
   * set is computable in the spec without re-running the operator. */
+/** Fixture for x60 C4-style filtering: 300 multi-line docs with planted
+  * rule violations on deterministic id residues — line-level (no terminal
+  * punctuation, under 5 words, the word "javascript") and page-level
+  * ("lorem ipsum", curly braces, bad words, too few surviving sentences).
+  * Residues overlap (e.g. i%35==0 hits two line rules) so the filter's
+  * rule precedence is exercised, not just each rule in isolation. */
+object C4Fixture {
+  val dir = "/root/repo/spark-warehouse/graft_c4"
+  val docsPath = s"$dir/docs"
+
+  def docText(i: Int): String = {
+    val goodLines = if (i % 23 == 0) 2 else 3 + i % 3
+    val b = Seq.newBuilder[String]
+    (0 until goodLines).foreach(k => b += s"This is sentence $k of document $i with enough words here.")
+    if (i % 7 == 0) b += "short line."
+    if (i % 5 == 0) b += "no terminal punctuation here at all"
+    if (i % 11 == 0) b += "Please enable javascript to view document features properly."
+    if (i % 13 == 0) b += "Lorem ipsum dolor sit amet and so on."
+    if (i % 17 == 0) b += "function f() { return 1; }"
+    if (i % 19 == 0) b += "This document unfortunately contains badword1 in a sentence."
+    b.result().mkString("\n")
+  }
+
+  def rows: Seq[(Long, String)] = (0 until 300).map(i => (i.toLong, docText(i)))
+
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!new java.io.File(docsPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(docsPath)
+    }
+  }
+}
+
 /** Fixture for x58 URL canonicalization: 50 canonical targets, each
   * published under 1–6 surface variants (scheme/host case, `www.` prefix,
   * explicit default and non-default ports, trailing slash + fragment,

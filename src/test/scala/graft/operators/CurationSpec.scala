@@ -126,6 +126,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.view.mapValues(_._3).toMap === again)
   }
 
+  test("x60 C4 rules: planted violations produce the expected verdicts with fixed precedence") {
+    val rows = Curation.queries("x60_c4_filter")(spark, "unused").collect()
+    assert(rows.length === 300)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 300).foreach { i =>
+      val r = byId(i.toLong)
+      val expected =
+        if (i % 13 == 0) "lorem_ipsum"
+        else if (i % 17 == 0) "curly_brace"
+        else if (i % 19 == 0) "bad_word"
+        else if (i % 23 == 0) "too_few_sentences"
+        else "keep"
+      assert(r.getAs[String]("verdict") === expected, s"doc $i")
+      // line rules: every good line survives; the planted short /
+      // unterminated / javascript lines never do
+      val expectedKept = if (i % 23 == 0) 2L else (3 + i % 3).toLong
+      val keptFromGood = r.getAs[Long]("n_kept") - (if (i % 13 == 0) 1L else 0L) -
+        (if (i % 19 == 0) 1L else 0L) // lorem + badword lines are well-formed lines
+      assert(keptFromGood === expectedKept, s"doc $i kept lines")
+    }
+    // doc 0 hits residues 5,7,11,13,17,19 at once: page precedence says lorem_ipsum
+    assert(byId(0L).getAs[String]("verdict") === "lorem_ipsum")
+  }
+
   test("x58 url canonicalization collapses every surface variant onto its target") {
     val rows = Curation.queries("x58_url_canonicalize")(spark, "unused").collect()
     // 50 targets, target t published under t%6+1 variants with keeper t*6
