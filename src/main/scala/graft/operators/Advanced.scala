@@ -283,6 +283,29 @@ object Advanced {
         )))
         .orderBy("o_orderpriority")
     }),
+    // text sink + scan round-trip: the line-oriented source family (raw
+    // logs, one-record-per-line exports) — `write.text` emits a single
+    // string column, `read.text` recovers lines, and the field parse is an
+    // explicit split. The oracle recomputes the aggregate from the source
+    // tables, so the round-trip must preserve every character.
+    "q69_text_roundtrip" -> ((s, d) => {
+      val out = "/root/repo/spark-warehouse/graft_text_rt"
+      val lines = table(s, d, "customer")
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), expr("sum(CAST(round(c_acctbal * 100) AS BIGINT))").as("cents"))
+        .select(concat_ws("|", col("n_name"), col("n"), col("cents")).as("value"))
+      lines.coalesce(1).write.mode("overwrite").text(out)
+      s.read
+        .text(out)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(
+          element_at(col("f"), 1).as("n_name"),
+          element_at(col("f"), 2).cast("long").as("n"),
+          element_at(col("f"), 3).cast("long").as("cents")
+        )
+        .orderBy("n_name")
+    }),
     // ORC sink + scan round-trip (Spark's second builtin columnar format —
     // same footer-driven pushdown/pruning machinery as parquet): aggregate,
     // write ORC, read it back; the oracle computes the same aggregate from
@@ -757,6 +780,11 @@ object Advanced {
     "q40_jsonl_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q69_text_roundtrip" ->
+      """SELECT n_name, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q44_orc_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -251,9 +251,10 @@ object Reshape {
         expr("variant_get(parse_json(props), '$.k', 'long')").as("k")
       )
       // k >= 0 guard pins bucket semantics cross-engine: Spark's `div`
-      // truncates toward zero, DuckDB's `//` floors — they only agree on
-      // non-negatives (fixture k is always >= 0; the guard makes the
-      // contract explicit on any data)
+      // truncates toward zero while DuckDB's `//` semantics differ BY
+      // VERSION (documented as floor; truncates in some releases) — on
+      // non-negatives every convention agrees (fixture k is always >= 0;
+      // the guard makes the contract explicit on any data)
       .where(col("k") >= 0L)
       .groupBy(expr("k div 10").as("k_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))

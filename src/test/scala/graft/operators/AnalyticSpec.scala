@@ -106,6 +106,23 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("q69 text roundtrip survives the write/read/parse cycle against a direct aggregate") {
+    val rt = Advanced.queries("q69_text_roundtrip")(spark, sf).collect()
+    val direct = Graft
+      .table(spark, sf, "customer")
+      .join(Graft.table(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), expr("sum(CAST(round(c_acctbal * 100) AS BIGINT))").as("cents"))
+      .orderBy("n_name")
+      .collect()
+    assert(rt.length === direct.length)
+    rt.zip(direct).foreach { case (a, b) =>
+      assert(a.getAs[String]("n_name") === b.getAs[String]("n_name"))
+      assert(a.getAs[Long]("n") === b.getAs[Long]("n"))
+      assert(a.getAs[Long]("cents") === b.getAs[Long]("cents"))
+    }
+  }
+
   test("q68 add_months clamps to month end (Jan 31 + 1 month = Feb 28/29)") {
     import spark.implicits._
     val clamped = Seq("1995-01-31", "1996-01-31", "1995-03-31")
