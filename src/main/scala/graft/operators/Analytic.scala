@@ -174,7 +174,28 @@ object Analytic {
           max("ld").as("ld_max"),
           max("p1m").as("p1m_max")
         )
-        .orderBy("qtr"))
+        .orderBy("qtr")),
+
+    // boolean aggregates — ALL / ANY / conditional-count reductions over
+    // predicates (data-quality assertions as queries: "every line shipped
+    // after order date", "any discount above 5%"). Integer/boolean only.
+    "q70_bool_aggs" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .select(
+          col("l_returnflag"),
+          (col("l_quantity") > 1.0).as("multi"),
+          (col("l_discount") > 0.05).as("disc"),
+          (col("l_tax") > 0.04).as("taxed")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("bool_and(multi)").as("all_multi"),
+          expr("bool_or(disc)").as("any_disc"),
+          expr("count_if(taxed)").as("n_taxed"),
+          expr("count_if(multi AND disc)").as("n_both")
+        )
+        .orderBy("l_returnflag"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -243,6 +264,15 @@ object Analytic {
         |  FROM orders)
         |SELECT qtr, count(*) AS n, count(DISTINCT wk) AS n_weeks,
         |  min(wk) AS wk_min, max(ld) AS ld_max, max(p1m) AS p1m_max
-        |FROM t GROUP BY qtr ORDER BY qtr""".stripMargin
+        |FROM t GROUP BY qtr ORDER BY qtr""".stripMargin,
+    "q70_bool_aggs" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_quantity > 1.0 AS multi,
+        |    l_discount > 0.05 AS disc, l_tax > 0.04 AS taxed
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  bool_and(multi) AS all_multi, bool_or(disc) AS any_disc,
+        |  count_if(taxed) AS n_taxed, count_if(multi AND disc) AS n_both
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -137,6 +137,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // unigram surprisal scoring — the integer-exact perplexity-filter
+    // stand-in (x42's bigram coherence measures transition plausibility;
+    // this measures token rarity against the corpus LM). Per-token
+    // surprisal ≈ floor(log2(N/tf)) computed WITHOUT libm: N div tf is an
+    // integer, and floor-log2 of a positive integer is just the length of
+    // its binary string minus 1 (`bin()` exists in both engines, leading-
+    // zero-free) — invariant #7 (no cross-engine libm ulp bets) holds.
+    // Scale shape: the term-frequency table is vocab-sized (broadcasts at
+    // 100 TB), the corpus total is 1-row metadata, everything else is one
+    // hash agg per doc.
+    "x61_surprisal" -> ((s, d) => {
+      val tokens = table(s, d, "documents").select(col("doc_id"), explode(toks).as("term"))
+      val tf = tokens.groupBy("term").agg(count(lit(1)).as("tf"))
+      val n = tokens.agg(count(lit(1)).as("n_total"))
+      tokens
+        .join(tf, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("bits", (length(bin(expr("n_total div tf"))) - 1).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          expr("(sum(bits) * 1000) div count(1)").as("mean_bits_e3"),
+          max("bits").as("max_bits")
+        )
+        .orderBy("doc_id")
+    }),
+
     "x09_text_langid" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val aggCols = markers.map { case (l, ws) =>
@@ -327,6 +354,19 @@ object TextAnalysis {
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
           |  length(text) AS text_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "x61_surprisal" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+          |n AS (SELECT count(*) AS n_total FROM tok),
+          |b AS (
+          |  SELECT doc_id, CAST(length(bin(n_total // tf)) - 1 AS BIGINT) AS bits
+          |  FROM tok JOIN tf USING (term) CROSS JOIN n)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  (sum(bits) * 1000) // count(*) AS mean_bits_e3,
+          |  max(bits) AS max_bits
+          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x08_text_quality" ->
         s"""WITH t AS (
            |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),

@@ -106,6 +106,50 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 boolean aggregates agree with direct predicate counts") {
+    val rows = Analytic.queries("q70_bool_aggs")(spark, sf).collect()
+    val li = Graft.table(spark, sf, "lineitem")
+    val direct = li
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") > 1.0, 1L).otherwise(0L)).as("n_multi"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
+        sum(when(col("l_tax") > 0.04, 1L).otherwise(0L)).as("n_taxed")
+      )
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r)
+      .toMap
+    rows.foreach { r =>
+      val d = direct(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Boolean]("all_multi") === (d.getAs[Long]("n_multi") === d.getAs[Long]("n")))
+      assert(r.getAs[Boolean]("any_disc") === (d.getAs[Long]("n_disc") > 0L))
+      assert(r.getAs[Long]("n_taxed") === d.getAs[Long]("n_taxed"))
+    }
+  }
+
+  test("x61 surprisal: closed-form values on a planted two-doc corpus") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir()
+    TestSpark.writeTable(
+      dir,
+      "documents",
+      Seq(
+        (0L, "the the the the", "en", "s", 15L),
+        (1L, "the zzz", "en", "s", 7L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    )
+    val rows = graft.operators.TextAnalysis
+      .queries("x61_surprisal")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("mean_bits_e3"), r.getAs[Long]("max_bits")))
+      .toMap
+    // corpus N=6; tf(the)=5 → bits = floor(log2(6 div 5 = 1)) = 0;
+    // tf(zzz)=1 → bits = floor(log2(6)) = 2
+    assert(rows(0L) === ((4L, 0L, 0L)))
+    assert(rows(1L) === ((2L, 1000L, 2L)))
+  }
+
   test("q69 text roundtrip survives the write/read/parse cycle against a direct aggregate") {
     val rt = Advanced.queries("q69_text_roundtrip")(spark, sf).collect()
     val direct = Graft
