@@ -195,7 +195,29 @@ object Analytic {
           expr("count_if(taxed)").as("n_taxed"),
           expr("count_if(multi AND disc)").as("n_both")
         )
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // NATIVE session_window operator in batch (q36 builds the same gap
+    // sessions declaratively with lag+running-sum; this is the engine's
+    // built-in session assignment — one expression, usable unchanged in
+    // Structured Streaming). Boundary semantics pinned cross-engine AND in
+    // the spec: Spark merges an event whose ts falls ON the session end
+    // (inclusive — verified empirically, AnalyticSpec), so a gap of
+    // EXACTLY 30 min still merges; the oracle's island rule is `> gap`.
+    // Session end = last event + gap by definition.
+    "q71_session_window" -> ((s, d) =>
+      graft.Graft
+        .events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), expr("sum(CAST(round(value * 100) AS BIGINT))").as("cents"))
+        .select(
+          col("user_id"),
+          unix_micros(col("sw.start").cast("timestamp")).as("start_us"),
+          unix_micros(col("sw.end").cast("timestamp")).as("end_us"),
+          col("n_events"),
+          col("cents")
+        )
+        .orderBy("user_id", "start_us"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -273,6 +295,23 @@ object Analytic {
         |SELECT l_returnflag, count(*) AS n,
         |  bool_and(multi) AS all_multi, bool_or(disc) AS any_disc,
         |  count_if(taxed) AS n_taxed, count_if(multi AND disc) AS n_both
-        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q71_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events),
+        |m AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
   )
 }

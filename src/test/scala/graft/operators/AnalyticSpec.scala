@@ -167,6 +167,37 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("q71 native session_window: over-gap splits, exact-boundary gap still merges") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir()
+    val min = 60L * 1000000000L // ns
+    TestSpark.writeTable(
+      dir,
+      "events",
+      Seq(
+        // user 1: 0, +10min (merged), +45min gap → second session
+        (1L, 0L * min, 1L, "view", 1.0, "{}"),
+        (2L, 10L * min, 1L, "view", 2.0, "{}"),
+        (3L, 55L * min, 1L, "view", 4.0, "{}"),
+        // user 2: gap of EXACTLY 30min → merged (session end is INCLUSIVE)
+        (4L, 0L * min, 2L, "view", 8.0, "{}"),
+        (5L, 30L * min, 2L, "view", 16.0, "{}")
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    val rows = Analytic.queries("q71_session_window")(spark, dir).collect()
+    val sessions = rows.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Long]("n_events"), r.getAs[Long]("cents"))
+    )
+    val us = 60L * 1000000L
+    assert(
+      sessions.toSeq === Seq(
+        (1L, 0L, 40L * us, 2L, 300L),   // [0, 10min] + 30min gap
+        (1L, 55L * us, 85L * us, 1L, 400L),
+        (2L, 0L, 60L * us, 2L, 2400L)   // exact-boundary event merged in
+      )
+    )
+  }
+
   test("q68 add_months clamps to month end (Jan 31 + 1 month = Feb 28/29)") {
     import spark.implicits._
     val clamped = Seq("1995-01-31", "1996-01-31", "1995-03-31")
