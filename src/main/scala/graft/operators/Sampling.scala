@@ -291,9 +291,13 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
       val sw = strata.agg(sum("w").as("sum_w"))
+      // quotas feeds TWO plan references (selection filter + final right
+      // join): localCheckpoint the ~|domains|-row table once instead of
+      // re-running the strata agg + denominator cross join per reference
       val quotas = strata
         .crossJoin(broadcast(sw))
         .select(col("source"), col("n_docs"), col("w"), expr(s"(${total}L * w) div sum_w").as("target"))
+        .localCheckpoint()
       val wnd = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       docs
         .join(broadcast(quotas.select("source", "target")), "source")
