@@ -129,6 +129,26 @@ object EventStreams {
       }
   }
 
+  /** NATIVE session-window aggregation in streaming mode — the built-in
+    * complement of [[gapSessions]]' custom state machine (and the streaming
+    * face of the q71 batch query: identical expression, identical inclusive
+    * end-boundary semantics). Append mode emits each session exactly once,
+    * when the watermark passes `last event + gap` and the window can no
+    * longer grow; Spark's UpdatingSessions state merges in-place, so state
+    * per user is one open session, watermark-bounded. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Streaming dedup [EXT]: the streaming face of the x01/x15 batch dedup
     * operators. `dropDuplicatesWithinWatermark` keeps per-key state only
     * until the watermark passes the key's event time — bounded state on an

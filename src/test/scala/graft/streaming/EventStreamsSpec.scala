@@ -56,6 +56,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream: sessions close exactly when the watermark passes end") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventStreams.sessionWindowAgg(
+      input.toDF().toDF("user_id", "ts", "value")
+    )
+    val q = sessions.writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append).start()
+    try {
+      // session A: events at 1min and 2min (merged; end = 32min)
+      input.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sw").count() === 0L) // watermark at 2-10 → nothing closed
+      // event at 50min: new session B (gap 48 > 30); watermark → 40min > 32 closes A
+      input.addData((1L, ts(50), 4.0))
+      q.processAllAvailable()
+      val afterB = spark
+        .table("sw")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(afterB.toSeq === Seq((ts(1), 2L, 3.0)))
+      // event at 95min: watermark → 85min > 80 closes B
+      input.addData((1L, ts(95), 8.0))
+      q.processAllAvailable()
+      val all = spark.table("sw").collect().map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events")))
+      assert(all.toSet === Set((ts(1), 2L), (ts(50), 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join decorates events without streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
