@@ -315,6 +315,43 @@ object Sampling {
           coalesce(col("sel_digest"), lit(0L)).as("sel_digest")
         )
         .orderBy("source")
+    }),
+
+    // quantile-based outlier clipping (winsorization) of document lengths —
+    // the curation gate for truncated fragments and runaway concatenations:
+    // per-language p05/p95 token-count fences from the exact two-phase
+    // percentile operator (q27's machinery — matches quantile_cont
+    // bit-for-bit), outliers counted and CLAMPED to the fence. The
+    // winsorized sum stays integer: fences are fixed-point e3, doc lengths
+    // scale by 1000, so no float accumulation crosses the gate. Scale
+    // shape: the fence table is |langs| rows → broadcast; everything else
+    // is one scan + one hash agg.
+    "x62_winsorize" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("lang"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      val pct = ExactPercentile(docs, "lang", col("n_tokens"), Seq("p05" -> 0.05, "p95" -> 0.95))
+      docs
+        .join(
+          broadcast(
+            pct.select(
+              col("lang"),
+              expr("CAST(round(p05 * 1000) AS BIGINT)").as("p05_e3"),
+              expr("CAST(round(p95 * 1000) AS BIGINT)").as("p95_e3")
+            )
+          ),
+          "lang"
+        )
+        .withColumn("v_e3", greatest(least(col("n_tokens") * 1000, col("p95_e3")), col("p05_e3")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max("p05_e3").as("p05_e3"),
+          max("p95_e3").as("p95_e3"),
+          sum(when(col("n_tokens") * 1000 < col("p05_e3"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("n_tokens") * 1000 > col("p95_e3"), 1L).otherwise(0L)).as("n_high"),
+          sum("v_e3").as("winsorized_sum_e3")
+        )
+        .orderBy("lang")
     })
   )
 
@@ -431,6 +468,21 @@ object Sampling {
         |SELECT q.source, n_docs, w, target,
         |  coalesce(n_selected, 0) AS n_selected,
         |  coalesce(sel_digest, 0) AS sel_digest
-        |FROM q LEFT JOIN sel USING (source) ORDER BY source""".stripMargin
+        |FROM q LEFT JOIN sel USING (source) ORDER BY source""".stripMargin,
+    "x62_winsorize" ->
+      """WITH t AS (
+        |  SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CAST(round(quantile_cont(n_tokens, 0.05) * 1000) AS BIGINT) AS p05_e3,
+        |    CAST(round(quantile_cont(n_tokens, 0.95) * 1000) AS BIGINT) AS p95_e3
+        |  FROM t GROUP BY lang)
+        |SELECT t.lang, count(*) AS n_docs,
+        |  max(p05_e3) AS p05_e3, max(p95_e3) AS p95_e3,
+        |  CAST(sum(CASE WHEN n_tokens * 1000 < p05_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN n_tokens * 1000 > p95_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(greatest(least(n_tokens * 1000, p95_e3), p05_e3)) AS BIGINT) AS winsorized_sum_e3
+        |FROM t JOIN p USING (lang) GROUP BY t.lang ORDER BY t.lang""".stripMargin
   )
 }

@@ -337,6 +337,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("x62 winsorize: closed-form fences and clamped sum on a planted distribution") {
+    import spark.implicits._
+    val tmp = graft.TestSpark.tempDir()
+    // lang 'aa': token counts 10..30 (21 docs). quantile_cont indices:
+    // p05 → 0.05·20 = 1.0 → exactly the value 11; p95 → 19.0 → 29.
+    val docs = (0 until 21).map { i =>
+      val n = 10 + i
+      (i.toLong, ("w " * n).trim, "aa", "s", n.toLong)
+    }
+    graft.TestSpark.writeTable(tmp, "documents", docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Sampling.queries("x62_winsorize")(spark, tmp).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") === 21L)
+    assert(row.getAs[Long]("p05_e3") === 11000L)
+    assert(row.getAs[Long]("p95_e3") === 29000L)
+    assert(row.getAs[Long]("n_low") === 1L) // the 10-token doc
+    assert(row.getAs[Long]("n_high") === 1L) // the 30-token doc
+    // winsorized: 11 + (11..29 intact) + 29 = 420
+    assert(row.getAs[Long]("winsorized_sum_e3") === 420000L)
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
