@@ -29,9 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Feb 29), last_day. Extends q14's scalar date functions to interval math.
   *
   * Scale notes: q63/q64 shuffle once on the partition key (window exchange);
-  * q65–q68 are single two-phase hash aggregations (map-side partials carry
-  * one row per group). Nothing here materializes per-row output at scale —
-  * every query reduces to group cardinality.
+  * q65/q67/q68/q70 are single two-phase hash aggregations (map-side
+  * partials carry one row per group). q66's median goes through the
+  * two-phase ExactPercentile operator — per-group distinct-value maps
+  * (Spark's builtin percentile family) do NOT reduce to group cardinality
+  * and are the documented q27 memory cliff. Nothing here materializes
+  * per-row output at scale.
   */
 object Analytic {
 
@@ -122,13 +125,22 @@ object Analytic {
 
     // interpolated median over integer cents per priority. Even-count
     // groups land on (a+b)/2 — exact in double for cents < 2^52, so the
-    // double output is still hash-stable cross-engine.
-    "q66_median" -> ((s, d) =>
-      table(s, d, "orders")
+    // double output is still hash-stable cross-engine. Computed through
+    // [[ExactPercentile]] (p=0.5), NOT Spark's builtin `median`: the
+    // builtin buffers a value→count map per group in an un-spillable
+    // aggregation buffer — with 5 groups over near-continuous cents that
+    // is the q27 OOM cliff at 100 TB; the two-phase operator emits the
+    // identical quantile_cont value with bounded memory.
+    "q66_median" -> ((s, d) => {
+      val o = table(s, d, "orders")
         .select(col("o_orderpriority"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), median(col("cents")).as("med_cents"))
-        .orderBy("o_orderpriority")),
+      val med = ExactPercentile(o, "o_orderpriority", col("cents"), Seq("med_cents" -> 0.5))
+      o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .join(med, "o_orderpriority")
+        .select("o_orderpriority", "n", "med_cents")
+        .orderBy("o_orderpriority")
+    }),
 
     // NULL-on-error arithmetic: try_divide hits /0 exactly when quantity=1
     // (unit price over the remaining quantity), try_element_at indexes past
@@ -300,13 +312,13 @@ object Analytic {
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events),
         |m AS (
-        |  SELECT user_id, us, value,
+        |  SELECT user_id, event_id, us, value,
         |    CASE WHEN lag(us) OVER w IS NULL
         |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |s AS (
         |  SELECT user_id, us, value,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM m)
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,

@@ -150,7 +150,9 @@ object TextAnalysis {
     "x61_surprisal" -> ((s, d) => {
       val tokens = table(s, d, "documents").select(col("doc_id"), explode(toks).as("term"))
       val tf = tokens.groupBy("term").agg(count(lit(1)).as("tf"))
-      val n = tokens.agg(count(lit(1)).as("n_total"))
+      // corpus total derived from the (vocab-sized) tf table — NOT a third
+      // scan+explode of the corpus
+      val n = tf.agg(sum("tf").as("n_total"))
       tokens
         .join(tf, "term")
         .crossJoin(broadcast(n))

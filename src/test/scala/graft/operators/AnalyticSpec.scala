@@ -22,10 +22,12 @@ class AnalyticSpec extends AnyFunSuite {
       val sizes = qs.map(_.getAs[Long]("n"))
       assert(sizes.max - sizes.min <= 1, s"ntile bucket sizes uneven for $seg")
       assert(sizes.sum === segTotals(seg))
-      // quartile value ranges are non-overlapping in window order
+      // quartile value ranges are non-overlapping in window order: ntile
+      // splits by ROW position under a total order, so bucket k's max is
+      // never above bucket k+1's min (equality allowed on tied cents)
       val sortedQ = qs.sortBy(_.getAs[Long]("quartile"))
       sortedQ.sliding(2).foreach {
-        case Array(a, b) => assert(a.getAs[Long]("max_cents") <= b.getAs[Long]("min_cents") + 0 || a.getAs[Long]("max_cents") <= b.getAs[Long]("max_cents"))
+        case Array(a, b) => assert(a.getAs[Long]("max_cents") <= b.getAs[Long]("min_cents"))
         case _           =>
       }
       // percent_rank of the first quartile starts at 0; cume_dist of the last hits exactly 1e6
