@@ -105,7 +105,12 @@ object ScaleProbe {
       // corpus (every source's stratum multiplies 16x)
       "q63_ntile_distribution", "q64_ignore_nulls", "q65_bitwise_agg",
       "q66_median", "q67_try_arith", "q68_calendar_arith",
-      "x57_kmeans", "x59_temperature_mix"
+      "x57_kmeans", "x59_temperature_mix",
+      // q71 sessionizes the base events (window-shape check); x61/x62/x63
+      // run their corpus aggregations over the 16x clone documents (every
+      // tf and pair count multiplies by 16; x62's fences shift with the
+      // replicated distribution)
+      "q71_session_window", "x61_surprisal", "x62_winsorize", "x63_bpe_pairs"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

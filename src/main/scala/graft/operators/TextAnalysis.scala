@@ -166,6 +166,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // BPE pair statistics — ONE training step of byte-pair encoding (the
+    // inner loop of tokenizer training, Sennrich et al. 2016): count every
+    // adjacent character pair inside corpus words, rank by frequency. A
+    // full trainer iterates merge→recount; each iteration is exactly this
+    // distributed shape (explode pairs → two-phase count → ordered limit,
+    // which plans as TakeOrderedAndProject — no global sort). Ties break
+    // on the pair string so the merge choice is deterministic.
+    "x63_bpe_pairs" -> ((s, d) => {
+      val words = table(s, d, "documents")
+        .select(explode(toks).as("w"))
+        .where(length(col("w")) >= 2)
+      words
+        .select(explode(expr("transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))")).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     "x09_text_langid" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val aggCols = markers.map { case (l, ws) =>
@@ -356,6 +375,16 @@ object TextAnalysis {
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
           |  length(text) AS text_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "x63_bpe_pairs" ->
+        """WITH w AS (
+          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+          |  FROM documents),
+          |p AS (
+          |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+          |    i -> substr(w, i, 2))) AS pair
+          |  FROM w WHERE length(w) >= 2)
+          |SELECT pair, count(*) AS n FROM p
+          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
       "x61_surprisal" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

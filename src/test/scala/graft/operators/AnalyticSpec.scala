@@ -152,6 +152,22 @@ class AnalyticSpec extends AnyFunSuite {
     assert(rows(1L) === ((2L, 1000L, 2L)))
   }
 
+  test("x63 BPE pair counts: closed-form on a planted corpus, deterministic tie order") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir()
+    TestSpark.writeTable(
+      dir,
+      "documents",
+      Seq((0L, "aaab aab x", "en", "s", 10L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    )
+    val rows = graft.operators.TextAnalysis
+      .queries("x63_bpe_pairs")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    // aaab → aa, aa, ab; aab → aa, ab; x has no pair
+    assert(rows.toSeq === Seq(("aa", 3L), ("ab", 2L)))
+  }
+
   test("q69 text roundtrip survives the write/read/parse cycle against a direct aggregate") {
     val rt = Advanced.queries("q69_text_roundtrip")(spark, sf).collect()
     val direct = Graft
