@@ -283,6 +283,40 @@ object Advanced {
         )))
         .orderBy("o_orderpriority")
     }),
+    // schema evolution across partitioned epochs: epoch 1 was written
+    // before the `cents` column existed, epoch 2 after — `mergeSchema`
+    // reconciles the footers into one superset schema, epoch-1 rows
+    // surface NULL cents. The operational shape of every long-lived lake
+    // table (columns accrete; readers must span old and new files).
+    "q72_schema_evolution" -> ((s, d) => {
+      val out = "/root/repo/spark-warehouse/graft_evolve"
+      val o = table(s, d, "orders")
+      o.where(year(col("o_orderdate")) < 1996)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$out/epoch=1")
+      o.where(year(col("o_orderdate")) >= 1996)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("cents"))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$out/epoch=2")
+      s.read
+        .option("mergeSchema", "true")
+        .parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum("n").as("n_total"),
+          sum("cents").as("cents_total"),
+          sum(when(col("cents").isNull, col("n")).otherwise(0L)).as("n_without_cents")
+        )
+        .orderBy("o_orderpriority")
+    }),
+
     // text sink + scan round-trip: the line-oriented source family (raw
     // logs, one-record-per-line exports) — `write.text` emits a single
     // string column, `read.text` recovers lines, and the field parse is an
@@ -780,6 +814,20 @@ object Advanced {
     "q40_jsonl_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q72_schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT o_orderpriority, count(*) AS n FROM orders
+        |  WHERE year(o_orderdate) < 1996 GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) >= 1996 GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CAST(coalesce(v1.n, 0) + coalesce(v2.n, 0) AS BIGINT) AS n_total,
+        |  v2.cents AS cents_total,
+        |  CAST(coalesce(v1.n, 0) AS BIGINT) AS n_without_cents
+        |FROM v1 FULL JOIN v2 USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "q69_text_roundtrip" ->
       """SELECT n_name, count(*) AS n,
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -317,6 +317,46 @@ object Sampling {
         .orderBy("source")
     }),
 
+    // epoch upsampling — the repetition schedule that FILLS x59's
+    // undersupply shortfall: when a domain's temperature target exceeds its
+    // supply, every document repeats floor(target/n) times and the first
+    // (target mod n) documents in the deterministic hash order repeat once
+    // more, so emitted mass equals the target EXACTLY. This is the "small
+    // domains see multiple epochs" rule of temperature mixing, as a
+    // per-domain integer plan (the training loader consumes rep counts —
+    // no row explosion needed to audit the schedule).
+    "x64_epoch_upsample" -> ((s, d) => {
+      val total = 300L
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("doc_id"), Hashing.md5Window15(col("doc_id").cast("string")).as("h"))
+      val strata = docs
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      val sw = strata.agg(sum("w").as("sum_w"))
+      val quotas = strata
+        .crossJoin(broadcast(sw))
+        .select(col("source"), col("n_docs"), expr(s"(${total}L * w) div sum_w").as("target"))
+        .localCheckpoint()
+      val wnd = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs
+        .join(broadcast(quotas), "source")
+        .withColumn("rk", row_number().over(wnd).cast("long"))
+        .withColumn(
+          "rep",
+          expr("target div n_docs") + when(col("rk") <= expr("target % n_docs"), 1L).otherwise(0L)
+        )
+        .groupBy("source")
+        .agg(
+          max("n_docs").as("n_docs"),
+          max("target").as("target"),
+          sum("rep").as("n_emitted"),
+          max("rep").as("max_rep"),
+          sum(expr("doc_id * rep")).as("digest")
+        )
+        .orderBy("source")
+    }),
+
     // quantile-based outlier clipping (winsorization) of document lengths —
     // the curation gate for truncated fragments and runaway concatenations:
     // per-language p05/p95 token-count fences from the exact two-phase
@@ -469,6 +509,28 @@ object Sampling {
         |  coalesce(n_selected, 0) AS n_selected,
         |  coalesce(sel_digest, 0) AS sel_digest
         |FROM q LEFT JOIN sel USING (source) ORDER BY source""".stripMargin,
+    "x64_epoch_upsample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t GROUP BY source),
+        |q AS (SELECT source, n_docs,
+        |  (300 * w) // CAST((SELECT sum(w) FROM g) AS BIGINT) AS target FROM g),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t),
+        |e AS (
+        |  SELECT r.source, doc_id,
+        |    target // n_docs + CASE WHEN rk <= target % n_docs THEN 1 ELSE 0 END AS rep
+        |  FROM r JOIN q USING (source))
+        |SELECT q.source, q.n_docs, q.target,
+        |  CAST(sum(rep) AS BIGINT) AS n_emitted,
+        |  CAST(max(rep) AS BIGINT) AS max_rep,
+        |  CAST(sum(doc_id * rep) AS BIGINT) AS digest
+        |FROM e JOIN q USING (source) GROUP BY q.source, q.n_docs, q.target
+        |ORDER BY q.source""".stripMargin,
     "x62_winsorize" ->
       """WITH t AS (
         |  SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens

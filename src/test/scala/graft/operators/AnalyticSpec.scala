@@ -216,6 +216,23 @@ class AnalyticSpec extends AnyFunSuite {
     )
   }
 
+  test("q72 schema evolution: epoch-1 rows surface NULL cents under mergeSchema") {
+    val rows = Advanced.queries("q72_schema_evolution")(spark, sf).collect()
+    val pre = Graft
+      .table(spark, sf, "orders")
+      .where(year(col("o_orderdate")) < 1996)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n"))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_without_cents") === pre.getOrElse(r.getAs[String]("o_orderpriority"), 0L))
+      assert(r.getAs[Long]("n_total") >= r.getAs[Long]("n_without_cents"))
+    }
+  }
+
   test("q68 add_months clamps to month end (Jan 31 + 1 month = Feb 28/29)") {
     import spark.implicits._
     val clamped = Seq("1995-01-31", "1996-01-31", "1995-03-31")

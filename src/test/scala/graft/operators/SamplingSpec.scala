@@ -359,6 +359,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(row.getAs[Long]("winsorized_sum_e3") === 420000L)
   }
 
+  test("x64 epoch upsampling: emitted mass equals the target exactly, repetitions near-uniform") {
+    val rows = Sampling.queries("x64_epoch_upsample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t, emitted, maxRep) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("target"), r.getAs[Long]("n_emitted"), r.getAs[Long]("max_rep"))
+      assert(emitted === t, s"${r.getAs[String]("source")}: emitted $emitted != target $t")
+      // repetition schedule is floor(t/n) or floor(t/n)+1 — max is the ceiling
+      assert(maxRep === (t + n - 1) / n, s"${r.getAs[String]("source")} max_rep")
+    }
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
