@@ -110,7 +110,8 @@ object ScaleProbe {
       // run their corpus aggregations over the 16x clone documents (every
       // tf and pair count multiplies by 16; x62's fences shift with the
       // replicated distribution)
-      "q71_session_window", "x61_surprisal", "x62_winsorize", "x63_bpe_pairs"
+      "q71_session_window", "x61_surprisal", "x62_winsorize", "x63_bpe_pairs",
+      "x64_epoch_upsample"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

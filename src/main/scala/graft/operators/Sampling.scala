@@ -280,24 +280,11 @@ object Sampling {
     // are integer floor divisions of a broadcast 1-row denominator, and
     // selection is the md5-ranked deterministic shuffle every sampler in
     // this module uses. A domain whose target exceeds its supply surfaces
-    // as n_selected < target — the upsampling shortfall a production
-    // pipeline fills by repetition (epoch weighting), kept visible here.
+    // as n_selected < target — the upsampling shortfall x64 fills by
+    // repetition; both queries derive their quotas from ONE shared helper
+    // ([[temperatureQuotas]]) so the rule cannot drift between them.
     "x59_temperature_mix" -> ((s, d) => {
-      val total = 300L
-      val docs = table(s, d, "documents")
-        .select(col("source"), col("doc_id"), Hashing.md5Window15(col("doc_id").cast("string")).as("h"))
-      val strata = docs
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
-      val sw = strata.agg(sum("w").as("sum_w"))
-      // quotas feeds TWO plan references (selection filter + final right
-      // join): localCheckpoint the ~|domains|-row table once instead of
-      // re-running the strata agg + denominator cross join per reference
-      val quotas = strata
-        .crossJoin(broadcast(sw))
-        .select(col("source"), col("n_docs"), col("w"), expr(s"(${total}L * w) div sum_w").as("target"))
-        .localCheckpoint()
+      val (docs, quotas) = temperatureQuotas(s, d)
       val wnd = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       docs
         .join(broadcast(quotas.select("source", "target")), "source")
@@ -326,18 +313,8 @@ object Sampling {
     // per-domain integer plan (the training loader consumes rep counts —
     // no row explosion needed to audit the schedule).
     "x64_epoch_upsample" -> ((s, d) => {
-      val total = 300L
-      val docs = table(s, d, "documents")
-        .select(col("source"), col("doc_id"), Hashing.md5Window15(col("doc_id").cast("string")).as("h"))
-      val strata = docs
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
-      val sw = strata.agg(sum("w").as("sum_w"))
-      val quotas = strata
-        .crossJoin(broadcast(sw))
-        .select(col("source"), col("n_docs"), expr(s"(${total}L * w) div sum_w").as("target"))
-        .localCheckpoint()
+      val (docs, quotas0) = temperatureQuotas(s, d)
+      val quotas = quotas0.select("source", "n_docs", "target")
       val wnd = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       docs
         .join(broadcast(quotas), "source")
@@ -394,6 +371,40 @@ object Sampling {
         .orderBy("lang")
     })
   )
+
+  /** Shared temperature-mixing quota derivation (x59 selection + x64
+    * repetition schedule): per-source doc counts, w = floor(sqrt(n)),
+    * target = (total·w) div Σw. Returns (hash-keyed docs, quota table);
+    * the quota frame is localCheckpointed because every caller references
+    * it from 2+ plan positions. Mirrored verbatim by
+    * [[TemperatureQuotaCtes]] on the oracle side — change BOTH together. */
+  private def temperatureQuotas(s: SparkSession, d: String, total: Long = 300L): (DataFrame, DataFrame) = {
+    val docs = table(s, d, "documents")
+      .select(col("source"), col("doc_id"), Hashing.md5Window15(col("doc_id").cast("string")).as("h"))
+    val strata = docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val sw = strata.agg(sum("w").as("sum_w"))
+    val quotas = strata
+      .crossJoin(broadcast(sw))
+      .select(col("source"), col("n_docs"), col("w"), expr(s"(${total}L * w) div sum_w").as("target"))
+      .localCheckpoint()
+    (docs, quotas)
+  }
+
+  /** DuckDB twin of [[temperatureQuotas]]: CTEs t (hash-keyed docs),
+    * g (per-source counts + w), q (quota table). */
+  private val TemperatureQuotaCtes: String =
+    """t AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS n_docs,
+      |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM t GROUP BY source),
+      |q AS (SELECT source, n_docs, w,
+      |  (300 * w) // CAST((SELECT sum(w) FROM g) AS BIGINT) AS target FROM g)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x24_hash_split" ->
@@ -491,46 +502,30 @@ object Sampling {
         |  (n_tokens * 1000000) // CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) AS weight_ppm
         |FROM d ORDER BY lang, source""".stripMargin,
     "x59_temperature_mix" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
-        |  FROM documents),
-        |g AS (SELECT source, count(*) AS n_docs,
-        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
-        |  FROM t GROUP BY source),
-        |q AS (SELECT source, n_docs, w,
-        |  (300 * w) // CAST((SELECT sum(w) FROM g) AS BIGINT) AS target FROM g),
-        |r AS (SELECT source, doc_id,
-        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t),
-        |sel AS (
-        |  SELECT r.source, count(*) AS n_selected, CAST(sum(doc_id) AS BIGINT) AS sel_digest
-        |  FROM r JOIN q USING (source) WHERE rk <= target GROUP BY r.source)
-        |SELECT q.source, n_docs, w, target,
-        |  coalesce(n_selected, 0) AS n_selected,
-        |  coalesce(sel_digest, 0) AS sel_digest
-        |FROM q LEFT JOIN sel USING (source) ORDER BY source""".stripMargin,
+      s"""WITH $TemperatureQuotaCtes,
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t),
+         |sel AS (
+         |  SELECT r.source, count(*) AS n_selected, CAST(sum(doc_id) AS BIGINT) AS sel_digest
+         |  FROM r JOIN q USING (source) WHERE rk <= target GROUP BY r.source)
+         |SELECT q.source, n_docs, w, target,
+         |  coalesce(n_selected, 0) AS n_selected,
+         |  coalesce(sel_digest, 0) AS sel_digest
+         |FROM q LEFT JOIN sel USING (source) ORDER BY source""".stripMargin,
     "x64_epoch_upsample" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
-        |  FROM documents),
-        |g AS (SELECT source, count(*) AS n_docs,
-        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
-        |  FROM t GROUP BY source),
-        |q AS (SELECT source, n_docs,
-        |  (300 * w) // CAST((SELECT sum(w) FROM g) AS BIGINT) AS target FROM g),
-        |r AS (SELECT source, doc_id,
-        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t),
-        |e AS (
-        |  SELECT r.source, doc_id,
-        |    target // n_docs + CASE WHEN rk <= target % n_docs THEN 1 ELSE 0 END AS rep
-        |  FROM r JOIN q USING (source))
-        |SELECT q.source, q.n_docs, q.target,
-        |  CAST(sum(rep) AS BIGINT) AS n_emitted,
-        |  CAST(max(rep) AS BIGINT) AS max_rep,
-        |  CAST(sum(doc_id * rep) AS BIGINT) AS digest
-        |FROM e JOIN q USING (source) GROUP BY q.source, q.n_docs, q.target
-        |ORDER BY q.source""".stripMargin,
+      s"""WITH $TemperatureQuotaCtes,
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM t),
+         |e AS (
+         |  SELECT r.source, doc_id,
+         |    target // n_docs + CASE WHEN rk <= target % n_docs THEN 1 ELSE 0 END AS rep
+         |  FROM r JOIN q USING (source))
+         |SELECT q.source, q.n_docs, q.target,
+         |  CAST(sum(rep) AS BIGINT) AS n_emitted,
+         |  CAST(max(rep) AS BIGINT) AS max_rep,
+         |  CAST(sum(doc_id * rep) AS BIGINT) AS digest
+         |FROM e JOIN q USING (source) GROUP BY q.source, q.n_docs, q.target
+         |ORDER BY q.source""".stripMargin,
     "x62_winsorize" ->
       """WITH t AS (
         |  SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
