@@ -149,6 +149,59 @@ object EventStreams {
         col("sum_value")
       )
 
+  final case class RunningTotal(user_id: Long, event_id: Long, n_so_far: Long, cents_so_far: Long)
+
+  /** Spark 4 `transformWithState` [EXT] — the modern arbitrary-state API
+    * (successor to map/flatMapGroupsWithState): typed, composable state
+    * variables managed per key. Running per-user totals emitted per event:
+    * each input row reads + updates two `ValueState`s and emits the
+    * cumulative position — the account-balance / feature-freshness shape.
+    * In-batch order is pinned by sorting on event_id (micro-batch iterator
+    * order is NOT a contract — same lesson as the CDC upsert sink).
+    * Requires the RocksDB state store provider (set in the spec); state is
+    * two longs per user, bounded by the key universe. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RunningTotal] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var centsState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      centsState = getHandle.getValueState[Long]("cents", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues
+    ): Iterator[RunningTotal] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var cents = if (centsState.exists()) centsState.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        n += 1
+        cents += math.round(e.value * 100)
+        RunningTotal(key, e.event_id, n, cents)
+      }
+      nState.update(n)
+      centsState.update(cents)
+      out.iterator
+    }
+  }
+
+  /** Running per-user totals via transformWithState (see
+    * [[RunningTotalsProcessor]]). */
+  def runningTotals(events: Dataset[Event]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update()
+      )
+  }
+
   /** Streaming dedup [EXT]: the streaming face of the x01/x15 batch dedup
     * operators. `dropDuplicatesWithinWatermark` keeps per-key state only
     * until the watermark passes the key's event time — bounded state on an

@@ -85,6 +85,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches (RocksDB state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf
+      .set(providerKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val totals = EventStreams.runningTotals(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value").as[EventStreams.Event]
+    )
+    val q = totals.writeStream.format("memory").queryName("rt").outputMode(OutputMode.Update).start()
+    try {
+      input.addData((1L, ts(1), 7L, "buy", 1.5), (2L, ts(2), 7L, "buy", 2.0), (3L, ts(1), 8L, "buy", 10.0))
+      q.processAllAvailable()
+      input.addData((4L, ts(3), 7L, "buy", 0.25)) // state must persist across batches
+      q.processAllAvailable()
+      val rows = spark
+        .table("rt")
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> (r.getAs[Long]("n_so_far"), r.getAs[Long]("cents_so_far")))
+        .toMap
+      assert(rows(1L) === ((1L, 150L)))
+      assert(rows(2L) === ((2L, 350L))) // in-batch order by (ts, event_id)
+      assert(rows(3L) === ((1L, 1000L))) // separate key
+      assert(rows(4L) === ((3L, 375L))) // accumulated across micro-batches
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-static enrichment join decorates events without streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
