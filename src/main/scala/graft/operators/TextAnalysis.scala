@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Graft.table
+import graft.functions.Hashing
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -183,6 +184,29 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+
+    // feature hashing (the hashing trick) — fixed-width featurization for
+    // quality classifiers without a vocabulary pass: every token maps to
+    // one of 256 buckets via the module-wide md5 window hash, per-doc
+    // bucket counts are the feature vector. Emitted as integer summaries
+    // (nnz / L1 / position-weighted digest) so the gate pins the exact
+    // bucket assignment, not just the shape. Single scan → one (doc,
+    // bucket) agg → one per-doc agg; no vocabulary state at any scale.
+    "x65_feature_hash" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+        .select(col("doc_id"), Hashing.md5Bucket(col("term"), 256).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("nnz"),
+          sum("cnt").as("l1"),
+          sum(expr("b * cnt")).as("digest"),
+          max("cnt").as("max_cnt")
+        )
+        .orderBy("doc_id")
     }),
 
     "x09_text_langid" -> ((s, d) => {
@@ -375,6 +399,16 @@ object TextAnalysis {
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
           |  length(text) AS text_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "x65_feature_hash" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b FROM tok),
+          |c AS (SELECT doc_id, b, count(*) AS cnt FROM b GROUP BY 1, 2)
+          |SELECT doc_id, count(*) AS nnz, CAST(sum(cnt) AS BIGINT) AS l1,
+          |  CAST(sum(b * cnt) AS BIGINT) AS digest, CAST(max(cnt) AS BIGINT) AS max_cnt
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x63_bpe_pairs" ->
         """WITH w AS (
           |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w

@@ -168,6 +168,23 @@ class AnalyticSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("aa", 3L), ("ab", 2L)))
   }
 
+  test("x65 feature hashing conserves token mass: l1 == token count, nnz bounded") {
+    val rows = graft.operators.TextAnalysis.queries("x65_feature_hash")(spark, sf).collect()
+    val nTokens = Graft
+      .table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n"))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("l1") === nTokens(id), s"doc $id l1")
+      assert(r.getAs[Long]("nnz") <= math.min(256L, nTokens(id)), s"doc $id nnz")
+      assert(r.getAs[Long]("max_cnt") >= 1L)
+    }
+  }
+
   test("q69 text roundtrip survives the write/read/parse cycle against a direct aggregate") {
     val rt = Advanced.queries("q69_text_roundtrip")(spark, sf).collect()
     val direct = Graft
