@@ -283,6 +283,24 @@ object Advanced {
         )))
         .orderBy("o_orderpriority")
     }),
+    // whole-file binary source: Spark's binaryFile format reads raw files
+    // as (path, modificationTime, length, content) rows — the ingest face
+    // for media payloads and model artifacts that have no row structure.
+    // Emitted as basename + length + md5-over-hex (hex is uppercase in
+    // both engines; the mtime column is machine state, never emitted).
+    "q73_binary_source" -> ((s, _) => {
+      BinFixture.ensure(s)
+      s.read
+        .format("binaryFile")
+        .load(s"${BinFixture.dir}/*.bin")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"),
+          md5(hex(col("content"))).as("content_md5")
+        )
+        .orderBy("fname")
+    }),
+
     // schema evolution across partitioned epochs: epoch 1 was written
     // before the `cents` column existed, epoch 2 after — `mergeSchema`
     // reconciles the footers into one superset schema, epoch-1 rows
@@ -949,6 +967,36 @@ object Advanced {
         |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS spend_or_zero
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE year(o_orderdate) = 2001) o
         |ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // DuckDB reads the same raw files through read_blob — an independent
+    // byte-level reader, so the hash pins the source's content fidelity
+    "q73_binary_source" ->
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+         |  CAST(size AS BIGINT) AS length, md5(hex(content)) AS content_md5
+         |FROM read_blob('${BinFixture.dir}/*.bin') ORDER BY fname""".stripMargin
   )
+}
+
+/** Fixture for q73 binaryFile source: 40 raw files of deterministic
+  * non-ASCII bytes (every value 0-255 appears), written OUTSIDE any
+  * columnar container so the binaryFile format's (path, length, content)
+  * contract — and DuckDB's independent read_blob — see the same bytes. */
+object BinFixture {
+  val dir = "/root/repo/spark-warehouse/graft_bin"
+
+  def bytesOf(i: Int): Array[Byte] =
+    Array.tabulate(64 + i)(j => ((i * 7 + j * 13) % 256).toByte)
+
+  def ensure(@annotation.unused s: SparkSession): Unit = synchronized {
+    val d = new java.io.File(dir)
+    if (!d.exists()) {
+      d.mkdirs()
+      (0 until 40).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$dir/doc_$i%03d.bin"),
+          bytesOf(i)
+        )
+      }
+    }
+  }
 }
