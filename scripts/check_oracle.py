@@ -50,6 +50,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         if not problems:
             for c in spark_df.columns:
                 a, b = spark_df[c], duck_df[c]
+                # dtype-KIND mismatch (int vs float) hash-diverges in the
+                # driver even when values compare equal — DuckDB HUGEINT
+                # results (count_if, integer //) come back as float64 while
+                # Spark emits int64. r04 shipped exactly that (q70/x56/x61):
+                # fail here so local can never be greener than the driver.
+                fam = lambda k: "i" if k in "iu" else k
+                if fam(a.dtype.kind) != fam(b.dtype.kind):
+                    problems.append(f"col {c}: dtype kind spark={a.dtype} duck={b.dtype}")
+                    continue
                 try:
                     if a.dtype.kind == "f" or b.dtype.kind == "f":
                         # bit-exact float64 compare (NaN payloads, ±0.0 and

@@ -103,7 +103,11 @@ object Analytic {
     // bitmap-style rollup: AND / OR / XOR of the quantity bits per flag.
     "q65_bitwise_agg" -> ((s, d) =>
       table(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("ql"))
+        // CAST(round(...)) not a bare cast: Spark double->long truncates toward
+        // zero, DuckDB CAST rounds to nearest — they agree only on integral
+        // values (repo fixed-point convention; TPC-H quantities ARE integral,
+        // but the query must not depend on that)
+        .select(col("l_returnflag"), expr("CAST(round(l_quantity) AS BIGINT)").as("ql"))
         .groupBy("l_returnflag")
         .agg(
           expr("bit_and(ql)").as("b_and"),
@@ -152,7 +156,7 @@ object Analytic {
         .select(
           col("l_returnflag"),
           expr("try_divide(l_extendedprice, l_quantity - 1)").as("ratio"),
-          expr("try_element_at(array(CAST(l_quantity AS BIGINT)), CAST(l_linenumber AS INT))").as("q1")
+          expr("try_element_at(array(CAST(round(l_quantity) AS BIGINT)), CAST(l_linenumber AS INT))").as("q1")
         )
         .groupBy("l_returnflag")
         .agg(
@@ -265,7 +269,7 @@ object Analytic {
         |  max(fc) AS first_cents, max(sc) AS second_cents
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q65_bitwise_agg" ->
-      """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS ql FROM lineitem),
+      """WITH t AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS ql FROM lineitem),
         |a AS (
         |  SELECT l_returnflag, bit_and(ql) AS b_and, bit_or(ql) AS b_or,
         |    bit_xor(ql) AS b_xor, count(*) AS n
@@ -281,7 +285,7 @@ object Analytic {
       """WITH t AS (
         |  SELECT l_returnflag,
         |    l_extendedprice / nullif(l_quantity - 1, 0) AS ratio,
-        |    ([CAST(l_quantity AS BIGINT)])[l_linenumber] AS q1
+        |    ([CAST(round(l_quantity) AS BIGINT)])[l_linenumber] AS q1
         |  FROM lineitem)
         |SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
@@ -306,7 +310,8 @@ object Analytic {
         |  FROM lineitem)
         |SELECT l_returnflag, count(*) AS n,
         |  bool_and(multi) AS all_multi, bool_or(disc) AS any_disc,
-        |  count_if(taxed) AS n_taxed, count_if(multi AND disc) AS n_both
+        |  CAST(count_if(taxed) AS BIGINT) AS n_taxed,
+        |  CAST(count_if(multi AND disc) AS BIGINT) AS n_both
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q71_session_window" ->
       """WITH ev AS (

@@ -244,19 +244,25 @@ object Reshape {
     * The aggregate below groups by a VARIANT-extracted bucket to prove the
     * extraction feeds relational ops like any typed column. */
   private val variantQuery: (SparkSession, String) => DataFrame = (s, d) => {
+    // ONE parse per row is the whole point of VARIANT — and of this plan
+    // shape. An earlier revision guarded bucketing with `.where(k >= 0)`;
+    // Catalyst pushes that filter through the projection, re-substituting
+    // `variant_get(parse_json(...))` into the filter condition, so every
+    // row paid the (interpreted, allocation-heavy) parse twice. Bucketing
+    // instead uses the posmod floor-division formula — total over negatives
+    // and identical in Spark and DuckDB (the x57 convention; Spark `div`
+    // truncates toward zero, DuckDB `//` varies by version) — so no filter
+    // is needed and the plan is Scan → Project(parse once) → two-phase agg.
     graft.Graft
       .events(s, d)
       .select(
         col("event_type"),
         expr("variant_get(parse_json(props), '$.k', 'long')").as("k")
       )
-      // k >= 0 guard pins bucket semantics cross-engine: Spark's `div`
-      // truncates toward zero while DuckDB's `//` semantics differ BY
-      // VERSION (documented as floor; truncates in some releases) — on
-      // non-negatives every convention agrees (fixture k is always >= 0;
-      // the guard makes the contract explicit on any data)
-      .where(col("k") >= 0L)
-      .groupBy(expr("k div 10").as("k_bucket"), col("event_type"))
+      .groupBy(
+        expr("(k - ((k % 10 + 10) % 10)) div 10").as("k_bucket"),
+        col("event_type")
+      )
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
       .orderBy("k_bucket", "event_type")
   }
@@ -303,11 +309,12 @@ object Reshape {
         |SELECT 'except_all' AS op, o_orderstatus, count(*) AS n FROM ea GROUP BY 2
         |ORDER BY op, o_orderstatus""".stripMargin,
     "q58_variant" ->
-      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 0
-        |GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin,
+      """WITH t AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT CAST((k - ((k % 10 + 10) % 10)) // 10 AS BIGINT) AS k_bucket,
+        |  event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM t GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin,
     "q52_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -354,7 +354,14 @@ object Similarity {
           expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("q")
         )
         .localCheckpoint()
-      var cent = el.where(col("vec_id") < 4).select(col("vec_id").as("cid"), col("dim"), col("q").as("cq"))
+      // seed from the k LOWEST distinct vec_ids (not `vec_id < 4`): on a
+      // corpus whose ids are sparse or don't start at 0 the predicate form
+      // would silently seed fewer than k centroids — degenerate clustering
+      // that the (identically-written) oracle couldn't catch
+      val seedIds = el.select("vec_id").distinct().orderBy("vec_id").limit(4)
+      var cent = el
+        .join(broadcast(seedIds), "vec_id")
+        .select(col("vec_id").as("cid"), col("dim"), col("q").as("cq"))
       var assign: DataFrame = null
       for (_ <- 1 to 2) {
         assign = el
@@ -364,6 +371,10 @@ object Similarity {
           .groupBy("vec_id")
           .agg(min(struct(col("dist"), col("cid"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cid"))
+          // shared-subplan rule: each assign feeds 2 plan references (the
+          // centroid update + either next iteration or the final sizes agg);
+          // it's k·n rows of (vec_id, cid) — cheap to pin, expensive to recompute
+          .localCheckpoint()
         cent = el
           .join(assign, "vec_id")
           .groupBy("cid", "dim")
@@ -691,7 +702,8 @@ object Similarity {
         |  SELECT vec_id, CAST(dim AS BIGINT) AS dim,
         |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000) AS BIGINT) AS q
         |  FROM el0),
-        |c0 AS (SELECT vec_id AS cid, dim, q AS cq FROM el WHERE vec_id < 4),
+        |seeds AS (SELECT DISTINCT vec_id FROM el ORDER BY vec_id LIMIT 4),
+        |c0 AS (SELECT vec_id AS cid, dim, q AS cq FROM el JOIN seeds USING (vec_id)),
         |d1 AS (
         |  SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS dist
         |  FROM el e JOIN c0 c USING (dim) GROUP BY e.vec_id, c.cid),

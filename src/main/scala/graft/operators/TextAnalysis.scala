@@ -429,7 +429,7 @@ object TextAnalysis {
           |  SELECT doc_id, CAST(length(bin(n_total // tf)) - 1 AS BIGINT) AS bits
           |  FROM tok JOIN tf USING (term) CROSS JOIN n)
           |SELECT doc_id, count(*) AS n_tokens,
-          |  (sum(bits) * 1000) // count(*) AS mean_bits_e3,
+          |  CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_bits_e3,
           |  max(bits) AS max_bits
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x08_text_quality" ->
@@ -483,7 +483,7 @@ object TextAnalysis {
           |  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
           |SELECT doc_id, count(*) AS n_tokens,
           |  CAST(sum(in_v) AS BIGINT) AS in_vocab,
-          |  (sum(in_v) * 1000000) // count(*) AS coverage_ppm
+          |  CAST((sum(in_v) * 1000000) // count(*) AS BIGINT) AS coverage_ppm
           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x09_text_langid" -> {
         val cnts = markers
