@@ -18,7 +18,7 @@ import pandas as pd
 
 def check_variants(d: str) -> int:
     ok = True
-    for f in ("v32", "vmix", "v32mix"):
+    for f in ("v32", "vmix", "v32mix", "vrle", "v32rle"):
         df = pd.read_sas(f"{d}/{f}.sas7bdat")
         good = (
             len(df) == 450

@@ -428,6 +428,25 @@ object Advanced {
         .orderBy("category")
     }),
 
+    // Same decode contract over an RLE-COMPRESSED (SASYZCRL / COMPRESS=CHAR)
+    // file — the layout most production SAS exports ship, and the one the
+    // reference's saurfang datasource handles in notebook cell 5. The
+    // fixture exercises every RLE command incl. the >255 length-nibble
+    // forms and stored-raw (incompressible) rows.
+    "etl_sas7bdat_rle" -> ((s, _) => {
+      graft.sources.SasFixture.ensureRle(s)
+      graft.sources.Sas7bdat.read(s, graft.sources.SasFixture.sasRlePath)
+        .groupBy("tag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("id"), 2).as("sum_id"),
+          round(sum("z1") + sum("z2") + sum("z3"), 2).as("sum_zero"),
+          sum(length(rtrim(col("pattern")))).cast("long").as("pattern_chars"),
+          count(col("pattern")).as("n_pattern")
+        )
+        .orderBy("tag")
+    }),
+
     // S7 catalog round-trip in the gated surface: write a managed table
     // through the session catalog (saveAsTable → warehouse-dir parquet +
     // catalog entry), then read it back BY NAME via spark.table and query
@@ -870,6 +889,13 @@ object Advanced {
         |  round(sum(value), 2) AS sum_value, count(comment) AS n_comment
         |FROM '/root/repo/spark-warehouse/graft_sas/twin/*.parquet'
         |GROUP BY category ORDER BY category""".stripMargin,
+    "etl_sas7bdat_rle" ->
+      """SELECT tag, count(*) AS n, round(sum(id), 2) AS sum_id,
+        |  round(sum(z1) + sum(z2) + sum(z3), 2) AS sum_zero,
+        |  CAST(sum(length(rtrim(pattern))) AS BIGINT) AS pattern_chars,
+        |  count(pattern) AS n_pattern
+        |FROM '/root/repo/spark-warehouse/graft_sas/twin_rle/*.parquet'
+        |GROUP BY tag ORDER BY tag NULLS FIRST""".stripMargin,
     "q37_catalog_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations,
         |  round(avg(length(n_name)), 2) AS avg_comment_len

@@ -43,7 +43,8 @@ object Sas7bdat {
       rowLength: Int,
       rowCount: Long,
       mixPageRowCount: Long,
-      cols: Vector[SasCol]
+      cols: Vector[SasCol],
+      rle: Boolean = false
   ) {
     def intLen: Int = if (u64) 8 else 4
     def bitOffset: Int = if (u64) 32 else 16
@@ -70,6 +71,47 @@ object Sas7bdat {
     if (java.lang.Double.isNaN(d)) null else java.lang.Double.valueOf(d)
   }
 
+  /** SAS RLE ("SASYZCRL" / COMPRESS=CHAR) decompression. Control byte =
+    * [4-bit command | 4-bit length nibble]; semantics follow the
+    * community-reverse-engineered table implemented by pandas
+    * `sas.pyx::rle_decompress` and parso's CharDecompressor (both public).
+    * Commands: 0x0 long literal copy (+64), 0x4 long single-byte run (+18),
+    * 0x6/0x7 long space/NUL runs (+17), 0x8–0xB short literal copies
+    * (+1/+17/+33/+49), 0xC short byte run (+3), 0xD/0xE/0xF short
+    * '@'/space/NUL runs (+2). Conformance is pinned empirically: the writer
+    * emits fixtures exercising EVERY command and scripts/check_sas7bdat.py
+    * diffs pandas.read_sas output value-by-value, so an off-by-one in any
+    * length constant fails loudly rather than round-tripping. */
+  def rleDecompress(src: Array[Byte], srcOff: Int, srcLen: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = srcOff
+    val end = srcOff + srcLen
+    var rp = 0
+    def copy(n: Int): Unit = { System.arraycopy(src, ip, out, rp, n); ip += n; rp += n }
+    def fill(x: Byte, n: Int): Unit = { java.util.Arrays.fill(out, rp, rp + n, x); rp += n }
+    while (ip < end) {
+      val ctrl = src(ip) & 0xf0
+      val nib = src(ip) & 0x0f
+      ip += 1
+      ctrl match {
+        case 0x00 => val n = (nib << 8) + (src(ip) & 0xff) + 64; ip += 1; copy(n)
+        case 0x40 =>
+          val n = (nib << 8) + (src(ip) & 0xff) + 18; ip += 1
+          val x = src(ip); ip += 1; fill(x, n)
+        case 0x60 => val n = (nib << 8) + (src(ip) & 0xff) + 17; ip += 1; fill(0x20, n)
+        case 0x70 => val n = (nib << 8) + (src(ip) & 0xff) + 17; ip += 1; fill(0x00, n)
+        case 0x80 | 0x90 | 0xa0 | 0xb0 => copy(nib + 1 + (ctrl - 0x80))
+        case 0xc0 => val x = src(ip); ip += 1; fill(x, nib + 3)
+        case 0xd0 => fill(0x40, nib + 2)
+        case 0xe0 => fill(0x20, nib + 2)
+        case 0xf0 => fill(0x00, nib + 2)
+        case c => throw new IllegalArgumentException(f"sas7bdat RLE: unknown control byte 0x$c%02x")
+      }
+    }
+    require(rp == outLen, s"sas7bdat RLE: decompressed $rp bytes, expected $outLen")
+    out
+  }
+
   private def strCell(b: Array[Byte], o: Int, len: Int): String = {
     var end = o + len
     while (end > o && (b(end - 1) == ' '.toByte || b(end - 1) == 0)) end -= 1
@@ -82,6 +124,17 @@ object Sas7bdat {
   private val ColTextSig = Set("fdffffff", "fdffffffffffffff")
   private val ColNameSig = Set("ffffffff", "ffffffffffffffff")
   private val ColAttrSig = Set("fcffffff", "fcffffffffffffff")
+  // remaining public metadata signatures (subheader counts, format/label,
+  // column list) — needed to tell metadata apart from compressed row
+  // subheaders, which carry NO signature (pandas: unknown signature +
+  // pointer type 1 ⇒ data row)
+  private val OtherMetaSig = Set(
+    "00fcffff", "00fcffffffffffff", // subheader counts
+    "fefbffff", "fefbffffffffffff", // column format/label
+    "feffffff", "feffffffffffffff" // column list
+  )
+  private val MetaSigs: Set[String] =
+    RowSizeSig ++ ColSizeSig ++ ColTextSig ++ ColNameSig ++ ColAttrSig ++ OtherMetaSig
   private def hex(b: Array[Byte], o: Int, len: Int): String =
     (o until o + len).map(i => f"${b(i) & 0xff}%02x").mkString
 
@@ -101,6 +154,7 @@ object Sas7bdat {
     var rowLength, mixRows = 0L
     var rowCount = -1L
     var colCount = -1
+    var rle = false
     var textBlobs = Vector.empty[Array[Byte]]
     var names = Vector.empty[String]
     var attrs = Vector.empty[(Int, Int, Boolean)] // offset, length, isNum
@@ -120,7 +174,9 @@ object Sas7bdat {
           val off = uint(pg, p, intLen).toInt
           val len = uint(pg, p + intLen, intLen).toInt
           val compression = pg(p + 2 * intLen) & 0xff
-          if (len > 0 && compression != 1) {
+          // skip truncated (1) pointers and compressed row-data subheaders
+          // (4) — rows carry no signature and could false-match one
+          if (len > 0 && compression != 1 && compression != 4) {
             val sig = hex(pg, off, intLen)
             if (RowSizeSig(sig)) {
               rowLength = uint(pg, off + 5 * intLen, intLen)
@@ -132,11 +188,12 @@ object Sas7bdat {
               val blobLen = u16(pg, off + intLen)
               val blob = java.util.Arrays.copyOfRange(pg, off + intLen, off + intLen + blobLen)
               if (textBlobs.isEmpty) {
+                // compression literal lives in the FIRST text blob (pandas
+                // scans it as a substring): SASYZCRL = RLE (supported),
+                // SASYZCR2 = RDC (not)
                 val raw = new String(blob, "ISO-8859-1")
-                require(
-                  !raw.contains("SASYZCRL") && !raw.contains("SASYZCR2"),
-                  "compressed sas7bdat (RLE/RDC) not supported"
-                )
+                require(!raw.contains("SASYZCR2"), "RDC-compressed sas7bdat (SASYZCR2) not supported")
+                rle = raw.contains("SASYZCRL")
               }
               textBlobs :+= blob
             } else if (ColNameSig(sig)) {
@@ -167,15 +224,21 @@ object Sas7bdat {
     require(rowCount >= 0 && colCount > 0, s"sas7bdat metadata incomplete (rows=$rowCount cols=$colCount)")
     require(names.size == colCount && attrs.size == colCount, "column name/attribute subheaders incomplete")
     val cols = names.zip(attrs).map { case (n, (o, l, num)) => SasCol(n, num, o, l) }.toVector
-    SasMeta(u64, headerSize, pageSize, pageCount, rowLength.toInt, rowCount, mixRows, cols)
+    SasMeta(u64, headerSize, pageSize, pageCount, rowLength.toInt, rowCount, mixRows, cols, rle)
   }
 
   /** Decode the data rows of one page (DATA pages fully; MIX pages per the
-    * block-count convention). Returns decoded rows as value arrays. */
+    * block-count convention; on RLE files, meta pages carry one row per
+    * signature-less subheader). Returns decoded rows as value arrays. */
   def pageRows(meta: SasMeta, pg: Array[Byte]): Iterator[Array[Any]] = {
     val pageType = u16(pg, meta.bitOffset) & 0xff00
     val blockCount = u16(pg, meta.bitOffset + 2)
     val nSub = u16(pg, meta.bitOffset + 4)
+    def decode(b: Array[Byte], base: Int): Array[Any] =
+      meta.cols.map { c =>
+        if (c.isNum) numCell(b, base + c.offset, c.length): Any
+        else strCell(b, base + c.offset, c.length): Any
+      }.toArray[Any]
     val (start, n) =
       if (pageType == 0x0100) (meta.bitOffset + 8, blockCount)
       else if (pageType == 0x0200) {
@@ -183,13 +246,28 @@ object Sas7bdat {
         val aligned = base + (base % 8 match { case 0 => 0; case r => 8 - r })
         (aligned, math.min(meta.mixPageRowCount, (blockCount - nSub).toLong).toInt)
       } else (0, 0)
-    (0 until n).iterator.map { r =>
-      val base = start + r * meta.rowLength
-      meta.cols.map { c =>
-        if (c.isNum) numCell(pg, base + c.offset, c.length): Any
-        else strCell(pg, base + c.offset, c.length): Any
-      }.toArray[Any]
-    }
+    val rawRows = (0 until n).iterator.map(r => decode(pg, start + r * meta.rowLength))
+    // compressed files: meta pages hold one row per subheader whose pointer
+    // has type 1, compression 0 (stored raw, length == rowLength) or 4
+    // (RLE). A row with length == rowLength is raw even under flag 4 —
+    // pandas decompresses only when length < rowLength.
+    val subRows =
+      if (meta.rle && (pageType == 0x0000 || pageType == 0x4000))
+        (0 until nSub).iterator.flatMap { i =>
+          val p = meta.bitOffset + 8 + meta.ptrLen * i
+          val off = uint(pg, p, meta.intLen).toInt
+          val len = uint(pg, p + meta.intLen, meta.intLen).toInt
+          val comp = pg(p + 2 * meta.intLen) & 0xff
+          val typ = pg(p + 2 * meta.intLen + 1) & 0xff
+          if (len > 0 && typ == 1 && (comp == 0 || comp == 4) && !MetaSigs(hex(pg, off, meta.intLen))) {
+            val row =
+              if (len == meta.rowLength) java.util.Arrays.copyOfRange(pg, off, off + len)
+              else rleDecompress(pg, off, len, meta.rowLength)
+            Some(decode(row, 0))
+          } else None
+        }
+      else Iterator.empty
+    rawRows ++ subRows
   }
 
   def sparkSchema(meta: SasMeta): StructType =

@@ -24,6 +24,67 @@ object Sas7bdatWriter {
 
   private def buf(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
+  /** SAS RLE (SASYZCRL) encoder — the exact inverse of
+    * [[Sas7bdat.rleDecompress]]'s command table. Deliberately uses EVERY
+    * command the format defines (long/short literal copies, long/short
+    * runs of arbitrary bytes, and the dedicated space/NUL/'@' run forms) so
+    * that one fixture exercises the full decoder surface and the pandas
+    * cross-check can falsify any length constant. */
+  def rleCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(row.length)
+    def literal(src: Array[Byte], from: Int, until: Int): Unit = {
+      var s = from
+      while (s < until) {
+        val len = math.min(until - s, 4159)
+        if (len <= 64) out.write(0x80 + (len - 1)) // 0x80–0xBF short copy
+        else { val v = len - 64; out.write(v >> 8); out.write(v & 0xff) } // 0x0 long copy
+        out.write(src, s, len); s += len
+      }
+    }
+    def runChunk(x: Byte, t: Int): Unit = (x: @annotation.switch) match {
+      case 0x20 =>
+        if (t <= 17) out.write(0xe0 | (t - 2))
+        else { val v = t - 17; out.write(0x60 | (v >> 8)); out.write(v & 0xff) }
+      case 0x00 =>
+        if (t <= 17) out.write(0xf0 | (t - 2))
+        else { val v = t - 17; out.write(0x70 | (v >> 8)); out.write(v & 0xff) }
+      case 0x40 =>
+        if (t <= 17) out.write(0xd0 | (t - 2))
+        else { val v = t - 18; out.write(0x40 | (v >> 8)); out.write(v & 0xff); out.write(0x40) }
+      case _ =>
+        if (t <= 18) { out.write(0xc0 | (t - 3)) }
+        else { val v = t - 18; out.write(0x40 | (v >> 8)); out.write(v & 0xff) }
+        out.write(x & 0xff)
+    }
+    var i = 0
+    var litStart = 0
+    val n = row.length
+    while (i < n) {
+      var j = i + 1
+      while (j < n && row(j) == row(i)) j += 1
+      val run = j - i
+      val x = row(i)
+      val special = x == 0x20 || x == 0x00 || x == 0x40
+      val minRun = if (special) 2 else 3
+      if (run >= minRun) {
+        literal(row, litStart, i)
+        var r = run
+        val maxLong = if (special) { if (x == 0x40) 4113 else 4112 } else 4113
+        while (r > 0) {
+          var t = math.min(r, maxLong)
+          // keep the remainder encodable: never leave < minRun behind
+          val rem = r - t
+          if (rem > 0 && rem < minRun) t -= (minRun - rem)
+          runChunk(x, t); r -= t
+        }
+        litStart = j
+      }
+      i = j
+    }
+    literal(row, litStart, n)
+    out.toByteArray
+  }
+
   /** rows: per row one value per column — java.lang.Double / String / null */
   def write(
       path: String,
@@ -31,8 +92,10 @@ object Sas7bdatWriter {
       rows: Seq[Seq[Any]],
       pageSize: Int = 8192,
       u64: Boolean = true,
-      mixFirstPage: Boolean = false
+      mixFirstPage: Boolean = false,
+      compressRle: Boolean = false
   ): Unit = {
+    require(!(compressRle && mixFirstPage), "RLE files carry rows in subheaders, not mix pages")
     val headerSize = 8192
     val n = cols.size
     val intLen = if (u64) 8 else 4
@@ -63,9 +126,12 @@ object Sas7bdatWriter {
       ((if (u64) m32(kind) ++ m64ext(kind) else m32(kind)).map(_.toByte))
     }
 
-    // ---- column text blob: [u16 size][6B pad][name bytes...] -------------
+    // ---- column text blob: [u16 size][6B pad][compression literal if any]
+    // [name bytes...] — readers (pandas, parso, graft) detect compression
+    // by finding "SASYZCRL" anywhere in the FIRST text blob
+    val literal = if (compressRle) "SASYZCRL".getBytes("US-ASCII") else Array.emptyByteArray
     val nameBytes = cols.map(_.name.getBytes("ISO-8859-1"))
-    val nameOffsets = nameBytes.scanLeft(8)(_ + _.length)
+    val nameOffsets = nameBytes.scanLeft(8 + literal.length)(_ + _.length)
     val blobLen = nameOffsets.last
     require(blobLen < 0xffff, "column names too long for one text subheader")
     val textSub = {
@@ -73,6 +139,7 @@ object Sas7bdatWriter {
       b.put(sigBytes("text"))
       b.putShort(intLen, blobLen.toShort)
       b.position(intLen + 8)
+      b.put(literal)
       nameBytes.foreach(b.put)
       b.array()
     }
@@ -181,16 +248,62 @@ object Sas7bdatWriter {
     }
 
     // ---- data pages ------------------------------------------------------
-    val rowsPerPage = (pageSize - (bitOffset + 8)) / rowLength
-    require(rowsPerPage > 0, s"row of $rowLength bytes exceeds page size $pageSize")
-    val dataPages = rows.drop(mixRows).grouped(rowsPerPage).map { chunk =>
-      val b = buf(pageSize)
-      b.putShort(bitOffset, 0x0100.toShort) // data page type
-      b.putShort(bitOffset + 2, chunk.size.toShort) // block count = row count
-      b.putShort(bitOffset + 4, 0.toShort)
-      chunk.zipWithIndex.foreach { case (row, r) => writeRow(b, bitOffset + 8 + r * rowLength, row) }
-      b.array()
-    }.toSeq
+    val dataPages: Seq[Array[Byte]] =
+      if (!compressRle) {
+        val rowsPerPage = (pageSize - (bitOffset + 8)) / rowLength
+        require(rowsPerPage > 0, s"row of $rowLength bytes exceeds page size $pageSize")
+        rows.drop(mixRows).grouped(rowsPerPage).map { chunk =>
+          val b = buf(pageSize)
+          b.putShort(bitOffset, 0x0100.toShort) // data page type
+          b.putShort(bitOffset + 2, chunk.size.toShort) // block count = row count
+          b.putShort(bitOffset + 4, 0.toShort)
+          chunk.zipWithIndex.foreach { case (row, r) => writeRow(b, bitOffset + 8 + r * rowLength, row) }
+          b.array()
+        }.toSeq
+      } else {
+        // RLE layout: rows ride META pages, one signature-less subheader per
+        // row — pointer compression 4 when compressed, 0 when the row didn't
+        // shrink and is stored raw (readers decompress iff len < rowLength)
+        val blobs: Seq[(Array[Byte], Int)] = rows.map { row =>
+          val b = buf(rowLength); writeRow(b, 0, row)
+          val raw = b.array()
+          val comp = rleCompress(raw)
+          if (comp.length < rowLength) (comp, 4) else (raw, 0)
+        }
+        // greedy pack: pointer array grows from the top, payloads from the end
+        val pages = scala.collection.mutable.ArrayBuffer.empty[Seq[(Array[Byte], Int)]]
+        var cur = Vector.empty[(Array[Byte], Int)]
+        var used = 0
+        blobs.foreach { case (blob, comp) =>
+          val need = ptrLen + blob.length
+          // + intLen slack: readers fetch an intLen signature at every
+          // pointer offset, so the topmost payload must not end flush with
+          // the page (pandas raises "cached page is too small" otherwise)
+          if (cur.nonEmpty && bitOffset + 8 + used + need + intLen > pageSize) {
+            pages += cur; cur = Vector.empty; used = 0
+          }
+          require(bitOffset + 8 + ptrLen + blob.length + intLen <= pageSize, "row exceeds page size even compressed")
+          cur :+= ((blob, comp)); used += need
+        }
+        if (cur.nonEmpty) pages += cur
+        pages.toSeq.map { subs =>
+          val b = buf(pageSize)
+          b.putShort(bitOffset, 0x0000.toShort) // meta page type
+          b.putShort(bitOffset + 2, subs.size.toShort)
+          b.putShort(bitOffset + 4, subs.size.toShort)
+          // top payload sits intLen short of the page end (signature slack)
+          val positions = subs.map(_._1.length).scanLeft(pageSize - intLen)(_ - _).tail
+          subs.zipWithIndex.foreach { case ((blob, comp), i) =>
+            val p = bitOffset + 8 + ptrLen * i
+            if (u64) { b.putLong(p, positions(i).toLong); b.putLong(p + 8, blob.length.toLong) }
+            else { b.putInt(p, positions(i)); b.putInt(p + 4, blob.length) }
+            b.put(p + 2 * intLen, comp.toByte)
+            b.put(p + 2 * intLen + 1, 1.toByte) // data subheader type
+            b.position(positions(i)); b.put(blob)
+          }
+          b.array()
+        }
+      }
 
     // ---- header ----------------------------------------------------------
     val align1 = if (u64) 4 else 0

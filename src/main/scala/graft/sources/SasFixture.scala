@@ -50,4 +50,70 @@ object SasFixture {
         .write.mode("overwrite").parquet(twinPath)
     }
   }
+
+  // ---- RLE-compressed fixture ---------------------------------------------
+
+  val sasRlePath = s"$dir/fixture_rle.sas7bdat"
+  val twinRlePath = s"$dir/twin_rle"
+
+  val rleCols = Seq(
+    Sas7bdatWriter.WCol("id", isNum = true, 8),
+    // three adjacent 0.0 doubles = a 24-byte NUL run → exercises the long
+    // NUL-run command; id's IEEE bytes give short NUL runs for free
+    Sas7bdatWriter.WCol("z1", isNum = true, 8),
+    Sas7bdatWriter.WCol("z2", isNum = true, 8),
+    Sas7bdatWriter.WCol("z3", isNum = true, 8),
+    Sas7bdatWriter.WCol("tag", isNum = false, 20),
+    Sas7bdatWriter.WCol("pattern", isNum = false, 680)
+  )
+
+  /** Rows crafted so one file exercises EVERY RLE command, including the
+    * >255 length-nibble forms: 280+ 'a' run (long byte run), '@' runs
+    * (both '@' forms), a 330-char non-repeating stretch (long literal
+    * copy), short repeats/literals, short + long space runs (cell
+    * padding). Every 10th row is pseudo-random across the full width —
+    * incompressible, so it exercises the stored-raw subheader path. */
+  def rleRows: Seq[Seq[Any]] = (0 until 400).map { i =>
+    def pseudo(n: Int, salt: Long): String = {
+      val sb = new StringBuilder(n)
+      var h = i * 2654435761L + salt
+      while (sb.length < n) { h = h * 6364136223846793005L + 1442695040888963407L; sb += ('A' + ((h >>> 33) % 26)).toChar }
+      sb.toString
+    }
+    val pattern =
+      if (i % 10 == 0) pseudo(680, 7L) // incompressible → stored raw
+      else if (i % 7 == 3) "z" // 679 trailing blanks → >255-length space run
+      else "a" * (280 + i % 5) + "@" * (20 + i % 3) + pseudo(330, 11L) + "b" * (3 + i % 4) + "@@@" + "x y"
+    Seq(
+      java.lang.Double.valueOf(i.toDouble),
+      java.lang.Double.valueOf(0.0),
+      java.lang.Double.valueOf(0.0),
+      java.lang.Double.valueOf(0.0),
+      "tag" + (i % 5),
+      pattern
+    )
+  }
+
+  def ensureRle(spark: SparkSession): Unit = synchronized {
+    val d = new java.io.File(dir)
+    if (!new java.io.File(sasRlePath).exists() || !new java.io.File(twinRlePath).exists()) {
+      d.mkdirs()
+      Sas7bdatWriter.write(sasRlePath, rleCols, rleRows, compressRle = true)
+      import spark.implicits._
+      rleRows
+        .map(r =>
+          (
+            r(0).asInstanceOf[java.lang.Double],
+            r(1).asInstanceOf[java.lang.Double],
+            r(2).asInstanceOf[java.lang.Double],
+            r(3).asInstanceOf[java.lang.Double],
+            r(4).asInstanceOf[String],
+            r(5).asInstanceOf[String]
+          )
+        )
+        .toDF("id", "z1", "z2", "z3", "tag", "pattern")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(twinRlePath)
+    }
+  }
 }

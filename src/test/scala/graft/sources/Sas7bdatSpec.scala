@@ -81,6 +81,70 @@ class Sas7bdatSpec extends AnyFunSuite {
     }
   }
 
+  test("RLE: compress/decompress round-trips arbitrary byte rows exactly") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Array.fill[Byte](500)(0x20), // all spaces
+      Array.fill[Byte](500)(0x00), // all NULs
+      Array.fill[Byte](300)(0x40), // all '@'
+      Array.fill[Byte](290)('a'.toByte), // >255 generic long run
+      Array.tabulate[Byte](400)(i => (i % 251).toByte), // pure literal >319
+      Array.tabulate[Byte](64)(i => i.toByte), // max short literal
+      Array[Byte](1, 2, 3), // tiny literal
+      Array[Byte](7, 7), // run below generic minimum → literal
+      Array.fill[Byte](2)(0x20) ++ Array.fill[Byte](17)(0x00) ++ Array.fill[Byte](18)('q'.toByte)
+    ) ++ (0 until 30).map { _ =>
+      // random mix of runs and literals
+      Seq.fill(rnd.nextInt(20) + 1) {
+        if (rnd.nextBoolean()) Array.fill[Byte](rnd.nextInt(600) + 1)(rnd.nextInt(256).toByte)
+        else Array.fill[Byte](rnd.nextInt(40) + 1)(rnd.nextInt(256).toByte).map(_ => rnd.nextInt(256).toByte)
+      }.reduce(_ ++ _)
+    }
+    cases.foreach { row =>
+      val comp = Sas7bdatWriter.rleCompress(row)
+      val back = Sas7bdat.rleDecompress(comp, 0, comp.length, row.length)
+      assert(back.sameElements(row), s"round trip failed for ${row.length}-byte row")
+    }
+  }
+
+  test("RLE fixture: compressed file round-trips and actually shrinks") {
+    SasFixture.ensureRle(spark)
+    val meta = {
+      val p = new org.apache.hadoop.fs.Path(SasFixture.sasRlePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Sas7bdat.parseMeta { (pos, len) =>
+        val in = fs.open(p)
+        try { val b = new Array[Byte](len); in.readFully(pos, b); b } finally in.close()
+      }
+    }
+    assert(meta.rle, "compression literal SASYZCRL must be detected")
+    assert(meta.rowCount === 400 && meta.cols.size === 6)
+    // 400 rows x 732 bytes raw ≈ 293 KB of cells; the compressible patterns
+    // must shrink the file well below an uncompressed layout
+    val rawLayoutBytes = 400L * meta.rowLength
+    val fileBytes = new java.io.File(SasFixture.sasRlePath).length()
+    assert(fileBytes < rawLayoutBytes, s"file $fileBytes should undercut raw cells $rawLayoutBytes")
+    val df = Sas7bdat.read(spark, SasFixture.sasRlePath)
+    val twin = spark.read.parquet(SasFixture.twinRlePath)
+    assert(df.count() === 400)
+    assert(df.exceptAll(twin).count() === 0 && twin.exceptAll(df).count() === 0)
+  }
+
+  test("RDC-compressed input is rejected with a clear error") {
+    // hand-flip the literal in a copy of the RLE fixture: SASYZCRL→SASYZCR2
+    SasFixture.ensureRle(spark)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(SasFixture.sasRlePath))
+    val needle = "SASYZCRL".getBytes("US-ASCII")
+    val idx = bytes.indices.indexWhere(i => i + 8 <= bytes.length && needle.indices.forall(j => bytes(i + j) == needle(j)))
+    assert(idx > 0)
+    bytes(idx + 7) = '2'.toByte
+    val dir = TestSpark.tempDir()
+    val p = s"$dir/rdc.sas7bdat"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[Exception](Sas7bdat.read(spark, p))
+    assert(e.getMessage.contains("SASYZCR2"))
+  }
+
   test("rejects non-sas and big-endian input with clear errors") {
     val dir = TestSpark.tempDir()
     val bad = s"$dir/bad.bin"

@@ -16,6 +16,8 @@ object SasVariantGen {
     Sas7bdatWriter.write(s"$out/v32.sas7bdat", cols, rows, 4096, u64 = false)
     Sas7bdatWriter.write(s"$out/vmix.sas7bdat", cols, rows, 4096, u64 = true, mixFirstPage = true)
     Sas7bdatWriter.write(s"$out/v32mix.sas7bdat", cols, rows, 4096, u64 = false, mixFirstPage = true)
-    println(s"wrote 3 variant files to $out")
+    Sas7bdatWriter.write(s"$out/vrle.sas7bdat", cols, rows, 4096, u64 = true, compressRle = true)
+    Sas7bdatWriter.write(s"$out/v32rle.sas7bdat", cols, rows, 4096, u64 = false, compressRle = true)
+    println(s"wrote 5 variant files to $out")
   }
 }
