@@ -4,9 +4,9 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q34's sketches are rows-only in the driver gate (sketch internals are
-  * engine-specific, so no DuckDB hash parity is possible). This spec closes
-  * the "untested by design" gap from the other side: the approximations
+/** q34's sketch VALUES are engine-specific, so the gate pins exact twins
+  * plus in-query accuracy booleans (hash-exact since r5). This spec keeps
+  * the tighter standalone bounds check: the approximations
   * must sit within their published error bounds of the EXACT answers on
   * real data — HLL++ within its requested relative standard deviation
   * (3 sigma), KLL-style percentile within the rank-error guarantee of its
