@@ -41,7 +41,22 @@ object ScaleProbe {
     // document frequency multiplies by n. The probe then shows the df cap
     // and signature-only comparisons absorbing it instead of going quadratic.
     scaleFact("documents", Seq("doc_id"))
-    Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+    // events scale by replicating USERS (shifted user_id + event_id, same
+    // timestamps): n x users with identical per-user session structure —
+    // the realistic scale-out for sessionization/SCD2/variant queries,
+    // which all partition by user or aggregate per event row
+    locally {
+      // raw read (NOT Graft.events): ts must stay the raw nano long so the
+      // workdir parquet round-trips through Graft.events' micros conversion
+      val t = Graft.table(spark, src, "events")
+      t.crossJoin(broadcast(copies))
+        .select(t.columns.map {
+          case k @ ("user_id" | "event_id") => (col(k) + col("rep") * 1000000000L).as(k)
+          case c => col(c)
+        }.toSeq: _*)
+        .write.mode("overwrite").parquet(s"$work/events.parquet")
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
       .foreach { t =>
         Graft.table(spark, src, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
       }
