@@ -122,7 +122,15 @@ class SimilarityTextSpec extends AnyFunSuite {
       .toSet
     val exact = nbrs("x05_sim_cosine_topk")
     val lshRecall = (nbrs("x06_sim_ann_lsh") & exact).size.toDouble / exact.size
-    val ivfRecall = (nbrs("x13_sim_ivf") & exact).size.toDouble / exact.size
+    // x13's gate shape emits exact twins + accuracy booleans; the raw IVF
+    // neighbor list comes from the searcher directly
+    val idx = Similarity.ivfEnsureIndex(spark, d, nlist = 8, iters = 3)
+    val ivfPairs = Similarity
+      .ivfSearchIndex(spark, graft.Graft.table(spark, d, "embeddings"), idx, k = 5, nQueries = 10, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .toSet
+    val ivfRecall = (ivfPairs & exact).size.toDouble / exact.size
     assert(lshRecall >= 0.6, s"LSH recall@5 $lshRecall")
     assert(ivfRecall >= 0.8, s"IVF recall@5 $ivfRecall")
   }
