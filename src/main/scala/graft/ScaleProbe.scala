@@ -126,7 +126,9 @@ object ScaleProbe {
       // tf and pair count multiplies by 16; x62's fences shift with the
       // replicated distribution)
       "q71_session_window", "x61_surprisal", "x62_winsorize", "x63_bpe_pairs",
-      "x64_epoch_upsample"
+      "x64_epoch_upsample",
+      // r5: bigram-LM perplexity buckets — vocab aggs + equi-joins back
+      "x66_perplexity_bucket"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

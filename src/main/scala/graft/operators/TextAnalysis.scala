@@ -193,6 +193,60 @@ object TextAnalysis {
     // (nnz / L1 / position-weighted digest) so the gate pins the exact
     // bucket assignment, not just the shape. Single scan → one (doc,
     // bucket) agg → one per-doc agg; no vocabulary state at any scale.
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: docs are
+    // split into head/middle/tail by per-language perplexity TERCILES under
+    // a language model; the released pipeline trains KenLM — here the LM is
+    // the corpus's own bigram model, which keeps the whole gate
+    // self-contained). Score = mean conditional bigram surprisal in integer
+    // fixed point: bits(w1,w2) = floor_log2(c(w1)/c(w1,w2)) via the
+    // bin()-length trick (x61), mean scaled e3 by floor division. Buckets =
+    // ntile(3) per lang ordered by (score, doc_id) — deterministic total
+    // order, so the cutoffs are data-derived like CCNet's yet hash-exact.
+    // Scale shape: one exchange on doc_id for the lag window; c1/c12 are
+    // vocab-sized aggregations; the joins back are equi-key (SMJ/broadcast
+    // at cluster scale). bg feeds 3 plan references → localCheckpoint.
+    "x66_perplexity_bucket" -> ((s, d) => {
+      // bigrams come straight off the token ARRAY (zero-shuffle map work —
+      // an earlier lag-window draft shuffled 4M string rows just to pair
+      // neighbors). The corpus-sized bigram stream is NEVER shuffled:
+      // c12/c1 aggregate with map-side partials (the shuffle carries the
+      // distinct-bigram table, zipf-bounded ≪ corpus), the vocab-level
+      // surprisal table broadcasts back onto a second scan-side explode,
+      // and the per-doc mean combines map-side (one row per doc on the
+      // wire). Two scans of documents instead of one materialized bigram
+      // frame — scans are cheap, corpus shuffles are not.
+      def bg = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("ws"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+            .as("b")
+        )
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint() // feeds c1 + bits
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      // conditional surprisal per DISTINCT bigram — vocab-sized, not corpus-sized
+      val bits = c12
+        .join(c1, Seq("w1"))
+        .select(col("w1"), col("w2"), expr("CAST(length(bin(c1 div c12)) - 1 AS BIGINT)").as("bits"))
+      val perDoc = bg
+        .join(broadcast(bits), Seq("w1", "w2"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), expr("(sum(bits) * 1000) div count(1)").as("mean_bits_e3"))
+      val wt = Window.partitionBy("lang").orderBy("mean_bits_e3", "doc_id")
+      perDoc
+        .withColumn("t3", ntile(3).over(wt))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_bigrams"),
+          col("mean_bits_e3"),
+          when(col("t3") === 1, "head").when(col("t3") === 2, "middle").otherwise("tail").as("bucket")
+        )
+        .orderBy("doc_id")
+    }),
+
     "x65_feature_hash" -> ((s, d) => {
       table(s, d, "documents")
         .select(col("doc_id"), explode(toks).as("term"))
@@ -409,6 +463,31 @@ object TextAnalysis {
           |SELECT doc_id, count(*) AS nnz, CAST(sum(cnt) AS BIGINT) AS l1,
           |  CAST(sum(b * cnt) AS BIGINT) AS digest, CAST(max(cnt) AS BIGINT) AS max_cnt
           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "x66_perplexity_bucket" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2 FROM (
+          |    SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+          |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+          |    FROM t WHERE len(ws) >= 2)),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM f GROUP BY w1, w2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM f GROUP BY w1),
+          |bits AS (
+          |  SELECT doc_id, lang, CAST(length(bin(c1 // c12)) - 1 AS BIGINT) AS bits
+          |  FROM f JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+          |d AS (
+          |  SELECT doc_id, lang, count(*) AS n_bigrams,
+          |    CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_bits_e3
+          |  FROM bits GROUP BY doc_id, lang),
+          |r AS (
+          |  SELECT doc_id, lang, n_bigrams, mean_bits_e3,
+          |    ntile(3) OVER (PARTITION BY lang ORDER BY mean_bits_e3, doc_id) AS t3
+          |  FROM d)
+          |SELECT doc_id, lang, n_bigrams, mean_bits_e3,
+          |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          |FROM r ORDER BY doc_id""".stripMargin,
       "x63_bpe_pairs" ->
         """WITH w AS (
           |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.{col, lower, size, split, trim}
 import org.scalatest.funsuite.AnyFunSuite
 
 class SimilarityTextSpec extends AnyFunSuite {
@@ -133,6 +134,33 @@ class SimilarityTextSpec extends AnyFunSuite {
     val ivfRecall = (ivfPairs & exact).size.toDouble / exact.size
     assert(lshRecall >= 0.6, s"LSH recall@5 $lshRecall")
     assert(ivfRecall >= 0.8, s"IVF recall@5 $ivfRecall")
+  }
+
+  test("x66 perplexity buckets: ntile balance, score monotonicity, surprisal identities") {
+    val d = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.queries("x66_perplexity_bucket")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // ntile(3) per lang: bucket sizes differ by at most 1
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket")).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set("head", "middle", "tail"), s"$lang: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: unbalanced $sizes")
+      // CCNet ordering: every head score ≤ every middle score ≤ every tail score
+      def mx(b: String) = rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("mean_bits_e3")).max
+      def mn(b: String) = rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("mean_bits_e3")).min
+      assert(mx("head") <= mn("middle") && mx("middle") <= mn("tail"), s"$lang: tercile order broken")
+    }
+    // surprisal identities: scores non-negative, n_bigrams = n_tokens - 1
+    val nTok = graft.Graft
+      .table(spark, d, "documents")
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_bits_e3") >= 0L)
+      assert(r.getAs[Long]("n_bigrams") === nTok(r.getAs[Long]("doc_id")) - 1)
+    }
   }
 
   test("token counting and quality score") {
