@@ -82,8 +82,8 @@ object ScaleProbe {
       // round-4 corpus ops over the scaled documents: x42 multiplies every
       // bigram/prefix count by n (the coherence join keys get n× hotter),
       // x43 stresses the per-stratum ranking window, x45 the byte rollup;
-      // x44/q47/q48 ride along at base scale (events/embeddings are not
-      // replicated) as scan-shape sanity checks
+      // x44 rides at base embeddings scale; q47/q48 run over the 16x
+      // replicated events (users replicated since r5)
       "x42_bigram_coherence", "x43_stratified_sample", "x45_compaction_plan",
       "x44_random_projection", "q47_higher_order", "q48_sliding_window",
       // bloom build multiplies by n only through the benchmark gram set;
@@ -96,7 +96,7 @@ object ScaleProbe {
       // round-4 late additions: q52/q53/q54 aggregate the 16x orders (Expand
       // multiplies rows 3x in q53 — the probe shows it stays linear); q55
       // runs BFS over the ~10M-row scaled lineitem edge graph (the real
-      // frontier-join stress); q56/q57 ride at base events scale; x51 runs
+      // frontier-join stress); q56 runs over the 16x events (users replicated), q57 the 16x lineitem; x51 runs
       // the rule scan over the 16x clone corpus; x50 rides at base
       // embeddings scale as a shape check
       "q52_unpivot", "q53_grouping_sets", "q54_map_funcs", "q55_recursive_reach",
@@ -104,7 +104,7 @@ object ScaleProbe {
       // x52's gram df and coverage windows run over the 16x clone corpus
       // (every 5-gram's df jumps to ≥16 ⇒ every word covered — the
       // worst-case full-redaction path); x53's prefix sum spans 80k docs;
-      // q58-q60 ride at their natural scales (events base, orders 16x)
+      // q58/q59 run over the 16x events, q60 the 16x orders
       "x52_span_dedup", "x53_sequence_pack", "q58_variant", "q59_funnel",
       "q60_set_ops_all",
       // x54 rides the x02 inverted index over the 16x clone corpus (every
@@ -114,14 +114,13 @@ object ScaleProbe {
       // agg with lineage cut per round
       "q62_pagerank",
       // round-4 analytic batch: q65-q68 aggregate the 16x lineitem/orders;
-      // q63 (customer) and q64 (events) ride at base scale as window-shape
-      // checks; x57 iterates over base embeddings (k·dims broadcast per
+      // q63 rides at base customer scale; q64 windows the 16x events; x57 iterates over base embeddings (k·dims broadcast per
       // round); x59's per-source ranking window runs over the 16x clone
       // corpus (every source's stratum multiplies 16x)
       "q63_ntile_distribution", "q64_ignore_nulls", "q65_bitwise_agg",
       "q66_median", "q67_try_arith", "q68_calendar_arith",
       "x57_kmeans", "x59_temperature_mix",
-      // q71 sessionizes the base events (window-shape check); x61/x62/x63
+      // q71 sessionizes the 16x events (16x users, same per-user sessions); x61/x62/x63
       // run their corpus aggregations over the 16x clone documents (every
       // tf and pair count multiplies by 16; x62's fences shift with the
       // replicated distribution)

@@ -314,7 +314,7 @@ object Reshape {
         |  FROM events)
         |SELECT CAST((k - ((k % 10 + 10) % 10)) // 10 AS BIGINT) AS k_bucket,
         |  event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
-        |FROM t GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin,
+        |FROM t GROUP BY 1, 2 ORDER BY k_bucket NULLS FIRST, event_type""".stripMargin,
     "q52_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

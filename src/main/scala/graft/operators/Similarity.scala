@@ -67,6 +67,29 @@ object Similarity {
     * engines (DuckDB: `CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT)`). */
   private def cosE6(c: Column): Column = round(c * lit(1000000)).cast("long")
 
+  /** The k LOWEST distinct vec_ids — query/seed selection that cannot
+    * silently shrink on sparse or non-zero-based id spaces, unlike a
+    * `vec_id < k` predicate (ADVICE r4; same degeneracy class as the x57
+    * seed fix). Oracles mirror it as `IN (SELECT DISTINCT vec_id ...
+    * ORDER BY vec_id LIMIT k)`. */
+  private def lowestIds(emb: DataFrame, k: Int): DataFrame =
+    emb.select("vec_id").distinct().orderBy("vec_id").limit(k)
+
+  /** Brute-force exact top-k cosine neighbors for the nq lowest query ids —
+    * the oracle-reproducible exact baseline shared by x05 and x13's
+    * exact-twin columns (one definition, one tie-break contract). */
+  private def bruteTopK(emb: DataFrame, nq: Int, k: Int): DataFrame = {
+    val q = emb
+      .join(broadcast(lowestIds(emb, nq)), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cos", cosineF(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   // ---- deterministic hyperplane LSH machinery ------------------------------
 
   /** component quantization grid: v → round(v * 2^20) as int64 */
@@ -210,25 +233,18 @@ object Similarity {
     }),
 
     // exact top-5 neighbors for the first 10 vectors (brute force baseline)
-    "x05_sim_cosine_topk" -> ((s, d) => {
-      val emb = table(s, d, "embeddings")
-      val q = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      c.join(broadcast(q), col("nid") =!= col("qid"))
-        .withColumn("cos", cosineF(col("qe"), col("ne")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 5)
+    "x05_sim_cosine_topk" -> ((s, d) =>
+      bruteTopK(table(s, d, "embeddings"), nq = 10, k = 5)
         .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"))
-        .orderBy("qid", "rk")
-    }),
+        .orderBy("qid", "rk")),
 
     // LSH-bucketed approximate top-k (scale path; rows-only check)
     "x06_sim_ann_lsh" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val sig = bandSigs(s, emb)
       val withSig = emb.join(sig, "vec_id")
-      val q = withSig.where(col("vec_id") < 10)
+      val q = withSig
+        .join(broadcast(lowestIds(emb, 10)), "vec_id")
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("band"), col("bucket"))
       val cand = withSig.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("band"), col("bucket"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -265,15 +281,7 @@ object Similarity {
     "x13_sim_ivf" -> ((s, d) => {
       val idx = ivfEnsureIndex(s, d, nlist = 8, iters = 3)
       val ivf = ivfSearchIndex(s, table(s, d, "embeddings"), idx, k = 5, nQueries = 10, nprobe = 4)
-      val emb = table(s, d, "embeddings")
-      val q = emb.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      val exact = c
-        .join(broadcast(q), col("nid") =!= col("qid"))
-        .withColumn("cos", cosineF(col("qe"), col("ne")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 5)
+      val exact = bruteTopK(table(s, d, "embeddings"), nq = 10, k = 5)
         .localCheckpoint() // feeds hits + the per-query twins (2 plan refs)
       val hits = ivf
         .select("qid", "nid")
@@ -323,7 +331,7 @@ object Similarity {
     "x29_knn_classify" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val q = emb
-        .where(col("vec_id") < 20)
+        .join(broadcast(lowestIds(emb, 20)), "vec_id")
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("tl"))
       val c = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label").as("nl"))
       val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -452,12 +460,13 @@ object Similarity {
       .select(col("vec_id"), (-col("best.ncid")).as("cid"))
 
   /** Distributed Lloyd k-means over cosine similarity: deterministic seeds
-    * (vec_id < nlist), each iteration = one broadcast assignment pass + one
-    * shuffle to re-average components. Iteration count is fixed (a build-time
-    * budget, the IVF-index norm) rather than convergence-tested. */
+    * (the nlist lowest distinct vec_ids), each iteration = one broadcast
+    * assignment pass + one shuffle to re-average components. Iteration count
+    * is fixed (a build-time budget, the IVF-index norm) rather than
+    * convergence-tested. */
   private[graft] def kmeansCentroids(s: SparkSession, emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
     var centroids = emb
-      .where(col("vec_id") < nlist)
+      .join(broadcast(lowestIds(emb, nlist)), "vec_id")
       .select(col("vec_id").as("cid"), transform(col("embedding"), x => x.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
       centroids = assignLists(emb, centroids)
@@ -514,7 +523,7 @@ object Similarity {
     val centroids = s.read.parquet(s"$indexDir/centroids")
     val lists = s.read.parquet(s"$indexDir/lists")
     val q = emb
-      .where(col("vec_id") < nQueries)
+      .join(broadcast(lowestIds(emb, nQueries)), "vec_id")
       .select(
         col("vec_id").as("qid"),
         col("embedding").as("qe"),
@@ -622,7 +631,7 @@ object Similarity {
         |    row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-        |  WHERE a.vec_id < 10)
+        |  WHERE a.vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10))
         |SELECT qid, CAST(max(CASE WHEN rk = 1 THEN nid END) AS BIGINT) AS exact_top1,
         |  CAST(max(CASE WHEN rk = 1 THEN round(CAST(cos AS DOUBLE) * 1000000) END) AS BIGINT)
         |    AS exact_top1_cos_e6,
@@ -635,7 +644,7 @@ object Similarity {
         |    row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rk
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-        |  WHERE a.vec_id < 10)
+        |  WHERE a.vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10))
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // x06's approximation is deterministic end-to-end (integer-exact band
     // signatures + bit-exact float32 cosine re-rank), so unlike most ANN
@@ -647,7 +656,8 @@ object Similarity {
       s"""WITH $bandSigSql,
          |q AS (
          |  SELECT e.vec_id AS qid, e.embedding AS qe, s.band, s.bucket
-         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id WHERE e.vec_id < 10),
+         |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
+         |  WHERE e.vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
          |cand AS (
          |  SELECT DISTINCT q.qid, q.qe, e.vec_id AS nid, e.embedding AS ne
          |  FROM embeddings e JOIN sig s ON e.vec_id = s.vec_id
@@ -672,7 +682,8 @@ object Similarity {
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "x29_knn_classify" ->
       """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qe, label AS tl FROM embeddings WHERE vec_id < 20),
+        |  SELECT vec_id AS qid, embedding AS qe, label AS tl FROM embeddings
+        |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)),
         |nn AS (
         |  SELECT q.qid, q.tl, e.label AS nl,
         |    row_number() OVER (PARTITION BY q.qid

@@ -217,6 +217,10 @@ object TextAnalysis {
       // frame — scans are cheap, corpus shuffles are not.
       def bg = table(s, d, "documents")
         .select(col("doc_id"), col("lang"), toks.as("ws"))
+        // sub-2-token docs have no bigrams; without this guard
+        // sequence(0, size-2) descends and emits NULL-keyed junk bigrams
+        // (oracle twin filters len(ws) >= 2)
+        .where(size(col("ws")) >= 2)
         .select(
           col("doc_id"),
           col("lang"),

@@ -71,8 +71,13 @@ object SasFixture {
     * >255 length-nibble forms: 280+ 'a' run (long byte run), '@' runs
     * (both '@' forms), a 330-char non-repeating stretch (long literal
     * copy), short repeats/literals, short + long space runs (cell
-    * padding). Every 10th row is pseudo-random across the full width —
-    * incompressible, so it exercises the stored-raw subheader path. */
+    * padding). Every 10th row is GUARANTEED incompressible — no two
+    * adjacent bytes repeat anywhere (norun text everywhere the padding
+    * can't reach, π/e/√2 doubles whose LE byte patterns carry no runs) —
+    * so the encoder's compressed form costs control-byte overhead over the
+    * raw row and the stored-raw subheader path (pointer compression 0,
+    * length == rowLength) actually executes; Sas7bdatSpec asserts both
+    * pointer flavors occur in the file. */
   def rleRows: Seq[Seq[Any]] = (0 until 400).map { i =>
     def pseudo(n: Int, salt: Long): String = {
       val sb = new StringBuilder(n)
@@ -80,16 +85,34 @@ object SasFixture {
       while (sb.length < n) { h = h * 6364136223846793005L + 1442695040888963407L; sb += ('A' + ((h >>> 33) % 26)).toChar }
       sb.toString
     }
+    // like pseudo, but NO two adjacent chars equal → no RLE run anywhere
+    def norun(n: Int, salt: Long): String = {
+      val sb = new StringBuilder(n)
+      var h = i * 2654435761L + salt
+      while (sb.length < n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        var c = ('A' + ((h >>> 33) % 26)).toChar
+        if (sb.nonEmpty && sb.last == c) c = (if (c == 'Z') 'A' else (c + 1).toChar)
+        sb += c
+      }
+      sb.toString
+    }
+    val raw = i % 10 == 0
     val pattern =
-      if (i % 10 == 0) pseudo(680, 7L) // incompressible → stored raw
+      if (raw) norun(680, 7L) // full width, runless → stored raw
       else if (i % 7 == 3) "z" // 679 trailing blanks → >255-length space run
       else "a" * (280 + i % 5) + "@" * (20 + i % 3) + pseudo(330, 11L) + "b" * (3 + i % 4) + "@@@" + "x y"
     Seq(
-      java.lang.Double.valueOf(i.toDouble),
-      java.lang.Double.valueOf(0.0),
-      java.lang.Double.valueOf(0.0),
-      java.lang.Double.valueOf(0.0),
-      "tag" + (i % 5),
+      // raw rows avoid the IEEE zero-byte runs of small integers/0.0: the
+      // constants' little-endian byte patterns contain no repeated
+      // adjacent bytes, keeping the whole 732-byte row literal-only
+      java.lang.Double.valueOf(if (raw) i.toDouble + 0.3141592653589793 else i.toDouble),
+      java.lang.Double.valueOf(if (raw) 3.141592653589793 else 0.0),
+      java.lang.Double.valueOf(if (raw) 2.718281828459045 else 0.0),
+      java.lang.Double.valueOf(if (raw) 1.4142135623730951 else 0.0),
+      // full 20-char width for raw rows — blank padding would hand the
+      // encoder a compressible space run
+      if (raw) norun(16, 13L) + "tag" + (i % 5) else "tag" + (i % 5),
       pattern
     )
   }

@@ -128,6 +128,21 @@ class Sas7bdatSpec extends AnyFunSuite {
     val twin = spark.read.parquet(SasFixture.twinRlePath)
     assert(df.count() === 400)
     assert(df.exceptAll(twin).count() === 0 && twin.exceptAll(df).count() === 0)
+    // BOTH row-storage flavors must occur, or the stored-raw decode branch
+    // ships untested: pointer compression 4 (RLE) and 0 (raw, the
+    // incompressible every-10th rows)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(SasFixture.sasRlePath))
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val flags = (1L until meta.pageCount).flatMap { pg =>
+      val base = (meta.headerSize + pg * meta.pageSize).toInt
+      val nSub = u16(base + meta.bitOffset + 4)
+      (0 until nSub).map { i =>
+        val p = base + meta.bitOffset + 8 + meta.ptrLen * i
+        bytes(p + 2 * meta.intLen) & 0xff
+      }
+    }
+    assert(flags.count(_ == 4) > 300, s"expected mostly RLE rows, got ${flags.groupBy(identity).view.mapValues(_.size).toMap}")
+    assert(flags.count(_ == 0) === 40, s"every 10th row must store raw: ${flags.groupBy(identity).view.mapValues(_.size).toMap}")
   }
 
   test("RDC-compressed input is rejected with a clear error") {
