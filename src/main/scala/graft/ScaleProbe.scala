@@ -126,8 +126,11 @@ object ScaleProbe {
       // replicated distribution)
       "q71_session_window", "x61_surprisal", "x62_winsorize", "x63_bpe_pairs",
       "x64_epoch_upsample",
-      // r5: bigram-LM perplexity buckets — vocab aggs + equi-joins back
-      "x66_perplexity_bucket"
+      // r5: bigram-LM perplexity buckets — vocab aggs + equi-joins back;
+      // span decontamination runs the x52 coverage machinery against the
+      // benchmark gram set over the 16x clone corpus (every clone of a
+      // benchmark doc is fully covered — the full-redaction worst case)
+      "x66_perplexity_bucket", "x67_span_decontaminate"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -359,6 +359,62 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // ---- span-level benchmark decontamination -------------------------------
+    // x18/x46 give the doc-level verdict (how MUCH benchmark overlap); this
+    // is the surgical variant real pre-training pipelines run before
+    // dropping data on the floor: remove only the 5-gram SPANS that overlap
+    // the benchmark set and keep the rest of the document (x52's positional
+    // coverage machinery pointed at an external contamination set instead
+    // of corpus-internal duplication). Scale shape: one doc_id-partitioned
+    // window pass (checkpointed, 2 refs), the benchmark gram set is a
+    // distinct-gram aggregation (broadcastable dim; x46's Bloom bitset is
+    // the compact-filter alternative when even that is too big), coverage
+    // is a 5-wide running max per doc.
+    "x67_span_decontaminate" -> ((s, d) => {
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val gramStr = concat_ws(
+        " ",
+        col("word"),
+        lead("word", 1).over(wDoc),
+        lead("word", 2).over(wDoc),
+        lead("word", 3).over(wDoc),
+        lead("word", 4).over(wDoc)
+      )
+      val words = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "word")))
+      val withGram = words
+        .withColumn("w4", lead("word", 4).over(wDoc))
+        .withColumn("gh", when(col("w4").isNotNull, graft.functions.Hashing.md5Window15(gramStr)))
+        .drop("w4")
+        .localCheckpoint() // feeds the benchmark gram set + the corpus side
+      val bench = withGram
+        .where(col("doc_id") % 50 === 0 && col("gh").isNotNull)
+        .select("gh")
+        .distinct()
+        .select(col("gh"), lit(1L).as("hit"))
+      val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+      withGram
+        .where(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("gh"), "left")
+        .withColumn("hit_start", coalesce(col("hit"), lit(0L)))
+        .withColumn("covered", max(col("hit_start")).over(wCov))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("covered")).as("n_removed"),
+          md5(
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("covered") === 0L, struct(col("pos"), col("word"))))),
+                x => x.getField("word")
+              ),
+              " "
+            )
+          ).as("clean_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- char-4-gram near-dup via MinHash signatures -----------------------
     // Character shingles come from a tiny alphabet, so common 4-grams occur
     // in nearly every document: a raw inverted-index self-join is quadratic
@@ -591,6 +647,31 @@ object Dedup {
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT doc_id, cluster_id, cluster_size
          |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "x67_span_decontaminate" ->
+      """WITH warr AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS gh
+        |  FROM warr, unnest(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5),
+        |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0),
+        |words AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+        |  FROM warr, unnest(generate_series(1, len(w))) t(i) WHERE doc_id % 50 <> 0),
+        |starts AS (
+        |  SELECT g.doc_id, g.pos, 1 AS hit_start
+        |  FROM g JOIN bench USING (gh) WHERE g.doc_id % 50 <> 0),
+        |flagged AS (
+        |  SELECT wo.doc_id, wo.pos, wo.word, coalesce(st.hit_start, 0) AS hit_start
+        |  FROM words wo LEFT JOIN starts st ON wo.doc_id = st.doc_id AND wo.pos = st.pos),
+        |cov AS (
+        |  SELECT *, max(hit_start) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM flagged)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(covered) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '')) AS clean_md5
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x52_span_dedup" ->
       """WITH warr AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

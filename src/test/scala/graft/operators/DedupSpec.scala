@@ -21,6 +21,36 @@ class DedupSpec extends AnyFunSuite {
     d
   }
 
+  test("x67 span decontamination: exact benchmark spans removed, rest kept verbatim") {
+    val d = TestSpark.tempDir()
+    val benchGram = "alpha bravo charlie delta echo" // the contaminating 5-gram
+    val docs = Seq(
+      (0L, s"benchmark question says $benchGram end", "en", "t", 10L), // 0 % 50 == 0 → benchmark set
+      (1L, s"clean prefix words here $benchGram clean suffix tail words", "en", "t", 10L),
+      (2L, "totally unrelated content with no benchmark overlap at all", "en", "t", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val out = Dedup
+      .queries("x67_span_decontaminate")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out.keySet === Set(1L, 2L), "benchmark docs are not scored")
+    // doc 1: 13 words; the 5-gram starts at pos 4 → coverage marks 4..8
+    assert(out(1L).getAs[Long]("n_words") === 13L)
+    assert(out(1L).getAs[Long]("n_removed") === 5L)
+    val expectClean = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("clean prefix words here clean suffix tail words")
+    assert(out(1L).getAs[String]("clean_md5") === expectClean)
+    // doc 2: untouched, clean_md5 = digest of the full normalized text
+    assert(out(2L).getAs[Long]("n_removed") === 0L)
+    assert(
+      out(2L).getAs[String]("clean_md5") ===
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex("totally unrelated content with no benchmark overlap at all")
+    )
+  }
+
   test("exact dedup counts duplicates") {
     val r = Dedup.queries("x01_dedup_exact")(spark, dir).head()
     assert(r.getAs[Long]("total_docs") === 4L)
