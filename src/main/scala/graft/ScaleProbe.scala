@@ -130,7 +130,11 @@ object ScaleProbe {
       // span decontamination runs the x52 coverage machinery against the
       // benchmark gram set over the 16x clone corpus (every clone of a
       // benchmark doc is fully covered — the full-redaction worst case)
-      "x66_perplexity_bucket", "x67_span_decontaminate"
+      "x66_perplexity_bucket", "x67_span_decontaminate",
+      // x68 is scan → tiny broadcast → per-doc agg; x69's clone corpus is
+      // the mass-duplication case: exact pass collapses clones, the
+      // hot-bucket cap keeps the band join off the dense buckets
+      "x68_quality_classifier", "x69_incremental_dedup"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -461,6 +461,76 @@ object Dedup {
     // exact hamming via bit_count(xor).
     "x04_dedup_simhash" -> ((s, d) => simhashPairs(table(s, d, "documents")).orderBy("doc_a", "doc_b")),
 
+    // ---- incremental shard-vs-corpus dedup ----------------------------------
+    // The ingestion-time gate: a NEW shard arrives and must be deduped
+    // against the EXISTING corpus without re-deduping the corpus against
+    // itself (x01/x04 are the self-dedup batch forms). Verdict per shard
+    // doc: exact_dup (content hash already in the corpus), near_dup
+    // (simhash hamming ≤ 3 against ≥1 corpus doc via the lossless band
+    // index), else unique. Scale shape: the corpus side is the INDEX
+    // (content-hash set + 4-band signature table, both incrementally
+    // maintainable); the shard only ever joins keys against it — no
+    // shard×corpus pair step exists outside band buckets. Fixture split:
+    // doc_id % 3 == 0 plays the corpus.
+    "x69_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 3 === 0)
+      val shard = docs.where(col("doc_id") % 3 =!= 0)
+      val exact = shard
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(corpus.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("is_exact"))
+      // ONE signature pass over the whole table (the corpus/shard split is
+      // a filter on the checkpointed sigs, not a second scan+hash pass)
+      val sig = simhashSigsOf(docs).localCheckpoint()
+      val sigC = sig.where(col("doc_id") % 3 === 0)
+      val sigS = sig.where(col("doc_id") % 3 =!= 0)
+      // hot-bucket cap, the x02 DfCap discipline: a band bucket shared by
+      // >200 docs is a mass-similarity cluster whose members the EXACT pass
+      // already collapses when they're true clones; joining it would be
+      // quadratic in bucket size (measured: the 16x clone corpus drives
+      // single buckets past 3000 docs). Recall honesty: a near-dup pair is
+      // missed only if ALL of its agreeing bands are hot. The oracle
+      // replicates the cap, the spec pins the planted-pair semantics.
+      val bands = simhashBands(sig).localCheckpoint() // feeds hot + both join sides
+      val hot = bands.groupBy("band", "k").agg(count(lit(1)).as("df")).where(col("df") > 200).select("band", "k")
+      val cold = bands.join(hot, Seq("band", "k"), "left_anti")
+      val cand = cold
+        .where(col("doc_id") % 3 =!= 0)
+        .as("a")
+        .join(
+          cold.where(col("doc_id") % 3 === 0).as("b"),
+          col("a.band") === col("b.band") && col("a.k") === col("b.k")
+        )
+        .select(col("a.doc_id").as("sid"), col("b.doc_id").as("cid"))
+        .distinct()
+      val near = cand
+        .join(sigS.select(col("doc_id").as("sid"), col("lo").as("lo_a"), col("hi").as("hi_a")), "sid")
+        .join(sigC.select(col("doc_id").as("cid"), col("lo").as("lo_b"), col("hi").as("hi_b")), "cid")
+        .withColumn(
+          "hamming",
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) + bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+            .cast("long")
+        )
+        .where(col("hamming") <= 3)
+        .groupBy("sid")
+        .agg(count(lit(1)).as("n_near"), min("hamming").as("min_h"))
+      shard
+        .select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("is_exact").isNotNull, "exact_dup")
+            .when(col("n_near").isNotNull, "near_dup")
+            .otherwise("unique")
+            .as("verdict"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("min_h"), lit(-1L)).as("min_hamming")
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- resolution-first dedup pipeline -----------------------------------
     // The 16x clone probe showed why stage ordering matters: near-dup PAIR
     // output is inherently quadratic in per-text clone count (every clone
@@ -484,16 +554,23 @@ object Dedup {
 
   /** SimHash near-dup pairs (hamming ≤ 3) over any (doc_id, text) set:
     * 4 lossless 15/16-bit bands → candidates → exact hamming verify. */
-  private def simhashPairs(docs: DataFrame): DataFrame = {
-    val sig = simhashSigsOf(docs)
+  /** 4 lossless 15/16-bit bands of the 62-bit signature: any pair with
+    * hamming ≤ 3 must agree exactly on ≥ 1 band (pigeonhole). */
+  private def simhashBands(sig: DataFrame): DataFrame = {
     val bandKeys = array(
       struct(lit(0).as("band"), col("lo").bitwiseAND(lit(32767L)).as("k")),
       struct(lit(1).as("band"), shiftright(col("lo"), 15).as("k")),
       struct(lit(2).as("band"), col("hi").bitwiseAND(lit(32767L)).as("k")),
       struct(lit(3).as("band"), shiftright(col("hi"), 15).as("k"))
     )
-    val bands = sig.select(col("doc_id"), explode(bandKeys).as("bk"))
+    sig
+      .select(col("doc_id"), explode(bandKeys).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.k"))
+  }
+
+  private def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSigsOf(docs)
+    val bands = simhashBands(sig)
     val cand = bands
       .as("a")
       .join(
@@ -744,6 +821,46 @@ object Dedup {
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // oracle replicates the banded+capped pipeline (x02/x12 precedent: the
+    // gate checks implementation correctness end-to-end; the planted spec
+    // pins semantics, and below the cap the banding is lossless at
+    // hamming ≤ 3)
+    "x69_incremental_dedup" ->
+      s"""WITH ${simhashSigCtes("documents")},
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, lo & 32767 AS k FROM sig
+        |  UNION ALL SELECT doc_id, 1, lo >> 15 FROM sig
+        |  UNION ALL SELECT doc_id, 2, hi & 32767 FROM sig
+        |  UNION ALL SELECT doc_id, 3, hi >> 15 FROM sig),
+        |hot AS (SELECT band, k FROM bands GROUP BY band, k HAVING count(*) > 200),
+        |cold AS (
+        |  SELECT b.* FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.k = h.k
+        |  WHERE h.band IS NULL),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS sid, b.doc_id AS cid
+        |  FROM cold a JOIN cold b ON a.band = b.band AND a.k = b.k
+        |  WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
+        |ss AS (SELECT * FROM sig WHERE doc_id % 3 <> 0),
+        |cs AS (SELECT * FROM sig WHERE doc_id % 3 = 0),
+        |near AS (
+        |  SELECT cand.sid, count(*) AS n_near,
+        |    min(bit_count(xor(s.lo, c.lo)) + bit_count(xor(s.hi, c.hi))) AS min_h
+        |  FROM cand JOIN ss s ON cand.sid = s.doc_id JOIN cs c ON cand.cid = c.doc_id
+        |  WHERE bit_count(xor(s.lo, c.lo)) + bit_count(xor(s.hi, c.hi)) <= 3
+        |  GROUP BY cand.sid),
+        |ex AS (
+        |  SELECT DISTINCT d.doc_id FROM documents d
+        |  JOIN documents c ON md5(d.text) = md5(c.text) AND c.doc_id % 3 = 0
+        |  WHERE d.doc_id % 3 <> 0)
+        |SELECT d.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN near.sid IS NOT NULL THEN 'near_dup' ELSE 'unique' END AS verdict,
+        |  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+        |  CAST(coalesce(near.min_h, -1) AS BIGINT) AS min_hamming
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+        |LEFT JOIN ex ON d.doc_id = ex.doc_id
+        |LEFT JOIN near ON d.doc_id = near.sid
+        |ORDER BY d.doc_id""".stripMargin,
     "x04_dedup_simhash" ->
       s"""WITH ${simhashSigCtes("documents")}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

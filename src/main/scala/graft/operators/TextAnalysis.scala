@@ -267,6 +267,43 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // classifier-based quality filtering — the GPT-3/LLaMA-style stage: a
+    // linear model over hashed features (x65's 256-bucket hashing trick)
+    // scores every document and gates keep/drop. The WEIGHTS here are a
+    // deterministic md5-derived fixture standing in for a trained table
+    // (training is offline; what the engine owes the pipeline is the
+    // inference shape) — per-doc sparse features ⋈ broadcast weight vector,
+    // one agg, integer arithmetic end to end (posmod floor division for
+    // the negative-capable per-token score, the x57 convention). Scale
+    // shape: scan → (doc, bucket) agg → broadcast join → per-doc agg;
+    // the weight table is 256 rows at any corpus size.
+    "x68_quality_classifier" -> ((s, d) => {
+      val feats = table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+        .select(col("doc_id"), Hashing.md5Bucket(col("term"), 256).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(count(lit(1)).as("cnt"))
+      val weights = s
+        .range(256)
+        .select(
+          col("id").as("b"),
+          (pmod(Hashing.md5Window15(col("id").cast("string")), lit(2001L)) - 1000L).as("w")
+        )
+      feats
+        .join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"), sum(expr("cnt * w")).as("score"))
+        .withColumn("score_pt", expr("(score - ((score % n_tokens + n_tokens) % n_tokens)) div n_tokens"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("score"),
+          col("score_pt"),
+          (col("score_pt") >= lit(-50L)).as("keep")
+        )
+        .orderBy("doc_id")
+    }),
+
     "x09_text_langid" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val aggCols = markers.map { case (l, ws) =>
@@ -467,6 +504,26 @@ object TextAnalysis {
           |SELECT doc_id, count(*) AS nnz, CAST(sum(cnt) AS BIGINT) AS l1,
           |  CAST(sum(b * cnt) AS BIGINT) AS digest, CAST(max(cnt) AS BIGINT) AS max_cnt
           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "x68_quality_classifier" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b, count(*) AS cnt
+          |  FROM tok GROUP BY 1, 2),
+          |w AS (
+          |  SELECT b, ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w
+          |  FROM (SELECT DISTINCT b FROM f)),
+          |s AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          |    CAST(sum(cnt * w.w) AS BIGINT) AS score
+          |  FROM f JOIN w USING (b) GROUP BY doc_id),
+          |p AS (
+          |  SELECT doc_id, n_tokens, score,
+          |    CAST((score - ((score % n_tokens + n_tokens) % n_tokens)) // n_tokens AS BIGINT) AS score_pt
+          |  FROM s)
+          |SELECT doc_id, n_tokens, score, score_pt, score_pt >= -50 AS keep
+          |FROM p ORDER BY doc_id""".stripMargin,
       "x66_perplexity_bucket" ->
         """WITH t AS (
           |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -51,6 +51,28 @@ class DedupSpec extends AnyFunSuite {
     )
   }
 
+  test("x69 incremental dedup: exact_dup > near_dup > unique verdicts against the corpus") {
+    val d = TestSpark.tempDir()
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val reorder = (1 to 60).reverse.map(i => s"tok$i").mkString(" ") // bag-equal → simhash hamming 0
+    val docs = Seq(
+      (0L, base, "en", "t", 1L), // 0 % 3 == 0 → corpus
+      (1L, base, "en", "t", 1L), // shard: exact clone of corpus doc
+      (2L, reorder, "en", "t", 1L), // shard: near-dup (reorder, different md5)
+      (4L, (1 to 60).map(i => s"zzz$i").mkString(" "), "en", "t", 1L) // shard: unique
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val out = Dedup
+      .queries("x69_incremental_dedup")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("verdict"), r.getAs[Long]("min_hamming")))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "only shard docs are scored")
+    assert(out(1L)._1 === "exact_dup")
+    assert(out(2L) === (("near_dup", 0L))) // order-invariant signature: hamming 0, not exact
+    assert(out(4L) === (("unique", -1L)))
+  }
+
   test("exact dedup counts duplicates") {
     val r = Dedup.queries("x01_dedup_exact")(spark, dir).head()
     assert(r.getAs[Long]("total_docs") === 4L)
