@@ -29,6 +29,10 @@ object Dedup {
   /** x02's document-frequency cap: shingles in more than this many docs are
     * dropped before the inverted-index self-join (hot-key skew bound). */
   private[graft] val DfCap = 50L
+  /** x69's hot-band cap: simhash band buckets shared by more than this
+    * many docs are mass-similarity clusters — quadratic to join, and their
+    * true clones are already caught by the exact content-hash pass. */
+  private[graft] val BandCap = 200L
   /** 16 affine hash functions (a_i·h + b_i mod M) for the MinHash signature. */
   private val As = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
   private val Bs = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L)
@@ -176,6 +180,61 @@ object Dedup {
     bands.as("a").join(bands.as("b"), joinCond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Positional 5-gram pass shared by x52 (span dedup) and x67 (span
+    * decontamination): one doc_id-partitioned window builds, per token
+    * position, the hash of the 5-gram STARTING there (null when no full
+    * gram fits). Checkpointed — every caller feeds it to ≥2 plan
+    * references (a gram-set aggregation + the flag join). */
+  private def positionalGrams(s: SparkSession, d: String): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val gramStr = concat_ws(
+      " ",
+      col("word"),
+      lead("word", 1).over(wDoc),
+      lead("word", 2).over(wDoc),
+      lead("word", 3).over(wDoc),
+      lead("word", 4).over(wDoc)
+    )
+    table(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "word")))
+      .withColumn("w4", lead("word", 4).over(wDoc)) // null ⇒ pos > n-5: no full gram starts here
+      .withColumn("gh", when(col("w4").isNotNull, graft.functions.Hashing.md5Window15(gramStr)))
+      .drop("w4")
+      .localCheckpoint()
+  }
+
+  /** Coverage + survivor digest shared by x52/x67: flag positions where a
+    * flagged gram starts, mark the 5-wide union of intervals covered, and
+    * emit per-doc word/removed counts plus the md5 of the surviving
+    * normalized token stream (sorted collect_list — order is a contract). */
+  private def coverageDigest(
+      withGram: DataFrame,
+      flagged: DataFrame,
+      removedCol: String,
+      digestCol: String
+  ): DataFrame = {
+    val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+    withGram
+      .join(flagged, Seq("gh"), "left")
+      .withColumn("flag_start", coalesce(col("flag"), lit(0L)))
+      .withColumn("covered", max(col("flag_start")).over(wCov))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("covered")).as(removedCol),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("covered") === 0L, struct(col("pos"), col("word"))))),
+              x => x.getField("word")
+            ),
+            " "
+          )
+        ).as(digestCol)
+      )
+      .orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -493,8 +552,10 @@ object Dedup {
       // missed only if ALL of its agreeing bands are hot. The oracle
       // replicates the cap, the spec pins the planted-pair semantics.
       val bands = simhashBands(sig).localCheckpoint() // feeds hot + both join sides
-      val hot = bands.groupBy("band", "k").agg(count(lit(1)).as("df")).where(col("df") > 200).select("band", "k")
-      val cold = bands.join(hot, Seq("band", "k"), "left_anti")
+      val hot = bands.groupBy("band", "k").agg(count(lit(1)).as("df")).where(col("df") > BandCap).select("band", "k")
+      // feeds both sides of the cand self-join (the %3 filters make the
+      // subtrees non-identical, so exchange reuse cannot kick in)
+      val cold = bands.join(hot, Seq("band", "k"), "left_anti").localCheckpoint()
       val cand = cold
         .where(col("doc_id") % 3 =!= 0)
         .as("a")
@@ -552,8 +613,6 @@ object Dedup {
     })
   )
 
-  /** SimHash near-dup pairs (hamming ≤ 3) over any (doc_id, text) set:
-    * 4 lossless 15/16-bit bands → candidates → exact hamming verify. */
   /** 4 lossless 15/16-bit bands of the 62-bit signature: any pair with
     * hamming ≤ 3 must agree exactly on ≥ 1 band (pigeonhole). */
   private def simhashBands(sig: DataFrame): DataFrame = {
@@ -568,6 +627,8 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.k"))
   }
 
+  /** SimHash near-dup pairs (hamming ≤ 3) over any (doc_id, text) set:
+    * 4 lossless 15/16-bit bands → candidates → exact hamming verify. */
   private def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = simhashSigsOf(docs)
     val bands = simhashBands(sig)
@@ -832,7 +893,7 @@ object Dedup {
         |  UNION ALL SELECT doc_id, 1, lo >> 15 FROM sig
         |  UNION ALL SELECT doc_id, 2, hi & 32767 FROM sig
         |  UNION ALL SELECT doc_id, 3, hi >> 15 FROM sig),
-        |hot AS (SELECT band, k FROM bands GROUP BY band, k HAVING count(*) > 200),
+        |hot AS (SELECT band, k FROM bands GROUP BY band, k HAVING count(*) > $BandCap),
         |cold AS (
         |  SELECT b.* FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.k = h.k
         |  WHERE h.band IS NULL),

@@ -32,6 +32,26 @@ object TextAnalysis {
   private def inSet(arr: Column, set: Seq[String]): Column =
     size(filter(arr, t => t.isInCollection(set))).cast("long")
 
+  /** Per-doc 256-bucket hashed-feature counts (the hashing trick) — shared
+    * by x65 (featurization) and x68 (classifier inference); the oracles
+    * share [[hashedFeaturesSql]] the same way. */
+  private def hashedFeatures(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"), Hashing.md5Bucket(col("term"), 256).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DuckDB CTEs producing f(doc_id, b, cnt) — the oracle twin of
+    * [[hashedFeatures]]. */
+  private val hashedFeaturesSql: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b, count(*) AS cnt
+      |  FROM tok GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_tokens" -> ((s, d) => {
       table(s, d, "documents")
@@ -252,11 +272,7 @@ object TextAnalysis {
     }),
 
     "x65_feature_hash" -> ((s, d) => {
-      table(s, d, "documents")
-        .select(col("doc_id"), explode(toks).as("term"))
-        .select(col("doc_id"), Hashing.md5Bucket(col("term"), 256).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(count(lit(1)).as("cnt"))
+      hashedFeatures(s, d)
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("nnz"),
@@ -278,11 +294,7 @@ object TextAnalysis {
     // shape: scan → (doc, bucket) agg → broadcast join → per-doc agg;
     // the weight table is 256 rows at any corpus size.
     "x68_quality_classifier" -> ((s, d) => {
-      val feats = table(s, d, "documents")
-        .select(col("doc_id"), explode(toks).as("term"))
-        .select(col("doc_id"), Hashing.md5Bucket(col("term"), 256).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(count(lit(1)).as("cnt"))
+      val feats = hashedFeatures(s, d)
       val weights = s
         .range(256)
         .select(
@@ -495,22 +507,12 @@ object TextAnalysis {
           |  length(text) AS text_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
       "x65_feature_hash" ->
-        """WITH tok AS (
-          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-          |  FROM documents),
-          |b AS (
-          |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b FROM tok),
-          |c AS (SELECT doc_id, b, count(*) AS cnt FROM b GROUP BY 1, 2)
+        s"""WITH $hashedFeaturesSql
           |SELECT doc_id, count(*) AS nnz, CAST(sum(cnt) AS BIGINT) AS l1,
           |  CAST(sum(b * cnt) AS BIGINT) AS digest, CAST(max(cnt) AS BIGINT) AS max_cnt
-          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "x68_quality_classifier" ->
-        """WITH tok AS (
-          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-          |  FROM documents),
-          |f AS (
-          |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b, count(*) AS cnt
-          |  FROM tok GROUP BY 1, 2),
+        s"""WITH $hashedFeaturesSql,
           |w AS (
           |  SELECT b, ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w
           |  FROM (SELECT DISTINCT b FROM f)),
