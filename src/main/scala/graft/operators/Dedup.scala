@@ -666,6 +666,32 @@ object Dedup {
 
   // ---- oracles -------------------------------------------------------------
 
+  /** warr + g CTEs — the oracle twin of [[positionalGrams]]: token array
+    * per doc and the 5-gram hash starting at each position. Shared by the
+    * x52 and x67 oracles; the flag source and coverage tail differ. */
+  private val positionalGramsSql =
+    """warr AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS gh
+      |  FROM warr, unnest(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5)""".stripMargin
+
+  /** flagged → coverage → per-doc digest tail shared by x52/x67 oracles
+    * (expects CTEs `words(doc_id,pos,word)` and `starts(doc_id,pos,flag)`). */
+  private def coverageDigestSql(removedCol: String, digestCol: String): String =
+    s"""flagged AS (
+       |  SELECT wo.doc_id, wo.pos, wo.word, coalesce(st.flag, 0) AS flag
+       |  FROM words wo LEFT JOIN starts st ON wo.doc_id = st.doc_id AND wo.pos = st.pos),
+       |cov AS (
+       |  SELECT *, max(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+       |  FROM flagged)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(covered) AS BIGINT) AS $removedCol,
+       |  md5(coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '')) AS $digestCol
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val shinglesSql =
     """words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -786,56 +812,26 @@ object Dedup {
          |SELECT doc_id, cluster_id, cluster_size
          |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "x67_span_decontaminate" ->
-      """WITH warr AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |g AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS gh
-        |  FROM warr, unnest(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5),
+      s"""WITH $positionalGramsSql,
         |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0),
         |words AS (
         |  SELECT doc_id, i - 1 AS pos, w[i] AS word
         |  FROM warr, unnest(generate_series(1, len(w))) t(i) WHERE doc_id % 50 <> 0),
         |starts AS (
-        |  SELECT g.doc_id, g.pos, 1 AS hit_start
+        |  SELECT g.doc_id, g.pos, 1 AS flag
         |  FROM g JOIN bench USING (gh) WHERE g.doc_id % 50 <> 0),
-        |flagged AS (
-        |  SELECT wo.doc_id, wo.pos, wo.word, coalesce(st.hit_start, 0) AS hit_start
-        |  FROM words wo LEFT JOIN starts st ON wo.doc_id = st.doc_id AND wo.pos = st.pos),
-        |cov AS (
-        |  SELECT *, max(hit_start) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
-        |  FROM flagged)
-        |SELECT doc_id, count(*) AS n_words,
-        |  CAST(sum(covered) AS BIGINT) AS n_removed,
-        |  md5(coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '')) AS clean_md5
-        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |${coverageDigestSql("n_removed", "clean_md5")}""".stripMargin,
     "x52_span_dedup" ->
-      """WITH warr AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      s"""WITH $positionalGramsSql,
         |words AS (
         |  SELECT doc_id, i - 1 AS pos, w[i] AS word
         |  FROM warr, unnest(generate_series(1, len(w))) t(i)),
-        |g AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS gh
-        |  FROM warr, unnest(generate_series(1, len(w) - 4)) t(i) WHERE len(w) >= 5),
         |df AS (
         |  SELECT gh, count(*) AS df FROM (SELECT DISTINCT doc_id, gh FROM g) GROUP BY gh),
         |starts AS (
-        |  SELECT g.doc_id, g.pos, CASE WHEN df.df >= 2 THEN 1 ELSE 0 END AS dup_start
+        |  SELECT g.doc_id, g.pos, CASE WHEN df.df >= 2 THEN 1 ELSE 0 END AS flag
         |  FROM g JOIN df USING (gh)),
-        |flagged AS (
-        |  SELECT wo.doc_id, wo.pos, wo.word, coalesce(st.dup_start, 0) AS dup_start
-        |  FROM words wo LEFT JOIN starts st ON wo.doc_id = st.doc_id AND wo.pos = st.pos),
-        |cov AS (
-        |  SELECT *, max(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
-        |  FROM flagged)
-        |SELECT doc_id, count(*) AS n_words,
-        |  CAST(sum(covered) AS BIGINT) AS n_dropped,
-        |  md5(coalesce(string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0), '')) AS survivors_md5
-        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |${coverageDigestSql("n_dropped", "survivors_md5")}""".stripMargin,
     "x31_span_stats" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
