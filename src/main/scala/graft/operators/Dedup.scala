@@ -369,25 +369,7 @@ object Dedup {
     // Output text is the normalized (lowercased, space-joined) token
     // stream; survivors_md5 digests it for the gate.
     "x52_span_dedup" -> ((s, d) => {
-      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val gramStr = concat_ws(
-        " ",
-        col("word"),
-        lead("word", 1).over(wDoc),
-        lead("word", 2).over(wDoc),
-        lead("word", 3).over(wDoc),
-        lead("word", 4).over(wDoc)
-      )
-      val words = table(s, d, "documents")
-        .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "word")))
-      val withGram = words
-        .withColumn("w4", lead("word", 4).over(wDoc)) // null ⇒ pos > n-5: no full gram starts here
-        .withColumn("gh", when(col("w4").isNotNull, graft.functions.Hashing.md5Window15(gramStr)))
-        .drop("w4")
-        // feeds BOTH the df aggregation and the flag join's left side —
-        // materialize the tokenize+window pass once (same discipline as
-        // x50's sig / q55's edges) instead of re-running it per reference
-        .localCheckpoint()
+      val withGram = positionalGrams(s, d)
       val dupGrams = withGram
         .where(col("gh").isNotNull)
         .select("doc_id", "gh")
@@ -395,27 +377,8 @@ object Dedup {
         .groupBy("gh")
         .agg(count(lit(1)).as("df"))
         .where(col("df") >= 2)
-        .select(col("gh"), lit(1L).as("dup"))
-      val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
-      withGram
-        .join(dupGrams, Seq("gh"), "left")
-        .withColumn("dup_start", coalesce(col("dup"), lit(0L)))
-        .withColumn("covered", max(col("dup_start")).over(wCov))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(col("covered")).as("n_dropped"),
-          md5(
-            array_join(
-              transform(
-                array_sort(collect_list(when(col("covered") === 0L, struct(col("pos"), col("word"))))),
-                x => x.getField("word")
-              ),
-              " "
-            )
-          ).as("survivors_md5")
-        )
-        .orderBy("doc_id")
+        .select(col("gh"), lit(1L).as("flag"))
+      coverageDigest(withGram, dupGrams, "n_dropped", "survivors_md5")
     }),
 
     // ---- span-level benchmark decontamination -------------------------------
@@ -430,48 +393,13 @@ object Dedup {
     // the compact-filter alternative when even that is too big), coverage
     // is a 5-wide running max per doc.
     "x67_span_decontaminate" -> ((s, d) => {
-      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val gramStr = concat_ws(
-        " ",
-        col("word"),
-        lead("word", 1).over(wDoc),
-        lead("word", 2).over(wDoc),
-        lead("word", 3).over(wDoc),
-        lead("word", 4).over(wDoc)
-      )
-      val words = table(s, d, "documents")
-        .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "word")))
-      val withGram = words
-        .withColumn("w4", lead("word", 4).over(wDoc))
-        .withColumn("gh", when(col("w4").isNotNull, graft.functions.Hashing.md5Window15(gramStr)))
-        .drop("w4")
-        .localCheckpoint() // feeds the benchmark gram set + the corpus side
+      val withGram = positionalGrams(s, d)
       val bench = withGram
         .where(col("doc_id") % 50 === 0 && col("gh").isNotNull)
         .select("gh")
         .distinct()
-        .select(col("gh"), lit(1L).as("hit"))
-      val wCov = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
-      withGram
-        .where(col("doc_id") % 50 =!= 0)
-        .join(bench, Seq("gh"), "left")
-        .withColumn("hit_start", coalesce(col("hit"), lit(0L)))
-        .withColumn("covered", max(col("hit_start")).over(wCov))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(col("covered")).as("n_removed"),
-          md5(
-            array_join(
-              transform(
-                array_sort(collect_list(when(col("covered") === 0L, struct(col("pos"), col("word"))))),
-                x => x.getField("word")
-              ),
-              " "
-            )
-          ).as("clean_md5")
-        )
-        .orderBy("doc_id")
+        .select(col("gh"), lit(1L).as("flag"))
+      coverageDigest(withGram.where(col("doc_id") % 50 =!= 0), bench, "n_removed", "clean_md5")
     }),
 
     // ---- char-4-gram near-dup via MinHash signatures -----------------------

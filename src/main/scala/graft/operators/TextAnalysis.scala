@@ -254,8 +254,18 @@ object TextAnalysis {
       val bits = c12
         .join(c1, Seq("w1"))
         .select(col("w1"), col("w2"), expr("CAST(length(bin(c1 div c12)) - 1 AS BIGINT)").as("bits"))
+      // The distinct-bigram table is zipf-bounded but still GROWS with the
+      // corpus (billions of rows at 100 TB) — an unconditional broadcast
+      // hint would OOM the driver there. Thresholded instead: broadcast
+      // while the surprisal table is dim-sized (the gate/probe regime,
+      // where it keeps the corpus bigram stream unshuffled), else fall
+      // back to the plain equi-key join (SMJ — one unavoidable corpus
+      // shuffle once the vocab side outgrows executor memory; same
+      // regime-note pattern as x67's Bloom alternative). The count is a
+      // metadata-cheap job on the already-checkpointed c12.
+      val bitsJoined = if (c12.count() <= 4000000L) broadcast(bits) else bits
       val perDoc = bg
-        .join(broadcast(bits), Seq("w1", "w2"))
+        .join(bitsJoined, Seq("w1", "w2"))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_bigrams"), expr("(sum(bits) * 1000) div count(1)").as("mean_bits_e3"))
       val wt = Window.partitionBy("lang").orderBy("mean_bits_e3", "doc_id")
