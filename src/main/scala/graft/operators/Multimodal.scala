@@ -14,9 +14,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * (x33, [[graft.sources.BmpPixels]]), WAV PCM loudness features (x34,
   * [[graft.sources.AudioMeta.pcmFeatures]]), raw-video frame sampling
   * (x35, [[graft.sources.RawVideo]]) — each hash-checked against a
-  * first-principles DuckDB oracle. Only COMPRESSED bitstreams (PNG deflate,
-  * JPEG DCT, MP3, H.264) fall back to [[decodeStub]], since no codec
-  * libraries exist in this environment. Everything around the decode is
+  * first-principles DuckDB oracle. Deflate-compressed formats are ALSO
+  * real: PNG pixel decode (x70, [[graft.sources.PngPixels]]) runs on the
+  * JDK's own `Inflater` plus the spec's five scanline filters, and GIF's
+  * LZW is plain byte arithmetic. Only transform-coded bitstreams
+  * (JPEG DCT, MP3, H.264) fall back to [[decodeStub]] — those genuinely
+  * need a codec library this environment lacks. Everything around the
+  * decode is
   * the real Spark shape that scales to 100 TB of media:
   *   - payloads stay opaque `BinaryType` columns (never stringified);
   *   - decode runs via `mapPartitions` so a real codec would amortize
@@ -43,9 +47,11 @@ object Multimodal {
 
   /** Container-header decode: REAL metadata parsing for the formats whose
     * headers carry dimensions (PNG/JPEG/GIF/BMP via
-    * [[graft.sources.ImageMeta]] — no codec library needed); unrecognized
-    * payloads fall back to the deterministic stub (the pixel-DECODE step
-    * proper remains stubbed: no codecs in this environment). */
+    * [[graft.sources.ImageMeta]]); unrecognized payloads fall back to the
+    * deterministic stub. Full pixel decode lives with the per-format
+    * sources (BMP [[graft.sources.BmpPixels]], PNG
+    * [[graft.sources.PngPixels]]); only transform-coded formats (JPEG
+    * DCT) keep a stubbed pixel step. */
   def decodeStub(payload: Array[Byte]): Row =
     graft.sources.ImageMeta.parse(payload) match {
       case Some(m) => Row(m.format, m.width, m.height, 1)
@@ -216,8 +222,8 @@ object Multimodal {
     // checksum. The oracle recomputes the checksum from the fixture's pixel
     // FORMULA plus the same integer resize mapping — it never parses a
     // byte of BMP — so a hash match proves the decode and resample
-    // arithmetic end-to-end (not a twin echo). Compressed formats (PNG/
-    // JPEG deflate/DCT) remain stubbed per the environment.
+    // arithmetic end-to-end (not a twin echo). x70 is the same contract
+    // over the deflate-compressed path (PNG).
     "x33_bmp_decode_resize" -> ((s, _) => {
       graft.sources.BmpFixture.ensure(s)
       val schema = StructType(
@@ -240,6 +246,48 @@ object Multimodal {
                 val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
                 Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
               case None => Row(r.getAs[Long]("img_id"), null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
+    // REAL compressed-image decode in the gate: PNG payload bytes →
+    // chunk walk (CRC32-verified) → zlib inflate of the IDAT stream →
+    // Sub/Up/Average/Paeth unfiltering → pixels → the x33 8×8 resample/
+    // checksum AND the x55 aHash, in one pass. The fixture cycles all
+    // five scanline filters with a per-image phase, so every unfilter
+    // branch is load-bearing for the hash. The oracle recomputes both
+    // outputs from the fixture's pixel FORMULA — it never parses a byte
+    // of PNG — so a match proves the full decode chain end-to-end.
+    "x70_png_decode" -> ((s, _) => {
+      graft.sources.PngFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType),
+          StructField("hi", LongType),
+          StructField("lo", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.PngFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
+                val cs = graft.sources.BmpPixels.checksum(tile)
+                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
+                val total = grays.sum
+                var hi = 0L; var lo = 0L
+                grays.zipWithIndex.foreach { case (g0, k) =>
+                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
+                }
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs, hi, lo)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null, null, null)
             }
           }
         }(enc)
@@ -407,6 +455,32 @@ object Multimodal {
         |    + 5 * ((img_id * 11 + sx + sy * 2) % 256)
         |    + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
         |FROM px GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
+    // first-principles PNG oracle: the x33 checksum CTE and the x55 aHash
+    // CTE pointed at the PNG fixture's pixel formula — decode chain proven
+    // without the oracle touching a byte of PNG
+    "x70_png_decode" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_png/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v) AS k,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |val AS (
+        |  SELECT img_id, width, height, k,
+        |    (img_id * 5 + sx * 7 + sy * 3) % 256 AS r,
+        |    (img_id * 9 + sx * 2 + sy * 5) % 256 AS gc,
+        |    (img_id * 3 + sx * 4 + sy * 7) % 256 AS bc
+        |  FROM px),
+        |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
+        |SELECT val.img_id, width, height,
+        |  CAST(sum((k + 1) * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k < 32  THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |FROM val JOIN tot USING (img_id)
+        |GROUP BY val.img_id, width, height ORDER BY img_id""".stripMargin,
     // first-principles aHash oracle: pixel formula (+ the near-clone bump,
     // saturating at 255) → 8×8 sample grays → integer mean compare → 64-bit
     // hash in two halves → exact brute-force hamming over the tiny fixture

@@ -11,8 +11,9 @@ package graft.sources
   * the binary. A hash match therefore proves the byte-level decode AND the
   * resample arithmetic end-to-end, not just a metadata echo.
   *
-  * Compressed formats (PNG deflate, JPEG DCT) stay stubbed per the
-  * environment constraints ([[graft.operators.Multimodal]]).
+  * [[PngPixels]] extends the same contract to the deflate-compressed path
+  * (x70); only transform-coded formats (JPEG DCT) stay stubbed
+  * ([[graft.operators.Multimodal]]).
   */
 object BmpPixels {
 

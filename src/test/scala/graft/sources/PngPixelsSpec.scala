@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PngPixelsSpec extends AnyFunSuite {
+
+  private val formula = (x: Int, y: Int) => ((x * 40 + y) % 256, (y * 30 + x) % 256, (x + y * 7) % 256)
+
+  test("synthesize → decode round-trips every pixel through every filter type") {
+    // one fixed filter per image exercises each unfilter branch in
+    // isolation; the cycling default exercises their interaction
+    for (f <- 0 to 4; (w, h) <- Seq((5, 7), (1, 4), (16, 3))) {
+      val img = PngPixels.decode(PngPixels.synthesize(w, h, formula, _ => f)).get
+      assert(img.width === w && img.height === h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert(img.rgb(x, y) === formula(x, y), s"pixel ($x,$y) of ${w}x$h filter $f")
+    }
+    val img = PngPixels.decode(PngPixels.synthesize(13, 11, formula)).get
+    for (x <- 0 until 13; y <- 0 until 11) assert(img.rgb(x, y) === formula(x, y))
+  }
+
+  test("writer conformance: the JDK's own ImageIO PNG reader agrees on every pixel") {
+    // independent-decoder pin (the pandas.read_sas pattern): ImageIO's PNG
+    // plugin decodes our writer's output to the same pixels, proving the
+    // emitted bytes are spec-valid PNG, not merely self-consistent
+    val (w, h) = (23, 17)
+    val bytes = PngPixels.synthesize(w, h, formula)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref.getWidth === w && ref.getHeight === h)
+    for (x <- 0 until w; y <- 0 until h) {
+      val argb = ref.getRGB(x, y)
+      val got = ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      assert(got === formula(x, y), s"ImageIO pixel ($x,$y)")
+    }
+  }
+
+  test("reader conformance: this decoder agrees with ImageIO on every fixture payload") {
+    for ((id, bytes, w, h) <- PngFixture.rows.take(40)) {
+      val ours = PngPixels.decode(bytes).get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ours.width === w && ref.getWidth === w && ours.height === h && ref.getHeight === h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val argb = ref.getRGB(x, y)
+        assert(ours.rgb(x, y) === (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)), s"img $id ($x,$y)")
+      }
+    }
+  }
+
+  test("IDAT split across chunks is reassembled (large image forces multiple chunks)") {
+    val (w, h) = (64, 64) // raw ≈ 12 KiB ⇒ several 800-byte IDAT chunks
+    val bytes = PngPixels.synthesize(w, h, formula)
+    val img = PngPixels.decode(bytes).get
+    for (x <- Seq(0, 31, 63); y <- Seq(0, 31, 63)) assert(img.rgb(x, y) === formula(x, y))
+  }
+
+  test("rejects corrupt and out-of-scope payloads (quarantine, never a throw)") {
+    val ok = PngPixels.synthesize(8, 6, formula)
+    assert(PngPixels.decode("not a png at all".getBytes) === None)
+    assert(PngPixels.decode(ok.take(20)) === None) // truncated mid-IHDR
+    assert(PngPixels.decode(ok.dropRight(15)) === None) // truncated: IEND gone
+    // flip one IDAT byte: CRC verification must catch it
+    val corrupt = ok.clone()
+    corrupt(8 + 25 + 12) = (corrupt(8 + 25 + 12) ^ 0x40).toByte
+    assert(PngPixels.decode(corrupt) === None)
+    // grayscale (color type 0) is out of scope → None, not garbage pixels
+    val gray = ok.clone(); gray(8 + 8 + 9) = 0
+    assert(PngPixels.decode(gray) === None) // (CRC now wrong too — either guard suffices)
+    // crafted IHDR dims that would overflow the raw-size Int must be rejected
+    assert(PngPixels.decode(ImageMeta.synthesize("image/png", 1 << 25, 1 << 25, junk = 4, seed = 7)) === None)
+  }
+
+  test("gate fixture: decoded checksum and aHash equal the first-principles formula") {
+    for ((id, bytes, w, h) <- PngFixture.rows.take(25)) {
+      val img = PngPixels.decode(bytes).get
+      assert(img.width === w && img.height === h)
+      val tile = BmpPixels.resizeNearest(img, 8, 8)
+      // expected from the closed-form formula + the same floor resize map
+      val expected = for (j <- 0 until 8; i <- 0 until 8)
+        yield PngFixture.rgbAt(id)(i * w / 8, j * h / 8)
+      assert(tile === expected, s"img $id")
+      assert(BmpPixels.checksum(tile) === BmpPixels.checksum(expected))
+    }
+  }
+}
