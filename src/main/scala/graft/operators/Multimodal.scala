@@ -293,6 +293,37 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // REAL LZW decode in the gate — the other compressed-image family:
+    // GIF header/descriptor walk → variable-width LSB-first LZW code
+    // stream (dictionary growth to 12 bits, KwKwK, mid-stream clears) →
+    // palette indices → color-table expansion → the same 8×8 resample/
+    // checksum contract as x33/x70. Oracle recomputes from the fixture's
+    // composite palette[idx] formula; it never parses a byte of GIF.
+    "x71_gif_decode" -> ((s, _) => {
+      graft.sources.GifFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.GifFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.GifPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     // Perceptual-hash image dedup: the content-level dedup step of a
     // multimodal curation pipeline (metadata x21 → decode x33 → fingerprint
     // → dedup). aHash over the REAL decoded 8×8 resample: bit k set iff
@@ -455,6 +486,28 @@ object Multimodal {
         |    + 5 * ((img_id * 11 + sx + sy * 2) % 256)
         |    + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
         |FROM px GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
+    // first-principles GIF oracle: the x33 checksum CTE over the composite
+    // palette[idx] formula — LZW decode proven without touching the bytes
+    "x71_gif_decode" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_gif/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |ix AS (
+        |  SELECT img_id, width, height, wgt,
+        |    (img_id * 7 + sx * 3 + sy * 5) % 256 AS idx
+        |  FROM px)
+        |SELECT img_id, width, height,
+        |  CAST(sum(wgt * (
+        |      3 * ((idx * 3 + 7) % 256)
+        |    + 5 * ((idx * 5 + 11) % 256)
+        |    + 7 * ((idx * 7 + 13) % 256))) AS BIGINT) AS checksum
+        |FROM ix GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
     // first-principles PNG oracle: the x33 checksum CTE and the x55 aHash
     // CTE pointed at the PNG fixture's pixel formula — decode chain proven
     // without the oracle touching a byte of PNG
