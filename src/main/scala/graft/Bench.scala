@@ -1,20 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Results are forced through
   * the `noop` sink so the full plan executes (a bare `.count()` would let
-  * Catalyst prune the projected columns away and under-measure scans). */
+  * Catalyst prune the projected columns away and under-measure scans).
+  *
+  * Artifact integrity: a single timed run is never trustworthy — even on
+  * an idle machine, individual queries show 10-25x one-off JIT/GC spikes
+  * between back-to-back clean passes, and co-tenant JVMs inflate whole
+  * stretches of a pass (both classes documented in NOTES.md and observed
+  * in the r4/r5 driver artifacts). A per-query retry can't catch
+  * contention that hits the warm and measured run alike. So: one untimed
+  * warm sweep (codegen + shuffle files), then TWO timed end-to-end suite
+  * passes, publishing the per-query MINIMUM — contention is bursty, and
+  * two full passes rarely collide on the same query. The JSON also carries
+  * the 1-minute system load average sampled at start and end, so the
+  * driver can flag a dirty run instead of publishing it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session("graft-bench")
-    // Steady-state throughput: each query runs twice, the first pass paying
-    // one-time Janino codegen + plan-cache costs (0.9-6 s per query shape,
-    // independent of data size), the second pass measured. At 100 TB the
-    // first-run overhead is noise; at sf0.1 it would dominate and measure
-    // the compiler instead of the engine.
     def run1(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Unit =
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -23,20 +29,25 @@ object Bench {
       run1(fn, name)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val warm = timed(fn, name) // warm: codegen + shuffle files
-      val t = timed(fn, name)
-      // Contention self-correction: the warm pass pays one-time codegen on
-      // top of execution, so steady-state should never exceed it by much.
-      // A measured pass >3x the warm pass means another JVM / GC storm
-      // stole the machine (the r4 driver artifact had 10-20x spikes on
-      // x36/x37/x40 that a clean re-run didn't reproduce) — re-run once
-      // and keep the minimum so the published number is the engine's.
-      name -> (if (t > 3 * warm) math.min(t, timed(fn, name)) else t)
+    def loadavg: Double = {
+      val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(v * 100) / 100.0
     }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val loadStart = loadavg
+    // untimed warm sweep: one-time Janino codegen + plan-cache costs are
+    // 0.9-6 s per query shape, independent of data size — noise at 100 TB,
+    // dominant at sf0.1. Steady state is what the number should mean.
+    names.foreach { case (name, fn) => run1(fn, name) }
+    val pass1 = names.map { case (name, fn) => name -> timed(fn, name) }
+    val pass2 = names.map { case (name, fn) => name -> timed(fn, name) }
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
+    val loadEnd = loadavg
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    )
     spark.stop()
   }
 }
