@@ -134,7 +134,12 @@ object ScaleProbe {
       // x68 is scan → tiny broadcast → per-doc agg; x69's clone corpus is
       // the mass-duplication case: exact pass collapses clones, the
       // hot-bucket cap keeps the band join off the dense buckets
-      "x68_quality_classifier", "x69_incremental_dedup"
+      "x68_quality_classifier", "x69_incremental_dedup",
+      // r6: the BPE trainer scans the corpus once into the word-frequency
+      // vocab; the 16x clone corpus multiplies every word count by 16 but
+      // leaves the vocab (and so every merge round) the same size — the
+      // probe shows round cost is vocab-bound, not corpus-bound
+      "x72_bpe_train"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -206,6 +206,70 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // full BPE tokenizer TRAINING — the iterative merge loop x63 is one
+    // step of (Sennrich et al. 2016, arXiv:1508.07909 §3.2): k rounds of
+    // pair-count → argmax merge → re-segment. The scale design is the one
+    // real trainers use: the corpus is scanned ONCE into a word-frequency
+    // vocabulary, and every round operates on that vocab-sized table
+    // (pairs weighted by word count), never re-touching the corpus. The
+    // argmax is a 1-row bounded control-flow pull (the q55/q62 iterative
+    // pattern), the merge rule enters the next round as string literals
+    // in a codegen'd aggregate() fold (left-to-right non-overlapping —
+    // "aaaa" + (a,a) → [aa, aa]), and each round's segmentation is
+    // localCheckpointed to cut lineage. Ties break (count desc, pair asc)
+    // so the learned merge table is deterministic cross-engine; the
+    // DuckDB oracle replays the identical 8 rounds as an unrolled CTE
+    // over a sentinel-wrapped string representation.
+    "x72_bpe_train" -> ((s, d) => {
+      val rounds = 8
+      val vocab = table(s, d, "documents")
+        .select(explode(toks).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n"))
+      var seg = vocab
+        .select(
+          col("n"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")
+        )
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val best = seg
+          // single-symbol words have no pairs; without the guard
+          // sequence(0, size-2) DESCENDS and indexes out of bounds (the
+          // x66 lesson)
+          .where(size(col("syms")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS p1, syms[i + 1] AS p2))"
+          )).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2"))
+          .limit(1)
+          .collect()(0) // 1-row argmax: bounded control flow, not a data pull
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r.toLong, a, b, a + b, c))
+        // left-to-right non-overlapping merge of (a, b) as a fold: the rule
+        // enters as literals so the whole pass stays in codegen
+        seg = seg
+          .select(
+            col("n"),
+            aggregate(
+              col("syms"),
+              array().cast("array<string>"),
+              (acc, x) =>
+                when(
+                  size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+                ).otherwise(concat(acc, array(x)))
+            ).as("syms")
+          )
+          .localCheckpoint() // k rounds of lineage would otherwise nest k plans
+      }
+      import s.implicits._
+      merges.result().toDF("round", "p1", "p2", "merged", "cnt").orderBy("round")
+    }),
+
     // feature hashing (the hashing trick) — fixed-width featurization for
     // quality classifiers without a vocabulary pass: every token maps to
     // one of 256 buckets via the module-wide md5 window hash, per-doc
@@ -508,9 +572,48 @@ object TextAnalysis {
     })
   )
 
+  /** Unrolled 8-round replay of the BPE merge loop, generated round by
+    * round (the x66 full-CTE-twin pattern at loop scale). Segmentations
+    * live as sentinel-wrapped strings — every symbol is chr(1)‖sym‖chr(2)
+    * — because SQL `replace` is left-to-right non-overlapping, which with
+    * per-symbol sentinels reproduces BPE merge semantics exactly (shared-
+    * boundary overlaps like "a a a" can't double-merge: the first match
+    * consumes its full wrapped span). */
+  private val bpeTrainOracle: String = {
+    val rounds = 8
+    val init =
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents)
+        |  GROUP BY w),
+        |seg0 AS (
+        |  SELECT n, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM vocab)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""sy$r AS (
+         |  SELECT n, string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms
+         |  FROM seg${r - 1}),
+         |c$r AS (
+         |  SELECT p[1] AS p1, p[2] AS p2, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      i -> [syms[i], syms[i + 1]])) AS p
+         |    FROM sy$r WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT p1, p2, cnt FROM c$r ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         |seg$r AS (
+         |  SELECT n, replace(s, chr(1) || b.p1 || chr(2) || chr(1) || b.p2 || chr(2),
+         |                       chr(1) || b.p1 || b.p2 || chr(2)) AS s
+         |  FROM seg${r - 1}, b$r b)""".stripMargin
+    }
+    val branches = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, p1 || p2 AS merged, cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    (init +: perRound).mkString(",\n") + s"\n$branches\nORDER BY round"
+  }
+
   def oracles: Map[String, String] = {
     def inSetSql(set: Seq[String]) = set.map(w => s"'$w'").mkString("(", ", ", ")")
     Map(
+      "x72_bpe_train" -> bpeTrainOracle,
       "x07_text_tokens" ->
         """SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
