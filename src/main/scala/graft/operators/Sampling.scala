@@ -31,14 +31,22 @@ object Sampling {
 
   /** SQL fragment: min-max scale `x` into [0, 65535] with int64-safe
     * arithmetic — multiply-first while exact (range < 2^47), divide-first
-    * beyond. Mirrored verbatim in the x47 oracle. */
-  private def scale16(x: String, lo: String, hi: String): String =
+    * beyond. Mirrored verbatim in the x47 oracle; shared with the x73
+    * skipping-scan layout writer ([[graft.sources.DataSkipping]]). */
+  private[graft] def scale16(x: String, lo: String, hi: String): String =
     s"""CASE WHEN ($hi - $lo) <= 140737488355327L
        |  THEN (($x - $lo) * 65535L) div greatest($hi - $lo, 1L)
        |  ELSE least(($x - $lo) div greatest(($hi - $lo) div 65535L, 1L), 65535L) END""".stripMargin
 
   /** deterministic [0, 100) bucket of a document id */
   private def docBucket: Column = Hashing.md5Bucket(col("doc_id").cast("string"), 100L)
+
+  /** 32-bit Morton interleave of two 16-bit columns, unrolled flat so it
+    * stays inside whole-stage codegen (shared by x47 and x73). */
+  private[graft] def interleave16(cxCol: String, dyCol: String): String =
+    (0 until 16)
+      .map(b => s"shiftleft(shiftright($cxCol, $b) & 1, ${2 * b}) + shiftleft(shiftright($dyCol, $b) & 1, ${2 * b + 1})")
+      .mkString(" + ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic 80/10/10 train/val/test split by content-free id hash:
@@ -228,14 +236,7 @@ object Sampling {
         // 16 interleave steps unrolled flat: a higher-order `aggregate`
         // lambda is interpreted per row; the unrolled bit expression stays
         // inside whole-stage codegen (measured 2.0 s → scan-bound)
-        .withColumn(
-          "zkey",
-          expr(
-            (0 until 16)
-              .map(b => s"shiftleft(shiftright(cx, $b) & 1, ${2 * b}) + shiftleft(shiftright(dy, $b) & 1, ${2 * b + 1})")
-              .mkString(" + ")
-          )
-        )
+        .withColumn("zkey", expr(interleave16("cx", "dy")))
         .withColumn("bucket", expr("zkey div 67108864")) // 2^32 / 64 ranges
         .groupBy("bucket")
         .agg(
@@ -246,6 +247,29 @@ object Sampling {
           max("days").as("d_hi")
         )
         .orderBy("bucket")
+    }),
+
+    // manifest-driven data-skipping SCAN over the x47 layout — the read
+    // path that cashes in z-order's promise: write orders range-
+    // partitioned on the Morton key with a per-file min/max manifest,
+    // prune the manifest against a 2-dim query rectangle on the driver
+    // (file-count-sized metadata, the table-format planning shape), scan
+    // only the surviving files with the residual predicate pushed down.
+    // The gate hash pins the pruned scan to the full-scan answer (the
+    // oracle filters the raw table — if pruning dropped a file it
+    // shouldn't, rows vanish and the hash breaks); the ≤1/8-of-files
+    // bound itself is asserted in ScaleDisciplineSpec.
+    "x73_skipping_scan" -> ((s, d) => {
+      val dir = "/root/repo/spark-warehouse/graft_zorder"
+      graft.sources.DataSkipping.writeLayout(s, d, dir)
+      val r = graft.sources.DataSkipping.gateRect(s, d)
+      graft.sources.DataSkipping
+        .prunedScan(s, dir, r)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("o_custkey").as("sum_cust"),
+          sum("days").as("sum_days")
+        )
     }),
 
     // domain-mixture table: per (lang, source) document/token counts and the
@@ -483,6 +507,21 @@ object Sampling {
         |  min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
         |  CAST(min(days) AS BIGINT) AS d_lo, CAST(max(days) AS BIGINT) AS d_hi
         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the oracle filters the RAW table with the same data-derived
+    // rectangle — any file the manifest pruning wrongly dropped would
+    // vanish rows from the Spark side and break the hash
+    "x73_skipping_scan" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days
+        |  FROM orders),
+        |b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |             min(days) AS dmin, max(days) AS dmax FROM o)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(sum(days) AS BIGINT) AS sum_days
+        |FROM o, b
+        |WHERE o_custkey BETWEEN cmin + ((cmax - cmin) * 2) // 16 AND cmin + ((cmax - cmin) * 3) // 16
+        |  AND days BETWEEN dmin + ((dmax - dmin) * 2) // 16 AND dmin + ((dmax - dmin) * 3) // 16""".stripMargin,
     "x45_compaction_plan" ->
       """WITH d AS (
         |  SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level data skipping over a z-ordered layout — the 100 TB payoff of
+  * x47's clustering, demonstrated end to end: [[writeLayout]] writes the
+  * fact rows range-partitioned on their 32-bit Morton key and then runs a
+  * stats pass that records each FILE's min/max on both original dimensions
+  * (the manifest — what Delta's transaction log and Iceberg's manifest
+  * files carry); [[selectFiles]] prunes that manifest against a query's
+  * rectangle BEFORE the scan, so a selective range query opens a handful
+  * of files instead of the table. This is the file-granular complement of
+  * directory-level partition pruning (asserted in ScaleDisciplineSpec):
+  * partition dirs skip on ONE coarse column; the z-order manifest skips on
+  * a 2-dim rectangle no single-column sort could bound.
+  *
+  * Scale shape: the manifest is file-count-sized metadata (64 rows here;
+  * ~10^5 rows for a 100 TB table at 1 GiB files) — reading it on the
+  * driver to plan the scan is exactly what every table format does; the
+  * data itself never moves except through the pruned scan. Because a
+  * z-range fixes the top interleaved bits of BOTH dims, a query window
+  * inside one eighth-cell of each dim touches ~1/64 of the z-key space —
+  * ScaleDisciplineSpec asserts the ≤ 1/8-of-files bound.
+  */
+object DataSkipping {
+
+  /** Query rectangle + the scan bounds it was planned against. */
+  final case class Rect(cLo: Long, cHi: Long, dLo: Long, dHi: Long)
+
+  /** orders projected to the two cluster dims (the x47 projection). */
+  def dims(s: SparkSession, d: String): DataFrame =
+    graft.Graft
+      .table(s, d, "orders")
+      .select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days")
+      )
+
+  /** Write `orders` z-ordered into `dir/data` (64 range-partitioned files
+    * on the Morton key) and the per-file min/max manifest into
+    * `dir/manifest`. The stats pass re-reads the written files grouped by
+    * `_metadata.file_path` — the same second pass OPTIMIZE ZORDER runs. */
+  def writeLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Unit = {
+    val o = dims(s, d)
+    val b = o.agg(min("o_custkey"), max("o_custkey"), min("days"), max("days")).collect()(0)
+    val (cmin, cmax, dmin, dmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    o.withColumn("cx", expr(graft.operators.Sampling.scale16("o_custkey", s"${cmin}L", s"${cmax}L")))
+      .withColumn("dy", expr(graft.operators.Sampling.scale16("days", s"${dmin}L", s"${dmax}L")))
+      .withColumn("zkey", expr(graft.operators.Sampling.interleave16("cx", "dy")))
+      .repartitionByRange(nFiles, col("zkey"))
+      .select("o_custkey", "days")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    s.read
+      .parquet(s"$dir/data")
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("o_custkey").as("c_lo"),
+        max("o_custkey").as("c_hi"),
+        min("days").as("d_lo"),
+        max("days").as("d_hi")
+      )
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Manifest-driven file pruning: the files whose [min, max] box
+    * intersects the query rectangle, plus the layout's total file count.
+    * Driver-side by design — this is scan PLANNING over file-count-sized
+    * metadata, the table-format shape, not a data pull. */
+  def selectFiles(s: SparkSession, dir: String, r: Rect): (Seq[String], Int) = {
+    val mf = s.read.parquet(s"$dir/manifest").select("file", "c_lo", "c_hi", "d_lo", "d_hi").collect()
+    val hit = mf.collect {
+      case m
+          if m.getLong(2) >= r.cLo && m.getLong(1) <= r.cHi &&
+            m.getLong(4) >= r.dLo && m.getLong(3) <= r.dHi =>
+        m.getString(0)
+    }
+    (hit.toSeq, mf.length)
+  }
+
+  /** Pruned scan: only the manifest-selected files are opened; the
+    * residual predicate still applies row-level (files straddle the
+    * rectangle's boundary), and pushes down into the parquet scan. */
+  def prunedScan(s: SparkSession, dir: String, r: Rect): DataFrame =
+    s.read
+      .parquet(selectFiles(s, dir, r)._1: _*)
+      .where(
+        col("o_custkey").between(r.cLo, r.cHi) && col("days").between(r.dLo, r.dHi)
+      )
+
+  /** The x73 gate rectangle: the second eighth-cell of each dim, derived
+    * from the data bounds so it is identical at every SF — mirrored in
+    * the oracle as (min + span*2 div 16, min + span*3 div 16). */
+  def gateRect(s: SparkSession, d: String): Rect = {
+    val b = dims(s, d).agg(min("o_custkey"), max("o_custkey"), min("days"), max("days")).collect()(0)
+    val (cmin, cmax, dmin, dmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    Rect(
+      cmin + (cmax - cmin) * 2 / 16,
+      cmin + (cmax - cmin) * 3 / 16,
+      dmin + (dmax - dmin) * 2 / 16,
+      dmin + (dmax - dmin) * 3 / 16
+    )
+  }
+}

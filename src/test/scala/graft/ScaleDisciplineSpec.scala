@@ -26,6 +26,29 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("z-order manifest prunes files: selective rectangle reads ≤ 1/8 of the layout") {
+    val dir = TestSpark.tempDir() + "/zorder"
+    graft.sources.DataSkipping.writeLayout(spark, sf, dir)
+    val r = graft.sources.DataSkipping.gateRect(spark, sf)
+    val (selected, total) = graft.sources.DataSkipping.selectFiles(spark, dir, r)
+    // an eighth-cell rectangle on both dims covers ~1/64 of the z-key
+    // space; range-partitioned files give it a handful of files plus
+    // boundary straddlers — the 1/8 bound is the x47 clustering guarantee
+    assert(total >= 32, s"layout produced only $total files")
+    assert(selected.nonEmpty)
+    assert(selected.length * 8 <= total, s"${selected.length} of $total files — manifest pruning is not selective")
+    // correctness of the pruned scan against the full-table filter
+    val pruned = graft.sources.DataSkipping.prunedScan(spark, dir, r)
+    val full = graft.sources.DataSkipping
+      .dims(spark, sf)
+      .where(col("o_custkey").between(r.cLo, r.cHi) && col("days").between(r.dLo, r.dHi))
+    assert(pruned.count() === full.count())
+    assert(pruned.agg(sum("o_custkey"), sum("days")).collect()(0) === full.agg(sum("o_custkey"), sum("days")).collect()(0))
+    // the residual predicate reaches the parquet scan of the pruned files
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(o_custkey"), s"residual not pushed:\n$plan")
+  }
+
   test("q41 lateral top-k decorrelates into a partial window group limit") {
     val plan = SparkEntry.queries("q41_lateral_topk")(spark, sf).queryExecution.executedPlan.toString
     // the correlated ORDER BY/LIMIT must become a per-key group limit with a
