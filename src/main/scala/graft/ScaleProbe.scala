@@ -135,6 +135,10 @@ object ScaleProbe {
       // the mass-duplication case: exact pass collapses clones, the
       // hot-bucket cap keeps the band join off the dense buckets
       "x68_quality_classifier", "x69_incremental_dedup",
+      // r6: the trigram langid's profile build + scoring join both ride
+      // the corpus trigram stream (3x chars per doc; the clone corpus
+      // multiplies every (lang, trigram) count by 16)
+      "x09_text_langid",
       // r6: the BPE trainer scans the corpus once into the word-frequency
       // vocab; the 16x clone corpus multiplies every word count by 16 but
       // leaves the vocab (and so every merge round) the same size — the

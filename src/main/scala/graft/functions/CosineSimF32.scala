@@ -23,6 +23,11 @@ object CharGramHashes {
     Bridge.column(org.apache.spark.sql.graftbridge.CharGramHashesExpr(Bridge.expression(s), n))
 }
 
+object CharGramAllHashes {
+  def apply(s: Column, n: Int): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.CharGramAllHashesExpr(Bridge.expression(s), n))
+}
+
 object TokenGramHashes {
   def apply(s: Column, n: Int): Column =
     Bridge.column(org.apache.spark.sql.graftbridge.TokenGramHashesExpr(Bridge.expression(s), n))

@@ -66,6 +66,12 @@ object GraftExtensions {
       es => CharGramHashesExpr(es.head, lit(es(1), "char_gram_hashes n").toInt)
     ),
     fn(
+      "char_gram_all_hashes",
+      classOf[CharGramAllHashesExpr],
+      "char_gram_all_hashes(s, n) - positional (non-distinct) md5-window hashes of all char n-grams",
+      es => CharGramAllHashesExpr(es.head, lit(es(1), "char_gram_all_hashes n").toInt)
+    ),
+    fn(
       "token_gram_hashes",
       classOf[TokenGramHashesExpr],
       "token_gram_hashes(s, n) - sorted distinct md5-window hashes of all word n-grams",
@@ -98,6 +104,7 @@ object GraftExtensions {
     b.registerFunction(spark, "cosine_f32", es => CosineSimF32Expr(es.head, es(1)))
     b.registerFunction(spark, "rolling_hash", es => RollingHashExpr(es.head, lit(es(1), "modulus")))
     b.registerFunction(spark, "char_gram_hashes", es => CharGramHashesExpr(es.head, lit(es(1), "n").toInt))
+    b.registerFunction(spark, "char_gram_all_hashes", es => CharGramAllHashesExpr(es.head, lit(es(1), "n").toInt))
     b.registerFunction(spark, "token_gram_hashes", es => TokenGramHashesExpr(es.head, lit(es(1), "n").toInt))
     b.registerFunction(spark, "simhash_sig", es => SimHashSigExpr(es.head))
     b.registerFunction(

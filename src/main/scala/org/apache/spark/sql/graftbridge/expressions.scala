@@ -439,6 +439,45 @@ object CharGramHashesExpr {
   }
 }
 
+/** ALL md5-window-15 hashes of every `n`-character gram, positional order,
+  * duplicates KEPT — the frequency-preserving sibling of
+  * [[CharGramHashesExpr]] (x09's trigram profiles weight by occurrence
+  * count, so per-row dedup would be wrong there). Same hash convention,
+  * same single codegen'd pass; replaces the
+  * `explode(transform(sequence…, substring))` formulation whose
+  * interpreted lambda re-walks the string per gram (O(len²) on UTF-8 —
+  * measured 77 s at the 16× probe vs 6 s for this). */
+case class CharGramAllHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_all_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharGramAllHashesExpr.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"org.apache.spark.sql.graftbridge.CharGramAllHashesExpr.compute($c, $n)"
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramAllHashesExpr {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val cps = GramBytes.codePointStarts(bytes)
+    if (cps.length < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    ArrayData.toArrayData(GramBytes.gramHashes(bytes, cps, n))
+  }
+}
+
 /** Shared byte-level gram machinery: positional char n-gram md5-window-15
   * hashes computed straight off a string's UTF-8 bytes (code-point starts
   * are byte offsets; the digest consumes byte slices in place — zero
