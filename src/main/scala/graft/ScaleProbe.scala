@@ -135,6 +135,10 @@ object ScaleProbe {
       // the mass-duplication case: exact pass collapses clones, the
       // hot-bucket cap keeps the band join off the dense buckets
       "x68_quality_classifier", "x69_incremental_dedup",
+      // r6: search-only ANN against the persisted gate index — steady
+      // state is a marker-file read + the probe/list joins; compare with
+      // x13, whose entry also pays the brute-force exact twin
+      "x74_ivf_search", "x13_sim_ivf",
       // r6: the trigram langid's profile build + scoring join both ride
       // the corpus trigram stream (3x chars per doc; the clone corpus
       // multiplies every (lang, trigram) count by 16)

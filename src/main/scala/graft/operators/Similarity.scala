@@ -310,6 +310,47 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // search-only ANN against the PERSISTED index — the production
+    // vector-search shape where the index outlives the query (x13 pins
+    // build+search quality via exact twins; this is the steady-state read
+    // path a serving pipeline runs). The artifact lives at a fixed
+    // warehouse path with float32 centroids, which makes every float op
+    // in the search — probe ranking AND in-list ranking — bit-replicable
+    // DuckDB `list_cosine_similarity`, so the oracle reads the SAME index
+    // parquet as ground truth and replays the full search: the gate
+    // hash-checks the actual neighbor lists, not summary contracts.
+    // Scale shape: centroids broadcast (nlist rows), the probed lists are
+    // an equi-key join, the corpus is never shuffled; steady-state index
+    // ensure is a marker-file read.
+    "x74_ivf_search" -> ((s, d) => {
+      val dir = ivfEnsureGateIndex(s, d)
+      val emb = table(s, d, "embeddings")
+      val centroids = s.read.parquet(s"$dir/centroids")
+      val lists = s.read.parquet(s"$dir/lists")
+      val q = emb
+        .join(broadcast(lowestIds(emb, 10)), "vec_id")
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+      val probes = q
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosineF(col("qe"), col("cvec")))
+        .withColumn("crk", row_number().over(wc))
+        .where(col("crk") <= 4)
+        .select("qid", "qe", "cid")
+      val corpus = lists
+        .join(emb.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
+        .select(col("vec_id").as("nid"), col("ne"), col("cid"))
+      val wn = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      probes
+        .join(corpus, Seq("cid"))
+        .where(col("nid") =!= col("qid"))
+        .withColumn("cos", cosineF(col("qe"), col("ne")))
+        .withColumn("rk", row_number().over(wn).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"))
+        .orderBy("qid", "rk")
+    }),
+
     // embedding-cosine near-dup pairs, scale path: LSH-banded candidate
     // generation (shuffle on the band bucket, never all-pairs), exact
     // float32 cosine verification inside buckets only. The oracle recomputes
@@ -550,6 +591,31 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Materialize the gate-stable IVF artifact: the fingerprint-keyed build
+    * from [[ivfEnsureIndex]], copied to a FIXED path with centroids
+    * downcast to float32. The fixed path is what lets the DuckDB oracle
+    * read the index as ground truth (the trained-model-fixture pattern,
+    * x68), and float32 centroids make the probe ranking bit-replicable via
+    * `list_cosine_similarity` — so the x74 search output hash-checks in
+    * full, no contract columns needed. Guarded by the source-index key, so
+    * steady-state calls are a marker-file read. */
+  private[graft] def ivfEnsureGateIndex(s: SparkSession, d: String): String = synchronized {
+    val src = ivfEnsureIndex(s, d, nlist = 8, iters = 3) // path embeds the corpus fingerprint
+    val dir = "/root/repo/spark-warehouse/graft_ivf_gate"
+    val marker = new java.io.File(s"$dir/src_key")
+    val current =
+      if (marker.exists()) new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
+    if (current != src) {
+      s.read
+        .parquet(s"$src/centroids")
+        .select(col("cid"), transform(col("cvec"), x => x.cast("float")).as("cvec"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      s.read.parquet(s"$src/lists").coalesce(1).write.mode("overwrite").parquet(s"$dir/lists")
+      java.nio.file.Files.write(marker.toPath, src.getBytes("UTF-8"))
+    }
+    dir
+  }
+
   /** LSH-banded near-dup: band-collision candidates → exact cos ≥ tau.
     * Every join is equi-key (band bucket, then id); no all-pairs step. */
   private[graft] def nearDupLsh(s: SparkSession, emb: DataFrame, tau: Double): DataFrame = {
@@ -649,9 +715,38 @@ object Similarity {
     // x06's approximation is deterministic end-to-end (integer-exact band
     // signatures + bit-exact float32 cosine re-rank), so unlike most ANN
     // implementations it supports a full value oracle: DuckDB recomputes
-    // the identical pipeline. x13 stays rows-only: k-means centroids are
-    // float AVERAGES whose low bits depend on summation order — recall
-    // floor in SimilarityTextSpec covers it instead.
+    // the identical pipeline. x13's k-means centroids are float AVERAGES
+    // whose low bits depend on summation order, so its gate rows are
+    // exact-twin columns + recall contracts; x74 sidesteps the same
+    // problem by reading the PERSISTED float32 index as ground truth.
+    // the search replay over the persisted artifact: probe ranking and
+    // in-list ranking are both bit-exact float32 cosine, the index parquet
+    // is read directly — the full neighbor output hash-checks
+    "x74_ivf_search" ->
+      """WITH c AS (
+        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_ivf_gate/centroids/*.parquet'),
+        |l AS (
+        |  SELECT vec_id, cid FROM '/root/repo/spark-warehouse/graft_ivf_gate/lists/*.parquet'),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |pr AS (
+        |  SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qe, c.cvec) DESC, c.cid) AS crk
+        |    FROM q, c)
+        |  WHERE crk <= 4),
+        |cand AS (
+        |  SELECT pr.qid, e.vec_id AS nid, list_cosine_similarity(pr.qe, e.embedding) AS cos
+        |  FROM pr JOIN l USING (cid) JOIN embeddings e ON l.vec_id = e.vec_id
+        |  WHERE e.vec_id <> pr.qid)
+        |SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6
+        |FROM (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |  FROM cand)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "x06_sim_ann_lsh" ->
       s"""WITH $bandSigSql,
          |q AS (

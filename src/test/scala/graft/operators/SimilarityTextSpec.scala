@@ -134,6 +134,11 @@ class SimilarityTextSpec extends AnyFunSuite {
     val ivfRecall = (ivfPairs & exact).size.toDouble / exact.size
     assert(lshRecall >= 0.6, s"LSH recall@5 $lshRecall")
     assert(ivfRecall >= 0.8, s"IVF recall@5 $ivfRecall")
+    // x74: the search-only path against the persisted float32 gate artifact
+    // must hold the same floor (it probes the same lists; only the probe
+    // ranking arithmetic differs — float32 vs double centroid cosine)
+    val gateRecall = (nbrs("x74_ivf_search") & exact).size.toDouble / exact.size
+    assert(gateRecall >= 0.8, s"persisted-index search recall@5 $gateRecall")
   }
 
   test("x66 perplexity buckets: ntile balance, score monotonicity, surprisal identities") {
@@ -171,7 +176,11 @@ class SimilarityTextSpec extends AnyFunSuite {
     assert(q.getAs[Double]("avg_word_len") === 3.0)
   }
 
-  test("langid picks en for English stopwords, de for German, und for junk") {
+  test("langid: self-trained trigram profiles classify each language's docs to itself") {
+    // with profiles trained from the labeled corpus, every language —
+    // including the junk 'zz' — owns its own trigram mass; the 'und'
+    // fallback is for sub-trigram docs (LangidSpec covers it, along with
+    // the shared-marker separation the old word-marker argmax could not do)
     val preds = TextAnalysis
       .queries("x09_text_langid")(spark, dir)
       .collect()
@@ -179,7 +188,7 @@ class SimilarityTextSpec extends AnyFunSuite {
       .toMap
     assert(preds("en") === "en")
     assert(preds("de") === "de")
-    assert(preds("zz") === "und")
+    assert(preds("zz") === "zz")
   }
 
   test("fingerprints: same token multiset → same sorted fp, different rolling hash") {
@@ -226,7 +235,7 @@ class SimilarityTextSpec extends AnyFunSuite {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql("SELECT cosine_f32(array(cast(1.0 as float)), array(cast(2.0 as float))) AS c").head()
     assert(r.getDouble(0) === 1.0)
-    assert(ext != null && graft.plans.GraftExtensions.all.size === 7)
+    assert(ext != null && graft.plans.GraftExtensions.all.size === 8)
     assert(spark.sql("SELECT winnow_fingerprints('abcdefgh', 4, 5)").head().getSeq[Long](0).length === 1)
     // each SQL call must agree with its Column-API twin
     assert(
@@ -238,6 +247,17 @@ class SimilarityTextSpec extends AnyFunSuite {
       .select(graft.functions.TokenGramHashes($"text", 3)).head().getSeq[Long](0)
     assert(viaSql === viaCol && viaSql.length === 2)
     assert(spark.sql("SELECT char_gram_hashes('abcd', 4)").head().getSeq[Long](0).length === 1)
+    // the non-distinct sibling keeps duplicates in positional order: 'aaaa'
+    // has three identical 2-grams, and its distinct set collapses to one
+    val allG = spark.sql("SELECT char_gram_all_hashes('aaaa', 2)").head().getSeq[Long](0)
+    assert(allG.length === 3 && allG.distinct.length === 1)
+    assert(
+      allG === Seq(("aaaa", 1)).toDF("text", "i")
+        .select(graft.functions.CharGramAllHashes($"text", 2)).head().getSeq[Long](0)
+    )
+    assert(
+      spark.sql("SELECT char_gram_hashes('aaaa', 2)").head().getSeq[Long](0) === allG.distinct.sorted
+    )
     assert(spark.sql("SELECT simhash_sig('hello world')").head().getSeq[Long](0).length === 2)
     assert(
       spark.sql("SELECT band_sigs(array(cast(0.5 as float), cast(-0.25 as float)), 32, 4)")
