@@ -217,6 +217,11 @@ object TextAnalysis {
       val rounds = 8
       val vocab = table(s, d, "documents")
         .select(explode(toks).as("w"))
+        // a whitespace-only doc tokenizes to one empty word, whose
+        // sequence(1, 0) symbol split DESCENDS into ["", ""] and emits a
+        // ("", "") pair the oracle cannot reproduce (the x66 bug class,
+        // at the word level); oracle twin filters w <> ''
+        .where(length(col("w")) >= 1)
         .groupBy("w")
         .agg(count(lit(1)).as("n"))
       var seg = vocab
@@ -623,7 +628,7 @@ object TextAnalysis {
       """WITH vocab AS (
         |  SELECT w, count(*) AS n FROM (
         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents)
-        |  GROUP BY w),
+        |  WHERE w <> '' GROUP BY w),
         |seg0 AS (
         |  SELECT n, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM vocab)""".stripMargin
     val perRound = (1 to rounds).map { r =>

@@ -37,16 +37,21 @@ object DataSkipping {
         datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days")
       )
 
+  /** Corpus bounds on both cluster dims: (cmin, cmax, dmin, dmax). */
+  final case class Bounds(cMin: Long, cMax: Long, dMin: Long, dMax: Long)
+
   /** Write `orders` z-ordered into `dir/data` (64 range-partitioned files
     * on the Morton key) and the per-file min/max manifest into
     * `dir/manifest`. The stats pass re-reads the written files grouped by
-    * `_metadata.file_path` — the same second pass OPTIMIZE ZORDER runs. */
-  def writeLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Unit = {
+    * `_metadata.file_path` — the same second pass OPTIMIZE ZORDER runs.
+    * Returns the corpus bounds (computed once — [[gateRect]] derives the
+    * query rectangle from them, no second aggregation). */
+  def writeLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = {
     val o = dims(s, d)
     val b = o.agg(min("o_custkey"), max("o_custkey"), min("days"), max("days")).collect()(0)
-    val (cmin, cmax, dmin, dmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    o.withColumn("cx", expr(graft.operators.Sampling.scale16("o_custkey", s"${cmin}L", s"${cmax}L")))
-      .withColumn("dy", expr(graft.operators.Sampling.scale16("days", s"${dmin}L", s"${dmax}L")))
+    val bounds = Bounds(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    o.withColumn("cx", expr(graft.operators.Sampling.scale16("o_custkey", s"${bounds.cMin}L", s"${bounds.cMax}L")))
+      .withColumn("dy", expr(graft.operators.Sampling.scale16("days", s"${bounds.dMin}L", s"${bounds.dMax}L")))
       .withColumn("zkey", expr(graft.operators.Sampling.interleave16("cx", "dy")))
       .repartitionByRange(nFiles, col("zkey"))
       .select("o_custkey", "days")
@@ -63,6 +68,35 @@ object DataSkipping {
       )
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
+    bounds
+  }
+
+  /** Ensure the layout exists for the corpus at `d`, rebuilding only when
+    * the corpus files change (name/size/mtime fingerprint — the
+    * ivfEnsureGateIndex pattern; steady-state calls are a marker-file
+    * read, so the bench measures the READ path, not layout writes).
+    * Returns the corpus bounds, parsed from the marker on a hit. */
+  def ensureLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = synchronized {
+    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(p))
+    val fp = stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").mkString(",")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$fp|$nFiles".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val marker = new java.io.File(s"$dir/src_key")
+    if (marker.exists()) {
+      val parts = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split('|')
+      if (parts.length == 5 && parts(0) == key)
+        return Bounds(parts(1).toLong, parts(2).toLong, parts(3).toLong, parts(4).toLong)
+    }
+    val bounds = writeLayout(s, d, dir, nFiles)
+    java.nio.file.Files.write(
+      marker.toPath,
+      s"$key|${bounds.cMin}|${bounds.cMax}|${bounds.dMin}|${bounds.dMax}".getBytes("UTF-8")
+    )
+    bounds
   }
 
   /** Manifest-driven file pruning: the files whose [min, max] box
@@ -82,25 +116,25 @@ object DataSkipping {
 
   /** Pruned scan: only the manifest-selected files are opened; the
     * residual predicate still applies row-level (files straddle the
-    * rectangle's boundary), and pushes down into the parquet scan. */
-  def prunedScan(s: SparkSession, dir: String, r: Rect): DataFrame =
-    s.read
-      .parquet(selectFiles(s, dir, r)._1: _*)
-      .where(
-        col("o_custkey").between(r.cLo, r.cHi) && col("days").between(r.dLo, r.dHi)
-      )
+    * rectangle's boundary), and pushes down into the parquet scan. A
+    * rectangle intersecting no file yields an empty frame with the scan
+    * schema, not an error. */
+  def prunedScan(s: SparkSession, dir: String, r: Rect): DataFrame = {
+    val (files, _) = selectFiles(s, dir, r)
+    val base =
+      if (files.isEmpty) s.read.parquet(s"$dir/data").limit(0)
+      else s.read.parquet(files: _*)
+    base.where(col("o_custkey").between(r.cLo, r.cHi) && col("days").between(r.dLo, r.dHi))
+  }
 
   /** The x73 gate rectangle: the second eighth-cell of each dim, derived
     * from the data bounds so it is identical at every SF — mirrored in
     * the oracle as (min + span*2 div 16, min + span*3 div 16). */
-  def gateRect(s: SparkSession, d: String): Rect = {
-    val b = dims(s, d).agg(min("o_custkey"), max("o_custkey"), min("days"), max("days")).collect()(0)
-    val (cmin, cmax, dmin, dmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  def gateRect(b: Bounds): Rect =
     Rect(
-      cmin + (cmax - cmin) * 2 / 16,
-      cmin + (cmax - cmin) * 3 / 16,
-      dmin + (dmax - dmin) * 2 / 16,
-      dmin + (dmax - dmin) * 3 / 16
+      b.cMin + (b.cMax - b.cMin) * 2 / 16,
+      b.cMin + (b.cMax - b.cMin) * 3 / 16,
+      b.dMin + (b.dMax - b.dMin) * 2 / 16,
+      b.dMin + (b.dMax - b.dMin) * 3 / 16
     )
-  }
 }

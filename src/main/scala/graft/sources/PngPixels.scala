@@ -91,7 +91,10 @@ object PngPixels {
       var got = 0
       while (got < rawLen && !inf.finished()) {
         val k = inf.inflate(raw, got, rawLen - got)
-        if (k == 0 && inf.needsInput()) return None // truncated stream
+        // k == 0 without progress: truncated stream (needsInput) or a
+        // zlib FDICT preset-dictionary header (needsDictionary — inflate
+        // would return 0 forever; PNG forbids FDICT, so quarantine)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         got += k
       }
       // exact-size contract: the stream must produce every scanline byte

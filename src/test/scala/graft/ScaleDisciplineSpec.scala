@@ -28,8 +28,13 @@ class ScaleDisciplineSpec extends AnyFunSuite {
 
   test("z-order manifest prunes files: selective rectangle reads ≤ 1/8 of the layout") {
     val dir = TestSpark.tempDir() + "/zorder"
-    graft.sources.DataSkipping.writeLayout(spark, sf, dir)
-    val r = graft.sources.DataSkipping.gateRect(spark, sf)
+    val bounds = graft.sources.DataSkipping.ensureLayout(spark, sf, dir)
+    // second ensure must be a marker hit (no rebuild): same bounds, and the
+    // data files' mtimes are untouched
+    val mtimes = new java.io.File(s"$dir/data").listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(graft.sources.DataSkipping.ensureLayout(spark, sf, dir) === bounds)
+    assert(new java.io.File(s"$dir/data").listFiles().map(f => f.getName -> f.lastModified).toMap === mtimes)
+    val r = graft.sources.DataSkipping.gateRect(bounds)
     val (selected, total) = graft.sources.DataSkipping.selectFiles(spark, dir, r)
     // an eighth-cell rectangle on both dims covers ~1/64 of the z-key
     // space; range-partitioned files give it a handful of files plus
@@ -47,6 +52,10 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     // the residual predicate reaches the parquet scan of the pruned files
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(o_custkey"), s"residual not pushed:\n$plan")
+    // a rectangle outside the data yields an empty frame, not a crash
+    val nowhere = graft.sources.DataSkipping.Rect(-100L, -50L, -100L, -50L)
+    assert(graft.sources.DataSkipping.selectFiles(spark, dir, nowhere)._1.isEmpty)
+    assert(graft.sources.DataSkipping.prunedScan(spark, dir, nowhere).count() === 0L)
   }
 
   test("q41 lateral top-k decorrelates into a partial window group limit") {

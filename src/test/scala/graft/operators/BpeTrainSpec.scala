@@ -40,14 +40,18 @@ class BpeTrainSpec extends AnyFunSuite {
     // closed-form corpus: 'lowlow' dominates so (l,o) wins round 1, then
     // merged symbols must keep merging ((lo,w), (low,low)…) — deep merge
     // chains and a tie broken lexicographically are both planted
+    // the two tail docs pin edge guards: whitespace-only text tokenizes to
+    // one empty word, which must NOT reach the symbol split (descending-
+    // sequence class), and padded spacing must not create empty tokens
     val texts = Seq.fill(6)("lowlow lower") ++ Seq.fill(4)("newest widest lowlow") ++
-      Seq.fill(3)("aaaa abab") ++ Seq(" padded   spacing  test ")
+      Seq.fill(3)("aaaa abab") ++ Seq(" padded   spacing  test ", "   ")
     val dir = java.nio.file.Files.createTempDirectory("bpe_spec").toString
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val vocab = texts
       .flatMap(_.toLowerCase.trim.split("\\s+"))
+      .filter(_.nonEmpty) // the query's length(w) >= 1 guard
       .groupMapReduce(identity)(_ => 1L)(_ + _)
     val expected = referenceBpe(vocab, 8)
     // the planted evolution actually exercises merged-symbol pairs: at

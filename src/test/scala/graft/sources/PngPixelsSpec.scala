@@ -69,6 +69,26 @@ class PngPixelsSpec extends AnyFunSuite {
     assert(PngPixels.decode(ImageMeta.synthesize("image/png", 1 << 25, 1 << 25, junk = 4, seed = 7)) === None)
   }
 
+  test("zlib FDICT preset-dictionary header quarantines instead of hanging") {
+    // PNG forbids FDICT, but a crafted payload can set it: inflate() then
+    // returns 0 forever with needsDictionary() true — the decode loop must
+    // bail to None, not spin. Build a spec-shaped PNG whose IDAT is a
+    // valid-CRC chunk holding an FDICT zlib header (0x78 0xBB + 4 dict-id
+    // bytes): 0x78BB % 31 == 0, so the header itself is well-formed.
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(2L) ++ be32(2L) ++ Array[Byte](8, 2, 0, 0, 0)
+    val fdictIdat = Array(0x78.toByte, 0xbb.toByte, 1.toByte, 2.toByte, 3.toByte, 4.toByte)
+    val crafted = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.empty[Byte])
+    assert(PngPixels.decode(crafted) === None)
+  }
+
   test("gate fixture: decoded checksum and aHash equal the first-principles formula") {
     for ((id, bytes, w, h) <- PngFixture.rows.take(25)) {
       val img = PngPixels.decode(bytes).get
