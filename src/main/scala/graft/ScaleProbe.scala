@@ -147,7 +147,15 @@ object ScaleProbe {
       // vocab; the 16x clone corpus multiplies every word count by 16 but
       // leaves the vocab (and so every merge round) the same size — the
       // probe shows round cost is vocab-bound, not corpus-bound
-      "x72_bpe_train"
+      "x72_bpe_train",
+      // r6: encode = train (even half) + k folds over the DISTINCT-word
+      // vocab + one join back to per-doc word counts; the clone corpus
+      // multiplies the join's probe side by 16 but not the vocab folds
+      "x75_bpe_encode",
+      // r6: leakage-safe split = the x37 component pass + a left join on
+      // doc_id; the clone corpus is the dense-cluster worst case (every
+      // clone family is one component riding a single md5 bucket)
+      "x76_leakage_safe_split"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

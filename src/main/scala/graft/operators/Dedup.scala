@@ -329,6 +329,34 @@ object Dedup {
         .orderBy("lang")
     }),
 
+    // ---- leakage-safe train/heldout split ----------------------------------
+    // The contamination-control completion of the dedup arc (detect x02 →
+    // cluster x37 → resolve x40 → SPLIT): a split drawn per-document leaks
+    // whenever two near-duplicates land on opposite sides — the heldout
+    // copy is then memorized via its train-side twin (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better", measure
+    // exactly this train/eval overlap). The fix: split by CLUSTER — every
+    // near-dup component rides the md5 bucket of its cluster_id to ONE
+    // side; singleton docs (never in a pair) bucket by their own id, which
+    // is the same rule because each is its own cluster representative, so
+    // the split stays ~90/10 overall. Cost over the naive x24 split is
+    // exactly the x37 component pass plus one left join on doc_id; by
+    // construction zero x02 pairs cross the boundary (the spec asserts
+    // both this and that the naive split DOES leak on a planted cluster).
+    "x76_leakage_safe_split" -> ((s, d) => {
+      val cc = connectedComponents(jaccardPairs(s, d))
+      table(s, d, "documents")
+        .select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn(
+          "split",
+          when(graft.functions.Hashing.md5Bucket(col("cluster_id").cast("string"), 100L) < 90, "train")
+            .otherwise("heldout")
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- cross-document repeated-span profile ------------------------------
     // The exact-substring-dedup diagnostic: for every document, what share
     // of its word-5-gram spans also occurs in some OTHER document? (Within-
@@ -625,6 +653,35 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
       |       FROM words, unnest(generate_series(1, len(w)-2)) t(i) WHERE len(w) >= 3)""".stripMargin
 
+  /** CTEs hsh → kept → counts → pairs → p → e → reach → lab: the x02
+    * df-capped Jaccard edge set resolved into connected components by a
+    * recursive transitive-closure CTE — `lab(doc_id, cluster_id)` for
+    * every doc that appears in a pair. The oracle twin of
+    * [[connectedComponents]]∘[[jaccardPairs]]; shared by x37 (clusters),
+    * x40 (resolve) and x76 (leakage-safe split). Callers prepend
+    * `WITH RECURSIVE $shinglesSql`. */
+  private val ccLabSql =
+    s"""hsh AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+       |kept AS (
+       |  SELECT s.* FROM hsh s
+       |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
+       |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+       |  WHERE n_common / (ca.n + cb.n - n_common) >= 0.2),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
   private val minhashSigSql = {
     val mins = As.zip(Bs).zipWithIndex
       .map { case ((a, b), i) => s"min(($a*h + $b) % $M) AS m$i" }
@@ -690,55 +747,27 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x40_dedup_resolve" ->
       s"""WITH RECURSIVE $shinglesSql,
-         |hsh AS (
-         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
-         |kept AS (
-         |  SELECT s.* FROM hsh s
-         |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
-         |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |p AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
-         |  WHERE n_common / (ca.n + cb.n - n_common) >= 0.2),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |$ccLabSql,
          |drop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
          |SELECT lang, count(*) AS n_survivors FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "x37_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,
-         |hsh AS (
-         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
-         |kept AS (
-         |  SELECT s.* FROM hsh s
-         |  JOIN (SELECT h FROM hsh GROUP BY h HAVING count(*) <= $DfCap) k USING (h)),
-         |counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |p AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
-         |  WHERE n_common / (ca.n + cb.n - n_common) >= 0.2),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+         |$ccLabSql,
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT doc_id, cluster_id, cluster_size
          |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "x76_leakage_safe_split" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |$ccLabSql,
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |       THEN 'train' ELSE 'heldout' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin,
     "x67_span_decontaminate" ->
       s"""WITH $positionalGramsSql,
         |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0),

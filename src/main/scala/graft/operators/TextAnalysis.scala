@@ -45,6 +45,62 @@ object TextAnalysis {
       |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b, count(*) AS cnt
       |  FROM tok GROUP BY 1, 2)""".stripMargin
 
+  /** One left-to-right non-overlapping merge pass of (a, b) over a `syms`
+    * symbol array, as a codegen'd `aggregate` fold — the rule enters as
+    * string literals, so no per-row merge-table lookup ("aaaa" + (a,a) →
+    * [aa, aa]). Shared by the x72 trainer rounds and the x75 encoder. */
+  private def mergeFold(a: String, b: String): Column =
+    aggregate(
+      col("syms"),
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+        ).otherwise(concat(acc, array(x)))
+    )
+
+  /** The Sennrich et al. 2016 §3.2 merge loop over a word stream: k rounds
+    * of pair-count → (count desc, pair asc) argmax → re-segment. The word
+    * stream is collapsed ONCE into a word-frequency vocabulary; every
+    * round operates on that vocab-sized table (pairs weighted by word
+    * count), never re-touching the corpus. The argmax is a 1-row bounded
+    * control-flow pull (the q55/q62 iterative pattern); each round's
+    * segmentation is localCheckpointed to cut lineage. Returns the learned
+    * merge table (round, p1, p2, merged, cnt), deterministic cross-engine
+    * via the (count desc, pair asc) tie-break. */
+  private def bpeMerges(words: DataFrame, rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("n"))
+    var seg = vocab
+      .select(
+        col("n"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")
+      )
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = seg
+        // single-symbol words have no pairs; without the guard
+        // sequence(0, size-2) DESCENDS and indexes out of bounds (the
+        // x66 lesson)
+        .where(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS p1, syms[i + 1] AS p2))"
+        )).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1)
+        .collect()(0) // 1-row argmax: bounded control flow, not a data pull
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, a + b, c))
+      seg = seg
+        .select(col("n"), mergeFold(a, b).as("syms"))
+        .localCheckpoint() // k rounds of lineage would otherwise nest k plans
+    }
+    merges.result()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_tokens" -> ((s, d) => {
       table(s, d, "documents")
@@ -214,58 +270,69 @@ object TextAnalysis {
     // DuckDB oracle replays the identical 8 rounds as an unrolled CTE
     // over a sentinel-wrapped string representation.
     "x72_bpe_train" -> ((s, d) => {
-      val rounds = 8
-      val vocab = table(s, d, "documents")
+      import s.implicits._
+      val words = table(s, d, "documents")
         .select(explode(toks).as("w"))
         // a whitespace-only doc tokenizes to one empty word, whose
         // sequence(1, 0) symbol split DESCENDS into ["", ""] and emits a
         // ("", "") pair the oracle cannot reproduce (the x66 bug class,
         // at the word level); oracle twin filters w <> ''
         .where(length(col("w")) >= 1)
-        .groupBy("w")
-        .agg(count(lit(1)).as("n"))
-      var seg = vocab
+      bpeMerges(words, rounds = 8).toDF("round", "p1", "p2", "merged", "cnt").orderBy("round")
+    }),
+
+    // BPE tokenizer APPLICATION — the other half of x72 (a trained
+    // tokenizer is useless until the corpus is encoded with it). The
+    // merge table is learned on the even-doc_id HALF of the corpus and
+    // applied to ALL of it, so heldout words (odd-doc OOV) flow through
+    // the same literal merge folds a production encoder applies — encode
+    // is merge REPLAY in learned order (Sennrich et al. 2016 §3.2), not a
+    // vocab lookup. Scale shape: the k fold rounds run over the
+    // DISTINCT-word vocabulary only — the corpus stream never carries
+    // symbol arrays — the vocab collapses to two longs per word (token
+    // count + an md5-bucket digest of the final segmentation), and the
+    // exploded corpus crosses ONE shuffle: the per-doc aggregation
+    // (map-side-combined), with the vocab side broadcast while dim-sized
+    // (the x66 thresholded pattern — word vocab grows with the corpus,
+    // an unconditional hint would OOM at 100 TB; past the cap it falls
+    // back to the one unavoidable SMJ on the word key). Output pins the
+    // full encoding, frequency-weighted.
+    "x75_bpe_encode" -> ((s, d) => {
+      val trainWords = table(s, d, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(explode(toks).as("w"))
+        .where(length(col("w")) >= 1)
+      val merges = bpeMerges(trainWords, rounds = 8)
+      var vseg = table(s, d, "documents")
+        .select(explode(toks).as("w"))
+        .where(length(col("w")) >= 1)
+        .distinct()
         .select(
-          col("n"),
+          col("w"),
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms")
         )
         .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val best = seg
-          // single-symbol words have no pairs; without the guard
-          // sequence(0, size-2) DESCENDS and indexes out of bounds (the
-          // x66 lesson)
-          .where(size(col("syms")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS p1, syms[i + 1] AS p2))"
-          )).as("p"))
-          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-          .agg(sum("n").as("cnt"))
-          .orderBy(col("cnt").desc, col("p1"), col("p2"))
-          .limit(1)
-          .collect()(0) // 1-row argmax: bounded control flow, not a data pull
-        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((r.toLong, a, b, a + b, c))
-        // left-to-right non-overlapping merge of (a, b) as a fold: the rule
-        // enters as literals so the whole pass stays in codegen
-        seg = seg
-          .select(
-            col("n"),
-            aggregate(
-              col("syms"),
-              array().cast("array<string>"),
-              (acc, x) =>
-                when(
-                  size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
-                ).otherwise(concat(acc, array(x)))
-            ).as("syms")
-          )
-          .localCheckpoint() // k rounds of lineage would otherwise nest k plans
-      }
-      import s.implicits._
-      merges.result().toDF("round", "p1", "p2", "merged", "cnt").orderBy("round")
+      for ((_, a, b, _, _) <- merges)
+        vseg = vseg.select(col("w"), mergeFold(a, b).as("syms")).localCheckpoint()
+      val enc = vseg
+        .select(
+          col("w"),
+          size(col("syms")).cast("long").as("ntoks"),
+          Hashing.md5Bucket(concat_ws(" ", col("syms")), 1048576L).as("wdigest")
+        )
+        .localCheckpoint()
+      val encSide = if (enc.count() <= 4000000L) broadcast(enc) else enc
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("w"))
+        .where(length(col("w")) >= 1)
+        .join(encSide, "w")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum("ntoks").as("n_bpe_tokens"),
+          sum("wdigest").as("seg_digest")
+        )
+        .orderBy("doc_id")
     }),
 
     // feature hashing (the hashing trick) — fixed-width featurization for
@@ -622,15 +689,19 @@ object TextAnalysis {
     * per-symbol sentinels reproduces BPE merge semantics exactly (shared-
     * boundary overlaps like "a a a" can't double-merge: the first match
     * consumes its full wrapped span). */
-  private val bpeTrainOracle: String = {
-    val rounds = 8
+  /** The training-chain CTEs (vocab → seg0 → per-round sy/c/b/seg) for
+    * [[bpeMerges]]'s k rounds, with `docFilter` restricting the TRAINING
+    * corpus (x72 trains on everything; x75 on the even-doc half). Yields
+    * CTEs `b1..bk` (the learned merges) and `seg0..segk`. */
+  private def bpeChainSql(rounds: Int, docFilter: String): String = {
     val init =
-      """WITH vocab AS (
-        |  SELECT w, count(*) AS n FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents)
-        |  WHERE w <> '' GROUP BY w),
-        |seg0 AS (
-        |  SELECT n, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM vocab)""".stripMargin
+      s"""vocab AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents $docFilter)
+         |  WHERE w <> '' GROUP BY w),
+         |seg0 AS (
+         |  SELECT n, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s FROM vocab)""".stripMargin
     val perRound = (1 to rounds).map { r =>
       s"""sy$r AS (
          |  SELECT n, string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms
@@ -647,16 +718,53 @@ object TextAnalysis {
          |                       chr(1) || b.p1 || b.p2 || chr(2)) AS s
          |  FROM seg${r - 1}, b$r b)""".stripMargin
     }
+    (init +: perRound).mkString(",\n")
+  }
+
+  private val bpeTrainOracle: String = {
+    val rounds = 8
     val branches = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, p1 || p2 AS merged, cnt FROM b$r")
       .mkString("\nUNION ALL\n")
-    (init +: perRound).mkString(",\n") + s"\n$branches\nORDER BY round"
+    "WITH " + bpeChainSql(rounds, "") + s"\n$branches\nORDER BY round"
+  }
+
+  /** x75 twin: train chain on the even-doc half, then replay the learned
+    * replaces over the FULL corpus vocabulary and aggregate per doc. */
+  private val bpeEncodeOracle: String = {
+    val rounds = 8
+    val applyRounds = (1 to rounds).map { r =>
+      s"""aseg$r AS (
+         |  SELECT w, replace(s, chr(1) || b.p1 || chr(2) || chr(1) || b.p2 || chr(2),
+         |                       chr(1) || b.p1 || b.p2 || chr(2)) AS s
+         |  FROM aseg${r - 1}, b$r b)""".stripMargin
+    }
+    val tail =
+      s"""wcd AS (
+         |  SELECT doc_id, w, count(*) AS k FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' GROUP BY doc_id, w),
+         |aseg0 AS (
+         |  SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+         |  FROM (SELECT DISTINCT w FROM wcd)),
+         |${applyRounds.mkString(",\n")},
+         |enc AS (
+         |  SELECT w, length(s) - length(replace(s, chr(1), '')) AS ntoks,
+         |    array_to_string(string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)), ' ') AS segstr
+         |  FROM aseg$rounds)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+         |  CAST(sum(k * ntoks) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(k * (('0x' || substr(md5(segstr), 1, 15))::BIGINT % 1048576)) AS BIGINT) AS seg_digest
+         |FROM wcd JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    "WITH " + bpeChainSql(rounds, "WHERE doc_id % 2 = 0") + ",\n" + tail
   }
 
   def oracles: Map[String, String] = {
     def inSetSql(set: Seq[String]) = set.map(w => s"'$w'").mkString("(", ", ", ")")
     Map(
       "x72_bpe_train" -> bpeTrainOracle,
+      "x75_bpe_encode" -> bpeEncodeOracle,
       "x07_text_tokens" ->
         """SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,

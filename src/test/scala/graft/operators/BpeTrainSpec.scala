@@ -12,29 +12,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class BpeTrainSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** reference trainer: the textbook in-memory algorithm */
-  private def referenceBpe(vocab: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
-    var seg: Map[Vector[String], Long] =
-      vocab.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, n) => n }(_ + _)
-    (1 to rounds).map { _ =>
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, n) <- seg; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
-      val ((a, b), c) = counts.minBy { case ((p1, p2), n) => (-n, p1, p2) }
-      def mergeWord(syms: Vector[String]): Vector[String] = {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
-          else { out += syms(i); i += 1 }
-        }
-        out.result()
-      }
-      seg = seg.groupMapReduce { case (syms, _) => mergeWord(syms) } { case (_, n) => n }(_ + _)
-      (a, b, c)
-    }
-  }
-
   test("planted corpus: distributed merge table equals the in-memory reference") {
     import spark.implicits._
     // closed-form corpus: 'lowlow' dominates so (l,o) wins round 1, then
@@ -53,7 +30,7 @@ class BpeTrainSpec extends AnyFunSuite {
       .flatMap(_.toLowerCase.trim.split("\\s+"))
       .filter(_.nonEmpty) // the query's length(w) >= 1 guard
       .groupMapReduce(identity)(_ => 1L)(_ + _)
-    val expected = referenceBpe(vocab, 8)
+    val expected = BpeReference.train(vocab, 8)
     // the planted evolution actually exercises merged-symbol pairs: at
     // least one later round must merge a multi-char symbol
     assert(expected.drop(1).exists { case (a, b, _) => a.length > 1 || b.length > 1 })
