@@ -155,7 +155,18 @@ object ScaleProbe {
       // r6: leakage-safe split = the x37 component pass + a left join on
       // doc_id; the clone corpus is the dense-cluster worst case (every
       // clone family is one component riding a single md5 bucket)
-      "x76_leakage_safe_split"
+      "x76_leakage_safe_split",
+      // r6: PPS sample = the x26/x53 distributed prefix-sum over the 16x
+      // corpus (80k intervals, same ≤B-row bucket offsets)
+      "x77_pps_sample",
+      // r6: compaction exec steady state is a marker-file read + the
+      // compacted-artifact scan/agg (the warm pass absorbs the rebuild)
+      "x78_compaction_exec",
+      // r6: calibration = per-doc scoring agg + two ExactPercentile passes
+      // over the 16x clone corpus (every score repeats 16x — the
+      // duplicate-heavy distinct-value regime the two-phase operator
+      // collapses map-side)
+      "x79_quality_calibrate"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

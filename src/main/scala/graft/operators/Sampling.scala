@@ -396,6 +396,84 @@ object Sampling {
           sum("v_e3").as("winsorized_sum_e3")
         )
         .orderBy("lang")
+    }),
+
+    // probability-proportional-to-size systematic sample (Madow 1949; the
+    // classic PPS design) — k=100 equally spaced draw points walk the
+    // token-weighted cumulative line in deterministic hash order, so
+    // P(doc sampled) = k·w/W exactly, with zero floats: a doc covering
+    // [a, a+w) receives min(⌈(a+w)/step⌉, k) − min(⌈a/step⌉, k) draw
+    // points (step = W div k) — all integer ceil-divisions on
+    // non-negative values. Draws are CONSERVED (Σ n_draws = k, asserted
+    // in PpsSampleSpec): every point lands in exactly one interval, so a
+    // document longer than step gets multiple draws (the with-replacement
+    // face of PPS for oversized units — the loader repeats it). This is
+    // x59's token-proportional counterpart: temperature mixing flattens
+    // DOMAIN mass, PPS draws individual documents ∝ their token mass.
+    //
+    // Scale shape: the global cumulative offset is the x26/x53
+    // distributed prefix-sum decomposition (hash-range buckets → tiny
+    // per-bucket totals → exclusive prefix over ≤B rows → local window +
+    // offset); W is a 1-row broadcast. No corpus join, no global sort —
+    // the output is ≤k rows.
+    "x77_pps_sample" -> ((s, d) => {
+      val k = 100L
+      val buckets = 32L
+      val step60 = (1L << 60) / buckets
+      val docs = table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("w"),
+          Hashing.md5Window15(col("doc_id").cast("string")).as("h")
+        )
+        .withColumn("bkt", expr(s"h div ${step60}L"))
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs
+        .groupBy("bkt")
+        .agg(sum("w").as("bt"))
+        .withColumn("boff", coalesce(sum("bt").over(wOff), lit(0L)))
+        .select("bkt", "boff")
+      val total = docs.agg(sum("w").as("tw"))
+      val wLoc = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .join(offsets, Seq("bkt"))
+        .crossJoin(broadcast(total))
+        .withColumn("a", col("boff") + coalesce(sum("w").over(wLoc), lit(0L)))
+        .withColumn("step", expr(s"greatest(tw div ${k}L, 1L)"))
+        .withColumn(
+          "n_draws",
+          expr(s"least((a + w + step - 1L) div step, ${k}L) - least((a + step - 1L) div step, ${k}L)")
+        )
+        .where(col("n_draws") >= 1L)
+        .select(col("doc_id"), col("w").as("n_tokens"), col("a").as("offset"), col("n_draws"))
+        .orderBy("offset")
+    }),
+
+    // compaction EXECUTION — the rewrite that cashes in x45's plan (the
+    // x73-over-x47 pattern applied to the small-files problem): per lang
+    // partition, round-robin repartition into the planned ⌈bytes/64KiB⌉
+    // file count and rewrite (graft.sources.Compaction). The gate pins
+    // both halves at once: per-lang doc counts and an order-free text
+    // digest prove the rewrite lost/duplicated nothing (the oracle reads
+    // the RAW table), and the fs-listed file count per lang must equal
+    // the x45 formula the oracle recomputes from raw bytes — a rewrite
+    // that emitted the wrong file count breaks the hash. File-size bounds
+    // are asserted in CompactionExecSpec.
+    "x78_compaction_exec" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/root/repo/spark-warehouse/graft_compacted"
+      graft.sources.Compaction.ensure(s, d, dir)
+      val counts = graft.sources.Compaction.fileCounts(s, dir).toDF("lang", "n_files")
+      s.read
+        .parquet(dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(Hashing.md5Bucket(col("text"), 1L << 40)).as("digest")
+        )
+        .join(broadcast(counts), "lang")
+        .select("lang", "n_docs", "digest", "n_files")
+        .orderBy("lang")
     })
   )
 
@@ -582,6 +660,35 @@ object Sampling {
         |  CAST(sum(CASE WHEN n_tokens * 1000 < p05_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |  CAST(sum(CASE WHEN n_tokens * 1000 > p95_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |  CAST(sum(greatest(least(n_tokens * 1000, p95_e3), p05_e3)) AS BIGINT) AS winsorized_sum_e3
-        |FROM t JOIN p USING (lang) GROUP BY t.lang ORDER BY t.lang""".stripMargin
+        |FROM t JOIN p USING (lang) GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    "x77_pps_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, w,
+        |    CAST(coalesce(sum(w) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a
+        |  FROM t),
+        |s AS (SELECT greatest(CAST((SELECT sum(w) FROM t) AS BIGINT) // 100, 1) AS step),
+        |sel AS (
+        |  SELECT doc_id, w, a,
+        |    least((a + w + step - 1) // step, 100) - least((a + step - 1) // step, 100) AS nd
+        |  FROM o, s)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, a AS "offset", CAST(nd AS BIGINT) AS n_draws
+        |FROM sel WHERE nd >= 1 ORDER BY "offset"""".stripMargin,
+    // the oracle reads the RAW table: content equality pins the rewrite
+    // (lost/duplicated rows break count or digest) and the x45 formula
+    // pins the executed file count
+    "x78_compaction_exec" ->
+      """WITH d AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+        |    CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1099511627776) AS BIGINT) AS digest
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, digest, CAST((n_bytes + 65535) // 65536 AS BIGINT) AS n_files
+        |FROM d ORDER BY lang""".stripMargin
   )
 }

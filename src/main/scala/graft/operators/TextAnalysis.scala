@@ -679,6 +679,52 @@ object TextAnalysis {
           graft.functions.RollingHash(col("text")).as("rolling_hash")
         )
         .orderBy("doc_id")
+    }),
+
+    // per-domain quality-threshold CALIBRATION — the selection policy on
+    // top of x08's scoring: a single global quality cutoff systematically
+    // biases against whole domains whose score distribution sits lower
+    // (a zh corpus scored by en-centric stopword/word-length features
+    // would be gutted), so production filters calibrate the fence
+    // per-domain: keep each domain's top 70% (p30 fence) rather than
+    // everything above one global p30. Both fences are computed here and
+    // both keep-counts reported, so the domain-bias delta
+    // (n_kept_global vs n_kept_domain) is measurable in the gate output.
+    // Integer discipline: the x08 score integerized to e6 fixed-point
+    // (two integer divisions), fences via the spillable two-phase
+    // ExactPercentile (q27 machinery) ×1000-rounded like x62 — all
+    // comparisons integer.
+    //
+    // Scale shape: one exploded scan → per-doc hash agg (map-side
+    // combined); fence tables are |langs|-row / 1-row broadcasts; the
+    // scored frame feeds three plan positions → localCheckpoint.
+    "x79_quality_calibrate" -> ((s, d) => {
+      val scored = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").isInCollection(stopwords), 1L).otherwise(0L)).as("stop_cnt"),
+          sum(length(col("tok")).cast("long")).as("char_sum")
+        )
+        .withColumn("score_e6", expr("(stop_cnt * 500000L) div n_tokens + (char_sum * 100000L) div n_tokens"))
+        .localCheckpoint()
+      val perLang = ExactPercentile(scored, "lang", col("score_e6"), Seq("p30" -> 0.30))
+        .select(col("lang"), expr("CAST(round(p30 * 1000) AS BIGINT)").as("fence_e3"))
+      val globalFence = ExactPercentile(scored.withColumn("g", lit(1)), "g", col("score_e6"), Seq("p30" -> 0.30))
+        .select(expr("CAST(round(p30 * 1000) AS BIGINT)").as("gfence_e3"))
+      scored
+        .join(broadcast(perLang), "lang")
+        .crossJoin(broadcast(globalFence))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max("fence_e3").as("fence_e3"),
+          sum(when(col("score_e6") * 1000 >= col("fence_e3"), 1L).otherwise(0L)).as("n_kept_domain"),
+          sum(when(col("score_e6") * 1000 >= col("gfence_e3"), 1L).otherwise(0L)).as("n_kept_global"),
+          sum(when(col("score_e6") * 1000 >= col("fence_e3"), col("doc_id")).otherwise(0L)).as("kept_digest")
+        )
+        .orderBy("lang")
     })
   )
 
@@ -790,6 +836,26 @@ object TextAnalysis {
           |  FROM s)
           |SELECT doc_id, n_tokens, score, score_pt, score_pt >= -50 AS keep
           |FROM p ORDER BY doc_id""".stripMargin,
+      "x79_quality_calibrate" ->
+        s"""WITH t AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, len(w) AS n_tokens,
+          |    len(list_filter(w, t -> t IN ${inSetSql(stopwords)})) AS stop_cnt,
+          |    cast(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS char_sum
+          |  FROM t),
+          |sc AS (
+          |  SELECT doc_id, lang,
+          |    CAST((stop_cnt * 500000) // n_tokens + (char_sum * 100000) // n_tokens AS BIGINT) AS score_e6
+          |  FROM c),
+          |p AS (SELECT lang, CAST(round(quantile_cont(score_e6, 0.30) * 1000) AS BIGINT) AS fence_e3
+          |      FROM sc GROUP BY lang),
+          |g AS (SELECT CAST(round(quantile_cont(score_e6, 0.30) * 1000) AS BIGINT) AS gfence_e3 FROM sc)
+          |SELECT sc.lang, count(*) AS n_docs, max(fence_e3) AS fence_e3,
+          |  CAST(sum(CASE WHEN score_e6 * 1000 >= fence_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_domain,
+          |  CAST(sum(CASE WHEN score_e6 * 1000 >= gfence_e3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_global,
+          |  CAST(sum(CASE WHEN score_e6 * 1000 >= fence_e3 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_digest
+          |FROM sc JOIN p USING (lang), g GROUP BY sc.lang ORDER BY sc.lang""".stripMargin,
       "x66_perplexity_bucket" ->
         """WITH t AS (
           |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
