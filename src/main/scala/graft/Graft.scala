@@ -42,11 +42,24 @@ object Graft {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column (unreadable as a Spark
-    * timestamp) surfaced as a proper microsecond TIMESTAMP_NTZ — the same
-    * truncation DuckDB applies casting timestamp_ns → timestamp. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** `events` with `ts` normalized to a microsecond TIMESTAMP_NTZ whatever
+    * physical type the generator wrote it as. Seen in the wild across
+    * driver rounds: TIMESTAMP(NANOS) read as a nano long (needs
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, then the same micros
+    * truncation DuckDB applies casting timestamp_ns → timestamp),
+    * TIMESTAMP(MICROS) read natively as TIMESTAMP_NTZ (pass-through), and
+    * the tz-adjusted variant (cast; session tz is pinned UTC so the cast
+    * is deterministic). Schema-adaptive so every downstream query and its
+    * DuckDB oracle (`epoch_ns(ts)` / `ts::TIMESTAMP` — valid on any of
+    * these) see one stable shape. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case org.apache.spark.sql.types.TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 }

@@ -46,8 +46,9 @@ object ScaleProbe {
     // the realistic scale-out for sessionization/SCD2/variant queries,
     // which all partition by user or aggregate per event row
     locally {
-      // raw read (NOT Graft.events): ts must stay the raw nano long so the
-      // workdir parquet round-trips through Graft.events' micros conversion
+      // raw read (NOT Graft.events): ts keeps the generator's physical type
+      // so the workdir parquet round-trips through Graft.events' adaptive
+      // normalization exactly like the source table does
       val t = Graft.table(spark, src, "events")
       t.crossJoin(broadcast(copies))
         .select(t.columns.map {

@@ -540,13 +540,16 @@ object Advanced {
     // per user is generated with sequence/explode (never a driver loop),
     // actual per-bucket aggregates left-join onto it, and missing values
     // carry forward via last(_, ignoreNulls) over a streaming running
-    // window. Bucket arithmetic stays in integer epoch-seconds on the raw
-    // nanos column — no timezone-typed value ever crosses the gate
-    // (invariant #6).
+    // window. Bucket arithmetic is integer epoch-seconds derived from the
+    // normalized TIMESTAMP_NTZ under the session's pinned-UTC zone — no
+    // timezone-dependent value ever crosses the gate (invariant #6).
     "q42_gap_fill" -> ((s, d) => {
-      val e = table(s, d, "events")
+      val e = graft.Graft.events(s, d)
         .where(col("user_id") < 5)
-        .select(col("user_id"), expr("((ts div 1000000000) div 300) * 300").as("b"), col("value"))
+        .select(
+          col("user_id"),
+          expr("((unix_micros(cast(ts as timestamp)) div 1000000) div 300) * 300").as("b"),
+          col("value"))
       val actual = e.groupBy("user_id", "b").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
       val spine = actual
         .groupBy("user_id")
