@@ -14,13 +14,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * (x33, [[graft.sources.BmpPixels]]), WAV PCM loudness features (x34,
   * [[graft.sources.AudioMeta.pcmFeatures]]), raw-video frame sampling
   * (x35, [[graft.sources.RawVideo]]) — each hash-checked against a
-  * first-principles DuckDB oracle. Deflate-compressed formats are ALSO
-  * real: PNG pixel decode (x70, [[graft.sources.PngPixels]]) runs on the
-  * JDK's own `Inflater` plus the spec's five scanline filters, and GIF's
-  * LZW is plain byte arithmetic. Only transform-coded bitstreams
-  * (JPEG DCT, MP3, H.264) fall back to [[decodeStub]] — those genuinely
-  * need a codec library this environment lacks. Everything around the
-  * decode is
+  * first-principles DuckDB oracle. Compressed formats are ALSO real: PNG
+  * pixel decode (x70, [[graft.sources.PngPixels]]) runs on the JDK's own
+  * `Inflater` plus the spec's five scanline filters, GIF's LZW is plain
+  * byte arithmetic (x71, [[graft.sources.GifPixels]]), and baseline JPEG
+  * (x80, [[graft.sources.JpegPixels]]) is Huffman + dequant + IDCT +
+  * fixed-point YCbCr from the public T.81 spec — no codec library
+  * anywhere. Only non-image transform-coded bitstreams (MP3, H.264)
+  * fall back to [[decodeStub]]; audio/video already have their
+  * real-decode faces on raw bytes (WAV PCM, rawvideo). Everything around
+  * the decode is
   * the real Spark shape that scales to 100 TB of media:
   *   - payloads stay opaque `BinaryType` columns (never stringified);
   *   - decode runs via `mapPartitions` so a real codec would amortize
@@ -50,8 +53,8 @@ object Multimodal {
     * [[graft.sources.ImageMeta]]); unrecognized payloads fall back to the
     * deterministic stub. Full pixel decode lives with the per-format
     * sources (BMP [[graft.sources.BmpPixels]], PNG
-    * [[graft.sources.PngPixels]]); only transform-coded formats (JPEG
-    * DCT) keep a stubbed pixel step. */
+    * [[graft.sources.PngPixels]], GIF [[graft.sources.GifPixels]],
+    * baseline JPEG [[graft.sources.JpegPixels]]). */
   def decodeStub(payload: Array[Byte]): Row =
     graft.sources.ImageMeta.parse(payload) match {
       case Some(m) => Row(m.format, m.width, m.height, 1)
@@ -324,6 +327,41 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // REAL baseline-JPEG decode in the gate — the transform-coded image
+    // family: marker walk → DHT canonical Huffman decode of the
+    // byte-stuffed entropy stream (DC diff prediction across interleaved
+    // 4:4:4 MCUs, AC run-length) → dequant → zigzag → IDCT → level shift
+    // → floor fixed-point YCbCr→RGB → the x33 8×8 resample/checksum. The
+    // fixture's blocks carry a DC plus one AC at basis (u=4, v=0), whose
+    // IDCT is exactly ±F/8, so decoded pixels are closed-form integers:
+    // the oracle recomputes pixels AND the integer RGB conversion from
+    // the formulas — it never parses a byte of JPEG — proving the whole
+    // chain end-to-end. Non-multiple-of-8 sizes pin MCU padding/cropping.
+    "x80_jpeg_decode" -> ((s, _) => {
+      graft.sources.JpegFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.JpegFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.JpegPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     // Perceptual-hash image dedup: the content-level dedup step of a
     // multimodal curation pipeline (metadata x21 → decode x33 → fingerprint
     // → dedup). aHash over the REAL decoded 8×8 resample: bit k set iff
@@ -534,6 +572,43 @@ object Multimodal {
         |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
         |FROM val JOIN tot USING (img_id)
         |GROUP BY val.img_id, width, height ORDER BY img_id""".stripMargin,
+    // first-principles JPEG oracle: per-block luma/chroma DC formulas +
+    // the exact ±ac column-sign pattern of basis (u=4,v=0) + the SAME
+    // bias-shifted floor fixed-point YCbCr→RGB integer arithmetic the
+    // decoder uses (every numerator provably ≥ 0, so // is plain floor
+    // in both engines) → the x33 checksum CTE. Huffman/IDCT proven
+    // without the oracle touching a byte of JPEG.
+    "x80_jpeg_decode" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_jpeg/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |blk AS (
+        |  SELECT img_id, width, height, wgt,
+        |    sx // 8 AS bx, sy // 8 AS by, sx % 8 AS fx
+        |  FROM px),
+        |ycc AS (
+        |  SELECT img_id, width, height, wgt,
+        |    8 + (img_id * 5 + bx * 7 + by * 3) % 240
+        |      + (CASE WHEN fx IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |        * ((img_id + bx + by) % 5 - 2) AS yv,
+        |    (img_id * 3 + bx * 2 + by * 5) % 256 AS cb,
+        |    (img_id * 7 + bx * 4 + by) % 256 AS cr
+        |  FROM blk),
+        |rgb AS (
+        |  SELECT img_id, width, height, wgt,
+        |    least(greatest(((yv * 256 + 359 * (cr - 128) + 46080) // 256) - 180, 0), 255) AS r,
+        |    least(greatest(((yv * 256 - 88 * (cb - 128) - 183 * (cr - 128) + 34560) // 256) - 135, 0), 255) AS gc,
+        |    least(greatest(((yv * 256 + 454 * (cb - 128) + 58112) // 256) - 227, 0), 255) AS bc
+        |  FROM ycc)
+        |SELECT img_id, width, height,
+        |  CAST(sum(wgt * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum
+        |FROM rgb GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
     // first-principles aHash oracle: pixel formula (+ the near-clone bump,
     // saturating at 255) → 8×8 sample grays → integer mean compare → 64-bit
     // hash in two halves → exact brute-force hamming over the tiny fixture
