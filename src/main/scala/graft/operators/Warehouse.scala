@@ -16,6 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q57 arg-max/arg-min — `max_by`/`min_by` per group with an explicitly
   * deterministic composite ordering key (value then event_id), so ties can
   * never make the result engine- or partitioning-dependent.
+  * x81/x82 copy-on-write MERGE + time travel — snapshot-versioned parquet
+  * with a manifest-pruned rewrite ([[graft.sources.CowTable]]): the
+  * table-format write path from first principles, paired with q43's
+  * plan-shape SCD1 merge and x73/x78's read/compaction halves.
   *
   * Scale shape: q56 is two windows over the same `(user_id)` partitioning
   * (one ROWS running sum, one per-run lead) + one hash agg between them —
@@ -129,10 +133,77 @@ object Warehouse {
           expr("min(k) div 1000000000000").as("min_cents")
         )
         .orderBy("event_type")
+    }),
+
+    // Copy-on-write MERGE on a snapshot-versioned parquet table
+    // (sources/CowTable): manifest-pruned rewrite of only the buckets the
+    // change keys touch, inserts appended as new buckets, untouched files
+    // carried into the v2 manifest by reference. The gate reads the merged
+    // snapshot back per bucket and tags each bucket with its manifest
+    // provenance (rewritten-or-inserted vs carried), so a wrong prune —
+    // rewriting too much OR too little — flips the hash; the oracle
+    // recomputes the merged content AND the provenance from the raw
+    // orders table plus the insert/update formulas.
+    "x81_cow_merge" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      val content = graft.sources.CowTable
+        .read(s, 2)
+        .withColumn("bucket", expr(s"k div ${graft.sources.CowTable.BucketWidth}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      val prov = graft.sources.CowTable
+        .manifest(s, 2)
+        .select(
+          col("bucket"),
+          when(col("path").contains("/v2/"), lit(2L)).otherwise(lit(1L)).as("src_version")
+        )
+      content
+        .join(prov, Seq("bucket"))
+        .orderBy("bucket")
+    }),
+    // Time travel: snapshot v1 read AFTER the v2 merge — carried files are
+    // referenced (not copied) by v2, so this hash-matching the ORIGINAL
+    // table is the gate-level proof that the merge overwrote nothing.
+    "x82_time_travel" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      graft.sources.CowTable
+        .read(s, 1)
+        .withColumn("bucket", expr(s"k div ${graft.sources.CowTable.BucketWidth}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+        .orderBy("bucket")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // merged content from first principles: base cents + the update bump
+    // on the filtered keys, union the insert formula rows; provenance =
+    // 2 exactly for buckets containing an update key or insert key
+    "x81_cow_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i AS k, (10000000 + i) // 1024 AS bucket,
+        |    100000 + i * 7 AS cents
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |touched AS (
+        |  SELECT DISTINCT bucket FROM base WHERE k % 97 = 0 AND bucket % 5 = 0
+        |  UNION SELECT DISTINCT (10000000 + i) // 1024 FROM (SELECT unnest(range(50)) AS i))
+        |SELECT m.bucket, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(CASE WHEN t.bucket IS NULL THEN 1 ELSE 2 END AS BIGINT) AS src_version
+        |FROM merged m LEFT JOIN touched t ON m.bucket = t.bucket
+        |GROUP BY m.bucket, t.bucket ORDER BY m.bucket""".stripMargin,
+    "x82_time_travel" ->
+      """SELECT o_orderkey // 1024 AS bucket, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q56_scd2_intervals" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),
