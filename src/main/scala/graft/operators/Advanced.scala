@@ -548,7 +548,7 @@ object Advanced {
         .where(col("user_id") < 5)
         .select(
           col("user_id"),
-          expr("((unix_micros(cast(ts as timestamp)) div 1000000) div 300) * 300").as("b"),
+          expr("(unix_seconds(cast(ts as timestamp)) div 300) * 300").as("b"),
           col("value"))
       val actual = e.groupBy("user_id", "b").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
       val spine = actual

@@ -530,16 +530,7 @@ object Similarity {
     // (name/size/mtime), not just the path — regenerating the corpus at the
     // same path invalidates the persisted index instead of silently reusing
     // stale centroids/lists (ADVICE r02).
-    val fp = {
-      val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val stats =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
-        else Array(fs.getFileStatus(p))
-      stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").mkString(",")
-    }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$fp|$nlist|$iters".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = graft.sources.Fingerprint.of(s, s"$d/embeddings.parquet", s"$nlist|$iters")
     val dir = s"/root/repo/spark-warehouse/graft_ivf/$key"
     if (!new java.io.File(s"$dir/lists").exists()) {
       val emb = table(s, d, "embeddings")

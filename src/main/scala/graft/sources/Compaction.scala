@@ -34,18 +34,7 @@ object Compaction {
     * counts. Fingerprint-guarded like [[DataSkipping.ensureLayout]]:
     * steady-state calls are a marker-file read. */
   def ensure(s: SparkSession, d: String, dir: String): Unit = synchronized {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
-      else Array(fs.getFileStatus(p))
-    val fp = stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").mkString(",")
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s"$d|$fp|$TargetBytes".getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-      .take(16)
+    val key = Fingerprint.of(s, s"$d/documents.parquet", s"$TargetBytes")
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key) return

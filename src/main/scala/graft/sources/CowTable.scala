@@ -70,18 +70,8 @@ object CowTable {
   /** Build snapshot v1 from `orders` and snapshot v2 = MERGE(updates ∪
     * inserts) into it, fingerprint-guarded on the source files. */
   def ensure(s: SparkSession, d: String): Unit = synchronized {
-    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
-      else Array(fs.getFileStatus(p))
-    val fp = stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").mkString(",")
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(s"$d|$fp|$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount".getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-      .take(16)
+    val key =
+      Fingerprint.of(s, s"$d/orders.parquet", s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount")
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key) return
@@ -138,10 +128,18 @@ object CowTable {
         .parquet(touchedPaths.toIndexedSeq: _*)
         .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
       val upd = ch.where(col("bucket").isin(touchedSet.toSeq.map(Long.box): _*))
-      // keep-latest upsert: changed keys replace, everything else stays
+      // keep-latest upsert via FULL outer join: matched keys replace,
+      // unmatched current rows stay, and change keys with no current row
+      // INSERT into the bucket they key-range into — a left join from the
+      // current side would silently drop inserts that land inside an
+      // existing bucket's range (review-found)
       cur
-        .join(upd.select(col("k").as("uk"), col("cents").as("ucents")), col("k") === col("uk"), "left")
-        .select(col("k"), coalesce(col("ucents"), col("cents")).as("cents"), col("bucket"))
+        .join(upd.select(col("k").as("uk"), col("cents").as("ucents")), col("k") === col("uk"), "full")
+        .select(
+          coalesce(col("k"), col("uk")).as("k"),
+          coalesce(col("ucents"), col("cents")).as("cents")
+        )
+        .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
         .write
         .mode("overwrite")
         .partitionBy("bucket")

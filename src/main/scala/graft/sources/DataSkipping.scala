@@ -77,14 +77,7 @@ object DataSkipping {
     * read, so the bench measures the READ path, not layout writes).
     * Returns the corpus bounds, parsed from the marker on a hit. */
   def ensureLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = synchronized {
-    val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.toString)
-      else Array(fs.getFileStatus(p))
-    val fp = stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").mkString(",")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|$fp|$nFiles".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = Fingerprint.of(s, s"$d/orders.parquet", s"$nFiles")
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists()) {
       val parts = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split('|')

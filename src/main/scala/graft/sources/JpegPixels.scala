@@ -137,8 +137,10 @@ object JpegPixels {
     val qt = new Array[Array[Int]](4) // zigzag order, as transmitted
     val dcTab = new Array[Huff](4); val acTab = new Array[Huff](4)
     var w = 0; var h = 0; var ncomp = 0
-    var compQ: Array[Int] = null // component → quant table id
+    var compQ: Array[Int] = null // frame component → quant table id
+    var compIds: Array[Int] = null // frame component → its id byte (binds SOS)
     var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    var scanOrder: Array[Int] = null // scan position → frame component index
     var scanStart = -1
     while (scanStart < 0) {
       if (o + 2 > b.length) return None
@@ -185,13 +187,15 @@ object JpegPixels {
               if (((w + 7L) / 8) * 8 * (((h + 7L) / 8) * 8) > (1L << 24)) return None
               if (ncomp != 1 && ncomp != 3) return None
               if (p + 6 + 3 * ncomp > end) return None
-              compQ = new Array[Int](ncomp)
+              compQ = new Array[Int](ncomp); compIds = new Array[Int](ncomp)
               for (c <- 0 until ncomp) {
+                compIds(c) = b(p + 6 + 3 * c) & 0xff
                 val samp = b(p + 7 + 3 * c) & 0xff
                 if (samp != 0x11) return None // 4:4:4 / grayscale only
                 compQ(c) = b(p + 8 + 3 * c) & 0xff
                 if (compQ(c) > 3) return None
               }
+              if (compIds.distinct.length != ncomp) return None
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // extended/progressive/lossless/arithmetic SOFs
             case 0xdd => // DRI: restart markers unsupported → quarantine
@@ -201,11 +205,20 @@ object JpegPixels {
               val ns = b(p) & 0xff
               if (ns != ncomp || p + 1 + 2 * ns + 3 > end) return None
               compDc = new Array[Int](ncomp); compAc = new Array[Int](ncomp)
-              for (c <- 0 until ns) {
-                compDc(c) = (b(p + 2 + 2 * c) & 0xf0) >> 4
-                compAc(c) = b(p + 2 + 2 * c) & 0x0f
-                if (compDc(c) > 3 || compAc(c) > 3) return None
+              scanOrder = new Array[Int](ns)
+              for (j <- 0 until ns) {
+                // the Cs id byte — not the list position — binds a scan
+                // entry to its frame component (T.81 B.2.3); MCU data-unit
+                // order follows the SCAN's component order
+                val cs = b(p + 1 + 2 * j) & 0xff
+                val fi = compIds.indexOf(cs)
+                if (fi < 0) return None
+                scanOrder(j) = fi
+                compDc(fi) = (b(p + 2 + 2 * j) & 0xf0) >> 4
+                compAc(fi) = b(p + 2 + 2 * j) & 0x0f
+                if (compDc(fi) > 3 || compAc(fi) > 3) return None
               }
+              if (scanOrder.distinct.length != ns) return None
               scanStart = end
             case _ => // APPn / COM / other: skip
           }
@@ -223,13 +236,17 @@ object JpegPixels {
     val pred = new Array[Int](ncomp)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until ncomp) {
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; j <- 0 until ncomp) {
+      val c = scanOrder(j) // data units follow the scan's component order
       java.util.Arrays.fill(coef, 0)
       val q = qt(compQ(c))
       // DC: category symbol, then the difference's magnitude bits
       val t = decodeHuff(r, dcTab(compDc(c)))
       if (t > 11) throw Bail
       pred(c) += extend(r.bits(t), t)
+      // spec range for 8-bit baseline DC is 11 bits + sign; an adversarial
+      // diff stream could otherwise walk pred past Int range via * q(0)
+      if (pred(c) < -2048 || pred(c) > 2047) throw Bail
       coef(0) = pred(c) * q(0)
       // AC: (run, size) symbols over zigzag positions 1..63
       var k = 1
@@ -325,15 +342,21 @@ object JpegPixels {
     * (fixture-vs-parser discipline, as [[PngPixels.synthesize]]): it
     * Huffman-codes DC diffs and AC runs directly — including ZRL for
     * runs ≥ 16 — and byte-stuffs the stream. Quant tables `qts` are in
-    * zigzag order; component c uses table `min(c, qts.length-1)`. */
+    * zigzag order; component c uses table `min(c, qts.length-1)`.
+    * `scanOrder` permutes the SOS component listing AND the MCU data-unit
+    * interleave (T.81 allows any scan order; the Cs ids bind components),
+    * so the decoder's id-binding path is conformance-testable. */
   def synthesize(
       w: Int,
       h: Int,
       ncomp: Int,
       qts: Seq[Array[Int]],
-      coefAt: (Int, Int, Int) => Array[Int]
+      coefAt: (Int, Int, Int) => Array[Int],
+      scanOrder: Seq[Int] = Seq.empty
   ): Array[Byte] = {
     require(ncomp == 1 || ncomp == 3)
+    val order = if (scanOrder.isEmpty) 0 until ncomp else scanOrder
+    require(order.sorted == (0 until ncomp))
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
     // minimal JFIF APP0 for interoperability (ImageIO cross-validation)
@@ -353,7 +376,7 @@ object JpegPixels {
       out.write(seg(0xc4, Array((1 << 4 | i).toByte) ++ acs(i)._1.drop(1).map(_.toByte) ++ acs(i)._2.map(_.toByte)))
     }
     val sos = Array[Byte](ncomp.toByte) ++
-      (0 until ncomp).flatMap { c =>
+      order.flatMap { c =>
         val t = math.min(c, nTabs - 1); Array((c + 1).toByte, (t << 4 | t).toByte)
       } ++ Array[Byte](0, 63, 0)
     out.write(seg(0xda, sos))
@@ -362,7 +385,7 @@ object JpegPixels {
     val bw = new BitWriter(out)
     val pred = new Array[Int](ncomp)
     val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
-    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until ncomp) {
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- order) {
       val tab = math.min(c, nTabs - 1)
       val z = coefAt(c, mx, my)
       val diff = z(0) - pred(c); pred(c) = z(0)

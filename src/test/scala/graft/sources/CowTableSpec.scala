@@ -70,6 +70,44 @@ class CowTableSpec extends AnyFunSuite {
     }
   }
 
+  test("inserts landing INSIDE an existing bucket's key range survive the merge") {
+    // regression (review-found): a left join from the current side dropped
+    // change keys that had no current row but keyed into an occupied
+    // bucket. Merge v2 -> v99 with one such insert plus one update.
+    import spark.implicits._
+    CowTable.ensure(spark, sf)
+    val base = baseRows()
+    // any occupied bucket with a key-range gap (dense generators can fill
+    // whole buckets, so search rather than assume)
+    val (bucket, bucketKeys) = base.keySet
+      .groupBy(_ / CowTable.BucketWidth)
+      .find { case (_, ks) => ks.size < CowTable.BucketWidth }
+      .get
+    val existingKey = bucketKeys.head
+    val freshKey = (bucket * CowTable.BucketWidth until (bucket + 1) * CowTable.BucketWidth)
+      .find(k => !bucketKeys.contains(k))
+      .get
+    try {
+      CowTable.merge(
+        spark,
+        fromVersion = 2,
+        toVersion = 99,
+        changes = Seq((existingKey, 77L), (freshKey, 88L)).toDF("k", "cents")
+      )
+      val got = CowTable.read(spark, 99).collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cents")).toMap
+      assert(got(existingKey) === 77L) // matched -> updated
+      assert(got(freshKey) === 88L) // unmatched in an occupied bucket -> inserted
+      val v2 = CowTable.read(spark, 2).collect().length
+      assert(got.size === v2 + 1)
+    } finally {
+      // scratch snapshot: keep the fixed artifact at its steady v1/v2 state
+      for (n <- Seq("v99", "manifest_v99")) {
+        val f = new java.io.File(s"${CowTable.dir}/$n")
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      }
+    }
+  }
+
   test("steady-state ensure is a marker read: no manifest rewrite on the second call") {
     CowTable.ensure(spark, sf)
     val before = new java.io.File(CowTable.dir + "/manifest_v2").lastModified()

@@ -104,6 +104,35 @@ class JpegPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("SOS component order binds by id, not position (T.81 allows any scan order)") {
+    // same pixels must come back whatever order the scan lists Y/Cb/Cr in,
+    // because the Cs ids — not list positions — bind scan entries to frame
+    // components and the MCU interleave follows the scan order
+    val q8s = Seq(q8, q8)
+    def coef(c: Int, bx: Int, by: Int): Array[Int] = {
+      val z = new Array[Int](64)
+      z(0) = (40 + c * 50 + bx * 13 + by * 7) % 200 - 100
+      z
+    }
+    val normal = JpegPixels.decode(JpegPixels.synthesize(17, 10, 3, q8s, coef)).get
+    val reordered = JpegPixels.decode(JpegPixels.synthesize(17, 10, 3, q8s, coef, scanOrder = Seq(2, 0, 1))).get
+    for (x <- 0 until 17; y <- 0 until 10)
+      assert(reordered.rgb(x, y) === normal.rgb(x, y), s"pixel ($x,$y)")
+    // (no ImageIO cross-check here: the JDK's native reader is stricter
+    // than T.81 and rejects non-SOF-ordered SOS listings outright —
+    // "Invalid component ID in SOS" — so id-binding is pinned against our
+    // own decoder's SOF-ordered result instead)
+  }
+
+  test("adversarial DC walk quarantines instead of overflowing the dequant multiply") {
+    // every block repeats a +1023 DC diff; pred passes the spec's 11-bit
+    // range after a few blocks — decode must bail to None, not wrap Int
+    val bytes = JpegPixels.synthesize(64, 8, 1, Seq(Array.fill(64)(255)), (_, bx, _) => {
+      val z = new Array[Int](64); z(0) = (bx + 1) * 1023; z
+    })
+    assert(JpegPixels.decode(bytes) === None)
+  }
+
   test("DC difference prediction is load-bearing across the interleaved MCU stream") {
     // strictly increasing DC per block makes every diff nonzero; a broken
     // predictor shifts every block after the first
