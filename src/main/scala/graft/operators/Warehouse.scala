@@ -16,10 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q57 arg-max/arg-min — `max_by`/`min_by` per group with an explicitly
   * deterministic composite ordering key (value then event_id), so ties can
   * never make the result engine- or partitioning-dependent.
-  * x81/x82 copy-on-write MERGE + time travel — snapshot-versioned parquet
-  * with a manifest-pruned rewrite ([[graft.sources.CowTable]]): the
-  * table-format write path from first principles, paired with q43's
-  * plan-shape SCD1 merge and x73/x78's read/compaction halves.
+  * x81–x84 copy-on-write table format — snapshot-versioned parquet with a
+  * manifest-pruned rewrite ([[graft.sources.CowTable]]): three-clause
+  * MERGE (x81 upsert/insert, x83 + delete), time travel (x82) and
+  * row-level snapshot CDC diff (x84); the table-format write path from
+  * first principles, paired with q43's plan-shape SCD1 merge and
+  * x73/x78's read/compaction halves.
   *
   * Scale shape: q56 is two windows over the same `(user_id)` partitioning
   * (one ROWS running sum, one per-run lead) + one hash agg between them —
@@ -161,6 +163,38 @@ object Warehouse {
         .join(prov, Seq("bucket"))
         .orderBy("bucket")
     }),
+    // Three-clause MERGE (v2 → v3): upserts in one bucket stripe, DELETEs
+    // in a disjoint stripe — matched keys take the change value, delete
+    // keys drop via anti join, and only stripe-touched buckets rewrite.
+    // Provenance now spans three tiers (v1-carried / v2 / v3), all
+    // recomputed by the oracle from the stacked change formulas.
+    "x83_merge_delete" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      val content = graft.sources.CowTable
+        .read(s, 3)
+        .withColumn("bucket", expr(s"k div ${graft.sources.CowTable.BucketWidth}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      val prov = graft.sources.CowTable
+        .manifest(s, 3)
+        .select(
+          col("bucket"),
+          when(col("path").contains("/v3/"), lit(3L))
+            .when(col("path").contains("/v2/"), lit(2L))
+            .otherwise(lit(1L))
+            .as("src_version")
+        )
+      content.join(prov, Seq("bucket")).orderBy("bucket")
+    }),
+    // Row-level CDC between snapshots: the diff reads ONLY buckets whose
+    // manifest entries differ (carried buckets share physical files and
+    // can't differ), then classifies per key — U rows carry both values,
+    // D rows the old one. The oracle replays the v2→v3 change formulas
+    // row by row, excluding same-value rewrites exactly as the diff does.
+    "x84_snapshot_diff" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      graft.sources.CowTable.snapshotDiff(s, 2, 3).orderBy("k")
+    }),
     // Time travel: snapshot v1 read AFTER the v2 merge — carried files are
     // referenced (not copied) by v2, so this hash-matching the ORIGINAL
     // table is the gate-level proof that the merge overwrote nothing.
@@ -204,6 +238,63 @@ object Warehouse {
       """SELECT o_orderkey // 1024 AS bucket, count(*) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // v3 content + three-tier provenance from the stacked change formulas:
+    // deletes apply only to keys the v2 snapshot holds (the WHERE NOT),
+    // upserts replace with the absolute value formula, and a bucket's tier
+    // is the newest version that rewrote it
+    "x83_merge_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |v3 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 103 = 0 AND bucket % 7 = 3 THEN 50000 + k % 1000 ELSE cents END AS cents
+        |  FROM v2 WHERE NOT (k % 101 = 0 AND bucket % 7 = 1)),
+        |t2 AS (
+        |  SELECT DISTINCT bucket FROM base WHERE k % 97 = 0 AND bucket % 5 = 0
+        |  UNION SELECT DISTINCT (10000000 + i) // 1024 FROM (SELECT unnest(range(50)) AS i)),
+        |t3 AS (
+        |  SELECT DISTINCT bucket FROM v2
+        |  WHERE (k % 103 = 0 AND bucket % 7 = 3) OR (k % 101 = 0 AND bucket % 7 = 1))
+        |SELECT v3.bucket, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(CASE WHEN v3.bucket IN (SELECT bucket FROM t3) THEN 3
+        |            WHEN v3.bucket IN (SELECT bucket FROM t2) THEN 2
+        |            ELSE 1 END AS BIGINT) AS src_version
+        |FROM v3 GROUP BY v3.bucket ORDER BY v3.bucket""".stripMargin,
+    // row-level v2→v3 CDC replay: U rows where the upsert formula lands in
+    // an upsert-stripe key AND changes the value, D rows for the delete
+    // stripe; -1 is the shared no-value sentinel (no nullable gate columns)
+    "x84_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i))
+        |SELECT k, 'U' AS change_type,
+        |  CAST(cents AS BIGINT) AS old_cents,
+        |  CAST(50000 + k % 1000 AS BIGINT) AS new_cents
+        |FROM v2
+        |WHERE k % 103 = 0 AND bucket % 7 = 3 AND cents <> 50000 + k % 1000
+        |UNION ALL
+        |SELECT k, 'D', CAST(cents AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM v2 WHERE k % 101 = 0 AND bucket % 7 = 1
+        |ORDER BY k""".stripMargin,
     "q56_scd2_intervals" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),

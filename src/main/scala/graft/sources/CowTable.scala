@@ -52,6 +52,11 @@ object CowTable {
   val InsertBase = 10000000L
   val InsertCount = 50
 
+  /** v3 three-clause merge: upsert stripe and delete stripe live in
+    * disjoint bucket classes (mod 7), so a key can never be both */
+  val Upsert3Filter = s"k % 103 = 0 AND (k div ${BucketWidth}L) % 7 = 3"
+  val Delete3Filter = s"k % 101 = 0 AND (k div ${BucketWidth}L) % 7 = 1"
+
   private def manifestPath(version: Int) = s"$dir/manifest_v$version"
 
   /** (bucket, path, min_key, max_key, n_rows) for one snapshot — a
@@ -70,8 +75,11 @@ object CowTable {
   /** Build snapshot v1 from `orders` and snapshot v2 = MERGE(updates ∪
     * inserts) into it, fingerprint-guarded on the source files. */
   def ensure(s: SparkSession, d: String): Unit = synchronized {
-    val key =
-      Fingerprint.of(s, s"$d/orders.parquet", s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount")
+    val key = Fingerprint.of(
+      s,
+      s"$d/orders.parquet",
+      s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount|$Upsert3Filter|$Delete3Filter"
+    )
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key) return
@@ -102,22 +110,49 @@ object CowTable {
       )
     merge(s, fromVersion = 1, toVersion = 2, changes = updates.unionByName(inserts))
 
+    // ---- MERGE into v3: the full three-clause shape — upserts with an
+    // absolute value formula (no dependence on v2 state, so the oracle
+    // stays closed-form) plus a DELETE clause over a different bucket
+    // stripe; both predicates mirrored in the x83/x84 oracles
+    val upserts3 = base
+      .where(expr(Upsert3Filter))
+      .select(col("k"), expr("50000L + k % 1000").as("cents"))
+    val deletes3 = base.where(expr(Delete3Filter)).select("k")
+    merge(s, fromVersion = 2, toVersion = 3, changes = upserts3, deletes = deletes3)
+
     java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
   }
 
-  /** The COW MERGE: manifest-prune to the touched buckets, rewrite only
-    * those (keep-latest upsert per key), append wholly-new buckets, carry
-    * every untouched file into the new manifest by reference — its stats
-    * copied verbatim, since the file is immutable. `changes` is
-    * keep-latest keyed `(k, cents)`. */
-  def merge(s: SparkSession, fromVersion: Int, toVersion: Int, changes: DataFrame): Unit = {
+  /** The COW MERGE, all three clauses: manifest-prune to the touched
+    * buckets, rewrite only those (matched keys take the change value,
+    * unmatched change keys insert, `deletes` keys drop), append
+    * wholly-new buckets, carry every untouched file into the new manifest
+    * by reference — its stats copied verbatim, since the file is
+    * immutable. A bucket whose every row is deleted vanishes from the new
+    * manifest. `changes` is keep-latest keyed `(k, cents)`; `deletes` is
+    * a `(k)` frame (deletes of absent keys and of buckets the snapshot
+    * does not contain are no-ops, so they never force a rewrite). */
+  def merge(
+      s: SparkSession,
+      fromVersion: Int,
+      toVersion: Int,
+      changes: DataFrame,
+      deletes: DataFrame = null
+  ): Unit = {
     val ch = changes.withColumn("bucket", expr(s"k div ${BucketWidth}L"))
-    // change-side bucket list: one row per touched bucket (dim-sized)
-    val chBuckets = ch.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val del = Option(deletes).map(_.withColumn("bucket", expr(s"k div ${BucketWidth}L")))
     val man = manifest(s, fromVersion).collect()
-    val touched = man.filter(r => chBuckets.contains(r.getAs[Long]("bucket")))
-    val carried = man.filter(r => !chBuckets.contains(r.getAs[Long]("bucket")))
-    val newBuckets = chBuckets -- man.map(_.getAs[Long]("bucket")).toSet
+    val manBuckets = man.map(_.getAs[Long]("bucket")).toSet
+    // change-side bucket lists: one row per touched bucket (dim-sized).
+    // Delete buckets only count when the snapshot actually has them.
+    val chBuckets = ch.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val delBuckets = del
+      .map(_.select("bucket").distinct().collect().map(_.getLong(0)).toSet.intersect(manBuckets))
+      .getOrElse(Set.empty[Long])
+    val allTouched = chBuckets ++ delBuckets
+    val touched = man.filter(r => allTouched.contains(r.getAs[Long]("bucket")))
+    val carried = man.filter(r => !allTouched.contains(r.getAs[Long]("bucket")))
+    val newBuckets = chBuckets -- manBuckets
     // rewrite pass: ONLY the touched buckets' files are read — the
     // manifest prune is what makes a small MERGE cheap on a huge table
     val outRoot = s"$dir/v$toVersion"
@@ -132,13 +167,16 @@ object CowTable {
       // unmatched current rows stay, and change keys with no current row
       // INSERT into the bucket they key-range into — a left join from the
       // current side would silently drop inserts that land inside an
-      // existing bucket's range (review-found)
-      cur
+      // existing bucket's range (review-found). Deletes drop last, via
+      // anti join, so a key both upserted and deleted ends deleted.
+      val upserted = cur
         .join(upd.select(col("k").as("uk"), col("cents").as("ucents")), col("k") === col("uk"), "full")
         .select(
           coalesce(col("k"), col("uk")).as("k"),
           coalesce(col("ucents"), col("cents")).as("cents")
         )
+      del
+        .fold(upserted)(dl => upserted.join(dl.select("k"), Seq("k"), "left_anti"))
         .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
         .write
         .mode("overwrite")
@@ -163,10 +201,44 @@ object CowTable {
     writeManifestRows(s, toVersion, freshRows ++ carriedRows)
   }
 
+  /** Row-level change-data-capture between two snapshots, reading ONLY
+    * the buckets whose manifest entries differ (path inequality = the
+    * bucket was rewritten between the versions; a bucket present on one
+    * side only was created or dropped whole). Carried buckets share their
+    * physical files, so they can't differ and are never read — diff cost
+    * is proportional to changed files, not table size. Emits
+    * `(k, change_type I|U|D, old_cents, new_cents)` with -1 standing in
+    * for "no value" (sentinel keeps the gate free of nullable columns);
+    * same-value rewrites are not changes and are excluded. */
+  def snapshotDiff(s: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
+    val mOld = manifest(s, fromVersion).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+    val mNew = manifest(s, toVersion).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+    val changedOld = mOld.filter { case (b, p) => mNew.get(b) != Some(p) }.values.toSeq.sorted
+    val changedNew = mNew.filter { case (b, p) => mOld.get(b) != Some(p) }.values.toSeq.sorted
+    def readSide(paths: Seq[String], kc: String, cc: String): DataFrame =
+      if (paths.isEmpty)
+        s.range(0).select(col("id").as(kc), col("id").as(cc))
+      else s.read.parquet(paths: _*).select(col("k").as(kc), col("cents").as(cc))
+    readSide(changedOld, "ko", "co")
+      .join(readSide(changedNew, "kn", "cn"), col("ko") === col("kn"), "full")
+      .where(col("ko").isNull || col("kn").isNull || col("co") =!= col("cn"))
+      .select(
+        coalesce(col("ko"), col("kn")).as("k"),
+        when(col("ko").isNull, lit("I")).when(col("kn").isNull, lit("D")).otherwise(lit("U")).as("change_type"),
+        coalesce(col("co"), lit(-1L)).as("old_cents"),
+        coalesce(col("cn"), lit(-1L)).as("new_cents")
+      )
+  }
+
   /** per-bucket (bucket, path, min_key, max_key, n_rows) from ONE scan of
     * a snapshot root (basePath keeps the partition column; its inferred
-    * type varies, hence the cast) */
+    * type varies, hence the cast). An all-deletes rewrite can leave the
+    * root with no data files at all → empty stats, not a throw. */
   private def statsOf(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] =
+    try statsOfUnsafe(s, root)
+    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+  private def statsOfUnsafe(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] =
     s.read
       .option("basePath", root)
       .parquet(root)

@@ -99,9 +99,83 @@ class CowTableSpec extends AnyFunSuite {
       assert(got(freshKey) === 88L) // unmatched in an occupied bucket -> inserted
       val v2 = CowTable.read(spark, 2).collect().length
       assert(got.size === v2 + 1)
+      // and the CDC diff classifies exactly these two rows as U and I
+      val diff = CowTable
+        .snapshotDiff(spark, 2, 99)
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[Long]("old_cents"), r.getAs[Long]("new_cents")))
+        .toSet
+      assert(diff === Set((existingKey, "U", v2Rows()(existingKey), 77L), (freshKey, "I", -1L, 88L)))
     } finally {
       // scratch snapshot: keep the fixed artifact at its steady v1/v2 state
       for (n <- Seq("v99", "manifest_v99")) {
+        val f = new java.io.File(s"${CowTable.dir}/$n")
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      }
+    }
+  }
+
+  private def v2Rows(): Map[Long, Long] = {
+    val base = baseRows()
+    base.map { case (k, c) =>
+      k -> (if (k % 97 == 0 && (k / CowTable.BucketWidth) % 5 == 0) c + CowTable.UpdateBump else c)
+    } ++ (0 until CowTable.InsertCount).map(i => (CowTable.InsertBase + i) -> (100000L + i * 7L))
+  }
+
+  test("three-clause merge: upserts replace, delete stripe drops, v3 matches the recompute") {
+    CowTable.ensure(spark, sf)
+    val v2 = v2Rows()
+    val expected = v2.collect {
+      case (k, c) if !(k % 101 == 0 && (k / CowTable.BucketWidth) % 7 == 1) =>
+        k -> (if (k % 103 == 0 && (k / CowTable.BucketWidth) % 7 == 3) 50000L + k % 1000 else c)
+    }
+    val got = CowTable.read(spark, 3).collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cents")).toMap
+    assert(got === expected)
+  }
+
+  test("snapshot diff reads only rewritten buckets and classifies U/D rows exactly") {
+    CowTable.ensure(spark, sf)
+    val v2 = v2Rows()
+    val got = CowTable
+      .snapshotDiff(spark, 2, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[Long]("old_cents"), r.getAs[Long]("new_cents")))
+      .toSet
+    val expected = v2.collect {
+      case (k, c) if k % 101 == 0 && (k / CowTable.BucketWidth) % 7 == 1 =>
+        (k, "D", c, -1L)
+      case (k, c) if k % 103 == 0 && (k / CowTable.BucketWidth) % 7 == 3 && c != 50000L + k % 1000 =>
+        (k, "U", c, 50000L + k % 1000)
+    }.toSet
+    assert(got === expected)
+    // sf0.001's key span stops in bucket 1, so the upsert stripe (bucket
+    // % 7 == 3) can be empty here — U/I classification is pinned by the
+    // scratch-merge test below; the delete stripe must fire at every SF
+    assert(got.exists(_._2 == "D"))
+  }
+
+  test("whole-bucket delete drops the bucket from the manifest; absent-key deletes rewrite nothing") {
+    import spark.implicits._
+    CowTable.ensure(spark, sf)
+    val v3man = CowTable.manifest(spark, 3).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+    val noChanges = Seq.empty[(Long, Long)].toDF("k", "cents")
+    try {
+      // delete EVERY key of one bucket → the bucket must vanish from v98
+      val victim = v3man.keySet.min
+      val victimKeys = CowTable
+        .read(spark, 3)
+        .where(org.apache.spark.sql.functions.expr(s"k div ${CowTable.BucketWidth}L = $victim"))
+        .select("k")
+      CowTable.merge(spark, 3, 98, noChanges, deletes = victimKeys)
+      val v98 = CowTable.manifest(spark, 98).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+      assert(!v98.contains(victim))
+      assert(v98 === v3man - victim) // every other bucket carried by reference
+      // deletes of keys no snapshot holds: nothing rewrites, all carried
+      CowTable.merge(spark, 3, 97, noChanges, deletes = Seq(20000000L, 20000001L).toDF("k"))
+      val v97 = CowTable.manifest(spark, 97).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+      assert(v97 === v3man)
+    } finally {
+      for (n <- Seq("v98", "manifest_v98", "v97", "manifest_v97")) {
         val f = new java.io.File(s"${CowTable.dir}/$n")
         if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
       }
