@@ -16,10 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q57 arg-max/arg-min — `max_by`/`min_by` per group with an explicitly
   * deterministic composite ordering key (value then event_id), so ties can
   * never make the result engine- or partitioning-dependent.
-  * x81–x84 copy-on-write table format — snapshot-versioned parquet with a
+  * x81–x86 copy-on-write table format — snapshot-versioned parquet with a
   * manifest-pruned rewrite ([[graft.sources.CowTable]]): three-clause
-  * MERGE (x81 upsert/insert, x83 + delete), time travel (x82) and
-  * row-level snapshot CDC diff (x84); the table-format write path from
+  * MERGE (x81 upsert/insert, x83 + delete), time travel (x82), row-level
+  * snapshot CDC diff (x84), CDC-driven incremental MV maintenance (x85)
+  * and retention vacuum planning (x86); the table-format write path from
   * first principles, paired with q43's plan-shape SCD1 merge and
   * x73/x78's read/compaction halves.
   *
@@ -195,6 +196,59 @@ object Warehouse {
       graft.sources.CowTable.ensure(s, d)
       graft.sources.CowTable.snapshotDiff(s, 2, 3).orderBy("k")
     }),
+    // Incremental materialized-view maintenance — the reason CDC exists:
+    // MV(v3) is computed as MV(v2) + per-bucket deltas folded from the
+    // x84 diff (I adds, D subtracts, U adds the difference), so the view
+    // updates touching ONLY changed buckets; the oracle recomputes the
+    // view from v3 directly, and the hash match proves the increment law
+    // (the q49 snapshot+delta discipline applied to table-format CDC).
+    "x85_incremental_mv" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      val w = graft.sources.CowTable.BucketWidth
+      val mv2 = graft.sources.CowTable
+        .read(s, 2)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      val deltas = graft.sources.CowTable
+        .snapshotDiff(s, 2, 3)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(
+          sum(
+            when(col("change_type") === "I", 1L)
+              .when(col("change_type") === "D", -1L)
+              .otherwise(0L)
+          ).as("dn"),
+          sum(
+            when(col("change_type") === "I", col("new_cents"))
+              .when(col("change_type") === "D", -col("old_cents"))
+              .otherwise(col("new_cents") - col("old_cents"))
+          ).as("dc")
+        )
+      mv2
+        .join(deltas, Seq("bucket"), "full")
+        .select(
+          col("bucket"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("total_cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents")
+        )
+        .where(col("n_rows") > 0)
+        .orderBy("bucket")
+    }),
+    // Vacuum PLANNING (the x45-before-x78 split): physical bucket dirs
+    // under the table root vs the paths the retained {v2, v3} manifests
+    // reference — the difference is unreachable garbage (exactly the v1
+    // dirs that v2 rewrote; carried entries keep older dirs reachable).
+    // The gate never deletes — executing vacuum breaks time travel to
+    // expired snapshots by design, so execution lives in CowTableSpec.
+    "x86_vacuum_plan" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      import s.implicits._
+      val (orphans, all) = graft.sources.CowTable.vacuumPlan(s, Seq(2, 3))
+      Seq((orphans.size.toLong, (all.size - orphans.size).toLong, all.size.toLong))
+        .toDF("n_orphans", "n_referenced", "n_dirs")
+    }),
     // Time travel: snapshot v1 read AFTER the v2 merge — carried files are
     // referenced (not copied) by v2, so this hash-matching the ORIGINAL
     // table is the gate-level proof that the merge overwrote nothing.
@@ -270,6 +324,59 @@ object Warehouse {
         |            WHEN v3.bucket IN (SELECT bucket FROM t2) THEN 2
         |            ELSE 1 END AS BIGINT) AS src_version
         |FROM v3 GROUP BY v3.bucket ORDER BY v3.bucket""".stripMargin,
+    // the MV increment law's oracle is the DIRECT v3 view — the gate's
+    // incrementally-maintained numbers must land on it exactly
+    "x85_incremental_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |v3 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 103 = 0 AND bucket % 7 = 3 THEN 50000 + k % 1000 ELSE cents END AS cents
+        |  FROM v2 WHERE NOT (k % 101 = 0 AND bucket % 7 = 1))
+        |SELECT bucket, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM v3 GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // vacuum counts from the change formulas: orphans = v1 dirs of buckets
+    // v2 rewrote (update stripe; the insert bucket never had a v1 dir);
+    // dirs = v1 buckets + v2-written (updates + insert) + v3-written
+    "x86_vacuum_plan" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |t2b AS (SELECT DISTINCT bucket FROM base WHERE k % 97 = 0 AND bucket % 5 = 0),
+        |t2 AS (
+        |  SELECT bucket FROM t2b
+        |  UNION SELECT DISTINCT (10000000 + i) // 1024 FROM (SELECT unnest(range(50)) AS i)),
+        |t3 AS (
+        |  SELECT DISTINCT bucket FROM v2
+        |  WHERE (k % 103 = 0 AND bucket % 7 = 3) OR (k % 101 = 0 AND bucket % 7 = 1)),
+        |c AS (
+        |  SELECT (SELECT count(DISTINCT bucket) FROM base) AS v1dirs,
+        |         (SELECT count(*) FROM t2) AS t2dirs,
+        |         (SELECT count(*) FROM t3) AS t3dirs,
+        |         (SELECT count(*) FROM t2b) AS orphans)
+        |SELECT CAST(orphans AS BIGINT) AS n_orphans,
+        |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
+        |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
+        |FROM c""".stripMargin,
     // row-level v2→v3 CDC replay: U rows where the upsert formula lands in
     // an upsert-stripe key AND changes the value, D rows for the delete
     // stripe; -1 is the shared no-value sentinel (no nullable gate columns)

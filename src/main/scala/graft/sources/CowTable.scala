@@ -230,6 +230,29 @@ object CowTable {
       )
   }
 
+  /** Vacuum PLANNING over retained snapshots: every physical bucket
+    * directory under the table root vs the paths the retained manifests
+    * reference — the difference is garbage no retained snapshot can
+    * reach, eligible for deletion once older snapshots expire. Planning
+    * only (the x45-before-x78 split): executing it breaks time travel to
+    * expired versions by design, so the gate never runs the delete —
+    * CowTableSpec does, on the fixture, and rebuilds after. Driver-side
+    * listing: file-count-sized metadata, the table-format shape. */
+  def vacuumPlan(s: SparkSession, retain: Seq[Int]): (Seq[String], Seq[String]) = {
+    val referenced = retain
+      .flatMap(v => manifest(s, v).select("path").collect().map(_.getString(0)))
+      .toSet
+    val all = new java.io.File(dir)
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(_.listFiles())
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getAbsolutePath)
+      .toSeq
+    val orphans = all.filterNot(referenced.contains)
+    (orphans.sorted, all.sorted)
+  }
+
   /** per-bucket (bucket, path, min_key, max_key, n_rows) from ONE scan of
     * a snapshot root (basePath keeps the partition column; its inferred
     * type varies, hence the cast). An all-deletes rewrite can leave the

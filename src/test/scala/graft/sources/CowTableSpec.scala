@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.TestSpark
+import graft.operators.Warehouse
 import org.scalatest.funsuite.AnyFunSuite
 
 /** x81/x82 copy-on-write MERGE: the rewrite must touch EXACTLY the buckets
@@ -187,5 +188,47 @@ class CowTableSpec extends AnyFunSuite {
     val before = new java.io.File(CowTable.dir + "/manifest_v2").lastModified()
     CowTable.ensure(spark, sf)
     assert(new java.io.File(CowTable.dir + "/manifest_v2").lastModified() === before)
+  }
+
+  test("incrementally-maintained MV equals the direct v3 aggregate") {
+    import org.apache.spark.sql.functions._
+    CowTable.ensure(spark, sf)
+    val got = Warehouse
+      .queries("x85_incremental_mv")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"), r.getAs[Long]("total_cents")))
+      .toSet
+    val direct = CowTable
+      .read(spark, 3)
+      .withColumn("bucket", expr(s"k div ${CowTable.BucketWidth}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("cents").as("t"))
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n"), r.getAs[Long]("t")))
+      .toSet
+    assert(got === direct)
+  }
+
+  // LAST on purpose: executes the vacuum (destroys expired v1 files),
+  // verifies retained snapshots survive and expired time travel dies,
+  // then rebuilds the fixture from scratch for whoever runs next.
+  test("executed vacuum deletes only unreachable dirs; retained snapshots survive, expired ones die") {
+    CowTable.ensure(spark, sf)
+    val (orphans, all) = CowTable.vacuumPlan(spark, Seq(2, 3))
+    assert(orphans.nonEmpty && orphans.size < all.size)
+    val v3Before = CowTable.read(spark, 3).collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cents")).toMap
+    try {
+      orphans.foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      // retained snapshots: fully readable, identical content
+      val v3After = CowTable.read(spark, 3).collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cents")).toMap
+      assert(v3After === v3Before)
+      assert(CowTable.read(spark, 2).count() > 0)
+      // expired snapshot: its rewritten-away files are gone → read fails
+      intercept[Exception] { CowTable.read(spark, 1).count() }
+    } finally {
+      // rebuild the artifact so later suites/gates see the steady state
+      new java.io.File(s"${CowTable.dir}/src_key").delete()
+      CowTable.ensure(spark, sf)
+    }
   }
 }
