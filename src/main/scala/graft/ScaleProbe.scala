@@ -167,7 +167,13 @@ object ScaleProbe {
       // over the 16x clone corpus (every score repeats 16x — the
       // duplicate-heavy distinct-value regime the two-phase operator
       // collapses map-side)
-      "x79_quality_calibrate"
+      "x79_quality_calibrate",
+      // r6: COW table format over the 16x orders (~9.4k bucket dirs —
+      // the small-files regime the manifest is built for). The first
+      // probed query pays the fingerprint rebuild (bucketed write + two
+      // merges); x84/x85 then show diff/MV cost tracking CHANGED buckets,
+      // not table size — the carried 80% is never read
+      "x81_cow_merge", "x84_snapshot_diff", "x85_incremental_mv"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -57,18 +57,18 @@ object CowTable {
   val Upsert3Filter = s"k % 103 = 0 AND (k div ${BucketWidth}L) % 7 = 3"
   val Delete3Filter = s"k % 101 = 0 AND (k div ${BucketWidth}L) % 7 = 1"
 
-  private def manifestPath(version: Int) = s"$dir/manifest_v$version"
+  private def manifestPath(version: Int, root: String) = s"$root/manifest_v$version"
 
   /** (bucket, path, min_key, max_key, n_rows) for one snapshot — a
     * file-count-sized driver read, the table-format planning unit. */
-  def manifest(s: SparkSession, version: Int): DataFrame =
-    s.read.parquet(manifestPath(version))
+  def manifest(s: SparkSession, version: Int, root: String = dir): DataFrame =
+    s.read.parquet(manifestPath(version, root))
 
   /** Read one snapshot: union exactly the data directories its manifest
     * lists (carried entries point into older versions' directories — the
     * by-reference half of copy-on-write). Emits `(k, cents)`. */
-  def read(s: SparkSession, version: Int): DataFrame = {
-    val paths = manifest(s, version).select("path").collect().map(_.getString(0)).sorted
+  def read(s: SparkSession, version: Int, root: String = dir): DataFrame = {
+    val paths = manifest(s, version, root).select("path").collect().map(_.getString(0)).sorted
     s.read.parquet(paths.toIndexedSeq: _*)
   }
 
@@ -137,11 +137,12 @@ object CowTable {
       fromVersion: Int,
       toVersion: Int,
       changes: DataFrame,
-      deletes: DataFrame = null
+      deletes: DataFrame = null,
+      root: String = dir
   ): Unit = {
     val ch = changes.withColumn("bucket", expr(s"k div ${BucketWidth}L"))
     val del = Option(deletes).map(_.withColumn("bucket", expr(s"k div ${BucketWidth}L")))
-    val man = manifest(s, fromVersion).collect()
+    val man = manifest(s, fromVersion, root).collect()
     val manBuckets = man.map(_.getAs[Long]("bucket")).toSet
     // change-side bucket lists: one row per touched bucket (dim-sized).
     // Delete buckets only count when the snapshot actually has them.
@@ -155,7 +156,7 @@ object CowTable {
     val newBuckets = chBuckets -- manBuckets
     // rewrite pass: ONLY the touched buckets' files are read — the
     // manifest prune is what makes a small MERGE cheap on a huge table
-    val outRoot = s"$dir/v$toVersion"
+    val outRoot = s"$root/v$toVersion"
     if (touched.nonEmpty) {
       val touchedPaths = touched.map(_.getAs[String]("path")).sorted
       val touchedSet = touched.map(_.getAs[Long]("bucket")).toSet
@@ -198,7 +199,7 @@ object CowTable {
       (r.getAs[Long]("bucket"), r.getAs[String]("path"), r.getAs[Long]("min_key"),
         r.getAs[Long]("max_key"), r.getAs[Long]("n_rows"))
     }
-    writeManifestRows(s, toVersion, freshRows ++ carriedRows)
+    writeManifestRows(s, toVersion, freshRows ++ carriedRows, root)
   }
 
   /** Row-level change-data-capture between two snapshots, reading ONLY
@@ -238,11 +239,11 @@ object CowTable {
     * expired versions by design, so the gate never runs the delete —
     * CowTableSpec does, on the fixture, and rebuilds after. Driver-side
     * listing: file-count-sized metadata, the table-format shape. */
-  def vacuumPlan(s: SparkSession, retain: Seq[Int]): (Seq[String], Seq[String]) = {
+  def vacuumPlan(s: SparkSession, retain: Seq[Int], root: String = dir): (Seq[String], Seq[String]) = {
     val referenced = retain
-      .flatMap(v => manifest(s, v).select("path").collect().map(_.getString(0)))
+      .flatMap(v => manifest(s, v, root).select("path").collect().map(_.getString(0)))
       .toSet
-    val all = new java.io.File(dir)
+    val all = new java.io.File(root)
       .listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .flatMap(_.listFiles())
@@ -273,13 +274,13 @@ object CowTable {
         r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n")))
       .toSeq
 
-  private def writeManifestRows(s: SparkSession, version: Int, rows: Seq[(Long, String, Long, Long, Long)]): Unit = {
+  private def writeManifestRows(s: SparkSession, version: Int, rows: Seq[(Long, String, Long, Long, Long)], root: String = dir): Unit = {
     import s.implicits._
     rows.sortBy(_._1)
       .toDF("bucket", "path", "min_key", "max_key", "n_rows")
       .coalesce(1)
       .write
       .mode("overwrite")
-      .parquet(manifestPath(version))
+      .parquet(manifestPath(version, root))
   }
 }
