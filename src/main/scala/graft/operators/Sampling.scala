@@ -474,6 +474,56 @@ object Sampling {
         .join(broadcast(counts), "lang")
         .select("lang", "n_docs", "digest", "n_files")
         .orderBy("lang")
+    }),
+
+    // Deterministic shard shuffle — the LAST layout step before a training
+    // run: a reproducible pseudo-random global permutation (md5 of
+    // doc_id + seed) cut into fixed-size shards, so any worker can
+    // recompute exactly which documents land in which shard without a
+    // coordinator. Emitted per shard: membership digest + token mass +
+    // the rank interval (proves shards are contiguous, gap-free slices of
+    // ONE global permutation — a wrong offset anywhere shifts every later
+    // shard and flips the hash).
+    //
+    // Scale shape: the global rank is the x26/x53 distributed prefix-sum
+    // (hash-RANGE buckets → ≤B-row offset window → local rank + offset) —
+    // never a corpus-wide single-task Window.orderBy. The permutation is
+    // hash-order, so no global sort materializes either.
+    "x87_shard_shuffle" -> ((s, d) => {
+      val shardSize = 50L
+      val buckets = 32L
+      val step = (1L << 60) / buckets
+      val docs = table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          Hashing.md5Window15(concat(col("doc_id").cast("string"), lit("#shuffle42"))).as("h"),
+          Hashing.md5Bucket(col("doc_id").cast("string"), 1L << 40).as("dg")
+        )
+        .withColumn("bkt", expr(s"h div ${step}L"))
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("offset", coalesce(sum("bn").over(wOff), lit(0L)))
+        .select("bkt", "offset")
+      val wLoc = Window
+        .partitionBy("bkt")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rn", col("offset") + count(lit(1)).over(wLoc))
+        .withColumn("shard", expr(s"(rn - 1) div ${shardSize}L"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("dg").as("digest"),
+          min("rn").as("first_rank"),
+          max("rn").as("last_rank")
+        )
+        .orderBy("shard")
     })
   )
 
@@ -689,6 +739,23 @@ object Sampling {
         |    CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1099511627776) AS BIGINT) AS digest
         |  FROM documents GROUP BY lang)
         |SELECT lang, n_docs, digest, CAST((n_bytes + 65535) // 65536 AS BIGINT) AS n_files
-        |FROM d ORDER BY lang""".stripMargin
+        |FROM d ORDER BY lang""".stripMargin,
+    // the shard-shuffle oracle replays the whole permutation with one
+    // window — sound at oracle scale, exactly what the distributed
+    // prefix-sum decomposition must agree with
+    "x87_shard_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '#shuffle42'), 1, 15))::BIGINT AS h,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1099511627776 AS dg
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rn FROM t)
+        |SELECT (rn - 1) // 50 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(dg) AS BIGINT) AS digest,
+        |  CAST(min(rn) AS BIGINT) AS first_rank,
+        |  CAST(max(rn) AS BIGINT) AS last_rank
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

@@ -371,6 +371,32 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("x87 shard shuffle: contiguous gap-free rank slices of one deterministic permutation") {
+    val rows = Sampling
+      .queries("x87_shard_shuffle")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("first_rank"), r.getAs[Long]("last_rank"))
+      )
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // shards are consecutive ids, full except possibly the last
+    assert(rows.map(_._1).toSeq === rows.indices.map(_.toLong))
+    rows.init.foreach { case (sh, n, _, _) => assert(n === 50L, s"shard $sh not full") }
+    // rank intervals tile [1, total] exactly: contiguous, gap-free, no overlap
+    rows.foreach { case (sh, n, lo, hi) =>
+      assert(lo === sh * 50 + 1, s"shard $sh first_rank")
+      assert(hi === lo + n - 1, s"shard $sh interval width")
+    }
+    assert(rows.last._4 === total)
+    // deterministic: a second run reproduces the permutation exactly
+    val again = Sampling
+      .queries("x87_shard_shuffle")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("digest")))
+    assert(again.toSeq === Sampling.queries("x87_shard_shuffle")(spark, sf).collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("digest"))).toSeq)
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
