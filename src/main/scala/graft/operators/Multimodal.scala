@@ -20,10 +20,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * byte arithmetic (x71, [[graft.sources.GifPixels]]), and baseline JPEG
   * (x80, [[graft.sources.JpegPixels]]) is Huffman + dequant + IDCT +
   * fixed-point YCbCr from the public T.81 spec — no codec library
-  * anywhere. Only non-image transform-coded bitstreams (MP3, H.264)
-  * fall back to [[decodeStub]]; audio/video already have their
-  * real-decode faces on raw bytes (WAV PCM, rawvideo). Everything around
-  * the decode is
+  * anywhere. MP3 and H.264 are CONTAINER-real too: the frame-header walk
+  * with bitrate tables and ID3 handling (x88, [[graft.sources.MpegAudio]])
+  * and the Annex-B NAL walk + Exp-Golomb SPS dimension decode (x89,
+  * [[graft.sources.H264Meta]]); only their SAMPLE decode (IMDCT +
+  * synthesis filterbank, CABAC + motion compensation) remains out of
+  * scope — audio/video sample decode is real on raw bytes (WAV PCM,
+  * rawvideo). Everything around the decode is
   * the real Spark shape that scales to 100 TB of media:
   *   - payloads stay opaque `BinaryType` columns (never stringified);
   *   - decode runs via `mapPartitions` so a real codec would amortize
@@ -219,6 +222,75 @@ object Multimodal {
           }
         }(enc)
         .orderBy("audio_id")
+    }),
+    // REAL MP3 container parse in the gate: ID3v2 synchsafe skip → frame
+    // sync walk with the version/layer bitrate tables and per-frame
+    // padding → VBR-aware bitrate sum + exact integer duration. The walk
+    // must consume every byte (trailing ID3v1 allowed), so one wrong
+    // frame-length computation desynchronizes → nulls → hash flip.
+    "x88_mp3_meta" -> ((s, _) => {
+      graft.sources.MpegFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("n_frames", LongType),
+          StructField("channels", IntegerType),
+          StructField("kbps_sum", LongType),
+          StructField("duration_ms", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.MpegFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val m = graft.sources.MpegAudio.parse(r.getAs[Array[Byte]]("payload"))
+            Row(
+              r.getAs[Long]("audio_id"),
+              m.map(x => Long.box(x.nFrames)).orNull,
+              m.map(x => Int.box(x.channels)).orNull,
+              m.map(x => Long.box(x.kbpsSum)).orNull,
+              m.map(x => Long.box(x.durationMs)).orNull
+            )
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
+    // REAL H.264 bitstream parse in the gate: Annex-B start-code walk →
+    // NAL census → emulation-prevention strip → Exp-Golomb SPS decode
+    // recovering the COMPUTED dimensions (macroblock grid minus the crop
+    // rectangle), profile and level — from the public ITU-T spec.
+    "x89_h264_meta" -> ((s, _) => {
+      graft.sources.H264Fixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("video_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("profile", IntegerType),
+          StructField("level", IntegerType),
+          StructField("n_nals", LongType),
+          StructField("n_slices", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.H264Fixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val m = graft.sources.H264Meta.parse(r.getAs[Array[Byte]]("payload"))
+            Row(
+              r.getAs[Long]("video_id"),
+              m.map(x => Int.box(x.width)).orNull,
+              m.map(x => Int.box(x.height)).orNull,
+              m.map(x => Int.box(x.profile)).orNull,
+              m.map(x => Int.box(x.level)).orNull,
+              m.map(x => Long.box(x.nNals.toLong)).orNull,
+              m.map(x => Long.box(x.nSlices.toLong)).orNull
+            )
+          }
+        }(enc)
+        .orderBy("video_id")
     }),
     // REAL pixel decode + resize in the gate: 24bpp BMP payload bytes →
     // pixel array → nearest-neighbor 8×8 resample → position-weighted
@@ -494,6 +566,14 @@ object Multimodal {
     "x23_video_meta" ->
       """SELECT video_id, width, height, duration_ms
         |FROM '/root/repo/spark-warehouse/graft_video/twin/*.parquet'
+        |ORDER BY video_id""".stripMargin,
+    "x88_mp3_meta" ->
+      """SELECT audio_id, n_frames, channels, kbps_sum, duration_ms
+        |FROM '/root/repo/spark-warehouse/graft_mp3/twin/*.parquet'
+        |ORDER BY audio_id""".stripMargin,
+    "x89_h264_meta" ->
+      """SELECT video_id, width, height, profile, level, n_nals, n_slices
+        |FROM '/root/repo/spark-warehouse/graft_h264/twin/*.parquet'
         |ORDER BY video_id""".stripMargin,
     "x22_audio_meta" ->
       """SELECT audio_id, sample_rate, channels, bits, duration_ms

@@ -1,0 +1,251 @@
+package graft.sources
+
+/** Real H.264 (AVC) bitstream metadata — the Annex-B NAL walk + SPS parse
+  * every video ingest runs before touching a decoder: find start codes
+  * (00 00 01 / 00 00 00 01), classify NAL unit types, strip emulation-
+  * prevention bytes (00 00 03 → 00 00) from the SPS payload, and read the
+  * sequence parameter set with an Exp-Golomb bit reader to recover the
+  * REAL coded dimensions (pic_width_in_mbs / pic_height_in_map_units and
+  * the frame-cropping rectangle), profile and level — from the public
+  * ITU-T H.264 spec (7.3.2.1). Sample decode (CABAC/CAVLC + motion
+  * compensation) stays out of scope: the established transform-codec
+  * boundary, now pushed down to residual decoding only.
+  *
+  * Scope: baseline/main/extended profiles (profile_idc < 100, so no
+  * chroma_format_idc block), frame_mbs_only streams, 4:2:0 crop units.
+  * Anything else — and any structural lie (truncated SPS, forbidden bit
+  * set) — returns None: quarantine, never a throw.
+  */
+object H264Meta {
+
+  final case class Meta(
+      width: Int,
+      height: Int,
+      profile: Int,
+      level: Int,
+      nNals: Int,
+      nSps: Int,
+      nPps: Int,
+      nIdr: Int,
+      nSlices: Int
+  )
+
+  /** Exp-Golomb / fixed-bit reader over an RBSP (emulation already stripped). */
+  private final class Bits(b: Array[Byte]) {
+    private var pos = 0
+    def bit(): Int = {
+      if (pos >= b.length * 8) throw new IndexOutOfBoundsException
+      val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      v
+    }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+    /** ue(v): count leading zeros, read that many bits, 2^z - 1 + suffix */
+    def ue(): Int = {
+      var zeros = 0
+      while (bit() == 0) { zeros += 1; if (zeros > 31) throw new IndexOutOfBoundsException }
+      if (zeros == 0) 0 else (1 << zeros) - 1 + bits(zeros)
+    }
+    def se(): Int = { val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
+  }
+
+  /** 00 00 03 → 00 00 (spec 7.4.1.1 emulation prevention) */
+  private def stripEmulation(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(until - from)
+    var i = from
+    while (i < until) {
+      if (i + 2 < until && b(i) == 0 && b(i + 1) == 0 && (b(i + 2) & 0xff) == 3) {
+        out.write(0); out.write(0); i += 3
+      } else { out.write(b(i) & 0xff); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Parse one SPS RBSP → (width, height, profile, level); None if out of
+    * scope or structurally invalid. */
+  private def parseSps(rbsp: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      val r = new Bits(rbsp)
+      val profile = r.bits(8)
+      r.bits(8) // constraint flags + reserved
+      val level = r.bits(8)
+      r.ue() // seq_parameter_set_id
+      if (profile >= 100) return None // high profiles' chroma block: out of scope
+      r.ue() // log2_max_frame_num_minus4
+      val pocType = r.ue()
+      if (pocType == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      else if (pocType == 1) {
+        r.bit(); r.se(); r.se()
+        val n = r.ue()
+        for (_ <- 0 until n) r.se()
+      }
+      r.ue() // max_num_ref_frames
+      r.bit() // gaps_in_frame_num_value_allowed
+      val widthMbs = r.ue() + 1
+      val heightUnits = r.ue() + 1
+      val frameMbsOnly = r.bit()
+      if (frameMbsOnly == 0) return None // interlaced: out of scope
+      r.bit() // direct_8x8_inference
+      val cropping = r.bit()
+      val (cl, cr, ct, cb) =
+        if (cropping == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
+      // 4:2:0 frame crop units: 2 horizontally, 2 vertically (frame_mbs_only)
+      val w = widthMbs * 16 - 2 * (cl + cr)
+      val h = heightUnits * 16 - 2 * (ct + cb)
+      if (w <= 0 || h <= 0) None else Some((w, h, profile, level))
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** Walk an Annex-B stream: start codes → NAL type census + first SPS. */
+  def parse(b: Array[Byte]): Option[Meta] = {
+    // NAL start offsets (after the start code), paired with end offsets
+    var starts = List.empty[Int]
+    var i = 0
+    while (i + 3 <= b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && (b(i + 2) & 0xff) == 1) { starts ::= (i + 3); i += 3 }
+      else i += 1
+    }
+    val ss = starts.reverse.toArray
+    if (ss.isEmpty) return None
+    var sps: Option[(Int, Int, Int, Int)] = None
+    var nSps = 0; var nPps = 0; var nIdr = 0; var nSlices = 0
+    for (j <- ss.indices) {
+      val s = ss(j)
+      // NAL payload ends where the next start code's zero run begins
+      val rawEnd = if (j + 1 < ss.length) ss(j + 1) - 3 else b.length
+      val end = { // trim the 4-byte start code's extra leading zero
+        var e = rawEnd
+        while (e > s && b(e - 1) == 0) e -= 1
+        e
+      }
+      if (s >= end) return None
+      val hdr = b(s) & 0xff
+      if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+      val typ = hdr & 0x1f
+      typ match {
+        case 7 =>
+          nSps += 1
+          if (sps.isEmpty) {
+            sps = parseSps(stripEmulation(b, s + 1, end))
+            if (sps.isEmpty) return None // SPS present but unparseable
+          }
+        case 8 => nPps += 1
+        case 5 => nIdr += 1
+        case 1 => nSlices += 1
+        case _ => ()
+      }
+    }
+    sps.map { case (w, h, p, l) => Meta(w, h, p, l, ss.length, nSps, nPps, nIdr, nSlices) }
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def putBit(v: Int): Unit = { acc = (acc << 1) | (v & 1); n += 1; if (n == 8) { out.write(acc); acc = 0; n = 0 } }
+    def putBits(v: Int, len: Int): Unit = { var i = len - 1; while (i >= 0) { putBit((v >> i) & 1); i -= 1 } }
+    def putUe(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      putBits(0, len - 1); putBits(k, len)
+    }
+    /** rbsp_trailing_bits: stop bit + zero pad to byte */
+    def finish(): Array[Byte] = { putBit(1); while (n != 0) putBit(0); out.toByteArray }
+  }
+
+  /** Spec-valid Annex-B stream: SPS (real Exp-Golomb encode of the given
+    * geometry, WITH emulation prevention), a PPS stub, one IDR and `slices`
+    * non-IDR NALs of deterministic junk that cannot form start codes. A
+    * separate forward path from [[parse]]. */
+  def synthesize(
+      widthMbs: Int,
+      heightUnits: Int,
+      crop: (Int, Int, Int, Int),
+      profile: Int,
+      level: Int,
+      slices: Int,
+      seed: Int,
+      trailingZeroWords: Int = 0
+  ): Array[Byte] = {
+    val w = new BitWriter
+    w.putBits(profile, 8)
+    w.putBits(0, 8)
+    w.putBits(level, 8)
+    w.putUe(0) // sps id
+    w.putUe(0) // log2_max_frame_num_minus4
+    w.putUe(2) // pic_order_cnt_type = 2 (no dependents)
+    w.putUe(1) // max_num_ref_frames
+    w.putBit(0) // gaps allowed
+    w.putUe(widthMbs - 1)
+    w.putUe(heightUnits - 1)
+    w.putBit(1) // frame_mbs_only
+    w.putBit(1) // direct_8x8
+    val (cl, cr, ct, cb) = crop
+    if (cl + cr + ct + cb > 0) { w.putBit(1); w.putUe(cl); w.putUe(cr); w.putUe(ct); w.putUe(cb) }
+    else w.putBit(0)
+    w.putBit(0) // vui_parameters_present
+    // trailing zero words after the stop bit (the cabac_zero_word shape
+    // real encoders emit) force 00 00 runs the escaper MUST protect —
+    // makes emulation prevention deterministically load-bearing
+    val rbsp = w.finish() ++ Array.fill(2 * trailingZeroWords)(0.toByte)
+    // re-insert emulation prevention: 00 00 00|01|02|03 → 00 00 03 0x
+    val esc = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    for (x <- rbsp) {
+      if (zeros == 2 && (x & 0xff) <= 3) { esc.write(3); zeros = 0 }
+      esc.write(x & 0xff)
+      zeros = if (x == 0) zeros + 1 else 0
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(longStart: Boolean, header: Int, payload: Array[Byte]): Unit = {
+      if (longStart) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      out.write(payload, 0, payload.length)
+    }
+    nal(longStart = true, 0x67, esc.toByteArray) // SPS (ref_idc=3, type 7)
+    nal(longStart = false, 0x68, Array.tabulate(4)(k => ((seed + k) % 0x5f + 0x20).toByte)) // PPS stub
+    nal(longStart = false, 0x65, Array.tabulate(24)(k => ((seed * 7 + k * 3) % 0x5f + 0x20).toByte)) // IDR
+    for (sl <- 0 until slices)
+      nal(longStart = sl % 2 == 0, 0x41, Array.tabulate(16 + sl % 9)(k => ((seed * 11 + sl * 5 + k) % 0x5f + 0x20).toByte))
+    out.toByteArray
+  }
+}
+
+/** Fixture for the x89 H.264-metadata gate: 200 Annex-B streams whose SPS
+  * geometry (macroblock dims + crop rectangle), profile/level and NAL
+  * census follow formulas of video_id; the twin is the generator's ground
+  * truth (x21/x22 pattern). Emulation prevention is load-bearing: crop
+  * values are chosen so some SPS payloads contain 00 00 0x runs. */
+object H264Fixture {
+  val dir = "/root/repo/spark-warehouse/graft_h264"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def rows: Seq[(Long, Array[Byte], Int, Int, Int, Int, Long, Long)] = (0 until 200).map { i =>
+    val widthMbs = 2 + i % 40
+    val heightUnits = 2 + (i * 3) % 30
+    val crop = if (i % 3 == 0) (i % 3, (i / 3) % 4, i % 2, (i / 2) % 3) else (0, 0, 0, 0)
+    val profile = Seq(66, 77, 88)(i % 3)
+    val level = Seq(30, 31, 40, 41, 50)(i % 5)
+    val slices = 1 + i % 7
+    val bytes =
+      H264Meta.synthesize(widthMbs, heightUnits, crop, profile, level, slices, seed = i,
+        trailingZeroWords = if (i % 4 == 0) 2 else 0)
+    val w = widthMbs * 16 - 2 * (crop._1 + crop._2)
+    val h = heightUnits * 16 - 2 * (crop._3 + crop._4)
+    (i.toLong, bytes, w, h, profile, level, (3 + slices).toLong, slices.toLong)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _, _, _, _, _) => (id, p) }
+        .toDF("video_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h, pr, lv, nn, ns) => (id, w, h, pr, lv, nn, ns) }
+        .toDF("video_id", "width", "height", "profile", "level", "n_nals", "n_slices")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
