@@ -184,12 +184,18 @@ object CowTable {
         .partitionBy("bucket")
         .parquet(outRoot)
     }
-    if (newBuckets.nonEmpty)
-      ch.where(col("bucket").isin(newBuckets.toSeq.map(Long.box): _*))
+    if (newBuckets.nonEmpty) {
+      val fresh = ch.where(col("bucket").isin(newBuckets.toSeq.map(Long.box): _*))
+      // delete-wins applies to NEW buckets too: a key both inserted and
+      // deleted in one merge must not survive just because its bucket had
+      // no prior file (review-found)
+      del
+        .fold(fresh)(dl => fresh.join(dl.select("k"), Seq("k"), "left_anti"))
         .write
         .mode(if (touched.nonEmpty) "append" else "overwrite")
         .partitionBy("bucket")
         .parquet(outRoot)
+    }
     // new manifest: rewritten + inserted entries get fresh stats from ONE
     // scan of the new files; carried entries keep path AND stats verbatim
     // (an all-carried merge — empty changes — writes no data dir at all)
@@ -211,9 +217,11 @@ object CowTable {
     * `(k, change_type I|U|D, old_cents, new_cents)` with -1 standing in
     * for "no value" (sentinel keeps the gate free of nullable columns);
     * same-value rewrites are not changes and are excluded. */
-  def snapshotDiff(s: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
-    val mOld = manifest(s, fromVersion).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
-    val mNew = manifest(s, toVersion).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+  def snapshotDiff(s: SparkSession, fromVersion: Int, toVersion: Int, root: String = dir): DataFrame = {
+    val mOld =
+      manifest(s, fromVersion, root).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+    val mNew =
+      manifest(s, toVersion, root).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
     val changedOld = mOld.filter { case (b, p) => mNew.get(b) != Some(p) }.values.toSeq.sorted
     val changedNew = mNew.filter { case (b, p) => mOld.get(b) != Some(p) }.values.toSeq.sorted
     def readSide(paths: Seq[String], kc: String, cc: String): DataFrame =
@@ -257,10 +265,14 @@ object CowTable {
   /** per-bucket (bucket, path, min_key, max_key, n_rows) from ONE scan of
     * a snapshot root (basePath keeps the partition column; its inferred
     * type varies, hence the cast). An all-deletes rewrite can leave the
-    * root with no data files at all → empty stats, not a throw. */
-  private def statsOf(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] =
-    try statsOfUnsafe(s, root)
-    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    * root with no bucket dirs at all → empty stats BY LISTING, never by
+    * swallowing exceptions — a real read failure must fail the merge, not
+    * silently publish a manifest missing every rewritten bucket. */
+  private def statsOf(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] = {
+    val children = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    if (!children.exists(f => f.isDirectory && f.getName.startsWith("bucket="))) Seq.empty
+    else statsOfUnsafe(s, root)
+  }
 
   private def statsOfUnsafe(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] =
     s.read

@@ -43,7 +43,9 @@ object H264Meta {
     /** ue(v): count leading zeros, read that many bits, 2^z - 1 + suffix */
     def ue(): Int = {
       var zeros = 0
-      while (bit() == 0) { zeros += 1; if (zeros > 31) throw new IndexOutOfBoundsException }
+      // > 24 leading zeros means a value past any sane SPS field (and 31
+      // would wrap (1 << 31) - 1) -> structurally absurd, quarantine
+      while (bit() == 0) { zeros += 1; if (zeros > 24) throw new IndexOutOfBoundsException }
       if (zeros == 0) 0 else (1 << zeros) - 1 + bits(zeros)
     }
     def se(): Int = { val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
@@ -106,6 +108,9 @@ object H264Meta {
     }
     val ss = starts.reverse.toArray
     if (ss.isEmpty) return None
+    // Annex B: only leading_zero_8bits (0x00) may precede the first start
+    // code -- arbitrary junk prefixes are a structural lie, not a stream
+    for (j <- 0 until ss.head - 3) if (b(j) != 0) return None
     var sps: Option[(Int, Int, Int, Int)] = None
     var nSps = 0; var nPps = 0; var nIdr = 0; var nSlices = 0
     for (j <- ss.indices) {

@@ -31,12 +31,12 @@ object MpegAudio {
   )
 
   // bitrate tables, kbps, index 1..14 (T.ISO 11172-3 / 13818-3)
-  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
-  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
-  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
-  private val BrV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private[sources] val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private[sources] val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private[sources] val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private[sources] val BrV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 
-  private val SrV1 = Array(44100, 48000, 32000, -1)
+  private[sources] val SrV1 = Array(44100, 48000, 32000, -1)
   private val SrV2 = Array(22050, 24000, 16000, -1)
   private val SrV25 = Array(11025, 12000, 8000, -1)
 
@@ -98,17 +98,19 @@ object MpegAudio {
     var sr = -1
     var ch = -1
     var layer = -1
+    var vlBits = -1 // version+layer bits of byte 1: streams must not mix
     var version: String = null
     while (o < end) {
       val fi = frameInfo(b, o).getOrElse(return None) // desync = quarantine
       val (len, spf, kbps, fsr, fch) = fi
       if (sr == -1) {
-        sr = fsr; ch = fch
+        sr = fsr; ch = fch; vlBits = (b(o + 1) & 0xff) & 0x1e
         layer = { val lb = ((b(o + 1) & 0xff) >> 1) & 3; 4 - lb }
         version = (((b(o + 1) & 0xff) >> 3) & 3) match {
           case 3 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5"
         }
-      } else if (fsr != sr || fch != ch) return None // mixed streams: out of scope
+      } else if (fsr != sr || fch != ch || ((b(o + 1) & 0xff) & 0x1e) != vlBits)
+        return None // mixed sample rates, channels, versions or layers: out of scope
       if (len <= 4 || o + len > end) return None
       nFrames += 1; kbpsSum += kbps; totalSamples += spf
       o += len
@@ -172,7 +174,7 @@ object MpegFixture {
   val payloadPath = s"$dir/payloads"
   val twinPath = s"$dir/twin"
 
-  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private[sources] val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
   private val SrV1 = Array(44100, 48000, 32000)
 
   def rows: Seq[(Long, Array[Byte], Int, Int, Long, Long)] = (0 until 200).map { i =>
@@ -189,8 +191,8 @@ object MpegFixture {
       id3v1 = i % 7 == 0,
       seed = i
     )
-    val kbpsSum = (0 until n).map(f => BrV1L3(brIdxAt(f)).toLong).sum
-    val durationMs = n.toLong * 1152L * 1000L / SrV1(srIdx)
+    val kbpsSum = (0 until n).map(f => MpegAudio.BrV1L3(brIdxAt(f)).toLong).sum
+    val durationMs = n.toLong * 1152L * 1000L / MpegAudio.SrV1(srIdx)
     (i.toLong, bytes, n, if (mono) 1 else 2, kbpsSum, durationMs)
   }
 

@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * version on disk", so a replayed batch after a crash rewrites the SAME
   * version from the SAME predecessor manifest — deterministic, idempotent.
   * In-batch keep-latest follows the upsertSink convention: max `seq` per
-  * key wins, ties impossible because seq is unique per key per batch in
-  * every caller (enforced here by the row_number tie-break on seq desc).
+  * key wins, and the ordering is TOTAL — seq ties break on the value
+  * itself — so even malformed duplicate (k, seq) inputs resolve the same
+  * way on every replay, keeping rewrite-same-version honest.
   *
   * Scale shape per batch: one dim-sized manifest read, a rewrite of only
   * the buckets the batch's keys touch, carried files move by reference —
@@ -44,7 +45,7 @@ object CowStream {
         val s = batch.sparkSession
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("k")
-          .orderBy(col("seq").desc)
+          .orderBy(col("seq").desc, col("cents").desc_nulls_first)
         val latest = batch
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)

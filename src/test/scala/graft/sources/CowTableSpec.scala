@@ -175,8 +175,19 @@ class CowTableSpec extends AnyFunSuite {
       CowTable.merge(spark, 3, 97, noChanges, deletes = Seq(20000000L, 20000001L).toDF("k"))
       val v97 = CowTable.manifest(spark, 97).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
       assert(v97 === v3man)
+      // delete-wins in a NEW bucket too (review-found): a key inserted and
+      // deleted in the same merge must not survive just because its bucket
+      // had no prior file — and a surviving sibling insert still lands
+      CowTable.merge(
+        spark, 3, 96,
+        changes = Seq((30000000L, 5L), (30000001L, 6L)).toDF("k", "cents"),
+        deletes = Seq(30000000L).toDF("k")
+      )
+      val v96 = CowTable.read(spark, 96).collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cents")).toMap
+      assert(!v96.contains(30000000L))
+      assert(v96(30000001L) === 6L)
     } finally {
-      for (n <- Seq("v98", "manifest_v98", "v97", "manifest_v97")) {
+      for (n <- Seq("v98", "manifest_v98", "v97", "manifest_v97", "v96", "manifest_v96")) {
         val f = new java.io.File(s"${CowTable.dir}/$n")
         if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
       }
