@@ -173,7 +173,11 @@ object ScaleProbe {
       // probed query pays the fingerprint rebuild (bucketed write + two
       // merges); x84/x85 then show diff/MV cost tracking CHANGED buckets,
       // not table size — the carried 80% is never read
-      "x81_cow_merge", "x84_snapshot_diff", "x85_incremental_mv"
+      "x81_cow_merge", "x84_snapshot_diff", "x85_incremental_mv",
+      // r6: shard shuffle = one corpus scan + the x26/x53 prefix-sum over
+      // the 16x clone corpus (80k docs); the only single-task window is
+      // the 32-row bucket-offset frame
+      "x87_shard_shuffle"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
