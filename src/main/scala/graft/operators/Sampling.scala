@@ -524,6 +524,35 @@ object Sampling {
           max("rn").as("last_rank")
         )
         .orderBy("shard")
+    }),
+
+    // File-level exactly-once ingestion (sources/IngestLedger): the
+    // bookkeeping gate in FRONT of content-level dedup — a ledger of
+    // accepted files decides per offered file, re-offers move zero data
+    // but are counted. The fixture offers overlapping rounds plus a full
+    // re-offer; the gate reads ledger AND corpus back, so a double-copy,
+    // a wrongly skipped file, or a lost offer count each flip the hash.
+    // The oracle replays rounds/offer-counts/content from the formulas.
+    "x90_ingest_ledger" -> ((s, _) => {
+      graft.sources.IngestFixture.ensure(s)
+      val dir = graft.sources.IngestFixture.dir
+      val led = graft.sources.IngestLedger
+        .ledger(s, dir)
+        .select(
+          col("file_id"),
+          col("round_ingested").cast("long").as("round_ingested"),
+          col("n_docs"),
+          col("n_offered")
+        )
+      val content = graft.sources.IngestLedger
+        .corpus(s, dir)
+        .withColumn("file_id", col("file").cast("long"))
+        .groupBy("file_id")
+        .agg(sum("cents").as("cents_sum"), count(lit(1)).as("n_rows"))
+      led
+        .join(content, Seq("file_id"))
+        .select("file_id", "round_ingested", "n_docs", "n_offered", "cents_sum", "n_rows")
+        .orderBy("file_id")
     })
   )
 
@@ -756,6 +785,22 @@ object Sampling {
         |  CAST(sum(dg) AS BIGINT) AS digest,
         |  CAST(min(rn) AS BIGINT) AS first_rank,
         |  CAST(max(rn) AS BIGINT) AS last_rank
-        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    // ingestion-ledger oracle: rounds, offer counts and per-file content
+    // replayed from the fixture formulas (round 1 = files 0-4, round 2 =
+    // files 2-7, then a full round-2 re-offer that accepts nothing)
+    "x90_ingest_ledger" ->
+      """WITH f AS (SELECT unnest(range(8)) AS file_id),
+        |d AS (
+        |  SELECT file_id, unnest(range(20 + (file_id * 7) % 30)) AS j FROM f)
+        |SELECT f.file_id,
+        |  CAST(CASE WHEN f.file_id <= 4 THEN 1 ELSE 2 END AS BIGINT) AS round_ingested,
+        |  CAST(20 + (f.file_id * 7) % 30 AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN f.file_id <= 1 THEN 1
+        |            WHEN f.file_id <= 4 THEN 3 ELSE 2 END AS BIGINT) AS n_offered,
+        |  CAST(sum(1000 + d.file_id * 13 + d.j * 7) AS BIGINT) AS cents_sum,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM f JOIN d ON f.file_id = d.file_id
+        |GROUP BY f.file_id ORDER BY f.file_id""".stripMargin
   )
 }
