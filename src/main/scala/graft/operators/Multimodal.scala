@@ -434,6 +434,49 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // Mixed-corpus DISPATCH — the integration face of the four image
+    // decoders: payloads from all four fixture families union WITHOUT a
+    // format column, the operator sniffs magic bytes and routes each to
+    // its from-scratch decoder, and everything lands in the one shared
+    // 8×8 resample/checksum contract. The oracle unions the four proven
+    // first-principles pixel formulas — a regression in ANY decoder, or a
+    // mis-sniff, flips this single hash.
+    "x91_image_dispatch" -> ((s, _) => {
+      graft.sources.BmpFixture.ensure(s)
+      graft.sources.PngFixture.ensure(s)
+      graft.sources.GifFixture.ensure(s)
+      graft.sources.JpegFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("uid", LongType),
+          StructField("fmt", StringType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val mixed = Seq(
+        graft.sources.PngFixture.payloadPath -> 0L,
+        graft.sources.GifFixture.payloadPath -> 1000L,
+        graft.sources.JpegFixture.payloadPath -> 2000L,
+        graft.sources.BmpFixture.payloadPath -> 3000L
+      ).map { case (p, off) =>
+        s.read.parquet(p).select((col("img_id") + lit(off)).as("uid"), col("payload"))
+      }.reduce(_.unionByName(_))
+      mixed
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.ImageDispatch.decodeAny(r.getAs[Array[Byte]]("payload")) match {
+              case Some((fmt, img)) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(r.getAs[Long]("uid"), fmt, img.width, img.height, cs)
+              case None => Row(r.getAs[Long]("uid"), null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("uid")
+    }),
     // Perceptual-hash image dedup: the content-level dedup step of a
     // multimodal curation pipeline (metadata x21 → decode x33 → fingerprint
     // → dedup). aHash over the REAL decoded 8×8 resample: bit k set iff
@@ -689,6 +732,71 @@ object Multimodal {
         |SELECT img_id, width, height,
         |  CAST(sum(wgt * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum
         |FROM rgb GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
+    // the dispatch oracle unions the four proven first-principles pixel
+    // formulas (x33 BMP, x70 PNG, x71 GIF, x80 JPEG), each keyed into a
+    // disjoint uid range — it never parses a byte of any format
+    "x91_image_dispatch" ->
+      """WITH g AS (SELECT unnest(range(8)) AS v),
+        |png_t AS (SELECT img_id, width, height FROM '/root/repo/spark-warehouse/graft_png/twin/*.parquet'),
+        |png_px AS (
+        |  SELECT img_id, width, height, (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM png_t, g gi, g gj),
+        |png AS (
+        |  SELECT img_id AS uid, 'png' AS fmt, width, height,
+        |    CAST(sum(wgt * (3 * ((img_id * 5 + sx * 7 + sy * 3) % 256)
+        |                  + 5 * ((img_id * 9 + sx * 2 + sy * 5) % 256)
+        |                  + 7 * ((img_id * 3 + sx * 4 + sy * 7) % 256))) AS BIGINT) AS checksum
+        |  FROM png_px GROUP BY img_id, width, height),
+        |gif_t AS (SELECT img_id, width, height FROM '/root/repo/spark-warehouse/graft_gif/twin/*.parquet'),
+        |gif_px AS (
+        |  SELECT img_id, width, height, (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (img_id * 7 + ((gi.v * width) // 8) * 3 + ((gj.v * height) // 8) * 5) % 256 AS idx
+        |  FROM gif_t, g gi, g gj),
+        |gif AS (
+        |  SELECT img_id + 1000 AS uid, 'gif' AS fmt, width, height,
+        |    CAST(sum(wgt * (3 * ((idx * 3 + 7) % 256)
+        |                  + 5 * ((idx * 5 + 11) % 256)
+        |                  + 7 * ((idx * 7 + 13) % 256))) AS BIGINT) AS checksum
+        |  FROM gif_px GROUP BY img_id, width, height),
+        |jpg_t AS (SELECT img_id, width, height FROM '/root/repo/spark-warehouse/graft_jpeg/twin/*.parquet'),
+        |jpg_px AS (
+        |  SELECT img_id, width, height, (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM jpg_t, g gi, g gj),
+        |jpg_ycc AS (
+        |  SELECT img_id, width, height, wgt,
+        |    8 + (img_id * 5 + (sx // 8) * 7 + (sy // 8) * 3) % 240
+        |      + (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |        * ((img_id + (sx // 8) + (sy // 8)) % 5 - 2) AS yv,
+        |    (img_id * 3 + (sx // 8) * 2 + (sy // 8) * 5) % 256 AS cb,
+        |    (img_id * 7 + (sx // 8) * 4 + (sy // 8)) % 256 AS cr
+        |  FROM jpg_px),
+        |jpg_rgb AS (
+        |  SELECT img_id, width, height, wgt,
+        |    least(greatest(((yv * 256 + 359 * (cr - 128) + 46080) // 256) - 180, 0), 255) AS r,
+        |    least(greatest(((yv * 256 - 88 * (cb - 128) - 183 * (cr - 128) + 34560) // 256) - 135, 0), 255) AS gc,
+        |    least(greatest(((yv * 256 + 454 * (cb - 128) + 58112) // 256) - 227, 0), 255) AS bc
+        |  FROM jpg_ycc),
+        |jpg AS (
+        |  SELECT img_id + 2000 AS uid, 'jpeg' AS fmt, width, height,
+        |    CAST(sum(wgt * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum
+        |  FROM jpg_rgb GROUP BY img_id, width, height),
+        |bmp_t AS (SELECT img_id, width, height FROM '/root/repo/spark-warehouse/graft_bmp/twin/*.parquet'),
+        |bmp_px AS (
+        |  SELECT img_id, width, height, (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM bmp_t, g gi, g gj),
+        |bmp AS (
+        |  SELECT img_id + 3000 AS uid, 'bmp' AS fmt, width, height,
+        |    CAST(sum(wgt * (3 * ((img_id * 7 + sx * 3 + sy * 5) % 256)
+        |                  + 5 * ((img_id * 11 + sx + sy * 2) % 256)
+        |                  + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
+        |  FROM bmp_px GROUP BY img_id, width, height)
+        |SELECT uid, fmt, width, height, checksum FROM (
+        |  SELECT * FROM png UNION ALL SELECT * FROM gif
+        |  UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM bmp)
+        |ORDER BY uid""".stripMargin,
     // first-principles aHash oracle: pixel formula (+ the near-clone bump,
     // saturating at 255) → 8×8 sample grays → integer mean compare → 64-bit
     // hash in two halves → exact brute-force hamming over the tiny fixture

@@ -1,0 +1,24 @@
+package graft.sources
+
+/** Format-sniffing pixel-decode dispatch — the shape a MIXED media corpus
+  * actually needs: payloads arrive with no format column, the first bytes
+  * decide (BMP `BM`, PNG signature, GIF `GIF8`, JPEG FFD8), and the
+  * matching from-scratch decoder produces pixels under one shared
+  * contract (the 8×8 resample/checksum of x33). One operator, four real
+  * decoders ([[BmpPixels]], [[PngPixels]], [[GifPixels]],
+  * [[JpegPixels]]); anything unrecognized or out of scope quarantines to
+  * None exactly as each decoder does alone. */
+object ImageDispatch {
+
+  /** (format, image) by magic-byte sniff; None = unrecognized/corrupt. */
+  def decodeAny(b: Array[Byte]): Option[(String, BmpPixels.Image)] = {
+    if (b.length < 8) None
+    else if (b(0) == 'B' && b(1) == 'M') BmpPixels.decode(b).map("bmp" -> _)
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      PngPixels.decode(b).map("png" -> _)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      GifPixels.decode(b).map("gif" -> _)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) JpegPixels.decode(b).map("jpeg" -> _)
+    else None
+  }
+}
