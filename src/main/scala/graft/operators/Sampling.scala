@@ -526,6 +526,41 @@ object Sampling {
         .orderBy("shard")
     }),
 
+    // Corpus data card — the release-stats summary every dataset ships:
+    // one narrow (metric, value) table with document/token counts, lang
+    // and source cardinalities, and length distribution anchors. All
+    // integer or fixed-point e3 (the q66 interpolated-median discipline:
+    // (a+b)/2 over small ints is exact in double, ×1000 rounding pins the
+    // cross-engine value). One scan, one aggregate — the reporting shape
+    // that runs after every pipeline stage at any corpus size.
+    "x92_data_card" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("lang"), col("source"), size(toks).cast("long").as("n_tokens"))
+      docs
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens_total"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          max("n_tokens").as("max_tokens"),
+          min("n_tokens").as("min_tokens"),
+          expr("CAST(round(percentile(n_tokens, 0.5) * 1000) AS BIGINT)").as("p50_tokens_e3"),
+          expr("CAST(round(avg(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)").as("mean_tokens_e3")
+        )
+        .selectExpr(
+          """stack(8,
+            |'n_docs', n_docs,
+            |'n_tokens_total', n_tokens_total,
+            |'n_langs', n_langs,
+            |'n_sources', n_sources,
+            |'max_tokens', max_tokens,
+            |'min_tokens', min_tokens,
+            |'p50_tokens_e3', p50_tokens_e3,
+            |'mean_tokens_e3', mean_tokens_e3) AS (metric, value)""".stripMargin
+        )
+        .orderBy("metric")
+    }),
+
     // File-level exactly-once ingestion (sources/IngestLedger): the
     // bookkeeping gate in FRONT of content-level dedup — a ledger of
     // accepted files decides per offered file, re-offers move zero data
@@ -786,6 +821,31 @@ object Sampling {
         |  CAST(min(rn) AS BIGINT) AS first_rank,
         |  CAST(max(rn) AS BIGINT) AS last_rank
         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    "x92_data_card" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+        |  FROM documents),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    max(n_tokens) AS max_tokens,
+        |    min(n_tokens) AS min_tokens,
+        |    CAST(round(quantile_cont(n_tokens, 0.5) * 1000) AS BIGINT) AS p50_tokens_e3,
+        |    CAST(round(avg(n_tokens) * 1000) AS BIGINT) AS mean_tokens_e3
+        |  FROM t)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM a
+        |  UNION ALL SELECT 'n_tokens_total', n_tokens_total FROM a
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS BIGINT) FROM a
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS BIGINT) FROM a
+        |  UNION ALL SELECT 'max_tokens', CAST(max_tokens AS BIGINT) FROM a
+        |  UNION ALL SELECT 'min_tokens', CAST(min_tokens AS BIGINT) FROM a
+        |  UNION ALL SELECT 'p50_tokens_e3', p50_tokens_e3 FROM a
+        |  UNION ALL SELECT 'mean_tokens_e3', mean_tokens_e3 FROM a)
+        |ORDER BY metric""".stripMargin,
     // ingestion-ledger oracle: rounds, offer counts and per-file content
     // replayed from the fixture formulas (round 1 = files 0-4, round 2 =
     // files 2-7, then a full round-2 re-offer that accepts nothing)

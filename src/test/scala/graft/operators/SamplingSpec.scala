@@ -397,6 +397,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq === Sampling.queries("x87_shard_shuffle")(spark, sf).collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("digest"))).toSeq)
   }
 
+  test("x92 data card: internal identities hold (mass balance, order statistics)") {
+    val m = Sampling
+      .queries("x92_data_card")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value"))
+      .toMap
+    assert(m.keySet.size === 8)
+    assert(m("n_docs") > 0 && m("n_tokens_total") > 0)
+    // mean·n_docs ≈ total (e3 rounding slack bounded by n_docs/2)
+    assert(math.abs(m("mean_tokens_e3") * m("n_docs") - m("n_tokens_total") * 1000L) <= m("n_docs") * 500L)
+    assert(m("min_tokens") * 1000 <= m("p50_tokens_e3") && m("p50_tokens_e3") <= m("max_tokens") * 1000)
+    assert(m("n_langs") >= 1 && m("n_sources") >= 1)
+  }
+
   test("plan discipline: x30 is a single scan (no exchange), x24 aggregates partially") {
     val p30 = Similarity.queries("x30_embedding_quantize")(spark, sf).queryExecution.executedPlan.toString
     // sort for the output ORDER BY is the only allowed exchange
