@@ -202,6 +202,26 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    // 2D proximity self-join via GRID bucketing — the spatial-join shape
+    // (geo near-neighbor, collision detection, dedup-by-position): each
+    // point hashes to its d×d cell, ONE side explodes to its 3×3 neighbor
+    // stencil, candidates are a plain equi-join on the cell key, and the
+    // exact Chebyshev predicate filters after. Never an all-pairs: work
+    // is (points × 9) join fan-in, local to co-located cells — at 100 TB
+    // the cell key partitions the shuffle exactly like any equi-join,
+    // while the oracle brute-forces the quadratic truth at gate scale.
+    "x93_grid_proximity_join" -> ((s, d) => {
+      // positions from the md5 convention, NOT a linear congruence — a
+      // lattice of c·k mod m points has no close pairs at all (verified:
+      // zero rows), while hashed positions are uniform in both engines
+      val pts = table(s, d, "customer").select(
+        col("c_custkey").as("id"),
+        graft.functions.Hashing.md5Bucket(col("c_custkey").cast("string"), 10000L).as("x"),
+        graft.functions.Hashing.md5Bucket(concat(col("c_custkey").cast("string"), lit("#y")), 10000L).as("y")
+      )
+      gridProximityJoin(pts, 25L)
+        .orderBy("a_id", "b_id")
+    }),
     "q35_range_join" -> ((s, d) => {
       // composite equi+range join: equi key keeps it a hash/sort-merge join
       // with the range as a post-join predicate (never a cross product)
@@ -730,7 +750,52 @@ object Advanced {
     })
   )
 
+  /** Pairs of points within Chebyshev distance `d`, via d×d grid cells:
+    * the build side keys by its own cell, the probe side explodes to its
+    * 3×3 neighbor stencil, candidates are a plain equi-join on the cell
+    * key, and the exact |Δ|≤d predicate filters after. A qualifying pair
+    * meets in EXACTLY the build point's cell (a cell appears once in any
+    * stencil), so no dedup pass is needed. Input schema: (id, x, y). */
+  private[graft] def gridProximityJoin(pts: DataFrame, d: Long): DataFrame = {
+    val cells = pts
+      .withColumn("cx", expr(s"x div ${d}L"))
+      .withColumn("cy", expr(s"y div ${d}L"))
+    val offsets =
+      expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))")
+    val probe = cells
+      .select(
+        col("id").as("b_id"), col("x").as("xb"), col("y").as("yb"),
+        col("cx").as("pcx"), col("cy").as("pcy"), explode(offsets).as("o")
+      )
+      .select(col("b_id"), col("xb"), col("yb"), (col("pcx") + col("o.dx")).as("cx"), (col("pcy") + col("o.dy")).as("cy"))
+    cells
+      .select(col("id").as("a_id"), col("x").as("xa"), col("y").as("ya"), col("cx"), col("cy"))
+      .join(probe, Seq("cx", "cy"))
+      .where(
+        col("a_id") < col("b_id") &&
+          abs(col("xa") - col("xb")) <= d && abs(col("ya") - col("yb")) <= d
+      )
+      .select(
+        col("a_id"),
+        col("b_id"),
+        greatest(abs(col("xa") - col("xb")), abs(col("ya") - col("yb"))).as("cheb")
+      )
+  }
+
   def oracles: Map[String, String] = Map(
+    // brute-force quadratic truth at gate scale — exactly what the grid
+    // decomposition must reproduce without ever forming all pairs
+    "x93_grid_proximity_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 10000 AS x,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || '#y'), 1, 15))::BIGINT % 10000 AS y
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT) AS cheb
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE abs(a.x - b.x) <= 25 AND abs(a.y - b.y) <= 25
+        |ORDER BY a_id, b_id""".stripMargin,
     // Recomputes the KMV sketch from first principles: k smallest DISTINCT
     // md5-window hashes per group (a set minimum — order-free, hence exactly
     // reproducible), then the same double-precision (k-1)·2^60/v_k estimate.
