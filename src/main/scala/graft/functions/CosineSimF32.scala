@@ -60,3 +60,17 @@ object KmvSketch {
         .toAggregateExpression()
     )
 }
+
+/** Misra–Gries heavy-hitters aggregate (native TypedImperativeAggregate —
+  * ≤ k (item, counter) buffer, map-side partials, mergeable per Agarwal
+  * et al.). Returns the retained items as a sorted array<string>; only
+  * the structural guarantee (true count > N/k ⇒ retained) is
+  * order-independent — never gate-compare the counters. */
+object MisraGries {
+  def apply(item: Column, k: Int): Column =
+    Bridge.column(
+      org.apache.spark.sql.graftbridge
+        .MisraGriesAgg(Bridge.expression(item), k)
+        .toAggregateExpression()
+    )
+}

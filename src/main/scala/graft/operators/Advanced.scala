@@ -202,6 +202,38 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    // Heavy hitters via a native mergeable Misra–Gries sketch (the
+    // frequent-items companion to x49's KMV): the stream is an INLINE
+    // planted-skew construction (8 items × 4096 + 500 tail items × 3) so
+    // the sketch is genuinely lossy (508 distinct through a k=16 buffer,
+    // tail decrements constantly). Per-item counters are order-dependent
+    // and never cross the gate; the ORDER-INDEPENDENT guarantee does:
+    // undercount ≤ N/(k+1), so every item with true count > N/k must be
+    // retained by every execution — the gate emits the exact-twin heavy
+    // set with its membership booleans, which a broken sketch (or a
+    // broken merge) flips to FALSE.
+    "x94_heavy_hitters" -> ((s, _) => {
+      val k = 16
+      val n = 8L * 4096 + 500L * 3
+      val stream = s
+        .range(n)
+        .select(
+          expr(
+            "CASE WHEN id < 32768 THEN concat('h', CAST(id % 8 AS STRING)) " +
+              "ELSE concat('t', CAST((id - 32768) div 3 AS STRING)) END"
+          ).as("item")
+        )
+        .repartition(8) // multiple partial sketches → the mergeable path
+        .localCheckpoint() // two plan refs (sketch + exact twin)
+      val sketch = stream.agg(graft.functions.MisraGries(col("item"), k).as("sk"))
+      stream
+        .groupBy("item")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * k > n)
+        .crossJoin(broadcast(sketch))
+        .select(col("item"), col("cnt"), array_contains(col("sk"), col("item")).as("in_sketch"))
+        .orderBy("item")
+    }),
     // 2D proximity self-join via GRID bucketing — the spatial-join shape
     // (geo near-neighbor, collision detection, dedup-by-position): each
     // point hashes to its d×d cell, ONE side explodes to its 3×3 neighbor
@@ -783,6 +815,17 @@ object Advanced {
   }
 
   def oracles: Map[String, String] = Map(
+    // the heavy set replayed exactly; in_sketch is the guarantee the
+    // sketch must meet on every execution
+    "x94_heavy_hitters" ->
+      """WITH ids AS (SELECT unnest(range(34268)) AS id),
+        |st AS (
+        |  SELECT CASE WHEN id < 32768 THEN 'h' || (id % 8)
+        |              ELSE 't' || ((id - 32768) // 3) END AS item
+        |  FROM ids),
+        |c AS (SELECT item, count(*) AS cnt FROM st GROUP BY item)
+        |SELECT item, CAST(cnt AS BIGINT) AS cnt, TRUE AS in_sketch
+        |FROM c WHERE cnt * 16 > 34268 ORDER BY item""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
     "x93_grid_proximity_join" ->

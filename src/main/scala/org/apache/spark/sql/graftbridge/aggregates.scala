@@ -122,3 +122,128 @@ case class KmvSketchAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Misra–Gries heavy-hitters sketch: the aggregation buffer is ≤ k
+  * (item, counter) pairs — bounded, MERGEABLE state (Agarwal et al. 2012,
+  * "Mergeable Summaries": pointwise-sum counters, then subtract the
+  * (k+1)-th largest and drop non-positives), the canonical frequent-items
+  * shape at 100 TB: partial buffers stay ≤ k entries through billions of
+  * rows and combine map-side before any shuffle.
+  *
+  * The per-item estimate is ORDER-DEPENDENT (decrements depend on arrival
+  * interleaving), so estimates must never cross the driver's hash gate.
+  * What IS order-independent is the structural guarantee: total
+  * undercount ≤ N/(k+1), hence every item with true count > N/k is
+  * retained by every execution — the x94 gate pins exactly that
+  * (membership of exact-twin-verified heavy items), never the counters.
+  *
+  * Returns the retained items as a sorted array<string> (size ≤ k).
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with ExpectsInputTypes {
+
+  require(k >= 1, s"misra_gries: k must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(
+      buf: java.util.HashMap[String, Long],
+      input: InternalRow
+  ): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      val cur = buf.get(item)
+      if (cur != 0L || buf.containsKey(item)) buf.put(item, cur + 1L)
+      else if (buf.size() < k) buf.put(item, 1L)
+      else decrementAll(buf) // classic MG: full + absent ⇒ all counters -1
+    }
+    buf
+  }
+
+  private def decrementAll(buf: java.util.HashMap[String, Long]): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+    }
+  }
+
+  override def merge(
+      b1: java.util.HashMap[String, Long],
+      b2: java.util.HashMap[String, Long]
+  ): java.util.HashMap[String, Long] = {
+    // pointwise sum
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b1.get(e.getKey)
+      b1.put(e.getKey, cur + e.getValue)
+    }
+    // trim to k: subtract the (k+1)-th largest counter from everything
+    if (b1.size() > k) {
+      val counts = new Array[Long](b1.size())
+      var i = 0
+      val vs = b1.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(b1.size() - k - 1) // (k+1)-th largest
+      val es = b1.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= sub) es.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val items = new Array[String](buf.size())
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { items(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(items.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(items.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
