@@ -28,44 +28,68 @@ object IngestLedger {
     * empty frame if no ingest has run yet. */
   def ledger(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
-    if (!new java.io.File(ledgerPath(root)).exists())
+    // recovery: a crash between the swap's two renames leaves only .old
+    if (new java.io.File(ledgerPath(root)).exists()) s.read.parquet(ledgerPath(root))
+    else if (new java.io.File(ledgerPath(root) + ".old").exists())
+      s.read.parquet(ledgerPath(root) + ".old")
+    else
       Seq.empty[(Long, String, Int, Long, Long)].toDF("file_id", "fp", "round_ingested", "n_docs", "n_offered")
-    else s.read.parquet(ledgerPath(root))
   }
 
   /** Offer `files` (id → input parquet path) as ingestion round `round`:
-    * accept the never-seen ones (copy their rows into the corpus),
-    * increment `n_offered` for every offered file, return the count of
-    * newly accepted files. Idempotent in content: re-offering everything
-    * accepts nothing and moves no data. */
+    * accept files that are unseen OR whose CONTENT fingerprint changed
+    * since acceptance (an upstream re-delivery with corrected bytes
+    * re-ingests and overwrites), increment `n_offered` for every offered
+    * file, return the count of accepted files. Duplicate ids within one
+    * offer batch collapse to one. Re-offering identical content accepts
+    * nothing and moves no data. */
   def offer(s: SparkSession, root: String, round: Int, files: Seq[(Long, String)]): Int = {
     val led = ledger(s, root).collect()
-    val known = led.map(r => r.getAs[Long]("file_id")).toSet
-    val offered = files.map(_._1).toSet
-    val fresh = files.filter { case (id, _) => !known.contains(id) }
+    val knownFp = led.map(r => r.getAs[Long]("file_id") -> r.getAs[String]("fp")).toMap
+    val batch = files.distinctBy(_._1) // a doubled manifest entry is one file
+    val offered = batch.map(_._1).toSet
+    // accept = unseen id, or seen id whose stored fingerprint no longer
+    // matches the offered content (the fp is CONSULTED, not just stored)
+    val withFp = batch.map { case (id, path) => (id, path, Fingerprint.of(s, path, salt = "")) }
+    val fresh = withFp.filter { case (id, _, fp) => !knownFp.get(id).contains(fp) }
+    val freshIds = fresh.map(_._1).toSet
     // accepted data first, ledger row LAST: a crash between the two means
     // the file is re-offered and overwrites its own directory — idempotent
-    for ((id, path) <- fresh)
-      s.read.parquet(path).write.mode("overwrite").parquet(s"$root/corpus/file=$id")
-    val freshRows = fresh.map { case (id, path) =>
-      val n = s.read.parquet(s"$root/corpus/file=$id").count()
-      (id, Fingerprint.of(s, path, salt = ""), round, n, 1L)
+    val freshRows = fresh.map { case (id, path, fp) =>
+      val df = s.read.parquet(path)
+      df.write.mode("overwrite").parquet(s"$root/corpus/file=$id")
+      // count the SOURCE frame (parquet footer metadata), not a second
+      // full read of the copy just written
+      (id, fp, round, df.count(), 1L)
     }
     import s.implicits._
     val updated =
-      led.map { r =>
-        val id = r.getAs[Long]("file_id")
-        (id, r.getAs[String]("fp"), r.getAs[Int]("round_ingested"), r.getAs[Long]("n_docs"),
-          r.getAs[Long]("n_offered") + (if (offered.contains(id)) 1L else 0L))
-      }.toSeq ++ freshRows
+      led.collect {
+        case r if !freshIds.contains(r.getAs[Long]("file_id")) =>
+          val id = r.getAs[Long]("file_id")
+          (id, r.getAs[String]("fp"), r.getAs[Int]("round_ingested"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_offered") + (if (offered.contains(id)) 1L else 0L))
+      }.toSeq ++ freshRows.map { case (id, fp, rd, n, _) =>
+        // a content-update keeps its full offer history
+        (id, fp, rd, n, knownFp.get(id).map(_ => ledOffered(led, id) + 1L).getOrElse(1L))
+      }
     val tmp = s"${ledgerPath(root)}.next"
     updated.toDF("file_id", "fp", "round_ingested", "n_docs", "n_offered")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
+    // crash-safe swap (the EventStreams staged-rename discipline): demote
+    // the live ledger to .old, promote .next, then clear .old — ledger()
+    // recovers from .old if a crash lands between the two renames
     val dst = new java.io.File(ledgerPath(root))
-    if (dst.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dst)
-    new java.io.File(tmp).renameTo(dst)
+    val old = new java.io.File(ledgerPath(root) + ".old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (dst.exists()) require(dst.renameTo(old), s"ledger demote failed: $dst")
+    require(new java.io.File(tmp).renameTo(dst), s"ledger promote failed: $tmp")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
     fresh.size
   }
+
+  private def ledOffered(led: Array[org.apache.spark.sql.Row], id: Long): Long =
+    led.find(_.getAs[Long]("file_id") == id).map(_.getAs[Long]("n_offered")).getOrElse(0L)
 
   /** The whole ingested corpus (union of accepted files' rows). */
   def corpus(s: SparkSession, root: String): DataFrame =

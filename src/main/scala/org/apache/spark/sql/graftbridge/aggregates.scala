@@ -225,7 +225,10 @@ case class MisraGriesAgg(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed raw UTF-8, not writeUTF: items are arbitrary
+      // strings and writeUTF throws past 64 KiB of encoded length
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -236,7 +239,12 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long]()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -53,6 +53,42 @@ class IngestLedgerSpec extends AnyFunSuite {
     )
   }
 
+  test("content update: same id with new bytes re-ingests; duplicate batch ids collapse") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest_upd").toString
+    val f7 = mkInput(root, 7L, 3)
+    // doubled manifest entry counts once
+    assert(IngestLedger.offer(spark, root, 1, Seq(f7, f7)) === 1)
+    assert(IngestLedger.ledger(spark, root).count() === 1)
+    // identical content re-offer: skipped, history kept
+    assert(IngestLedger.offer(spark, root, 2, Seq(f7)) === 0)
+    // rewrite the input with different content (and row count)
+    (0 until 5).map(j => (700L + j, 99L + j)).toDF("doc_id", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(f7._2)
+    assert(IngestLedger.offer(spark, root, 3, Seq(f7)) === 1) // fp mismatch -> re-accept
+    val r = IngestLedger.ledger(spark, root).head()
+    assert(r.getAs[Int]("round_ingested") === 3)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_offered") === 3L) // history survives the update
+    assert(IngestLedger.corpus(spark, root).count() === 5L) // overwritten, not appended
+  }
+
+  test("ledger swap recovery: only the .old copy present still reads as the ledger") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_rec").toString
+    val f1 = mkInput(root, 1L, 2)
+    assert(IngestLedger.offer(spark, root, 1, Seq(f1)) === 1)
+    // simulate a crash between demote and promote: live ledger became .old
+    val live = new java.io.File(s"$root/ledger")
+    val old = new java.io.File(s"$root/ledger.old")
+    assert(live.renameTo(old))
+    assert(IngestLedger.ledger(spark, root).count() === 1) // recovered
+    // and the next offer self-heals into a fresh live ledger
+    val f2 = mkInput(root, 2L, 2)
+    assert(IngestLedger.offer(spark, root, 2, Seq(f2)) === 1)
+    assert(new java.io.File(s"$root/ledger").exists())
+    assert(IngestLedger.ledger(spark, root).count() === 2)
+  }
+
   test("fixture ground truth: rounds, offers and content match the x90 formulas") {
     IngestFixture.ensure(spark)
     val led = IngestLedger
