@@ -592,7 +592,12 @@ object Similarity {
     * steady-state calls are a marker-file read. */
   private[graft] def ivfEnsureGateIndex(s: SparkSession, d: String): String = synchronized {
     val src = ivfEnsureIndex(s, d, nlist = 8, iters = 3) // path embeds the corpus fingerprint
-    val dir = "/root/repo/spark-warehouse/graft_ivf_gate"
+    // one artifact subdir PER SOURCE DIR: the bench (sf0.1) and the scale
+    // probe must never rebuild the sf0.01 artifact the oracle reads — a
+    // rebuild between the Verify dump and the DuckDB compare would flip
+    // the gate on artifact drift, not on a real bug (observed once when a
+    // chained bench ran before the oracle check)
+    val dir = s"/root/repo/spark-warehouse/graft_ivf_gate/${new java.io.File(d).getName}"
     val marker = new java.io.File(s"$dir/src_key")
     val current =
       if (marker.exists()) new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
@@ -715,9 +720,9 @@ object Similarity {
     // is read directly — the full neighbor output hash-checks
     "x74_ivf_search" ->
       """WITH c AS (
-        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_ivf_gate/centroids/*.parquet'),
+        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_ivf_gate/sf0.01/centroids/*.parquet'),
         |l AS (
-        |  SELECT vec_id, cid FROM '/root/repo/spark-warehouse/graft_ivf_gate/lists/*.parquet'),
+        |  SELECT vec_id, cid FROM '/root/repo/spark-warehouse/graft_ivf_gate/sf0.01/lists/*.parquet'),
         |q AS (
         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
         |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
