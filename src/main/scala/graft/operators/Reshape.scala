@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Graft.table
+import graft.functions.Hashing
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -141,6 +142,64 @@ object Reshape {
 
     "q58_variant" -> variantQuery,
 
+    // Triangle counting with DEGREE ORIENTATION — the fourth graph shape
+    // (q55 BFS, x37 CC, q62 PageRank, now clique-finding) and the
+    // canonical join-based graph algorithm at scale: orient every
+    // undirected edge from its lower-(degree, id) endpoint to the higher
+    // one, so each wedge a→b→c is enumerated exactly once from its
+    // lowest-degree corner, and the join fan-out of a hub vertex is
+    // bounded by its ORIENTED out-degree (≤ √(2m)), never its raw degree
+    // — the trick that keeps hub vertices from exploding the wedge join
+    // (Suri & Vassilvitskii 2011). Graph: a deterministic sparse md5
+    // digraph over the customer ids (3 draws per vertex, self-loops and
+    // duplicates removed), replayed formula-for-formula by the oracle.
+    "x95_triangle_count" -> ((s, d) => {
+      import s.implicits._
+      val verts = table(s, d, "customer").select(col("c_custkey").as("v"))
+      val n = verts.count() // dim-sized control scalar (vertex count)
+      val raw = verts
+        .crossJoin(broadcast(Seq(0, 1, 2).toDF("i")))
+        .select(
+          col("v").as("u"),
+          (Hashing.md5Bucket(concat(col("v").cast("string"), lit("#e"), col("i").cast("string")), n) + 1L)
+            .as("w")
+        )
+        .where(col("u") =!= col("w"))
+      // undirected dedup: canonical (min, max) pairs, one distinct
+      val edges = raw
+        .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+        .distinct()
+        .localCheckpoint() // feeds degree agg + two join probes
+      val deg = edges
+        .select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+      // orient by (degree, id): u→v iff (deg_u, u) < (deg_v, v)
+      val oriented = edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b"))
+            .as("src"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a"))
+            .as("dst")
+        )
+        .localCheckpoint() // three plan refs below
+      val wedges = oriented
+        .select(col("src").as("x"), col("dst").as("y"))
+        .join(oriented.select(col("src").as("y"), col("dst").as("z")), "y")
+      val triangles = wedges
+        .join(oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"), "left_semi")
+      edges
+        .agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+        .select(lit(n).as("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+    }),
+
     // PageRank over the supplier↔order↔customer graph, 5 fixed iterations
     // in integer micro-units — the third graph-analytics shape (q55 BFS
     // reachability, x37 connected components, and now importance
@@ -268,6 +327,36 @@ object Reshape {
   }
 
   def oracles: Map[String, String] = Map(
+    // the full orientation pipeline replayed in SQL: md5 edge formulas →
+    // canonical dedup → degrees → (deg, id) orientation → wedge join →
+    // triangle EXISTS — exact, because every step is integer/set algebra
+    "x95_triangle_count" ->
+      """WITH nv AS (SELECT count(*) AS n FROM customer),
+        |raw AS (
+        |  SELECT c_custkey AS u,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+        |      % (SELECT n FROM nv) + 1 AS w
+        |  FROM customer, (SELECT unnest(range(3)) AS i)),
+        |e AS (
+        |  SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+        |  FROM raw WHERE u <> w),
+        |deg AS (
+        |  SELECT v, count(*) AS dg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+        |         CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v),
+        |wg AS (
+        |  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+        |  FROM o o1 JOIN o o2 ON o1.dst = o2.src),
+        |tr AS (
+        |  SELECT * FROM wg WHERE EXISTS (
+        |    SELECT 1 FROM o WHERE o.src = wg.x AND o.dst = wg.z))
+        |SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vertices,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM wg) AS BIGINT) AS n_wedges,
+        |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triangles""".stripMargin,
     "q62_pagerank" -> {
       val iters = (1 to 5)
         .map { i =>
