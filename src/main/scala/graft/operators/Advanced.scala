@@ -202,6 +202,31 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    // Exact distinct counting via BITMAP aggregation — the third distinct
+    // face (q12 expand-dedup, x49 KMV approximate, now bitmap-exact): for
+    // dense integer key domains, pack keys into bit words (word = k
+    // div 63, bit = k mod 63 — 63 bits per word, because DuckDB's BIGINT
+    // shift guards the sign bit), OR the words per group, popcount. State is
+    // fixed-width and MERGEABLE (OR is associative/commutative), the
+    // shuffle carries ≤ groups × ⌈keyspace/64⌉ words instead of one row
+    // per distinct key — the warehouse technique for COUNT DISTINCT over
+    // dense surrogate keys. The countDistinct twin rides in the same
+    // output, so the hash pins bitmap == exact.
+    "x96_bitmap_distinct" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select(col("l_returnflag").as("flag"), col("l_suppkey").as("k"))
+      li
+        .select(col("flag"), expr("k div 63").as("w"), expr("shiftleft(1L, CAST(k % 63 AS INT))").as("bit"))
+        .groupBy("flag", "w")
+        .agg(expr("bit_or(bit)").as("word"))
+        .groupBy("flag")
+        .agg(
+          sum(expr("bit_count(word)")).as("ndv_bitmap"),
+          count(lit(1)).as("n_words")
+        )
+        .join(li.groupBy("flag").agg(countDistinct("k").as("ndv_exact")), "flag")
+        .select("flag", "ndv_bitmap", "ndv_exact", "n_words")
+        .orderBy("flag")
+    }),
     // Heavy hitters via a native mergeable Misra–Gries sketch (the
     // frequent-items companion to x49's KMV): the stream is an INLINE
     // planted-skew construction (8 items × 4096 + 500 tail items × 3) so
@@ -815,6 +840,21 @@ object Advanced {
   }
 
   def oracles: Map[String, String] = Map(
+    // the same pack/OR/popcount pipeline in SQL, plus the plain
+    // count(DISTINCT) twin — bitmap-exactness proven per group
+    "x96_bitmap_distinct" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_suppkey AS k FROM lineitem),
+        |w AS (
+        |  SELECT flag, k // 63 AS w,
+        |    bit_or(1::BIGINT << CAST(k % 63 AS INT)) AS word
+        |  FROM li GROUP BY flag, k // 63),
+        |b AS (
+        |  SELECT flag, CAST(sum(bit_count(word)) AS BIGINT) AS ndv_bitmap,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM w GROUP BY flag),
+        |e AS (SELECT flag, CAST(count(DISTINCT k) AS BIGINT) AS ndv_exact FROM li GROUP BY flag)
+        |SELECT b.flag, ndv_bitmap, ndv_exact, n_words
+        |FROM b JOIN e ON b.flag = e.flag ORDER BY b.flag""".stripMargin,
     // the heavy set replayed exactly; in_sketch is the guarantee the
     // sketch must meet on every execution
     "x94_heavy_hitters" ->
