@@ -208,7 +208,7 @@ object Advanced {
     // div 63, bit = k mod 63 — 63 bits per word, because DuckDB's BIGINT
     // shift guards the sign bit), OR the words per group, popcount. State is
     // fixed-width and MERGEABLE (OR is associative/commutative), the
-    // shuffle carries ≤ groups × ⌈keyspace/64⌉ words instead of one row
+    // shuffle carries ≤ groups × ⌈keyspace/63⌉ words instead of one row
     // per distinct key — the warehouse technique for COUNT DISTINCT over
     // dense surrogate keys. The countDistinct twin rides in the same
     // output, so the hash pins bitmap == exact.

@@ -717,7 +717,13 @@ object Similarity {
     // problem by reading the PERSISTED float32 index as ground truth.
     // the search replay over the persisted artifact: probe ranking and
     // in-list ranking are both bit-exact float32 cosine, the index parquet
-    // is read directly — the full neighbor output hash-checks
+    // is read directly — the full neighbor output hash-checks.
+    // GATE-SF PIN: the artifact subdir is hardcoded sf0.01 because the
+    // driver's verify gate always runs at sf0.01 (the same convention as
+    // the twin-table oracles); the Spark side keys the artifact by the
+    // source dir's basename, so running this oracle against any other SF
+    // would read a different artifact — that's an oracle-convention limit,
+    // not a regression.
     "x74_ivf_search" ->
       """WITH c AS (
         |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_ivf_gate/sf0.01/centroids/*.parquet'),

@@ -37,12 +37,17 @@ object IngestLedger {
   }
 
   /** Offer `files` (id → input parquet path) as ingestion round `round`:
-    * accept files that are unseen OR whose CONTENT fingerprint changed
-    * since acceptance (an upstream re-delivery with corrected bytes
-    * re-ingests and overwrites), increment `n_offered` for every offered
-    * file, return the count of accepted files. Duplicate ids within one
-    * offer batch collapse to one. Re-offering identical content accepts
-    * nothing and moves no data. */
+    * accept files that are unseen OR whose fingerprint changed since
+    * acceptance (an upstream re-delivery re-ingests and overwrites),
+    * increment `n_offered` for every offered file, return the count of
+    * accepted files. Duplicate ids within one offer batch collapse to
+    * one. Re-offering an unchanged file accepts nothing and moves no
+    * data. NOTE: [[Fingerprint.of]] is a METADATA fingerprint — it hashes
+    * the file listing (name, length, mtime), not the bytes — so a
+    * re-delivery that preserves size AND mtime (rsync -t, an object-store
+    * copy with preserved timestamps) is indistinguishable from a
+    * duplicate and is skipped; upstreams that rewrite in place must touch
+    * mtime (normal filesystem behavior) for the change to be seen. */
   def offer(s: SparkSession, root: String, round: Int, files: Seq[(Long, String)]): Int = {
     val led = ledger(s, root).collect()
     val knownFp = led.map(r => r.getAs[Long]("file_id") -> r.getAs[String]("fp")).toMap

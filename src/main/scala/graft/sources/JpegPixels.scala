@@ -276,6 +276,14 @@ object JpegPixels {
         plane((px * padW) + mx * 8 + xb) = clamp(math.round(0.25 * s).toInt + 128).toByte
       }
     }
+    // exact-consumption contract (the MpegAudio discipline): the marker
+    // after the last MCU must be EOI. Pad bits live inside the final
+    // entropy byte the reader already consumed (a 0xFF pad byte carries
+    // its stuffed 0x00 with it), so bytePos points at the marker's 0xFF —
+    // a payload with garbage appended after a valid entropy stream is a
+    // structural lie and quarantines instead of decoding.
+    if (r.bytePos + 1 >= b.length ||
+      (b(r.bytePos) & 0xff) != 0xff || (b(r.bytePos + 1) & 0xff) != 0xd9) return None
     Some(BmpPixels.Image(w, h, (x, y) => {
       val i = y * padW + x
       if (ncomp == 1) { val v = planes(0)(i) & 0xff; (v, v, v) }
