@@ -177,7 +177,22 @@ object ScaleProbe {
       // r6: shard shuffle = one corpus scan + the x26/x53 prefix-sum over
       // the 16x clone corpus (80k docs); the only single-task window is
       // the 32-row bucket-offset frame
-      "x87_shard_shuffle"
+      "x87_shard_shuffle",
+      // r7: MOR deletion vectors + schema evolution over the 16x orders —
+      // x97 pays the CowEvo fingerprint rebuild on first touch (bucketed
+      // write + morDelete probe + COW twin), then the read side is the
+      // DV broadcast anti-join; x99's schema-mapped read adds only column
+      // aliases per file group. Both show cost tracking deleted/changed
+      // buckets, never table size.
+      "x97_mor_delete", "x99_schema_evolution",
+      // r7: corpus-fed Misra–Gries — the 16x lineitem stream (~25M rows
+      // after the 25x stripe replication) through the same k=16 buffers;
+      // partial-sketch merge volume is partitions x k, independent of n
+      "x101_heavy_hitters_corpus",
+      // r7: x73's enriched stats pass (null counts + per-file KMV) rides
+      // the same one-scan manifest build; steady state is marker-read +
+      // pruned scan
+      "x73_skipping_scan"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

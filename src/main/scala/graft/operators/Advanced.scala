@@ -259,6 +259,37 @@ object Advanced {
         .select(col("item"), col("cnt"), array_contains(col("sk"), col("item")).as("in_sketch"))
         .orderBy("item")
     }),
+    // Corpus-fed Misra–Gries: the x94 guarantee made load-bearing over
+    // the FIXTURE tables — the corpus key distribution is near-uniform,
+    // so skew is PLANTED by replicating one supplier stripe (l_suppkey %
+    // 10 = 3) ×25 via explode (the planted-skew fixture trick): ~18%
+    // margin above the N/k retention bound through a genuinely lossy
+    // k=16 buffer (≥100 distinct keys, constant tail decrements). Only
+    // ORDER-INDEPENDENT facts cross the gate: the exact-twin heavy set,
+    // the stream size, and per-item retention booleans.
+    "x101_heavy_hitters_corpus" -> ((s, d) => {
+      val k = 16
+      val stream = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("item"))
+        .select(col("item"), explode(expr("sequence(1, CASE WHEN item % 10 = 3 THEN 25 ELSE 1 END)")).as("rep"))
+        .select("item")
+        .localCheckpoint() // three plan refs: sketch, exact twin, total
+      val sketch = stream.agg(graft.functions.MisraGries(col("item").cast("string"), k).as("sk"))
+      val total = stream.agg(count(lit(1)).as("n"))
+      stream
+        .groupBy("item")
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") * k > col("n"))
+        .crossJoin(broadcast(sketch))
+        .select(
+          col("item"),
+          col("cnt"),
+          col("n").as("stream_n"),
+          array_contains(col("sk"), col("item").cast("string")).as("in_sketch")
+        )
+        .orderBy("item")
+    }),
     // 2D proximity self-join via GRID bucketing — the spatial-join shape
     // (geo near-neighbor, collision detection, dedup-by-position): each
     // point hashes to its d×d cell, ONE side explodes to its 3×3 neighbor
@@ -866,6 +897,18 @@ object Advanced {
         |c AS (SELECT item, count(*) AS cnt FROM st GROUP BY item)
         |SELECT item, CAST(cnt AS BIGINT) AS cnt, TRUE AS in_sketch
         |FROM c WHERE cnt * 16 > 34268 ORDER BY item""".stripMargin,
+    // the corpus replay: every lineitem supplier key once, the planted
+    // stripe 25×; heavy set from the exact counts; retention is the
+    // guarantee (count > N/k ⇒ always in the buffer), so TRUE is truth
+    "x101_heavy_hitters_corpus" ->
+      """WITH st AS (
+        |  SELECT l_suppkey AS item
+        |  FROM lineitem, (SELECT unnest(range(25)) AS r)
+        |  WHERE l_suppkey % 10 = 3 OR r = 0),
+        |c AS (SELECT item, count(*) AS cnt FROM st GROUP BY item),
+        |t AS (SELECT count(*) AS n FROM st)
+        |SELECT item, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS stream_n, TRUE AS in_sketch
+        |FROM c, t WHERE cnt * 16 > n ORDER BY item""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
     "x93_grid_proximity_join" ->

@@ -374,6 +374,47 @@ object Multimodal {
     // palette indices → color-table expansion → the same 8×8 resample/
     // checksum contract as x33/x70. Oracle recomputes from the fixture's
     // composite palette[idx] formula; it never parses a byte of GIF.
+    // The color-type surface of the PNG decoder (x70 covers truecolor):
+    // payloads CYCLE palette-indexed (PLTE lookup through a variable-size
+    // palette), RGBA (alpha composited over white with the integer-exact
+    // div-255 formula) and plain RGB — one decode path, three pixel
+    // emitters, the same 8×8 resample/checksum/aHash contract. The oracle
+    // composes the palette formula under the index formula and replays
+    // the alpha composite in pure integer SQL.
+    "x100_png_palette_alpha" -> ((s, _) => {
+      graft.sources.PngExtFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType),
+          StructField("hi", LongType),
+          StructField("lo", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.PngExtFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
+                val cs = graft.sources.BmpPixels.checksum(tile)
+                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
+                val total = grays.sum
+                var hi = 0L; var lo = 0L
+                grays.zipWithIndex.foreach { case (g0, k) =>
+                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
+                }
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs, hi, lo)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     "x71_gif_decode" -> ((s, _) => {
       graft.sources.GifFixture.ensure(s)
       val schema = StructType(
@@ -562,6 +603,40 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
+    // REAL compressed-audio sample decode: IMA ADPCM (WAVE tag 0x11) —
+    // container parse + the spec's integer predictor state machine over
+    // 4-bit nibbles (sources/AdpcmAudio). The fixture's nibble stream and
+    // block states follow closed-form formulas, so the oracle REPLAYS the
+    // whole decode recurrence in a recursive CTE — every predictor clamp,
+    // step-table lookup and index clamp is pinned, and the positional
+    // checksum pins sample order (a swapped block or reversed nibble
+    // order flips it). Completes the audio family the way x70/x71/x80
+    // completed images.
+    "x98_adpcm_decode" -> ((s, _) => {
+      graft.sources.AdpcmFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("n_samples", LongType),
+          StructField("sum_abs", LongType),
+          StructField("peak", LongType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.AdpcmFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.AdpcmAudio.features(r.getAs[Array[Byte]]("payload")) match {
+              case Some((n, sumAbs, peak, chk)) =>
+                Row(r.getAs[Long]("audio_id"), n, sumAbs, peak, chk)
+              case None => Row(r.getAs[Long]("audio_id"), null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
     // REAL frame sampling: raw uncompressed video payloads (rawvideo/y4m
     // shape) → every-3rd-frame schedule → per-frame nearest-neighbor 4×4
     // tile → weighted checksum, one output row per sampled frame (the
@@ -688,6 +763,46 @@ object Multimodal {
         |    (img_id * 9 + sx * 2 + sy * 5) % 256 AS gc,
         |    (img_id * 3 + sx * 4 + sy * 7) % 256 AS bc
         |  FROM px),
+        |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
+        |SELECT val.img_id, width, height,
+        |  CAST(sum((k + 1) * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k < 32  THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |FROM val JOIN tot USING (img_id)
+        |GROUP BY val.img_id, width, height ORDER BY img_id""".stripMargin,
+    // the color-type surface replayed from the composed formulas: palette
+    // rows go palette-formula∘index-formula (the palette size itself is a
+    // formula of img_id), RGBA rows replay the integer white-composite
+    // (a·c + (255−a)·255) // 255 — every numerator non-negative, so //
+    // is plain floor in both engines — and truecolor rows are the x70
+    // formulas verbatim; then the shared checksum/aHash contract
+    "x100_png_palette_alpha" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_png_ext/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v) AS k,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |mid AS (
+        |  SELECT img_id, width, height, k, sx, sy,
+        |    (img_id * 5 + sx * 7 + sy * 3) % (16 + (img_id * 13) % 241) AS pj,
+        |    CASE WHEN img_id % 3 = 1 THEN (img_id * 7 + sx * 3 + sy * 11) % 256 ELSE 0 END AS aa
+        |  FROM px),
+        |val AS (
+        |  SELECT img_id, width, height, k,
+        |    CASE WHEN img_id % 3 = 0 THEN (img_id * 11 + pj * 3) % 256
+        |         WHEN img_id % 3 = 1 THEN (aa * ((img_id * 5 + sx * 7 + sy * 3) % 256) + (255 - aa) * 255) // 255
+        |         ELSE (img_id * 5 + sx * 7 + sy * 3) % 256 END AS r,
+        |    CASE WHEN img_id % 3 = 0 THEN (img_id * 7 + pj * 5) % 256
+        |         WHEN img_id % 3 = 1 THEN (aa * ((img_id * 9 + sx * 2 + sy * 5) % 256) + (255 - aa) * 255) // 255
+        |         ELSE (img_id * 9 + sx * 2 + sy * 5) % 256 END AS gc,
+        |    CASE WHEN img_id % 3 = 0 THEN (img_id * 13 + pj * 11) % 256
+        |         WHEN img_id % 3 = 1 THEN (aa * ((img_id * 3 + sx * 4 + sy * 7) % 256) + (255 - aa) * 255) // 255
+        |         ELSE (img_id * 3 + sx * 4 + sy * 7) % 256 END AS bc
+        |  FROM mid),
         |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
         |SELECT val.img_id, width, height,
         |  CAST(sum((k + 1) * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum,
@@ -865,6 +980,50 @@ object Multimodal {
         |  FROM s)
         |SELECT id AS audio_id, CAST(max(total) AS BIGINT) AS n_samples,
         |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS peak
-        |FROM v GROUP BY id ORDER BY audio_id""".stripMargin
+        |FROM v GROUP BY id ORDER BY audio_id""".stripMargin,
+    // the IMA ADPCM decode recurrence replayed from the fixture formulas:
+    // cfg = per-(audio, block) initial predictor/step-index; the recursive
+    // CTE runs one predictor step per nibble j (low-nibble-first order is
+    // the writer's t ordering), with the 89-entry step table and the
+    // {-1,-1,-1,-1,2,4,6,8} index table inlined as list literals; sample 0
+    // of each block is the header predictor, matching the WAV-IMA
+    // samples-per-block = 2·(blockAlign−4)+1 convention
+    "x98_adpcm_decode" ->
+      """WITH RECURSIVE
+        |cfg AS (
+        |  SELECT a.aid, b.blk,
+        |    CAST(((a.aid * 2731 + b.blk * 1217) % 65536) - 32768 AS BIGINT) AS pred0,
+        |    CAST((a.aid * 7 + b.blk * 13) % 89 AS BIGINT) AS s0
+        |  FROM (SELECT unnest(range(200)) AS aid) a, (SELECT unnest(range(3)) AS blk) b
+        |  WHERE b.blk < 1 + a.aid % 3),
+        |st AS (
+        |  SELECT aid, blk, CAST(0 AS BIGINT) AS j, pred0 AS pred, s0 AS si FROM cfg
+        |  UNION ALL
+        |  SELECT aid, blk, j + 1,
+        |    CAST(least(32767, greatest(-32768,
+        |      CASE WHEN (nib & 8) != 0 THEN pred - diff ELSE pred + diff END)) AS BIGINT),
+        |    CAST(least(88, greatest(0, si + ([-1,-1,-1,-1,2,4,6,8])[(nib & 7) + 1])) AS BIGINT)
+        |  FROM (
+        |    SELECT aid, blk, j, pred, si, nib, step,
+        |      (step // 8)
+        |      + CASE WHEN (nib & 4) != 0 THEN step ELSE 0 END
+        |      + CASE WHEN (nib & 2) != 0 THEN step // 2 ELSE 0 END
+        |      + CASE WHEN (nib & 1) != 0 THEN step // 4 ELSE 0 END AS diff
+        |    FROM (
+        |      SELECT aid, blk, j, pred, si,
+        |        (aid * 11 + blk * 5 + j * 3) % 16 AS nib,
+        |        ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |          50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,
+        |          253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,
+        |          1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,
+        |          3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+        |          11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,
+        |          32767])[si + 1] AS step
+        |      FROM st WHERE j < 504)))
+        |SELECT aid AS audio_id, count(*) AS n_samples,
+        |  CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(pred)) AS BIGINT) AS peak,
+        |  CAST(sum((blk * 505 + j + 1) * pred) AS BIGINT) AS checksum
+        |FROM st GROUP BY aid ORDER BY audio_id""".stripMargin
   )
 }

@@ -260,6 +260,69 @@ object Warehouse {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
         .orderBy("bucket")
+    }),
+    // Merge-on-read DELETE via deletion vectors (sources/CowEvo v2) vs the
+    // SAME logical delete via the COW rewrite path (v30): both snapshots
+    // read back per bucket in ONE output row — the oracle computes a
+    // single truth for both column sets, so any divergence between the
+    // DV-masked read and the rewritten read flips the hash. Provenance
+    // proves the MOR half moved zero data: every v2 manifest entry must
+    // still point at a /v1/ data file (data_src_version pinned to the
+    // oracle's literal 1), with has_dv/n_del recomputed from the stripe.
+    "x97_mor_delete" -> ((s, d) => {
+      graft.sources.CowEvo.ensure(s, d)
+      import s.implicits._
+      val w = graft.sources.CowTable.BucketWidth
+      val root = graft.sources.CowEvo.dir
+      val mor = graft.sources.CowTable
+        .read(s, 2, root)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("total_cents"))
+      val cow = graft.sources.CowTable
+        .read(s, 30, root)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cow_n_live"), sum("cents").as("cow_total_cents"))
+      val prov = graft.sources.CowTable
+        .entries(s, 2, root)
+        .map(e => (e.bucket,
+          if (e.dvPath.nonEmpty) 1L else 0L,
+          e.nDel,
+          if (e.path.contains("/v1/")) 1L else 99L))
+        .toDF("bucket", "has_dv", "n_del", "data_src_version")
+      mor.join(cow, Seq("bucket")).join(prov, Seq("bucket")).orderBy("bucket")
+    }),
+    // Schema evolution across snapshots (sources/CowEvo v3 add-column,
+    // v4 rename): ONE read of v4 crosses schema-1 files (DV-masked, no
+    // qty, written as "cents"), schema-2 files (qty present) and the
+    // schema-3 CURRENT names — old files project through the Iceberg-
+    // style field-id map, so the output column is `amount_cents` even
+    // though no file on disk carries that name, and `qty` is typed NULL
+    // for pre-evolution rows. file_schema_id comes from the manifest, so
+    // a wrong id mapping (or a rewrite that should not have happened)
+    // flips the hash.
+    "x99_schema_evolution" -> ((s, d) => {
+      graft.sources.CowEvo.ensure(s, d)
+      import s.implicits._
+      val w = graft.sources.CowTable.BucketWidth
+      val root = graft.sources.CowEvo.dir
+      val sid = graft.sources.CowTable
+        .entries(s, 4, root)
+        .map(e => (e.bucket, e.schemaId.toLong))
+        .toDF("bucket", "file_schema_id")
+      graft.sources.CowTable
+        .read(s, 4, root)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("amount_cents").as("total_amount_cents"),
+          count(col("qty")).as("qty_rows"),
+          coalesce(sum("qty"), lit(0L)).as("qty_total")
+        )
+        .join(sid, Seq("bucket"))
+        .orderBy("bucket")
     })
   )
 
@@ -402,6 +465,56 @@ object Warehouse {
         |SELECT k, 'D', CAST(cents AS BIGINT), CAST(-1 AS BIGINT)
         |FROM v2 WHERE k % 101 = 0 AND bucket % 7 = 1
         |ORDER BY k""".stripMargin,
+    // one truth for both the MOR (DV-masked) and COW (rewritten) reads:
+    // the base minus the delete stripe; has_dv/n_del replay the stripe
+    // per bucket; data_src_version is the LITERAL 1 — the Spark side
+    // derives it from the actual manifest paths, so any data rewrite on
+    // the MOR branch breaks the match
+    "x97_mor_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |hits AS (
+        |  SELECT bucket, count(*) AS nd FROM base
+        |  WHERE k % 13 = 0 AND bucket % 3 = 1 GROUP BY 1),
+        |live AS (
+        |  SELECT * FROM base WHERE NOT (k % 13 = 0 AND bucket % 3 = 1))
+        |SELECT l.bucket, count(*) AS n_live, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  count(*) AS cow_n_live, CAST(sum(cents) AS BIGINT) AS cow_total_cents,
+        |  CAST(CASE WHEN h.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_dv,
+        |  CAST(coalesce(h.nd, 0) AS BIGINT) AS n_del,
+        |  CAST(1 AS BIGINT) AS data_src_version
+        |FROM live l LEFT JOIN hits h ON l.bucket = h.bucket
+        |GROUP BY l.bucket, h.bucket, h.nd ORDER BY l.bucket""".stripMargin,
+    // the evolved table from first principles: pre-evolution rows are the
+    // MOR-masked base under the RENAMED column name with NULL qty;
+    // post-evolution rows follow the insert formulas; file_schema_id is
+    // 2 exactly for the insert buckets
+    "x99_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, cents, bucket FROM base
+        |  WHERE NOT (k % 13 = 0 AND bucket % 3 = 1)),
+        |ins AS (
+        |  SELECT 20000000 + i AS k, 200000 + 11 * i AS cents, 3 + i % 7 AS qty,
+        |    (20000000 + i) // 1024 AS bucket
+        |  FROM (SELECT unnest(range(40)) AS i)),
+        |allr AS (
+        |  SELECT k, cents AS amount_cents, CAST(NULL AS BIGINT) AS qty, bucket, 1 AS sid FROM live
+        |  UNION ALL
+        |  SELECT k, cents, qty, bucket, 2 FROM ins)
+        |SELECT bucket, count(*) AS n_rows,
+        |  CAST(sum(amount_cents) AS BIGINT) AS total_amount_cents,
+        |  count(qty) AS qty_rows,
+        |  CAST(coalesce(sum(qty), 0) AS BIGINT) AS qty_total,
+        |  CAST(max(sid) AS BIGINT) AS file_schema_id
+        |FROM allr GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q56_scd2_intervals" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),

@@ -59,17 +59,147 @@ object CowTable {
 
   private def manifestPath(version: Int, root: String) = s"$root/manifest_v$version"
 
-  /** (bucket, path, min_key, max_key, n_rows) for one snapshot — a
-    * file-count-sized driver read, the table-format planning unit. */
+  /** One manifest row: the planning unit. `dvPath` is the deletion-vector
+    * sidecar directory masking this bucket ("" = none, the merge-on-read
+    * half of the write path); `nDel` its masked-row count; `schemaId` the
+    * table schema the data file was WRITTEN under (Iceberg-style id-based
+    * column mapping — reads project old files through the id map, so time
+    * travel survives add/rename-column). */
+  case class Entry(
+      bucket: Long,
+      path: String,
+      minKey: Long,
+      maxKey: Long,
+      nRows: Long,
+      dvPath: String,
+      nDel: Long,
+      schemaId: Int
+  )
+
+  /** (bucket, path, min_key, max_key, n_rows, dv_path, n_del, schema_id)
+    * for one snapshot — a file-count-sized driver read, the table-format
+    * planning unit. */
   def manifest(s: SparkSession, version: Int, root: String = dir): DataFrame =
     s.read.parquet(manifestPath(version, root))
 
+  /** Manifest rows as [[Entry]]s; legacy 5-column manifests (pre-DV
+    * stream checkpoints) default to no DV / schema 1. */
+  def entries(s: SparkSession, version: Int, root: String = dir): Seq[Entry] = {
+    val df = manifest(s, version, root)
+    val cols = df.columns.toSet
+    df.collect()
+      .map { r =>
+        Entry(
+          r.getAs[Long]("bucket"),
+          r.getAs[String]("path"),
+          r.getAs[Long]("min_key"),
+          r.getAs[Long]("max_key"),
+          r.getAs[Long]("n_rows"),
+          if (cols("dv_path")) r.getAs[String]("dv_path") else "",
+          if (cols("n_del")) r.getAs[Long]("n_del") else 0L,
+          if (cols("schema_id")) r.getAs[Int]("schema_id") else 1
+        )
+      }
+      .toSeq
+  }
+
+  // ------------------------------------------------- schema registry (ids)
+  // $root/schemas: (schema_id, field_id, name, ftype) — the whole registry,
+  // rows-sized; $root/meta_vN: (schema_id) — the snapshot's CURRENT schema.
+  // Data files carry the column NAMES of their write-time schema; reads
+  // resolve names through field ids, so a rename is a metadata-only commit
+  // and old files remain readable under the new names.
+
+  def writeSchemas(s: SparkSession, root: String, rows: Seq[(Int, Int, String, String)]): Unit = {
+    import s.implicits._
+    rows.toDF("schema_id", "field_id", "name", "ftype").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/schemas")
+  }
+
+  def writeVersionMeta(s: SparkSession, root: String, version: Int, schemaId: Int): Unit = {
+    import s.implicits._
+    Seq(schemaId).toDF("schema_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/meta_v$version")
+  }
+
+  private def versionSchemaId(s: SparkSession, version: Int, root: String): Option[Int] =
+    if (new java.io.File(s"$root/meta_v$version").exists())
+      Some(s.read.parquet(s"$root/meta_v$version").collect().head.getAs[Int]("schema_id"))
+    else None
+
+  /** field_id → (name, ftype) per schema, field-id-ordered. */
+  private def schemaFields(s: SparkSession, root: String): Map[Int, Seq[(Int, String, String)]] =
+    s.read
+      .parquet(s"$root/schemas")
+      .collect()
+      .map(r => (r.getAs[Int]("schema_id"), r.getAs[Int]("field_id"), r.getAs[String]("name"), r.getAs[String]("ftype")))
+      .groupBy(_._1)
+      .map { case (sid, rows) => sid -> rows.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq }
+
   /** Read one snapshot: union exactly the data directories its manifest
     * lists (carried entries point into older versions' directories — the
-    * by-reference half of copy-on-write). Emits `(k, cents)`. */
+    * by-reference half of copy-on-write), anti-mask deletion vectors, and
+    * — when the snapshot carries schema metadata — project every file
+    * through the field-id map onto the snapshot's CURRENT schema (missing
+    * fields read as typed NULL, renamed fields under their current name).
+    * Legacy roots (no meta) emit columns as written. */
   def read(s: SparkSession, version: Int, root: String = dir): DataFrame = {
-    val paths = manifest(s, version, root).select("path").collect().map(_.getString(0)).sorted
-    s.read.parquet(paths.toIndexedSeq: _*)
+    val es = entries(s, version, root)
+    versionSchemaId(s, version, root) match {
+      case None => applyDv(s, rawRead(s, es), es, keyCol = "k")
+      case Some(cur) =>
+        val fields = schemaFields(s, root)
+        val curFields = fields(cur)
+        val keyName = curFields.find(_._1 == 1).get._2
+        val mapped = es
+          .groupBy(_.schemaId)
+          .toSeq
+          .sortBy(_._1)
+          .map { case (sid, grp) =>
+            val written = fields(sid).map(f => f._1 -> f._2).toMap
+            val df = s.read.parquet(grp.map(_.path).sorted.toIndexedSeq: _*)
+            df.select(curFields.map { case (fid, name, ftype) =>
+              written.get(fid) match {
+                case Some(w) => col(w).as(name)
+                case None    => lit(null).cast(ftype).as(name)
+              }
+            }: _*)
+          }
+          .reduce(_.unionByName(_))
+        applyDv(s, mapped, es, keyCol = keyName)
+    }
+  }
+
+  /** Plain physical read of a set of manifest entries (columns as written,
+    * no schema mapping) with deletion vectors applied — the merge/probe
+    * path, which runs pre-evolution by contract. */
+  private def rawRead(s: SparkSession, es: Seq[Entry]): DataFrame =
+    applyDv(s, s.read.parquet(es.map(_.path).sorted.toIndexedSeq: _*), es, keyCol = "k")
+
+  /** Anti-mask `df` with the union of the entries' deletion vectors: DV
+    * words expand to deleted keys (63-bit packed words over in-bucket
+    * offsets, the x96 convention) and broadcast-anti-join on the key —
+    * DV bytes are change-sized, so the mask costs a broadcast, never a
+    * shuffle of the data. */
+  private def applyDv(s: SparkSession, df: DataFrame, es: Seq[Entry], keyCol: String): DataFrame = {
+    val dvd = es.filter(_.dvPath.nonEmpty)
+    if (dvd.isEmpty) df
+    else {
+      val deleted = dvd
+        .groupBy(_.dvPath)
+        .toSeq
+        .sortBy(_._1)
+        .map { case (p, grp) =>
+          s.read
+            .parquet(p)
+            .where(col("bucket").isin(grp.map(e => Long.box(e.bucket)): _*))
+        }
+        .reduce(_.unionByName(_))
+        .select(col("bucket"), col("w"), explode(sequence(lit(0), lit(62))).as("i"), col("word"))
+        .where(expr("(word >> i) & 1 = 1"))
+        .select((col("bucket") * lit(BucketWidth) + col("w") * lit(63L) + col("i")).as(keyCol))
+      df.join(broadcast(deleted), Seq(keyCol), "left_anti")
+    }
   }
 
   /** Build snapshot v1 from `orders` and snapshot v2 = MERGE(updates ∪
@@ -78,7 +208,9 @@ object CowTable {
     val key = Fingerprint.of(
       s,
       s"$d/orders.parquet",
-      s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount|$Upsert3Filter|$Delete3Filter"
+      // "man8" salts the key for the 8-column manifest schema (dv_path /
+      // n_del / schema_id) so pre-DV artifacts rebuild once
+      s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount|$Upsert3Filter|$Delete3Filter|man8"
     )
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
@@ -96,7 +228,7 @@ object CowTable {
       )
       .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
     base.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/v1")
-    writeManifestRows(s, 1, statsOf(s, s"$dir/v1"))
+    writeManifestRows(s, 1, statsOf(s, s"$dir/v1", schemaId = 1))
 
     // ---- MERGE into v2: updates (matched) + inserts (not matched)
     val updates = base
@@ -130,8 +262,11 @@ object CowTable {
     * by reference — its stats copied verbatim, since the file is
     * immutable. A bucket whose every row is deleted vanishes from the new
     * manifest. `changes` is keep-latest keyed `(k, cents)`; `deletes` is
-    * a `(k)` frame (deletes of absent keys and of buckets the snapshot
-    * does not contain are no-ops, so they never force a rewrite). */
+    * a `(k)` frame. Deletes of absent keys are true no-ops: candidate
+    * buckets (manifest-present, key-range match) are PROBED by key first,
+    * and a bucket none of whose rows actually match a delete key is
+    * carried untouched — the probe reads those buckets once, which is the
+    * floor for answering "is the key here?", but never rewrites them. */
   def merge(
       s: SparkSession,
       fromVersion: Int,
@@ -139,29 +274,62 @@ object CowTable {
       changes: DataFrame,
       deletes: DataFrame = null,
       root: String = dir
-  ): Unit = {
+  ): Unit =
+    writeManifestRows(
+      s,
+      toVersion,
+      mergeRows(s, entries(s, fromVersion, root), changes, deletes, s"$root/v$toVersion"),
+      root
+    )
+
+  /** the merge COMPUTATION: writes rewritten/new data files under
+    * `outRoot` and returns the would-be manifest rows WITHOUT publishing —
+    * [[merge]] publishes directly, [[occCommit]] publishes via the atomic
+    * compare-and-swap below. */
+  private def mergeRows(
+      s: SparkSession,
+      man: Seq[Entry],
+      changes: DataFrame,
+      deletes: DataFrame,
+      outRoot: String
+  ): Seq[Entry] = {
     val ch = changes.withColumn("bucket", expr(s"k div ${BucketWidth}L"))
     val del = Option(deletes).map(_.withColumn("bucket", expr(s"k div ${BucketWidth}L")))
-    val man = manifest(s, fromVersion, root).collect()
-    val manBuckets = man.map(_.getAs[Long]("bucket")).toSet
+    val manBuckets = man.map(_.bucket).toSet
     // change-side bucket lists: one row per touched bucket (dim-sized).
     // Delete buckets only count when the snapshot actually has them.
     val chBuckets = ch.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    // delete-touched = candidate buckets (in the manifest AND key-ranged by
+    // a delete key) that ACTUALLY hold a matching LIVE key — probed via
+    // semi join over the DV-masked read, so tombstones of never-existing
+    // (or already-deleted) keys don't churn buckets
     val delBuckets = del
-      .map(_.select("bucket").distinct().collect().map(_.getLong(0)).toSet.intersect(manBuckets))
+      .map { dl =>
+        val dlBuckets = dl.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+        val cand = man.filter(e => dlBuckets.contains(e.bucket))
+        if (cand.isEmpty) Set.empty[Long]
+        else
+          rawRead(s, cand)
+            .join(dl.select("k"), Seq("k"), "left_semi")
+            .select(expr(s"k div ${BucketWidth}L").as("bucket"))
+            .distinct()
+            .collect()
+            .map(_.getLong(0))
+            .toSet
+      }
       .getOrElse(Set.empty[Long])
     val allTouched = chBuckets ++ delBuckets
-    val touched = man.filter(r => allTouched.contains(r.getAs[Long]("bucket")))
-    val carried = man.filter(r => !allTouched.contains(r.getAs[Long]("bucket")))
+    val touched = man.filter(e => allTouched.contains(e.bucket))
+    val carried = man.filter(e => !allTouched.contains(e.bucket))
     val newBuckets = chBuckets -- manBuckets
     // rewrite pass: ONLY the touched buckets' files are read — the
-    // manifest prune is what makes a small MERGE cheap on a huge table
-    val outRoot = s"$root/v$toVersion"
+    // manifest prune is what makes a small MERGE cheap on a huge table.
+    // The read is DV-masked, so a COW rewrite of a merge-on-read bucket
+    // FOLDS its deletion vector: the new file holds live rows only and
+    // the new entry drops the dv reference.
     if (touched.nonEmpty) {
-      val touchedPaths = touched.map(_.getAs[String]("path")).sorted
-      val touchedSet = touched.map(_.getAs[Long]("bucket")).toSet
-      val cur = s.read
-        .parquet(touchedPaths.toIndexedSeq: _*)
+      val touchedSet = touched.map(_.bucket).toSet
+      val cur = rawRead(s, touched)
         .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
       val upd = ch.where(col("bucket").isin(touchedSet.toSeq.map(Long.box): _*))
       // keep-latest upsert via FULL outer join: matched keys replace,
@@ -197,15 +365,212 @@ object CowTable {
         .parquet(outRoot)
     }
     // new manifest: rewritten + inserted entries get fresh stats from ONE
-    // scan of the new files; carried entries keep path AND stats verbatim
-    // (an all-carried merge — empty changes — writes no data dir at all)
+    // scan of the new files; carried entries keep path, stats AND dv
+    // reference verbatim (an all-carried merge — empty changes — writes
+    // no data dir at all). merge() is the pre-evolution/stream write path,
+    // so fresh files are schema 1 by contract; evolution commits have
+    // their own helpers.
     val freshRows =
-      if (touched.isEmpty && newBuckets.isEmpty) Seq.empty else statsOf(s, outRoot)
-    val carriedRows = carried.map { r =>
-      (r.getAs[Long]("bucket"), r.getAs[String]("path"), r.getAs[Long]("min_key"),
-        r.getAs[Long]("max_key"), r.getAs[Long]("n_rows"))
+      if (touched.isEmpty && newBuckets.isEmpty) Seq.empty else statsOf(s, outRoot, schemaId = 1)
+    freshRows ++ carried
+  }
+
+  // -------------------------------------- optimistic concurrency (1 JVM)
+
+  /** newest committed version: max N over `manifest_vN` directories (the
+    * staging dirs carry a `.stage` suffix and never match) */
+  def latestVersion(root: String = dir): Int =
+    Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { f =>
+        val m = "^manifest_v(\\d+)$".r.findFirstMatchIn(f.getName)
+        m.map(_.group(1).toInt)
+      }
+      .max
+
+  /** Atomic manifest publication — the CAS: write the rows to a staging
+    * directory, then `rename(2)` it onto `manifest_vN`. The rename is
+    * atomic on a POSIX filesystem and FAILS if the target exists (a
+    * non-empty directory), so exactly one racing writer wins a version;
+    * losers get `false` and their staging dir removed. */
+  private def publishAtomic(s: SparkSession, version: Int, rows: Seq[Entry], root: String, token: String): Boolean = {
+    val staging = new java.io.File(s"${manifestPath(version, root)}.stage_$token")
+    if (staging.exists()) org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    writeManifestTo(s, staging.getAbsolutePath, rows)
+    try {
+      java.nio.file.Files.move(
+        staging.toPath,
+        new java.io.File(manifestPath(version, root)).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE
+      )
+      true
+    } catch {
+      case _: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        false
     }
-    writeManifestRows(s, toVersion, freshRows ++ carriedRows, root)
+  }
+
+  /** Optimistic-concurrency MERGE: compute against a pinned snapshot
+    * (`atVersion`, default the newest), write data under a WRITER-OWNED
+    * directory (`occ_<writerId>_…` — racing writers can never clobber each
+    * other's files), then CAS-publish the manifest. On losing the race:
+    * if the winner's touched buckets are DISJOINT from ours, REBASE — the
+    * new manifest is the winner's entries with our touched/new buckets
+    * overlaid (no data rewrite needed, the files are already on disk) —
+    * and retry at the next version; if they INTERSECT, abort with the
+    * conflicting bucket set (`Left`). Returns `Right(version)` on commit.
+    * The committed chain stays linear by construction: every version is
+    * claimed by exactly one rename, and every commit's parent is the
+    * version immediately below it. */
+  def occCommit(
+      s: SparkSession,
+      root: String,
+      changes: DataFrame,
+      deletes: DataFrame = null,
+      writerId: String = "w0",
+      atVersion: Option[Int] = None,
+      maxRetries: Int = 5
+  ): Either[Set[Long], Int] = {
+    val base = atVersion.getOrElse(latestVersion(root))
+    val baseEntries = entries(s, base, root)
+    val dataRoot = s"$root/occ_${writerId}_b$base"
+    val mine = mergeRows(s, baseEntries, changes, deletes, dataRoot)
+    val baseByBucket = baseEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
+    val mineByBucket = mine.map(e => e.bucket -> (e.path, e.dvPath)).toMap
+    // my footprint: rewritten + new + dropped buckets
+    val myTouched =
+      mine.filter(e => !baseByBucket.get(e.bucket).contains((e.path, e.dvPath))).map(_.bucket).toSet ++
+        (baseByBucket.keySet -- mineByBucket.keySet)
+    var parent = base
+    var parentEntries = baseEntries
+    var rows = mine
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      if (publishAtomic(s, parent + 1, rows, root, writerId)) return Right(parent + 1)
+      // lost the race: someone committed parent+1 (or further) — diff the
+      // winner chain's footprint against ours
+      val cur = latestVersion(root)
+      val curEntries = entries(s, cur, root)
+      val parentByBucket = parentEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
+      val curByBucket = curEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
+      val winnerTouched =
+        curEntries.filter(e => !parentByBucket.get(e.bucket).contains((e.path, e.dvPath))).map(_.bucket).toSet ++
+          (parentByBucket.keySet -- curByBucket.keySet)
+      val conflict = winnerTouched.intersect(myTouched)
+      if (conflict.nonEmpty) return Left(conflict)
+      // disjoint: rebase = winner's view with my footprint overlaid
+      rows = curEntries.filter(e => !myTouched.contains(e.bucket)) ++ mine.filter(e => myTouched.contains(e.bucket))
+      parent = cur
+      parentEntries = curEntries
+      attempt += 1
+    }
+    Left(Set.empty)
+  }
+
+  /** Merge-on-read DELETE: instead of rewriting the touched buckets, write
+    * a deletion-vector sidecar (63-bit packed words over in-bucket key
+    * offsets, the x96 machinery) and publish a manifest whose touched
+    * entries reference it — ZERO data files move, which is the write-
+    * amplification answer for frequent small deletes (GDPR, dedup-driven
+    * removal) against a 100 TB table. The read path anti-masks
+    * ([[applyDv]]); a COW rewrite or [[foldDv]] compaction folds the DV
+    * back into data files. Semantics match a COW delete exactly: keys are
+    * probed against the LIVE (already-masked) rows, re-deletes are no-ops,
+    * new bits OR into any existing DV, and a bucket whose every row is
+    * deleted leaves the manifest. */
+  def morDelete(
+      s: SparkSession,
+      fromVersion: Int,
+      toVersion: Int,
+      deletes: DataFrame,
+      root: String = dir
+  ): Unit = {
+    val man = entries(s, fromVersion, root)
+    val dl = deletes.withColumn("bucket", expr(s"k div ${BucketWidth}L"))
+    val dlBuckets = dl.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val cand = man.filter(e => dlBuckets.contains(e.bucket))
+    val dvDir = s"$root/dv_v$toVersion"
+    // hit keys stay DISTRIBUTED (a delete batch is change-sized but can
+    // still be large); only the touched-bucket LIST comes to the driver
+    val hitsDf = Option(cand)
+      .filter(_.nonEmpty)
+      .map { c =>
+        rawRead(s, c)
+          .join(dl.select("k"), Seq("k"), "left_semi")
+          .select(col("k"), expr(s"k div ${BucketWidth}L").as("bucket"))
+          .localCheckpoint() // two plan refs: bucket list + bit packing
+      }
+    val hitBuckets = hitsDf
+      .map(_.select("bucket").distinct().collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty[Long])
+    if (hitBuckets.nonEmpty) {
+      // new bits ∪ old DV words of the touched buckets, OR-merged per word
+      val newBits = hitsDf.get
+        .select(
+          col("bucket"),
+          expr(s"(k - bucket * ${BucketWidth}L) div 63").as("w"),
+          expr(s"shiftleft(1L, CAST((k - bucket * ${BucketWidth}L) % 63 AS INT))").as("word")
+        )
+      val oldDvd = cand.filter(e => hitBuckets.contains(e.bucket) && e.dvPath.nonEmpty)
+      val oldWords = oldDvd
+        .groupBy(_.dvPath)
+        .toSeq
+        .sortBy(_._1)
+        .map { case (p, grp) =>
+          s.read.parquet(p).where(col("bucket").isin(grp.map(e => Long.box(e.bucket)): _*))
+        }
+      (oldWords :+ newBits)
+        .reduce(_.unionByName(_))
+        .groupBy("bucket", "w")
+        .agg(expr("bit_or(word)").as("word"))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(dvDir)
+      // per-bucket masked-row counts from the merged words — popcount is
+      // exact whether or not old and new deletes overlapped
+      val nDelByBucket = s.read
+        .parquet(dvDir)
+        .groupBy("bucket")
+        .agg(sum(expr("bit_count(word)")).as("nd"))
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("nd"))
+        .toMap
+      val rows = man.flatMap { e =>
+        if (!hitBuckets.contains(e.bucket)) Some(e)
+        else {
+          val nd = nDelByBucket(e.bucket)
+          if (nd >= e.nRows) None // fully-deleted bucket leaves the snapshot
+          else Some(e.copy(dvPath = dvDir, nDel = nd))
+        }
+      }
+      writeManifestRows(s, toVersion, rows, root)
+    } else writeManifestRows(s, toVersion, man, root)
+    versionSchemaId(s, fromVersion, root).foreach(writeVersionMeta(s, root, toVersion, _))
+  }
+
+  /** Compaction for merge-on-read buckets: rewrite exactly the DV-carrying
+    * buckets with their masks applied (live rows only, written under the
+    * original column names — folding is schema-neutral), drop the dv
+    * references, carry everything else by reference. The x78 OPTIMIZE
+    * pattern applied to deletion vectors: read cost and write cost both
+    * track DV'd buckets, never table size. */
+  def foldDv(s: SparkSession, fromVersion: Int, toVersion: Int, root: String = dir): Unit = {
+    val man = entries(s, fromVersion, root)
+    val (dvd, clean) = man.partition(_.dvPath.nonEmpty)
+    if (dvd.nonEmpty) {
+      val sids = dvd.map(_.schemaId).distinct
+      require(sids.size == 1, s"foldDv folds one write-schema at a time, got $sids")
+      rawRead(s, dvd)
+        .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
+        .write
+        .mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(s"$root/v$toVersion")
+      val fresh = statsOf(s, s"$root/v$toVersion", schemaId = sids.head)
+      writeManifestRows(s, toVersion, fresh ++ clean, root)
+    } else writeManifestRows(s, toVersion, man, root)
+    versionSchemaId(s, fromVersion, root).foreach(writeVersionMeta(s, root, toVersion, _))
   }
 
   /** Row-level change-data-capture between two snapshots, reading ONLY
@@ -218,16 +583,19 @@ object CowTable {
     * for "no value" (sentinel keeps the gate free of nullable columns);
     * same-value rewrites are not changes and are excluded. */
   def snapshotDiff(s: SparkSession, fromVersion: Int, toVersion: Int, root: String = dir): DataFrame = {
-    val mOld =
-      manifest(s, fromVersion, root).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
-    val mNew =
-      manifest(s, toVersion, root).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
-    val changedOld = mOld.filter { case (b, p) => mNew.get(b) != Some(p) }.values.toSeq.sorted
-    val changedNew = mNew.filter { case (b, p) => mOld.get(b) != Some(p) }.values.toSeq.sorted
-    def readSide(paths: Seq[String], kc: String, cc: String): DataFrame =
-      if (paths.isEmpty)
+    val eOld = entries(s, fromVersion, root).map(e => e.bucket -> e).toMap
+    val eNew = entries(s, toVersion, root).map(e => e.bucket -> e).toMap
+    // the change unit is (data path, dv path): a rewritten bucket differs
+    // by path, a merge-on-read delete differs by dv reference only — both
+    // sides read DV-MASKED, so MOR deletes diff as D rows exactly like
+    // COW deletes
+    def keyOf(e: Entry) = (e.path, e.dvPath)
+    val changedOld = eOld.collect { case (b, e) if !eNew.get(b).map(keyOf).contains(keyOf(e)) => e }.toSeq
+    val changedNew = eNew.collect { case (b, e) if !eOld.get(b).map(keyOf).contains(keyOf(e)) => e }.toSeq
+    def readSide(es: Seq[Entry], kc: String, cc: String): DataFrame =
+      if (es.isEmpty)
         s.range(0).select(col("id").as(kc), col("id").as(cc))
-      else s.read.parquet(paths: _*).select(col("k").as(kc), col("cents").as(cc))
+      else rawRead(s, es).select(col("k").as(kc), col("cents").as(cc))
     readSide(changedOld, "ko", "co")
       .join(readSide(changedNew, "kn", "cn"), col("ko") === col("kn"), "full")
       .where(col("ko").isNull || col("kn").isNull || col("co") =!= col("cn"))
@@ -268,13 +636,13 @@ object CowTable {
     * root with no bucket dirs at all → empty stats BY LISTING, never by
     * swallowing exceptions — a real read failure must fail the merge, not
     * silently publish a manifest missing every rewritten bucket. */
-  private def statsOf(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] = {
+  def statsOf(s: SparkSession, root: String, schemaId: Int): Seq[Entry] = {
     val children = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     if (!children.exists(f => f.isDirectory && f.getName.startsWith("bucket="))) Seq.empty
-    else statsOfUnsafe(s, root)
+    else statsOfUnsafe(s, root, schemaId)
   }
 
-  private def statsOfUnsafe(s: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] =
+  private def statsOfUnsafe(s: SparkSession, root: String, schemaId: Int): Seq[Entry] =
     s.read
       .option("basePath", root)
       .parquet(root)
@@ -282,17 +650,21 @@ object CowTable {
       .groupBy("bucket")
       .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
       .collect()
-      .map(r => (r.getAs[Long]("bucket"), s"$root/bucket=${r.getAs[Long]("bucket")}",
-        r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n")))
+      .map(r => Entry(r.getAs[Long]("bucket"), s"$root/bucket=${r.getAs[Long]("bucket")}",
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n"), "", 0L, schemaId))
       .toSeq
 
-  private def writeManifestRows(s: SparkSession, version: Int, rows: Seq[(Long, String, Long, Long, Long)], root: String = dir): Unit = {
+  def writeManifestRows(s: SparkSession, version: Int, rows: Seq[Entry], root: String = dir): Unit =
+    writeManifestTo(s, manifestPath(version, root), rows)
+
+  private def writeManifestTo(s: SparkSession, path: String, rows: Seq[Entry]): Unit = {
     import s.implicits._
-    rows.sortBy(_._1)
-      .toDF("bucket", "path", "min_key", "max_key", "n_rows")
+    rows.sortBy(_.bucket)
+      .map(e => (e.bucket, e.path, e.minKey, e.maxKey, e.nRows, e.dvPath, e.nDel, e.schemaId))
+      .toDF("bucket", "path", "min_key", "max_key", "n_rows", "dv_path", "n_del", "schema_id")
       .coalesce(1)
       .write
       .mode("overwrite")
-      .parquet(manifestPath(version, root))
+      .parquet(path)
   }
 }

@@ -40,10 +40,23 @@ object DataSkipping {
   /** Corpus bounds on both cluster dims: (cmin, cmax, dmin, dmax). */
   final case class Bounds(cMin: Long, cMax: Long, dMin: Long, dMax: Long)
 
+  /** capped-dictionary size: a KMV sketch with fewer than [[DictK]]
+    * retained hashes holds EVERY distinct hash of its file — it IS an
+    * exact dictionary, which is what makes equality pruning sound. */
+  val DictK = 64
+
   /** Write `orders` z-ordered into `dir/data` (64 range-partitioned files
-    * on the Morton key) and the per-file min/max manifest into
+    * on the Morton key) and the per-file stats manifest into
     * `dir/manifest`. The stats pass re-reads the written files grouped by
     * `_metadata.file_path` — the same second pass OPTIMIZE ZORDER runs.
+    * Beyond min/max on both dims, each manifest row carries:
+    *   - `n_null_promo`: null count of the sparse `promo` column (non-null
+    *     only in one dy band) → `IS NOT NULL` skips all-null files;
+    *   - `t_lo`/`t_hi` + `tag_sk`: min/max and the KMV sketch (x49's
+    *     aggregate, k = [[DictK]]) of the 8-bit cell id `tag` — globally
+    *     SCATTERED (min/max spans wide) but per-file LOW-NDV under the
+    *     z-order, so the sketch is exact and equality predicates prune
+    *     files min/max cannot.
     * Returns the corpus bounds (computed once — [[gateRect]] derives the
     * query rectangle from them, no second aggregation). */
   def writeLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = {
@@ -53,8 +66,13 @@ object DataSkipping {
     o.withColumn("cx", expr(graft.operators.Sampling.scale16("o_custkey", s"${bounds.cMin}L", s"${bounds.cMax}L")))
       .withColumn("dy", expr(graft.operators.Sampling.scale16("days", s"${bounds.dMin}L", s"${bounds.dMax}L")))
       .withColumn("zkey", expr(graft.operators.Sampling.interleave16("cx", "dy")))
+      // tag = (cx4, dy4) cell id: its VALUES scatter across 0..255 while
+      // each z-range file covers only a few cells; promo = the sparse
+      // column (one dy band non-null) for null-count skipping
+      .withColumn("tag", expr("(cx div 4096) * 16 + (dy div 4096)"))
+      .withColumn("promo", expr("CASE WHEN dy div 4096 = 6 THEN days ELSE CAST(NULL AS BIGINT) END"))
       .repartitionByRange(nFiles, col("zkey"))
-      .select("o_custkey", "days")
+      .select("o_custkey", "days", "tag", "promo")
       .write.mode("overwrite").parquet(s"$dir/data")
     s.read
       .parquet(s"$dir/data")
@@ -64,7 +82,13 @@ object DataSkipping {
         min("o_custkey").as("c_lo"),
         max("o_custkey").as("c_hi"),
         min("days").as("d_lo"),
-        max("days").as("d_hi")
+        max("days").as("d_hi"),
+        min("tag").as("t_lo"),
+        max("tag").as("t_hi"),
+        sum(when(col("promo").isNull, 1L).otherwise(0L)).as("n_null_promo"),
+        graft.functions
+          .KmvSketch(graft.functions.Hashing.md5Window15(col("tag").cast("string")), DictK)
+          .as("tag_sk")
       )
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
@@ -77,7 +101,8 @@ object DataSkipping {
     * read, so the bench measures the READ path, not layout writes).
     * Returns the corpus bounds, parsed from the marker on a hit. */
   def ensureLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = synchronized {
-    val key = Fingerprint.of(s, s"$d/orders.parquet", s"$nFiles")
+    // "stats2" salts for the enriched manifest (null counts + tag KMV)
+    val key = Fingerprint.of(s, s"$d/orders.parquet", s"$nFiles|stats2")
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists()) {
       val parts = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split('|')
@@ -118,6 +143,64 @@ object DataSkipping {
       if (files.isEmpty) s.read.parquet(s"$dir/data").limit(0)
       else s.read.parquet(files: _*)
     base.where(col("o_custkey").between(r.cLo, r.cHi) && col("days").between(r.dLo, r.dHi))
+  }
+
+  /** the md5-window hash [[graft.functions.Hashing.md5Window15]] computes
+    * column-side, replicated driver-side for manifest probes: first 15
+    * hex chars of md5 parsed as a long. */
+  private def md5w15(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(v.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** `IS NOT NULL` skipping: files whose every `promo` row is null can't
+    * contribute — return (survivors, total). Driver-side manifest probe,
+    * the [[selectFiles]] planning shape. */
+  def selectFilesNotNull(s: SparkSession, dir: String): (Seq[String], Int) = {
+    val mf = s.read.parquet(s"$dir/manifest").select("file", "n_rows", "n_null_promo").collect()
+    (mf.collect { case m if m.getLong(2) < m.getLong(1) => m.getString(0) }.toSeq, mf.length)
+  }
+
+  /** Equality pruning on the scattered `tag` column, both ways at once:
+    * (rangeHit, dictHit, total) where rangeHit uses min/max alone and
+    * dictHit additionally requires the file's KMV dictionary to contain
+    * hash(v) — sound because a sketch retaining < [[DictK]] hashes is the
+    * file's EXACT distinct-hash set; a full sketch (possibly lossy) keeps
+    * the file. dictHit ⊆ rangeHit by construction; ScaleDisciplineSpec
+    * asserts the strict win on low-ndv file sets. */
+  def selectFilesEq(s: SparkSession, dir: String, v: Long): (Seq[String], Seq[String], Int) = {
+    val mf = s.read
+      .parquet(s"$dir/manifest")
+      .select("file", "t_lo", "t_hi", "tag_sk")
+      .collect()
+    val h = md5w15(v.toString)
+    val range = mf.collect { case m if m.getLong(1) <= v && v <= m.getLong(2) => m.getString(0) }
+    val dict = mf.collect {
+      case m if m.getLong(1) <= v && v <= m.getLong(2) && {
+            val sk = m.getSeq[Long](3)
+            sk.length >= DictK || sk.contains(h)
+          } =>
+        m.getString(0)
+    }
+    (range.toSeq, dict.toSeq, mf.length)
+  }
+
+  /** Dictionary-pruned equality scan with the residual applied row-level. */
+  def prunedScanEq(s: SparkSession, dir: String, v: Long): DataFrame = {
+    val (_, files, _) = selectFilesEq(s, dir, v)
+    val base =
+      if (files.isEmpty) s.read.parquet(s"$dir/data").limit(0)
+      else s.read.parquet(files: _*)
+    base.where(col("tag") === v)
+  }
+
+  /** Null-count-pruned `promo IS NOT NULL` scan. */
+  def prunedScanNotNull(s: SparkSession, dir: String): DataFrame = {
+    val (files, _) = selectFilesNotNull(s, dir)
+    val base =
+      if (files.isEmpty) s.read.parquet(s"$dir/data").limit(0)
+      else s.read.parquet(files: _*)
+    base.where(col("promo").isNotNull)
   }
 
   /** The x73 gate rectangle: the second eighth-cell of each dim, derived

@@ -15,11 +15,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * it never parses a byte of PNG, so a hash match proves signature →
   * chunk walk → inflate → unfilter → resample end-to-end.
   *
-  * Scope: bit depth 8, color type 2 (RGB), non-interlaced — the dominant
-  * lossless-web shape. Anything else (palette, alpha, 16-bit, Adam7)
-  * returns None: quarantine, never a thrown task. All offsets are
-  * bounds-checked against the payload (untrusted executor-side bytes —
-  * the same discipline as [[ImageMeta]]/[[BmpPixels]]).
+  * Scope: bit depth 8, non-interlaced, color types 2 (RGB), 3 (PLTE
+  * indexed — the dominant icon/small-image web shape) and 6 (RGBA,
+  * composited over white with an integer-exact formula the x100 oracle
+  * mirrors). Grayscale, 16-bit, Adam7 and tRNS transparency return None:
+  * quarantine, never a thrown task (tRNS quarantines deliberately — the
+  * alternative is silently decoding transparent palettes as opaque). All
+  * offsets are bounds-checked against the payload (untrusted
+  * executor-side bytes — the same discipline as
+  * [[ImageMeta]]/[[BmpPixels]]).
   *
   * Conformance is pinned two independent ways (PngPixelsSpec): the JDK's
   * own ImageIO PNG reader decodes [[synthesize]]'s output to the same
@@ -41,12 +45,19 @@ object PngPixels {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Decode an 8-bit truecolor non-interlaced PNG; None for anything else
-    * (including any CRC mismatch — corrupt payloads quarantine cleanly). */
+  /** Decode an 8-bit non-interlaced PNG of color type 2 (RGB), 3 (PLTE
+    * indexed) or 6 (RGBA, composited over white with the integer-exact
+    * `c' = (a·c + (255−a)·255) div 255` — mirrored in the x100 oracle);
+    * None for anything else (including any CRC mismatch — corrupt
+    * payloads quarantine cleanly). A tRNS chunk (palette/keyed
+    * transparency) is OUT of the supported surface and quarantines rather
+    * than silently decoding opaque. */
   def decode(b: Array[Byte]): Option[BmpPixels.Image] = {
     if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
     var o = 8
     var w = 0; var h = 0
+    var colorType = -1; var bpp = 0
+    var pal: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new CRC32
@@ -65,16 +76,28 @@ object PngPixels {
           if (n != 13 || seenIhdr) return None
           seenIhdr = true
           val wL = u32be(b, o + 8); val hL = u32be(b, o + 12)
-          val bitDepth = b(o + 16) & 0xff; val colorType = b(o + 17) & 0xff
+          val bitDepth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
           val compression = b(o + 18) & 0xff; val filterMethod = b(o + 19) & 0xff
           val interlace = b(o + 20) & 0xff
-          if (bitDepth != 8 || colorType != 2 || compression != 0 || filterMethod != 0 || interlace != 0)
+          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0)
             return None
+          bpp = colorType match {
+            case 2 => 3
+            case 3 => 1
+            case 6 => 4
+            case _ => return None // gray(4) / gray+alpha(0) stay out of scope
+          }
           // cap total raw size so a crafted header can't allocate unboundedly:
-          // h * (1 + 3w) must fit an Int (also rejects w/h = 0 or > 2^24)
-          if (wL <= 0 || hL <= 0 || wL > (1 << 24) || hL > (1 << 24) || hL * (1 + 3 * wL) > Int.MaxValue)
+          // h * (1 + bpp·w) must fit an Int (also rejects w/h = 0 or > 2^24)
+          if (wL <= 0 || hL <= 0 || wL > (1 << 24) || hL > (1 << 24) || hL * (1 + bpp * wL) > Int.MaxValue)
             return None
           w = wL.toInt; h = hL.toInt
+        case "PLTE" =>
+          // before IDAT, 1..256 rgb triples; a second PLTE is a lie
+          if (!seenIhdr || pal != null || idat.size() > 0) return None
+          if (n % 3 != 0 || n == 0 || n > 768) return None
+          pal = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + n)
+        case "tRNS" => return None // transparency beyond RGBA: unsupported, quarantine
         case "IDAT" => if (!seenIhdr) return None else idat.write(b, o + 8, n)
         case "IEND" => seenIend = true
         case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable by design
@@ -82,7 +105,8 @@ object PngPixels {
       o += 12 + n
     }
     if (!seenIhdr) return None
-    val stride = 3 * w
+    if (colorType == 3 && pal == null) return None // indexed without a palette
+    val stride = bpp * w
     val rawLen = h * (1 + stride)
     val raw = new Array[Byte](rawLen)
     val inf = new Inflater()
@@ -113,9 +137,9 @@ object PngPixels {
       var x = 0
       while (x < stride) {
         val filt = raw(rowIn + x) & 0xff
-        val a = if (x >= 3) px(rowOut + x - 3) & 0xff else 0
+        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
         val up = if (y > 0) px(rowOut - stride + x) & 0xff else 0
-        val c = if (x >= 3 && y > 0) px(rowOut - stride + x - 3) & 0xff else 0
+        val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0
         val recon = f match {
           case 0 => filt
           case 1 => filt + a
@@ -128,10 +152,30 @@ object PngPixels {
       }
       y += 1
     }
-    Some(BmpPixels.Image(w, h, (x, y0) => {
-      val p = y0 * stride + x * 3
-      ((px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff))
-    }))
+    colorType match {
+      case 2 =>
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val p = y0 * stride + x * 3
+          ((px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff))
+        }))
+      case 3 =>
+        // eager index validation: an index past the palette is a
+        // structural lie, caught here rather than at (lazy) access time
+        val nPal = pal.length / 3
+        var i = 0
+        while (i < px.length) { if ((px(i) & 0xff) >= nPal) return None; i += 1 }
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val j = (px(y0 * stride + x) & 0xff) * 3
+          ((pal(j) & 0xff, pal(j + 1) & 0xff, pal(j + 2) & 0xff))
+        }))
+      case _ => // 6: RGBA over white, integer floor composite
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val p = y0 * stride + x * 4
+          val a = px(p + 3) & 0xff
+          def over(c: Int) = (a * c + (255 - a) * 255) / 255
+          ((over(px(p) & 0xff), over(px(p + 1) & 0xff), over(px(p + 2) & 0xff)))
+        }))
+    }
   }
 
   private def be32(v: Long): Array[Byte] =
@@ -155,22 +199,62 @@ object PngPixels {
       h: Int,
       rgbAt: (Int, Int) => (Int, Int, Int),
       filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 3, colorType = 2, plte = None, filterAt,
+      (x, y, cur) => { val (r, g, b) = rgbAt(x, y); cur(x * 3) = r; cur(x * 3 + 1) = g; cur(x * 3 + 2) = b })
+
+  /** Spec-valid 8-bit PLTE-indexed PNG (color type 3): `pal` is 1..256
+    * rgb triples, pixel (x, y) carries index `idxAt(x, y)`. */
+  def synthesizePalette(
+      w: Int,
+      h: Int,
+      pal: Seq[(Int, Int, Int)],
+      idxAt: (Int, Int) => Int,
+      filterAt: Int => Int = _ % 5
   ): Array[Byte] = {
-    val stride = 3 * w
+    require(pal.nonEmpty && pal.size <= 256)
+    val plte = pal.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    assemble(w, h, bpp = 1, colorType = 3, plte = Some(plte), filterAt,
+      (x, y, cur) => cur(x) = idxAt(x, y))
+  }
+
+  /** Spec-valid 8-bit RGBA PNG (color type 6). */
+  def synthesizeRgba(
+      w: Int,
+      h: Int,
+      rgbaAt: (Int, Int) => (Int, Int, Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 4, colorType = 6, plte = None, filterAt,
+      (x, y, cur) => {
+        val (r, g, b, a) = rgbaAt(x, y)
+        cur(x * 4) = r; cur(x * 4 + 1) = g; cur(x * 4 + 2) = b; cur(x * 4 + 3) = a
+      })
+
+  /** the shared forward path: fill → filter (the transform [[decode]]
+    * inverts) → deflate → chunk assembly; byte-identical to the original
+    * truecolor writer for color type 2. */
+  private def assemble(
+      w: Int,
+      h: Int,
+      bpp: Int,
+      colorType: Int,
+      plte: Option[Array[Byte]],
+      filterAt: Int => Int,
+      fill: (Int, Int, Array[Int]) => Unit
+  ): Array[Byte] = {
+    val stride = bpp * w
     val raw = new Array[Byte](h * (1 + stride))
     val cur = new Array[Int](stride)
     val prev = new Array[Int](stride)
     for (y <- 0 until h) {
-      for (x <- 0 until w) {
-        val (r, g, b) = rgbAt(x, y)
-        cur(x * 3) = r; cur(x * 3 + 1) = g; cur(x * 3 + 2) = b
-      }
+      for (x <- 0 until w) fill(x, y, cur)
       val f = filterAt(y) % 5
       raw(y * (1 + stride)) = f.toByte
       for (x <- 0 until stride) {
-        val a = if (x >= 3) cur(x - 3) else 0
+        val a = if (x >= bpp) cur(x - bpp) else 0
         val up = if (y > 0) prev(x) else 0
-        val c = if (x >= 3 && y > 0) prev(x - 3) else 0
+        val c = if (x >= bpp && y > 0) prev(x - bpp) else 0
         val out = f match {
           case 0 => cur(x)
           case 1 => cur(x) - a
@@ -189,9 +273,11 @@ object PngPixels {
     while (!def_.finished()) outBytes.write(buf, 0, def_.deflate(buf))
     def_.end()
     val compressed = outBytes.toByteArray
-    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, 2, 0, 0, 0)
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
     val idats = compressed.grouped(800).map(g => chunk("IDAT", g)).reduce(_ ++ _)
-    Signature ++ chunk("IHDR", ihdr) ++ idats ++ chunk("IEND", Array.empty[Byte])
+    Signature ++ chunk("IHDR", ihdr) ++
+      plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
+      idats ++ chunk("IEND", Array.empty[Byte])
   }
 }
 
@@ -229,6 +315,61 @@ object PngFixture {
         .coalesce(1).write.mode("overwrite").parquet(payloadPath)
       r.map { case (id, _, w, h) => (id, w, h) }
         .toDF("img_id", "width", "height")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
+/** Fixture for the x100 gate: 200 PNGs CYCLING the supported color types —
+  * id % 3 = 0 → PLTE indexed (variable palette size 16..256), 1 → RGBA
+  * (alpha load-bearing through the white-composite formula), 2 → plain
+  * truecolor. Palette entries, indices, channels and alpha all follow
+  * closed-form formulas of (img_id, x, y), so the oracle recomputes every
+  * composited pixel without parsing a byte — the x70 pattern extended
+  * across the color-type surface. x70's own fixture stays untouched (the
+  * x91 dispatch oracle depends on it byte-for-byte). */
+object PngExtFixture {
+  val dir = "/root/repo/spark-warehouse/graft_png_ext"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def nPal(id: Long): Int = 16 + ((id * 13) % 241).toInt // 16..256
+  def palAt(id: Long)(j: Int): (Int, Int, Int) = (
+    ((id * 11 + j * 3) % 256).toInt,
+    ((id * 7 + j * 5) % 256).toInt,
+    ((id * 13 + j * 11) % 256).toInt
+  )
+  def idxAt(id: Long)(x: Int, y: Int): Int = ((id * 5 + x * 7 + y * 3) % nPal(id)).toInt
+  def rgbaAt(id: Long)(x: Int, y: Int): (Int, Int, Int, Int) = (
+    ((id * 5 + x * 7 + y * 3) % 256).toInt,
+    ((id * 9 + x * 2 + y * 5) % 256).toInt,
+    ((id * 3 + x * 4 + y * 7) % 256).toInt,
+    ((id * 7 + x * 3 + y * 11) % 256).toInt
+  )
+
+  def rows: Seq[(Long, Array[Byte], Int, Int, Int)] = (0 until 200).map { i =>
+    val id = i.toLong
+    val w = 5 + (i * 7) % 40
+    val h = 4 + (i * 11) % 32
+    val ctype = Seq(3, 6, 2)(i % 3)
+    val p = ctype match {
+      case 3 => PngPixels.synthesizePalette(w, h, (0 until nPal(id)).map(palAt(id)), idxAt(id), y => (y + i) % 5)
+      case 6 => PngPixels.synthesizeRgba(w, h, rgbaAt(id), y => (y + i) % 5)
+      case _ => PngPixels.synthesize(w, h, PngFixture.rgbAt(id), y => (y + i) % 5)
+    }
+    (id, p, w, h, ctype)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _, _) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h, ct) => (id, w, h, ct) }
+        .toDF("img_id", "width", "height", "ctype")
         .coalesce(1).write.mode("overwrite").parquet(twinPath)
     }
   }

@@ -71,11 +71,6 @@ object CowStream {
   def init(s: org.apache.spark.sql.SparkSession, root: String): Unit = {
     import s.implicits._
     new java.io.File(root).mkdirs()
-    Seq.empty[(Long, String, Long, Long, Long)]
-      .toDF("bucket", "path", "min_key", "max_key", "n_rows")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$root/manifest_v0")
+    CowTable.writeManifestRows(s, 0, Seq.empty, root)
   }
 }

@@ -58,6 +58,36 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     assert(graft.sources.DataSkipping.prunedScan(spark, dir, nowhere).count() === 0L)
   }
 
+  test("manifest stat enrichment: KMV dictionary beats min/max on equality; null counts skip IS NOT NULL") {
+    val dir = TestSpark.tempDir() + "/zorder"
+    graft.sources.DataSkipping.ensureLayout(spark, sf, dir)
+    val full = graft.sources.DataSkipping
+    // equality probes across scattered tag values: the dictionary must
+    // never lose a row (soundness) and must open strictly fewer files
+    // than min/max for at least one probe (the low-ndv win — tag values
+    // scatter globally, so [t_lo, t_hi] spans cells the file never holds)
+    val data = spark.read.parquet(s"$dir/data")
+    val present = data.groupBy("tag").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var strictWins = 0
+    for (v <- present.keySet.toSeq.sorted.filter(_ % 3 == 0).take(8)) {
+      val (range, dict, total) = full.selectFilesEq(spark, dir, v)
+      assert(dict.toSet.subsetOf(range.toSet))
+      assert(range.size <= total)
+      if (dict.size < range.size) strictWins += 1
+      assert(full.prunedScanEq(spark, dir, v).count() === present(v), s"tag=$v")
+    }
+    assert(strictWins >= 1, "dictionary pruning never beat the min/max range bound")
+    // a value in range gaps (absent cell inside [t_lo, t_hi] somewhere):
+    // absent values still return zero rows through the pruned scan
+    val absent = (0L until 256L).find(v => !present.contains(v))
+    for (v <- absent) assert(full.prunedScanEq(spark, dir, v).count() === 0L)
+    // IS NOT NULL: all-null files (outside the promo dy band) skip; the
+    // pruned scan reproduces the full filter exactly
+    val (nn, total) = full.selectFilesNotNull(spark, dir)
+    assert(nn.nonEmpty && nn.size < total, s"${nn.size} of $total files — null-count skipping not selective")
+    assert(full.prunedScanNotNull(spark, dir).count() === data.where(col("promo").isNotNull).count())
+  }
+
   test("q41 lateral top-k decorrelates into a partial window group limit") {
     val plan = SparkEntry.queries("q41_lateral_topk")(spark, sf).queryExecution.executedPlan.toString
     // the correlated ORDER BY/LIMIT must become a per-key group limit with a

@@ -175,6 +175,17 @@ class CowTableSpec extends AnyFunSuite {
       CowTable.merge(spark, 3, 97, noChanges, deletes = Seq(20000000L, 20000001L).toDF("k"))
       val v97 = CowTable.manifest(spark, 97).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
       assert(v97 === v3man)
+      // absent KEY in a PRESENT bucket: the key probe must carry the
+      // bucket untouched (advice-found: bucket presence alone used to
+      // force a byte-identical rewrite under a fresh manifest path)
+      val v3keys = CowTable.read(spark, 3).select("k").collect().map(_.getLong(0)).toSet
+      val (pb, pbKeys) = v3keys.groupBy(_ / CowTable.BucketWidth).find(_._2.size < CowTable.BucketWidth).get
+      val absentKey = (pb * CowTable.BucketWidth until (pb + 1) * CowTable.BucketWidth)
+        .find(k => !pbKeys.contains(k))
+        .get
+      CowTable.merge(spark, 3, 95, noChanges, deletes = Seq(absentKey).toDF("k"))
+      val v95 = CowTable.manifest(spark, 95).collect().map(r => r.getAs[Long]("bucket") -> r.getAs[String]("path")).toMap
+      assert(v95 === v3man)
       // delete-wins in a NEW bucket too (review-found): a key inserted and
       // deleted in the same merge must not survive just because its bucket
       // had no prior file — and a surviving sibling insert still lands
@@ -187,7 +198,7 @@ class CowTableSpec extends AnyFunSuite {
       assert(!v96.contains(30000000L))
       assert(v96(30000001L) === 6L)
     } finally {
-      for (n <- Seq("v98", "manifest_v98", "v97", "manifest_v97", "v96", "manifest_v96")) {
+      for (n <- Seq("v98", "manifest_v98", "v97", "manifest_v97", "v96", "manifest_v96", "v95", "manifest_v95")) {
         val f = new java.io.File(s"${CowTable.dir}/$n")
         if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
       }

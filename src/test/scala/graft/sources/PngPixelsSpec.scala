@@ -89,6 +89,82 @@ class PngPixelsSpec extends AnyFunSuite {
     assert(PngPixels.decode(crafted) === None)
   }
 
+  test("palette: synthesize → decode round-trips the PLTE lookup; ImageIO agrees") {
+    val pal = (0 until 19).map(j => ((j * 13) % 256, (j * 7 + 5) % 256, (j * 3 + 11) % 256))
+    val idx = (x: Int, y: Int) => (x * 5 + y * 3) % pal.size
+    for (f <- 0 to 4) {
+      val bytes = PngPixels.synthesizePalette(9, 7, pal, idx, _ => f)
+      val img = PngPixels.decode(bytes).get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (x <- 0 until 9; y <- 0 until 7) {
+        assert(img.rgb(x, y) === pal(idx(x, y)), s"palette ($x,$y) filter $f")
+        val argb = ref.getRGB(x, y)
+        assert(img.rgb(x, y) === (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)), s"ImageIO ($x,$y)")
+      }
+    }
+  }
+
+  test("RGBA: white-composite matches ImageIO's alpha channel composited the same way") {
+    val rgba = (x: Int, y: Int) => ((x * 31 + y) % 256, (y * 17 + x) % 256, (x * 3 + y * 5) % 256, (x * 23 + y * 9) % 256)
+    val bytes = PngPixels.synthesizeRgba(11, 8, rgba)
+    val img = PngPixels.decode(bytes).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def over(a: Int, c: Int) = (a * c + (255 - a) * 255) / 255
+    for (x <- 0 until 11; y <- 0 until 8) {
+      val (r, g, b, a) = rgba(x, y)
+      assert(img.rgb(x, y) === ((over(a, r), over(a, g), over(a, b))), s"composite ($x,$y)")
+      // ImageIO keeps the channels; composite ITS values identically
+      val argb = ref.getRGB(x, y)
+      val (ia, ir, ig, ib) = ((argb >>> 24) & 0xff, (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      assert((ia, ir, ig, ib) === ((a, r, g, b)), s"ImageIO channels ($x,$y)")
+    }
+  }
+
+  test("palette/alpha structural lies quarantine: bad index, missing PLTE, tRNS") {
+    val pal = (0 until 8).map(j => (j, j, j))
+    val ok = PngPixels.synthesizePalette(6, 5, pal, (x, y) => (x + y) % pal.size)
+    assert(PngPixels.decode(ok).isDefined)
+    // index 200 with an 8-entry palette: the writer encodes it happily,
+    // the decoder must reject it eagerly
+    assert(PngPixels.decode(PngPixels.synthesizePalette(6, 5, pal, (_, _) => 200)) === None)
+    // strip the PLTE chunk (it sits right after IHDR: 8 sig + 25 ihdr,
+    // PLTE total = 12 + 24 bytes): indexed without a palette is a lie
+    val noPlte = ok.take(8 + 25) ++ ok.drop(8 + 25 + 12 + pal.size * 3)
+    assert(PngPixels.decode(noPlte) === None)
+    // a tRNS chunk (palette transparency) is out of scope and must
+    // quarantine rather than decode opaque
+    def chunk(typ: String, data: Array[Byte]) = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      Array(((data.length >> 24) & 0xff).toByte, ((data.length >> 16) & 0xff).toByte,
+        ((data.length >> 8) & 0xff).toByte, (data.length & 0xff).toByte) ++ t ++ data ++
+        Array(((crc.getValue >> 24) & 0xff).toByte, ((crc.getValue >> 16) & 0xff).toByte,
+          ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte)
+    }
+    val insertAt = 8 + 25 + 12 + pal.size * 3 // right after PLTE
+    val withTrns = ok.take(insertAt) ++ chunk("tRNS", Array[Byte](0x7f)) ++ ok.drop(insertAt)
+    assert(PngPixels.decode(withTrns) === None)
+  }
+
+  test("x100 fixture: every color type decodes to its composed formula") {
+    for ((id, bytes, w, h, ctype) <- PngExtFixture.rows.take(30)) {
+      val img = PngPixels.decode(bytes).get
+      assert(img.width === w && img.height === h)
+      def over(a: Int, c: Int) = (a * c + (255 - a) * 255) / 255
+      for (x <- Seq(0, w / 2, w - 1); y <- Seq(0, h / 2, h - 1)) {
+        val expected = ctype match {
+          case 3 => PngExtFixture.palAt(id)(PngExtFixture.idxAt(id)(x, y))
+          case 6 =>
+            val (r, g, b, a) = PngExtFixture.rgbaAt(id)(x, y)
+            (over(a, r), over(a, g), over(a, b))
+          case _ => PngFixture.rgbAt(id)(x, y)
+        }
+        assert(img.rgb(x, y) === expected, s"img $id ctype $ctype ($x,$y)")
+      }
+    }
+  }
+
   test("gate fixture: decoded checksum and aHash equal the first-principles formula") {
     for ((id, bytes, w, h) <- PngFixture.rows.take(25)) {
       val img = PngPixels.decode(bytes).get
