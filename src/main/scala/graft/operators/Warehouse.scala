@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Warehouse temporal modeling (round 4): the dimension-maintenance shapes a
   * reference user runs downstream of ingestion.
@@ -323,10 +323,110 @@ object Warehouse {
         )
         .join(sid, Seq("bucket"))
         .orderBy("bucket")
+    }),
+
+    // Bloom-filter semi-join reduction — the shuffle-volume lever for
+    // selective fact⋈dim joins at 100 TB: the dim's key set is folded into
+    // a 1024-bit Bloom filter (17 packed 63-bit words, x96's word
+    // discipline; k=3 md5 double-hashed probes, deterministic in both
+    // engines), broadcast as ONE array row, and the fact side drops
+    // non-members inside whole-stage codegen BEFORE anything shuffles —
+    // the pattern behind Spark's runtime row-level filtering, built
+    // explicitly so the gate can verify it. No false negatives by
+    // construction (the joined aggregate hash-matches the plain join); the
+    // measured candidate/false-positive counts ride as columns, so the
+    // filter being wired wrong (or the fp rate exploding) flips the gate,
+    // not just a perf graph. Scale shape: build = dim-sized agg into 17
+    // words; probe = per-row pure arithmetic, zero fact shuffle until the
+    // surviving ~4% aggregates.
+    "x103_bloom_join" -> ((s, d) => {
+      val MBits = 1024
+      val dim = graft.Graft
+        .table(s, d, "supplier")
+        .where(col("s_nationkey") === 3)
+        .select("s_suppkey", "s_name")
+      def h(tag: String, key: Column): Column =
+        graft.functions.Hashing.md5Window15(concat(lit(tag), key.cast("string")))
+      val words = dim
+        .select(h("bf1:", col("s_suppkey")).as("h1"), h("bf2:", col("s_suppkey")).as("h2"))
+        .select(explode(sequence(lit(0), lit(2))).as("i"), col("h1"), col("h2"))
+        .select(expr(s"(h1 + i * h2) % $MBits").as("pos"))
+        .groupBy(expr("pos div 63").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))").as("bits"))
+      val dense = s
+        .range(0, (MBits + 62) / 63)
+        .toDF("word")
+        .join(words, Seq("word"), "left")
+        .na.fill(0L, Seq("bits"))
+        .agg(transform(array_sort(collect_list(struct(col("word"), col("bits")))), x => x.getField("bits"))
+          .as("warr"))
+      val fact = graft.Graft
+        .table(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+        .withColumn("h1", h("bf1:", col("l_suppkey")))
+        .withColumn("h2", h("bf2:", col("l_suppkey")))
+        .crossJoin(broadcast(dense))
+      def hit(i: Int): Column = expr(
+        s"(shiftright(element_at(warr, CAST(((h1 + $i * h2) % $MBits) div 63 AS INT) + 1), " +
+          s"CAST(((h1 + $i * h2) % $MBits) % 63 AS INT)) & 1) = 1"
+      )
+      val cand = fact.where(hit(0) && hit(1) && hit(2)).localCheckpoint() // feeds stats + join
+      val joined = cand
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .localCheckpoint() // feeds the true-match count + the grouped result
+      val stats = cand
+        .agg(count(lit(1)).as("n_bloom_pass"))
+        .crossJoin(joined.agg(count(lit(1)).as("n_true")))
+        .select(col("n_bloom_pass"), (col("n_bloom_pass") - col("n_true")).as("n_false_pos"))
+      joined
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").cast("long").as("sum_qty"))
+        .crossJoin(broadcast(stats))
+        .orderBy("s_name")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // x103: full replay — the same md5 double-hashed 1024-bit Bloom is
+    // built in SQL, the fact side is filtered through it, and the final
+    // aggregate equals the plain join's (no false negatives); the
+    // candidate/fp counts pin the filter's exact behavior.
+    "x103_bloom_join" ->
+      """WITH dim AS (
+        |  SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey = 3),
+        |dh AS (
+        |  SELECT ('0x' || substr(md5('bf1:' || s_suppkey::VARCHAR), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5('bf2:' || s_suppkey::VARCHAR), 1, 15))::BIGINT AS h2
+        |  FROM dim),
+        |wb AS (
+        |  SELECT pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        |  FROM (SELECT (h1 + i * h2) % 1024 AS pos FROM dh, unnest([0, 1, 2]) t(i))
+        |  GROUP BY 1),
+        |warr AS (
+        |  SELECT list(coalesce(bits, 0) ORDER BY word) AS wa FROM (
+        |    SELECT g.word, wb.bits FROM generate_series(0, 16) g(word)
+        |    LEFT JOIN wb ON g.word = wb.word)),
+        |f AS (
+        |  SELECT l_suppkey, l_quantity,
+        |    ('0x' || substr(md5('bf1:' || l_suppkey::VARCHAR), 1, 15))::BIGINT AS h1,
+        |    ('0x' || substr(md5('bf2:' || l_suppkey::VARCHAR), 1, 15))::BIGINT AS h2
+        |  FROM lineitem),
+        |cand AS (
+        |  SELECT l_suppkey, l_quantity FROM f, warr
+        |  WHERE ((wa[CAST(((h1 + 0 * h2) % 1024) // 63 AS INT) + 1]
+        |          >> CAST(((h1 + 0 * h2) % 1024) % 63 AS INT)) & 1) = 1
+        |    AND ((wa[CAST(((h1 + 1 * h2) % 1024) // 63 AS INT) + 1]
+        |          >> CAST(((h1 + 1 * h2) % 1024) % 63 AS INT)) & 1) = 1
+        |    AND ((wa[CAST(((h1 + 2 * h2) % 1024) // 63 AS INT) + 1]
+        |          >> CAST(((h1 + 2 * h2) % 1024) % 63 AS INT)) & 1) = 1),
+        |j AS (
+        |  SELECT s_name, l_quantity FROM cand JOIN dim ON l_suppkey = s_suppkey),
+        |st AS (
+        |  SELECT (SELECT count(*) FROM cand) AS n_bloom_pass,
+        |         (SELECT count(*) FROM cand) - (SELECT count(*) FROM j) AS n_false_pos)
+        |SELECT s_name, count(*) AS n_items, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass, CAST(n_false_pos AS BIGINT) AS n_false_pos
+        |FROM j, st GROUP BY s_name, n_bloom_pass, n_false_pos ORDER BY s_name""".stripMargin,
     // merged content from first principles: base cents + the update bump
     // on the filtered keys, union the insert formula rows; provenance =
     // 2 exactly for buckets containing an update key or insert key
