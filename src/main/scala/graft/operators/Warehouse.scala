@@ -383,6 +383,46 @@ object Warehouse {
         .agg(count(lit(1)).as("n_items"), sum("l_quantity").cast("long").as("sum_qty"))
         .crossJoin(broadcast(stats))
         .orderBy("s_name")
+    }),
+
+    // Zero-copy CLONE — the Delta/Iceberg shallow-clone shape over the COW
+    // format: the clone commit writes ONLY a manifest referencing the
+    // source snapshot's files by path (plus rows-sized schema metadata),
+    // then a divergence MERGE rewrites just its touched buckets under the
+    // clone root while untouched source files stay shared by reference.
+    // The gate reads the diverged clone, pins per-bucket content AND
+    // storage provenance (own_file = the manifest path lives under the
+    // clone root ⇔ the bucket was touched by the clone delta — a
+    // spurious rewrite or a missed share flips the flag), and re-reads
+    // the SOURCE snapshot in the same query to prove divergence didn't
+    // leak back. At 100 TB a clone is a metadata-speed commit regardless
+    // of table size; CowCloneSpec asserts zero data files written by the
+    // clone step itself.
+    "x104_zero_copy_clone" -> ((s, d) => {
+      graft.sources.CowTable.ensureClone(s, d)
+      import s.implicits._
+      val ct = graft.sources.CowTable
+      val w = ct.BucketWidth
+      val ownDf = ct
+        .entries(s, 2, ct.cloneDir)
+        .map(e => (e.bucket, e.path.startsWith(ct.cloneDir)))
+        .toDF("bucket", "own_file")
+      val per = ct
+        .read(s, 2, ct.cloneDir)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_total"))
+        .join(broadcast(ownDf), Seq("bucket"))
+      val src = ct
+        .read(s, 2)
+        .agg(count(lit(1)).as("src_rows"), sum("cents").as("src_cents"))
+      val stats = ownDf
+        .agg(
+          sum(when(!col("own_file"), 1L).otherwise(0L)).as("n_shared_files"),
+          sum(when(col("own_file"), 1L).otherwise(0L)).as("n_own_files")
+        )
+        .crossJoin(src)
+      per.crossJoin(broadcast(stats)).orderBy("bucket")
     })
   )
 
@@ -427,6 +467,47 @@ object Warehouse {
         |SELECT s_name, count(*) AS n_items, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass, CAST(n_false_pos AS BIGINT) AS n_false_pos
         |FROM j, st GROUP BY s_name, n_bloom_pass, n_false_pos ORDER BY s_name""".stripMargin,
+    // x104: clone v2 content from first principles (source v2 formulas +
+    // the clone delta), own/shared provenance from the touched-bucket
+    // rule, and the source v2 totals re-derived — all closed-form over
+    // `orders`, the x81/x83 oracle discipline.
+    "x104_zero_copy_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |src2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |cl2 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 113 = 0 AND bucket % 11 = 4 THEN 70000 + k % 1000 ELSE cents END AS cents
+        |  FROM src2
+        |  UNION ALL
+        |  SELECT 20000000 + i, (20000000 + i) // 1024, 200000 + i * 11
+        |  FROM (SELECT unnest(range(20)) AS i)),
+        |own AS (
+        |  SELECT DISTINCT bucket FROM base WHERE k % 113 = 0 AND bucket % 11 = 4
+        |  UNION SELECT DISTINCT (20000000 + i) // 1024 FROM (SELECT unnest(range(20)) AS i)),
+        |per AS (
+        |  SELECT c.bucket, count(*) AS n_rows, CAST(sum(c.cents) AS BIGINT) AS cents_total,
+        |    (o.bucket IS NOT NULL) AS own_file
+        |  FROM cl2 c LEFT JOIN own o ON c.bucket = o.bucket
+        |  GROUP BY c.bucket, o.bucket),
+        |st AS (
+        |  SELECT (SELECT count(*) FROM per WHERE NOT own_file) AS n_shared_files,
+        |    (SELECT count(*) FROM per WHERE own_file) AS n_own_files,
+        |    (SELECT count(*) FROM src2) AS src_rows,
+        |    (SELECT CAST(sum(cents) AS BIGINT) FROM src2) AS src_cents)
+        |SELECT bucket, n_rows, cents_total, own_file,
+        |  CAST(n_shared_files AS BIGINT) AS n_shared_files,
+        |  CAST(n_own_files AS BIGINT) AS n_own_files,
+        |  CAST(src_rows AS BIGINT) AS src_rows, src_cents
+        |FROM per, st ORDER BY bucket""".stripMargin,
     // merged content from first principles: base cents + the update bump
     // on the filtered keys, union the insert formula rows; provenance =
     // 2 exactly for buckets containing an update key or insert key

@@ -255,6 +255,63 @@ object CowTable {
     java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
   }
 
+  // ------------------------------------------------ zero-copy CLONE (x104)
+
+  /** Zero-copy CLONE: a new table root whose v1 manifest references the
+    * source snapshot's data files (and DV sidecars) BY PATH — the
+    * Delta/Iceberg shallow-clone shape. No data moves: the clone commit is
+    * a manifest write plus (when present) a copy of the rows-sized schema
+    * registry and current-schema pin. Subsequent merges on the clone write
+    * THEIR files under the clone root and keep carrying untouched source
+    * files by reference, so the two tables diverge independently while
+    * sharing unchanged storage; a clone-side vacuum only ever lists the
+    * clone root, so shared source files are structurally out of its reach. */
+  def cloneTable(s: SparkSession, srcVersion: Int, dstRoot: String, srcRoot: String = dir): Unit = {
+    if (new java.io.File(s"$srcRoot/schemas").exists())
+      s.read.parquet(s"$srcRoot/schemas").coalesce(1).write.mode("overwrite").parquet(s"$dstRoot/schemas")
+    versionSchemaId(s, srcVersion, srcRoot).foreach(sid => writeVersionMeta(s, dstRoot, 1, sid))
+    writeManifestRows(s, 1, entries(s, srcVersion, srcRoot), dstRoot)
+  }
+
+  val cloneDir = "/root/repo/spark-warehouse/graft_cow_clone"
+
+  /** clone-side divergence delta (absolute formulas, closed-form oracle):
+    * upsert stripe disjoint in form from the source's, plus 20 inserts in
+    * a key range far above both the base and the source's inserts. */
+  val CloneUpsertFilter = s"k % 113 = 0 AND (k div ${BucketWidth}L) % 11 = 4"
+  val CloneInsertBase = 20000000L
+  val CloneInsertCount = 20
+
+  /** Gate fixture: clone source v2 into [[cloneDir]], then MERGE the
+    * divergence delta into the clone (clone v1 → v2). Marker-guarded by
+    * the source artifact's key, so a source rebuild (SF switch) rebuilds
+    * the clone once and steady-state calls are a marker read. */
+  def ensureClone(s: SparkSession, d: String): Unit = synchronized {
+    ensure(s, d)
+    val srcKey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/src_key")),
+      "UTF-8"
+    ) + s"|clone|$CloneUpsertFilter|$CloneInsertBase|$CloneInsertCount"
+    val marker = new java.io.File(s"$cloneDir/src_key")
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == srcKey) return
+    val p = new org.apache.hadoop.fs.Path(cloneDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    cloneTable(s, srcVersion = 2, cloneDir)
+    val base = graft.Graft
+      .table(s, d, "orders")
+      .select(col("o_orderkey").as("k"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val upserts = base
+      .where(expr(CloneUpsertFilter))
+      .select(col("k"), expr("70000L + k % 1000").as("cents"))
+    val inserts = s
+      .range(CloneInsertCount.toLong)
+      .select((col("id") + lit(CloneInsertBase)).as("k"), (lit(200000L) + col("id") * 11L).as("cents"))
+    merge(s, fromVersion = 1, toVersion = 2, changes = upserts.unionByName(inserts), root = cloneDir)
+    java.nio.file.Files.write(marker.toPath, srcKey.getBytes("UTF-8"))
+  }
+
   /** The COW MERGE, all three clauses: manifest-prune to the touched
     * buckets, rewrite only those (matched keys take the change value,
     * unmatched change keys insert, `deletes` keys drop), append
