@@ -37,6 +37,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Reshape {
 
+  /** The deterministic sparse md5 graph over the customer ids shared by
+    * x95 (triangles) and x105 (k-core): 3 draws per vertex, self-loops
+    * dropped, canonical undirected (min, max) pairs deduped. Returns the
+    * localCheckpointed edge table and the vertex count (dim-sized control
+    * scalar); the oracle replays the same formula. */
+  private def md5Graph(s: SparkSession, d: String): (DataFrame, Long) = {
+    import s.implicits._
+    val verts = table(s, d, "customer").select(col("c_custkey").as("v"))
+    val n = verts.count()
+    val raw = verts
+      .crossJoin(broadcast(Seq(0, 1, 2).toDF("i")))
+      .select(
+        col("v").as("u"),
+        (Hashing.md5Bucket(concat(col("v").cast("string"), lit("#e"), col("i").cast("string")), n) + 1L)
+          .as("w")
+      )
+      .where(col("u") =!= col("w"))
+    val edges = raw
+      .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+      .distinct()
+      .localCheckpoint() // feeds degree aggs + multiple join probes
+    (edges, n)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot → unpivot round trip: wide per-priority status counts melted
     // back to long form. Absent (priority, status) combos surface as NULL
@@ -155,21 +179,7 @@ object Reshape {
     // duplicates removed), replayed formula-for-formula by the oracle.
     "x95_triangle_count" -> ((s, d) => {
       import s.implicits._
-      val verts = table(s, d, "customer").select(col("c_custkey").as("v"))
-      val n = verts.count() // dim-sized control scalar (vertex count)
-      val raw = verts
-        .crossJoin(broadcast(Seq(0, 1, 2).toDF("i")))
-        .select(
-          col("v").as("u"),
-          (Hashing.md5Bucket(concat(col("v").cast("string"), lit("#e"), col("i").cast("string")), n) + 1L)
-            .as("w")
-        )
-        .where(col("u") =!= col("w"))
-      // undirected dedup: canonical (min, max) pairs, one distinct
-      val edges = raw
-        .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
-        .distinct()
-        .localCheckpoint() // feeds degree agg + two join probes
+      val (edges, n) = md5Graph(s, d)
       val deg = edges
         .select(col("a").as("v"))
         .union(edges.select(col("b").as("v")))
@@ -198,6 +208,63 @@ object Reshape {
         .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
         .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
         .select(lit(n).as("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+    }),
+
+    // k-core decomposition (k=3) — the fifth graph shape (BFS, CC,
+    // PageRank, triangles, now coreness): iteratively peel vertices whose
+    // INDUCED degree drops below k until a fixed point — the standard
+    // graph-sparsification / community-seed primitive. Each peel round is
+    // two semi-joins of the (immutable, localCheckpointed) edge table
+    // against the shrinking survivor set plus one degree aggregate — cost
+    // tracks the shrinking frontier, never re-shuffles the full edge set.
+    // The round budget is FIXED (12, the q62/x57 fixed-iteration
+    // discipline); the emitted `converged` flag re-derives the fixed point
+    // in-query (survivor count stable AND min induced degree ≥ k) while
+    // the oracle replays the same 12 rounds and expects TRUE — if the
+    // budget ever stops covering the gate corpus, the gate turns red
+    // instead of silently under-peeling.
+    "x105_kcore" -> ((s, d) => {
+      val K = 3
+      val Rounds = 12
+      val (edges, _) = md5Graph(s, d)
+      def induced(nodes: DataFrame): DataFrame = edges
+        .join(nodes.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(nodes.select(col("v").as("b")), Seq("b"), "left_semi")
+      def degrees(alive: DataFrame): DataFrame = alive
+        .select(col("a").as("v"))
+        .union(alive.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("dg"))
+      var nodes = edges
+        .select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .distinct()
+        .localCheckpoint()
+      for (_ <- 1 to Rounds)
+        nodes = degrees(induced(nodes)).where(col("dg") >= K).select("v").localCheckpoint()
+      val aliveF = induced(nodes).localCheckpoint() // feeds edge count + final degrees
+      val degF = degrees(aliveF).localCheckpoint() // feeds histogram + convergence agg
+      val stats = degF
+        .agg(count(lit(1)).as("nf"), min("dg").as("mindg"))
+        .crossJoin(nodes.agg(count(lit(1)).as("nn")))
+        .crossJoin(aliveF.agg(count(lit(1)).as("n_core_edges")))
+        .select(
+          (col("nf") === col("nn") && coalesce(col("mindg") >= K, lit(true))).as("converged"),
+          col("nn").as("n_core_nodes"),
+          col("n_core_edges")
+        )
+      degF
+        .groupBy("dg")
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(stats))
+        .select(
+          col("dg").as("core_degree"),
+          col("n_nodes"),
+          col("n_core_nodes"),
+          col("n_core_edges"),
+          col("converged")
+        )
+        .orderBy("core_degree")
     }),
 
     // PageRank over the supplier↔order↔customer graph, 5 fixed iterations
@@ -357,6 +424,49 @@ object Reshape {
         |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
         |  CAST((SELECT count(*) FROM wg) AS BIGINT) AS n_wedges,
         |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triangles""".stripMargin,
+    // x105: the same md5 graph, 12 peel rounds replayed as chained CTEs
+    // (the x57 fixed-iteration oracle discipline, generated
+    // programmatically); `converged` is expected TRUE — an under-peeled
+    // round budget turns the gate red rather than passing silently.
+    "x105_kcore" -> {
+      val rounds = (1 to 12)
+        .map { i =>
+          s"""a$i AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM e
+             |  JOIN n${i - 1} x ON e.a = x.v JOIN n${i - 1} y ON e.b = y.v),
+             |n$i AS MATERIALIZED (
+             |  SELECT v FROM (
+             |    SELECT v, count(*) AS dg
+             |    FROM (SELECT a AS v FROM a$i UNION ALL SELECT b FROM a$i) GROUP BY v)
+             |  WHERE dg >= 3)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH nv AS (SELECT count(*) AS n FROM customer),
+         |raw AS (
+         |  SELECT c_custkey AS u,
+         |    ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+         |      % (SELECT n FROM nv) + 1 AS w
+         |  FROM customer, (SELECT unnest(range(3)) AS i)),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+         |  FROM raw WHERE u <> w),
+         |n0 AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+         |$rounds,
+         |af AS (
+         |  SELECT e.a, e.b FROM e
+         |  JOIN n12 x ON e.a = x.v JOIN n12 y ON e.b = y.v),
+         |degf AS (
+         |  SELECT v, count(*) AS dg
+         |  FROM (SELECT a AS v FROM af UNION ALL SELECT b FROM af) GROUP BY v),
+         |st AS (
+         |  SELECT (SELECT count(*) FROM n12) AS n_core_nodes,
+         |    (SELECT count(*) FROM af) AS n_core_edges)
+         |SELECT CAST(dg AS BIGINT) AS core_degree, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(n_core_nodes AS BIGINT) AS n_core_nodes,
+         |  CAST(n_core_edges AS BIGINT) AS n_core_edges,
+         |  TRUE AS converged
+         |FROM degf, st GROUP BY dg, n_core_nodes, n_core_edges ORDER BY core_degree""".stripMargin
+    },
     "q62_pagerank" -> {
       val iters = (1 to 5)
         .map { i =>
