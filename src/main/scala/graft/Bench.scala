@@ -45,9 +45,16 @@ object Bench {
     val loadEnd = loadavg
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
-    )
+    println(line)
+    // The stdout line is the contract, but a capture window that truncates
+    // it loses the per-query record (observed in the r6 driver artifact) —
+    // so the identical line is also written whole to a file the driver (or
+    // a human) can lift after the fact.
+    try {
+      val w = new java.io.PrintWriter("bench_last.json"); w.println(line); w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -74,3 +74,17 @@ object MisraGries {
         .toAggregateExpression()
     )
 }
+
+/** Count-min frequency sketch aggregate (native TypedImperativeAggregate —
+  * fixed depth×width long-array buffer, pointwise-sum merge, map-side
+  * partials). Counters are pure sums, so the sketch is fully
+  * order-independent and gate-hashable; point estimates are taken
+  * declaratively on the returned row-major array<long>. */
+object CountMin {
+  def apply(item: Column, depth: Int, width: Int): Column =
+    Bridge.column(
+      org.apache.spark.sql.graftbridge
+        .CountMinAgg(Bridge.expression(item), depth, width)
+        .toAggregateExpression()
+    )
+}

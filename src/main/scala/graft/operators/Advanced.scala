@@ -290,6 +290,47 @@ object Advanced {
         )
         .orderBy("item")
     }),
+    // Count-min frequency sketch (x107) — the third native mergeable
+    // aggregate (KMV = distinct, Misra–Gries = membership of heavy items,
+    // count-min = frequency ESTIMATES). Counters are pure sums, so unlike
+    // MG the whole sketch is order-independent: the gate pins the exact
+    // per-item estimates (min over depth rows of the probed counters),
+    // which the oracle replays from the same md5-bucket formula. The
+    // overestimate law (est >= exact, always — collisions only add) rides
+    // along as a boolean per probe item. State is a fixed 4x256 long
+    // array: the shuffle carries one 8 KiB buffer per partition.
+    "x107_countmin_sketch" -> ((s, d) => {
+      val depth = 4
+      val width = 256L
+      val stream = table(s, d, "lineitem")
+        .select(col("l_suppkey").cast("string").as("item"))
+        .localCheckpoint() // three plan refs: sketch, exact twin, probe set
+      val cm = stream.agg(graft.functions.CountMin(col("item"), depth, width.toInt).as("cm"))
+      val probes = stream
+        .groupBy("item")
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item"))
+        .limit(10)
+      val est = (0 until depth)
+        .map { i =>
+          // element_at is 1-based; row i's counters live at [i*width+1, ...]
+          element_at(
+            col("cm"),
+            (lit(i * width) + graft.functions.Hashing
+              .md5Bucket(concat(lit(s"cm$i:"), col("item")), width) + lit(1)).cast("int")
+          )
+        }
+        .reduce(least(_, _))
+      probes
+        .crossJoin(broadcast(cm))
+        .select(
+          col("item"),
+          col("exact_n"),
+          est.as("est"),
+          (est >= col("exact_n")).as("overestimate")
+        )
+        .orderBy(col("exact_n").desc, col("item"))
+    }),
     // 2D proximity self-join via GRID bucketing — the spatial-join shape
     // (geo near-neighbor, collision detection, dedup-by-position): each
     // point hashes to its d×d cell, ONE side explodes to its 3×3 neighbor
@@ -909,6 +950,28 @@ object Advanced {
         |t AS (SELECT count(*) AS n FROM st)
         |SELECT item, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS stream_n, TRUE AS in_sketch
         |FROM c, t WHERE cnt * 16 > n ORDER BY item""".stripMargin,
+    // x107: full replay — count-min counters are pure sums (order-free),
+    // so the oracle rebuilds every probed cell from the same md5-bucket
+    // formula and reproduces the exact estimates, not just the guarantee.
+    "x107_countmin_sketch" ->
+      """WITH st AS (SELECT l_suppkey::VARCHAR AS item FROM lineitem),
+        |probe AS (
+        |  SELECT item, count(*) AS exact_n FROM st GROUP BY item
+        |  ORDER BY exact_n DESC, item LIMIT 10),
+        |grid AS (SELECT unnest(range(4)) AS i),
+        |cells AS (
+        |  SELECT i,
+        |    ('0x' || substr(md5('cm' || i || ':' || item), 1, 15))::BIGINT % 256 AS bucket,
+        |    count(*) AS c
+        |  FROM st, grid GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.item, p.exact_n, min(c.c) AS est
+        |  FROM probe p CROSS JOIN grid g JOIN cells c
+        |    ON c.i = g.i
+        |   AND c.bucket = ('0x' || substr(md5('cm' || g.i || ':' || p.item), 1, 15))::BIGINT % 256
+        |  GROUP BY 1, 2)
+        |SELECT item, exact_n, CAST(est AS BIGINT) AS est, est >= exact_n AS overestimate
+        |FROM est ORDER BY exact_n DESC, item""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
     "x93_grid_proximity_join" ->

@@ -233,10 +233,102 @@ object Analytic {
           col("n_events"),
           col("cents")
         )
-        .orderBy("user_id", "start_us"))
+        .orderBy("user_id", "start_us")),
+
+    // Time-series resample + gap-fill (x110): per-user irregular
+    // observations onto a regular 6-hour grid with LINEAR interpolation
+    // between the bracketing observations — the metrics-warehouse shape
+    // (downsampling sensor/telemetry streams before modeling) that the
+    // as-of join (q29) and LOCF (q42) don't cover. No range join and no
+    // per-grid-point probe: observations and grid points UNION into one
+    // stream and a single window pass per user computes the bracketing
+    // (prev, next) pairs via IGNORE NULLS navigation — one shuffle on
+    // user_id, frames bounded by the partition (the q56 discipline). Grid
+    // bounds are per-user ceil/floor in integer micros, so every grid
+    // point is bracketed by construction; a grid point landing exactly ON
+    // an observation degenerates to that observation's value (the (t−pt)=0
+    // term vanishes exactly in IEEE). Interpolated values cross the gate
+    // as e3 fixed-point (the q66 discipline). Tie policy at equal (user,
+    // ts): max(value) — order-free, unlike a double sum/avg.
+    "x110_resample_gapfill" -> ((s, d) => {
+      val step = 21600000000L // 6 h in micros
+      val obs = graft.Graft
+        .events(s, d)
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
+        .groupBy("user_id", "t")
+        .agg(max("value").as("v"))
+      val bounds = obs
+        .groupBy("user_id")
+        .agg(
+          (min("t") + step - 1 - ((min("t") + step - 1) % step)).as("gmin"),
+          (max("t") - (max("t") % step)).as("gmax")
+        )
+        .where(col("gmin") <= col("gmax"))
+      val grid = bounds.select(col("user_id"), explode(expr(s"sequence(gmin, gmax, ${step}L)")).as("t"))
+      val unioned = obs
+        .select(col("user_id"), col("t"), col("v"), lit(0).as("is_grid"))
+        .unionByName(
+          grid.select(col("user_id"), col("t"), lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+        )
+      // obs sorts before a grid point at the same instant, so the backward
+      // frame sees it and the forward frame starts strictly after
+      val w = Window.partitionBy("user_id").orderBy("t", "is_grid")
+      val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+      unioned
+        .withColumn("pv", last("v", ignoreNulls = true).over(prevW))
+        .withColumn("pt", last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(prevW))
+        .withColumn("nv", first("v", ignoreNulls = true).over(nextW))
+        .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(nextW))
+        .where(col("is_grid") === 1)
+        .select(
+          col("user_id"),
+          col("t").as("grid_us"),
+          when(col("nt").isNull, expr("CAST(round(1000 * pv) AS BIGINT)"))
+            .otherwise(
+              expr(
+                "CAST(round(1000 * (pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)))) AS BIGINT)"
+              )
+            )
+            .as("value_e3")
+        )
+        .orderBy("user_id", "grid_us")
+    })
   )
 
   def oracles: Map[String, String] = Map(
+    // x110: the same union-stream window replay — IGNORE NULLS navigation
+    // plus the identical IEEE interpolation, e3-rounded.
+    "x110_resample_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id,
+        |    min(t) + 21600000000 - 1 - ((min(t) + 21600000000 - 1) % 21600000000) AS gmin,
+        |    max(t) - (max(t) % 21600000000) AS gmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(gmin, gmax, 21600000000)) AS t
+        |  FROM b WHERE gmin <= gmax),
+        |u AS (
+        |  SELECT user_id, t, v, 0 AS is_grid FROM obs
+        |  UNION ALL SELECT user_id, t, NULL, 1 FROM grid),
+        |w AS (
+        |  SELECT user_id, t, is_grid,
+        |    last_value(v IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER pw AS pt,
+        |    first_value(v IGNORE NULLS) OVER nw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER nw AS nt
+        |  FROM u
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, is_grid
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         nw AS (PARTITION BY user_id ORDER BY t, is_grid
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS grid_us,
+        |  CAST(round(CASE WHEN nt IS NULL THEN 1000 * pv
+        |    ELSE 1000 * (pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))) END) AS BIGINT) AS value_e3
+        |FROM w WHERE is_grid = 1 ORDER BY user_id, grid_us""".stripMargin,
     "q63_ntile_distribution" ->
       """WITH b AS (
         |  SELECT c_mktsegment AS seg, c_custkey,

@@ -329,6 +329,64 @@ object Dedup {
         .orderBy("lang")
     }),
 
+    // ---- entity resolution / record linkage --------------------------------
+    // The identity face of dedup: records are NOISY VARIANTS of entities
+    // (name/address linkage), so equality dedup (x01) can't see them and
+    // token-overlap similarity (x02) is the wrong metric — the edit noise
+    // model needs exact Levenshtein. Pipeline = multi-pass blocking
+    // (prefix-4 + suffix-4 equi-joins: a single-character deletion always
+    // preserves at least one of the two block keys, so recall is
+    // STRUCTURAL, not probabilistic — deletion at position p>4 keeps the
+    // prefix, p<len−4 keeps the suffix, and the ranges overlap) → distinct
+    // candidate pairs → codegen'd builtin levenshtein ≤ 2 → connected
+    // components → clusters + singletons. Record strings derive from the
+    // fixture via the md5 convention (the x93 lesson: hashed content is
+    // uniform and cross-engine exact); ~2/3 of entities get a one-deletion
+    // dirty twin, the rest stay singletons. The oracle replays blocking +
+    // Levenshtein and emits pairs-as-clusters, so a cross-entity merge, a
+    // chained component, or a missed match all flip the row set; entity_ok
+    // pins that every cluster stays within one source key. At 100 TB
+    // blocking is a pair of equi-joins on md5-uniform 4-hex keys (65536
+    // buckets, no hot key; real-name corpora would add the x02-style cap
+    // on block population).
+    "x108_entity_resolution" -> ((s, d) => {
+      val base = table(s, d, "customer")
+        .select(col("c_custkey").as("k"), md5(col("c_custkey").cast("string")).as("nm"))
+      val canon = base.select((col("k") * 2).as("rec_id"), col("k"), col("nm").as("name"))
+      val dirty = base
+        .where(col("k") % 3 =!= 0)
+        .select(
+          (col("k") * 2 + 1).as("rec_id"),
+          col("k"),
+          expr("concat(substring(nm, 1, CAST(k % 32 AS INT)), substring(nm, CAST(k % 32 AS INT) + 2))")
+            .as("name")
+        )
+      // six plan refs below (two block passes × both sides, entity join,
+      // singleton anti-join) — materialize once
+      val recs = canon.unionByName(dirty).localCheckpoint()
+      def pass(bk: Column => Column): DataFrame = {
+        val a = recs.select(col("rec_id").as("ra"), col("name").as("na")).withColumn("bk", bk(col("na")))
+        val b = recs.select(col("rec_id").as("rb"), col("name").as("nb")).withColumn("bk", bk(col("nb")))
+        a.join(b, "bk").where(col("ra") < col("rb")).select("ra", "rb", "na", "nb")
+      }
+      val cand = pass(_.substr(lit(1), lit(4)))
+        .unionByName(pass(n => n.substr(length(n) - 3, lit(4))))
+        .distinct()
+      val matches = cand
+        .where(levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+        .localCheckpoint() // CC iterates over the pair set
+      val cc = connectedComponents(matches)
+      val clusters = cc
+        .join(recs.select(col("rec_id").as("doc_id"), col("k")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("size"), (min("k") === max("k")).as("entity_ok"))
+      val singles = recs
+        .join(cc.select(col("doc_id").as("rec_id")), Seq("rec_id"), "left_anti")
+        .select(col("rec_id").as("cluster_id"), lit(1L).as("size"), lit(true).as("entity_ok"))
+      clusters.unionByName(singles).orderBy("cluster_id")
+    }),
+
     // ---- leakage-safe train/heldout split ----------------------------------
     // The contamination-control completion of the dedup arc (detect x02 →
     // cluster x37 → resolve x40 → SPLIT): a split drawn per-document leaks
@@ -745,6 +803,35 @@ object Dedup {
          |FROM pairs JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
          |WHERE n_common / (ca.n + cb.n - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // x108: blocking + Levenshtein replayed exactly; clusters are emitted
+    // as matched PAIRS + singletons — equal to the connected-component
+    // output iff the match graph is a perfect matching, so any chained
+    // component or cross-entity merge turns the gate red rather than
+    // being silently absorbed.
+    "x108_entity_resolution" ->
+      """WITH base AS (SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS nm FROM customer),
+        |recs AS (
+        |  SELECT 2*k AS rec_id, k, nm AS name FROM base
+        |  UNION ALL
+        |  SELECT 2*k+1 AS rec_id, k,
+        |         substr(nm, 1, CAST(k % 32 AS INT)) || substr(nm, CAST(k % 32 AS INT) + 2) AS name
+        |  FROM base WHERE k % 3 <> 0),
+        |cand AS (
+        |  SELECT a.rec_id AS ra, b.rec_id AS rb, a.name AS na, b.name AS nb, a.k AS ka, b.k AS kb
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, 1, 4) = substr(b.name, 1, 4) AND a.rec_id < b.rec_id
+        |  UNION
+        |  SELECT a.rec_id, b.rec_id, a.name, b.name, a.k, b.k
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, length(a.name) - 3, 4) = substr(b.name, length(b.name) - 3, 4)
+        |   AND a.rec_id < b.rec_id),
+        |m AS (SELECT ra, rb, ka, kb FROM cand WHERE levenshtein(na, nb) <= 2)
+        |SELECT CAST(ra AS BIGINT) AS cluster_id, CAST(2 AS BIGINT) AS size, ka = kb AS entity_ok
+        |FROM m
+        |UNION ALL
+        |SELECT CAST(rec_id AS BIGINT), CAST(1 AS BIGINT), TRUE
+        |FROM recs WHERE rec_id NOT IN (SELECT ra FROM m UNION ALL SELECT rb FROM m)
+        |ORDER BY cluster_id""".stripMargin,
     "x40_dedup_resolve" ->
       s"""WITH RECURSIVE $shinglesSql,
          |$ccLabSql,

@@ -267,6 +267,55 @@ object Reshape {
         .orderBy("core_degree")
     }),
 
+    // Label-propagation communities (x109) — the sixth graph shape (q55
+    // BFS, x37 CC, q62 PageRank, x95 triangles, x105 k-core, now
+    // community detection): five SYNCHRONOUS rounds over the shared md5
+    // graph; each vertex adopts the most frequent label among its
+    // neighbors, ties broken by MIN label, so every round is a
+    // deterministic pure function of the previous labeling (async /
+    // randomized LPA variants are not oracle-checkable). Per-round cost =
+    // one edges⋈labels hash join + one (v,lbl) count + one per-v argmax
+    // (single max(struct(count, -lbl)) agg — no window); the label table
+    // shuffles, the checkpointed edge blocks never re-shuffle from source
+    // (the x105 discipline). The oracle replays all five rounds as
+    // chained MATERIALIZED CTEs; the gate pins every (community, size)
+    // row, i.e. the full final partition of the vertex set.
+    "x109_label_propagation" -> ((s, d) => {
+      val Rounds = 5
+      val (edges, _) = md5Graph(s, d)
+      val de = edges
+        .select(col("a").as("u"), col("b").as("w"))
+        .union(edges.select(col("b").as("u"), col("a").as("w")))
+        .localCheckpoint()
+      var labels = de
+        .select(col("u").as("v"))
+        .distinct()
+        .withColumn("lbl", col("v"))
+        .localCheckpoint()
+      for (_ <- 1 to Rounds) {
+        labels = de
+          .join(labels.select(col("v").as("w"), col("lbl")), "w")
+          .groupBy(col("u").as("v"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("v")
+          // argmax by (count, -label): max count wins, then min label —
+          // one agg instead of a max-count window + equality filter
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("v"), (-col("m.neg")).as("lbl"))
+          .localCheckpoint()
+      }
+      val comm = labels.groupBy("lbl").agg(count(lit(1)).as("size"))
+      val stats = comm.agg(
+        count(lit(1)).as("n_communities"),
+        max("size").as("max_size"),
+        sum("size").as("n_vertices")
+      )
+      comm
+        .select(col("lbl").as("community"), col("size"))
+        .crossJoin(broadcast(stats))
+        .orderBy("community")
+    }),
+
     // PageRank over the supplier↔order↔customer graph, 5 fixed iterations
     // in integer micro-units — the third graph-analytics shape (q55 BFS
     // reachability, x37 connected components, and now importance
@@ -424,6 +473,43 @@ object Reshape {
         |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
         |  CAST((SELECT count(*) FROM wg) AS BIGINT) AS n_wedges,
         |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triangles""".stripMargin,
+    // x109: the same md5 graph, 5 synchronous label-propagation rounds
+    // replayed as chained MATERIALIZED CTEs; the per-v argmax tie-break
+    // (max count, then min label) is a max-count window + equality filter
+    // + min agg — set algebra, hence exact.
+    "x109_label_propagation" -> {
+      val rounds = (1 to 5)
+        .map { i =>
+          s"""c$i AS MATERIALIZED (
+             |  SELECT de.u AS v, l.lbl, count(*) AS c
+             |  FROM de JOIN l${i - 1} l ON de.w = l.v GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT v, min(lbl) AS lbl FROM (
+             |    SELECT v, lbl, c, max(c) OVER (PARTITION BY v) AS mx FROM c$i) t
+             |  WHERE c = mx GROUP BY v)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH nv AS (SELECT count(*) AS n FROM customer),
+         |raw AS (
+         |  SELECT c_custkey AS u,
+         |    ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+         |      % (SELECT n FROM nv) + 1 AS w
+         |  FROM customer, (SELECT unnest(range(3)) AS i)),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+         |  FROM raw WHERE u <> w),
+         |de AS MATERIALIZED (SELECT a AS u, b AS w FROM e UNION ALL SELECT b AS u, a AS w FROM e),
+         |l0 AS MATERIALIZED (
+         |  SELECT v, v AS lbl FROM (SELECT DISTINCT u AS v FROM de) t),
+         |$rounds,
+         |comm AS (SELECT lbl, count(*) AS size FROM l5 GROUP BY lbl),
+         |st AS (SELECT count(*) AS n_communities, max(size) AS max_size, sum(size) AS n_vertices FROM comm)
+         |SELECT CAST(lbl AS BIGINT) AS community, CAST(size AS BIGINT) AS size,
+         |  CAST(n_communities AS BIGINT) AS n_communities,
+         |  CAST(max_size AS BIGINT) AS max_size,
+         |  CAST(n_vertices AS BIGINT) AS n_vertices
+         |FROM comm, st ORDER BY community""".stripMargin
+    },
     // x105: the same md5 graph, 12 peel rounds replayed as chained CTEs
     // (the x57 fixed-iteration oracle discipline, generated
     // programmatically); `converged` is expected TRUE — an under-peeled

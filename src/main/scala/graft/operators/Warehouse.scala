@@ -423,10 +423,41 @@ object Warehouse {
         )
         .crossJoin(src)
       per.crossJoin(broadcast(stats)).orderBy("bucket")
+    }),
+    // x106 ORC round-trip: format choice must be invisible to results —
+    // the lineitem projection written to zlib ORC (partitioned by return
+    // flag) and read back must aggregate identically to the parquet
+    // original the oracle reads. The shipdate filter is pushdown-eligible
+    // on the ORC scan and the returnflag grouping rides the partition
+    // columns; OrcStoreSpec plan-asserts both prunings.
+    "x106_orc_roundtrip" -> ((s, d) => {
+      graft.sources.OrcStore.ensure(s, d)
+      graft.sources.OrcStore
+        .read(s, d)
+        .where(expr("l_shipdate >= TIMESTAMP_NTZ '1995-06-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_c"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // x106: the oracle reads the PARQUET original — a hash match proves
+    // the ORC write+read round-trip is value-exact (doubles bit-preserved,
+    // timestamps micros-exact, partition column restored).
+    "x106_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // x103: full replay — the same md5 double-hashed 1024-bit Bloom is
     // built in SQL, the fact side is filtered through it, and the final
     // aggregate equals the plain join's (no false negatives); the

@@ -255,3 +255,97 @@ case class MisraGriesAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` rows of `width`
+  * counters; each input item increments one counter per row at
+  * `h_i(item) = md5Window15("cm" + i + ":" + item) mod width`. Point
+  * estimate (taken declaratively on the output array) = min over rows of
+  * the probed counters — always ≥ the true count, and ≤ true + εN with
+  * probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉.
+  *
+  * The frequency companion to [[KmvSketchAgg]] (distinct) and
+  * [[MisraGriesAgg]] (heavy hitters), with a property neither has: counters
+  * are pure SUMS, so the whole sketch is order-independent — byte-identical
+  * across partitionings and executions — and the driver gate can hash-check
+  * the FULL sketch content against a SQL replay (group-by over the same md5
+  * bucket formula), not just a structural guarantee. State is a fixed
+  * depth×width long array (merge = pointwise sum, map-side partials): at
+  * 100 TB the shuffle carries one ~`8·d·w`-byte buffer per partition, never
+  * the stream.
+  *
+  * The hash matches [[graft.functions.Hashing.md5Window15]] exactly (first
+  * 15 md5 hex digits as an int64), so DuckDB replays it with
+  * `('0x' || substr(md5('cm' || i || ':' || item), 1, 15))::BIGINT % width`.
+  *
+  * Returns the counters as array<long> of length depth·width, row-major.
+  */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]]
+    with ExpectsInputTypes {
+
+  require(depth >= 1 && depth <= 16, s"count_min: depth must be in [1,16], got $depth")
+  require(width >= 2, s"count_min: width must be >= 2, got $width")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "count_min"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < depth) {
+        val dig = md.digest(s"cm$i:$item".getBytes("UTF-8")) // digest() resets
+        // first 15 hex digits = high 60 bits of the digest, as in md5Window15
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        h = h >>> 4 // 64 bits read, keep the top 60 (15 hex chars)
+        buf(i * width + (h % width).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
