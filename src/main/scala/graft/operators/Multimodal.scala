@@ -612,6 +612,48 @@ object Multimodal {
     // checksum pins sample order (a swapped block or reversed nibble
     // order flips it). Completes the audio family the way x70/x71/x80
     // completed images.
+    // FLAC sample decode (x111) — the lossless tier of the audio family
+    // (x34 raw PCM, x88 MP3 container, x98 ADPCM lossy predictor, now real
+    // entropy-coded FLAC). Embarrassingly parallel per payload; decode
+    // failure (any structural lie, or an MD5 mismatch between decoded PCM
+    // and the STREAMINFO digest) surfaces as NULL feature columns. The
+    // oracle never replays the codec: FLAC is lossless, so the features
+    // must equal the closed-form fixture signal's — one truth for every
+    // predictor / stereo-mode / Rice-partition path the 200 payloads take.
+    "x111_flac_decode" -> ((s, _) => {
+      graft.sources.FlacFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("channels", LongType),
+          StructField("n_per_ch", LongType),
+          StructField("sum_abs", LongType),
+          StructField("peak", LongType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.FlacFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.FlacAudio.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(pcm) =>
+                var sumAbs = 0L; var peak = 0L; var chk = 0L
+                var i = 0
+                while (i < pcm.samples.length) {
+                  val v = pcm.samples(i).toLong
+                  sumAbs += math.abs(v); peak = math.max(peak, math.abs(v))
+                  chk += (i + 1) * v
+                  i += 1
+                }
+                Row(r.getAs[Long]("audio_id"), pcm.channels.toLong, pcm.nPerChannel, sumAbs, peak, chk)
+              case None => Row(r.getAs[Long]("audio_id"), null, null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
     "x98_adpcm_decode" -> ((s, _) => {
       graft.sources.AdpcmFixture.ensure(s)
       val schema = StructType(
@@ -988,6 +1030,30 @@ object Multimodal {
     // {-1,-1,-1,-1,2,4,6,8} index table inlined as list literals; sample 0
     // of each block is the header predictor, matching the WAV-IMA
     // samples-per-block = 2·(blockAlign−4)+1 convention
+    // x111: lossless identity — the oracle recomputes the fixture signal
+    // formula (three disjoint families) and aggregates; no codec replay.
+    "x111_flac_decode" ->
+      """WITH ids AS (SELECT unnest(range(200)) AS id),
+        |par AS (SELECT id, 1 + id % 2 AS ch, 600 + (id * 37) % 500 AS n FROM ids),
+        |samp AS (
+        |  SELECT p.id, p.ch,
+        |    CASE WHEN p.id % 40 = 13
+        |           THEN ('0x' || substr(md5(p.id || ':' || t.c || ':const'), 1, 15))::BIGINT % 4096 - 2048
+        |         WHEN p.id % 50 = 25
+        |           THEN 8 * (('0x' || substr(md5(p.id || ':' || t.c || ':' || u.i), 1, 15))::BIGINT % 4096 - 2048)
+        |         ELSE ('0x' || substr(md5(p.id || ':' || t.c || ':' || u.i), 1, 15))::BIGINT % 4096 - 2048
+        |              + ((u.i % 997) - 498) * (p.id % 5) END AS s,
+        |    u.i * p.ch + t.c AS pos
+        |  FROM par p,
+        |       LATERAL (SELECT unnest(range(p.ch)) AS c) t,
+        |       LATERAL (SELECT unnest(range(p.n)) AS i) u)
+        |SELECT p.id AS audio_id, CAST(p.ch AS BIGINT) AS channels, CAST(p.n AS BIGINT) AS n_per_ch,
+        |  g.sum_abs, g.peak, g.checksum
+        |FROM par p JOIN (
+        |  SELECT id, CAST(sum(abs(s)) AS BIGINT) AS sum_abs, CAST(max(abs(s)) AS BIGINT) AS peak,
+        |         CAST(sum((pos + 1) * s) AS BIGINT) AS checksum
+        |  FROM samp GROUP BY id) g ON g.id = p.id
+        |ORDER BY audio_id""".stripMargin,
     "x98_adpcm_decode" ->
       """WITH RECURSIVE
         |cfg AS (
