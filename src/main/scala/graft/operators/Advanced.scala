@@ -202,6 +202,64 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    // KMV SET ALGEBRA (x112) — the reason the x49 sketch returns its raw
+    // hash set instead of a scalar estimate: two sketches support union /
+    // intersection / Jaccard ESTIMATES without re-scanning either input
+    // (Beyer et al. 2007, "On Synopses for Distinct Value Estimation").
+    // The union sketch is the k smallest of A ∪ B (pure set minimum —
+    // exact, order-free algebra on two sorted arrays), Jaccard is
+    // ρ̂ = |{h ∈ unionK : h ∈ A ∧ h ∈ B}| / k, and NDV∩ ≈ ρ̂ · NDV∪.
+    // At 100 TB the two sides are sketched independently (bounded
+    // map-side buffers, x49) and the algebra runs on two ≤k-long arrays —
+    // overlap between corpus shards reconciled without ever joining them.
+    // Exact twins ride along (the q34/x49 gate discipline), and the whole
+    // estimator chain is replayed by the oracle, so the gate pins the
+    // estimates themselves, not just their existence.
+    "x112_kmv_set_algebra" -> ((s, d) => {
+      val k = 256
+      val ords = table(s, d, "orders")
+        .select(
+          col("o_orderstatus").as("st"),
+          col("o_custkey"),
+          graft.functions.Hashing.md5Window15(col("o_custkey").cast("string")).as("h")
+        )
+        .where(col("st").isin("F", "O"))
+        .localCheckpoint() // two plan refs: sketches + exact twins
+      val sk = ords.groupBy("st").agg(graft.functions.KmvSketch(col("h"), k).as("sk"))
+      val a = sk.where(col("st") === "F").select(col("sk").as("a"))
+      val b = sk.where(col("st") === "O").select(col("sk").as("b"))
+      val exact = ords
+        .groupBy("o_custkey")
+        .agg(
+          max(when(col("st") === "F", 1).otherwise(0)).as("inF"),
+          max(when(col("st") === "O", 1).otherwise(0)).as("inO")
+        )
+        .agg(
+          count(lit(1)).as("exact_union"),
+          sum(when(col("inF") === 1 && col("inO") === 1, 1L).otherwise(0L)).as("exact_inter")
+        )
+      a.crossJoin(b)
+        .crossJoin(broadcast(exact))
+        .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
+        .withColumn(
+          "inter_k",
+          size(filter(col("u"), h => array_contains(col("a"), h) && array_contains(col("b"), h)))
+            .cast("long")
+        )
+        .withColumn("vk", element_at(col("u"), k))
+        .select(
+          col("exact_union"),
+          col("exact_inter"),
+          size(col("a")).cast("long").as("n_a"),
+          size(col("b")).cast("long").as("n_b"),
+          col("inter_k"),
+          col("vk"),
+          expr("CAST(round(255.0 * 1152921504606846976.0 / vk) AS BIGINT)").as("est_union"),
+          expr(
+            "CAST(round((inter_k / 256.0) * (255.0 * 1152921504606846976.0 / vk)) AS BIGINT)"
+          ).as("est_inter")
+        )
+    }),
     // Exact distinct counting via BITMAP aggregation — the third distinct
     // face (q12 expand-dedup, x49 KMV approximate, now bitmap-exact): for
     // dense integer key domains, pack keys into bit words (word = k
@@ -990,6 +1048,36 @@ object Advanced {
     // reproducible), then the same double-precision (k-1)·2^60/v_k estimate.
     // 255.0·2^60 is exactly representable in double and IEEE division +
     // round-half-away match Spark bit-for-bit.
+    // x112: the full sketch-algebra replay — both KMV sketches rebuilt as
+    // k-smallest-distinct-hash sets, union re-trimmed, membership counted,
+    // and the identical IEEE estimator chain evaluated.
+    "x112_kmv_set_algebra" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st, o_custkey,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |a AS (SELECT h FROM (SELECT DISTINCT h FROM o WHERE st = 'F') ORDER BY h LIMIT 256),
+        |b AS (SELECT h FROM (SELECT DISTINCT h FROM o WHERE st = 'O') ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT 256),
+        |ik AS (
+        |  SELECT count(*) AS inter_k FROM u
+        |  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+        |vk AS (SELECT max(h) AS vk FROM u),
+        |ex AS (
+        |  SELECT count(*) AS exact_union,
+        |    CAST(sum(CASE WHEN f = 1 AND o2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+        |  FROM (
+        |    SELECT o_custkey,
+        |      max(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS f,
+        |      max(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS o2
+        |    FROM o GROUP BY 1)),
+        |sz AS (SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b)
+        |SELECT CAST(ex.exact_union AS BIGINT) AS exact_union, ex.exact_inter,
+        |  CAST(sz.n_a AS BIGINT) AS n_a, CAST(sz.n_b AS BIGINT) AS n_b,
+        |  CAST(ik.inter_k AS BIGINT) AS inter_k, vk.vk,
+        |  CAST(round(255.0 * 1152921504606846976.0 / vk.vk) AS BIGINT) AS est_union,
+        |  CAST(round((ik.inter_k / 256.0) * (255.0 * 1152921504606846976.0 / vk.vk)) AS BIGINT) AS est_inter
+        |FROM ex, sz, ik, vk""".stripMargin,
     "x49_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag,

@@ -275,6 +275,41 @@ object Sampling {
         )
     }),
 
+    // Bloom-manifest point lookup (x113) — the skipping face the x73
+    // manifest could NOT serve: a point predicate on the UNCLUSTERED
+    // high-NDV `o_orderkey` (min/max spans every z-file, the KMV
+    // dictionary overflows). Each manifest row now carries a 4095-bit
+    // packed-word Bloom of its file's keys (x103's machinery at file
+    // granularity); the lookup probes the manifest driver-side and opens
+    // only surviving files (~1 of 64 at the fixture fill rate). The gate
+    // pins SOUNDNESS — no false negatives, so pruned-scan content equals
+    // the plain point query for five present keys and one absent key;
+    // ScaleDisciplineSpec asserts the files-opened bound (file assignment
+    // is partitioner-dependent, so counts are spec turf, not oracle turf).
+    "x113_bloom_point_lookup" -> ((s, d) => {
+      val dir = "/root/repo/spark-warehouse/graft_zorder"
+      graft.sources.DataSkipping.ensureLayout(s, d, dir)
+      val ks = table(s, d, "orders")
+        .select("o_orderkey")
+        .distinct()
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(5)
+        .collect()
+        .map(_.getLong(0))
+        .toSeq
+      val absent = table(s, d, "orders").agg(max("o_orderkey")).collect()(0).getLong(0) + 12345L
+      (ks :+ absent)
+        .map { k =>
+          graft.sources.DataSkipping
+            .prunedScanPoint(s, dir, k)
+            .agg(count(lit(1)).as("n_rows"), coalesce(sum("days"), lit(0L)).as("sum_days"))
+            .select(lit(k).as("o_orderkey"), col("n_rows"), col("sum_days"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("o_orderkey")
+    }),
+
     // domain-mixture table: per (lang, source) document/token counts and the
     // integer-ppm sampling weight each domain would get under
     // proportional-to-tokens mixing. Two tiny aggregations; the corpus-total
@@ -717,6 +752,20 @@ object Sampling {
         |FROM o, b
         |WHERE o_custkey BETWEEN cmin + ((cmax - cmin) * 2) // 16 AND cmin + ((cmax - cmin) * 3) // 16
         |  AND days BETWEEN dmin + ((dmax - dmin) * 2) // 16 AND dmin + ((dmax - dmin) * 3) // 16""".stripMargin,
+    // x113: ground truth is the plain point query — a Bloom false
+    // negative (missing row) or an unsound probe (wrong rows) flips the
+    // content columns; the absent key must come back (0, 0).
+    "x113_bloom_point_lookup" ->
+      """WITH ks AS (
+        |  SELECT k FROM (SELECT DISTINCT o_orderkey AS k FROM orders ORDER BY 1 LIMIT 5 OFFSET 100)
+        |  UNION ALL SELECT max(o_orderkey) + 12345 FROM orders),
+        |o AS (
+        |  SELECT o_orderkey, CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS days
+        |  FROM orders)
+        |SELECT ks.k AS o_orderkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(o.days), 0) AS BIGINT) AS sum_days
+        |FROM ks LEFT JOIN o ON o.o_orderkey = ks.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x45_compaction_plan" ->
       """WITH d AS (
         |  SELECT lang, count(*) AS n_docs,

@@ -59,8 +59,24 @@ object DataSkipping {
     *     files min/max cannot.
     * Returns the corpus bounds (computed once — [[gateRect]] derives the
     * query rectangle from them, no second aggregation). */
+  /** x113: per-file Bloom size/probes for the UNCLUSTERED high-NDV point
+    * column (`o_orderkey`). 65 packed 63-bit words ≈ 4095 bits, k = 3
+    * md5 probes (the x103 double-hash convention): at ~250 keys/file the
+    * false-positive rate is ≈0.4%, so a point lookup opens ~1 file of 64.
+    * min/max can't help (the key scatters across every z-file) and the
+    * KMV dictionary overflows (NDV/file ≫ [[DictK]]) — the Bloom is the
+    * only sound per-file filter at this NDV. */
+  val BloomBits = 4095L
+  val BloomK = 3
+
   def writeLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = {
-    val o = dims(s, d)
+    val o = graft.Graft
+      .table(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days")
+      )
     val b = o.agg(min("o_custkey"), max("o_custkey"), min("days"), max("days")).collect()(0)
     val bounds = Bounds(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     o.withColumn("cx", expr(graft.operators.Sampling.scale16("o_custkey", s"${bounds.cMin}L", s"${bounds.cMax}L")))
@@ -72,10 +88,10 @@ object DataSkipping {
       .withColumn("tag", expr("(cx div 4096) * 16 + (dy div 4096)"))
       .withColumn("promo", expr("CASE WHEN dy div 4096 = 6 THEN days ELSE CAST(NULL AS BIGINT) END"))
       .repartitionByRange(nFiles, col("zkey"))
-      .select("o_custkey", "days", "tag", "promo")
+      .select("o_orderkey", "o_custkey", "days", "tag", "promo")
       .write.mode("overwrite").parquet(s"$dir/data")
-    s.read
-      .parquet(s"$dir/data")
+    val data = s.read.parquet(s"$dir/data")
+    val stats = data
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -90,6 +106,23 @@ object DataSkipping {
           .KmvSketch(graft.functions.Hashing.md5Window15(col("tag").cast("string")), DictK)
           .as("tag_sk")
       )
+    // the Bloom needs a 3× probe explode, which would skew the plain
+    // aggregates above — a second file-grouped pass over the same scan,
+    // joined on the file path (both aggs stay file-count-sized)
+    val bloom = data
+      .select(col("_metadata.file_path").as("file"), col("o_orderkey"))
+      .withColumn("j", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn(
+        "bitpos",
+        graft.functions.Hashing
+          .md5Bucket(concat(lit("fb"), col("j"), lit(":"), col("o_orderkey").cast("string")), BloomBits)
+      )
+      .groupBy(col("file"), expr("CAST(bitpos div 63 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bitpos % 63 AS INT)))").as("word"))
+      .groupBy("file")
+      .agg(sort_array(collect_list(struct(col("w"), col("word")))).as("bloom"))
+    stats
+      .join(bloom, "file")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
     bounds
@@ -101,8 +134,9 @@ object DataSkipping {
     * read, so the bench measures the READ path, not layout writes).
     * Returns the corpus bounds, parsed from the marker on a hit. */
   def ensureLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = synchronized {
-    // "stats2" salts for the enriched manifest (null counts + tag KMV)
-    val key = Fingerprint.of(s, s"$d/orders.parquet", s"$nFiles|stats2")
+    // "stats3" salts for the enriched manifest (null counts + tag KMV +
+    // the x113 per-file o_orderkey Bloom)
+    val key = Fingerprint.of(s, s"$d/orders.parquet", s"$nFiles|stats3")
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists()) {
       val parts = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split('|')
@@ -192,6 +226,37 @@ object DataSkipping {
       if (files.isEmpty) s.read.parquet(s"$dir/data").limit(0)
       else s.read.parquet(files: _*)
     base.where(col("tag") === v)
+  }
+
+  /** x113 point-lookup pruning on the unclustered `o_orderkey`: files
+    * whose Bloom has all [[BloomK]] probe bits set — (survivors, total).
+    * No false negatives by construction, so the pruned scan's CONTENT
+    * equals the full point query (the gate pins exactly that); false
+    * positives only open extra files. Driver-side manifest probe, the
+    * [[selectFiles]] planning shape. */
+  def selectFilesPoint(s: SparkSession, dir: String, v: Long): (Seq[String], Int) = {
+    val bits = (0 until BloomK).map(j => md5w15(s"fb$j:$v") % BloomBits)
+    val mf = s.read.parquet(s"$dir/manifest").select("file", "bloom").collect()
+    val hit = mf.collect {
+      case m if {
+            val words = m
+              .getSeq[org.apache.spark.sql.Row](1)
+              .map(r => r.getInt(0) -> r.getLong(1))
+              .toMap
+            bits.forall(b => (words.getOrElse((b / 63).toInt, 0L) & (1L << (b % 63).toInt)) != 0L)
+          } =>
+        m.getString(0)
+    }
+    (hit.toSeq, mf.length)
+  }
+
+  /** Bloom-pruned point scan with the residual equality applied row-level. */
+  def prunedScanPoint(s: SparkSession, dir: String, v: Long): DataFrame = {
+    val (files, _) = selectFilesPoint(s, dir, v)
+    val base =
+      if (files.isEmpty) s.read.parquet(s"$dir/data").limit(0)
+      else s.read.parquet(files: _*)
+    base.where(col("o_orderkey") === v)
   }
 
   /** Null-count-pruned `promo IS NOT NULL` scan. */

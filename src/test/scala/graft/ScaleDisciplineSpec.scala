@@ -88,6 +88,28 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     assert(full.prunedScanNotNull(spark, dir).count() === data.where(col("promo").isNotNull).count())
   }
 
+  test("x113 per-file Bloom: point lookup opens a handful of files, never loses a row") {
+    val dir = TestSpark.tempDir() + "/zorder"
+    graft.sources.DataSkipping.ensureLayout(spark, sf, dir)
+    val ds = graft.sources.DataSkipping
+    val data = spark.read.parquet(s"$dir/data")
+    val truth = data.groupBy("o_orderkey").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = truth.keySet.toSeq.sorted.filter(_ % 7 == 0).take(6)
+    for (k <- probes) {
+      val (files, total) = ds.selectFilesPoint(spark, dir, k)
+      assert(files.nonEmpty && total >= 32)
+      // the whole point: an unclustered high-NDV key opens ~1 file, with
+      // only Bloom false positives on top — bound at a quarter of the
+      // layout (fixture fp rate ≈0.4% ⇒ expected extra files ≈ 0.25)
+      assert(files.size * 4 <= total, s"key $k opened ${files.size} of $total files")
+      assert(ds.prunedScanPoint(spark, dir, k).count() === truth(k), s"key $k")
+    }
+    // absent key: zero rows through the pruned scan (fp files are fine,
+    // the residual equality removes them)
+    val absent = truth.keySet.max + 999983L
+    assert(ds.prunedScanPoint(spark, dir, absent).count() === 0L)
+  }
+
   test("q41 lateral top-k decorrelates into a partial window group limit") {
     val plan = SparkEntry.queries("q41_lateral_topk")(spark, sf).queryExecution.executedPlan.toString
     // the correlated ORDER BY/LIMIT must become a per-key group limit with a

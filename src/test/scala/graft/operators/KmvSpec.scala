@@ -86,4 +86,26 @@ class KmvSpec extends AnyFunSuite {
       s"est=$est exact=$n relErr=${math.abs(est - n).toDouble / n} bound=${4 * rse}"
     )
   }
+
+  test("x112 set algebra: union/intersection estimates track a controlled overlap") {
+    import spark.implicits._
+    val k = 256
+    def sketch(lo: Int, hi: Int): Seq[Long] =
+      (lo to hi)
+        .toDF("v")
+        .select(Hashing.md5Window15(col("v").cast("string")).as("h"))
+        .agg(KmvSketch(col("h"), k))
+        .collect()(0)
+        .getSeq[Long](0)
+    val a = sketch(1, 10000) // A = 1..10000
+    val b = sketch(5001, 15000) // B = 5001..15000 → |∪|=15000, |∩|=5000
+    val u = (a ++ b).distinct.sorted.take(k)
+    val aSet = a.toSet; val bSet = b.toSet
+    val interK = u.count(h => aSet(h) && bSet(h))
+    val estU = math.round((k - 1).toDouble * math.pow(2, 60) / u.last)
+    val estI = math.round((interK.toDouble / k) * ((k - 1).toDouble * math.pow(2, 60) / u.last))
+    // 4σ of the KMV RSE (≈6.3% at k=256), scaled to each truth
+    assert(math.abs(estU - 15000) <= 15000 * 4 / math.sqrt(k - 2.0), s"est_union=$estU")
+    assert(math.abs(estI - 5000) <= 5000 * 8 / math.sqrt(k - 2.0), s"est_inter=$estI")
+  }
 }
