@@ -260,6 +260,40 @@ object Multimodal {
     // NAL census → emulation-prevention strip → Exp-Golomb SPS decode
     // recovering the COMPUTED dimensions (macroblock grid minus the crop
     // rectangle), profile and level — from the public ITU-T spec.
+    // H.264 keyframe/GOP indexing (x114) — the video SPLIT-PLANNING step
+    // a distributed pipeline runs before any sample decode: each GOP
+    // (IDR keyframe + its dependent slices) is an independently-decodable
+    // unit, so the index (byte offset, extent, slice census per GOP) IS
+    // the work list that shards a 100 TB video corpus into parallel
+    // decode tasks without ever decoding samples. One output row per GOP
+    // (the explode shape); the oracle is the generator's ground-truth
+    // split table (the x89 twin pattern).
+    "x114_gop_index" -> ((s, _) => {
+      graft.sources.H264GopFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("video_id", LongType),
+          StructField("gop_idx", LongType),
+          StructField("gop_offset", LongType),
+          StructField("n_slices", LongType),
+          StructField("gop_bytes", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.H264GopFixture.payloadPath)
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val id = r.getAs[Long]("video_id")
+            graft.sources.H264Meta.gopIndex(r.getAs[Array[Byte]]("payload")) match {
+              case Some(gops) =>
+                gops.map(g => Row(id, g.gopIdx, g.offset, g.nSlices, g.nBytes))
+              case None => Seq(Row(id, null, null, null, null))
+            }
+          }
+        }(enc)
+        .orderBy("video_id", "gop_idx")
+    }),
     "x89_h264_meta" -> ((s, _) => {
       graft.sources.H264Fixture.ensure(s)
       val schema = StructType(
@@ -735,6 +769,10 @@ object Multimodal {
       """SELECT video_id, width, height, profile, level, n_nals, n_slices
         |FROM '/root/repo/spark-warehouse/graft_h264/twin/*.parquet'
         |ORDER BY video_id""".stripMargin,
+    "x114_gop_index" ->
+      """SELECT video_id, gop_idx, gop_offset, n_slices, gop_bytes
+        |FROM '/root/repo/spark-warehouse/graft_h264gop/twin/*.parquet'
+        |ORDER BY video_id, gop_idx""".stripMargin,
     "x22_audio_meta" ->
       """SELECT audio_id, sample_rate, channels, bits, duration_ms
         |FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet'

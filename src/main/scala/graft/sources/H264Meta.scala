@@ -142,6 +142,77 @@ object H264Meta {
     sps.map { case (w, h, p, l) => Meta(w, h, p, l, ss.length, nSps, nPps, nIdr, nSlices) }
   }
 
+  /** One GOP (group of pictures): a keyframe and everything up to the next
+    * keyframe — the independently-decodable unit a distributed video
+    * pipeline cuts at. `offset` is the byte position of the IDR NAL's
+    * 3-byte start code, so `bytes[offset, offset+nBytes)` prefixed with
+    * the stream's SPS+PPS is a standalone decode task. */
+  final case class Gop(gopIdx: Long, offset: Long, nSlices: Long, nBytes: Long)
+
+  /** x114 keyframe/GOP index of an Annex-B stream. Runs the full [[parse]]
+    * validation first, then maps IDR positions to split points. Structural
+    * lies on top of parse's (no keyframe at all, slices before the first
+    * keyframe — nothing to anchor them to) ⇒ None. */
+  def gopIndex(b: Array[Byte]): Option[Seq[Gop]] = {
+    if (parse(b).isEmpty) return None
+    var starts = List.empty[Int]
+    var i = 0
+    while (i + 3 <= b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && (b(i + 2) & 0xff) == 1) { starts ::= (i + 3); i += 3 }
+      else i += 1
+    }
+    val ss = starts.reverse.toArray
+    val idrAt = ss.indices.filter(j => (b(ss(j)) & 0x1f) == 5)
+    if (idrAt.isEmpty) return None
+    for (j <- 0 until idrAt.head) if ((b(ss(j)) & 0x1f) == 1) return None
+    Some(idrAt.indices.map { g =>
+      val j0 = idrAt(g)
+      val j1 = if (g + 1 < idrAt.size) idrAt(g + 1) else ss.length
+      val off = ss(j0) - 3
+      val end = if (g + 1 < idrAt.size) ss(idrAt(g + 1)) - 3 else b.length
+      val nS = (j0 + 1 until j1).count(j => (b(ss(j)) & 0x1f) == 1)
+      Gop(g.toLong, off.toLong, nS.toLong, (end - off).toLong)
+    })
+  }
+
+  /** Multi-GOP Annex-B generator for the x114 fixture: SPS + PPS, then
+    * `nGops` groups of one IDR + `slicesOf(g)` non-IDR slices, ALL with
+    * short start codes (so a GOP's recorded offset is exactly its start
+    * code's first byte — no leading-zero ambiguity). Returns the stream
+    * plus the generator's ground-truth (offset, nSlices, nBytes) per GOP. */
+  def synthesizeGops(
+      widthMbs: Int,
+      heightUnits: Int,
+      profile: Int,
+      level: Int,
+      nGops: Int,
+      slicesOf: Int => Int,
+      seed: Int
+  ): (Array[Byte], Seq[(Long, Long, Long)]) = {
+    val sps = spsPayload(widthMbs, heightUnits, (0, 0, 0, 0), profile, level, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, payload: Array[Byte]): Unit = {
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      out.write(payload, 0, payload.length)
+    }
+    nal(0x67, sps)
+    nal(0x68, Array.tabulate(4)(k => ((seed + k) % 0x5f + 0x20).toByte))
+    val offs = new scala.collection.mutable.ArrayBuffer[Int]
+    for (g <- 0 until nGops) {
+      offs += out.size()
+      nal(0x65, Array.tabulate(20 + g % 5)(k => ((seed * 7 + g * 13 + k * 3) % 0x5f + 0x20).toByte))
+      for (sl <- 0 until slicesOf(g))
+        nal(0x41, Array.tabulate(12 + (g + sl) % 7)(k => ((seed * 11 + g * 17 + sl * 5 + k) % 0x5f + 0x20).toByte))
+    }
+    val bytes = out.toByteArray
+    val gops = (0 until nGops).map { g =>
+      val end = if (g + 1 < nGops) offs(g + 1) else bytes.length
+      (offs(g).toLong, slicesOf(g).toLong, (end - offs(g)).toLong)
+    }
+    (bytes, gops)
+  }
+
   private final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var acc = 0; private var n = 0
@@ -160,15 +231,15 @@ object H264Meta {
     * geometry, WITH emulation prevention), a PPS stub, one IDR and `slices`
     * non-IDR NALs of deterministic junk that cannot form start codes. A
     * separate forward path from [[parse]]. */
-  def synthesize(
+  /** SPS NAL payload (escaped RBSP) for the given geometry — shared by the
+    * x89 single-GOP and x114 multi-GOP generators. */
+  private def spsPayload(
       widthMbs: Int,
       heightUnits: Int,
       crop: (Int, Int, Int, Int),
       profile: Int,
       level: Int,
-      slices: Int,
-      seed: Int,
-      trailingZeroWords: Int = 0
+      trailingZeroWords: Int
   ): Array[Byte] = {
     val w = new BitWriter
     w.putBits(profile, 8)
@@ -199,6 +270,21 @@ object H264Meta {
       esc.write(x & 0xff)
       zeros = if (x == 0) zeros + 1 else 0
     }
+    esc.toByteArray
+  }
+
+  def synthesize(
+      widthMbs: Int,
+      heightUnits: Int,
+      crop: (Int, Int, Int, Int),
+      profile: Int,
+      level: Int,
+      slices: Int,
+      seed: Int,
+      trailingZeroWords: Int = 0
+  ): Array[Byte] = {
+    val esc = new java.io.ByteArrayOutputStream()
+    esc.write(spsPayload(widthMbs, heightUnits, crop, profile, level, trailingZeroWords))
     val out = new java.io.ByteArrayOutputStream()
     def nal(longStart: Boolean, header: Int, payload: Array[Byte]): Unit = {
       if (longStart) out.write(0)
@@ -220,6 +306,43 @@ object H264Meta {
   * census follow formulas of video_id; the twin is the generator's ground
   * truth (x21/x22 pattern). Emulation prevention is load-bearing: crop
   * values are chosen so some SPS payloads contain 00 00 0x runs. */
+/** Fixture for the x114 GOP-index gate: 200 multi-GOP Annex-B streams; the
+  * twin records the generator's ground-truth split table (per-GOP byte
+  * offset, slice count, byte extent) — the x89/x21/x22 twin pattern. */
+object H264GopFixture {
+  val dir = "/root/repo/spark-warehouse/graft_h264gop"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def rows: Seq[(Long, Array[Byte], Seq[(Long, Long, Long)])] = (0 until 200).map { i =>
+    val (bytes, gops) = H264Meta.synthesizeGops(
+      widthMbs = 2 + i % 20,
+      heightUnits = 2 + (i * 3) % 20,
+      profile = Seq(66, 77, 88)(i % 3),
+      level = Seq(30, 31, 40, 41, 50)(i % 5),
+      nGops = 1 + i % 6,
+      slicesOf = g => 1 + (i + 2 * g) % 8,
+      seed = i
+    )
+    (i.toLong, bytes, gops)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _) => (id, p) }
+        .toDF("video_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.flatMap { case (id, _, gops) =>
+        gops.zipWithIndex.map { case ((off, ns, nb), g) => (id, g.toLong, off, ns, nb) }
+      }.toDF("video_id", "gop_idx", "gop_offset", "n_slices", "gop_bytes")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
 object H264Fixture {
   val dir = "/root/repo/spark-warehouse/graft_h264"
   val payloadPath = s"$dir/payloads"

@@ -48,4 +48,40 @@ class H264MetaSpec extends AnyFunSuite {
     // truncated inside the SPS: Exp-Golomb reader runs out of bits
     assert(H264Meta.parse(ok.take(spsAt + 3)) === None)
   }
+
+  test("x114 GOP index: offsets are real split points, extents tile the stream") {
+    val (bytes, truth) =
+      H264Meta.synthesizeGops(6, 4, 66, 40, nGops = 4, slicesOf = g => 1 + g % 3, seed = 9)
+    val gops = H264Meta.gopIndex(bytes).get
+    assert(gops.map(g => (g.offset, g.nSlices, g.nBytes)) === truth)
+    // every offset points at a start code whose NAL is an IDR
+    for (g <- gops) {
+      val o = g.offset.toInt
+      assert(bytes(o) == 0 && bytes(o + 1) == 0 && bytes(o + 2) == 1)
+      assert((bytes(o + 3) & 0x1f) === 5)
+    }
+    // extents tile [firstGop, end) with no gaps
+    assert(gops.last.offset + gops.last.nBytes === bytes.length.toLong)
+    for (Seq(a, b) <- gops.sliding(2))
+      assert(a.offset + a.nBytes === b.offset)
+    // each GOP slice, prefixed with SPS+PPS, re-parses as a standalone stream
+    val headerEnd = gops.head.offset.toInt
+    val standalone = bytes.take(headerEnd) ++
+      bytes.slice(gops(2).offset.toInt, (gops(2).offset + gops(2).nBytes).toInt)
+    val m = H264Meta.parse(standalone).get
+    assert(m.nIdr === 1 && m.nSlices === truth(2)._2)
+  }
+
+  test("x114 GOP quarantine: keyframe-less and orphan-slice streams reject") {
+    // x89's generator emits exactly one IDR — strip it to get a keyframe-less stream
+    val one = H264Meta.synthesize(6, 4, (0, 0, 0, 0), 66, 40, slices = 2, seed = 3)
+    assert(H264Meta.gopIndex(one).isDefined)
+    // orphan slices: a non-IDR slice before the first IDR
+    val (bytes, _) = H264Meta.synthesizeGops(6, 4, 66, 40, nGops = 2, slicesOf = _ => 2, seed = 5)
+    val gops = H264Meta.gopIndex(bytes).get
+    val first = gops.head.offset.toInt
+    val orphan = bytes.take(first) ++
+      Array[Byte](0, 0, 1, 0x41, 0x30, 0x31, 0x32) ++ bytes.drop(first)
+    assert(H264Meta.gopIndex(orphan) === None)
+  }
 }
