@@ -113,6 +113,38 @@ object TextAnalysis {
         )
         .orderBy("doc_id")
     }),
+    // Sliding-window document chunking (x115) — the retrieval/embedding
+    // prep step every RAG pipeline runs: token-aligned windows of 24 with
+    // stride 16 (8-token overlap), one row per chunk carrying its token
+    // offset, length, and an md5-window content hash so the gate pins the
+    // exact text of every chunk, not just the schedule. Chunk count is
+    // 1 for short docs, else ceil((n−C)/S)+1 — the last window may be
+    // short, never empty, and consecutive windows overlap by C−S tokens.
+    // Scale shape: pure per-row codegen (split + bounded explode of n/S
+    // chunks per doc) — no shuffle before the gate's final sort; at
+    // 100 TB this is a map-only pass feeding the embedding stage.
+    "x115_doc_chunking" -> ((s, d) => {
+      val C = 24
+      val S = 16
+      table(s, d, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn(
+          "n_chunks",
+          when(col("n") <= C, lit(1L))
+            .otherwise(ceil((col("n") - C) / lit(S.toDouble)).cast("long") + 1L)
+        )
+        .withColumn("k", explode(expr("sequence(0L, n_chunks - 1)")))
+        .withColumn("chunk", slice(col("tk"), (col("k") * S + 1).cast("int"), lit(C)))
+        .select(
+          col("doc_id"),
+          col("k").as("chunk_idx"),
+          (col("k") * S).as("start_tok"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          graft.functions.Hashing.md5Window15(concat_ws(" ", col("chunk"))).as("chunk_hash")
+        )
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "x08_text_quality" -> ((s, d) => {
       // explode + codegen'd conditional aggregation (interpreted array
       // lambdas cost ~10× at sf0.1; the shuffle on doc_id is cheaper)
@@ -811,6 +843,24 @@ object TextAnalysis {
     Map(
       "x72_bpe_train" -> bpeTrainOracle,
       "x75_bpe_encode" -> bpeEncodeOracle,
+      // x115: the same schedule + slices replayed with list algebra; the
+      // per-chunk md5-window hash pins exact chunk content.
+      "x115_doc_chunking" ->
+        """WITH d AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+          |c AS (
+          |  SELECT doc_id, tk, len(tk) AS n,
+          |    CASE WHEN len(tk) <= 24 THEN 1
+          |         ELSE CAST(ceil((len(tk) - 24) / 16.0) AS BIGINT) + 1 END AS n_chunks
+          |  FROM d),
+          |x AS (
+          |  SELECT doc_id, kk.k AS chunk_idx, kk.k * 16 AS start_tok,
+          |    tk[kk.k * 16 + 1 : kk.k * 16 + 24] AS chunk
+          |  FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS k) kk)
+          |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+          |  CAST(len(chunk) AS BIGINT) AS n_toks,
+          |  ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT AS chunk_hash
+          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
       "x07_text_tokens" ->
         """SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
