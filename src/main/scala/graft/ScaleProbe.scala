@@ -36,6 +36,10 @@ object ScaleProbe {
     }
     scaleFact("lineitem", Seq("l_orderkey"))
     scaleFact("orders", Seq("o_orderkey"))
+    // customers scale for the record-linkage and graph probes (x108's
+    // record universe and the md5 graph's vertex set are customer-sized);
+    // none of the probed queries broadcast customer as a small dim
+    scaleFact("customer", Seq("c_custkey"))
     // documents replicate with shifted ids but IDENTICAL text — deliberately
     // the dedup worst case: every doc gains n-1 exact clones, every shingle's
     // document frequency multiplies by n. The probe then shows the df cap
@@ -57,7 +61,10 @@ object ScaleProbe {
         }.toSeq: _*)
         .write.mode("overwrite").parquet(s"$work/events.parquet")
     }
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    // customer is NOT in this dim-copy list — it is fact-scaled above
+    // (a copy here would clobber the 16x table and silently run the
+    // x108/x109 probes at 1x)
+    Seq("region", "nation", "supplier", "part", "embeddings")
       .foreach { t =>
         Graft.table(spark, src, t).write.mode("overwrite").parquet(s"$work/$t.parquet")
       }
@@ -192,7 +199,31 @@ object ScaleProbe {
       // r7: x73's enriched stats pass (null counts + per-file KMV) rides
       // the same one-scan manifest build; steady state is marker-read +
       // pruned scan
-      "x73_skipping_scan"
+      "x73_skipping_scan",
+      // r7 session 2: entity resolution over 16x customers (~48k records)
+      // — blocking joins on md5-uniform 4-hex keys; candidate volume grows
+      // with block occupancy (birthday pairs), matches stay linear
+      "x108_entity_resolution",
+      // r7 session 2: 5 LPA rounds over the 16x-vertex md5 graph — per
+      // round one edges⋈labels join + bounded argmax agg; edge table
+      // checkpointed once
+      "x109_label_propagation",
+      // r7 session 2: resample/gap-fill over 16x users (1.6M events) —
+      // one window pass per user partition, grid explode bounded by span
+      "x110_resample_gapfill",
+      // r7 session 2: sketch algebra over 16x orders — the KMV build is
+      // the corpus-sized part (bounded buffers); the algebra is two
+      // 256-long arrays regardless of scale
+      "x112_kmv_set_algebra",
+      // r7 session 2: ORC rewrite of the 16x lineitem (one-pass format
+      // conversion, then the pruned aggregate read)
+      "x106_orc_roundtrip",
+      // r7 session 2: Bloom manifest build over 16x orders (one grouped
+      // scan + the 3x probe explode), then driver-side point planning
+      "x113_bloom_point_lookup",
+      // r7 session 2: chunking is map-only split+explode over the 16x
+      // clone corpus — the embedding-prep scan shape
+      "x115_doc_chunking"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

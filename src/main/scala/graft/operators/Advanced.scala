@@ -246,7 +246,10 @@ object Advanced {
           size(filter(col("u"), h => array_contains(col("a"), h) && array_contains(col("b"), h)))
             .cast("long")
         )
-        .withColumn("vk", element_at(col("u"), k))
+        // get() (not element_at) + the size guard: under ANSI mode a
+        // sub-k union sketch must fall back to its exact size, never
+        // throw — the x49 discipline (a sub-k KMV IS the exact hash set)
+        .withColumn("vk", get(col("u"), lit(k - 1)))
         .select(
           col("exact_union"),
           col("exact_inter"),
@@ -254,10 +257,14 @@ object Advanced {
           size(col("b")).cast("long").as("n_b"),
           col("inter_k"),
           col("vk"),
-          expr("CAST(round(255.0 * 1152921504606846976.0 / vk) AS BIGINT)").as("est_union"),
-          expr(
-            "CAST(round((inter_k / 256.0) * (255.0 * 1152921504606846976.0 / vk)) AS BIGINT)"
-          ).as("est_inter")
+          when(size(col("u")) < k, size(col("u")).cast("long"))
+            .otherwise(expr("CAST(round(255.0 * 1152921504606846976.0 / vk) AS BIGINT)"))
+            .as("est_union"),
+          when(size(col("u")) < k, col("inter_k"))
+            .otherwise(
+              expr("CAST(round((inter_k / 256.0) * (255.0 * 1152921504606846976.0 / vk)) AS BIGINT)")
+            )
+            .as("est_inter")
         )
     }),
     // Exact distinct counting via BITMAP aggregation — the third distinct
@@ -1071,13 +1078,18 @@ object Advanced {
         |      max(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS f,
         |      max(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS o2
         |    FROM o GROUP BY 1)),
-        |sz AS (SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b)
+        |sz AS (SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b),
+        |nu AS (SELECT count(*) AS n FROM u)
         |SELECT CAST(ex.exact_union AS BIGINT) AS exact_union, ex.exact_inter,
         |  CAST(sz.n_a AS BIGINT) AS n_a, CAST(sz.n_b AS BIGINT) AS n_b,
-        |  CAST(ik.inter_k AS BIGINT) AS inter_k, vk.vk,
-        |  CAST(round(255.0 * 1152921504606846976.0 / vk.vk) AS BIGINT) AS est_union,
-        |  CAST(round((ik.inter_k / 256.0) * (255.0 * 1152921504606846976.0 / vk.vk)) AS BIGINT) AS est_inter
-        |FROM ex, sz, ik, vk""".stripMargin,
+        |  CAST(ik.inter_k AS BIGINT) AS inter_k,
+        |  CASE WHEN nu.n < 256 THEN NULL ELSE vk.vk END AS vk,
+        |  CASE WHEN nu.n < 256 THEN nu.n
+        |       ELSE CAST(round(255.0 * 1152921504606846976.0 / vk.vk) AS BIGINT) END AS est_union,
+        |  CASE WHEN nu.n < 256 THEN ik.inter_k
+        |       ELSE CAST(round((ik.inter_k / 256.0) * (255.0 * 1152921504606846976.0 / vk.vk)) AS BIGINT)
+        |  END AS est_inter
+        |FROM ex, sz, ik, vk, nu""".stripMargin,
     "x49_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag,

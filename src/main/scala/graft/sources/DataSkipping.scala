@@ -28,14 +28,19 @@ object DataSkipping {
   /** Query rectangle + the scan bounds it was planned against. */
   final case class Rect(cLo: Long, cHi: Long, dLo: Long, dHi: Long)
 
-  /** orders projected to the two cluster dims (the x47 projection). */
-  def dims(s: SparkSession, d: String): DataFrame =
+  /** orders with the point-lookup key plus the two cluster dims — the ONE
+    * definition of `days` the manifest and every query rectangle share. */
+  def base(s: SparkSession, d: String): DataFrame =
     graft.Graft
       .table(s, d, "orders")
       .select(
+        col("o_orderkey"),
         col("o_custkey"),
         datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days")
       )
+
+  /** orders projected to the two cluster dims (the x47 projection). */
+  def dims(s: SparkSession, d: String): DataFrame = base(s, d).drop("o_orderkey")
 
   /** Corpus bounds on both cluster dims: (cmin, cmax, dmin, dmax). */
   final case class Bounds(cMin: Long, cMax: Long, dMin: Long, dMax: Long)
@@ -70,13 +75,7 @@ object DataSkipping {
   val BloomK = 3
 
   def writeLayout(s: SparkSession, d: String, dir: String, nFiles: Int = 64): Bounds = {
-    val o = graft.Graft
-      .table(s, d, "orders")
-      .select(
-        col("o_orderkey"),
-        col("o_custkey"),
-        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days")
-      )
+    val o = base(s, d)
     val b = o.agg(min("o_custkey"), max("o_custkey"), min("days"), max("days")).collect()(0)
     val bounds = Bounds(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     o.withColumn("cx", expr(graft.operators.Sampling.scale16("o_custkey", s"${bounds.cMin}L", s"${bounds.cMax}L")))

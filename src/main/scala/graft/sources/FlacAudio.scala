@@ -457,7 +457,15 @@ object FlacAudio {
       w.writeBits(eff(0) & ((1L << effBps) - 1), effBps)
       return
     }
-    pred match {
+    // a short tail block can be <= the requested predictor order: the
+    // warmup would index past the block and the emitted residual layout
+    // would be one the decoder rightly rejects — downgrade to VERBATIM
+    val safe = pred match {
+      case Fixed(o) if o >= bs => Verbatim
+      case Lpc(o, _, _, _) if o >= bs => Verbatim
+      case p => p
+    }
+    safe match {
       case Verbatim =>
         header(1)
         eff.foreach(v => w.writeBits(v & ((1L << effBps) - 1), effBps))

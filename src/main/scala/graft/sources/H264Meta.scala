@@ -98,15 +98,21 @@ object H264Meta {
     } catch { case _: IndexOutOfBoundsException => None }
 
   /** Walk an Annex-B stream: start codes → NAL type census + first SPS. */
-  def parse(b: Array[Byte]): Option[Meta] = {
-    // NAL start offsets (after the start code), paired with end offsets
+  /** NAL payload offsets (the byte after each 00 00 01 start code) — one
+    * O(n) walk shared by [[parse]] and [[gopIndex]]. */
+  private def startCodes(b: Array[Byte]): Array[Int] = {
     var starts = List.empty[Int]
     var i = 0
     while (i + 3 <= b.length) {
       if (b(i) == 0 && b(i + 1) == 0 && (b(i + 2) & 0xff) == 1) { starts ::= (i + 3); i += 3 }
       else i += 1
     }
-    val ss = starts.reverse.toArray
+    starts.reverse.toArray
+  }
+
+  def parse(b: Array[Byte]): Option[Meta] = parseWith(b, startCodes(b))
+
+  private def parseWith(b: Array[Byte], ss: Array[Int]): Option[Meta] = {
     if (ss.isEmpty) return None
     // Annex B: only leading_zero_8bits (0x00) may precede the first start
     // code -- arbitrary junk prefixes are a structural lie, not a stream
@@ -154,14 +160,8 @@ object H264Meta {
     * lies on top of parse's (no keyframe at all, slices before the first
     * keyframe — nothing to anchor them to) ⇒ None. */
   def gopIndex(b: Array[Byte]): Option[Seq[Gop]] = {
-    if (parse(b).isEmpty) return None
-    var starts = List.empty[Int]
-    var i = 0
-    while (i + 3 <= b.length) {
-      if (b(i) == 0 && b(i + 1) == 0 && (b(i + 2) & 0xff) == 1) { starts ::= (i + 3); i += 3 }
-      else i += 1
-    }
-    val ss = starts.reverse.toArray
+    val ss = startCodes(b) // one walk, shared with the validation pass
+    if (parseWith(b, ss).isEmpty) return None
     val idrAt = ss.indices.filter(j => (b(ss(j)) & 0x1f) == 5)
     if (idrAt.isEmpty) return None
     for (j <- 0 until idrAt.head) if ((b(ss(j)) & 0x1f) == 1) return None

@@ -299,14 +299,21 @@ case class CountMinAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
+  // hoisted out of the per-row path: one digest instance per task (digest()
+  // resets it) and the per-row salt prefixes built once
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(depth)(i => s"cm$i:".getBytes("UTF-8"))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.toString
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val itemBytes = v.toString.getBytes("UTF-8")
       var i = 0
       while (i < depth) {
-        val dig = md.digest(s"cm$i:$item".getBytes("UTF-8")) // digest() resets
+        md.update(salts(i))
+        md.update(itemBytes)
+        val dig = md.digest()
         // first 15 hex digits = high 60 bits of the digest, as in md5Window15
         var h = 0L
         var b = 0

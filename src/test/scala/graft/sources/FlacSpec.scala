@@ -66,6 +66,25 @@ class FlacSpec extends AnyFunSuite {
     assert(FlacAudio.decode(good :+ 0.toByte).isEmpty, "trailing garbage")
   }
 
+  test("tail block shorter than the predictor order downgrades to VERBATIM and round-trips") {
+    // 258 samples at blockSize 256 → a 2-sample tail frame; Fixed(4) must
+    // not index past the block or emit a layout the decoder rejects
+    val sig = Array.tabulate(258)(i => (i * 37) % 4001 - 2000)
+    for (pred <- Seq(FlacAudio.Fixed(4), FlacAudio.Lpc(2, 12, 9, Array(700L, -400L)))) {
+      val bytes = FlacAudio.encode(
+        Array(sig),
+        rate = 8000,
+        blockSize = 256,
+        chMode = _ => 0,
+        pred = (_, _) => pred,
+        po = _ => 2,
+        esc = (_, _) => false
+      )
+      val pcm = FlacAudio.decode(bytes).getOrElse(fail(s"$pred: tail frame quarantined"))
+      assert(pcm.samples.toSeq === sig.toSeq, pred.toString)
+    }
+  }
+
   test("decoder is not merely the encoder inverted: mono hand-built stream") {
     // order-1 fixed predictor over a ramp: residuals are the constant step,
     // checked against a by-hand expectation (signal 100, 103, 106, ...)

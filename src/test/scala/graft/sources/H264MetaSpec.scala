@@ -73,9 +73,13 @@ class H264MetaSpec extends AnyFunSuite {
   }
 
   test("x114 GOP quarantine: keyframe-less and orphan-slice streams reject") {
-    // x89's generator emits exactly one IDR — strip it to get a keyframe-less stream
+    // a single-IDR stream indexes as one GOP...
     val one = H264Meta.synthesize(6, 4, (0, 0, 0, 0), 66, 40, slices = 2, seed = 3)
-    assert(H264Meta.gopIndex(one).isDefined)
+    assert(H264Meta.gopIndex(one).map(_.size) === Some(1))
+    // ...while a stream with NO keyframe at all (SPS+PPS only) rejects
+    val (noIdr, _) = H264Meta.synthesizeGops(6, 4, 66, 40, nGops = 0, slicesOf = _ => 0, seed = 3)
+    assert(H264Meta.parse(noIdr).isDefined) // parse is fine with it — the GOP indexer is not
+    assert(H264Meta.gopIndex(noIdr) === None)
     // orphan slices: a non-IDR slice before the first IDR
     val (bytes, _) = H264Meta.synthesizeGops(6, 4, 66, 40, nGops = 2, slicesOf = _ => 2, seed = 5)
     val gops = H264Meta.gopIndex(bytes).get
