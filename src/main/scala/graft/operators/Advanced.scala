@@ -202,6 +202,90 @@ object Advanced {
         )
         .orderBy("l_returnflag")
     }),
+    // TPC-H Q5 shape (q73) — the canonical 6-way star-with-correlation
+    // join: two FACT shuffles (lineitem⋈orders, then ⋈customer) with the
+    // supplier/nation/region dims broadcast, plus the correlation
+    // predicate c_nationkey = s_nationkey that makes Q5 famous (it ties
+    // the customer leg to the supplier leg, so join ORDER matters; the
+    // declarative plan lets Catalyst+AQE pick it). Revenue crosses the
+    // gate in cents (the x106 fixed-point discipline).
+    "q73_local_supplier_volume" -> ((s, d) => {
+      val rev = expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      val asiaNations = broadcast(
+        table(s, d, "nation")
+          .join(
+            broadcast(table(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select("n_nationkey", "n_name")
+      )
+      table(s, d, "lineitem")
+        .join(
+          table(s, d, "orders").where(
+            col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+          ),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey")
+        )
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    }),
+    // TPC-H Q8 shape (q74) — market share: one nation's suppliers' slice
+    // of a region's market for one part type, per year. The conditional
+    // aggregation (numerator = CASE on supplier nation) runs in the SAME
+    // pass as the denominator — one plan, no self-join; the share crosses
+    // the gate as integer ppm (the x27 discipline), so no float division
+    // reaches the hash.
+    "q74_market_share" -> ((s, d) => {
+      val rev = expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      val mktNations = broadcast(
+        table(s, d, "nation")
+          .join(
+            broadcast(table(s, d, "region").where(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select(col("n_nationkey").as("cn_key"))
+      )
+      val suppNations = broadcast(
+        table(s, d, "nation").select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      )
+      table(s, d, "lineitem")
+        .join(
+          broadcast(table(s, d, "part").where(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey")
+        )
+        .join(
+          table(s, d, "orders").where(
+            col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+          ),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(mktNations, col("c_nationkey") === col("cn_key"))
+        .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNations, col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"), rev.as("rev"), col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", col("rev")).otherwise(0L)).as("nation_c"),
+          sum("rev").as("total_c")
+        )
+        .select(
+          col("o_year"),
+          col("nation_c"),
+          col("total_c"),
+          expr("(nation_c * 1000000L) div total_c").as("share_ppm")
+        )
+        .orderBy("o_year")
+    }),
     // KMV SET ALGEBRA (x112) — the reason the x49 sketch returns its raw
     // hash set instead of a scalar estimate: two sketches support union /
     // intersection / Jaccard ESTIMATES without re-scanning either input
@@ -1055,6 +1139,40 @@ object Advanced {
     // reproducible), then the same double-precision (k-1)·2^60/v_k estimate.
     // 255.0·2^60 is exactly representable in double and IEEE division +
     // round-half-away match Spark bit-for-bit.
+    "q73_local_supplier_volume" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_c DESC, n_name""".stripMargin,
+    "q74_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS BIGINT) AS nation_c,
+        |  CAST(sum(rev) AS BIGINT) AS total_c,
+        |  (CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(sum(rev) AS BIGINT) AS share_ppm
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
     // x112: the full sketch-algebra replay — both KMV sketches rebuilt as
     // k-smallest-distinct-hash sets, union re-trimmed, membership counted,
     // and the identical IEEE estimator chain evaluated.

@@ -424,6 +424,17 @@ object Warehouse {
         .crossJoin(src)
       per.crossJoin(broadcast(stats)).orderBy("bucket")
     }),
+    // Metadata-only COUNT(*) (x116): parquet footers already carry exact
+    // per-row-group counts, so counting a table is a file-list problem —
+    // zero data pages read. Footer reads distribute over the executors;
+    // the gate pins the counts against real COUNT(*) on four tables.
+    "x116_metadata_count" -> ((s, d) => {
+      import s.implicits._
+      Seq("customer", "documents", "lineitem", "orders")
+        .map(t => (t, graft.sources.FooterStats.rowCount(s, s"$d/$t.parquet")))
+        .toDF("table_name", "n_rows")
+        .orderBy("table_name")
+    }),
     // x106 ORC round-trip: format choice must be invisible to results —
     // the lineitem projection written to zlib ORC (partitioned by return
     // flag) and read back must aggregate identically to the parquet
@@ -446,6 +457,12 @@ object Warehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "x116_metadata_count" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'documents', count(*) FROM documents
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |ORDER BY table_name""".stripMargin,
     // x106: the oracle reads the PARQUET original — a hash match proves
     // the ORC write+read round-trip is value-exact (doubles bit-preserved,
     // timestamps micros-exact, partition column restored).
