@@ -424,6 +424,55 @@ object Warehouse {
         .crossJoin(src)
       per.crossJoin(broadcast(stats)).orderBy("bucket")
     }),
+    // Partition-spec evolution (x117): the table's bucket geometry
+    // changes (1024 → 4096) as a METADATA-ONLY commit; the next merge
+    // rewrites its touched old-spec buckets under the new spec while
+    // untouched spec-1 files carry by reference, and key-range pruning
+    // stays spec-agnostic (tight per-entry min/max). The gate reads the
+    // post-evolution snapshot per super-bucket with per-spec file
+    // provenance, pins the metadata-only law (v2 manifest == v1), and
+    // probes one old-width block through the cross-spec pruner — a
+    // spurious rewrite, a provenance drift, or a pruning miss flips a
+    // column. Entry sets are deterministic (bucket dirs from key
+    // formulas), so unlike x113 the FILE COUNTS are oracle-checkable.
+    "x117_partition_evolution" -> ((s, d) => {
+      val se = graft.sources.CowSpecEvo
+      se.ensure(s, d)
+      import s.implicits._
+      val content = se
+        .read(s, 3)
+        .withColumn("sb", expr(s"k div ${se.W2}L"))
+        .groupBy("sb")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_total"))
+      val es = se.entriesOf(s, 3)
+      val provDf = es
+        .map(e => (if (e.specId == 1) e.bucket / (se.W2 / se.W1) else e.bucket, e.specId))
+        .toDF("sb", "spec")
+        .groupBy("sb")
+        .agg(
+          sum(when(col("spec") === 1, 1L).otherwise(0L)).as("n_spec1_files"),
+          sum(when(col("spec") === 2, 1L).otherwise(0L)).as("n_spec2_files")
+        )
+      val metaOnly = se.entriesOf(s, 2) == se.entriesOf(s, 1)
+      val b0 = graft.Graft
+        .table(s, d, "orders")
+        .select(col("o_orderkey").as("k"))
+        .where(expr(se.UpdFilter))
+        .agg(min(expr(s"k div ${se.W1}L")))
+        .collect()(0)
+        .getLong(0)
+      val lo = b0 * se.W1
+      val hi = lo + se.W1 - 1
+      val pruned = se.pruneEntries(s, 3, lo, hi)
+      val narrowRows = s.read.parquet(pruned.map(_.path): _*).where(col("k").between(lo, hi)).count()
+      val stats = Seq((es.size.toLong, pruned.size.toLong, narrowRows, metaOnly))
+        .toDF("n_files_total", "n_files_narrow", "narrow_rows", "evolve_meta_only")
+      content
+        .join(broadcast(provDf), Seq("sb"), "left")
+        .na.fill(0L, Seq("n_spec1_files", "n_spec2_files"))
+        .crossJoin(broadcast(stats))
+        .orderBy("sb")
+    }),
     // Metadata-only COUNT(*) (x116): parquet footers already carry exact
     // per-row-group counts, so counting a table is a file-list problem —
     // zero data pages read. Footer reads distribute over the executors;
@@ -457,6 +506,41 @@ object Warehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // x117: content + file provenance + pruning all recomputed from the
+    // update/insert formulas — the entry sets are pure bucket arithmetic.
+    "x117_partition_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT k, k * 3 + 7 AS cents FROM base WHERE k % 89 = 0 AND (k // 1024) % 3 = 1),
+        |ins AS (SELECT 20000000 + i.i AS k, 5000 + i.i * 11 AS cents
+        |        FROM (SELECT unnest(range(40)) AS i) i),
+        |v3 AS (
+        |  SELECT b.k, coalesce(u.cents, b.cents) AS cents
+        |  FROM base b LEFT JOIN upd u ON b.k = u.k
+        |  UNION ALL SELECT k, cents FROM ins),
+        |content AS (
+        |  SELECT k // 4096 AS sb, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_total
+        |  FROM v3 GROUP BY 1),
+        |tb AS (SELECT DISTINCT k // 1024 AS b FROM upd),
+        |bb AS (SELECT DISTINCT k // 1024 AS b FROM base),
+        |carried AS (SELECT b FROM bb WHERE b NOT IN (SELECT b FROM tb)),
+        |s2 AS (SELECT DISTINCT sb FROM (
+        |  SELECT b // 4 AS sb FROM tb UNION ALL SELECT k // 4096 AS sb FROM ins) t),
+        |c1 AS (SELECT b // 4 AS sb, count(*) AS n FROM carried GROUP BY 1),
+        |b0 AS (SELECT min(k) // 1024 AS b FROM upd),
+        |gstats AS (SELECT
+        |  CAST((SELECT count(*) FROM carried) + (SELECT count(*) FROM s2) AS BIGINT) AS n_files_total,
+        |  CAST((SELECT count(*) FROM carried, b0 WHERE carried.b = b0.b)
+        |     + (SELECT count(*) FROM s2, b0 WHERE s2.sb = b0.b // 4) AS BIGINT) AS n_files_narrow,
+        |  CAST((SELECT count(*) FROM v3, b0
+        |        WHERE v3.k >= b0.b * 1024 AND v3.k < (b0.b + 1) * 1024) AS BIGINT) AS narrow_rows,
+        |  TRUE AS evolve_meta_only)
+        |SELECT c.sb, CAST(c.n_rows AS BIGINT) AS n_rows, c.cents_total,
+        |  CAST(coalesce(c1.n, 0) AS BIGINT) AS n_spec1_files,
+        |  CAST(CASE WHEN c.sb IN (SELECT sb FROM s2) THEN 1 ELSE 0 END AS BIGINT) AS n_spec2_files,
+        |  g.n_files_total, g.n_files_narrow, g.narrow_rows, g.evolve_meta_only
+        |FROM content c LEFT JOIN c1 ON c.sb = c1.sb, gstats g
+        |ORDER BY c.sb""".stripMargin,
     "x116_metadata_count" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
         |UNION ALL SELECT 'documents', count(*) FROM documents
