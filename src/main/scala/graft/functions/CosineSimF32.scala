@@ -75,6 +75,19 @@ object MisraGries {
     )
 }
 
+/** Deterministic-compaction mergeable quantile sketch (≤ k·levels longs,
+  * level-wise merge, map-side partials). Sketch CONTENT is merge-order
+  * dependent — only the worst-case rank guarantee (error ≤ 2·N·levels/k)
+  * may cross a hash gate. Returns flattened (weight, value) pairs. */
+object QuantileSketch {
+  def apply(value: Column, k: Int): Column =
+    Bridge.column(
+      org.apache.spark.sql.graftbridge
+        .QuantileSketchAgg(Bridge.expression(value), k)
+        .toAggregateExpression()
+    )
+}
+
 /** Count-min frequency sketch aggregate (native TypedImperativeAggregate —
   * fixed depth×width long-array buffer, pointwise-sum merge, map-side
   * partials). Counters are pure sums, so the sketch is fully

@@ -286,6 +286,81 @@ object Advanced {
         )
         .orderBy("o_year")
     }),
+    // Mergeable quantile sketch (x118) — the quantile member completing
+    // the native sketch family (x49 distinct, x94 heavy hitters, x107
+    // frequency): deterministic-compaction MRL/KLL levels, ≤ k·levels
+    // state, level-wise merge. Sketch CONTENT is merge-order dependent
+    // (like x94's counters), so the gate pins the ORDER-INDEPENDENT
+    // worst-case guarantee: every compaction at level i perturbs a rank
+    // by ≤ 2^i and ≤ ⌈N/(2^(i−1)k)⌉ compactions run per level, so the
+    // estimated quantile's true rank lies within B = 2·N·levels/k of its
+    // target — asserted as a sandwich over EXACT ranks computed in-query.
+    // Exact-twin percentiles (the q27 two-phase operator) ride along
+    // hash-pinned. The rank-probe crossJoin multiplies the stream by the
+    // 3 probe values only; the cum-weight window runs over sketch-sized
+    // rows (≤ k·levels), never data.
+    "x118_quantile_sketch" -> ((s, d) => {
+      val k = 256
+      val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+      val cents = table(s, d, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        .localCheckpoint() // three plan refs: sketch, rank probe, count
+      val n = cents.agg(count(lit(1)).as("n"))
+      val pairs = cents
+        .agg(graft.functions.QuantileSketch(col("c"), k).as("sk"))
+        .select(
+          explode(
+            expr("transform(sequence(0, size(sk) div 2 - 1), i -> struct(sk[2*i] AS w, sk[2*i+1] AS v))")
+          ).as("p")
+        )
+        .select(col("p.w").as("w"), col("p.v").as("v"))
+        .localCheckpoint() // cum-weight window + level count
+      val wv = Window
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pairs.withColumn("cw", sum("w").over(wv)).crossJoin(broadcast(n))
+      val est = qs
+        .map { case (nm, q) =>
+          cum
+            .where(col("cw") >= ceil(lit(q) * col("n")))
+            .agg(min("v").as("v"))
+            .select(lit(nm).as("pq"), lit(q).as("q"), col("v"))
+        }
+        .reduce(_.unionByName(_))
+      val bound = pairs
+        .agg(max("w").as("maxw"))
+        .crossJoin(broadcast(n))
+        .select(((floor(log2(col("maxw"))) + 1) * col("n") * 2.0 / k).as("bnd"))
+      val ranks = cents
+        .crossJoin(broadcast(est))
+        .groupBy("pq", "q", "v")
+        .agg(
+          sum(when(col("c") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("c") <= col("v"), 1L).otherwise(0L)).as("le")
+        )
+        .crossJoin(broadcast(bound))
+        .crossJoin(broadcast(n))
+      val twin = graft.operators.ExactPercentile(
+        table(s, d, "lineitem").withColumn("g", lit("all")),
+        "g",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        qs
+      )
+      val twinLong = twin.select(
+        explode(
+          array(qs.map { case (nm, _) => struct(lit(nm).as("pq"), col(nm).as("exact_pct")) }: _*)
+        ).as("t")
+      ).select(col("t.pq").as("pq"), expr("CAST(round(1000 * t.exact_pct) AS BIGINT)").as("exact_pct_e3"))
+      ranks
+        .join(broadcast(twinLong), Seq("pq"))
+        .select(
+          col("pq"),
+          col("exact_pct_e3"),
+          (col("le") >= col("q") * col("n") - col("bnd")).as("ok_low"),
+          (col("lt") <= col("q") * col("n") + col("bnd")).as("ok_high")
+        )
+        .orderBy("pq")
+    }),
     // KMV SET ALGEBRA (x112) — the reason the x49 sketch returns its raw
     // hash set instead of a scalar estimate: two sketches support union /
     // intersection / Jaccard ESTIMATES without re-scanning either input
@@ -1173,6 +1248,22 @@ object Advanced {
         |  (CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(rev) AS BIGINT) AS share_ppm
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // x118: exact twins + the guarantee booleans (TRUE by the worst-case
+    // compaction analysis — an implementation violating its own bound
+    // turns the gate red, the x94/x101 discipline).
+    "x118_quantile_sketch" ->
+      """SELECT 'p25' AS pq,
+        |  CAST(round(1000 * quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)) AS BIGINT) AS exact_pct_e3,
+        |  TRUE AS ok_low, TRUE AS ok_high FROM lineitem
+        |UNION ALL
+        |SELECT 'p50',
+        |  CAST(round(1000 * quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)) AS BIGINT),
+        |  TRUE, TRUE FROM lineitem
+        |UNION ALL
+        |SELECT 'p75',
+        |  CAST(round(1000 * quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)) AS BIGINT),
+        |  TRUE, TRUE FROM lineitem
+        |ORDER BY pq""".stripMargin,
     // x112: the full sketch-algebra replay — both KMV sketches rebuilt as
     // k-smallest-distinct-hash sets, union re-trimmed, membership counted,
     // and the identical IEEE estimator chain evaluated.

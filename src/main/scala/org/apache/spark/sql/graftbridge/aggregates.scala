@@ -256,6 +256,138 @@ case class MisraGriesAgg(
     copy(child = newChildren.head)
 }
 
+/** Deterministic-compaction mergeable quantile sketch (the MRL/KLL compactor
+  * scheme with the random bit removed — Manku et al. 1998 / Karnin et al.
+  * 2016): the buffer is a stack of levels, level `i` holding items of
+  * weight 2^i, each level capped at `k` items. A full level sorts and
+  * compacts: survivors at odd indices promote with doubled weight (an odd
+  * count retains its maximum at the level), so TOTAL WEIGHT IS PRESERVED
+  * EXACTLY — Σ weights ≡ N always. Merge = level-wise concatenation +
+  * cascaded compaction: bounded (≤ k·levels longs), mergeable, map-side
+  * partials — the quantile member of the native sketch family (KMV =
+  * distinct, MG = heavy hitters, CM = frequency).
+  *
+  * Determinism contract: unlike CM (pure sums), the retained ITEMS depend
+  * on merge order, so sketch content must never cross the driver's hash
+  * gate. What IS order-independent is the worst-case rank guarantee: each
+  * compaction at level i perturbs any rank by ≤ 2^i, and at most
+  * ⌈N/(2^(i−1)·k)⌉ compactions happen per level, so the total rank error
+  * is ≤ 2·N·L/k with L the level count — the x118 gate pins exactly that
+  * sandwich (plus exact-twin percentiles), the x94 discipline.
+  *
+  * Returns flattened (weight, value) pairs as array<long>
+  * [w0,v0,w1,v1,...], sorted by (value, weight) for a stable shape.
+  */
+case class QuantileSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Long]]]
+    with ExpectsInputTypes {
+
+  type Levels = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Long]]
+
+  require(k >= 4 && k % 2 == 0, s"quantile_sketch: k must be even and >= 4, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "quantile_sketch"
+
+  override def createAggregationBuffer(): Levels =
+    scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Long])
+
+  private def compactCascade(lv: Levels, from: Int): Unit = {
+    var i = from
+    while (i < lv.length && lv(i).length >= k) {
+      if (i + 1 == lv.length) lv += scala.collection.mutable.ArrayBuffer.empty[Long]
+      val buf = lv(i)
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val even = arr.length - (arr.length % 2)
+      val next = lv(i + 1)
+      var j = 1
+      while (j < even) { next += arr(j); j += 2 } // odd indices promote, weight doubles
+      buf.clear()
+      if (even < arr.length) buf += arr(arr.length - 1) // odd one out: retain the max
+      i += 1
+    }
+  }
+
+  override def update(lv: Levels, input: InternalRow): Levels = {
+    val v = child.eval(input)
+    if (v != null) {
+      lv(0) += v.asInstanceOf[Long]
+      if (lv(0).length >= k) compactCascade(lv, 0)
+    }
+    lv
+  }
+
+  override def merge(b1: Levels, b2: Levels): Levels = {
+    while (b1.length < b2.length) b1 += scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < b2.length) { b1(i) ++= b2(i); i += 1 }
+    compactCascade(b1, 0)
+    // concatenation can overfill a level below a cascade that already ran
+    i = 0
+    while (i < b1.length) { if (b1(i).length >= k) compactCascade(b1, i); i += 1 }
+    b1
+  }
+
+  override def eval(lv: Levels): Any = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (value, weight)
+    var i = 0
+    while (i < lv.length) {
+      val w = 1L << i
+      lv(i).foreach(v => pairs += ((v, w)))
+      i += 1
+    }
+    val sorted = pairs.sortBy(identity)
+    val out = new Array[Long](sorted.length * 2)
+    var j = 0
+    sorted.foreach { case (v, w) => out(j) = w; out(j + 1) = v; j += 2 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(lv: Levels): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(lv.length)
+    lv.foreach { b =>
+      out.writeInt(b.length)
+      b.foreach(out.writeLong)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Levels = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val lv = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Long]]
+    var i = 0
+    while (i < n) {
+      val m = in.readInt()
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var j = 0
+      while (j < m) { b += in.readLong(); j += 1 }
+      lv += b
+      i += 1
+    }
+    if (lv.isEmpty) lv += scala.collection.mutable.ArrayBuffer.empty[Long]
+    lv
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` rows of `width`
   * counters; each input item increments one counter per row at
   * `h_i(item) = md5Window15("cm" + i + ":" + item) mod width`. Point
