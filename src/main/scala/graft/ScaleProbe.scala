@@ -223,7 +223,16 @@ object ScaleProbe {
       "x113_bloom_point_lookup",
       // r7 session 2: chunking is map-only split+explode over the 16x
       // clone corpus — the embedding-prep scan shape
-      "x115_doc_chunking"
+      "x115_doc_chunking",
+      // r7 session 2: partition-spec evolution over 16x orders — first
+      // touch pays the fixture build (v1 bucketed write + evolve + merge);
+      // the measured steady state is the cross-spec read + driver prune,
+      // cost tracking touched buckets not table size
+      "x117_partition_evolution",
+      // r7 session 2: quantile sketch over 16x lineitem — bounded
+      // k·levels buffers through 10M rows; the rank probe is a 3-value
+      // broadcast conditional agg
+      "x118_quantile_sketch"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -424,6 +424,25 @@ object Warehouse {
         .crossJoin(src)
       per.crossJoin(broadcast(stats)).orderBy("bucket")
     }),
+    // Avro container scan (x119): fixture files are written by the
+    // OFFICIAL Avro library (deflate codec, a null-union column), read
+    // back by the from-scratch container/binary decoder — real
+    // conformance, not a self-referential round trip. The oracle
+    // aggregates the parquet original plus the comment formula, so any
+    // varint/union/codec mis-decode flips the hash.
+    "x119_avro_scan" -> ((s, d) => {
+      graft.sources.AvroScan.ensure(s, d)
+      graft.sources.AvroScan
+        .read(s, graft.sources.AvroScan.fixtureDir(d))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          sum(when(col("o_comment").isNull, 1L).otherwise(0L)).as("n_null_comment"),
+          sum(length(col("o_comment"))).as("comment_chars")
+        )
+        .orderBy("o_orderstatus")
+    }),
     // Partition-spec evolution (x117): the table's bucket geometry
     // changes (1024 → 4096) as a METADATA-ONLY commit; the next merge
     // rewrites its touched old-spec buckets under the new spec while
@@ -506,6 +525,13 @@ object Warehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    "x119_avro_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_comment,
+        |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |                ELSE length('order-' || o_orderkey) END) AS BIGINT) AS comment_chars
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // x117: content + file provenance + pruning all recomputed from the
     // update/insert formulas — the entry sets are pure bucket arithmetic.
     "x117_partition_evolution" ->

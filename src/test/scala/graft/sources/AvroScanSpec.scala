@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** x119 Avro reader: cross-validated against the OFFICIAL library's bytes
+  * over every supported primitive, both codecs, and the null union;
+  * structural lies quarantine. */
+class AvroScanSpec extends AnyFunSuite {
+
+  private val schemaJson =
+    """{"type":"record","name":"T","fields":[
+      |{"name":"i","type":"int"},
+      |{"name":"l","type":"long"},
+      |{"name":"f","type":"float"},
+      |{"name":"d","type":"double"},
+      |{"name":"b","type":"boolean"},
+      |{"name":"s","type":"string"},
+      |{"name":"ns","type":["null","string"]},
+      |{"name":"nl","type":["null","long"]}]}""".stripMargin
+
+  private def writeOfficial(codec: Option[org.apache.avro.file.CodecFactory], n: Int): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    codec.foreach(w.setCodec)
+    w.create(schema, bos)
+    for (k <- 0 until n) {
+      val r = new GenericData.Record(schema)
+      r.put("i", k * 7 - 3)
+      r.put("l", k.toLong * -48271L)
+      r.put("f", k * 0.5f)
+      r.put("d", k * 0.125 - 100.0)
+      r.put("b", k % 3 == 0)
+      r.put("s", s"row-$k-é中") // multi-byte UTF-8
+      r.put("ns", if (k % 4 == 0) null else s"opt-$k")
+      r.put("nl", if (k % 5 == 0) null else java.lang.Long.valueOf(k * 11L))
+      w.append(r)
+    }
+    w.close()
+    bos.toByteArray
+  }
+
+  private def check(bytes: Array[Byte], n: Int): Unit = {
+    val data = AvroScan.decode(bytes).getOrElse(fail("decode quarantined a valid file"))
+    assert(data.rows.size === n)
+    assert(data.fields.map(_.name) === Seq("i", "l", "f", "d", "b", "s", "ns", "nl"))
+    for (k <- 0 until n) {
+      val r = data.rows(k)
+      assert(r(0) === k * 7 - 3)
+      assert(r(1) === k.toLong * -48271L)
+      assert(r(2) === k * 0.5f)
+      assert(r(3) === k * 0.125 - 100.0)
+      assert(r(4) === (k % 3 == 0))
+      assert(r(5) === s"row-$k-é中")
+      assert(r(6) === (if (k % 4 == 0) null else s"opt-$k"))
+      assert(r(7) === (if (k % 5 == 0) null else k * 11L))
+    }
+  }
+
+  test("reads official-library bytes exactly: null codec") {
+    check(writeOfficial(None, 500), 500)
+  }
+
+  test("reads official-library bytes exactly: deflate codec, multiple blocks") {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.setSyncInterval(1 << 10) // force several blocks
+    w.create(schema, bos)
+    for (k <- 0 until 2000) {
+      val r = new GenericData.Record(schema)
+      r.put("i", k * 7 - 3); r.put("l", k.toLong * -48271L); r.put("f", k * 0.5f)
+      r.put("d", k * 0.125 - 100.0); r.put("b", k % 3 == 0); r.put("s", s"row-$k-é中")
+      r.put("ns", if (k % 4 == 0) null else s"opt-$k")
+      r.put("nl", if (k % 5 == 0) null else java.lang.Long.valueOf(k * 11L))
+      w.append(r)
+    }
+    w.close()
+    check(bos.toByteArray, 2000)
+  }
+
+  test("quarantine matrix: magic, codec, sync corruption, truncation") {
+    val good = writeOfficial(Some(org.apache.avro.file.CodecFactory.deflateCodec(6)), 200)
+    assert(AvroScan.decode(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(AvroScan.decode(badMagic) === None)
+    // unsupported codec: official snappy-coded file must quarantine, not crash
+    val snappy = writeOfficial(Some(org.apache.avro.file.CodecFactory.snappyCodec()), 50)
+    assert(AvroScan.decode(snappy) === None)
+    // corrupt the trailing sync marker
+    val badSync = good.clone(); badSync(badSync.length - 1) = (badSync.last ^ 0x7f).toByte
+    assert(AvroScan.decode(badSync) === None)
+    assert(AvroScan.decode(good.dropRight(5)) === None)
+  }
+}
