@@ -101,3 +101,18 @@ object CountMin {
         .toAggregateExpression()
     )
 }
+
+/** HyperLogLog NDV sketch aggregate (native TypedImperativeAggregate —
+  * 2^p one-byte registers, pointwise-max merge, map-side partials).
+  * Registers are per-slot maxes, so like count-min (and unlike MG /
+  * quantile content) the full sketch is order-independent and
+  * gate-hashable; the estimator is taken declaratively on the returned
+  * array<long> of register values. */
+object HllSketch {
+  def apply(item: Column, p: Int): Column =
+    Bridge.column(
+      org.apache.spark.sql.graftbridge
+        .HllSketchAgg(Bridge.expression(item), p)
+        .toAggregateExpression()
+    )
+}

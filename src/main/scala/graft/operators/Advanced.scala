@@ -555,6 +555,61 @@ object Advanced {
         )
         .orderBy(col("exact_n").desc, col("item"))
     }),
+    // HyperLogLog NDV sketch (x120) — the FIFTH native mergeable aggregate,
+    // completing the sketch family: KMV (exact k-min state), Misra–Gries
+    // (heavy-hitter membership), count-min (frequency), quantile (ranks),
+    // and now the constant-memory industry-standard NDV estimator.
+    // Registers are per-slot MAXes — order-independent like count-min's
+    // sums — so the gate pins the FULL 256-register sketch per group
+    // (replayed in SQL from the same md5 formula, bin()-exact bit length,
+    // never float log2) plus the estimate. The harmonic sum is the exact
+    // integer Σ 2^(53−M[j]) (≤ 2^61, order-free); only the final
+    // alpha·m²·2^53/Z division is a double — one IEEE op, engine-identical.
+    // State is m = 256 BYTES per group regardless of stream size: at
+    // 100 TB the shuffle carries one 256-byte buffer per (group,
+    // partition), never the stream. Linear-counting (small-range) regime
+    // is structurally out of reach here (NDV >> 2.5m, pinned by the
+    // lc_regime=false column); the LC estimator itself — whose ln() is
+    // libm-dependent and so must NOT cross a hash gate — is spec-covered
+    // in HllSpec instead.
+    "x120_hll_sketch" -> ((s, d) => {
+      val p = 8
+      val m = 256
+      val stream = table(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_orderkey").cast("string").as("item"))
+        .localCheckpoint() // two plan refs: sketch, exact twin
+      val sk = stream
+        .groupBy("grp")
+        .agg(graft.functions.HllSketch(col("item"), p).as("registers"))
+      val ex = stream.groupBy("grp").agg(countDistinct(col("item")).as("exact_ndv"))
+      // exact integer harmonic sum: empty registers contribute 2^53
+      val zsum = expr("aggregate(registers, 0L, (a, r) -> a + shiftleft(1L, CAST(53 - r AS INT)))")
+      // ((alpha·m²)·2^53)/Z with the literal arithmetic written in the same
+      // left-assoc order as the oracle SQL. Every literal is cast to DOUBLE
+      // explicitly: both engines parse bare decimal literals as DECIMAL and
+      // apply their own (different) scale rules — caught by the gate as a
+      // ±4e-5 est drift before the casts were added.
+      val est = expr(
+        "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) " +
+          "* CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) / CAST(zsum AS DOUBLE)"
+      )
+      sk.withColumn("zsum", zsum)
+        .join(ex, Seq("grp"))
+        .withColumn("est", est)
+        .withColumn("v_zero", expr("CAST(size(filter(registers, r -> r = 0)) AS BIGINT)"))
+        .select(
+          col("grp"),
+          // full sketch content, as a string (no raw arrays cross the gate)
+          array_join(col("registers"), ",").as("registers_csv"),
+          expr("CAST(round(est * 1000000) AS BIGINT)").as("est_micro"),
+          col("v_zero"),
+          col("exact_ndv"),
+          // 5σ of the published rse 1.04/√m ≈ 0.065 — generous but real
+          expr("abs(est - exact_ndv) / exact_ndv <= 0.325").as("rel_err_ok"),
+          expr(s"v_zero > 0 AND est <= 2.5 * $m").as("lc_regime")
+        )
+        .orderBy("grp")
+    }),
     // 2D proximity self-join via GRID bucketing — the spatial-join shape
     // (geo near-neighbor, collision detection, dedup-by-position): each
     // point hashes to its d×d cell, ONE side explodes to its 3×3 neighbor
@@ -1196,6 +1251,43 @@ object Advanced {
         |  GROUP BY 1, 2)
         |SELECT item, exact_n, CAST(est AS BIGINT) AS est, est >= exact_n AS overestimate
         |FROM est ORDER BY exact_n DESC, item""".stripMargin,
+    // x120: full register replay — HLL registers are per-slot maxes
+    // (order-free), so the oracle rebuilds all 256 registers per group
+    // from the same md5 formula (bin() = exact integer bit length), then
+    // the same integer harmonic sum and the same left-assoc double
+    // estimate. A single mis-set register flips the list hash.
+    "x120_hll_sketch" ->
+      """WITH st AS (SELECT l_returnflag AS grp, l_orderkey::VARCHAR AS item FROM lineitem),
+        |h AS (
+        |  SELECT grp, ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM st),
+        |rhos AS (
+        |  SELECT grp, (hv % 256)::BIGINT AS idx,
+        |    CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT grp, idx, max(rho) AS mx FROM rhos GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, i.idx FROM (SELECT DISTINCT grp FROM st) g,
+        |       (SELECT unnest(range(256))::BIGINT AS idx) i),
+        |fr AS (
+        |  SELECT gr.grp, gr.idx, coalesce(r.mx, 0) AS mx
+        |  FROM grid gr LEFT JOIN regs r ON gr.grp = r.grp AND gr.idx = r.idx),
+        |sk AS (
+        |  SELECT grp, string_agg(mx::VARCHAR, ',' ORDER BY idx) AS registers_csv,
+        |    sum(1::BIGINT << (53 - mx)) AS zsum,
+        |    sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+        |  FROM fr GROUP BY grp),
+        |est AS (
+        |  SELECT grp, registers_csv, v_zero,
+        |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |      * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |      / CAST(zsum AS DOUBLE) AS e
+        |  FROM sk),
+        |ex AS (SELECT grp, count(DISTINCT item)::BIGINT AS exact_ndv FROM st GROUP BY 1)
+        |SELECT e.grp, e.registers_csv, CAST(round(e.e * 1000000) AS BIGINT) AS est_micro,
+        |  e.v_zero, x.exact_ndv,
+        |  abs(e.e - x.exact_ndv) / x.exact_ndv <= 0.325 AS rel_err_ok,
+        |  e.v_zero > 0 AND e.e <= 2.5 * 256 AS lc_regime
+        |FROM est e JOIN ex x ON e.grp = x.grp ORDER BY e.grp""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
     "x93_grid_proximity_join" ->

@@ -443,6 +443,27 @@ object Warehouse {
         )
         .orderBy("o_orderstatus")
     }),
+    // Shuffle-free co-located join over bucketed tables (x121): the
+    // pay-the-shuffle-once ingest discipline — orders and lineitem are
+    // bucketed+sorted by orderkey into matching bucket counts, so the
+    // fact-to-fact join plans as a sort-merge join with ZERO exchanges
+    // (SmbJoinSpec asserts the exchange-free plan and bucket pruning;
+    // this gate entry pins the bucketed round trip's CONTENT against the
+    // parquet originals, the x106 pattern). At 100 TB this is the
+    // difference between re-shuffling both fact tables every nightly run
+    // and a local merge of co-located buckets.
+    "x121_bucketed_smb_join" -> ((s, d) => {
+      val (ot, lt) = graft.sources.BucketedTables.ensure(s, d)
+      s.table(lt)
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+          sum(col("l_quantity").cast("long")).as("qty")
+        )
+        .orderBy("o_orderstatus")
+    }),
     // Partition-spec evolution (x117): the table's bucket geometry
     // changes (1024 → 4096) as a METADATA-ONLY commit; the next merge
     // rewrites its touched old-spec buckets under the new spec while
@@ -532,6 +553,15 @@ object Warehouse {
         |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN NULL
         |                ELSE length('order-' || o_orderkey) END) AS BIGINT) AS comment_chars
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x121: the oracle joins the PARQUET originals, so a hash match proves
+    // the bucketed managed-table round trip (write + catalog read + SMB
+    // join) is value-exact end to end.
+    "x121_bucketed_smb_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x117: content + file provenance + pruning all recomputed from the
     // update/insert formulas — the entry sets are pure bucket arithmetic.
     "x117_partition_evolution" ->

@@ -488,3 +488,107 @@ case class CountMinAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007, the
+  * HyperLogLog paper; practical corrections per Heule et al. 2013 §4,
+  * small-range only — our 60-bit hash space never reaches the large-range
+  * regime). Completes the native sketch family as the FIFTH mergeable
+  * aggregate: KMV (x49, exact k-min state), Misra–Gries (x94, heavy-hitter
+  * membership), count-min (x107, frequency), quantile (x118, ranks) — and
+  * now the constant-memory NDV estimator that the others' use cases
+  * compose with at 100 TB: `m = 2^p` one-byte registers per GROUP, total
+  * state `m` bytes no matter how many billion rows flow through, map-side
+  * partials, merge = pointwise max.
+  *
+  * Register discipline mirrors the count-min bucket convention so the
+  * driver gate can replay the FULL sketch in SQL (registers are per-slot
+  * MAXes — order-independent, like count-min's sums and unlike MG/quantile
+  * content):
+  *   - `h`   = md5Window15("hll:" + item)          — uniform on [0, 2^60)
+  *   - `idx` = h mod m                             — register slot
+  *   - `w`   = h div m                             — (60 − p) stochastic bits
+  *   - `rho` = (60 − p) − bitlen(w) + 1            — leading-zero rank;
+  *             w = 0 ⇒ rho = (60 − p) + 1 (the all-zeros pattern)
+  *   - `M[idx] ← max(M[idx], rho)`
+  * DuckDB replay: `CASE WHEN hv // m = 0 THEN 60 - p + 1 ELSE 60 - p + 1 -
+  * length(bin(hv // m)) END` (bin() = exact integer bit length — never
+  * float log2, whose boundary rounding could flip a register).
+  *
+  * The estimator lives DECLARATIVELY on the returned array (like x49/x107)
+  * so the gate pins sketch content and the estimate: the harmonic-mean sum
+  * Σ 2^−M[j] is computed as the exact integer Σ 2^(maxRho − M[j])
+  * (order-free; ≤ m·2^maxRho < 2^63 for p ≥ 4), and only the final
+  * alpha·m²·2^maxRho / Z division happens in double — one IEEE op,
+  * bit-identical across engines.
+  *
+  * Returns the m registers as array<long> (index order, zeros included).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Byte]]
+    with ExpectsInputTypes {
+
+  require(p >= 4 && p <= 16, s"hll_sketch: p must be in [4,16], got $p")
+
+  private val m = 1 << p
+  private val wBits = 60 - p // stochastic bits left after the slot index
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val salt: Array[Byte] = "hll:".getBytes("UTF-8")
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      md.update(salt)
+      md.update(v.toString.getBytes("UTF-8"))
+      val dig = md.digest()
+      // first 15 hex digits = top 60 bits of the digest (md5Window15)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      val idx = (h % m).toInt
+      val w = h / m
+      // bitlen(w) = 64 - nlz(w); w = 0 falls out naturally: bitlen = 0
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w)
+      val rho = (wBits + 1 - bitlen).toByte
+      if (rho > buf(idx)) buf(idx) = rho
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
