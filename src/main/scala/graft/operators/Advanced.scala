@@ -286,6 +286,78 @@ object Advanced {
         )
         .orderBy("o_year")
     }),
+    // TPC-H Q21 shape (q75) — "suppliers who kept orders waiting", the
+    // hardest TPC-H join topology: the fact correlates with ITSELF twice
+    // (EXISTS another supplier in the order, NOT EXISTS another LATE
+    // supplier), expressed as one semi + one anti self-join on the order
+    // key. 'late' adapts to the fixture schema (shipped > 60 days after
+    // the order date; lineitem has no commit/receipt dates). All three
+    // plan refs share one localCheckpointed base — the self-joins shuffle
+    // on l_orderkey only, never expand beyond the order's own lines, and
+    // at 100 TB they are ordinary co-partitioned equi-joins (bucketing by
+    // orderkey — x121 — would make them exchange-free too).
+    "q75_waiting_supplier" -> ((s, d) => {
+      val base = table(s, d, "lineitem")
+        .join(
+          table(s, d, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .select(
+          col("l_orderkey").as("k"),
+          col("l_suppkey").as("supp"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late")
+        )
+        .localCheckpoint() // three plan refs: late lines, semi side, anti side
+      val late = base.where(col("late"))
+      late
+        .join(
+          base.select(col("k").as("k2"), col("supp").as("s2")),
+          col("k2") === col("k") && col("s2") =!= col("supp"),
+          "left_semi"
+        )
+        .join(
+          late.select(col("k").as("k3"), col("supp").as("s3")),
+          col("k3") === col("k") && col("s3") =!= col("supp"),
+          "left_anti"
+        )
+        .groupBy("supp")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("supp"))
+        .limit(20)
+    }),
+    // TPC-H Q17 shape (q76) — small-quantity-order revenue: the
+    // correlated scalar subquery (per-part average quantity) decorrelated
+    // into a grouped twin joined back to the fact. The 0.2·avg predicate
+    // is evaluated in EXACT integers (5·qty·cnt < qsum — quantities are
+    // integral, so no double avg crosses the comparison), and revenue
+    // crosses the gate in cents. Dim filter broadcast; the stats join is
+    // co-partitioned on l_partkey.
+    "q76_small_quantity_revenue" -> ((s, d) => {
+      val parts = broadcast(
+        table(s, d, "part")
+          .where(col("p_brand") === "Brand#23" && col("p_size") <= 25)
+          .select("p_partkey")
+      )
+      val li = table(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .select(
+          col("p_partkey"),
+          col("l_quantity").cast("long").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+        )
+        .localCheckpoint() // two plan refs: stats twin, filtered fact
+      val stats = li.groupBy("p_partkey").agg(sum("q").as("qsum"), count(lit(1)).as("qcnt"))
+      li.join(stats, Seq("p_partkey"))
+        .where(col("q") * 5 * col("qcnt") < col("qsum"))
+        .agg(sum("cents").as("rev_cents"), count(lit(1)).as("n_lines"))
+        .select(
+          col("rev_cents"),
+          col("n_lines"),
+          // x120's literal invariant: CAST the divisor — bare 7.0 is
+          // DECIMAL in both engines, each with its own division scale
+          expr("CAST(round(rev_cents / CAST(7.0 AS DOUBLE)) AS BIGINT)").as("avg_yearly_cents")
+        )
+    }),
     // Mergeable quantile sketch (x118) — the quantile member completing
     // the native sketch family (x49 distinct, x94 heavy hitters, x107
     // frequency): deterministic-compaction MRL/KLL levels, ≤ k·levels
@@ -1340,6 +1412,33 @@ object Advanced {
         |  (CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(rev) AS BIGINT) AS share_ppm
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // q75: the EXISTS / NOT EXISTS pair written literally — DuckDB's
+    // decorrelation must agree with the semi/anti self-join pair.
+    "q75_waiting_supplier" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k, l_suppkey AS supp,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT supp, count(*) AS numwait FROM base l1
+        |WHERE late
+        |  AND EXISTS (SELECT 1 FROM base l2 WHERE l2.k = l1.k AND l2.supp <> l1.supp)
+        |  AND NOT EXISTS (SELECT 1 FROM base l3 WHERE l3.k = l1.k AND l3.supp <> l1.supp AND l3.late)
+        |GROUP BY supp ORDER BY numwait DESC, supp LIMIT 20""".stripMargin,
+    // q76: the correlated scalar subquery written literally; the 0.2·avg
+    // predicate is the same exact-integer inequality on both sides.
+    "q76_small_quantity_revenue" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 25),
+        |li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey),
+        |st AS (SELECT l_partkey, sum(q) AS qsum, count(*) AS qcnt FROM li GROUP BY 1)
+        |SELECT CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |  count(*) AS n_lines,
+        |  CAST(round(CAST(sum(cents) AS BIGINT) / CAST(7.0 AS DOUBLE)) AS BIGINT) AS avg_yearly_cents
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE q * 5 * qcnt < qsum""".stripMargin,
     // x118: exact twins + the guarantee booleans (TRUE by the worst-case
     // compaction analysis — an implementation violating its own bound
     // turns the gate red, the x94/x101 discipline).

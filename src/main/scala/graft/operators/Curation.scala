@@ -62,6 +62,43 @@ object Curation {
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- corrupt-record quarantine ingestion -------------------------------
+    // x122: PERMISSIVE CSV parse + per-row quarantine (see CorruptCsv) —
+    // every input line lands exactly once: parsed ('good') or quarantined
+    // with a reason code. Spark's parser only raises the corrupt channel
+    // for UNPARSEABLE fields; an under-length row is silently padded with
+    // nulls (found empirically — the gate caught truncated rows landing
+    // as 'good'), so the reader enforces the required-field contract
+    // itself: missing required field ⇒ 'truncated'. When the raw line IS
+    // available (corrupt channel), the reason comes from its field
+    // census, not parser state. The gate pins the full census per class:
+    // counts, key sums (quarantined keys recovered from the raw text —
+    // the re-drive path an operator would use), and parsed-cents totals.
+    // One distributed scan, splittable, no driver loop.
+    "x122_corrupt_quarantine" -> ((s, d) => {
+      graft.sources.CorruptCsv.ensure(s, d)
+      graft.sources.CorruptCsv
+        .read(s, d)
+        .select(
+          when(
+            col("_corrupt").isNotNull,
+            when(size(split(col("_corrupt"), ",")) < 3, "truncated").otherwise("bad_value")
+          ).when(col("o_totalprice").isNull, "truncated") // parser-padded short row
+            .otherwise("good")
+            .as("class"),
+          coalesce(col("o_orderkey"), split(col("_corrupt"), ",").getItem(0).cast("long"))
+            .as("k"),
+          col("o_totalprice")
+        )
+        .groupBy("class")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("key_sum"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents")
+        )
+        .orderBy("class")
+    }),
+
     // ---- PII redaction: single codegen'd scan ------------------------------
     "x17_pii_redact" -> ((s, d) => {
       val redacted = redact(col("text"))
@@ -342,6 +379,22 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    // x122: the corruption is a pure key formula, so the oracle replays
+    // the entire quarantine census from the parquet original without
+    // ever reading the CSV — parse, classification, and recovered keys
+    // all have to agree with the formulas or a cell flips.
+    "x122_corrupt_quarantine" ->
+      """WITH cls AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 3 THEN 'truncated'
+        |              WHEN o_orderkey % 13 = 7 THEN 'bad_value'
+        |              ELSE 'good' END AS class,
+        |    o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 13 IN (3, 7) THEN NULL
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders)
+        |SELECT class, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "x17_pii_redact" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
