@@ -164,6 +164,52 @@ object Warehouse {
         .join(prov, Seq("bucket"))
         .orderBy("bucket")
     }),
+    // Write-audit-publish (x123): the staging discipline on top of the
+    // snapshot chain — changes land as named BRANCHES (data + manifest in
+    // a namespace no reader resolves), audits run against the staged
+    // read, and only a passing branch becomes the next snapshot via the
+    // OCC CAS (metadata-only; files carry by reference). The fixture
+    // stages two branches off a clone of source v3: 'good' (re-priced
+    // stripe, audit passes, PUBLISHED as v2) and 'bad' (every key planted
+    // twice — the uniqueness violation, audit fails, left staged). The
+    // gate reads v2 per bucket with branch provenance, re-audits both the
+    // published table and the still-staged bad branch ON EVERY RUN, and
+    // pins staged≠visible (zero bad keys in v2) + time travel to v1.
+    // At 100 TB: audits cost one read of the staged delta's buckets,
+    // publish costs one rename — the pattern that makes "bad data never
+    // hits readers" affordable nightly.
+    "x123_write_audit_publish" -> ((s, d) => {
+      val ct = graft.sources.CowTable
+      ct.ensureWap(s, d)
+      import s.implicits._
+      val w = ct.BucketWidth
+      val content = ct
+        .read(s, 2, ct.wapDir)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      val prov = ct
+        .entries(s, 2, ct.wapDir)
+        .map(e => (e.bucket, e.path.contains("/wap_good/")))
+        .toDF("bucket", "from_branch")
+      val pubAudit = ct
+        .read(s, 2, ct.wapDir)
+        .agg(
+          count(lit(1)).as("pub_rows"),
+          countDistinct(col("k")).as("pub_distinct"),
+          sum(when(col("k") >= ct.WapBadBase, 1L).otherwise(0L)).as("bad_keys_visible")
+        )
+      val badAudit = ct
+        .readStaged(s, "bad", ct.wapDir)
+        .agg(count(lit(1)).as("bad_staged_rows"), countDistinct(col("k")).as("bad_staged_distinct"))
+      val v1 = ct.read(s, 1, ct.wapDir).agg(count(lit(1)).as("v1_rows"))
+      content
+        .join(broadcast(prov), Seq("bucket"))
+        .crossJoin(broadcast(pubAudit))
+        .crossJoin(broadcast(badAudit))
+        .crossJoin(broadcast(v1))
+        .orderBy("bucket")
+    }),
     // Three-clause MERGE (v2 → v3): upserts in one bucket stripe, DELETEs
     // in a disjoint stripe — matched keys take the change value, delete
     // keys drop via anti join, and only stripe-touched buckets rewrite.
@@ -562,6 +608,53 @@ object Warehouse {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x123: wap v1 = the x83 v3 reconstruction; v2 = v1 upserted with the
+    // good-branch formula (including the re-insert edge: a good key
+    // deleted in v3 comes back through the merge); provenance = the
+    // good-change bucket set; audits + staged≠visible + time travel all
+    // recomputed from the same CTEs.
+    "x123_write_audit_publish" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2s AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |v1 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 103 = 0 AND bucket % 7 = 3 THEN 50000 + k % 1000 ELSE cents END AS cents
+        |  FROM v2s WHERE NOT (k % 101 = 0 AND bucket % 7 = 1)),
+        |gk AS (
+        |  SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket,
+        |    90000 + o_orderkey % 500 AS gcents
+        |  FROM orders WHERE o_orderkey % 127 = 0 AND (o_orderkey // 1024) % 9 = 2),
+        |v2 AS (
+        |  SELECT v1.k, v1.bucket, coalesce(g.gcents, v1.cents) AS cents
+        |  FROM v1 LEFT JOIN gk g ON v1.k = g.k
+        |  UNION ALL
+        |  SELECT g.k, g.bucket, g.gcents FROM gk g WHERE g.k NOT IN (SELECT k FROM v1)),
+        |scalars AS (
+        |  SELECT
+        |    (SELECT count(*) FROM v2)::BIGINT AS pub_rows,
+        |    (SELECT count(DISTINCT k) FROM v2)::BIGINT AS pub_distinct,
+        |    0::BIGINT AS bad_keys_visible,
+        |    ((SELECT count(*) FROM v1) + 24)::BIGINT AS bad_staged_rows,
+        |    ((SELECT count(DISTINCT k) FROM v1) + 12)::BIGINT AS bad_staged_distinct,
+        |    (SELECT count(*) FROM v1)::BIGINT AS v1_rows)
+        |SELECT v2.bucket, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  v2.bucket IN (SELECT bucket FROM gk) AS from_branch,
+        |  s.pub_rows, s.pub_distinct, s.bad_keys_visible,
+        |  s.bad_staged_rows, s.bad_staged_distinct, s.v1_rows
+        |FROM v2, scalars s
+        |GROUP BY v2.bucket, s.pub_rows, s.pub_distinct, s.bad_keys_visible,
+        |  s.bad_staged_rows, s.bad_staged_distinct, s.v1_rows
+        |ORDER BY v2.bucket""".stripMargin,
     // x117: content + file provenance + pruning all recomputed from the
     // update/insert formulas — the entry sets are pure bucket arithmetic.
     "x117_partition_evolution" ->

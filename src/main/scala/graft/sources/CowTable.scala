@@ -84,8 +84,13 @@ object CowTable {
 
   /** Manifest rows as [[Entry]]s; legacy 5-column manifests (pre-DV
     * stream checkpoints) default to no DV / schema 1. */
-  def entries(s: SparkSession, version: Int, root: String = dir): Seq[Entry] = {
-    val df = manifest(s, version, root)
+  def entries(s: SparkSession, version: Int, root: String = dir): Seq[Entry] =
+    entriesAt(s, manifestPath(version, root))
+
+  /** [[entries]] for an arbitrary manifest directory (staged WAP branches
+    * live outside the `manifest_vN` namespace). */
+  def entriesAt(s: SparkSession, path: String): Seq[Entry] = {
+    val df = s.read.parquet(path)
     val cols = df.columns.toSet
     df.collect()
       .map { r =>
@@ -312,6 +317,61 @@ object CowTable {
     java.nio.file.Files.write(marker.toPath, srcKey.getBytes("UTF-8"))
   }
 
+  val wapDir = "/root/repo/spark-warehouse/graft_cow_wap"
+
+  /** WAP gate formulas (absolute, closed-form oracle): the good branch
+    * re-prices one bucket-striped key class; the bad branch inserts each
+    * of its keys TWICE — the planted uniqueness violation the audit must
+    * catch before publish. */
+  val WapGoodFilter = s"k % 127 = 0 AND (k div ${BucketWidth}L) % 9 = 2"
+  val WapBadBase = 30000000L
+  val WapBadCount = 12
+
+  /** Gate fixture (x123): clone source v3 into [[wapDir]] (wap v1), stage
+    * TWO branches off it, audit both ([[graft.etl.Quality.uniqueKey]]),
+    * publish only the passing one (wap v2). The failing branch stays
+    * STAGED so the gate re-audits it on every run and proves staged ≠
+    * visible; abort and the frozen-main law are CowWapSpec territory.
+    * The build itself enforces audit-before-publish: a regression that
+    * makes the bad branch pass (or the good one fail) aborts the fixture,
+    * not just the assertion. */
+  def ensureWap(s: SparkSession, d: String): Unit = synchronized {
+    ensure(s, d)
+    val srcKey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/src_key")),
+      "UTF-8"
+    ) + s"|wap|$WapGoodFilter|$WapBadBase|$WapBadCount"
+    val marker = new java.io.File(s"$wapDir/src_key")
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == srcKey) return
+    val p = new org.apache.hadoop.fs.Path(wapDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    cloneTable(s, srcVersion = 3, wapDir)
+    val good = graft.Graft
+      .table(s, d, "orders")
+      .select(col("o_orderkey").as("k"))
+      .where(expr(WapGoodFilter))
+      .select(col("k"), expr("90000L + k % 500").as("cents"))
+    stageBranch(s, "good", good, atVersion = Some(1), root = wapDir)
+    val badOnce = s
+      .range(WapBadCount.toLong)
+      .select((col("id") + lit(WapBadBase)).as("k"), (lit(300000L) + col("id")).as("cents"))
+    val badTwice = badOnce.unionByName(
+      badOnce.select(col("k"), (col("cents") + lit(100000L)).as("cents"))
+    )
+    stageBranch(s, "bad", badTwice, atVersion = Some(1), root = wapDir)
+    val goodAudit = graft.etl.Quality.uniqueKey(readStaged(s, "good", wapDir), "k")
+    val badAudit = graft.etl.Quality.uniqueKey(readStaged(s, "bad", wapDir), "k")
+    require(goodAudit.passed, s"WAP fixture: good branch failed audit: ${goodAudit.detail}")
+    require(!badAudit.passed, "WAP fixture: bad branch unexpectedly passed its audit")
+    publishStaged(s, "good", wapDir) match {
+      case Right(v) => require(v == 2, s"WAP publish landed at v$v, expected v2")
+      case Left(c)  => throw new IllegalStateException(s"WAP publish conflicted on $c")
+    }
+    java.nio.file.Files.write(marker.toPath, srcKey.getBytes("UTF-8"))
+  }
+
   /** The COW MERGE, all three clauses: manifest-prune to the touched
     * buckets, rewrite only those (matched keys take the change value,
     * unmatched change keys insert, `deletes` keys drop), append
@@ -492,6 +552,22 @@ object CowTable {
     val baseEntries = entries(s, base, root)
     val dataRoot = s"$root/occ_${writerId}_b$base"
     val mine = mergeRows(s, baseEntries, changes, deletes, dataRoot)
+    casLoop(s, root, base, baseEntries, mine, writerId, maxRetries)
+  }
+
+  /** The CAS-publish/rebase/conflict loop shared by [[occCommit]] and
+    * [[publishStaged]]: try to claim `base + 1`; on losing, rebase onto the
+    * winner when bucket footprints are disjoint, abort with the conflict
+    * set when they intersect. */
+  private def casLoop(
+      s: SparkSession,
+      root: String,
+      base: Int,
+      baseEntries: Seq[Entry],
+      mine: Seq[Entry],
+      token: String,
+      maxRetries: Int
+  ): Either[Set[Long], Int] = {
     val baseByBucket = baseEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
     val mineByBucket = mine.map(e => e.bucket -> (e.path, e.dvPath)).toMap
     // my footprint: rewritten + new + dropped buckets
@@ -503,7 +579,7 @@ object CowTable {
     var rows = mine
     var attempt = 0
     while (attempt <= maxRetries) {
-      if (publishAtomic(s, parent + 1, rows, root, writerId)) return Right(parent + 1)
+      if (publishAtomic(s, parent + 1, rows, root, token)) return Right(parent + 1)
       // lost the race: someone committed parent+1 (or further) — diff the
       // winner chain's footprint against ours
       val cur = latestVersion(root)
@@ -522,6 +598,80 @@ object CowTable {
       attempt += 1
     }
     Left(Set.empty)
+  }
+
+  // ------------------------------------------------ write-audit-publish
+
+  /** WAP staging (x123): the MERGE computation runs against a pinned base
+    * and lands as a named BRANCH — data under `$root/wap_<name>`, the
+    * would-be manifest under `$root/wap_manifest_<name>`. No reader
+    * resolves that name (read/time-travel walk `manifest_vN` only), so
+    * main stays bit-identical while any number of branches stage; audits
+    * run against [[readStaged]]; [[publishStaged]] turns the branch into
+    * the next snapshot as a METADATA-ONLY CAS (files carried by
+    * reference); [[abortStaged]] deletes the two staging dirs — nothing
+    * else ever pointed at them. Returns the pinned base version. */
+  def stageBranch(
+      s: SparkSession,
+      name: String,
+      changes: DataFrame,
+      deletes: DataFrame = null,
+      atVersion: Option[Int] = None,
+      root: String = dir
+  ): Int = {
+    val base = atVersion.getOrElse(latestVersion(root))
+    val rows = mergeRows(s, entries(s, base, root), changes, deletes, s"$root/wap_$name")
+    writeManifestTo(s, s"$root/wap_manifest_$name", rows)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/wap_base_$name"),
+      base.toString.getBytes("UTF-8")
+    )
+    base
+  }
+
+  /** entries of a staged branch's manifest */
+  def stagedEntries(s: SparkSession, name: String, root: String = dir): Seq[Entry] =
+    entriesAt(s, s"$root/wap_manifest_$name")
+
+  /** DV-masked read of a staged branch (pre-evolution contract, like the
+    * merge paths — WAP stages data changes, not schema changes). */
+  def readStaged(s: SparkSession, name: String, root: String = dir): DataFrame = {
+    val es = stagedEntries(s, name, root)
+    applyDv(s, s.read.parquet(es.map(_.path).sorted.toIndexedSeq: _*), es, keyCol = "k")
+  }
+
+  /** Publish a staged branch as the next snapshot: the same CAS loop as
+    * [[occCommit]] (rebase on disjoint winners, conflict set on overlap),
+    * seeded from the manifest rows staged earlier — zero data I/O. */
+  def publishStaged(
+      s: SparkSession,
+      name: String,
+      root: String = dir,
+      maxRetries: Int = 5
+  ): Either[Set[Long], Int] = {
+    val base = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/wap_base_$name")),
+      "UTF-8"
+    ).trim.toInt
+    val mine = stagedEntries(s, name, root)
+    casLoop(s, root, base, entries(s, base, root), mine, s"wap_$name", maxRetries) match {
+      case r @ Right(_) =>
+        // branch metadata is consumed; the data dir lives on, referenced
+        // by the published manifest exactly like any merge output
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/wap_manifest_$name"))
+        new java.io.File(s"$root/wap_base_$name").delete()
+        r
+      case l => l
+    }
+  }
+
+  /** Abort a staged branch: delete manifest, base marker and data dir. */
+  def abortStaged(s: SparkSession, name: String, root: String = dir): Unit = {
+    Seq(s"$root/wap_manifest_$name", s"$root/wap_$name").foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    new java.io.File(s"$root/wap_base_$name").delete()
   }
 
   /** Merge-on-read DELETE: instead of rewriting the touched buckets, write
