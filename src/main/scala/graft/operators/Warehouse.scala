@@ -489,6 +489,32 @@ object Warehouse {
         )
         .orderBy("o_orderstatus")
     }),
+    // Row-group-grain skipping (x124): the stats grain BELOW x73's
+    // file-level manifest — parquet footers carry per-ROW-GROUP min/max/
+    // count, so a range COUNT decides most groups without touching a data
+    // page: fully-inside groups contribute their exact footer count,
+    // fully-outside groups vanish, and only FILES holding a boundary
+    // group are scanned (predicate pushed down, so parquet's own RG
+    // filter re-skips their decided groups inside the scan; counting
+    // decided groups from metadata in those files would double-count).
+    // Row-group geometry is writer-dependent, so like x113 the gate pins
+    // CONTENT + conservation laws and RgPruneSpec pins the actual
+    // pruning counts. Three probes: narrow (mixed), all (pure metadata),
+    // empty (pure skip).
+    "x124_rowgroup_prune_count" -> ((s, d) => {
+      val fsrc = graft.sources.FooterStats
+      val path = fsrc.ensureSorted(s, d)
+      import s.implicits._
+      val ranges =
+        Seq(("r1_narrow", 8000L, 12000L), ("r2_all", 0L, 100000000L), ("r3_empty", 1000000000L, 2000000000L))
+      ranges
+        .map { case (id, lo, hi) =>
+          val (n, t, i, o, b, scanned, ft) = fsrc.rangeCount(s, path, "k", lo, hi)
+          (id, n, t == i + o + b, scanned <= ft)
+        }
+        .toDF("range_id", "n_in_range", "rg_conserved", "scan_bounded")
+        .orderBy("range_id")
+    }),
     // Shuffle-free co-located join over bucketed tables (x121): the
     // pay-the-shuffle-once ingest discipline — orders and lineitem are
     // bucketed+sorted by orderkey into matching bucket counts, so the
@@ -599,6 +625,21 @@ object Warehouse {
         |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN NULL
         |                ELSE length('order-' || o_orderkey) END) AS BIGINT) AS comment_chars
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x124: counts replayed on the parquet original — a wrong row-group
+    // decision (double count, dropped boundary row) flips n_in_range.
+    "x124_rowgroup_prune_count" ->
+      """SELECT 'r1_narrow' AS range_id,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey BETWEEN 8000 AND 12000)::BIGINT AS n_in_range,
+        |  TRUE AS rg_conserved, TRUE AS scan_bounded
+        |UNION ALL
+        |SELECT 'r2_all',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey BETWEEN 0 AND 100000000)::BIGINT,
+        |  TRUE, TRUE
+        |UNION ALL
+        |SELECT 'r3_empty',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey BETWEEN 1000000000 AND 2000000000)::BIGINT,
+        |  TRUE, TRUE
+        |ORDER BY range_id""".stripMargin,
     // x121: the oracle joins the PARQUET originals, so a hash match proves
     // the bucketed managed-table round trip (write + catalog read + SMB
     // join) is value-exact end to end.
