@@ -102,6 +102,59 @@ object TextAnalysis {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global dictionary encoding (x125): dense integer codes for every
+    // distinct corpus token, assigned in LEXICOGRAPHIC order WITHOUT a
+    // global sort — the x87 prefix-sum discipline applied to vocabulary
+    // building (the categorical-encoding step every feature pipeline and
+    // tokenizer-id assignment needs at 100 TB): range-bucket by 2-char
+    // prefix (UTF-8 prefix order is consistent with full binary order in
+    // BOTH engines), per-bucket counts → bucket-count-sized offset
+    // window, local rank within each bucket's own sorted partition,
+    // code = offset + rank − 1. The encode join then maps the corpus
+    // stream through the dictionary (AQE broadcasts a small dict;
+    // co-partitioned shuffle join at scale). The gate pins the WHOLE
+    // dictionary (order-free pair digest + size) and the encoded
+    // corpus (per-(lang, source) code sums/extents — any off-by-one
+    // anywhere shifts code_sum).
+    "x125_global_dictionary" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("lang"), col("source"), explode(toks).as("word"))
+        .where(col("word") =!= "")
+        .localCheckpoint() // two plan refs: vocab build, encode join
+      val words = docs.select("word").distinct().withColumn("bkt", substring(col("word"), 1, 2))
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = words
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("offset", coalesce(sum("bn").over(wOff), lit(0L)))
+        .select("bkt", "offset")
+      val wLoc = Window
+        .partitionBy("bkt")
+        .orderBy("word")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vocab = words
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("code", col("offset") + count(lit(1)).over(wLoc) - 1L)
+        .select("word", "code")
+      val dictDigest = vocab.agg(
+        count(lit(1)).as("vocab_size"),
+        sum(
+          Hashing.md5Bucket(concat(col("word"), lit("#"), col("code").cast("string")), 1L << 40)
+        ).as("dict_digest")
+      )
+      docs
+        .join(vocab, Seq("word"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum("code").as("code_sum"),
+          countDistinct(col("code")).as("n_distinct"),
+          min("code").as("min_code"),
+          max("code").as("max_code")
+        )
+        .crossJoin(broadcast(dictDigest))
+        .orderBy("lang", "source")
+    }),
     "x07_text_tokens" -> ((s, d) => {
       table(s, d, "documents")
         .select(
@@ -841,6 +894,32 @@ object TextAnalysis {
   def oracles: Map[String, String] = {
     def inSetSql(set: Seq[String]) = set.map(w => s"'$w'").mkString("(", ", ", ")")
     Map(
+      // x125: codes replayed as row_number over the sorted distinct vocab
+      // (binary collation in both engines); the dictionary digest pins
+      // every (word, code) pair order-free, the encode side every join.
+      "x125_global_dictionary" ->
+        """WITH tok AS (
+          |  SELECT lang, source,
+          |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+          |  FROM documents),
+          |tok2 AS (SELECT * FROM tok WHERE word <> ''),
+          |v AS (
+          |  SELECT word, row_number() OVER (ORDER BY word) - 1 AS code
+          |  FROM (SELECT DISTINCT word FROM tok2)),
+          |dg AS (
+          |  SELECT count(*)::BIGINT AS vocab_size,
+          |    CAST(sum(('0x' || substr(md5(word || '#' || code), 1, 15))::BIGINT
+          |             % 1099511627776) AS BIGINT) AS dict_digest
+          |  FROM v)
+          |SELECT t.lang, t.source, count(*)::BIGINT AS n_tokens,
+          |  CAST(sum(v.code) AS BIGINT) AS code_sum,
+          |  count(DISTINCT v.code)::BIGINT AS n_distinct,
+          |  CAST(min(v.code) AS BIGINT) AS min_code,
+          |  CAST(max(v.code) AS BIGINT) AS max_code,
+          |  dg.vocab_size, dg.dict_digest
+          |FROM tok2 t JOIN v USING (word), dg
+          |GROUP BY t.lang, t.source, dg.vocab_size, dg.dict_digest
+          |ORDER BY lang, source""".stripMargin,
       "x72_bpe_train" -> bpeTrainOracle,
       "x75_bpe_encode" -> bpeEncodeOracle,
       // x115: the same schedule + slices replayed with list algebra; the
