@@ -358,6 +358,72 @@ object Advanced {
           expr("CAST(round(rev_cents / CAST(7.0 AS DOUBLE)) AS BIGINT)").as("avg_yearly_cents")
         )
     }),
+    // TPC-H Q20 shape (q77) — "excess-share suppliers", the NESTED-SEMI
+    // topology: supplier ⟵semi (per-(supp,part) agg compared against a
+    // correlated per-part threshold ⟵semi part-name filter). The real Q20
+    // compares partsupp availability to half the shipped volume; the
+    // fixture has no partsupp table, so the adapted predicate is "holds
+    // more than 1/8 of a red part's shipped quantity since 1996" — the
+    // same two stacked semi-joins and grouped-twin-vs-coarser-twin
+    // correlation, integer-exact (qs·8 > qp, quantities integral). The
+    // part filter broadcasts; both aggs shuffle on l_partkey only (the
+    // finer one carries l_suppkey along), and the final semi probe is
+    // supplier-dim-sized.
+    "q77_excess_supplier" -> ((s, d) => {
+      val redParts = broadcast(
+        table(s, d, "part").where(col("p_name").startsWith("red ")).select("p_partkey")
+      )
+      val li = table(s, d, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+        .localCheckpoint() // two plan refs: per-(supp,part) and per-part sums
+      val sp = li.groupBy("l_partkey", "l_suppkey").agg(sum("q").as("qs"))
+      val pt = li.groupBy("l_partkey").agg(sum("q").as("qp"))
+      val excess = sp
+        .join(pt, Seq("l_partkey"))
+        .where(col("qs") * 8 > col("qp"))
+        .select(col("l_suppkey"))
+      table(s, d, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(
+          col("s_suppkey"),
+          col("s_name"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("s_acctbal_cents")
+        )
+        .orderBy("s_suppkey")
+    }),
+    // TPC-H Q22 shape (q78) — "global sales opportunity": positive-balance
+    // customers ABOVE the average positive balance of their cohort who
+    // placed no RECENT order — a scalar-subquery threshold plus an anti
+    // join, grouped by country. The fixture has no phone column, so the
+    // country code is c_nationkey and "dormant" means no order on/after
+    // 2000-06-01 (every customer has SOME order here, unlike TPC-H's
+    // never-ordered test — the anti join still prunes >95%). The average
+    // crosses the comparison as an EXACT integer cross-multiply
+    // (cents·cnt > sum_cents), never a double; the threshold aggregate is
+    // one broadcast row and the anti join shuffles on o_custkey only.
+    "q78_global_sales_opportunity" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+        .where(col("c_acctbal") > 0)
+        .select(
+          col("c_custkey"),
+          col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents")
+        )
+        .localCheckpoint() // two plan refs: threshold aggregate, filtered set
+      val thr = cust.agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+      val recent = table(s, d, "orders")
+        .where(expr("o_orderdate >= TIMESTAMP_NTZ '2000-06-01 00:00:00'"))
+        .select(col("o_custkey"))
+      cust
+        .crossJoin(broadcast(thr))
+        .where(col("cents") * col("n_pos") > col("sum_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
+        .orderBy("cntrycode")
+    }),
     // Mergeable quantile sketch (x118) — the quantile member completing
     // the native sketch family (x49 distinct, x94 heavy hitters, x107
     // frequency): deterministic-compaction MRL/KLL levels, ≤ k·levels
@@ -1439,6 +1505,41 @@ object Advanced {
         |  CAST(round(CAST(sum(cents) AS BIGINT) / CAST(7.0 AS DOUBLE)) AS BIGINT) AS avg_yearly_cents
         |FROM li JOIN st USING (l_partkey)
         |WHERE q * 5 * qcnt < qsum""".stripMargin,
+    // q77: the nested EXISTS written literally — DuckDB's decorrelation
+    // must agree with the stacked semi-join plan; the share predicate is
+    // the same exact-integer inequality.
+    "q77_excess_supplier" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01'
+        |    AND EXISTS (SELECT 1 FROM part p
+        |                WHERE p.p_partkey = lineitem.l_partkey AND p.p_name LIKE 'red %')),
+        |sp AS (SELECT l_partkey, l_suppkey, sum(q) AS qs FROM li GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(q) AS qp FROM li GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+        |FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM sp JOIN pt USING (l_partkey)
+        |  WHERE sp.l_suppkey = s_suppkey AND qs * 8 > qp)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q78: scalar-subquery threshold + NOT EXISTS written literally; the
+    // above-average predicate is the identical integer cross-multiply.
+    "q78_global_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |thr AS (SELECT sum(cents) AS sum_cents, count(*) AS n_pos FROM cust)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, thr
+        |WHERE cents * n_pos > sum_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = cust.c_custkey AND o.o_orderdate >= '2000-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x118: exact twins + the guarantee booleans (TRUE by the worst-case
     // compaction analysis — an implementation violating its own bound
     // turns the gate red, the x94/x101 discipline).

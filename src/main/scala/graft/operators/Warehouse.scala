@@ -339,6 +339,47 @@ object Warehouse {
         .toDF("bucket", "has_dv", "n_del", "data_src_version")
       mor.join(cow, Seq("bucket")).join(prov, Seq("bucket")).orderBy("bucket")
     }),
+    // Merge-on-read UPSERT (sources/CowEvo v6) vs the SAME logical upsert
+    // via the COW rewrite path (v31): updates mask their OLD version
+    // through DVs OR-merged into v2's delete vectors and land the NEW
+    // version in a change-sized delta file; inserts are delta-only. One
+    // output row per bucket carries both reads — the oracle computes a
+    // single truth, so a delta row wrongly masked by the shared key, a
+    // missed old-version mask, or a lost insert flips the hash.
+    // Provenance proves the MOR half rewrote ZERO base data files: every
+    // v6 entry is either a carried /v1/ file or a /delta_v6/ file
+    // (n_other_files is the oracle's literal 0), with has_dv/n_del
+    // recomputed from the stripe formulas (n_del = delete ∪ update masks).
+    "x126_mor_upsert" -> ((s, d) => {
+      graft.sources.CowEvo.ensure(s, d)
+      import s.implicits._
+      val w = graft.sources.CowTable.BucketWidth
+      val root = graft.sources.CowEvo.dir
+      val mor = graft.sources.CowTable
+        .read(s, 6, root)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("total_cents"))
+      val cow = graft.sources.CowTable
+        .read(s, 31, root)
+        .withColumn("bucket", expr(s"k div ${w}L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cow_n_live"), sum("cents").as("cow_total_cents"))
+      val prov = graft.sources.CowTable
+        .entries(s, 6, root)
+        .groupBy(_.bucket)
+        .toSeq
+        .map { case (b, es) =>
+          (b,
+            es.count(_.path.contains("/v1/")).toLong,
+            es.count(_.path.contains("/delta_v6/")).toLong,
+            es.count(e => !e.path.contains("/v1/") && !e.path.contains("/delta_v6/")).toLong,
+            if (es.exists(_.dvPath.nonEmpty)) 1L else 0L,
+            es.map(_.nDel).max)
+        }
+        .toDF("bucket", "n_base_files", "n_delta_files", "n_other_files", "has_dv", "n_del")
+      mor.join(cow, Seq("bucket")).join(prov, Seq("bucket")).orderBy("bucket")
+    }),
     // Schema evolution across snapshots (sources/CowEvo v3 add-column,
     // v4 rename): ONE read of v4 crosses schema-1 files (DV-masked, no
     // qty, written as "cents"), schema-2 files (qty present) and the
@@ -991,6 +1032,45 @@ object Warehouse {
         |  CAST(1 AS BIGINT) AS data_src_version
         |FROM live l LEFT JOIN hits h ON l.bucket = h.bucket
         |GROUP BY l.bucket, h.bucket, h.nd ORDER BY l.bucket""".stripMargin,
+    // one truth for both the MOR (DV + delta) and COW (rewritten) upsert
+    // reads: base minus the delete stripe, cents bumped on the surviving
+    // update stripe, plus the insert range. masked = delete ∪ update old
+    // versions; delta = buckets holding ≥1 new-version/insert row;
+    // n_other_files is the LITERAL 0 — the Spark side derives it from the
+    // actual manifest paths, so any base rewrite on the MOR branch (or a
+    // data file from anywhere else) breaks the match
+    "x126_mor_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |masked AS (
+        |  SELECT bucket, count(*) AS nd FROM base
+        |  WHERE bucket % 3 = 1 AND (k % 13 = 0 OR k % 17 = 0) GROUP BY 1),
+        |live AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 17 = 0 AND bucket % 3 = 1 THEN 7000 ELSE 0 END AS cents
+        |  FROM base WHERE NOT (k % 13 = 0 AND bucket % 3 = 1)
+        |  UNION ALL
+        |  SELECT 30000000 + i, (30000000 + i) // 1024, 300000 + i * 13
+        |  FROM (SELECT unnest(range(40)) AS i)),
+        |delta AS (
+        |  SELECT DISTINCT bucket FROM live
+        |  WHERE (k % 17 = 0 AND bucket % 3 = 1 AND NOT k % 13 = 0) OR k >= 30000000)
+        |SELECT l.bucket,
+        |  count(*) AS n_live, CAST(sum(l.cents) AS BIGINT) AS total_cents,
+        |  count(*) AS cow_n_live, CAST(sum(l.cents) AS BIGINT) AS cow_total_cents,
+        |  CAST(CASE WHEN max(CASE WHEN l.k < 30000000 THEN 1 ELSE 0 END) = 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_base_files,
+        |  CAST(CASE WHEN d.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_delta_files,
+        |  CAST(0 AS BIGINT) AS n_other_files,
+        |  CAST(CASE WHEN m.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_dv,
+        |  CAST(coalesce(m.nd, 0) AS BIGINT) AS n_del
+        |FROM live l
+        |LEFT JOIN masked m ON l.bucket = m.bucket
+        |LEFT JOIN delta d ON l.bucket = d.bucket
+        |GROUP BY l.bucket, m.bucket, m.nd, d.bucket ORDER BY l.bucket""".stripMargin,
     // the evolved table from first principles: pre-evolution rows are the
     // MOR-masked base under the RENAMED column name with NULL qty;
     // post-evolution rows follow the insert formulas; file_schema_id is

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *         verbatim; reads resolve old files through the field-id map
   *   - v5  [[CowTable.foldDv]] compaction: DV-carrying buckets rewritten
   *         live-rows-only, dv references dropped, everything else carried
+  *   - v6  [[CowTable.morUpsert]] from v2: the [[UpsFilter]] stripe's
+  *         cents bumped + [[UpsCount]] fresh inserts — old versions masked
+  *         by DVs MERGED with v2's delete vectors (same bucket class by
+  *         construction), all new rows in one `delta_v6` file set, ZERO
+  *         base files rewritten (the x126 gate proves it from provenance)
+  *   - v31 the COW TWIN of v6: the same logical upsert from v2 via
+  *         [[CowTable.merge]]'s rewrite path — x126 pins both to one truth
   *
   * The chain composes the three table-format mechanisms deliberately:
   * x99 reads v4, so one query crosses a DV mask (schema-1 files), a
@@ -39,6 +46,19 @@ object CowEvo {
   val AddBase = 20000000L
   val AddCount = 40
 
+  /** MOR-upserted stripe (x126): SAME bucket class as [[DelFilter]] —
+    * deliberately, so the update DVs must OR-merge into v2's existing
+    * delete vectors — but a different key modulus; keys hit by BOTH
+    * stripes (k % 221 == 0) are already deleted at v2 and the stripe is
+    * built from the v2 READ, so they stay deleted. */
+  val UpsFilter = s"k % 17 = 0 AND (k div ${CowTable.BucketWidth}L) % 3 = 1"
+  val UpsBump = 7000L
+
+  /** pure-insert half of the v6 upsert: a fresh key range far above both
+    * the base table and the [[AddBase]] stripe, new buckets, no DVs */
+  val UpsBase = 30000000L
+  val UpsCount = 40
+
   val Schemas: Seq[(Int, Int, String, String)] = Seq(
     (1, 1, "k", "bigint"), (1, 2, "cents", "bigint"),
     (2, 1, "k", "bigint"), (2, 2, "cents", "bigint"), (2, 3, "qty", "bigint"),
@@ -46,7 +66,11 @@ object CowEvo {
   )
 
   def ensure(s: SparkSession, d: String): Unit = synchronized {
-    val key = Fingerprint.of(s, s"$d/orders.parquet", s"${CowTable.BucketWidth}|$DelFilter|$AddBase|$AddCount|evo1")
+    val key = Fingerprint.of(
+      s,
+      s"$d/orders.parquet",
+      s"${CowTable.BucketWidth}|$DelFilter|$AddBase|$AddCount|$UpsFilter|$UpsBump|$UpsBase|$UpsCount|evo2"
+    )
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key) return
@@ -100,6 +124,22 @@ object CowEvo {
 
     // ---- v5: fold the deletion vectors back into data files
     CowTable.foldDv(s, 4, 5, dir)
+
+    // ---- v6: merge-on-read UPSERT from v2 (updates + inserts, zero base
+    // rewrites) and v31, its COW twin through the rewrite path. The
+    // changes are built from the v2 READ, so keys the delete stripe
+    // already masked are structurally excluded.
+    val upserts = CowTable
+      .read(s, 2, dir)
+      .where(expr(UpsFilter))
+      .select(col("k"), (col("cents") + lit(UpsBump)).as("cents"))
+      .unionByName(
+        s.range(UpsCount.toLong)
+          .select((col("id") + lit(UpsBase)).as("k"), (lit(300000L) + col("id") * 13L).as("cents"))
+      )
+      .localCheckpoint() // three consumers: DV probe, delta write, COW twin
+    CowTable.morUpsert(s, 2, 6, upserts, dir)
+    CowTable.merge(s, 2, 31, changes = upserts, root = dir)
 
     java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
   }

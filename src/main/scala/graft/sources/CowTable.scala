@@ -151,27 +151,28 @@ object CowTable {
   def read(s: SparkSession, version: Int, root: String = dir): DataFrame = {
     val es = entries(s, version, root)
     versionSchemaId(s, version, root) match {
-      case None => applyDv(s, rawRead(s, es), es, keyCol = "k")
+      case None => rawRead(s, es)
       case Some(cur) =>
         val fields = schemaFields(s, root)
         val curFields = fields(cur)
         val keyName = curFields.find(_._1 == 1).get._2
-        val mapped = es
-          .groupBy(_.schemaId)
+        es.groupBy(_.schemaId)
           .toSeq
           .sortBy(_._1)
           .map { case (sid, grp) =>
             val written = fields(sid).map(f => f._1 -> f._2).toMap
-            val df = s.read.parquet(grp.map(_.path).sorted.toIndexedSeq: _*)
-            df.select(curFields.map { case (fid, name, ftype) =>
-              written.get(fid) match {
-                case Some(w) => col(w).as(name)
-                case None    => lit(null).cast(ftype).as(name)
-              }
-            }: _*)
+            maskedRead(s, grp, keyName) { g =>
+              s.read
+                .parquet(g.map(_.path).sorted.toIndexedSeq: _*)
+                .select(curFields.map { case (fid, name, ftype) =>
+                  written.get(fid) match {
+                    case Some(w) => col(w).as(name)
+                    case None    => lit(null).cast(ftype).as(name)
+                  }
+                }: _*)
+            }
           }
           .reduce(_.unionByName(_))
-        applyDv(s, mapped, es, keyCol = keyName)
     }
   }
 
@@ -179,33 +180,37 @@ object CowTable {
     * no schema mapping) with deletion vectors applied — the merge/probe
     * path, which runs pre-evolution by contract. */
   private def rawRead(s: SparkSession, es: Seq[Entry]): DataFrame =
-    applyDv(s, s.read.parquet(es.map(_.path).sorted.toIndexedSeq: _*), es, keyCol = "k")
+    maskedRead(s, es, "k")(g => s.read.parquet(g.map(_.path).sorted.toIndexedSeq: _*))
 
-  /** Anti-mask `df` with the union of the entries' deletion vectors: DV
+  /** Read manifest entries with deletion vectors anti-masked PER DV
+    * LINEAGE GROUP: a DV masks only the files of the entries that
+    * reference it, never the whole snapshot — a merge-on-read UPSERT's
+    * delta file holds the NEW version of a key whose OLD version the base
+    * entry's DV hides, so a snapshot-wide key anti-join would wrongly
+    * delete the live row (the [[morUpsert]] correctness condition). DV
     * words expand to deleted keys (63-bit packed words over in-bucket
     * offsets, the x96 convention) and broadcast-anti-join on the key —
-    * DV bytes are change-sized, so the mask costs a broadcast, never a
+    * DV bytes are change-sized, so each mask costs a broadcast, never a
     * shuffle of the data. */
-  private def applyDv(s: SparkSession, df: DataFrame, es: Seq[Entry], keyCol: String): DataFrame = {
-    val dvd = es.filter(_.dvPath.nonEmpty)
-    if (dvd.isEmpty) df
-    else {
-      val deleted = dvd
-        .groupBy(_.dvPath)
-        .toSeq
-        .sortBy(_._1)
-        .map { case (p, grp) =>
-          s.read
-            .parquet(p)
+  private def maskedRead(s: SparkSession, es: Seq[Entry], keyCol: String)(
+      reader: Seq[Entry] => DataFrame): DataFrame =
+    es.groupBy(_.dvPath)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (dvp, grp) =>
+        val df = reader(grp)
+        if (dvp.isEmpty) df
+        else {
+          val deleted = s.read
+            .parquet(dvp)
             .where(col("bucket").isin(grp.map(e => Long.box(e.bucket)): _*))
+            .select(col("bucket"), col("w"), explode(sequence(lit(0), lit(62))).as("i"), col("word"))
+            .where(expr("(word >> i) & 1 = 1"))
+            .select((col("bucket") * lit(BucketWidth) + col("w") * lit(63L) + col("i")).as(keyCol))
+          df.join(broadcast(deleted), Seq(keyCol), "left_anti")
         }
-        .reduce(_.unionByName(_))
-        .select(col("bucket"), col("w"), explode(sequence(lit(0), lit(62))).as("i"), col("word"))
-        .where(expr("(word >> i) & 1 = 1"))
-        .select((col("bucket") * lit(BucketWidth) + col("w") * lit(63L) + col("i")).as(keyCol))
-      df.join(broadcast(deleted), Seq(keyCol), "left_anti")
-    }
-  }
+      }
+      .reduce(_.unionByName(_))
 
   /** Build snapshot v1 from `orders` and snapshot v2 = MERGE(updates ∪
     * inserts) into it, fingerprint-guarded on the source files. */
@@ -635,10 +640,8 @@ object CowTable {
 
   /** DV-masked read of a staged branch (pre-evolution contract, like the
     * merge paths — WAP stages data changes, not schema changes). */
-  def readStaged(s: SparkSession, name: String, root: String = dir): DataFrame = {
-    val es = stagedEntries(s, name, root)
-    applyDv(s, s.read.parquet(es.map(_.path).sorted.toIndexedSeq: _*), es, keyCol = "k")
-  }
+  def readStaged(s: SparkSession, name: String, root: String = dir): DataFrame =
+    rawRead(s, stagedEntries(s, name, root))
 
   /** Publish a staged branch as the next snapshot: the same CAS loop as
     * [[occCommit]] (rebase on disjoint winners, conflict set on overlap),
@@ -680,7 +683,7 @@ object CowTable {
     * entries reference it — ZERO data files move, which is the write-
     * amplification answer for frequent small deletes (GDPR, dedup-driven
     * removal) against a 100 TB table. The read path anti-masks
-    * ([[applyDv]]); a COW rewrite or [[foldDv]] compaction folds the DV
+    * ([[maskedRead]]); a COW rewrite or [[foldDv]] compaction folds the DV
     * back into data files. Semantics match a COW delete exactly: keys are
     * probed against the LIVE (already-masked) rows, re-deletes are no-ops,
     * new bits OR into any existing DV, and a bucket whose every row is
@@ -711,49 +714,112 @@ object CowTable {
       .map(_.select("bucket").distinct().collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty[Long])
     if (hitBuckets.nonEmpty) {
-      // new bits ∪ old DV words of the touched buckets, OR-merged per word
+      // fully-deleted-bucket check against the bucket's TOTAL live rows
+      // (a bucket may hold several entries — base file + upsert deltas)
+      val liveLeft = rawRead(s, cand.filter(e => hitBuckets.contains(e.bucket)))
+        .join(dl.select("k"), Seq("k"), "left_anti")
+        .groupBy(expr(s"k div ${BucketWidth}L").as("bucket"))
+        .count()
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("count"))
+        .toMap
       val newBits = hitsDf.get
         .select(
           col("bucket"),
           expr(s"(k - bucket * ${BucketWidth}L) div 63").as("w"),
           expr(s"shiftleft(1L, CAST((k - bucket * ${BucketWidth}L) % 63 AS INT))").as("word")
         )
-      val oldDvd = cand.filter(e => hitBuckets.contains(e.bucket) && e.dvPath.nonEmpty)
-      val oldWords = oldDvd
-        .groupBy(_.dvPath)
-        .toSeq
-        .sortBy(_._1)
-        .map { case (p, grp) =>
-          s.read.parquet(p).where(col("bucket").isin(grp.map(e => Long.box(e.bucket)): _*))
-        }
-      (oldWords :+ newBits)
-        .reduce(_.unionByName(_))
-        .groupBy("bucket", "w")
-        .agg(expr("bit_or(word)").as("word"))
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(dvDir)
-      // per-bucket masked-row counts from the merged words — popcount is
-      // exact whether or not old and new deletes overlapped
-      val nDelByBucket = s.read
-        .parquet(dvDir)
-        .groupBy("bucket")
-        .agg(sum(expr("bit_count(word)")).as("nd"))
-        .collect()
-        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("nd"))
-        .toMap
+        .localCheckpoint() // one plan ref per lineage group below
+      // One merged vector PER OLD DV LINEAGE GROUP ("" = the no-DV group):
+      // a hit key's new bit lands in EVERY group of its bucket — masking a
+      // key absent from a group's files is a no-op, while collapsing the
+      // groups into ONE shared vector would let one group's old bits
+      // wrongly mask another group's delta rows (the same key's NEW
+      // version after a merge-on-read upsert). Single-group deletes keep
+      // the historical `dv_vN` name; multi-group ones suffix `_gI`.
+      val touched = man.filter(e => hitBuckets.contains(e.bucket))
+      val groups = touched.groupBy(_.dvPath).toSeq.sortBy(_._1)
+      val dvOf: Map[String, (String, Map[Long, Long])] = groups.zipWithIndex.map {
+        case ((oldDv, grp), gi) =>
+          val out = if (groups.size == 1) dvDir else s"${dvDir}_g$gi"
+          val grpBuckets = grp.map(_.bucket).distinct
+          val bitsHere = newBits.where(col("bucket").isin(grpBuckets.map(Long.box): _*))
+          val words =
+            if (oldDv.isEmpty) bitsHere
+            else
+              s.read
+                .parquet(oldDv)
+                .where(col("bucket").isin(grpBuckets.map(Long.box): _*))
+                .unionByName(bitsHere)
+          words
+            .groupBy("bucket", "w")
+            .agg(expr("bit_or(word)").as("word"))
+            .coalesce(1)
+            .write
+            .mode("overwrite")
+            .parquet(out)
+          // per-bucket masked counts from the merged words — popcount is
+          // exact whether or not old and new deletes overlapped. (With
+          // several entries of one bucket in one group the count is the
+          // GROUP's masked total, an advisory upper bound per entry.)
+          val nd = s.read
+            .parquet(out)
+            .groupBy("bucket")
+            .agg(sum(expr("bit_count(word)")).as("nd"))
+            .collect()
+            .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("nd"))
+            .toMap
+          oldDv -> (out, nd)
+      }.toMap
       val rows = man.flatMap { e =>
         if (!hitBuckets.contains(e.bucket)) Some(e)
+        else if (liveLeft.getOrElse(e.bucket, 0L) == 0L) None // bucket fully deleted
         else {
-          val nd = nDelByBucket(e.bucket)
-          if (nd >= e.nRows) None // fully-deleted bucket leaves the snapshot
-          else Some(e.copy(dvPath = dvDir, nDel = nd))
+          val (out, nd) = dvOf(e.dvPath)
+          Some(e.copy(dvPath = out, nDel = nd(e.bucket)))
         }
       }
       writeManifestRows(s, toVersion, rows, root)
     } else writeManifestRows(s, toVersion, man, root)
     versionSchemaId(s, fromVersion, root).foreach(writeVersionMeta(s, root, toVersion, _))
+  }
+
+  /** Merge-on-read UPSERT — the update half of the MOR write path
+    * ([[morDelete]] is the delete half): matched keys' OLD versions are
+    * masked through the same deletion-vector machinery (an update IS a
+    * delete of the previous version), and ALL upsert rows — new versions
+    * and inserts alike — land in one change-sized delta file set under
+    * `$root/delta_vN`, registered as additional manifest entries in the
+    * buckets they key-range into. Zero base data files are rewritten
+    * (write amplification is O(changes), the merge-on-read contract), and
+    * latest-wins needs no read-time fold logic because it is STRUCTURAL:
+    * the old version is DV-masked, the new version is an ordinary manifest
+    * entry, so [[read]], [[snapshotDiff]] and [[foldDv]] work unchanged.
+    * Keys absent from the base insert cleanly — the DV probe's semi join
+    * simply never hits them. Delta files are written under `fromVersion`'s
+    * CURRENT schema names, so `upserts` must carry them. */
+  def morUpsert(
+      s: SparkSession,
+      fromVersion: Int,
+      toVersion: Int,
+      upserts: DataFrame,
+      root: String = dir
+  ): Unit = {
+    morDelete(s, fromVersion, toVersion, upserts.select("k"), root)
+    val deltaRoot = s"$root/delta_v$toVersion"
+    upserts
+      .withColumn("bucket", expr(s"k div ${BucketWidth}L"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(deltaRoot)
+    val sid = versionSchemaId(s, fromVersion, root).getOrElse(1)
+    writeManifestRows(
+      s,
+      toVersion,
+      entries(s, toVersion, root) ++ statsOf(s, deltaRoot, sid),
+      root
+    )
   }
 
   /** Compaction for merge-on-read buckets: rewrite exactly the DV-carrying

@@ -108,6 +108,70 @@ class CowEvoSpec extends AnyFunSuite {
     }
   }
 
+  private def ups(k: Long): Boolean = k % 17 == 0 && (k / W) % 3 == 1
+
+  test("MOR upsert == COW upsert of the same changes; MOR rewrote zero base files") {
+    CowEvo.ensure(spark, sf)
+    val mor = contents(6)
+    val cow = contents(31)
+    assert(mor === cow)
+    val expected = baseRows()
+      .filter { case (k, _) => !stripe(k) }
+      .map { case (k, c) => k -> (if (ups(k)) c + CowEvo.UpsBump else c) } ++
+      (0 until CowEvo.UpsCount).map(i => (CowEvo.UpsBase + i) -> (300000L + i * 13L))
+    assert(mor === expected)
+    // every v6 entry is a carried /v1/ base file or a /delta_v6/ file —
+    // nothing was rewritten; updated buckets carry a merged DV
+    val es = CowTable.entries(spark, 6, root)
+    assert(es.forall(e => e.path.contains("/v1/") || e.path.contains("/delta_v6/")))
+    val updBuckets = baseRows().keySet.filter(k => ups(k) && !stripe(k)).map(_ / W)
+    assert(updBuckets.nonEmpty)
+    for (b <- updBuckets) {
+      val ofBucket = es.filter(_.bucket == b)
+      assert(ofBucket.exists(e => e.path.contains("/v1/") && e.dvPath.nonEmpty))
+      assert(ofBucket.exists(e => e.path.contains("/delta_v6/") && e.dvPath.isEmpty))
+    }
+    // the pure-insert bucket is delta-only, no DV
+    val insBucket = CowEvo.UpsBase / W
+    assert(es.filter(_.bucket == insBucket).forall(e => e.path.contains("/delta_v6/") && e.dvPath.isEmpty))
+  }
+
+  test("delete after upsert masks per lineage group: only the targeted version dies") {
+    import spark.implicits._
+    CowEvo.ensure(spark, sf)
+    val v6 = contents(6)
+    val updated = v6.keySet.filter(k => ups(k) && !stripe(k) && k < CowEvo.UpsBase)
+    assert(updated.nonEmpty)
+    val victim = updated.min
+    // deleting an UPDATED key must remove its NEW (delta) version
+    try {
+      CowTable.morDelete(spark, 6, 93, Seq(victim).toDF("k"), root)
+      assert(contents(93) === v6 - victim)
+    } finally cleanup(93)
+    // deleting a NON-updated neighbor in the same bucket must leave the
+    // updated key's delta row alive — a snapshot-wide key mask (or DV
+    // lineage groups collapsed into one shared vector) would kill it
+    val neighbor = v6.keySet.filter(k => k / W == victim / W && !updated(k)).min
+    try {
+      CowTable.morDelete(spark, 6, 94, Seq(neighbor).toDF("k"), root)
+      val v94 = contents(94)
+      assert(v94 === v6 - neighbor)
+      assert(v94(victim) === v6(victim))
+    } finally cleanup(94)
+  }
+
+  test("foldDv after a MOR upsert folds base masks and carries delta entries verbatim") {
+    CowEvo.ensure(spark, sf)
+    try {
+      CowTable.foldDv(spark, 6, 95, root)
+      assert(contents(95) === contents(6))
+      val e95 = CowTable.entries(spark, 95, root)
+      assert(e95.forall(_.dvPath.isEmpty))
+      val deltas6 = CowTable.entries(spark, 6, root).filter(e => e.path.contains("/delta_v6/") && e.dvPath.isEmpty)
+      assert(deltas6.nonEmpty && deltas6.forall(e95.contains))
+    } finally cleanup(95)
+  }
+
   test("reads project through the snapshot's OWN schema: rename + add survive time travel") {
     CowEvo.ensure(spark, sf)
     assert(CowTable.read(spark, 1, root).columns.toSeq === Seq("k", "cents"))
@@ -135,9 +199,12 @@ class CowEvoSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  private def cleanup(version: Int): Unit =
-    for (n <- Seq(s"v$version", s"manifest_v$version", s"dv_v$version", s"meta_v$version")) {
-      val f = new java.io.File(s"$root/$n")
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-    }
+  private def cleanup(version: Int): Unit = {
+    val exact = Set(s"v$version", s"manifest_v$version", s"dv_v$version", s"meta_v$version", s"delta_v$version")
+    for (
+      f <- Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])
+      // multi-lineage-group deletes suffix their vectors dv_vN_gI
+      if exact.contains(f.getName) || f.getName.startsWith(s"dv_v${version}_g")
+    ) org.apache.commons.io.FileUtils.deleteDirectory(f)
+  }
 }
