@@ -146,6 +146,49 @@ object Analytic {
         .orderBy("o_orderpriority")
     }),
 
+    // Robust outlier detection via MEDIAN / MAD (the modified z-score,
+    // Iglewicz & Hoaglin 1993): |x − median| > 3.5 · 1.4826 · MAD, the
+    // curation rule that survives what breaks mean/σ — the corrupted tail
+    // itself inflates σ and masks its own members, while the two medians
+    // barely move. The corruption is PLANTED (every 997th order's cents
+    // ×25, the x101 planted-skew discipline — the synthetic fixture is
+    // near-uniform, so nothing natural trips 3.5 modified-z), mirrored in
+    // the oracle, and the flagged set must be exactly the stripe. All
+    // arithmetic crossing the gate is exact: medians interpolate halves
+    // (·2 / ·4 rescales to integers), and the threshold is the integer
+    // cross-multiply dev4·10⁴ > 51891·mad4 — no epsilon, no libm. Scale
+    // shape: two ExactPercentile passes (spillable two-phase, the q27
+    // operator) + one broadcast of 5 group rows each; one final hash agg.
+    "x128_mad_outliers" -> ((s, d) => {
+      val t = table(s, d, "orders")
+        .select(
+          col("o_orderpriority").as("g"),
+          when(
+            col("o_orderkey") % 997 === 0,
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)") * lit(25L)
+          ).otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c")
+        )
+        .localCheckpoint() // two plan refs: median build, deviation stream
+      val med = ExactPercentile(t, "g", col("c"), Seq("med" -> 0.5))
+      val dev = t
+        .join(broadcast(med), Seq("g"))
+        .select(col("g"), col("c"), abs(col("c") - col("med")).as("dev"), col("med"))
+        .localCheckpoint() // two plan refs: MAD build, outlier census
+      val mad = ExactPercentile(dev, "g", col("dev"), Seq("mad" -> 0.5))
+      val out = expr("CAST(round(dev * 4) AS BIGINT) * 10000 > 51891 * CAST(round(mad * 4) AS BIGINT)")
+      dev
+        .join(broadcast(mad), Seq("g"))
+        .groupBy("g")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(round(max(med) * 2) AS BIGINT)").as("med2"),
+          expr("CAST(round(max(mad) * 4) AS BIGINT)").as("mad4"),
+          sum(when(out, 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(out, col("c")).otherwise(0L)).as("outlier_cents")
+        )
+        .orderBy("g")
+    }),
+
     // NULL-on-error arithmetic: try_divide hits /0 exactly when quantity=1
     // (unit price over the remaining quantity), try_element_at indexes past
     // a 1-element array whenever linenumber > 1. The per-flag aggregate
@@ -373,6 +416,30 @@ object Analytic {
       """SELECT o_orderpriority, count(*) AS n,
         |  median(CAST(round(o_totalprice * 100) AS BIGINT)) AS med_cents
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // x128: the same two-median chain; DuckDB median interpolates exactly
+    // like ExactPercentile (q66/q27 precedent), and the outlier rule is
+    // the identical integer cross-multiply.
+    "x128_mad_outliers" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS g,
+        |    CASE WHEN o_orderkey % 997 = 0
+        |         THEN CAST(round(o_totalprice * 100) AS BIGINT) * 25
+        |         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
+        |  FROM orders),
+        |m AS (SELECT g, median(c) AS med FROM t GROUP BY 1),
+        |d AS (SELECT t.g, c, abs(c - med) AS dev, med FROM t JOIN m USING (g)),
+        |md AS (SELECT g, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.g, count(*) AS n,
+        |  CAST(round(max(d.med) * 2) AS BIGINT) AS med2,
+        |  CAST(round(max(md.mad) * 4) AS BIGINT) AS mad4,
+        |  CAST(sum(CASE WHEN CAST(round(dev * 4) AS BIGINT) * 10000
+        |                     > 51891 * CAST(round(md.mad * 4) AS BIGINT)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN CAST(round(dev * 4) AS BIGINT) * 10000
+        |                     > 51891 * CAST(round(md.mad * 4) AS BIGINT)
+        |           THEN c ELSE 0 END) AS BIGINT) AS outlier_cents
+        |FROM d JOIN md USING (g)
+        |GROUP BY d.g ORDER BY d.g""".stripMargin,
     "q67_try_arith" ->
       """WITH t AS (
         |  SELECT l_returnflag,

@@ -101,6 +101,105 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** WordPiece vocabulary from a TRAIN word stream (Wu et al. 2016 §4.1's
+    * piece classes, selection simplified to deterministic frequency ranks):
+    * start pieces = top-8 whole words + top-12 prefixes (len 2–4,
+    * occurrence-weighted) + every first char; continuation pieces = top-16
+    * interior substrings (len 2–4) + every interior char. All ranks break
+    * ties on the piece string, so the vocabulary — and every greedy
+    * segmentation below — is deterministic cross-engine. Output:
+    * (piece, cont), ≤ ~80 rows at any corpus size (the LIMITs bound it). */
+  private[operators] def wordpieceVocab(train: DataFrame): DataFrame = {
+    val tw = train.groupBy("w").agg(count(lit(1)).as("n")).localCheckpoint() // 5 plan refs below
+    val whole = tw
+      .orderBy(col("n").desc, col("w"))
+      .limit(8)
+      .select(col("w").as("piece"), lit(0).as("cont"))
+    val pref = tw
+      .select(col("w"), col("n"), explode(sequence(lit(2), lit(4))).as("L"))
+      .where(col("L") <= length(col("w")))
+      .select(expr("substring(w, 1, L)").as("piece"), col("n"))
+      .groupBy("piece")
+      .agg(sum("n").as("pn"))
+      .orderBy(col("pn").desc, col("piece"))
+      .limit(12)
+      .select(col("piece"), lit(0).as("cont"))
+    val inner = tw
+      .select(col("w"), col("n"), explode(sequence(lit(2), greatest(lit(2), length(col("w"))))).as("p"))
+      .where(col("p") <= length(col("w")))
+      .select(col("w"), col("n"), col("p"), explode(sequence(lit(2), lit(4))).as("L"))
+      .where(col("p") + col("L") - 1 <= length(col("w")))
+      .select(expr("substring(w, p, L)").as("piece"), col("n"))
+      .groupBy("piece")
+      .agg(sum("n").as("pn"))
+      .orderBy(col("pn").desc, col("piece"))
+      .limit(16)
+      .select(col("piece"), lit(1).as("cont"))
+    val startChars = tw.select(expr("substring(w, 1, 1)").as("piece")).distinct().select(col("piece"), lit(0).as("cont"))
+    val innerChars = tw
+      .where(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(2, length(w)), i -> substring(w, i, 1))")).as("piece"))
+      .distinct()
+      .select(col("piece"), lit(1).as("cont"))
+    whole.unionByName(pref).unionByName(startChars).unionByName(inner).unionByName(innerChars).distinct()
+  }
+
+  /** Greedy longest-match-first WordPiece encoding of the DISTINCT words in
+    * `docs` against [[wordpieceVocab]]'s pieces — the BERT tokenizer's
+    * matching rule: at position 1 only start pieces match, past it only
+    * continuation pieces; no match at any reached position routes the WHOLE
+    * word to [UNK] (n_pieces 1, digest 0). Two vocab-bound stages, zero per-
+    * row lookups outside codegen: (1) every (word, pos, len) candidate
+    * substring semi-joins the broadcast vocabulary and collapses to a
+    * per-position max-match-length ARRAY; (2) the greedy walk is a pure
+    * `aggregate` fold over that array — position jumps by the matched
+    * length, so the fold is O(|word|) with no data movement at all. Output:
+    * (w, n_pieces, unk, wdigest) where wdigest is the order-pinning sum of
+    * md5-bucketed (piece, index) pairs, the x75 digest convention. */
+  private[operators] def wordpieceEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val dwords = docs.select("w").distinct().localCheckpoint() // two plan refs: match, walk
+    val matched = dwords
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("p"), explode(sequence(lit(1), lit(8))).as("L"))
+      // whole-word pieces can span the word (≤ 8 here); interior pieces cap at 4
+      .where(col("p") + col("L") - 1 <= length(col("w")) && (col("p") === 1 || col("L") <= 4))
+      .select(col("w"), col("p"), col("L"), expr("substring(w, p, L)").as("sub"), when(col("p") === 1, 0).otherwise(1).as("cls"))
+      .join(broadcast(vocab), col("sub") === vocab("piece") && col("cls") === vocab("cont"), "left_semi")
+    val wlens = matched
+      .groupBy(col("w"), col("p"))
+      .agg(max("L").as("mlen"))
+      .groupBy("w")
+      .agg(map_from_entries(collect_list(struct(col("p"), col("mlen")))).as("m"))
+      .select(col("w"), expr("transform(sequence(1, length(w)), i -> coalesce(element_at(m, i), 0))").as("lens"))
+    dwords
+      .join(wlens, Seq("w"), "left") // null lens = no match anywhere (pure-foreign word)
+      .select(
+        col("w"),
+        expr(
+          """aggregate(
+            |  sequence(1, length(w)),
+            |  named_struct('pos', CAST(1 AS INT), 'n', CAST(0 AS BIGINT), 'unk', CAST(0 AS INT), 'dig', CAST(0 AS BIGINT)),
+            |  (acc, i) -> IF(i <> acc.pos OR acc.unk = 1, acc,
+            |    IF(lens IS NULL OR element_at(lens, acc.pos) = 0,
+            |       named_struct('pos', CAST(length(w) + 1 AS INT), 'n', CAST(1 AS BIGINT),
+            |                    'unk', CAST(1 AS INT), 'dig', CAST(0 AS BIGINT)),
+            |       named_struct('pos', CAST(acc.pos + element_at(lens, acc.pos) AS INT),
+            |                    'n', acc.n + CAST(1 AS BIGINT),
+            |                    'unk', CAST(0 AS INT),
+            |                    'dig', acc.dig + pmod(CAST(conv(substring(md5(concat(
+            |                        substring(w, acc.pos, element_at(lens, acc.pos)), '@', CAST(acc.n AS STRING)
+            |                      )), 1, 15), 16, 10) AS BIGINT), CAST(1048576 AS BIGINT))))),
+            |  acc -> acc)""".stripMargin
+        ).as("st")
+      )
+      .select(
+        col("w"),
+        col("st.n").as("n_pieces"),
+        col("st.unk").cast("long").as("unk"),
+        col("st.dig").as("wdigest")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Global dictionary encoding (x125): dense integer codes for every
     // distinct corpus token, assigned in LEXICOGRAPHIC order WITHOUT a
@@ -415,6 +514,44 @@ object TextAnalysis {
         .agg(
           count(lit(1)).as("n_words"),
           sum("ntoks").as("n_bpe_tokens"),
+          sum("wdigest").as("seg_digest")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece tokenizer ENCODING — the greedy longest-match-first
+    // counterpart of x75's merge-replay BPE (the BERT-family tokenizer,
+    // Wu et al. 2016): the vocabulary is trained on the even-doc half
+    // (whole words / prefixes / interior pieces / chars, all frequency-
+    // ranked with total-order ties) and applied to the WHOLE corpus plus
+    // three inline adversarial words (doc_id −1) carrying characters the
+    // train half never saw — so the [UNK] routing rule is load-bearing in
+    // the gate, not just spec-tested (the x94/x101 discipline). Scale
+    // shape: vocabulary ≤ ~80 rows by construction (broadcast always),
+    // matching + the greedy walk run per DISTINCT word, and the corpus
+    // stream crosses exactly one shuffle (the per-doc agg) — the x75
+    // thresholded-broadcast pattern on the encode join. The per-word
+    // digest pins the exact piece sequence, so a wrong longest-match or a
+    // mis-classed continuation piece flips the hash.
+    "x127_wordpiece_encode" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("w"))
+        .where(length(col("w")) >= 1)
+        .unionByName(
+          s.range(1)
+            .select(lit(-1L).as("doc_id"), explode(array(lit("zq9!x"), lit("join"), lit("mergez"))).as("w"))
+        )
+        .localCheckpoint() // three plan refs: train stream, encode input, doc agg
+      val train = docs.where(col("doc_id") >= 0 && col("doc_id") % 2 === 0)
+      val enc = wordpieceEncode(docs, wordpieceVocab(train).localCheckpoint())
+      val encSide = if (enc.count() <= 4000000L) broadcast(enc) else enc
+      docs
+        .join(encSide, "w")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum("n_pieces").as("n_wp_tokens"),
+          sum("unk").as("n_unk_words"),
           sum("wdigest").as("seg_digest")
         )
         .orderBy("doc_id")
@@ -922,6 +1059,68 @@ object TextAnalysis {
           |ORDER BY lang, source""".stripMargin,
       "x72_bpe_train" -> bpeTrainOracle,
       "x75_bpe_encode" -> bpeEncodeOracle,
+      // x127: vocabulary ranks + the greedy walk replayed literally — the
+      // walk is a RECURSIVE CTE stepping by the per-position max match
+      // (the x37 transitive-closure precedent); piece-index-salted digests
+      // pin the exact segmentation.
+      "x127_wordpiece_encode" ->
+        """WITH RECURSIVE allw AS (
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+          |    FROM documents) WHERE len(w) >= 1
+          |  UNION ALL
+          |  SELECT * FROM (VALUES (-1, 'zq9!x'), (-1, 'join'), (-1, 'mergez')) t(doc_id, w)),
+          |tw AS (SELECT w, count(*) AS n FROM allw WHERE doc_id >= 0 AND doc_id % 2 = 0 GROUP BY 1),
+          |whole AS (SELECT w AS piece, 0 AS cont FROM tw ORDER BY n DESC, w LIMIT 8),
+          |pref AS (
+          |  SELECT piece, 0 AS cont FROM (
+          |    SELECT substr(w, 1, L) AS piece, sum(n) AS pn
+          |    FROM tw, unnest(generate_series(2, 4)) t(L) WHERE L <= len(w)
+          |    GROUP BY 1 ORDER BY pn DESC, piece LIMIT 12)),
+          |inr AS (
+          |  SELECT piece, 1 AS cont FROM (
+          |    SELECT substr(w, p, L) AS piece, sum(n) AS pn
+          |    FROM tw, unnest(generate_series(2, 8)) t(p), unnest(generate_series(2, 4)) u(L)
+          |    WHERE p <= len(w) AND p + L - 1 <= len(w)
+          |    GROUP BY 1 ORDER BY pn DESC, piece LIMIT 16)),
+          |sc AS (SELECT DISTINCT substr(w, 1, 1) AS piece, 0 AS cont FROM tw),
+          |ic AS (
+          |  SELECT DISTINCT substr(w, i, 1) AS piece, 1 AS cont
+          |  FROM tw, unnest(generate_series(2, 8)) t(i) WHERE i <= len(w)),
+          |vocab AS (
+          |  SELECT DISTINCT piece, cont FROM (
+          |    SELECT * FROM whole UNION ALL SELECT * FROM pref UNION ALL SELECT * FROM sc
+          |    UNION ALL SELECT * FROM inr UNION ALL SELECT * FROM ic)),
+          |dw AS (SELECT DISTINCT w FROM allw),
+          |ml AS (
+          |  SELECT w, p, max(L) AS mlen FROM (
+          |    SELECT dw.w, t.p, u.L
+          |    FROM dw, unnest(generate_series(1, 8)) t(p), unnest(generate_series(1, 8)) u(L)
+          |    WHERE p <= len(w) AND p + L - 1 <= len(w) AND (p = 1 OR L <= 4)
+          |      AND EXISTS (SELECT 1 FROM vocab v
+          |                  WHERE v.piece = substr(dw.w, t.p, u.L)
+          |                    AND v.cont = CASE WHEN t.p = 1 THEN 0 ELSE 1 END))
+          |  GROUP BY 1, 2),
+          |walk(w, pos, n, unk, dig) AS (
+          |  SELECT w, 1, CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT) FROM dw
+          |  UNION ALL
+          |  SELECT wk.w,
+          |    CASE WHEN m.mlen IS NULL THEN len(wk.w) + 1 ELSE wk.pos + m.mlen END,
+          |    CASE WHEN m.mlen IS NULL THEN CAST(1 AS BIGINT) ELSE wk.n + 1 END,
+          |    CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END,
+          |    CASE WHEN m.mlen IS NULL THEN CAST(0 AS BIGINT)
+          |         ELSE wk.dig + ('0x' || substr(md5(
+          |                substr(wk.w, wk.pos, m.mlen) || '@' || wk.n), 1, 15))::BIGINT % 1048576
+          |    END
+          |  FROM walk wk LEFT JOIN ml m ON m.w = wk.w AND m.p = wk.pos
+          |  WHERE wk.pos <= len(wk.w) AND wk.unk = 0),
+          |fin AS (SELECT w, n, unk, dig FROM walk WHERE pos > len(w))
+          |SELECT a.doc_id, count(*) AS n_words,
+          |  CAST(sum(f.n) AS BIGINT) AS n_wp_tokens,
+          |  CAST(sum(f.unk) AS BIGINT) AS n_unk_words,
+          |  CAST(sum(f.dig) AS BIGINT) AS seg_digest
+          |FROM allw a JOIN fin f USING (w)
+          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
       // x115: the same schedule + slices replayed with list algebra; the
       // per-chunk md5-window hash pins exact chunk content.
       "x115_doc_chunking" ->
