@@ -189,6 +189,69 @@ object Analytic {
         .orderBy("g")
     }),
 
+    // Equi-depth histogram + selectivity estimation — ANALYZE-style
+    // optimizer statistics, the planning input every cost-based join
+    // order / filter-selectivity decision needs at 100 TB: 16 equal-mass
+    // buckets per group (boundaries = exact interpolated 1/16-quantiles
+    // through the q27 spillable two-phase operator; i/16 positions are
+    // exact binary fractions, so boundaries are exact multiples of 1/16
+    // and cross the gate ·16 as integers), per-row bucket assignment as a
+    // codegen'd array-filter count against the broadcast boundary array
+    // (never a range join over the fact), and a RANGE-PROBE estimate from
+    // the histogram — per-bucket linear-overlap contributions in PURE
+    // INTEGER floor arithmetic (olap·1000·n div width, summed as ints so
+    // no IEEE association order crosses the gate) — pinned next to the
+    // probe's actual count, making the estimator itself gate-checked.
+    "x129_equidepth_stats" -> ((s, d) => {
+      val B = 16
+      val (plo16, phi16) = (1500000L * 16, 4200000L * 16)
+      val t = table(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        .localCheckpoint() // three plan refs: boundary build, bucket pass, probe count
+      val bounds = ExactPercentile(t, "g", col("c"), (0 to B).map(i => (s"b$i", i.toDouble / B)))
+        .select(col("g"), array((0 to B).map(i => col(s"b$i")): _*).as("bs"))
+        .localCheckpoint() // two plan refs: bucket pass, lo/hi projection
+      val hist = t
+        .join(broadcast(bounds), Seq("g"))
+        .select(
+          col("g"),
+          greatest(expr("size(filter(bs, b -> b < CAST(c AS DOUBLE)))"), lit(1)).cast("long").as("bucket")
+        )
+        .groupBy("g", "bucket")
+        .agg(count(lit(1)).as("n_rows"))
+      val contrib = hist
+        .join(broadcast(bounds), Seq("g"))
+        .select(
+          col("g"),
+          col("bucket"),
+          col("n_rows"),
+          expr("CAST(round(element_at(bs, CAST(bucket AS INT)) * 16) AS BIGINT)").as("lo16"),
+          expr("CAST(round(element_at(bs, CAST(bucket AS INT) + 1) * 16) AS BIGINT)").as("hi16")
+        )
+        .withColumn(
+          "olap",
+          greatest(lit(0L), least(lit(phi16), col("hi16")) - greatest(lit(plo16), col("lo16")))
+        )
+        .withColumn(
+          "est_c",
+          when(
+            col("hi16") === col("lo16"),
+            when(col("lo16") >= plo16 && col("lo16") < phi16, col("n_rows") * 1000L).otherwise(0L)
+          ).otherwise(expr("(olap * 1000 * n_rows) div (hi16 - lo16)"))
+        )
+        .localCheckpoint() // two plan refs: histogram rows, per-group estimate
+      val perG = contrib.groupBy("g").agg(sum("est_c").as("est_e3"))
+      val actual = t
+        .where(col("c") >= 1500000L && col("c") < 4200000L)
+        .groupBy("g")
+        .agg(count(lit(1)).as("actual_rows"))
+      contrib
+        .select("g", "bucket", "lo16", "hi16", "n_rows")
+        .join(broadcast(perG), Seq("g"))
+        .join(broadcast(actual), Seq("g"))
+        .orderBy("g", "bucket")
+    }),
+
     // NULL-on-error arithmetic: try_divide hits /0 exactly when quantity=1
     // (unit price over the remaining quantity), try_element_at indexes past
     // a 1-element array whenever linenumber > 1. The per-flag aggregate
@@ -440,6 +503,47 @@ object Analytic {
         |           THEN c ELSE 0 END) AS BIGINT) AS outlier_cents
         |FROM d JOIN md USING (g)
         |GROUP BY d.g ORDER BY d.g""".stripMargin,
+    // x129: boundaries replayed via quantile_cont at CAST(i AS DOUBLE)/16
+    // (the x120 literal rule — 0.0625 would parse DECIMAL), bucket
+    // assignment as the identical strictly-below boundary count, and the
+    // same integer-floor estimator.
+    "x129_equidepth_stats" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |bs0 AS (
+        |  SELECT g, quantile_cont(c, [0.0, 0.0625, 0.125, 0.1875, 0.25, 0.3125,
+        |    0.375, 0.4375, 0.5, 0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875,
+        |    0.9375, 1.0]) AS qs
+        |  FROM t GROUP BY g),
+        |bs AS (SELECT g, i, qs[i + 1] AS b FROM bs0, unnest(generate_series(0, 16)) u(i)),
+        |bk AS (
+        |  SELECT t.g, t.c,
+        |    greatest(1, (SELECT count(*) FROM bs WHERE bs.g = t.g AND bs.b < t.c)) AS bucket
+        |  FROM t),
+        |hist AS (SELECT g, bucket, count(*) AS n_rows FROM bk GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT h.g, h.bucket, h.n_rows,
+        |    CAST(round(lo.b * 16) AS BIGINT) AS lo16,
+        |    CAST(round(hi.b * 16) AS BIGINT) AS hi16
+        |  FROM hist h
+        |  JOIN bs lo ON lo.g = h.g AND lo.i = h.bucket - 1
+        |  JOIN bs hi ON hi.g = h.g AND hi.i = h.bucket),
+        |co AS (
+        |  SELECT *, greatest(0, least(67200000, hi16) - greatest(24000000, lo16)) AS olap
+        |  FROM hb),
+        |ce AS (
+        |  SELECT g, bucket, lo16, hi16, n_rows,
+        |    CASE WHEN hi16 = lo16
+        |         THEN CASE WHEN lo16 >= 24000000 AND lo16 < 67200000 THEN n_rows * 1000 ELSE 0 END
+        |         ELSE (olap * 1000 * n_rows) // (hi16 - lo16) END AS contrib
+        |  FROM co),
+        |pg AS (SELECT g, CAST(sum(contrib) AS BIGINT) AS est_e3 FROM ce GROUP BY 1),
+        |ac AS (SELECT g, count(*) AS actual_rows FROM t WHERE c >= 1500000 AND c < 4200000 GROUP BY 1)
+        |SELECT ce.g, CAST(ce.bucket AS BIGINT) AS bucket, ce.lo16, ce.hi16, ce.n_rows,
+        |  pg.est_e3, ac.actual_rows
+        |FROM ce JOIN pg USING (g) JOIN ac USING (g)
+        |ORDER BY g, bucket""".stripMargin,
     "q67_try_arith" ->
       """WITH t AS (
         |  SELECT l_returnflag,

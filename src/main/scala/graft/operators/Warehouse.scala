@@ -380,6 +380,37 @@ object Warehouse {
         .toDF("bucket", "n_base_files", "n_delta_files", "n_other_files", "has_dv", "n_del")
       mor.join(cow, Seq("bucket")).join(prov, Seq("bucket")).orderBy("bucket")
     }),
+    // Snapshots METADATA TABLE (the Iceberg `snapshots`/`files` observability
+    // face): one row per CowEvo version with manifest-derived accounting —
+    // entry/bucket/DV-entry counts, manifest row and mask totals, current
+    // schema id, and fresh-file provenance (entries living under the
+    // version's OWN data dirs — a carried-by-reference commit must show 0).
+    // The whole table is a driver-side walk over 8 manifests (file-count-
+    // sized metadata, the table-format planning unit); the oracle rebuilds
+    // every number from the stripe/insert change formulas, so the gate pins
+    // carried-verbatim stats, DV accounting (delete ∪ update masks), fold
+    // arithmetic, and delta-file registration across the whole history.
+    "x130_snapshots_meta" -> ((s, d) => {
+      graft.sources.CowEvo.ensure(s, d)
+      import s.implicits._
+      val root = graft.sources.CowEvo.dir
+      Seq(1, 2, 3, 4, 5, 6, 30, 31)
+        .map { v =>
+          val es = graft.sources.CowTable.entries(s, v, root)
+          (
+            v.toLong,
+            graft.sources.CowTable.versionSchemaId(s, v, root).getOrElse(0).toLong,
+            es.size.toLong,
+            es.map(_.bucket).distinct.size.toLong,
+            es.count(_.dvPath.nonEmpty).toLong,
+            es.map(_.nRows).sum,
+            es.map(_.nDel).sum,
+            es.count(e => e.path.contains(s"/v$v/") || e.path.contains(s"/delta_v$v/")).toLong
+          )
+        }
+        .toDF("version", "schema_id", "n_entries", "n_buckets", "n_dv_entries", "sum_rows", "sum_ndel", "n_fresh_files")
+        .orderBy("version")
+    }),
     // Schema evolution across snapshots (sources/CowEvo v3 add-column,
     // v4 rename): ONE read of v4 crosses schema-1 files (DV-masked, no
     // qty, written as "cents"), schema-2 files (qty present) and the
@@ -1071,6 +1102,52 @@ object Warehouse {
         |LEFT JOIN masked m ON l.bucket = m.bucket
         |LEFT JOIN delta d ON l.bucket = d.bucket
         |GROUP BY l.bucket, m.bucket, m.nd, d.bucket ORDER BY l.bucket""".stripMargin,
+    // x130: the whole snapshot history recomputed from the change
+    // formulas. Version map: v1 base; v2 MOR delete (carried files, DV
+    // refs); v3 add-column + 40 inserts; v4 rename (metadata only);
+    // v5 foldDv; v6 MOR upsert (delete∪update masks + delta files);
+    // v30/v31 the COW twins of v2/v6 (rewrites fold masks; no meta).
+    "x130_snapshots_meta" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket FROM orders),
+        |pb AS (SELECT bucket, count(*) AS n FROM base GROUP BY 1),
+        |dels AS (
+        |  SELECT bucket, count(*) AS dn FROM base
+        |  WHERE k % 13 = 0 AND bucket % 3 = 1 GROUP BY 1),
+        |upss AS (
+        |  SELECT bucket, count(*) AS un FROM base
+        |  WHERE k % 17 = 0 AND k % 13 <> 0 AND bucket % 3 = 1 GROUP BY 1),
+        |tots AS (SELECT
+        |  (SELECT count(*) FROM base) AS nb,
+        |  (SELECT count(*) FROM pb) AS nbk,
+        |  (SELECT coalesce(sum(dn), 0) FROM dels) AS dtot,
+        |  (SELECT count(*) FROM dels) AS dbk,
+        |  (SELECT coalesce(sum(un), 0) FROM upss) AS utot,
+        |  (SELECT count(*) FROM upss) AS ubk,
+        |  (SELECT count(*) FROM dels d
+        |     WHERE NOT EXISTS (SELECT 1 FROM upss u WHERE u.bucket = d.bucket)) AS donlybk,
+        |  (SELECT coalesce(sum(dn), 0) FROM dels d
+        |     WHERE NOT EXISTS (SELECT 1 FROM upss u WHERE u.bucket = d.bucket)) AS donlysum,
+        |  (SELECT coalesce(sum(dn), 0) FROM dels d
+        |     WHERE EXISTS (SELECT 1 FROM upss u WHERE u.bucket = d.bucket)) AS dupsum,
+        |  (SELECT count(*) FROM (SELECT bucket FROM dels UNION SELECT bucket FROM upss)) AS dorubk)
+        |SELECT CAST(version AS BIGINT) AS version, CAST(schema_id AS BIGINT) AS schema_id,
+        |  CAST(n_entries AS BIGINT) AS n_entries, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(n_dv_entries AS BIGINT) AS n_dv_entries, CAST(sum_rows AS BIGINT) AS sum_rows,
+        |  CAST(sum_ndel AS BIGINT) AS sum_ndel, CAST(n_fresh_files AS BIGINT) AS n_fresh_files
+        |FROM (
+        |  SELECT 1 AS version, 1 AS schema_id, nbk AS n_entries, nbk AS n_buckets,
+        |    0 AS n_dv_entries, nb AS sum_rows, 0 AS sum_ndel, nbk AS n_fresh_files FROM tots
+        |  UNION ALL SELECT 2, 1, nbk, nbk, dbk, nb, dtot, 0 FROM tots
+        |  UNION ALL SELECT 3, 2, nbk + 1, nbk + 1, dbk, nb + 40, dtot, 1 FROM tots
+        |  UNION ALL SELECT 4, 3, nbk + 1, nbk + 1, dbk, nb + 40, dtot, 0 FROM tots
+        |  UNION ALL SELECT 5, 3, nbk + 1, nbk + 1, 0, nb + 40 - dtot, 0, dbk FROM tots
+        |  UNION ALL SELECT 6, 1, nbk + ubk + 1, nbk + 1, dorubk, nb + utot + 40,
+        |    dtot + utot, ubk + 1 FROM tots
+        |  UNION ALL SELECT 30, 0, nbk, nbk, 0, nb - dtot, 0, dbk FROM tots
+        |  UNION ALL SELECT 31, 0, nbk + 1, nbk + 1, donlybk, nb - dupsum + 40,
+        |    donlysum, ubk + 1 FROM tots)
+        |ORDER BY version""".stripMargin,
     // the evolved table from first principles: pre-evolution rows are the
     // MOR-masked base under the RENAMED column name with NULL qty;
     // post-evolution rows follow the insert formulas; file_schema_id is

@@ -127,7 +127,9 @@ object CowTable {
       .write.mode("overwrite").parquet(s"$root/meta_v$version")
   }
 
-  private def versionSchemaId(s: SparkSession, version: Int, root: String): Option[Int] =
+  /** the snapshot's CURRENT schema id, None for legacy/no-meta versions
+    * (also surfaced by the x130 snapshots metadata table) */
+  def versionSchemaId(s: SparkSession, version: Int, root: String): Option[Int] =
     if (new java.io.File(s"$root/meta_v$version").exists())
       Some(s.read.parquet(s"$root/meta_v$version").collect().head.getAs[Int]("schema_id"))
     else None
