@@ -232,7 +232,13 @@ object ScaleProbe {
       // r7 session 2: quantile sketch over 16x lineitem — bounded
       // k·levels buffers through 10M rows; the rank probe is a 3-value
       // broadcast conditional agg
-      "x118_quantile_sketch"
+      "x118_quantile_sketch",
+      // r7 session 4: WordPiece encode over the 16x clone corpus — vocab
+      // and max-match run per DISTINCT word (clone-invariant), the corpus
+      // stream crosses one per-doc agg; x128 runs two spillable
+      // ExactPercentile passes over 16x orders; x129 the same plus the
+      // broadcast-array bucket pass over 16x lineitem
+      "x127_wordpiece_encode", "x128_mad_outliers", "x129_equidepth_stats"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
