@@ -693,6 +693,58 @@ object Advanced {
         )
         .orderBy(col("exact_n").desc, col("item"))
     }),
+    // Join-size estimation from count-min sketches (x132) — the
+    // optimizer-statistics companion of x129: histograms estimate FILTER
+    // selectivity, sketch inner products estimate JOIN cardinality
+    // (Cormode & Muthukrishnan 2005 §4.2). |A ⋈ B| = Σ_k cA(k)·cB(k) is
+    // the inner product of the key-frequency vectors, and the CM estimate
+    // min_i Σ_w A_i[w]·B_i[w] upper-bounds it — collisions only ADD mass.
+    // Each side sketches independently in ONE pass (a fixed 8 KiB buffer
+    // per partition, keys never shuffled), so the cost of predicting the
+    // join is two scans + a 4×256 dot product — against the full shuffle
+    // join it prices. The gate pins all four per-depth dot products (pure
+    // integer sums, order-free), the min-estimate, the exact twin, and
+    // the ≥ law.
+    "x132_join_size_estimate" -> ((s, d) => {
+      val depth = 4
+      // wide enough that collision mass (|A|·|B|/width) stays comparable
+      // to the true join size — a 256-wide sketch would estimate pure
+      // collision noise; 16 K counters = 512 KiB per buffer, still fixed
+      val width = 16384
+      val a = table(s, d, "lineitem").select(col("l_orderkey").cast("string").as("item"))
+      val b = table(s, d, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").cast("string").as("item"))
+      val cmA = a.agg(graft.functions.CountMin(col("item"), depth, width).as("a_cm"))
+      val cmB = b.agg(graft.functions.CountMin(col("item"), depth, width).as("b_cm"))
+      val exact = table(s, d, "lineitem")
+        .join(
+          table(s, d, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .agg(count(lit(1)).as("exact_rows"))
+      val dots = (0 until depth).map { i =>
+        expr(
+          s"aggregate(sequence(0, ${width - 1}), 0L, (acc, w) -> acc" +
+            s" + element_at(a_cm, CAST($i * $width + w + 1 AS INT))" +
+            s" * element_at(b_cm, CAST($i * $width + w + 1 AS INT)))"
+        ).as(s"dot$i")
+      }
+      val est = least(col("dot0"), col("dot1"), col("dot2"), col("dot3"))
+      cmA
+        .crossJoin(broadcast(cmB))
+        .select(dots: _*)
+        .crossJoin(broadcast(exact))
+        .select(
+          col("dot0"),
+          col("dot1"),
+          col("dot2"),
+          col("dot3"),
+          est.as("est_rows"),
+          col("exact_rows"),
+          (est >= col("exact_rows")).as("upper_bound_holds")
+        )
+    }),
     // HyperLogLog NDV sketch (x120) — the FIFTH native mergeable aggregate,
     // completing the sketch family: KMV (exact k-min state), Misra–Gries
     // (heavy-hitter membership), count-min (frequency), quantile (ranks),
@@ -1389,6 +1441,38 @@ object Advanced {
         |  GROUP BY 1, 2)
         |SELECT item, exact_n, CAST(est AS BIGINT) AS est, est >= exact_n AS overestimate
         |FROM est ORDER BY exact_n DESC, item""".stripMargin,
+    // x132: both counter grids rebuilt from the same md5-bucket formula
+    // (pure sums — order-free), the dot products as exact integer joins
+    // on (depth, bucket), the exact twin as the literal join count.
+    "x132_join_size_estimate" ->
+      """WITH sa AS (SELECT l_orderkey::VARCHAR AS item FROM lineitem),
+        |sb AS (SELECT o_orderkey::VARCHAR AS item FROM orders WHERE o_orderstatus = 'F'),
+        |grid AS (SELECT unnest(range(4)) AS i),
+        |ca AS (
+        |  SELECT i, ('0x' || substr(md5('cm' || i || ':' || item), 1, 15))::BIGINT % 16384 AS bucket,
+        |    count(*) AS c
+        |  FROM sa, grid GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT i, ('0x' || substr(md5('cm' || i || ':' || item), 1, 15))::BIGINT % 16384 AS bucket,
+        |    count(*) AS c
+        |  FROM sb, grid GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.i, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM ca a JOIN cb b ON a.i = b.i AND a.bucket = b.bucket
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT count(*) AS exact_rows
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT
+        |  (SELECT dot FROM dots WHERE i = 0) AS dot0,
+        |  (SELECT dot FROM dots WHERE i = 1) AS dot1,
+        |  (SELECT dot FROM dots WHERE i = 2) AS dot2,
+        |  (SELECT dot FROM dots WHERE i = 3) AS dot3,
+        |  (SELECT min(dot) FROM dots) AS est_rows,
+        |  CAST(ex.exact_rows AS BIGINT) AS exact_rows,
+        |  (SELECT min(dot) FROM dots) >= ex.exact_rows AS upper_bound_holds
+        |FROM ex""".stripMargin,
     // x120: full register replay — HLL registers are per-slot maxes
     // (order-free), so the oracle rebuilds all 256 registers per group
     // from the same md5 formula (bin() = exact integer bit length), then

@@ -674,6 +674,34 @@ object Warehouse {
     // original the oracle reads. The shipdate filter is pushdown-eligible
     // on the ORC scan and the returnflag grouping rides the partition
     // columns; OrcStoreSpec plan-asserts both prunings.
+    // Dynamic partition pruning (x131) — the runtime half of partition
+    // pruning: the fact is laid out by ship_month (sources/MonthStore) and
+    // joined to a FILTERED month dimension; no static predicate touches
+    // the fact, so only Spark's dynamicpruning subquery (the dim's
+    // broadcast values pushed into the scan's PartitionFilters at runtime
+    // — plan-asserted in DppSpec, the x121 split: content here, plan
+    // discipline in the spec) keeps a 100 TB table from reading all its
+    // month directories. The gate pins join content against the raw
+    // parquet originals, proving the partitioned round trip value-exact
+    // (the x106 pattern).
+    "x131_dynamic_partition_pruning" -> ((s, d) => {
+      val fact = graft.sources.MonthStore.read(s, d)
+      val dim = graft.Graft
+        .table(s, d, "orders")
+        .where(expr(
+          "o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        ))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+      fact
+        .join(dim, Seq("ship_month"))
+        .groupBy("ship_month")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c")
+        )
+        .orderBy("ship_month")
+    }),
     "x106_orc_roundtrip" -> ((s, d) => {
       graft.sources.OrcStore.ensure(s, d)
       graft.sources.OrcStore
@@ -690,6 +718,20 @@ object Warehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // x131: the oracle joins the RAW parquet originals (no partitioned
+    // artifact), so a hash match proves the month-partitioned write +
+    // DPP-pruned read is value-exact end to end.
+    "x131_dynamic_partition_pruning" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'),
+        |f AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rc
+        |  FROM lineitem)
+        |SELECT ship_month, count(*) AS n_lines, CAST(sum(rc) AS BIGINT) AS revenue_c
+        |FROM f JOIN dim USING (ship_month)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x119_avro_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
