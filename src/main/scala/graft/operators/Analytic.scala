@@ -252,6 +252,26 @@ object Analytic {
         .orderBy("g", "bucket")
     }),
 
+    // WEIGHTED exact percentiles (x133) — the weighted face of the q27
+    // two-phase operator: quantity-weighted price quartiles per flag
+    // (every unit shipped counts once — the "median price PAID", not the
+    // median line). Lower-bound semantics return actual data values, so
+    // integers cross the gate as integers with no interpolation; targets
+    // are dyadic p·W (IEEE-exact), and each target picks its unique
+    // covering row from the cumulative-weight window — same spillable
+    // shape, no per-target distribution scan.
+    "x133_weighted_percentile" -> ((s, d) => {
+      val t = table(s, d, "lineitem")
+        .select(
+          col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x"),
+          expr("CAST(l_quantity AS BIGINT)").as("w")
+        )
+      ExactPercentile
+        .weighted(t, "g", col("x"), col("w"), Seq("wp25" -> 0.25, "wp50" -> 0.5, "wp75" -> 0.75))
+        .orderBy("g")
+    }),
+
     // NULL-on-error arithmetic: try_divide hits /0 exactly when quantity=1
     // (unit price over the remaining quantity), try_element_at indexes past
     // a 1-element array whenever linenumber > 1. The per-flag aggregate
@@ -544,6 +564,28 @@ object Analytic {
         |  pg.est_e3, ac.actual_rows
         |FROM ce JOIN pg USING (g) JOIN ac USING (g)
         |ORDER BY g, bucket""".stripMargin,
+    // x133: cumulative-weight window replay; targets written as
+    // CAST(...)/4-style dyadic doubles (the x120 literal rule), min-x-
+    // reaching-target ≡ the unique covering row.
+    "x133_weighted_percentile" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE l_quantity > 0),
+        |c AS (SELECT g, x, sum(w) AS cw FROM t GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT g, x, cw, sum(cw) OVER (PARTITION BY g ORDER BY x) AS cum FROM c),
+        |wt AS (SELECT g, CAST(sum(cw) AS BIGINT) AS w_total FROM c GROUP BY 1)
+        |SELECT cc.g, max(w_total) AS w_total,
+        |  min(CASE WHEN cum >= greatest(CAST(w_total AS DOUBLE) / 4, CAST(1 AS DOUBLE))
+        |      THEN x END) AS wp25,
+        |  min(CASE WHEN cum >= greatest(CAST(w_total AS DOUBLE) / 2, CAST(1 AS DOUBLE))
+        |      THEN x END) AS wp50,
+        |  min(CASE WHEN cum >= greatest(CAST(w_total AS DOUBLE) * 3 / 4, CAST(1 AS DOUBLE))
+        |      THEN x END) AS wp75
+        |FROM cc JOIN wt USING (g)
+        |GROUP BY cc.g ORDER BY cc.g""".stripMargin,
     "q67_try_arith" ->
       """WITH t AS (
         |  SELECT l_returnflag,

@@ -83,4 +83,52 @@ object ExactPercentile {
         ps.tail.map { case (nm, _) => max(when(col("pname") === nm, col("pval"))).as(nm) }: _*
       )
   }
+
+  /** WEIGHTED exact percentiles (x133), lower-bound semantics: the p-th
+    * weighted percentile is the smallest value whose cumulative weight
+    * reaches p·W — an actual data value, never an interpolation, so
+    * integer inputs cross the gate as integers. Same spillable two-phase
+    * shape as [[apply]]: per-(group, value) weight sums, one streaming
+    * cumulative window, then each target picks its UNIQUE covering row
+    * via `prev < target ≤ cum` (no scan of the distribution per target).
+    * Weights must be positive (non-positive rows are excluded, matching
+    * the oracle's WHERE); `p` should be dyadic so p·W is IEEE-exact. */
+  def weighted(
+      df: DataFrame,
+      group: String,
+      value: Column,
+      weight: Column,
+      ps: Seq[(String, Double)]
+  ): DataFrame = {
+    val counts = df
+      .where(value.isNotNull && weight > 0)
+      .groupBy(col(group), value.as("x"))
+      .agg(sum(weight).as("c"))
+    val wcum = Window.partitionBy(group).orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("prev", col("cum") - col("c"))
+    val targets = counts
+      .groupBy(col(group))
+      .agg(sum("c").as("w_total"))
+      .select(
+        col(group),
+        col("w_total"),
+        explode(array(ps.map { case (nm, p) => struct(lit(nm).as("pname"), lit(p).as("p")) }: _*)).as("t")
+      )
+      // p = 0 still means "the smallest value": clamp the target to 1 unit
+      .select(col(group), col("w_total"), col("t.pname").as("pname"),
+        greatest(col("t.p") * col("w_total"), lit(1.0)).as("tgt"))
+    val picked = cum
+      .join(targets, Seq(group))
+      .where(col("prev") < col("tgt") && col("tgt") <= col("cum"))
+    picked
+      .groupBy(col(group))
+      .agg(
+        (max(col("w_total")).as("w_total") +:
+          ps.map { case (nm, _) => max(when(col("pname") === nm, col("x"))).as(nm) }).head,
+        (max(col("w_total")).as("w_total") +:
+          ps.map { case (nm, _) => max(when(col("pname") === nm, col("x"))).as(nm) }).tail: _*
+      )
+  }
 }

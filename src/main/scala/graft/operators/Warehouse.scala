@@ -385,16 +385,18 @@ object Warehouse {
     // entry/bucket/DV-entry counts, manifest row and mask totals, current
     // schema id, and fresh-file provenance (entries living under the
     // version's OWN data dirs — a carried-by-reference commit must show 0).
-    // The whole table is a driver-side walk over 8 manifests (file-count-
+    // The whole table is a driver-side walk over 9 manifests (file-count-
     // sized metadata, the table-format planning unit); the oracle rebuilds
     // every number from the stripe/insert change formulas, so the gate pins
     // carried-verbatim stats, DV accounting (delete ∪ update masks), fold
-    // arithmetic, and delta-file registration across the whole history.
+    // arithmetic, delta-file registration, and the v7 ROLLBACK's
+    // metadata-only restoration (its row must equal v2's with 0 fresh
+    // files) across the whole history.
     "x130_snapshots_meta" -> ((s, d) => {
       graft.sources.CowEvo.ensure(s, d)
       import s.implicits._
       val root = graft.sources.CowEvo.dir
-      Seq(1, 2, 3, 4, 5, 6, 30, 31)
+      Seq(1, 2, 3, 4, 5, 6, 7, 30, 31)
         .map { v =>
           val es = graft.sources.CowTable.entries(s, v, root)
           (
@@ -1148,6 +1150,7 @@ object Warehouse {
     // formulas. Version map: v1 base; v2 MOR delete (carried files, DV
     // refs); v3 add-column + 40 inserts; v4 rename (metadata only);
     // v5 foldDv; v6 MOR upsert (delete∪update masks + delta files);
+    // v7 rollback-to-v2 (metadata only — row ≡ v2's, 0 fresh);
     // v30/v31 the COW twins of v2/v6 (rewrites fold masks; no meta).
     "x130_snapshots_meta" ->
       """WITH base AS (
@@ -1181,6 +1184,7 @@ object Warehouse {
         |  SELECT 1 AS version, 1 AS schema_id, nbk AS n_entries, nbk AS n_buckets,
         |    0 AS n_dv_entries, nb AS sum_rows, 0 AS sum_ndel, nbk AS n_fresh_files FROM tots
         |  UNION ALL SELECT 2, 1, nbk, nbk, dbk, nb, dtot, 0 FROM tots
+        |  UNION ALL SELECT 7, 1, nbk, nbk, dbk, nb, dtot, 0 FROM tots
         |  UNION ALL SELECT 3, 2, nbk + 1, nbk + 1, dbk, nb + 40, dtot, 1 FROM tots
         |  UNION ALL SELECT 4, 3, nbk + 1, nbk + 1, dbk, nb + 40, dtot, 0 FROM tots
         |  UNION ALL SELECT 5, 3, nbk + 1, nbk + 1, 0, nb + 40 - dtot, 0, dbk FROM tots

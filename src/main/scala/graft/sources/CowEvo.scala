@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   *         base files rewritten (the x126 gate proves it from provenance)
   *   - v31 the COW TWIN of v6: the same logical upsert from v2 via
   *         [[CowTable.merge]]'s rewrite path — x126 pins both to one truth
+  *   - v7  [[CowTable.rollback]] to v2: the evolution/upsert lineage
+  *         undone by a metadata-only commit — manifest rows carried
+  *         VERBATIM (x130 pins v7's accounting ≡ v2's; the undone
+  *         versions stay time-travelable)
   *
   * The chain composes the three table-format mechanisms deliberately:
   * x99 reads v4, so one query crosses a DV mask (schema-1 files), a
@@ -69,7 +73,7 @@ object CowEvo {
     val key = Fingerprint.of(
       s,
       s"$d/orders.parquet",
-      s"${CowTable.BucketWidth}|$DelFilter|$AddBase|$AddCount|$UpsFilter|$UpsBump|$UpsBase|$UpsCount|evo2"
+      s"${CowTable.BucketWidth}|$DelFilter|$AddBase|$AddCount|$UpsFilter|$UpsBump|$UpsBase|$UpsCount|evo3"
     )
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
@@ -140,6 +144,9 @@ object CowEvo {
       .localCheckpoint() // three consumers: DV probe, delta write, COW twin
     CowTable.morUpsert(s, 2, 6, upserts, dir)
     CowTable.merge(s, 2, 31, changes = upserts, root = dir)
+
+    // ---- v7: roll the table back to the v2 state, metadata only
+    CowTable.rollback(s, 2, 7, dir)
 
     java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8"))
   }

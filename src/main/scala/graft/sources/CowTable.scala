@@ -824,6 +824,17 @@ object CowTable {
     )
   }
 
+  /** ROLLBACK (x134): publish `toVersion`'s manifest verbatim as
+    * `asVersion` — the Iceberg rollback semantic. A METADATA-ONLY commit:
+    * every data file and DV sidecar is carried by reference, the undone
+    * versions stay fully time-travelable, and the restored snapshot's
+    * schema meta rides along. Cost is one manifest copy at any table
+    * size. */
+  def rollback(s: SparkSession, toVersion: Int, asVersion: Int, root: String = dir): Unit = {
+    writeManifestRows(s, asVersion, entries(s, toVersion, root), root)
+    versionSchemaId(s, toVersion, root).foreach(writeVersionMeta(s, root, asVersion, _))
+  }
+
   /** Compaction for merge-on-read buckets: rewrite exactly the DV-carrying
     * buckets with their masks applied (live rows only, written under the
     * original column names — folding is schema-neutral), drop the dv

@@ -80,4 +80,44 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(!plan.contains("percentile("), "built-in map-buffer percentile leaked into the plan")
     assert(plan.contains("Window") || plan.contains("RunningWindowFunction"), "expected the running-count window")
   }
+
+  test("weighted percentiles: brute-force reference, ties, p-clamp, invariance") {
+    // planted distribution with weight clumps and duplicate values
+    val rows = Seq(
+      ("a", 10L, 1L), ("a", 20L, 5L), ("a", 20L, 2L), ("a", 30L, 1L), ("a", 40L, 1L),
+      ("b", 7L, 100L), ("b", 9L, 1L),
+      ("c", 5L, 3L)
+    )
+    val df = rows.toDF("g", "x", "w")
+    val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p100" -> 1.0)
+    def ref(g: String, p: Double): Long = {
+      val xs = rows.filter(_._1 == g).groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = xs.map(_._2).sum
+      val tgt = math.max(p * tot, 1.0)
+      var cum = 0L
+      xs.find { case (_, w) => cum += w; cum >= tgt }.get._1
+    }
+    def run(part: Int): Map[String, (Long, Seq[Long])] =
+      ExactPercentile
+        .weighted(df.repartition(part), "g", col("x"), col("w"), ps)
+        .collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("w_total"), ps.map { case (nm, _) => r.getAs[Long](nm) }))
+        .toMap
+    val got = run(1)
+    for (g <- Seq("a", "b", "c")) {
+      assert(got(g)._1 === rows.filter(_._1 == g).map(_._3).sum)
+      ps.zipWithIndex.foreach { case ((nm, p), i) =>
+        assert(got(g)._2(i) === ref(g, p), s"group $g $nm")
+      }
+    }
+    // heavy clump: 100-weight value 7 dominates every quartile of b
+    assert(got("b")._2 === Seq(7L, 7L, 7L, 7L, 9L))
+    assert(run(5) === got) // partitioning invariance
+    // non-positive weights are excluded entirely
+    val withZero = (rows :+ (("c", 1L, 0L))).toDF("g", "x", "w")
+    assert(
+      ExactPercentile.weighted(withZero, "g", col("x"), col("w"), Seq("p0" -> 0.0))
+        .where(col("g") === "c").collect().head.getAs[Long]("p0") === 5L
+    )
+  }
 }

@@ -172,6 +172,16 @@ class CowEvoSpec extends AnyFunSuite {
     } finally cleanup(95)
   }
 
+  test("rollback to v2 is metadata-only: manifest verbatim, content restored, undone versions travelable") {
+    CowEvo.ensure(spark, sf)
+    assert(CowTable.entries(spark, 7, root) === CowTable.entries(spark, 2, root))
+    assert(contents(7) === contents(2))
+    assert(!new java.io.File(s"$root/v7").exists())
+    assert(!new java.io.File(s"$root/delta_v7").exists())
+    // the rolled-back-over lineage is still fully readable
+    assert(contents(6).nonEmpty && contents(4).nonEmpty)
+  }
+
   test("reads project through the snapshot's OWN schema: rename + add survive time travel") {
     CowEvo.ensure(spark, sf)
     assert(CowTable.read(spark, 1, root).columns.toSeq === Seq("k", "cents"))
