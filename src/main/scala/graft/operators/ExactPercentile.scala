@@ -122,13 +122,8 @@ object ExactPercentile {
     val picked = cum
       .join(targets, Seq(group))
       .where(col("prev") < col("tgt") && col("tgt") <= col("cum"))
-    picked
-      .groupBy(col(group))
-      .agg(
-        (max(col("w_total")).as("w_total") +:
-          ps.map { case (nm, _) => max(when(col("pname") === nm, col("x"))).as(nm) }).head,
-        (max(col("w_total")).as("w_total") +:
-          ps.map { case (nm, _) => max(when(col("pname") === nm, col("x"))).as(nm) }).tail: _*
-      )
+    val aggs = max(col("w_total")).as("w_total") +:
+      ps.map { case (nm, _) => max(when(col("pname") === nm, col("x"))).as(nm) }
+    picked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -101,6 +101,14 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** BERT's `max_input_chars_per_word` analog: words longer than this
+    * route straight to [UNK] without matching, and longer words never
+    * enter the vocabulary. An explicit GATE CONTRACT (review-found: the
+    * oracle's generate_series bounds silently assumed it), not a fixture
+    * assumption — it also bounds the candidate explode and the oracle's
+    * recursive walk. */
+  private[operators] val MaxWordChars = 8
+
   /** WordPiece vocabulary from a TRAIN word stream (Wu et al. 2016 §4.1's
     * piece classes, selection simplified to deterministic frequency ranks):
     * start pieces = top-8 whole words + top-12 prefixes (len 2–4,
@@ -110,7 +118,11 @@ object TextAnalysis {
     * segmentation below — is deterministic cross-engine. Output:
     * (piece, cont), ≤ ~80 rows at any corpus size (the LIMITs bound it). */
   private[operators] def wordpieceVocab(train: DataFrame): DataFrame = {
-    val tw = train.groupBy("w").agg(count(lit(1)).as("n")).localCheckpoint() // 5 plan refs below
+    val tw = train
+      .where(length(col("w")) <= MaxWordChars)
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 5 plan refs below
     val whole = tw
       .orderBy(col("n").desc, col("w"))
       .limit(8)
@@ -147,8 +159,9 @@ object TextAnalysis {
   /** Greedy longest-match-first WordPiece encoding of the DISTINCT words in
     * `docs` against [[wordpieceVocab]]'s pieces — the BERT tokenizer's
     * matching rule: at position 1 only start pieces match, past it only
-    * continuation pieces; no match at any reached position routes the WHOLE
-    * word to [UNK] (n_pieces 1, digest 0). Two vocab-bound stages, zero per-
+    * continuation pieces; no match at any reached position — or a word
+    * longer than [[MaxWordChars]] — routes the WHOLE word to [UNK]
+    * (n_pieces 1, digest 0). Two vocab-bound stages, zero per-
     * row lookups outside codegen: (1) every (word, pos, len) candidate
     * substring semi-joins the broadcast vocabulary and collapses to a
     * per-position max-match-length ARRAY; (2) the greedy walk is a pure
@@ -159,9 +172,12 @@ object TextAnalysis {
   private[operators] def wordpieceEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val dwords = docs.select("w").distinct().localCheckpoint() // two plan refs: match, walk
     val matched = dwords
+      // over-long words skip matching entirely: absent from wlens ⇒ the
+      // walk's NULL-lens branch routes them to [UNK] structurally
+      .where(length(col("w")) <= MaxWordChars)
       .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
-      .select(col("w"), col("p"), explode(sequence(lit(1), lit(8))).as("L"))
-      // whole-word pieces can span the word (≤ 8 here); interior pieces cap at 4
+      .select(col("w"), col("p"), explode(sequence(lit(1), lit(MaxWordChars))).as("L"))
+      // whole-word pieces can span the word; interior pieces cap at 4
       .where(col("p") + col("L") - 1 <= length(col("w")) && (col("p") === 1 || col("L") <= 4))
       .select(col("w"), col("p"), col("L"), expr("substring(w, p, L)").as("sub"), when(col("p") === 1, 0).otherwise(1).as("cls"))
       .join(broadcast(vocab), col("sub") === vocab("piece") && col("cls") === vocab("cont"), "left_semi")
@@ -1070,7 +1086,9 @@ object TextAnalysis {
           |    FROM documents) WHERE len(w) >= 1
           |  UNION ALL
           |  SELECT * FROM (VALUES (-1, 'zq9!x'), (-1, 'join'), (-1, 'mergez')) t(doc_id, w)),
-          |tw AS (SELECT w, count(*) AS n FROM allw WHERE doc_id >= 0 AND doc_id % 2 = 0 GROUP BY 1),
+          |tw AS (
+          |  SELECT w, count(*) AS n FROM allw
+          |  WHERE doc_id >= 0 AND doc_id % 2 = 0 AND len(w) <= 8 GROUP BY 1),
           |whole AS (SELECT w AS piece, 0 AS cont FROM tw ORDER BY n DESC, w LIMIT 8),
           |pref AS (
           |  SELECT piece, 0 AS cont FROM (
@@ -1091,7 +1109,7 @@ object TextAnalysis {
           |  SELECT DISTINCT piece, cont FROM (
           |    SELECT * FROM whole UNION ALL SELECT * FROM pref UNION ALL SELECT * FROM sc
           |    UNION ALL SELECT * FROM inr UNION ALL SELECT * FROM ic)),
-          |dw AS (SELECT DISTINCT w FROM allw),
+          |dw AS (SELECT DISTINCT w FROM allw WHERE len(w) <= 8),
           |ml AS (
           |  SELECT w, p, max(L) AS mlen FROM (
           |    SELECT dw.w, t.p, u.L
@@ -1114,7 +1132,11 @@ object TextAnalysis {
           |    END
           |  FROM walk wk LEFT JOIN ml m ON m.w = wk.w AND m.p = wk.pos
           |  WHERE wk.pos <= len(wk.w) AND wk.unk = 0),
-          |fin AS (SELECT w, n, unk, dig FROM walk WHERE pos > len(w))
+          |fin AS (
+          |  SELECT w, n, unk, dig FROM walk WHERE pos > len(w)
+          |  UNION ALL
+          |  SELECT w, CAST(1 AS BIGINT), 1, CAST(0 AS BIGINT)
+          |  FROM (SELECT DISTINCT w FROM allw WHERE len(w) > 8))
           |SELECT a.doc_id, count(*) AS n_words,
           |  CAST(sum(f.n) AS BIGINT) AS n_wp_tokens,
           |  CAST(sum(f.unk) AS BIGINT) AS n_unk_words,

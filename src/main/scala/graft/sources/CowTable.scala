@@ -702,25 +702,32 @@ object CowTable {
     val dlBuckets = dl.select("bucket").distinct().collect().map(_.getLong(0)).toSet
     val cand = man.filter(e => dlBuckets.contains(e.bucket))
     val dvDir = s"$root/dv_v$toVersion"
-    // hit keys stay DISTRIBUTED (a delete batch is change-sized but can
-    // still be large); only the touched-bucket LIST comes to the driver
-    val hitsDf = Option(cand)
+    // ONE pass over the candidate buckets marks every live row hit/miss
+    // (review-found: a separate semi probe + anti count read the data
+    // twice); hit keys stay DISTRIBUTED (a delete batch is change-sized
+    // but can still be large) — only bucket LISTS come to the driver
+    val probe = Option(cand)
       .filter(_.nonEmpty)
       .map { c =>
         rawRead(s, c)
-          .join(dl.select("k"), Seq("k"), "left_semi")
-          .select(col("k"), expr(s"k div ${BucketWidth}L").as("bucket"))
-          .localCheckpoint() // two plan refs: bucket list + bit packing
+          .join(dl.select("k").distinct().withColumn("hit", lit(1)), Seq("k"), "left")
+          .select(
+            col("k"),
+            expr(s"k div ${BucketWidth}L").as("bucket"),
+            coalesce(col("hit"), lit(0)).as("hit")
+          )
+          .localCheckpoint() // three plan refs: bucket list, bit packing, live-left
       }
+    val hitsDf = probe.map(_.where(col("hit") === 1).select("k", "bucket"))
     val hitBuckets = hitsDf
       .map(_.select("bucket").distinct().collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty[Long])
     if (hitBuckets.nonEmpty) {
       // fully-deleted-bucket check against the bucket's TOTAL live rows
       // (a bucket may hold several entries — base file + upsert deltas)
-      val liveLeft = rawRead(s, cand.filter(e => hitBuckets.contains(e.bucket)))
-        .join(dl.select("k"), Seq("k"), "left_anti")
-        .groupBy(expr(s"k div ${BucketWidth}L").as("bucket"))
+      val liveLeft = probe.get
+        .where(col("hit") === 0)
+        .groupBy("bucket")
         .count()
         .collect()
         .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("count"))

@@ -21,16 +21,17 @@ class WordpieceSpec extends AnyFunSuite {
     "lowland slowest newest a",                  // 1 (encode-only)
     "lowlow wide widest best salted",            // 2 (train)
     "zebra9 lowest salted",                      // 3 (encode-only)
-    "newest best widest lower sanded basalt",    // 4 (train)
-    "lowx lowestz salander"                      // 5 (encode-only)
+    "newest best widest lower sanded basaltlands", // 4 (train; last word > MaxWordChars → excluded from vocab)
+    "lowx lowestz salander lowlowlower"          // 5 (encode-only; last word > MaxWordChars → [UNK])
   )
 
   private def words(t: String): Seq[String] =
     t.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
 
-  /** reference vocab: same ranks/limits as [[TextAnalysis.wordpieceVocab]] */
+  /** reference vocab: same ranks/limits as [[TextAnalysis.wordpieceVocab]]
+    * (over-long words never enter the vocabulary) */
   private def refVocab(train: Seq[String]): (Set[String], Set[String]) = {
-    val counts = train.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val counts = train.filter(_.length <= 8).groupMapReduce(identity)(_ => 1L)(_ + _)
     val whole = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(8).map(_._1)
     def rankTop(cands: Seq[(String, Long)], k: Int): Seq[String] =
       cands
@@ -54,12 +55,14 @@ class WordpieceSpec extends AnyFunSuite {
     ((whole ++ pref).toSet ++ startChars, inner.toSet ++ innerChars)
   }
 
-  /** reference greedy encode: longest match first, [UNK] on any dead end */
+  /** reference greedy encode: longest match first, [UNK] on any dead end
+    * or on an over-long word (the MaxWordChars contract) */
   private def refEncode(w: String, start: Set[String], cont: Set[String]): (Long, Long) = {
+    if (w.length > 8) return (1L, 1L)
     var pos = 0
     var n = 0L
     while (pos < w.length) {
-      val maxL = if (pos == 0) w.length else math.min(4, w.length - pos)
+      val maxL = if (pos == 0) w.length - pos else math.min(4, w.length - pos)
       val hit = (maxL to 1 by -1).find { l =>
         val sub = w.substring(pos, pos + l)
         if (pos == 0) start(sub) else cont(sub)
@@ -90,9 +93,12 @@ class WordpieceSpec extends AnyFunSuite {
     assert(got.keySet === distinctWords.toSet)
     for (w <- distinctWords)
       assert(got(w) === refEncode(w, start, cont), s"word '$w'")
-    // the planted corpus must actually exercise both failure modes:
-    // a word dead-ending MID-walk and one with ≥2 real pieces
-    assert(got("zebra9")._2 === 1L || got("lowestz")._2 === 1L)
+    // the planted corpus must exercise EVERY failure mode separately
+    // (review-found: an OR here let vocab drift silently uncover one):
+    // pos-0 dead end, mid-walk dead end, over-long word, ≥2 real pieces
+    assert(got("zebra9") === ((1L, 1L)), "pos-0 dead end")
+    assert(got("lowestz") === ((1L, 1L)), "mid-walk dead end")
+    assert(got("lowlowlower") === ((1L, 1L)), "over-long word")
     assert(got.exists { case (_, (n, unk)) => unk == 0L && n >= 2L })
   }
 
