@@ -762,6 +762,50 @@ object Advanced {
     // lc_regime=false column); the LC estimator itself — whose ln() is
     // libm-dependent and so must NOT cross a hash gate — is spec-covered
     // in HllSpec instead.
+    // Mergeable-sketch ROLLUP (x136) — the pre-aggregation pattern the
+    // mergeable-sketch family exists FOR at 100 TB: sketch once at fine
+    // grain (per ship-month), answer coarse queries (per year) by MERGING
+    // sketches, never rescanning data. HLL registers are per-slot maxes
+    // and max is associative/commutative, so the month→year merge must
+    // equal the direct year sketch REGISTER-FOR-REGISTER — `rollup_exact`
+    // asserts it in-engine while the oracle independently replays the
+    // year registers, pinning both paths to one truth. The merge is a
+    // higher-order fold over ≤ 12 collected 256-long arrays per year —
+    // sketch-sized arithmetic, the whole point of the pattern.
+    "x136_sketch_rollup" -> ((s, d) => {
+      val p = 8
+      val st = table(s, d, "lineitem")
+        .select(
+          expr("CAST(year(l_shipdate) AS BIGINT)").as("yr"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+          col("l_orderkey").cast("string").as("item")
+        )
+        .localCheckpoint() // three plan refs: month sketches, direct year, exact twin
+      val monthly = st.groupBy("yr", "mon").agg(graft.functions.HllSketch(col("item"), p).as("registers"))
+      val merged = monthly
+        .groupBy("yr")
+        .agg(collect_list(col("registers")).as("rs"), count(lit(1)).as("n_months"))
+        .select(
+          col("yr"),
+          col("n_months"),
+          expr(
+            "transform(sequence(0, 255), i -> aggregate(rs, 0L, (m, r) -> greatest(m, element_at(r, i + 1))))"
+          ).as("mreg")
+        )
+      val direct = st.groupBy("yr").agg(graft.functions.HllSketch(col("item"), p).as("dreg"))
+      val ex = st.groupBy("yr").agg(countDistinct(col("item")).as("exact_ndv"))
+      merged
+        .join(direct, Seq("yr"))
+        .join(ex, Seq("yr"))
+        .select(
+          col("yr"),
+          col("n_months"),
+          array_join(col("dreg"), ",").as("registers_csv"),
+          (col("mreg") === col("dreg")).as("rollup_exact"),
+          col("exact_ndv")
+        )
+        .orderBy("yr")
+    }),
     "x120_hll_sketch" -> ((s, d) => {
       val p = 8
       val m = 256
@@ -1478,6 +1522,33 @@ object Advanced {
     // from the same md5 formula (bin() = exact integer bit length), then
     // the same integer harmonic sum and the same left-assoc double
     // estimate. A single mis-set register flips the list hash.
+    // x136: the year registers replayed independently (the x120 formula
+    // keyed by year); rollup_exact is the oracle's literal TRUE — a merge
+    // that loses any register flips it red.
+    "x136_sketch_rollup" ->
+      """WITH st AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    strftime(l_shipdate, '%Y-%m') AS mon, l_orderkey::VARCHAR AS item
+        |  FROM lineitem),
+        |h AS (SELECT yr, ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM st),
+        |rhos AS (
+        |  SELECT yr, (hv % 256)::BIGINT AS idx,
+        |    CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT yr, idx, max(rho) AS mx FROM rhos GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT y.yr, i.idx FROM (SELECT DISTINCT yr FROM st) y,
+        |       (SELECT unnest(range(256))::BIGINT AS idx) i),
+        |fr AS (
+        |  SELECT gr.yr, gr.idx, coalesce(r.mx, 0) AS mx
+        |  FROM grid gr LEFT JOIN regs r ON gr.yr = r.yr AND gr.idx = r.idx),
+        |sk AS (
+        |  SELECT yr, string_agg(mx::VARCHAR, ',' ORDER BY idx) AS registers_csv
+        |  FROM fr GROUP BY yr),
+        |nm AS (SELECT yr, count(DISTINCT mon)::BIGINT AS n_months FROM st GROUP BY 1),
+        |ex AS (SELECT yr, count(DISTINCT item)::BIGINT AS exact_ndv FROM st GROUP BY 1)
+        |SELECT sk.yr, nm.n_months, sk.registers_csv, TRUE AS rollup_exact, ex.exact_ndv
+        |FROM sk JOIN nm USING (yr) JOIN ex USING (yr) ORDER BY yr""".stripMargin,
     "x120_hll_sketch" ->
       """WITH st AS (SELECT l_returnflag AS grp, l_orderkey::VARCHAR AS item FROM lineitem),
         |h AS (

@@ -34,6 +34,46 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Warehouse {
 
+  /** One SCD2 maintenance step (x135): fold a CHRONOLOGICAL batch of
+    * events into a type-2 dimension `(user_id, event_type, vf, vt, cur)`.
+    * Change points are the batch rows whose attribute differs from their
+    * in-batch predecessor — seeded by the dimension's CURRENT row, so a
+    * run continuing across the batch boundary opens nothing. Each changed
+    * user's open row closes at their first new change (vt set, cur
+    * dropped); new rows chain vt within the batch and the last one stays
+    * current. Batches must be strictly later than the dimension's open
+    * rows (the chronological-ingest contract). */
+  private[operators] def scd2Apply(dim: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val curr = dim.where(col("cur") === 1L).select(col("user_id"), col("event_type").as("cattr"))
+    val changes = batch
+      .join(curr, Seq("user_id"), "left")
+      .withColumn("eff_prev", coalesce(lag("event_type", 1).over(w), col("cattr")))
+      .where(col("eff_prev").isNull || col("event_type") =!= col("eff_prev"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts").as("vf"))
+    val w2 = Window.partitionBy("user_id").orderBy("vf", "event_id")
+    val newRows = changes
+      .withColumn("vt", lead("vf", 1).over(w2))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("vf"),
+        col("vt"),
+        when(col("vt").isNull, 1L).otherwise(0L).as("cur")
+      )
+    val firstChange = newRows.groupBy("user_id").agg(min("vf").as("close_ts"))
+    val closed = dim
+      .join(firstChange, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("vf"),
+        when(col("cur") === 1L && col("close_ts").isNotNull, col("close_ts")).otherwise(col("vt")).as("vt"),
+        when(col("cur") === 1L && col("close_ts").isNotNull, 0L).otherwise(col("cur")).as("cur")
+      )
+    closed.unionByName(newRows)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_scd2_intervals" -> ((s, d) => {
       val ev = graft.Graft
@@ -64,6 +104,49 @@ object Warehouse {
           col("n_events")
         )
         .orderBy("user_id", "valid_from_us")
+    }),
+
+    // SCD2 dimension MAINTENANCE (x135) — the incremental face of q56:
+    // q56 derives type-2 intervals from full history in one pass; real
+    // warehouses maintain the dimension by folding CHRONOLOGICAL change
+    // batches into it (the MERGE close-old/open-new verb). Three batches
+    // (fixed date cutoffs) flow through [[scd2Apply]], and the final
+    // dimension must equal the full-history derivation EXACTLY — the
+    // x85 incremental-vs-batch equivalence discipline: a run crossing a
+    // batch boundary must NOT reopen (seeded by the current row), and a
+    // batch's first change must close the previously-open row. Scale
+    // shape per batch: one window over the batch (change-sized), one
+    // user-keyed join against current rows, one fold join back — the
+    // dimension is never rebuilt, cost tracks batch size.
+    "x135_scd2_merge" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .localCheckpoint() // three batch slices
+      val dim0 = ev
+        .where(lit(false))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("ts").as("vf"),
+          col("ts").as("vt"),
+          lit(0L).as("cur")
+        )
+      val batches = Seq(
+        ev.where(expr("ts < TIMESTAMP_NTZ '2024-01-11 00:00:00'")),
+        ev.where(expr(
+          "ts >= TIMESTAMP_NTZ '2024-01-11 00:00:00' AND ts < TIMESTAMP_NTZ '2024-01-21 00:00:00'"
+        )),
+        ev.where(expr("ts >= TIMESTAMP_NTZ '2024-01-21 00:00:00'"))
+      )
+      val dim = batches.foldLeft(dim0)((acc, b) => scd2Apply(acc, b).localCheckpoint())
+      dim.select(
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("vf").cast("timestamp")).as("valid_from_us"),
+        coalesce(unix_micros(col("vt").cast("timestamp")), lit(-1L)).as("valid_to_us"),
+        col("cur").as("is_current")
+      ).orderBy("user_id", "valid_from_us", "event_type")
     }),
 
     // Ordered funnel analysis: how many users progressed signup → click →
@@ -1221,6 +1304,33 @@ object Warehouse {
         |  CAST(coalesce(sum(qty), 0) AS BIGINT) AS qty_total,
         |  CAST(max(sid) AS BIGINT) AS file_schema_id
         |FROM allr GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // x135: the incremental dimension must equal the FULL-HISTORY interval
+    // derivation (q56's CTE chain, minus n_events) — the batch cutoffs
+    // never appear in the oracle, so any boundary artifact (reopened run,
+    // unclosed row) flips the hash.
+    "x135_scd2_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type, min(ts) AS vf
+        |  FROM runs0 GROUP BY 1, 2, 3),
+        |iv AS (
+        |  SELECT user_id, event_type, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) AS vt
+        |  FROM runs)
+        |SELECT user_id, event_type,
+        |  epoch_us(vf) AS valid_from_us,
+        |  coalesce(epoch_us(vt), -1) AS valid_to_us,
+        |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us, event_type""".stripMargin,
     "q56_scd2_intervals" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),
