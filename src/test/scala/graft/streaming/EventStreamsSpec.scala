@@ -158,6 +158,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched purchases emit null clicks after watermark expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = EventStreams.attributionJoinOuter(
+      clicks.toDF().toDF("event_id", "ts", "user_id").select($"user_id", $"ts", $"event_id"),
+      purchases.toDF().toDF("event_id", "ts", "user_id", "value").select($"user_id", $"ts", $"event_id", $"value")
+    )
+    val q = joined.writeStream.format("memory").queryName("attr_outer").outputMode(OutputMode.Append).start()
+    try {
+      // user 7: click at :50, purchase at :55 — matched, emits eagerly;
+      // user 9: purchase at :50 with NO click — must NOT emit yet: the
+      // watermark (:55 − 10 min = :45) has not passed its window end, so
+      // a matching click could still arrive
+      clicks.addData((100L, ts(50), 7L))
+      purchases.addData((200L, ts(55), 7L, 9.99), (201L, ts(50), 9L, 1.0))
+      q.processAllAvailable()
+      def rows() = spark
+        .table("attr_outer")
+        .collect()
+        .map(r => (r.getAs[Long]("purchase_id"), Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)))
+        .toSet
+      assert(rows() === Set((200L, Some(100L))))
+      // advance BOTH watermarks far past user 9's window end — only now
+      // can the engine prove no click will match, and the null row emits
+      val far = Timestamp.valueOf("2024-01-01 06:00:00")
+      clicks.addData((110L, far, 1L))
+      purchases.addData((210L, far, 1L, 0.0))
+      q.processAllAvailable()
+      assert(rows().contains((201L, None)))
+      assert(rows().contains((200L, Some(100L))))
+    } finally q.stop()
+  }
+
   test("file-source stream end-to-end: readStream -> windowed agg -> parquet sink") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
