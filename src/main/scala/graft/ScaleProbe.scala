@@ -238,7 +238,11 @@ object ScaleProbe {
       // stream crosses one per-doc agg; x128 runs two spillable
       // ExactPercentile passes over 16x orders; x129 the same plus the
       // broadcast-array bucket pass over 16x lineitem
-      "x127_wordpiece_encode", "x128_mad_outliers", "x129_equidepth_stats"
+      "x127_wordpiece_encode", "x128_mad_outliers", "x129_equidepth_stats",
+      // r7 session 4b: SCD2 maintenance over 16x users (1.6M events, 3
+      // chronological batches); sketch rollup over 16x lineitem (bounded
+      // 256-long buffers, merge arithmetic sketch-sized)
+      "x135_scd2_merge", "x136_sketch_rollup"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
