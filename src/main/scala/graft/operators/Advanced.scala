@@ -762,6 +762,31 @@ object Advanced {
     // lc_regime=false column); the LC estimator itself — whose ln() is
     // libm-dependent and so must NOT cross a hash gate — is spec-covered
     // in HllSpec instead.
+    // TPC-H Q2 shape (q79) — "minimum-cost supplier": the correlated
+    // scalar MIN subquery (cost = the part's cheapest observed supply,
+    // rejoined on equality so ALL tying suppliers survive, as in Q2),
+    // decorrelated into a grouped twin over the shared per-(part,
+    // supplier) aggregate. Costs are integer cents min-aggregates; the
+    // final detail join is dim-sized and the output carries a total
+    // order + LIMIT (TakeOrderedAndProject, no global sort).
+    "q79_min_cost_supplier" -> ((s, d) => {
+      val ps = table(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cost_c"))
+        .localCheckpoint() // two plan refs: per-part min, equality rejoin
+      val minc = ps.groupBy("l_partkey").agg(min("cost_c").as("min_cost_c"))
+      ps.join(minc, Seq("l_partkey"))
+        .where(col("cost_c") === col("min_cost_c"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(table(s, d, "part").where(col("p_size") === 15)),
+          col("l_partkey") === col("p_partkey")
+        )
+        .select(col("n_name"), col("s_name"), col("p_partkey"), col("p_name"), col("min_cost_c"))
+        .orderBy(col("min_cost_c"), col("p_partkey"), col("s_name"))
+        .limit(50)
+    }),
     // Mergeable-sketch ROLLUP (x136) — the pre-aggregation pattern the
     // mergeable-sketch family exists FOR at 100 TB: sketch once at fine
     // grain (per ship-month), answer coarse queries (per year) by MERGING
@@ -1522,6 +1547,21 @@ object Advanced {
     // from the same md5 formula (bin() = exact integer bit length), then
     // the same integer harmonic sum and the same left-assoc double
     // estimate. A single mis-set register flips the list hash.
+    // q79: the correlated scalar MIN written literally — DuckDB's
+    // decorrelation must agree with the grouped-twin equality rejoin.
+    "q79_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name, s_name, p_partkey, p_name, ps.cost_c AS min_cost_c
+        |FROM part
+        |JOIN ps ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size = 15
+        |  AND ps.cost_c = (SELECT min(cost_c) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey)
+        |ORDER BY min_cost_c, p_partkey, s_name LIMIT 50""".stripMargin,
     // x136: the year registers replayed independently (the x120 formula
     // keyed by year); rollup_exact is the oracle's literal TRUE — a merge
     // that loses any register flips it red.

@@ -114,6 +114,36 @@ object Curation {
     }),
 
     // ---- benchmark decontamination: gram-key semi join ---------------------
+    // n-gram NOVELTY rate (x137) — the eval-hygiene METRIC next to the
+    // decontamination OPERATORS (x18 drops exact twins, x67 drops spans;
+    // this measures, per language, how much of the heldout half's 5-gram
+    // mass already appears in the train half — the memorization /
+    // overlap statistic dataset cards report before anyone trusts an
+    // eval number). Grams hash through the module-wide md5 window; the
+    // train side collapses to a DISTINCT hash set (corpus-shaped but
+    // dedup'd), the membership probe is one equi-join, and the per-lang
+    // census is a single hash agg — no caps needed, nothing quadratic.
+    "x137_ngram_novelty" -> ((s, d) => {
+      val n = 5
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("w"))
+        .where(size(col("w")) >= n)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("g")
+        )
+        .select(col("doc_id"), col("lang"), graft.functions.Hashing.md5Window15(col("g")).as("h"))
+        .localCheckpoint() // two plan refs: train set, heldout probe
+      val train = grams.where(col("doc_id") % 2 === 0).select("h").distinct()
+      grams
+        .where(col("doc_id") % 2 === 1)
+        .join(train.withColumn("seen", lit(1L)), Seq("h"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+        .withColumn("novelty_ppm", expr("((n_grams - n_seen) * 1000000) div n_grams"))
+        .orderBy("lang")
+    }),
     "x18_decontaminate" -> ((s, d) => {
       val grams = wordGrams(s, d, 4)
       val bench = grams.where(col("doc_id") % 50 === 0).select("gram").distinct()
@@ -404,6 +434,25 @@ object Curation {
          |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // x137: gram slices + the identical md5-window hashes replayed with
+    // DuckDB list algebra; the ppm is integer floor division.
+    "x137_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(array_to_string(w[i + 1 : i + 5], ' ')), 1, 15))::BIGINT AS h
+        |  FROM d, unnest(generate_series(0, len(w) - 5)) t(i)
+        |  WHERE len(w) >= 5),
+        |tr AS (SELECT DISTINCT h FROM g WHERE doc_id % 2 = 0),
+        |held AS (
+        |  SELECT lang, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN h IN (SELECT h FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |  FROM g WHERE doc_id % 2 = 1 GROUP BY lang)
+        |SELECT lang, n_grams, n_seen,
+        |  ((n_grams - n_seen) * 1000000) // n_grams AS novelty_ppm
+        |FROM held ORDER BY lang""".stripMargin,
     "x18_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
