@@ -762,6 +762,89 @@ object Advanced {
     // lc_regime=false column); the LC estimator itself — whose ln() is
     // libm-dependent and so must NOT cross a hash gate — is spec-covered
     // in HllSpec instead.
+    // One-pass column PROFILER (x138) — the Deequ/ANALYZE-style table
+    // profile every ingestion pipeline runs before trusting a feed: per
+    // column of the canonical orders projection (cents already integer —
+    // doubles never reach a string cast), row/null/NDV counts, min/max
+    // as canonical strings, and the most-common value with (count desc,
+    // value asc) tie-break. Each column is one tiny aggregate + one
+    // TakeOrdered top-1 over a shared localCheckpointed scan — column
+    // count × O(scan), the profiling shape, no wide collect anywhere.
+    "x138_column_profile" -> ((s, d) => {
+      import s.implicits._
+      val t = table(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("totalprice_cents"),
+          col("o_orderdate"),
+          col("o_orderpriority")
+        )
+        .localCheckpoint() // one ref per profiled column below
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "totalprice_cents", "o_orderdate", "o_orderpriority")
+      cols
+        .map { c =>
+          val base = t.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s")
+          )
+          val mcv = t
+            .groupBy(col(c).cast("string").as("v"))
+            .agg(count(lit(1)).as("top_count"))
+            .orderBy(col("top_count").desc, col("v"))
+            .limit(1)
+            .select(col("v").as("top_value"), col("top_count"))
+          base.crossJoin(mcv).select(lit(c).as("col_name"), col("n_rows"), col("n_null"), col("ndv"), col("min_s"), col("max_s"), col("top_value"), col("top_count"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy("col_name")
+    }),
+    // Referential-integrity REPORT (x139) — every star-schema foreign key
+    // audited in one result: per relationship the child row count, the
+    // orphan count (left-anti probe against the parent key set), and the
+    // ok flag. All seven real edges hold (their zeros are pinned), and an
+    // EIGHTH relationship is PLANTED broken (every 9973rd lineitem's
+    // suppkey shifted out of range, the x128/x101 discipline — a
+    // detector that can only ever report zero proves nothing). Each
+    // probe is a key-projected anti join: dim-sized builds broadcast,
+    // the fact probes stream, nothing is collected.
+    "x139_fk_integrity" -> ((s, d) => {
+      import s.implicits._
+      val li = table(s, d, "lineitem").localCheckpoint()
+      def check(name: String, child: DataFrame, key: String, parentKeys: DataFrame) = {
+        val orphans = child
+          .select(col(key))
+          .join(parentKeys, Seq(key), "left_anti")
+        child
+          .agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(
+            lit(name).as("relationship"),
+            col("n_child"),
+            col("n_orphans"),
+            (col("n_orphans") === 0L).as("ref_ok")
+          )
+      }
+      val corrupted = li.select(
+        when(col("l_orderkey") % 9973 === 0, col("l_suppkey") + 1000000L)
+          .otherwise(col("l_suppkey"))
+          .as("l_suppkey")
+      )
+      Seq(
+        check("lineitem_orders", li, "l_orderkey", table(s, d, "orders").select(col("o_orderkey").as("l_orderkey"))),
+        check("lineitem_part", li, "l_partkey", table(s, d, "part").select(col("p_partkey").as("l_partkey"))),
+        check("lineitem_supplier", li, "l_suppkey", table(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"))),
+        check("orders_customer", table(s, d, "orders"), "o_custkey", table(s, d, "customer").select(col("c_custkey").as("o_custkey"))),
+        check("customer_nation", table(s, d, "customer"), "c_nationkey", table(s, d, "nation").select(col("n_nationkey").as("c_nationkey"))),
+        check("supplier_nation", table(s, d, "supplier"), "s_nationkey", table(s, d, "nation").select(col("n_nationkey").as("s_nationkey"))),
+        check("nation_region", table(s, d, "nation"), "n_regionkey", table(s, d, "region").select(col("r_regionkey").as("n_regionkey"))),
+        check("corrupted_supplier", corrupted, "l_suppkey", table(s, d, "supplier").select(col("s_suppkey").as("l_suppkey")))
+      ).reduce(_.unionByName(_)).orderBy("relationship")
+    }),
     // TPC-H Q2 shape (q79) — "minimum-cost supplier": the correlated
     // scalar MIN subquery (cost = the part's cheapest observed supply,
     // rejoined on equality so ALL tying suppliers survive, as in Q2),
@@ -1547,6 +1630,52 @@ object Advanced {
     // from the same md5 formula (bin() = exact integer bit length), then
     // the same integer harmonic sum and the same left-assoc double
     // estimate. A single mis-set register flips the list hash.
+    // x138: six per-column blocks, each one aggregate + one ordered-limit
+    // MCV subquery; string casts only on integers/timestamps/strings
+    // (doubles were canonicalized to cents first on both sides).
+    "x138_column_profile" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS ndv,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s,
+           |  (SELECT $c::VARCHAR FROM t GROUP BY $c
+           |   ORDER BY count(*) DESC, $c::VARCHAR LIMIT 1) AS top_value,
+           |  (SELECT count(*) FROM t GROUP BY $c
+           |   ORDER BY count(*) DESC, $c::VARCHAR LIMIT 1) AS top_count
+           |FROM t""".stripMargin
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "totalprice_cents", "o_orderdate", "o_orderpriority")
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         |    o_orderdate, o_orderpriority
+         |  FROM orders)
+         |${cols.map(block).mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin
+    },
+    // x139: each relationship replayed as a NOT-IN orphan count; the
+    // planted corruption uses the same shift formula, so the detector's
+    // non-zero row is load-bearing.
+    "x139_fk_integrity" -> {
+      def rel(name: String, childSql: String, key: String, parentSql: String) =
+        s"""SELECT '$name' AS relationship, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN $key NOT IN ($parentSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  sum(CASE WHEN $key NOT IN ($parentSql) THEN 1 ELSE 0 END) = 0 AS ref_ok
+           |FROM ($childSql)""".stripMargin
+      Seq(
+        rel("corrupted_supplier",
+          """SELECT CASE WHEN l_orderkey % 9973 = 0 THEN l_suppkey + 1000000 ELSE l_suppkey END AS l_suppkey
+            |FROM lineitem""".stripMargin,
+          "l_suppkey", "SELECT s_suppkey FROM supplier"),
+        rel("customer_nation", "SELECT c_nationkey FROM customer", "c_nationkey", "SELECT n_nationkey FROM nation"),
+        rel("lineitem_orders", "SELECT l_orderkey FROM lineitem", "l_orderkey", "SELECT o_orderkey FROM orders"),
+        rel("lineitem_part", "SELECT l_partkey FROM lineitem", "l_partkey", "SELECT p_partkey FROM part"),
+        rel("lineitem_supplier", "SELECT l_suppkey FROM lineitem", "l_suppkey", "SELECT s_suppkey FROM supplier"),
+        rel("nation_region", "SELECT n_regionkey FROM nation", "n_regionkey", "SELECT r_regionkey FROM region"),
+        rel("orders_customer", "SELECT o_custkey FROM orders", "o_custkey", "SELECT c_custkey FROM customer"),
+        rel("supplier_nation", "SELECT s_nationkey FROM supplier", "s_nationkey", "SELECT n_nationkey FROM nation")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
     // q79: the correlated scalar MIN written literally — DuckDB's
     // decorrelation must agree with the grouped-twin equality rejoin.
     "q79_min_cost_supplier" ->
