@@ -507,6 +507,51 @@ object Similarity {
     // divide, abs, round-half-away) is IEEE-correctly-rounded and ordered
     // identically in the DuckDB oracle, so the gate hash-checks the full
     // quantization arithmetic, not a summary.
+    // Distributed Gram / covariance matrix (x140) — the linear-algebra
+    // primitive under PCA, whitening and linear-probe fitting: X'X over
+    // the embedding corpus plus per-dimension sums, from which the exact
+    // covariance numerator is one integer formula (N·G[i][j] − s_i·s_j —
+    // no division crosses the gate, so no floor-semantics bets either).
+    // Components quantize to the k-means 1e3 fixed-point grid (one
+    // widen+multiply+round, deterministic IEEE), so every cell is an
+    // exact int64. Shape: each row emits its d² outer-product cells via
+    // nested index transforms — a BOUNDED 64×64 stencil, explode factor
+    // independent of corpus size (the x93 discipline) — into ONE (i, j)
+    // hash agg with map-side partial sums; dimension sums ride a 64-row
+    // broadcast. The corpus is scanned once; no d×d state on the driver.
+    "x140_int_covariance" -> ((s, d) => {
+      val q = table(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("q")
+        )
+        .localCheckpoint() // two plan refs: outer product, dim sums
+      val cells = q
+        .select(explode(expr(
+          """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+            |  named_struct('i', i, 'j', j, 'p', qi * qj))))""".stripMargin
+        )).as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("gram"))
+      val sums = q
+        .select(explode(expr("transform(q, (qi, i) -> named_struct('i', i, 'v', qi))")).as("s"))
+        .groupBy(col("s.i").as("i"))
+        .agg(sum(col("s.v")).as("si"))
+        .localCheckpoint() // two plan refs: row side, column side
+      cells
+        .join(broadcast(sums), Seq("i"))
+        .join(broadcast(sums.select(col("i").as("j"), col("si").as("sj"))), Seq("j"))
+        .select(
+          col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          col("n"),
+          col("gram"),
+          col("si"),
+          col("sj"),
+          (col("n") * col("gram") - col("si") * col("sj")).as("cov_num")
+        )
+        .orderBy("i", "j")
+    }),
     "x30_embedding_quantize" -> ((s, d) => {
       val code = (v: Column, scale: Column) =>
         when(scale === 0.0, lit(0.0)).otherwise(round(v / scale * 127))
@@ -916,6 +961,23 @@ object Similarity {
         |    AS exact_top1_cos_e6,
         |  TRUE AS recall5_floor_ok, TRUE AS corpus_recall_ok
         |FROM ex WHERE rk <= 5 GROUP BY qid ORDER BY qid""".stripMargin,
+    // x140: the quantized outer product replayed as a per-vector
+    // self-join over unnested components; the covariance numerator is
+    // the identical no-division integer formula.
+    "x140_int_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+        |cells AS (
+        |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |    CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |sums AS (SELECT i, CAST(sum(qv) AS BIGINT) AS si FROM q GROUP BY 1)
+        |SELECT c.i AS i, c.j AS j, c.n, c.gram, sa.si, sb.si AS sj,
+        |  CAST(c.n * c.gram - sa.si * sb.si AS BIGINT) AS cov_num
+        |FROM cells c JOIN sums sa ON c.i = sa.i JOIN sums sb ON c.j = sb.i
+        |ORDER BY c.i, c.j""".stripMargin,
     "x05_sim_cosine_topk" ->
       """SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6 FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
