@@ -149,6 +149,33 @@ object Warehouse {
       ).orderBy("user_id", "valid_from_us", "event_type")
     }),
 
+    // Cohort RETENTION matrix (x141) — the product-analytics staple next
+    // to funnels (q59) and sessions (q36): users cohort by their FIRST
+    // event's week, and cell (cohort, offset) counts how many of that
+    // cohort were active `offset` weeks later. Weeks are integer epoch-
+    // day div 7 (floor — both engines agree on non-negative days), so
+    // the whole matrix is exact integers; retention crosses as ppm floor
+    // division. Shape: one per-user min (first week), one distinct
+    // (user, week) census, one join on user_id (co-partitioned with the
+    // census shuffle), two hash aggs — no self-join, no window.
+    "x141_cohort_retention" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(col("user_id"), expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT) div 7").as("wk"))
+        .localCheckpoint() // two plan refs: first-week, activity census
+      val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val active = ev.distinct()
+      val cells = active
+        .join(firstWk, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+      val sizes = firstWk.groupBy("cohort_wk").agg(count(lit(1)).as("n_cohort"))
+      cells
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .withColumn("retention_ppm", expr("(n_active * 1000000) div n_cohort"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // Ordered funnel analysis: how many users progressed signup → click →
     // purchase IN ORDER (each later stage strictly after an earlier-stage
     // event). One window partition per user computes running "stage
@@ -1304,6 +1331,24 @@ object Warehouse {
         |  CAST(coalesce(sum(qty), 0) AS BIGINT) AS qty_total,
         |  CAST(max(sid) AS BIGINT) AS file_schema_id
         |FROM allr GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // x141: epoch-day div-7 weeks, first-week cohorts, distinct activity
+    // census — the identical integer pipeline.
+    "x141_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts::TIMESTAMP) // 86400000000) // 7 AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, wk FROM ev),
+        |cells AS (
+        |  SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM act a JOIN fw f ON a.user_id = f.user_id GROUP BY 1, 2),
+        |sz AS (SELECT cohort_wk, count(*) AS n_cohort FROM fw GROUP BY 1)
+        |SELECT c.cohort_wk, c.week_offset, c.n_active, s.n_cohort,
+        |  (c.n_active * 1000000) // s.n_cohort AS retention_ppm
+        |FROM cells c JOIN sz s ON c.cohort_wk = s.cohort_wk
+        |ORDER BY c.cohort_wk, c.week_offset""".stripMargin,
     // x135: the incremental dimension must equal the FULL-HISTORY interval
     // derivation (q56's CTE chain, minus n_events) — the batch cutoffs
     // never appear in the oracle, so any boundary artifact (reopened run,
