@@ -149,6 +149,58 @@ object Warehouse {
       ).orderBy("user_id", "valid_from_us", "event_type")
     }),
 
+    // Grid-bucketed INTERVAL-OVERLAP join (x142) — the scalable shape for
+    // interval × interval joins (user sessions × promo windows): naive
+    // overlap is a quadratic theta join, so both interval sets explode
+    // onto a 6 h time grid (bounded — a session spans few buckets, a
+    // promo window ≤ ~a month's worth), candidates meet in an EQUI-join
+    // per bucket, the true overlap predicate filters, and DISTINCT
+    // collapses pairs sharing several buckets — the temporal face of
+    // x93's spatial grid decomposition. Epoch-micro integers throughout;
+    // overlap durations are exact; touching intervals count with 0.
+    "x142_interval_overlap_join" -> ((s, d) => {
+      import s.implicits._
+      val bkt = 6L * 3600 * 1000000
+      val ev = graft.Graft
+        .events(s, d)
+        .select(col("user_id"), col("event_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sessions = ev
+        .withColumn(
+          "new_session",
+          when(lag("us", 1).over(w).isNull || col("us") - lag("us", 1).over(w) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L)
+        )
+        .withColumn("session_no", sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(min("us").as("s_start"), max("us").as("s_end"))
+      val promos = Seq(
+        (1L, "2024-01-02 00:00:00", "2024-01-04 00:00:00"),
+        (2L, "2024-01-05 12:00:00", "2024-01-06 00:00:00"),
+        (3L, "2024-01-10 00:00:00", "2024-01-17 00:00:00"),
+        (4L, "2024-01-16 18:00:00", "2024-01-19 06:00:00"),
+        (5L, "2024-01-25 00:00:00", "2024-01-25 06:00:00")
+      ).toDF("promo_id", "p_start_s", "p_end_s")
+        .select(
+          col("promo_id"),
+          expr("unix_micros(CAST(p_start_s AS TIMESTAMP))").as("p_start"),
+          expr("unix_micros(CAST(p_end_s AS TIMESTAMP))").as("p_end")
+        )
+      val sB = sessions.withColumn("bkt", explode(expr(s"sequence(s_start div ${bkt}L, s_end div ${bkt}L)")))
+      val pB = promos.withColumn("bkt", explode(expr(s"sequence(p_start div ${bkt}L, p_end div ${bkt}L)")))
+      sB.join(broadcast(pB), Seq("bkt"))
+        .where(col("s_start") <= col("p_end") && col("p_start") <= col("s_end"))
+        .select("user_id", "session_no", "s_start", "s_end", "promo_id", "p_start", "p_end")
+        .distinct()
+        .groupBy("promo_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          countDistinct("user_id").as("n_users"),
+          sum(least(col("s_end"), col("p_end")) - greatest(col("s_start"), col("p_start"))).as("overlap_us")
+        )
+        .orderBy("promo_id")
+    }),
+
     // Cohort RETENTION matrix (x141) — the product-analytics staple next
     // to funnels (q59) and sessions (q36): users cohort by their FIRST
     // event's week, and cell (cohort, offset) counts how many of that
@@ -1331,6 +1383,36 @@ object Warehouse {
         |  CAST(coalesce(sum(qty), 0) AS BIGINT) AS qty_total,
         |  CAST(max(sid) AS BIGINT) AS file_schema_id
         |FROM allr GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // x142: sessions from the q36 CTE chain, promos as VALUES, overlap as
+    // the DIRECT quadratic theta join — the grid decomposition must
+    // reproduce it exactly.
+    "x142_interval_overlap_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL
+        |           OR us - lag(us, 1) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, us,
+        |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_no, min(us) AS s_start, max(us) AS s_end
+        |  FROM numbered GROUP BY 1, 2),
+        |promos(promo_id, p_start, p_end) AS (VALUES
+        |  (1, epoch_us(TIMESTAMP '2024-01-02 00:00:00'), epoch_us(TIMESTAMP '2024-01-04 00:00:00')),
+        |  (2, epoch_us(TIMESTAMP '2024-01-05 12:00:00'), epoch_us(TIMESTAMP '2024-01-06 00:00:00')),
+        |  (3, epoch_us(TIMESTAMP '2024-01-10 00:00:00'), epoch_us(TIMESTAMP '2024-01-17 00:00:00')),
+        |  (4, epoch_us(TIMESTAMP '2024-01-16 18:00:00'), epoch_us(TIMESTAMP '2024-01-19 06:00:00')),
+        |  (5, epoch_us(TIMESTAMP '2024-01-25 00:00:00'), epoch_us(TIMESTAMP '2024-01-25 06:00:00')))
+        |SELECT CAST(promo_id AS BIGINT) AS promo_id, count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(least(s_end, p_end) - greatest(s_start, p_start)) AS BIGINT) AS overlap_us
+        |FROM sess JOIN promos ON s_start <= p_end AND p_start <= s_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x141: epoch-day div-7 weeks, first-week cohorts, distinct activity
     // census — the identical integer pipeline.
     "x141_cohort_retention" ->
