@@ -798,7 +798,12 @@ object Advanced {
             .orderBy(col("top_count").desc, col("v"))
             .limit(1)
             .select(col("v").as("top_value"), col("top_count"))
-          base.crossJoin(mcv).select(lit(c).as("col_name"), col("n_rows"), col("n_null"), col("ndv"), col("min_s"), col("max_s"), col("top_value"), col("top_count"))
+          // left join on TRUE (not crossJoin): an empty input leaves mcv
+          // empty, and the profile row must still emit with NULL MCV —
+          // matching the oracle's scalar subqueries (review-found)
+          base
+            .join(mcv, lit(true), "left")
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_null"), col("ndv"), col("min_s"), col("max_s"), col("top_value"), col("top_count"))
         }
         .reduce(_.unionByName(_))
         .orderBy("col_name")
@@ -1640,9 +1645,9 @@ object Advanced {
            |  count(DISTINCT $c) AS ndv,
            |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s,
            |  (SELECT $c::VARCHAR FROM t GROUP BY $c
-           |   ORDER BY count(*) DESC, $c::VARCHAR LIMIT 1) AS top_value,
+           |   ORDER BY count(*) DESC, $c::VARCHAR NULLS FIRST LIMIT 1) AS top_value,
            |  (SELECT count(*) FROM t GROUP BY $c
-           |   ORDER BY count(*) DESC, $c::VARCHAR LIMIT 1) AS top_count
+           |   ORDER BY count(*) DESC, $c::VARCHAR NULLS FIRST LIMIT 1) AS top_count
            |FROM t""".stripMargin
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "totalprice_cents", "o_orderdate", "o_orderpriority")
       s"""WITH t AS (
@@ -1657,23 +1662,28 @@ object Advanced {
     // planted corruption uses the same shift formula, so the detector's
     // non-zero row is load-bearing.
     "x139_fk_integrity" -> {
+      // NOT EXISTS (never NOT IN): left_anti keeps a NULL child key as an
+      // orphan while NOT IN returns NULL for it — NOT EXISTS matches the
+      // anti-join on both null-key directions (review-found)
       def rel(name: String, childSql: String, key: String, parentSql: String) =
         s"""SELECT '$name' AS relationship, count(*) AS n_child,
-           |  CAST(sum(CASE WHEN $key NOT IN ($parentSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-           |  sum(CASE WHEN $key NOT IN ($parentSql) THEN 1 ELSE 0 END) = 0 AS ref_ok
-           |FROM ($childSql)""".stripMargin
+           |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM ($parentSql) p WHERE p.$key = c.$key)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM ($parentSql) p WHERE p.$key = c.$key)
+           |      THEN 1 ELSE 0 END) = 0 AS ref_ok
+           |FROM ($childSql) c""".stripMargin
       Seq(
         rel("corrupted_supplier",
           """SELECT CASE WHEN l_orderkey % 9973 = 0 THEN l_suppkey + 1000000 ELSE l_suppkey END AS l_suppkey
             |FROM lineitem""".stripMargin,
-          "l_suppkey", "SELECT s_suppkey FROM supplier"),
-        rel("customer_nation", "SELECT c_nationkey FROM customer", "c_nationkey", "SELECT n_nationkey FROM nation"),
-        rel("lineitem_orders", "SELECT l_orderkey FROM lineitem", "l_orderkey", "SELECT o_orderkey FROM orders"),
-        rel("lineitem_part", "SELECT l_partkey FROM lineitem", "l_partkey", "SELECT p_partkey FROM part"),
-        rel("lineitem_supplier", "SELECT l_suppkey FROM lineitem", "l_suppkey", "SELECT s_suppkey FROM supplier"),
-        rel("nation_region", "SELECT n_regionkey FROM nation", "n_regionkey", "SELECT r_regionkey FROM region"),
-        rel("orders_customer", "SELECT o_custkey FROM orders", "o_custkey", "SELECT c_custkey FROM customer"),
-        rel("supplier_nation", "SELECT s_nationkey FROM supplier", "s_nationkey", "SELECT n_nationkey FROM nation")
+          "l_suppkey", "SELECT s_suppkey AS l_suppkey FROM supplier"),
+        rel("customer_nation", "SELECT c_nationkey FROM customer", "c_nationkey", "SELECT n_nationkey AS c_nationkey FROM nation"),
+        rel("lineitem_orders", "SELECT l_orderkey FROM lineitem", "l_orderkey", "SELECT o_orderkey AS l_orderkey FROM orders"),
+        rel("lineitem_part", "SELECT l_partkey FROM lineitem", "l_partkey", "SELECT p_partkey AS l_partkey FROM part"),
+        rel("lineitem_supplier", "SELECT l_suppkey FROM lineitem", "l_suppkey", "SELECT s_suppkey AS l_suppkey FROM supplier"),
+        rel("nation_region", "SELECT n_regionkey FROM nation", "n_regionkey", "SELECT r_regionkey AS n_regionkey FROM region"),
+        rel("orders_customer", "SELECT o_custkey FROM orders", "o_custkey", "SELECT c_custkey AS o_custkey FROM customer"),
+        rel("supplier_nation", "SELECT s_nationkey FROM supplier", "s_nationkey", "SELECT n_nationkey AS s_nationkey FROM nation")
       ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     },
     // q79: the correlated scalar MIN written literally — DuckDB's

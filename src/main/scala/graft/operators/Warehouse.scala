@@ -146,7 +146,7 @@ object Warehouse {
         unix_micros(col("vf").cast("timestamp")).as("valid_from_us"),
         coalesce(unix_micros(col("vt").cast("timestamp")), lit(-1L)).as("valid_to_us"),
         col("cur").as("is_current")
-      ).orderBy("user_id", "valid_from_us", "event_type")
+      ).orderBy("user_id", "valid_from_us", "event_type", "valid_to_us")
     }),
 
     // Grid-bucketed INTERVAL-OVERLAP join (x142) — the scalable shape for
@@ -1457,7 +1457,7 @@ object Warehouse {
         |  epoch_us(vf) AS valid_from_us,
         |  coalesce(epoch_us(vt), -1) AS valid_to_us,
         |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM iv ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+        |FROM iv ORDER BY user_id, valid_from_us, event_type, valid_to_us""".stripMargin,
     "q56_scd2_intervals" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),

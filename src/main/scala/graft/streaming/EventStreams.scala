@@ -225,29 +225,12 @@ object EventStreams {
     * range let Spark evict join state once the watermark passes
     * `purchase_ts - 1 hour`, so state stays bounded on unbounded streams
     * (an unconstrained stream-stream join would buffer forever). */
-  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks
-      .withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
-    val p = purchases
-      .withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"), col("value"))
-    p.join(
-      c,
-      expr("""p_user = c_user AND
-             |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
-             |click_ts <= purchase_ts""".stripMargin)
-    ).select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
-  }
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoined(clicks, purchases, "inner")
 
-  /** LEFT-OUTER stream-stream join [EXT] — the attribution join's other
-    * face: every purchase emits, matched to its preceding clicks or with
-    * NULL click columns once the join window can no longer match (organic
-    * vs attributed purchases in one stream). The null-padded row cannot
-    * emit eagerly — a matching click may still arrive — so Spark holds it
-    * until BOTH watermarks pass the window end; same bounded state as the
-    * inner join, plus that deferred emission. */
-  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  /** shared wiring for both attribution faces — window, watermarks and
+    * projection live ONCE (review-found duplication) */
+  private def attributionJoined(clicks: DataFrame, purchases: DataFrame, joinType: String): DataFrame = {
     val c = clicks
       .withWatermark("ts", "10 minutes")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
@@ -259,16 +242,19 @@ object EventStreams {
       expr("""p_user = c_user AND
              |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
              |click_ts <= purchase_ts""".stripMargin),
-      "leftOuter"
-    ).select(
-      col("p_user").as("user_id"),
-      col("purchase_id"),
-      col("click_id"),
-      col("purchase_ts"),
-      col("click_ts"),
-      col("value")
-    )
+      joinType
+    ).select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
+
+  /** LEFT-OUTER stream-stream join [EXT] — the attribution join's other
+    * face: every purchase emits, matched to its preceding clicks or with
+    * NULL click columns once the join window can no longer match (organic
+    * vs attributed purchases in one stream). The null-padded row cannot
+    * emit eagerly — a matching click may still arrive — so Spark holds it
+    * until BOTH watermarks pass the window end; same bounded state as the
+    * inner join, plus that deferred emission. */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoined(clicks, purchases, "leftOuter")
 
   /** Streaming curation gate [EXT]: the per-document quality filter + PII
     * scrub as an incremental query — documents arriving on a stream are
