@@ -762,6 +762,33 @@ object Advanced {
     // lc_regime=false column); the LC estimator itself — whose ln() is
     // libm-dependent and so must NOT cross a hash gate — is spec-covered
     // in HllSpec instead.
+    // TPC-H Q16 shape (q80) — "parts/supplier census": distinct suppliers
+    // per (brand, type, size) over the observed supplier-part pairs, with
+    // a NOT-IN supplier blacklist (negative balance standing in for Q16's
+    // complaints filter — 6 suppliers at gate SF, so the anti join is
+    // load-bearing) and a negative + IN-list part filter. The pair
+    // DISTINCT is the one fact-sized shuffle; the blacklist broadcasts
+    // and the part dim filters before the join; ordered LIMIT plans as
+    // TakeOrderedAndProject.
+    "q80_parts_supplier_census" -> ((s, d) => {
+      val blacklist = table(s, d, "supplier")
+        .where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      val pairs = table(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      pairs
+        .join(broadcast(blacklist), Seq("l_suppkey"), "left_anti")
+        .join(
+          broadcast(
+            table(s, d, "part")
+              .where(col("p_brand") =!= "Brand#23" && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          ),
+          col("l_partkey") === col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(40)
+    }),
     // One-pass column PROFILER (x138) — the Deequ/ANALYZE-style table
     // profile every ingestion pipeline runs before trusting a feed: per
     // column of the canonical orders projection (cents already integer —
@@ -1635,6 +1662,18 @@ object Advanced {
     // from the same md5 formula (bin() = exact integer bit length), then
     // the same integer harmonic sum and the same left-assoc double
     // estimate. A single mis-set register flips the list hash.
+    // q80: the literal Q16 form — NOT IN blacklist subquery (keys are
+    // non-null supplier PKs on both sides, so NOT IN ≡ the anti join
+    // here; the x139 NOT-EXISTS caveat applies only to nullable keys).
+    "q80_parts_supplier_census" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40""".stripMargin,
     // x138: six per-column blocks, each one aggregate + one ordered-limit
     // MCV subquery; string casts only on integers/timestamps/strings
     // (doubles were canonicalized to cents first on both sides).

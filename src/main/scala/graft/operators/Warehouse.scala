@@ -149,6 +149,37 @@ object Warehouse {
       ).orderBy("user_id", "valid_from_us", "event_type", "valid_to_us")
     }),
 
+    // Rolling 7-day EXACT distinct users (x143) — DAU/WAU, the metric
+    // sliding-window COUNT DISTINCT can't do natively (distinct doesn't
+    // compose over a range frame): each (user, active-day) census row
+    // broadcasts itself to the ≤ 7 target days it supports (a BOUNDED
+    // explode, the x93/x142 stencil discipline), one DISTINCT collapses
+    // (user, target) and one hash agg counts — exact, no window, no
+    // quadratic self-join, at any scale. Days are integer epoch-day.
+    "x143_rolling_distinct" -> ((s, d) => {
+      val days = graft.Graft
+        .events(s, d)
+        .select(col("user_id"), expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("day"))
+        .distinct()
+        .localCheckpoint() // two plan refs: day census, target explode
+      val bounds = days.agg(min("day").as("d0"), max("day").as("d1"))
+      val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val rolling = days
+        .withColumn("target", explode(expr("sequence(day, day + 6)")))
+        .select(col("user_id"), col("target").as("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(count(lit(1)).as("wau"))
+      dau
+        .join(rolling, Seq("day"))
+        .crossJoin(broadcast(bounds))
+        // edge days with a partial trailing window are real rows too; the
+        // bounds columns make the window coverage explicit in the gate
+        .where(col("day") <= col("d1"))
+        .select(col("day"), col("dau"), col("wau"), col("d0"), col("d1"))
+        .orderBy("day")
+    }),
+
     // Grid-bucketed INTERVAL-OVERLAP join (x142) — the scalable shape for
     // interval × interval joins (user sessions × promo windows): naive
     // overlap is a quadratic theta join, so both interval sets explode
@@ -1383,6 +1414,21 @@ object Warehouse {
         |  CAST(coalesce(sum(qty), 0) AS BIGINT) AS qty_total,
         |  CAST(max(sid) AS BIGINT) AS file_schema_id
         |FROM allr GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // x143: the identical 7-day support explode and census.
+    "x143_rolling_distinct" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY 1),
+        |roll AS (
+        |  SELECT target AS day, count(*) AS wau FROM (
+        |    SELECT DISTINCT user_id, day + i AS target
+        |    FROM days, unnest(generate_series(0, 6)) t(i)) GROUP BY 1)
+        |SELECT dau.day, dau.dau, roll.wau, b.d0, b.d1
+        |FROM dau JOIN roll ON dau.day = roll.day, b
+        |WHERE dau.day <= b.d1
+        |ORDER BY dau.day""".stripMargin,
     // x142: sessions from the q36 CTE chain, promos as VALUES, overlap as
     // the DIRECT quadratic theta join — the grid decomposition must
     // reproduce it exactly.

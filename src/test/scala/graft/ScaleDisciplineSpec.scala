@@ -173,6 +173,44 @@ class ScaleDisciplineSpec extends AnyFunSuite {
       .toMap
     assert(heavy === oracle)
   }
+
+  test("AQE splits a skewed shuffle-join partition (OptimizeSkewedJoin fires)") {
+    // one planted hot key carries ~100x the median key's rows; with the
+    // skew thresholds lowered to fixture scale, AQE must mark the join
+    // skewed and split the hot partition instead of letting one task
+    // carry it — the runtime complement of the x38 manual salting path
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1" // force a shuffle join
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payloads are md5 strings so the hot partition's bytes are
+      // incompressible — AQE's skew detector sees COMPRESSED shuffle
+      // sizes, and 100k copies of one long would RLE away below the
+      // threshold (observed: only a coalesce fired)
+      val left = spark
+        .range(200000)
+        .select(
+          when(col("id") % 2 === 0, 7L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string").cast("binary")).as("payload")
+        )
+      val right = spark.range(5000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      // collect() directly on the join: the same QueryExecution carries
+      // the final adaptive plan (a write wraps its own), and with no
+      // downstream exchange the split needs no veto override
+      val joined = left.join(right, Seq("k"))
+      assert(joined.collect().length > 100000) // hot key actually joined
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
 
 object ScaleDisciplineSpec {
