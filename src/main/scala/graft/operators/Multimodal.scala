@@ -449,6 +449,47 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // tRNS palette transparency (x144) — the quarantine x100 deliberately
+    // left closed, now decoded: per-entry alpha for a PREFIX of the
+    // palette (entries past it opaque by spec §11.3.2 — the boundary rule
+    // is load-bearing because the fixture's prefix length varies per
+    // image), composited over white with the same div-255 integer formula
+    // as RGBA. Same 8×8 resample/checksum/aHash contract; the oracle
+    // composes alpha∘palette∘index formulas in pure integer SQL.
+    "x144_png_trns" -> ((s, _) => {
+      graft.sources.PngTrnsFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType),
+          StructField("hi", LongType),
+          StructField("lo", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.PngTrnsFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
+                val cs = graft.sources.BmpPixels.checksum(tile)
+                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
+                val total = grays.sum
+                var hi = 0L; var lo = 0L
+                grays.zipWithIndex.foreach { case (g0, k) =>
+                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
+                }
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs, hi, lo)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     "x71_gif_decode" -> ((s, _) => {
       graft.sources.GifFixture.ensure(s)
       val schema = StructType(
@@ -883,6 +924,41 @@ object Multimodal {
         |         WHEN img_id % 3 = 1 THEN (aa * ((img_id * 3 + sx * 4 + sy * 7) % 256) + (255 - aa) * 255) // 255
         |         ELSE (img_id * 3 + sx * 4 + sy * 7) % 256 END AS bc
         |  FROM mid),
+        |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
+        |SELECT val.img_id, width, height,
+        |  CAST(sum((k + 1) * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k < 32  THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |FROM val JOIN tot USING (img_id)
+        |GROUP BY val.img_id, width, height ORDER BY img_id""".stripMargin,
+    // x144: alpha∘palette∘index composed in integer SQL — pj < nTrns
+    // selects the formula alpha, else opaque; the same div-255 white
+    // composite as x100's RGBA face.
+    "x144_png_trns" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_png_trns/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v) AS k,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |mid AS (
+        |  SELECT img_id, width, height, k,
+        |    (img_id * 5 + sx * 7 + sy * 3) % (16 + (img_id * 13) % 241) AS pj,
+        |    1 + (img_id * 7) % (16 + (img_id * 13) % 241) AS ntr
+        |  FROM px),
+        |al AS (
+        |  SELECT img_id, width, height, k, pj,
+        |    CASE WHEN pj < ntr THEN (img_id * 3 + pj * 7 + 13) % 256 ELSE 255 END AS aa
+        |  FROM mid),
+        |val AS (
+        |  SELECT img_id, width, height, k,
+        |    (aa * ((img_id * 11 + pj * 3) % 256) + (255 - aa) * 255) // 255 AS r,
+        |    (aa * ((img_id * 7 + pj * 5) % 256) + (255 - aa) * 255) // 255 AS gc,
+        |    (aa * ((img_id * 13 + pj * 11) % 256) + (255 - aa) * 255) // 255 AS bc
+        |  FROM al),
         |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
         |SELECT val.img_id, width, height,
         |  CAST(sum((k + 1) * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum,

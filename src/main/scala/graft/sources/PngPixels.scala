@@ -46,18 +46,20 @@ object PngPixels {
   }
 
   /** Decode an 8-bit non-interlaced PNG of color type 2 (RGB), 3 (PLTE
-    * indexed) or 6 (RGBA, composited over white with the integer-exact
-    * `c' = (a·c + (255−a)·255) div 255` — mirrored in the x100 oracle);
-    * None for anything else (including any CRC mismatch — corrupt
-    * payloads quarantine cleanly). A tRNS chunk (palette/keyed
-    * transparency) is OUT of the supported surface and quarantines rather
-    * than silently decoding opaque. */
+    * indexed, with or without a tRNS palette-alpha prefix — x144) or 6
+    * (RGBA); all transparency composites over white with the integer-
+    * exact `c' = (a·c + (255−a)·255) div 255` mirrored in the x100/x144
+    * oracles. None for anything else (including any CRC mismatch —
+    * corrupt payloads quarantine cleanly). A tRNS chunk on color types
+    * 0/2 (keyed transparency) remains OUT of the supported surface and
+    * quarantines rather than silently decoding opaque. */
   def decode(b: Array[Byte]): Option[BmpPixels.Image] = {
     if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
     var o = 8
     var w = 0; var h = 0
     var colorType = -1; var bpp = 0
     var pal: Array[Byte] = null
+    var trns: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new CRC32
@@ -97,7 +99,15 @@ object PngPixels {
           if (!seenIhdr || pal != null || idat.size() > 0) return None
           if (n % 3 != 0 || n == 0 || n > 768) return None
           pal = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + n)
-        case "tRNS" => return None // transparency beyond RGBA: unsupported, quarantine
+        case "tRNS" =>
+          // PALETTE transparency (x144): per-entry alpha for a PREFIX of
+          // the palette, entries past it opaque (spec §11.3.2). Must
+          // follow PLTE and precede IDAT; a second tRNS, an over-long
+          // one, or tRNS for any other color type (keyed transparency —
+          // still out of scope) quarantines rather than decoding opaque.
+          if (colorType != 3 || pal == null || trns != null || idat.size() > 0) return None
+          if (n == 0 || n > pal.length / 3) return None
+          trns = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + n)
         case "IDAT" => if (!seenIhdr) return None else idat.write(b, o + 8, n)
         case "IEND" => seenIend = true
         case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable by design
@@ -165,8 +175,13 @@ object PngPixels {
         var i = 0
         while (i < px.length) { if ((px(i) & 0xff) >= nPal) return None; i += 1 }
         Some(BmpPixels.Image(w, h, (x, y0) => {
-          val j = (px(y0 * stride + x) & 0xff) * 3
-          ((pal(j) & 0xff, pal(j + 1) & 0xff, pal(j + 2) & 0xff))
+          val idx = px(y0 * stride + x) & 0xff
+          val j = idx * 3
+          // tRNS alpha (255 past the prefix) through the SAME white
+          // composite as color type 6 — mirrored in the x144 oracle
+          val a = if (trns != null && idx < trns.length) trns(idx) & 0xff else 255
+          def over(c: Int) = (a * c + (255 - a) * 255) / 255
+          ((over(pal(j) & 0xff), over(pal(j + 1) & 0xff), over(pal(j + 2) & 0xff)))
         }))
       case _ => // 6: RGBA over white, integer floor composite
         Some(BmpPixels.Image(w, h, (x, y0) => {
@@ -204,18 +219,22 @@ object PngPixels {
       (x, y, cur) => { val (r, g, b) = rgbAt(x, y); cur(x * 3) = r; cur(x * 3 + 1) = g; cur(x * 3 + 2) = b })
 
   /** Spec-valid 8-bit PLTE-indexed PNG (color type 3): `pal` is 1..256
-    * rgb triples, pixel (x, y) carries index `idxAt(x, y)`. */
+    * rgb triples, pixel (x, y) carries index `idxAt(x, y)`; a non-empty
+    * `trnsAlpha` emits a tRNS chunk giving the first entries' alpha
+    * (x144). */
   def synthesizePalette(
       w: Int,
       h: Int,
       pal: Seq[(Int, Int, Int)],
       idxAt: (Int, Int) => Int,
-      filterAt: Int => Int = _ % 5
+      filterAt: Int => Int = _ % 5,
+      trnsAlpha: Seq[Int] = Seq.empty
   ): Array[Byte] = {
-    require(pal.nonEmpty && pal.size <= 256)
+    require(pal.nonEmpty && pal.size <= 256 && trnsAlpha.size <= pal.size)
     val plte = pal.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    val extra = if (trnsAlpha.isEmpty) Array.empty[Byte] else chunk("tRNS", trnsAlpha.map(_.toByte).toArray)
     assemble(w, h, bpp = 1, colorType = 3, plte = Some(plte), filterAt,
-      (x, y, cur) => cur(x) = idxAt(x, y))
+      (x, y, cur) => cur(x) = idxAt(x, y), afterPlte = extra)
   }
 
   /** Spec-valid 8-bit RGBA PNG (color type 6). */
@@ -241,7 +260,8 @@ object PngPixels {
       colorType: Int,
       plte: Option[Array[Byte]],
       filterAt: Int => Int,
-      fill: (Int, Int, Array[Int]) => Unit
+      fill: (Int, Int, Array[Int]) => Unit,
+      afterPlte: Array[Byte] = Array.empty
   ): Array[Byte] = {
     val stride = bpp * w
     val raw = new Array[Byte](h * (1 + stride))
@@ -277,7 +297,7 @@ object PngPixels {
     val idats = compressed.grouped(800).map(g => chunk("IDAT", g)).reduce(_ ++ _)
     Signature ++ chunk("IHDR", ihdr) ++
       plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
-      idats ++ chunk("IEND", Array.empty[Byte])
+      afterPlte ++ idats ++ chunk("IEND", Array.empty[Byte])
   }
 }
 
@@ -370,6 +390,56 @@ object PngExtFixture {
         .coalesce(1).write.mode("overwrite").parquet(payloadPath)
       r.map { case (id, _, w, h, ct) => (id, w, h, ct) }
         .toDF("img_id", "width", "height", "ctype")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
+/** Fixture for the x144 gate: 150 PLTE-indexed PNGs whose tRNS chunk
+  * covers a varying PREFIX of the palette — entries inside it carry a
+  * closed-form alpha, entries past it are opaque by spec §11.3.2, so the
+  * boundary rule itself is gate-load-bearing. Same formula discipline as
+  * [[PngExtFixture]] (whose artifact stays byte-untouched). */
+object PngTrnsFixture {
+  val dir = "/root/repo/spark-warehouse/graft_png_trns"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def nPal(id: Long): Int = 16 + ((id * 13) % 241).toInt // 16..256
+  def nTrns(id: Long): Int = 1 + ((id * 7) % nPal(id)).toInt // 1..nPal
+  def palAt(id: Long)(j: Int): (Int, Int, Int) = (
+    ((id * 11 + j * 3) % 256).toInt,
+    ((id * 7 + j * 5) % 256).toInt,
+    ((id * 13 + j * 11) % 256).toInt
+  )
+  def idxAt(id: Long)(x: Int, y: Int): Int = ((id * 5 + x * 7 + y * 3) % nPal(id)).toInt
+  def alphaAt(id: Long)(j: Int): Int = ((id * 3 + j * 7 + 13) % 256).toInt
+
+  def rows: Seq[(Long, Array[Byte], Int, Int)] = (0 until 150).map { i =>
+    val id = i.toLong
+    val w = 5 + (i * 7) % 40
+    val h = 4 + (i * 11) % 32
+    val p = PngPixels.synthesizePalette(
+      w,
+      h,
+      (0 until nPal(id)).map(palAt(id)),
+      idxAt(id),
+      y => (y + i) % 5,
+      trnsAlpha = (0 until nTrns(id)).map(alphaAt(id))
+    )
+    (id, p, w, h)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h) => (id, w, h) }
+        .toDF("img_id", "width", "height")
         .coalesce(1).write.mode("overwrite").parquet(twinPath)
     }
   }

@@ -143,8 +143,43 @@ class PngPixelsSpec extends AnyFunSuite {
           ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte)
     }
     val insertAt = 8 + 25 + 12 + pal.size * 3 // right after PLTE
+    // a VALID palette tRNS now decodes (x144) — entry 0's alpha 0x7f
+    // composites over white, other entries stay opaque
     val withTrns = ok.take(insertAt) ++ chunk("tRNS", Array[Byte](0x7f)) ++ ok.drop(insertAt)
-    assert(PngPixels.decode(withTrns) === None)
+    val timg = PngPixels.decode(withTrns).get
+    def over(a: Int, c: Int) = (a * c + (255 - a) * 255) / 255
+    for (x <- 0 until 6; y <- 0 until 5) {
+      val j = (x + y) % pal.size
+      val a = if (j == 0) 0x7f else 255
+      assert(timg.rgb(x, y) === ((over(a, j), over(a, j), over(a, j))), s"tRNS ($x,$y)")
+    }
+    // still-quarantined tRNS shapes: longer than the palette, and keyed
+    // transparency on truecolor (color types 0/2 stay out of scope)
+    val tooLong = ok.take(insertAt) ++ chunk("tRNS", Array.fill[Byte](pal.size + 1)(0x10)) ++ ok.drop(insertAt)
+    assert(PngPixels.decode(tooLong) === None)
+    val rgbBytes = PngPixels.synthesize(6, 5, (x, y) => (x, y, x + y))
+    val rgbTrns = rgbBytes.take(8 + 25) ++ chunk("tRNS", Array[Byte](0, 1, 0, 2, 0, 3)) ++ rgbBytes.drop(8 + 25)
+    assert(PngPixels.decode(rgbTrns) === None)
+  }
+
+  test("tRNS: prefix alpha composites over white; ImageIO channels agree; opaque past the prefix") {
+    val pal = (0 until 21).map(j => ((j * 13 + 2) % 256, (j * 7 + 5) % 256, (j * 3 + 11) % 256))
+    val alpha = Seq(0, 64, 128, 200, 255) // prefix of 5; entries 5..20 opaque
+    val idx = (x: Int, y: Int) => (x * 5 + y * 3) % pal.size
+    val bytes = PngPixels.synthesizePalette(9, 7, pal, idx, trnsAlpha = alpha)
+    val img = PngPixels.decode(bytes).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def over(a: Int, c: Int) = (a * c + (255 - a) * 255) / 255
+    for (x <- 0 until 9; y <- 0 until 7) {
+      val j = idx(x, y)
+      val a = if (j < alpha.size) alpha(j) else 255
+      val (r, g, b) = pal(j)
+      assert(img.rgb(x, y) === ((over(a, r), over(a, g), over(a, b))), s"composite ($x,$y)")
+      // ImageIO carries the palette channels + alpha; compare raw channels
+      val argb = ref.getRGB(x, y)
+      assert((((argb >>> 24) & 0xff, (argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)) === ((a, r, g, b)),
+        s"ImageIO channels ($x,$y)")
+    }
   }
 
   test("x100 fixture: every color type decodes to its composed formula") {
