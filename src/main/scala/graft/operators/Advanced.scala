@@ -877,6 +877,62 @@ object Advanced {
         check("corrupted_supplier", corrupted, "l_suppkey", table(s, d, "supplier").select(col("s_suppkey").as("l_suppkey")))
       ).reduce(_.unionByName(_)).orderBy("relationship")
     }),
+    // TPC-H Q15 shape (q81) — "top supplier": the VIEW + scalar-max
+    // pattern (revenue view computed once, the best row(s) selected by
+    // equality against the view's own MAX — a self-referential scalar
+    // subquery, kept exact because revenue is an integer-cents sum, so
+    // max-equality has no float-tie hazard). The view aggregates one
+    // filtered quarter; the max is one broadcast row; ties all survive.
+    "q81_top_supplier" -> ((s, d) => {
+      val rev = table(s, d, "lineitem")
+        .where(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"
+        ))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("total_revenue_c"))
+        .localCheckpoint() // two plan refs: the view, its max
+      val mx = rev.agg(max("total_revenue_c").as("mx"))
+      rev
+        .crossJoin(broadcast(mx))
+        .where(col("total_revenue_c") === col("mx"))
+        .join(table(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_c"))
+        .orderBy("s_suppkey")
+    }),
+    // GDPR erasure AUDIT (x145) — the governance verb on top of the MOR
+    // machinery: for the v2 delete stripe, prove per snapshot that the
+    // erased keys are VISIBLE only where they should be — present in v1,
+    // gone from every later snapshot on both the MOR (DV-masked) and COW
+    // (rewritten) branches, and never resurrected by the upsert/rollback
+    // lineage. The change-data feed rides along: the audit trail must
+    // show exactly the stripe as D rows between v1 and v2. Each check is
+    // one semi-join count against a snapshot read — erasure verification
+    // costs reads, never rewrites.
+    "x145_erasure_audit" -> ((s, d) => {
+      graft.sources.CowEvo.ensure(s, d)
+      import s.implicits._
+      val root = graft.sources.CowEvo.dir
+      val w = graft.sources.CowTable.BucketWidth
+      val stripe = graft.sources.CowTable
+        .read(s, 1, root)
+        .where(expr(s"k % 13 = 0 AND (k div ${w}L) % 3 = 1"))
+        .select("k")
+        .localCheckpoint() // one ref per audited snapshot + the CDC check
+      val perVersion = Seq(1, 2, 3, 4, 5, 6, 7, 30, 31).map { v =>
+        graft.sources.CowTable
+          .read(s, v, root)
+          .join(stripe, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("n_visible"))
+          .select(lit(v.toLong).as("version"), col("n_visible"))
+      }
+      val cdc = graft.sources.CowTable
+        .snapshotDiff(s, 1, 2, root)
+        .where(col("change_type") === "D")
+        .join(stripe, Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_visible"))
+        .select(lit(-1L).as("version"), col("n_visible")) // -1 = the CDC audit trail row
+      perVersion.reduce(_.unionByName(_)).unionByName(cdc).orderBy("version")
+    }),
     // TPC-H Q2 shape (q79) — "minimum-cost supplier": the correlated
     // scalar MIN subquery (cost = the part's cheapest observed supply,
     // rejoined on equality so ALL tying suppliers survive, as in Q2),
@@ -1725,6 +1781,29 @@ object Advanced {
         rel("supplier_nation", "SELECT s_nationkey FROM supplier", "s_nationkey", "SELECT n_nationkey AS s_nationkey FROM nation")
       ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     },
+    // q81: the literal Q15 view + scalar-max form.
+    "q81_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_revenue_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_c
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // x145: the audit's truth from the stripe formulas — visible only in
+    // v1 (and in the CDC trail as D rows), zero everywhere else.
+    "x145_erasure_audit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket FROM orders),
+        |stripe AS (SELECT count(*) AS n FROM base WHERE k % 13 = 0 AND bucket % 3 = 1)
+        |SELECT CAST(v AS BIGINT) AS version,
+        |  CAST(CASE WHEN v IN (-1, 1) THEN n ELSE 0 END AS BIGINT) AS n_visible
+        |FROM stripe, unnest([-1, 1, 2, 3, 4, 5, 6, 7, 30, 31]) t(v)
+        |ORDER BY version""".stripMargin,
     // q79: the correlated scalar MIN written literally — DuckDB's
     // decorrelation must agree with the grouped-twin equality rejoin.
     "q79_min_cost_supplier" ->
