@@ -490,6 +490,38 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // Adam7 + grayscale (x146) — the LAYOUT face of the PNG decoder:
+    // even ids are the x70 truecolor formula transported through the
+    // seven-pass interlaced layout (each pass an independently filtered
+    // sub-image; deinterlacing must reproduce the sequential pixels, so
+    // the oracle's pixel math is IDENTICAL to x70's), odd ids are 8-bit
+    // grayscale (one closed-form channel replicated). Same 8×8
+    // resample/checksum contract.
+    "x146_png_adam7_gray" -> ((s, _) => {
+      graft.sources.PngAdam7Fixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.PngAdam7Fixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
+              case None => Row(r.getAs[Long]("img_id"), null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     "x71_gif_decode" -> ((s, _) => {
       graft.sources.GifFixture.ensure(s)
       val schema = StructType(
@@ -931,6 +963,32 @@ object Multimodal {
         |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
         |FROM val JOIN tot USING (img_id)
         |GROUP BY val.img_id, width, height ORDER BY img_id""".stripMargin,
+    // x146: interlacing is transport — even ids reuse x70's EXACT pixel
+    // formula, odd ids the grayscale formula on all three channels. The
+    // oracle knows nothing about passes; only a correct deinterlace
+    // (or a correct grayscale expand) can match it.
+    "x146_png_adam7_gray" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_png_adam7/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |val AS (
+        |  SELECT img_id, width, height, wgt,
+        |    CASE WHEN img_id % 2 = 0 THEN (img_id * 5 + sx * 7 + sy * 3) % 256
+        |         ELSE (img_id * 7 + sx * 5 + sy * 11) % 256 END AS r,
+        |    CASE WHEN img_id % 2 = 0 THEN (img_id * 9 + sx * 2 + sy * 5) % 256
+        |         ELSE (img_id * 7 + sx * 5 + sy * 11) % 256 END AS gc,
+        |    CASE WHEN img_id % 2 = 0 THEN (img_id * 3 + sx * 4 + sy * 7) % 256
+        |         ELSE (img_id * 7 + sx * 5 + sy * 11) % 256 END AS bc
+        |  FROM px)
+        |SELECT img_id, width, height,
+        |  CAST(sum(wgt * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum
+        |FROM val GROUP BY img_id, width, height ORDER BY img_id""".stripMargin,
     // x144: alpha∘palette∘index composed in integer SQL — pj < nTrns
     // selects the formula alpha, else opaque; the same div-255 white
     // composite as x100's RGBA face.

@@ -15,15 +15,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * it never parses a byte of PNG, so a hash match proves signature →
   * chunk walk → inflate → unfilter → resample end-to-end.
   *
-  * Scope: bit depth 8, non-interlaced, color types 2 (RGB), 3 (PLTE
-  * indexed — the dominant icon/small-image web shape) and 6 (RGBA,
-  * composited over white with an integer-exact formula the x100 oracle
-  * mirrors). Grayscale, 16-bit, Adam7 and tRNS transparency return None:
-  * quarantine, never a thrown task (tRNS quarantines deliberately — the
-  * alternative is silently decoding transparent palettes as opaque). All
-  * offsets are bounds-checked against the payload (untrusted
-  * executor-side bytes — the same discipline as
-  * [[ImageMeta]]/[[BmpPixels]]).
+  * Scope: bit depth 8; color types 0 (grayscale — x146), 2 (RGB), 3
+  * (PLTE indexed — the dominant icon/small-image web shape, with or
+  * without a tRNS alpha prefix — x144) and 6 (RGBA, composited over
+  * white with an integer-exact formula the x100 oracle mirrors);
+  * sequential AND Adam7-interlaced scanline layouts (x146 — the seven
+  * passes are independently filtered sub-images deinterlaced by
+  * scatter; interlacing is TRANSPORT, so the pixel oracles are
+  * unchanged). 16-bit and keyed (non-palette) transparency return None:
+  * quarantine, never a thrown task. All offsets are bounds-checked
+  * against the payload (untrusted executor-side bytes — the same
+  * discipline as [[ImageMeta]]/[[BmpPixels]]).
   *
   * Conformance is pinned two independent ways (PngPixelsSpec): the JDK's
   * own ImageIO PNG reader decodes [[synthesize]]'s output to the same
@@ -57,7 +59,7 @@ object PngPixels {
     if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
     var o = 8
     var w = 0; var h = 0
-    var colorType = -1; var bpp = 0
+    var colorType = -1; var bpp = 0; var interlaced = false
     var pal: Array[Byte] = null
     var trns: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
@@ -80,18 +82,21 @@ object PngPixels {
           val wL = u32be(b, o + 8); val hL = u32be(b, o + 12)
           val bitDepth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
           val compression = b(o + 18) & 0xff; val filterMethod = b(o + 19) & 0xff
-          val interlace = b(o + 20) & 0xff
-          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0)
+          val il = b(o + 20) & 0xff
+          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || il > 1)
             return None
+          interlaced = il == 1
           bpp = colorType match {
+            case 0 => 1 // grayscale (x146)
             case 2 => 3
             case 3 => 1
             case 6 => 4
-            case _ => return None // gray(4) / gray+alpha(0) stay out of scope
+            case _ => return None // gray+alpha(4) stays out of scope
           }
-          // cap total raw size so a crafted header can't allocate unboundedly:
-          // h * (1 + bpp·w) must fit an Int (also rejects w/h = 0 or > 2^24)
-          if (wL <= 0 || hL <= 0 || wL > (1 << 24) || hL > (1 << 24) || hL * (1 + bpp * wL) > Int.MaxValue)
+          // cap total raw size so a crafted header can't allocate
+          // unboundedly: the interlaced layout adds at most 8 filter
+          // bytes per image row beyond h·(1 + bpp·w), hence the 9
+          if (wL <= 0 || hL <= 0 || wL > (1 << 24) || hL > (1 << 24) || hL * (9 + bpp * wL) > Int.MaxValue)
             return None
           w = wL.toInt; h = hL.toInt
         case "PLTE" =>
@@ -117,7 +122,15 @@ object PngPixels {
     if (!seenIhdr) return None
     if (colorType == 3 && pal == null) return None // indexed without a palette
     val stride = bpp * w
-    val rawLen = h * (1 + stride)
+    // sequential = the single pass (0,0,1,1); Adam7 = the spec §8.2 seven
+    // passes, each an independently filtered sub-image
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0, if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val rawLen = dims.map { case (wp, hp) => if (wp > 0 && hp > 0) hp * (1 + bpp * wp) else 0 }.sum
     val raw = new Array[Byte](rawLen)
     val inf = new Inflater()
     try {
@@ -135,34 +148,59 @@ object PngPixels {
       // and nothing more (a trailing byte means the header lied)
       if (got != rawLen || inf.inflate(new Array[Byte](1)) != 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None } finally inf.end()
-    // unfilter in place into a flat pixel buffer: recon(x) per spec §6,
-    // with left/up/up-left = 0 beyond the image edge
+    // unfilter per pass into a pass-local buffer (recon(x) per spec §6,
+    // neighbors = 0 beyond the PASS edge — each pass filters as its own
+    // sub-image), then scatter into the image grid at (x0 + i·dx,
+    // y0 + j·dy). The sequential case is the identity pass.
     val px = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (1 + stride)) & 0xff
-      if (f > 4) return None
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val filt = raw(rowIn + x) & 0xff
-        val a = if (x >= bpp) px(rowOut + x - bpp) & 0xff else 0
-        val up = if (y > 0) px(rowOut - stride + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) px(rowOut - stride + x - bpp) & 0xff else 0
-        val recon = f match {
-          case 0 => filt
-          case 1 => filt + a
-          case 2 => filt + up
-          case 3 => filt + ((a + up) >> 1)
-          case 4 => filt + paeth(a, up, c)
+    var off = 0
+    for ((((x0, y0, dx, dy), (wp, hp))) <- passes.zip(dims) if wp > 0 && hp > 0) {
+      val pStride = bpp * wp
+      val sub = new Array[Byte](hp * pStride)
+      var y = 0
+      while (y < hp) {
+        val f = raw(off + y * (1 + pStride)) & 0xff
+        if (f > 4) return None
+        val rowIn = off + y * (1 + pStride) + 1
+        val rowOut = y * pStride
+        var x = 0
+        while (x < pStride) {
+          val filt = raw(rowIn + x) & 0xff
+          val a = if (x >= bpp) sub(rowOut + x - bpp) & 0xff else 0
+          val up = if (y > 0) sub(rowOut - pStride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) sub(rowOut - pStride + x - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => filt
+            case 1 => filt + a
+            case 2 => filt + up
+            case 3 => filt + ((a + up) >> 1)
+            case 4 => filt + paeth(a, up, c)
+          }
+          sub(rowOut + x) = recon.toByte
+          x += 1
         }
-        px(rowOut + x) = recon.toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      off += hp * (1 + pStride)
+      var j = 0
+      while (j < hp) {
+        var i = 0
+        while (i < wp) {
+          val dst = ((y0 + j * dy) * w + (x0 + i * dx)) * bpp
+          val src = (j * wp + i) * bpp
+          var cch = 0
+          while (cch < bpp) { px(dst + cch) = sub(src + cch); cch += 1 }
+          i += 1
+        }
+        j += 1
+      }
     }
     colorType match {
+      case 0 =>
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val g = px(y0 * stride + x) & 0xff
+          ((g, g, g))
+        }))
       case 2 =>
         Some(BmpPixels.Image(w, h, (x, y0) => {
           val p = y0 * stride + x * 3
@@ -250,6 +288,63 @@ object PngPixels {
         cur(x * 4) = r; cur(x * 4 + 1) = g; cur(x * 4 + 2) = b; cur(x * 4 + 3) = a
       })
 
+  /** Spec-valid 8-bit grayscale PNG (color type 0) — x146. */
+  def synthesizeGray(
+      w: Int,
+      h: Int,
+      grayAt: (Int, Int) => Int,
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 1, colorType = 0, plte = None, filterAt,
+      (x, y, cur) => cur(x) = grayAt(x, y))
+
+  /** Spec-valid ADAM7-INTERLACED 8-bit truecolor PNG (x146): the seven
+    * passes extracted, each filtered as its OWN sub-image (per-pass
+    * scanline neighborhoods — the forward transform [[decode]]'s
+    * deinterlacer inverts), concatenated and deflated. */
+  def synthesizeInterlaced(
+      w: Int,
+      h: Int,
+      rgbAt: (Int, Int) => (Int, Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] = {
+    val bpp = 3
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val out = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- passes) {
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val pStride = bpp * wp
+        val cur = new Array[Int](pStride)
+        val prev = new Array[Int](pStride)
+        for (j <- 0 until hp) {
+          for (i <- 0 until wp) {
+            val (r, g, b0) = rgbAt(x0 + i * dx, y0 + j * dy)
+            cur(i * 3) = r; cur(i * 3 + 1) = g; cur(i * 3 + 2) = b0
+          }
+          val f = filterAt(j) % 5
+          out.write(f)
+          for (x <- 0 until pStride) {
+            val a = if (x >= bpp) cur(x - bpp) else 0
+            val up = if (j > 0) prev(x) else 0
+            val c = if (x >= bpp && j > 0) prev(x - bpp) else 0
+            val v = f match {
+              case 0 => cur(x)
+              case 1 => cur(x) - a
+              case 2 => cur(x) - up
+              case 3 => cur(x) - ((a + up) >> 1)
+              case 4 => cur(x) - paeth(a, up, c)
+            }
+            out.write(v & 0xff)
+          }
+          System.arraycopy(cur, 0, prev, 0, pStride)
+        }
+      }
+    }
+    pack(w, h, colorType = 2, interlace = 1, plte = None, afterPlte = Array.empty, raw = out.toByteArray)
+  }
+
   /** the shared forward path: fill → filter (the transform [[decode]]
     * inverts) → deflate → chunk assembly; byte-identical to the original
     * truecolor writer for color type 2. */
@@ -286,6 +381,20 @@ object PngPixels {
       }
       System.arraycopy(cur, 0, prev, 0, stride)
     }
+    pack(w, h, colorType, interlace = 0, plte, afterPlte, raw)
+  }
+
+  /** deflate + chunk assembly shared by the sequential and interlaced
+    * writers */
+  private def pack(
+      w: Int,
+      h: Int,
+      colorType: Int,
+      interlace: Int,
+      plte: Option[Array[Byte]],
+      afterPlte: Array[Byte],
+      raw: Array[Byte]
+  ): Array[Byte] = {
     val def_ = new Deflater()
     def_.setInput(raw); def_.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -293,7 +402,7 @@ object PngPixels {
     while (!def_.finished()) outBytes.write(buf, 0, def_.deflate(buf))
     def_.end()
     val compressed = outBytes.toByteArray
-    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte)
     val idats = compressed.grouped(800).map(g => chunk("IDAT", g)).reduce(_ ++ _)
     Signature ++ chunk("IHDR", ihdr) ++
       plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
@@ -427,6 +536,45 @@ object PngTrnsFixture {
       y => (y + i) % 5,
       trnsAlpha = (0 until nTrns(id)).map(alphaAt(id))
     )
+    (id, p, w, h)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h) => (id, w, h) }
+        .toDF("img_id", "width", "height")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
+
+/** Fixture for the x146 gate: 150 PNGs alternating ADAM7-INTERLACED
+  * truecolor (even ids — the x70 pixel formula transported through the
+  * seven-pass layout, so the oracle's pixel math is IDENTICAL to x70's)
+  * and 8-bit GRAYSCALE (odd ids — one closed-form channel replicated).
+  * Interlacing is transport: a hash match proves the deinterlacer's
+  * per-pass unfilter + scatter reproduces the sequential pixels. */
+object PngAdam7Fixture {
+  val dir = "/root/repo/spark-warehouse/graft_png_adam7"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def grayAt(id: Long)(x: Int, y: Int): Int = ((id * 7 + x * 5 + y * 11) % 256).toInt
+
+  def rows: Seq[(Long, Array[Byte], Int, Int)] = (0 until 150).map { i =>
+    val id = i.toLong
+    val w = 5 + (i * 7) % 40
+    val h = 4 + (i * 11) % 32
+    val p =
+      if (i % 2 == 0) PngPixels.synthesizeInterlaced(w, h, PngFixture.rgbAt(id), y => (y + i) % 5)
+      else PngPixels.synthesizeGray(w, h, grayAt(id), y => (y + i) % 5)
     (id, p, w, h)
   }
 

@@ -212,4 +212,35 @@ class PngPixelsSpec extends AnyFunSuite {
       assert(BmpPixels.checksum(tile) === BmpPixels.checksum(expected))
     }
   }
+
+  test("Adam7: interlaced decode equals the sequential pixels; ImageIO agrees (x146)") {
+    // sizes straddling the 8x8 pass grid: tiny (some passes empty), odd, larger
+    for ((w, h) <- Seq((1, 1), (3, 2), (7, 5), (8, 8), (9, 7), (20, 13))) {
+      val formula = (x: Int, y: Int) => ((x * 31 + y * 7) % 256, (y * 17 + x * 3) % 256, (x * 5 + y * 13) % 256)
+      val bytes = PngPixels.synthesizeInterlaced(w, h, formula)
+      val img = PngPixels.decode(bytes).get
+      assert(img.width === w && img.height === h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (x <- 0 until w; y <- 0 until h) {
+        assert(img.rgb(x, y) === formula(x, y), s"($w x $h) pixel ($x,$y)")
+        val argb = ref.getRGB(x, y)
+        assert(img.rgb(x, y) === (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)), s"ImageIO ($x,$y)")
+      }
+    }
+  }
+
+  test("grayscale: decode replicates the channel; ImageIO agrees (x146)") {
+    val gray = (x: Int, y: Int) => (x * 29 + y * 11) % 256
+    val bytes = PngPixels.synthesizeGray(10, 6, gray)
+    val img = PngPixels.decode(bytes).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (x <- 0 until 10; y <- 0 until 6) {
+      val g = gray(x, y)
+      assert(img.rgb(x, y) === ((g, g, g)), s"gray ($x,$y)")
+      // compare RAW raster samples: getRGB would run TYPE_BYTE_GRAY
+      // through Java's linear-gray → sRGB conversion (11 becomes 59),
+      // while the PNG sample itself IS the gray value per spec
+      assert(ref.getRaster.getSample(x, y, 0) === g, s"ImageIO raster ($x,$y)")
+    }
+  }
 }
