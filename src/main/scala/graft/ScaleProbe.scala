@@ -242,7 +242,13 @@ object ScaleProbe {
       // r7 session 4b: SCD2 maintenance over 16x users (1.6M events, 3
       // chronological batches); sketch rollup over 16x lineitem (bounded
       // 256-long buffers, merge arithmetic sketch-sized)
-      "x135_scd2_merge", "x136_sketch_rollup"
+      "x135_scd2_merge", "x136_sketch_rollup",
+      // r7 session 4c: cohort/rolling-distinct/overlap run over 16x users
+      // (1.6M events) — censuses + bounded explodes; x137 novelty over the
+      // 16x clone corpus (distinct-gram sets are clone-invariant); x140's
+      // d² stencil ticks at base embeddings scale (corpus-independent)
+      "x141_cohort_retention", "x142_interval_overlap_join", "x143_rolling_distinct",
+      "x137_ngram_novelty"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
