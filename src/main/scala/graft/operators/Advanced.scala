@@ -877,6 +877,257 @@ object Advanced {
         check("corrupted_supplier", corrupted, "l_suppkey", table(s, d, "supplier").select(col("s_suppkey").as("l_suppkey")))
       ).reduce(_.unionByName(_)).orderBy("relationship")
     }),
+    // TPC-H Q3 shape (q82) — "shipping priority": the classic segment ⋈
+    // pending-order ⋈ unshipped-line join with a revenue top-10; the dim
+    // filter broadcasts, the fact joins shuffle on orderkey, the LIMIT is
+    // TakeOrderedAndProject on a total order.
+    "q82_shipping_priority" -> ((s, d) => {
+      val cust = broadcast(
+        table(s, d, "customer").where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      )
+      table(s, d, "orders")
+        .where(expr("o_orderdate < TIMESTAMP_NTZ '1998-07-01 00:00:00'"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(
+          table(s, d, "lineitem").where(expr("l_shipdate > TIMESTAMP_NTZ '1998-07-01 00:00:00'")),
+          col("o_orderkey") === col("l_orderkey")
+        )
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c"))
+        .select(
+          col("l_orderkey"),
+          col("revenue_c"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("o_orderpriority")
+        )
+        .orderBy(col("revenue_c").desc, col("o_orderdate_us"), col("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q4 shape (q83) — order-priority checking: EXISTS a late line
+    // (shipped > 60 days after the order — the fixture's q75 lateness
+    // convention; it has no commit/receipt dates), counted per priority
+    // over one quarter. The EXISTS is a semi join on orderkey.
+    "q83_order_priority" -> ((s, d) => {
+      val late = table(s, d, "lineitem")
+        .join(
+          table(s, d, "orders").select(col("o_orderkey").as("lk"), col("o_orderdate").as("od")),
+          col("l_orderkey") === col("lk")
+        )
+        .where(col("l_shipdate") > col("od") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"))
+      table(s, d, "orders")
+        .where(expr(
+          "o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'"
+        ))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q6 shape (q84) — forecast revenue: the pure predicate
+    // aggregate (year + discount band + quantity cap), revenue as the
+    // EXACT integer cents·disc_e2 product (no double ever crosses).
+    "q84_forecast_revenue" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .where(expr(
+          """l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+            |AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+            |AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+            |AND l_quantity < 24""".stripMargin.replace("\n", " ")
+        ))
+        .agg(
+          sum(expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)"
+          )).as("revenue_e4"),
+          count(lit(1)).as("n_lines")
+        )
+    }),
+    // TPC-H Q7 shape (q85) — volume shipping between two nations, BOTH
+    // directions (supplier in one, customer in the other), grouped by the
+    // (supp_nation, cust_nation, year) triple.
+    "q85_volume_shipping" -> ((s, d) => {
+      val n1 = "NATION_1"
+      val n2 = "NATION_2"
+      val sup = table(s, d, "supplier")
+        .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin(n1, n2))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = table(s, d, "customer")
+        .join(table(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin(n1, n2))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      table(s, d, "lineitem")
+        .where(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        ))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), expr("CAST(year(l_shipdate) AS BIGINT)").as("l_year"))
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c"),
+          count(lit(1)).as("n_lines")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q9 shape (q86) — product-type profit by nation and year: the
+    // fixture has no partsupp, so unit cost adapts to the part's retail
+    // price (profit = revenue − retail·qty, all integer cents); the part
+    // color filter broadcasts and profit can go negative — a signed sum.
+    "q86_product_profit" -> ((s, d) => {
+      val parts = broadcast(
+        table(s, d, "part")
+          .where(col("p_name").contains("blue"))
+          .select(col("p_partkey"), expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("unit_cost_c"))
+      )
+      table(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(
+          table(s, d, "supplier")
+            .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name")),
+          col("l_suppkey") === col("s_suppkey")
+        )
+        .join(table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), expr("CAST(year(o_orderdate) AS BIGINT)").as("o_year"))
+        .agg(
+          sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) - unit_cost_c * CAST(l_quantity AS BIGINT)"
+          )).as("profit_c")
+        )
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H Q10 shape (q87) — returned-item reporting: one quarter's
+    // 'R' lines joined to customer + nation, top 20 by lost revenue.
+    "q87_returned_items" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(
+          table(s, d, "orders").where(expr(
+            "o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'"
+          )),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q11 shape (q88) — important stock: per-part value held by one
+    // nation's suppliers, kept where value exceeds a fraction of the
+    // GLOBAL total — the group-vs-global-scalar threshold as an integer
+    // cross-multiply (value·1000 > total), the q78 discipline.
+    "q88_important_stock" -> ((s, d) => {
+      val natSup = broadcast(
+        table(s, d, "supplier")
+          .join(table(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .where(col("n_name") === "NATION_3")
+          .select(col("s_suppkey"))
+      )
+      val v = table(s, d, "lineitem")
+        .join(natSup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("value_c"))
+        .localCheckpoint() // two plan refs: total, threshold filter
+      val tot = v.agg(sum("value_c").as("total_c"))
+      v.crossJoin(broadcast(tot))
+        .where(col("value_c") * 1000 > col("total_c"))
+        .select(col("l_partkey").as("p_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("p_partkey"))
+    }),
+    // TPC-H Q12 shape (q89) — shipmode priority classes: the two-way
+    // conditional count per group (the fixture has no shipmode, so the
+    // class is a quantity band), one year's lines.
+    "q89_shipmode_priority" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .where(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        ))
+        .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when(col("l_quantity") < 20, "LIGHT").otherwise("HEAVY").as("ship_class"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("low_line_count")
+        )
+        .orderBy("ship_class")
+    }),
+    // TPC-H Q13 shape (q90) — customer order-count distribution: a LEFT
+    // join (customers with zero qualifying orders must appear) under a
+    // negated filter, then the two-level aggregate (orders per customer →
+    // customers per order count).
+    "q90_customer_distribution" -> ((s, d) => {
+      val ord = table(s, d, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      table(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q14 shape (q91) — promotion revenue share: the fixture's
+    // p_type carries a literal PROMO class, so this is Q14 unadapted;
+    // share crosses as integer ppm (the q74 convention).
+    "q91_promo_share" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .where(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1997-10-01 00:00:00'"
+        ))
+        .join(broadcast(table(s, d, "part").select(col("p_partkey"), col("p_type"))), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .otherwise(0L)).as("promo_c"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("total_c")
+        )
+        .select(
+          col("promo_c"),
+          col("total_c"),
+          expr("(promo_c * 1000000) div total_c").as("promo_share_ppm")
+        )
+    }),
+    // TPC-H Q18 shape (q92) — large-volume customers: the HAVING-IN
+    // subquery (orderkeys whose line quantities sum past a threshold)
+    // rejoined to orders + customer, ordered by value.
+    "q92_large_volume" -> ((s, d) => {
+      val big = table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      table(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("totalprice_c"),
+          col("sum_qty")
+        )
+        .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // TPC-H Q19 shape (q93) — disjunctive bracket predicates: three OR
+    // branches over (brand, quantity range, size range) feeding one
+    // revenue aggregate; the part dim broadcasts and the predicate stays
+    // inside whole-stage codegen.
+    "q93_disjunctive_revenue" -> ((s, d) => {
+      table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .where(expr(
+          """(p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+            | OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+            | OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+        ))
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c"),
+          count(lit(1)).as("n_lines")
+        )
+    }),
     // TPC-H Q15 shape (q81) — "top supplier": the VIEW + scalar-max
     // pattern (revenue view computed once, the best row(s) selected by
     // equality against the view's own MAX — a self-referential scalar
@@ -1781,6 +2032,129 @@ object Advanced {
         rel("supplier_nation", "SELECT s_nationkey FROM supplier", "s_nationkey", "SELECT n_nationkey AS s_nationkey FROM nation")
       ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     },
+    // q82–q93: the remaining TPC-H shapes, each as its literal form.
+    "q82_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  epoch_us(o_orderdate::TIMESTAMP) AS o_orderdate_us, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1998-07-01' AND l_shipdate > '1998-07-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_c DESC, o_orderdate_us, l_orderkey LIMIT 10""".stripMargin,
+    "q83_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q85_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q86_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%blue%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q87_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+    "q88_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1)
+        |SELECT p_partkey, value_c FROM v
+        |WHERE value_c * 1000 > (SELECT sum(value_c) FROM v)
+        |ORDER BY value_c DESC, p_partkey""".stripMargin,
+    "q89_shipmode_priority" ->
+      """SELECT CASE WHEN l_quantity < 20 THEN 'LIGHT' ELSE 'HEAVY' END AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q90_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q91_promo_share" ->
+      """WITH t AS (
+        |  SELECT p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT) AS promo_c,
+        |  CAST(sum(rc) AS BIGINT) AS total_c,
+        |  (CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(sum(rc) AS BIGINT) AS promo_share_ppm
+        |FROM t""".stripMargin,
+    "q92_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300) b
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_c DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q93_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
     // q81: the literal Q15 view + scalar-max form.
     "q81_top_supplier" ->
       """WITH rev AS (
