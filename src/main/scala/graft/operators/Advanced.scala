@@ -908,18 +908,20 @@ object Advanced {
     // convention; it has no commit/receipt dates), counted per priority
     // over one quarter. The EXISTS is a semi join on orderkey.
     "q83_order_priority" -> ((s, d) => {
-      val late = table(s, d, "lineitem")
-        .join(
-          table(s, d, "orders").select(col("o_orderkey").as("lk"), col("o_orderdate").as("od")),
-          col("l_orderkey") === col("lk")
-        )
-        .where(col("l_shipdate") > col("od") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey"))
+      // ONE compound-condition semi join: the quarter filter prunes the
+      // probe side first and the lateness predicate rides the join as a
+      // filter — a separate late-lines prejoin would shuffle the full
+      // fact against the full fact (review-found)
       table(s, d, "orders")
         .where(expr(
           "o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'"
         ))
-        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(
+          table(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi"
+        )
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
@@ -1121,7 +1123,7 @@ object Advanced {
         .where(expr(
           """(p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
             | OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
-            | OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+            | OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
         ))
         .agg(
           sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("revenue_c"),
@@ -1163,10 +1165,9 @@ object Advanced {
       graft.sources.CowEvo.ensure(s, d)
       import s.implicits._
       val root = graft.sources.CowEvo.dir
-      val w = graft.sources.CowTable.BucketWidth
       val stripe = graft.sources.CowTable
         .read(s, 1, root)
-        .where(expr(s"k % 13 = 0 AND (k div ${w}L) % 3 = 1"))
+        .where(expr(graft.sources.CowEvo.DelFilter)) // the single source of truth for the erased stripe
         .select("k")
         .localCheckpoint() // one ref per audited snapshot + the CDC check
       val perVersion = Seq(1, 2, 3, 4, 5, 6, 7, 30, 31).map { v =>
@@ -2154,7 +2155,7 @@ object Advanced {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
-        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+        |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
     // q81: the literal Q15 view + scalar-max form.
     "q81_top_supplier" ->
       """WITH rev AS (

@@ -132,6 +132,47 @@ object Multimodal {
   /** Oracle-checkable face of the plumbing: byte length + digest of the
     * binary payload (metadata from the stub is engine-internal → tested in
     * the unit spec instead). */
+
+  /** Shared decode → 8×8 resample → checksum (+ optional aHash bit words)
+    * scan used by the x70/x100/x144/x146 PNG gates — ONE copy of the
+    * tile-hash contract (review-found triplication). Quarantined payloads
+    * emit null metric columns. */
+  private def pngTileScan(s: SparkSession, payloadPath: String, withBits: Boolean): DataFrame = {
+    val base = Seq(
+      StructField("img_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("checksum", LongType)
+    )
+    val schema = StructType(if (withBits) base ++ Seq(StructField("hi", LongType), StructField("lo", LongType)) else base)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    s.read
+      .parquet(payloadPath)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long]("img_id")
+          graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
+            case Some(img) =>
+              val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
+              val cs = graft.sources.BmpPixels.checksum(tile)
+              if (!withBits) Row(id, img.width, img.height, cs)
+              else {
+                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
+                val total = grays.sum
+                var hi = 0L; var lo = 0L
+                grays.zipWithIndex.foreach { case (g0, k) =>
+                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
+                }
+                Row(id, img.width, img.height, cs, hi, lo)
+              }
+            case None =>
+              if (!withBits) Row(id, null, null, null) else Row(id, null, null, null, null, null)
+          }
+        }
+      }(enc)
+      .orderBy("img_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // real binary metadata extraction in the gate: PNG/JPEG/GIF/BMP headers
     // parsed from payload bytes, hash-checked against the fixture's twin
@@ -370,37 +411,7 @@ object Multimodal {
     // of PNG — so a match proves the full decode chain end-to-end.
     "x70_png_decode" -> ((s, _) => {
       graft.sources.PngFixture.ensure(s)
-      val schema = StructType(
-        Seq(
-          StructField("img_id", LongType),
-          StructField("width", IntegerType),
-          StructField("height", IntegerType),
-          StructField("checksum", LongType),
-          StructField("hi", LongType),
-          StructField("lo", LongType)
-        )
-      )
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      s.read
-        .parquet(graft.sources.PngFixture.payloadPath)
-        .mapPartitions { it =>
-          it.map { r =>
-            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
-              case Some(img) =>
-                val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
-                val cs = graft.sources.BmpPixels.checksum(tile)
-                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
-                val total = grays.sum
-                var hi = 0L; var lo = 0L
-                grays.zipWithIndex.foreach { case (g0, k) =>
-                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
-                }
-                Row(r.getAs[Long]("img_id"), img.width, img.height, cs, hi, lo)
-              case None => Row(r.getAs[Long]("img_id"), null, null, null, null, null)
-            }
-          }
-        }(enc)
-        .orderBy("img_id")
+      pngTileScan(s, graft.sources.PngFixture.payloadPath, withBits = true)
     }),
     // REAL LZW decode in the gate — the other compressed-image family:
     // GIF header/descriptor walk → variable-width LSB-first LZW code
@@ -417,37 +428,7 @@ object Multimodal {
     // the alpha composite in pure integer SQL.
     "x100_png_palette_alpha" -> ((s, _) => {
       graft.sources.PngExtFixture.ensure(s)
-      val schema = StructType(
-        Seq(
-          StructField("img_id", LongType),
-          StructField("width", IntegerType),
-          StructField("height", IntegerType),
-          StructField("checksum", LongType),
-          StructField("hi", LongType),
-          StructField("lo", LongType)
-        )
-      )
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      s.read
-        .parquet(graft.sources.PngExtFixture.payloadPath)
-        .mapPartitions { it =>
-          it.map { r =>
-            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
-              case Some(img) =>
-                val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
-                val cs = graft.sources.BmpPixels.checksum(tile)
-                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
-                val total = grays.sum
-                var hi = 0L; var lo = 0L
-                grays.zipWithIndex.foreach { case (g0, k) =>
-                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
-                }
-                Row(r.getAs[Long]("img_id"), img.width, img.height, cs, hi, lo)
-              case None => Row(r.getAs[Long]("img_id"), null, null, null, null, null)
-            }
-          }
-        }(enc)
-        .orderBy("img_id")
+      pngTileScan(s, graft.sources.PngExtFixture.payloadPath, withBits = true)
     }),
     // tRNS palette transparency (x144) — the quarantine x100 deliberately
     // left closed, now decoded: per-entry alpha for a PREFIX of the
@@ -458,37 +439,7 @@ object Multimodal {
     // composes alpha∘palette∘index formulas in pure integer SQL.
     "x144_png_trns" -> ((s, _) => {
       graft.sources.PngTrnsFixture.ensure(s)
-      val schema = StructType(
-        Seq(
-          StructField("img_id", LongType),
-          StructField("width", IntegerType),
-          StructField("height", IntegerType),
-          StructField("checksum", LongType),
-          StructField("hi", LongType),
-          StructField("lo", LongType)
-        )
-      )
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      s.read
-        .parquet(graft.sources.PngTrnsFixture.payloadPath)
-        .mapPartitions { it =>
-          it.map { r =>
-            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
-              case Some(img) =>
-                val tile = graft.sources.BmpPixels.resizeNearest(img, 8, 8)
-                val cs = graft.sources.BmpPixels.checksum(tile)
-                val grays = tile.map { case (pr, pg, pb) => (pr + pg + pb).toLong }
-                val total = grays.sum
-                var hi = 0L; var lo = 0L
-                grays.zipWithIndex.foreach { case (g0, k) =>
-                  if (g0 * 64L > total) { if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32) }
-                }
-                Row(r.getAs[Long]("img_id"), img.width, img.height, cs, hi, lo)
-              case None => Row(r.getAs[Long]("img_id"), null, null, null, null, null)
-            }
-          }
-        }(enc)
-        .orderBy("img_id")
+      pngTileScan(s, graft.sources.PngTrnsFixture.payloadPath, withBits = true)
     }),
     // Adam7 + grayscale (x146) — the LAYOUT face of the PNG decoder:
     // even ids are the x70 truecolor formula transported through the
@@ -499,28 +450,7 @@ object Multimodal {
     // resample/checksum contract.
     "x146_png_adam7_gray" -> ((s, _) => {
       graft.sources.PngAdam7Fixture.ensure(s)
-      val schema = StructType(
-        Seq(
-          StructField("img_id", LongType),
-          StructField("width", IntegerType),
-          StructField("height", IntegerType),
-          StructField("checksum", LongType)
-        )
-      )
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      s.read
-        .parquet(graft.sources.PngAdam7Fixture.payloadPath)
-        .mapPartitions { it =>
-          it.map { r =>
-            graft.sources.PngPixels.decode(r.getAs[Array[Byte]]("payload")) match {
-              case Some(img) =>
-                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
-                Row(r.getAs[Long]("img_id"), img.width, img.height, cs)
-              case None => Row(r.getAs[Long]("img_id"), null, null, null)
-            }
-          }
-        }(enc)
-        .orderBy("img_id")
+      pngTileScan(s, graft.sources.PngAdam7Fixture.payloadPath, withBits = false)
     }),
     "x71_gif_decode" -> ((s, _) => {
       graft.sources.GifFixture.ensure(s)

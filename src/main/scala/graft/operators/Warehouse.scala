@@ -163,7 +163,9 @@ object Warehouse {
         .distinct()
         .localCheckpoint() // two plan refs: day census, target explode
       val bounds = days.agg(min("day").as("d0"), max("day").as("d1"))
-      val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      // days is already distinct on (user_id, day): a plain count is the
+      // same number without the two-phase distinct agg (review-found)
+      val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
       val rolling = days
         .withColumn("target", explode(expr("sequence(day, day + 6)")))
         .select(col("user_id"), col("target").as("day"))

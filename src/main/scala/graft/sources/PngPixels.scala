@@ -514,14 +514,13 @@ object PngTrnsFixture {
   val payloadPath = s"$dir/payloads"
   val twinPath = s"$dir/twin"
 
-  def nPal(id: Long): Int = 16 + ((id * 13) % 241).toInt // 16..256
+  // palette geometry SHARED with PngExtFixture by reference, so the
+  // "same formula discipline" is compiler-enforced (review-found); only
+  // the alpha prefix is x144's own
+  def nPal(id: Long): Int = PngExtFixture.nPal(id)
   def nTrns(id: Long): Int = 1 + ((id * 7) % nPal(id)).toInt // 1..nPal
-  def palAt(id: Long)(j: Int): (Int, Int, Int) = (
-    ((id * 11 + j * 3) % 256).toInt,
-    ((id * 7 + j * 5) % 256).toInt,
-    ((id * 13 + j * 11) % 256).toInt
-  )
-  def idxAt(id: Long)(x: Int, y: Int): Int = ((id * 5 + x * 7 + y * 3) % nPal(id)).toInt
+  def palAt(id: Long)(j: Int): (Int, Int, Int) = PngExtFixture.palAt(id)(j)
+  def idxAt(id: Long)(x: Int, y: Int): Int = PngExtFixture.idxAt(id)(x, y)
   def alphaAt(id: Long)(j: Int): Int = ((id * 3 + j * 7 + 13) % 256).toInt
 
   def rows: Seq[(Long, Array[Byte], Int, Int)] = (0 until 150).map { i =>
