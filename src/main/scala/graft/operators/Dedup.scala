@@ -387,6 +387,97 @@ object Dedup {
       clusters.unionByName(singles).orderBy("cluster_id")
     }),
 
+    // ---- lossless ed≤1 fuzzy resolution (deletion neighborhoods) -----------
+    // x108's blocking (4-char prefix/suffix keys) is a HEURISTIC — an edit
+    // inside both windows loses the pair. This is the lossless counterpart
+    // for edit distance ≤ 1: two strings are within one edit iff their
+    // deletion neighborhoods N(s) = {s} ∪ {s minus char i} intersect
+    // (FastSS, Bocek et al. 2007 — substitution ⇒ same-position deletions
+    // collide; insert/delete ⇒ one side's variant IS the other string), so
+    // an equi-join on the variant key finds EVERY candidate and a
+    // levenshtein verify removes neighborhood collisions (e.g. "ab"/"ba"
+    // share {a,b} at distance 2). The workload is dictionary resolution of
+    // a dirty mention stream: 30% of corpus token occurrences get a
+    // deterministic md5-driven one-char substitution, plus three inline
+    // adversarial mentions (doc −1) covering pure-deletion ("tble"),
+    // pure-insertion ("scann") and unmatchable ("zzzzz") shapes so every
+    // edit type and the unmatched path are load-bearing in the gate.
+    // Resolution is best-match per distinct mention string: min distance,
+    // then max dictionary df, then lexicographic — a deterministic total
+    // order, so the per-doc resolved-token digest pins exact assignments.
+    // Scale shape: the corpus stream is touched by map-side work only
+    // (posexplode + typo expression + final per-doc agg); neighborhood
+    // explode (×len+1) runs on the DISTINCT mention strings and the
+    // dictionary — both vocab-sized, never the corpus — and the resolved
+    // lookup table joins back under the x75 broadcast threshold. The
+    // oracle is the quadratic mention×dictionary twin, which also PROVES
+    // the neighborhood join lossless: a missed candidate flips the hash.
+    "x147_fuzzy_resolve" -> ((s, d) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+        .where(length(col("w")) >= 1)
+        .localCheckpoint() // feeds dictionary + mention stream
+      val voc = base.groupBy("w").agg(count(lit(1)).as("df"))
+      val keyed = base.withColumn("key", concat_ws(":", col("doc_id"), col("pos"), col("w")))
+      val perturbed = keyed
+        .withColumn("typo", (graft.functions.Hashing.md5Bucket(col("key"), 10L) < 3).cast("long"))
+        .withColumn("h2", graft.functions.Hashing.md5Window15(col("key"), 17))
+        .withColumn("p", (pmod(col("h2"), length(col("w")).cast("long")) + 1).cast("int"))
+        .withColumn("ch", expr("chr(97 + CAST((h2 div 1000000) % 26 AS INT))"))
+        .select(
+          col("doc_id"),
+          col("typo"),
+          when(col("typo") === 1, expr("concat(substring(w, 1, p - 1), ch, substring(w, p + 1))"))
+            .otherwise(col("w"))
+            .as("m")
+        )
+      val mentions = perturbed
+        .unionByName(
+          s.range(1).select(
+            lit(-1L).as("doc_id"),
+            lit(0L).as("typo"),
+            explode(array(lit("zzzzz"), lit("tble"), lit("scann"))).as("m")
+          )
+        )
+        .localCheckpoint() // feeds distinct-mention resolution + per-doc agg
+      def delNbhd(c: String): Column = expr(
+        s"transform(sequence(0, length($c)), i -> CASE WHEN i = 0 THEN $c " +
+          s"ELSE concat(substring($c, 1, i - 1), substring($c, i + 1)) END)"
+      )
+      val dmVar = mentions.select(col("m")).distinct().select(col("m"), explode(delNbhd("m")).as("v"))
+      val vocVar = voc.select(col("w"), col("df"), explode(delNbhd("w")).as("v"))
+      val verified = dmVar
+        .join(vocVar, "v")
+        .select("m", "w", "df")
+        .distinct()
+        .withColumn("lev", levenshtein(col("m"), col("w")))
+        .where(col("lev") <= 1)
+      val best = verified
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy("m").orderBy(col("lev"), col("df").desc, col("w")))
+        )
+        .where(col("rn") === 1)
+        .select(col("m"), col("w").as("resolved"))
+        .localCheckpoint() // count gates the broadcast decision
+      val bestSide = if (best.count() <= 4000000L) broadcast(best) else best
+      mentions
+        .join(bestSide, Seq("m"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_mentions"),
+          sum("typo").as("n_perturbed"),
+          sum(when(col("resolved").isNotNull, 1L).otherwise(0L)).as("n_resolved"),
+          sum(when(col("resolved").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum(
+            when(col("resolved").isNotNull, graft.functions.Hashing.md5Bucket(col("resolved"), 1048576L))
+              .otherwise(0L)
+          ).as("resolved_digest")
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---- leakage-safe train/heldout split ----------------------------------
     // The contamination-control completion of the dedup arc (detect x02 →
     // cluster x37 → resolve x40 → SPLIT): a split drawn per-document leaks
@@ -832,6 +923,53 @@ object Dedup {
         |SELECT CAST(rec_id AS BIGINT), CAST(1 AS BIGINT), TRUE
         |FROM recs WHERE rec_id NOT IN (SELECT ra FROM m UNION ALL SELECT rb FROM m)
         |ORDER BY cluster_id""".stripMargin,
+    // x147: the quadratic mention×dictionary twin — every pair within one
+    // edit by brute force, which proves the Spark side's deletion-
+    // neighborhood candidate join lossless (a missed pair flips the hash).
+    "x147_fuzzy_resolve" ->
+      """WITH warr AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS w
+        |  FROM warr, unnest(generate_series(1, len(w))) t(i) WHERE length(w[i]) >= 1),
+        |voc AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, w,
+        |         CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' || w AS key
+        |  FROM tok),
+        |men0 AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN ('0x' || substr(md5(key), 1, 15))::BIGINT % 10 < 3 THEN 1 ELSE 0 END AS typo,
+        |    CAST(1 + (('0x' || substr(md5(key), 17, 15))::BIGINT % length(w)) AS INT) AS p,
+        |    chr(97 + CAST((('0x' || substr(md5(key), 17, 15))::BIGINT // 1000000) % 26 AS INT)) AS ch
+        |  FROM keyed),
+        |mentions AS (
+        |  SELECT doc_id, CAST(typo AS BIGINT) AS typo,
+        |         CASE WHEN typo = 1 THEN substr(w, 1, p - 1) || ch || substr(w, p + 1) ELSE w END AS m
+        |  FROM men0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'zzzzz'),
+        |                        (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'tble'),
+        |                        (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'scann')) v(doc_id, typo, m)),
+        |cand AS (
+        |  SELECT dm.m, voc.w, levenshtein(dm.m, voc.w) AS lev, voc.df
+        |  FROM (SELECT DISTINCT m FROM mentions) dm, voc
+        |  WHERE abs(length(dm.m) - length(voc.w)) <= 1 AND levenshtein(dm.m, voc.w) <= 1),
+        |best AS (
+        |  SELECT m, w AS resolved
+        |  FROM (SELECT m, w, row_number() OVER (PARTITION BY m ORDER BY lev, df DESC, w) AS rn
+        |        FROM cand)
+        |  WHERE rn = 1)
+        |SELECT doc_id,
+        |  count(*) AS n_mentions,
+        |  CAST(sum(typo) AS BIGINT) AS n_perturbed,
+        |  CAST(sum(CASE WHEN resolved IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
+        |  CAST(sum(CASE WHEN resolved IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        |  CAST(sum(CASE WHEN resolved IS NOT NULL
+        |       THEN ('0x' || substr(md5(resolved), 1, 15))::BIGINT % 1048576 ELSE 0 END) AS BIGINT)
+        |    AS resolved_digest
+        |FROM mentions LEFT JOIN best USING (m)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x40_dedup_resolve" ->
       s"""WITH RECURSIVE $shinglesSql,
          |$ccLabSql,
