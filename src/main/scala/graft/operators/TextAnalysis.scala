@@ -216,6 +216,114 @@ object TextAnalysis {
       )
   }
 
+  /** Unigram-LM tokenizer vocabulary: candidate pieces are every substring
+    * of length 1–4 of the (≤[[MaxWordChars]]) train words, weighted by
+    * positional occurrences × word frequency; the vocabulary keeps the top
+    * 24 multi-char pieces (pn desc, piece — total order) plus EVERY train
+    * character. Scores are the additive integer surrogate of a log-prob:
+    * s(piece) = 1000·len + floor(log2 pn) — longer and more frequent
+    * pieces win, exactly the pressure the published EM-trained unigram LM
+    * (Kudo 2018, SentencePiece) applies; the deterministic integer score
+    * replaces EM floats to keep the cross-engine hash-exact contract (the
+    * x66 KenLM-replacement pattern). Both stages are vocab-bound. */
+  private[operators] def unigramVocab(train: DataFrame): DataFrame = {
+    val tw = train
+      .where(length(col("w")) <= MaxWordChars)
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+    val subs = tw
+      .select(col("w"), col("n"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("n"), col("p"), explode(sequence(lit(1), lit(4))).as("L"))
+      .where(col("p") + col("L") - 1 <= length(col("w")))
+      .select(expr("substring(w, p, L)").as("piece"), col("n"))
+      .groupBy("piece")
+      .agg(sum("n").as("pn"))
+      .localCheckpoint() // two plan refs: multi-char top-24, char floor
+    val multi = subs
+      .where(length(col("piece")) >= 2)
+      .orderBy(col("pn").desc, col("piece"))
+      .limit(24)
+    multi
+      .unionByName(subs.where(length(col("piece")) === 1))
+      .select(
+        col("piece"),
+        (length(col("piece")).cast("long") * 1000L + (length(bin(col("pn"))) - 1).cast("long")).as("s")
+      )
+  }
+
+  /** Viterbi (max-score) segmentation of the DISTINCT words in `docs`
+    * under [[unigramVocab]]'s additive scores — the optimal-path
+    * counterpart of x127's greedy walk: best[i] over word positions, where
+    * a position's candidates are every vocab piece ending there plus an
+    * always-available single-char [UNK] at score −10000 (so every word
+    * segments and unseen characters are load-bearing, never a crash). The
+    * DP is one codegen'd `aggregate` fold per distinct word over a
+    * pre-joined candidate array (vocab-bound, ≤ ~40 entries), with a total
+    * argmax order — (score desc, pieces asc, last-len desc, digest desc,
+    * then candidate (p, L) order) — replayed literally by the oracle's
+    * unrolled row_number, so both engines pick the SAME optimum even under
+    * score ties. Words over [[MaxWordChars]] route whole to [UNK] (the
+    * x127 rule). */
+  private[operators] def unigramEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val dwords = docs.select("w").distinct().localCheckpoint() // two plan refs: candidates, walk
+    val inWords = dwords.where(length(col("w")) <= MaxWordChars)
+    val positions = inWords
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .localCheckpoint() // two plan refs: vocab candidates, UNK candidates
+    val vcand = positions
+      .select(col("w"), col("p"), explode(sequence(lit(1), lit(4))).as("L"))
+      .where(col("p") + col("L") - 1 <= length(col("w")))
+      .select(col("w"), col("p"), col("L"), expr("substring(w, p, L)").as("sub"))
+      .join(broadcast(vocab), col("sub") === vocab("piece"))
+      .select(col("w"), col("p"), col("L"), col("s"), lit(0L).as("u"))
+    val ucand = positions
+      .select(col("w"), col("p"), lit(1).as("L"), lit(-10000L).as("s"), lit(1L).as("u"))
+    val cands = vcand
+      .unionByName(ucand)
+      .groupBy("w")
+      .agg(sort_array(collect_list(struct(col("p"), col("L"), col("s"), col("u")))).as("cs"))
+    dwords
+      .join(cands, Seq("w"), "left") // null cs = over-long word → whole-word [UNK]
+      .select(
+        col("w"),
+        expr(
+          """IF(cs IS NULL,
+            |  named_struct('sc', CAST(0 AS BIGINT), 'n', CAST(1 AS BIGINT), 'lst', CAST(0 AS INT),
+            |               'dig', CAST(0 AS BIGINT), 'unk', CAST(1 AS BIGINT)),
+            |  aggregate(
+            |    sequence(1, length(w)),
+            |    array(named_struct('sc', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT), 'lst', CAST(0 AS INT),
+            |                       'dig', CAST(0 AS BIGINT), 'unk', CAST(0 AS BIGINT))),
+            |    (acc, i) -> concat(acc, array(
+            |      aggregate(
+            |        transform(
+            |          filter(cs, c -> c.p + c.L - 1 = i),
+            |          c -> named_struct(
+            |            'sc', element_at(acc, c.p).sc + c.s,
+            |            'n', element_at(acc, c.p).n + CAST(1 AS BIGINT),
+            |            'lst', c.L,
+            |            'dig', element_at(acc, c.p).dig + pmod(CAST(conv(substring(md5(concat(
+            |                     substring(w, c.p, c.L), '@', CAST(element_at(acc, c.p).n AS STRING)
+            |                   )), 1, 15), 16, 10) AS BIGINT), CAST(1048576 AS BIGINT)),
+            |            'unk', element_at(acc, c.p).unk + c.u)),
+            |        CAST(NULL AS STRUCT<sc: BIGINT, n: BIGINT, lst: INT, dig: BIGINT, unk: BIGINT>),
+            |        (b, c) -> IF(b IS NULL
+            |                     OR c.sc > b.sc
+            |                     OR (c.sc = b.sc AND c.n < b.n)
+            |                     OR (c.sc = b.sc AND c.n = b.n AND c.lst > b.lst)
+            |                     OR (c.sc = b.sc AND c.n = b.n AND c.lst = b.lst AND c.dig > b.dig),
+            |                   c, b)))),
+            |    acc -> element_at(acc, length(w) + 1)))""".stripMargin
+        ).as("st")
+      )
+      .select(
+        col("w"),
+        col("st.n").as("n_pieces"),
+        col("st.unk").as("unk"),
+        col("st.dig").as("wdigest")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Global dictionary encoding (x125): dense integer codes for every
     // distinct corpus token, assigned in LEXICOGRAPHIC order WITHOUT a
@@ -568,6 +676,46 @@ object TextAnalysis {
           count(lit(1)).as("n_words"),
           sum("n_pieces").as("n_wp_tokens"),
           sum("unk").as("n_unk_words"),
+          sum("wdigest").as("seg_digest")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM tokenizer ENCODING via Viterbi — the third face of the
+    // tokenizer family (x75 BPE merge-replay, x127 WordPiece greedy,
+    // x148 unigram OPTIMAL-path): instead of a greedy walk, each word
+    // takes the segmentation maximizing the additive piece score
+    // (Kudo 2018's unigram LM decoding rule, with the deterministic
+    // integer score surrogate documented at [[unigramVocab]]). The same
+    // train-on-even-docs / encode-everything split and the same three
+    // inline adversarial words as x127, so greedy-vs-optimal divergence,
+    // [UNK] routing, and unseen characters are all load-bearing in the
+    // gate. Scale shape: identical to x127 — the vocabulary is 24+chars
+    // rows (broadcast always), candidate generation and the DP fold run
+    // per DISTINCT word, and the corpus stream crosses exactly one
+    // shuffle (the per-doc agg) behind the thresholded-broadcast encode
+    // join. The oracle replays the DP as an 8-step unrolled CTE chain
+    // (the x72 generated-oracle pattern) with the identical total argmax
+    // order, so a single wrong Viterbi choice anywhere flips seg_digest.
+    "x148_unigram_viterbi" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("w"))
+        .where(length(col("w")) >= 1)
+        .unionByName(
+          s.range(1)
+            .select(lit(-1L).as("doc_id"), explode(array(lit("zq9!x"), lit("join"), lit("mergez"))).as("w"))
+        )
+        .localCheckpoint() // three plan refs: train stream, encode input, doc agg
+      val train = docs.where(col("doc_id") >= 0 && col("doc_id") % 2 === 0)
+      val enc = unigramEncode(docs, unigramVocab(train).localCheckpoint())
+      val encSide = if (enc.count() <= 4000000L) broadcast(enc) else enc
+      docs
+        .join(encSide, "w")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum("n_pieces").as("n_uni_tokens"),
+          sum("unk").as("n_unk_pieces"),
           sum("wdigest").as("seg_digest")
         )
         .orderBy("doc_id")
@@ -1143,6 +1291,73 @@ object TextAnalysis {
           |  CAST(sum(f.dig) AS BIGINT) AS seg_digest
           |FROM allw a JOIN fin f USING (w)
           |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+      // x148: the Viterbi DP replayed as an unrolled CTE chain (the x72
+      // generated-oracle pattern) — a{i} accumulates best[0..i] per word;
+      // each step's row_number uses the SAME total argmax order as the
+      // Spark fold (score desc, pieces asc, last-len desc, digest desc,
+      // then candidate (p, L)), so both engines pick identical optima.
+      "x148_unigram_viterbi" -> {
+        val dig =
+          "('0x' || substr(md5(substr(cd.w, cd.p, cd.L) || '@' || CAST(pb.n AS VARCHAR)), 1, 15))::BIGINT % 1048576"
+        val steps = (1 to 8)
+          .map { i =>
+            s"""a$i AS (
+               |  SELECT * FROM a${i - 1}
+               |  UNION ALL
+               |  SELECT w, $i AS idx, sc, n, lst, dig, unk FROM (
+               |    SELECT cd.w AS w, pb.sc + cd.s AS sc, pb.n + 1 AS n, cd.L AS lst,
+               |      pb.dig + $dig AS dig, pb.unk + cd.u AS unk,
+               |      row_number() OVER (PARTITION BY cd.w ORDER BY pb.sc + cd.s DESC, pb.n ASC,
+               |        cd.L DESC, pb.dig + $dig DESC, cd.p ASC, cd.L ASC) AS rn
+               |    FROM cand cd JOIN a${i - 1} pb ON pb.w = cd.w AND pb.idx = cd.p - 1
+               |    WHERE cd.p + cd.L - 1 = $i) WHERE rn = 1)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH allw AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           |    FROM documents) WHERE len(w) >= 1
+           |  UNION ALL
+           |  SELECT * FROM (VALUES (-1, 'zq9!x'), (-1, 'join'), (-1, 'mergez')) t(doc_id, w)),
+           |tw AS (
+           |  SELECT w, count(*) AS n FROM allw
+           |  WHERE doc_id >= 0 AND doc_id % 2 = 0 AND len(w) <= 8 GROUP BY 1),
+           |subs AS (
+           |  SELECT substr(w, CAST(p AS INT), CAST(L AS INT)) AS piece, sum(n) AS pn
+           |  FROM tw, unnest(generate_series(1, 8)) t(p), unnest(generate_series(1, 4)) u(L)
+           |  WHERE p + L - 1 <= len(w)
+           |  GROUP BY 1),
+           |multi AS (SELECT piece, pn FROM subs WHERE len(piece) >= 2 ORDER BY pn DESC, piece LIMIT 24),
+           |vocab AS (
+           |  SELECT piece, 1000 * len(piece) + (length(bin(pn)) - 1) AS s FROM multi
+           |  UNION ALL
+           |  SELECT piece, 1000 + (length(bin(pn)) - 1) AS s FROM subs WHERE len(piece) = 1),
+           |dw AS (SELECT DISTINCT w FROM allw WHERE len(w) <= 8),
+           |cand AS (
+           |  SELECT c.w, c.p, c.L, v.s, CAST(0 AS BIGINT) AS u
+           |  FROM (SELECT dw.w, t.p, u.L, substr(dw.w, CAST(t.p AS INT), CAST(u.L AS INT)) AS sub
+           |        FROM dw, unnest(generate_series(1, 8)) t(p), unnest(generate_series(1, 4)) u(L)
+           |        WHERE t.p + u.L - 1 <= len(dw.w)) c
+           |  JOIN vocab v ON v.piece = c.sub
+           |  UNION ALL
+           |  SELECT dw.w, t.p, 1 AS L, CAST(-10000 AS BIGINT) AS s, CAST(1 AS BIGINT) AS u
+           |  FROM dw, unnest(generate_series(1, 8)) t(p) WHERE t.p <= len(dw.w)),
+           |a0 AS (
+           |  SELECT w, 0 AS idx, CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS n, 0 AS lst,
+           |         CAST(0 AS BIGINT) AS dig, CAST(0 AS BIGINT) AS unk FROM dw),
+           |$steps,
+           |fin AS (
+           |  SELECT w, n, dig, unk FROM a8 WHERE idx = len(w)
+           |  UNION ALL
+           |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+           |  FROM (SELECT DISTINCT w FROM allw WHERE len(w) > 8))
+           |SELECT a.doc_id, count(*) AS n_words,
+           |  CAST(sum(f.n) AS BIGINT) AS n_uni_tokens,
+           |  CAST(sum(f.unk) AS BIGINT) AS n_unk_pieces,
+           |  CAST(sum(f.dig) AS BIGINT) AS seg_digest
+           |FROM allw a JOIN fin f USING (w)
+           |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+      },
       // x115: the same schedule + slices replayed with list algebra; the
       // per-chunk md5-window hash pins exact chunk content.
       "x115_doc_chunking" ->
