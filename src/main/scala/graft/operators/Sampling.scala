@@ -333,6 +333,80 @@ object Sampling {
         .orderBy("lang", "source")
     }),
 
+    // DSIR — Data Selection with Importance Resampling (Xie et al. 2023):
+    // score every raw-pool document by how target-like its hashed n-gram
+    // features look, importance weight w(doc) = Π_feats p_target(b) /
+    // p_raw(b), then keep the top of the pool. Here the target exemplars
+    // are the 'en' documents (the paper's Wikipedia-like target), features
+    // are hashed unigrams+bigrams in 256 buckets (the paper's hashed
+    // n-gram parameterization, this module's md5 convention), and the log
+    // weight is computed term-by-term in floor-log2 bits — score =
+    // Σ_occ [⌊log2(ct(b)+1)⌋ − ⌊log2(cr(b)+1)⌋] + n_feats·[⌊log2(Nr+256)⌋
+    // − ⌊log2(Nt+256)⌋], the add-1-smoothed LLR decomposition with each
+    // log quantized by the x61 bin()-length trick (the deterministic
+    // integer surrogate for the paper's float log-probs — the x66 KenLM
+    // pattern; selection is the deterministic (score, doc_id) top-k rather
+    // than Gumbel-noise resampling, which the paper seeds anyway). Scale
+    // shape: the feature stream is NEVER shuffled — both bucket-count aggs
+    // map-side combine into ≤256 rows, the per-bucket score table and the
+    // 1-row totals broadcast back onto the stream, and the per-doc agg
+    // carries one row per doc; selection is TakeOrderedAndProject.
+    "x149_dsir_select" -> ((s, d) => {
+      val ws = toks
+      val feats = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), ws.as("ws"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(
+            concat(
+              col("ws"),
+              when(
+                size(col("ws")) >= 2,
+                expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+              ).otherwise(array().cast("array<string>"))
+            )
+          ).as("feat")
+        )
+        .where(length(col("feat")) >= 1)
+        .select(col("doc_id"), col("lang"), Hashing.md5Bucket(col("feat"), 256L).as("b"))
+        .localCheckpoint() // four plan refs: cr, ct, totals, per-doc scoring
+      val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ct = feats.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val bucketBits = cr
+        .join(ct, Seq("b"), "left")
+        .select(
+          col("b"),
+          ((length(bin(coalesce(col("ct"), lit(0L)) + 1L)) - 1).cast("long") -
+            (length(bin(col("cr") + 1L)) - 1).cast("long")).as("sbits")
+        )
+      val totals = feats.agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")
+      )
+      val scored = feats
+        .join(broadcast(bucketBits), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("sbits").as("sb"))
+        .crossJoin(broadcast(totals))
+        .select(
+          col("doc_id"),
+          col("n_feats"),
+          (col("sb") +
+            col("n_feats") * ((length(bin(col("nr") + 256L)) - 1).cast("long") -
+              (length(bin(col("nt") + 256L)) - 1).cast("long"))).as("llr_bits")
+        )
+      val top = scored.orderBy(col("llr_bits").desc, col("doc_id")).limit(50)
+      top
+        .join(table(s, d, "documents").select("doc_id", "lang", "source"), "doc_id")
+        .withColumn(
+          "sel_rank",
+          row_number().over(Window.orderBy(col("llr_bits").desc, col("doc_id"))).cast("long")
+        )
+        .select("sel_rank", "doc_id", "lang", "source", "n_feats", "llr_bits")
+        .orderBy("sel_rank")
+    }),
+
     // temperature-scaled domain resampling — the data-mixing step behind
     // multi-domain training sets: sampling weight ∝ n_d^α with α = 0.5
     // flattens the domain distribution (small domains upsampled relative
@@ -784,6 +858,42 @@ object Sampling {
         |SELECT lang, source, n_docs, n_tokens,
         |  (n_tokens * 1000000) // CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) AS weight_ppm
         |FROM d ORDER BY lang, source""".stripMargin,
+    // x149: the same smoothed floor-log2 LLR decomposition term by term.
+    "x149_dsir_select" ->
+      """WITH warr AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang, feat FROM (
+        |    SELECT doc_id, lang, unnest(ws) AS feat FROM warr
+        |    UNION ALL
+        |    SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+        |    FROM warr, unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2)
+        |  WHERE length(feat) >= 1),
+        |f AS (
+        |  SELECT doc_id, lang, ('0x' || substr(md5(feat), 1, 15))::BIGINT % 256 AS b FROM feat),
+        |cr AS (SELECT b, count(*) AS cr FROM f GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+        |bb AS (
+        |  SELECT cr.b,
+        |    (length(bin(coalesce(ct.ct, 0) + 1)) - 1) - (length(bin(cr.cr + 1)) - 1) AS sbits
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+        |tot AS (
+        |  SELECT count(*) AS nr,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM f),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_feats, sum(sbits) AS sb
+        |  FROM f JOIN bb USING (b) GROUP BY 1),
+        |fin AS (
+        |  SELECT doc_id, n_feats,
+        |    sb + n_feats * ((length(bin(nr + 256)) - 1) - (length(bin(nt + 256)) - 1)) AS llr_bits
+        |  FROM sc CROSS JOIN tot),
+        |top AS (
+        |  SELECT doc_id, n_feats, llr_bits,
+        |    row_number() OVER (ORDER BY llr_bits DESC, doc_id) AS sel_rank
+        |  FROM fin ORDER BY llr_bits DESC, doc_id LIMIT 50)
+        |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, t.doc_id, d.lang, d.source,
+        |  CAST(n_feats AS BIGINT) AS n_feats, CAST(llr_bits AS BIGINT) AS llr_bits
+        |FROM top t JOIN documents d USING (doc_id) ORDER BY sel_rank""".stripMargin,
     "x59_temperature_mix" ->
       s"""WITH $TemperatureQuotaCtes,
          |r AS (SELECT source, doc_id,
