@@ -739,6 +739,64 @@ object Warehouse {
         .crossJoin(src)
       per.crossJoin(broadcast(stats)).orderBy("bucket")
     }),
+
+    // Named refs — branches and tags (x150): the Iceberg ref model over
+    // the COW snapshot graph. The fixture drives the full lifecycle on a
+    // clone: tag 'audit' pins clone v1; main commits a re-price stripe
+    // (v2); branch 'exp' forks at v2 and makes TWO commits of its own
+    // (an upsert stripe, then deletes + far-range inserts) while main's
+    // manifest chain never moves; finally main FAST-FORWARDS to the
+    // branch head as v3 — a metadata-only republish of the head's
+    // manifest rows, zero data copied. The gate reads all four scopes
+    // (tag, main v2, branch head, fast-forwarded main) and pins content
+    // (rows / cents / distinct buckets), manifest size (n_entries must
+    // equal content buckets — the structural carried+fresh invariant),
+    // and the ref metadata itself; the oracle rebuilds every scope from
+    // the closed-form stripe formulas. tag_audit surviving main's v2/v3
+    // commits is the immutability proof; main_ff ≡ branch_head is the
+    // zero-copy fast-forward proof (CowRefSpec asserts path identity and
+    // the divergence refusal). Scale: four manifest-pruned reads + four
+    // aggs; every cross-scope artifact is file-count-sized metadata.
+    "x150_cow_branches" -> ((s, d) => {
+      val ct = graft.sources.CowTable
+      ct.ensureRefs(s, d)
+      val w = ct.BucketWidth
+      def scopeAgg(df: DataFrame, scope: String, kind: String, seq: Long, nEntries: Long) =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum("cents").as("cents_total"),
+          countDistinct(expr(s"k div ${w}L")).as("n_buckets")
+        ).select(
+          lit(scope).as("scope"),
+          lit(kind).as("ref_kind"),
+          lit(seq).as("ref_seq"),
+          col("n_rows"),
+          col("cents_total"),
+          col("n_buckets"),
+          lit(nEntries).as("n_entries")
+        )
+      val tagRef = ct.readRefMeta(s, "audit", ct.refsDir)
+      val expRef = ct.readRefMeta(s, "exp", ct.refsDir)
+      scopeAgg(
+        ct.refRead(s, "audit", ct.refsDir),
+        "tag_audit",
+        tagRef.kind,
+        tagRef.seq.toLong,
+        ct.entriesAt(s, tagRef.manifestPath).size.toLong
+      ).unionByName(
+        scopeAgg(ct.read(s, 2, ct.refsDir), "main_v2", "main", 2L, ct.entries(s, 2, ct.refsDir).size.toLong)
+      ).unionByName(
+        scopeAgg(
+          ct.refRead(s, "exp", ct.refsDir),
+          "branch_head",
+          expRef.kind,
+          expRef.seq.toLong,
+          ct.entriesAt(s, expRef.manifestPath).size.toLong
+        )
+      ).unionByName(
+        scopeAgg(ct.read(s, 3, ct.refsDir), "main_ff", "main", 3L, ct.entries(s, 3, ct.refsDir).size.toLong)
+      ).orderBy("scope")
+    }),
     // Avro container scan (x119): fixture files are written by the
     // OFFICIAL Avro library (deflate codec, a null-union column), read
     // back by the from-scratch container/binary decoder — real
@@ -1141,6 +1199,56 @@ object Warehouse {
         |  CAST(n_own_files AS BIGINT) AS n_own_files,
         |  CAST(src_rows AS BIGINT) AS src_rows, src_cents
         |FROM per, st ORDER BY bucket""".stripMargin,
+    // x150: every scope rebuilt from the closed-form stripe formulas —
+    // src2 (the cloned source v2) → m2 (main's re-price) → bh (branch
+    // upsert, then key-set deletes + inserts); fast-forwarded main ≡ the
+    // branch head. n_entries = distinct content buckets (the manifest's
+    // carried+fresh invariant). Deletes anti-join the orders-DERIVED key
+    // set, mirroring the Spark side's key semantics (not the predicate).
+    "x150_cow_branches" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |src2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |m2 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 109 = 0 AND bucket % 13 = 5 THEN 80000 + k % 900 ELSE cents END AS cents
+        |  FROM src2),
+        |b1 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 131 = 0 AND bucket % 19 = 7 THEN 90000 + k % 800 ELSE cents END AS cents
+        |  FROM m2),
+        |delkeys AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey % 137 = 0 AND (o_orderkey // 1024) % 19 = 11),
+        |bh AS (
+        |  SELECT k, bucket, cents FROM b1 WHERE k NOT IN (SELECT k FROM delkeys)
+        |  UNION ALL
+        |  SELECT 40000000 + i, (40000000 + i) // 1024, 300000 + i * 13
+        |  FROM (SELECT unnest(range(15)) AS i)),
+        |sc AS (
+        |  SELECT 'tag_audit' AS scope, 'tag' AS ref_kind, CAST(0 AS BIGINT) AS ref_seq,
+        |    count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_total,
+        |    count(DISTINCT bucket) AS n_buckets FROM src2
+        |  UNION ALL
+        |  SELECT 'main_v2', 'main', 2, count(*), CAST(sum(cents) AS BIGINT),
+        |    count(DISTINCT bucket) FROM m2
+        |  UNION ALL
+        |  SELECT 'branch_head', 'branch', 2, count(*), CAST(sum(cents) AS BIGINT),
+        |    count(DISTINCT bucket) FROM bh
+        |  UNION ALL
+        |  SELECT 'main_ff', 'main', 3, count(*), CAST(sum(cents) AS BIGINT),
+        |    count(DISTINCT bucket) FROM bh)
+        |SELECT scope, ref_kind, ref_seq, n_rows, cents_total, n_buckets,
+        |  n_buckets AS n_entries
+        |FROM sc ORDER BY scope""".stripMargin,
     // merged content from first principles: base cents + the update bump
     // on the filtered keys, union the insert formula rows; provenance =
     // 2 exactly for buckets containing an update key or insert key

@@ -679,6 +679,152 @@ object CowTable {
     new java.io.File(s"$root/wap_base_$name").delete()
   }
 
+  // ------------------------------------------------ named refs (x150)
+
+  /** Iceberg-style named refs over the snapshot graph: a ref is a one-row
+    * parquet pointer at `$root/refs/<name>` → (kind, manifest_path,
+    * base_version, seq). A TAG pins a published snapshot immutably — a
+    * metadata-only commit; readers through the tag see that snapshot
+    * forever, whatever main does. A BRANCH is a mutable pointer with its
+    * OWN commit chain: [[branchCommit]] runs the same [[mergeRows]]
+    * computation against the branch head, lands data under
+    * `$root/branch_<name>_v<seq>` and its manifest under
+    * `$root/branch_<name>_manifest_v<seq>`, then advances only the ref —
+    * the `manifest_vN` chain (what [[read]]/time travel resolve) never
+    * moves, so main stays bit-identical while any number of branches
+    * advance, sharing every untouched file by reference.
+    * [[fastForward]] republishes the branch head's manifest rows as the
+    * next MAIN version iff main has not committed since the fork — a
+    * metadata-only commit, zero data copied; on divergence it refuses
+    * (that needs a real merge, not a ref move). Unlike WAP staging
+    * (one-shot audit → publish, branch metadata consumed), refs are
+    * durable multi-commit lineages. */
+  case class Ref(kind: String, manifestPath: String, baseVersion: Int, seq: Int)
+
+  private def refPath(root: String, name: String) = s"$root/refs/$name"
+
+  private def writeRef(s: SparkSession, root: String, name: String, ref: Ref): Unit = {
+    import s.implicits._
+    Seq((ref.kind, ref.manifestPath, ref.baseVersion, ref.seq))
+      .toDF("kind", "manifest_path", "base_version", "seq")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(refPath(root, name))
+  }
+
+  def readRefMeta(s: SparkSession, name: String, root: String = dir): Ref = {
+    val r = s.read.parquet(refPath(root, name)).collect()(0)
+    Ref(
+      r.getAs[String]("kind"),
+      r.getAs[String]("manifest_path"),
+      r.getAs[Int]("base_version"),
+      r.getAs[Int]("seq")
+    )
+  }
+
+  def tagCreate(s: SparkSession, name: String, version: Int, root: String = dir): Unit =
+    writeRef(s, root, name, Ref("tag", manifestPath(version, root), version, 0))
+
+  def branchCreate(s: SparkSession, name: String, fromVersion: Int, root: String = dir): Unit =
+    writeRef(s, root, name, Ref("branch", manifestPath(fromVersion, root), fromVersion, 0))
+
+  /** MERGE into the branch head; advances the ref, never `manifest_vN`. */
+  def branchCommit(
+      s: SparkSession,
+      name: String,
+      changes: DataFrame,
+      deletes: DataFrame = null,
+      root: String = dir
+  ): Unit = {
+    val ref = readRefMeta(s, name, root)
+    require(ref.kind == "branch", s"ref $name is a ${ref.kind}, not a branch")
+    val seq = ref.seq + 1
+    val rows = mergeRows(s, entriesAt(s, ref.manifestPath), changes, deletes, s"$root/branch_${name}_v$seq")
+    val manPath = s"$root/branch_${name}_manifest_v$seq"
+    writeManifestTo(s, manPath, rows)
+    writeRef(s, root, name, Ref("branch", manPath, ref.baseVersion, seq))
+  }
+
+  /** DV-masked read through a ref (pre-evolution contract, like the merge
+    * paths — branch lineages here stage data changes, not schema ones). */
+  def refRead(s: SparkSession, name: String, root: String = dir): DataFrame =
+    rawRead(s, entriesAt(s, readRefMeta(s, name, root).manifestPath))
+
+  /** Publish the branch head as the next MAIN version (metadata-only,
+    * files carried by reference). Refuses if main moved since the fork. */
+  def fastForward(s: SparkSession, name: String, root: String = dir): Int = {
+    val ref = readRefMeta(s, name, root)
+    require(ref.kind == "branch", s"ref $name is a ${ref.kind}, not a branch")
+    val latest = latestVersion(root)
+    if (latest != ref.baseVersion)
+      throw new IllegalStateException(
+        s"main is at v$latest but $name forked at v${ref.baseVersion}: divergent histories need a merge, not a fast-forward"
+      )
+    val next = latest + 1
+    writeManifestRows(s, next, entriesAt(s, ref.manifestPath), root)
+    next
+  }
+
+  val refsDir = "/root/repo/spark-warehouse/graft_cow_refs"
+
+  /** x150 fixture formulas (absolute, closed-form oracle): after cloning
+    * source v2, main re-prices one stripe (v2); the branch forks at v2,
+    * re-prices a disjoint-in-form stripe (commit 1), then deletes a third
+    * stripe and inserts 15 far-range rows (commit 2); main fast-forwards
+    * to the branch head (v3). The tag pins clone v1 through all of it. */
+  val RefsMainFilter = s"k % 109 = 0 AND (k div ${BucketWidth}L) % 13 = 5"
+  val RefsBranchUpsertFilter = s"k % 131 = 0 AND (k div ${BucketWidth}L) % 19 = 7"
+  val RefsBranchDeleteFilter = s"k % 137 = 0 AND (k div ${BucketWidth}L) % 19 = 11"
+  val RefsBranchInsertBase = 40000000L
+  val RefsBranchInsertCount = 15
+
+  /** Gate fixture (x150): tag + branch lifecycle over a clone of source
+    * v2, marker-guarded like every fixture artifact. */
+  def ensureRefs(s: SparkSession, d: String): Unit = synchronized {
+    ensure(s, d)
+    val srcKey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/src_key")),
+      "UTF-8"
+    ) + s"|refs|$RefsMainFilter|$RefsBranchUpsertFilter|$RefsBranchDeleteFilter|$RefsBranchInsertBase|$RefsBranchInsertCount"
+    val marker = new java.io.File(s"$refsDir/src_key")
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == srcKey) return
+    val p = new org.apache.hadoop.fs.Path(refsDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    cloneTable(s, srcVersion = 2, refsDir)
+    tagCreate(s, "audit", 1, refsDir)
+    val base = graft.Graft
+      .table(s, d, "orders")
+      .select(col("o_orderkey").as("k"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    merge(
+      s,
+      fromVersion = 1,
+      toVersion = 2,
+      changes = base.where(expr(RefsMainFilter)).select(col("k"), expr("80000L + k % 900").as("cents")),
+      root = refsDir
+    )
+    branchCreate(s, "exp", 2, refsDir)
+    branchCommit(
+      s,
+      "exp",
+      base.where(expr(RefsBranchUpsertFilter)).select(col("k"), expr("90000L + k % 800").as("cents")),
+      root = refsDir
+    )
+    branchCommit(
+      s,
+      "exp",
+      changes = s
+        .range(RefsBranchInsertCount.toLong)
+        .select((col("id") + lit(RefsBranchInsertBase)).as("k"), (lit(300000L) + col("id") * 13L).as("cents")),
+      deletes = base.where(expr(RefsBranchDeleteFilter)).select("k"),
+      root = refsDir
+    )
+    fastForward(s, "exp", refsDir)
+    java.nio.file.Files.write(marker.toPath, srcKey.getBytes("UTF-8"))
+  }
+
   /** Merge-on-read DELETE: instead of rewriting the touched buckets, write
     * a deletion-vector sidecar (63-bit packed words over in-bucket key
     * offsets, the x96 machinery) and publish a manifest whose touched
