@@ -716,6 +716,40 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
+    // G.711 μ-law/A-law sample decode (x151): the telephony-audio codec —
+    // stateless per-byte logarithmic expansion, so unlike x98's recursive
+    // predictor replay the oracle decodes the fixture's code-byte formula
+    // in closed-form SQL. Same mapPartitions byte-codec shape and the
+    // same positional checksum; the mixed μ/A corpus makes the format-tag
+    // dispatch load-bearing (a ulaw byte through the alaw expansion flips
+    // every checksum). Scale: per-row decode, no shuffle until the
+    // 6-column result.
+    "x151_g711_decode" -> ((s, _) => {
+      graft.sources.G711Fixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("law", StringType),
+          StructField("n_samples", LongType),
+          StructField("sum_abs", LongType),
+          StructField("peak", LongType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.G711Fixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.G711Audio.features(r.getAs[Array[Byte]]("payload")) match {
+              case Some((law, n, sumAbs, peak, chk)) =>
+                Row(r.getAs[Long]("audio_id"), law, n, sumAbs, peak, chk)
+              case None => Row(r.getAs[Long]("audio_id"), null, null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
     // REAL frame sampling: raw uncompressed video payloads (rawvideo/y4m
     // shape) → every-3rd-frame schedule → per-frame nearest-neighbor 4×4
     // tile → weighted checksum, one output row per sampled frame (the
@@ -1192,6 +1226,32 @@ object Multimodal {
         |  CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
         |  CAST(max(abs(pred)) AS BIGINT) AS peak,
         |  CAST(sum((blk * 505 + j + 1) * pred) AS BIGINT) AS checksum
-        |FROM st GROUP BY aid ORDER BY audio_id""".stripMargin
+        |FROM st GROUP BY aid ORDER BY audio_id""".stripMargin,
+    // x151: the fixture's code-byte formula pushed through the G.711
+    // expansion arithmetic inline — stateless, so no recursion at all.
+    "x151_g711_decode" ->
+      """WITH ids AS (SELECT unnest(range(200)) AS aid),
+        |tt AS (SELECT aid, unnest(range(400 + aid % 57)) AS t FROM ids),
+        |cc AS (SELECT aid, t, (aid * 31 + t * 17) % 256 AS c FROM tt),
+        |dec AS (
+        |  SELECT aid, t,
+        |    CASE WHEN aid % 2 = 0 THEN
+        |      CASE WHEN (255 - c) >= 128
+        |        THEN 132 - ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8))
+        |        ELSE ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8)) - 132 END
+        |    ELSE
+        |      CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN (xor(c, 85) // 16) % 8 = 0 THEN (xor(c, 85) % 16) * 16 + 8
+        |           WHEN (xor(c, 85) // 16) % 8 = 1 THEN (xor(c, 85) % 16) * 16 + 264
+        |           ELSE ((xor(c, 85) % 16) * 16 + 264) << ((xor(c, 85) // 16) % 8 - 1) END
+        |    END AS s
+        |  FROM cc)
+        |SELECT aid AS audio_id,
+        |  CASE WHEN aid % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+        |  count(*) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum((t + 1) * s) AS BIGINT) AS checksum
+        |FROM dec GROUP BY aid ORDER BY audio_id""".stripMargin
   )
 }
