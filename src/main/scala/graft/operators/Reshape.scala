@@ -367,6 +367,65 @@ object Reshape {
         .limit(20)
     }),
 
+    // Weighted single-source shortest paths (x152) — bounded Bellman-Ford
+    // over q55/q62's packed-node graph, now with EDGE WEIGHTS: the
+    // min-plus semiring (relax dist' = min(dist, dist[src] + w)) where
+    // q55's BFS is the boolean one and q62's PageRank the weighted-sum
+    // one. Weights are closed-form integers (supp–order: 1 + ⌊quantity⌋
+    // mod 7, min over parallel lineitem edges; order–cust: 1 + orderkey
+    // mod 5), so the oracle can rebuild the weighted edge table and
+    // enumerate all ≤4-edge paths in a recursive CTE (bounded fan-out
+    // from one source — the quadratic twin lives oracle-side only).
+    // Scale shape: the iterative q55/q62 discipline — edges deduped and
+    // localCheckpointed ONCE (min-weight per pair folded into that same
+    // shuffle), 4 rounds of equi-join + min-agg on 8-byte keys, dist
+    // checkpointed per round to cut lineage. Output is per-node-type
+    // aggregates with a Σ node·dist digest, which pins EVERY node's
+    // final distance, not just the extremes.
+    "x152_weighted_sssp" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(
+          (col("l_suppkey") * 4 + 1).as("a"),
+          (col("l_orderkey") * 4 + 2).as("b"),
+          (lit(1L) + pmod(col("l_quantity").cast("long"), lit(7L))).as("w")
+        )
+      val oc = table(s, d, "orders")
+        .select(
+          (col("o_orderkey") * 4 + 2).as("a"),
+          (col("o_custkey") * 4 + 3).as("b"),
+          (lit(1L) + pmod(col("o_orderkey"), lit(5L))).as("w")
+        )
+      val edges = li
+        .unionByName(oc)
+        .unionByName(li.select(col("b").as("a"), col("a").as("b"), col("w")))
+        .unionByName(oc.select(col("b").as("a"), col("a").as("b"), col("w")))
+        .groupBy(col("a").as("src"), col("b").as("dst"))
+        .agg(min("w").as("w")) // parallel edges fold to min in the SAME dedup shuffle
+        .localCheckpoint()
+      import s.implicits._
+      var dist = Seq((5L, 0L)).toDF("node", "dist") // supplier 1 = 1·4+1
+      for (_ <- 1 to 4) {
+        val relaxed = dist
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist
+          .unionByName(relaxed)
+          .groupBy("node")
+          .agg(min("dist").as("dist"))
+          .localCheckpoint() // 4 rounds would otherwise nest plans
+      }
+      dist
+        .groupBy(pmod(col("node"), lit(4L)).as("ntype"))
+        .agg(
+          count(lit(1)).as("n_reached"),
+          sum("dist").as("dist_sum"),
+          min("dist").as("dist_min"),
+          max("dist").as("dist_max"),
+          sum(col("node") * col("dist")).as("wdigest")
+        )
+        .orderBy("ntype")
+    }),
+
     // edit-distance fuzzy matching — the approximate-string-join primitive
     // (entity resolution, typo-tolerant dim lookups). The 25-name nation
     // side is driver-bounded, so the all-pairs comparison is a broadcast
@@ -636,6 +695,35 @@ object Reshape {
         |minhop AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
         |SELECT CASE node % 4 WHEN 1 THEN 'S' WHEN 2 THEN 'O' ELSE 'C' END AS node_type,
         |  hop, count(*) AS n
-        |FROM minhop GROUP BY 1, 2 ORDER BY node_type, hop""".stripMargin
+        |FROM minhop GROUP BY 1, 2 ORDER BY node_type, hop""".stripMargin,
+    // x152: weighted edges rebuilt from the closed-form weight formulas;
+    // all ≤4-edge walks enumerated with state dedup (UNION over
+    // (node, dist, r) — distances are small integers, so the state space
+    // is nodes × ~25, never the path count), then min per node.
+    "x152_weighted_sssp" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT l_suppkey * 4 + 1 AS src, l_orderkey * 4 + 2 AS dst,
+        |           1 + CAST(l_quantity AS BIGINT) % 7 AS w FROM lineitem
+        |    UNION ALL
+        |    SELECT l_orderkey * 4 + 2, l_suppkey * 4 + 1,
+        |           1 + CAST(l_quantity AS BIGINT) % 7 FROM lineitem
+        |    UNION ALL
+        |    SELECT o_orderkey * 4 + 2, o_custkey * 4 + 3, 1 + o_orderkey % 5 FROM orders
+        |    UNION ALL
+        |    SELECT o_custkey * 4 + 3, o_orderkey * 4 + 2, 1 + o_orderkey % 5 FROM orders)
+        |  GROUP BY 1, 2),
+        |walk(node, dist, r) AS (
+        |  SELECT CAST(5 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, wk.dist + e.w, wk.r + 1
+        |  FROM walk wk JOIN edges e ON wk.node = e.src WHERE wk.r < 4),
+        |best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT node % 4 AS ntype, count(*) AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS dist_sum,
+        |  min(dist) AS dist_min, max(dist) AS dist_max,
+        |  CAST(sum(node * dist) AS BIGINT) AS wdigest
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
