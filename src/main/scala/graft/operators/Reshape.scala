@@ -426,6 +426,43 @@ object Reshape {
         .orderBy("ntype")
     }),
 
+    // Association-rule mining (x153) — the A-Priori 2-itemset core
+    // (Agrawal & Srikant 1994) over order baskets: support = baskets
+    // containing both parts, confidence and lift in ppm integer fixed
+    // point (lift > 1e6 ⇔ positively associated). Scale shape: baskets
+    // are BOUNDED (an order holds a handful of parts at any SF), so the
+    // per-basket pair self-join is a bounded quadratic on the basket key
+    // — one shuffle on orderkey, output ≈ baskets × (items choose 2) —
+    // and the item-frequency joins are vocab-sized. The (order, part)
+    // dedup is the one corpus-sized shuffle, reused by both sides.
+    "x153_assoc_rules" -> ((s, d) => {
+      val bi = table(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // three plan refs: basket count, item counts, pair join
+      val nb = bi.agg(countDistinct("o").as("nb"))
+      val cnt = bi.groupBy("p").agg(count(lit(1)).as("cnt"))
+      val pairs = bi
+        .as("x")
+        .join(bi.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(cnt.select(col("p").as("pa"), col("cnt").as("ca")), "pa")
+        .join(cnt.select(col("p").as("pb"), col("cnt").as("cb")), "pb")
+        .crossJoin(broadcast(nb))
+        .select(
+          col("pa"),
+          col("pb"),
+          col("support"),
+          expr("(support * 1000000L) div ca").as("conf_ab_ppm"),
+          expr("(support * 1000000L) div cb").as("conf_ba_ppm"),
+          expr("(support * nb * 1000000L) div (ca * cb)").as("lift_ppm")
+        )
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+        .limit(40)
+    }),
+
     // edit-distance fuzzy matching — the approximate-string-join primitive
     // (entity resolution, typo-tolerant dim lookups). The 25-name nation
     // side is driver-bounded, so the all-pairs comparison is a broadcast
@@ -696,6 +733,22 @@ object Reshape {
         |SELECT CASE node % 4 WHEN 1 THEN 'S' WHEN 2 THEN 'O' ELSE 'C' END AS node_type,
         |  hop, count(*) AS n
         |FROM minhop GROUP BY 1, 2 ORDER BY node_type, hop""".stripMargin,
+    "x153_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o) AS nb FROM bi),
+        |cnt AS (SELECT p, count(*) AS cnt FROM bi GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.p AS pa, y.p AS pb, count(*) AS support
+        |  FROM bi x JOIN bi y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, support,
+        |  (support * 1000000) // ca AS conf_ab_ppm,
+        |  (support * 1000000) // cb AS conf_ba_ppm,
+        |  (support * nb * 1000000) // (ca * cb) AS lift_ppm
+        |FROM (
+        |  SELECT pairs.pa, pairs.pb, pairs.support, a.cnt AS ca, b.cnt AS cb, nb.nb
+        |  FROM pairs JOIN cnt a ON pairs.pa = a.p JOIN cnt b ON pairs.pb = b.p CROSS JOIN nb)
+        |ORDER BY support DESC, pa, pb LIMIT 40""".stripMargin,
     // x152: weighted edges rebuilt from the closed-form weight formulas;
     // all ≤4-edge walks enumerated with state dedup (UNION over
     // (node, dist, r) — distances are small integers, so the state space
