@@ -256,6 +256,16 @@ object EventStreams {
   def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
     attributionJoined(clicks, purchases, "leftOuter")
 
+  /** FULL-OUTER stream-stream join [EXT] — completes the streaming join
+    * family (inner → left-outer → full): unmatched purchases null-pad the
+    * click columns AND unmatched clicks null-pad the purchase columns
+    * (the non-converting-click stream a funnel analysis needs), each
+    * deferred until both watermarks prove its join window can no longer
+    * match. State bound is identical to the inner join — the outer faces
+    * add emission timing, not state classes. */
+  def attributionJoinFull(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoined(clicks, purchases, "fullOuter")
+
   /** Streaming curation gate [EXT]: the per-document quality filter + PII
     * scrub as an incremental query — documents arriving on a stream are
     * token-counted, dropped when too short, and redacted, exactly the batch

@@ -193,6 +193,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: both unmatched sides emit null-padded after watermark expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = EventStreams.attributionJoinFull(
+      clicks.toDF().toDF("event_id", "ts", "user_id").select($"user_id", $"ts", $"event_id"),
+      purchases.toDF().toDF("event_id", "ts", "user_id", "value").select($"user_id", $"ts", $"event_id", $"value")
+    )
+    val q = joined.writeStream.format("memory").queryName("attr_full").outputMode(OutputMode.Append).start()
+    try {
+      // user 7: matched pair (emits eagerly); user 8: click with NO
+      // purchase; user 9: purchase with NO click — neither unmatched row
+      // may emit while its window could still match
+      clicks.addData((100L, ts(50), 7L), (102L, ts(50), 8L))
+      purchases.addData((200L, ts(55), 7L, 9.99), (201L, ts(50), 9L, 1.0))
+      q.processAllAvailable()
+      def rows() = spark
+        .table("attr_full")
+        .collect()
+        .map(r =>
+          (
+            Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong),
+            Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)
+          )
+        )
+        .toSet
+      assert(rows() === Set((Some(200L), Some(100L))))
+      // advance BOTH watermarks past both windows: the purchase-less
+      // click AND the click-less purchase must each emit null-padded
+      val far = Timestamp.valueOf("2024-01-01 06:00:00")
+      clicks.addData((110L, far, 1L))
+      purchases.addData((210L, far, 1L, 0.0))
+      q.processAllAvailable()
+      assert(rows().contains((None, Some(102L))), "unmatched click never emitted")
+      assert(rows().contains((Some(201L), None)), "unmatched purchase never emitted")
+    } finally q.stop()
+  }
+
   test("file-source stream end-to-end: readStream -> windowed agg -> parquet sink") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
