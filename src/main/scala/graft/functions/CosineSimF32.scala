@@ -116,3 +116,11 @@ object HllSketch {
         .toAggregateExpression()
     )
 }
+
+/** Jaro–Winkler similarity (native codegen'd expression; bit-identical to
+  * DuckDB's `jaro_winkler_similarity` — see
+  * [[org.apache.spark.sql.graftbridge.JaroWinklerExpr]]). */
+object JaroWinkler {
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(org.apache.spark.sql.graftbridge.JaroWinklerExpr(Bridge.expression(a), Bridge.expression(b)))
+}

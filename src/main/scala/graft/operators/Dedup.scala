@@ -387,6 +387,39 @@ object Dedup {
       clusters.unionByName(singles).orderBy("cluster_id")
     }),
 
+    // ---- native Jaro–Winkler scalar -----------------------------------------
+    // The similarity scorer the ER family pairs with candidate generation
+    // (x108 blocking / x147 deletion neighborhoods): a native codegen'd
+    // Catalyst expression whose double arithmetic replicates DuckDB's
+    // jaro_winkler_similarity BIT-FOR-BIT (match window, transposition
+    // halving, 0.7-threshold prefix boost, and the any-empty→0.0
+    // degenerate convention — JaroWinklerExpr scaladoc). The gate scores
+    // the x108 canonical/dirty md5-name corpus against the oracle's
+    // NATIVE function — an independent implementation, not a replayed
+    // formula — on both a high-similarity pair (char-deletion variant,
+    // exercising the boost branch) and a low-similarity pair (reversed
+    // name, exercising the no-boost/transposition-heavy branch). Raw
+    // doubles cross the gate, so a single ULP of arithmetic divergence
+    // anywhere fails the hash. Scale: per-row scalar in whole-stage
+    // codegen — no shuffle at all beyond the final sort.
+    "x154_jaro_winkler" -> ((s, d) => {
+      table(s, d, "customer")
+        .select(col("c_custkey").as("k"), md5(col("c_custkey").cast("string")).as("nm"))
+        .where(col("k") % 3 =!= 0)
+        .select(
+          col("k"),
+          col("nm"),
+          expr("concat(substring(nm, 1, CAST(k % 32 AS INT)), substring(nm, CAST(k % 32 AS INT) + 2))")
+            .as("dirty")
+        )
+        .select(
+          col("k"),
+          graft.functions.JaroWinkler(col("nm"), col("dirty")).as("jw_dirty"),
+          graft.functions.JaroWinkler(col("nm"), reverse(col("nm"))).as("jw_reverse")
+        )
+        .orderBy("k")
+    }),
+
     // ---- lossless ed≤1 fuzzy resolution (deletion neighborhoods) -----------
     // x108's blocking (4-char prefix/suffix keys) is a HEURISTIC — an edit
     // inside both windows loses the pair. This is the lossless counterpart
@@ -923,6 +956,18 @@ object Dedup {
         |SELECT CAST(rec_id AS BIGINT), CAST(1 AS BIGINT), TRUE
         |FROM recs WHERE rec_id NOT IN (SELECT ra FROM m UNION ALL SELECT rb FROM m)
         |ORDER BY cluster_id""".stripMargin,
+    // x154: scored by DuckDB's NATIVE jaro_winkler_similarity — an
+    // independent implementation the Spark expression must match in raw
+    // doubles.
+    "x154_jaro_winkler" ->
+      """SELECT k, jaro_winkler_similarity(nm, dirty) AS jw_dirty,
+        |  jaro_winkler_similarity(nm, reverse(nm)) AS jw_reverse
+        |FROM (
+        |  SELECT k, nm,
+        |    substr(nm, 1, CAST(k % 32 AS INT)) || substr(nm, CAST(k % 32 AS INT) + 2) AS dirty
+        |  FROM (SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS nm FROM customer)
+        |  WHERE k % 3 <> 0)
+        |ORDER BY k""".stripMargin,
     // x147: the quadratic mention×dictionary twin — every pair within one
     // edit by brute force, which proves the Spark side's deletion-
     // neighborhood candidate join lossless (a missed pair flips the hash).

@@ -95,6 +95,12 @@ object GraftExtensions {
       "winnow_fingerprints(s, n, w) - sorted distinct window-min char n-gram hashes (winnowing)",
       es =>
         WinnowFingerprintExpr(es.head, lit(es(1), "winnow n").toInt, lit(es(2), "winnow w").toInt)
+    ),
+    fn(
+      "jaro_winkler",
+      classOf[JaroWinklerExpr],
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-identical arithmetic)",
+      es => JaroWinklerExpr(es.head, es(1))
     )
   )
 
@@ -117,5 +123,6 @@ object GraftExtensions {
       "winnow_fingerprints",
       es => WinnowFingerprintExpr(es.head, lit(es(1), "n").toInt, lit(es(2), "w").toInt)
     )
+    b.registerFunction(spark, "jaro_winkler", es => JaroWinklerExpr(es.head, es(1)))
   }
 }

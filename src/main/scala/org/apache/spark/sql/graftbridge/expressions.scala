@@ -519,3 +519,85 @@ object GramBytes {
     hashes
   }
 }
+
+/** Jaro–Winkler similarity of two strings — the standard algorithm
+  * (Winkler 1990: Jaro match/transposition counts within the
+  * ⌊max(l1,l2)/2⌋−1 window, then the ≤4-char common-prefix boost at scale
+  * 0.1 above the 0.7 threshold), computed with the EXACT double-arithmetic
+  * order DuckDB's `jaro_winkler_similarity` uses, so gate values are
+  * bit-identical: (m/l1 + m/l2 + (m−t)/m)/3, then j + l·0.1·(1−j).
+  * Matching is over UTF-16 code units (the fixture corpora are ASCII).
+  * Degenerate convention follows DuckDB, not the classical paper: ANY
+  * empty side (including both empty) returns 0.0. One tight codegen'd
+  * loop — the levenshtein-class scalar this engine's ER operators pair
+  * with lossless candidate generation (x108/x147).
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerExpr.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"org.apache.spark.sql.graftbridge.JaroWinklerExpr.compute($a, $b)"
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerExpr {
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0 // DuckDB's degenerate convention
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val from = math.max(0, i - window)
+      val until = math.min(l2, i + window + 1)
+      var j = from
+      var found = false
+      while (j < until && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val j = (m / l1.toDouble + m / l2.toDouble + (m - t) / m.toDouble) / 3.0
+    if (j > 0.7) {
+      var l = 0
+      val maxP = math.min(4, math.min(l1, l2))
+      while (l < maxP && s1.charAt(l) == s2.charAt(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    } else j
+  }
+}
