@@ -248,7 +248,18 @@ object ScaleProbe {
       // 16x clone corpus (distinct-gram sets are clone-invariant); x140's
       // d² stencil ticks at base embeddings scale (corpus-independent)
       "x141_cohort_retention", "x142_interval_overlap_join", "x143_rolling_distinct",
-      "x137_ngram_novelty"
+      "x137_ngram_novelty",
+      // r7 session 5: fuzzy resolution over the 16x clone corpus — the
+      // mention stream is 16x but distinct mention strings (and so the
+      // neighborhood join) are clone-INVARIANT; Viterbi encode likewise
+      // runs its DP per distinct word; DSIR's feature stream is 16x but
+      // both bucket aggs collapse map-side into ≤256 rows
+      "x147_fuzzy_resolve", "x148_unigram_viterbi", "x149_dsir_select",
+      // r7 session 5: SSSP relaxes over the ~10M-row scaled lineitem
+      // graph (4 rounds, same discipline as q55/q62); assoc rules pair
+      // within 16x baskets (bounded quadratic per basket); the native
+      // Jaro-Winkler scalar scans 16x customers in one codegen stage
+      "x152_weighted_sssp", "x153_assoc_rules", "x154_jaro_winkler"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
