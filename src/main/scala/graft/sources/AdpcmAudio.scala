@@ -39,11 +39,6 @@ object AdpcmAudio {
 
   val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-  private def u16le(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def tag(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
-
   /** one predictor step; returns (newPred, newStepIndex) */
   def step(pred: Int, stepIdx: Int, nib: Int): (Int, Int) = {
     val st = StepTable(stepIdx)
@@ -62,28 +57,20 @@ object AdpcmAudio {
     * checksum pins sample ORDER, not just the multiset — a swapped block
     * or reversed nibble order flips it. */
   def features(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
-    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var i = 12
-    var fmtOfs = -1; var dataOfs = -1; var dataLen = -1L; var factSamples = -1L
-    while (i + 8 <= b.length) {
-      val id = tag(b, i)
-      val len = u32le(b, i + 4)
-      if (len > Int.MaxValue - 16) return None
-      if (id == "fmt ") fmtOfs = i + 8
-      else if (id == "data") { dataOfs = i + 8; dataLen = len }
-      else if (id == "fact" && len >= 4) factSamples = u32le(b, i + 8)
-      i += 8 + len.toInt + (len.toInt & 1)
+    val (fmtOfs, dataOfs, dataLen, factSamples) = Riff.walk(b) match {
+      case Some(t) => t
+      case None    => return None
     }
-    if (fmtOfs < 0 || dataOfs < 0 || fmtOfs + 20 > b.length) return None
-    val fmtTag = u16le(b, fmtOfs)
-    val channels = u16le(b, fmtOfs + 2)
-    val blockAlign = u16le(b, fmtOfs + 12)
-    val bits = u16le(b, fmtOfs + 14)
+    if (fmtOfs + 20 > b.length) return None
+    val fmtTag = Riff.u16le(b, fmtOfs)
+    val channels = Riff.u16le(b, fmtOfs + 2)
+    val blockAlign = Riff.u16le(b, fmtOfs + 12)
+    val bits = Riff.u16le(b, fmtOfs + 14)
     if (fmtTag != 0x11 || channels != 1 || bits != 4 || blockAlign < 5) return None
     val samplesPerBlock = (blockAlign - 4) * 2 + 1
-    if (fmtOfs + 20 <= b.length && u16le(b, fmtOfs + 16) == 2) {
+    if (fmtOfs + 20 <= b.length && Riff.u16le(b, fmtOfs + 16) == 2) {
       // cbSize = 2 ⇒ the extra u16 is wSamplesPerBlock; it must agree
-      if (u16le(b, fmtOfs + 18) != samplesPerBlock) return None
+      if (Riff.u16le(b, fmtOfs + 18) != samplesPerBlock) return None
     }
     // full blocks only; trailing partial data is a structural lie
     if (dataLen <= 0 || dataLen % blockAlign != 0 || dataOfs + dataLen > b.length) return None
@@ -95,7 +82,7 @@ object AdpcmAudio {
     var blk = 0
     while (blk < nBlocks) {
       val o = dataOfs + blk * blockAlign
-      var pred = u16le(b, o).toShort.toInt // s16le, the block's sample 0
+      var pred = Riff.u16le(b, o).toShort.toInt // s16le, the block's sample 0
       var si = b(o + 2) & 0xff
       if (si > 88) return None // invalid step index: quarantine
       sumAbs += math.abs(pred); peak = math.max(peak, math.abs(pred).toLong)
@@ -115,9 +102,6 @@ object AdpcmAudio {
     Some((total, sumAbs, peak, chk))
   }
 
-  private def le32(v: Long): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
   /** Spec-valid mono WAV-IMA payload from explicit per-block state and a
     * nibble generator (any nibble sequence is a valid IMA stream — the
@@ -128,7 +112,7 @@ object AdpcmAudio {
     val samplesPerBlock = (blockAlign - 4) * 2 + 1
     val data = new java.io.ByteArrayOutputStream()
     for (((p0, s0), b) <- blocks.zipWithIndex) {
-      data.write(le16(p0 & 0xffff)); data.write(s0); data.write(0)
+      data.write(Riff.le16(p0 & 0xffff)); data.write(s0); data.write(0)
       var t = 0
       while (t < (blockAlign - 4) * 2) {
         data.write((nib(b, t) & 0x0f) | ((nib(b, t + 1) & 0x0f) << 4))
@@ -137,15 +121,9 @@ object AdpcmAudio {
     }
     val payload = data.toByteArray
     val avgBytes = (rate.toLong * blockAlign / samplesPerBlock).toInt
-    val fmt = le16(0x11) ++ le16(1) ++ le32(rate.toLong) ++ le32(avgBytes.toLong) ++
-      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(samplesPerBlock)
-    val fact = le32(blocks.size.toLong * samplesPerBlock)
-    "RIFF".getBytes("US-ASCII") ++
-      le32(4 + 8 + fmt.length + 8 + fact.length + 8 + payload.length.toLong) ++
-      "WAVE".getBytes("US-ASCII") ++
-      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length.toLong) ++ fmt ++
-      "fact".getBytes("US-ASCII") ++ le32(fact.length.toLong) ++ fact ++
-      "data".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+    val fmt = Riff.le16(0x11) ++ Riff.le16(1) ++ Riff.le32(rate.toLong) ++ Riff.le32(avgBytes.toLong) ++
+      Riff.le16(blockAlign) ++ Riff.le16(4) ++ Riff.le16(2) ++ Riff.le16(samplesPerBlock)
+    Riff.container(fmt, Some(Riff.le32(blocks.size.toLong * samplesPerBlock)), payload)
   }
 }
 

@@ -31,10 +31,12 @@ object AudioMeta {
         rate = u32le(b, i + 12).toInt
         bits = u16le(b, i + 22)
       } else if (id == "data") dataBytes = len
-      // u32 chunk length: values over Int.MaxValue wrap negative after
-      // .toInt, making the advance ≤ 0 (infinite loop / negative index on
-      // untrusted executor-side bytes) — reject the file instead.
-      if (len > Int.MaxValue - 16) return None
+      // a chunk longer than the remaining bytes is a structural lie AND
+      // the Int-overflow hazard (a near-2^31 length wraps the advance
+      // negative on untrusted executor-side bytes) — reject the file.
+      // Same guard as Riff.walk; this walk stops early so it keeps its
+      // own loop.
+      if (len > b.length - (i + 8)) return None
       i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     if (rate > 0 && dataBytes >= 0) Some(Meta("audio/wav", rate, chans, bits, dataBytes)) else None
@@ -54,7 +56,7 @@ object AudioMeta {
       var dataOfs = -1
       while (i + 8 <= b.length && dataOfs < 0) {
         val len = u32le(b, i + 4)
-        if (len > Int.MaxValue - 16) return None
+        if (len > b.length - (i + 8)) return None // Riff.walk's overflow guard
         if (tag(b, i) == "data") dataOfs = i + 8
         else i += 8 + len.toInt + (len.toInt & 1)
       }

@@ -763,6 +763,11 @@ object CowTable {
       )
     val next = latest + 1
     writeManifestRows(s, next, entriesAt(s, ref.manifestPath), root)
+    // re-base the ref onto the version it just became: the branch's own
+    // publish is not divergence, so a later commit+fast-forward cycle on
+    // the same branch must keep working (review-found — without this the
+    // branch was permanently un-fast-forwardable after its first publish)
+    writeRef(s, root, name, ref.copy(baseVersion = next))
     next
   }
 

@@ -28,11 +28,6 @@ import org.apache.spark.sql.SparkSession
   */
 object G711Audio {
 
-  private def u16le(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def tag(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
-
   /** expand one μ-law code byte to a 16-bit sample */
   def ulaw(code: Int): Int = {
     val u = ~code & 0xff
@@ -57,23 +52,15 @@ object G711Audio {
     * decoded samples: (law, n_samples, Σ|s|, max|s|, Σ (pos+1)·s) — the
     * x98 positional-checksum convention (order-pinning, not multiset). */
   def features(b: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
-    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var i = 12
-    var fmtOfs = -1; var dataOfs = -1; var dataLen = -1L; var factSamples = -1L
-    while (i + 8 <= b.length) {
-      val id = tag(b, i)
-      val len = u32le(b, i + 4)
-      if (len > Int.MaxValue - 16) return None
-      if (id == "fmt ") fmtOfs = i + 8
-      else if (id == "data") { dataOfs = i + 8; dataLen = len }
-      else if (id == "fact" && len >= 4) factSamples = u32le(b, i + 8)
-      i += 8 + len.toInt + (len.toInt & 1)
+    val (fmtOfs, dataOfs, dataLen, factSamples) = Riff.walk(b) match {
+      case Some(t) => t
+      case None    => return None
     }
-    if (fmtOfs < 0 || dataOfs < 0 || fmtOfs + 16 > b.length) return None
-    val fmtTag = u16le(b, fmtOfs)
-    val channels = u16le(b, fmtOfs + 2)
-    val blockAlign = u16le(b, fmtOfs + 12)
-    val bits = u16le(b, fmtOfs + 14)
+    if (fmtOfs + 16 > b.length) return None
+    val fmtTag = Riff.u16le(b, fmtOfs)
+    val channels = Riff.u16le(b, fmtOfs + 2)
+    val blockAlign = Riff.u16le(b, fmtOfs + 12)
+    val bits = Riff.u16le(b, fmtOfs + 14)
     val law = fmtTag match {
       case 0x07 => "ulaw"
       case 0x06 => "alaw"
@@ -94,24 +81,15 @@ object G711Audio {
     Some((law, dataLen, sumAbs, peak, chk))
   }
 
-  private def le32(v: Long): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-
   /** Spec-valid mono G.711 WAV from an explicit code-byte generator (any
     * byte sequence is a valid G.711 stream — decode gives it meaning, so
     * the oracle replays the generator formula through the expansion). */
   def synthesize(law: String, rate: Int, n: Int, code: Int => Int): Array[Byte] = {
     val fmtTag = if (law == "ulaw") 0x07 else 0x06
     val payload = Array.tabulate(n)(t => (code(t) & 0xff).toByte)
-    val fmt = le16(fmtTag) ++ le16(1) ++ le32(rate.toLong) ++ le32(rate.toLong) ++ le16(1) ++ le16(8)
-    val fact = le32(n.toLong)
-    "RIFF".getBytes("US-ASCII") ++
-      le32(4 + 8 + fmt.length + 8 + fact.length + 8 + payload.length.toLong) ++
-      "WAVE".getBytes("US-ASCII") ++
-      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length.toLong) ++ fmt ++
-      "fact".getBytes("US-ASCII") ++ le32(fact.length.toLong) ++ fact ++
-      "data".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+    val fmt = Riff.le16(fmtTag) ++ Riff.le16(1) ++ Riff.le32(rate.toLong) ++
+      Riff.le32(rate.toLong) ++ Riff.le16(1) ++ Riff.le16(8)
+    Riff.container(fmt, Some(Riff.le32(n.toLong)), payload)
   }
 }
 

@@ -71,14 +71,21 @@ class CowRefSpec extends AnyFunSuite {
       "fast-forward copied or rewrote data files"
     )
     assert(contents(next) === refContents("ff"), "fast-forwarded content differs from the branch head")
+    // the publish re-bases the ref: a SECOND commit + fast-forward cycle
+    // on the same branch must work — the branch's own publish is not
+    // divergence (review-found)
+    CowTable.branchCommit(spark, "ff", df(Seq((6L, 6L))), root = root)
+    val next2 = CowTable.fastForward(spark, "ff", root)
+    assert(next2 === next + 1)
+    assert(contents(next2) === refContents("ff"), "second fast-forward content differs")
     // divergence: fork, then main commits independently → refusal
-    CowTable.branchCreate(spark, "stale", next, root)
+    CowTable.branchCreate(spark, "stale", next2, root)
     CowTable.branchCommit(spark, "stale", df(Seq((2L, 1L))), root = root)
-    CowTable.merge(spark, next, next + 1, df(Seq((4L, 2L))), root = root)
+    CowTable.merge(spark, next2, next2 + 1, df(Seq((4L, 2L))), root = root)
     val e = intercept[IllegalStateException](CowTable.fastForward(spark, "stale", root))
     assert(e.getMessage.contains("divergent"))
     // and a tag can never fast-forward or take commits
-    CowTable.tagCreate(spark, "frozen", next, root)
+    CowTable.tagCreate(spark, "frozen", next2, root)
     intercept[IllegalArgumentException](CowTable.branchCommit(spark, "frozen", df(Seq((1L, 1L))), root = root))
     intercept[IllegalArgumentException](CowTable.fastForward(spark, "frozen", root))
   }

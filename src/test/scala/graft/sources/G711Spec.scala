@@ -45,4 +45,15 @@ class G711Spec extends AnyFunSuite {
     assert(G711Audio.features(patched(good)(c => c(fmtOfs + 16 + 8) = 63)).isEmpty, "fact mismatch accepted")
     assert(G711Audio.features(good.dropRight(1)).isEmpty, "truncated data accepted")
   }
+
+  test("near-2^31 chunk length quarantines instead of wrapping the walk offset (review-found)") {
+    // RIFF/WAVE preamble + one chunk declaring len = Int.MaxValue - 16:
+    // the old advance i += 8 + len + (len & 1) wrapped negative and threw
+    // from new String(b, -…, 4); Riff.walk must return None instead
+    val evil = "RIFF".getBytes("US-ASCII") ++ Riff.le32(92) ++ "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ Riff.le32(Int.MaxValue.toLong - 16) ++ new Array[Byte](80)
+    assert(G711Audio.features(evil).isEmpty)
+    assert(AdpcmAudio.features(evil).isEmpty)
+    assert(AudioMeta.parse(evil).isEmpty)
+  }
 }
