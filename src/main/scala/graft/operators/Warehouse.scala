@@ -443,6 +443,48 @@ object Warehouse {
     // updates touching ONLY changed buckets; the oracle recomputes the
     // view from v3 directly, and the hash match proves the increment law
     // (the q49 snapshot+delta discipline applied to table-format CDC).
+    // Incremental JOIN-view maintenance (x155) — the delta-join algebra
+    // (Blakeley et al. 1986), the join-MV counterpart of x85's
+    // agg-from-CDC: for V = O ⋈ L, the update under ΔO/ΔL is exactly
+    // ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL — three joins whose cost tracks the DELTA
+    // size, not the table size, because the delta side of each join is
+    // batch-sized and BROADCAST (at 100 TB this is the difference
+    // between an MV refresh reading one batch and re-reading the fact
+    // table). Deltas are closed-form stripes (late-arriving lineitems of
+    // existing orders + whole new orders with their items), so the
+    // oracle is the FULL recompute over the reunified tables — the gate
+    // proves incremental ≡ recompute, the invariant that matters.
+    // Mergeable aggs only (sum/count), merged by key summation.
+    "x155_delta_join_mv" -> ((s, d) => {
+      val o = graft.Graft
+        .table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+      val l = graft.Graft
+        .table(s, d, "lineitem")
+        .select(
+          col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"),
+          col("l_suppkey").as("supp"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+        )
+      val oBase = o.where(col("ok") % 10 =!= 7)
+      val oDelta = o.where(col("ok") % 10 === 7).localCheckpoint() // broadcast side ×2
+      val lBase = l.where(col("ok") % 10 =!= 7 && col("ln") % 4 =!= 2)
+      val lDelta = l.where(col("ok") % 10 === 7 || col("ln") % 4 === 2).localCheckpoint() // broadcast side ×2
+      def agg(df: DataFrame) =
+        df.groupBy("supp", "month").agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+      val mv0 = agg(oBase.join(lBase, "ok")).localCheckpoint() // the stored MV
+      val dOL = lBase.join(broadcast(oDelta), "ok") // ΔO⋈L₀ — ΔO broadcasts, L₀ never shuffles
+      val odL = oBase.join(broadcast(lDelta.where(col("ok") % 10 =!= 7)), "ok") // O₀⋈ΔL
+      val dOdL = oDelta.join(broadcast(lDelta.where(col("ok") % 10 === 7)), "ok") // ΔO⋈ΔL
+      val deltaMv = agg(dOL.unionByName(odL).unionByName(dOdL))
+      mv0
+        .unionByName(deltaMv)
+        .groupBy("supp", "month")
+        .agg(sum("n_items").as("n_items"), sum("revenue_cents").as("revenue_cents"))
+        .orderBy("supp", "month")
+    }),
+
     "x85_incremental_mv" -> ((s, d) => {
       graft.sources.CowTable.ensure(s, d)
       val w = graft.sources.CowTable.BucketWidth
@@ -1311,6 +1353,14 @@ object Warehouse {
         |FROM v3 GROUP BY v3.bucket ORDER BY v3.bucket""".stripMargin,
     // the MV increment law's oracle is the DIRECT v3 view — the gate's
     // incrementally-maintained numbers must land on it exactly
+    // x155: the FULL recompute over the reunified tables — incremental
+    // maintenance must reproduce it exactly.
+    "x155_delta_join_mv" ->
+      """SELECT l_suppkey AS supp, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x85_incremental_mv" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
