@@ -956,6 +956,47 @@ object TextAnalysis {
     // (a pushed-down scan predicate at 100 TB — only matching tokens ever
     // reach a shuffle), term stats aggregate over query terms only, and the
     // final ordered limit plans as TakeOrderedAndProject.
+    // BM25 ranking (x156) — the saturating upgrade of x32's tf·idf:
+    // score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    // the standard k1 = 1.2, b = 0.75 (Robertson & Walker 1994). Exact
+    // integer form: the rationals clear to satf_e6 = (44·tf·T·10⁶) div
+    // (20·T·tf + 6·T + 18·dl·D) with T = total tokens, D = docs (avgdl
+    // never materializes as a float), and idf is the x61 floor-log2
+    // surrogate ⌊log2(D/df)⌋ — every operation identical in the oracle.
+    // Long docs now saturate (tf → k1+1 asymptote) and are length-
+    // penalized, the two behaviors tf·idf lacks. Scale shape = x32's:
+    // term-filtered scan, vocab-sized df/1-row totals broadcast back,
+    // one per-doc agg, TakeOrderedAndProject.
+    "x156_bm25_rank" -> ((s, d) => {
+      val qterms = Seq("table", "spark", "window")
+      val docs = table(s, d, "documents")
+      val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val totals = dl.agg(sum("dl").as("tt"), count(lit(1)).as("nd"))
+      val hits = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .where(col("term").isInCollection(qterms))
+      val dfreq = hits.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      hits
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(totals))
+        .withColumn("idf_bits", (length(bin(expr("nd div df"))) - 1).cast("long"))
+        // DECIMAL(38,0) headroom like x32 (tf·T·1e6 wraps int64 at corpus scale)
+        .withColumn(
+          "satf_e6",
+          expr(
+            "CAST((CAST(44 AS DECIMAL(38,0)) * tf * tt * 1000000) div " +
+              "(CAST(20 AS DECIMAL(38,0)) * tt * tf + 6 * tt + 18 * dl * nd) AS BIGINT)"
+          )
+        )
+        .groupBy("doc_id")
+        .agg(sum(col("idf_bits") * col("satf_e6")).as("score"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "x32_keyword_search" -> ((s, d) => {
       val qterms = Seq("table", "spark", "window")
       val docs = table(s, d, "documents")
@@ -1565,6 +1606,24 @@ object TextAnalysis {
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents)
           |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t
           |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
+      // x156: the cleared-rational BM25 arithmetic replayed term by term.
+      "x156_bm25_rank" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+          |dl AS (
+          |  SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+          |  FROM documents),
+          |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, count(*) AS nd FROM dl),
+          |q AS (SELECT doc_id, term FROM t WHERE term IN ('table', 'spark', 'window')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+          |sc AS (
+          |  SELECT tf.doc_id,
+          |    (length(bin(nd // df)) - 1) *
+          |    ((44 * tf * tt * 1000000) // (20 * tt * tf + 6 * tt + 18 * dl.dl * nd)) AS tscore
+          |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, tot)
+          |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
+          |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
       "x32_keyword_search" ->
         """WITH t AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
