@@ -243,6 +243,50 @@ object Warehouse {
     // division. Shape: one per-user min (first week), one distinct
     // (user, week) census, one join on user_id (co-partitioned with the
     // census shuffle), two hash aggs — no self-join, no window.
+    // Distribution-drift report (x157) — the monitoring verb between two
+    // data populations (here: even-day vs odd-day events, the A/B split a
+    // nightly pipeline compares against yesterday): cells are
+    // (event_type × 6h-bucket), drift = total variation distance in EXACT
+    // ppm (Σ|share_a − share_b| / 2 — the integer-exact face of the PSI
+    // family; PSI's log factor rides along per cell as the add-1
+    // floor-log2 count LLR, the x61/x149 quantization). One scan → ONE
+    // shuffle: both sides aggregate in the same pass via conditional
+    // sums (no self-join, no outer join for missing cells — a cell absent
+    // on one side is a 0 count in the same row); totals and the 1-row
+    // TVD broadcast back onto the 20-cell frame.
+    "x157_drift_report" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("event_type"),
+          expr("hour(ts) div 6").as("hour_bucket"),
+          (pmod(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)"), lit(2L)) === 0L)
+            .as("side_a")
+        )
+      val cells = ev
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+          sum(when(col("side_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("side_a"), 1L).otherwise(0L)).as("cb")
+        )
+        .localCheckpoint() // three plan refs: totals, tvd, output frame
+      val totals = cells.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val shares = cells
+        .crossJoin(broadcast(totals))
+        .withColumn("share_a_ppm", expr("(ca * 1000000) div na"))
+        .withColumn("share_b_ppm", expr("(cb * 1000000) div nb"))
+        .localCheckpoint() // feeds tvd + output
+      val tvd = shares.agg(expr("sum(abs(share_a_ppm - share_b_ppm)) div 2").as("tvd_ppm"))
+      shares
+        .withColumn(
+          "llr_bits",
+          ((length(bin(col("ca") + 1)) - 1) - (length(bin(col("cb") + 1)) - 1)).cast("long")
+        )
+        .crossJoin(broadcast(tvd))
+        .select("event_type", "hour_bucket", "ca", "cb", "share_a_ppm", "share_b_ppm", "llr_bits", "tvd_ppm")
+        .orderBy("event_type", "hour_bucket")
+    }),
+
     "x141_cohort_retention" -> ((s, d) => {
       val ev = graft.Graft
         .events(s, d)
@@ -1621,6 +1665,28 @@ object Warehouse {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x141: epoch-day div-7 weeks, first-week cohorts, distinct activity
     // census — the identical integer pipeline.
+    // x157: same cells/shares/TVD arithmetic; conditional sums replayed.
+    "x157_drift_report" ->
+      """WITH ev AS (
+        |  SELECT event_type, hour(ts) // 6 AS hour_bucket,
+        |    (epoch_us(ts::TIMESTAMP) // 86400000000) % 2 = 0 AS side_a
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, hour_bucket,
+        |    CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN side_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |sh AS (
+        |  SELECT event_type, hour_bucket, ca, cb,
+        |    (ca * 1000000) // na AS share_a_ppm,
+        |    (cb * 1000000) // nb AS share_b_ppm
+        |  FROM cells, tot),
+        |tvd AS (SELECT CAST(sum(abs(share_a_ppm - share_b_ppm)) // 2 AS BIGINT) AS tvd_ppm FROM sh)
+        |SELECT event_type, hour_bucket, ca, cb, share_a_ppm, share_b_ppm,
+        |  CAST((length(bin(ca + 1)) - 1) - (length(bin(cb + 1)) - 1) AS BIGINT) AS llr_bits,
+        |  tvd_ppm
+        |FROM sh, tvd ORDER BY event_type, hour_bucket""".stripMargin,
     "x141_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id,
