@@ -1058,14 +1058,30 @@ object CowTable {
     * only (the x45-before-x78 split): executing it breaks time travel to
     * expired versions by design, so the gate never runs the delete —
     * CowTableSpec does, on the fixture, and rebuilds after. Driver-side
-    * listing: file-count-sized metadata, the table-format shape. */
+    * listing: file-count-sized metadata, the table-format shape.
+    *
+    * Named refs (x150) are GC ROOTS: every file reachable from any
+    * branch/tag manifest is protected regardless of `retain` — a tag
+    * pinning an expired version, or an unpublished branch head, must
+    * survive vacuum (the Iceberg expire-snapshots contract; deleting the
+    * ref is how its files become eligible). Branch data directories
+    * (`branch_<name>_v<seq>`) are vacuum CANDIDATES like version dirs, so
+    * an abandoned, de-referenced branch lineage is collectable. */
   def vacuumPlan(s: SparkSession, retain: Seq[Int], root: String = dir): (Seq[String], Seq[String]) = {
-    val referenced = retain
-      .flatMap(v => manifest(s, v, root).select("path").collect().map(_.getString(0)))
-      .toSet
+    val refNames = Option(new java.io.File(s"$root/refs").listFiles())
+      .map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .map(_.getName)
+    val referenced = (retain
+      .flatMap(v => manifest(s, v, root).select("path").collect().map(_.getString(0))) ++
+      refNames.flatMap(n => entriesAt(s, readRefMeta(s, n, root).manifestPath).map(_.path))).toSet
     val all = new java.io.File(root)
       .listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .filter(f =>
+        f.isDirectory &&
+          (f.getName.matches("^v\\d+$") ||
+            (f.getName.startsWith("branch_") && !f.getName.contains("manifest")))
+      )
       .flatMap(_.listFiles())
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.getAbsolutePath)

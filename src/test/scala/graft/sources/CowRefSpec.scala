@@ -57,6 +57,26 @@ class CowRefSpec extends AnyFunSuite {
     assert(ref.kind === "branch" && ref.seq === 2 && ref.baseVersion === 2)
   }
 
+  test("refs are vacuum GC roots: branch-head files survive any retain set; deleting the ref frees them") {
+    setup
+    CowTable.branchCreate(spark, "gc", CowTable.latestVersion(root), root)
+    CowTable.branchCommit(spark, "gc", df(Seq((0L, 1111L), (50000L, 5L))), root = root)
+    val headOwn = CowTable
+      .entriesAt(spark, CowTable.readRefMeta(spark, "gc", root).manifestPath)
+      .map(_.path)
+      .filter(_.contains("branch_gc_"))
+    assert(headOwn.nonEmpty, "branch commit wrote no own files")
+    // retain only main's latest: the un-published branch's files must be
+    // protected by the ref, not listed as orphans
+    val (orphans, all) = CowTable.vacuumPlan(spark, Seq(CowTable.latestVersion(root)), root)
+    assert(headOwn.forall(all.contains), "branch data dirs are not vacuum candidates")
+    assert(!orphans.exists(_.contains("branch_gc_")), "ref-reachable branch files marked orphan")
+    // drop the ref → the branch lineage becomes collectable
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/refs/gc"))
+    val (orphans2, _) = CowTable.vacuumPlan(spark, Seq(CowTable.latestVersion(root)), root)
+    assert(headOwn.forall(orphans2.contains), "de-referenced branch files not collectable")
+  }
+
   test("fast-forward is metadata-only (path identity) and refuses on divergence") {
     setup
     CowTable.branchCreate(spark, "ff", CowTable.latestVersion(root), root)
