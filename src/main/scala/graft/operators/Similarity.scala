@@ -473,6 +473,63 @@ object Similarity {
     // swaps to the x06/x13 ANN path unchanged — the voting layer only sees
     // (qid, label) pairs); votes are integers and neighbor order is the
     // bit-exact float32 cosine, so the whole pipeline hash-matches DuckDB.
+    // Maximal Marginal Relevance selection (x158) — diversified top-k
+    // (Carbonell & Goldstein 1998), the context-selection step a RAG /
+    // training-mixture pipeline runs AFTER similarity search: greedily
+    // pick argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) with λ = 2/3,
+    // cleared to the integer score 2·rel − maxsim (ties → smaller id).
+    // All arithmetic on the x57 1e3 fixed-point grid (int64 dots), so
+    // both engines agree exactly. Scale shape: relevance scan + top-24
+    // candidate cut (TakeOrderedAndProject) and the 24×24 candidate pair
+    // dots are DISTRIBUTED; the greedy itself is inherently sequential
+    // in k and runs on the collected candidate matrix — ≤24+552 rows,
+    // driver-sized by design (the x73 manifest-prune class), after which
+    // the result is re-parallelized. The oracle replays the greedy as an
+    // 8-step unrolled CTE chain (the x148 pattern) with identical
+    // tie-breaks.
+    "x158_mmr_select" -> ((s, d) => {
+      import s.implicits._
+      val qv = table(s, d, "embeddings")
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("q")
+        )
+        .localCheckpoint() // three plan refs: query row, relevance scan, pair dots
+      val q0 = qv.where(col("vec_id") === 0L).select(col("q").as("qq"))
+      val rel = qv
+        .where(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q0))
+        .select(
+          col("vec_id"),
+          expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("rel")
+        )
+      val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(24).localCheckpoint()
+      val cv = qv.join(cand, "vec_id").select(col("vec_id"), col("q"), col("rel"))
+      val pairs = cv
+        .select(col("vec_id").as("a"), col("q").as("qa"))
+        .crossJoin(broadcast(cv.select(col("vec_id").as("b"), col("q").as("qb"))))
+        .where(col("a") =!= col("b"))
+        .select(col("a"), col("b"), expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"))
+      // bounded driver pull: ≤ 24 candidates + 552 pair dots (metadata-sized)
+      val rels = cand.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dots = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rels.keys
+      for (k <- 1 to 8) {
+        val best = remaining.toSeq
+          .map { c =>
+            val pen = if (sel.isEmpty) 0L else sel.map(s => dots((c, s._2))).max
+            (c, rels(c), pen, 2 * rels(c) - pen)
+          }
+          .maxBy { case (c, _, _, s2) => (s2, -c) } // score desc, then SMALLER id
+        sel += ((k.toLong, best._1, best._2, best._3, best._4))
+        remaining -= best._1
+      }
+      sel.toSeq
+        .toDF("sel_rank", "vec_id", "rel", "penalty", "score2")
+        .orderBy("sel_rank")
+    }),
+
     "x29_knn_classify" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val q = emb
@@ -978,6 +1035,47 @@ object Similarity {
         |  CAST(c.n * c.gram - sa.si * sb.si AS BIGINT) AS cov_num
         |FROM cells c JOIN sums sa ON c.i = sa.i JOIN sums sb ON c.j = sb.i
         |ORDER BY c.i, c.j""".stripMargin,
+    // x158: the greedy MMR replayed as an 8-step unrolled CTE chain with
+    // the identical (score2 desc, vec_id asc) tie-break at every pick.
+    "x158_mmr_select" -> {
+      val steps = (1 to 8)
+        .map { i =>
+          s"""pick$i AS MATERIALIZED (
+             |  SELECT vec_id, rel, pen, 2 * rel - pen AS score2 FROM (
+             |    SELECT c.vec_id, c.rel,
+             |      coalesce((SELECT max(p.dot) FROM pairs p JOIN sel${i - 1} s ON p.b = s.vec_id
+             |                WHERE p.a = c.vec_id), 0) AS pen
+             |    FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}))
+             |  ORDER BY 2 * rel - pen DESC, vec_id LIMIT 1),
+             |sel$i AS MATERIALIZED (
+             |  SELECT vec_id, rel, pen, score2, CAST($i AS BIGINT) AS sel_rank FROM pick$i
+             |  UNION ALL SELECT * FROM sel${i - 1})""".stripMargin
+        }
+        .mkString(",\n")
+      // AS MATERIALIZED: DuckDB re-evaluates plain CTEs per reference —
+      // 8 pick steps × the qe→embeddings lineage exhausted the file-
+      // descriptor budget before materialization was forced
+      s"""WITH qe AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qi
+         |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i FROM embeddings)),
+         |q0 AS (SELECT i, qi AS qi0 FROM qe WHERE vec_id = 0),
+         |rel AS (
+         |  SELECT qe.vec_id, CAST(sum(qe.qi * q0.qi0) AS BIGINT) AS rel
+         |  FROM qe JOIN q0 USING (i) WHERE qe.vec_id <> 0 GROUP BY 1),
+         |cand AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 24),
+         |pairs AS MATERIALIZED (
+         |  SELECT ea.vec_id AS a, eb.vec_id AS b, CAST(sum(ea.qi * eb.qi) AS BIGINT) AS dot
+         |  FROM qe ea JOIN qe eb ON ea.i = eb.i AND ea.vec_id <> eb.vec_id
+         |  WHERE ea.vec_id IN (SELECT vec_id FROM cand) AND eb.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY 1, 2),
+         |sel0 AS (
+         |  SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS rel,
+         |         CAST(NULL AS BIGINT) AS pen, CAST(NULL AS BIGINT) AS score2,
+         |         CAST(NULL AS BIGINT) AS sel_rank WHERE 1 = 0),
+         |$steps
+         |SELECT sel_rank, vec_id, rel, pen AS penalty, score2
+         |FROM sel8 ORDER BY sel_rank""".stripMargin
+    },
     "x05_sim_cosine_topk" ->
       """SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6 FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
