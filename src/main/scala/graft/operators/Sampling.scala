@@ -41,6 +41,57 @@ object Sampling {
   /** deterministic [0, 100) bucket of a document id */
   private def docBucket: Column = Hashing.md5Bucket(col("doc_id").cast("string"), 100L)
 
+  /** x149's DSIR scoring pipeline — (doc_id, n_feats, llr_bits), shared by
+    * the selection gate (x149) and the AUC/calibration evaluation (x159)
+    * so the score definition cannot drift between them. Feature stream is
+    * never shuffled: bucket counts collapse map-side to ≤256 rows and
+    * broadcast back (scaladoc at the x149 entry). */
+  private[operators] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val feats = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), toks.as("ws"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          concat(
+            col("ws"),
+            when(
+              size(col("ws")) >= 2,
+              expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
+            ).otherwise(array().cast("array<string>"))
+          )
+        ).as("feat")
+      )
+      .where(length(col("feat")) >= 1)
+      .select(col("doc_id"), col("lang"), Hashing.md5Bucket(col("feat"), 256L).as("b"))
+      .localCheckpoint() // four plan refs: cr, ct, totals, per-doc scoring
+    val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = feats.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+    val bucketBits = cr
+      .join(ct, Seq("b"), "left")
+      .select(
+        col("b"),
+        ((length(bin(coalesce(col("ct"), lit(0L)) + 1L)) - 1).cast("long") -
+          (length(bin(col("cr") + 1L)) - 1).cast("long")).as("sbits")
+      )
+    val totals = feats.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")
+    )
+    feats
+      .join(broadcast(bucketBits), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("sbits").as("sb"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        col("n_feats"),
+        (col("sb") +
+          col("n_feats") * ((length(bin(col("nr") + 256L)) - 1).cast("long") -
+            (length(bin(col("nt") + 256L)) - 1).cast("long"))).as("llr_bits")
+      )
+  }
+
   /** 32-bit Morton interleave of two 16-bit columns, unrolled flat so it
     * stays inside whole-stage codegen (shared by x47 and x73). */
   private[graft] def interleave16(cxCol: String, dyCol: String): String =
@@ -352,51 +403,7 @@ object Sampling {
     // 1-row totals broadcast back onto the stream, and the per-doc agg
     // carries one row per doc; selection is TakeOrderedAndProject.
     "x149_dsir_select" -> ((s, d) => {
-      val ws = toks
-      val feats = table(s, d, "documents")
-        .select(col("doc_id"), col("lang"), ws.as("ws"))
-        .select(
-          col("doc_id"),
-          col("lang"),
-          explode(
-            concat(
-              col("ws"),
-              when(
-                size(col("ws")) >= 2,
-                expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")
-              ).otherwise(array().cast("array<string>"))
-            )
-          ).as("feat")
-        )
-        .where(length(col("feat")) >= 1)
-        .select(col("doc_id"), col("lang"), Hashing.md5Bucket(col("feat"), 256L).as("b"))
-        .localCheckpoint() // four plan refs: cr, ct, totals, per-doc scoring
-      val cr = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-      val ct = feats.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
-      val bucketBits = cr
-        .join(ct, Seq("b"), "left")
-        .select(
-          col("b"),
-          ((length(bin(coalesce(col("ct"), lit(0L)) + 1L)) - 1).cast("long") -
-            (length(bin(col("cr") + 1L)) - 1).cast("long")).as("sbits")
-        )
-      val totals = feats.agg(
-        count(lit(1)).as("nr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")
-      )
-      val scored = feats
-        .join(broadcast(bucketBits), "b")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum("sbits").as("sb"))
-        .crossJoin(broadcast(totals))
-        .select(
-          col("doc_id"),
-          col("n_feats"),
-          (col("sb") +
-            col("n_feats") * ((length(bin(col("nr") + 256L)) - 1).cast("long") -
-              (length(bin(col("nt") + 256L)) - 1).cast("long"))).as("llr_bits")
-        )
-      val top = scored.orderBy(col("llr_bits").desc, col("doc_id")).limit(50)
+      val top = dsirScores(s, d).orderBy(col("llr_bits").desc, col("doc_id")).limit(50)
       top
         .join(table(s, d, "documents").select("doc_id", "lang", "source"), "doc_id")
         .withColumn(
@@ -405,6 +412,49 @@ object Sampling {
         )
         .select("sel_rank", "doc_id", "lang", "source", "n_feats", "llr_bits")
         .orderBy("sel_rank")
+    }),
+
+    // Score evaluation (x159): ROC-AUC + calibration deciles for the x149
+    // DSIR score against its own target label ('en') — the eval loop every
+    // learned/heuristic quality scorer needs before it drives selection
+    // (is the score actually separating target from pool, and is its
+    // ranking calibrated?). AUC is computed EXACTLY as the Mann-Whitney
+    // rank-sum statistic with midranks for ties, all-integer: per distinct
+    // score group, 2·midrank = 2·cum_before + cnt + 1, so 2U = Σ npos_g ·
+    // (2·cum+cnt+1) − npos(npos+1) and auc_e6 = 2U·500000 div (npos·nneg)
+    // — no floats anywhere (ties are heavy here: llr_bits is coarse, so
+    // the midrank handling is load-bearing, not decorative). Calibration
+    // = ntile(10) positive-rate ppm per score decile. Scale note: the two
+    // global windows run over the DISTINCT-SCORE group table and the
+    // per-doc frame — at corpus scale the decile assignment would ride
+    // the x26/x87 distributed prefix-sum instead of a global ntile; the
+    // rank-sum window is score-resolution-bounded (llr_bits values).
+    "x159_auc_calibration" -> ((s, d) => {
+      val labeled = dsirScores(s, d)
+        .join(
+          table(s, d, "documents").select(col("doc_id"), (col("lang") === "en").cast("long").as("pos")),
+          "doc_id"
+        )
+        .localCheckpoint() // two plan refs: rank-sum groups, deciles
+      val groups = labeled.groupBy("llr_bits").agg(count(lit(1)).as("cnt"), sum("pos").as("npos_g"))
+      val wCum = Window.orderBy("llr_bits").rowsBetween(Window.unboundedPreceding, -1)
+      val stats = groups
+        .withColumn("cum", coalesce(sum("cnt").over(wCum), lit(0L)))
+        .agg(
+          sum("npos_g").as("npos"),
+          (sum("cnt") - sum("npos_g")).as("nneg"),
+          sum(col("npos_g") * (lit(2L) * col("cum") + col("cnt") + 1L)).as("r2")
+        )
+        .withColumn("u2", col("r2") - col("npos") * (col("npos") + 1L))
+        .withColumn("auc_e6", expr("(u2 * 500000) div (npos * nneg)"))
+        .select("npos", "nneg", "u2", "auc_e6")
+      labeled
+        .withColumn("decile", ntile(10).over(Window.orderBy(col("llr_bits"), col("doc_id"))).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("pos").as("npos_d"))
+        .withColumn("pos_rate_ppm", expr("(npos_d * 1000000) div n"))
+        .crossJoin(broadcast(stats))
+        .orderBy("decile")
     }),
 
     // temperature-scaled domain resampling — the data-mixing step behind
@@ -734,6 +784,38 @@ object Sampling {
       |q AS (SELECT source, n_docs, w,
       |  (300 * w) // CAST((SELECT sum(w) FROM g) AS BIGINT) AS target FROM g)""".stripMargin
 
+  /** x149's score pipeline as DuckDB CTEs ending at fin(doc_id, n_feats,
+    * llr_bits) — shared by the x149 and x159 oracles like the Spark-side
+    * [[dsirScores]]. */
+  private val DsirScoreCtes: String =
+    """warr AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |feat AS (
+      |  SELECT doc_id, lang, feat FROM (
+      |    SELECT doc_id, lang, unnest(ws) AS feat FROM warr
+      |    UNION ALL
+      |    SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+      |    FROM warr, unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2)
+      |  WHERE length(feat) >= 1),
+      |f AS (
+      |  SELECT doc_id, lang, ('0x' || substr(md5(feat), 1, 15))::BIGINT % 256 AS b FROM feat),
+      |cr AS (SELECT b, count(*) AS cr FROM f GROUP BY 1),
+      |ct AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+      |bb AS (
+      |  SELECT cr.b,
+      |    (length(bin(coalesce(ct.ct, 0) + 1)) - 1) - (length(bin(cr.cr + 1)) - 1) AS sbits
+      |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+      |tot AS (
+      |  SELECT count(*) AS nr,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM f),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_feats, sum(sbits) AS sb
+      |  FROM f JOIN bb USING (b) GROUP BY 1),
+      |fin AS (
+      |  SELECT doc_id, n_feats,
+      |    sb + n_feats * ((length(bin(nr + 256)) - 1) - (length(bin(nt + 256)) - 1)) AS llr_bits
+      |  FROM sc CROSS JOIN tot)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "x24_hash_split" ->
       """WITH b AS (
@@ -860,33 +942,7 @@ object Sampling {
         |FROM d ORDER BY lang, source""".stripMargin,
     // x149: the same smoothed floor-log2 LLR decomposition term by term.
     "x149_dsir_select" ->
-      """WITH warr AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
-        |feat AS (
-        |  SELECT doc_id, lang, feat FROM (
-        |    SELECT doc_id, lang, unnest(ws) AS feat FROM warr
-        |    UNION ALL
-        |    SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
-        |    FROM warr, unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2)
-        |  WHERE length(feat) >= 1),
-        |f AS (
-        |  SELECT doc_id, lang, ('0x' || substr(md5(feat), 1, 15))::BIGINT % 256 AS b FROM feat),
-        |cr AS (SELECT b, count(*) AS cr FROM f GROUP BY 1),
-        |ct AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
-        |bb AS (
-        |  SELECT cr.b,
-        |    (length(bin(coalesce(ct.ct, 0) + 1)) - 1) - (length(bin(cr.cr + 1)) - 1) AS sbits
-        |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
-        |tot AS (
-        |  SELECT count(*) AS nr,
-        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM f),
-        |sc AS (
-        |  SELECT doc_id, count(*) AS n_feats, sum(sbits) AS sb
-        |  FROM f JOIN bb USING (b) GROUP BY 1),
-        |fin AS (
-        |  SELECT doc_id, n_feats,
-        |    sb + n_feats * ((length(bin(nr + 256)) - 1) - (length(bin(nt + 256)) - 1)) AS llr_bits
-        |  FROM sc CROSS JOIN tot),
+      s"""WITH $DsirScoreCtes,
         |top AS (
         |  SELECT doc_id, n_feats, llr_bits,
         |    row_number() OVER (ORDER BY llr_bits DESC, doc_id) AS sel_rank
@@ -894,6 +950,37 @@ object Sampling {
         |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, t.doc_id, d.lang, d.source,
         |  CAST(n_feats AS BIGINT) AS n_feats, CAST(llr_bits AS BIGINT) AS llr_bits
         |FROM top t JOIN documents d USING (doc_id) ORDER BY sel_rank""".stripMargin,
+    // x159: the identical midrank rank-sum + ntile arithmetic over the
+    // shared score CTEs.
+    "x159_auc_calibration" ->
+      s"""WITH $DsirScoreCtes,
+        |lab AS (
+        |  SELECT f2.doc_id, f2.llr_bits, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM fin f2 JOIN documents d USING (doc_id)),
+        |grp AS (
+        |  SELECT llr_bits, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos_g
+        |  FROM lab GROUP BY 1),
+        |rk AS (
+        |  SELECT llr_bits, cnt, npos_g,
+        |    coalesce(sum(cnt) OVER (ORDER BY llr_bits
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM grp),
+        |st AS (
+        |  SELECT npos, nneg, r2 - npos * (npos + 1) AS u2,
+        |    ((r2 - npos * (npos + 1)) * 500000) // (npos * nneg) AS auc_e6
+        |  FROM (
+        |    SELECT CAST(sum(npos_g) AS BIGINT) AS npos,
+        |      CAST(sum(cnt) - sum(npos_g) AS BIGINT) AS nneg,
+        |      CAST(sum(npos_g * (2 * cum + cnt + 1)) AS BIGINT) AS r2
+        |    FROM rk)),
+        |dec AS (
+        |  SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS npos_d
+        |  FROM (SELECT pos, CAST(ntile(10) OVER (ORDER BY llr_bits, doc_id) AS BIGINT) AS decile
+        |        FROM lab)
+        |  GROUP BY 1)
+        |SELECT decile, n, npos_d, (npos_d * 1000000) // n AS pos_rate_ppm,
+        |  npos, nneg, u2, auc_e6
+        |FROM dec, st ORDER BY decile""".stripMargin,
     "x59_temperature_mix" ->
       s"""WITH $TemperatureQuotaCtes,
          |r AS (SELECT source, doc_id,
