@@ -259,7 +259,15 @@ object ScaleProbe {
       // graph (4 rounds, same discipline as q55/q62); assoc rules pair
       // within 16x baskets (bounded quadratic per basket); the native
       // Jaro-Winkler scalar scans 16x customers in one codegen stage
-      "x152_weighted_sssp", "x153_assoc_rules", "x154_jaro_winkler"
+      "x152_weighted_sssp", "x153_assoc_rules", "x154_jaro_winkler",
+      // r7 session 5b: delta-join MV over 16x orders/lineitem — the
+      // delta sides stay batch-sized broadcasts, so refresh cost tracks
+      // the deltas; BM25 and the AUC eval ride the 16x clone corpus
+      // (score tables are vocab/score-resolution-bounded); the drift
+      // report aggregates 16x events in one conditional-sum pass; MMR's
+      // distributed part (relevance + pair dots) rides base embeddings
+      "x155_delta_join_mv", "x156_bm25_rank", "x157_drift_report",
+      "x159_auc_calibration", "x158_mmr_select"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
