@@ -1025,6 +1025,44 @@ object Warehouse {
     // month directories. The gate pins join content against the raw
     // parquet originals, proving the partitioned round trip value-exact
     // (the x106 pattern).
+    // Eager aggregation (x160) — graft's second custom optimizer rewrite
+    // (TopKRewriteRule is the first): Aggregate over fact ⋈ unique-dim
+    // re-plans with the fact side PRE-AGGREGATED on (join keys ∪ fact
+    // group keys) below the join, partials merged above (Yan & Larson
+    // 1995; soundness gate at EagerAggRule's scaladoc — fires only when
+    // the dim side is provably duplicate-free on its join keys). At
+    // 100 TB the join shuffles one row per supplier instead of the fact
+    // table. The gate applies the rule EXPLICITLY via Bridge.eagerAgg
+    // (session-isolated — other gate queries' plans stay untouched) and
+    // REQUIRES it to fire, so a pattern-match regression aborts the
+    // build (the ensureWap discipline); the oracle is the plain
+    // aggregate-over-join, so the rewrite must be value-identical.
+    "x160_eager_agg" -> ((s, d) => {
+      val fact = graft.Graft
+        .table(s, d, "lineitem")
+        .select(
+          col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_quantity").cast("long").as("qty")
+        )
+      val dim = graft.Graft
+        .table(s, d, "supplier")
+        .groupBy(col("s_suppkey"))
+        .agg(max("s_nationkey").as("nk")) // Aggregate on the key ⇒ provably unique
+      val q = fact
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nk"))
+        .agg(
+          sum("cents").as("revenue_cents"),
+          count(lit(1)).as("n_items"),
+          min("qty").as("min_qty"),
+          max("qty").as("max_qty")
+        )
+      val (rewritten, fired) = org.apache.spark.sql.graftbridge.Bridge.eagerAgg(q)
+      require(fired, "x160: the eager-aggregation rewrite did not fire on its reference shape")
+      rewritten.orderBy("nk")
+    }),
+
     "x131_dynamic_partition_pruning" -> ((s, d) => {
       val fact = graft.sources.MonthStore.read(s, d)
       val dim = graft.Graft
@@ -1062,6 +1100,15 @@ object Warehouse {
     // x131: the oracle joins the RAW parquet originals (no partitioned
     // artifact), so a hash match proves the month-partitioned write +
     // DPP-pruned read is value-exact end to end.
+    // x160: the plain aggregate-over-join — the rewrite must match it.
+    "x160_eager_agg" ->
+      """SELECT d.nk, CAST(sum(f.cents) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items, min(f.qty) AS min_qty, max(f.qty) AS max_qty
+        |FROM (SELECT l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             CAST(l_quantity AS BIGINT) AS qty FROM lineitem) f
+        |JOIN (SELECT s_suppkey, max(s_nationkey) AS nk FROM supplier GROUP BY 1) d
+        |  ON f.l_suppkey = d.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x131_dynamic_partition_pruning" ->
       """WITH dim AS (
         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month FROM orders

@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // re-plan onto the heap operator automatically (disable per session via
     // spark.graft.topkRewrite.enabled=false)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
+    // optimizer rewrite: eager aggregation below provably-safe inner joins
+    // (disable per session via spark.graft.eagerAgg.enabled=false)
+    ext.injectOptimizerRule(_ => EagerAggRule)
   }
 }
 

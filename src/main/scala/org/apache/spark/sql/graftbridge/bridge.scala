@@ -60,6 +60,21 @@ object Bridge {
     )
   }
 
+  /** Apply [[EagerAggRule]] to a frame's analyzed plan and return the
+    * rewritten frame plus whether the rule fired — the explicit,
+    * session-isolated invocation the x160 gate uses (the
+    * `spark.sql.extensions` / `experimental.extraOptimizations` paths
+    * apply the same rule session-wide). */
+  def eagerAgg(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Boolean) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val analyzed = ds.queryExecution.analyzed
+    val rewritten = EagerAggRule(analyzed)
+    (
+      org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, rewritten),
+      !rewritten.fastEquals(analyzed)
+    )
+  }
+
   /** Register a function builder on a live session (the runtime counterpart
     * of wiring `spark.sql.extensions=graft.plans.GraftExtensions` at
     * session build time). */

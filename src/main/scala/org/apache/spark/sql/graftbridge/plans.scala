@@ -226,3 +226,146 @@ object TopKRewriteRule
           }
       }
 }
+
+/** Eager aggregation below an inner equi-join (Yan & Larson, VLDB 1995) —
+  * graft's second optimizer rewrite: when a query aggregates the result of
+  * `fact ⋈ dim` and the dim side is PROVABLY duplicate-free on its join
+  * keys, the fact side is pre-aggregated on (join keys ∪ its group keys)
+  * BEFORE the join, and the final aggregate merges partials. At 100 TB
+  * this is the difference between shuffling the fact table into the join
+  * and shuffling one row per (key, group) — the same motivation as
+  * map-side combine, applied across a join boundary.
+  *
+  * Soundness gate (the rule is conservative — it fires only when all
+  * hold, so it can never change results):
+  *   - INNER join, condition a pure conjunction of attr = attr equalities;
+  *   - every aggregate is non-DISTINCT, unfiltered SUM / COUNT / MIN /
+  *     MAX over fact-side expressions (SUM excluded on decimals — its
+  *     re-sum would widen the result precision);
+  *   - grouping expressions are plain attributes;
+  *   - the dim side is duplicate-free on its join keys BY CONSTRUCTION:
+  *     an Aggregate grouping on ⊇ keys, a Deduplicate on ⊇ keys, or
+  *     either under attribute-only Project / Filter. Uniqueness is what
+  *     makes per-fact-row multiplicity ≤ 1, so partial merge is exact
+  *     (fact keys the join drops carry their partials away whole).
+  *
+  * COUNT merges as SUM of partial counts; since every final group exists
+  * only via surviving rows the merged sum is never null. Disable per
+  * session via spark.graft.eagerAgg.enabled=false.
+  */
+object EagerAggRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.expressions.aggregate._
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Join, Project}
+  import org.apache.spark.sql.types.DecimalType
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.eagerAgg.enabled", "true") == "true"
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  /** dim-side plans whose output is duplicate-free on `keys` */
+  private def uniqueOn(plan: LogicalPlan, keys: Seq[Attribute]): Boolean = plan match {
+    case a: Aggregate =>
+      val g = a.groupingExpressions.collect { case ar: Attribute => ar.exprId }.toSet
+      keys.forall(k => g.contains(k.exprId))
+    case d: Deduplicate =>
+      keys.forall(k => d.keys.exists(_.exprId == k.exprId))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) => uniqueOn(child, keys)
+    case f: Filter => uniqueOn(f.child, keys)
+    case _ => false
+  }
+
+  private def mergeable(f: AggregateFunction): Boolean = f match {
+    case Sum(e, _) => !e.dataType.isInstanceOf[DecimalType]
+    case _: Count  => true
+    case _: Min    => true
+    case _: Max    => true
+    case _         => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else
+      plan.transform {
+        case agg @ Aggregate(_, _, j: Join, _) =>
+          rewrite(agg, j).getOrElse(agg)
+        case agg @ Aggregate(_, _, Project(pl, j: Join), _)
+            if pl.forall(_.isInstanceOf[Attribute]) =>
+          rewrite(agg, j).getOrElse(agg)
+      }
+
+  private def rewrite(agg: Aggregate, j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner || j.condition.isEmpty) return None
+    val pairs = conjuncts(j.condition.get).map {
+      case EqualTo(a: Attribute, b: Attribute) => (a, b)
+      case _                                   => return None
+    }
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute])) return None
+    val aggFns = agg.aggregateExpressions.flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (aggFns.isEmpty) return None
+    if (aggFns.exists(ae => ae.isDistinct || ae.filter.nonEmpty || !mergeable(ae.aggregateFunction)))
+      return None
+    // orient: the side every aggregate input lives on is the fact side
+    def sideOf(refs: AttributeSet): Option[Boolean] = // Some(true) = left
+      if (refs.subsetOf(j.left.outputSet)) Some(true)
+      else if (refs.subsetOf(j.right.outputSet)) Some(false)
+      else None
+    val factIsLeft = {
+      val sides = aggFns.map(ae => sideOf(ae.references))
+      if (sides.exists(_.isEmpty)) return None
+      val distinctSides = sides.flatten.distinct
+      if (distinctSides.size != 1) return None
+      distinctSides.head
+    }
+    val (fact, dim) = if (factIsLeft) (j.left, j.right) else (j.right, j.left)
+    val factKeys = pairs.map { case (a, b) => if (fact.outputSet.contains(a)) a else b }
+    val dimKeys = pairs.map { case (a, b) => if (dim.outputSet.contains(a)) a else b }
+    if (!factKeys.forall(fact.outputSet.contains) || !dimKeys.forall(dim.outputSet.contains))
+      return None
+    if (!uniqueOn(dim, dimKeys)) return None
+    // group attrs: fact-side ones ride the pre-aggregation; dim-side pass
+    val groupAttrs = agg.groupingExpressions.collect { case a: Attribute => a }
+    if (!groupAttrs.forall(a => fact.outputSet.contains(a) || dim.outputSet.contains(a)))
+      return None
+    val factGroup = groupAttrs.filter(fact.outputSet.contains)
+    // non-aggregate fact references outside grouping would dangle
+    val nonAggRefs = AttributeSet(
+      agg.aggregateExpressions.flatMap(_.collect { case a: AttributeReference => a })
+    ) -- AttributeSet(aggFns.flatMap(_.references)) -- AttributeSet(groupAttrs)
+    if (nonAggRefs.nonEmpty) return None
+    val preKeys = (factKeys ++ factGroup).distinct
+    val partials = aggFns.zipWithIndex.map { case (ae, i) =>
+      // fresh resultId: the original id lives on in the FINAL aggregate's
+      // rewritten expression; sharing it across two Aggregates would alias
+      // two different intermediate results
+      Alias(ae.copy(resultId = NamedExpression.newExprId), s"graft_partial_$i")()
+    }
+    val preAgg = Aggregate(preKeys, preKeys ++ partials, fact, None)
+    val partialAttr: Map[AggregateExpression, Attribute] =
+      aggFns.zip(partials.map(_.toAttribute)).toMap
+    val newJoin =
+      if (factIsLeft) j.copy(left = preAgg) else j.copy(right = preAgg)
+    val newAggExprs = agg.aggregateExpressions.map { ne =>
+      ne.transform {
+          case ae: AggregateExpression =>
+            val p = partialAttr(ae)
+            ae.aggregateFunction match {
+              case _: Sum   => ae.copy(aggregateFunction = Sum(p))
+              case _: Count => ae.copy(aggregateFunction = Sum(p))
+              case _: Min   => ae.copy(aggregateFunction = Min(p))
+              case _: Max   => ae.copy(aggregateFunction = Max(p))
+              case _        => ae
+            }
+        }
+        .asInstanceOf[NamedExpression]
+    }
+    Some(Aggregate(agg.groupingExpressions, newAggExprs, newJoin, None))
+  }
+}
