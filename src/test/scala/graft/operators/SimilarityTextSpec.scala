@@ -235,7 +235,7 @@ class SimilarityTextSpec extends AnyFunSuite {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql("SELECT cosine_f32(array(cast(1.0 as float)), array(cast(2.0 as float))) AS c").head()
     assert(r.getDouble(0) === 1.0)
-    assert(ext != null && graft.plans.GraftExtensions.all.size === 8)
+    assert(ext != null && graft.plans.GraftExtensions.all.size === 9)
     assert(spark.sql("SELECT winnow_fingerprints('abcdefgh', 4, 5)").head().getSeq[Long](0).length === 1)
     // each SQL call must agree with its Column-API twin
     assert(
