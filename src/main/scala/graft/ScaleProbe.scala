@@ -267,7 +267,11 @@ object ScaleProbe {
       // report aggregates 16x events in one conditional-sum pass; MMR's
       // distributed part (relevance + pair dots) rides base embeddings
       "x155_delta_join_mv", "x156_bm25_rank", "x157_drift_report",
-      "x159_auc_calibration", "x158_mmr_select"
+      "x159_auc_calibration", "x158_mmr_select",
+      // r7 session 5c: the eager-agg rewrite over 16x lineitem — the
+      // pre-aggregation collapses ~10M fact rows to one per supplier
+      // BEFORE the join shuffle (the rule's whole point at scale)
+      "x160_eager_agg"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -287,6 +287,73 @@ object Warehouse {
         .orderBy("event_type", "hour_bucket")
     }),
 
+    // CUSUM change-point detection (x161, Page 1954) — the SEQUENTIAL
+    // drift detector complementing x157's two-population snapshot: daily
+    // counts walk the classic recursions S⁺ = max(0, S⁺ + (x−μ−κ)) /
+    // S⁻ = max(0, S⁻ + (μ−x−κ)) and alarm when either exceeds h. All e3
+    // integer fixed point (μ, κ = μ/20, h = μ/2 — floor divisions both
+    // engines share). The monitored series carries a PLANTED level shift
+    // (purchase counts, plus error counts from day 19738 on — the
+    // x128/x139 planted-anomaly discipline), so the alarm fires at a
+    // provable point and the gate pins the full S⁺/S⁻ trajectories, not
+    // just the alarm day. Scale shape: the corpus collapses to ONE row
+    // per day in a single conditional-sum agg; the recursion is
+    // inherently sequential and runs as one codegen'd fold over the
+    // collected ≤31-element array (day-count-bounded, the x148 class);
+    // oracle = linear recursive CTE over the same day index.
+    "x161_cusum_changepoint" -> ((s, d) => {
+      val daily = graft.Graft
+        .events(s, d)
+        .select(
+          expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("day"),
+          col("event_type")
+        )
+        .groupBy("day")
+        .agg(
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) +
+            sum(when(col("event_type") === "error", 1L).otherwise(0L) * when(col("day") >= 19738L, 1L).otherwise(0L)))
+            .as("x")
+        )
+      val stats = daily.agg(
+        expr("(sum(x) * 1000) div count(1)").as("mu_e3"),
+        count(lit(1)).as("n_days")
+      )
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("ser"))
+        .crossJoin(broadcast(stats))
+        .select(
+          col("mu_e3"),
+          expr("mu_e3 div 20").as("k_e3"),
+          expr("mu_e3 div 2").as("h_e3"),
+          expr(
+            """aggregate(
+              |  ser,
+              |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: BIGINT, sp: BIGINT, sn: BIGINT>>),
+              |  (acc, e) -> concat(acc, array(named_struct(
+              |    'day', e.day, 'x', e.x,
+              |    'sp', greatest(CAST(0 AS BIGINT),
+              |            IF(size(acc) = 0, CAST(0 AS BIGINT), element_at(acc, -1).sp)
+              |            + (e.x * 1000 - mu_e3 - (mu_e3 div 20))),
+              |    'sn', greatest(CAST(0 AS BIGINT),
+              |            IF(size(acc) = 0, CAST(0 AS BIGINT), element_at(acc, -1).sn)
+              |            + (mu_e3 - e.x * 1000 - (mu_e3 div 20)))))))""".stripMargin
+          ).as("walk")
+        )
+        .select(col("mu_e3"), col("k_e3"), col("h_e3"), explode(col("walk")).as("w"))
+        .select(
+          col("w.day").as("day"),
+          col("w.x").as("x"),
+          col("w.sp").as("s_pos"),
+          col("w.sn").as("s_neg"),
+          (col("w.sp") > col("h_e3")).as("alarm_hi"),
+          (col("w.sn") > col("h_e3")).as("alarm_lo"),
+          col("mu_e3"),
+          col("k_e3"),
+          col("h_e3")
+        )
+        .orderBy("day")
+    }),
+
     "x141_cohort_retention" -> ((s, d) => {
       val ev = graft.Graft
         .events(s, d)
@@ -1712,6 +1779,32 @@ object Warehouse {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x141: epoch-day div-7 weeks, first-week cohorts, distinct activity
     // census — the identical integer pipeline.
+    // x161: the CUSUM recursions replayed as a linear recursive CTE over
+    // the day index (rn joins rn+1 — one row per step, never a fan-out).
+    "x161_cusum_changepoint" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(epoch_us(ts::TIMESTAMP) // 86400000000 AS BIGINT) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) +
+        |         sum(CASE WHEN event_type = 'error'
+        |                   AND CAST(epoch_us(ts::TIMESTAMP) // 86400000000 AS BIGINT) >= 19738
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST((sum(x) * 1000) // count(*) AS BIGINT) AS mu_e3 FROM daily),
+        |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |walk(rn, day, x, sp, sn) AS (
+        |  SELECT i.rn, i.day, i.x,
+        |    greatest(CAST(0 AS BIGINT), i.x * 1000 - mu_e3 - mu_e3 // 20),
+        |    greatest(CAST(0 AS BIGINT), mu_e3 - i.x * 1000 - mu_e3 // 20)
+        |  FROM idx i, st WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.day, i.x,
+        |    greatest(CAST(0 AS BIGINT), w.sp + (i.x * 1000 - mu_e3 - mu_e3 // 20)),
+        |    greatest(CAST(0 AS BIGINT), w.sn + (mu_e3 - i.x * 1000 - mu_e3 // 20))
+        |  FROM walk w JOIN idx i ON i.rn = w.rn + 1 CROSS JOIN st)
+        |SELECT w.day, w.x, w.sp AS s_pos, w.sn AS s_neg,
+        |  w.sp > mu_e3 // 2 AS alarm_hi, w.sn > mu_e3 // 2 AS alarm_lo,
+        |  mu_e3, CAST(mu_e3 // 20 AS BIGINT) AS k_e3, CAST(mu_e3 // 2 AS BIGINT) AS h_e3
+        |FROM walk w, st ORDER BY w.day""".stripMargin,
     // x157: same cells/shares/TVD arithmetic; conditional sums replayed.
     "x157_drift_report" ->
       """WITH ev AS (
