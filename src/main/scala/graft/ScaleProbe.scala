@@ -270,8 +270,9 @@ object ScaleProbe {
       "x159_auc_calibration", "x158_mmr_select",
       // r7 session 5c: the eager-agg rewrite over 16x lineitem — the
       // pre-aggregation collapses ~10M fact rows to one per supplier
-      // BEFORE the join shuffle (the rule's whole point at scale)
-      "x160_eager_agg"
+      // BEFORE the join shuffle (the rule's whole point at scale); CUSUM
+      // collapses 16x events to one row per day then folds the series
+      "x160_eager_agg", "x161_cusum_changepoint"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

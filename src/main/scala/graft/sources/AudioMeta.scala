@@ -12,10 +12,11 @@ object AudioMeta {
       else dataBytes * 8000L / (sampleRate.toLong * channels * bitsPerSample)
   }
 
-  private def u16le(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-  private def tag(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
+  // byte readers/writers live in [[Riff]] (review-found: this file carried
+  // the fourth verbatim copy); only the early-stopping walks stay local
+  private def u16le(b: Array[Byte], o: Int): Int = Riff.u16le(b, o)
+  private def u32le(b: Array[Byte], o: Int): Long = Riff.u32le(b, o)
+  private def tag(b: Array[Byte], o: Int): String = Riff.tag(b, o)
 
   /** Walk RIFF chunks for `fmt ` and `data`; None if not a WAV. */
   def parse(b: Array[Byte]): Option[Meta] = {
@@ -80,9 +81,8 @@ object AudioMeta {
     }
   }
 
-  private def le32(v: Long): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = Riff.le32(v)
+  private def le16(v: Int): Array[Byte] = Riff.le16(v)
 
   /** Minimal spec-valid WAV with silence-like deterministic samples. */
   def synthesize(rate: Int, channels: Int, bits: Int, nSamples: Int, seed: Int): Array[Byte] = {

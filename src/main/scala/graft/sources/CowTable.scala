@@ -1080,7 +1080,8 @@ object CowTable {
       .filter(f =>
         f.isDirectory &&
           (f.getName.matches("^v\\d+$") ||
-            (f.getName.startsWith("branch_") && !f.getName.contains("manifest")))
+            (f.getName.startsWith("branch_") &&
+              !f.getName.matches("^branch_.*_manifest_v\\d+$")))
       )
       .flatMap(_.listFiles())
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))

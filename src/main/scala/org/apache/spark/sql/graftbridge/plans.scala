@@ -249,9 +249,13 @@ object TopKRewriteRule
   *     makes per-fact-row multiplicity ≤ 1, so partial merge is exact
   *     (fact keys the join drops carry their partials away whole).
   *
-  * COUNT merges as SUM of partial counts; since every final group exists
-  * only via surviving rows the merged sum is never null. Disable per
-  * session via spark.graft.eagerAgg.enabled=false.
+  * COUNT merges as SUM of partial counts; every final GROUP exists only
+  * via surviving rows, so the merged sum is never null — which is why
+  * ungrouped (global) aggregates bail out: there the empty-join case
+  * would turn COUNT 0 into NULL. The rule tags its partials
+  * (`graft_partial_*`) and skips plans already carrying them, so it is
+  * idempotent under fixpoint optimizer batches. Disable per session via
+  * spark.graft.eagerAgg.enabled=false.
   */
 object EagerAggRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
 
@@ -303,6 +307,10 @@ object EagerAggRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan
 
   private def rewrite(agg: Aggregate, j: Join): Option[LogicalPlan] = {
     if (j.joinType != Inner || j.condition.isEmpty) return None
+    // global (ungrouped) aggregates bail: a join producing zero rows
+    // yields COUNT 0 in the original plan but Sum(partials) = NULL in
+    // the rewrite — only grouped aggregates are value-safe (review-found)
+    if (agg.groupingExpressions.isEmpty) return None
     val pairs = conjuncts(j.condition.get).map {
       case EqualTo(a: Attribute, b: Attribute) => (a, b)
       case _                                   => return None
@@ -325,6 +333,16 @@ object EagerAggRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan
       distinctSides.head
     }
     val (fact, dim) = if (factIsLeft) (j.left, j.right) else (j.right, j.left)
+    // idempotence guard: our own output re-matches every gate (the merged
+    // Sum over a partial is itself mergeable), so without this the
+    // fixpoint batch re-fires each iteration, stacking partial Aggregates
+    // until the iteration cap (review-found). The partial alias prefix is
+    // the tag.
+    fact match {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name.startsWith("graft_partial_")) =>
+        return None
+      case _ => ()
+    }
     val factKeys = pairs.map { case (a, b) => if (fact.outputSet.contains(a)) a else b }
     val dimKeys = pairs.map { case (a, b) => if (dim.outputSet.contains(a)) a else b }
     if (!factKeys.forall(fact.outputSet.contains) || !dimKeys.forall(dim.outputSet.contains))

@@ -71,6 +71,42 @@ class EagerAggSpec extends AnyFunSuite {
     assert(!Bridge.eagerAgg(distQ)._2, "fired on a distinct aggregate")
   }
 
+  test("global (ungrouped) aggregates bail: empty-join COUNT must stay 0, not NULL (review-found)") {
+    val emptyFact = fact.where(col("l_suppkey") < 0) // no rows survive
+    val globalQ = emptyFact
+      .join(uniqueDim, col("l_suppkey") === col("s_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(!Bridge.eagerAgg(globalQ)._2, "fired on an ungrouped aggregate")
+    assert(globalQ.head().getLong(0) === 0L)
+  }
+
+  test("idempotent under fixpoint batches: re-applying never stacks partials (review-found)") {
+    val (rw1, fired1) = Bridge.eagerAgg(query(uniqueDim))
+    assert(fired1)
+    val (_, fired2) = Bridge.eagerAgg(rw1)
+    assert(!fired2, "rule re-fired on its own output")
+    // and the session-wide fixpoint path produces exactly one partial layer
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(EagerAggRule)
+    val q2 = Graft
+      .table(s2, sf, "lineitem")
+      .select(col("l_suppkey"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(
+        Graft.table(s2, sf, "supplier").groupBy(col("s_suppkey")).agg(max("s_nationkey").as("nk")),
+        col("l_suppkey") === col("s_suppkey")
+      )
+      .groupBy(col("nk"))
+      .agg(sum("cents").as("rev"))
+    val plan = q2.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_partial_0"))
+    // one alias site + bounded references; a stacking regression shows
+    // dozens of lines (one fresh partial per fixpoint iteration)
+    assert(
+      plan.linesIterator.count(_.contains("graft_partial_0")) <= 3,
+      s"partials stacked:\n$plan"
+    )
+  }
+
   test("session-wide via extraOptimizations; conf disables it") {
     val s2 = spark.newSession()
     s2.experimental.extraOptimizations = Seq(EagerAggRule)

@@ -75,6 +75,17 @@ class CowRefSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/refs/gc"))
     val (orphans2, _) = CowTable.vacuumPlan(spark, Seq(CowTable.latestVersion(root)), root)
     assert(headOwn.forall(orphans2.contains), "de-referenced branch files not collectable")
+    // a branch whose NAME contains 'manifest' must still be a candidate
+    // (review-found: a substring exclusion hid its data dirs forever)
+    CowTable.branchCreate(spark, "manifest_fix", CowTable.latestVersion(root), root)
+    CowTable.branchCommit(spark, "manifest_fix", df(Seq((1L, 7L))), root = root)
+    val own2 = CowTable
+      .entriesAt(spark, CowTable.readRefMeta(spark, "manifest_fix", root).manifestPath)
+      .map(_.path)
+      .filter(_.contains("branch_manifest_fix_v"))
+    assert(own2.nonEmpty)
+    val (_, all3) = CowTable.vacuumPlan(spark, Seq(CowTable.latestVersion(root)), root)
+    assert(own2.forall(all3.contains), "'manifest'-named branch data dirs missing from candidates")
   }
 
   test("fast-forward is metadata-only (path identity) and refuses on divergence") {
