@@ -287,6 +287,54 @@ object Warehouse {
         .orderBy("event_type", "hour_bucket")
     }),
 
+    // A/B experiment evaluation (x162) — the two-proportion z-test the
+    // product-analytics stack runs on every experiment: users split into
+    // arms by the module's md5 hash, conversion = ≥1 purchase, and the
+    // test statistic is carried as z² in EXACT rational arithmetic —
+    // z² = (c₁n₂−c₂n₁)²·N / (n₁·n₂·C·(N−C)) after clearing every
+    // denominator (pooled p̂ never materializes, no sqrt anywhere; χ²(1)
+    // form, so the 95% line is z² > 3.8416 via integer cross-multiply).
+    // DECIMAL(38,0) headroom for the squared cross term (HUGEINT-class
+    // in the oracle). Scale shape: one per-user census agg (the corpus
+    // shuffle), one 2-row arm agg, 1-row stats broadcast back.
+    "x162_ab_test" -> ((s, d) => {
+      val users = graft.Graft
+        .events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+        .select(
+          col("user_id"),
+          graft.functions.Hashing.md5Bucket(col("user_id").cast("string"), 2L).as("arm"),
+          // ≥14 ≈ the per-user purchase median at the fixture's constant
+          // event/user density — both outcomes populated at every SF
+          when(col("purchases") >= 14, 1L).otherwise(0L).as("conv")
+        )
+      val arms = users
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        .withColumn("rate_ppm", expr("(n_conv * 1000000) div n_users"))
+        .localCheckpoint() // two plan refs: output frame, stats
+      val stats = arms
+        .agg(
+          sum(when(col("arm") === 0, col("n_users")).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("n_conv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 1, col("n_users")).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("n_conv")).otherwise(0L)).as("c2")
+        )
+        .select(
+          expr("(c1 * 1000000) div n1 - (c2 * 1000000) div n2").as("diff_ppm"),
+          expr(
+            // degenerate pooled variance (all or no users converted) ⇒ 0
+            "CAST(IF(c1 + c2 = 0 OR c1 + c2 = n1 + n2, 0, " +
+              "(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) * " +
+              "(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) * (n1 + n2) * 10000 div " +
+              "(CAST(n1 AS DECIMAL(38,0)) * n2 * (c1 + c2) * (n1 + n2 - c1 - c2))) AS BIGINT)"
+          ).as("z2_e4")
+        )
+        .withColumn("significant_95", col("z2_e4") > 38416L)
+      arms.crossJoin(broadcast(stats)).orderBy("arm")
+    }),
+
     // CUSUM change-point detection (x161, Page 1954) — the SEQUENTIAL
     // drift detector complementing x157's two-population snapshot: daily
     // counts walk the classic recursions S⁺ = max(0, S⁺ + (x−μ−κ)) /
@@ -1779,6 +1827,35 @@ object Warehouse {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x141: epoch-day div-7 weeks, first-week cohorts, distinct activity
     // census — the identical integer pipeline.
+    // x162: the same cleared-rational z² (HUGEINT headroom mirrors the
+    // Spark side's DECIMAL(38,0)).
+    "x162_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv,
+        |    (CAST(sum(conv) AS BIGINT) * 1000000) // count(*) AS rate_ppm
+        |  FROM u GROUP BY 1),
+        |st0 AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN n_conv ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n_conv ELSE 0 END) AS BIGINT) AS c2
+        |  FROM arms),
+        |st AS (
+        |  SELECT (c1 * 1000000) // n1 - (c2 * 1000000) // n2 AS diff_ppm,
+        |    CAST(CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN 0 ELSE
+        |         (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+        |         (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) * (n1 + n2) * 10000 //
+        |         (CAST(n1 AS HUGEINT) * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)) END AS BIGINT) AS z2_e4
+        |  FROM st0)
+        |SELECT arm, n_users, n_conv, rate_ppm, diff_ppm, z2_e4, z2_e4 > 38416 AS significant_95
+        |FROM arms, st ORDER BY arm""".stripMargin,
     // x161: the CUSUM recursions replayed as a linear recursive CTE over
     // the day index (rn joins rn+1 — one row per step, never a fan-out).
     "x161_cusum_changepoint" ->
