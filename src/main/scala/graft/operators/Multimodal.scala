@@ -716,6 +716,47 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
+    // TIFF pixel decode (x163): classic II TIFF — IFD tag walk, strip
+    // assembly, and PackBits RLE (the mixed fixture alternates compression
+    // per id, and the formula's 4-wide runs make BOTH repeat and literal
+    // PackBits paths load-bearing) → the shared 8×8 resample/checksum.
+    // The compression column pins the tag dispatch; the oracle replays
+    // the pixel formula and never sees a byte. TiffPixelsSpec adds
+    // ImageIO-plugin conformance (the PNG discipline).
+    "x163_tiff_decode" -> ((s, _) => {
+      graft.sources.TiffFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("compression", StringType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.TiffFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            graft.sources.TiffPixels.decode(payload) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(
+                  r.getAs[Long]("img_id"),
+                  img.width,
+                  img.height,
+                  graft.sources.TiffPixels.compressionOf(payload).orNull,
+                  cs
+                )
+              case None => Row(r.getAs[Long]("img_id"), null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
+
     // G.711 μ-law/A-law sample decode (x151): the telephony-audio codec —
     // stateless per-byte logarithmic expansion, so unlike x98's recursive
     // predictor replay the oracle decodes the fixture's code-byte formula
@@ -1227,6 +1268,24 @@ object Multimodal {
         |  CAST(max(abs(pred)) AS BIGINT) AS peak,
         |  CAST(sum((blk * 505 + j + 1) * pred) AS BIGINT) AS checksum
         |FROM st GROUP BY aid ORDER BY audio_id""".stripMargin,
+    // x163: the x33 checksum CTE over the TIFF fixture's run-structured
+    // pixel formula — IFD walk + strips + PackBits proven byte-free.
+    "x163_tiff_decode" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height, compression
+        |  FROM '/root/repo/spark-warehouse/graft_tiff/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height, compression,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj)
+        |SELECT img_id, width, height, compression,
+        |  CAST(sum(wgt * (
+        |      3 * ((img_id * 5 + (sx // 4) * 7 + sy * 3) % 256)
+        |    + 5 * ((img_id * 3 + (sx // 4) * 2 + sy * 11) % 256)
+        |    + 7 * ((img_id * 17 + (sx // 4) + sy * 7) % 256))) AS BIGINT) AS checksum
+        |FROM px GROUP BY img_id, width, height, compression ORDER BY img_id""".stripMargin,
     // x151: the fixture's code-byte formula pushed through the G.711
     // expansion arithmetic inline — stateless, so no recursion at all.
     "x151_g711_decode" ->
