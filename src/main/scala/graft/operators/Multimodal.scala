@@ -524,6 +524,7 @@ object Multimodal {
       graft.sources.PngFixture.ensure(s)
       graft.sources.GifFixture.ensure(s)
       graft.sources.JpegFixture.ensure(s)
+      graft.sources.TiffFixture.ensure(s)
       val schema = StructType(
         Seq(
           StructField("uid", LongType),
@@ -538,7 +539,8 @@ object Multimodal {
         graft.sources.PngFixture.payloadPath -> 0L,
         graft.sources.GifFixture.payloadPath -> 1000L,
         graft.sources.JpegFixture.payloadPath -> 2000L,
-        graft.sources.BmpFixture.payloadPath -> 3000L
+        graft.sources.BmpFixture.payloadPath -> 3000L,
+        graft.sources.TiffFixture.payloadPath -> 4000L
       ).map { case (p, off) =>
         s.read.parquet(p).select((col("img_id") + lit(off)).as("uid"), col("payload"))
       }.reduce(_.unionByName(_))
@@ -1126,10 +1128,22 @@ object Multimodal {
         |    CAST(sum(wgt * (3 * ((img_id * 7 + sx * 3 + sy * 5) % 256)
         |                  + 5 * ((img_id * 11 + sx + sy * 2) % 256)
         |                  + 7 * ((img_id * 13 + sx * 2 + sy) % 256))) AS BIGINT) AS checksum
-        |  FROM bmp_px GROUP BY img_id, width, height)
+        |  FROM bmp_px GROUP BY img_id, width, height),
+        |tif_t AS (SELECT img_id, width, height FROM '/root/repo/spark-warehouse/graft_tiff/twin/*.parquet'),
+        |tif_px AS (
+        |  SELECT img_id, width, height, (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM tif_t, g gi, g gj),
+        |tif AS (
+        |  SELECT img_id + 4000 AS uid, 'tiff' AS fmt, width, height,
+        |    CAST(sum(wgt * (3 * ((img_id * 5 + (sx // 4) * 7 + sy * 3) % 256)
+        |                  + 5 * ((img_id * 3 + (sx // 4) * 2 + sy * 11) % 256)
+        |                  + 7 * ((img_id * 17 + (sx // 4) + sy * 7) % 256))) AS BIGINT) AS checksum
+        |  FROM tif_px GROUP BY img_id, width, height)
         |SELECT uid, fmt, width, height, checksum FROM (
         |  SELECT * FROM png UNION ALL SELECT * FROM gif
-        |  UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM bmp)
+        |  UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM bmp
+        |  UNION ALL SELECT * FROM tif)
         |ORDER BY uid""".stripMargin,
     // first-principles aHash oracle: pixel formula (+ the near-clone bump,
     // saturating at 255) → 8×8 sample grays → integer mean compare → 64-bit

@@ -4,10 +4,10 @@ package graft.sources
   * actually needs: payloads arrive with no format column, the first bytes
   * decide (BMP `BM`, PNG signature, GIF `GIF8`, JPEG FFD8), and the
   * matching from-scratch decoder produces pixels under one shared
-  * contract (the 8×8 resample/checksum of x33). One operator, four real
-  * decoders ([[BmpPixels]], [[PngPixels]], [[GifPixels]],
-  * [[JpegPixels]]); anything unrecognized or out of scope quarantines to
-  * None exactly as each decoder does alone. */
+  * contract (the 8×8 resample/checksum of x33). One operator, five real
+  * decoders ([[BmpPixels]], [[PngPixels]], [[GifPixels]], [[JpegPixels]],
+  * [[TiffPixels]] — II magic); anything unrecognized or out of scope
+  * quarantines to None exactly as each decoder does alone. */
 object ImageDispatch {
 
   /** (format, image) by magic-byte sniff; None = unrecognized/corrupt. */
@@ -19,6 +19,8 @@ object ImageDispatch {
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
       GifPixels.decode(b).map("gif" -> _)
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) JpegPixels.decode(b).map("jpeg" -> _)
+    else if (b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0)
+      TiffPixels.decode(b).map("tiff" -> _)
     else None
   }
 }
