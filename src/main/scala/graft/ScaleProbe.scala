@@ -272,7 +272,11 @@ object ScaleProbe {
       // pre-aggregation collapses ~10M fact rows to one per supplier
       // BEFORE the join shuffle (the rule's whole point at scale); CUSUM
       // collapses 16x events to one row per day then folds the series
-      "x160_eager_agg", "x161_cusum_changepoint"
+      "x160_eager_agg", "x161_cusum_changepoint",
+      // r7 session 5d: A/B census over 16x events (one user-keyed agg);
+      // TIFF decode + 5-way dispatch ride the fixture corpora (per-row
+      // codec work, corpus-size independent)
+      "x162_ab_test", "x163_tiff_decode", "x91_image_dispatch"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
