@@ -841,6 +841,81 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Naive Bayes classifier TRAINING + held-out evaluation (x164) — the
+    // learn-the-filter face the classifier family was missing: x68 runs
+    // inference over FIXTURE weights and x09 ranks trigram profiles; this
+    // trains a multinomial NB (the fastText/CCNet-style cheap document
+    // classifier) from the labeled corpus itself and evaluates it on the
+    // untouched half. Train split = even doc_id (the x72/x127 convention);
+    // features are x65's 256-bucket hashed unigrams; likelihoods are
+    // add-1-smoothed floor-log2 weights w(l,b) = ⌊log2(c_lb+1)⌋ −
+    // ⌊log2(T_l+256)⌋ and priors ⌊log2(d_l+1)⌋ − ⌊log2(N+L)⌋ — the x149
+    // bin()-length log quantization, integer end to end (invariant #7).
+    // Prediction argmaxes a (score desc, lang asc) total order; output is
+    // the (actual, predicted, split) confusion census with a score digest
+    // and the held-out accuracy ppm riding as a broadcast column — the
+    // eval loop in the same query (the x159 discipline). Scale shape: the
+    // corpus feature stream collapses to ≤256 rows per doc in ONE shuffle
+    // (shared with training via a doc-keyed co-join), the dense L×256
+    // weight grid and L-row priors broadcast back (bounded at any corpus
+    // size), and the ×L scoring expansion happens AFTER the per-doc
+    // collapse, never on the raw token stream.
+    "x164_nb_classifier" -> ((s, d) => {
+      val labeled = hashedFeatures(s, d)
+        .join(table(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint() // two plan refs: train counts, full-corpus scoring
+      val train = labeled.where(col("doc_id") % 2 === 0)
+      val cnts = train.groupBy(col("lang").as("clang"), col("b")).agg(sum("cnt").as("c"))
+      val ltot = train.groupBy(col("lang").as("clang")).agg(sum("cnt").as("tl"))
+      val tdocs = table(s, d, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("clang"))
+        .agg(count(lit(1)).as("dl"))
+      val ntr = tdocs.agg(sum("dl").as("nd"), count(lit(1)).as("nl"))
+      // dense grid: a bucket unseen for a language still carries its
+      // smoothing mass −⌊log2(T_l+256)⌋ — a sparse join would drop it
+      val grid = ltot
+        .select(col("clang"), col("tl"), explode(expr("sequence(0, 255)")).as("bi"))
+        .select(col("clang"), col("tl"), col("bi").cast("long").as("b"))
+        .join(cnts, Seq("clang", "b"), "left")
+        .select(
+          col("clang"),
+          col("b"),
+          ((length(bin(coalesce(col("c"), lit(0L)) + 1L)) - 1).cast("long") -
+            (length(bin(col("tl") + 256L)) - 1).cast("long")).as("w")
+        )
+      val priors = tdocs
+        .crossJoin(broadcast(ntr))
+        .select(
+          col("clang"),
+          ((length(bin(col("dl") + 1L)) - 1).cast("long") -
+            (length(bin(col("nd") + col("nl"))) - 1).cast("long")).as("prior_bits")
+        )
+      val wPick = Window.partitionBy("doc_id").orderBy(col("score").desc, col("clang"))
+      val pred = labeled
+        .join(broadcast(grid), Seq("b"))
+        .groupBy("doc_id", "clang")
+        .agg(sum(expr("cnt * w")).as("like_bits"))
+        .join(broadcast(priors), "clang")
+        .withColumn("score", col("like_bits") + col("prior_bits"))
+        .withColumn("rn", row_number().over(wPick))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("clang").as("pred_lang"), col("score"))
+      val conf = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 2 === 0).as("is_train"))
+        .join(pred, Seq("doc_id"), "left")
+        .groupBy(col("lang"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"), col("is_train"))
+        .agg(count(lit(1)).as("n_docs"), sum(coalesce(col("score"), lit(0L))).as("score_digest"))
+        .localCheckpoint() // two plan refs: output rows, accuracy fold
+      val acc = conf.agg(
+        expr(
+          "(sum(IF(lang = pred_lang AND NOT is_train, n_docs, 0)) * 1000000) div " +
+            "sum(IF(NOT is_train, n_docs, 0))"
+        ).as("heldout_acc_ppm")
+      )
+      conf.crossJoin(broadcast(acc)).orderBy("lang", "pred_lang", "is_train")
+    }),
+
     // char-trigram rank-profile language ID (Cavnar & Trenkle 1994,
     // "N-Gram-Based Text Categorization" — the fastText-predecessor method
     // real pipelines run; the r5 marker-word argmax was the one toy-grade
@@ -1442,6 +1517,41 @@ object TextAnalysis {
           |  FROM s)
           |SELECT doc_id, n_tokens, score, score_pt, score_pt >= -50 AS keep
           |FROM p ORDER BY doc_id""".stripMargin,
+      // x164: the identical smoothed floor-log2 NB train + argmax replay.
+      "x164_nb_classifier" ->
+        s"""WITH $hashedFeaturesSql,
+          |lab AS (SELECT f.doc_id, f.b, f.cnt, d.lang FROM f JOIN documents d USING (doc_id)),
+          |tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+          |cnts AS (SELECT lang AS clang, b, CAST(sum(cnt) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+          |ltot AS (SELECT lang AS clang, CAST(sum(cnt) AS BIGINT) AS tl FROM tr GROUP BY 1),
+          |tdocs AS (SELECT lang AS clang, count(*) AS dl FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          |ntr AS (SELECT CAST(sum(dl) AS BIGINT) AS nd, count(*) AS nl FROM tdocs),
+          |grid AS (
+          |  SELECT l.clang, g.b,
+          |    (length(bin(coalesce(c.c, 0) + 1)) - 1) - (length(bin(l.tl + 256)) - 1) AS w
+          |  FROM ltot l CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) g
+          |  LEFT JOIN cnts c ON c.clang = l.clang AND c.b = g.b),
+          |pri AS (
+          |  SELECT clang, (length(bin(dl + 1)) - 1) - (length(bin(nd + nl)) - 1) AS prior_bits
+          |  FROM tdocs CROSS JOIN ntr),
+          |sc AS (
+          |  SELECT doc_id, clang, CAST(sum(cnt * w) AS BIGINT) AS like_bits
+          |  FROM lab JOIN grid USING (b) GROUP BY 1, 2),
+          |pk AS (
+          |  SELECT doc_id, clang AS pred_lang, like_bits + prior_bits AS score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY like_bits + prior_bits DESC, clang) AS rn
+          |  FROM sc JOIN pri USING (clang)),
+          |prd AS (SELECT doc_id, pred_lang, score FROM pk WHERE rn = 1),
+          |conf AS (
+          |  SELECT d.lang, coalesce(p.pred_lang, 'und') AS pred_lang, d.doc_id % 2 = 0 AS is_train,
+          |    count(*) AS n_docs, CAST(sum(coalesce(p.score, 0)) AS BIGINT) AS score_digest
+          |  FROM documents d LEFT JOIN prd p USING (doc_id) GROUP BY 1, 2, 3),
+          |acc AS (
+          |  SELECT CAST((sum(CASE WHEN lang = pred_lang AND NOT is_train THEN n_docs ELSE 0 END) * 1000000)
+          |    // sum(CASE WHEN NOT is_train THEN n_docs ELSE 0 END) AS BIGINT) AS heldout_acc_ppm
+          |  FROM conf)
+          |SELECT lang, pred_lang, is_train, n_docs, score_digest, heldout_acc_ppm
+          |FROM conf CROSS JOIN acc ORDER BY lang, pred_lang, is_train""".stripMargin,
       "x79_quality_calibrate" ->
         s"""WITH t AS (
           |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
