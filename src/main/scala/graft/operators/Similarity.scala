@@ -129,6 +129,51 @@ object Similarity {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
   }
 
+  /** x140's quantized Gram/covariance cell table — shared with x165's
+    * power iteration so the matrix definition cannot drift between the
+    * two. Emits (i, j, n, gram, si, sj, cov_num) with cov_num =
+    * N·G[i][j] − s_i·s_j, every cell an exact int64 (1e3-quantized
+    * components, no division). One corpus scan; the d×d outer-product
+    * stencil is bounded per row (the x93 discipline). */
+  private def covCells(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+      .localCheckpoint() // two plan refs: outer product, dim sums
+    val cells = q
+      .select(explode(expr(
+        """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+          |  named_struct('i', i, 'j', j, 'p', qi * qj))))""".stripMargin
+      )).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("gram"))
+    val sums = q
+      .select(explode(expr("transform(q, (qi, i) -> named_struct('i', i, 'v', qi))")).as("s"))
+      .groupBy(col("s.i").as("i"))
+      .agg(sum(col("s.v")).as("si"))
+      .localCheckpoint() // two plan refs: row side, column side
+    cells
+      .join(broadcast(sums), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("si").as("sj"))), Seq("j"))
+      .select(
+        col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"),
+        col("n"),
+        col("gram"),
+        col("si"),
+        col("sj"),
+        (col("n") * col("gram") - col("si") * col("sj")).as("cov_num")
+      )
+  }
+
+  /** (vec_id, label, q: array<bigint>) — embeddings on the 1e3 fixed-point
+    * grid (the k-means/x140 quantization, one widen+multiply+round). */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("q")
+      )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Johnson-Lindenstrauss dimensionality reduction, quantized for exact
     // cross-engine arithmetic: 64-dim float embeddings → micro-unit integers
@@ -576,38 +621,83 @@ object Similarity {
     // independent of corpus size (the x93 discipline) — into ONE (i, j)
     // hash agg with map-side partial sums; dimension sums ride a 64-row
     // broadcast. The corpus is scanned once; no d×d state on the driver.
-    "x140_int_covariance" -> ((s, d) => {
-      val q = table(s, d, "embeddings")
+    "x140_int_covariance" -> ((s, d) => covCells(s, d).orderBy("i", "j")),
+
+    // PCA top principal component (x165) — the step x140 exists for:
+    // power iteration over the shared covariance cell table, then the
+    // corpus projected onto PC1 (the whitening/feature-extraction verb
+    // of a training pipeline; Jolliffe 2002 §3). Integer end to end:
+    // cells pre-scale by floor(cov_num / N²) (posmod-cleared floor
+    // division — eigenvectors are scale-invariant, and /N² makes the
+    // cell magnitude CORPUS-SIZE-INVARIANT ≈ 1e6·Cov[i,j], so matvec
+    // partials ≲ d·1e6·1000 stay inside int64 at ANY corpus size),
+    // v₀ = all-1000s, and each of 6 rounds is matvec → max-|u|
+    // renormalization back to the ±1000 grid (den = m div 1000 + 1,
+    // posmod-cleared so Spark div and DuckDB // agree on negatives; the
+    // sign is pinned by v₀, so no eigenvector sign indeterminacy). The
+    // Rayleigh quotient λ̂ and a position-weighted eigenvector digest
+    // ride as broadcast columns so the gate pins the full iteration
+    // trajectory, not just the projections. Scale shape: the matrix
+    // stays a DISTRIBUTED (i,j) cell table (at d=4096 it is 16M rows —
+    // never driver-collected); each round is one d-row broadcast join +
+    // one d-key agg (the q62 fixed-iteration shape, localCheckpoint per
+    // round); the projection is a zero-shuffle per-row dot against the
+    // broadcast eigenvector.
+    "x165_pca_power" -> ((s, d) => {
+      val cov = covCells(s, d)
+      val nRow = table(s, d, "embeddings").agg(expr("count(1) * count(1)").as("n2"))
+      val cells = cov
+        .crossJoin(broadcast(nRow))
+        .select(
+          col("i"),
+          col("j"),
+          expr("(cov_num - ((cov_num % n2 + n2) % n2)) div n2").as("cs")
+        )
+        .localCheckpoint() // 6 matvec refs + the Rayleigh fold
+      var v: DataFrame = cells
+        .select(col("i").as("j"))
+        .distinct()
+        .select(col("j"), lit(1000L).as("vj"))
+        .localCheckpoint()
+      for (_ <- 1 to 6) {
+        val u = cells
+          .join(broadcast(v), Seq("j"))
+          .groupBy("i")
+          .agg(sum(expr("cs * vj")).as("ui"))
+        val den = u.agg(expr("(max(abs(ui)) div 1000) + 1").as("den"))
+        v = u
+          .crossJoin(broadcast(den))
+          .select(col("i").as("j"), expr("(ui - ((ui % den + den) % den)) div den").as("vj"))
+          .localCheckpoint()
+      }
+      val rayleigh = cells
+        .join(broadcast(v), Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr("cs * vj")).as("ui"))
+        .join(broadcast(v.select(col("j").as("i"), col("vj").as("vi"))), Seq("i"))
+        .agg(sum(expr("vi * ui")).as("lnum"), sum(expr("vi * vi")).as("lden"))
+        // DECIMAL(38,0) headroom for lnum·1000 (the x162 discipline):
+        // Σ vi·ui can reach ~4e15, ×1000 brushes int64
+        .select(
+          expr(
+            "CAST(((CAST(lnum AS DECIMAL(38,0)) * 1000) - " +
+              "(((CAST(lnum AS DECIMAL(38,0)) * 1000) % lden + lden) % lden)) div lden AS BIGINT)"
+          ).as("lambda_e3")
+        )
+      val stats = v
+        .agg(sum(expr("(j + 1) * vj")).as("v_digest"), sum(abs(col("vj"))).as("v_norm1"))
+        .crossJoin(broadcast(rayleigh))
+      val varr = v.agg(sort_array(collect_list(struct(col("j"), col("vj")))).as("vv"))
+      quantized(s, d)
+        .crossJoin(broadcast(varr))
         .select(
           col("vec_id"),
-          expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("q")
+          col("label").cast("long").as("label"),
+          expr("aggregate(transform(q, (qi, i) -> qi * element_at(vv, i + 1).vj), CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("proj")
         )
-        .localCheckpoint() // two plan refs: outer product, dim sums
-      val cells = q
-        .select(explode(expr(
-          """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
-            |  named_struct('i', i, 'j', j, 'p', qi * qj))))""".stripMargin
-        )).as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("gram"))
-      val sums = q
-        .select(explode(expr("transform(q, (qi, i) -> named_struct('i', i, 'v', qi))")).as("s"))
-        .groupBy(col("s.i").as("i"))
-        .agg(sum(col("s.v")).as("si"))
-        .localCheckpoint() // two plan refs: row side, column side
-      cells
-        .join(broadcast(sums), Seq("i"))
-        .join(broadcast(sums.select(col("i").as("j"), col("si").as("sj"))), Seq("j"))
-        .select(
-          col("i").cast("long").as("i"),
-          col("j").cast("long").as("j"),
-          col("n"),
-          col("gram"),
-          col("si"),
-          col("sj"),
-          (col("n") * col("gram") - col("si") * col("sj")).as("cov_num")
-        )
-        .orderBy("i", "j")
+        .crossJoin(broadcast(stats))
+        .orderBy("vec_id")
     }),
     "x30_embedding_quantize" -> ((s, d) => {
       val code = (v: Column, scale: Column) =>
@@ -1002,6 +1092,25 @@ object Similarity {
        |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << CAST(p % $BandRows AS INT)) ELSE 0 END) AS bucket
        |  FROM comps GROUP BY vec_id, p // $BandRows)""".stripMargin
 
+  /** DuckDB CTEs for the x140 quantized Gram/covariance cells — the
+    * oracle twin of [[covCells]], shared by x140 and x165 so the matrix
+    * definition cannot drift. Exposes q(vec_id, i, qv) and
+    * cov(i, j, n, gram, si, sj, cov_num). */
+  private val CovCellCtes: String =
+    """q AS (
+      |  SELECT vec_id, i - 1 AS i,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |cells AS (
+      |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+      |    CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |sums AS (SELECT i, CAST(sum(qv) AS BIGINT) AS si FROM q GROUP BY 1),
+      |cov AS (
+      |  SELECT c.i AS i, c.j AS j, c.n, c.gram, sa.si, sb.si AS sj,
+      |    CAST(c.n * c.gram - sa.si * sb.si AS BIGINT) AS cov_num
+      |  FROM cells c JOIN sums sa ON c.i = sa.i JOIN sums sb ON c.j = sb.i)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // x13: exact twins recomputed brute-force; the ANN accuracy booleans
     // are Spark-side assertions the oracle expects to HOLD
@@ -1022,19 +1131,49 @@ object Similarity {
     // self-join over unnested components; the covariance numerator is
     // the identical no-division integer formula.
     "x140_int_covariance" ->
-      """WITH q AS (
-        |  SELECT vec_id, i - 1 AS i,
-        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
-        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
-        |cells AS (
-        |  SELECT a.i AS i, b.i AS j, count(*) AS n,
-        |    CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
-        |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-        |sums AS (SELECT i, CAST(sum(qv) AS BIGINT) AS si FROM q GROUP BY 1)
-        |SELECT c.i AS i, c.j AS j, c.n, c.gram, sa.si, sb.si AS sj,
-        |  CAST(c.n * c.gram - sa.si * sb.si AS BIGINT) AS cov_num
-        |FROM cells c JOIN sums sa ON c.i = sa.i JOIN sums sb ON c.j = sb.i
-        |ORDER BY c.i, c.j""".stripMargin,
+      s"""WITH $CovCellCtes
+        |SELECT i, j, n, gram, si, sj, cov_num FROM cov ORDER BY i, j""".stripMargin,
+    // x165: the identical /N² rescale, 6 matvec+renormalize rounds as
+    // unrolled MATERIALIZED CTEs (the x158 DuckDB lesson), Rayleigh
+    // quotient in HUGEINT, and the same per-row projection dot.
+    "x165_pca_power" -> {
+      val steps = (1 to 6)
+        .map { r =>
+          s"""u$r AS MATERIALIZED (
+             |  SELECT c.i AS i, CAST(sum(c.cs * v.vj) AS BIGINT) AS ui
+             |  FROM csc c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1),
+             |d$r AS MATERIALIZED (SELECT (max(abs(ui)) // 1000) + 1 AS den FROM u$r),
+             |v$r AS MATERIALIZED (
+             |  SELECT i AS j, (ui - ((ui % den + den) % den)) // den AS vj FROM u$r, d$r)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH $CovCellCtes,
+         |n2 AS (SELECT count(*) * count(*) AS n2 FROM embeddings),
+         |csc AS MATERIALIZED (
+         |  SELECT i, j,
+         |    CAST((cov_num - ((cov_num % n2.n2 + n2.n2) % n2.n2)) // n2.n2 AS BIGINT) AS cs
+         |  FROM cov, n2),
+         |v0 AS (SELECT DISTINCT i AS j, CAST(1000 AS BIGINT) AS vj FROM csc),
+         |$steps,
+         |u7 AS MATERIALIZED (
+         |  SELECT c.i AS i, CAST(sum(c.cs * v.vj) AS BIGINT) AS ui
+         |  FROM csc c JOIN v6 v ON c.j = v.j GROUP BY 1),
+         |ray AS (
+         |  SELECT CAST(((lnum * 1000) - (((lnum * 1000) % lden + lden) % lden)) // lden AS BIGINT)
+         |    AS lambda_e3
+         |  FROM (SELECT sum(v.vj * u.ui) AS lnum, sum(v.vj * v.vj) AS lden
+         |        FROM u7 u JOIN v6 v ON u.i = v.j)),
+         |st AS (
+         |  SELECT CAST(sum((j + 1) * vj) AS BIGINT) AS v_digest,
+         |         CAST(sum(abs(vj)) AS BIGINT) AS v_norm1 FROM v6),
+         |proj AS (
+         |  SELECT q.vec_id, CAST(sum(q.qv * v.vj) AS BIGINT) AS proj
+         |  FROM q JOIN v6 v ON q.i = v.j GROUP BY 1)
+         |SELECT p.vec_id, CAST(e.label AS BIGINT) AS label, p.proj,
+         |  st.v_digest, st.v_norm1, ray.lambda_e3
+         |FROM proj p JOIN embeddings e USING (vec_id), st, ray
+         |ORDER BY p.vec_id""".stripMargin
+    },
     // x158: the greedy MMR replayed as an 8-step unrolled CTE chain with
     // the identical (score2 desc, vec_id asc) tie-break at every pick.
     "x158_mmr_select" -> {
