@@ -718,10 +718,11 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
-    // TIFF pixel decode (x163): classic II TIFF — IFD tag walk, strip
-    // assembly, and PackBits RLE (the mixed fixture alternates compression
-    // per id, and the formula's 4-wide runs make BOTH repeat and literal
-    // PackBits paths load-bearing) → the shared 8×8 resample/checksum.
+    // TIFF pixel decode (x163): classic TIFF (II + MM) — IFD tag walk,
+    // strip assembly, PackBits RLE and MSB-first early-change LZW (the
+    // mixed fixture cycles none/PackBits/LZW per id%3; the formula's
+    // 4-wide runs make PackBits repeat AND literal paths and real LZW
+    // match growth load-bearing) → the shared 8×8 resample/checksum.
     // The compression column pins the tag dispatch; the oracle replays
     // the pixel formula and never sees a byte. TiffPixelsSpec adds
     // ImageIO-plugin conformance (the PNG discipline).

@@ -6,8 +6,8 @@ package graft.sources
   * matching from-scratch decoder produces pixels under one shared
   * contract (the 8×8 resample/checksum of x33). One operator, five real
   * decoders ([[BmpPixels]], [[PngPixels]], [[GifPixels]], [[JpegPixels]],
-  * [[TiffPixels]] — II magic); anything unrecognized or out of scope
-  * quarantines to None exactly as each decoder does alone. */
+  * [[TiffPixels]] — II and MM magics); anything unrecognized or out of
+  * scope quarantines to None exactly as each decoder does alone. */
 object ImageDispatch {
 
   /** (format, image) by magic-byte sniff; None = unrecognized/corrupt. */
@@ -20,6 +20,8 @@ object ImageDispatch {
       GifPixels.decode(b).map("gif" -> _)
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) JpegPixels.decode(b).map("jpeg" -> _)
     else if (b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0)
+      TiffPixels.decode(b).map("tiff" -> _)
+    else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)
       TiffPixels.decode(b).map("tiff" -> _)
     else None
   }

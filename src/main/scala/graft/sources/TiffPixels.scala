@@ -1,16 +1,25 @@
 package graft.sources
 
 /** REAL pixel decode for classic TIFF (TIFF 6.0 spec): little-endian
-  * header, first-IFD tag walk, strip assembly, and — the compressed face —
-  * PackBits (the spec's §9 byte-oriented RLE), completing the container
+  * header, first-IFD tag walk, strip assembly, and — the compressed faces —
+  * PackBits (the spec's §9 byte-oriented RLE) and LZW (§13: MSB-first
+  * variable-width codes with the spec's EARLY code-width change — one
+  * table entry before GIF's LSB-first late change in x71, per-strip
+  * restart, mandatory leading ClearCode), completing the container
   * family: BMP raw rows (x33), PNG deflate+filters (x70), GIF LZW (x71),
   * JPEG DCT (x80), and now the dominant scanned-document/legacy-raster
-  * container. Scope: II byte order, 8-bit RGB chunky (PhotometricInterpretation
-  * 2, SamplesPerPixel 3, BitsPerSample 8,8,8), Compression 1 (none) or
-  * 32773 (PackBits), strip-organized. Structural lies ⇒ None, the sibling
+  * container. Scope: II AND MM byte orders (the JDK's own TIFF writer
+  * emits MM, so big-endian is what official-encoder conformance reads),
+  * 8-bit RGB chunky (PhotometricInterpretation
+  * 2, SamplesPerPixel 3, BitsPerSample 8,8,8), Compression 1 (none),
+  * 32773 (PackBits) or 5 (LZW), Predictor 1 only (horizontal differencing
+  * quarantines — silently ignoring tag 317 would decode wrong pixels),
+  * strip-organized. Structural lies ⇒ None, the sibling
   * discipline: wrong magic/bits/photometric, out-of-bounds strips, a
   * PackBits stream that over/under-runs its declared byte count or
-  * produces the wrong number of bytes for its strip, all quarantine.
+  * produces the wrong number of bytes for its strip, an LZW strip that
+  * does not open with ClearCode or whose EOI is not in its final byte,
+  * all quarantine.
   *
   * The x163 oracle replays the fixture's pixel formula through the shared
   * 8×8 resample/checksum contract ([[BmpPixels.checksum]]'s arithmetic),
@@ -21,24 +30,40 @@ package graft.sources
 object TiffPixels {
 
   private def u16le(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u16(b: Array[Byte], o: Int, be: Boolean): Int =
+    if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff) else u16le(b, o)
+  private def u32(b: Array[Byte], o: Int, be: Boolean): Long =
+    if (be)
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    else
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** byte order from the header: Some(false) = II, Some(true) = MM
+    * (values are left-justified in the 4-byte field either way, so
+    * inline SHORTs read from the field's first two bytes in both). */
+  private def byteOrder(b: Array[Byte]): Option[Boolean] = {
+    if (b.length < 8) return None
+    if (b(0) == 'I'.toByte && b(1) == 'I'.toByte && u16(b, 2, be = false) == 42) Some(false)
+    else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte && u16(b, 2, be = true) == 42) Some(true)
+    else None
+  }
 
   /** one IFD entry's values as Longs (SHORT or LONG, inline or at offset) */
-  private def values(b: Array[Byte], typ: Int, count: Long, at: Int): Option[IndexedSeq[Long]] = {
+  private def values(b: Array[Byte], typ: Int, count: Long, at: Int, be: Boolean): Option[IndexedSeq[Long]] = {
     val sz = typ match { case 3 => 2; case 4 => 4; case _ => return None }
     if (count < 0 || count > (1L << 20)) return None
     val total = sz * count
     val base =
       if (total <= 4) at // inline in the value field
       else {
-        val ofs = u32le(b, at)
+        val ofs = u32(b, at, be)
         if (ofs + total > b.length) return None
         ofs.toInt
       }
     if (base + total > b.length) return None
     Some(
-      (0 until count.toInt).map(i => if (sz == 2) u16le(b, base + 2 * i).toLong else u32le(b, base + 4 * i))
+      (0 until count.toInt)
+        .map(i => if (sz == 2) u16(b, base + 2 * i, be).toLong else u32(b, base + 4 * i, be))
     )
   }
 
@@ -61,12 +86,69 @@ object TiffPixels {
     if (i == end && o == expect) Some(out) else None
   }
 
+  private def lzwFirst(prefix: Array[Int], suffix: Array[Byte], code0: Int): Byte = {
+    var c = code0
+    while (c >= 258) c = prefix(c)
+    c.toByte
+  }
+
+  /** TIFF-LZW decode of one strip into exactly `expect` bytes. MSB-first
+    * bit order, clear=256 / EOI=257, and the spec's EARLY width change:
+    * the decoder bumps when its next free slot reaches 2^w − 1 (511,
+    * 1023, 2047) — one entry before the GIF pairing in
+    * [[GifPixels.lzwDecode]], matching the encoder-side bump at 2^w.
+    * Structural contract: the stream MUST open with ClearCode (§13),
+    * EOI must land in the final declared byte (only sub-byte padding
+    * after), and the output must be exactly the strip's byte count. */
+  private[sources] def lzwUnpack(b: Array[Byte], ofs: Int, len: Int, expect: Int): Option[Array[Byte]] = {
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expect); var outN = 0
+    val stack = new Array[Byte](4096)
+    var codeSize = 9; var next = 258; var prev = -1
+    var acc = 0L; var accBits = 0; var pos = ofs; val end = ofs + len
+    var finished = false; var first = true
+    while (!finished) {
+      while (accBits < codeSize && pos < end) {
+        acc = (acc << 8) | (b(pos) & 0xffL); accBits += 8; pos += 1
+      }
+      if (accBits < codeSize) return None // ran out of bits before EOI
+      val code = ((acc >>> (accBits - codeSize)) & ((1L << codeSize) - 1)).toInt
+      accBits -= codeSize; acc &= (1L << accBits) - 1
+      if (first && code != 256) return None // strips must begin with ClearCode
+      first = false
+      if (code == 256) { codeSize = 9; next = 258; prev = -1 }
+      else if (code == 257) finished = true
+      else if (prev == -1) {
+        if (code >= 256) return None // first code after clear must be a root
+        if (outN >= expect) return None
+        out(outN) = code.toByte; outN += 1; prev = code
+      } else {
+        if (code > next) return None
+        var top = 0
+        // KwKwK: code == next refers to prev + firstByte(prev)
+        var c = if (code == next) prev else code
+        if (code == next) { stack(top) = lzwFirst(prefix, suffix, prev); top += 1 }
+        while (c >= 258) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+        stack(top) = c.toByte; top += 1
+        if (outN + top > expect) return None
+        while (top > 0) { top -= 1; out(outN) = stack(top); outN += 1 }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = lzwFirst(prefix, suffix, code)
+          next += 1
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1 // EARLY
+        }
+        prev = code
+      }
+    }
+    if (pos != end || accBits >= 8 || outN != expect) None else Some(out)
+  }
+
   /** Decoded image in the shared [[BmpPixels.Image]] shape (top-down). */
   def decode(b: Array[Byte]): Option[BmpPixels.Image] = {
-    if (b.length < 8 || b(0) != 'I'.toByte || b(1) != 'I'.toByte || u16le(b, 2) != 42) return None
-    val ifd = u32le(b, 4)
+    val be = byteOrder(b).getOrElse(return None)
+    val ifd = u32(b, 4, be)
     if (ifd + 2 > b.length) return None
-    val n = u16le(b, ifd.toInt)
+    val n = u16(b, ifd.toInt, be)
     if (ifd + 2 + n * 12 + 4 > b.length) return None
     var w = -1L; var h = -1L; var comp = 1L; var photo = -1L; var spp = 1L; var rps = Long.MaxValue
     var bits: IndexedSeq[Long] = IndexedSeq(1L)
@@ -74,8 +156,8 @@ object TiffPixels {
     var counts: IndexedSeq[Long] = IndexedSeq.empty
     for (e <- 0 until n) {
       val at = ifd.toInt + 2 + e * 12
-      val tag = u16le(b, at); val typ = u16le(b, at + 2); val cnt = u32le(b, at + 4)
-      def vs: Option[IndexedSeq[Long]] = values(b, typ, cnt, at + 8)
+      val tag = u16(b, at, be); val typ = u16(b, at + 2, be); val cnt = u32(b, at + 4, be)
+      def vs: Option[IndexedSeq[Long]] = values(b, typ, cnt, at + 8, be)
       def v1: Option[Long] = vs.flatMap(_.headOption)
       tag match {
         case 256 => w = v1.getOrElse(return None)
@@ -87,12 +169,15 @@ object TiffPixels {
         case 277 => spp = v1.getOrElse(return None)
         case 278 => rps = v1.getOrElse(return None)
         case 279 => counts = vs.getOrElse(return None)
+        // Predictor ≠ 1 (horizontal differencing) would silently decode
+        // wrong pixels if skipped as unknown — quarantine instead
+        case 317 => if (v1.getOrElse(return None) != 1L) return None
         case _   => () // unknown tags are legal; skip
       }
     }
     if (w <= 0 || h <= 0 || w > (1L << 16) || h > (1L << 16)) return None
     if (photo != 2 || spp != 3 || !(bits.length == 3 && bits.forall(_ == 8L))) return None
-    if (comp != 1 && comp != 32773) return None
+    if (comp != 1 && comp != 32773 && comp != 5) return None
     if (rps <= 0) return None
     val rpsN = math.min(rps, h) // a huge RowsPerStrip means one strip; also keeps h+rps-1 overflow-free
     val nStrips = ((h + rpsN - 1) / rpsN).toInt
@@ -109,7 +194,8 @@ object TiffPixels {
         if (comp == 1) {
           if (len != expect) return None
           java.util.Arrays.copyOfRange(b, ofs.toInt, (ofs + len).toInt)
-        } else unpackBits(b, ofs.toInt, len.toInt, expect).getOrElse(return None)
+        } else if (comp == 5) lzwUnpack(b, ofs.toInt, len.toInt, expect).getOrElse(return None)
+        else unpackBits(b, ofs.toInt, len.toInt, expect).getOrElse(return None)
       System.arraycopy(data, 0, out, (strip * rpsN).toInt * wi * 3, expect)
       strip += 1
     }
@@ -128,14 +214,15 @@ object TiffPixels {
   /** compression tag of a decodable payload ("none" / "packbits") —
     * surfaced so the gate pins the dispatch, not just the pixels */
   def compressionOf(b: Array[Byte]): Option[String] = {
-    if (b.length < 8 || b(0) != 'I'.toByte || b(1) != 'I'.toByte || u16le(b, 2) != 42) return None
-    val ifd = u32le(b, 4)
+    val be = byteOrder(b).getOrElse(return None)
+    val ifd = u32(b, 4, be)
     if (ifd + 2 > b.length) return None
-    val n = u16le(b, ifd.toInt)
+    val n = u16(b, ifd.toInt, be)
     (0 until n)
       .map(e => ifd.toInt + 2 + e * 12)
-      .find(at => u16le(b, at) == 259)
-      .map(at => u32le(b, at + 8) match { case 32773 => "packbits"; case _ => "none" })
+      .find(at => u16(b, at, be) == 259)
+      .flatMap(at => values(b, u16(b, at + 2, be), u32(b, at + 4, be), at + 8, be).flatMap(_.headOption))
+      .map { case 32773 => "packbits"; case 5 => "lzw"; case _ => "none" }
       .orElse(Some("none"))
   }
 
@@ -173,10 +260,53 @@ object TiffPixels {
     out.toByteArray
   }
 
+  /** greedy TIFF-LZW encoder for one strip (separate code path from
+    * [[lzwUnpack]]'s dictionary reconstruction — fixture-vs-parser
+    * discipline): MSB-first packing, leading ClearCode, encoder-side
+    * EARLY width change at 2^w (one entry before GIF's 2^w+1 pairing),
+    * table clear at 4094 per the spec. */
+  private[sources] def lzwPack(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var codeSize = 9; var next = 258
+    val dict = new java.util.HashMap[Long, Integer]()
+    def emit(code: Int): Unit = {
+      acc = (acc << codeSize) | code; accBits += codeSize
+      while (accBits >= 8) { out.write(((acc >>> (accBits - 8)) & 0xff).toInt); accBits -= 8 }
+      acc &= (1L << accBits) - 1
+    }
+    emit(256)
+    if (row.nonEmpty) {
+      var prev = row(0) & 0xff
+      var k = 1
+      while (k < row.length) {
+        val cur = row(k) & 0xff
+        val key = (prev.toLong << 12) | cur
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          emit(prev)
+          dict.put(key, next); next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = cur
+          if (next == 4094) { // spec: write ClearCode and restart here
+            emit(256); codeSize = 9; next = 258; dict.clear()
+          }
+        }
+        k += 1
+      }
+      emit(prev)
+    }
+    emit(257)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Spec-valid classic TIFF (II, 8-bit RGB chunky, 8-row strips) whose
-    * pixel (x, y) carries `rgbAt(x, y)`; PackBits-compressed per strip
-    * when `pack` — fixture-vs-parser discipline. */
-  def synthesize(w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int), pack: Boolean): Array[Byte] = {
+    * pixel (x, y) carries `rgbAt(x, y)`; per-strip compression by tag
+    * (1 = none, 32773 = PackBits, 5 = LZW) — fixture-vs-parser
+    * discipline. */
+  def synthesize(w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int), compTag: Long): Array[Byte] = {
     val rps = 8
     val nStrips = (h + rps - 1) / rps
     val strips = (0 until nStrips).map { s =>
@@ -187,7 +317,7 @@ object TiffPixels {
         val o = (ry * w + x) * 3
         raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = bl.toByte
       }
-      if (pack) packBits(raw) else raw
+      compTag match { case 32773L => packBits(raw); case 5L => lzwPack(raw); case _ => raw }
     }
     val nTags = 9
     val ifdOfs = 8
@@ -203,7 +333,7 @@ object TiffPixels {
       entry(256, 4, 1, w.toLong) ++
         entry(257, 4, 1, h.toLong) ++
         entry(258, 3, 3, bitsOfs.toLong) ++
-        entry(259, 3, 1, if (pack) 32773L else 1L) ++
+        entry(259, 3, 1, compTag) ++
         entry(262, 3, 1, 2L) ++
         entry(273, 4, nStrips.toLong, if (nStrips > 1) offArrOfs.toLong else stripOfs.head) ++
         entry(277, 3, 1, 3L) ++
@@ -218,10 +348,12 @@ object TiffPixels {
   }
 }
 
-/** Fixture for the x163 gate: 250 classic TIFFs (even ids uncompressed,
-  * odd PackBits) whose pixels follow a closed-form formula — the BMP/PNG
-  * pattern; alternating-run columns make PackBits repeat AND literal
-  * paths load-bearing. */
+/** Fixture for the x163 gate: 250 classic TIFFs cycling all three
+  * compressions (id%3: none / PackBits / LZW) over a closed-form pixel
+  * formula — the BMP/PNG pattern; alternating-run columns make PackBits
+  * repeat AND literal paths load-bearing, and the 12-byte-period rows
+  * give LZW real growing matches (dictionaries cross the 9-bit width
+  * boundary on the larger strips). */
 object TiffFixture {
   val dir = "/root/repo/spark-warehouse/graft_tiff"
   val payloadPath = s"$dir/payloads"
@@ -239,8 +371,12 @@ object TiffFixture {
   def rows: Seq[(Long, Array[Byte], Int, Int, String)] = (0 until 250).map { i =>
     val w = 6 + (i * 7) % 40
     val h = 5 + (i * 11) % 30
-    val pack = i % 2 == 1
-    (i.toLong, TiffPixels.synthesize(w, h, rgbAt(i.toLong), pack), w, h, if (pack) "packbits" else "none")
+    val (tag, name) = (i % 3) match {
+      case 1 => (32773L, "packbits")
+      case 2 => (5L, "lzw")
+      case _ => (1L, "none")
+    }
+    (i.toLong, TiffPixels.synthesize(w, h, rgbAt(i.toLong), tag), w, h, name)
   }
 
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {

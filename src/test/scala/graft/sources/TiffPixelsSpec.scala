@@ -4,8 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** TIFF laws beyond the gate's formula checksums: pixel-for-pixel
   * conformance against the JDK's own ImageIO TIFF plugin (JDK 9+) for
-  * BOTH compressions, PackBits round-trip/edge behavior, and the
-  * structural-lie quarantines. */
+  * all three compressions AND both directions (the plugin also serves as
+  * the official ENCODER — it emits big-endian MM with LZW/PackBits, so
+  * the MM read path is what official-encoder conformance exercises),
+  * PackBits/LZW round-trip and edge behavior, and the structural-lie
+  * quarantines. */
 class TiffPixelsSpec extends AnyFunSuite {
 
   private def viaImageIO(b: Array[Byte]): java.awt.image.BufferedImage = {
@@ -14,19 +17,55 @@ class TiffPixelsSpec extends AnyFunSuite {
     img
   }
 
-  test("decode matches ImageIO pixel-for-pixel: uncompressed and PackBits") {
-    for (pack <- Seq(false, true)) {
+  private def writeViaImageIO(img: java.awt.image.BufferedImage, compression: Option[String]): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    compression.foreach { c =>
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("decode matches ImageIO pixel-for-pixel: uncompressed, PackBits and LZW") {
+    for ((tag, name) <- Seq((1L, "none"), (32773L, "packbits"), (5L, "lzw"))) {
       val (w, h) = (37, 19) // straddles the 8-row strip grid
-      val bytes = TiffPixels.synthesize(w, h, TiffFixture.rgbAt(9L), pack)
+      val bytes = TiffPixels.synthesize(w, h, TiffFixture.rgbAt(9L), tag)
       val mine = TiffPixels.decode(bytes).get
       val ref = viaImageIO(bytes)
       assert(mine.width === ref.getWidth && mine.height === ref.getHeight)
       for (y <- 0 until h; x <- 0 until w) {
         val rgb = ref.getRGB(x, y)
         val exp = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
-        assert(mine.rgb(x, y) === exp, s"pack=$pack pixel ($x,$y)")
+        assert(mine.rgb(x, y) === exp, s"comp=$name pixel ($x,$y)")
       }
-      assert(TiffPixels.compressionOf(bytes).contains(if (pack) "packbits" else "none"))
+      assert(TiffPixels.compressionOf(bytes).contains(name))
+    }
+  }
+
+  test("official-encoder conformance: ImageIO-written MM TIFFs decode pixel-for-pixel") {
+    // the JDK TIFF writer emits big-endian (MM) — this is the MM read
+    // path's conformance source; 61×45 crosses the 9-bit LZW width
+    // boundary with the writer's own (single-strip) layout choices
+    val (w, h) = (61, 45)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = TiffFixture.rgbAt(5L)(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    for (comp <- Seq(Some("LZW"), Some("PackBits"), None)) {
+      val bytes = writeViaImageIO(img, comp)
+      assert(bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte, "expected a big-endian fixture")
+      val mine = TiffPixels.decode(bytes)
+        .getOrElse(fail(s"MM TIFF with comp=$comp quarantined"))
+      assert(mine.width === w && mine.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(mine.rgb(x, y) === TiffFixture.rgbAt(5L)(x, y), s"comp=$comp pixel ($x,$y)")
     }
   }
 
@@ -48,17 +87,57 @@ class TiffPixelsSpec extends AnyFunSuite {
     assert(TiffPixels.unpackBits(Array[Byte](-2, 5, 0, 9), 0, 4, 3).isEmpty)
   }
 
+  test("LZW round-trip crosses the 9→10-bit early-change boundary and the 4094 table clear") {
+    // high-entropy bytes defeat matching, so codes ≈ bytes: 5000 bytes
+    // forces >4094 table entries → a mid-stream clear; 600 crosses 511
+    val cases = Seq(
+      Array.tabulate(600)(i => ((i * 31 + (i * i) % 97) % 256).toByte),
+      Array.tabulate(5000)(i => ((i * 131 + (i * i * 7) % 251) % 256).toByte),
+      Array.fill(1000)(42.toByte), // maximal matches, KwKwK chains
+      Array[Byte](1),
+      Array.tabulate(12)(i => (i % 3).toByte)
+    )
+    for (c <- cases) {
+      val enc = TiffPixels.lzwPack(c)
+      val dec = TiffPixels.lzwUnpack(enc, 0, enc.length, c.length)
+      assert(dec.exists(_.sameElements(c)), s"LZW round-trip failed for len ${c.length}")
+    }
+    // structural lies: no leading clear / truncation / trailing garbage
+    val enc = TiffPixels.lzwPack(Array.tabulate(100)(_.toByte))
+    assert(TiffPixels.lzwUnpack(enc, 0, enc.length, 99).isEmpty, "wrong expected length accepted")
+    assert(TiffPixels.lzwUnpack(enc.dropRight(2), 0, enc.length - 2, 100).isEmpty, "truncation accepted")
+    assert(
+      TiffPixels.lzwUnpack(enc ++ Array[Byte](0, 0), 0, enc.length + 2, 100).isEmpty,
+      "post-EOI garbage accepted"
+    )
+    assert(TiffPixels.lzwUnpack(Array[Byte](0, 0, 0), 0, 3, 1).isEmpty, "missing leading ClearCode accepted")
+  }
+
   test("structural lies quarantine") {
-    val good = TiffPixels.synthesize(10, 10, TiffFixture.rgbAt(1L), pack = true)
+    val good = TiffPixels.synthesize(10, 10, TiffFixture.rgbAt(1L), 32773L)
     assert(TiffPixels.decode(good).nonEmpty)
     def patched(f: Array[Byte] => Unit): Array[Byte] = { val c = good.clone(); f(c); c }
-    assert(TiffPixels.decode(patched(c => c(0) = 'M')).isEmpty, "big-endian magic accepted")
+    assert(TiffPixels.decode(patched(c => c(0) = 'M')).isEmpty, "half-swapped magic accepted")
     assert(TiffPixels.decode(good.dropRight(4)).isEmpty, "truncated strips accepted")
     // photometric: entry 5 (tag 262) value at ifd(8) + 2 + 4*12 + 8
     val photoAt = 8 + 2 + 4 * 12 + 8
     assert(TiffPixels.decode(patched(c => c(photoAt) = 1)).isEmpty, "grayscale photometric accepted")
-    // compression tag (entry 4) to an unsupported scheme (LZW = 5)
+    // compression tag (entry 4) relabeled 32773 → 5: PackBits bytes fed
+    // through the LZW path must quarantine (no leading ClearCode — the
+    // PackBits encoder never emits the 0x80 no-op first)
     val compAt = 8 + 2 + 3 * 12 + 8
-    assert(TiffPixels.decode(patched(c => c(compAt + 1) = 0)).isEmpty, "LZW accepted") // 0x8005 -> 0x0005
+    assert(TiffPixels.decode(patched(c => c(compAt + 1) = 0)).isEmpty, "mislabeled compression accepted")
+  }
+
+  test("predictor 2 (horizontal differencing) quarantines rather than mis-decoding") {
+    // retag entry 4 (Compression=1, SHORT, inline) as Predictor (317):
+    // compression then defaults to 1 and the image stays structurally
+    // valid, so the predictor value alone decides the outcome
+    val good = TiffPixels.synthesize(10, 10, TiffFixture.rgbAt(1L), 1L)
+    val entry4 = 8 + 2 + 3 * 12
+    val pred1 = { val c = good.clone(); c(entry4) = (317 & 0xff).toByte; c(entry4 + 1) = (317 >> 8).toByte; c }
+    assert(TiffPixels.decode(pred1).nonEmpty, "predictor=1 tag must be accepted")
+    val pred2 = { val c = pred1.clone(); c(entry4 + 8) = 2; c }
+    assert(TiffPixels.decode(pred2).isEmpty, "predictor=2 accepted")
   }
 }
