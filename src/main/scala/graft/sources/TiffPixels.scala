@@ -151,6 +151,7 @@ object TiffPixels {
     val n = u16(b, ifd.toInt, be)
     if (ifd + 2 + n * 12 + 4 > b.length) return None
     var w = -1L; var h = -1L; var comp = 1L; var photo = -1L; var spp = 1L; var rps = Long.MaxValue
+    var pred = 1L
     var bits: IndexedSeq[Long] = IndexedSeq(1L)
     var offsets: IndexedSeq[Long] = IndexedSeq.empty
     var counts: IndexedSeq[Long] = IndexedSeq.empty
@@ -169,15 +170,19 @@ object TiffPixels {
         case 277 => spp = v1.getOrElse(return None)
         case 278 => rps = v1.getOrElse(return None)
         case 279 => counts = vs.getOrElse(return None)
-        // Predictor ≠ 1 (horizontal differencing) would silently decode
-        // wrong pixels if skipped as unknown — quarantine instead
-        case 317 => if (v1.getOrElse(return None) != 1L) return None
+        // Predictor 2 (horizontal differencing, §14) is undone per strip
+        // below; anything else would silently decode wrong pixels if
+        // skipped as unknown — quarantine instead
+        case 317 => pred = v1.getOrElse(return None); if (pred != 1L && pred != 2L) return None
         case _   => () // unknown tags are legal; skip
       }
     }
     if (w <= 0 || h <= 0 || w > (1L << 16) || h > (1L << 16)) return None
     if (photo != 2 || spp != 3 || !(bits.length == 3 && bits.forall(_ == 8L))) return None
     if (comp != 1 && comp != 32773 && comp != 5) return None
+    // §14 defines the differencing predictor FOR LZW; other pairings are
+    // non-standard (ImageIO ignores the tag for PackBits) — quarantine
+    if (pred == 2L && comp != 5L) return None
     if (rps <= 0) return None
     val rpsN = math.min(rps, h) // a huge RowsPerStrip means one strip; also keeps h+rps-1 overflow-free
     val nStrips = ((h + rpsN - 1) / rpsN).toInt
@@ -196,6 +201,17 @@ object TiffPixels {
           java.util.Arrays.copyOfRange(b, ofs.toInt, (ofs + len).toInt)
         } else if (comp == 5) lzwUnpack(b, ofs.toInt, len.toInt, expect).getOrElse(return None)
         else unpackBits(b, ofs.toInt, len.toInt, expect).getOrElse(return None)
+      if (pred == 2L) {
+        // undo horizontal differencing per row, per channel (§14)
+        val rowBytes = wi * 3
+        var ry = 0
+        while (ry < rows) {
+          var i = ry * rowBytes + 3
+          val rowEnd = (ry + 1) * rowBytes
+          while (i < rowEnd) { data(i) = (data(i) + data(i - 3)).toByte; i += 1 }
+          ry += 1
+        }
+      }
       System.arraycopy(data, 0, out, (strip * rpsN).toInt * wi * 3, expect)
       strip += 1
     }
@@ -304,9 +320,15 @@ object TiffPixels {
 
   /** Spec-valid classic TIFF (II, 8-bit RGB chunky, 8-row strips) whose
     * pixel (x, y) carries `rgbAt(x, y)`; per-strip compression by tag
-    * (1 = none, 32773 = PackBits, 5 = LZW) — fixture-vs-parser
-    * discipline. */
-  def synthesize(w: Int, h: Int, rgbAt: (Int, Int) => (Int, Int, Int), compTag: Long): Array[Byte] = {
+    * (1 = none, 32773 = PackBits, 5 = LZW), optionally through the §14
+    * horizontal-differencing predictor — fixture-vs-parser discipline. */
+  def synthesize(
+      w: Int,
+      h: Int,
+      rgbAt: (Int, Int) => (Int, Int, Int),
+      compTag: Long,
+      predictor2: Boolean = false
+  ): Array[Byte] = {
     val rps = 8
     val nStrips = (h + rps - 1) / rps
     val strips = (0 until nStrips).map { s =>
@@ -317,9 +339,14 @@ object TiffPixels {
         val o = (ry * w + x) * 3
         raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = bl.toByte
       }
+      if (predictor2) { // forward-difference per row, right to left
+        val rowBytes = w * 3
+        for (ry <- 0 until rows; i <- (ry * rowBytes + rowBytes - 1) until (ry * rowBytes + 3 - 1) by -1)
+          raw(i) = (raw(i) - raw(i - 3)).toByte
+      }
       compTag match { case 32773L => packBits(raw); case 5L => lzwPack(raw); case _ => raw }
     }
-    val nTags = 9
+    val nTags = if (predictor2) 10 else 9
     val ifdOfs = 8
     val ifdSize = 2 + nTags * 12 + 4
     val bitsOfs = ifdOfs + ifdSize
@@ -338,7 +365,8 @@ object TiffPixels {
         entry(273, 4, nStrips.toLong, if (nStrips > 1) offArrOfs.toLong else stripOfs.head) ++
         entry(277, 3, 1, 3L) ++
         entry(278, 4, 1, rps.toLong) ++
-        entry(279, 4, nStrips.toLong, if (nStrips > 1) cntArrOfs.toLong else strips.head.length.toLong)
+        entry(279, 4, nStrips.toLong, if (nStrips > 1) cntArrOfs.toLong else strips.head.length.toLong) ++
+        (if (predictor2) entry(317, 3, 1, 2L) else Array.emptyByteArray)
     val header = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(ifdOfs.toLong)
     val ifd = le16(nTags) ++ entries ++ le32(0L)
     val bitsArr = le16(8) ++ le16(8) ++ le16(8)
@@ -376,7 +404,11 @@ object TiffFixture {
       case 2 => (5L, "lzw")
       case _ => (1L, "none")
     }
-    (i.toLong, TiffPixels.synthesize(w, h, rgbAt(i.toLong), tag), w, h, name)
+    // every second LZW image routes through the §14 predictor (the
+    // dominant real-world LZW configuration) — same pixel formula, so
+    // the oracle is untouched and a broken inverse flips those hashes
+    val pred2 = i % 6 == 5
+    (i.toLong, TiffPixels.synthesize(w, h, rgbAt(i.toLong), tag, pred2), w, h, name)
   }
 
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {

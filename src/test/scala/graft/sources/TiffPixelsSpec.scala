@@ -129,15 +129,24 @@ class TiffPixelsSpec extends AnyFunSuite {
     assert(TiffPixels.decode(patched(c => c(compAt + 1) = 0)).isEmpty, "mislabeled compression accepted")
   }
 
-  test("predictor 2 (horizontal differencing) quarantines rather than mis-decoding") {
-    // retag entry 4 (Compression=1, SHORT, inline) as Predictor (317):
-    // compression then defaults to 1 and the image stays structurally
-    // valid, so the predictor value alone decides the outcome
-    val good = TiffPixels.synthesize(10, 10, TiffFixture.rgbAt(1L), 1L)
-    val entry4 = 8 + 2 + 3 * 12
-    val pred1 = { val c = good.clone(); c(entry4) = (317 & 0xff).toByte; c(entry4 + 1) = (317 >> 8).toByte; c }
-    assert(TiffPixels.decode(pred1).nonEmpty, "predictor=1 tag must be accepted")
-    val pred2 = { val c = pred1.clone(); c(entry4 + 8) = 2; c }
-    assert(TiffPixels.decode(pred2).isEmpty, "predictor=2 accepted")
+  test("predictor 2 (horizontal differencing) round-trips LZW and matches ImageIO") {
+    val (w, h) = (23, 11)
+    val bytes = TiffPixels.synthesize(w, h, TiffFixture.rgbAt(3L), 5L, predictor2 = true)
+    val mine = TiffPixels.decode(bytes).getOrElse(fail("predictor-2 LZW quarantined"))
+    val ref = viaImageIO(bytes)
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(mine.rgb(x, y) === TiffFixture.rgbAt(3L)(x, y), s"formula ($x,$y)")
+      val rgb = ref.getRGB(x, y)
+      assert(mine.rgb(x, y) === (((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)), s"vs ImageIO ($x,$y)")
+    }
+    // §14 pairs the predictor with LZW; PackBits+predictor is
+    // non-standard (ImageIO ignores the tag there) — quarantine
+    val pb = TiffPixels.synthesize(w, h, TiffFixture.rgbAt(3L), 32773L, predictor2 = true)
+    assert(TiffPixels.decode(pb).isEmpty, "predictor-2 PackBits accepted")
+    // unknown predictor values quarantine too (floating-point = 3);
+    // predictor entry is the 10th (tag 317 sorts last), value at +8
+    val predAt = 8 + 2 + 9 * 12 + 8
+    val p3 = { val c = bytes.clone(); c(predAt) = 3; c }
+    assert(TiffPixels.decode(p3).isEmpty, "predictor=3 accepted")
   }
 }
