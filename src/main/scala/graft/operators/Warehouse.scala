@@ -402,6 +402,59 @@ object Warehouse {
         .orderBy("day")
     }),
 
+    // Autocorrelation function (x166) — the periodicity/persistence
+    // diagnostic completing the time-series kit (x161 CUSUM sequential,
+    // x157 two-population snapshot, x110 resample): lag-k autocorrelation
+    // of the daily event-count series for k = 1..7, EXACT integers by
+    // clearing the mean's denominator — with S = Σx and n = days,
+    // num_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) over true calendar pairs
+    // (day+k, so a gap breaks the pair — time-series semantics, not row
+    // adjacency), den = Σ_t (n·x_t − S)², acf_ppm = ⌊num·10⁶/den⌋
+    // (posmod-cleared floor, num can be negative). Products ride
+    // DECIMAL(38,0) (the x25 headroom rule: n·x ~ days·volume brushes
+    // int64 on big corpora). Scale shape: the corpus collapses to one
+    // row per day in one agg; the lag pairing is a 7-way bounded explode
+    // of the DAY table (never the corpus) joined to itself on day+k.
+    "x166_autocorrelation" -> ((s, d) => {
+      val daily = graft.Graft
+        .events(s, d)
+        .select(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // three plan refs: stats, both join sides
+      val stats = daily
+        .agg(count(lit(1)).as("n"), sum("x").as("s"))
+        .localCheckpoint() // two plan refs: den, mean column
+      val den = daily
+        .crossJoin(broadcast(stats))
+        .agg(
+          sum(expr("(CAST(n AS DECIMAL(38,0)) * x - s) * (CAST(n AS DECIMAL(38,0)) * x - s)")).as("dend")
+        )
+        .select(expr("CAST(dend AS DECIMAL(38,0))").as("dend"))
+      val lagged = daily
+        .crossJoin(broadcast(stats))
+        .select(col("day"), col("x"), col("n"), col("s"), explode(expr("sequence(1, 7)")).as("lag"))
+        .withColumn("dayk", col("day") + col("lag"))
+        .join(daily.select(col("day").as("dayk"), col("x").as("xk")), Seq("dayk"))
+      lagged
+        .groupBy("lag")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(expr("(CAST(n AS DECIMAL(38,0)) * x - s) * (CAST(n AS DECIMAL(38,0)) * xk - s)")).as("numd")
+        )
+        .crossJoin(broadcast(den))
+        .crossJoin(broadcast(stats.select(expr("(s * 1000) div n").as("mean_e3"))))
+        .select(
+          col("lag").cast("long").as("lag"),
+          col("n_pairs"),
+          col("mean_e3"),
+          expr(
+            "CAST(((numd * 1000000) - (((numd * 1000000) % dend + dend) % dend)) div dend AS BIGINT)"
+          ).as("acf_ppm")
+        )
+        .orderBy("lag")
+    }),
+
     "x141_cohort_retention" -> ((s, d) => {
       val ev = graft.Graft
         .events(s, d)
@@ -1882,6 +1935,30 @@ object Warehouse {
         |  w.sp > mu_e3 // 2 AS alarm_hi, w.sn > mu_e3 // 2 AS alarm_lo,
         |  mu_e3, CAST(mu_e3 // 20 AS BIGINT) AS k_e3, CAST(mu_e3 // 2 AS BIGINT) AS h_e3
         |FROM walk w, st ORDER BY w.day""".stripMargin,
+    // x166: same cleared-mean products (HUGEINT headroom mirrors the
+    // DECIMAL(38,0) side) over the same calendar-pair join.
+    "x166_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts::TIMESTAMP) // 86400000000 AS BIGINT) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |den AS (
+        |  SELECT sum((CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)) AS dend
+        |  FROM daily, st),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.x AS x, b.x AS xk, st.n, st.s
+        |  FROM daily a CROSS JOIN lags l JOIN daily b ON b.day = a.day + l.lag, st),
+        |num AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |    sum((CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * xk - s)) AS numd
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST((s * 1000) // n AS BIGINT) AS mean_e3,
+        |  CAST(((numd * 1000000) - (((numd * 1000000) % dend + dend) % dend)) // dend AS BIGINT)
+        |    AS acf_ppm
+        |FROM num, den, st ORDER BY lag""".stripMargin,
     // x157: same cells/shares/TVD arithmetic; conditional sums replayed.
     "x157_drift_report" ->
       """WITH ev AS (

@@ -90,4 +90,32 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got("x").getAs[Long]("min_cents") === 100L)
     assert(got("y").getAs[Long]("top_user") === 9L)
   }
+
+  test("x166 recovers a planted period-2 series: negative lag-1, positive lag-2 ACF") {
+    val dir = TestSpark.tempDir()
+    // 14 days alternating 10 / 2 events per day
+    val counts = (0 until 14).map(d => d -> (if (d % 2 == 0) 10 else 2))
+    val rows = counts.flatMap { case (d, c) =>
+      (0 until c).map(i => ((d * 100 + i).toLong, nanos(d.toLong * 86400 + i), 1L, "click", 1.0, "{}"))
+    }
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("x166_autocorrelation")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Long]("acf_ppm"))
+      .toMap
+    // independent reference: the same cleared-integer formula in Scala
+    val xs = counts.map(_._2.toLong)
+    val n = xs.length.toLong; val s = xs.sum
+    val cen = xs.map(x => BigInt(n * x - s))
+    val den = cen.map(c => c * c).sum
+    def acf(k: Int): Long = {
+      val num = (0 until (xs.length - k)).map(t => cen(t) * cen(t + k)).reduce(_ + _)
+      val p = num * 1000000
+      ((p - (((p % den) + den) % den)) / den).toLong
+    }
+    for (k <- 1 to 7) assert(got(k.toLong) === acf(k), s"lag $k")
+    assert(got(1L) < -500000L, "alternation must anti-correlate at lag 1")
+    assert(got(2L) > 500000L, "alternation must correlate at lag 2")
+  }
 }
