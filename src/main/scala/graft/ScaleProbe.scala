@@ -276,7 +276,13 @@ object ScaleProbe {
       // r7 session 5d: A/B census over 16x events (one user-keyed agg);
       // TIFF decode + 5-way dispatch ride the fixture corpora (per-row
       // codec work, corpus-size independent)
-      "x162_ab_test", "x163_tiff_decode", "x91_image_dispatch"
+      "x162_ab_test", "x163_tiff_decode", "x91_image_dispatch",
+      // r7 session 6: NB training over the 16x clone corpus — the feature
+      // stream collapses per (doc, bucket) in one shuffle, the grid stays
+      // L×256; PCA's matvec rounds are matrix-sized (base embeddings),
+      // the projection is the corpus-scan part; ACF collapses 16x events
+      // to one row per day before the 7-way bounded lag join
+      "x164_nb_classifier", "x165_pca_power", "x166_autocorrelation"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
