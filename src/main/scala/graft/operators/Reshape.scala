@@ -280,6 +280,69 @@ object Reshape {
     // (the x105 discipline). The oracle replays all five rounds as
     // chained MATERIALIZED CTEs; the gate pins every (community, size)
     // row, i.e. the full final partition of the vertex set.
+    // HITS hubs & authorities (x167, Kleinberg 1999) — the SEVENTH graph
+    // shape (BFS q55, PageRank q62, CC x37, triangles x95, k-core x105,
+    // LPA x109): unlike PageRank's single score, HITS alternates two
+    // mutually-recursive ones over the DIRECTED md5 draw graph (u→w,
+    // self-loops dropped, deduped — direction matters here, so the
+    // canonical undirected table the other six share is deliberately not
+    // reused). 4 rounds of a ← Σ_{u→v} h(u), h ← Σ_{v→w} a(w), each
+    // half-step max-normalized back to the ≤1000 integer grid (den =
+    // max div 1000 + 1; scores are non-negative, so plain floor div
+    // agrees cross-engine without posmod clearing); isolated vertices
+    // ride the census via left join + coalesce(0). Scale shape: per
+    // half-step one co-partitioned edges⋈scores join + one vertex-key
+    // agg, edge table localCheckpointed once, scores per round (the
+    // q62/x165 fixed-iteration discipline); normalizers are broadcast
+    // 1-row aggs.
+    "x167_hits" -> ((s, d) => {
+      import s.implicits._
+      val verts = table(s, d, "customer").select(col("c_custkey").as("v")).localCheckpoint()
+      val n = verts.count()
+      val edges = verts
+        .crossJoin(broadcast(Seq(0, 1, 2).toDF("i")))
+        .select(
+          col("v").as("u"),
+          (Hashing.md5Bucket(concat(col("v").cast("string"), lit("#e"), col("i").cast("string")), n) + 1L)
+            .as("w")
+        )
+        .where(col("u") =!= col("w"))
+        .distinct()
+        .localCheckpoint() // 8 join refs across the 4 rounds
+      var hub = verts.select(col("v"), lit(1000L).as("h")).localCheckpoint()
+      var auth: DataFrame = hub.select(col("v"), col("h").as("a"))
+      for (_ <- 1 to 4) {
+        val aFull = verts
+          .join(
+            edges.join(hub.select(col("v").as("u"), col("h")), "u").groupBy(col("w").as("v")).agg(sum("h").as("a0")),
+            Seq("v"),
+            "left"
+          )
+          .select(col("v"), coalesce(col("a0"), lit(0L)).as("a0"))
+        val aden = aFull.agg(expr("(max(a0) div 1000) + 1").as("den"))
+        auth = aFull
+          .crossJoin(broadcast(aden))
+          .select(col("v"), expr("a0 div den").as("a"))
+          .localCheckpoint()
+        val hFull = verts
+          .join(
+            edges.join(auth.select(col("v").as("w"), col("a")), "w").groupBy(col("u").as("v")).agg(sum("a").as("h0")),
+            Seq("v"),
+            "left"
+          )
+          .select(col("v"), coalesce(col("h0"), lit(0L)).as("h0"))
+        val hden = hFull.agg(expr("(max(h0) div 1000) + 1").as("den"))
+        hub = hFull
+          .crossJoin(broadcast(hden))
+          .select(col("v"), expr("h0 div den").as("h"))
+          .localCheckpoint()
+      }
+      hub
+        .join(auth, Seq("v"))
+        .select(col("v"), col("h").as("hub_e3"), col("a").as("auth_e3"))
+        .orderBy("v")
+    }),
+
     "x109_label_propagation" -> ((s, d) => {
       val Rounds = 5
       val (edges, _) = md5Graph(s, d)
@@ -569,6 +632,39 @@ object Reshape {
         |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
         |  CAST((SELECT count(*) FROM wg) AS BIGINT) AS n_wedges,
         |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triangles""".stripMargin,
+    // x167: the directed draw graph + 4 HITS rounds as unrolled
+    // MATERIALIZED half-steps (auth ← hubs, renorm, hub ← auths, renorm).
+    "x167_hits" -> {
+      val rounds = (1 to 4)
+        .map { i =>
+          s"""ar$i AS MATERIALIZED (
+             |  SELECT vt.v, coalesce(s.a0, 0) AS a0 FROM vt
+             |  LEFT JOIN (SELECT e.w AS v, CAST(sum(h.h) AS BIGINT) AS a0
+             |             FROM e JOIN h${i - 1} h ON e.u = h.v GROUP BY 1) s ON vt.v = s.v),
+             |ad$i AS MATERIALIZED (SELECT (max(a0) // 1000) + 1 AS den FROM ar$i),
+             |a$i AS MATERIALIZED (SELECT v, a0 // den AS a FROM ar$i, ad$i),
+             |hr$i AS MATERIALIZED (
+             |  SELECT vt.v, coalesce(s.h0, 0) AS h0 FROM vt
+             |  LEFT JOIN (SELECT e.u AS v, CAST(sum(a.a) AS BIGINT) AS h0
+             |             FROM e JOIN a$i a ON e.w = a.v GROUP BY 1) s ON vt.v = s.v),
+             |hd$i AS MATERIALIZED (SELECT (max(h0) // 1000) + 1 AS den FROM hr$i),
+             |h$i AS MATERIALIZED (SELECT v, h0 // den AS h FROM hr$i, hd$i)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""WITH nv AS (SELECT count(*) AS n FROM customer),
+         |vt AS (SELECT c_custkey AS v FROM customer),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT u, w FROM (
+         |    SELECT c_custkey AS u,
+         |      ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+         |        % (SELECT n FROM nv) + 1 AS w
+         |    FROM customer, (SELECT unnest(range(3)) AS i))
+         |  WHERE u <> w),
+         |h0 AS (SELECT v, CAST(1000 AS BIGINT) AS h FROM vt),
+         |$rounds
+         |SELECT h4.v, h4.h AS hub_e3, a4.a AS auth_e3
+         |FROM h4 JOIN a4 ON h4.v = a4.v ORDER BY h4.v""".stripMargin
+    },
     // x109: the same md5 graph, 5 synchronous label-propagation rounds
     // replayed as chained MATERIALIZED CTEs; the per-v argmax tie-break
     // (max count, then min label) is a max-count window + equality filter
