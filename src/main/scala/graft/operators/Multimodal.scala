@@ -452,6 +452,47 @@ object Multimodal {
       graft.sources.PngAdam7Fixture.ensure(s)
       pngTileScan(s, graft.sources.PngAdam7Fixture.payloadPath, withBits = false)
     }),
+    // PNG depth/alpha surface (x168) — the LAST quarantined color-type
+    // slice of the decoder: gray+alpha (type 4, white-composited with
+    // the shared integer formula) and 16-bit grayscale/truecolor
+    // (big-endian samples, §12.5 rounded 16→8 reduction — the fixture's
+    // multipliers vary BOTH bytes of every sample, so a high-byte-only
+    // shortcut flips the hash). The kind column comes from the payload
+    // IHDR, pinning the header dispatch; pixels land in the shared 8×8
+    // resample/checksum contract.
+    "x168_png_depth_alpha" -> ((s, _) => {
+      graft.sources.PngDepthFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("kind", StringType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.PngDepthFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            graft.sources.PngPixels.decode(payload) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(
+                  r.getAs[Long]("img_id"),
+                  img.width,
+                  img.height,
+                  graft.sources.PngPixels.kindOf(payload).orNull,
+                  cs
+                )
+              case None => Row(r.getAs[Long]("img_id"), null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     "x71_gif_decode" -> ((s, _) => {
       graft.sources.GifFixture.ensure(s)
       val schema = StructType(
@@ -1283,6 +1324,42 @@ object Multimodal {
         |  CAST(max(abs(pred)) AS BIGINT) AS peak,
         |  CAST(sum((blk * 505 + j + 1) * pred) AS BIGINT) AS checksum
         |FROM st GROUP BY aid ORDER BY audio_id""".stripMargin,
+    // x168: the three kind formulas composed with the white composite /
+    // §12.5 rounded reduction, through the shared checksum CTE.
+    "x168_png_depth_alpha" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height, kind
+        |  FROM '/root/repo/spark-warehouse/graft_png_depth/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height, kind,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |ch AS (
+        |  SELECT img_id, width, height, kind, wgt,
+        |    CASE kind
+        |      WHEN 'gray_alpha' THEN
+        |        (((img_id * 3 + sx * 13 + sy * 7) % 256) * ((img_id * 7 + sx * 5 + sy * 11) % 256)
+        |          + (255 - (img_id * 3 + sx * 13 + sy * 7) % 256) * 255) // 255
+        |      WHEN 'gray16' THEN
+        |        (((img_id * 131 + sx * 4799 + sy * 9601) % 65536) * 255 + 32767) // 65535
+        |      ELSE (((img_id * 131 + sx * 4799 + sy * 9601) % 65536) * 255 + 32767) // 65535
+        |    END AS r,
+        |    CASE kind
+        |      WHEN 'rgb16' THEN
+        |        (((img_id * 137 + sx * 4801 + sy * 9613) % 65536) * 255 + 32767) // 65535
+        |      ELSE NULL
+        |    END AS g2,
+        |    CASE kind
+        |      WHEN 'rgb16' THEN
+        |        (((img_id * 139 + sx * 4813 + sy * 9619) % 65536) * 255 + 32767) // 65535
+        |      ELSE NULL
+        |    END AS b2
+        |  FROM px)
+        |SELECT img_id, width, height, kind,
+        |  CAST(sum(wgt * (3 * r + 5 * coalesce(g2, r) + 7 * coalesce(b2, r))) AS BIGINT) AS checksum
+        |FROM ch GROUP BY img_id, width, height, kind ORDER BY img_id""".stripMargin,
     // x163: the x33 checksum CTE over the TIFF fixture's run-structured
     // pixel formula — IFD walk + strips + PackBits proven byte-free.
     "x163_tiff_decode" ->

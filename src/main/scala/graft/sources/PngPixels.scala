@@ -15,15 +15,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * it never parses a byte of PNG, so a hash match proves signature →
   * chunk walk → inflate → unfilter → resample end-to-end.
   *
-  * Scope: bit depth 8; color types 0 (grayscale — x146), 2 (RGB), 3
-  * (PLTE indexed — the dominant icon/small-image web shape, with or
-  * without a tRNS alpha prefix — x144) and 6 (RGBA, composited over
-  * white with an integer-exact formula the x100 oracle mirrors);
-  * sequential AND Adam7-interlaced scanline layouts (x146 — the seven
-  * passes are independently filtered sub-images deinterlaced by
-  * scatter; interlacing is TRANSPORT, so the pixel oracles are
-  * unchanged). 16-bit and keyed (non-palette) transparency return None:
-  * quarantine, never a thrown task. All offsets are bounds-checked
+  * Scope: color types 0 (grayscale — x146), 2 (RGB), 3 (PLTE indexed —
+  * the dominant icon/small-image web shape, with or without a tRNS
+  * alpha prefix — x144), 4 (gray+alpha — x168) and 6 (RGBA), alpha
+  * composited over white with an integer-exact formula the
+  * x100/x144/x168 oracles mirror; bit depth 8 everywhere plus depth 16
+  * for types 0/2 (x168, §12.5 rounded reduction); sequential AND
+  * Adam7-interlaced scanline layouts (x146 — the seven passes are
+  * independently filtered sub-images deinterlaced by scatter;
+  * interlacing is TRANSPORT, so the pixel oracles are unchanged).
+  * 16-bit alpha variants and keyed (non-palette) transparency return
+  * None: quarantine, never a thrown task. All offsets are bounds-checked
   * against the payload (untrusted executor-side bytes — the same
   * discipline as [[ImageMeta]]/[[BmpPixels]]).
   *
@@ -47,19 +49,27 @@ object PngPixels {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Decode an 8-bit non-interlaced PNG of color type 2 (RGB), 3 (PLTE
-    * indexed, with or without a tRNS palette-alpha prefix — x144) or 6
-    * (RGBA); all transparency composites over white with the integer-
-    * exact `c' = (a·c + (255−a)·255) div 255` mirrored in the x100/x144
+  /** 16→8-bit sample reduction: round(s·255/65535), the spec §12.5
+    * recommendation — exactly what ImageIO's component color model
+    * computes, so conformance holds pixel-for-pixel (x168). */
+  private def red16(s: Int): Int = (s * 255 + 32767) / 65535
+
+  /** Decode a non-interlaced PNG of color type 2 (RGB), 3 (PLTE indexed,
+    * with or without a tRNS palette-alpha prefix — x144), 6 (RGBA), 0
+    * (grayscale — x146), 4 (gray+alpha — x168), at bit depth 8; depth 16
+    * for types 0 and 2 (x168, reduced by the §12.5 rounding); all
+    * transparency composites over white with the integer-exact
+    * `c' = (a·c + (255−a)·255) div 255` mirrored in the x100/x144/x168
     * oracles. None for anything else (including any CRC mismatch —
     * corrupt payloads quarantine cleanly). A tRNS chunk on color types
-    * 0/2 (keyed transparency) remains OUT of the supported surface and
-    * quarantines rather than silently decoding opaque. */
+    * 0/2 (keyed transparency) and 16-bit alpha variants remain OUT of
+    * the supported surface and quarantine rather than silently decoding
+    * opaque/truncated. */
   def decode(b: Array[Byte]): Option[BmpPixels.Image] = {
     if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
     var o = 8
     var w = 0; var h = 0
-    var colorType = -1; var bpp = 0; var interlaced = false
+    var colorType = -1; var bpp = 0; var interlaced = false; var deep = false
     var pal: Array[Byte] = null
     var trns: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
@@ -83,16 +93,24 @@ object PngPixels {
           val bitDepth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
           val compression = b(o + 18) & 0xff; val filterMethod = b(o + 19) & 0xff
           val il = b(o + 20) & 0xff
-          if (bitDepth != 8 || compression != 0 || filterMethod != 0 || il > 1)
+          if ((bitDepth != 8 && bitDepth != 16) || compression != 0 || filterMethod != 0 || il > 1)
             return None
+          // 16-bit alpha (4/6) and 16-bit indexed (spec-invalid anyway)
+          // stay out of scope — quarantine, never truncate silently
+          if (bitDepth == 16 && colorType != 0 && colorType != 2) return None
+          deep = bitDepth == 16
           interlaced = il == 1
-          bpp = colorType match {
+          val channels = colorType match {
             case 0 => 1 // grayscale (x146)
             case 2 => 3
             case 3 => 1
+            case 4 => 2 // gray+alpha (x168)
             case 6 => 4
-            case _ => return None // gray+alpha(4) stays out of scope
+            case _ => return None
           }
+          // filters operate on BYTES with bpp = channels·bytes-per-sample
+          // (spec §6.2) — the unfilter loop below is depth-agnostic
+          bpp = channels * (if (deep) 2 else 1)
           // cap total raw size so a crafted header can't allocate
           // unboundedly: the interlaced layout adds at most 8 filter
           // bytes per image row beyond h·(1 + bpp·w), hence the 9
@@ -195,7 +213,18 @@ object PngPixels {
         j += 1
       }
     }
+    def s16(p: Int): Int = ((px(p) & 0xff) << 8) | (px(p + 1) & 0xff)
     colorType match {
+      case 0 if deep =>
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val g = red16(s16(y0 * stride + x * 2))
+          ((g, g, g))
+        }))
+      case 2 if deep =>
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val p = y0 * stride + x * 6
+          ((red16(s16(p)), red16(s16(p + 2)), red16(s16(p + 4))))
+        }))
       case 0 =>
         Some(BmpPixels.Image(w, h, (x, y0) => {
           val g = px(y0 * stride + x) & 0xff
@@ -205,6 +234,14 @@ object PngPixels {
         Some(BmpPixels.Image(w, h, (x, y0) => {
           val p = y0 * stride + x * 3
           ((px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff))
+        }))
+      case 4 =>
+        // gray+alpha over white, the same integer floor composite
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val p = y0 * stride + x * 2
+          val a = px(p + 1) & 0xff
+          val v = (a * (px(p) & 0xff) + (255 - a) * 255) / 255
+          ((v, v, v))
         }))
       case 3 =>
         // eager index validation: an index past the palette is a
@@ -228,6 +265,22 @@ object PngPixels {
           def over(c: Int) = (a * c + (255 - a) * 255) / 255
           ((over(px(p) & 0xff), over(px(p + 1) & 0xff), over(px(p + 2) & 0xff)))
         }))
+    }
+  }
+
+  /** (colorType, depth) kind label from the IHDR — surfaced so the x168
+    * gate pins the header dispatch, not just the pixels. */
+  def kindOf(b: Array[Byte]): Option[String] = {
+    if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
+    ((b(25) & 0xff, b(24) & 0xff): @unchecked) match {
+      case (0, 8)  => Some("gray")
+      case (0, 16) => Some("gray16")
+      case (2, 8)  => Some("rgb")
+      case (2, 16) => Some("rgb16")
+      case (3, 8)  => Some("palette")
+      case (4, 8)  => Some("gray_alpha")
+      case (6, 8)  => Some("rgba")
+      case _       => None
     }
   }
 
@@ -298,6 +351,45 @@ object PngPixels {
     assemble(w, h, bpp = 1, colorType = 0, plte = None, filterAt,
       (x, y, cur) => cur(x) = grayAt(x, y))
 
+  /** Spec-valid 8-bit gray+alpha PNG (color type 4) — x168. */
+  def synthesizeGrayAlpha(
+      w: Int,
+      h: Int,
+      gaAt: (Int, Int) => (Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 2, colorType = 4, plte = None, filterAt,
+      (x, y, cur) => { val (g, a) = gaAt(x, y); cur(x * 2) = g; cur(x * 2 + 1) = a })
+
+  /** Spec-valid 16-bit grayscale PNG (type 0, depth 16) — x168; samples
+    * are written big-endian per spec §7.1. */
+  def synthesizeGray16(
+      w: Int,
+      h: Int,
+      g16At: (Int, Int) => Int,
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 2, colorType = 0, plte = None, filterAt,
+      (x, y, cur) => {
+        val s = g16At(x, y)
+        cur(x * 2) = (s >> 8) & 0xff; cur(x * 2 + 1) = s & 0xff
+      }, depth = 16)
+
+  /** Spec-valid 16-bit truecolor PNG (type 2, depth 16) — x168. */
+  def synthesizeRgb16(
+      w: Int,
+      h: Int,
+      rgb16At: (Int, Int) => (Int, Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 6, colorType = 2, plte = None, filterAt,
+      (x, y, cur) => {
+        val (r, g, b) = rgb16At(x, y)
+        cur(x * 6) = (r >> 8) & 0xff; cur(x * 6 + 1) = r & 0xff
+        cur(x * 6 + 2) = (g >> 8) & 0xff; cur(x * 6 + 3) = g & 0xff
+        cur(x * 6 + 4) = (b >> 8) & 0xff; cur(x * 6 + 5) = b & 0xff
+      }, depth = 16)
+
   /** Spec-valid ADAM7-INTERLACED 8-bit truecolor PNG (x146): the seven
     * passes extracted, each filtered as its OWN sub-image (per-pass
     * scanline neighborhoods — the forward transform [[decode]]'s
@@ -356,7 +448,8 @@ object PngPixels {
       plte: Option[Array[Byte]],
       filterAt: Int => Int,
       fill: (Int, Int, Array[Int]) => Unit,
-      afterPlte: Array[Byte] = Array.empty
+      afterPlte: Array[Byte] = Array.empty,
+      depth: Int = 8
   ): Array[Byte] = {
     val stride = bpp * w
     val raw = new Array[Byte](h * (1 + stride))
@@ -381,7 +474,7 @@ object PngPixels {
       }
       System.arraycopy(cur, 0, prev, 0, stride)
     }
-    pack(w, h, colorType, interlace = 0, plte, afterPlte, raw)
+    pack(w, h, colorType, interlace = 0, plte, afterPlte, raw, depth)
   }
 
   /** deflate + chunk assembly shared by the sequential and interlaced
@@ -393,7 +486,8 @@ object PngPixels {
       interlace: Int,
       plte: Option[Array[Byte]],
       afterPlte: Array[Byte],
-      raw: Array[Byte]
+      raw: Array[Byte],
+      depth: Int = 8
   ): Array[Byte] = {
     val def_ = new Deflater()
     def_.setInput(raw); def_.finish()
@@ -402,7 +496,7 @@ object PngPixels {
     while (!def_.finished()) outBytes.write(buf, 0, def_.deflate(buf))
     def_.end()
     val compressed = outBytes.toByteArray
-    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte)
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     val idats = compressed.grouped(800).map(g => chunk("IDAT", g)).reduce(_ ++ _)
     Signature ++ chunk("IHDR", ihdr) ++
       plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
@@ -587,6 +681,54 @@ object PngAdam7Fixture {
         .coalesce(1).write.mode("overwrite").parquet(payloadPath)
       r.map { case (id, _, w, h) => (id, w, h) }
         .toDF("img_id", "width", "height")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
+/** Fixture for the x168 depth/alpha gate: 250 PNGs cycling gray+alpha
+  * (8-bit type 4), 16-bit grayscale and 16-bit truecolor over closed-form
+  * formulas — the ·4799/·9601 multipliers make BOTH bytes of every 16-bit
+  * sample vary, so a high-byte-only shortcut (instead of the §12.5
+  * rounded reduction) flips the hash. */
+object PngDepthFixture {
+  val dir = "/root/repo/spark-warehouse/graft_png_depth"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  /** formulas — mirrored verbatim in the x168 oracle SQL */
+  def gaAt(id: Long)(x: Int, y: Int): (Int, Int) =
+    (((id * 7 + x * 5 + y * 11) % 256).toInt, ((id * 3 + x * 13 + y * 7) % 256).toInt)
+  def g16At(id: Long)(x: Int, y: Int): Int =
+    ((id * 131 + x * 4799 + y * 9601) % 65536).toInt
+  def rgb16At(id: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 131 + x * 4799 + y * 9601) % 65536).toInt,
+    ((id * 137 + x * 4801 + y * 9613) % 65536).toInt,
+    ((id * 139 + x * 4813 + y * 9619) % 65536).toInt
+  )
+
+  def rows: Seq[(Long, Array[Byte], Int, Int, String)] = (0 until 250).map { i =>
+    val id = i.toLong
+    val w = 5 + (i * 7) % 40
+    val h = 4 + (i * 11) % 32
+    val (p, kind) = (i % 3) match {
+      case 0 => (PngPixels.synthesizeGrayAlpha(w, h, gaAt(id), y => (y + i) % 5), "gray_alpha")
+      case 1 => (PngPixels.synthesizeGray16(w, h, g16At(id), y => (y + i) % 5), "gray16")
+      case _ => (PngPixels.synthesizeRgb16(w, h, rgb16At(id), y => (y + i) % 5), "rgb16")
+    }
+    (id, p, w, h, kind)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _, _) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h, k) => (id, w, h, k) }
+        .toDF("img_id", "width", "height", "kind")
         .coalesce(1).write.mode("overwrite").parquet(twinPath)
     }
   }

