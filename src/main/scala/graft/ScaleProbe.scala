@@ -282,7 +282,12 @@ object ScaleProbe {
       // L×256; PCA's matvec rounds are matrix-sized (base embeddings),
       // the projection is the corpus-scan part; ACF collapses 16x events
       // to one row per day before the 7-way bounded lag join
-      "x164_nb_classifier", "x165_pca_power", "x166_autocorrelation"
+      "x164_nb_classifier", "x165_pca_power", "x166_autocorrelation",
+      // r7 session 6: HITS over the 16x-vertex directed md5 graph — 8
+      // half-steps of co-partitioned join + vertex-key agg (q62 class);
+      // the PNG depth/alpha decode rides its fixture corpus (per-row
+      // codec work, corpus-size independent)
+      "x167_hits", "x168_png_depth_alpha"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
