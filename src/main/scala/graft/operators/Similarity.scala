@@ -677,11 +677,13 @@ object Similarity {
         .join(broadcast(v.select(col("j").as("i"), col("vj").as("vi"))), Seq("i"))
         .agg(sum(expr("vi * ui")).as("lnum"), sum(expr("vi * vi")).as("lden"))
         // DECIMAL(38,0) headroom for lnum·1000 (the x162 discipline):
-        // Σ vi·ui can reach ~4e15, ×1000 brushes int64
+        // Σ vi·ui can reach ~4e15, ×1000 brushes int64. A zero matrix
+        // (all embeddings identical) drives v — and so lden — to 0:
+        // λ̂ := 0 by convention, guarded identically in the oracle.
         .select(
           expr(
-            "CAST(((CAST(lnum AS DECIMAL(38,0)) * 1000) - " +
-              "(((CAST(lnum AS DECIMAL(38,0)) * 1000) % lden + lden) % lden)) div lden AS BIGINT)"
+            "CAST(IF(lden = 0, 0, ((CAST(lnum AS DECIMAL(38,0)) * 1000) - " +
+              "(((CAST(lnum AS DECIMAL(38,0)) * 1000) % lden + lden) % lden)) div lden) AS BIGINT)"
           ).as("lambda_e3")
         )
       val stats = v
@@ -1159,7 +1161,8 @@ object Similarity {
          |  SELECT c.i AS i, CAST(sum(c.cs * v.vj) AS BIGINT) AS ui
          |  FROM csc c JOIN v6 v ON c.j = v.j GROUP BY 1),
          |ray AS (
-         |  SELECT CAST(((lnum * 1000) - (((lnum * 1000) % lden + lden) % lden)) // lden AS BIGINT)
+         |  SELECT CAST(CASE WHEN lden = 0 THEN 0 ELSE
+         |      ((lnum * 1000) - (((lnum * 1000) % lden + lden) % lden)) // lden END AS BIGINT)
          |    AS lambda_e3
          |  FROM (SELECT sum(v.vj * u.ui) AS lnum, sum(v.vj * v.vj) AS lden
          |        FROM u7 u JOIN v6 v ON u.i = v.j)),

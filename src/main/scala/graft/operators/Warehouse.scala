@@ -448,8 +448,12 @@ object Warehouse {
           col("lag").cast("long").as("lag"),
           col("n_pairs"),
           col("mean_e3"),
+          // a constant series has zero variance: acf := 0 by convention,
+          // guarded identically in the oracle (the x162 degenerate-case
+          // discipline — unguarded, Spark nulls and DuckDB errors)
           expr(
-            "CAST(((numd * 1000000) - (((numd * 1000000) % dend + dend) % dend)) div dend AS BIGINT)"
+            "CAST(IF(dend = 0, 0, " +
+              "((numd * 1000000) - (((numd * 1000000) % dend + dend) % dend)) div dend) AS BIGINT)"
           ).as("acf_ppm")
         )
         .orderBy("lag")
@@ -1956,7 +1960,8 @@ object Warehouse {
         |  FROM pairs GROUP BY 1)
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
         |  CAST((s * 1000) // n AS BIGINT) AS mean_e3,
-        |  CAST(((numd * 1000000) - (((numd * 1000000) % dend + dend) % dend)) // dend AS BIGINT)
+        |  CAST(CASE WHEN dend = 0 THEN 0 ELSE
+        |    ((numd * 1000000) - (((numd * 1000000) % dend + dend) % dend)) // dend END AS BIGINT)
         |    AS acf_ppm
         |FROM num, den, st ORDER BY lag""".stripMargin,
     // x157: same cells/shares/TVD arithmetic; conditional sums replayed.

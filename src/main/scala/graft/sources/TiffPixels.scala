@@ -177,7 +177,10 @@ object TiffPixels {
         case _   => () // unknown tags are legal; skip
       }
     }
-    if (w <= 0 || h <= 0 || w > (1L << 16) || h > (1L << 16)) return None
+    // product cap (Long math): a crafted 65535×65535 header would wrap
+    // the Int buffer size and throw instead of quarantining (the
+    // PngPixels discipline — untrusted executor-side bytes never throw)
+    if (w <= 0 || h <= 0 || w > (1L << 16) || h > (1L << 16) || w * h * 3 > Int.MaxValue) return None
     if (photo != 2 || spp != 3 || !(bits.length == 3 && bits.forall(_ == 8L))) return None
     if (comp != 1 && comp != 32773 && comp != 5) return None
     // §14 defines the differencing predictor FOR LZW; other pairings are
@@ -227,13 +230,15 @@ object TiffPixels {
     )
   }
 
-  /** compression tag of a decodable payload ("none" / "packbits") —
-    * surfaced so the gate pins the dispatch, not just the pixels */
+  /** compression tag of a decodable payload ("none" / "packbits" /
+    * "lzw") — surfaced so the gate pins the dispatch, not just the
+    * pixels */
   def compressionOf(b: Array[Byte]): Option[String] = {
     val be = byteOrder(b).getOrElse(return None)
     val ifd = u32(b, 4, be)
     if (ifd + 2 > b.length) return None
     val n = u16(b, ifd.toInt, be)
+    if (ifd + 2 + n * 12 + 4 > b.length) return None // truncated IFD: quarantine, never throw
     (0 until n)
       .map(e => ifd.toInt + 2 + e * 12)
       .find(at => u16(b, at, be) == 259)
@@ -411,8 +416,16 @@ object TiffFixture {
     (i.toLong, TiffPixels.synthesize(w, h, rgbAt(i.toLong), tag, pred2), w, h, name)
   }
 
+  // bump when the fixture definition changes: ensure() regenerates on
+  // mismatch, so stale environments can't keep a pre-LZW corpus while
+  // the SURVEY row claims LZW/predictor gate coverage (review finding)
+  private val Version = "v2-lzw-mm-predictor"
+
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    if (!new java.io.File(twinPath).exists()) {
+    val marker = new java.io.File(s"$dir/VERSION")
+    val stale = !new java.io.File(twinPath).exists() ||
+      !marker.exists() || new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") != Version
+    if (stale) {
       new java.io.File(dir).mkdirs()
       import spark.implicits._
       val r = rows
@@ -422,6 +435,7 @@ object TiffFixture {
       r.map { case (id, _, w, h, c) => (id, w, h, c) }
         .toDF("img_id", "width", "height", "compression")
         .coalesce(1).write.mode("overwrite").parquet(twinPath)
+      java.nio.file.Files.write(marker.toPath, Version.getBytes("UTF-8"))
     }
   }
 }

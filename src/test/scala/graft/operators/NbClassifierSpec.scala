@@ -12,14 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class NbClassifierSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def run(rows: Seq[(Long, String, String)]): Array[(String, String, Boolean, Long)] = {
+  /** (lang, pred_lang, is_train, n_docs, heldout_acc_ppm) per row */
+  private def run(rows: Seq[(Long, String, String)]): Array[(String, String, Boolean, Long, Long)] = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("nb_spec").toString
     rows.toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
     TextAnalysis
       .queries("x164_nb_classifier")(spark, dir)
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .map(r =>
+        (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3), r.getAs[Long]("heldout_acc_ppm"))
+      )
   }
 
   test("disjoint-vocabulary languages: diagonal confusion, held-out accuracy 1.0") {
@@ -31,15 +34,9 @@ class NbClassifierSpec extends AnyFunSuite {
       if (i % 4 < 2) (i.toLong, "xx", xxDoc(i)) else (i.toLong, "yy", yyDoc(i))
     }
     val out = run(rows)
-    assert(out.forall { case (lang, pred, _, _) => lang == pred }, out.mkString(", "))
+    assert(out.forall { case (lang, pred, _, _, _) => lang == pred }, out.mkString(", "))
     // heldout_acc_ppm rides every row as the broadcast eval column
-    val acc = TextAnalysis.queries("x164_nb_classifier")(spark, {
-      import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("nb_acc").toString
-      rows.toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      dir
-    }).select("heldout_acc_ppm").distinct().collect().map(_.getLong(0))
-    assert(acc.toSeq === Seq(1000000L))
+    assert(out.map(_._5).toSet === Set(1000000L))
     // both splits appear and account for every document
     assert(out.map(_._4).sum === 40L)
     assert(out.map(_._3).toSet === Set(true, false))
@@ -50,7 +47,7 @@ class NbClassifierSpec extends AnyFunSuite {
     // docs still argmax over the trained {xx, yy} grid (dense smoothing
     // gives every (lang, bucket) a weight)
     val rows =
-      (0 until 20).map(i => (i.toLong, if (i % 2 == 0) "xx" else "xx", s"krzko przkt vrzkq b${i % 3}")) ++
+      (0 until 20).map(i => (i.toLong, "xx", s"krzko przkt vrzkq b${i % 3}")) ++
         Seq((21L, "zz", "feenaa veenoo teenee"), (23L, "zz", "feenaa weenuu seenii"))
     val out = run(rows)
     val zzPreds = out.filter(_._1 == "zz").map(_._2).toSet
