@@ -92,6 +92,25 @@ object Sampling {
       )
   }
 
+  /** Pool-adjacent-violators over ordered (Σpos, n) groups → the isotonic
+    * fit as floor-ppm per group (x169). Pooling compares are exact
+    * cross-multiplied rationals; the gate's oracle independently derives
+    * the same values from the minimax characterization. */
+  private[operators] def pav(groups: Seq[(Long, Long)]): Seq[Long] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)] // (Σpos, Σn, groups)
+    groups.foreach { case (s1, n1) =>
+      var s0 = s1; var n0 = n1; var g0 = 1
+      // pool while the previous block's mean ≥ this one's (violates
+      // monotonicity): exact cross-multiplied rational compare
+      while (stack.nonEmpty && stack.last._1 * n0 >= s0 * stack.last._2) {
+        val (ps, pn, pg) = stack.remove(stack.length - 1)
+        s0 += ps; n0 += pn; g0 += pg
+      }
+      stack += ((s0, n0, g0))
+    }
+    stack.toSeq.flatMap { case (s0, n0, g0) => Seq.fill(g0)((s0 * 1000000L) / n0) }
+  }
+
   /** 32-bit Morton interleave of two 16-bit columns, unrolled flat so it
     * stays inside whole-stage codegen (shared by x47 and x73). */
   private[graft] def interleave16(cxCol: String, dyCol: String): String =
@@ -455,6 +474,46 @@ object Sampling {
         .withColumn("pos_rate_ppm", expr("(npos_d * 1000000) div n"))
         .crossJoin(broadcast(stats))
         .orderBy("decile")
+    }),
+
+    // Isotonic calibration via pool-adjacent-violators (x169, Zadrozny &
+    // Elkan 2002) — the calibration FIT completing x159's eval loop (its
+    // deciles only REPORT calibration; this produces the monotone
+    // score → P(positive) map a pipeline applies before thresholding).
+    // PAV is inherently sequential, so it runs on the COLLECTED
+    // per-score group table — score-resolution-bounded (≤ distinct
+    // llr_bits values, 68 at gate SF), the documented x158/x73
+    // driver-sized class — with exact-rational pooling compares
+    // (ps·n ≥ s·pn, no division). The ORACLE is the independent minimax
+    // characterization fitted(i) = max_{j≤i} min_{k≥i} mean(j..k):
+    // floor-ppm commutes with min/max (monotone function), so the gate
+    // PROVES the O(g) stack fold equals the mathematical optimum the
+    // way x147's quadratic twin proves losslessness. Scale shape: the
+    // corpus cost is x149's audited scoring pipeline + one group agg;
+    // everything after is g-sized.
+    "x169_isotonic_calibration" -> ((s, d) => {
+      val grp = dsirScores(s, d)
+        .join(
+          table(s, d, "documents").select(col("doc_id"), (col("lang") === "en").cast("long").as("pos")),
+          "doc_id"
+        )
+        .groupBy("llr_bits")
+        .agg(count(lit(1)).as("n"), sum("pos").as("npos"))
+        .localCheckpoint() // two plan refs: the PAV collect, the output join
+      val groups = grp.orderBy("llr_bits").collect()
+      val fitted = pav(groups.toSeq.map(r => (r.getAs[Long]("npos"), r.getAs[Long]("n"))))
+      import s.implicits._
+      val fittedDf = groups.map(_.getAs[Long]("llr_bits")).toSeq.zip(fitted).toDF("llr_bits", "fitted_ppm")
+      grp
+        .join(broadcast(fittedDf), "llr_bits")
+        .select(
+          col("llr_bits"),
+          col("n"),
+          col("npos"),
+          expr("(npos * 1000000) div n").as("raw_ppm"),
+          col("fitted_ppm")
+        )
+        .orderBy("llr_bits")
     }),
 
     // temperature-scaled domain resampling — the data-mixing step behind
@@ -981,6 +1040,30 @@ object Sampling {
         |SELECT decile, n, npos_d, (npos_d * 1000000) // n AS pos_rate_ppm,
         |  npos, nneg, u2, auc_e6
         |FROM dec, st ORDER BY decile""".stripMargin,
+    // x169: the minimax characterization max_{j≤i} min_{k≥i} mean(j..k)
+    // — an INDEPENDENT derivation of the isotonic fit (never runs PAV);
+    // floor-ppm commutes with min/max, so integer ppm values suffice.
+    "x169_isotonic_calibration" ->
+      s"""WITH $DsirScoreCtes,
+        |lab AS (
+        |  SELECT f2.doc_id, f2.llr_bits, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM fin f2 JOIN documents d USING (doc_id)),
+        |grp AS (
+        |  SELECT llr_bits, count(*) AS n, CAST(sum(pos) AS BIGINT) AS npos,
+        |    row_number() OVER (ORDER BY llr_bits) AS i
+        |  FROM lab GROUP BY 1),
+        |win AS (
+        |  SELECT a.i AS j, b.i AS k,
+        |    CAST((sum(m.npos) * 1000000) // sum(m.n) AS BIGINT) AS ppm
+        |  FROM grp a JOIN grp b ON b.i >= a.i JOIN grp m ON m.i BETWEEN a.i AND b.i
+        |  GROUP BY 1, 2),
+        |inn AS (
+        |  SELECT g.i, w.j, min(w.ppm) AS mn
+        |  FROM grp g JOIN win w ON w.j <= g.i AND w.k >= g.i GROUP BY 1, 2),
+        |fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS fitted_ppm FROM inn GROUP BY 1)
+        |SELECT CAST(g.llr_bits AS BIGINT) AS llr_bits, g.n, g.npos,
+        |  CAST((g.npos * 1000000) // g.n AS BIGINT) AS raw_ppm, f.fitted_ppm
+        |FROM grp g JOIN fit f ON g.i = f.i ORDER BY g.llr_bits""".stripMargin,
     "x59_temperature_mix" ->
       s"""WITH $TemperatureQuotaCtes,
          |r AS (SELECT source, doc_id,
