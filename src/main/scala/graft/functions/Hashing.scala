@@ -17,4 +17,17 @@ object Hashing {
 
   /** first-window hash reduced to [0, m). */
   def md5Bucket(c: Column, m: Long): Column = pmod(md5Window15(c), lit(m))
+
+  /** driver-side twin of [[md5Bucket]] for planning-time bucket math
+    * (x170's partition-pruned point lookup; the hash is non-negative so
+    * plain % is the pmod). */
+  def md5BucketOf(v: String, m: Long): Long = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(15)
+    java.lang.Long.parseLong(hex, 16) % m
+  }
 }

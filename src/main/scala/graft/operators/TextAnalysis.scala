@@ -28,6 +28,34 @@ object TextAnalysis {
   /** Per-doc 256-bucket hashed-feature counts (the hashing trick) — shared
     * by x65 (featurization) and x68 (classifier inference); the oracles
     * share [[hashedFeaturesSql]] the same way. */
+  /** Build-once inverted index for x170: posting rows (term, doc_id, tf,
+    * df) partitioned by the 64-way md5 term bucket + a 1-row totals
+    * parquet, keyed per SOURCE DIR with a content fingerprint (the x74
+    * gate-artifact convention — bench/probe runs on other SFs must never
+    * clobber the artifact the sf0.01 oracle round reads). */
+  private[graft] def invIdxEnsure(s: SparkSession, d: String): String = synchronized {
+    val fp = graft.sources.Fingerprint.of(s, s"$d/documents.parquet", "invidx-v1-b64")
+    val dir = s"/root/repo/spark-warehouse/graft_invidx_gate/${new java.io.File(d).getName}"
+    val marker = new java.io.File(s"$dir/src_key")
+    val current =
+      if (marker.exists()) new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
+    if (current != fp) {
+      val docs = table(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+      // df = rows per term in the (term, doc) table — countDistinct by construction
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .withColumn("bucket", Hashing.md5Bucket(col("term"), 64L))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      docs.agg(count(lit(1)).as("n")).coalesce(1).write.mode("overwrite").parquet(s"$dir/totals")
+      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+    }
+    dir
+  }
+
   private def hashedFeatures(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
       .select(col("doc_id"), explode(toks).as("term"))
@@ -1072,6 +1100,38 @@ object TextAnalysis {
         .limit(10)
     }),
 
+    // Persisted inverted text index + bucket-pruned point lookup (x170)
+    // — the keyword-retrieval analog of x74's persisted ANN index: x32
+    // rescans the corpus per query; this builds posting lists ONCE
+    // (fingerprint-guarded, per source dir — the x74 artifact-drift
+    // convention) partitioned by a 64-way term-hash bucket, and a query
+    // reads ONLY its terms' bucket directories (partition pruning,
+    // plan-asserted in InvertedIndexSpec: ≤3 of 64 dirs opened). Scoring
+    // is x32's exact integer tf·(N/df) formula, so the indexed path must
+    // reproduce the scan path's ranking bit-for-bit; df and N are frozen
+    // INTO the artifact at build (denormalized posting rows + a 1-row
+    // totals parquet), which is what makes the lookup corpus-free. The
+    // oracle re-derives everything from documents — a stale or mis-built
+    // artifact flips the hash. buckets_read pins the driver-side bucket
+    // math against an in-SQL md5 replay.
+    "x170_inverted_index" -> ((s, d) => {
+      val dir = invIdxEnsure(s, d)
+      val qterms = Seq("table", "spark", "window")
+      val qbuckets = qterms.map(t => Hashing.md5BucketOf(t, 64L)).distinct
+      val postings = s.read
+        .parquet(s"$dir/postings")
+        .where(col("bucket").isInCollection(qbuckets) && col("term").isInCollection(qterms))
+      val n = s.read.parquet(s"$dir/totals")
+      postings
+        .crossJoin(broadcast(n))
+        .withColumn("tscore", expr("(cast(tf as decimal(38,0)) * n * 1000000) div df"))
+        .groupBy("doc_id")
+        .agg(sum("tscore").as("score"), count(lit(1)).as("n_terms_hit"))
+        .withColumn("buckets_read", lit(qbuckets.length.toLong))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "x32_keyword_search" -> ((s, d) => {
       val qterms = Seq("table", "spark", "window")
       val docs = table(s, d, "documents")
@@ -1734,6 +1794,23 @@ object TextAnalysis {
           |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, tot)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // x170: everything re-derived from documents (never the artifact) —
+      // a stale/mis-built index flips the hash; buckets_read replays the
+      // driver-side md5 bucket math in SQL.
+      "x170_inverted_index" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+          |q AS (SELECT doc_id, term FROM t WHERE term IN ('table', 'spark', 'window')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |qb AS (
+          |  SELECT count(DISTINCT ('0x' || substr(md5(qt), 1, 15))::BIGINT % 64) AS buckets_read
+          |  FROM (SELECT unnest(['table', 'spark', 'window']) AS qt)),
+          |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
+          |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit,
+          |  CAST(buckets_read AS BIGINT) AS buckets_read
+          |FROM sc, qb GROUP BY doc_id, buckets_read ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
       "x32_keyword_search" ->
         """WITH t AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
