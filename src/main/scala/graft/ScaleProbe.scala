@@ -287,7 +287,12 @@ object ScaleProbe {
       // half-steps of co-partitioned join + vertex-key agg (q62 class);
       // the PNG depth/alpha decode rides its fixture corpus (per-row
       // codec work, corpus-size independent)
-      "x167_hits", "x168_png_depth_alpha"
+      "x167_hits", "x168_png_depth_alpha",
+      // r7 session 6: isotonic fit rides x149's audited scoring pipeline
+      // (PAV itself is g-sized); the inverted-index lookup pays the
+      // 16x-corpus posting build on first touch, steady state is the
+      // bucket-pruned point read (the x74/x78 pattern)
+      "x169_isotonic_calibration", "x170_inverted_index"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
