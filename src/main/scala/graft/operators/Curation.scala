@@ -62,6 +62,38 @@ object Curation {
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-anonymity release (x171, Sweeney 2002) — the data-release
+    // governance verb beside x17 (PII scrub), x92 (data card) and x145
+    // (erasure audit): an aggregate over quasi-identifiers (lang ×
+    // source × 100-char length bucket) may only publish groups of ≥ k
+    // individuals; smaller groups are SUPPRESSED — pooled into one
+    // '*'-generalized row so the release still accounts for every
+    // document (mass conservation is part of the contract, and the gate
+    // pins it via a broadcast total). k_ok rides per released row: the
+    // release is re-audited in the same query (the x13/x159 in-query
+    // contract discipline). One grouped census, metadata-sized output.
+    "x171_k_anonymity" -> ((s, d) => {
+      val k = 5L
+      val census = table(s, d, "documents")
+        .groupBy(col("lang"), col("source"), expr("(n_chars div 100) * 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // two plan refs: released rows, suppressed pool
+      val released = census
+        .where(col("n") >= k)
+        .select(col("lang"), col("source"), col("len_bucket").cast("string").as("len_bucket"), col("n"))
+      val suppressed = census
+        .where(col("n") < k)
+        .agg(coalesce(sum("n"), lit(0L)).as("n"), coalesce(count(lit(1)), lit(0L)).as("n_cells"))
+        .select(lit("*").as("lang"), lit("*").as("source"), lit("*").as("len_bucket"), col("n"), col("n_cells"))
+      val total = census.agg(sum("n").as("n_total"))
+      released
+        .withColumn("n_cells", lit(1L))
+        .unionByName(suppressed)
+        .crossJoin(broadcast(total))
+        .withColumn("k_ok", col("lang") === "*" || col("n") >= k)
+        .orderBy("lang", "source", "len_bucket")
+    }),
+
     // ---- corrupt-record quarantine ingestion -------------------------------
     // x122: PERMISSIVE CSV parse + per-row quarantine (see CorruptCsv) —
     // every input line lands exactly once: parsed ('good') or quarantined
@@ -409,6 +441,24 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    // x171: the same census + ≥k split; the suppressed pool row exists
+    // even when empty (n = 0) so the release schema is stable.
+    "x171_k_anonymity" ->
+      """WITH census AS (
+        |  SELECT lang, source, (n_chars // 100) * 100 AS len_bucket, count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM census),
+        |rel AS (
+        |  SELECT lang, source, CAST(len_bucket AS VARCHAR) AS len_bucket,
+        |    CAST(n AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_cells
+        |  FROM census WHERE n >= 5
+        |  UNION ALL
+        |  SELECT '*', '*', '*', CAST(coalesce(sum(n), 0) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM census WHERE n < 5)
+        |SELECT lang, source, len_bucket, n, n_cells, n_total,
+        |  (lang = '*' OR n >= 5) AS k_ok
+        |FROM rel, tot ORDER BY lang, source, len_bucket""".stripMargin,
     // x122: the corruption is a pure key formula, so the oracle replays
     // the entire quarantine census from the parquet original without
     // ever reading the CSV — parse, classification, and recovered keys

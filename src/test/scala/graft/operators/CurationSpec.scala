@@ -164,4 +164,33 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_with_query") === (if (t % 6 == 5) 1L else 0L), s"target $t query")
     }
   }
+
+  test("x171: groups below k suppress into the '*' pool; exactly-k survives; mass conserves") {
+    val d = TestSpark.tempDir()
+    // QI = (lang, source, n_chars div 100): group A has exactly k = 5
+    // members, group B has k - 1 (must suppress), group C has 6
+    val rows =
+      (0 until 5).map(i => (i.toLong, "x", "en", "big", 150L)) ++ // A: (en, big, 100) n=5
+        (5 until 9).map(i => (i.toLong, "x", "fr", "big", 150L)) ++ // B: (fr, big, 100) n=4
+        (9 until 15).map(i => (i.toLong, "x", "en", "big", 250L)) // C: (en, big, 200) n=6
+    TestSpark.writeTable(d, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.queries("x171_k_anonymity")(spark, d).collect()
+    val byKey = out.map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r).toMap
+    assert(byKey(("en", "big", "100")).getAs[Long]("n") === 5L)
+    assert(byKey(("en", "big", "200")).getAs[Long]("n") === 6L)
+    assert(!byKey.contains(("fr", "big", "100")), "sub-k group published")
+    val pool = byKey(("*", "*", "*"))
+    assert(pool.getAs[Long]("n") === 4L && pool.getAs[Long]("n_cells") === 1L)
+    assert(out.map(_.getAs[Long]("n")).sum === 15L, "release must account for every document")
+    assert(out.forall(_.getAs[Boolean]("k_ok")))
+  }
+
+  test("x171: a fully-releasable census still emits the (empty) suppressed pool row") {
+    val d = TestSpark.tempDir()
+    val rows = (0 until 7).map(i => (i.toLong, "x", "en", "big", 150L))
+    TestSpark.writeTable(d, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Curation.queries("x171_k_anonymity")(spark, d).collect()
+    val pool = out.filter(_.getString(0) == "*")
+    assert(pool.length === 1 && pool.head.getAs[Long]("n") === 0L && pool.head.getAs[Long]("n_cells") === 0L)
+  }
 }
