@@ -1349,6 +1349,46 @@ object Advanced {
         .orderBy("word")
     }),
 
+    // Session path mining (x172) — the user-journey census beside q36's
+    // session stats, q59's FIXED-order funnel and x141's retention: the
+    // top event-type PATHS (first 5 events per 30-min-gap session,
+    // '>'-joined) with session-share ppm — frequent-path discovery where
+    // the funnel checks one prescribed order. Determinism: the in-session
+    // order is (ts, event_id) — a total order — and the top-15 cut breaks
+    // count ties on the path string. Scale shape: one user-keyed window
+    // pass (shared shape with q36), one session-key agg that collapses
+    // each session to a bounded path string, then a path census +
+    // TakeOrderedAndProject; no self-joins, no explode.
+    "x172_session_paths" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "us", "event_type")
+      val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val paths = ev
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1L).otherwise(0L)
+        )
+        .withColumn(
+          "session_no",
+          sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .groupBy("user_id", "session_no")
+        .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+        .select(expr("array_join(transform(slice(evs, 1, 5), e -> e.event_type), '>')").as("path"))
+        .localCheckpoint() // two plan refs: census, total
+      val totals = paths.agg(count(lit(1)).as("n_sessions"))
+      paths
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(totals))
+        .withColumn("share_ppm", expr("(n * 1000000) div n_sessions"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(15)
+    }),
+
     "q36_sessionize" -> ((s, d) => {
       // gap-based sessionization in batch: a new session starts when the
       // gap to the previous event of the same user exceeds 30 min; session
@@ -2655,6 +2695,28 @@ object Advanced {
       """SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sampled_total
         |FROM orders
         |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 5""".stripMargin,
+    // x172: q36's session derivation + ordered-list paths (list(... ORDER
+    // BY us, event_id) — the same total order as the struct sort).
+    "x172_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us, event_type FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL
+        |           OR us - lag(us, 1) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked),
+        |p AS (
+        |  SELECT array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+        |  FROM sess GROUP BY user_id, session_no),
+        |tot AS (SELECT count(*) AS n_sessions FROM p)
+        |SELECT path, count(*) AS n, CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST((count(*) * 1000000) // n_sessions AS BIGINT) AS share_ppm
+        |FROM p, tot GROUP BY path, n_sessions ORDER BY n DESC, path LIMIT 15""".stripMargin,
     "q36_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events),

@@ -118,4 +118,37 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(1L) < -500000L, "alternation must anti-correlate at lag 1")
     assert(got(2L) > 500000L, "alternation must correlate at lag 2")
   }
+
+  test("x172 mines session paths: gap split, (ts, event_id) order, 5-event truncation") {
+    val dir = TestSpark.tempDir()
+    val rows = Seq(
+      // user 1, session 1: 7 events 1s apart — path truncates at 5
+      (0L, nanos(100), 1L, "view", 1.0, "{}"),
+      (1L, nanos(101), 1L, "click", 1.0, "{}"),
+      (2L, nanos(102), 1L, "view", 1.0, "{}"),
+      (3L, nanos(103), 1L, "click", 1.0, "{}"),
+      (4L, nanos(104), 1L, "purchase", 1.0, "{}"),
+      (5L, nanos(105), 1L, "view", 1.0, "{}"),
+      (6L, nanos(106), 1L, "view", 1.0, "{}"),
+      // user 1, session 2 (gap > 30 min): short path
+      (7L, nanos(100 + 3600), 1L, "signup", 1.0, "{}"),
+      (8L, nanos(101 + 3600), 1L, "purchase", 1.0, "{}"),
+      // user 2: same short path — counts pool across users
+      (9L, nanos(200), 2L, "signup", 1.0, "{}"),
+      (10L, nanos(201), 2L, "purchase", 1.0, "{}"),
+      // tie on ts within user 3: event_id breaks it
+      (12L, nanos(300), 3L, "b_second", 1.0, "{}"),
+      (11L, nanos(300), 3L, "a_first", 1.0, "{}")
+    )
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Advanced
+      .queries("x172_session_paths")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("path") -> (r.getAs[Long]("n"), r.getAs[Long]("n_sessions"), r.getAs[Long]("share_ppm")))
+      .toMap
+    assert(got("signup>purchase") === ((2L, 4L, 500000L)))
+    assert(got("view>click>view>click>purchase") === ((1L, 4L, 250000L)))
+    assert(got("a_first>b_second") === ((1L, 4L, 250000L)), s"tie order broken wrongly: ${got.keys}")
+    assert(got.size === 3)
+  }
 }
