@@ -292,7 +292,11 @@ object ScaleProbe {
       // (PAV itself is g-sized); the inverted-index lookup pays the
       // 16x-corpus posting build on first touch, steady state is the
       // bucket-pruned point read (the x74/x78 pattern)
-      "x169_isotonic_calibration", "x170_inverted_index"
+      "x169_isotonic_calibration", "x170_inverted_index",
+      // r7 session 6: k-anonymity census over the 16x clone corpus (one
+      // grouped agg); path mining's user window + session agg over 16x
+      // users (the q36/q71 event class)
+      "x171_k_anonymity", "x172_session_paths"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
