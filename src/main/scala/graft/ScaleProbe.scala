@@ -296,7 +296,11 @@ object ScaleProbe {
       // r7 session 6: k-anonymity census over the 16x clone corpus (one
       // grouped agg); path mining's user window + session agg over 16x
       // users (the q36/q71 event class)
-      "x171_k_anonymity", "x172_session_paths"
+      "x171_k_anonymity", "x172_session_paths",
+      // r7 session 7: Theil–Sen collapses 16x events to the SAME day
+      // census (counts x16, day count unchanged) — the pair explode is
+      // calendar-bounded, so the probe cost is the daily agg scan
+      "x173_theil_sen"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

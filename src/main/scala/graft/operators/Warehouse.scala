@@ -459,6 +459,52 @@ object Warehouse {
         .orderBy("lag")
     }),
 
+    // Theil–Sen robust trend (x173, Sen 1968) — the outlier-resistant
+    // slope estimator completing the trend kit (q46's OLS is moment-based
+    // and one wild day drags it; the median-of-pairwise-slopes has 29%
+    // breakdown): p25/p50/p75 ORDER STATISTICS of the pairwise-slope
+    // distribution over the daily event series. Exactness: order stats
+    // commute with monotone maps, so ranking may use the DOUBLE ratio
+    // dy/dx (distinct day-pair fractions with dx ≤ n_days differ by
+    // ≥ 1/(dx₁·dx₂) — far above double resolution; ties break on
+    // (dy, dx) and equal fractions floor to the SAME ppm anyway) while
+    // the EMITTED value is the integer posmod-floor dy·10⁶ div dx of the
+    // rank-selected pair. Scale shape: the corpus collapses to one row
+    // per day; the pair explode is days² — calendar-bounded (≈500 pairs
+    // per month window), the deliberate bounded-quadratic class (x153
+    // baskets); the global rank window runs on that bounded table only.
+    "x173_theil_sen" -> ((s, d) => {
+      val daily = graft.Graft
+        .events(s, d)
+        .select(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint() // two plan refs: both pair sides
+      val pairs = daily
+        .select(col("day").as("d1"), col("x").as("x1"))
+        .join(daily.select(col("day").as("d2"), col("x").as("x2")), expr("d2 > d1"))
+        .select((col("x2") - col("x1")).as("dy"), (col("d2") - col("d1")).as("dx"))
+      val ranked = pairs
+        .withColumn("rk", row_number().over(Window.orderBy(expr("CAST(dy AS DOUBLE) / dx"), col("dy"), col("dx"))))
+        .localCheckpoint() // two plan refs: count, rank probe
+      val cnt = ranked.agg(count(lit(1)).as("np"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      import s.implicits._
+      Seq(25, 50, 75)
+        .toDF("p")
+        .crossJoin(broadcast(cnt))
+        .crossJoin(broadcast(nd))
+        .withColumn("k", expr("((np - 1) * p) div 100 + 1"))
+        .join(ranked, col("rk") === col("k"))
+        .select(
+          col("p").cast("long").as("p"),
+          col("n_days"),
+          col("np").as("n_pairs"),
+          expr("((dy * 1000000) - (((dy * 1000000) % dx + dx) % dx)) div dx").as("slope_ppm_per_day")
+        )
+        .orderBy("p")
+    }),
+
     "x141_cohort_retention" -> ((s, d) => {
       val ev = graft.Graft
         .events(s, d)
@@ -1939,6 +1985,29 @@ object Warehouse {
         |  w.sp > mu_e3 // 2 AS alarm_hi, w.sn > mu_e3 // 2 AS alarm_lo,
         |  mu_e3, CAST(mu_e3 // 20 AS BIGINT) AS k_e3, CAST(mu_e3 // 2 AS BIGINT) AS h_e3
         |FROM walk w, st ORDER BY w.day""".stripMargin,
+    // x173: identical pair table, identical double-ratio rank order and
+    // identical rank-index formula; the emitted ppm is the integer floor
+    // of the rank-selected pair.
+    "x173_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts::TIMESTAMP) // 86400000000 AS BIGINT) AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT b.x - a.x AS dy, b.day - a.day AS dx
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |ranked AS (
+        |  SELECT dy, dx, row_number() OVER (ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rk
+        |  FROM pairs),
+        |sel AS (
+        |  SELECT p, ((np - 1) * p) // 100 + 1 AS k, np, n_days
+        |  FROM (SELECT unnest([25, 50, 75]) AS p),
+        |       (SELECT count(*) AS np FROM ranked),
+        |       (SELECT count(*) AS n_days FROM daily))
+        |SELECT CAST(sel.p AS BIGINT) AS p, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(((dy * 1000000) - (((dy * 1000000) % dx + dx) % dx)) // dx AS BIGINT)
+        |    AS slope_ppm_per_day
+        |FROM sel JOIN ranked ON ranked.rk = sel.k ORDER BY sel.p""".stripMargin,
     // x166: same cleared-mean products (HUGEINT headroom mirrors the
     // DECIMAL(38,0) side) over the same calendar-pair join.
     "x166_autocorrelation" ->

@@ -151,4 +151,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got("a_first>b_second") === ((1L, 4L, 250000L)), s"tie order broken wrongly: ${got.keys}")
     assert(got.size === 3)
   }
+
+  test("x173 Theil-Sen trend resists a planted outlier day; matches the in-memory order statistics") {
+    val dir = TestSpark.tempDir()
+    // day d carries d+1 events (true slope exactly 1/day) except day 7's
+    // 50-event burst — the median pairwise slope must stay at 1e6 ppm
+    // while a moment-based (OLS) slope would be dragged by the outlier
+    val counts = (0 until 10).map(d => d -> (if (d == 7) 50 else d + 1))
+    val rows = counts.flatMap { case (d, c) =>
+      (0 until c).map(i => ((d * 100 + i).toLong, nanos(d.toLong * 86400 + i), 1L, "click", 1.0, "{}"))
+    }
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("x173_theil_sen")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("slope_ppm_per_day"))
+      .toMap
+    // independent replay: pairwise fractions ranked by value then (dy, dx)
+    val xs = counts.map(_._2.toLong)
+    val pairs = for { i <- xs.indices; j <- (i + 1) until xs.length } yield (xs(j) - xs(i), (j - i).toLong)
+    val sorted = pairs.sortBy { case (dy, dx) => (dy.toDouble / dx, dy, dx) }
+    def ppm(t: (Long, Long)): Long = {
+      val p = t._1 * 1000000L
+      (p - (((p % t._2) + t._2) % t._2)) / t._2
+    }
+    for (p <- Seq(25L, 50L, 75L)) {
+      val k = ((sorted.length - 1) * p / 100 + 1).toInt
+      assert(got(p) === ppm(sorted(k - 1)), s"p$p")
+    }
+    assert(got(50L) === 1000000L, "the planted outlier dragged the median slope")
+  }
 }
