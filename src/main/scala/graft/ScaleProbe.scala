@@ -300,7 +300,10 @@ object ScaleProbe {
       // r7 session 7: Theil–Sen collapses 16x events to the SAME day
       // census (counts x16, day count unchanged) — the pair explode is
       // calendar-bounded, so the probe cost is the daily agg scan
-      "x173_theil_sen"
+      "x173_theil_sen",
+      // PIT SCD2 join: one user_id shuffle over 16x users (the q36/x172
+      // event-window class); no interval join ever materializes
+      "x174_pit_scd2_join"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -505,6 +505,77 @@ object Warehouse {
         .orderBy("p")
     }),
 
+    // Point-in-time SCD2 dimension join (x174) — the READ verb the SCD2
+    // builders (q56 derivation, x135 incremental maintenance) exist for:
+    // each fact row joins the dimension VERSION valid at its event time.
+    // State stream = signup/view/error events run-collapsed into type-2
+    // intervals (q56's change-point rule); facts = purchase events; a
+    // purchase before any state adopts 'none' (left semantics). The
+    // ORACLE is the canonical interval join (vf ≤ ts < vt) — but a range
+    // join shuffles nothing co-located and degenerates to a per-row probe
+    // at scale, so the ENGINE side is the q29 union trick: dim versions
+    // and facts union into ONE stream, a single per-user window ordered
+    // by (ts, kind, event_id) picks last(state) IGNORE NULLS — dim rows
+    // sort before a same-instant fact (kind 0 < 1), so a version opening
+    // exactly at the fact's timestamp is already visible (ts ≥ vf
+    // inclusive), matching the oracle's boundary exactly; a zero-width
+    // interval (two changes at one instant) is dead in both formulations.
+    // Scale shape: ONE user_id shuffle feeds the change-point window, the
+    // union window and nothing else; per-user partitions are bounded. No
+    // join materializes at all — at 100 TB this is the difference between
+    // a window pass and an interval-join blowup.
+    "x174_pit_scd2_join" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type")
+        )
+        .localCheckpoint() // two plan refs: state stream, fact stream
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val dim = ev
+        .where(col("event_type").isin("signup", "view", "error"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(
+          col("user_id"),
+          col("ts_us"),
+          col("event_id"),
+          lit(0L).as("kind"),
+          col("event_type").as("state"),
+          col("ts_us").as("vf_us")
+        )
+      val facts = ev
+        .where(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("ts_us"),
+          col("event_id"),
+          lit(1L).as("kind"),
+          lit(null).cast("string").as("state"),
+          lit(null).cast("long").as("vf_us")
+        )
+      val wPit = Window
+        .partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim
+        .unionByName(facts)
+        .withColumn("pit_state", last("state", ignoreNulls = true).over(wPit))
+        .withColumn("pit_since", last("vf_us", ignoreNulls = true).over(wPit))
+        .where(col("kind") === 1L)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("ts_us"),
+          coalesce(col("pit_state"), lit("none")).as("state"),
+          coalesce(col("pit_since"), lit(-1L)).as("state_since_us")
+        )
+        .orderBy("user_id", "event_id")
+    }),
+
     "x141_cohort_retention" -> ((s, d) => {
       val ev = graft.Graft
         .events(s, d)
@@ -2055,6 +2126,30 @@ object Warehouse {
         |  CAST((length(bin(ca + 1)) - 1) - (length(bin(cb + 1)) - 1) AS BIGINT) AS llr_bits,
         |  tvd_ppm
         |FROM sh, tvd ORDER BY event_type, hour_bucket""".stripMargin,
+    // x174: the oracle is the LITERAL interval join (vf ≤ ts < vt over the
+    // q56-derived intervals) — the union-window engine path must reproduce
+    // the canonical range-join semantics row for row, boundaries included.
+    "x174_pit_scd2_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM ev WHERE event_type IN ('signup', 'view', 'error')),
+        |dim AS (
+        |  SELECT user_id, event_type AS state, ts_us AS vf,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS vt
+        |  FROM chg WHERE prev IS NULL OR event_type <> prev),
+        |f AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.ts_us,
+        |  coalesce(d.state, 'none') AS state,
+        |  coalesce(d.vf, -1) AS state_since_us
+        |FROM f LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts_us >= d.vf
+        |  AND (d.vt IS NULL OR f.ts_us < d.vt)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
+
     "x141_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

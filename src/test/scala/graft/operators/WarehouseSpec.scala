@@ -181,4 +181,37 @@ class WarehouseSpec extends AnyFunSuite {
     }
     assert(got(50L) === 1000000L, "the planted outlier dragged the median slope")
   }
+
+  test("x174 PIT join: boundary inclusivity, run collapse, pre-state facts, zero-width intervals") {
+    val dir = TestSpark.tempDir()
+    val rows = Seq(
+      // user 1: purchase BEFORE any state → 'none' / -1
+      (0L, nanos(5), 1L, "purchase", 1.0, "{}"),
+      (1L, nanos(10), 1L, "signup", 1.0, "{}"),
+      (2L, nanos(15), 1L, "signup", 1.0, "{}"), // same-state repeat: no new version
+      // purchase mid-run: state_since must be the RUN start (10), not 15
+      (3L, nanos(20), 1L, "purchase", 1.0, "{}"),
+      (4L, nanos(30), 1L, "view", 1.0, "{}"),
+      // purchase EXACTLY at a version open: vf ≤ ts inclusive → 'view'
+      (5L, nanos(30), 1L, "purchase", 1.0, "{}"),
+      // user 2: two changes at ONE instant → the earlier interval is
+      // zero-width and dead; the later (higher event_id) wins
+      (6L, nanos(40), 2L, "signup", 1.0, "{}"),
+      (7L, nanos(40), 2L, "error", 1.0, "{}"),
+      (8L, nanos(40), 2L, "purchase", 1.0, "{}"),
+      // a LATER state change never leaks backwards
+      (9L, nanos(50), 2L, "view", 1.0, "{}")
+    )
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("x174_pit_scd2_join")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> (r.getAs[String]("state"), r.getAs[Long]("state_since_us")))
+      .toMap
+    assert(got.size === 4)
+    assert(got(0L) === (("none", -1L)))
+    assert(got(3L) === (("signup", us(10))))
+    assert(got(5L) === (("view", us(30))))
+    assert(got(8L) === (("error", us(40))))
+  }
 }
