@@ -303,7 +303,11 @@ object ScaleProbe {
       "x173_theil_sen",
       // PIT SCD2 join: one user_id shuffle over 16x users (the q36/x172
       // event-window class); no interval join ever materializes
-      "x174_pit_scd2_join"
+      "x174_pit_scd2_join",
+      // Kneser-Ney: one corpus pass into the (w1,w2) count table; the 16x
+      // clone corpus multiplies counts, not types — every downstream agg
+      // stays vocab-sized (the x66 discipline)
+      "x175_kneser_ney"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -1166,6 +1166,74 @@ object TextAnalysis {
     // to those stats on the gram key — an inverted-index join, never a
     // corpus self-join. The prefix table is NOT a second scan: it
     // re-aggregates the bigram counts by w1 (tiny input).
+    // Interpolated Kneser–Ney bigram LM (x175, Kneser & Ney 1995 in Chen
+    // & Goodman 1999's interpolated form) — the SMOOTHED upgrade of the
+    // raw-count LM family (x42 MLE transitions, x61 unigram surprisal,
+    // x66 corpus bigram surprisal): P(w2|w1) = max(c12−d, 0)/c1 +
+    // d·N1+(w1·)/c1 · N1+(·w2)/B with d = 3/4, where the continuation
+    // probability counts DISTINCT LEFT CONTEXTS, not raw frequency — the
+    // insight that makes "francisco" unlikely after anything but "san".
+    // Exactness: d = 3/4 clears — p·e6 = ⌊(max(4·c12−3,0)·B +
+    // 3·N1w1·Ncw2)·10⁶ / (4·c1·B)⌋, every term a nonneg integer
+    // (DECIMAL(38,0)/HUGEINT headroom for the ·B·10⁶ products — the x42
+    // class). Output is bounded: the top-40 bigrams by count plus a 3×3
+    // probe grid (top w1 by c1 × the RAREST w2 by continuation count) whose
+    // UNSEEN cells exercise the back-off path (c12 = 0 ⇒ pure
+    // continuation mass — the reason KN exists); the MLE twin rides
+    // along so the discount is visible in the gate output.
+    // Scale shape: ONE corpus pass into the (w1,w2) count table (map-side
+    // combine), localCheckpointed for its five bounded consumers; every
+    // downstream agg/join is vocab-sized, the probe grid is 9 rows, and
+    // the top-k is TakeOrderedAndProject. The corpus bigram stream is
+    // never shuffled raw (the x66 discipline).
+    "x175_kneser_ney" -> ((s, d) => {
+      val bigrams = table(s, d, "documents")
+        .select(toks.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(
+          explode(
+            transform(sequence(lit(0), size(col("w")) - 2), i =>
+              struct(element_at(col("w"), i + 1).as("w1"), element_at(col("w"), i + 2).as("w2")))
+          ).as("g")
+        )
+        .select(col("g.w1"), col("g.w2"))
+      val cnt2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2")).localCheckpoint()
+      val lft = cnt2.groupBy("w1").agg(sum("cnt2").as("c1"), count(lit(1)).as("n1w1")).localCheckpoint()
+      val rgt = cnt2.groupBy("w2").agg(count(lit(1)).as("ncw2")).localCheckpoint()
+      val b = cnt2.agg(count(lit(1)).as("b"))
+      val top = cnt2
+        .orderBy(col("cnt2").desc, col("w1"), col("w2"))
+        .limit(40)
+        .withColumn("probe", lit(0L))
+      val pw1 = lft.orderBy(col("c1").desc, col("w1")).limit(3).select("w1")
+      val pw2 = rgt.orderBy(col("ncw2"), col("w2")).limit(3).select("w2")
+      val probes = pw1
+        .crossJoin(broadcast(pw2))
+        .join(cnt2, Seq("w1", "w2"), "left")
+        .withColumn("cnt2", coalesce(col("cnt2"), lit(0L)))
+        .withColumn("probe", lit(1L))
+      top
+        .unionByName(probes)
+        .join(lft, Seq("w1"))
+        .join(rgt, Seq("w2"))
+        .crossJoin(broadcast(b))
+        .select(
+          col("probe"),
+          col("w1"),
+          col("w2"),
+          col("cnt2"),
+          col("c1"),
+          col("n1w1"),
+          col("ncw2"),
+          expr(
+            "CAST(((CAST(greatest(4*cnt2 - 3, 0) AS DECIMAL(38,0)) * b + 3 * n1w1 * ncw2) * 1000000)" +
+              " div (4 * c1 * b) AS BIGINT)"
+          ).as("pkn_e6"),
+          expr("CAST((CAST(cnt2 AS DECIMAL(38,0)) * 1000000) div c1 AS BIGINT)").as("pmle_e6")
+        )
+        .orderBy(col("probe"), col("cnt2").desc, col("w1"), col("w2"))
+    }),
+
     "x42_bigram_coherence" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val bigrams = docs
@@ -1821,6 +1889,32 @@ object TextAnalysis {
           |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      "x175_kneser_ney" ->
+        """WITH w AS (
+          |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+          |g AS (
+          |  SELECT w[i] AS w1, w[i+1] AS w2
+          |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i) WHERE len(w) >= 2),
+          |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM g GROUP BY 1, 2),
+          |lft AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1w1 FROM c2 GROUP BY 1),
+          |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY 1),
+          |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
+          |top AS (SELECT w1, w2, cnt2, 0 AS probe FROM c2 ORDER BY cnt2 DESC, w1, w2 LIMIT 40),
+          |pw1 AS (SELECT w1 FROM lft ORDER BY c1 DESC, w1 LIMIT 3),
+          |pw2 AS (SELECT w2 FROM rgt ORDER BY ncw2, w2 LIMIT 3),
+          |pr AS (
+          |  SELECT p1.w1, p2.w2, coalesce(c2.cnt2, 0) AS cnt2, 1 AS probe
+          |  FROM pw1 p1 CROSS JOIN pw2 p2
+          |  LEFT JOIN c2 ON c2.w1 = p1.w1 AND c2.w2 = p2.w2),
+          |u AS (SELECT * FROM top UNION ALL SELECT * FROM pr)
+          |SELECT CAST(u.probe AS BIGINT) AS probe, u.w1, u.w2, u.cnt2,
+          |  l.c1, l.n1w1, r.ncw2,
+          |  CAST(((greatest(4*u.cnt2 - 3, 0)::HUGEINT * b.b + 3 * l.n1w1 * r.ncw2) * 1000000)
+          |    // (4 * l.c1 * b.b) AS BIGINT) AS pkn_e6,
+          |  CAST((u.cnt2::HUGEINT * 1000000) // l.c1 AS BIGINT) AS pmle_e6
+          |FROM u JOIN lft l USING (w1) JOIN rgt r USING (w2) CROSS JOIN bb b
+          |ORDER BY probe, cnt2 DESC, w1, w2""".stripMargin,
+
       "x42_bigram_coherence" ->
         """WITH w AS (
           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

@@ -247,6 +247,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows(10L)._2 < rows(0L)._2, "novel transitions must lower the score")
   }
 
+  test("x175 Kneser-Ney: hand-computed discount, continuation back-off on unseen probe cells") {
+    val d = TestSpark.tempDir()
+    // bigram counts: (a,b)=4 (a,c)=2 (d,c)=1 (d,d)=1 → B=4 types;
+    // c1: a=6 (2 continuations), d=2 (2); ncw2: b=1, c=2, d=1.
+    // p_e6 = ⌊(max(4c12−3,0)·B + 3·n1w1·ncw2)·1e6 / (4·c1·B)⌋
+    val docs = ((0 until 4).map(i => (i.toLong, "a b", "en", "s", 1L)) ++
+      Seq((4L, "a c", "en", "s", 1L), (5L, "a c", "en", "s", 1L),
+        (6L, "d c", "en", "s", 1L), (7L, "d d", "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val rows = TextAnalysis
+      .queries("x175_kneser_ney")(spark, d)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("probe"), r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+          ((r.getAs[Long]("cnt2"), r.getAs[Long]("pkn_e6"), r.getAs[Long]("pmle_e6")))
+      )
+      .toMap
+    // top block: all 4 bigram types; probe grid: {a,d} × {b,d,c} = 6 cells
+    assert(rows.size === 10)
+    assert(rows((0L, "a", "b")) === ((4L, 604166L, 666666L))) // (13·4+6)e6/96
+    assert(rows((0L, "a", "c")) === ((2L, 333333L, 333333L))) // (5·4+12)e6/96
+    assert(rows((1L, "a", "d")) === ((0L, 62500L, 0L))) // unseen: pure continuation 6e6/96
+    assert(rows((1L, "d", "b")) === ((0L, 187500L, 0L))) // unseen: 6e6/32
+    assert(rows((1L, "d", "c")) === ((1L, 500000L, 500000L))) // (4+12)e6/32
+    assert(rows((1L, "d", "d")) === ((1L, 312500L, 500000L))) // (4+6)e6/32
+    // the KN estimate strictly beats MLE's zero on every unseen cell
+    rows.collect { case ((1L, _, _), (0L, pkn, pmle)) =>
+      assert(pkn > 0L && pmle === 0L, "unseen cell must carry continuation mass")
+    }
+  }
+
   test("x48 label centroids: integer mean per (label, dim) matches hand arithmetic") {
     val rows = Similarity
       .queries("x48_label_centroids")(spark, dir)
