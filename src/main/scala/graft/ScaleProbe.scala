@@ -307,7 +307,11 @@ object ScaleProbe {
       // Kneser-Ney: one corpus pass into the (w1,w2) count table; the 16x
       // clone corpus multiplies counts, not types — every downstream agg
       // stays vocab-sized (the x66 discipline)
-      "x175_kneser_ney"
+      "x175_kneser_ney",
+      // WARC walk + HTML extraction are per-payload maps over the fixture
+      // corpus (fixture-bound like the image decoders — the probe is a
+      // plumbing check, the per-file walk cost is what scales per shard)
+      "x176_warc_scan", "x177_html_extract"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -264,6 +264,99 @@ object Multimodal {
         }(enc)
         .orderBy("audio_id")
     }),
+    // WARC web-archive scan (x176) — the Common Crawl ingestion format
+    // from the public specs (ISO 28500 records over RFC 1952 per-record
+    // gzip members): header-flag-aware gzip walk with BOTH trailer checks
+    // (CRC32 + ISIZE), WARC version/header/Content-Length framing with
+    // exact member consumption, and application/http payload split
+    // (status line + headers + body). The oracle is a FULL first-
+    // principles replay: every record's type/uri/status and the body's
+    // md5 are rebuilt in SQL from the fixture's closed-form content
+    // formulas — never a twin echo — so one wrong byte anywhere in the
+    // inflate/framing chain flips the hash. One task per payload
+    // (mapPartitions — gzip members chain, the per-file walk is
+    // inherently sequential; files are the unit Common Crawl itself
+    // shards by).
+    "x176_warc_scan" -> ((s, _) => {
+      graft.sources.WarcFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("warc_id", LongType),
+          StructField("rec_idx", LongType),
+          StructField("warc_type", StringType),
+          StructField("target_uri", StringType),
+          StructField("http_status", LongType),
+          StructField("body_bytes", LongType),
+          StructField("body_md5", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.WarcFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { r =>
+            val id = r.getAs[Long]("warc_id")
+            graft.sources.WarcScan.parse(r.getAs[Array[Byte]]("payload")) match {
+              case Some(recs) =>
+                recs.map { rec =>
+                  md.reset()
+                  val hex = md.digest(rec.body).map(b => f"${b & 0xff}%02x").mkString
+                  Row(id, rec.recIdx, rec.warcType, rec.targetUri, rec.httpStatus,
+                    rec.body.length.toLong, hex)
+                }
+              case None => Seq(Row(id, null, null, null, null, null, null))
+            }
+          }
+        }(enc)
+        .orderBy("warc_id", "rec_idx")
+    }),
+
+    // HTML visible-text extraction (x177) — the boilerplate-strip step
+    // between the WARC crawl (x176) and every text-curation operator:
+    // a real single-pass tokenizer ([[graft.sources.HtmlText]]) with
+    // script/style raw-text swallowing, comment skip, QUOTE-AWARE
+    // attribute scanning (the fixture's href="u>v" makes a regex
+    // stripper provably diverge) and entity decoding (named + decimal).
+    // Runs over x176's status-200 response bodies; the oracle rebuilds
+    // the EXPECTED extracted text from the fixture's generation formula
+    // — extraction is a closed-form function of the markup, so one
+    // mishandled construct anywhere flips text, counts and md5 at once.
+    // Per-row map over payload rows (mapPartitions, the byte/string-codec
+    // class); zero shuffles before the output sort.
+    "x177_html_extract" -> ((s, _) => {
+      graft.sources.WarcFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("warc_id", LongType),
+          StructField("rec_idx", LongType),
+          StructField("n_chars", LongType),
+          StructField("n_words", LongType),
+          StructField("text_md5", StringType),
+          StructField("text", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.WarcFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { r =>
+            val id = r.getAs[Long]("warc_id")
+            graft.sources.WarcScan.parse(r.getAs[Array[Byte]]("payload")).toSeq.flatten
+              .filter(rec => rec.warcType == "response" && rec.httpStatus == 200L)
+              .map { rec =>
+                val text = graft.sources.HtmlText.extract(new String(rec.body, "ISO-8859-1"))
+                val words = if (text.isEmpty) 0L else text.split(" ").length.toLong
+                md.reset()
+                val hex = md.digest(text.getBytes("ISO-8859-1")).map(b => f"${b & 0xff}%02x").mkString
+                Row(id, rec.recIdx, text.length.toLong, words, hex, text)
+              }
+          }
+        }(enc)
+        .orderBy("warc_id", "rec_idx")
+    }),
+
     // REAL MP3 container parse in the gate: ID3v2 synchsafe skip → frame
     // sync walk with the version/layer bitrate tables and per-frame
     // padding → VBR-aware bitrate sum + exact integer duration. The walk
@@ -883,6 +976,63 @@ object Multimodal {
       """SELECT video_id, width, height, duration_ms
         |FROM '/root/repo/spark-warehouse/graft_video/twin/*.parquet'
         |ORDER BY video_id""".stripMargin,
+    // x176: the whole record table rebuilt from the generation formulas —
+    // record layout (warcinfo + 1+W%4 responses + request when W%3=0),
+    // status rule, and the EXACT body strings (html/404/301/warc-fields)
+    // whose md5 pins the inflate + framing chain byte-for-byte.
+    "x176_warc_scan" ->
+      """WITH ws AS (SELECT range AS w FROM range(200)),
+        |resp AS (
+        |  SELECT w, 1 + j AS rec_idx, 'response' AS warc_type,
+        |    'https://example.com/' || w || '/' || j AS target_uri,
+        |    CASE WHEN (w+j)%7=0 THEN 404 WHEN (w+j)%11=0 THEN 301 ELSE 200 END AS http_status,
+        |    CASE WHEN (w+j)%7=0 THEN 'missing ' || w || '/' || j
+        |         WHEN (w+j)%11=0 THEN ''
+        |         ELSE '<html><head><title>Doc ' || w || '-' || j ||
+        |           '</title><style>p{color:red}</style></head><body onload="f()"><h1>Head ' ||
+        |           w || '</h1><script>var x=' || j || ';</script><p>alpha&amp;beta ' || w ||
+        |           ' &lt;q&gt;</p><!--c ' || w || '--><a href="u>v">link ' || j ||
+        |           '</a><p>gamma &#65; delta</p></body></html>'
+        |    END AS body
+        |  FROM ws, unnest(generate_series(0, w % 4)) t(j)),
+        |info AS (
+        |  SELECT w, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS target_uri,
+        |    -1 AS http_status,
+        |    'software: graft-warc/1.0' || chr(13) || chr(10) ||
+        |    'format: WARC file version 1.0' || chr(13) || chr(10) AS body
+        |  FROM ws),
+        |req AS (
+        |  SELECT w, 2 + (w % 4) AS rec_idx, 'request' AS warc_type,
+        |    'https://example.com/' || w || '/0' AS target_uri,
+        |    -1 AS http_status, '' AS body
+        |  FROM ws WHERE w % 3 = 0),
+        |u AS (SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM req)
+        |SELECT w AS warc_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type, target_uri,
+        |  CAST(http_status AS BIGINT) AS http_status,
+        |  CAST(length(body) AS BIGINT) AS body_bytes, md5(body) AS body_md5
+        |FROM u ORDER BY warc_id, rec_idx""".stripMargin,
+
+    // x177: the extraction of the generated markup is closed-form —
+    // "Doc w-j Head w alpha&beta w <q> link j gamma A delta" — so the
+    // oracle builds the EXPECTED text (entities decoded, raw-text blocks
+    // gone, quoted '>' survived) and derives counts + md5 from it.
+    "x177_html_extract" ->
+      """WITH ws AS (SELECT range AS w FROM range(200)),
+        |resp AS (
+        |  SELECT w, 1 + j AS rec_idx, j
+        |  FROM ws, unnest(generate_series(0, w % 4)) t(j)
+        |  WHERE (w+j) % 7 <> 0 AND (w+j) % 11 <> 0),
+        |e AS (
+        |  SELECT w, rec_idx,
+        |    'Doc ' || w || '-' || j || ' Head ' || w || ' alpha&beta ' || w ||
+        |    ' <q> link ' || j || ' gamma A delta' AS text
+        |  FROM resp)
+        |SELECT w AS warc_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  md5(text) AS text_md5, text
+        |FROM e ORDER BY warc_id, rec_idx""".stripMargin,
+
     "x88_mp3_meta" ->
       """SELECT audio_id, n_frames, channels, kbps_sum, duration_ms
         |FROM '/root/repo/spark-warehouse/graft_mp3/twin/*.parquet'
