@@ -311,7 +311,11 @@ object ScaleProbe {
       // WARC walk + HTML extraction are per-payload maps over the fixture
       // corpus (fixture-bound like the image decoders — the probe is a
       // plumbing check, the per-file walk cost is what scales per shard)
-      "x176_warc_scan", "x177_html_extract"
+      "x176_warc_scan", "x177_html_extract",
+      // DBSCAN over 16x customers: the grid-stencil pair join fans out
+      // per-cell (uniform background densifies 16x — the operator's own
+      // regime shift), components via the audited min-label propagation
+      "x178_dbscan"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

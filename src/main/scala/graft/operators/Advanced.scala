@@ -1312,6 +1312,85 @@ object Advanced {
       gridProximityJoin(pts, 25L)
         .orderBy("a_id", "b_id")
     }),
+
+    // DBSCAN density clustering (x178, Ester et al. 1996) — the
+    // density-based member of the clustering family (x57 k-means is
+    // centroid-based and spherical; DBSCAN finds arbitrary-shape dense
+    // regions and calls the rest NOISE): core ⇔ ≥ minPts−1 = 3 neighbors
+    // within Chebyshev ε, clusters = connected components of the
+    // CORE-CORE proximity graph (min-core-id labels), border points join
+    // the MINIMUM cluster label among their core neighbors (canonical
+    // DBSCAN leaves border assignment order-dependent — the min rule
+    // makes it a pure function), everything else is noise. The fixture
+    // PLANTS the regime the operator exists for (the x128/x101
+    // discipline): customers with key%97 < 3 drop into one of four 50×50
+    // blobs (dense — blob points go core), the rest spread md5-uniform
+    // over the 10⁴×10⁴ grid (sparse background).
+    // ε is DENSITY-ADAPTIVE — ⌊6000/√n⌋ — so the background's expected
+    // neighbor count (λ = n·(2ε)²/10⁸ ≈ 1.4) is corpus-size-INVARIANT
+    // and stays below the 2D continuum-percolation threshold: a FIXED ε
+    // percolates the 16× background into one giant high-diameter core
+    // component whose min-label propagation needs diameter-many rounds
+    // (measured: 323 s vs 11 s at 16× — the probe caught it). The one
+    // driver-side count() that sizes ε is a metadata-sized scalar (the
+    // x158/x73 documented class); sqrt + floor are IEEE-identical in
+    // both engines.
+    // Scale shape: neighbor pairs via the x93 grid-stencil equi-join
+    // (never all-pairs), components via x37's bounded min-label
+    // propagation; the quadratic lives ONLY in the oracle's brute-force
+    // replay. One pair table feeds counts, the core graph and border
+    // assignment (localCheckpointed once).
+    "x178_dbscan" -> ((s, d) => {
+      val key = col("c_custkey")
+      val h = (salt: String, m: Long) =>
+        graft.functions.Hashing.md5Bucket(
+          if (salt.isEmpty) key.cast("string") else concat(key.cast("string"), lit(salt)), m)
+      def coord(salt: String) =
+        when(key % 97 < 3, lit(2000L) + (key % 4) * 2000L + h(salt, 50L))
+          .otherwise(h(salt, 10000L))
+      val pts = table(s, d, "customer").select(key.as("id"), coord("").as("x"), coord("#y").as("y"))
+      val n = table(s, d, "customer").count()
+      val eps = math.max(1L, math.floor(6000.0 / math.sqrt(n.toDouble)).toLong)
+      val pairs = gridProximityJoin(pts, eps).select("a_id", "b_id").localCheckpoint()
+      val sym = pairs
+        .select(col("a_id").as("id"), col("b_id").as("nb"))
+        .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      val nbrs = pts
+        .join(sym.groupBy("id").agg(count(lit(1)).as("n_nbrs")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
+        .localCheckpoint()
+      val core = nbrs.where(col("n_nbrs") >= 3).select("id")
+      val coreEdges = pairs
+        .join(core.select(col("id").as("a_id")), "a_id")
+        .join(core.select(col("id").as("b_id")), "b_id")
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      val cc = Dedup.connectedComponents(coreEdges)
+      val coreLab = core
+        .join(cc.select(col("doc_id").as("id"), col("cluster_id")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cl"))
+        .localCheckpoint() // read by border assignment AND the final union
+      val borderLab = sym
+        .join(core, Seq("id"), "left_anti")
+        .join(coreLab.select(col("id").as("nb"), col("cl")), "nb")
+        .groupBy("id")
+        .agg(min("cl").as("cl"))
+      val labeled = coreLab
+        .withColumn("role", lit("core"))
+        .unionByName(borderLab.withColumn("role", lit("border")))
+      val sizes = labeled.groupBy("cl").agg(count(lit(1)).as("cluster_size"))
+      nbrs
+        .join(labeled, Seq("id"), "left")
+        .join(sizes, Seq("cl"), "left")
+        .select(
+          col("id"),
+          lit(eps).as("eps"),
+          col("n_nbrs"),
+          coalesce(col("role"), lit("noise")).as("role"),
+          coalesce(col("cl"), lit(-1L)).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(0L)).as("cluster_size")
+        )
+        .orderBy("id")
+    }),
     "q35_range_join" -> ((s, d) => {
       // composite equi+range join: equi key keeps it a hash/sort-merge join
       // with the range as a post-join predicate (never a cross product)
@@ -2295,6 +2374,55 @@ object Advanced {
         |FROM est e JOIN ex x ON e.grp = x.grp ORDER BY e.grp""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
+    // x178: the brute-force quadratic truth (the decomposition the grid
+    // join must reproduce) + recursive transitive closure over the
+    // core-core graph + the same min-label border rule and size census.
+    "x178_dbscan" ->
+      """WITH RECURSIVE ep AS (
+        |  SELECT greatest(1, CAST(floor(6000.0 / sqrt(count(*))) AS BIGINT)) AS eps
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 97 < 3
+        |      THEN 2000 + (c_custkey % 4) * 2000 + ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 50
+        |      ELSE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 10000 END AS x,
+        |    CASE WHEN c_custkey % 97 < 3
+        |      THEN 2000 + (c_custkey % 4) * 2000 + ('0x' || substr(md5(c_custkey::VARCHAR || '#y'), 1, 15))::BIGINT % 50
+        |      ELSE ('0x' || substr(md5(c_custkey::VARCHAR || '#y'), 1, 15))::BIGINT % 10000 END AS y
+        |  FROM customer),
+        |e AS (
+        |  SELECT a.id AS a_id, b.id AS b_id FROM p a JOIN p b ON a.id < b.id, ep
+        |  WHERE abs(a.x - b.x) <= ep.eps AND abs(a.y - b.y) <= ep.eps),
+        |sym AS (SELECT a_id AS id, b_id AS nb FROM e UNION ALL SELECT b_id, a_id FROM e),
+        |nb AS (
+        |  SELECT p.id, coalesce(c.n, 0) AS n_nbrs
+        |  FROM p LEFT JOIN (SELECT id, count(*) AS n FROM sym GROUP BY 1) c USING (id)),
+        |core AS (SELECT id FROM nb WHERE n_nbrs >= 3),
+        |ce AS (
+        |  SELECT a_id AS src, b_id AS dst FROM e
+        |  JOIN core ca ON a_id = ca.id JOIN core cb ON b_id = cb.id),
+        |ced AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM ced
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN ced e2 ON r.dst = e2.src),
+        |lab AS (SELECT src AS id, least(src, min(dst)) AS cl FROM reach GROUP BY src),
+        |corelab AS (SELECT c.id, coalesce(l.cl, c.id) AS cl FROM core c LEFT JOIN lab l USING (id)),
+        |borderlab AS (
+        |  SELECT s.id, min(cl.cl) AS cl
+        |  FROM sym s JOIN corelab cl ON s.nb = cl.id
+        |  WHERE s.id NOT IN (SELECT id FROM core) GROUP BY s.id),
+        |labeled AS (
+        |  SELECT id, cl, 'core' AS role FROM corelab
+        |  UNION ALL SELECT id, cl, 'border' AS role FROM borderlab),
+        |sz AS (SELECT cl, count(*) AS n FROM labeled GROUP BY 1)
+        |SELECT nb.id, (SELECT eps FROM ep) AS eps, CAST(nb.n_nbrs AS BIGINT) AS n_nbrs,
+        |  coalesce(lb.role, 'noise') AS role,
+        |  CAST(coalesce(lb.cl, -1) AS BIGINT) AS cluster_id,
+        |  CAST(coalesce(sz.n, 0) AS BIGINT) AS cluster_size
+        |FROM nb LEFT JOIN labeled lb USING (id) LEFT JOIN sz ON lb.cl = sz.cl
+        |ORDER BY id""".stripMargin,
+
     "x93_grid_proximity_join" ->
       """WITH p AS (
         |  SELECT c_custkey AS id,
