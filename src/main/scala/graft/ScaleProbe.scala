@@ -315,7 +315,10 @@ object ScaleProbe {
       // DBSCAN over 16x customers: the grid-stencil pair join fans out
       // per-cell (uniform background densifies 16x — the operator's own
       // regime shift), components via the audited min-label propagation
-      "x178_dbscan"
+      "x178_dbscan",
+      // linear probe: one map-side moment aggregate over base embeddings
+      // (corpus crosses once; the Cramer solve is a 1-row projection)
+      "x179_linear_probe"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -174,7 +174,95 @@ object Similarity {
         expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("q")
       )
 
+  /** SQL determinant expansions over named cell columns — shared verbatim
+    * by the x179 Spark expression and its DuckDB oracle, so the Cramer
+    * arithmetic cannot drift between engines. */
+  private def det3(m: Seq[Seq[String]]): String =
+    s"(${m(0)(0)}*(${m(1)(1)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(1)})" +
+      s" - ${m(0)(1)}*(${m(1)(0)}*${m(2)(2)} - ${m(1)(2)}*${m(2)(0)})" +
+      s" + ${m(0)(2)}*(${m(1)(0)}*${m(2)(1)} - ${m(1)(1)}*${m(2)(0)}))"
+
+  private def det4(m: Seq[Seq[String]]): String = {
+    val terms = (0 until 4).map { c =>
+      val minor = (1 until 4).map(r => (0 until 4).filter(_ != c).map(cc => m(r)(cc)))
+      val sign = if (c % 2 == 0) "+" else "-"
+      s"$sign ${m(0)(c)} * ${det3(minor)}"
+    }
+    s"(${terms.mkString(" ")})"
+  }
+
+  /** Cell matrix names for the normal equations: a_jk over x=(1,f1,f2,f3);
+    * column `c` replaced by the right-hand side b_j gives Cramer's A_i. */
+  private def cramerCells(replaced: Int): Seq[Seq[String]] =
+    (0 until 4).map(j => (0 until 4).map(k => if (k == replaced) s"b$j" else s"a$j$k"))
+
+  /** x179 beta_i as posmod-floored e6 ppm of det(A_i)/det(A); det(A) > 0
+    * for a PD Gram matrix, the det=0 degenerate corpus guards to 0 (the
+    * x162 discipline). `divOp` is `div` on Spark, `//` on DuckDB — the
+    * numerator is exactly divisible after the posmod subtraction, so
+    * both are the same floor. */
+  private[operators] def cramerBetaSql(i: Int, divOp: String): String = {
+    val num = s"(${det4(cramerCells(i))} * 1000000)"
+    val den = det4(cramerCells(-1))
+    s"CAST(IF($den = 0, 0, ($num - ((($num % $den) + $den) % $den)) $divOp $den) AS BIGINT)"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Linear-probe training (x179) — the LEARN face of the embedding
+    // classifier family (x68 is inference over fixture weights, x164 is
+    // a count model; the linear probe on frozen embeddings is THE
+    // standard representation-quality diagnostic): ridgeless least
+    // squares over x = (1, f1, f2, f3) (the first three 1e3-quantized
+    // embedding dims) solved EXACTLY by Cramer's rule on the integer
+    // normal equations. The target PLANTS the truth (x128 discipline):
+    // y = 3f1 − 2f2 + f3 + ε with md5-derived zero-mean noise, so the
+    // fitted betas must recover (3,−2,1)·10⁶ within sampling error
+    // (spec-asserted). Exactness: cells are per-n floored moment sums
+    // (the x165 /n rescale — cell magnitude corpus-size-INVARIANT, so
+    // the 4×4 determinant's 24 four-cell products stay ~1e21 inside
+    // DECIMAL(38,0)/HUGEINT at ANY n); the det expansion strings are
+    // generated ONCE and shared verbatim with the oracle. Scale shape:
+    // ONE map-side aggregate collapses the corpus to a single 15-column
+    // moment row; everything after is a 1-row projection — the normal-
+    // equation path beats gradient descent at 100 TB because the data
+    // crosses the cluster exactly once.
+    "x179_linear_probe" -> ((s, d) => {
+      val el = table(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT)").as("f1"),
+        expr("CAST(round(CAST(element_at(embedding, 2) AS DOUBLE) * 1000) AS BIGINT)").as("f2"),
+        expr("CAST(round(CAST(element_at(embedding, 3) AS DOUBLE) * 1000) AS BIGINT)").as("f3")
+      )
+      val withY = el.withColumn(
+        "y",
+        expr("3 * f1 - 2 * f2 + f3") +
+          graft.functions.Hashing.md5Bucket(concat(col("vec_id").cast("string"), lit("#n")), 2001L) - 1000L
+      )
+      val feats = Seq("1L", "f1", "f2", "f3")
+      val aggCols = (count(lit(1)).as("n") +:
+        (for { j <- 0 until 4; k <- j until 4 }
+          yield sum(expr(s"${feats(j)} * ${feats(k)}")).as(s"s$j$k"))) ++
+        (0 until 4).map(j => sum(expr(s"${feats(j)} * y")).as(s"t$j"))
+      val sums = withY.agg(aggCols.head, aggCols.tail: _*)
+      // per-n floored cells (posmod: moment sums can be negative), cast
+      // to DECIMAL(38,0) so the det products never touch int64 overflow
+      val cellCols = (col("n") +:
+        (for { j <- 0 until 4; k <- 0 until 4 } yield {
+          val src = if (j <= k) s"s$j$k" else s"s$k$j"
+          expr(s"CAST((($src - ((($src % n) + n) % n)) div n) AS DECIMAL(38,0))").as(s"a$j$k")
+        })) ++
+        (0 until 4).map(j =>
+          expr(s"CAST(((t$j - (((t$j % n) + n) % n)) div n) AS DECIMAL(38,0))").as(s"b$j"))
+      val cells = sums.select(cellCols: _*)
+      cells.select(
+        col("n"),
+        expr(cramerBetaSql(0, "div")).as("b_intercept_e6"),
+        expr(cramerBetaSql(1, "div")).as("b1_e6"),
+        expr(cramerBetaSql(2, "div")).as("b2_e6"),
+        expr(cramerBetaSql(3, "div")).as("b3_e6")
+      )
+    }),
+
     // Johnson-Lindenstrauss dimensionality reduction, quantized for exact
     // cross-engine arithmetic: 64-dim float embeddings → micro-unit integers
     // → 8 projected components y_j = Σ_i sign(j,i)·q_i with md5-derived ±1
@@ -1113,7 +1201,41 @@ object Similarity {
       |    CAST(c.n * c.gram - sa.si * sb.si AS BIGINT) AS cov_num
       |  FROM cells c JOIN sums sa ON c.i = sa.i JOIN sums sb ON c.j = sb.i)""".stripMargin
 
+  /** x179 oracle: the same moments → floored cells → Cramer chain, cells
+    * as HUGEINT, det strings generated by the SAME helpers as the Spark
+    * expression (one formula, two engines). */
+  private def x179OracleSql: String = {
+    val feats = Seq("1", "f1", "f2", "f3")
+    val sums = (for { j <- 0 until 4; k <- j until 4 }
+      yield s"sum(${feats(j)} * ${feats(k)}) AS s$j$k") ++
+      (0 until 4).map(j => s"sum(${feats(j)} * y) AS t$j")
+    val cells = (for { j <- 0 until 4; k <- 0 until 4 } yield {
+      val src = if (j <= k) s"s$j$k" else s"s$k$j"
+      s"CAST(($src - ((($src % n) + n) % n)) // n AS HUGEINT) AS a$j$k"
+    }) ++ (0 until 4).map(j => s"CAST((t$j - (((t$j % n) + n) % n)) // n AS HUGEINT) AS b$j")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS f1,
+       |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS f2,
+       |    CAST(round(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS f3
+       |  FROM embeddings),
+       |w AS (
+       |  SELECT f1, f2, f3,
+       |    3*f1 - 2*f2 + f3
+       |      + (('0x' || substr(md5(vec_id::VARCHAR || '#n'), 1, 15))::BIGINT % 2001) - 1000 AS y
+       |  FROM e),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(", ")} FROM w),
+       |c AS (SELECT n, ${cells.mkString(", ")} FROM s)
+       |SELECT n,
+       |  ${cramerBetaSql(0, "//")} AS b_intercept_e6,
+       |  ${cramerBetaSql(1, "//")} AS b1_e6,
+       |  ${cramerBetaSql(2, "//")} AS b2_e6,
+       |  ${cramerBetaSql(3, "//")} AS b3_e6
+       |FROM c""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "x179_linear_probe" -> x179OracleSql,
     // x13: exact twins recomputed brute-force; the ANN accuracy booleans
     // are Spark-side assertions the oracle expects to HOLD
     "x13_sim_ivf" ->
