@@ -318,7 +318,11 @@ object ScaleProbe {
       "x178_dbscan",
       // linear probe: one map-side moment aggregate over base embeddings
       // (corpus crosses once; the Cramer solve is a 1-row projection)
-      "x179_linear_probe"
+      "x179_linear_probe",
+      // logstar CC: 13 fixed large/small pairs over the 16x stripe graph
+      // (240k vertices) - round count is SIZE-independent, per-round cost
+      // linear; the x178 lesson institutionalized
+      "x180_logstar_cc"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -61,6 +61,33 @@ object Reshape {
     (edges, n)
   }
 
+  /** One large-star / small-star step (Kiveris et al. 2014) over a
+    * canonical (a < b) undirected edge table. Large-star connects every
+    * strictly-larger neighbor of each center to the center's minimum;
+    * small-star connects the smaller neighbors and the center itself.
+    * Alternating the two converges to min-rooted stars in O(log²) rounds
+    * (log in practice) — REGARDLESS of component diameter. */
+  private[operators] def starStep(edges: DataFrame, large: Boolean): DataFrame = {
+    val sym = edges
+      .select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val mins = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+    if (large)
+      sym
+        .join(mins, "u")
+        .where(col("v") > col("u")) // m ≤ u < v: canonical, no self loop
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+    else {
+      val fromNbrs = sym
+        .join(mins, "u")
+        .where(col("v") < col("u") && col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+      val self = mins.where(col("u") =!= col("m")).select(col("m").as("a"), col("u").as("b"))
+      fromNbrs.unionByName(self).distinct()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot → unpivot round trip: wide per-priority status counts melted
     // back to long form. Absent (priority, status) combos surface as NULL
@@ -223,6 +250,71 @@ object Reshape {
     // the oracle replays the same 12 rounds and expects TRUE — if the
     // budget ever stops covering the gate corpus, the gate turns red
     // instead of silently under-peeling.
+    // Log-rounds connected components (x180, Kiveris et al. 2014 large-
+    // star/small-star) — the DIAMETER-ROBUST CC the x178 percolation
+    // lesson asks for: x37's min-label propagation needs diameter-many
+    // rounds (a 500-vertex path needs ~250), while alternating large/
+    // small-star contracts in O(log) rounds regardless of shape (the
+    // pointer-jumping idea as pure equi-join/agg rounds). The gate graph
+    // FORCES the distinction: a 500-vertex PATH on the low key stripe
+    // (diameter 499 — the md5 draws of the shared graph would shortcut
+    // it, so the random stripe is keyed ≥ 500 and never touches the
+    // path) plus the usual 3-draw md5 random graph on [500, n).
+    // Convergence is budgeted (13 pairs — measured 10 at both SFs) with
+    // the x105 discipline: one EXTRA pair runs and the in-query
+    // `converged` boolean asserts it changed nothing; the oracle expects
+    // TRUE, so an under-budgeted run turns the gate red instead of
+    // silently mislabeling. Per round: two groupBy-min aggs + two
+    // co-partitioned joins over the (shrinking) edge table; the oracle
+    // replays all 28 star steps as generated MATERIALIZED CTEs (the
+    // x72/x167 pattern).
+    "x180_logstar_cc" -> ((s, d) => {
+      import s.implicits._
+      val R = 13
+      val verts = table(s, d, "customer").select(col("c_custkey").as("v"))
+      val n = verts.count()
+      val stripe = verts
+        .where(col("v") >= 500)
+        .crossJoin(broadcast(Seq(0, 1, 2).toDF("i")))
+        .select(
+          col("v").as("u"),
+          (Hashing.md5Bucket(
+            concat(col("v").cast("string"), lit("#e"), col("i").cast("string")),
+            math.max(1L, n - 500)) + 500L).as("w")
+        )
+        .where(col("u") =!= col("w"))
+        .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+      val path = verts
+        .where(col("v") < 499 && col("v") + 1 < n)
+        .select(col("v").as("a"), (col("v") + 1).as("b"))
+      var e = stripe.unionByName(path).distinct().localCheckpoint()
+      for (_ <- 1 to R) {
+        e = starStep(e, large = true).localCheckpoint()
+        e = starStep(e, large = false).localCheckpoint()
+      }
+      val post = starStep(starStep(e, large = true), large = false).localCheckpoint()
+      val converged =
+        post.except(e).limit(1).count() == 0 && e.except(post).limit(1).count() == 0
+      val sym = e
+        .select(col("a").as("x"), col("b").as("y"))
+        .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+      val labs = sym.groupBy("x").agg(least(col("x"), min(col("y"))).as("lbl"))
+      val lab = verts
+        .join(labs.select(col("x").as("v"), col("lbl")), Seq("v"), "left")
+        .select(col("v").as("node"), coalesce(col("lbl"), col("v")).as("label"))
+      val sizes = lab.groupBy("label").agg(count(lit(1)).as("comp_size"))
+      lab
+        .join(sizes, "label")
+        .select(
+          col("node"),
+          col("label"),
+          col("comp_size"),
+          lit(converged).as("converged"),
+          lit(R.toLong).as("rounds")
+        )
+        .orderBy("node")
+    }),
+
     "x105_kcore" -> ((s, d) => {
       val K = 3
       val Rounds = 12
@@ -601,7 +693,56 @@ object Reshape {
       .orderBy("k_bucket", "event_type")
   }
 
+  /** x180 oracle: the same 13 large/small pairs + the convergence pair,
+    * every star step three generated MATERIALIZED CTEs (the x72/x167
+    * generated-oracle pattern; plain CTEs re-expand per reference — the
+    * x158 DuckDB lesson). */
+  private def x180OracleSql: String = {
+    val R = 13
+    def step(k: Int, large: Boolean): String = {
+      val (src, dst, sym, mn) = (s"e$k", s"e${k + 1}", s"sy$k", s"mn$k")
+      val s1 = s"$sym AS MATERIALIZED (SELECT a AS u, b AS v FROM $src UNION ALL SELECT b, a FROM $src)"
+      val s2 = s"$mn AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM $sym GROUP BY u)"
+      val s3 =
+        if (large)
+          s"$dst AS MATERIALIZED (SELECT DISTINCT mm.m AS a, s.v AS b" +
+            s" FROM $sym s JOIN $mn mm USING (u) WHERE s.v > s.u)"
+        else
+          s"$dst AS MATERIALIZED (SELECT DISTINCT a, b FROM (" +
+            s"SELECT mm.m AS a, s.v AS b FROM $sym s JOIN $mn mm USING (u) WHERE s.v < s.u AND s.v <> mm.m" +
+            s" UNION ALL SELECT mm.m AS a, mm.u AS b FROM $mn mm WHERE mm.u <> mm.m))"
+      s"$s1,\n$s2,\n$s3"
+    }
+    val steps = (0 until 2 * R + 2).map(k => step(k, large = k % 2 == 0)).mkString(",\n")
+    val (fin, post) = (s"e${2 * R}", s"e${2 * R + 2}")
+    s"""WITH nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b FROM (
+       |    SELECT c_custkey AS u,
+       |      500 + ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+       |        % greatest(1, (SELECT n FROM nv) - 500) AS w
+       |    FROM customer, (SELECT unnest(range(3)) AS i) WHERE c_custkey >= 500) t
+       |  WHERE u <> w
+       |  UNION
+       |  SELECT c_custkey, c_custkey + 1 FROM customer
+       |  WHERE c_custkey < 499 AND c_custkey + 1 < (SELECT n FROM nv)),
+       |$steps,
+       |dc AS (SELECT count(*) AS d FROM (
+       |  (SELECT * FROM $fin EXCEPT SELECT * FROM $post)
+       |  UNION ALL (SELECT * FROM $post EXCEPT SELECT * FROM $fin))),
+       |syf AS (SELECT a AS x, b AS y FROM $fin UNION ALL SELECT b, a FROM $fin),
+       |lb AS (SELECT x, least(x, min(y)) AS lbl FROM syf GROUP BY x),
+       |lab AS (
+       |  SELECT c_custkey AS node, coalesce(lb.lbl, c_custkey) AS label
+       |  FROM customer LEFT JOIN lb ON c_custkey = lb.x),
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS comp_size FROM lab GROUP BY 1)
+       |SELECT lab.node, lab.label, sz.comp_size,
+       |  (SELECT d FROM dc) = 0 AS converged, CAST($R AS BIGINT) AS rounds
+       |FROM lab JOIN sz USING (label) ORDER BY node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "x180_logstar_cc" -> x180OracleSql,
     // the full orientation pipeline replayed in SQL: md5 edge formulas →
     // canonical dedup → degrees → (deg, id) orientation → wedge join →
     // triangle EXISTS — exact, because every step is integer/set algebra
