@@ -322,7 +322,10 @@ object ScaleProbe {
       // logstar CC: 13 fixed large/small pairs over the 16x stripe graph
       // (240k vertices) - round count is SIZE-independent, per-round cost
       // linear; the x178 lesson institutionalized
-      "x180_logstar_cc"
+      "x180_logstar_cc",
+      // chi-squared: two cell censuses over 16x orders (map-side combine),
+      // everything downstream margin-sized
+      "x181_chi2_independence"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

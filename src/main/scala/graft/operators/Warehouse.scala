@@ -335,6 +335,88 @@ object Warehouse {
       arms.crossJoin(broadcast(stats)).orderBy("arm")
     }),
 
+    // Chi-squared independence test (x181, Pearson 1900) — the r×c
+    // categorical companion of x162's two-proportion z (which is the
+    // 2×2 special case): is order priority independent of order status?
+    // Exactness: E_ij = R_i·C_j/N never materializes — each cell's
+    // contribution clears to (O_ij·N − R_i·C_j)²/(N·R_i·C_j), floored
+    // per cell to e6 (deterministic floored-cell statistic, both engines
+    // identical; O·N ~ 1.5e9 squares past int64, so DECIMAL(38,0)/
+    // HUGEINT carry the numerator). The χ² sum, df = (r−1)(c−1) and the
+    // 95% significance verdict (χ²₀.₀₅ critical values inlined for the
+    // fixture's df range) ride every row broadcast — the in-query-eval
+    // discipline. One cell census (map-side combine), margins are
+    // row/column-count-sized aggs of it, everything downstream is
+    // metadata-sized.
+    "x181_chi2_independence" -> ((s, d) => {
+      // two tests in one result: test 0 = priority × status (the fixture
+      // draws them independently — the null holds, significant FALSE);
+      // test 1 = priority × a PLANTED dependent column (⅓ of rows copy
+      // the priority's leading digit — the x101/x128 planted discipline,
+      // so the significant TRUE path is load-bearing too)
+      val base = graft.Graft
+        .table(s, d, "orders")
+        .select(
+          col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"),
+          when(
+            graft.functions.Hashing
+              .md5Bucket(concat(col("o_orderkey").cast("string"), lit("#m")), 3L) === 0L,
+            substring(col("o_orderpriority"), 1, 1)
+          ).otherwise(
+            graft.functions.Hashing
+              .md5Bucket(concat(col("o_orderkey").cast("string"), lit("#d")), 3L)
+              .cast("string")
+          ).as("dep")
+        )
+      val cells = base
+        .groupBy(lit(0L).as("test_id"), col("prio"), col("status").as("b"))
+        .agg(count(lit(1)).as("o"))
+        .unionByName(
+          base
+            .groupBy(lit(1L).as("test_id"), col("prio"), col("dep").as("b"))
+            .agg(count(lit(1)).as("o"))
+        )
+        .localCheckpoint() // margins + output rows
+      val rm = cells.groupBy("test_id", "prio").agg(sum("o").as("r"))
+      val cm = cells.groupBy("test_id", "b").agg(sum("o").as("c"))
+      val tot = cells
+        .groupBy("test_id")
+        .agg(sum("o").as("n"), countDistinct("prio").as("nr"), countDistinct("b").as("nc"))
+      val contrib = cells
+        .join(broadcast(rm), Seq("test_id", "prio"))
+        .join(broadcast(cm), Seq("test_id", "b"))
+        .join(broadcast(tot), "test_id")
+        .withColumn(
+          "contrib_e6",
+          expr(
+            "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) * " +
+              "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) * 1000000 div " +
+              "(CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+          )
+        )
+        .localCheckpoint() // output + chi2 sum
+      val chi2 = contrib
+        .groupBy("test_id")
+        .agg(sum("contrib_e6").as("chi2_e6"), max(expr("(nr - 1) * (nc - 1)")).as("df"))
+      contrib
+        .select("test_id", "prio", "b", "o", "r", "c", "n", "contrib_e6")
+        .join(broadcast(chi2), "test_id")
+        // χ²₀.₀₅ critical values ·1e6, df 1..20 (Abramowitz & Stegun
+        // table 26.8): the verdict is exact given the floored statistic
+        .withColumn(
+          "crit_e6",
+          expr(
+            "element_at(array(3841459, 5991465, 7814728, 9487729, 11070498, " +
+              "12591587, 14067140, 15507313, 16918978, 18307038, 19675138, " +
+              "21026070, 22362032, 23684791, 24995790, 26296228, 27587112, " +
+              "28869299, 30143527, 31410433), CAST(df AS INT))"
+          )
+        )
+        .withColumn("significant_95", col("chi2_e6") > col("crit_e6"))
+        .orderBy("test_id", "prio", "b")
+    }),
+
     // CUSUM change-point detection (x161, Page 1954) — the SEQUENTIAL
     // drift detector complementing x157's two-population snapshot: daily
     // counts walk the classic recursions S⁺ = max(0, S⁺ + (x−μ−κ)) /
@@ -2126,6 +2208,54 @@ object Warehouse {
         |  CAST((length(bin(ca + 1)) - 1) - (length(bin(cb + 1)) - 1) AS BIGINT) AS llr_bits,
         |  tvd_ppm
         |FROM sh, tvd ORDER BY event_type, hour_bucket""".stripMargin,
+    // x181: same double census → margins → cleared-rational floored cells
+    // → per-test sum + critical-value verdict, HUGEINT squared terms.
+    "x181_chi2_independence" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || '#m'), 1, 15))::BIGINT % 3 = 0
+        |      THEN substr(o_orderpriority, 1, 1)
+        |      ELSE CAST(('0x' || substr(md5(o_orderkey::VARCHAR || '#d'), 1, 15))::BIGINT % 3 AS VARCHAR)
+        |    END AS dep
+        |  FROM orders),
+        |cells AS (
+        |  SELECT 0 AS test_id, prio, status AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 1 AS test_id, prio, dep AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 2, 3),
+        |rm AS (SELECT test_id, prio, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT test_id, b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT test_id, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT prio) AS BIGINT) AS nr,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS nc
+        |  FROM cells GROUP BY 1),
+        |contrib AS (
+        |  SELECT cells.test_id, cells.prio, cells.b, cells.o, rm.r, cm.c, tot.n,
+        |    CAST((cells.o::HUGEINT * tot.n - rm.r::HUGEINT * cm.c) *
+        |         (cells.o::HUGEINT * tot.n - rm.r::HUGEINT * cm.c) * 1000000
+        |      // (tot.n::HUGEINT * rm.r * cm.c) AS BIGINT) AS contrib_e6,
+        |    (tot.nr - 1) * (tot.nc - 1) AS df
+        |  FROM cells JOIN rm USING (test_id, prio) JOIN cm USING (test_id, b)
+        |  JOIN tot USING (test_id)),
+        |chi AS (
+        |  SELECT test_id, CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6, max(df) AS df
+        |  FROM contrib GROUP BY 1)
+        |SELECT CAST(contrib.test_id AS BIGINT) AS test_id, contrib.prio, contrib.b,
+        |  contrib.o, contrib.r, contrib.c, contrib.n, contrib.contrib_e6,
+        |  chi.chi2_e6, chi.df,
+        |  ([3841459, 5991465, 7814728, 9487729, 11070498, 12591587, 14067140,
+        |    15507313, 16918978, 18307038, 19675138, 21026070, 22362032,
+        |    23684791, 24995790, 26296228, 27587112, 28869299, 30143527,
+        |    31410433])[CAST(chi.df AS INT)] AS crit_e6,
+        |  chi.chi2_e6 > ([3841459, 5991465, 7814728, 9487729, 11070498,
+        |    12591587, 14067140, 15507313, 16918978, 18307038, 19675138,
+        |    21026070, 22362032, 23684791, 24995790, 26296228, 27587112,
+        |    28869299, 30143527, 31410433])[CAST(chi.df AS INT)] AS significant_95
+        |FROM contrib JOIN chi USING (test_id)
+        |ORDER BY test_id, prio, b""".stripMargin,
+
     // x174: the oracle is the LITERAL interval join (vf ≤ ts < vt over the
     // q56-derived intervals) — the union-window engine path must reproduce
     // the canonical range-join semantics row for row, boundaries included.

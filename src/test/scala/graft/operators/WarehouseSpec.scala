@@ -182,6 +182,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(50L) === 1000000L, "the planted outlier dragged the median slope")
   }
 
+  test("x181 chi2: zero statistic on an exactly independent table; in-memory replay of the planted test") {
+    import graft.functions.Hashing
+    val dir = TestSpark.tempDir()
+    // 2x2 exactly independent: cells (A,X)=(A,Y)=(B,X)=(B,Y)=10 -> every
+    // O*N - R*C = 0, chi2 exactly 0, not significant
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Seq("A", "B")(i % 2), Seq("X", "Y")((i / 2) % 2))
+    }
+    TestSpark.writeTable(dir, "orders", rows.toDF("o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val got = Warehouse.queries("x181_chi2_independence")(spark, dir).collect()
+    val t0 = got.filter(_.getAs[Long]("test_id") == 0L)
+    assert(t0.length === 4)
+    t0.foreach { r =>
+      assert(r.getAs[Long]("contrib_e6") === 0L)
+      assert(r.getAs[Long]("chi2_e6") === 0L)
+      assert(!r.getAs[Boolean]("significant_95"))
+    }
+    // the planted test replays exactly in memory (dep via the md5 formula)
+    val dep = rows.map { case (k, p, _) =>
+      val d =
+        if (Hashing.md5BucketOf(s"$k#m", 3L) == 0L) p.substring(0, 1)
+        else Hashing.md5BucketOf(s"$k#d", 3L).toString
+      (p, d)
+    }
+    val cells = dep.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rm = dep.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cm = dep.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = dep.size.toLong
+    val expected = cells.map { case ((p, b), o) =>
+      val diff = BigInt(o) * n - BigInt(rm(p)) * cm(b)
+      (p, b) -> (diff * diff * 1000000 / (BigInt(n) * rm(p) * cm(b))).toLong
+    }
+    val t1 = got.filter(_.getAs[Long]("test_id") == 1L)
+    assert(t1.length === expected.size)
+    t1.foreach { r =>
+      val key = (r.getAs[String]("prio"), r.getAs[String]("b"))
+      assert(r.getAs[Long]("contrib_e6") === expected(key), s"cell $key")
+      assert(r.getAs[Long]("chi2_e6") === expected.values.sum)
+      assert(r.getAs[Long]("df") === (rm.size - 1L) * (cm.size - 1L))
+    }
+  }
+
   test("x174 PIT join: boundary inclusivity, run collapse, pre-state facts, zero-width intervals") {
     val dir = TestSpark.tempDir()
     val rows = Seq(
