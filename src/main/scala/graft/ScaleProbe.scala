@@ -325,7 +325,10 @@ object ScaleProbe {
       "x180_logstar_cc",
       // chi-squared: two cell censuses over 16x orders (map-side combine),
       // everything downstream margin-sized
-      "x181_chi2_independence"
+      "x181_chi2_independence",
+      // skew profiler: two key censuses over the ~10M-row 16x lineitem
+      // (the skewed profile's explode adds ~3.3x rows map-side)
+      "x182_skew_profile"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

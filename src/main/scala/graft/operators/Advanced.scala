@@ -629,6 +629,71 @@ object Advanced {
     // k=16 buffer (≥100 distinct keys, constant tail decrements). Only
     // ORDER-INDEPENDENT facts cross the gate: the exact-twin heavy set,
     // the stream size, and per-item retention booleans.
+    // Shuffle-key skew profiler (x182) — the DIAGNOSTIC feeding the skew
+    // machinery the engine already carries (x38 manual salting, the AQE
+    // skew-join spec, x94/x101 heavy hitters): before shuffling 100 TB on
+    // a key, profile its distribution. TWO profiles in one result (the
+    // x181 twin-test shape): the natural near-uniform l_suppkey and a
+    // PLANTED hot-key stream (the x101 replication trick: every supplier
+    // ≡3 mod 10 stripe ×25), so the "skewed" verdict path is
+    // load-bearing. Per profile: row/key counts, the max key's share,
+    // skew ratio (max·keys/N — 1e6 = uniform), exact p50/p99 of the
+    // per-key count distribution (the x173 rank-pick over the BOUNDED
+    // counts table — single-partition window on key-count-sized input,
+    // the documented class), and a quantized entropy Σcnt·⌊log2(N div
+    // cnt)⌋/N in millibits (the x61 bin() trick — zero libm). The
+    // salt-advice boolean (skew ratio > 4×) is the actionable output.
+    // Scale shape: each profile is ONE key census with map-side combine;
+    // everything downstream operates on the counts table.
+    "x182_skew_profile" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select(col("l_suppkey").as("k")).localCheckpoint()
+      def profile(keys: DataFrame, id: Long): DataFrame = {
+        val counts = keys.groupBy("k").agg(count(lit(1)).as("cnt")).localCheckpoint()
+        val ranked = counts
+          .withColumn("rk", row_number().over(Window.orderBy(col("cnt"), col("k"))))
+        // quantized entropy needs n_rows first — second bounded agg over
+        // the counts table with the total broadcast back
+        val tot2 = counts.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+        val qent = counts
+          .crossJoin(broadcast(tot2.select(col("n_rows").as("nr"))))
+          .agg(sum(expr("cnt * (length(bin(nr div cnt)) - 1)")).as("hsum"))
+        tot2
+          .crossJoin(broadcast(qent))
+          .crossJoin(
+            broadcast(
+              ranked
+                .crossJoin(broadcast(tot2.select(col("n_keys").as("kk"))))
+                .where(col("rk") === expr("((kk - 1) * 50) div 100 + 1"))
+                .select(col("cnt").as("p50_cnt"))
+            )
+          )
+          .crossJoin(
+            broadcast(
+              ranked
+                .crossJoin(broadcast(tot2.select(col("n_keys").as("kk"))))
+                .where(col("rk") === expr("((kk - 1) * 99) div 100 + 1"))
+                .select(col("cnt").as("p99_cnt"))
+            )
+          )
+          .select(
+            lit(id).as("profile"),
+            col("n_rows"),
+            col("n_keys"),
+            col("max_cnt"),
+            expr("(max_cnt * 1000000) div n_rows").as("max_share_ppm"),
+            expr("(max_cnt * n_keys * 1000000) div n_rows").as("skew_ratio_e6"),
+            col("p50_cnt"),
+            col("p99_cnt"),
+            expr("(hsum * 1000) div n_rows").as("qent_millibits"),
+            expr("(max_cnt * n_keys * 1000000) div n_rows > 4000000").as("salt_advised")
+          )
+      }
+      val skewed = li
+        .select(col("k"), explode(expr("sequence(1, CASE WHEN k % 10 = 3 THEN 25 ELSE 1 END)")).as("r"))
+        .select("k")
+      profile(li, 0L).unionByName(profile(skewed, 1L)).orderBy("profile")
+    }),
+
     "x101_heavy_hitters_corpus" -> ((s, d) => {
       val k = 16
       val stream = table(s, d, "lineitem")
@@ -2374,6 +2439,43 @@ object Advanced {
         |FROM est e JOIN ex x ON e.grp = x.grp ORDER BY e.grp""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
+    // x182: both profiles replayed — census, rank-picked percentiles,
+    // bin()-length entropy, identical ratio arithmetic.
+    "x182_skew_profile" ->
+      """WITH li AS (SELECT l_suppkey AS k FROM lineitem),
+        |sk AS (
+        |  SELECT k FROM li, unnest(generate_series(1,
+        |    CASE WHEN k % 10 = 3 THEN 25 ELSE 1 END)) t(r)),
+        |p0 AS (SELECT 0 AS profile, k, count(*) AS cnt FROM li GROUP BY 2),
+        |p1 AS (SELECT 1 AS profile, k, count(*) AS cnt FROM sk GROUP BY 2),
+        |c AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1),
+        |r AS (
+        |  SELECT profile, cnt,
+        |    row_number() OVER (PARTITION BY profile ORDER BY cnt, k) AS rk
+        |  FROM c),
+        |tot AS (
+        |  SELECT profile, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM c GROUP BY 1),
+        |qe AS (
+        |  SELECT c.profile,
+        |    CAST(sum(c.cnt * (length(bin(t.n_rows // c.cnt)) - 1)) AS BIGINT) AS hsum
+        |  FROM c JOIN tot t USING (profile) GROUP BY 1),
+        |p50 AS (
+        |  SELECT r.profile, r.cnt AS p50_cnt FROM r JOIN tot t USING (profile)
+        |  WHERE r.rk = ((t.n_keys - 1) * 50) // 100 + 1),
+        |p99 AS (
+        |  SELECT r.profile, r.cnt AS p99_cnt FROM r JOIN tot t USING (profile)
+        |  WHERE r.rk = ((t.n_keys - 1) * 99) // 100 + 1)
+        |SELECT CAST(t.profile AS BIGINT) AS profile, t.n_rows, t.n_keys, t.max_cnt,
+        |  (t.max_cnt * 1000000) // t.n_rows AS max_share_ppm,
+        |  (t.max_cnt * t.n_keys * 1000000) // t.n_rows AS skew_ratio_e6,
+        |  CAST(p50.p50_cnt AS BIGINT) AS p50_cnt, CAST(p99.p99_cnt AS BIGINT) AS p99_cnt,
+        |  (qe.hsum * 1000) // t.n_rows AS qent_millibits,
+        |  (t.max_cnt * t.n_keys * 1000000) // t.n_rows > 4000000 AS salt_advised
+        |FROM tot t JOIN qe USING (profile) JOIN p50 USING (profile) JOIN p99 USING (profile)
+        |ORDER BY profile""".stripMargin,
+
     // x178: the brute-force quadratic truth (the decomposition the grid
     // join must reproduce) + recursive transitive closure over the
     // core-core graph + the same min-label border rule and size census.

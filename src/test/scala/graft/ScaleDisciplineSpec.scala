@@ -211,8 +211,35 @@ class ScaleDisciplineSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("x182 skew profiler: degenerate single-key and exactly-uniform streams pin the formulas") {
+    val dir = TestSpark.tempDir()
+    // lineitem stand-in: 64 rows on ONE key (total skew), plus a second
+    // table written after with 8 keys x 8 rows (exact uniformity)
+    graft.etl.Ingest.writeParquet(
+      (0 until 64).map(i => (7L, i)).toDF("l_suppkey", "i"), s"$dir/lineitem.parquet")
+    val one = graft.operators.Advanced.queries("x182_skew_profile")(spark, dir).collect()
+    val p0 = one.find(_.getAs[Long]("profile") == 0L).get
+    assert(p0.getAs[Long]("n_keys") === 1L)
+    assert(p0.getAs[Long]("max_share_ppm") === 1000000L)
+    assert(p0.getAs[Long]("skew_ratio_e6") === 1000000L) // max*keys/N = 1: NOT flagged
+    assert(p0.getAs[Long]("qent_millibits") === 0L) // log2(1) = 0: zero entropy
+    assert(!p0.getAs[Boolean]("salt_advised"), "a single-key stream cannot be salted usefully")
+
+    val dir2 = TestSpark.tempDir()
+    graft.etl.Ingest.writeParquet(
+      (0 until 64).map(i => ((i % 8).toLong, i)).toDF("l_suppkey", "i"), s"$dir2/lineitem.parquet")
+    val two = graft.operators.Advanced.queries("x182_skew_profile")(spark, dir2).collect()
+    val q0 = two.find(_.getAs[Long]("profile") == 0L).get
+    assert(q0.getAs[Long]("n_keys") === 8L)
+    assert(q0.getAs[Long]("p50_cnt") === 8L && q0.getAs[Long]("p99_cnt") === 8L)
+    assert(q0.getAs[Long]("skew_ratio_e6") === 1000000L) // exactly uniform
+    assert(q0.getAs[Long]("qent_millibits") === 3000L) // log2(8) = 3 bits exactly
+    assert(!q0.getAs[Boolean]("salt_advised"))
+  }
 }
 
 object ScaleDisciplineSpec {
   final case class Item(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 }
