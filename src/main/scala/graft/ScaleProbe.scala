@@ -328,7 +328,10 @@ object ScaleProbe {
       "x181_chi2_independence",
       // skew profiler: two key censuses over the ~10M-row 16x lineitem
       // (the skewed profile's explode adds ~3.3x rows map-side)
-      "x182_skew_profile"
+      "x182_skew_profile",
+      // seasonal decomposition: one day-census agg absorbs the 16x
+      // counts; all decomposition joins run on the bounded day table
+      "x183_seasonal_decompose"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

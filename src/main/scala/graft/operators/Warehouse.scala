@@ -335,6 +335,78 @@ object Warehouse {
       arms.crossJoin(broadcast(stats)).orderBy("arm")
     }),
 
+    // Seasonal decomposition (x183) — the classical additive
+    // trend/seasonal/residual split completing the time-series kit (x161
+    // sequential alarm, x166 periodicity, x173 robust trend, x110
+    // resample): trend = 7-day CENTERED moving average on the calendar
+    // grid (only days with all 7 neighbors present — gaps break windows,
+    // the x166 calendar-join semantics), seasonal = per-weekday mean of
+    // the detrended series, residual = the rest; the anomaly flag fires
+    // when |residual| > 2× the mean |residual|. The fixture's series is
+    // flat, so the regimes are PLANTED in-query (the x101 device, both
+    // spec-asserted): weekends doubled (seasonality the weekday means
+    // must recover) and one mid-series day tripled (the residual spike
+    // the flag must catch — a seasonal-aware detector; x161's CUSUM
+    // would alarm on the weekend pattern itself). All e3 integer floors.
+    // Scale shape: the corpus collapses to one row per day in ONE agg;
+    // every downstream join/window runs on the calendar-bounded day
+    // table (the x166/x173 documented class).
+    "x183_seasonal_decompose" -> ((s, d) => {
+      val raw = graft.Graft
+        .events(s, d)
+        .select(expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("x0"))
+      val minDay = raw.agg(min("day").as("md"))
+      val daily = raw
+        .crossJoin(broadcast(minDay))
+        .select(
+          col("day"),
+          expr(
+            "x0 * (CASE WHEN pmod(day + 4, 7) IN (5, 6) THEN 2 ELSE 1 END)" +
+              " * (CASE WHEN day = md + 10 THEN 3 ELSE 1 END)"
+          ).as("x")
+        )
+        .localCheckpoint() // trend join probes both sides + output
+      val offs = (-3 to 3).map(k => lit(k.toLong))
+      val trend = daily
+        .select(col("day"), explode(array(offs: _*)).as("k"))
+        .select((col("day") + col("k")).as("nd"), col("day"))
+        .join(daily.select(col("day").as("nd"), col("x").as("nx")), "nd")
+        .groupBy("day")
+        .agg(count(lit(1)).as("w"), sum("nx").as("sx"))
+        .where(col("w") === 7)
+        .select(col("day"), expr("(sx * 1000) div 7").as("trend_e3"))
+      val dt = daily
+        .join(trend, "day")
+        .select(col("day"), col("x"), col("trend_e3"), (col("x") * 1000 - col("trend_e3")).as("dt_e3"))
+        .localCheckpoint() // seasonal agg + residual output
+      val seasonal = dt
+        .groupBy(expr("pmod(day + 4, 7)").as("wd"))
+        .agg(sum("dt_e3").as("sdt"), count(lit(1)).as("nw"))
+        .select(col("wd"), expr("(sdt - pmod(sdt, nw)) div nw").as("seasonal_e3"))
+      val resid = dt
+        .withColumn("wd", expr("pmod(day + 4, 7)"))
+        .join(broadcast(seasonal), "wd")
+        .withColumn("resid_e3", col("dt_e3") - col("seasonal_e3"))
+        .localCheckpoint() // threshold agg + output
+      val thresh = resid
+        .agg(sum(abs(col("resid_e3"))).as("sa"), count(lit(1)).as("n"))
+        .select(expr("(2 * sa - pmod(2 * sa, n)) div n").as("thr_e3"))
+      resid
+        .crossJoin(broadcast(thresh))
+        .select(
+          col("day"),
+          col("x"),
+          col("trend_e3"),
+          col("seasonal_e3"),
+          col("resid_e3"),
+          col("thr_e3"),
+          (abs(col("resid_e3")) > col("thr_e3")).as("anomaly")
+        )
+        .orderBy("day")
+    }),
+
     // Chi-squared independence test (x181, Pearson 1900) — the r×c
     // categorical companion of x162's two-proportion z (which is the
     // 2×2 special case): is order priority independent of order status?
@@ -2208,6 +2280,46 @@ object Warehouse {
         |  CAST((length(bin(ca + 1)) - 1) - (length(bin(cb + 1)) - 1) AS BIGINT) AS llr_bits,
         |  tvd_ppm
         |FROM sh, tvd ORDER BY event_type, hour_bucket""".stripMargin,
+    // x183: the same day census → in-query plants → calendar-join trend
+    // → weekday means → residual/threshold chain, posmod floors shared.
+    "x183_seasonal_decompose" ->
+      """WITH raw AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day, count(*) AS x0
+        |  FROM events GROUP BY 1),
+        |md AS (SELECT min(day) AS md FROM raw),
+        |daily AS (
+        |  SELECT day,
+        |    x0 * (CASE WHEN ((day + 4) % 7 + 7) % 7 IN (5, 6) THEN 2 ELSE 1 END)
+        |       * (CASE WHEN day = (SELECT md FROM md) + 10 THEN 3 ELSE 1 END) AS x
+        |  FROM raw),
+        |tr AS (
+        |  SELECT a.day, count(*) AS w, CAST(sum(b.x) AS BIGINT) AS sx
+        |  FROM daily a, unnest(generate_series(-3, 3)) t(k)
+        |  JOIN daily b ON b.day = a.day + t.k
+        |  GROUP BY a.day HAVING count(*) = 7),
+        |dt AS (
+        |  SELECT d.day, d.x, (tr.sx * 1000) // 7 AS trend_e3,
+        |    d.x * 1000 - (tr.sx * 1000) // 7 AS dt_e3
+        |  FROM daily d JOIN tr ON d.day = tr.day),
+        |se AS (
+        |  SELECT ((day + 4) % 7 + 7) % 7 AS wd,
+        |    CAST(sum(dt_e3) AS BIGINT) AS sdt, CAST(count(*) AS BIGINT) AS nw
+        |  FROM dt GROUP BY 1),
+        |se2 AS (SELECT wd, (sdt - ((sdt % nw + nw) % nw)) // nw AS seasonal_e3 FROM se),
+        |re AS (
+        |  SELECT dt.day, dt.x, dt.trend_e3, se2.seasonal_e3,
+        |    dt.dt_e3 - se2.seasonal_e3 AS resid_e3
+        |  FROM dt JOIN se2 ON ((dt.day + 4) % 7 + 7) % 7 = se2.wd),
+        |th AS (
+        |  SELECT (2 * CAST(sum(abs(resid_e3)) AS BIGINT)
+        |    - ((2 * CAST(sum(abs(resid_e3)) AS BIGINT) % count(*) + count(*)) % count(*)))
+        |    // count(*) AS thr_e3
+        |  FROM re)
+        |SELECT re.day, re.x, re.trend_e3, re.seasonal_e3, re.resid_e3,
+        |  th.thr_e3, abs(re.resid_e3) > th.thr_e3 AS anomaly
+        |FROM re CROSS JOIN th
+        |ORDER BY day""".stripMargin,
+
     // x181: same double census → margins → cleared-rational floored cells
     // → per-test sum + critical-value verdict, HUGEINT squared terms.
     "x181_chi2_independence" ->

@@ -224,6 +224,43 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("x183 seasonal decomposition: flat series + plants recover exact closed-form components") {
+    val dir = TestSpark.tempDir()
+    // EXACTLY 10 events every day for 28 consecutive days starting at a
+    // Monday-aligned epoch day: after the in-query plants the series is
+    // pure weekly pattern + one spike, so every component is closed-form
+    val d0 = 19723L // (19723+4)%7 = 0
+    val rows = (0 until 28).flatMap { d =>
+      (0 until 10).map(i => ((d * 100 + i).toLong, nanos((d0 + d) * 86400 + i), 1L, "click", 1.0, "{}"))
+    }
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("x183_seasonal_decompose")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("day") -> r)
+      .toMap
+    // independent replay: x = 10 * (weekend? 2:1) * (day==d0+10? 3:1)
+    def x(day: Long): Long = {
+      val wd = (day + 4) % 7
+      10L * (if (wd == 5 || wd == 6) 2 else 1) * (if (day == d0 + 10) 3 else 1)
+    }
+    val days = (d0 + 3) to (d0 + 24) // full 7-day windows only
+    assert(got.keySet === days.toSet)
+    days.foreach { d =>
+      val trend = (-3 to 3).map(k => x(d + k)).sum * 1000L / 7L
+      assert(got(d).getAs[Long]("trend_e3") === trend, s"trend day $d")
+      assert(got(d).getAs[Long]("x") === x(d))
+    }
+    // the planted spike day is flagged; weekend seasonal components are
+    // strictly above every weekday component
+    assert(got(d0 + 10).getAs[Boolean]("anomaly"), "planted spike must be flagged")
+    val byWd = got.values.groupBy(r => (r.getAs[Long]("day") + 4) % 7)
+      .view.mapValues(_.head.getAs[Long]("seasonal_e3")).toMap
+    val weekend = Seq(5L, 6L).map(byWd)
+    val weekdays = (0L to 4L).map(byWd)
+    assert(weekend.min > weekdays.max, "weekend seasonality must be recovered")
+  }
+
   test("x174 PIT join: boundary inclusivity, run collapse, pre-state facts, zero-width intervals") {
     val dir = TestSpark.tempDir()
     val rows = Seq(
