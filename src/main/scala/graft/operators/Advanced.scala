@@ -651,6 +651,7 @@ object Advanced {
         val counts = keys.groupBy("k").agg(count(lit(1)).as("cnt")).localCheckpoint()
         val ranked = counts
           .withColumn("rk", row_number().over(Window.orderBy(col("cnt"), col("k"))))
+          .localCheckpoint() // two rank probes below — pin the one sort
         // quantized entropy needs n_rows first — second bounded agg over
         // the counts table with the total broadcast back
         val tot2 = counts.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
@@ -681,11 +682,15 @@ object Advanced {
             col("n_keys"),
             col("max_cnt"),
             expr("(max_cnt * 1000000) div n_rows").as("max_share_ppm"),
-            expr("(max_cnt * n_keys * 1000000) div n_rows").as("skew_ratio_e6"),
+            // max_cnt * n_keys * 1e6 ~ 1e23 at 100 TB — DECIMAL(38,0)
+            // headroom (the x179/x181 discipline), never bare int64
+            expr("CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000) div n_rows AS BIGINT)")
+              .as("skew_ratio_e6"),
             col("p50_cnt"),
             col("p99_cnt"),
             expr("(hsum * 1000) div n_rows").as("qent_millibits"),
-            expr("(max_cnt * n_keys * 1000000) div n_rows > 4000000").as("salt_advised")
+            expr("CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000) div n_rows AS BIGINT) > 4000000")
+              .as("salt_advised")
           )
       }
       val skewed = li
@@ -2469,10 +2474,10 @@ object Advanced {
         |  WHERE r.rk = ((t.n_keys - 1) * 99) // 100 + 1)
         |SELECT CAST(t.profile AS BIGINT) AS profile, t.n_rows, t.n_keys, t.max_cnt,
         |  (t.max_cnt * 1000000) // t.n_rows AS max_share_ppm,
-        |  (t.max_cnt * t.n_keys * 1000000) // t.n_rows AS skew_ratio_e6,
+        |  CAST((t.max_cnt::HUGEINT * t.n_keys * 1000000) // t.n_rows AS BIGINT) AS skew_ratio_e6,
         |  CAST(p50.p50_cnt AS BIGINT) AS p50_cnt, CAST(p99.p99_cnt AS BIGINT) AS p99_cnt,
         |  (qe.hsum * 1000) // t.n_rows AS qent_millibits,
-        |  (t.max_cnt * t.n_keys * 1000000) // t.n_rows > 4000000 AS salt_advised
+        |  CAST((t.max_cnt::HUGEINT * t.n_keys * 1000000) // t.n_rows AS BIGINT) > 4000000 AS salt_advised
         |FROM tot t JOIN qe USING (profile) JOIN p50 USING (profile) JOIN p99 USING (profile)
         |ORDER BY profile""".stripMargin,
 

@@ -363,7 +363,7 @@ object Warehouse {
         .select(
           col("day"),
           expr(
-            "x0 * (CASE WHEN pmod(day + 4, 7) IN (5, 6) THEN 2 ELSE 1 END)" +
+            "x0 * (CASE WHEN pmod(day + 3, 7) IN (5, 6) THEN 2 ELSE 1 END)" +
               " * (CASE WHEN day = md + 10 THEN 3 ELSE 1 END)"
           ).as("x")
         )
@@ -382,11 +382,11 @@ object Warehouse {
         .select(col("day"), col("x"), col("trend_e3"), (col("x") * 1000 - col("trend_e3")).as("dt_e3"))
         .localCheckpoint() // seasonal agg + residual output
       val seasonal = dt
-        .groupBy(expr("pmod(day + 4, 7)").as("wd"))
+        .groupBy(expr("pmod(day + 3, 7)").as("wd"))
         .agg(sum("dt_e3").as("sdt"), count(lit(1)).as("nw"))
         .select(col("wd"), expr("(sdt - pmod(sdt, nw)) div nw").as("seasonal_e3"))
       val resid = dt
-        .withColumn("wd", expr("pmod(day + 4, 7)"))
+        .withColumn("wd", expr("pmod(day + 3, 7)"))
         .join(broadcast(seasonal), "wd")
         .withColumn("resid_e3", col("dt_e3") - col("seasonal_e3"))
         .localCheckpoint() // threshold agg + output
@@ -2289,7 +2289,7 @@ object Warehouse {
         |md AS (SELECT min(day) AS md FROM raw),
         |daily AS (
         |  SELECT day,
-        |    x0 * (CASE WHEN ((day + 4) % 7 + 7) % 7 IN (5, 6) THEN 2 ELSE 1 END)
+        |    x0 * (CASE WHEN ((day + 3) % 7 + 7) % 7 IN (5, 6) THEN 2 ELSE 1 END)
         |       * (CASE WHEN day = (SELECT md FROM md) + 10 THEN 3 ELSE 1 END) AS x
         |  FROM raw),
         |tr AS (
@@ -2302,14 +2302,14 @@ object Warehouse {
         |    d.x * 1000 - (tr.sx * 1000) // 7 AS dt_e3
         |  FROM daily d JOIN tr ON d.day = tr.day),
         |se AS (
-        |  SELECT ((day + 4) % 7 + 7) % 7 AS wd,
+        |  SELECT ((day + 3) % 7 + 7) % 7 AS wd,
         |    CAST(sum(dt_e3) AS BIGINT) AS sdt, CAST(count(*) AS BIGINT) AS nw
         |  FROM dt GROUP BY 1),
         |se2 AS (SELECT wd, (sdt - ((sdt % nw + nw) % nw)) // nw AS seasonal_e3 FROM se),
         |re AS (
         |  SELECT dt.day, dt.x, dt.trend_e3, se2.seasonal_e3,
         |    dt.dt_e3 - se2.seasonal_e3 AS resid_e3
-        |  FROM dt JOIN se2 ON ((dt.day + 4) % 7 + 7) % 7 = se2.wd),
+        |  FROM dt JOIN se2 ON ((dt.day + 3) % 7 + 7) % 7 = se2.wd),
         |th AS (
         |  SELECT (2 * CAST(sum(abs(resid_e3)) AS BIGINT)
         |    - ((2 * CAST(sum(abs(resid_e3)) AS BIGINT) % count(*) + count(*)) % count(*)))

@@ -18,7 +18,11 @@ package graft.sources
   * Unterminated constructs (comment, tag, raw-text element) consume to
   * end-of-input — the browser-parity choice, documented rather than
   * quarantined: extraction is a per-row map, and a truncated page still
-  * yields its prefix text. Structural WARC lies are [[WarcScan]]'s job.
+  * yields its prefix text. A bare `<` not followed by a letter, `/`,
+  * `!` or `?` is TEXT (the HTML5 tokenizer rule — "5 < 6" in prose must
+  * not swallow the rest of the sentence), and a raw-text close tag only
+  * matches when the name ends there (`</scripts>` does not close a
+  * script). Structural WARC lies are [[WarcScan]]'s job.
   */
 object HtmlText {
 
@@ -30,7 +34,9 @@ object HtmlText {
     val n = html.length
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      if (c == '<' && i + 1 < n &&
+        (Character.isLetter(html.charAt(i + 1)) || html.charAt(i + 1) == '/' ||
+          html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
         if (html.startsWith("<!--", i)) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
@@ -56,7 +62,12 @@ object HtmlText {
             var e = i
             var found = -1
             while (found < 0 && e + close.length <= n) {
-              if (html.regionMatches(true, e, close, 0, close.length)) found = e else e += 1
+              // the close-tag NAME must end here: '</scripts>' does not
+              // close a script element (HTML5 §13.2.5.x rawtext rules)
+              val after = e + close.length
+              val ends = after >= n || html.charAt(after) == '>' || html.charAt(after) == '/' ||
+                Character.isWhitespace(html.charAt(after))
+              if (html.regionMatches(true, e, close, 0, close.length) && ends) found = e else e += 1
             }
             if (found < 0) i = n
             else {

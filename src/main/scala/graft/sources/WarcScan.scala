@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.util.zip.{CRC32, Deflater, Inflater}
+import java.util.zip.{CRC32, Inflater}
 
 /** WARC web-archive reader (x176) — the ingestion format of the large web
   * crawls (Common Crawl ships ~100 TB of exactly this layout), built from

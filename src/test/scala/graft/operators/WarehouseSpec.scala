@@ -229,7 +229,7 @@ class WarehouseSpec extends AnyFunSuite {
     // EXACTLY 10 events every day for 28 consecutive days starting at a
     // Monday-aligned epoch day: after the in-query plants the series is
     // pure weekly pattern + one spike, so every component is closed-form
-    val d0 = 19723L // (19723+4)%7 = 0
+    val d0 = 19723L // (19723+3)%7 = 0: epoch day 0 is a Thursday, +3 puts Monday at 0
     val rows = (0 until 28).flatMap { d =>
       (0 until 10).map(i => ((d * 100 + i).toLong, nanos((d0 + d) * 86400 + i), 1L, "click", 1.0, "{}"))
     }
@@ -241,7 +241,7 @@ class WarehouseSpec extends AnyFunSuite {
       .toMap
     // independent replay: x = 10 * (weekend? 2:1) * (day==d0+10? 3:1)
     def x(day: Long): Long = {
-      val wd = (day + 4) % 7
+      val wd = (day + 3) % 7
       10L * (if (wd == 5 || wd == 6) 2 else 1) * (if (day == d0 + 10) 3 else 1)
     }
     val days = (d0 + 3) to (d0 + 24) // full 7-day windows only
@@ -254,7 +254,7 @@ class WarehouseSpec extends AnyFunSuite {
     // the planted spike day is flagged; weekend seasonal components are
     // strictly above every weekday component
     assert(got(d0 + 10).getAs[Boolean]("anomaly"), "planted spike must be flagged")
-    val byWd = got.values.groupBy(r => (r.getAs[Long]("day") + 4) % 7)
+    val byWd = got.values.groupBy(r => (r.getAs[Long]("day") + 3) % 7)
       .view.mapValues(_.head.getAs[Long]("seasonal_e3")).toMap
     val weekend = Seq(5L, 6L).map(byWd)
     val weekdays = (0L to 4L).map(byWd)

@@ -101,5 +101,9 @@ class WarcScanSpec extends AnyFunSuite {
     assert(HtmlText.extract("&zzz; &#; &#99999999;") === "&zzz; &#; &#99999999;")
     // whitespace collapse + boundary spaces
     assert(HtmlText.extract("a\n\n  b<p>c</p>d") === "a b c d")
+    // a bare '<' in prose is TEXT (HTML5 tokenizer rule), not a tag open
+    assert(HtmlText.extract("5 < 6 and 7 > 4") === "5 < 6 and 7 > 4")
+    // '</scripts>' must NOT close a script element (name-boundary rule)
+    assert(HtmlText.extract("<script>a</scripts>b</script>c") === "c")
   }
 }
