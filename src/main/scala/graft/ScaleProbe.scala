@@ -331,7 +331,10 @@ object ScaleProbe {
       "x182_skew_profile",
       // seasonal decomposition: one day-census agg absorbs the 16x
       // counts; all decomposition joins run on the bounded day table
-      "x183_seasonal_decompose"
+      "x183_seasonal_decompose",
+      // NFC keys: per-row normalize over the 16x clone corpus, zero
+      // shuffles before the sort
+      "x184_nfc_keys"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

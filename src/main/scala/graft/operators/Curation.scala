@@ -3,7 +3,8 @@ package graft.operators
 import graft.Graft.table
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 /** Training-data curation operators [EXT] — the filter/scrub stages a
   * large-scale LLM data pipeline runs between ingest and dedup:
@@ -72,6 +73,61 @@ object Curation {
     // pins it via a broadcast total). k_ok rides per released row: the
     // release is re-audited in the same query (the x13/x159 in-query
     // contract discipline). One grouped census, metadata-sized output.
+
+    // Unicode NFC normalization keys (x184, UAX #15) — the canonical-
+    // equivalence face of text dedup: "café" typed with a precomposed
+    // U+00E9 and with "e"+COMBINING ACUTE are byte-different, render
+    // identically, and MUST collapse to one dedup key (x10's raw-md5
+    // fingerprints split them). Engine side is java.text.Normalizer NFC
+    // (pure JDK); the oracle is DuckDB's independent `nfc_normalize` —
+    // TWO implementations of the Unicode algorithm checked against each
+    // other per document (the PngPixels/ImageIO conformance split, here
+    // at the gate itself). The corpus is ASCII, so the unicode regime is
+    // PLANTED in-query (x101 device), covering the three hard paths:
+    // precomposed-vs-combining (é), canonical REORDERING with
+    // non-adjacent composition (A + U+0308 + U+0331 in both orders — the
+    // below-mark sorts first, the above-mark still composes across it),
+    // and a singleton decomposition (U+212B ANGSTROM → U+00C5 Å).
+    // ascii_stable pins the identity path. Per-row map, zero shuffles
+    // before the sort (the byte/string-codec mapPartitions class).
+    "x184_nfc_keys" -> ((s, d) => {
+      val suffixA = " caf\u00e9 A\u0308\u0331 \u212b"
+      val suffixB = " cafe\u0301 A\u0331\u0308 \u00c5"
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("base"))
+        .select(
+          col("doc_id"),
+          col("base"),
+          concat(col("base"), lit(suffixA)).as("va"),
+          concat(col("base"), lit(suffixB)).as("vb")
+        )
+      val schema = StructType(
+        Seq(
+          StructField("doc_id", LongType),
+          StructField("ascii_stable", BooleanType),
+          StructField("nfc_match", BooleanType),
+          StructField("key", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      base
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def nfc(x: String): String =
+            java.text.Normalizer.normalize(x, java.text.Normalizer.Form.NFC)
+          def m(x: String): String = {
+            md.reset()
+            md.digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+          }
+          it.map { r =>
+            val b = r.getAs[String]("base")
+            val na = nfc(r.getAs[String]("va"))
+            val nb = nfc(r.getAs[String]("vb"))
+            Row(r.getAs[Long]("doc_id"), nfc(b) == b, m(na) == m(nb), m(na))
+          }
+        }(enc)
+        .orderBy("doc_id")
+    }),
     "x171_k_anonymity" -> ((s, d) => {
       val k = 5L
       val census = table(s, d, "documents")
@@ -441,6 +497,23 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    // x184: DuckDB's own nfc_normalize is the INDEPENDENT second
+    // implementation — chr() builds the same variants, so every row is a
+    // cross-engine UAX #15 conformance check, not a formula echo.
+    "x184_nfc_keys" ->
+      """WITH v AS (
+        |  SELECT doc_id, lower(trim(text)) AS base,
+        |    lower(trim(text)) || ' caf' || chr(233) || ' A' || chr(776) || chr(817)
+        |      || ' ' || chr(8491) AS va,
+        |    lower(trim(text)) || ' cafe' || chr(769) || ' A' || chr(817) || chr(776)
+        |      || ' ' || chr(197) AS vb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(base) = base AS ascii_stable,
+        |  md5(nfc_normalize(va)) = md5(nfc_normalize(vb)) AS nfc_match,
+        |  md5(nfc_normalize(va)) AS key
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     // x171: the same census + ≥k split; the suppressed pool row exists
     // even when empty (n = 0) so the release schema is stable.
     "x171_k_anonymity" ->

@@ -193,4 +193,25 @@ class CurationSpec extends AnyFunSuite {
     val pool = out.filter(_.getString(0) == "*")
     assert(pool.length === 1 && pool.head.getAs[Long]("n") === 0L && pool.head.getAs[Long]("n_cells") === 0L)
   }
+  test("x184 NFC: precomposed/combining/reordered/singleton variants collapse to one key") {
+    val d = TestSpark.tempDir()
+    val rows = Seq((0L, "plain ascii text", "en", "s", 16L))
+    TestSpark.writeTable(d, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Curation.queries("x184_nfc_keys")(spark, d).collect().head
+    assert(r.getAs[Boolean]("ascii_stable"), "ASCII must be NFC-stable")
+    assert(r.getAs[Boolean]("nfc_match"), "canonically equivalent variants must share a key")
+    // pin the JDK-level expectations the operator is built on: the two
+    // variants NFC to the SAME codepoints, with the below-mark (U+0331,
+    // ccc 220) reordered before the above-mark and the above-mark still
+    // composing across it; U+212B is a singleton to U+00C5
+    import java.text.Normalizer
+    def nfc(x: String) = Normalizer.normalize(x, Normalizer.Form.NFC)
+    assert(nfc("caf\u00e9") === nfc("cafe\u0301"))
+    assert(nfc("A\u0308\u0331") === nfc("A\u0331\u0308"))
+    assert(nfc("A\u0308\u0331") === "\u00c4\u0331") // composed across the below-mark
+    assert(nfc("\u212b") === "\u00c5")
+    // the raw-md5 fingerprint (the x10 view) SPLITS what NFC unifies
+    assert("caf\u00e9" !== "cafe\u0301")
+  }
+
 }
