@@ -334,7 +334,10 @@ object ScaleProbe {
       "x183_seasonal_decompose",
       // NFC keys: per-row normalize over the 16x clone corpus, zero
       // shuffles before the sort
-      "x184_nfc_keys"
+      "x184_nfc_keys",
+      // phrase search: one postings explode over the 16x clone corpus,
+      // term-selective co-partitioned adjacency joins per phrase
+      "x185_phrase_search"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

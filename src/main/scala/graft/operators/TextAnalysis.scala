@@ -1166,6 +1166,52 @@ object TextAnalysis {
     // to those stats on the gram key — an inverted-index join, never a
     // corpus self-join. The prefix table is NOT a second scan: it
     // re-aggregates the bigram counts by w1 (tiny input).
+    // Positional phrase search (x185) — the PHRASE face of the retrieval
+    // family (x32 ranks by summed term tf·idf, x170 serves it from a
+    // persisted index; neither can answer "these words ADJACENT, in
+    // order"): postings carry word POSITIONS, and a k-word phrase match
+    // is a (k−1)-fold equi-join of the phrase terms' postings on
+    // (doc_id, start) — each term's positions shifted by its offset, the
+    // standard positional-index intersection. The cross-pin makes the
+    // join provably complete: the per-phrase doc count rides every row,
+    // and the ORACLE derives it from an INDEPENDENT whole-text
+    // containment scan (' '-bounded substring over the joined words) —
+    // phrase words are distinct, so positional-match-exists ⇔ substring-
+    // contains, and a dropped or phantom match flips the hash.
+    // Scale shape: the postings explode is one corpus pass
+    // (localCheckpointed once, shared by all phrases); each phrase join
+    // is equi-keyed on (doc_id, pos) — co-partitioned, term-selective
+    // (only the phrase words' postings survive the scan filter).
+    "x185_phrase_search" -> ((s, d) => {
+      val phrases = Seq(
+        (0L, Seq("hash", "agg")),
+        (1L, Seq("table", "value", "part")),
+        (2L, Seq("sort", "key"))
+      )
+      val posts = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
+        .select(col("doc_id"), col("p").cast("long").as("p"), col("w"))
+        .localCheckpoint() // one explode shared by every phrase probe
+      val perPhrase = phrases.map { case (_, words) =>
+        var m = posts.where(col("w") === words.head).select(col("doc_id"), col("p"))
+        words.zipWithIndex.tail.foreach { case (wd, i) =>
+          m = m.join(
+            posts.where(col("w") === wd).select(col("doc_id"), (col("p") - i).as("p")),
+            Seq("doc_id", "p")
+          )
+        }
+        val phrase = words.mkString(" ")
+        val perDoc = m
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_matches"), min("p").as("first_pos"))
+        val nd = perDoc.agg(count(lit(1)).as("n_docs"))
+        perDoc
+          .crossJoin(broadcast(nd))
+          .select(lit(phrase).as("phrase"), col("doc_id"), col("n_matches"), col("first_pos"), col("n_docs"))
+      }
+      perPhrase.reduce(_ unionByName _).orderBy("phrase", "doc_id")
+    }),
+
     // Interpolated Kneser–Ney bigram LM (x175, Kneser & Ney 1995 in Chen
     // & Goodman 1999's interpolated form) — the SMOOTHED upgrade of the
     // raw-count LM family (x42 MLE transitions, x61 unigram surprisal,
@@ -1889,6 +1935,45 @@ object TextAnalysis {
           |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // x185: positional replay per phrase, but n_docs comes from the
+      // INDEPENDENT whole-text containment scan — the completeness pin.
+      "x185_phrase_search" ->
+        """WITH w AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+          |pos AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS word
+          |  FROM w, unnest(generate_series(1, len(w))) t(i)),
+          |joined AS (SELECT doc_id, ' ' || array_to_string(w, ' ') || ' ' AS t FROM w),
+          |m0 AS (
+          |  SELECT a.doc_id, a.p FROM pos a
+          |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          |  WHERE a.word = 'hash' AND b.word = 'agg'),
+          |m1 AS (
+          |  SELECT a.doc_id, a.p FROM pos a
+          |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          |  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+          |  WHERE a.word = 'table' AND b.word = 'value' AND c.word = 'part'),
+          |m2 AS (
+          |  SELECT a.doc_id, a.p FROM pos a
+          |  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+          |  WHERE a.word = 'sort' AND b.word = 'key'),
+          |l0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined WHERE contains(t, ' hash agg ')),
+          |l1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined WHERE contains(t, ' table value part ')),
+          |l2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined WHERE contains(t, ' sort key '))
+          |SELECT * FROM (
+          |  SELECT 'hash agg' AS phrase, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+          |    CAST(min(p) AS BIGINT) AS first_pos, (SELECT n FROM l0) AS n_docs
+          |  FROM m0 GROUP BY doc_id
+          |  UNION ALL
+          |  SELECT 'table value part', doc_id, CAST(count(*) AS BIGINT),
+          |    CAST(min(p) AS BIGINT), (SELECT n FROM l1)
+          |  FROM m1 GROUP BY doc_id
+          |  UNION ALL
+          |  SELECT 'sort key', doc_id, CAST(count(*) AS BIGINT),
+          |    CAST(min(p) AS BIGINT), (SELECT n FROM l2)
+          |  FROM m2 GROUP BY doc_id)
+          |ORDER BY phrase, doc_id""".stripMargin,
+
       "x175_kneser_ney" ->
         """WITH w AS (
           |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

@@ -279,6 +279,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("x185 phrase search: adjacency, order-sensitivity, repeat matches, cross-doc counts") {
+    val d = TestSpark.tempDir()
+    val docs = Seq(
+      // two "hash agg" occurrences (positions 0 and 2), "sort key" absent
+      (0L, "hash agg hash agg x", "en", "s", 1L),
+      // reversed order must NOT match; "table value part" spans 3 words
+      (1L, "agg hash table value part key sort", "en", "s", 1L),
+      // "sort key" at position 5 after filler
+      (2L, "a b c d e sort key", "en", "s", 1L),
+      // words present but never adjacent
+      (3L, "hash x agg table x value x part", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val got = TextAnalysis
+      .queries("x185_phrase_search")(spark, d)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
+          ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"), r.getAs[Long]("n_docs"))))
+      .toMap
+    assert(got.size === 3)
+    assert(got(("hash agg", 0L)) === ((2L, 0L, 1L)))
+    assert(got(("table value part", 1L)) === ((1L, 2L, 1L)))
+    assert(got(("sort key", 2L)) === ((1L, 5L, 1L)))
+    // doc 3 (non-adjacent terms) and doc 1's reversed bigram match nothing
+    assert(!got.keys.exists(_._2 == 3L))
+    assert(!got.contains(("hash agg", 1L)))
+  }
+
   test("x48 label centroids: integer mean per (label, dim) matches hand arithmetic") {
     val rows = Similarity
       .queries("x48_label_centroids")(spark, dir)
