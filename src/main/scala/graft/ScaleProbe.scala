@@ -337,7 +337,10 @@ object ScaleProbe {
       "x184_nfc_keys",
       // phrase search: one postings explode over the 16x clone corpus,
       // term-selective co-partitioned adjacency joins per phrase
-      "x185_phrase_search"
+      "x185_phrase_search",
+      // Zipf fit: two corpus-pass censuses (map-side combine); ranking
+      // and the OLS run on vocab-bounded tables
+      "x186_zipf_fit"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -1166,6 +1166,72 @@ object TextAnalysis {
     // to those stats on the gram key — an inverted-index join, never a
     // corpus self-join. The prefix table is NOT a second scan: it
     // re-aggregates the bigram counts by w1 (tiny input).
+    // Zipf-exponent fit (x186) — the data-card diagnostic of the token
+    // frequency distribution (Zipf 1949: tf ∝ rank^−s; natural corpora
+    // sit near s ≈ 1, and a far-off exponent flags synthetic/boilerplate
+    // text): OLS slope on the (⌊log2 rank⌋, ⌊log2 tf⌋) plane — both logs
+    // the x61 bin()-length floor, the slope q46's integer moment sums
+    // with a posmod-floor e6 division; fit over the top-64 ranks where
+    // the power-law regime lives. TWO fits (x181 twin shape): the corpus
+    // vocabulary (small and near-uniform — slope near 0, the negative
+    // control) and a PLANTED power law — per-token word_id = 2²⁶ div
+    // (md5 % 2²⁶ + 1), the inverse-uniform construction whose pmf is
+    // ∝ 1/v(v+1) ≈ v⁻², pure integer in both engines — whose fit must
+    // recover slope ≈ −2e6 (spec-asserted). Scale shape: each census is
+    // one corpus-pass agg with map-side combine; ranking runs on the
+    // vocab-bounded census (single-partition window, documented class);
+    // the fit is a 64-row aggregate.
+    "x186_zipf_fit" -> ((s, d) => {
+      val tokens = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
+        .localCheckpoint() // both censuses
+      val c0 = tokens.groupBy(col("w").as("k")).agg(count(lit(1)).as("tf"))
+      val c1 = tokens
+        .select(
+          graft.functions.Hashing
+            .md5Bucket(concat(col("doc_id").cast("string"), lit("#"), col("p").cast("string"), lit("#z")), 1L << 26)
+            .as("h")
+        )
+        .select(expr(s"CAST(${1L << 26} div (h + 1) AS STRING)").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("tf"))
+      def fit(census: DataFrame, id: Long): DataFrame = {
+        val ranked = census
+          .withColumn("r", row_number().over(Window.orderBy(col("tf").desc, col("k"))))
+          .where(col("r") <= 64)
+          .select(
+            expr("CAST(length(bin(r)) - 1 AS BIGINT)").as("x"),
+            expr("CAST(length(bin(tf)) - 1 AS BIGINT)").as("y")
+          )
+        val tot = census.agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_types"))
+        ranked
+          .agg(
+            count(lit(1)).as("n_fit"),
+            sum("x").as("sx"),
+            sum("y").as("sy"),
+            sum(expr("x * x")).as("sxx"),
+            sum(expr("x * y")).as("sxy")
+          )
+          .crossJoin(broadcast(tot))
+          .select(
+            lit(id).as("test_id"),
+            col("n_tokens"),
+            col("n_types"),
+            col("n_fit"),
+            col("sx"),
+            col("sy"),
+            col("sxx"),
+            col("sxy"),
+            expr(
+              "CAST(IF(n_fit * sxx - sx * sx = 0, 0, " +
+                "((n_fit * sxy - sx * sy) * 1000000 - pmod((n_fit * sxy - sx * sy) * 1000000, " +
+                "n_fit * sxx - sx * sx)) div (n_fit * sxx - sx * sx)) AS BIGINT)"
+            ).as("slope_e6")
+          )
+      }
+      fit(c0, 0L).unionByName(fit(c1, 1L)).orderBy("test_id")
+    }),
+
     // Positional phrase search (x185) — the PHRASE face of the retrieval
     // family (x32 ranks by summed term tf·idf, x170 serves it from a
     // persisted index; neither can answer "these words ADJACENT, in
@@ -1935,6 +2001,54 @@ object TextAnalysis {
           |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // x186: both censuses + rank + bin()-log OLS replayed; the planted
+      // stream's inverse-uniform division is pure integer in both engines.
+      "x186_zipf_fit" ->
+        """WITH w AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+          |tok AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS word
+          |  FROM w, unnest(generate_series(1, len(w))) t(i)),
+          |c0 AS (SELECT word AS k, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+          |c1 AS (
+          |  SELECT CAST(67108864 // (('0x' || substr(md5(doc_id::VARCHAR || '#' || p || '#z'), 1, 15))::BIGINT
+          |    % 67108864 + 1) AS VARCHAR) AS k,
+          |    CAST(count(*) AS BIGINT) AS tf
+          |  FROM tok GROUP BY 1),
+          |f0 AS (
+          |  SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x, CAST(length(bin(tf)) - 1 AS BIGINT) AS y
+          |  FROM (SELECT tf, row_number() OVER (ORDER BY tf DESC, k) AS r FROM c0) WHERE r <= 64),
+          |f1 AS (
+          |  SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x, CAST(length(bin(tf)) - 1 AS BIGINT) AS y
+          |  FROM (SELECT tf, row_number() OVER (ORDER BY tf DESC, k) AS r FROM c1) WHERE r <= 64),
+          |s0 AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_fit, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+          |    CAST(sum(x*y) AS BIGINT) AS sxy FROM f0),
+          |s1 AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_fit, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+          |    CAST(sum(x*y) AS BIGINT) AS sxy FROM f1),
+          |t0 AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types FROM c0),
+          |t1 AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types FROM c1)
+          |SELECT * FROM (
+          |  SELECT 0 AS test_id, t0.n_tokens, t0.n_types, s0.n_fit, s0.sx, s0.sy, s0.sxx, s0.sxy,
+          |    CASE WHEN s0.n_fit * s0.sxx - s0.sx * s0.sx = 0 THEN 0
+          |      ELSE ((s0.n_fit * s0.sxy - s0.sx * s0.sy) * 1000000
+          |        - (((s0.n_fit * s0.sxy - s0.sx * s0.sy) * 1000000 % (s0.n_fit * s0.sxx - s0.sx * s0.sx)
+          |            + (s0.n_fit * s0.sxx - s0.sx * s0.sx)) % (s0.n_fit * s0.sxx - s0.sx * s0.sx)))
+          |        // (s0.n_fit * s0.sxx - s0.sx * s0.sx) END AS slope_e6
+          |  FROM s0 CROSS JOIN t0
+          |  UNION ALL
+          |  SELECT 1, t1.n_tokens, t1.n_types, s1.n_fit, s1.sx, s1.sy, s1.sxx, s1.sxy,
+          |    CASE WHEN s1.n_fit * s1.sxx - s1.sx * s1.sx = 0 THEN 0
+          |      ELSE ((s1.n_fit * s1.sxy - s1.sx * s1.sy) * 1000000
+          |        - (((s1.n_fit * s1.sxy - s1.sx * s1.sy) * 1000000 % (s1.n_fit * s1.sxx - s1.sx * s1.sx)
+          |            + (s1.n_fit * s1.sxx - s1.sx * s1.sx)) % (s1.n_fit * s1.sxx - s1.sx * s1.sx)))
+          |        // (s1.n_fit * s1.sxx - s1.sx * s1.sx) END AS slope_e6
+          |  FROM s1 CROSS JOIN t1)
+          |ORDER BY test_id""".stripMargin,
+
       // x185: positional replay per phrase, but n_docs comes from the
       // INDEPENDENT whole-text containment scan — the completeness pin.
       "x185_phrase_search" ->

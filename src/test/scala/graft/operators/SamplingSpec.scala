@@ -308,6 +308,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(!got.contains(("hash agg", 1L)))
   }
 
+  test("x186 Zipf fit: halving census matches the exact integer replay; planted power law recovers -2") {
+    val d = TestSpark.tempDir()
+    // one doc whose census is exactly geometric: word w_k appears 2^(8-k)
+    // times, k = 0..7 -> rank r = k+1, tf = 2^(8-k); on the quantized
+    // plane y = 8-k and x = floor(log2 r): an EXACT slope is computable
+    val text = (0 until 8).flatMap(k => Seq.fill(1 << (8 - k))(s"w$k")).mkString(" ")
+    TestSpark.writeTable(
+      d, "documents", Seq((0L, text, "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis
+      .queries("x186_zipf_fit")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("test_id") -> r)
+      .toMap
+    val t0 = rows(0L)
+    // replay: ranks 1..8, x = floor(log2 r) = (0,1,1,2,2,2,2,3), y = 8-k
+    val pts = (0 until 8).map(k => ((63 - java.lang.Long.numberOfLeadingZeros(k + 1L)).toLong, (8 - k).toLong))
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum)
+    val num = (n * sxy - sx * sy) * 1000000L
+    val den = n * sxx - sx * sx
+    val slope = (num - (((num % den) + den) % den)) / den
+    assert(t0.getAs[Long]("n_fit") === 8L)
+    assert(t0.getAs[Long]("slope_e6") === slope)
+    // geometric decay (tf halves per RANK) is steeper on the log-log
+    // plane than any Zipf law: the quantized OLS must land well below -1
+    assert(slope < -2000000L, s"geometric census slope was $slope")
+    // the planted inverse-uniform stream recovers exponent ~2 on the
+    // real fixture (checked there because this tiny doc's stream is small)
+    val real = TextAnalysis
+      .queries("x186_zipf_fit")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getAs[Long]("test_id") -> r.getAs[Long]("slope_e6"))
+      .toMap
+    assert(real(1L) < -1700000L && real(1L) > -2300000L, s"planted Zipf slope ${real(1L)}")
+    assert(real(0L) > -500000L, s"near-uniform corpus slope ${real(0L)} should be shallow")
+  }
+
   test("x48 label centroids: integer mean per (label, dim) matches hand arithmetic") {
     val rows = Similarity
       .queries("x48_label_centroids")(spark, dir)
