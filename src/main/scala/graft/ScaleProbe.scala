@@ -340,7 +340,9 @@ object ScaleProbe {
       "x185_phrase_search",
       // Zipf fit: two corpus-pass censuses (map-side combine); ranking
       // and the OLS run on vocab-bounded tables
-      "x186_zipf_fit"
+      "x186_zipf_fit",
+      // encoding advisor: five aggs over one localCheckpointed 16x scan
+      "x187_encoding_advisor"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -867,6 +867,63 @@ object Advanced {
     // value asc) tie-break. Each column is one tiny aggregate + one
     // TakeOrdered top-1 over a shared localCheckpointed scan — column
     // count × O(scan), the profiling shape, no wide collect anywhere.
+    // Columnar-encoding advisor (x187) — the storage-layout half of the
+    // ANALYZE family (x138 profiles values, x129 builds histograms; this
+    // prices ENCODINGS): per column, order-free stats (n, ndv, min, max)
+    // drive closed-form size models for the four classic parquet/ORC
+    // encodings — plain 64-bit, delta/bit-packed (bitlen(max−min) per
+    // value), dictionary (bitlen(ndv) per value + 64-bit dict entries),
+    // and sorted-RLE (ndv runs of value + 32-bit length — the
+    // post-layout bound x47/x121 sorting buys). The recommendation is
+    // the argmin with a fixed precedence (delta < dict < rle < plain on
+    // ties). Everything derives from ONE aggregate per column (map-side
+    // combine) — the advisor costs a stats pass, never a rewrite; bit
+    // lengths via the x61 bin() trick, zero libm.
+    "x187_encoding_advisor" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .select(
+          col("l_suppkey").as("suppkey"),
+          col("l_orderkey").as("orderkey"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)").as("shipday"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty")
+        )
+        .localCheckpoint() // five per-column aggs share one scan
+      val cols = Seq("suppkey", "orderkey", "shipday", "price_c", "qty")
+      cols
+        .map { c =>
+          li.agg(
+            count(lit(1)).as("n"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).as("vmin"),
+            max(col(c)).as("vmax")
+          ).select(lit(c).as("column"), col("n"), col("ndv"), col("vmin"), col("vmax"))
+        }
+        .reduce(_ unionByName _)
+        .select(
+          col("column"),
+          col("n"),
+          col("ndv"),
+          col("vmin"),
+          col("vmax"),
+          expr("n * 64").as("bits_plain"),
+          expr("n * length(bin(greatest(vmax - vmin, 1)))").as("bits_delta"),
+          expr("n * length(bin(greatest(ndv - 1, 1))) + ndv * 64").as("bits_dict"),
+          expr("ndv * (64 + 32)").as("bits_rle_sorted")
+        )
+        .withColumn(
+          "best",
+          // explicit precedence CASE (delta wins ties, then dict, then
+          // rle) — the same literal form in both engines
+          expr(
+            "CASE WHEN bits_delta <= bits_dict AND bits_delta <= bits_rle_sorted AND bits_delta <= bits_plain THEN 'delta' " +
+              "WHEN bits_dict <= bits_rle_sorted AND bits_dict <= bits_plain THEN 'dict' " +
+              "WHEN bits_rle_sorted <= bits_plain THEN 'rle_sorted' ELSE 'plain' END"
+          )
+        )
+        .orderBy("column")
+    }),
+
     "x138_column_profile" -> ((s, d) => {
       import s.implicits._
       val t = table(s, d, "orders")
@@ -2444,6 +2501,36 @@ object Advanced {
         |FROM est e JOIN ex x ON e.grp = x.grp ORDER BY e.grp""".stripMargin,
     // brute-force quadratic truth at gate scale — exactly what the grid
     // decomposition must reproduce without ever forming all pairs
+    // x187: five per-column stats blocks + the same closed-form size
+    // models and precedence CASE.
+    "x187_encoding_advisor" ->
+      """WITH li AS (
+        |  SELECT l_suppkey AS suppkey, l_orderkey AS orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS BIGINT) AS shipday,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT 'suppkey' AS "column", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT suppkey) AS BIGINT) AS ndv,
+        |    CAST(min(suppkey) AS BIGINT) AS vmin, CAST(max(suppkey) AS BIGINT) AS vmax FROM li
+        |  UNION ALL SELECT 'orderkey', count(*), count(DISTINCT orderkey), min(orderkey), max(orderkey) FROM li
+        |  UNION ALL SELECT 'shipday', count(*), count(DISTINCT shipday), min(shipday), max(shipday) FROM li
+        |  UNION ALL SELECT 'price_c', count(*), count(DISTINCT price_c), min(price_c), max(price_c) FROM li
+        |  UNION ALL SELECT 'qty', count(*), count(DISTINCT qty), min(qty), max(qty) FROM li),
+        |sized AS (
+        |  SELECT "column", n, ndv, vmin, vmax,
+        |    n * 64 AS bits_plain,
+        |    n * length(bin(greatest(vmax - vmin, 1))) AS bits_delta,
+        |    n * length(bin(greatest(ndv - 1, 1))) + ndv * 64 AS bits_dict,
+        |    ndv * (64 + 32) AS bits_rle_sorted
+        |  FROM stats)
+        |SELECT "column", n, ndv, vmin, vmax, bits_plain, bits_delta, bits_dict, bits_rle_sorted,
+        |  CASE WHEN bits_delta <= bits_dict AND bits_delta <= bits_rle_sorted AND bits_delta <= bits_plain THEN 'delta'
+        |    WHEN bits_dict <= bits_rle_sorted AND bits_dict <= bits_plain THEN 'dict'
+        |    WHEN bits_rle_sorted <= bits_plain THEN 'rle_sorted' ELSE 'plain' END AS best
+        |FROM sized ORDER BY "column"""".stripMargin,
+
     // x182: both profiles replayed — census, rank-picked percentiles,
     // bin()-length entropy, identical ratio arithmetic.
     "x182_skew_profile" ->

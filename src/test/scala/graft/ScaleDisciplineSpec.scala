@@ -212,6 +212,36 @@ class ScaleDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("x187 encoding advisor: closed-form bit models and tie precedence on a hand-built column") {
+    val dir = TestSpark.tempDir()
+    // 16 rows: suppkey constant (ndv 1 -> rle wins), orderkey 0..15
+    // (delta 4 bits/value), qty all distinct 100-spaced (delta vs dict)
+    val rows = (0 until 16).map(i =>
+      (5L, i.toLong, java.sql.Date.valueOf("1995-01-01"), 1.0, (i * 100 + 1).toDouble))
+    graft.etl.Ingest.writeParquet(
+      rows.toDF("l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_quantity"),
+      s"$dir/lineitem.parquet")
+    val got = graft.operators.Advanced
+      .queries("x187_encoding_advisor")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("column") -> r)
+      .toMap
+    val sk = got("suppkey")
+    assert(sk.getAs[Long]("ndv") === 1L)
+    assert(sk.getAs[Long]("bits_delta") === 16L) // bin(max(0,1)) = 1 bit each
+    assert(sk.getAs[Long]("bits_rle_sorted") === 96L) // 1 run
+    assert(sk.getAs[String]("best") === "delta") // 16 < 96: delta wins even vs RLE
+    val ok = got("orderkey")
+    assert(ok.getAs[Long]("bits_delta") === 16L * 4L) // range 15 -> 4 bits
+    assert(ok.getAs[Long]("bits_dict") === 16L * 4L + 16L * 64L)
+    assert(ok.getAs[String]("best") === "delta")
+    val q = got("qty")
+    assert(q.getAs[Long]("ndv") === 16L)
+    assert(q.getAs[Long]("vmax") - q.getAs[Long]("vmin") === 1500L) // 11 bits
+    assert(q.getAs[Long]("bits_delta") === 16L * 11L)
+    assert(q.getAs[String]("best") === "delta")
+  }
+
   test("x182 skew profiler: degenerate single-key and exactly-uniform streams pin the formulas") {
     val dir = TestSpark.tempDir()
     // lineitem stand-in: 64 rows on ONE key (total skew), plus a second
