@@ -342,7 +342,10 @@ object ScaleProbe {
       // and the OLS run on vocab-bounded tables
       "x186_zipf_fit",
       // encoding advisor: five aggs over one localCheckpointed 16x scan
-      "x187_encoding_advisor"
+      "x187_encoding_advisor",
+      // CDC compose: two change-sized feeds folded by one key join; the
+      // direct branch reads changed buckets only (the x84 cost shape)
+      "x188_cdc_compose"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

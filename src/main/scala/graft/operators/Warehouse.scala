@@ -74,6 +74,42 @@ object Warehouse {
     closed.unionByName(newRows)
   }
 
+
+  /** Fold two consecutive CDC feeds (x84 schema: k, change_type,
+    * old_cents, new_cents) into the single-hop equivalent (x188): I∘U→I,
+    * I∘D→∅, U∘U→U(first old, last new), U∘D→D(first old), D∘I→U, then
+    * net-zero cancellation (old = new ⇒ no change — the same-value
+    * exclusion the direct diff applies). */
+  private[graft] def composeDiffs(d12: DataFrame, d23: DataFrame): DataFrame =
+    d12
+      .select(col("k"), col("change_type").as("t1"), col("old_cents").as("o1"), col("new_cents").as("n1"))
+      .join(
+        d23.select(col("k"), col("change_type").as("t2"), col("old_cents").as("o2"), col("new_cents").as("n2")),
+        Seq("k"),
+        "full"
+      )
+      .select(
+        col("k"),
+        expr(
+          "CASE WHEN t2 IS NULL THEN named_struct('ct', t1, 'o', o1, 'n', n1) " +
+            "WHEN t1 IS NULL THEN named_struct('ct', t2, 'o', o2, 'n', n2) " +
+            "WHEN t1 = 'I' AND t2 = 'U' THEN named_struct('ct', 'I', 'o', -1L, 'n', n2) " +
+            "WHEN t1 = 'I' AND t2 = 'D' THEN CAST(NULL AS STRUCT<ct: STRING, o: BIGINT, n: BIGINT>) " +
+            "WHEN t1 = 'U' AND t2 = 'U' THEN named_struct('ct', 'U', 'o', o1, 'n', n2) " +
+            "WHEN t1 = 'U' AND t2 = 'D' THEN named_struct('ct', 'D', 'o', o1, 'n', -1L) " +
+            "WHEN t1 = 'D' AND t2 = 'I' THEN named_struct('ct', 'U', 'o', o1, 'n', n2) " +
+            "ELSE CAST(NULL AS STRUCT<ct: STRING, o: BIGINT, n: BIGINT>) END"
+        ).as("c")
+      )
+      .where(col("c").isNotNull)
+      .where(!(col("c.ct") === "U" && col("c.o") === col("c.n")))
+      .select(
+        col("k"),
+        col("c.ct").as("change_type"),
+        col("c.o").as("old_cents"),
+        col("c.n").as("new_cents")
+      )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_scd2_intervals" -> ((s, d) => {
       val ev = graft.Graft
@@ -915,6 +951,32 @@ object Warehouse {
         )
       content.join(prov, Seq("bucket")).orderBy("bucket")
     }),
+    // CDC composition (x188) — the ALGEBRA on top of x84's single-hop
+    // diff: a consumer that missed a snapshot must be able to FOLD
+    // per-hop change feeds instead of re-diffing against an old version
+    // (at 100 TB the direct v1→v3 diff re-reads every bucket either hop
+    // touched; composing two already-extracted feeds reads none). The
+    // compose rules per key: I∘U→I(new), I∘D→∅, U∘U→U(first old, last
+    // new), U∘D→D(first old), D∘I→U — followed by net-zero cancellation
+    // (old = new ⇒ no change), which is exactly the same-value exclusion
+    // the direct diff applies. The gate emits BOTH branches — direct
+    // snapshotDiff(1,3) and the composed fold of (1,2)∘(2,3) — and the
+    // oracle computes ONE truth from the stacked v2/v3 change formulas,
+    // so a wrong compose rule OR a wrong direct diff breaks its branch.
+    // Scale shape: the compose is one key-equi full-outer join of two
+    // change-sized feeds; the direct branch reads changed buckets only.
+    "x188_cdc_compose" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      val direct = graft.sources.CowTable
+        .snapshotDiff(s, 1, 3)
+        .withColumn("branch", lit("direct"))
+      val composed = composeDiffs(
+        graft.sources.CowTable.snapshotDiff(s, 1, 2),
+        graft.sources.CowTable.snapshotDiff(s, 2, 3)
+      ).withColumn("branch", lit("composed"))
+      direct.unionByName(composed).orderBy("branch", "k")
+    }),
+
     // Row-level CDC between snapshots: the diff reads ONLY buckets whose
     // manifest entries differ (carried buckets share physical files and
     // can't differ), then classifies per key — U rows carry both values,
@@ -1949,6 +2011,36 @@ object Warehouse {
     // row-level v2→v3 CDC replay: U rows where the upsert formula lands in
     // an upsert-stripe key AND changes the value, D rows for the delete
     // stripe; -1 is the shared no-value sentinel (no nullable gate columns)
+    // x188: ONE truth for both branches — v1 and v3 rebuilt from the
+    // stacked change formulas, diffed directly, emitted twice.
+    "x188_cdc_compose" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |v3 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 103 = 0 AND bucket % 7 = 3 THEN 50000 + k % 1000 ELSE cents END AS cents
+        |  FROM v2 WHERE NOT (k % 101 = 0 AND bucket % 7 = 1)),
+        |d AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'I' WHEN b.k IS NULL THEN 'D' ELSE 'U' END AS change_type,
+        |    coalesce(a.cents, -1) AS old_cents, coalesce(b.cents, -1) AS new_cents
+        |  FROM base a FULL JOIN v3 b ON a.k = b.k
+        |  WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents)
+        |SELECT k, change_type, CAST(old_cents AS BIGINT) AS old_cents,
+        |  CAST(new_cents AS BIGINT) AS new_cents, br.branch
+        |FROM d CROSS JOIN (VALUES ('composed'), ('direct')) br(branch)
+        |ORDER BY branch, k""".stripMargin,
+
     "x84_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -182,6 +182,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(50L) === 1000000L, "the planted outlier dragged the median slope")
   }
 
+  test("x188 composeDiffs: every pair rule, both cancellation paths, pass-through singles") {
+    val mk = (rows: Seq[(Long, String, Long, Long)]) =>
+      rows.toDF("k", "change_type", "old_cents", "new_cents")
+    val d12 = mk(Seq(
+      (1L, "I", -1L, 10L), // I then U -> I(12)
+      (2L, "I", -1L, 20L), // I then D -> nothing
+      (3L, "U", 30L, 31L), // U then U -> U(30, 32)
+      (4L, "U", 40L, 41L), // U then D -> D(40)
+      (5L, "D", 50L, -1L), // D then I(same) -> nothing
+      (6L, "D", 60L, -1L), // D then I(different) -> U(60, 61)
+      (7L, "U", 70L, 71L), // only in first -> pass through
+      (9L, "U", 90L, 91L) // U then U back to the original -> nothing
+    ))
+    val d23 = mk(Seq(
+      (1L, "U", 10L, 12L),
+      (2L, "D", 20L, -1L),
+      (3L, "U", 31L, 32L),
+      (4L, "D", 41L, -1L),
+      (5L, "I", -1L, 50L),
+      (6L, "I", -1L, 61L),
+      (8L, "I", -1L, 80L), // only in second -> pass through
+      (9L, "U", 91L, 90L)
+    ))
+    val got = Warehouse
+      .composeDiffs(d12, d23)
+      .collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[String]("change_type"), r.getAs[Long]("old_cents"), r.getAs[Long]("new_cents"))))
+      .toMap
+    assert(got === Map(
+      1L -> (("I", -1L, 12L)),
+      3L -> (("U", 30L, 32L)),
+      4L -> (("D", 40L, -1L)),
+      6L -> (("U", 60L, 61L)),
+      7L -> (("U", 70L, 71L)),
+      8L -> (("I", -1L, 80L))
+    ))
+  }
+
   test("x181 chi2: zero statistic on an exactly independent table; in-memory replay of the planted test") {
     import graft.functions.Hashing
     val dir = TestSpark.tempDir()
