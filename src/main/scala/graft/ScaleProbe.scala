@@ -345,7 +345,9 @@ object ScaleProbe {
       "x187_encoding_advisor",
       // CDC compose: two change-sized feeds folded by one key join; the
       // direct branch reads changed buckets only (the x84 cost shape)
-      "x188_cdc_compose"
+      "x188_cdc_compose",
+      // zip scan: per-archive map over the fixture corpus (fixture-bound)
+      "x189_zip_scan"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

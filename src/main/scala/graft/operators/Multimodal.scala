@@ -312,6 +312,51 @@ object Multimodal {
         .orderBy("warc_id", "rec_idx")
     }),
 
+    // ZIP archive scan (x189) — the bulk-delivery container of the data
+    // drop (a zip of CSVs is how batch data actually arrives), from the
+    // public APPNOTE layout, pure JDK reader vs OFFICIAL ZipOutputStream
+    // writer (the conformance split): backward EOCD scan over the
+    // variable comment, central-directory walk, per-member local-header
+    // seek with INDEPENDENT name/extra lengths (the classic parser
+    // trap), stored + raw-deflate payloads, central CRC-32 AND size
+    // verified per member, directory walk landing exactly on the EOCD.
+    // The oracle rebuilds every name/method/size/md5 from the fixture
+    // formulas — one wrong offset anywhere flips a member's digest. One
+    // task per archive; the inventory is the work list member extraction
+    // shards by (the x114 split-planning idea on archives).
+    "x189_zip_scan" -> ((s, _) => {
+      graft.sources.ZipFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("zip_id", LongType),
+          StructField("member_idx", LongType),
+          StructField("name", StringType),
+          StructField("method", LongType),
+          StructField("uncomp_bytes", LongType),
+          StructField("content_md5", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.ZipFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { r =>
+            val id = r.getAs[Long]("zip_id")
+            graft.sources.ZipScan.parse(r.getAs[Array[Byte]]("payload")) match {
+              case Some(ms) =>
+                ms.map { m =>
+                  md.reset()
+                  val hex = md.digest(m.body).map(b => f"${b & 0xff}%02x").mkString
+                  Row(id, m.idx, m.name, m.method.toLong, m.uncompBytes, hex)
+                }
+              case None => Seq(Row(id, null, null, null, null, null))
+            }
+          }
+        }(enc)
+        .orderBy("zip_id", "member_idx")
+    }),
+
     // HTML visible-text extraction (x177) — the boilerplate-strip step
     // between the WARC crawl (x176) and every text-curation operator:
     // a real single-pass tokenizer ([[graft.sources.HtmlText]]) with
@@ -1011,6 +1056,24 @@ object Multimodal {
         |  CAST(http_status AS BIGINT) AS http_status,
         |  CAST(length(body) AS BIGINT) AS body_bytes, md5(body) AS body_md5
         |FROM u ORDER BY warc_id, rec_idx""".stripMargin,
+
+    // x189: the member inventory rebuilt from the fixture formulas —
+    // names, the stored/deflate alternation, exact content bytes + md5.
+    "x189_zip_scan" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |m AS (SELECT z, j FROM zs, unnest(generate_series(0, z % 3)) t(j)),
+        |c AS (
+        |  SELECT m.z, m.j,
+        |    string_agg(m.z || ',' || m.j || ',' || i || ',' || (m.z*31 + m.j*7 + i) || chr(10),
+        |      '' ORDER BY i) AS content
+        |  FROM m, unnest(generate_series(0, 1 + (m.z + m.j) % 4)) t2(i)
+        |  GROUP BY m.z, m.j)
+        |SELECT z AS zip_id, CAST(j AS BIGINT) AS member_idx,
+        |  'part_' || z || '_' || j || '.csv' AS name,
+        |  CAST(CASE WHEN j % 2 = 1 THEN 0 ELSE 8 END AS BIGINT) AS method,
+        |  CAST(length(content) AS BIGINT) AS uncomp_bytes,
+        |  md5(content) AS content_md5
+        |FROM c ORDER BY zip_id, member_idx""".stripMargin,
 
     // x177: the extraction of the generated markup is closed-form —
     // "Doc w-j Head w alpha&beta w <q> link j gamma A delta" — so the

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.util.zip.{CRC32, Inflater}
+
+/** ZIP archive reader (x189) — the bulk-delivery container every ingest
+  * pipeline eventually receives (a zip of CSVs/JSONs is the standard
+  * data-drop shape), from the public APPNOTE.TXT layout, pure JDK:
+  *
+  *   - End-of-Central-Directory locate: scan back from EOF for PK\x05\x06
+  *     (the record carries a variable-length comment, so the signature is
+  *     not at a fixed offset), then entry count + central-directory
+  *     offset/size with consistency checks.
+  *   - Central-directory walk: PK\x01\x02 entries carrying method
+  *     (0 = stored, 8 = deflate), CRC-32, sizes, name and the LOCAL
+  *     header offset.
+  *   - Member read: seek to PK\x03\x04, skip the LOCAL name/extra lengths
+  *     (they may differ from the central ones — a classic zip-parser
+  *     trap), then the payload: stored bytes verbatim or a raw
+  *     `Inflater` stream, ALWAYS verified against the central CRC-32 and
+  *     uncompressed size (the [[WarcScan]] both-trailer-fields
+  *     discipline).
+  *
+  * Structural lies (bad signature anywhere, CRC/size mismatch, truncated
+  * member, entry count disagreeing with the directory walk) quarantine
+  * the whole archive — never a partial inventory. Scope: single-disk,
+  * non-zip64, unencrypted archives (the data-drop shape); zip64 and
+  * encryption quarantine via their signature/flag checks.
+  *
+  * Scale shape: one task per archive (mapPartitions — the central
+  * directory is inherently a per-file index); the inventory row set IS
+  * the work list a downstream pass shards member extraction by, the
+  * x114-GOP split-planning idea applied to archives.
+  */
+object ZipScan {
+
+  final case class Member(idx: Long, name: String, method: Int, uncompBytes: Long, body: Array[Byte])
+
+  private def u16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Archive → member inventory (central-directory order), or None. */
+  def parse(b: Array[Byte]): Option[Seq[Member]] = {
+    // EOCD: last occurrence of PK\x05\x06 within the trailing 64 KiB + 22
+    var e = b.length - 22
+    val floor = math.max(0, b.length - 22 - 65535)
+    while (e >= floor && !(b(e) == 'P' && b(e + 1) == 'K' && b(e + 2) == 5 && b(e + 3) == 6)) e -= 1
+    if (e < floor) return None
+    val nEntries = u16(b, e + 10)
+    if (u16(b, e + 8) != nEntries) return None // multi-disk
+    val cdSize = u32(b, e + 12)
+    val cdOff = u32(b, e + 16)
+    if (u16(b, e + 20) != b.length - (e + 22)) return None // comment length must reach EOF
+    if (cdOff + cdSize != e) return None // directory must abut the EOCD
+    var p = cdOff.toInt
+    val out = Seq.newBuilder[Member]
+    var i = 0
+    while (i < nEntries) {
+      if (p + 46 > e || !(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 1 && b(p + 3) == 2)) return None
+      val flags = u16(b, p + 8)
+      if ((flags & 0x1) != 0) return None // encrypted
+      val method = u16(b, p + 10)
+      if (method != 0 && method != 8) return None
+      val crc = u32(b, p + 16)
+      val csize = u32(b, p + 20)
+      val usize = u32(b, p + 24)
+      val nameLen = u16(b, p + 28)
+      val extraLen = u16(b, p + 30)
+      val cmtLen = u16(b, p + 32)
+      val lho = u32(b, p + 42).toInt
+      if (usize == 0xffffffffL || csize == 0xffffffffL) return None // zip64
+      val name = new String(b, p + 46, nameLen, "UTF-8")
+      // local header: sizes of name/extra may differ from the central ones
+      if (lho + 30 > b.length || !(b(lho) == 'P' && b(lho + 1) == 'K' && b(lho + 2) == 3 && b(lho + 3) == 4))
+        return None
+      val dataOff = lho + 30 + u16(b, lho + 26) + u16(b, lho + 28)
+      if (dataOff + csize > b.length) return None
+      val body: Array[Byte] =
+        if (method == 0) {
+          if (csize != usize) return None
+          java.util.Arrays.copyOfRange(b, dataOff, dataOff + csize.toInt)
+        } else {
+          val inf = new Inflater(true)
+          inf.setInput(b, dataOff, csize.toInt)
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          try {
+            while (!inf.finished()) {
+              val n = inf.inflate(tmp)
+              if (n == 0 && !inf.finished()) return None
+              buf.write(tmp, 0, n)
+            }
+            if (inf.getBytesRead > csize) return None
+          } catch { case _: java.util.zip.DataFormatException => return None } finally inf.end()
+          buf.toByteArray
+        }
+      if (body.length.toLong != usize) return None
+      val c = new CRC32(); c.update(body)
+      if (c.getValue != crc) return None
+      out += Member(i.toLong, name, method, usize, body)
+      p += 46 + nameLen + extraLen + cmtLen
+      i += 1
+    }
+    if (p != e) return None // directory walk must land exactly on the EOCD
+    Some(out.result())
+  }
+}
+
+/** Deterministic zip corpus: archives written by the OFFICIAL
+  * `ZipOutputStream` (the PngPixels/ImageIO conformance split — JDK
+  * writer, from-scratch reader), member contents closed-form so the
+  * oracle rebuilds every name/size/md5 from the formulas. Archive Z
+  * carries 1 + Z%3 members; member (Z, j): name "part_Z_j.csv", content
+  * = 2 + (Z+j)%4 CSV lines "Z,j,i,<Z*31+j*7+i>\n"; every second member
+  * is STORED (method 0), the rest deflated. */
+object ZipFixture {
+  val dir = "/root/repo/spark-warehouse/graft_zip"
+  val payloadPath = s"$dir/payloads"
+
+  def nMembers(z: Long): Int = 1 + (z % 3).toInt
+  def content(z: Long, j: Long): String =
+    (0 until (2 + ((z + j) % 4)).toInt).map(i => s"$z,$j,$i,${z * 31 + j * 7 + i}\n").mkString
+
+  def fileBytes(z: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(out)
+    (0 until nMembers(z)).foreach { j =>
+      val data = content(z, j.toLong).getBytes("UTF-8")
+      val entry = new java.util.zip.ZipEntry(s"part_${z}_$j.csv")
+      if (j % 2 == 1) { // STORED requires sizes + CRC up front
+        entry.setMethod(java.util.zip.ZipEntry.STORED)
+        entry.setSize(data.length.toLong)
+        entry.setCompressedSize(data.length.toLong)
+        val c = new CRC32(); c.update(data)
+        entry.setCrc(c.getValue)
+      }
+      zo.putNextEntry(entry)
+      zo.write(data)
+      zo.closeEntry()
+    }
+    zo.close()
+    out.toByteArray
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(s"$dir/_OK_V1").exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      (0L until 200L)
+        .map(z => (z, fileBytes(z)))
+        .toDF("zip_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      new java.io.File(s"$dir/_OK_V1").createNewFile()
+    }
+  }
+}
