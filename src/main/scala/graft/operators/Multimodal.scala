@@ -312,6 +312,49 @@ object Multimodal {
         .orderBy("warc_id", "rec_idx")
     }),
 
+    // Ogg container walk (x190, RFC 3533) — the paged stream container
+    // completing the family (MP4/MP3/RIFF/FLAC native): capture-pattern
+    // page walk with Ogg's OWN CRC-32 (0x04c11db7 unreflected, init 0 —
+    // NOT zlib's), strict page-sequence/BOS/EOS/continuation contracts,
+    // and packet reassembly across lacing values AND page boundaries
+    // (length ≥ 255 ⇒ multi-segment; 4 lacing values per page in the
+    // fixture ⇒ long packets provably continue onto the next page). The
+    // oracle replays the PAGINATION arithmetic (lacing counts → global
+    // segment positions → completing page → that page's granule) plus a
+    // positional byte checksum of each packet's closed-form pattern, so
+    // a wrong lacing chain, CRC or carry rule flips rows. One task per
+    // payload (the MpegAudio class); pages are capture-seekable, which
+    // is what makes Ogg split-friendly at scale.
+    "x190_ogg_scan" -> ((s, _) => {
+      graft.sources.OggFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("ogg_id", LongType),
+          StructField("packet_idx", LongType),
+          StructField("n_bytes", LongType),
+          StructField("checksum", LongType),
+          StructField("granule", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.OggFixture.payloadPath)
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val id = r.getAs[Long]("ogg_id")
+            graft.sources.OggPages.parse(r.getAs[Array[Byte]]("payload")) match {
+              case Some(pks) =>
+                pks.map { p =>
+                  val ck = p.bytes.zipWithIndex.map { case (b, i) => (i + 1).toLong * (b & 0xff) }.sum
+                  Row(id, p.idx, p.bytes.length.toLong, ck, p.granule)
+                }
+              case None => Seq(Row(id, null, null, null, null))
+            }
+          }
+        }(enc)
+        .orderBy("ogg_id", "packet_idx")
+    }),
+
     // ZIP archive scan (x189) — the bulk-delivery container of the data
     // drop (a zip of CSVs is how batch data actually arrives), from the
     // public APPNOTE layout, pure JDK reader vs OFFICIAL ZipOutputStream
@@ -1056,6 +1099,31 @@ object Multimodal {
         |  CAST(http_status AS BIGINT) AS http_status,
         |  CAST(length(body) AS BIGINT) AS body_bytes, md5(body) AS body_md5
         |FROM u ORDER BY warc_id, rec_idx""".stripMargin,
+
+    // x190: pagination replay — lacing counts → cumulative segment
+    // positions → completing page (4 lacings/page) → page granule = last
+    // packet finishing there; checksum from the byte-pattern formula.
+    "x190_ogg_scan" ->
+      """WITH ss AS (SELECT range AS s FROM range(200)),
+        |pk AS (
+        |  SELECT s, j, 40 + ((s + j) % 5) * 160 AS plen
+        |  FROM ss, unnest(generate_series(0, s % 4)) t(j)),
+        |pos AS (
+        |  SELECT s, j, plen, plen // 255 + 1 AS nlac,
+        |    sum(plen // 255 + 1) OVER (PARTITION BY s ORDER BY j) AS cum
+        |  FROM pk),
+        |pg AS (SELECT s, j, plen, (cum - 1) // 4 AS page FROM pos),
+        |gr AS (SELECT s, page, max(j) AS lastj FROM pg GROUP BY 1, 2),
+        |ck AS (
+        |  SELECT pg.s, pg.j,
+        |    CAST(sum((i + 1) * ((pg.s * 7 + pg.j * 13 + i * 3) % 251)) AS BIGINT) AS checksum
+        |  FROM pg, unnest(generate_series(0, plen - 1)) t(i) GROUP BY 1, 2)
+        |SELECT pg.s AS ogg_id, CAST(pg.j AS BIGINT) AS packet_idx,
+        |  CAST(pg.plen AS BIGINT) AS n_bytes, ck.checksum,
+        |  CAST(pg.s * 1000 + gr.lastj AS BIGINT) AS granule
+        |FROM pg JOIN gr ON pg.s = gr.s AND pg.page = gr.page
+        |JOIN ck ON pg.s = ck.s AND pg.j = ck.j
+        |ORDER BY ogg_id, packet_idx""".stripMargin,
 
     // x189: the member inventory rebuilt from the fixture formulas —
     // names, the stored/deflate alternation, exact content bytes + md5.
