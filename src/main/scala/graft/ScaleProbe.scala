@@ -347,7 +347,10 @@ object ScaleProbe {
       // direct branch reads changed buckets only (the x84 cost shape)
       "x188_cdc_compose",
       // zip scan: per-archive map over the fixture corpus (fixture-bound)
-      "x189_zip_scan", "x190_ogg_scan"
+      "x189_zip_scan", "x190_ogg_scan",
+      // contract audit: one localCheckpointed feed scan + key census +
+      // broadcast FK anti-join over the 16x orders
+      "x191_contract_audit"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -951,6 +951,67 @@ object Warehouse {
         )
       content.join(prov, Seq("bucket")).orderBy("bucket")
     }),
+    // Data-contract audit (x191) — the reference's stubbed
+    // DataQualityOperator grown into the declarative ruleset real
+    // pipelines ship (Deequ/dbt-test shape): five contract rules over
+    // the canonical orders feed — key NOT NULL + UNIQUE, price-cents
+    // range, status domain, date window, customer FK — each reported as
+    // (checked, violations, min violating key, ok). The fixture is
+    // CLEAN, so violations are PLANTED in-query on deterministic stripes
+    // (the x139 corrupted-relationship discipline: status 'X' on %1009,
+    // FK shift on %1013, negated price on %1019, epoch date on %1021;
+    // the date window brackets the generator's real span) — every rule's failure
+    // path is load-bearing and the audit must localize EXACTLY the
+    // planted stripes (min_bad_key pins localization, not just counts).
+    // Scale shape: rules 2-4 are conditional sums in ONE scan;
+    // uniqueness is a key census; the FK probe is a broadcast anti-join
+    // against the dim — nothing rescans per rule.
+    "x191_contract_audit" -> ((s, d) => {
+      val o = graft.Graft
+        .table(s, d, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          expr(
+            "CASE WHEN o_orderkey % 1019 = 0 THEN -CAST(round(o_totalprice * 100) AS BIGINT) " +
+              "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END"
+          ).as("cents"),
+          expr("CASE WHEN o_orderkey % 1009 = 0 THEN 'X' ELSE o_orderstatus END").as("status"),
+          expr(
+            "CASE WHEN o_orderkey % 1021 = 0 THEN DATE '1970-01-01' " +
+              "ELSE CAST(o_orderdate AS DATE) END"
+          ).as("odate"),
+          expr("CASE WHEN o_orderkey % 1013 = 0 THEN o_custkey + 10000000 ELSE o_custkey END").as("ck")
+        )
+        .localCheckpoint() // five rule probes share the planted feed
+      val n = o.count()
+      def ruleRow(rule: String, viol: DataFrame): DataFrame =
+        viol
+          .agg(count(lit(1)).as("n_violations"), coalesce(min("k"), lit(-1L)).as("min_bad_key"))
+          .select(
+            lit(rule).as("rule"),
+            lit(n).as("n_checked"),
+            col("n_violations"),
+            col("min_bad_key"),
+            (col("n_violations") === 0L).as("ok")
+          )
+      val dupes = o.groupBy("k").agg(count(lit(1)).as("c")).where(col("c") > 1 || col("k").isNull)
+      val fk = o.join(
+        broadcast(graft.Graft.table(s, d, "customer").select(col("c_custkey").as("ck"))),
+        Seq("ck"),
+        "left_anti"
+      )
+      Seq(
+        ruleRow("key_unique_not_null", dupes.select(col("k"))),
+        ruleRow("price_cents_range", o.where(!(col("cents") >= 1L && col("cents") <= 60000000L)).select("k")),
+        ruleRow("status_domain", o.where(!col("status").isin("F", "O", "P")).select("k")),
+        ruleRow(
+          "date_window",
+          o.where(!(col("odate") >= lit("1995-01-01") && col("odate") < lit("2002-01-01"))).select("k")
+        ),
+        ruleRow("customer_fk", fk.select("k"))
+      ).reduce(_ unionByName _).orderBy("rule")
+    }),
+
     // CDC composition (x188) — the ALGEBRA on top of x84's single-hop
     // diff: a consumer that missed a snapshot must be able to FOLD
     // per-hop change feeds instead of re-diffing against an old version
@@ -2011,6 +2072,34 @@ object Warehouse {
     // row-level v2→v3 CDC replay: U rows where the upsert formula lands in
     // an upsert-stripe key AND changes the value, D rows for the delete
     // stripe; -1 is the shared no-value sentinel (no nullable gate columns)
+    // x191: each rule's violations re-derived from the planted stripe
+    // formulas; min key pins localization.
+    "x191_contract_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 1019 = 0 THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+        |    CASE WHEN o_orderkey % 1009 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 1021 = 0 THEN DATE '1970-01-01'
+        |      ELSE o_orderdate::DATE END AS odate,
+        |    CASE WHEN o_orderkey % 1013 = 0 THEN o_custkey + 10000000 ELSE o_custkey END AS ck
+        |  FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |dup AS (SELECT k FROM o GROUP BY k HAVING count(*) > 1 OR k IS NULL),
+        |price AS (SELECT k FROM o WHERE NOT (cents >= 1 AND cents <= 60000000)),
+        |st AS (SELECT k FROM o WHERE status NOT IN ('F', 'O', 'P')),
+        |dt AS (SELECT k FROM o WHERE NOT (odate >= DATE '1995-01-01' AND odate < DATE '2002-01-01')),
+        |fk AS (SELECT k FROM o WHERE ck NOT IN (SELECT c_custkey FROM customer)),
+        |r AS (
+        |  SELECT 'key_unique_not_null' AS rule, count(*) AS v, coalesce(min(k), -1) AS mk FROM dup
+        |  UNION ALL SELECT 'price_cents_range', count(*), coalesce(min(k), -1) FROM price
+        |  UNION ALL SELECT 'status_domain', count(*), coalesce(min(k), -1) FROM st
+        |  UNION ALL SELECT 'date_window', count(*), coalesce(min(k), -1) FROM dt
+        |  UNION ALL SELECT 'customer_fk', count(*), coalesce(min(k), -1) FROM fk)
+        |SELECT r.rule, n.n AS n_checked, CAST(r.v AS BIGINT) AS n_violations,
+        |  CAST(r.mk AS BIGINT) AS min_bad_key, r.v = 0 AS ok
+        |FROM r CROSS JOIN n ORDER BY rule""".stripMargin,
+
     // x188: ONE truth for both branches — v1 and v3 rebuilt from the
     // stacked change formulas, diffed directly, emitted twice.
     "x188_cdc_compose" ->

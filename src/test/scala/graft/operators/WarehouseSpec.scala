@@ -182,6 +182,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got(50L) === 1000000L, "the planted outlier dragged the median slope")
   }
 
+  test("x191 contract audit: a clean feed passes all rules; a planted duplicate key is localized") {
+    val dir = TestSpark.tempDir()
+    // keys chosen OFF every planted stripe (k % 1009/1013/1019/1021 != 0)
+    // so the in-query plants stay inert and the feed is genuinely clean
+    val mkOrders = (keys: Seq[Long]) =>
+      keys.map(k => (k, 100.50, "F", java.sql.Date.valueOf("1996-05-01"), 1L))
+        .toDF("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate", "o_custkey")
+    TestSpark.writeTable(dir, "orders", mkOrders(Seq(5L, 6L, 7L)))
+    TestSpark.writeTable(dir, "customer", Seq(Tuple1(1L)).toDF("c_custkey"))
+    val clean = Warehouse
+      .queries("x191_contract_audit")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("rule") -> r)
+      .toMap
+    assert(clean.size === 5)
+    clean.values.foreach { r =>
+      assert(r.getAs[Boolean]("ok"), s"rule ${r.getAs[String]("rule")} failed on a clean feed")
+      assert(r.getAs[Long]("min_bad_key") === -1L)
+    }
+    // duplicate key 6 → only the uniqueness rule fires, localized at 6
+    val dir2 = TestSpark.tempDir()
+    TestSpark.writeTable(dir2, "orders", mkOrders(Seq(5L, 6L, 6L, 7L)))
+    TestSpark.writeTable(dir2, "customer", Seq(Tuple1(1L)).toDF("c_custkey"))
+    val dup = Warehouse
+      .queries("x191_contract_audit")(spark, dir2)
+      .collect()
+      .map(r => r.getAs[String]("rule") -> r)
+      .toMap
+    assert(!dup("key_unique_not_null").getAs[Boolean]("ok"))
+    assert(dup("key_unique_not_null").getAs[Long]("min_bad_key") === 6L)
+    assert(dup.filterKeys(_ != "key_unique_not_null").values.forall(_.getAs[Boolean]("ok")))
+  }
+
   test("x188 composeDiffs: every pair rule, both cancellation paths, pass-through singles") {
     val mk = (rows: Seq[(Long, String, Long, Long)]) =>
       rows.toDF("k", "change_type", "old_cents", "new_cents")
