@@ -350,7 +350,10 @@ object ScaleProbe {
       "x189_zip_scan", "x190_ogg_scan",
       // contract audit: one localCheckpointed feed scan + key census +
       // broadcast FK anti-join over the 16x orders
-      "x191_contract_audit"
+      "x191_contract_audit",
+      // delta pack: prefix-sum ranks over 16x lineitem, block-bounded
+      // mapGroups packing (the x87 layout class)
+      "x192_delta_pack"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

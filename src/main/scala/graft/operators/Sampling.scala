@@ -707,6 +707,89 @@ object Sampling {
     // (hash-RANGE buckets → ≤B-row offset window → local rank + offset) —
     // never a corpus-wide single-task Window.orderBy. The permutation is
     // hash-order, so no global sort materializes either.
+    // Delta/bit-pack EXECUTION (x192) — cashing x187's advisor the way
+    // x78 cashed x45's compaction plan: the shipday column actually
+    // encodes as frame-of-reference bit-packed blocks (sort → 1024-value
+    // blocks → per-block min + bitlen(max−min)-bit packed words) and
+    // decodes back bit-exactly. Global block ranks come from the
+    // x87/x26 DISTRIBUTED PREFIX SUM (range buckets → bucket counts →
+    // cumulative offsets + per-bucket windows) — never a corpus-wide
+    // single-task sort; the bit twiddling runs per block in mapGroups
+    // (block-bounded, the byte-codec class). Each block row carries the
+    // geometry (n, min, width, packed bytes — the advisor's exact size
+    // model now MEASURED), a positional checksum of the DECODED values,
+    // and roundtrip_ok from an in-engine unpack-and-compare; the oracle
+    // replays geometry + checksum from a plain rank window, so one wrong
+    // bit anywhere in the packer flips the decoded checksum.
+    "x192_delta_pack" -> ((s, d) => {
+      import s.implicits._
+      val blockSize = 1024L
+      val vals = table(s, d, "lineitem")
+        .select(
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)").as("v"),
+          col("l_orderkey").as("ok"),
+          col("l_linenumber").cast("long").as("ln")
+        )
+        .withColumn("bkt", expr("v div 64"))
+        .localCheckpoint() // offsets + ranked rows
+      val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = vals
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("offset", coalesce(sum("bn").over(wOff), lit(0L)))
+        .select("bkt", "offset")
+      val wLoc = Window
+        .partitionBy("bkt")
+        .orderBy("v", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = vals
+        .join(broadcast(offsets), Seq("bkt"))
+        .withColumn("grank", col("offset") + count(lit(1)).over(wLoc))
+        .select(col("v"), expr(s"(grank - 1) div ${blockSize}L").as("block"), (expr(s"(grank - 1) % ${blockSize}L")).as("pos"))
+      ranked
+        .as[(Long, Long, Long)]
+        .groupByKey(_._2)
+        .mapGroups { (block, it) =>
+          val vs = it.toArray.sortBy(_._3).map(_._1)
+          val minv = vs.min
+          val range = vs.max - minv
+          val width = if (range == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+          // little-endian bit packing of (v - minv) into width-bit slots
+          val nBits = vs.length * width
+          val packed = new Array[Byte]((nBits + 7) / 8)
+          var bit = 0
+          vs.foreach { v =>
+            val dv = v - minv
+            var i = 0
+            while (i < width) {
+              if (((dv >> i) & 1L) != 0) packed(bit / 8) = (packed(bit / 8) | (1 << (bit % 8))).toByte
+              bit += 1
+              i += 1
+            }
+          }
+          // decode back and compare (the roundtrip proof)
+          val decoded = new Array[Long](vs.length)
+          var b2 = 0
+          var j = 0
+          while (j < vs.length) {
+            var dv = 0L
+            var i = 0
+            while (i < width) {
+              if ((packed(b2 / 8) & (1 << (b2 % 8))) != 0) dv |= (1L << i)
+              b2 += 1
+              i += 1
+            }
+            decoded(j) = minv + dv
+            j += 1
+          }
+          val ok = java.util.Arrays.equals(decoded, vs)
+          val checksum = decoded.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+          (block, vs.length.toLong, minv, width.toLong, packed.length.toLong, checksum, ok)
+        }
+        .toDF("block", "n_vals", "min_v", "width_bits", "packed_bytes", "decoded_checksum", "roundtrip_ok")
+        .orderBy("block")
+    }),
+
     "x87_shard_shuffle" -> ((s, d) => {
       val shardSize = 50L
       val buckets = 32L
@@ -1136,6 +1219,32 @@ object Sampling {
     // the shard-shuffle oracle replays the whole permutation with one
     // window — sound at oracle scale, exactly what the distributed
     // prefix-sum decomposition must agree with
+    // x192: geometry + decoded checksum replayed from a plain rank
+    // window (same (v, ok, ln) total order); roundtrip_ok expected TRUE.
+    "x192_delta_pack" ->
+      """WITH v AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS BIGINT) AS v,
+        |    l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT v, (row_number() OVER (ORDER BY v, ok, ln) - 1) AS r0 FROM v),
+        |b AS (SELECT v, r0 // 1024 AS block, r0 % 1024 AS pos FROM r),
+        |g AS (
+        |  SELECT block, CAST(count(*) AS BIGINT) AS n_vals,
+        |    CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+        |    CAST(sum((pos + 1) * v) AS BIGINT) AS decoded_checksum
+        |  FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT block, n_vals, min_v,
+        |    CASE WHEN max_v = min_v THEN 0
+        |      ELSE CAST(length(bin(max_v - min_v)) AS BIGINT) END AS width_bits,
+        |    decoded_checksum
+        |  FROM g)
+        |SELECT block, n_vals, min_v, width_bits,
+        |  (n_vals * width_bits + 7) // 8 AS packed_bytes,
+        |  decoded_checksum, TRUE AS roundtrip_ok
+        |FROM w ORDER BY block""".stripMargin,
+
     "x87_shard_shuffle" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -346,6 +346,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(real(0L) > -500000L, s"near-uniform corpus slope ${real(0L)} should be shallow")
   }
 
+  test("x192 delta pack: block geometry (min/width/bytes) exact against hand arithmetic; roundtrip holds") {
+    val d = TestSpark.tempDir()
+    // 40 rows on ONE date (width 0) + 30 rows alternating two adjacent
+    // dates (width 1): two regimes inside one block
+    val rows = (0 until 40).map(i => (java.sql.Date.valueOf("1995-03-10"), i.toLong, 1)) ++
+      (0 until 30).map(i =>
+        (java.sql.Date.valueOf(if (i % 2 == 0) "1996-07-01" else "1996-07-02"), (100 + i).toLong, 1))
+    TestSpark.writeTable(
+      d, "lineitem",
+      rows.toDF("l_shipdate", "l_orderkey", "l_linenumber"))
+    val got = Sampling.queries("x192_delta_pack")(spark, d).collect()
+    assert(got.length === 1) // 70 values, one block
+    val r = got.head
+    assert(r.getAs[Long]("n_vals") === 70L)
+    assert(r.getAs[Boolean]("roundtrip_ok"))
+    // sorted values: 40 x day(1995-03-10), then 15+15 of two adjacent days
+    val d1 = 9199L // 1995-03-10 as epoch day
+    assert(r.getAs[Long]("min_v") === d1)
+    // range spans 1995-03-10 .. 1996-07-02 = 480 days -> 9 bits
+    assert(r.getAs[Long]("width_bits") === 9L)
+    assert(r.getAs[Long]("packed_bytes") === (70L * 9L + 7L) / 8L)
+    // independent checksum: positions 1..40 at d1, then the two 1996 days
+    val d2 = java.time.LocalDate.of(1996, 7, 1).toEpochDay
+    val sorted = Seq.fill(40)(d1) ++ Seq.fill(15)(d2) ++ Seq.fill(15)(d2 + 1)
+    val ck = sorted.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+    assert(r.getAs[Long]("decoded_checksum") === ck)
+  }
+
   test("x48 label centroids: integer mean per (label, dim) matches hand arithmetic") {
     val rows = Similarity
       .queries("x48_label_centroids")(spark, dir)
