@@ -353,7 +353,10 @@ object ScaleProbe {
       "x191_contract_audit",
       // delta pack: prefix-sum ranks over 16x lineitem, block-bounded
       // mapGroups packing (the x87 layout class)
-      "x192_delta_pack"
+      "x192_delta_pack",
+      // federated parity: five format reads of the 16x projection (the
+      // SAS leg exercises the from-scratch page-splittable reader)
+      "x193_federated_scan"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -1455,6 +1455,82 @@ object Warehouse {
     // conformance, not a self-referential round trip. The oracle
     // aggregates the parquet original plus the comment formula, so any
     // varint/union/codec mis-decode flips the hash.
+    // Federated format-parity scan (x193) — the integration face of the
+    // source family (the x91 mixed-corpus idea on TABULAR formats): the
+    // same canonical orders projection lands in parquet, ORC, CSV,
+    // JSON-lines AND our own from-scratch SAS7BDAT (writer + distributed
+    // reader), then ONE query unions all five reads and aggregates per
+    // format — row count, cents total, and an ORDER-FREE md5-bucket
+    // digest that any per-format value/row corruption flips; the
+    // `parity` boolean (all five digests equal) rides every row. The
+    // oracle reads only the ORIGINAL orders table (the x106 discipline),
+    // so every format's round trip is checked against ground truth, not
+    // against each other. Fixture is fingerprint-guarded per source dir;
+    // each leg reads with an explicit schema (no inference pass).
+    "x193_federated_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val root = s"/root/repo/spark-warehouse/graft_federated/${new java.io.File(d).getName}"
+      val marker = new java.io.File(s"$root/_OK_V1")
+      if (!marker.exists()) {
+        new java.io.File(root).mkdirs()
+        val proj = graft.Graft
+          .table(s, d, "orders")
+          .select(
+            col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            col("o_orderstatus").as("status")
+          )
+        graft.etl.Ingest.writeParquet(proj, s"$root/parquet")
+        proj.write.mode("overwrite").orc(s"$root/orc")
+        graft.etl.Ingest.writeCsv(proj, s"$root/csv")
+        graft.etl.Ingest.writeJsonLines(proj, s"$root/json")
+        val rows = proj.orderBy("k").collect().map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getString(2)))
+        graft.sources.Sas7bdatWriter.write(
+          s"$root/orders.sas7bdat",
+          Seq(
+            graft.sources.Sas7bdatWriter.WCol("k", isNum = true, 8),
+            graft.sources.Sas7bdatWriter.WCol("cents", isNum = true, 8),
+            graft.sources.Sas7bdatWriter.WCol("status", isNum = false, 1)
+          ),
+          rows.toSeq
+        )
+        marker.createNewFile()
+      }
+      val schema = StructType(
+        Seq(StructField("k", LongType), StructField("cents", LongType), StructField("status", StringType))
+      )
+      def leg(fmt: String, df: DataFrame): DataFrame =
+        df.select(
+          lit(fmt).as("format"),
+          col("k").cast("long").as("k"),
+          col("cents").cast("long").as("cents"),
+          col("status")
+        )
+      val all = Seq(
+        leg("1_parquet", s.read.parquet(s"$root/parquet")),
+        leg("2_orc", s.read.orc(s"$root/orc")),
+        leg("3_csv", s.read.schema(schema).option("header", "true").csv(s"$root/csv")),
+        leg("4_json", graft.etl.Ingest.jsonLines(s, s"$root/json", schema)),
+        // SAS stores numerics as float64 — exact for these magnitudes
+        leg("5_sas7bdat", graft.sources.Sas7bdat.read(s, s"$root/orders.sas7bdat"))
+      ).reduce(_ unionByName _)
+      val perFmt = all
+        .groupBy("format")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("sum_cents"),
+          sum(
+            graft.functions.Hashing.md5Bucket(
+              concat(col("k").cast("string"), lit("#"), col("cents").cast("string"), lit("#"), col("status")),
+              1L << 40
+            )
+          ).as("digest")
+        )
+        .localCheckpoint() // parity agg + output
+      val parity = perFmt.agg((countDistinct("digest") === 1L).as("parity"))
+      perFmt.crossJoin(broadcast(parity)).orderBy("format")
+    }),
+
     "x119_avro_scan" -> ((s, d) => {
       graft.sources.AvroScan.ensure(s, d)
       graft.sources.AvroScan
@@ -2072,6 +2148,21 @@ object Warehouse {
     // row-level v2→v3 CDC replay: U rows where the upsert formula lands in
     // an upsert-stripe key AND changes the value, D rows for the delete
     // stripe; -1 is the shared no-value sentinel (no nullable gate columns)
+    // x193: one ground-truth aggregate from the ORIGINAL orders, emitted
+    // per format literal — any leg's round-trip corruption flips its row.
+    "x193_federated_scan" ->
+      """WITH t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    CAST(sum(('0x' || substr(md5(o_orderkey || '#' ||
+        |      CAST(round(o_totalprice * 100) AS BIGINT) || '#' || o_orderstatus), 1, 15))::BIGINT
+        |      % 1099511627776) AS BIGINT) AS digest
+        |  FROM orders)
+        |SELECT f.format, t.n, t.sum_cents, t.digest, TRUE AS parity
+        |FROM t CROSS JOIN (VALUES ('1_parquet'), ('2_orc'), ('3_csv'), ('4_json'),
+        |  ('5_sas7bdat')) f(format)
+        |ORDER BY f.format""".stripMargin,
+
     // x191: each rule's violations re-derived from the planted stripe
     // formulas; min key pins localization.
     "x191_contract_audit" ->

@@ -215,6 +215,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(dup.filterKeys(_ != "key_unique_not_null").values.forall(_.getAs[Boolean]("ok")))
   }
 
+  test("x193 federated parity: five formats agree on a fresh table; a corrupted leg flips parity") {
+    val dir = TestSpark.tempDir()
+    val orders = Seq(
+      (1L, 10.00, "F", java.sql.Date.valueOf("1996-01-01"), 1L),
+      (2L, 20.50, "O", java.sql.Date.valueOf("1996-01-02"), 1L),
+      (3L, 30.25, "P", java.sql.Date.valueOf("1996-01-03"), 1L)
+    ).toDF("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate", "o_custkey")
+    TestSpark.writeTable(dir, "orders", orders)
+    val got = Warehouse.queries("x193_federated_scan")(spark, dir).collect()
+    assert(got.length === 5)
+    assert(got.forall(_.getAs[Boolean]("parity")), "fresh fixture must be value-identical")
+    assert(got.map(_.getAs[Long]("digest")).distinct.length === 1)
+    assert(got.forall(_.getAs[Long]("sum_cents") === 1000L + 2050L + 3025L))
+    // corrupt the CSV leg (drop an EXTRA part file into the directory —
+    // appending to a committed part trips Spark's modified-file guard
+    // instead of exercising the parity check): digest diverges, parity
+    // flips on every row
+    val root = new java.io.File(s"/root/repo/spark-warehouse/graft_federated/${new java.io.File(dir).getName}")
+    val extra = new java.io.File(new java.io.File(root, "csv"), "part-99999-extra.csv")
+    val w = new java.io.FileWriter(extra)
+    w.write("k,cents,status\n99,9999,Z\n"); w.close()
+    spark.catalog.refreshByPath(s"$root/csv")
+    val corrupted = Warehouse.queries("x193_federated_scan")(spark, dir).collect()
+    assert(corrupted.forall(!_.getAs[Boolean]("parity")), "corruption must flip parity")
+    assert(corrupted.map(_.getAs[Long]("digest")).distinct.length === 2)
+  }
+
   test("x188 composeDiffs: every pair rule, both cancellation paths, pass-through singles") {
     val mk = (rows: Seq[(Long, String, Long, Long)]) =>
       rows.toDF("k", "change_type", "old_cents", "new_cents")
