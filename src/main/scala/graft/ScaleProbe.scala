@@ -356,7 +356,10 @@ object ScaleProbe {
       "x192_delta_pack",
       // federated parity: five format reads of the 16x projection (the
       // SAS leg exercises the from-scratch page-splittable reader)
-      "x193_federated_scan"
+      "x193_federated_scan",
+      // watermark profile: prefix-max buckets over 16x events, three
+      // conditional sums on one checkpointed pass
+      "x194_watermark_profile"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -951,6 +951,75 @@ object Warehouse {
         )
       content.join(prov, Seq("bucket")).orderBy("bucket")
     }),
+    // Late-data watermark profile (x194) — the batch diagnostic that
+    // SIZES the streaming layer's watermarks (every `withWatermark` in
+    // EventStreams hardcodes a delay; this measures what a delay WOULD
+    // drop): per candidate watermark W, an event is dropped iff its
+    // event time < (running max event time over ARRIVAL order) − W. The
+    // fixture arrives perfectly in order (measured: zero natural
+    // lateness), so lateness is PLANTED in-query (x101 device) in TIME,
+    // not slots (slot delays scale with event density — the first draft
+    // overshot every fence): stripes %37/%101/%211 get their EVENT TIME
+    // pulled back 5 min / 30 min / 2 h while arrival order stays, so the
+    // fences each give a DIFFERENT verdict (1-min drops all three
+    // stripes, 10-min two, 60-min one, 180-min none — so the
+    // ok-at-1000ppm boolean exercises both outcomes). Per policy: drop
+    // count, ppm, max
+    // lateness and an ok-at-1000ppm verdict — the table a pipeline
+    // owner reads to pick the delay. The running max over arrival order
+    // uses the x87 PREFIX-MAX discipline (range buckets → per-bucket
+    // running max + broadcast prefix of bucket maxes) — never a
+    // corpus-wide single-partition window; the three policies are
+    // conditional sums over the same checkpointed pass.
+    "x194_watermark_profile" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("event_id"),
+          expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) - CASE WHEN event_id % 211 = 0 THEN 7200000000 " +
+              "WHEN event_id % 101 = 0 THEN 1800000000 " +
+              "WHEN event_id % 37 = 0 THEN 300000000 ELSE 0 END"
+          ).as("us"),
+          col("event_id").as("arrival")
+        )
+      val bucketed = ev.withColumn("bkt", expr("arrival div 4096")).localCheckpoint()
+      val wPrev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = bucketed
+        .groupBy("bkt")
+        .agg(max("us").as("bmax"))
+        .withColumn("prev_max", coalesce(max("bmax").over(wPrev), lit(Long.MinValue)))
+        .select("bkt", "prev_max")
+      val wLoc = Window
+        .partitionBy("bkt")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val late = bucketed
+        .join(broadcast(prefix), Seq("bkt"))
+        .withColumn("runmax", greatest(max("us").over(wLoc), col("prev_max")))
+        .withColumn("late_us", col("runmax") - col("us"))
+        .localCheckpoint() // three policy sums + max share one pass
+      import s.implicits._
+      val policies = Seq(1L, 10L, 60L, 180L).toDF("wm_min")
+      late
+        .crossJoin(broadcast(policies))
+        .groupBy("wm_min")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("wm_min") * 60000000L, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_late_us")
+        )
+        .select(
+          col("wm_min"),
+          col("n_events"),
+          col("n_late"),
+          expr("(n_late * 1000000) div n_events").as("late_ppm"),
+          expr("max_late_us div 1000000").as("max_late_s"),
+          expr("(n_late * 1000000) div n_events <= 1000").as("ok_at_1000ppm")
+        )
+        .orderBy("wm_min")
+    }),
+
     // Data-contract audit (x191) — the reference's stubbed
     // DataQualityOperator grown into the declarative ruleset real
     // pipelines ship (Deequ/dbt-test shape): five contract rules over
@@ -2162,6 +2231,32 @@ object Warehouse {
         |FROM t CROSS JOIN (VALUES ('1_parquet'), ('2_orc'), ('3_csv'), ('4_json'),
         |  ('5_sas7bdat')) f(format)
         |ORDER BY f.format""".stripMargin,
+
+    // x194: the same planted arrival permutation, one plain running-max
+    // window (the oracle may afford the global sort), same policy sums.
+    "x194_watermark_profile" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    epoch_us(ts::TIMESTAMP) - CASE WHEN event_id % 211 = 0 THEN 7200000000
+        |      WHEN event_id % 101 = 0 THEN 1800000000
+        |      WHEN event_id % 37 = 0 THEN 300000000 ELSE 0 END AS us,
+        |    event_id AS arrival
+        |  FROM events),
+        |r AS (
+        |  SELECT us, max(us) OVER (ORDER BY arrival, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late_us
+        |  FROM e),
+        |p AS (SELECT unnest([1, 10, 60, 180]) AS wm_min)
+        |SELECT CAST(p.wm_min AS BIGINT) AS wm_min,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > CAST(p.wm_min AS BIGINT) * 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  (CAST(sum(CASE WHEN late_us > CAST(p.wm_min AS BIGINT) * 60000000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // count(*) AS late_ppm,
+        |  CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
+        |  (CAST(sum(CASE WHEN late_us > CAST(p.wm_min AS BIGINT) * 60000000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // count(*) <= 1000 AS ok_at_1000ppm
+        |FROM r CROSS JOIN p GROUP BY p.wm_min
+        |ORDER BY wm_min""".stripMargin,
 
     // x191: each rule's violations re-derived from the planted stripe
     // formulas; min key pins localization.

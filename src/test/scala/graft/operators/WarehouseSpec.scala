@@ -215,6 +215,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(dup.filterKeys(_ != "key_unique_not_null").values.forall(_.getAs[Boolean]("ok")))
   }
 
+  test("x194 watermark profile: planted lateness straddles each fence with exact drop counts") {
+    val dir = TestSpark.tempDir()
+    // 500 on-time events 1 s apart; ids 37k/101k/211k get their event
+    // time pulled back 5 min / 30 min / 2 h by the in-query plant
+    val rows = (1 to 500).map(i => (i.toLong, nanos(10000L + i), 1L, "click", 1.0, "{}"))
+    TestSpark.writeTable(dir, "events", rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = Warehouse
+      .queries("x194_watermark_profile")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("wm_min") -> r)
+      .toMap
+    val n37 = (1 to 500).count(_ % 37 == 0) // 5-min late
+    val n101 = (1 to 500).count(i => i % 101 == 0 && i % 37 != 0) // 30-min late
+    val n211 = (1 to 500).count(i => i % 211 == 0 && i % 37 != 0 && i % 101 != 0) // 2h late
+    assert(got(1L).getAs[Long]("n_late") === (n37 + n101 + n211).toLong)
+    assert(got(10L).getAs[Long]("n_late") === (n101 + n211).toLong)
+    assert(got(60L).getAs[Long]("n_late") === n211.toLong)
+    assert(got(180L).getAs[Long]("n_late") === 0L)
+    assert(got(180L).getAs[Boolean]("ok_at_1000ppm"))
+    assert(!got(1L).getAs[Boolean]("ok_at_1000ppm"))
+    // max lateness ~2h (2h minus the <=1s local gap to the running max)
+    assert(got(1L).getAs[Long]("max_late_s") >= 7100L && got(1L).getAs[Long]("max_late_s") <= 7200L)
+  }
+
   test("x193 federated parity: five formats agree on a fresh table; a corrupted leg flips parity") {
     val dir = TestSpark.tempDir()
     val orders = Seq(
