@@ -907,7 +907,9 @@ object Advanced {
           col("vmin"),
           col("vmax"),
           expr("n * 64").as("bits_plain"),
-          expr("n * length(bin(greatest(vmax - vmin, 1)))").as("bits_delta"),
+          // width 0 for a constant column — aligned with x192's packer,
+          // whose measured geometry this model prices
+          expr("n * (CASE WHEN vmax = vmin THEN 0 ELSE length(bin(vmax - vmin)) END)").as("bits_delta"),
           expr("n * length(bin(greatest(ndv - 1, 1))) + ndv * 64").as("bits_dict"),
           expr("ndv * (64 + 32)").as("bits_rle_sorted")
         )
@@ -2521,7 +2523,7 @@ object Advanced {
         |sized AS (
         |  SELECT "column", n, ndv, vmin, vmax,
         |    n * 64 AS bits_plain,
-        |    n * length(bin(greatest(vmax - vmin, 1))) AS bits_delta,
+        |    n * (CASE WHEN vmax = vmin THEN 0 ELSE length(bin(vmax - vmin)) END) AS bits_delta,
         |    n * length(bin(greatest(ndv - 1, 1))) + ndv * 64 AS bits_dict,
         |    ndv * (64 + 32) AS bits_rle_sorted
         |  FROM stats)

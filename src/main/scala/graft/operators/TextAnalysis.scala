@@ -1195,7 +1195,8 @@ object TextAnalysis {
         .select(expr(s"CAST(${1L << 26} div (h + 1) AS STRING)").as("k"))
         .groupBy("k")
         .agg(count(lit(1)).as("tf"))
-      def fit(census: DataFrame, id: Long): DataFrame = {
+      def fit(census0: DataFrame, id: Long): DataFrame = {
+        val census = census0.localCheckpoint() // two plan refs: rank, totals
         val ranked = census
           .withColumn("r", row_number().over(Window.orderBy(col("tf").desc, col("k"))))
           .where(col("r") <= 64)
@@ -1270,6 +1271,7 @@ object TextAnalysis {
         val perDoc = m
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_matches"), min("p").as("first_pos"))
+          .localCheckpoint() // two plan refs: n_docs count, output
         val nd = perDoc.agg(count(lit(1)).as("n_docs"))
         perDoc
           .crossJoin(broadcast(nd))

@@ -1539,7 +1539,10 @@ object Warehouse {
     "x193_federated_scan" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val root = s"/root/repo/spark-warehouse/graft_federated/${new java.io.File(d).getName}"
-      val marker = new java.io.File(s"$root/_OK_V1")
+      // fingerprint guard: a regenerated orders table must invalidate the
+      // five format copies (the x74/CowTable artifact-drift discipline)
+      val fp = graft.sources.Fingerprint.of(s, s"$d/orders.parquet", "federated-v2")
+      val marker = new java.io.File(s"$root/_OK_$fp")
       if (!marker.exists()) {
         new java.io.File(root).mkdirs()
         val proj = graft.Graft
@@ -1553,7 +1556,15 @@ object Warehouse {
         proj.write.mode("overwrite").orc(s"$root/orc")
         graft.etl.Ingest.writeCsv(proj, s"$root/csv")
         graft.etl.Ingest.writeJsonLines(proj, s"$root/json")
-        val rows = proj.orderBy("k").collect().map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getString(2)))
+        // the SAS leg is bounded to keys < 200k — ALL rows at both gate
+        // SFs (max key 149999), a bounded driver collect at any larger
+        // scale (SAS is the dimension-scale interchange format; the four
+        // distributed legs carry the full table)
+        val rows = proj
+          .where(col("k") < 200000L)
+          .orderBy("k")
+          .collect()
+          .map(r => Seq[Any](r.getLong(0), r.getLong(1), r.getString(2)))
         graft.sources.Sas7bdatWriter.write(
           s"$root/orders.sas7bdat",
           Seq(
@@ -1574,6 +1585,12 @@ object Warehouse {
           col("k").cast("long").as("k"),
           col("cents").cast("long").as("cents"),
           col("status")
+        ).withColumn(
+          "md5b",
+          graft.functions.Hashing.md5Bucket(
+            concat(col("k").cast("string"), lit("#"), col("cents").cast("string"), lit("#"), col("status")),
+            1L << 40
+          )
         )
       val all = Seq(
         leg("1_parquet", s.read.parquet(s"$root/parquet")),
@@ -1588,11 +1605,10 @@ object Warehouse {
         .agg(
           count(lit(1)).as("n"),
           sum("cents").as("sum_cents"),
-          sum(
-            graft.functions.Hashing.md5Bucket(
-              concat(col("k").cast("string"), lit("#"), col("cents").cast("string"), lit("#"), col("status")),
-              1L << 40
-            )
+          // exact DECIMAL(38,0) sum (bare int64 wraps past ~2^23 rows —
+          // the x182/x179 headroom class) folded into int64 by pmod
+          expr(
+            "CAST(pmod(sum(CAST(md5b AS DECIMAL(38,0))), 1152921504606846976) AS BIGINT)"
           ).as("digest")
         )
         .localCheckpoint() // parity agg + output
@@ -2225,7 +2241,7 @@ object Warehouse {
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |    CAST(sum(('0x' || substr(md5(o_orderkey || '#' ||
         |      CAST(round(o_totalprice * 100) AS BIGINT) || '#' || o_orderstatus), 1, 15))::BIGINT
-        |      % 1099511627776) AS BIGINT) AS digest
+        |      % 1099511627776)::HUGEINT % 1152921504606846976 AS BIGINT) AS digest
         |  FROM orders)
         |SELECT f.format, t.n, t.sum_cents, t.digest, TRUE AS parity
         |FROM t CROSS JOIN (VALUES ('1_parquet'), ('2_orc'), ('3_csv'), ('4_json'),

@@ -67,14 +67,19 @@ object ZipScan {
       val nameLen = u16(b, p + 28)
       val extraLen = u16(b, p + 30)
       val cmtLen = u16(b, p + 32)
-      val lho = u32(b, p + 42).toInt
+      val lhoL = u32(b, p + 42)
       if (usize == 0xffffffffL || csize == 0xffffffffL) return None // zip64
+      // crafted offsets/lengths must quarantine, never index out of
+      // bounds (the TIFF crafted-header lesson)
+      if (p + 46 + nameLen > e) return None
+      if (lhoL < 0 || lhoL + 30 > b.length) return None
+      val lho = lhoL.toInt
       val name = new String(b, p + 46, nameLen, "UTF-8")
       // local header: sizes of name/extra may differ from the central ones
-      if (lho + 30 > b.length || !(b(lho) == 'P' && b(lho + 1) == 'K' && b(lho + 2) == 3 && b(lho + 3) == 4))
+      if (!(b(lho) == 'P' && b(lho + 1) == 'K' && b(lho + 2) == 3 && b(lho + 3) == 4))
         return None
       val dataOff = lho + 30 + u16(b, lho + 26) + u16(b, lho + 28)
-      if (dataOff + csize > b.length) return None
+      if (dataOff.toLong + csize > b.length || csize > Int.MaxValue - 64) return None
       val body: Array[Byte] =
         if (method == 0) {
           if (csize != usize) return None

@@ -228,9 +228,9 @@ class ScaleDisciplineSpec extends AnyFunSuite {
       .toMap
     val sk = got("suppkey")
     assert(sk.getAs[Long]("ndv") === 1L)
-    assert(sk.getAs[Long]("bits_delta") === 16L) // bin(max(0,1)) = 1 bit each
+    assert(sk.getAs[Long]("bits_delta") === 0L) // constant: width 0 (x192 alignment)
     assert(sk.getAs[Long]("bits_rle_sorted") === 96L) // 1 run
-    assert(sk.getAs[String]("best") === "delta") // 16 < 96: delta wins even vs RLE
+    assert(sk.getAs[String]("best") === "delta") // 0 < 96: delta wins even vs RLE
     val ok = got("orderkey")
     assert(ok.getAs[Long]("bits_delta") === 16L * 4L) // range 15 -> 4 bits
     assert(ok.getAs[Long]("bits_dict") === 16L * 4L + 16L * 64L)
