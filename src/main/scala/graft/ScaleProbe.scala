@@ -359,7 +359,9 @@ object ScaleProbe {
       "x193_federated_scan",
       // watermark profile: prefix-max buckets over 16x events, three
       // conditional sums on one checkpointed pass
-      "x194_watermark_profile"
+      "x194_watermark_profile",
+      // assortativity: degree agg + two joins over the 16x md5 graph
+      "x195_assortativity"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -88,6 +88,41 @@ object Reshape {
     }
   }
 
+
+  /** x195's statistic over any canonical (a, b) edge table — split out so
+    * the spec can drive closed-form graphs (path r = −½, clique pair
+    * r = 1, star r = −1, regular graph → the zero-variance guard). */
+  private[operators] def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .agg(
+        count(lit(1)).as("m"),
+        sum(expr("da * db")).as("s1"),
+        sum(expr("da + db")).as("s2"),
+        sum(expr("da * da + db * db")).as("s3")
+      )
+      .select(
+        col("m"),
+        col("s1"),
+        col("s2"),
+        col("s3"),
+        // m·s3·1e6 ~ 8e20 at 16× — DECIMAL(38,0) headroom (x179 class)
+        expr(
+          "CAST(IF(CAST(2 AS DECIMAL(38,0)) * m * s3 - CAST(s2 AS DECIMAL(38,0)) * s2 = 0, 0, " +
+            "((CAST(4 AS DECIMAL(38,0)) * m * s1 - CAST(s2 AS DECIMAL(38,0)) * s2) * 1000000 - " +
+            "pmod((CAST(4 AS DECIMAL(38,0)) * m * s1 - CAST(s2 AS DECIMAL(38,0)) * s2) * 1000000, " +
+            "CAST(2 AS DECIMAL(38,0)) * m * s3 - CAST(s2 AS DECIMAL(38,0)) * s2)) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * m * s3 - CAST(s2 AS DECIMAL(38,0)) * s2)) AS BIGINT)"
+        ).as("r_ppm")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pivot → unpivot round trip: wide per-priority status counts melted
     // back to long form. Absent (priority, status) combos surface as NULL
@@ -250,6 +285,19 @@ object Reshape {
     // the oracle replays the same 12 rounds and expects TRUE — if the
     // budget ever stops covering the gate corpus, the gate turns red
     // instead of silently under-peeling.
+    // Degree assortativity (x195, Newman 2002) — the mixing COEFFICIENT
+    // over the shared md5 graph, joining the seven structural shapes
+    // (BFS/CC/PageRank/triangles/k-core/LPA/HITS) with the standard
+    // summary statistic: do high-degree vertices attach to high-degree
+    // vertices? r is the Pearson correlation of endpoint degrees over
+    // edges; with S1 = Σ j·k, S2 = Σ (j+k), S3 = Σ (j²+k²) over the M
+    // undirected edges it CLEARS to r = (4·M·S1 − S2²)/(2·M·S3 − S2²) —
+    // every term an exact integer (the q46 moment discipline), emitted
+    // as posmod-floored ppm with the x162 zero-variance guard (a regular
+    // graph has denominator 0 ⇒ r := 0). One degree agg + two
+    // dim-degree joins + one moment sum — all edge-table-sized.
+    "x195_assortativity" -> ((s, d) => assortativity(md5Graph(s, d)._1)),
+
     // Log-rounds connected components (x180, Kiveris et al. 2014 large-
     // star/small-star) — the DIAMETER-ROBUST CC the x178 percolation
     // lesson asks for: x37's min-label propagation needs diameter-many
@@ -742,6 +790,37 @@ object Reshape {
   }
 
   def oracles: Map[String, String] = Map(
+    // x195: the same graph formula → degrees → edge moments → cleared
+    // assortativity, HUGEINT carrying the cross products.
+    "x195_assortativity" ->
+      """WITH nv AS (SELECT count(*) AS n FROM customer),
+        |raw AS (
+        |  SELECT c_custkey AS u,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+        |      % (SELECT n FROM nv) + 1 AS w
+        |  FROM customer, (SELECT unnest(range(3)) AS i)),
+        |e AS (
+        |  SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+        |  FROM raw WHERE u <> w),
+        |deg AS (
+        |  SELECT v, count(*) AS dg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(d1.dg * d2.dg) AS BIGINT) AS s1,
+        |    CAST(sum(d1.dg + d2.dg) AS BIGINT) AS s2,
+        |    CAST(sum(d1.dg * d1.dg + d2.dg * d2.dg) AS BIGINT) AS s3
+        |  FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v)
+        |SELECT m, s1, s2, s3,
+        |  CAST(CASE WHEN 2::HUGEINT * m * s3 - s2::HUGEINT * s2 = 0 THEN 0
+        |    ELSE ((4::HUGEINT * m * s1 - s2::HUGEINT * s2) * 1000000
+        |      - (((4::HUGEINT * m * s1 - s2::HUGEINT * s2) * 1000000
+        |          % (2::HUGEINT * m * s3 - s2::HUGEINT * s2)
+        |          + (2::HUGEINT * m * s3 - s2::HUGEINT * s2))
+        |         % (2::HUGEINT * m * s3 - s2::HUGEINT * s2)))
+        |      // (2::HUGEINT * m * s3 - s2::HUGEINT * s2) END AS BIGINT) AS r_ppm
+        |FROM m""".stripMargin,
+
     "x180_logstar_cc" -> x180OracleSql,
     // the full orientation pipeline replayed in SQL: md5 edge formulas →
     // canonical dedup → degrees → (deg, id) orientation → wedge join →

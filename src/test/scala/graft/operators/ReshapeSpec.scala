@@ -140,4 +140,21 @@ class ReshapeSpec extends AnyFunSuite {
       .toMap
     assert(got === Map(("S", 0L) -> 1L, ("O", 1L) -> 2L, ("S", 2L) -> 1L, ("C", 2L) -> 2L, ("O", 3L) -> 1L))
   }
+  test("x195 assortativity: closed-form graphs pin the statistic and the zero-variance guard") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]): Long =
+      Reshape.assortativity(edges.toDF("a", "b")).collect().head.getAs[Long]("r_ppm")
+    // path 1-2-3-4: endpoint degree pairs (1,2)(2,2)(2,1) -> r = -1/2
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === -500000L)
+    // two disjoint cliques (K4 + K3): every edge joins equal degrees -> r = 1
+    val k4 = for { i <- 1 to 4; j <- (i + 1) to 4 } yield (i.toLong, j.toLong)
+    val k3 = for { i <- 5 to 7; j <- (i + 1) to 7 } yield (i.toLong, j.toLong)
+    assert(r(k4 ++ k3) === 1000000L)
+    // a star is PERFECTLY disassortative (hub only meets leaves): r = -1
+    assert(r((2L to 6L).map(l => (1L, l))) === -1000000L)
+    // a single clique is REGULAR: every endpoint degree equal -> zero
+    // variance, guarded to 0 (the x162 degenerate-case convention)
+    assert(r(k4) === 0L)
+  }
+
 }
