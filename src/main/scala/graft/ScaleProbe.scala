@@ -361,7 +361,10 @@ object ScaleProbe {
       // conditional sums on one checkpointed pass
       "x194_watermark_profile",
       // assortativity: degree agg + two joins over the 16x md5 graph
-      "x195_assortativity"
+      "x195_assortativity",
+      // KN perplexity: train stats from the 16x even half (vocab-bound),
+      // eval stream crosses one per-lang agg shuffle
+      "x196_kn_perplexity"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -1233,6 +1233,83 @@ object TextAnalysis {
       fit(c0, 0L).unionByName(fit(c1, 1L)).orderBy("test_id")
     }),
 
+    // Held-out KN perplexity (x196) — the EVAL half x175's LM exists for
+    // (x159 evaluates a classifier; this evaluates the language model):
+    // the KN bigram model TRAINS on the even-doc half and scores the
+    // odd-doc half's bigram stream — quantized surprisal bits per bigram
+    // via the x61 bin() floor of 1e6/p_e6, aggregated per language. The
+    // off-train paths are first-class (the reason eval exists): an
+    // unseen PAIR under a seen context takes the continuation mass
+    // (c12 = 0 in the x175 formula), an unseen CONTEXT backs off to the
+    // w2 continuation probability Ncw2·1e6/B, and a fully-unseen token
+    // floors at p_e6 = 1 (~20 bits). The tiny shared vocab makes those
+    // paths naturally dead, so every odd doc gets NOVEL tokens appended
+    // in-query (" qq7 qq8 qq7 the" — the x101 plant): per-path bigram
+    // counts ride the output and all four are visibly load-bearing. Scale shape: train
+    // stats are vocab-sized (broadcast/AQE); the eval stream crosses one
+    // shuffle into the per-lang agg; nothing rescans the train corpus.
+    "x196_kn_perplexity" -> ((s, d) => {
+      val bigramsOf = (filter: Column, textCol: Column) =>
+        table(s, d, "documents")
+          .where(filter)
+          .select(col("doc_id"), col("lang"), split(lower(trim(textCol)), "\\s+").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            explode(
+              transform(sequence(lit(0), size(col("w")) - 2), i =>
+                struct(element_at(col("w"), i + 1).as("w1"), element_at(col("w"), i + 2).as("w2")))
+            ).as("g")
+          )
+          .select(col("doc_id"), col("lang"), col("g.w1"), col("g.w2"))
+      val cnt2 = bigramsOf(col("doc_id") % 2 === 0, col("text"))
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cnt2"))
+        .localCheckpoint()
+      val lft = cnt2.groupBy("w1").agg(sum("cnt2").as("c1"), count(lit(1)).as("n1w1"))
+      val rgt = cnt2.groupBy("w2").agg(count(lit(1)).as("ncw2"))
+      val b = cnt2.agg(count(lit(1)).as("b"))
+      // the eval half gets NOVEL tokens appended (x101 plant): " qq7 qq8
+      // qq7 the" exercises backoff (last→qq7), unseen (qq7→qq8, qq8→qq7)
+      // and continuation-only (qq7→the) on every odd doc
+      bigramsOf(col("doc_id") % 2 === 1, concat(col("text"), lit(" qq7 qq8 qq7 the")))
+        .join(cnt2, Seq("w1", "w2"), "left")
+        .join(lft, Seq("w1"), "left")
+        .join(rgt, Seq("w2"), "left")
+        .crossJoin(broadcast(b))
+        .withColumn(
+          "p_e6",
+          expr(
+            "CASE WHEN c1 IS NOT NULL THEN greatest(1, " +
+              "CAST(((CAST(greatest(4*coalesce(cnt2, 0) - 3, 0) AS DECIMAL(38,0)) * b " +
+              "+ 3 * n1w1 * coalesce(ncw2, 0)) * 1000000) div (4 * c1 * b) AS BIGINT)) " +
+              "WHEN ncw2 IS NOT NULL THEN greatest(1, (ncw2 * 1000000) div b) " +
+              "ELSE 1 END"
+          )
+        )
+        .withColumn("bits", expr("length(bin(1000000 div p_e6)) - 1"))
+        .withColumn(
+          "path",
+          expr(
+            "CASE WHEN c1 IS NOT NULL AND cnt2 IS NOT NULL THEN 'seen' " +
+              "WHEN c1 IS NOT NULL THEN 'backoff' " +
+              "WHEN ncw2 IS NOT NULL THEN 'continuation_only' ELSE 'unseen' END"
+          )
+        )
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum("bits").as("total_bits"),
+          expr("CAST((sum(bits) * 1000) div count(1) AS BIGINT)").as("mean_bits_e3"),
+          sum(expr("IF(path = 'seen', 1, 0)")).as("n_seen"),
+          sum(expr("IF(path = 'backoff', 1, 0)")).as("n_backoff"),
+          sum(expr("IF(path = 'continuation_only', 1, 0)")).as("n_cont_only"),
+          sum(expr("IF(path = 'unseen', 1, 0)")).as("n_unseen")
+        )
+        .orderBy("lang")
+    }),
+
     // Positional phrase search (x185) — the PHRASE face of the retrieval
     // family (x32 ranks by summed term tf·idf, x170 serves it from a
     // persisted index; neither can answer "these words ADJACENT, in
@@ -2003,6 +2080,50 @@ object TextAnalysis {
           |sc AS (SELECT doc_id, (tf * n * 1000000) // df AS tscore FROM tf JOIN df USING (term), n)
           |SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score, count(*) AS n_terms_hit
           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      // x196: train-half stats + the same three-path scoring CASE + the
+      // same bin() surprisal, aggregated per language.
+      "x196_kn_perplexity" ->
+        """WITH w AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+          |g AS (
+          |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+          |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i) WHERE len(w) >= 2),
+          |c2 AS (
+          |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2
+          |  FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+          |lft AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1w1 FROM c2 GROUP BY 1),
+          |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY 1),
+          |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
+          |gev AS (
+          |  SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+          |  FROM (SELECT doc_id, lang,
+          |          regexp_split_to_array(lower(trim(text || ' qq7 qq8 qq7 the')), '\s+') AS w
+          |        FROM documents WHERE doc_id % 2 = 1) te,
+          |    unnest(generate_series(1, len(w) - 1)) t(i) WHERE len(w) >= 2),
+          |ev AS (
+          |  SELECT g.lang,
+          |    CASE WHEN l.c1 IS NOT NULL THEN greatest(1,
+          |        CAST(((greatest(4*coalesce(c2.cnt2, 0) - 3, 0)::HUGEINT * bb.b
+          |          + 3 * l.n1w1 * coalesce(r.ncw2, 0)) * 1000000) // (4 * l.c1 * bb.b) AS BIGINT))
+          |      WHEN r.ncw2 IS NOT NULL THEN greatest(1, (r.ncw2 * 1000000) // bb.b)
+          |      ELSE 1 END AS p_e6,
+          |    CASE WHEN l.c1 IS NOT NULL AND c2.cnt2 IS NOT NULL THEN 'seen'
+          |      WHEN l.c1 IS NOT NULL THEN 'backoff'
+          |      WHEN r.ncw2 IS NOT NULL THEN 'continuation_only' ELSE 'unseen' END AS path
+          |  FROM gev g
+          |  LEFT JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+          |  LEFT JOIN lft l ON g.w1 = l.w1
+          |  LEFT JOIN rgt r ON g.w2 = r.w2
+          |  CROSS JOIN bb)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  CAST(sum(length(bin(1000000 // p_e6)) - 1) AS BIGINT) AS total_bits,
+          |  CAST((sum(length(bin(1000000 // p_e6)) - 1) * 1000) // count(*) AS BIGINT) AS mean_bits_e3,
+          |  CAST(sum(CASE WHEN path = 'seen' THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+          |  CAST(sum(CASE WHEN path = 'backoff' THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+          |  CAST(sum(CASE WHEN path = 'continuation_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_cont_only,
+          |  CAST(sum(CASE WHEN path = 'unseen' THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+          |FROM ev GROUP BY lang ORDER BY lang""".stripMargin,
+
       // x186: both censuses + rank + bin()-log OLS replayed; the planted
       // stream's inverse-uniform division is pure integer in both engines.
       "x186_zipf_fit" ->

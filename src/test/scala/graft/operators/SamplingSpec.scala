@@ -374,6 +374,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("decoded_checksum") === ck)
   }
 
+  test("x196 KN perplexity: all four scoring paths hit with hand-checked surprisal arithmetic") {
+    val d = TestSpark.tempDir()
+    // train (doc 0) "a b a b a": c2 = {(a,b): 2, (b,a): 2}, B = 2,
+    // c1(a) = c1(b) = 2, n1w1 = 1 each, ncw2(a) = ncw2(b) = 1.
+    // Eval (doc 1) "a b c" + the appended plant " qq7 qq8 qq7 the":
+    // (a,b) seen; (b,c) seen ctx + unseen pair = backoff (w2 'c' also
+    // unseen as continuation -> discount-only mass -> floor p = 1);
+    // the four plant bigrams have unseen contexts AND w2s that are not
+    // train continuations ('the' never occurs in train) -> 'unseen'.
+    val docs = Seq(
+      (0L, "a b a b a", "en", "s", 9L),
+      (1L, "a b c", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    TestSpark.writeTable(d, "documents", docs)
+    val r = TextAnalysis.queries("x196_kn_perplexity")(spark, d).collect().head
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("n_bigrams") === 6L)
+    // p(a,b) = (max(8-3,0)*2 + 3*1*1)*1e6 / (4*2*2) = 13e6/16 = 812500
+    // bits = len(bin(1000000 div 812500)) - 1 = len(bin(1)) - 1 = 0
+    // (b,c): c seen? ncw2(c) null -> discount-only: (max(0-3,0)*2+3*1*0)/.. = 0 -> floor 1 -> bits 19
+    // (c,qq7),(qq7,qq8),(qq8,qq7),(qq7,the): unseen ctx; w2 the/qq* not
+    // train continuations -> 'unseen', p=1, bits 19
+    assert(r.getAs[Long]("n_seen") === 1L)
+    assert(r.getAs[Long]("n_backoff") === 1L) // (b,c): seen ctx, unseen pair
+    assert(r.getAs[Long]("n_cont_only") === 0L)
+    assert(r.getAs[Long]("n_unseen") === 4L)
+    assert(r.getAs[Long]("total_bits") === 0L + 19L + 4L * 19L)
+  }
+
   test("x48 label centroids: integer mean per (label, dim) matches hand arithmetic") {
     val rows = Similarity
       .queries("x48_label_centroids")(spark, dir)
