@@ -364,7 +364,9 @@ object ScaleProbe {
       "x195_assortativity",
       // KN perplexity: train stats from the 16x even half (vocab-bound),
       // eval stream crosses one per-lang agg shuffle
-      "x196_kn_perplexity"
+      "x196_kn_perplexity",
+      // EXIF: per-payload metadata walk (fixture-bound)
+      "x197_exif_meta"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

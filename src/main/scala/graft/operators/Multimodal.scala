@@ -312,6 +312,44 @@ object Multimodal {
         .orderBy("warc_id", "rec_idx")
     }),
 
+    // EXIF metadata (x197) — the metadata face of the image family
+    // (x70/x80/x163 decode pixels; real photo pipelines need
+    // orientation/camera/timestamp BEFORE any pixel work): a structural
+    // JPEG segment walk locates APP1 (never a byte scan — "Exif" inside
+    // entropy data must not match), then the embedded TIFF IFD chain
+    // (both byte orders, inline-vs-offset values, the 0x8769 Exif
+    // sub-IFD) yields Make, Orientation (validated 1..8),
+    // PixelX/YDimension and DateTimeOriginal. The oracle rebuilds all
+    // six fields from the fixture formulas; structural lies quarantine.
+    "x197_exif_meta" -> ((s, _) => {
+      graft.sources.ExifFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("byte_order", StringType),
+          StructField("orientation", LongType),
+          StructField("make", StringType),
+          StructField("width", LongType),
+          StructField("height", LongType),
+          StructField("dt_original", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.ExifFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getAs[Long]("img_id")
+            graft.sources.ExifMeta.parse(r.getAs[Array[Byte]]("payload")) match {
+              case Some(m) =>
+                Row(id, m.byteOrder, m.orientation.toLong, m.make, m.width, m.height, m.dtOriginal)
+              case None => Row(id, null, null, null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
+
     // Ogg container walk (x190, RFC 3533) — the paged stream container
     // completing the family (MP4/MP3/RIFF/FLAC native): capture-pattern
     // page walk with Ogg's OWN CRC-32 (0x04c11db7 unreflected, init 0 —
@@ -1099,6 +1137,19 @@ object Multimodal {
         |  CAST(http_status AS BIGINT) AS http_status,
         |  CAST(length(body) AS BIGINT) AS body_bytes, md5(body) AS body_md5
         |FROM u ORDER BY warc_id, rec_idx""".stripMargin,
+
+    // x197: all six fields from the formulas (II/MM alternation included
+    // — a byte-order bug flips half the corpus).
+    "x197_exif_meta" ->
+      """SELECT range AS img_id,
+        |  CASE WHEN range % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CAST(1 + range % 8 AS BIGINT) AS orientation,
+        |  'cam' || (range % 3) AS make,
+        |  CAST(640 + range % 7 AS BIGINT) AS width,
+        |  CAST(480 + range % 5 AS BIGINT) AS height,
+        |  '2026:01:' || lpad(CAST(1 + range % 28 AS VARCHAR), 2, '0') || ' 0'
+        |    || (range % 10) || ':00:00' AS dt_original
+        |FROM range(200) ORDER BY img_id""".stripMargin,
 
     // x190: pagination replay — lacing counts → cumulative segment
     // positions → completing page (4 lacings/page) → page granule = last
