@@ -312,6 +312,77 @@ object Multimodal {
         .orderBy("warc_id", "rec_idx")
     }),
 
+    // Snappy block decode (x198) — the ecosystem's own shuffle/Parquet
+    // page codec read back from scratch (google/snappy
+    // format_description.txt): varint preamble, literal / 1-2-4-byte
+    // offset copy tags, byte-at-a-time overlapping copies (the RLE
+    // idiom). Fixtures are compressed by the OFFICIAL snappy-java that
+    // ships in Spark's jars (the ZipScan/ZipOutputStream conformance
+    // split); the oracle rebuilds every length/md5 from the content
+    // formulas, so one wrong offset or copy-length bit anywhere flips a
+    // digest. Per-payload mapPartitions, zero shuffles before the sort.
+    "x198_snappy_decode" -> ((s, _) => {
+      graft.sources.SnappyFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.SnappyFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val id = r.getAs[Long]("blob_id")
+            graft.sources.SnappyBlock.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(body) =>
+                md.reset()
+                val hex = md.digest(body).map(b => f"${b & 0xff}%02x").mkString
+                Row(id, body.length.toLong, hex)
+              case None => Row(id, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
+
+    // LZ4 block decode (x199) — Spark's DEFAULT shuffle codec read back
+    // from scratch (lz4/lz4 lz4_Block_format.md): token sequences with
+    // 255-valued length escapes, 2-byte LE match offsets, overlap
+    // matches byte-at-a-time, mandatory final literals-only sequence.
+    // Fixtures framed 4-byte-LE-length + a block from the OFFICIAL
+    // lz4-java (the x198 conformance split); same formula oracle shape.
+    "x199_lz4_decode" -> ((s, _) => {
+      graft.sources.Lz4Fixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.Lz4Fixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val id = r.getAs[Long]("blob_id")
+            graft.sources.Lz4Block.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(body) =>
+                md.reset()
+                val hex = md.digest(body).map(b => f"${b & 0xff}%02x").mkString
+                Row(id, body.length.toLong, hex)
+              case None => Row(id, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
+
     // EXIF metadata (x197) — the metadata face of the image family
     // (x70/x80/x163 decode pixels; real photo pipelines need
     // orientation/camera/timestamp BEFORE any pixel work): a structural
@@ -1175,6 +1246,40 @@ object Multimodal {
         |FROM pg JOIN gr ON pg.s = gr.s AND pg.page = gr.page
         |JOIN ck ON pg.s = ck.s AND pg.j = ck.j
         |ORDER BY ogg_id, packet_idx""".stripMargin,
+
+    // x198: decoded lengths + digests rebuilt from the content formulas
+    // (H + run + H) — never touching the snappy bytes, so the decode is
+    // proven against an independent construction of the plaintext.
+    "x198_snappy_decode" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |h AS (
+        |  SELECT z,
+        |    string_agg(z || ',' || i || ',' || (z*31 + i*7) || chr(10), '' ORDER BY i) AS h
+        |  FROM zs, unnest(generate_series(0, 4 + z % 5)) t(i)
+        |  GROUP BY z),
+        |c AS (
+        |  SELECT z,
+        |    h || repeat(chr(97 + CAST(z % 26 AS INT)), CAST(20 + z % 50 AS INT)) || h AS content
+        |  FROM h)
+        |SELECT z AS blob_id, CAST(length(content) AS BIGINT) AS n_bytes,
+        |  md5(content) AS content_md5
+        |FROM c ORDER BY blob_id""".stripMargin,
+
+    // x199: same proof shape as x198 over the LZ4 content formulas.
+    "x199_lz4_decode" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |h AS (
+        |  SELECT z,
+        |    string_agg('L,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |  FROM zs, unnest(generate_series(0, 3 + z % 7)) t(i)
+        |  GROUP BY z),
+        |c AS (
+        |  SELECT z,
+        |    h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(24 + z % 40 AS INT)) || h AS content
+        |  FROM h)
+        |SELECT z AS blob_id, CAST(length(content) AS BIGINT) AS n_bytes,
+        |  md5(content) AS content_md5
+        |FROM c ORDER BY blob_id""".stripMargin,
 
     // x189: the member inventory rebuilt from the fixture formulas —
     // names, the stored/deflate alternation, exact content bytes + md5.
