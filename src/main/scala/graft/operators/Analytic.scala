@@ -419,10 +419,96 @@ object Analytic {
             .as("value_e3")
         )
         .orderBy("user_id", "grid_us")
+    }),
+
+    // Group-wise SKYLINE / Pareto frontier (x200): per brand, the parts no
+    // other same-brand part dominates on (retail price, size), both
+    // minimized — the classic preference-query operator (Börzsönyi et al.,
+    // ICDE 2001) no Spark builtin expresses. NEVER the naive all-pairs
+    // NOT-EXISTS (quadratic in the table — the oracle does that, the
+    // engine must not): a grid prune makes the exact join run over a
+    // vanishing survivor band.
+    //   1. per-brand min/max bounds (25-row agg, broadcast back);
+    //   2. integer 16×16 cell coords — bucket intervals are half-open, so
+    //      cell D strictly below-left of cell C ⇒ EVERY D point strictly
+    //      dominates every C point;
+    //   3. cell census (≤ brands × 256 rows) + one window pass per brand:
+    //      a cell is pruned iff min(cy) over strictly-smaller cx beats its
+    //      cy (rangeBetween(-∞, -1) on cx = the strict staircase rule).
+    //      Correctness: any point dominating a kept-cell point itself lies
+    //      in a kept cell (its cell is ≤ component-wise; a strict
+    //      dominator of ITS cell would strictly dominate the kept cell
+    //      too), so pruning loses no dominators — the survivor set is
+    //      self-contained for the exact pass;
+    //   4. exact dominance LEFT ANTI self-join over survivors only
+    //      (broadcast — the staircase band is O(grid diagonal × density),
+    //      not O(table)).
+    // At 100 TB the full stream is touched exactly twice (bounds+census,
+    // then the semi-join filter); everything quadratic runs on cell
+    // summaries or the band.
+    "x200_skyline" -> ((s, d) => {
+      val g = 16L
+      val pts = table(s, d, "part")
+        .select(
+          col("p_brand").as("brand"),
+          col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+          col("p_size").cast("long").as("size_v")
+        )
+      val bounds = pts
+        .groupBy("brand")
+        .agg(
+          min("price_c").as("minp"), max("price_c").as("maxp"),
+          min("size_v").as("mins"), max("size_v").as("maxs")
+        )
+      val cells = pts
+        .join(broadcast(bounds), Seq("brand"))
+        // DIV, not `/`: Column./ is IEEE division — cell ids must be
+        // exact integer buckets for the half-open-interval argument
+        .withColumn("cx", expr(s"(price_c - minp) * $g DIV (maxp - minp + 1)"))
+        .withColumn("cy", expr(s"(size_v - mins) * $g DIV (maxs - mins + 1)"))
+      val census = cells.groupBy("brand", "cx", "cy").agg(count(lit(1)).as("n"))
+      val stairW = Window.partitionBy("brand").orderBy("cx").rangeBetween(Window.unboundedPreceding, -1)
+      val kept = census
+        .withColumn("best_cy", min("cy").over(stairW))
+        .where(col("best_cy").isNull || col("best_cy") >= col("cy"))
+        .select("brand", "cx", "cy")
+      val surv = cells
+        .join(broadcast(kept), Seq("brand", "cx", "cy"), "left_semi")
+        .select("brand", "p_partkey", "price_c", "size_v")
+      val dom = surv.select(
+        col("brand").as("d_brand"),
+        col("price_c").as("d_price"),
+        col("size_v").as("d_size")
+      )
+      surv
+        .join(
+          broadcast(dom),
+          col("brand") === col("d_brand") &&
+            col("d_price") <= col("price_c") && col("d_size") <= col("size_v") &&
+            (col("d_price") < col("price_c") || col("d_size") < col("size_v")),
+          "left_anti"
+        )
+        .orderBy("p_partkey")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // x200: the definitional quadratic NOT EXISTS — fine at oracle SF,
+    // exactly what the engine-side grid prune exists to avoid.
+    "x200_skyline" ->
+      """SELECT p_brand AS brand, p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |  CAST(p_size AS BIGINT) AS size_v
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND round(b.p_retailprice * 100) <= round(a.p_retailprice * 100)
+        |    AND b.p_size <= a.p_size
+        |    AND (round(b.p_retailprice * 100) < round(a.p_retailprice * 100)
+        |         OR b.p_size < a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     // x110: the same union-stream window replay — IGNORE NULLS navigation
     // plus the identical IEEE interpolation, e3-rounded.
     "x110_resample_gapfill" ->
