@@ -208,6 +208,66 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reciprocal-rank fusion (x201) — the standard hybrid-retrieval
+    // combiner (Cormack et al., SIGIR 2009): a LEXICAL shortlist (x32's
+    // exact integer tf·idf over the shared 3-term query) and a SEMANTIC
+    // shortlist (float32 cosine against a probe embedding, e6-rounded —
+    // the x05 cross-engine pin) are fused by rrf = Σ 1e6 div (60 + rank)
+    // — rank-space fusion needs NO score normalization across the two
+    // incomparable scorers, which is exactly why production RAG stacks
+    // use it over score interpolation. Ranks are assigned on the rounded
+    // e6 values with id tiebreaks (total order both engines). Scale
+    // shape: each leg is term-filtered-scan / broadcast-probe +
+    // TakeOrderedAndProject; the global row_number windows run over the
+    // already-limited 20-row shortlists (constant-size single partition,
+    // not data-sized), and the fusion join is 20×20.
+    "x201_rrf_fusion" -> ((s, d) => {
+      val shortlist = 20
+      // lexical leg — x32's integer scorer verbatim
+      val qterms = Seq("table", "spark", "window")
+      val docs = table(s, d, "documents")
+      val hits = docs
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term").isInCollection(qterms))
+      val dfreq = hits.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val lexTop = hits
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nd))
+        .withColumn("tscore", expr("tf * n * 1000000 div df"))
+        .groupBy("doc_id")
+        .agg(sum("tscore").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(shortlist)
+      val lex = lexTop
+        .withColumn("lrank", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "lrank")
+      // semantic leg — probe = vec 0's embedding, brute e6 cosine
+      val emb = table(s, d, "embeddings")
+      val probe = emb.where(col("vec_id") === 0L).select(col("embedding").as("qe"))
+      val semTop = emb
+        .where(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), cosE6(cosineF(col("embedding"), col("qe"))).as("cos_e6"))
+        .orderBy(col("cos_e6").desc, col("vec_id"))
+        .limit(shortlist)
+      val sem = semTop
+        .withColumn("srank", row_number().over(Window.orderBy(col("cos_e6").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("srank"))
+      lex
+        .join(sem, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          col("lrank"),
+          col("srank"),
+          (coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + srank)"), lit(0L))).as("rrf_e6")
+        )
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+    }),
+
     // Linear-probe training (x179) — the LEARN face of the embedding
     // classifier family (x68 is inference over fixture weights, x164 is
     // a count model; the linear probe on frozen embeddings is THE
@@ -1235,6 +1295,36 @@ object Similarity {
   }
 
   def oracles: Map[String, String] = Map(
+    // x201: both legs replayed exactly — x32's integer tf·idf CTEs, the
+    // x05 list_cosine_similarity e6 rounding, ranks on the rounded
+    // values with id tiebreaks, then the same integer RRF fold.
+    "x201_rrf_fusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |q AS (SELECT doc_id, term FROM t WHERE term IN ('table', 'spark', 'window')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |lt AS (
+        |  SELECT doc_id, CAST(sum((tf * n * 1000000) // df) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term), n
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM lt),
+        |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |st AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6
+        |  FROM embeddings, qe WHERE vec_id <> 0
+        |  ORDER BY cos_e6 DESC, vec_id LIMIT 20),
+        |sem AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_e6 DESC, vec_id) AS srank FROM st),
+        |f AS (
+        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lrank, srank
+        |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, lrank, srank,
+        |  coalesce(1000000 // (60 + lrank), 0) + coalesce(1000000 // (60 + srank), 0) AS rrf_e6
+        |FROM f ORDER BY rrf_e6 DESC, doc_id""".stripMargin,
+
     "x179_linear_probe" -> x179OracleSql,
     // x13: exact twins recomputed brute-force; the ANN accuracy booleans
     // are Spark-side assertions the oracle expects to HOLD
