@@ -119,6 +119,45 @@ object Sampling {
       .mkString(" + ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rendezvous (HRW) shard rebalance (x202) — the shard-assignment
+    // story behind every grow-the-cluster event: key k lands on
+    // argmax_s h(k, s) (Thaler & Ravishankar 1998), so growing 8 → 9
+    // shards moves ONLY the keys the new shard wins (expected 1/9), the
+    // provable minimum — while mod-N reassigns ~8/9 of the corpus (both
+    // verdicts are in the output, per shard, same keys). Hashes are the
+    // repo's md5-window convention; argmax ties break to the LOWEST
+    // shard via first-position-of-max on both engines. Scale shape: the
+    // 9-slot argmax is a per-row array expression inside codegen (no
+    // explode of keys × shards), both schemes ride ONE scan via a 2-way
+    // struct explode, and the only shuffle is the 18-group aggregation.
+    "x202_hrw_rebalance" -> ((s, d) => {
+      table(s, d, "orders")
+        .select(col("o_orderkey").as("key"))
+        .withColumn(
+          "ws",
+          expr(
+            "transform(sequence(0, 8), s -> " +
+              "CAST(conv(substring(md5(concat(CAST(key AS STRING), '#', CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+          )
+        )
+        .withColumn("a9", expr("CAST(array_position(ws, array_max(ws)) AS BIGINT) - 1"))
+        .withColumn(
+          "a8",
+          expr("CAST(array_position(slice(ws, 1, 8), array_max(slice(ws, 1, 8))) AS BIGINT) - 1")
+        )
+        .select(
+          explode(
+            expr(
+              "array(named_struct('scheme', 'hrw', 'shard', a9, 'moved', a8 <> a9), " +
+                "named_struct('scheme', 'mod', 'shard', key % 9, 'moved', key % 8 <> key % 9))"
+            )
+          ).as("r")
+        )
+        .groupBy(col("r.scheme").as("scheme"), col("r.shard").as("shard"))
+        .agg(count(lit(1)).as("n_keys"), expr("count_if(r.moved)").as("n_moved"))
+        .orderBy("scheme", "shard")
+    }),
+
     // deterministic 80/10/10 train/val/test split by content-free id hash:
     // the assignment is a pure function of doc_id, so re-runs, retries and
     // cluster re-partitioning can never move a document across splits.
@@ -959,6 +998,24 @@ object Sampling {
       |  FROM sc CROSS JOIN tot)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // x202: identical 9-slot argmax replay — same md5 window, same
+    // first-position-of-max tiebreak, same 2-scheme union.
+    "x202_hrw_rebalance" ->
+      """WITH k AS (SELECT o_orderkey AS key FROM orders),
+        |w AS (SELECT key,
+        |  list_transform(range(9),
+        |    s -> ('0x' || substr(md5(key::VARCHAR || '#' || s::VARCHAR), 1, 15))::BIGINT) AS ws
+        |  FROM k),
+        |a AS (SELECT key,
+        |  list_position(ws, list_aggregate(ws, 'max')) - 1 AS a9,
+        |  list_position(ws[1:8], list_aggregate(ws[1:8], 'max')) - 1 AS a8
+        |  FROM w),
+        |u AS (
+        |  SELECT 'hrw' AS scheme, a9 AS shard, a8 <> a9 AS moved FROM a
+        |  UNION ALL SELECT 'mod', key % 9, key % 8 <> key % 9 FROM a)
+        |SELECT scheme, CAST(shard AS BIGINT) AS shard, count(*) AS n_keys,
+        |  CAST(count_if(moved) AS BIGINT) AS n_moved
+        |FROM u GROUP BY 1, 2 ORDER BY scheme, shard""".stripMargin,
     "x24_hash_split" ->
       """WITH b AS (
         |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
