@@ -366,7 +366,18 @@ object ScaleProbe {
       // eval stream crosses one per-lang agg shuffle
       "x196_kn_perplexity",
       // EXIF: per-payload metadata walk (fixture-bound)
-      "x197_exif_meta"
+      "x197_exif_meta",
+      // snappy/lz4: per-payload byte-codec map (fixture-bound)
+      "x198_snappy_decode", "x199_lz4_decode",
+      // skyline: bounds+census aggs over 16x part, exact join on the
+      // pruned survivor band only
+      "x200_skyline",
+      // RRF fusion: two shortlist legs (term-filtered scan + broadcast
+      // probe) fused on 20-row frames
+      "x201_rrf_fusion",
+      // HRW rebalance: per-row 9-slot argmax in codegen over 16x orders,
+      // one 18-group agg shuffle
+      "x202_hrw_rebalance"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
