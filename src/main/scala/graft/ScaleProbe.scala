@@ -377,7 +377,10 @@ object ScaleProbe {
       "x201_rrf_fusion",
       // HRW rebalance: per-row 9-slot argmax in codegen over 16x orders,
       // one 18-group agg shuffle
-      "x202_hrw_rebalance"
+      "x202_hrw_rebalance",
+      // Heaps fit: one corpus explode into a vocab-bound min-agg; all
+      // cumulative/fit math on <=16-row tables
+      "x203_heaps_fit"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

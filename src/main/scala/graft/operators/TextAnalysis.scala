@@ -1166,6 +1166,91 @@ object TextAnalysis {
     // to those stats on the gram key — an inverted-index join, never a
     // corpus self-join. The prefix table is NOT a second scan: it
     // re-aggregates the bigram counts by w1 (tiny input).
+
+    // Heaps'-law vocabulary-growth fit (x203) — x186's companion
+    // diagnostic on the OTHER axis (Heaps 1978: V(n) ∝ n^β, natural
+    // corpora β ≈ 0.4–0.6; a saturating curve flags a closed/synthetic
+    // vocabulary, runaway growth flags mojibake/noise): V is measured at
+    // 16 PREFIX checkpoints of the md5-hash order — hash-RANGE prefixes,
+    // never a global rank (the x87 lesson: "first n docs" as h < k·2⁵⁶
+    // is order-free and needs no window over the corpus). Per-term
+    // first-checkpoint = min cell over its docs (one explode + min-agg,
+    // vocab-bound result); cumulative census + vocab ride ≤16-row theta
+    // joins; the fit is the x186 integer OLS on (⌊log2 n_tok⌋,
+    // ⌊log2 V⌋). TWO faces (x186 twin shape): the real corpus — which
+    // SATURATES at 31 types, slope ≈ 0, the honest negative finding —
+    // and a PLANTED β = ½ stream (token at position p draws type
+    // md5(p) mod (⌊√p⌋+1): value v first becomes reachable near p ≈ v²,
+    // so V(n) ≈ √n by construction, pure integer + exact IEEE sqrt in
+    // both engines); its fit must recover slope ≈ 5e5 (spec-asserted).
+    "x203_heaps_fit" -> ((s, d) => {
+      val cell = 72057594037927936L // 2^56: the 2^60 md5 window into 16 prefix cells
+      def face(census0: DataFrame, termB0: DataFrame, id: Long): DataFrame = {
+        val census = census0.localCheckpoint() // two refs: cum join both sides
+        val c2 = census.select(col("ck").as("ck2"), col("n_docs").as("nd2"), col("n_tok").as("nt2"))
+        val cum = census
+          .join(broadcast(c2), col("ck2") <= col("ck"))
+          .groupBy("ck")
+          .agg(sum("nd2").as("n_docs"), sum("nt2").as("n_tokens"))
+        val withV = cum
+          .join(broadcast(termB0), col("tb") <= col("ck"))
+          .groupBy("ck", "n_docs", "n_tokens")
+          .agg(sum("n_new").as("vocab"))
+          .localCheckpoint() // two refs: fit + output
+        val fit = withV
+          .select(
+            expr("CAST(length(bin(n_tokens)) - 1 AS BIGINT)").as("x"),
+            expr("CAST(length(bin(vocab)) - 1 AS BIGINT)").as("y")
+          )
+          .agg(
+            count(lit(1)).as("n_fit"),
+            sum("x").as("sx"),
+            sum("y").as("sy"),
+            sum(expr("x * x")).as("sxx"),
+            sum(expr("x * y")).as("sxy")
+          )
+          .select(
+            expr(
+              "CAST(IF(n_fit * sxx - sx * sx = 0, 0, " +
+                "((n_fit * sxy - sx * sy) * 1000000 - pmod((n_fit * sxy - sx * sy) * 1000000, " +
+                "n_fit * sxx - sx * sx)) div (n_fit * sxx - sx * sx)) AS BIGINT)"
+            ).as("slope_e6")
+          )
+        withV
+          .crossJoin(broadcast(fit))
+          .select(lit(id).as("test_id"), col("ck"), col("n_docs"), col("n_tokens"), col("vocab"), col("slope_e6"))
+      }
+      // corpus face
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .withColumn("ck", expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) div $cell"))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .localCheckpoint() // two refs: census + term explode
+      val census = base.groupBy("ck").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+      val termB = base
+        .select(col("ck"), explode(col("w")).as("term"))
+        .groupBy("term")
+        .agg(min("ck").as("tb"))
+        .groupBy("tb")
+        .agg(count(lit(1)).as("n_new"))
+      // planted β=1/2 face: 65536 positions, 4096 per checkpoint cell
+      val pos = s
+        .range(1L, 65537L)
+        .toDF("p")
+        .withColumn("ck", expr("(p - 1) * 16 div 65536"))
+        .withColumn(
+          "t",
+          expr(
+            "CAST(conv(substring(md5(concat(CAST(p AS STRING), '#hp')), 1, 15), 16, 10) AS BIGINT) " +
+              "% (CAST(floor(sqrt(CAST(p AS DOUBLE))) AS BIGINT) + 1)"
+          )
+        )
+        .localCheckpoint() // two refs: census + type min-agg
+      val pCensus = pos.groupBy("ck").agg(count(lit(1)).as("n_docs"), count(lit(1)).as("n_tok"))
+      val pTermB = pos.groupBy("t").agg(min("ck").as("tb")).groupBy("tb").agg(count(lit(1)).as("n_new"))
+      face(census, termB, 0L).unionByName(face(pCensus, pTermB, 1L)).orderBy("test_id", "ck")
+    }),
+
     // Zipf-exponent fit (x186) — the data-card diagnostic of the token
     // frequency distribution (Zipf 1949: tf ∝ rank^−s; natural corpora
     // sit near s ≈ 1, and a far-off exponent flags synthetic/boilerplate
@@ -2126,6 +2211,51 @@ object TextAnalysis {
 
       // x186: both censuses + rank + bin()-log OLS replayed; the planted
       // stream's inverse-uniform division is pure integer in both engines.
+      // x203: both faces replayed — same hash-prefix cells, same min-cell
+      // first occurrences, same ≤16-row cumulative joins, same quantized
+      // OLS (the planted face's 428571 is the floor-log2 granularity of a
+      // 16-point fit around the true β = ½, deterministic in both engines).
+      "x203_heaps_fit" ->
+        """WITH base AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+          |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT // 72057594037927936 AS ck
+          |  FROM documents),
+          |census AS (SELECT 0 AS test_id, ck, count(*) AS n_docs, sum(len(w)) AS n_tok FROM base GROUP BY 2),
+          |termb AS (
+          |  SELECT 0 AS test_id, tb, count(*) AS n_new FROM (
+          |    SELECT term, min(ck) AS tb FROM (SELECT ck, unnest(w) AS term FROM base) GROUP BY term) GROUP BY 2),
+          |pos AS (
+          |  SELECT p, (p - 1) * 16 // 65536 AS ck,
+          |    ('0x' || substr(md5(p::VARCHAR || '#hp'), 1, 15))::BIGINT
+          |      % (CAST(floor(sqrt(p)) AS BIGINT) + 1) AS t
+          |  FROM (SELECT range + 1 AS p FROM range(65536))),
+          |pcensus AS (SELECT 1 AS test_id, ck, count(*) AS n_docs, count(*) AS n_tok FROM pos GROUP BY 2),
+          |ptermb AS (SELECT 1 AS test_id, tb, count(*) AS n_new FROM (SELECT t, min(ck) AS tb FROM pos GROUP BY t) GROUP BY 2),
+          |cen AS (SELECT * FROM census UNION ALL SELECT * FROM pcensus),
+          |tbl AS (SELECT * FROM termb UNION ALL SELECT * FROM ptermb),
+          |cum AS (
+          |  SELECT a.test_id, a.ck, CAST(sum(b.n_docs) AS BIGINT) AS n_docs, CAST(sum(b.n_tok) AS BIGINT) AS n_tokens
+          |  FROM cen a JOIN cen b ON b.test_id = a.test_id AND b.ck <= a.ck GROUP BY 1, 2),
+          |withv AS (
+          |  SELECT cum.test_id, cum.ck, n_docs, n_tokens, CAST(sum(tbl.n_new) AS BIGINT) AS vocab
+          |  FROM cum JOIN tbl ON tbl.test_id = cum.test_id AND tbl.tb <= cum.ck GROUP BY 1, 2, 3, 4),
+          |fr AS (SELECT test_id, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS x,
+          |  CAST(length(bin(vocab)) - 1 AS BIGINT) AS y FROM withv),
+          |st AS (
+          |  SELECT test_id, CAST(count(*) AS BIGINT) AS n_fit, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+          |    CAST(sum(x*y) AS BIGINT) AS sxy FROM fr GROUP BY 1),
+          |sl AS (
+          |  SELECT test_id, CASE WHEN n_fit * sxx - sx * sx = 0 THEN 0
+          |    ELSE ((n_fit * sxy - sx * sy) * 1000000
+          |      - (((n_fit * sxy - sx * sy) * 1000000 % (n_fit * sxx - sx * sx)
+          |          + (n_fit * sxx - sx * sx)) % (n_fit * sxx - sx * sx)))
+          |      // (n_fit * sxx - sx * sx) END AS slope_e6
+          |  FROM st)
+          |SELECT withv.test_id, ck, n_docs, n_tokens, vocab, CAST(slope_e6 AS BIGINT) AS slope_e6
+          |FROM withv JOIN sl ON sl.test_id = withv.test_id
+          |ORDER BY withv.test_id, ck""".stripMargin,
+
       "x186_zipf_fit" ->
         """WITH w AS (
           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
