@@ -380,7 +380,9 @@ object ScaleProbe {
       "x202_hrw_rebalance",
       // Heaps fit: one corpus explode into a vocab-bound min-agg; all
       // cumulative/fit math on <=16-row tables
-      "x203_heaps_fit"
+      "x203_heaps_fit",
+      // mojibake: per-row byte-codec map over the 16x docs, no shuffle
+      "x204_mojibake"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

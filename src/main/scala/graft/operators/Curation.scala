@@ -62,7 +62,80 @@ object Curation {
       "<PHONE>"
     )
 
+  /** Mojibake repair (x204): if every char of `u` fits one byte and that
+    * byte string is STRICTLY valid UTF-8 decoding to something else, `u`
+    * is a Latin-1 misread of UTF-8 text — return the repair. Strictness
+    * is the whole detector: a genuine Latin-1 'é' mid-ASCII is an invalid
+    * UTF-8 lead byte, so clean accented text never false-positives; only
+    * the characteristic Ã/Â two-byte shapes decode. (A document that
+    * legitimately CONTAINS "Ã©" is indistinguishable from mojibake by
+    * construction — the inherent ambiguity of the repair, spec-pinned.)
+    * One repair pass undoes ONE layer of double-encoding; run to fixpoint
+    * for deeper stacks (the gate plants one layer). */
+  private[operators] def demojibake(u: String): Option[String] = {
+    var i = 0
+    while (i < u.length) { if (u.charAt(i) >= 0x100) return None; i += 1 }
+    val bytes = new Array[Byte](u.length)
+    i = 0
+    while (i < u.length) { bytes(i) = u.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.StandardCharsets.UTF_8
+      .newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out != u) Some(out) else None
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mojibake detection + repair (x204) — the encoding-hygiene stage a
+    // web corpus needs before any text operator (CP1252/Latin-1 misreads
+    // of UTF-8 are the dominant encoding corruption in crawled text):
+    // every doc gets a Latin-1 suffix appended (" café ü straße" — the
+    // corpus is pure ASCII, where misreads are invisible by identity),
+    // and the doc_id % 7 == 3 stripe is then CORRUPTED in-query by the
+    // exact misread transform (chars := UTF-8 bytes, the x101/x94
+    // plant-in-query class). [[demojibake]] must repair EXACTLY the
+    // stripe: genuine Latin-1 accents are invalid UTF-8 lead bytes, so
+    // the clean rows prove the no-false-positive half. The oracle
+    // rebuilds every field from the plant formulas (dirty length =
+    // octet_length of the clean text — the misread's char count IS the
+    // byte count). Per-row mapPartitions, zero shuffles before the sort.
+    "x204_mojibake" -> ((s, d) => {
+      val schema = StructType(
+        Seq(
+          StructField("doc_id", LongType),
+          StructField("mojibake", BooleanType),
+          StructField("dirty_chars", LongType),
+          StructField("clean_chars", LongType),
+          StructField("clean_md5", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      val suffix = " café ü straße"
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            val clean = r.getAs[String]("text") + suffix
+            val dirty =
+              if (id % 7 == 3) new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+              else clean
+            val (flag, repaired) = demojibake(dirty) match {
+              case Some(fixed) => (true, fixed)
+              case None => (false, dirty)
+            }
+            md.reset()
+            val hex = md.digest(repaired.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+            Row(id, flag, dirty.length.toLong, repaired.length.toLong, hex)
+          }
+        }(enc)
+        .orderBy("doc_id")
+    }),
+
     // k-anonymity release (x171, Sweeney 2002) — the data-release
     // governance verb beside x17 (PII scrub), x92 (data card) and x145
     // (erasure audit): an aggregate over quasi-identifiers (lang ×
@@ -497,6 +570,21 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    // x204: every field rebuilt from the plant formulas — the repaired
+    // text must equal the pre-corruption clean text exactly (md5), and
+    // the dirty char count equals the clean text's UTF-8 BYTE count on
+    // the corrupted stripe (the misread identity).
+    "x204_mojibake" ->
+      """WITH b AS (
+        |  SELECT doc_id, text || ' café ü straße' AS clean FROM documents)
+        |SELECT doc_id,
+        |  doc_id % 7 = 3 AS mojibake,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN octet_length(encode(clean))
+        |       ELSE length(clean) END AS BIGINT) AS dirty_chars,
+        |  CAST(length(clean) AS BIGINT) AS clean_chars,
+        |  md5(clean) AS clean_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // x184: DuckDB's own nfc_normalize is the INDEPENDENT second
     // implementation — chr() builds the same variants, so every row is a
     // cross-engine UAX #15 conformance check, not a formula echo.
