@@ -382,7 +382,10 @@ object ScaleProbe {
       // cumulative/fit math on <=16-row tables
       "x203_heaps_fit",
       // mojibake: per-row byte-codec map over the 16x docs, no shuffle
-      "x204_mojibake"
+      "x204_mojibake",
+      // Holt: monthly census agg absorbs the 16x; the recurrence runs on
+      // bounded per-series month rows
+      "x205_holt_smoothing"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -421,6 +421,50 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Holt linear exponential smoothing (x205) — the trend-aware
+    // smoother between x110's interpolation and x183's decomposition
+    // (Holt 1957: level lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ =
+    // β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁; the one-step forecast l+b is THE
+    // capacity-planning primitive): α = β = ¼ in pure integer cents —
+    // lₜ = (yₜ + 3(lₜ₋₁+bₜ₋₁)) div 4 with TRUNCATING division, which is
+    // what both Scala `/` and DuckDB `//` do on negatives (trend dips
+    // below zero on revenue declines, so sign semantics are load-bearing
+    // and the oracle's recursive CTE replays them bit-for-bit). The
+    // recurrence is inherently sequential per series, so it runs in
+    // flatMapGroups over a BOUNDED group (one row per month, ≤ ~100 —
+    // the x192 bounded-mapGroups class); the monthly census before it is
+    // an ordinary two-phase agg. 3(l+b) stays ≪ int64 at any plausible
+    // per-series monthly revenue.
+    "x205_holt_smoothing" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "orders")
+        .select(
+          col("o_orderpriority").as("pri"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("mth"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c")
+        )
+        .groupBy("pri", "mth")
+        .agg(sum("c").as("y"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (pri, it) =>
+          val rows = it.toArray.sortBy(_._2) // bounded: one row per month
+          var l = 0L
+          var b = 0L
+          rows.iterator.zipWithIndex.map { case ((_, mth, y), i) =>
+            if (i == 0) { l = y; b = 0L }
+            else {
+              val lPrev = l
+              l = (y + 3L * (l + b)) / 4L
+              b = ((l - lPrev) + 3L * b) / 4L
+            }
+            (pri, mth, y, l, b, l + b)
+          }
+        }
+        .toDF("pri", "mth", "y_cents", "level_c", "trend_c", "forecast_c")
+        .orderBy("pri", "mth")
+    }),
+
     // Group-wise SKYLINE / Pareto frontier (x200): per brand, the parts no
     // other same-brand part dominates on (retail price, size), both
     // minimized — the classic preference-query operator (Börzsönyi et al.,
@@ -494,6 +538,24 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x205: the recurrence replayed as a recursive CTE — same truncating
+    // integer division, same per-series month order.
+    "x205_holt_smoothing" ->
+      """WITH RECURSIVE y0 AS (
+        |  SELECT o_orderpriority AS pri, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |y AS (SELECT pri, mth, y, row_number() OVER (PARTITION BY pri ORDER BY mth) AS r FROM y0),
+        |h AS (
+        |  SELECT pri, r, mth, y, y AS l, CAST(0 AS BIGINT) AS b FROM y WHERE r = 1
+        |  UNION ALL
+        |  SELECT y.pri, y.r, y.mth, y.y,
+        |    (y.y + 3*(h.l + h.b)) // 4 AS l,
+        |    ((y.y + 3*(h.l + h.b)) // 4 - h.l + 3*h.b) // 4 AS b
+        |  FROM h JOIN y ON y.pri = h.pri AND y.r = h.r + 1)
+        |SELECT pri, mth, y AS y_cents, l AS level_c, b AS trend_c, l + b AS forecast_c
+        |FROM h ORDER BY pri, mth""".stripMargin,
+
     // x200: the definitional quadratic NOT EXISTS — fine at oracle SF,
     // exactly what the engine-side grid prune exists to avoid.
     "x200_skyline" ->
