@@ -385,7 +385,9 @@ object ScaleProbe {
       "x204_mojibake",
       // Holt: monthly census agg absorbs the 16x; the recurrence runs on
       // bounded per-series month rows
-      "x205_holt_smoothing"
+      "x205_holt_smoothing",
+      // IDN: per-row label decode (fixture-bound)
+      "x206_idn_decode"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

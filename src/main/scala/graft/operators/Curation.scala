@@ -136,6 +136,44 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // IDN / punycode hostname decode (x206) — x58's missing hostname
+    // face: internationalized domains hide behind RFC 3492 "xn--" ACE
+    // labels, so URL dedup keyed on the ASCII form misses unicode twins.
+    // Fixture hosts are encoded by the OFFICIAL java.net.IDN (the
+    // x198/x199 conformance split); [[graft.functions.Punycode]] decodes
+    // them from scratch — full variable-length-integer + bias-adaptation
+    // loop — and the oracle rebuilds every unicode host from the
+    // codepoint-palette formula via chr(), so one wrong insertion index
+    // or bias step anywhere flips a string. Pure-ASCII hosts pass
+    // through untouched (load-bearing negatives). Per-row map, zero
+    // shuffles before the sort.
+    "x206_idn_decode" -> ((s, _) => {
+      graft.functions.IdnFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("host_id", LongType),
+          StructField("unicode_host", StringType),
+          StructField("n_ace", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.functions.IdnFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getAs[Long]("host_id")
+            val ascii = r.getAs[String]("ascii_host")
+            graft.functions.Punycode.decodeHost(ascii) match {
+              case Some(u) =>
+                val nAce = ascii.split("\\.", -1).count(_.toLowerCase.startsWith("xn--")).toLong
+                Row(id, u, nAce)
+              case None => Row(id, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("host_id")
+    }),
+
     // k-anonymity release (x171, Sweeney 2002) — the data-release
     // governance verb beside x17 (PII scrub), x92 (data card) and x145
     // (erasure audit): an aggregate over quasi-identifiers (lang ×
@@ -584,6 +622,24 @@ object Curation {
         |  CAST(length(clean) AS BIGINT) AS clean_chars,
         |  md5(clean) AS clean_md5
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // x206: every unicode host rebuilt from the palette formula with
+    // chr() — the decode is proven against an independent construction
+    // of the plaintext, never the punycode bytes.
+    "x206_idn_decode" ->
+      """WITH zs AS (SELECT range AS z FROM range(300)),
+        |u AS (
+        |  SELECT z,
+        |    CASE WHEN z % 5 = 0 THEN 'w' || z
+        |    ELSE 'w' || z || (
+        |      SELECT string_agg(chr(list_extract([233,252,241,945,1078,2309,12354,20013],
+        |        CAST((z*7 + j*3) % 8 AS INT) + 1)), '' ORDER BY j)
+        |      FROM unnest(generate_series(0, 2 + CAST(z % 4 AS INT))) t(j))
+        |    END || '.example.com' AS host
+        |  FROM zs)
+        |SELECT z AS host_id, host AS unicode_host,
+        |  CAST(CASE WHEN z % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_ace
+        |FROM u ORDER BY host_id""".stripMargin,
 
     // x184: DuckDB's own nfc_normalize is the INDEPENDENT second
     // implementation — chr() builds the same variants, so every row is a
