@@ -387,7 +387,10 @@ object ScaleProbe {
       // bounded per-series month rows
       "x205_holt_smoothing",
       // IDN: per-row label decode (fixture-bound)
-      "x206_idn_decode"
+      "x206_idn_decode",
+      // prefix join: rarest-first prefixes keep the candidate join off
+      // hot shingles by construction over the 16x clone corpus
+      "x207_prefix_join"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -238,6 +238,102 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Prefix-filtering set-similarity join (x207) — the PROVABLY COMPLETE
+    // scale algorithm for threshold Jaccard joins (Chaudhuri et al. ICDE
+    // 2006 / AllPairs; x02's inverted index caps hot shingles at df≤50,
+    // a lossy heuristic — this one indexes only each doc's
+    // s − ⌈τs⌉ + 1 globally-RAREST shingles and misses nothing):
+    // J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets with
+    // intersection ≥ α must collide inside their (size − α + 1)-prefixes
+    // under any shared total order; per-set α = ⌈τ·s⌉ only lengthens the
+    // smaller set's prefix, so prefix×prefix candidates are complete.
+    // Rarest-first ordering makes prefixes hot-token-free BY CONSTRUCTION
+    // (the df cap x02 needs becomes a theorem). Candidates then verify
+    // with one exact intersection count. Scale shape, in order of what
+    // actually matters on a clone-heavy corpus (the 16× probe's
+    // deliberate worst case, where the first draft went quadratic):
+    //   1. EXACT-SET COLLAPSE first — identical shingle sets (exact and
+    //      boilerplate dups, the dominant mass after web crawling) fold
+    //      to one representative before any join, and their pairs come
+    //      back at J=1 by expansion afterward. Clone groups therefore
+    //      cost O(group) in the join and O(output) in the expansion —
+    //      the output-bound optimum, since a pair-listing join can never
+    //      beat its own output size.
+    //   2. The LENGTH filter (J ≥ τ ⇒ min·1e6 ≥ τ·max) prunes candidates
+    //      before the intersection join.
+    //   3. The global shingle order is a window over the VOCAB-BOUNDED
+    //      df census; prefixes are a per-doc top-k window; all joins are
+    //      equi-joins on shingle/doc keys.
+    "x207_prefix_join" -> ((s, d) => {
+      val tau = 600000L // τ = 0.6 in e6
+      val sh0 = table(s, d, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+            .as("tok")
+        )
+        .distinct()
+        .localCheckpoint() // refs: signature + rep shingles
+      // identical sets → one representative (min doc id per signature)
+      val members = sh0
+        .groupBy("doc_id")
+        // a newline cannot appear inside a shingle (tokens come from a
+        // \\s+ split), so the joined signature is collision-free per set
+        .agg(md5(concat_ws("\n", array_sort(collect_list("tok")))).as("sig"))
+        .withColumn("rep", min("doc_id").over(Window.partitionBy("sig")))
+        .select("doc_id", "rep")
+        .localCheckpoint() // refs: rep filter + two expansion legs
+      val sh = sh0
+        .join(members.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+        .localCheckpoint() // refs: sizes, df census, prefix, verify ×2
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val ranked = sh
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        // vocab-bounded census: the single-partition window class
+        .withColumn("r", row_number().over(Window.orderBy(col("df"), col("tok"))).cast("long"))
+        .select("tok", "r")
+      val wDoc = Window.partitionBy("doc_id").orderBy("r")
+      val prefix = sh
+        .join(ranked, "tok")
+        .join(sz, "doc_id")
+        .withColumn("pos", row_number().over(wDoc).cast("long"))
+        .where(col("pos") <= expr(s"sz - (sz * $tau + 999999) div 1000000 + 1"))
+        .select(col("doc_id"), col("tok"))
+        .localCheckpoint() // self-joined
+      val cand = prefix
+        .select(col("doc_id").as("a"), col("tok"))
+        .join(prefix.select(col("doc_id").as("b"), col("tok")), "tok")
+        .where(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+        .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+        .where(expr(s"least(sa, sb) * 1000000 >= $tau * greatest(sa, sb)")) // length filter
+      val repPairs = cand
+        .join(sh.select(col("doc_id").as("a"), col("tok")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("tok")), Seq("b", "tok"))
+        .groupBy("a", "b", "sa", "sb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac_e6", expr("inter * 1000000 div (sa + sb - inter)"))
+        .where(col("jac_e6") >= tau)
+        .select("a", "b", "jac_e6")
+      // expansion: cross-group pairs inherit the rep pair's J; same-group
+      // pairs are exact duplicates (J = 1) by definition
+      val cross = repPairs
+        .join(members.select(col("rep").as("a"), col("doc_id").as("da")), "a")
+        .join(members.select(col("rep").as("b"), col("doc_id").as("db")), "b")
+        .select(least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"), col("jac_e6"))
+      val within = members
+        .select(col("rep"), col("doc_id").as("da"))
+        .join(members.select(col("rep"), col("doc_id").as("db")), "rep")
+        .where(col("da") < col("db"))
+        .select(col("da").as("a"), col("db").as("b"), lit(1000000L).as("jac_e6"))
+      cross.unionByName(within).orderBy("a", "b")
+    }),
+
     // ---- exact dedup: one hash-aggregate pass ------------------------------
     "x01_dedup_exact" -> ((s, d) => {
       table(s, d, "documents")
@@ -884,6 +980,23 @@ object Dedup {
   }
 
   def oracles: Map[String, String] = Map(
+    // x207: the definitional quadratic ground truth — every pair, exact
+    // Jaccard, no filter. The engine's prefix filter must find EXACTLY
+    // this set (completeness is the theorem under test).
+    "x207_prefix_join" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |t AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+        |      FROM w, unnest(generate_series(1, len(w) - 2)) u(i)
+        |      WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, CAST(i * 1000000 // (sa.sz + sb.sz - i) AS BIGINT) AS jac_e6
+        |FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
+        |WHERE i * 1000000 // (sa.sz + sb.sz - i) >= 600000
+        |ORDER BY a, b""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_texts,
         |  count(*) - count(DISTINCT md5(text)) AS dup_docs FROM documents""".stripMargin,
