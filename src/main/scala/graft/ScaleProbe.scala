@@ -390,7 +390,10 @@ object ScaleProbe {
       "x206_idn_decode",
       // prefix join: rarest-first prefixes keep the candidate join off
       // hot shingles by construction over the 16x clone corpus
-      "x207_prefix_join"
+      "x207_prefix_join",
+      // AMS: one census with map-side combine; 31x explode of the
+      // vocab-bounded census only
+      "x208_ams_f2"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

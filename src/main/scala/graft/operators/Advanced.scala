@@ -722,6 +722,50 @@ object Advanced {
         )
         .orderBy("item")
     }),
+    // AMS / tug-of-war F₂ sketch (x208, Alon–Matias–Szegedy 1996) — the
+    // fourth sketch verb: F₂ = Σ f_x² is the self-join size, THE
+    // cardinality the join-order planner needs (x132 estimates a
+    // two-table join; F₂ is the self-join/skew moment). Estimator j:
+    // Z_j = Σ_x f_x·s_j(x) with md5-parity signs s_j ∈ {±1}; Z_j² is
+    // unbiased for F₂ and the MEDIAN of 31 estimators concentrates.
+    // Everything integer: signs from the md5-window parity, Z exact,
+    // Z² in DECIMAL(38,0) (Z is F₁-bounded: ~1e12 at corpus scale →
+    // Z² overflows int64, the x25 headroom class). Scale shape: ONE
+    // frequency census with map-side combine (the sketch's streaming
+    // form would shuffle J× the raw stream; census-first is strictly
+    // cheaper), then a 31× explode of the VOCAB-BOUNDED census and a
+    // 31-group agg; the median is a bounded 31-row window.
+    "x208_ams_f2" -> ((s, d) => {
+      val j = 31 // odd → exact integer median, no interpolation
+      val census = table(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("f"))
+        .localCheckpoint() // two refs: exact F2 + estimators
+      val exact = census.agg(sum(expr("CAST(f AS DECIMAL(38,0)) * f")).cast("decimal(38,0)").as("exact_f2"))
+      val est = census
+        .select(col("k"), col("f"), explode(expr(s"sequence(0, ${j - 1})")).as("j"))
+        .withColumn(
+          "sgn",
+          expr("1 - 2 * pmod(CAST(conv(substring(md5(concat(CAST(k AS STRING), '#', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT), 2)")
+        )
+        .groupBy("j")
+        .agg(sum(col("f") * col("sgn")).as("z"))
+        .withColumn("z2", expr("CAST(z AS DECIMAL(38,0)) * z"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("z2"), col("j"))).cast("long"))
+        .where(col("rn") === lit((j + 1) / 2))
+        .select(col("z2").as("ams_est"))
+      // gate output in BIGINT (both fit easily at gate SF; the DECIMAL
+      // headroom is for the ACCUMULATION, which is where corpus-scale
+      // magnitudes live — DuckDB's decimal `//` also drifts a ULP)
+      exact
+        .crossJoin(broadcast(est))
+        .select(
+          col("exact_f2").cast("long").as("exact_f2"),
+          col("ams_est").cast("long").as("ams_est")
+        )
+        .withColumn("abs_err_e6", expr("abs(ams_est - exact_f2) * 1000000 div exact_f2"))
+    }),
+
     // Count-min frequency sketch (x107) — the third native mergeable
     // aggregate (KMV = distinct, Misra–Gries = membership of heavy items,
     // count-min = frequency ESTIMATES). Counters are pure sums, so unlike
@@ -2121,6 +2165,23 @@ object Advanced {
   }
 
   def oracles: Map[String, String] = Map(
+    // x208: the identical census → md5-parity signs → 31 estimators →
+    // median replay; both engines carry Z² in DECIMAL(38,0).
+    "x208_ams_f2" ->
+      """WITH census AS (SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+        |exact AS (
+        |  SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS DECIMAL(38,0)) AS exact_f2 FROM census),
+        |e AS (
+        |  SELECT j,
+        |    sum(f * (1 - 2 * (('0x' || substr(md5(k::VARCHAR || '#' || j::VARCHAR), 1, 15))::BIGINT % 2))) AS z
+        |  FROM census, unnest(generate_series(0, 30)) t(j) GROUP BY j),
+        |m AS (
+        |  SELECT CAST(CAST(z AS DECIMAL(38,0)) * z AS DECIMAL(38,0)) AS z2, j,
+        |    row_number() OVER (ORDER BY CAST(z AS DECIMAL(38,0)) * z, j) AS rn FROM e)
+        |SELECT CAST(exact_f2 AS BIGINT) AS exact_f2, CAST(z2 AS BIGINT) AS ams_est,
+        |  abs(CAST(z2 AS BIGINT) - CAST(exact_f2 AS BIGINT)) * 1000000 // CAST(exact_f2 AS BIGINT) AS abs_err_e6
+        |FROM exact, m WHERE rn = 16""".stripMargin,
+
     // the same pack/OR/popcount pipeline in SQL, plus the plain
     // count(DISTINCT) twin — bitmap-exactness proven per group
     "x96_bitmap_distinct" ->
