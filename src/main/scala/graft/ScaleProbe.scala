@@ -393,7 +393,11 @@ object ScaleProbe {
       "x207_prefix_join",
       // AMS: one census with map-side combine; 31x explode of the
       // vocab-bounded census only
-      "x208_ams_f2"
+      "x208_ams_f2",
+      // Luhn: per-row regex + digit aggregate, no shuffle
+      "x209_luhn_redact",
+      // Benford: one census agg; everything after is 9 rows
+      "x210_benford"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -421,6 +421,41 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Benford first-digit audit (x210) — the forensic data-quality test
+    // (Benford 1938; Nigrini's fraud-audit standard): natural
+    // multiplicative data has P(d) = log10(1+1/d); engineered or
+    // range-clipped data (TPC-H prices are exactly that) fails loudly.
+    // Expected masses are the PUBLISHED constants quantized to e6
+    // (⌊1e6·log10(1+1/d)⌋ — hardcoded identically in the oracle, no
+    // libm at query time); the statistic is the integer chi-square form
+    // Σ (obs_e6 − exp_e6)² div exp_e6. The fixture's verdict is real:
+    // uniform-range prices pile into digits 1–4 and the stat explodes
+    // vs a Benford-conforming synthetic (spec-pinned). One census agg +
+    // 9-row arithmetic; nothing data-sized past the first shuffle.
+    "x210_benford" -> ((s, d) => {
+      val expTable = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+      val expCase = expTable.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+        .mkString("CASE d ", " ", " END")
+      val census = table(s, d, "orders")
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("d"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // two refs: total + rows
+      val tot = census.agg(sum("n").as("nn"))
+      val rows = census
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_e6", expr("n * 1000000 div nn"))
+        .withColumn("exp_e6", expr(expCase))
+        .localCheckpoint() // two refs: stat + output
+      val stat = rows
+        .agg(sum(expr("(obs_e6 - exp_e6) * (obs_e6 - exp_e6) div exp_e6")).as("benford_stat"))
+      rows
+        .crossJoin(broadcast(stat))
+        .select("d", "n", "obs_e6", "exp_e6", "benford_stat")
+        .orderBy("d")
+    }),
+
     // Holt linear exponential smoothing (x205) — the trend-aware
     // smoother between x110's interpolation and x183's decomposition
     // (Holt 1957: level lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ =
@@ -538,6 +573,22 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x210: identical census + hardcoded published constants + the same
+    // integer chi-square fold.
+    "x210_benford" ->
+      """WITH e(d, exp_e6) AS (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+        |  (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |r AS (
+        |  SELECT c.d, c.n, n * 1000000 // nn AS obs_e6, CAST(exp_e6 AS BIGINT) AS exp_e6
+        |  FROM c JOIN e ON e.d = c.d, t),
+        |st AS (SELECT CAST(sum((obs_e6 - exp_e6) * (obs_e6 - exp_e6) // exp_e6) AS BIGINT) AS benford_stat FROM r)
+        |SELECT d, n, obs_e6, exp_e6, benford_stat FROM r, st ORDER BY d""".stripMargin,
+
     // x205: the recurrence replayed as a recursive CTE — same truncating
     // integer division, same per-series month order.
     "x205_holt_smoothing" ->

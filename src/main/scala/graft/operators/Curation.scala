@@ -174,6 +174,52 @@ object Curation {
         .orderBy("host_id")
     }),
 
+    // Luhn-validated payment-card redaction (x209) — the PRECISION
+    // upgrade of x17's pattern scrub: a bare 13–19-digit regex
+    // false-positives on order numbers and tracking ids, so production
+    // PII scrubbers gate the redaction on the Luhn checksum (ISO/IEC
+    // 7812), which a random digit run fails 9 times in 10. Both plants
+    // are in-query (the x204 class): a Luhn-VALID card lands on the
+    // id%11==5 stripe (must redact) and a checksum-INVALID twin — same
+    // digits, last digit bumped — on id%11==7 (must NOT redact: the
+    // false-positive control). The checksum is one codegen'd
+    // aggregate() over the digit positions — no UDF; the oracle replays
+    // digit-for-digit. Per-row expressions, zero shuffles before the
+    // sort.
+    "x209_luhn_redact" -> ((s, d) => {
+      val luhnSum =
+        "aggregate(sequence(0, length(cand) - 1), 0, (acc, i) -> acc + " +
+          "IF(i % 2 = 1, " +
+          "IF(2 * CAST(substring(cand, length(cand) - i, 1) AS INT) > 9, " +
+          "2 * CAST(substring(cand, length(cand) - i, 1) AS INT) - 9, " +
+          "2 * CAST(substring(cand, length(cand) - i, 1) AS INT)), " +
+          "CAST(substring(cand, length(cand) - i, 1) AS INT)))"
+      table(s, d, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 11 === 5, lit(" card 4539578763621486 on file"))
+              .when(col("doc_id") % 11 === 7, lit(" ref 4539578763621487 code"))
+              .otherwise(lit(""))
+          ).as("t")
+        )
+        .withColumn("cand", regexp_extract(col("t"), "([0-9]{13,19})", 1))
+        .withColumn("cc_found", col("cand") =!= "")
+        .withColumn(
+          "luhn_valid",
+          col("cc_found") && expr(s"$luhnSum % 10 = 0")
+        )
+        .select(
+          col("doc_id"),
+          col("cc_found"),
+          col("luhn_valid"),
+          md5(when(col("luhn_valid"), regexp_replace(col("t"), "[0-9]{13,19}", "<CC>")).otherwise(col("t")))
+            .as("redacted_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
     // k-anonymity release (x171, Sweeney 2002) — the data-release
     // governance verb beside x17 (PII scrub), x92 (data card) and x145
     // (erasure audit): an aggregate over quasi-identifiers (lang ×
@@ -640,6 +686,31 @@ object Curation {
         |SELECT z AS host_id, host AS unicode_host,
         |  CAST(CASE WHEN z % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_ace
         |FROM u ORDER BY host_id""".stripMargin,
+
+    // x209: identical plant + digit-for-digit Luhn replay; the invalid
+    // twin must hash as UNREDACTED text.
+    "x209_luhn_redact" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 11 = 5 THEN ' card 4539578763621486 on file'
+        |                 WHEN doc_id % 11 = 7 THEN ' ref 4539578763621487 code'
+        |                 ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, regexp_extract(t, '([0-9]{13,19})', 1) AS cand FROM b),
+        |v AS (
+        |  SELECT doc_id, t, cand, cand <> '' AS cc_found,
+        |    cand <> '' AND coalesce(list_sum(list_transform(range(length(cand)), i ->
+        |      CASE WHEN i % 2 = 1 THEN
+        |        CASE WHEN 2 * CAST(substr(cand, length(cand) - CAST(i AS INT), 1) AS INT) > 9
+        |             THEN 2 * CAST(substr(cand, length(cand) - CAST(i AS INT), 1) AS INT) - 9
+        |             ELSE 2 * CAST(substr(cand, length(cand) - CAST(i AS INT), 1) AS INT) END
+        |      ELSE CAST(substr(cand, length(cand) - CAST(i AS INT), 1) AS INT) END)), 1) % 10 = 0
+        |      AS luhn_valid
+        |  FROM c)
+        |SELECT doc_id, cc_found, luhn_valid,
+        |  md5(CASE WHEN luhn_valid THEN regexp_replace(t, '[0-9]{13,19}', '<CC>', 'g') ELSE t END)
+        |    AS redacted_md5
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // x184: DuckDB's own nfc_normalize is the INDEPENDENT second
     // implementation — chr() builds the same variants, so every row is a
