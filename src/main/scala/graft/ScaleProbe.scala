@@ -397,7 +397,9 @@ object ScaleProbe {
       // Luhn: per-row regex + digit aggregate, no shuffle
       "x209_luhn_redact",
       // Benford: one census agg; everything after is 9 rows
-      "x210_benford"
+      "x210_benford",
+      // resample: per-payload integer interpolation (fixture-bound)
+      "x211_audio_resample"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

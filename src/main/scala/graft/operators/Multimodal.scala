@@ -950,6 +950,38 @@ object Multimodal {
     // REAL PCM sample decode: WAV data bytes → signed samples → integer
     // loudness features (Σ|s|, peak). Oracle recomputes from the fixture's
     // closed-form byte formula — again first-principles, not an echo.
+    // 16 kHz resample (x211) — the rate-normalization pass between x34's
+    // raw features and any model: channel-0 16-bit samples linearly
+    // interpolated onto the 16 kHz grid in EXACT integers (positions by
+    // div/mod, truncating division both engines). The oracle replays the
+    // resample from the fixture's closed-form sample formula — the
+    // positional checksum means one swapped or off-by-one sample flips
+    // the hash. 8-bit payloads drop (rate conversion is a 16-bit-path
+    // operator here); per-payload mapPartitions, no shuffle.
+    "x211_audio_resample" -> ((s, _) => {
+      graft.sources.AudioFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("n_out", LongType),
+          StructField("sum_abs", LongType),
+          StructField("peak", LongType),
+          StructField("poschk", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.AudioFixture.payloadPath)
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            graft.sources.AudioMeta.resample16k(r.getAs[Array[Byte]]("payload")).map {
+              case (n, sum, peak, chk) => Row(r.getAs[Long]("audio_id"), n, sum, peak, chk)
+            }
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
+
     "x34_audio_pcm_features" -> ((s, _) => {
       graft.sources.AudioFixture.ensure(s)
       val schema = StructType(
@@ -1679,6 +1711,26 @@ object Multimodal {
         |FROM px GROUP BY id, t ORDER BY video_id, frame_idx""".stripMargin,
     // first-principles PCM oracle: the synthesizer's byte formula
     // b_k = (id*17 + 3k) % 121, reassembled into u8-biased / s16le samples
+    // x211: the resample replayed from the closed-form sample formula —
+    // same div/mod positions, same truncating interpolation.
+    "x211_audio_resample" ->
+      """WITH t AS (
+        |  SELECT audio_id AS id, sample_rate AS rate, channels AS ch
+        |  FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet' WHERE bits = 16),
+        |n AS (SELECT id, rate, ch, 50 + (id * 37) % 3000 AS frames FROM t),
+        |o AS (SELECT id, rate, ch, frames, (frames - 1) * 16000 // rate + 1 AS nout FROM n),
+        |jj AS (SELECT id, rate, ch, nout, unnest(range(nout)) AS j FROM o),
+        |p AS (SELECT id, ch, nout, j, (j * rate) // 16000 AS idx, (j * rate) % 16000 AS frac FROM jj),
+        |v AS (SELECT id, nout, j, frac,
+        |  ((id*17 + 6*ch*idx) % 121) + 256*((id*17 + 6*ch*idx + 3) % 121) AS x0,
+        |  ((id*17 + 6*ch*(idx+1)) % 121) + 256*((id*17 + 6*ch*(idx+1) + 3) % 121) AS x1
+        |  FROM p),
+        |y AS (SELECT id, nout, j, x0 + (x1 - x0) * frac // 16000 AS y FROM v)
+        |SELECT id AS audio_id, CAST(max(nout) AS BIGINT) AS n_out,
+        |  CAST(sum(abs(y)) AS BIGINT) AS sum_abs, CAST(max(abs(y)) AS BIGINT) AS peak,
+        |  CAST(sum((j + 1) * y) AS BIGINT) AS poschk
+        |FROM y GROUP BY id ORDER BY audio_id""".stripMargin,
+
     "x34_audio_pcm_features" ->
       """WITH t AS (
         |  SELECT audio_id AS id, channels, bits

@@ -81,6 +81,53 @@ object AudioMeta {
     }
   }
 
+  /** REAL rate conversion (x211): channel-0 16-bit samples linearly
+    * resampled to 16 kHz — the normalization step every audio-training
+    * pipeline runs before feature extraction (mixed-rate corpora are the
+    * norm; models want one rate). Exact integer arithmetic: output j
+    * sits at rational input position j·rate/16000, split by div/mod;
+    * y = x[idx] + (x[idx+1] − x[idx])·frac div 16000 with TRUNCATING
+    * division (matches DuckDB's `//`, the x205 pin). Upsampling (8 kHz)
+    * interpolates, downsampling (22.05/44.1/48 kHz) decimates through
+    * the same formula. Returns (n_out, Σ|y|, max|y|, Σ(j+1)·y — the
+    * positional checksum that pins sample ORDER). */
+  def resample16k(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    parse(b).filter(m => m.bitsPerSample == 16 && m.channels >= 1).flatMap { m =>
+      var i = 12
+      var dataOfs = -1
+      while (i + 8 <= b.length && dataOfs < 0) {
+        val len = u32le(b, i + 4)
+        if (len > b.length - (i + 8)) return None
+        if (tag(b, i) == "data") dataOfs = i + 8
+        else i += 8 + len.toInt + (len.toInt & 1)
+      }
+      val frames = (m.dataBytes / (2L * m.channels)).toInt
+      if (dataOfs < 0 || dataOfs.toLong + m.dataBytes > b.length || frames < 1) None
+      else {
+        def x(j: Int): Long = u16le(b, dataOfs + 2 * (j * m.channels)).toShort.toLong
+        val r = m.sampleRate.toLong
+        val nOut = (frames - 1).toLong * 16000L / r + 1L
+        var j = 0L
+        var sum = 0L
+        var peak = 0L
+        var chk = 0L
+        while (j < nOut) {
+          val num = j * r
+          val idx = (num / 16000L).toInt
+          val frac = num % 16000L
+          val x0 = x(idx)
+          val y = if (frac == 0L) x0 else x0 + (x(idx + 1) - x0) * frac / 16000L
+          val a = math.abs(y)
+          sum += a
+          if (a > peak) peak = a
+          chk += (j + 1) * y
+          j += 1
+        }
+        Some((nOut, sum, peak, chk))
+      }
+    }
+  }
+
   private def le32(v: Long): Array[Byte] = Riff.le32(v)
   private def le16(v: Int): Array[Byte] = Riff.le16(v)
 
