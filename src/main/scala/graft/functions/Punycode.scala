@@ -109,6 +109,9 @@ object Punycode {
     while (j < labels.length) {
       val l = labels(j)
       if (l.length >= 4 && l.substring(0, 4).equalsIgnoreCase("xn--")) {
+        // bare "xn--" (empty body) is a structural lie, not an empty
+        // label — decodeLabel would vacuously return "" (review-found)
+        if (l.length == 4) return None
         decodeLabel(l.substring(4)) match {
           case Some(u) => out(j) = u
           case None => return None

@@ -439,6 +439,10 @@ object Analytic {
         .mkString("CASE d ", " ", " END")
       val census = table(s, d, "orders")
         .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("d"))
+        // Benford is defined on leading digits 1..9; zero/negative
+        // amounts fall outside the law (the oracle's constants join
+        // drops them — match explicitly, review-found)
+        .where(col("d").between(1, 9))
         .groupBy("d")
         .agg(count(lit(1)).as("n"))
         .localCheckpoint() // two refs: total + rows
@@ -546,6 +550,7 @@ object Analytic {
         // exact integer buckets for the half-open-interval argument
         .withColumn("cx", expr(s"(price_c - minp) * $g DIV (maxp - minp + 1)"))
         .withColumn("cy", expr(s"(size_v - mins) * $g DIV (maxs - mins + 1)"))
+        .localCheckpoint() // two refs: census + survivor filter (review-found)
       val census = cells.groupBy("brand", "cx", "cy").agg(count(lit(1)).as("n"))
       val stairW = Window.partitionBy("brand").orderBy("cx").rangeBetween(Window.unboundedPreceding, -1)
       val kept = census
@@ -555,6 +560,7 @@ object Analytic {
       val surv = cells
         .join(broadcast(kept), Seq("brand", "cx", "cy"), "left_semi")
         .select("brand", "p_partkey", "price_c", "size_v")
+        .localCheckpoint() // two refs: anti-join probe + build (review-found)
       val dom = surv.select(
         col("brand").as("d_brand"),
         col("price_c").as("d_price"),

@@ -130,7 +130,16 @@ object Curation {
             }
             md.reset()
             val hex = md.digest(repaired.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-            Row(id, flag, dirty.length.toLong, repaired.length.toLong, hex)
+            // codePointCount, not String.length: the oracle's length()
+            // counts CODEPOINTS, and astral chars (which the repair
+            // handles — 4-byte UTF-8) are 2 UTF-16 units (review-found)
+            Row(
+              id,
+              flag,
+              dirty.codePointCount(0, dirty.length).toLong,
+              repaired.codePointCount(0, repaired.length).toLong,
+              hex
+            )
           }
         }(enc)
         .orderBy("doc_id")

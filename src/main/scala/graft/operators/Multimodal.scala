@@ -950,6 +950,29 @@ object Multimodal {
     // REAL PCM sample decode: WAV data bytes → signed samples → integer
     // loudness features (Σ|s|, peak). Oracle recomputes from the fixture's
     // closed-form byte formula — again first-principles, not an echo.
+    "x34_audio_pcm_features" -> ((s, _) => {
+      graft.sources.AudioFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("audio_id", LongType),
+          StructField("n_samples", LongType),
+          StructField("sum_abs", LongType),
+          StructField("peak", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.AudioFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            graft.sources.AudioMeta.pcmFeatures(r.getAs[Array[Byte]]("payload")) match {
+              case Some((n, sumAbs, peak)) => Row(r.getAs[Long]("audio_id"), n, sumAbs, peak)
+              case None => Row(r.getAs[Long]("audio_id"), null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("audio_id")
+    }),
     // 16 kHz resample (x211) — the rate-normalization pass between x34's
     // raw features and any model: channel-0 16-bit samples linearly
     // interpolated onto the 16 kHz grid in EXACT integers (positions by
@@ -982,29 +1005,6 @@ object Multimodal {
         .orderBy("audio_id")
     }),
 
-    "x34_audio_pcm_features" -> ((s, _) => {
-      graft.sources.AudioFixture.ensure(s)
-      val schema = StructType(
-        Seq(
-          StructField("audio_id", LongType),
-          StructField("n_samples", LongType),
-          StructField("sum_abs", LongType),
-          StructField("peak", LongType)
-        )
-      )
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      s.read
-        .parquet(graft.sources.AudioFixture.payloadPath)
-        .mapPartitions { it =>
-          it.map { r =>
-            graft.sources.AudioMeta.pcmFeatures(r.getAs[Array[Byte]]("payload")) match {
-              case Some((n, sumAbs, peak)) => Row(r.getAs[Long]("audio_id"), n, sumAbs, peak)
-              case None => Row(r.getAs[Long]("audio_id"), null, null, null)
-            }
-          }
-        }(enc)
-        .orderBy("audio_id")
-    }),
     // REAL compressed-audio sample decode: IMA ADPCM (WAVE tag 0x11) —
     // container parse + the spec's integer predictor state machine over
     // 4-bit nibbles (sources/AdpcmAudio). The fixture's nibble stream and
@@ -1711,6 +1711,21 @@ object Multimodal {
         |FROM px GROUP BY id, t ORDER BY video_id, frame_idx""".stripMargin,
     // first-principles PCM oracle: the synthesizer's byte formula
     // b_k = (id*17 + 3k) % 121, reassembled into u8-biased / s16le samples
+    "x34_audio_pcm_features" ->
+      """WITH t AS (
+        |  SELECT audio_id AS id, channels, bits
+        |  FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet'),
+        |n AS (SELECT id, bits, (50 + (id * 37) % 3000) * channels AS total FROM t),
+        |s AS (SELECT id, bits, total, unnest(range(total)) AS m FROM n),
+        |v AS (
+        |  SELECT id, total, CASE WHEN bits = 16
+        |    THEN abs(((id * 17 + 6 * m) % 121) + 256 * ((id * 17 + 6 * m + 3) % 121))
+        |    ELSE abs(((id * 17 + 3 * m) % 121) - 128) END AS a
+        |  FROM s)
+        |SELECT id AS audio_id, CAST(max(total) AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS peak
+        |FROM v GROUP BY id ORDER BY audio_id""".stripMargin,
+
     // x211: the resample replayed from the closed-form sample formula —
     // same div/mod positions, same truncating interpolation.
     "x211_audio_resample" ->
@@ -1731,20 +1746,6 @@ object Multimodal {
         |  CAST(sum((j + 1) * y) AS BIGINT) AS poschk
         |FROM y GROUP BY id ORDER BY audio_id""".stripMargin,
 
-    "x34_audio_pcm_features" ->
-      """WITH t AS (
-        |  SELECT audio_id AS id, channels, bits
-        |  FROM '/root/repo/spark-warehouse/graft_audio/twin/*.parquet'),
-        |n AS (SELECT id, bits, (50 + (id * 37) % 3000) * channels AS total FROM t),
-        |s AS (SELECT id, bits, total, unnest(range(total)) AS m FROM n),
-        |v AS (
-        |  SELECT id, total, CASE WHEN bits = 16
-        |    THEN abs(((id * 17 + 6 * m) % 121) + 256 * ((id * 17 + 6 * m + 3) % 121))
-        |    ELSE abs(((id * 17 + 3 * m) % 121) - 128) END AS a
-        |  FROM s)
-        |SELECT id AS audio_id, CAST(max(total) AS BIGINT) AS n_samples,
-        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS peak
-        |FROM v GROUP BY id ORDER BY audio_id""".stripMargin,
     // the IMA ADPCM decode recurrence replayed from the fixture formulas:
     // cfg = per-(audio, block) initial predictor/step-index; the recursive
     // CTE runs one predictor step per nibble j (low-nibble-first order is

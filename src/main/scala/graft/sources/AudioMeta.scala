@@ -49,18 +49,25 @@ object AudioMeta {
     * loudness/clipping first pass of an audio curation pipeline. The x34
     * oracle recomputes these from the fixture's closed-form sample formula,
     * so a gate match proves the byte-level PCM decode arithmetic itself. */
+  /** Offset of the `data` chunk payload, with the same structural-lie /
+    * Int-overflow guard as [[Riff.walk]] (one definition — pcmFeatures
+    * and resample16k previously carried verbatim copies, review-found). */
+  private def dataOffset(b: Array[Byte]): Option[Int] = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val len = u32le(b, i + 4)
+      if (len > b.length - (i + 8)) return None
+      if (tag(b, i) == "data") return Some(i + 8)
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    None
+  }
+
   def pcmFeatures(b: Array[Byte]): Option[(Long, Long, Long)] = {
     val meta = parse(b).filter(m => m.bitsPerSample == 8 || m.bitsPerSample == 16)
     meta.flatMap { m =>
       // locate the data chunk again (parse only kept its length)
-      var i = 12
-      var dataOfs = -1
-      while (i + 8 <= b.length && dataOfs < 0) {
-        val len = u32le(b, i + 4)
-        if (len > b.length - (i + 8)) return None // Riff.walk's overflow guard
-        if (tag(b, i) == "data") dataOfs = i + 8
-        else i += 8 + len.toInt + (len.toInt & 1)
-      }
+      val dataOfs = dataOffset(b).getOrElse(-1)
       val n = m.dataBytes.toInt / (m.bitsPerSample / 8)
       if (dataOfs < 0 || dataOfs.toLong + m.dataBytes > b.length) None
       else {
@@ -93,14 +100,7 @@ object AudioMeta {
     * positional checksum that pins sample ORDER). */
   def resample16k(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
     parse(b).filter(m => m.bitsPerSample == 16 && m.channels >= 1).flatMap { m =>
-      var i = 12
-      var dataOfs = -1
-      while (i + 8 <= b.length && dataOfs < 0) {
-        val len = u32le(b, i + 4)
-        if (len > b.length - (i + 8)) return None
-        if (tag(b, i) == "data") dataOfs = i + 8
-        else i += 8 + len.toInt + (len.toInt & 1)
-      }
+      val dataOfs = dataOffset(b).getOrElse(-1)
       val frames = (m.dataBytes / (2L * m.channels)).toInt
       if (dataOfs < 0 || dataOfs.toLong + m.dataBytes > b.length || frames < 1) None
       else {
