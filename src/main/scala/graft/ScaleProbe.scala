@@ -399,7 +399,10 @@ object ScaleProbe {
       // Benford: one census agg; everything after is 9 rows
       "x210_benford",
       // resample: per-payload integer interpolation (fixture-bound)
-      "x211_audio_resample"
+      "x211_audio_resample",
+      // islands/rank-census stats: one key shuffle + bounded windows
+      "x212_interval_merge", "x213_cohens_kappa", "x214_mannwhitney",
+      "x215_gini_tokens"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -421,6 +421,170 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Gini concentration of token mass (x215) — the inequality line of
+    // the data card (x92 counts; this measures how UNEQUALLY the token
+    // budget spreads over documents, per source and overall — a
+    // skyrocketing Gini flags a source whose mass is a few megadocs,
+    // the shape that poisons sampling): G = (2Σᵢ i·x₍ᵢ₎ − (n+1)Σx) /
+    // (n·Σx) over ascending doc token counts. Exact integers via the
+    // x214 census trick — a tie group of t docs at value v starting at
+    // position p contributes v·t·(2p + t − 1) to 2Σi·x, so no global
+    // per-doc rank ever materializes; positions cumulate over the
+    // per-source VALUE census (bounded by the token-count domain).
+    // One scan → per-doc count (map-side) → per-(source, value) census
+    // → bounded windows; the '*' overall row rides the same census.
+    "x215_gini_tokens" -> ((s, d) => {
+      val perDoc = table(s, d, "documents")
+        .select(col("source"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("v"))
+      val census = perDoc
+        .select(explode(array(col("source"), lit("*"))).as("source"), col("v"))
+        .groupBy("source", "v")
+        .agg(count(lit(1)).as("t"))
+      val wv = Window.partitionBy("source").orderBy("v")
+      census
+        .withColumn("pos", coalesce(sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+        .groupBy("source")
+        .agg(
+          sum("t").as("n_docs"),
+          sum(expr("v * t")).as("total_tokens"),
+          sum(expr("v * t * (2 * pos + t - 1)")).as("two_six")
+        )
+        .withColumn(
+          "gini_e6",
+          expr(
+            "CAST((CAST(two_six AS DECIMAL(38,0)) - (n_docs + 1) * total_tokens) * 1000000 " +
+              "div (n_docs * total_tokens) AS BIGINT)"
+          )
+        )
+        .select("source", "n_docs", "total_tokens", "gini_e6")
+        .orderBy("source")
+    }),
+
+    // Mann–Whitney U / rank-biserial effect (x214) — the nonparametric
+    // two-sample test beside x162's mean-based A/B machinery: does the
+    // 'R'-returnflag revenue distribution stochastically dominate 'N'?
+    // Midranks under ties carried in 2× units (a tie group starting at
+    // pooled position p with t members has 2·midrank = 2p + t − 1, so
+    // nothing is ever fractional); U₁(2×) = ΣR₁(2×) − n₁(n₁+1); the
+    // rank-biserial effect r = 1 − 2U/(n₁n₂) ships in e6 via a
+    // DECIMAL(38,0) product (U·1e6 is past int64 at corpus scale).
+    // Scale shape: one pooled VALUE census (map-side combine) →
+    // cumulative positions over the census (price-domain-bounded, the
+    // x186 census-window class) → one fold; the raw stream is touched
+    // once.
+    "x214_mannwhitney" -> ((s, d) => {
+      val pooled = table(s, d, "lineitem")
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(
+          col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")
+        )
+      val census = pooled
+        .groupBy("v")
+        .agg(
+          count(lit(1)).as("t"),
+          sum(when(col("g") === "R", 1L).otherwise(0L)).as("t_r")
+        )
+      val wv = Window.orderBy("v")
+      val ranked = census
+        .withColumn("pos", (coalesce(sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L))
+        .withColumn("two_mid", lit(2L) * col("pos") + col("t") - 1L)
+      ranked
+        .agg(
+          sum("t_r").as("n1"),
+          sum(expr("t - t_r")).as("n2"),
+          sum(expr("t_r * two_mid")).as("r1_2x")
+        )
+        .withColumn("u1_2x", expr("r1_2x - n1 * (n1 + 1)"))
+        .withColumn(
+          "rbc_e6",
+          expr("CAST(1000000 - CAST(u1_2x AS DECIMAL(38,0)) * 1000000 div (n1 * n2) AS BIGINT)")
+        )
+        .select("n1", "n2", "r1_2x", "u1_2x", "rbc_e6")
+    }),
+
+    // Cohen's kappa inter-rater agreement (x213) — the metric the
+    // classifier family lacks (x159 calibrates one scorer against gold;
+    // kappa asks whether two FILTERS agree beyond chance, the question
+    // every curation pipeline faces before swapping a cheap heuristic
+    // for an expensive model): raters here are the two quality-filter
+    // archetypes — length-based (≥ 40 tokens) and char-mass-based
+    // (≥ 250 chars). κ = (p_o − p_e)/(1 − p_e) with chance agreement
+    // from the marginals, all in e6 fixed point; p_e composes from
+    // per-million marginal rates (never n² — which overflows int64 at
+    // corpus scale) with the identical rounding in the oracle. Output
+    // is the full 2×2 contingency plus the agreement row. One scan, one
+    // 4-group agg; everything after is 4-row arithmetic.
+    "x213_cohens_kappa" -> ((s, d) => {
+      val cells = table(s, d, "documents")
+        .select(
+          (size(split(lower(trim(col("text"))), "\\s+")) >= 40).as("a"),
+          (col("n_chars") >= 250L).as("b")
+        )
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // two refs: totals + output
+      val tot = cells
+        .agg(
+          sum("n").as("nn"),
+          sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"),
+          sum(when(col("a"), col("n")).otherwise(0L)).as("a1"),
+          sum(when(col("b"), col("n")).otherwise(0L)).as("b1")
+        )
+        .select(
+          col("nn"),
+          expr("agree * 1000000 div nn").as("po_e6"),
+          expr(
+            "((a1 * 1000000 div nn) * (b1 * 1000000 div nn)) div 1000000 + " +
+              "(((nn - a1) * 1000000 div nn) * ((nn - b1) * 1000000 div nn)) div 1000000"
+          ).as("pe_e6")
+        )
+        .withColumn("kappa_e6", expr("(po_e6 - pe_e6) * 1000000 div (1000000 - pe_e6)"))
+      cells
+        .crossJoin(broadcast(tot))
+        .select("a", "b", "n", "nn", "po_e6", "pe_e6", "kappa_e6")
+        .orderBy("a", "b")
+    }),
+
+    // Interval merge / gaps-and-islands coverage (x212) — the interval
+    // UNION operator (x142 joins overlapping intervals across tables;
+    // this collapses overlaps WITHIN a stream into maximal covered
+    // spans): per supplier, shipment windows [ship, ship + 1 + qty%14
+    // days] merge wherever they overlap or touch, and the output is the
+    // per-key coverage profile (islands, covered days, widest span) —
+    // the SLA/occupancy shape every ops pipeline computes. The island
+    // rule is the classic running-max formulation: a row opens a new
+    // island iff its start lies strictly past max(end) over all EARLIER
+    // rows in (start, end) order; island id = running sum of opens.
+    // Identical-row permutations can't flip flags (a tie's end ≥ its
+    // start), so the windows are deterministic under the (st, en) order.
+    // Scale shape: one shuffle on the key, two window passes over it,
+    // then two ordinary aggs; nothing quadratic anywhere.
+    "x212_interval_merge" -> ((s, d) => {
+      val iv = table(s, d, "lineitem")
+        .select(
+          col("l_suppkey").as("k"),
+          col("l_shipdate").cast("date").as("st"),
+          expr("date_add(CAST(l_shipdate AS DATE), 1 + CAST(l_quantity AS INT) % 14)").as("en")
+        )
+      val w = Window.partitionBy("k").orderBy("st", "en")
+      val isl = iv
+        .withColumn("prev_max", max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("opens", when(col("prev_max").isNull || col("st") > col("prev_max"), 1L).otherwise(0L))
+        .withColumn("island", sum("opens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("k", "island")
+        .agg(min("st").as("i_st"), max("en").as("i_en"), count(lit(1)).as("n_iv"))
+      isl
+        .groupBy("k")
+        .agg(
+          sum("n_iv").as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(datediff(col("i_en"), col("i_st")) + 1).cast("long").as("covered_days"),
+          max(datediff(col("i_en"), col("i_st")) + 1).cast("long").as("max_island_days")
+        )
+        .orderBy("k")
+    }),
+
     // Benford first-digit audit (x210) — the forensic data-quality test
     // (Benford 1938; Nigrini's fraud-audit standard): natural
     // multiplicative data has P(d) = log10(1+1/d); engineered or
@@ -579,6 +743,100 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x215: identical census positions + the same exact Gini fold.
+    "x215_gini_tokens" ->
+      """WITH pd AS (
+        |  SELECT source, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS v
+        |  FROM documents),
+        |u AS (SELECT source, v FROM pd UNION ALL SELECT '*', v FROM pd),
+        |c AS (SELECT source, v, count(*) AS t FROM u GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, v, t,
+        |    coalesce(sum(t) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS pos
+        |  FROM c),
+        |f AS (
+        |  SELECT source, CAST(sum(t) AS BIGINT) AS n_docs,
+        |    CAST(sum(v * t) AS BIGINT) AS total_tokens,
+        |    CAST(sum(v * t * (2 * pos + t - 1)) AS BIGINT) AS two_six
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST((CAST(two_six AS HUGEINT) - (n_docs + 1) * total_tokens) * 1000000
+        |    // (n_docs * total_tokens) AS BIGINT) AS gini_e6
+        |FROM f ORDER BY source""".stripMargin,
+
+    // x214: identical value census → cumulative positions → 2× midrank
+    // fold; HUGEINT carries the effect product.
+    "x214_mannwhitney" ->
+      """WITH p AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (
+        |  SELECT v, count(*) AS t,
+        |    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS t_r
+        |  FROM p GROUP BY 1),
+        |r AS (
+        |  SELECT v, t, t_r,
+        |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS pos
+        |  FROM c),
+        |f AS (
+        |  SELECT CAST(sum(t_r) AS BIGINT) AS n1, CAST(sum(t - t_r) AS BIGINT) AS n2,
+        |    CAST(sum(t_r * (2 * pos + t - 1)) AS BIGINT) AS r1_2x
+        |  FROM r)
+        |SELECT n1, n2, r1_2x, r1_2x - n1 * (n1 + 1) AS u1_2x,
+        |  CAST(1000000 - CAST(r1_2x - n1 * (n1 + 1) AS HUGEINT) * 1000000 // (n1 * n2) AS BIGINT) AS rbc_e6
+        |FROM f""".stripMargin,
+
+    // x213: identical contingency + per-million marginal composition.
+    "x213_cohens_kappa" ->
+      """WITH c AS (
+        |  SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 40 AS a,
+        |    n_chars >= 250 AS b, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(sum(CASE WHEN a THEN n ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN b THEN n ELSE 0 END) AS BIGINT) AS b1
+        |  FROM c),
+        |k AS (
+        |  SELECT nn, agree * 1000000 // nn AS po_e6,
+        |    ((a1 * 1000000 // nn) * (b1 * 1000000 // nn)) // 1000000 +
+        |    (((nn - a1) * 1000000 // nn) * ((nn - b1) * 1000000 // nn)) // 1000000 AS pe_e6
+        |  FROM t)
+        |SELECT a, b, CAST(n AS BIGINT) AS n, nn, po_e6, pe_e6,
+        |  (po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6) AS kappa_e6
+        |FROM c, k ORDER BY a, b""".stripMargin,
+
+    // x212: the identical running-max island replay.
+    "x212_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS st,
+        |    CAST(l_shipdate AS DATE) + (1 + CAST(l_quantity AS INT) % 14) AS en
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT k, st, en,
+        |    max(en) OVER (PARTITION BY k ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |g AS (
+        |  SELECT k, st, en,
+        |    CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS opens
+        |  FROM f),
+        |h AS (
+        |  SELECT k, st, en,
+        |    sum(opens) OVER (PARTITION BY k ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |i AS (
+        |  SELECT k, island, min(st) AS i_st, max(en) AS i_en, count(*) AS n_iv
+        |  FROM h GROUP BY 1, 2)
+        |SELECT k, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands,
+        |  CAST(sum(date_diff('day', i_st, i_en) + 1) AS BIGINT) AS covered_days,
+        |  CAST(max(date_diff('day', i_st, i_en) + 1) AS BIGINT) AS max_island_days
+        |FROM i GROUP BY k ORDER BY k""".stripMargin,
+
     // x210: identical census + hardcoded published constants + the same
     // integer chi-square fold.
     "x210_benford" ->
