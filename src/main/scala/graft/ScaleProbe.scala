@@ -402,7 +402,10 @@ object ScaleProbe {
       "x211_audio_resample",
       // islands/rank-census stats: one key shuffle + bounded windows
       "x212_interval_merge", "x213_cohens_kappa", "x214_mannwhitney",
-      "x215_gini_tokens"
+      "x215_gini_tokens",
+      // pseudonymize: two keyed scans + one token join; apportion is
+      // census-sized after the mass agg
+      "x216_pseudonymize", "x217_apportion"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

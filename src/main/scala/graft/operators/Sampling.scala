@@ -272,6 +272,84 @@ object Sampling {
     // hash-range bucket decomposition x26 demonstrates (quota_g consumed
     // bucket-by-bucket in hash order) — the window form below is the
     // sf-scale expression of the same math.
+    // Largest-remainder quota apportionment (x217, Hamilton's method) —
+    // the EXACT-total allocator x43's per-stratum ranking and x27's
+    // mixture weights both dodge: "sample exactly K = 1000 documents,
+    // proportional to per-source token mass" needs integer quotas that
+    // sum to K precisely (floor quotas undershoot; rounding overshoots
+    // — the apportionment paradox literature exists because this is
+    // genuinely subtle). base_i = K·m_i div M; the K − Σbase leftover
+    // seats go one each to the largest remainders (K·m_i mod M),
+    // source-name tiebreak. Σ quota == K is carried IN the output.
+    // Census-sized end-to-end: one mass agg, then ≤|sources| rows.
+    "x217_apportion" -> ((s, d) => {
+      val k = 1000L
+      val mass = table(s, d, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(lower(trim(col("text"))), "\\s+"))).cast("long").as("m"))
+        .localCheckpoint() // two refs: total + rows
+      val tot = mass.agg(sum("m").as("mm"))
+      val seats = mass
+        .crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"$k * m div mm"))
+        .withColumn("rem", expr(s"($k * m) % mm"))
+        .localCheckpoint() // two refs: leftover count + ranking
+      val leftover = seats.agg((lit(k) - sum("base")).as("left"))
+      val ranked = seats
+        .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .crossJoin(broadcast(leftover))
+        .withColumn("extra", when(col("rr") <= col("left"), 1L).otherwise(0L))
+        .withColumn("quota", col("base") + col("extra"))
+        .localCheckpoint() // two refs: total check + output
+      val check = ranked.agg(sum("quota").as("total_quota"))
+      ranked
+        .crossJoin(broadcast(check))
+        .select("source", "m", "base", "extra", "quota", "total_quota")
+        .orderBy("source")
+    }),
+
+    // Keyed pseudonymization with referential integrity (x216) — the
+    // privacy-engineering verb between x17's destructive redaction and
+    // x171's suppression: customer keys are replaced by a KEYED md5
+    // token (deterministic per key ⇒ the same customer tokenizes
+    // identically everywhere, so FK joins, group-bys and cardinalities
+    // all survive the release — the property that makes pseudonymized
+    // data usable at all). The gate PROVES the invariants rather than
+    // asserting them: orders and customer are both tokenized
+    // independently, re-joined ON THE TOKEN, and the output carries the
+    // per-nation order counts (must equal the raw join's) plus
+    // token-collision accounting (distinct tokens == distinct keys).
+    // One broadcast dim join + one agg; tokenization is a per-row
+    // codegen'd expression.
+    "x216_pseudonymize" -> ((s, d) => {
+      def tok(c: Column): Column =
+        substring(md5(concat(lit("graft-release-key-1#"), c.cast("string"))), 1, 16)
+      val cust = table(s, d, "customer")
+        .select(tok(col("c_custkey")).as("ctok"), col("c_nationkey"))
+      val ords = table(s, d, "orders")
+        .select(tok(col("o_custkey")).as("ctok"))
+      val joined = ords
+        .join(broadcast(cust), Seq("ctok"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), countDistinct("ctok").as("n_tokens"))
+      val raw = table(s, d, "orders")
+        .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("raw_orders"), countDistinct("c_custkey").as("raw_custs"))
+      joined
+        .join(raw, Seq("c_nationkey"))
+        .select(
+          col("c_nationkey"),
+          col("n_orders"),
+          col("raw_orders"),
+          (col("n_orders") === col("raw_orders")).as("counts_survive"),
+          col("n_tokens"),
+          col("raw_custs"),
+          (col("n_tokens") === col("raw_custs")).as("no_collisions")
+        )
+        .orderBy("c_nationkey")
+    }),
+
     "x43_stratified_sample" -> ((s, d) => {
       val total = 200L
       val docs = table(s, d, "documents")
@@ -1054,6 +1132,51 @@ object Sampling {
         |  FROM t)
         |SELECT lang, doc_id, doc_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2500 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // x217: identical floor quotas, remainder ranking, and seat handout.
+    "x217_apportion" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM m),
+        |s AS (
+        |  SELECT source, m, 1000 * m // mm AS base, (1000 * m) % mm AS rem
+        |  FROM m, t),
+        |l AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS leftover FROM s),
+        |r AS (
+        |  SELECT source, m, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr
+        |  FROM s),
+        |q AS (
+        |  SELECT source, m, base,
+        |    CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS extra
+        |  FROM r, l),
+        |f AS (SELECT source, m, base, CAST(extra AS BIGINT) AS extra, base + extra AS quota FROM q),
+        |c AS (SELECT CAST(sum(quota) AS BIGINT) AS total_quota FROM f)
+        |SELECT source, m, base, extra, quota, total_quota FROM f, c ORDER BY source""".stripMargin,
+
+    // x216: identical keyed-token derivation, token-space join, and the
+    // raw twin — the invariants are columns, so a collision or a count
+    // drift flips the hash.
+    "x216_pseudonymize" ->
+      """WITH ct AS (
+        |  SELECT substr(md5('graft-release-key-1#' || c_custkey::VARCHAR), 1, 16) AS ctok,
+        |    c_nationkey
+        |  FROM customer),
+        |ot AS (
+        |  SELECT substr(md5('graft-release-key-1#' || o_custkey::VARCHAR), 1, 16) AS ctok
+        |  FROM orders),
+        |j AS (
+        |  SELECT c_nationkey, count(*) AS n_orders, count(DISTINCT ot.ctok) AS n_tokens
+        |  FROM ot JOIN ct ON ot.ctok = ct.ctok GROUP BY 1),
+        |raw AS (
+        |  SELECT c_nationkey, count(*) AS raw_orders, count(DISTINCT c_custkey) AS raw_custs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT j.c_nationkey, n_orders, raw_orders, n_orders = raw_orders AS counts_survive,
+        |  n_tokens, raw_custs, n_tokens = raw_custs AS no_collisions
+        |FROM j JOIN raw ON j.c_nationkey = raw.c_nationkey
+        |ORDER BY j.c_nationkey""".stripMargin,
+
     "x43_stratified_sample" ->
       """WITH t AS (
         |  SELECT lang, doc_id,
