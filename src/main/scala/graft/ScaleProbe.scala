@@ -405,7 +405,9 @@ object ScaleProbe {
       "x215_gini_tokens",
       // pseudonymize: two keyed scans + one token join; apportion is
       // census-sized after the mass agg
-      "x216_pseudonymize", "x217_apportion"
+      "x216_pseudonymize", "x217_apportion",
+      // AP: eval-set brute ranking (bounded by construction)
+      "x218_avg_precision"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

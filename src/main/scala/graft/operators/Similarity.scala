@@ -268,6 +268,50 @@ object Similarity {
         .orderBy(col("rrf_e6").desc, col("doc_id"))
     }),
 
+    // Average precision of embedding retrieval (x218) — the RANKING
+    // metric the eval family lacks (x159 scores a classifier's AUC;
+    // retrieval quality is order-sensitive: AP = mean of P@k at each
+    // relevant hit, the metric behind MRR/MAP leaderboards): for the 5
+    // lowest-id query vectors, every other vector is ranked by exact
+    // float32 cosine (e6-rounded, the x05 pin) and a hit is a
+    // same-label neighbor. All integer past the rounding: P@k =
+    // hits·1e6 div k, AP = ΣP@hit div R. Full ranking is inherent to
+    // the metric — eval sets are bounded by construction (this is the
+    // x05 brute shape, not a corpus operator); per-query windows
+    // partition the work.
+    "x218_avg_precision" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").localCheckpoint() // three refs
+      val q = emb
+        .orderBy("vec_id")
+        .limit(5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlab"))
+      val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label").as("nlab"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_e6").desc, col("nid"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cand
+        .join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("cos_e6", cosE6(cosineF(col("ne"), col("qe"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("hit", (col("nlab") === col("qlab")).cast("long"))
+        .withColumn("hits_at_k", sum("hit").over(wCum))
+        .groupBy("qid", "qlab")
+        .agg(
+          sum("hit").as("n_rel"),
+          sum(when(col("hit") === 1L, expr("hits_at_k * 1000000 div rk")).otherwise(0L)).as("sum_p"),
+          sum(when(col("rk") <= 10L, col("hit")).otherwise(0L)).as("rel_at_10")
+        )
+        .select(
+          col("qid"),
+          col("qlab").cast("long").as("qlab"),
+          col("n_rel"),
+          // AP is undefined with zero relevant items — report 0 rather
+          // than ANSI-throwing (spec-found edge)
+          expr("IF(n_rel = 0, 0L, sum_p div n_rel)").as("ap_e6"),
+          expr("rel_at_10 * 100000").as("p10_e6")
+        )
+        .orderBy("qid")
+    }),
+
     // Linear-probe training (x179) — the LEARN face of the embedding
     // classifier family (x68 is inference over fixture weights, x164 is
     // a count model; the linear probe on frozen embeddings is THE
@@ -1326,6 +1370,35 @@ object Similarity {
         |FROM f ORDER BY rrf_e6 DESC, doc_id""".stripMargin,
 
     "x179_linear_probe" -> x179OracleSql,
+
+    // x218: same e6 cosine ranking, same cumulative-hit AP fold.
+    "x218_avg_precision" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe, label AS qlab
+        |  FROM embeddings ORDER BY vec_id LIMIT 5),
+        |r AS (
+        |  SELECT qid, qlab, e.vec_id AS nid, e.label AS nlab,
+        |    CAST(round(CAST(list_cosine_similarity(e.embedding, qe) AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6
+        |  FROM embeddings e, q WHERE e.vec_id <> qid),
+        |k AS (
+        |  SELECT qid, qlab, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rk,
+        |    CASE WHEN nlab = qlab THEN 1 ELSE 0 END AS hit
+        |  FROM r),
+        |c AS (
+        |  SELECT qid, qlab, rk, hit,
+        |    sum(hit) OVER (PARTITION BY qid ORDER BY rk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits_at_k
+        |  FROM k),
+        |f AS (
+        |  SELECT qid, qlab, CAST(sum(hit) AS BIGINT) AS n_rel,
+        |    CAST(sum(CASE WHEN hit = 1 THEN hits_at_k * 1000000 // rk ELSE 0 END) AS BIGINT) AS sum_p,
+        |    CAST(sum(CASE WHEN rk <= 10 THEN hit ELSE 0 END) AS BIGINT) AS rel_at_10
+        |  FROM c GROUP BY 1, 2)
+        |SELECT qid, CAST(qlab AS BIGINT) AS qlab, n_rel,
+        |  CASE WHEN n_rel = 0 THEN 0 ELSE sum_p // n_rel END AS ap_e6,
+        |  rel_at_10 * 100000 AS p10_e6
+        |FROM f ORDER BY qid""".stripMargin,
     // x13: exact twins recomputed brute-force; the ANN accuracy booleans
     // are Spark-side assertions the oracle expects to HOLD
     "x13_sim_ivf" ->
