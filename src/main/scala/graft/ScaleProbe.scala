@@ -407,7 +407,9 @@ object ScaleProbe {
       // census-sized after the mass agg
       "x216_pseudonymize", "x217_apportion",
       // AP: eval-set brute ranking (bounded by construction)
-      "x218_avg_precision"
+      "x218_avg_precision",
+      // spearman: value censuses (AQE-sized joins) over 16x lineitem
+      "x219_spearman"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

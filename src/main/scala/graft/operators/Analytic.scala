@@ -421,6 +421,88 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Spearman rank correlation (x219) — the monotone-association member
+    // completing the correlation family (x140 Pearson moments, x173
+    // Theil–Sen slope): ρ = 1 − 6Σd²/(n(n²−1)) over MIDRANKS (the
+    // common software convention with heavy ties), exact in 2× rank
+    // units — d2x = 2rx − 2ry is integer, Σd2x² = 4Σd², so
+    // ρ_e6 = 1e6 − 3·Σd2x²·1e6 div (2n(n²−1)) with DECIMAL(38,0)
+    // headroom (Σd2x² ~ 4n³). Ranks come from the x214 VALUE-CENSUS
+    // trick — per-variable censuses (domain-bounded) broadcast back
+    // onto the stream, never a corpus-wide row rank. Two pairs ride one
+    // localCheckpointed scan: (price, price + bounded md5 jitter) —
+    // monotone association PLANTED in-query (the x101 discipline: the
+    // synthetic generator's columns are mutually independent, measured
+    // qty↔price ρ ≈ 0.004, so a natural pair would leave the positive
+    // verdict untested) — and (discount, tax), independent, ρ ≈ 0.
+    // Both verdicts load-bearing.
+    "x219_spearman" -> ((s, d) => {
+      val base = table(s, d, "lineitem")
+        .select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price"),
+          expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) + " +
+              "pmod(CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '#', CAST(l_linenumber AS STRING), '#sp')), 1, 15), 16, 10) AS BIGINT), 2000001) - 1000000"
+          ).as("jit"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+          expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax")
+        )
+        .localCheckpoint() // four censuses + two pair streams
+      // census positions via the x87 DISTRIBUTED prefix sum — a planted
+      // near-unique variable (jit) makes the census stream-sized at 16×,
+      // and a plain global window put 10M rows in ONE task (53 s probe,
+      // caught before commit): value-range buckets (trunc-div by 2¹³ is
+      // monotone, so bucket order = value order) → bucket offsets over
+      // the ≤ ~1.4k-row bucket table → per-bucket bounded windows.
+      def twoMid(vCol: String): DataFrame = {
+        val census = base
+          .groupBy(col(vCol).as("v"))
+          .agg(count(lit(1)).as("t"))
+          .withColumn("bk", expr("v div 8192"))
+          .localCheckpoint() // two refs: bucket offsets + positions
+        val offs = census
+          .groupBy("bk")
+          .agg(sum("t").as("bt"))
+          .withColumn(
+            "off",
+            coalesce(sum("bt").over(Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          )
+          .select("bk", "off")
+        val wb = Window.partitionBy("bk").orderBy("v")
+        census
+          .join(broadcast(offs), "bk")
+          .withColumn(
+            "pos",
+            col("off") + coalesce(sum("t").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L
+          )
+          .select(col("v").as(vCol), (lit(2L) * col("pos") + col("t") - 1L).as(s"r_$vCol"))
+      }
+      // rank joins are NOT force-broadcast (the x66 lesson): censuses of
+      // near-unique variables grow with the value domain; AQE broadcasts
+      // them while small and shuffle-joins co-partitioned beyond that
+      def pair(name: String, a: String, b: String): DataFrame =
+        base
+          .select(col(a), col(b))
+          .join(twoMid(a), a)
+          .join(twoMid(b), b)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr(s"CAST((r_$a - r_$b) AS DECIMAL(38,0)) * (r_$a - r_$b)")).as("sum_d2x2")
+          )
+          // sum_d2x2 stays DECIMAL-internal (4n³ wraps int64 at 16×)
+          .select(
+            lit(name).as("pair"),
+            col("n"),
+            expr(
+              "CAST(1000000 - 3 * sum_d2x2 * 1000000 div " +
+                "(CAST(2 AS DECIMAL(38,0)) * n * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)"
+            ).as("rho_e6")
+          )
+      pair("price_jitter", "price", "jit")
+        .unionByName(pair("disc_tax", "disc", "tax"))
+        .orderBy("pair")
+    }),
+
     // Gini concentration of token mass (x215) — the inequality line of
     // the data card (x92 counts; this measures how UNEQUALLY the token
     // budget spreads over documents, per source and overall — a
@@ -743,6 +825,38 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x219: identical per-variable midrank censuses + the same cleared
+    // ρ formula in HUGEINT.
+    "x219_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) +
+        |      ('0x' || substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR || '#sp'), 1, 15))::BIGINT
+        |        % 2000001 - 1000000 AS jit,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem),
+        |rq AS (SELECT v AS price, 2 * (coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1) + t - 1 AS r_price
+        |  FROM (SELECT price AS v, count(*) AS t FROM b GROUP BY 1)),
+        |rp AS (SELECT v AS jit, 2 * (coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1) + t - 1 AS r_jit
+        |  FROM (SELECT jit AS v, count(*) AS t FROM b GROUP BY 1)),
+        |rd AS (SELECT v AS disc, 2 * (coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1) + t - 1 AS r_disc
+        |  FROM (SELECT disc AS v, count(*) AS t FROM b GROUP BY 1)),
+        |rt AS (SELECT v AS tax, 2 * (coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1) + t - 1 AS r_tax
+        |  FROM (SELECT tax AS v, count(*) AS t FROM b GROUP BY 1)),
+        |p1 AS (
+        |  SELECT 'price_jitter' AS pair, count(*) AS n,
+        |    sum(CAST(r_price - r_jit AS HUGEINT) * (r_price - r_jit)) AS s2
+        |  FROM b JOIN rq USING (price) JOIN rp USING (jit)),
+        |p2 AS (
+        |  SELECT 'disc_tax' AS pair, count(*) AS n,
+        |    sum(CAST(r_disc - r_tax AS HUGEINT) * (r_disc - r_tax)) AS s2
+        |  FROM b JOIN rd USING (disc) JOIN rt USING (tax)),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        |  CAST(1000000 - 3 * s2 * 1000000 // (CAST(2 AS HUGEINT) * n * (CAST(n AS HUGEINT) * n - 1)) AS BIGINT) AS rho_e6
+        |FROM u ORDER BY pair""".stripMargin,
+
     // x215: identical census positions + the same exact Gini fold.
     "x215_gini_tokens" ->
       """WITH pd AS (
