@@ -409,7 +409,9 @@ object ScaleProbe {
       // AP: eval-set brute ranking (bounded by construction)
       "x218_avg_precision",
       // spearman: value censuses (AQE-sized joins) over 16x lineitem
-      "x219_spearman"
+      "x219_spearman",
+      // KS: one census + bucketed prefix + max fold
+      "x220_ks_test"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -421,6 +421,60 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Two-sample Kolmogorov–Smirnov (x220) — the distribution-SHAPE test
+    // closing the two-sample family (x162 means, x214 stochastic order):
+    // D = max_v |F_R(v) − F_N(v)| detects any difference, not just
+    // location. Exact integers by cross-multiplication — the statistic
+    // compares c_R(v)·n_N vs c_N(v)·n_R (DECIMAL(38,0) at corpus scale),
+    // so no CDF fraction is ever floated; the argmax value rides the
+    // output (min-v tiebreak). Cumulatives run over the VALUE census
+    // with the x87 bucketed prefix (both group counts in one pass —
+    // the x219 lesson applied from the start). One scan → census →
+    // bounded windows → one max fold.
+    "x220_ks_test" -> ((s, d) => {
+      val census = table(s, d, "lineitem")
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("g"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .groupBy("v")
+        .agg(
+          sum(when(col("g") === "R", 1L).otherwise(0L)).as("tr"),
+          sum(when(col("g") === "N", 1L).otherwise(0L)).as("tn")
+        )
+        .withColumn("bk", expr("v div 8192"))
+        .localCheckpoint() // two refs: bucket offsets + cumulatives
+      val offs = census
+        .groupBy("bk")
+        .agg(sum("tr").as("btr"), sum("tn").as("btn"))
+        .withColumn(
+          "offr",
+          coalesce(sum("btr").over(Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        )
+        .withColumn(
+          "offn",
+          coalesce(sum("btn").over(Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        )
+        .select("bk", "offr", "offn")
+      val wb = Window.partitionBy("bk").orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = census
+        .join(broadcast(offs), "bk")
+        .withColumn("cr", col("offr") + sum("tr").over(wb))
+        .withColumn("cn", col("offn") + sum("tn").over(wb))
+        .localCheckpoint() // two refs: totals + argmax
+      val tot = cum.agg(max("cr").as("n1"), max("cn").as("n2"))
+      cum
+        .crossJoin(broadcast(tot))
+        .withColumn("gap", expr("abs(CAST(cr AS DECIMAL(38,0)) * n2 - CAST(cn AS DECIMAL(38,0)) * n1)"))
+        .orderBy(col("gap").desc, col("v"))
+        .limit(1)
+        .select(
+          col("n1"),
+          col("n2"),
+          col("v").as("at_v"),
+          expr("CAST(gap * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("d_e6"),
+          expr("CAST(CAST(cr AS DECIMAL(38,0)) * n2 > CAST(cn AS DECIMAL(38,0)) * n1 AS BOOLEAN)").as("r_leads")
+        )
+    }),
+
     // Spearman rank correlation (x219) — the monotone-association member
     // completing the correlation family (x140 Pearson moments, x173
     // Theil–Sen slope): ρ = 1 − 6Σd²/(n(n²−1)) over MIDRANKS (the
@@ -825,6 +879,32 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x220: plain-window cumulative replay + the same cross-multiplied
+    // max fold in HUGEINT.
+    "x220_ks_test" ->
+      """WITH p AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |c AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS tr,
+        |    sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS tn
+        |  FROM p GROUP BY 1),
+        |k AS (
+        |  SELECT v,
+        |    sum(tr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    sum(tn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM c),
+        |t AS (SELECT CAST(max(cr) AS BIGINT) AS n1, CAST(max(cn) AS BIGINT) AS n2 FROM k),
+        |g AS (
+        |  SELECT v, cr, cn, n1, n2,
+        |    abs(CAST(cr AS HUGEINT) * n2 - CAST(cn AS HUGEINT) * n1) AS gap
+        |  FROM k, t)
+        |SELECT n1, n2, v AS at_v,
+        |  CAST(gap * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_e6,
+        |  CAST(cr AS HUGEINT) * n2 > CAST(cn AS HUGEINT) * n1 AS r_leads
+        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin,
+
     // x219: identical per-variable midrank censuses + the same cleared
     // ρ formula in HUGEINT.
     "x219_spearman" ->
