@@ -411,7 +411,9 @@ object ScaleProbe {
       // spearman: value censuses (AQE-sized joins) over 16x lineitem
       "x219_spearman",
       // KS: one census + bucketed prefix + max fold
-      "x220_ks_test"
+      "x220_ks_test",
+      // tree stump: 3 domain-bounded census searches + bounded argmax
+      "x221_tree_stump"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

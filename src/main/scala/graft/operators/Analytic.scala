@@ -421,6 +421,108 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Depth-2 decision-tree training (x221) — the split-search primitive
+    // behind every GBDT/random-forest pipeline, trained EXACTLY and
+    // distributed (x164 counts, x179 solves least squares; this is the
+    // greedy impurity search): maximize the weighted sum-of-squares
+    // objective S(L)+S(R), S(side) = (pos² + neg²)·1e6 div n — the
+    // monotone twin of Gini gain, quantized identically in both engines
+    // so the ARGMAX (score desc, feature, threshold tiebreak) is
+    // cross-engine deterministic even when quantization shifts it.
+    // Candidate thresholds come from per-feature VALUE censuses
+    // (domain-bounded: qty 50, disc 11, tax 9 values) with cumulative
+    // (count, pos) — one census pass scores every (feature, threshold)
+    // at once. The concept is PLANTED (y = [disc ≥ 6 ∧ qty ≥ 25] with
+    // 5% md5 label noise — the x101 discipline), so the tree must
+    // RECOVER real structure: root on one conjunct, a child on the
+    // other. Three 1-row argmax collects (root + two children) are the
+    // documented bounded-argmax class (x72's BPE loop); squared counts
+    // ride DECIMAL(38,0). Output: 3 split rows + 4 leaf rows with
+    // majority predictions and accuracies.
+    "x221_tree_stump" -> ((s, d) => {
+      val base = table(s, d, "lineitem")
+        .select(
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+          expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax"),
+          expr(
+            "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '#', CAST(l_linenumber AS STRING), '#lab')), 1, 15), 16, 10) AS BIGINT) % 20"
+          ).as("nz")
+        )
+        .withColumn("y", expr("CAST((CAST(disc >= 6 AND qty >= 25 AS INT) + CAST(nz = 0 AS INT)) % 2 AS BIGINT)"))
+        .select("qty", "disc", "tax", "y")
+        .localCheckpoint() // root search + child filters + leaf stats
+      val feats = Seq("qty", "disc", "tax")
+      def bestSplit(df: DataFrame): (String, Long, Long) = {
+        // per-feature scans, NOT a 3-way explode into one census: the
+        // explode variant was MEASURED slower at 16× (19–21 s vs 16 s) —
+        // each scan is column-pruned and its partial aggregation
+        // collapses to the ~50-value feature domain before any shuffle,
+        // while the explode pushes 3× the rows through one hash
+        // aggregate. Fewer jobs ≠ less work.
+        val cands = feats
+          .map { f =>
+            val cen = df.groupBy(col(f).as("v")).agg(count(lit(1)).as("t"), sum("y").as("p"))
+            val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val tot = df.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+            cen
+              .withColumn("cl", sum("t").over(w))
+              .withColumn("pl", sum("p").over(w))
+              .crossJoin(broadcast(tot))
+              .where(col("cl") < col("n")) // the right side must be non-empty
+              .select(
+                lit(f).as("feature"),
+                col("v").as("thr"),
+                expr(
+                  "(CAST(pl AS DECIMAL(38,0)) * pl + CAST(cl - pl AS DECIMAL(38,0)) * (cl - pl)) * 1000000 div cl + " +
+                    "(CAST(pos - pl AS DECIMAL(38,0)) * (pos - pl) + " +
+                    "CAST((n - cl) - (pos - pl) AS DECIMAL(38,0)) * ((n - cl) - (pos - pl))) * 1000000 div (n - cl)"
+                ).as("score")
+              )
+          }
+          .reduce(_ unionByName _)
+        val r = cands.orderBy(col("score").desc, col("feature"), col("thr")).limit(1).collect()(0)
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
+      val (rootF, rootT, rootS) = bestSplit(base)
+      val leftDf = base.where(col(rootF) <= rootT).localCheckpoint() // search + leaves
+      val rightDf = base.where(col(rootF) > rootT).localCheckpoint()
+      val (lF, lT, lS) = bestSplit(leftDf)
+      val (rF, rT, rS) = bestSplit(rightDf)
+      def leafRows(df: DataFrame, f: String, t: Long, tag: String): DataFrame =
+        df
+          .withColumn("node", concat(lit(tag), when(col(f) <= t, lit("L")).otherwise(lit("R"))))
+          .groupBy("node")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+          .withColumn("pred", expr("CAST(2 * n_pos >= n AS BIGINT)")) // ties → 1
+          .select(
+            col("node"),
+            // 'leaf'/-1 sentinels, not NULLs: a NULL in a STRING output
+            // column is the one shape the hash compare can't normalize
+            lit("leaf").as("feature"),
+            lit(-1L).as("thr"),
+            col("n"),
+            col("n_pos"),
+            expr("IF(pred = 1, n_pos, n - n_pos) * 1000000 div n").as("metric_e6")
+          )
+      def splitRow(node: String, f: String, t: Long, sc: Long, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+          .select(
+            lit(node).as("node"),
+            lit(f).as("feature"),
+            lit(t).as("thr"),
+            col("n"),
+            col("n_pos"),
+            lit(sc).as("metric_e6")
+          )
+      splitRow("0root", rootF, rootT, rootS, base)
+        .unionByName(splitRow("1L", lF, lT, lS, leftDf))
+        .unionByName(splitRow("1R", rF, rT, rS, rightDf))
+        .unionByName(leafRows(leftDf, lF, lT, "2L"))
+        .unionByName(leafRows(rightDf, rF, rT, "2R"))
+        .orderBy("node")
+    }),
+
     // Two-sample Kolmogorov–Smirnov (x220) — the distribution-SHAPE test
     // closing the two-sample family (x162 means, x214 stochastic order):
     // D = max_v |F_R(v) − F_N(v)| detects any difference, not just
@@ -879,6 +981,84 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x221: the full greedy search replayed — identical quantized
+    // objective, identical argmax tiebreaks, child searches conditioned
+    // on the root row via a CASE dispatch.
+    "x221_tree_stump" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax,
+        |    CAST((CAST(round(l_discount * 100) >= 6 AND l_quantity >= 25 AS INT) +
+        |      CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR || '#lab'), 1, 15))::BIGINT % 20 = 0 AS INT)) % 2 AS BIGINT) AS y
+        |  FROM lineitem),
+        |rc AS (
+        |  SELECT 'qty' AS feature, qty AS v, count(*) AS t, sum(y) AS p FROM b GROUP BY 2
+        |  UNION ALL SELECT 'disc', disc, count(*), sum(y) FROM b GROUP BY 2
+        |  UNION ALL SELECT 'tax', tax, count(*), sum(y) FROM b GROUP BY 2),
+        |rt AS (SELECT count(*) AS n, sum(y) AS pos FROM b),
+        |rcum AS (
+        |  SELECT feature, v,
+        |    sum(t) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+        |    sum(p) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM rc),
+        |root AS (
+        |  SELECT feature, v AS thr,
+        |    CAST((CAST(pl AS HUGEINT)*pl + CAST(cl-pl AS HUGEINT)*(cl-pl)) * 1000000 // cl
+        |      + (CAST(pos-pl AS HUGEINT)*(pos-pl) + CAST((n-cl)-(pos-pl) AS HUGEINT)*((n-cl)-(pos-pl))) * 1000000 // (n-cl) AS BIGINT) AS score
+        |  FROM rcum, rt WHERE cl < n ORDER BY score DESC, feature, thr LIMIT 1),
+        |bl AS (SELECT b.* FROM b, root WHERE (CASE root.feature WHEN 'qty' THEN qty WHEN 'disc' THEN disc ELSE tax END) <= root.thr),
+        |br AS (SELECT b.* FROM b, root WHERE (CASE root.feature WHEN 'qty' THEN qty WHEN 'disc' THEN disc ELSE tax END) > root.thr),
+        |lc AS (
+        |  SELECT 'qty' AS feature, qty AS v, count(*) AS t, sum(y) AS p FROM bl GROUP BY 2
+        |  UNION ALL SELECT 'disc', disc, count(*), sum(y) FROM bl GROUP BY 2
+        |  UNION ALL SELECT 'tax', tax, count(*), sum(y) FROM bl GROUP BY 2),
+        |lt AS (SELECT count(*) AS n, sum(y) AS pos FROM bl),
+        |lcum AS (
+        |  SELECT feature, v,
+        |    sum(t) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+        |    sum(p) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM lc),
+        |lbest AS (
+        |  SELECT feature, v AS thr,
+        |    CAST((CAST(pl AS HUGEINT)*pl + CAST(cl-pl AS HUGEINT)*(cl-pl)) * 1000000 // cl
+        |      + (CAST(pos-pl AS HUGEINT)*(pos-pl) + CAST((n-cl)-(pos-pl) AS HUGEINT)*((n-cl)-(pos-pl))) * 1000000 // (n-cl) AS BIGINT) AS score
+        |  FROM lcum, lt WHERE cl < n ORDER BY score DESC, feature, thr LIMIT 1),
+        |rrc AS (
+        |  SELECT 'qty' AS feature, qty AS v, count(*) AS t, sum(y) AS p FROM br GROUP BY 2
+        |  UNION ALL SELECT 'disc', disc, count(*), sum(y) FROM br GROUP BY 2
+        |  UNION ALL SELECT 'tax', tax, count(*), sum(y) FROM br GROUP BY 2),
+        |rrt AS (SELECT count(*) AS n, sum(y) AS pos FROM br),
+        |rrcum AS (
+        |  SELECT feature, v,
+        |    sum(t) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+        |    sum(p) OVER (PARTITION BY feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+        |  FROM rrc),
+        |rbest AS (
+        |  SELECT feature, v AS thr,
+        |    CAST((CAST(pl AS HUGEINT)*pl + CAST(cl-pl AS HUGEINT)*(cl-pl)) * 1000000 // cl
+        |      + (CAST(pos-pl AS HUGEINT)*(pos-pl) + CAST((n-cl)-(pos-pl) AS HUGEINT)*((n-cl)-(pos-pl))) * 1000000 // (n-cl) AS BIGINT) AS score
+        |  FROM rrcum, rrt WHERE cl < n ORDER BY score DESC, feature, thr LIMIT 1),
+        |lleaf AS (
+        |  SELECT '2L' || CASE WHEN (CASE lbest.feature WHEN 'qty' THEN qty WHEN 'disc' THEN disc ELSE tax END) <= lbest.thr THEN 'L' ELSE 'R' END AS node,
+        |    count(*) AS n, sum(y) AS n_pos
+        |  FROM bl, lbest GROUP BY 1),
+        |rleaf AS (
+        |  SELECT '2R' || CASE WHEN (CASE rbest.feature WHEN 'qty' THEN qty WHEN 'disc' THEN disc ELSE tax END) <= rbest.thr THEN 'L' ELSE 'R' END AS node,
+        |    count(*) AS n, sum(y) AS n_pos
+        |  FROM br, rbest GROUP BY 1),
+        |leaves AS (
+        |  SELECT node, 'leaf' AS feature, CAST(-1 AS BIGINT) AS thr,
+        |    CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |    CASE WHEN 2 * n_pos >= n THEN n_pos ELSE n - n_pos END * 1000000 // n AS metric_e6
+        |  FROM (SELECT * FROM lleaf UNION ALL SELECT * FROM rleaf))
+        |SELECT '0root' AS node, root.feature, root.thr, CAST(rt.n AS BIGINT) AS n,
+        |  CAST(rt.pos AS BIGINT) AS n_pos, root.score AS metric_e6 FROM root, rt
+        |UNION ALL SELECT '1L', lbest.feature, lbest.thr, CAST(lt.n AS BIGINT), CAST(lt.pos AS BIGINT), lbest.score FROM lbest, lt
+        |UNION ALL SELECT '1R', rbest.feature, rbest.thr, CAST(rrt.n AS BIGINT), CAST(rrt.pos AS BIGINT), rbest.score FROM rbest, rrt
+        |UNION ALL SELECT node, feature, thr, n, n_pos, CAST(metric_e6 AS BIGINT) FROM leaves
+        |ORDER BY node""".stripMargin,
+
     // x220: plain-window cumulative replay + the same cross-multiplied
     // max fold in HUGEINT.
     "x220_ks_test" ->
