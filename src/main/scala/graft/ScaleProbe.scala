@@ -413,7 +413,9 @@ object ScaleProbe {
       // KS: one census + bucketed prefix + max fold
       "x220_ks_test",
       // tree stump: 3 domain-bounded census searches + bounded argmax
-      "x221_tree_stump"
+      "x221_tree_stump",
+      // overlap depth: manifest-sized sweeps + one contrast-leg scan
+      "x222_overlap_depth"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

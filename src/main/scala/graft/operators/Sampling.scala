@@ -462,6 +462,65 @@ object Sampling {
         )
     }),
 
+    // Clustering-depth profiler (x222) — the re-cluster DECISION metric
+    // for the x47/x73 layout family (Iceberg/Delta expose the same
+    // number as "overlap depth"): max files whose [min,max] ranges
+    // overlap at any point of a dimension — a range query must open
+    // that many files, so depth IS the skipping effectiveness. Sweep
+    // line over the manifest: events (lo,+1), (hi+1,−1) → value census
+    // → running sum → max (min-v argmax tiebreak). Three legs make the
+    // verdict load-bearing: the z-ordered manifest on BOTH dims (low
+    // depth — the layout's whole point) vs a HASH-assigned contrast
+    // layout computed in-query from raw orders (depth = all 64 files,
+    // the unclustered worst case). Manifest correctness itself rides
+    // x73 (wrong stats break ITS hash); this query tests the depth
+    // computation — manifest-sized metadata end-to-end after one scan
+    // for the contrast leg. Oracle reads the same manifest (the x74
+    // gate-SF-pin convention).
+    "x222_overlap_depth" -> ((s, d) => {
+      val dir = "/root/repo/spark-warehouse/graft_zorder"
+      graft.sources.DataSkipping.ensureLayout(s, d, dir)
+      val mf = s.read.parquet(s"$dir/manifest").localCheckpoint() // two dims
+      def sweep(events: DataFrame): DataFrame = {
+        // events: (layout, dim, v, delta); censuses are file-count-sized
+        val w = Window.partitionBy("layout", "dim").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = events
+          .groupBy("layout", "dim", "v")
+          .agg(sum("delta").as("dd"), count(lit(1)).as("ne"))
+          .withColumn("depth", sum("dd").over(w))
+        cum
+          .withColumn(
+            "rk",
+            row_number().over(Window.partitionBy("layout", "dim").orderBy(col("depth").desc, col("v")))
+          )
+          .where(col("rk") === 1)
+          .select(col("layout"), col("dim"), col("depth").as("max_depth"), col("v").as("at_v"))
+      }
+      def mfEvents(dim: String, lo: String, hi: String): DataFrame =
+        mf.select(lit("zorder").as("layout"), lit(dim).as("dim"), col(lo).as("v"), lit(1L).as("delta"))
+          .unionByName(
+            mf.select(lit("zorder").as("layout"), lit(dim).as("dim"), (col(hi) + 1L).as("v"), lit(-1L).as("delta"))
+          )
+      val hashFiles = table(s, d, "orders")
+        .select(
+          expr("pmod(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT), 64)").as("f"),
+          col("o_custkey").as("c")
+        )
+        .groupBy("f")
+        .agg(min("c").as("lo"), max("c").as("hi"))
+      val hashEvents = hashFiles
+        .select(lit("hash").as("layout"), lit("cust").as("dim"), col("lo").as("v"), lit(1L).as("delta"))
+        .unionByName(
+          hashFiles.select(lit("hash").as("layout"), lit("cust").as("dim"), (col("hi") + 1L).as("v"), lit(-1L).as("delta"))
+        )
+      val nf = mf.agg(count(lit(1)).as("n_files"))
+      sweep(mfEvents("cust", "c_lo", "c_hi").unionByName(mfEvents("days", "d_lo", "d_hi")).unionByName(hashEvents))
+        .crossJoin(broadcast(nf))
+        .select("layout", "dim", "n_files", "max_depth", "at_v")
+        .orderBy("layout", "dim")
+    }),
+
     // Bloom-manifest point lookup (x113) — the skipping face the x73
     // manifest could NOT serve: a point predicate on the UNCLUSTERED
     // high-NDV `o_orderkey` (min/max spans every z-file, the KMV
@@ -1154,6 +1213,37 @@ object Sampling {
         |f AS (SELECT source, m, base, CAST(extra AS BIGINT) AS extra, base + extra AS quota FROM q),
         |c AS (SELECT CAST(sum(quota) AS BIGINT) AS total_quota FROM f)
         |SELECT source, m, base, extra, quota, total_quota FROM f, c ORDER BY source""".stripMargin,
+
+    // x222: same sweep over the same manifest (gate-SF pin per the x74
+    // convention) + the hash-contrast leg replayed from raw orders.
+    "x222_overlap_depth" ->
+      """WITH mf AS (
+        |  SELECT c_lo, c_hi, d_lo, d_hi
+        |  FROM '/root/repo/spark-warehouse/graft_zorder/manifest/*.parquet'),
+        |hf AS (
+        |  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 64 AS f,
+        |    min(o_custkey) AS lo, max(o_custkey) AS hi
+        |  FROM orders GROUP BY 1),
+        |ev AS (
+        |  SELECT 'zorder' AS layout, 'cust' AS dim, c_lo AS v, 1 AS delta FROM mf
+        |  UNION ALL SELECT 'zorder', 'cust', c_hi + 1, -1 FROM mf
+        |  UNION ALL SELECT 'zorder', 'days', d_lo, 1 FROM mf
+        |  UNION ALL SELECT 'zorder', 'days', d_hi + 1, -1 FROM mf
+        |  UNION ALL SELECT 'hash', 'cust', lo, 1 FROM hf
+        |  UNION ALL SELECT 'hash', 'cust', hi + 1, -1 FROM hf),
+        |c AS (SELECT layout, dim, v, sum(delta) AS dd FROM ev GROUP BY 1, 2, 3),
+        |k AS (
+        |  SELECT layout, dim, v,
+        |    sum(dd) OVER (PARTITION BY layout, dim ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+        |  FROM c),
+        |r AS (
+        |  SELECT layout, dim, CAST(depth AS BIGINT) AS max_depth, v AS at_v,
+        |    row_number() OVER (PARTITION BY layout, dim ORDER BY depth DESC, v) AS rk
+        |  FROM k),
+        |nf AS (SELECT count(*) AS n_files FROM mf)
+        |SELECT layout, dim, n_files, max_depth, at_v
+        |FROM r, nf WHERE rk = 1 ORDER BY layout, dim""".stripMargin,
 
     // x216: identical keyed-token derivation, token-space join, and the
     // raw twin — the invariants are columns, so a collision or a count
