@@ -415,7 +415,9 @@ object ScaleProbe {
       // tree stump: 3 domain-bounded census searches + bounded argmax
       "x221_tree_stump",
       // overlap depth: manifest-sized sweeps + one contrast-leg scan
-      "x222_overlap_depth"
+      "x222_overlap_depth",
+      // LTTB: monthly census absorbs the stream; buckets series-bounded
+      "x223_lttb_downsample"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

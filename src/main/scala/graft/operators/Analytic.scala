@@ -421,6 +421,78 @@ object Analytic {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Largest-triangle downsampling (x223, the LTOB bucket-average
+    // variant of Steinarsson's LTTB) — the VISUAL-fidelity reducer
+    // dashboards run before plotting (uniform sampling erases spikes;
+    // largest-triangle keeps the visually dominant point per bucket):
+    // each series collapses to ≤16 points — endpoints pinned, each
+    // interior bucket keeping the point with the largest triangle
+    // against the NEIGHBOR BUCKET AVERAGES (the average-anchor variant
+    // is deliberately chosen over sequential LTTB: no prev-selected
+    // dependency, so buckets select in PARALLEL). Area comparisons are
+    // exact integers: clearing the two averages' denominators na·nb
+    // (constant within a bucket) gives A = |(sxa−na·x)(syb−nb·y) −
+    // (sxb−nb·x)(sya−na·y)| in DECIMAL(38,0) — no float area anywhere;
+    // ties break to the earlier point. Bucket ids by integer div;
+    // series shorter than 16 degrade to identity (B_eff = min(16, n) —
+    // every bucket stays nonempty because floor distribution of n−2
+    // points over ≤ n−2 buckets is gapless). Scale shape: the monthly
+    // census absorbs the stream; buckets/areas are series-bounded.
+    "x223_lttb_downsample" -> ((s, d) => {
+      val bMax = 16L
+      val wr = Window.partitionBy("pri").orderBy("mth")
+      val pts = table(s, d, "orders")
+        .select(
+          col("o_orderpriority").as("pri"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("mth"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c")
+        )
+        .groupBy("pri", "mth")
+        .agg(sum("c").as("y"))
+        .withColumn("r", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+        .withColumn("beff", least(lit(bMax), col("n")))
+        .withColumn("x", col("r") - 1L)
+        .withColumn(
+          "bucket",
+          when(col("r") === 1L, lit(0L))
+            .when(col("r") === col("n"), col("beff") - 1L)
+            .otherwise(expr("(r - 2) * (beff - 2) div (n - 2) + 1"))
+        )
+        .localCheckpoint() // bucket stats + candidates + endpoint rows
+      val bs = pts.groupBy("pri", "bucket").agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("t"))
+      val prev = bs.select(
+        col("pri"), (col("bucket") + 1L).as("bucket"),
+        col("sx").as("sxa"), col("sy").as("sya"), col("t").as("na")
+      )
+      val nxt = bs.select(
+        col("pri"), (col("bucket") - 1L).as("bucket"),
+        col("sx").as("sxb"), col("sy").as("syb"), col("t").as("nb")
+      )
+      val interior = pts
+        .where(col("bucket") > 0L && col("bucket") < col("beff") - 1L)
+        .join(prev, Seq("pri", "bucket"))
+        .join(nxt, Seq("pri", "bucket"))
+        .withColumn(
+          "area",
+          expr(
+            "abs(CAST(sxa - na * x AS DECIMAL(38,0)) * (syb - nb * y) - " +
+              "CAST(sxb - nb * x AS DECIMAL(38,0)) * (sya - na * y))"
+          )
+        )
+        .withColumn(
+          "rk",
+          row_number().over(Window.partitionBy("pri", "bucket").orderBy(col("area").desc, col("x")))
+        )
+        .where(col("rk") === 1)
+        .select("pri", "bucket", "mth", "y")
+      pts
+        .where(col("bucket") === 0L || col("bucket") === col("beff") - 1L)
+        .select("pri", "bucket", "mth", "y")
+        .unionByName(interior)
+        .orderBy("pri", "bucket")
+    }),
+
     // Depth-2 decision-tree training (x221) — the split-search primitive
     // behind every GBDT/random-forest pipeline, trained EXACTLY and
     // distributed (x164 counts, x179 solves least squares; this is the
@@ -981,6 +1053,43 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x223: identical buckets, cleared-denominator areas in HUGEINT,
+    // earlier-point tiebreak.
+    "x223_lttb_downsample" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS pri, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT pri, mth, y,
+        |    row_number() OVER (PARTITION BY pri ORDER BY mth) AS r,
+        |    count(*) OVER (PARTITION BY pri) AS n
+        |  FROM m),
+        |q AS (
+        |  SELECT pri, mth, y, r, n, least(16, n) AS beff, r - 1 AS x,
+        |    CASE WHEN r = 1 THEN 0
+        |         WHEN r = n THEN least(16, n) - 1
+        |         ELSE (r - 2) * (least(16, n) - 2) // (n - 2) + 1 END AS bucket
+        |  FROM p),
+        |bs AS (SELECT pri, bucket, sum(x) AS sx, sum(y) AS sy, count(*) AS t FROM q GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT q.pri, q.bucket, q.mth, q.y,
+        |    abs(CAST(a.sx - a.t * q.x AS HUGEINT) * (b.sy - b.t * q.y) -
+        |        CAST(b.sx - b.t * q.x AS HUGEINT) * (a.sy - a.t * q.y)) AS area,
+        |    q.x
+        |  FROM q
+        |  JOIN bs a ON a.pri = q.pri AND a.bucket = q.bucket - 1
+        |  JOIN bs b ON b.pri = q.pri AND b.bucket = q.bucket + 1
+        |  WHERE q.bucket > 0 AND q.bucket < q.beff - 1),
+        |sel AS (
+        |  SELECT pri, bucket, mth, y,
+        |    row_number() OVER (PARTITION BY pri, bucket ORDER BY area DESC, x) AS rk
+        |  FROM inter)
+        |SELECT pri, CAST(bucket AS BIGINT) AS bucket, mth, y FROM q
+        |WHERE bucket = 0 OR bucket = beff - 1
+        |UNION ALL SELECT pri, CAST(bucket AS BIGINT), mth, y FROM sel WHERE rk = 1
+        |ORDER BY pri, bucket""".stripMargin,
+
     // x221: the full greedy search replayed — identical quantized
     // objective, identical argmax tiebreaks, child searches conditioned
     // on the root row via a CASE dispatch.
