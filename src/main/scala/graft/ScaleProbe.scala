@@ -417,7 +417,9 @@ object ScaleProbe {
       // overlap depth: manifest-sized sweeps + one contrast-leg scan
       "x222_overlap_depth",
       // LTTB: monthly census absorbs the stream; buckets series-bounded
-      "x223_lttb_downsample"
+      "x223_lttb_downsample",
+      // LSH eval: two audited pipelines + one pair join
+      "x224_lsh_eval"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -732,6 +732,53 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LSH-vs-exact evaluation harness (x224) — the TUNING instrument the
+    // dedup family lacked: x03's banded MinHash pipeline (8×2 bands,
+    // signature-agreement ≥ ⌈0.6·16⌉ = 10) scored against x207's EXACT
+    // τ=0.6 ground truth (complete by the prefix theorem) as
+    // TP/FP/FN + precision/recall/F1 — the numbers that decide band
+    // geometry and K before anyone runs the pipeline at corpus scale.
+    // Both legs are existing audited pipelines; the harness adds one
+    // full-outer pair join and a 1-row fold. All metric arithmetic is
+    // integer e6 with zero-denominator guards (the x218 lesson).
+    "x224_lsh_eval" -> ((s, d) => {
+      val thr = 10L // ceil(τ·K): agreement count form of est_jaccard ≥ 0.6
+      val truth = Dedup
+        .queries("x207_prefix_join")(s, d)
+        .select(col("a"), col("b"))
+      val sig = minhashSigsFromRaw(wordShingleHashes(s, d).withColumnRenamed("sh", "hraw"))
+        .localCheckpoint() // bands + two signature joins
+      val agree = (0 until K)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val pred = bandCandidates(sig)
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .where(agree >= thr)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      truth
+        .withColumn("t", lit(1L))
+        .join(pred.withColumn("p", lit(1L)), Seq("a", "b"), "full_outer")
+        .agg(
+          sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("fn")
+        )
+        .select(
+          (col("tp") + col("fn")).as("n_truth"),
+          (col("tp") + col("fp")).as("n_pred"),
+          col("tp"),
+          col("fp"),
+          col("fn"),
+          expr("IF(tp + fp = 0, 0L, tp * 1000000 div (tp + fp))").as("precision_e6"),
+          expr("IF(tp + fn = 0, 0L, tp * 1000000 div (tp + fn))").as("recall_e6")
+        )
+        .withColumn(
+          "f1_e6",
+          expr("IF(precision_e6 + recall_e6 = 0, 0L, 2 * precision_e6 * recall_e6 div (precision_e6 + recall_e6))")
+        )
+    }),
+
     // ---- MinHash + LSH banding --------------------------------------------
     // 16-component signature, 8 bands × 2 rows; candidate pairs = docs
     // sharing ≥1 band bucket; output the signature-agreement estimate.
@@ -980,6 +1027,46 @@ object Dedup {
   }
 
   def oracles: Map[String, String] = Map(
+    // x224: truth from the shared sh CTE (x207's exact pairs), predicted
+    // from x03's signature/band CTEs, same agreement threshold, same
+    // guarded integer metrics.
+    "x224_lsh_eval" -> {
+      val agree = (0 until K).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shinglesSql,
+         |$minhashSigSql,
+         |bands AS (${bandUnionSql(2)}),
+         |cand AS (${candSql(2)}),
+         |pred AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |  WHERE CAST($agree AS BIGINT) >= 10),
+         |ts AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |ti AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a, b FROM ti JOIN ts sa ON sa.doc_id = a JOIN ts sb ON sb.doc_id = b
+         |  WHERE i * 1000000 // (sa.sz + sb.sz - i) >= 600000),
+         |f AS (
+         |  SELECT truth.a IS NOT NULL AS t, pred.a IS NOT NULL AS p
+         |  FROM truth FULL JOIN pred ON truth.a = pred.a AND truth.b = pred.b),
+         |m AS (
+         |  SELECT CAST(count_if(t AND p) AS BIGINT) AS tp,
+         |    CAST(count_if(NOT coalesce(t, false)) AS BIGINT) AS fp,
+         |    CAST(count_if(NOT coalesce(p, false)) AS BIGINT) AS fn
+         |  FROM f)
+         |SELECT tp + fn AS n_truth, tp + fp AS n_pred, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_e6,
+         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_e6,
+         |  CASE WHEN (CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END)
+         |          + (CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END) = 0 THEN 0
+         |    ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END)
+         |           * (CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END)
+         |        // ((CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END)
+         |          + (CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END)) END AS f1_e6
+         |FROM m""".stripMargin
+    },
+
     // x207: the definitional quadratic ground truth — every pair, exact
     // Jaccard, no filter. The engine's prefix filter must find EXACTLY
     // this set (completeness is the theorem under test).
