@@ -532,11 +532,13 @@ object Analytic {
         // collapses to the ~50-value feature domain before any shuffle,
         // while the explode pushes 3× the rows through one hash
         // aggregate. Fewer jobs ≠ less work.
+        // one totals aggregate shared by all three features (review-found:
+        // the per-feature copy built three identical full-pass subplans)
+        val tot = df.agg(count(lit(1)).as("n"), sum("y").as("pos"))
         val cands = feats
           .map { f =>
             val cen = df.groupBy(col(f).as("v")).agg(count(lit(1)).as("t"), sum("y").as("p"))
             val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            val tot = df.agg(count(lit(1)).as("n"), sum("y").as("pos"))
             cen
               .withColumn("cl", sum("t").over(w))
               .withColumn("pl", sum("p").over(w))
@@ -553,7 +555,12 @@ object Analytic {
               )
           }
           .reduce(_ unionByName _)
-        val r = cands.orderBy(col("score").desc, col("feature"), col("thr")).limit(1).collect()(0)
+        val rows = cands.orderBy(col("score").desc, col("feature"), col("thr")).limit(1).collect()
+        // precondition, surfaced descriptively (review-found): a node
+        // whose every feature is single-valued has no split — the
+        // fixture features (50/11/9-value domains) never degenerate
+        require(rows.nonEmpty, "x221 bestSplit: node has no valid split (all features single-valued)")
+        val r = rows(0)
         (r.getString(0), r.getLong(1), r.getLong(2))
       }
       val (rootF, rootT, rootS) = bestSplit(base)
@@ -789,15 +796,32 @@ object Analytic {
           col("l_returnflag").as("g"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")
         )
+      // census positions via the x87 bucketed prefix (review-found: the
+      // price census is near-unique, so a plain global window is the
+      // x219 single-task shape — same fix as x220's)
       val census = pooled
         .groupBy("v")
         .agg(
           count(lit(1)).as("t"),
           sum(when(col("g") === "R", 1L).otherwise(0L)).as("t_r")
         )
-      val wv = Window.orderBy("v")
+        .withColumn("bk", expr("v div 8192"))
+        .localCheckpoint() // two refs: bucket offsets + positions
+      val offs = census
+        .groupBy("bk")
+        .agg(sum("t").as("bt"))
+        .withColumn(
+          "off",
+          coalesce(sum("bt").over(Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        )
+        .select("bk", "off")
+      val wb = Window.partitionBy("bk").orderBy("v")
       val ranked = census
-        .withColumn("pos", (coalesce(sum("t").over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L))
+        .join(broadcast(offs), "bk")
+        .withColumn(
+          "pos",
+          col("off") + coalesce(sum("t").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L
+        )
         .withColumn("two_mid", lit(2L) * col("pos") + col("t") - 1L)
       ranked
         .agg(
@@ -849,7 +873,10 @@ object Analytic {
               "(((nn - a1) * 1000000 div nn) * ((nn - b1) * 1000000 div nn)) div 1000000"
           ).as("pe_e6")
         )
-        .withColumn("kappa_e6", expr("(po_e6 - pe_e6) * 1000000 div (1000000 - pe_e6)"))
+        // κ is undefined when chance agreement is total (pe = 1, e.g. a
+        // corpus where both raters flag everything) — report 0, the
+        // x218 zero-denominator discipline (review-found)
+        .withColumn("kappa_e6", expr("IF(pe_e6 = 1000000, 0L, (po_e6 - pe_e6) * 1000000 div (1000000 - pe_e6))"))
       cells
         .crossJoin(broadcast(tot))
         .select("a", "b", "n", "nn", "po_e6", "pe_e6", "kappa_e6")
@@ -1288,7 +1315,8 @@ object Analytic {
         |    (((nn - a1) * 1000000 // nn) * ((nn - b1) * 1000000 // nn)) // 1000000 AS pe_e6
         |  FROM t)
         |SELECT a, b, CAST(n AS BIGINT) AS n, nn, po_e6, pe_e6,
-        |  (po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6) AS kappa_e6
+        |  CASE WHEN pe_e6 = 1000000 THEN 0
+        |       ELSE (po_e6 - pe_e6) * 1000000 // (1000000 - pe_e6) END AS kappa_e6
         |FROM c, k ORDER BY a, b""".stripMargin,
 
     // x212: the identical running-max island replay.

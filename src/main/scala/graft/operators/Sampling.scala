@@ -487,7 +487,7 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = events
           .groupBy("layout", "dim", "v")
-          .agg(sum("delta").as("dd"), count(lit(1)).as("ne"))
+          .agg(sum("delta").as("dd"))
           .withColumn("depth", sum("dd").over(w))
         cum
           .withColumn(
@@ -514,9 +514,14 @@ object Sampling {
         .unionByName(
           hashFiles.select(lit("hash").as("layout"), lit("cust").as("dim"), (col("hi") + 1L).as("v"), lit(-1L).as("delta"))
         )
-      val nf = mf.agg(count(lit(1)).as("n_files"))
+      // per-LAYOUT file counts (review-found: the hash row's denominator
+      // must be its own bucket count, not the z-order manifest's)
+      val nf = mf
+        .agg(count(lit(1)).as("n_files"))
+        .select(lit("zorder").as("layout"), col("n_files"))
+        .unionByName(hashFiles.agg(count(lit(1)).as("n_files")).select(lit("hash").as("layout"), col("n_files")))
       sweep(mfEvents("cust", "c_lo", "c_hi").unionByName(mfEvents("days", "d_lo", "d_hi")).unionByName(hashEvents))
-        .crossJoin(broadcast(nf))
+        .join(broadcast(nf), Seq("layout"))
         .select("layout", "dim", "n_files", "max_depth", "at_v")
         .orderBy("layout", "dim")
     }),
@@ -1241,9 +1246,11 @@ object Sampling {
         |  SELECT layout, dim, CAST(depth AS BIGINT) AS max_depth, v AS at_v,
         |    row_number() OVER (PARTITION BY layout, dim ORDER BY depth DESC, v) AS rk
         |  FROM k),
-        |nf AS (SELECT count(*) AS n_files FROM mf)
-        |SELECT layout, dim, n_files, max_depth, at_v
-        |FROM r, nf WHERE rk = 1 ORDER BY layout, dim""".stripMargin,
+        |nf AS (
+        |  SELECT 'zorder' AS layout, count(*) AS n_files FROM mf
+        |  UNION ALL SELECT 'hash', count(*) FROM hf)
+        |SELECT r.layout, dim, n_files, max_depth, at_v
+        |FROM r JOIN nf ON nf.layout = r.layout WHERE rk = 1 ORDER BY r.layout, dim""".stripMargin,
 
     // x216: identical keyed-token derivation, token-space join, and the
     // raw twin — the invariants are columns, so a collision or a count
