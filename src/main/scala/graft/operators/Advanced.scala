@@ -1601,6 +1601,77 @@ object Advanced {
         .orderBy("word")
     }),
 
+    // Temporal-ordering census (x225) — the DIRECTIONALITY face of
+    // co-occurrence (x153's rules are order-blind, q59's funnel checks
+    // ONE prescribed order; this measures which of a→b / b→a actually
+    // happens for EVERY type pair): per (user, day) session, distinct
+    // ordered pairs under the total (ts, event_id) order, censused to
+    // n(a→b) vs n(b→a) and a direction ratio. The generator's event
+    // order is random (natural ratios ≈ ½), so a directional pair is
+    // PLANTED (the x101 discipline): every session gets a 'qstart' at
+    // its head and a 'qend' at its tail — its ratio must read 1e6 while
+    // natural pairs hover at the coin flip, both verdicts in one
+    // output. Scale shape: sessions are user-day bounded, so the
+    // in-session pair self-join is O(session²·types) with distinct
+    // collapsing to ≤ types² per session; the census is types²-sized.
+    "x225_order_census" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("user_id"),
+          expr("CAST(date_trunc('day', ts) AS DATE)").as("day"),
+          col("event_type").as("t"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id")
+        )
+        .localCheckpoint() // session census for the plant + pair join ×2
+      val plant = ev
+        .groupBy("user_id", "day")
+        .agg(min("us").as("lo"), max("us").as("hi"))
+        .select(
+          col("user_id"), col("day"),
+          explode(
+            expr(
+              "array(named_struct('t', 'qstart', 'us', lo - 1000000, 'event_id', -1L), " +
+                "named_struct('t', 'qend', 'us', hi + 1000000, 'event_id', -2L))"
+            )
+          ).as("p")
+        )
+        .select(col("user_id"), col("day"), col("p.t"), col("p.us"), col("p.event_id"))
+      val all = ev.select("user_id", "day", "t", "us", "event_id").unionByName(plant)
+      val a = all.select(col("user_id"), col("day"), col("t").as("ta"), col("us").as("ua"), col("event_id").as("ea"))
+      val b = all.select(col("user_id"), col("day"), col("t").as("tb"), col("us").as("ub"), col("event_id").as("eb"))
+      val ordered = a
+        .join(b, Seq("user_id", "day"))
+        .where(col("ta") =!= col("tb") && (col("ua") < col("ub") || (col("ua") === col("ub") && col("ea") < col("eb"))))
+        .select("user_id", "day", "ta", "tb")
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_ab"))
+      // canonicalize to the unordered pair by FOLDING both directions —
+      // a transpose left-join drops pairs seen only in the
+      // alphabetically-descending direction (the planted qstart→qend row
+      // vanished from the first draft; gate passed because the oracle
+      // shared the flaw — caught by reading the output)
+      ordered
+        .select(
+          least(col("ta"), col("tb")).as("pa"),
+          greatest(col("ta"), col("tb")).as("pb"),
+          when(col("ta") < col("tb"), col("n_ab")).otherwise(0L).as("fwd"),
+          when(col("ta") > col("tb"), col("n_ab")).otherwise(0L).as("bwd")
+        )
+        .groupBy("pa", "pb")
+        .agg(sum("fwd").as("n_ab"), sum("bwd").as("n_ba"))
+        .select(
+          col("pa").as("ta"),
+          col("pb").as("tb"),
+          col("n_ab"),
+          col("n_ba"),
+          expr("n_ab * 1000000 div (n_ab + n_ba)").as("dir_e6")
+        )
+        .orderBy("ta", "tb")
+    }),
+
     // Session path mining (x172) — the user-journey census beside q36's
     // session stats, q59's FIXED-order funnel and x141's retention: the
     // top event-type PATHS (first 5 events per 30-min-gap session,
@@ -3080,6 +3151,31 @@ object Advanced {
       """SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sampled_total
         |FROM orders
         |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 5""".stripMargin,
+    // x225: identical plant + ordered-pair census + transpose join.
+    "x225_order_census" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day, event_type AS t,
+        |    epoch_us(ts::TIMESTAMP) AS us, event_id
+        |  FROM events),
+        |pl AS (
+        |  SELECT user_id, day, 'qstart' AS t, min(us) - 1000000 AS us, CAST(-1 AS BIGINT) AS event_id
+        |  FROM e GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT user_id, day, 'qend', max(us) + 1000000, -2 FROM e GROUP BY 1, 2),
+        |allv AS (SELECT * FROM e UNION ALL SELECT * FROM pl),
+        |op AS (
+        |  SELECT DISTINCT a.user_id, a.day, a.t AS ta, b.t AS tb
+        |  FROM allv a JOIN allv b ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.t <> b.t AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))),
+        |c AS (SELECT ta, tb, count(*) AS n_ab FROM op GROUP BY 1, 2),
+        |f AS (
+        |  SELECT least(ta, tb) AS ta, greatest(ta, tb) AS tb,
+        |    CAST(sum(CASE WHEN ta < tb THEN n_ab ELSE 0 END) AS BIGINT) AS n_ab,
+        |    CAST(sum(CASE WHEN ta > tb THEN n_ab ELSE 0 END) AS BIGINT) AS n_ba
+        |  FROM c GROUP BY 1, 2)
+        |SELECT ta, tb, n_ab, n_ba, n_ab * 1000000 // (n_ab + n_ba) AS dir_e6
+        |FROM f ORDER BY ta, tb""".stripMargin,
+
     // x172: q36's session derivation + ordered-list paths (list(... ORDER
     // BY us, event_id) — the same total order as the struct sort).
     "x172_session_paths" ->
