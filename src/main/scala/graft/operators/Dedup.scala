@@ -261,9 +261,14 @@ object Dedup {
     //      beat its own output size.
     //   2. The LENGTH filter (J ≥ τ ⇒ min·1e6 ≥ τ·max) prunes candidates
     //      before the intersection join.
-    //   3. The global shingle order is a window over the VOCAB-BOUNDED
-    //      df census; prefixes are a per-doc top-k window; all joins are
-    //      equi-joins on shingle/doc keys.
+    //   3. The global shingle order needs NO global rank materialized:
+    //      df is a function of tok, so (df, tok) is itself a shared
+    //      total order, and the per-doc prefix window orders by it
+    //      directly. The r7-flagged single-partition census window
+    //      (rank over the full shingle-df census — under Heaps' law
+    //      that census grows near-linearly with the corpus) is gone,
+    //      not bucketed away: every window is doc-partitioned, every
+    //      join an equi-join on shingle/doc keys.
     "x207_prefix_join" -> ((s, d) => {
       val tau = 600000L // τ = 0.6 in e6
       val sh0 = table(s, d, "documents")
@@ -289,15 +294,14 @@ object Dedup {
         .join(members.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
         .localCheckpoint() // refs: sizes, df census, prefix, verify ×2
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val ranked = sh
+      // df census only — the rarest-first order is (df, tok) directly
+      // (rank values were never load-bearing, only the order was)
+      val dfc = sh
         .groupBy("tok")
         .agg(count(lit(1)).as("df"))
-        // vocab-bounded census: the single-partition window class
-        .withColumn("r", row_number().over(Window.orderBy(col("df"), col("tok"))).cast("long"))
-        .select("tok", "r")
-      val wDoc = Window.partitionBy("doc_id").orderBy("r")
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val prefix = sh
-        .join(ranked, "tok")
+        .join(dfc, "tok")
         .join(sz, "doc_id")
         .withColumn("pos", row_number().over(wDoc).cast("long"))
         .where(col("pos") <= expr(s"sz - (sz * $tau + 999999) div 1000000 + 1"))

@@ -624,11 +624,15 @@ object Sampling {
     // (2·cum+cnt+1) − npos(npos+1) and auc_e6 = 2U·500000 div (npos·nneg)
     // — no floats anywhere (ties are heavy here: llr_bits is coarse, so
     // the midrank handling is load-bearing, not decorative). Calibration
-    // = ntile(10) positive-rate ppm per score decile. Scale note: the two
-    // global windows run over the DISTINCT-SCORE group table and the
-    // per-doc frame — at corpus scale the decile assignment would ride
-    // the x26/x87 distributed prefix-sum instead of a global ntile; the
-    // rank-sum window is score-resolution-bounded (llr_bits values).
+    // = positive-rate ppm per score decile, with NTILE(10) semantics
+    // reproduced distributively (the r7-flagged global per-doc ntile is
+    // gone): cum counts below each score come from a bounded self-join
+    // over the score-resolution-bounded group table, the within-group
+    // rank is a score-PARTITIONED window, and the tile is the closed
+    // form of SQL NTILE — first n%10 tiles hold ⌈n/10⌉ rows, the rest
+    // ⌊n/10⌋ (DecileNtileSpec proves row-exact equality vs ntile(10)).
+    // No unpartitioned window anywhere: the rank-sum cum rides the same
+    // self-joined group table.
     "x159_auc_calibration" -> ((s, d) => {
       val labeled = dsirScores(s, d)
         .join(
@@ -636,10 +640,22 @@ object Sampling {
           "doc_id"
         )
         .localCheckpoint() // two plan refs: rank-sum groups, deciles
-      val groups = labeled.groupBy("llr_bits").agg(count(lit(1)).as("cnt"), sum("pos").as("npos_g"))
-      val wCum = Window.orderBy("llr_bits").rowsBetween(Window.unboundedPreceding, -1)
-      val stats = groups
-        .withColumn("cum", coalesce(sum("cnt").over(wCum), lit(0L)))
+      val groups = labeled
+        .groupBy("llr_bits")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("npos_g"))
+        .localCheckpoint() // three refs: cum self-join (×2 sides), totals
+      // rows strictly below each score, by bounded self-join over the
+      // score-resolution-bounded group table (no unpartitioned window)
+      val cum = groups
+        .join(
+          broadcast(groups.select(col("llr_bits").as("lb"), col("cnt").as("cb"))),
+          col("lb") < col("llr_bits"),
+          "left"
+        )
+        .groupBy("llr_bits", "cnt", "npos_g")
+        .agg(coalesce(sum("cb"), lit(0L)).as("cum"))
+        .localCheckpoint() // two refs: stats agg + decile offsets
+      val stats = cum
         .agg(
           sum("npos_g").as("npos"),
           (sum("cnt") - sum("npos_g")).as("nneg"),
@@ -648,8 +664,22 @@ object Sampling {
         .withColumn("u2", col("r2") - col("npos") * (col("npos") + 1L))
         .withColumn("auc_e6", expr("(u2 * 500000) div (npos * nneg)"))
         .select("npos", "nneg", "u2", "auc_e6")
+      val ntot = groups.agg(sum("cnt").as("ntot"))
       labeled
-        .withColumn("decile", ntile(10).over(Window.orderBy(col("llr_bits"), col("doc_id"))).cast("long"))
+        .join(broadcast(cum.select("llr_bits", "cum")), "llr_bits")
+        .withColumn("rk", col("cum") + row_number().over(Window.partitionBy("llr_bits").orderBy("doc_id")))
+        .crossJoin(broadcast(ntot))
+        // closed-form SQL NTILE(10): first ntot%10 tiles get ⌊ntot/10⌋+1
+        // rows, the rest ⌊ntot/10⌋ (greatest() guards the ANSI div when
+        // ntot < 10, where the second branch is never taken)
+        .withColumn(
+          "decile",
+          expr(
+            "CAST(IF(rk <= (ntot % 10) * (ntot div 10 + 1), " +
+              "(rk - 1) div (ntot div 10 + 1) + 1, " +
+              "ntot % 10 + (rk - (ntot % 10) * (ntot div 10 + 1) - 1) div greatest(ntot div 10, 1) + 1) AS BIGINT)"
+          )
+        )
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), sum("pos").as("npos_d"))
         .withColumn("pos_rate_ppm", expr("(npos_d * 1000000) div n"))

@@ -1263,9 +1263,11 @@ object TextAnalysis {
     // (md5 % 2²⁶ + 1), the inverse-uniform construction whose pmf is
     // ∝ 1/v(v+1) ≈ v⁻², pure integer in both engines — whose fit must
     // recover slope ≈ −2e6 (spec-asserted). Scale shape: each census is
-    // one corpus-pass agg with map-side combine; ranking runs on the
-    // vocab-bounded census (single-partition window, documented class);
-    // the fit is a 64-row aggregate.
+    // one corpus-pass agg with map-side combine; the top-64 comes out as
+    // a TakeOrderedAndProject (per-partition heaps, no global sort — the
+    // r7-flagged census-wide row_number is gone) and the re-rank runs
+    // over exactly those 64 rows in one bounded task; the fit is a
+    // 64-row aggregate.
     "x186_zipf_fit" -> ((s, d) => {
       val tokens = table(s, d, "documents")
         .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
@@ -1282,9 +1284,21 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"))
       def fit(census0: DataFrame, id: Long): DataFrame = {
         val census = census0.localCheckpoint() // two plan refs: rank, totals
-        val ranked = census
-          .withColumn("r", row_number().over(Window.orderBy(col("tf").desc, col("k"))))
-          .where(col("r") <= 64)
+        // top-64 as TakeOrderedAndProject (per-partition heaps, no global
+        // sort), then a window-free re-rank: rank = 1 + |rows ahead in
+        // (tf desc, k) order|, a 64×64 broadcast self-join
+        val top = census
+          .orderBy(col("tf").desc, col("k"))
+          .limit(64)
+          .localCheckpoint() // both sides of the re-rank self-join
+        val ranked = top
+          .join(
+            broadcast(top.select(col("tf").as("tb"), col("k").as("kb"))),
+            col("tb") > col("tf") || (col("tb") === col("tf") && col("kb") < col("k")),
+            "left"
+          )
+          .groupBy("tf", "k")
+          .agg((count(col("kb")) + 1L).as("r"))
           .select(
             expr("CAST(length(bin(r)) - 1 AS BIGINT)").as("x"),
             expr("CAST(length(bin(tf)) - 1 AS BIGINT)").as("y")
