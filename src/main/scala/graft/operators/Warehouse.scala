@@ -1736,6 +1736,33 @@ object Warehouse {
         .toDF("table_name", "n_rows")
         .orderBy("table_name")
     }),
+    // Manifest-list scan planning (x226, sources/ManifestTree): the
+    // key-range read plans through the two-level Iceberg-shaped metadata
+    // tree — prune the manifest LIST by range stats, open only the
+    // surviving manifest files, prune entries, hand the driver nothing
+    // but the final task list (the r7 "manifest as a dataset" item). The
+    // gate pins BOTH the content (per-bucket counts + cents over the
+    // planned read — a wrongly-pruned file loses rows and breaks the
+    // hash) and the tree accounting (manifests total/read, files read,
+    // rows planned) against a DuckDB replay of the same layout
+    // arithmetic; ManifestTreeSpec proves non-overlapping metadata and
+    // data are physically never opened (corrupts them, plans through).
+    "x226_manifest_plan" -> ((s, d) => {
+      graft.sources.ManifestTree.ensure(s, d)
+      // keys are dense from 0, so [300, 1100] is non-empty at every SF;
+      // pruning reads 1 of 2 manifests at sf0.01 and 1 of 19 at sf0.1
+      val (lo, hi) = (300L, 1100L)
+      val p = graft.sources.ManifestTree.planRange(s, lo, hi)
+      graft.sources.ManifestTree
+        .readTasks(s, p, lo, hi)
+        .groupBy(expr(s"k div ${graft.sources.ManifestTree.BucketWidth}L").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"))
+        .withColumn("n_manifests_total", lit(p.nManifestsTotal))
+        .withColumn("n_manifests_read", lit(p.nManifestsRead))
+        .withColumn("n_files_read", lit(p.nFilesRead))
+        .withColumn("n_rows_planned", lit(p.nRowsPlanned))
+        .orderBy("bucket")
+    }),
     // x106 ORC round-trip: format choice must be invisible to results —
     // the lineitem projection written to zlib ORC (partitioned by return
     // flag) and read back must aggregate identically to the parquet
@@ -1966,6 +1993,31 @@ object Warehouse {
         |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
         |UNION ALL SELECT 'orders', count(*) FROM orders
         |ORDER BY table_name""".stripMargin,
+    // x226: the oracle replays the manifest-tree layout arithmetic from
+    // the source table — file stats per bucket, list stats per bucket
+    // group, range pruning at both levels — so a planner that opens too
+    // much (accounting columns) or prunes too much (content columns)
+    // both break the hash.
+    "x226_manifest_plan" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |                  o_orderkey // 1024 AS bucket FROM orders),
+        |f AS (SELECT bucket, bucket // 8 AS g, min(k) AS mn, max(k) AS mx,
+        |             count(*) AS n FROM b GROUP BY 1, 2),
+        |gl AS (SELECT g, min(mn) AS mn, max(mx) AS mx FROM f GROUP BY 1),
+        |sel_f AS (SELECT bucket, n FROM f
+        |          WHERE g IN (SELECT g FROM gl WHERE mx >= 300 AND mn <= 1100)
+        |            AND mx >= 300 AND mn <= 1100),
+        |acct AS (SELECT (SELECT count(*) FROM gl) AS n_manifests_total,
+        |  (SELECT count(*) FROM gl WHERE mx >= 300 AND mn <= 1100) AS n_manifests_read,
+        |  (SELECT count(*) FROM sel_f) AS n_files_read,
+        |  CAST((SELECT coalesce(sum(n), 0) FROM sel_f) AS BIGINT) AS n_rows_planned)
+        |SELECT bucket, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  a.n_manifests_total, a.n_manifests_read, a.n_files_read, a.n_rows_planned
+        |FROM b, acct a
+        |WHERE k >= 300 AND k <= 1100
+        |GROUP BY bucket, a.n_manifests_total, a.n_manifests_read, a.n_files_read, a.n_rows_planned
+        |ORDER BY bucket""".stripMargin,
     // x106: the oracle reads the PARQUET original — a hash match proves
     // the ORC write+read round-trip is value-exact (doubles bit-preserved,
     // timestamps micros-exact, partition column restored).
