@@ -383,6 +383,43 @@ object Multimodal {
         .orderBy("blob_id")
     }),
 
+    // zstd frame decode (x227) — the modern default parquet/ORC codec
+    // read back from scratch (RFC 8878: FSE normalized counts + decode
+    // tables, Huffman with direct AND FSE-compressed weights, 1- and
+    // 4-stream literals, sequences with repeat offsets, raw/RLE blocks,
+    // multi-block frames). Fixtures compressed by the OFFICIAL zstd-jni
+    // in Spark's jars (the x198/x199 conformance split); four content
+    // classes cycle the encoder through Huffman/FSE/RLE/raw strategies;
+    // same formula-oracle shape — DuckDB rebuilds lengths + digests from
+    // the plaintext formulas, never touching a zstd byte.
+    "x227_zstd_decode" -> ((s, _) => {
+      graft.sources.ZstdFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.ZstdFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val id = r.getAs[Long]("blob_id")
+            graft.sources.ZstdFrame.decode(r.getAs[Array[Byte]]("payload")) match {
+              case Some(body) =>
+                md.reset()
+                val hex = md.digest(body).map(b => f"${b & 0xff}%02x").mkString
+                Row(id, body.length.toLong, hex)
+              case None => Row(id, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
+
     // EXIF metadata (x197) — the metadata face of the image family
     // (x70/x80/x163 decode pixels; real photo pipelines need
     // orientation/camera/timestamp BEFORE any pixel work): a structural
@@ -1311,6 +1348,23 @@ object Multimodal {
         |  FROM h)
         |SELECT z AS blob_id, CAST(length(content) AS BIGINT) AS n_bytes,
         |  md5(content) AS content_md5
+        |FROM c ORDER BY blob_id""".stripMargin,
+
+    // x227: the x198/x199 proof shape over the four zstd content-class
+    // formulas — the oracle rebuilds every plaintext independently.
+    "x227_zstd_decode" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 149 + z % 200)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |h1 AS (SELECT z, string_agg('Z,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |       FROM zs, unnest(generate_series(0, 4 + z % 9)) t(i) WHERE z % 4 = 1 GROUP BY z),
+        |c1 AS (SELECT z, h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(800 + z % 400 AS INT)) || h AS content FROM h1),
+        |c2 AS (SELECT z, string_agg(md5(z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 2 + z % 9)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, repeat(chr(97 + CAST(z % 26 AS INT)), CAST(300 + z % 500 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 3),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5
         |FROM c ORDER BY blob_id""".stripMargin,
 
     // x189: the member inventory rebuilt from the fixture formulas —
