@@ -73,6 +73,49 @@ object TextAnalysis {
       |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b, count(*) AS cnt
       |  FROM tok GROUP BY 1, 2)""".stripMargin
 
+  /** x228 oracle: the full 5-round GD unrolled (z → fast-sigmoid error →
+    * per-bucket gradient → posmod-floor update per iteration), then the
+    * odd-half midrank-AUC replay over the final weights. */
+  private def x228OracleSql: String = {
+    def fdiv(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) // ($dd)"
+    def sig(z: String) = s"500000 + ${fdiv(s"($z) * 500000", s"1000000 + abs($z)")}"
+    val iters = (1 to 5)
+      .map { t =>
+        val pw = if (t == 1) "w0" else s"w${t - 1}"
+        s"""z$t AS (SELECT tr.doc_id, max(tr.y) AS y, CAST(sum($pw.w) AS BIGINT) AS z
+           |  FROM tr JOIN $pw ON tr.b = $pw.b GROUP BY tr.doc_id),
+           |e$t AS (SELECT doc_id, y * 1000000 - (${sig("z")}) AS e FROM z$t),
+           |g$t AS (SELECT tr.b, CAST(sum(e$t.e) AS BIGINT) AS g
+           |  FROM tr JOIN e$t ON tr.doc_id = e$t.doc_id GROUP BY tr.b),
+           |w$t AS (SELECT g$t.b, CAST($pw.w + ${fdiv("g", "ntr.n")} AS BIGINT) AS w
+           |  FROM g$t JOIN $pw ON g$t.b = $pw.b, ntr)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH $hashedFeaturesSql,
+       |lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+       |pres AS (SELECT doc_id, b FROM f UNION ALL SELECT doc_id, 256 AS b FROM documents),
+       |tr AS (SELECT p.doc_id, p.b, l.y FROM pres p JOIN lab l USING (doc_id) WHERE p.doc_id % 2 = 0),
+       |ntr AS (SELECT count(DISTINCT doc_id) AS n FROM tr),
+       |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM tr),
+       |$iters,
+       |odd AS (SELECT p.doc_id, p.b, l.y FROM pres p JOIN lab l USING (doc_id) WHERE p.doc_id % 2 = 1),
+       |ev AS (SELECT o.doc_id, max(o.y) AS pos, CAST(sum(w5.w) AS BIGINT) AS z
+       |  FROM odd o JOIN w5 ON o.b = w5.b GROUP BY o.doc_id),
+       |grp AS (SELECT z, count(*) AS cnt, sum(pos) AS npos_g FROM ev GROUP BY z),
+       |cw AS (SELECT z, cnt, npos_g,
+       |  coalesce(sum(cnt) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM grp),
+       |st AS (SELECT CAST(sum(npos_g) AS BIGINT) AS npos, CAST(sum(cnt) - sum(npos_g) AS BIGINT) AS nneg,
+       |  CAST(sum(npos_g * (2 * cum + cnt + 1)) AS BIGINT) AS r2 FROM cw),
+       |auc AS (SELECT npos, nneg,
+       |  CAST(CASE WHEN npos * nneg = 0 THEN 0
+       |       ELSE ((r2 - npos * (npos + 1)) * 500000) // (npos * nneg) END AS BIGINT) AS auc_e6
+       |  FROM st)
+       |SELECT r.range AS b, CAST(coalesce(w5.w, 0) AS BIGINT) AS w_e6, a.auc_e6, a.npos, a.nneg
+       |FROM range(257) r LEFT JOIN w5 ON r.range = w5.b, auc a
+       |ORDER BY b""".stripMargin
+  }
+
   /** One left-to-right non-overlapping merge pass of (a, b) over a `syms`
     * symbol array, as a codegen'd `aggregate` fold — the rule enters as
     * string literals, so no per-row merge-table lookup ("aaaa" + (a,a) →
@@ -867,6 +910,43 @@ object TextAnalysis {
           (col("score_pt") >= lit(-50L)).as("keep")
         )
         .orderBy("doc_id")
+    }),
+
+    // Logistic-regression trainer (x228, operators/LogisticGd) — the
+    // gradient-based trainer completing the learn→calibrate→evaluate
+    // loop (x164 counts, x179 solves, x68 infers; this one DESCENDS):
+    // 5 full-batch GD rounds over x65's 256 hashed presence features +
+    // bias, rational fast-sigmoid activation, posmod-floor fixed-point
+    // updates — bit-replayable in DuckDB as unrolled per-iteration CTEs
+    // (the x72 pattern). Trains on the even-doc half against the x159
+    // target (lang='en'), evaluates odd-half midrank AUC with the final
+    // weights; output = the full 257-bucket weight vector × the eval
+    // verdict, so a divergence in ANY round's arithmetic breaks the
+    // hash. LogisticGdSpec proves the trainer recovers a planted
+    // separable concept.
+    "x228_logistic_gd" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val pres = hashedFeatures(s, d)
+        .select(col("doc_id"), col("b"))
+        .unionByName(docs.select(col("doc_id"), lit(256L).as("b")))
+        .localCheckpoint() // train + eval legs
+      val lab = docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+      val w = LogisticGd
+        .train(pres.where(col("doc_id") % 2 === 0), lab.where(col("doc_id") % 2 === 0), iters = 5)
+        .localCheckpoint() // eval join + output join
+      val scored = pres
+        .where(col("doc_id") % 2 === 1)
+        .join(w, "b")
+        .groupBy("doc_id")
+        .agg(sum("w").as("z"))
+        .join(lab.where(col("doc_id") % 2 === 1), "doc_id")
+        .select(col("z"), col("y").as("pos"))
+      s.range(257)
+        .select(col("id").as("b"))
+        .join(w, Seq("b"), "left")
+        .select(col("b"), coalesce(col("w"), lit(0L)).as("w_e6"))
+        .crossJoin(broadcast(LogisticGd.auc(scored)))
+        .orderBy("b")
     }),
 
     // Naive Bayes classifier TRAINING + held-out evaluation (x164) — the
@@ -1935,6 +2015,10 @@ object TextAnalysis {
           |  FROM s)
           |SELECT doc_id, n_tokens, score, score_pt, score_pt >= -50 AS keep
           |FROM p ORDER BY doc_id""".stripMargin,
+      // x228: all 5 GD rounds unrolled as CTEs (the x72 discipline) —
+      // fast-sigmoid errors, per-bucket gradients, posmod-floor updates,
+      // then the odd-half midrank-AUC replay on the final weights.
+      "x228_logistic_gd" -> x228OracleSql,
       // x164: the identical smoothed floor-log2 NB train + argmax replay.
       "x164_nb_classifier" ->
         s"""WITH $hashedFeaturesSql,
