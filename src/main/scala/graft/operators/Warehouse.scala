@@ -1211,6 +1211,30 @@ object Warehouse {
       Seq((orphans.size.toLong, (all.size - orphans.size).toLong, all.size.toLong))
         .toDF("n_orphans", "n_referenced", "n_dirs")
     }),
+    // Full-era vacuum (x229): x86's reachability walk extended to the
+    // round-7 feature era — deletion-vector sidecars, delta files, and
+    // REGISTERED clones (cloneTable back-points at the source, and the
+    // plan walks every clone snapshot). Over the CowGc fixture with
+    // retain={5}: dv_v4 + the doubly-rewritten v3 dirs are true orphans;
+    // dv_v2 and every rewritten bucket's v1 dir survive ONLY through the
+    // clone (the n_kept_clone_only audit column). The oracle replays the
+    // two stripe formulas; CowGcSpec EXECUTES the vacuum and proves the
+    // clone still reads, then deregisters and proves the hold releases.
+    "x229_vacuum_full" -> ((s, d) => {
+      graft.sources.CowGc.ensure(s, d)
+      import s.implicits._
+      val (orphans, cands, cloneOnly) =
+        graft.sources.CowTable.vacuumPlanFull(s, Seq(5), graft.sources.CowGc.dir)
+      Seq(
+        (
+          cands.size.toLong,
+          (cands.size - orphans.size).toLong,
+          orphans.size.toLong,
+          orphans.count(_.contains("/dv_v")).toLong,
+          cloneOnly.size.toLong
+        )
+      ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
+    }),
     // Time travel: snapshot v1 read AFTER the v2 merge — carried files are
     // referenced (not copied) by v2, so this hash-matching the ORIGINAL
     // table is the gate-level proof that the merge overwrote nothing.
@@ -2281,6 +2305,28 @@ object Warehouse {
         |SELECT CAST(orphans AS BIGINT) AS n_orphans,
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
+        |FROM c""".stripMargin,
+    // x229: the reachability census from the two stripe formulas — v1
+    // dirs = base buckets; v3 dirs = stripe-A buckets; v5 dirs = buckets
+    // with a LIVE 89-multiple (dead stripe-A keys no-op in the DV
+    // probe); + dv_v2 and dv_v4. Orphans = v3 dirs rewritten again in v5
+    // (A∩B) + dv_v4; clone-only = v1 dirs of every rewritten bucket
+    // (A∪B) + dv_v2.
+    "x229_vacuum_full" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket FROM orders),
+        |sa AS (SELECT DISTINCT bucket FROM base WHERE k % 97 = 0 AND bucket % 5 = 0),
+        |sb AS (SELECT DISTINCT bucket FROM base WHERE k % 89 = 0 AND bucket % 3 = 0
+        |       AND NOT (k % 97 = 0 AND bucket % 5 = 0)),
+        |c AS (SELECT
+        |  (SELECT count(DISTINCT bucket) FROM base) AS v1d,
+        |  (SELECT count(*) FROM sa) AS sad,
+        |  (SELECT count(*) FROM sb) AS sbd,
+        |  (SELECT count(*) FROM sa WHERE bucket IN (SELECT bucket FROM sb)) AS inter)
+        |SELECT CAST(v1d + sad + sbd + 2 AS BIGINT) AS n_candidates,
+        |  CAST(v1d + sad + sbd + 1 - inter AS BIGINT) AS n_referenced,
+        |  CAST(inter + 1 AS BIGINT) AS n_orphans,
+        |  CAST(1 AS BIGINT) AS n_dv_orphans,
+        |  CAST(sad + sbd - inter + 1 AS BIGINT) AS n_kept_clone_only
         |FROM c""".stripMargin,
     // row-level v2→v3 CDC replay: U rows where the upsert formula lands in
     // an upsert-stripe key AND changes the value, D rows for the delete

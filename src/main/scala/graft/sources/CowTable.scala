@@ -283,6 +283,10 @@ object CowTable {
       s.read.parquet(s"$srcRoot/schemas").coalesce(1).write.mode("overwrite").parquet(s"$dstRoot/schemas")
     versionSchemaId(s, srcVersion, srcRoot).foreach(sid => writeVersionMeta(s, dstRoot, 1, sid))
     writeManifestRows(s, 1, entries(s, srcVersion, srcRoot), dstRoot)
+    // back-pointer registration: source-side GC must treat the clone's
+    // referenced paths as live (x229) — a clone the source cannot SEE is
+    // a clone the source can break
+    registerClone(srcRoot, dstRoot)
   }
 
   val cloneDir = "/root/repo/spark-warehouse/graft_cow_clone"
@@ -1067,6 +1071,116 @@ object CowTable {
     * ref is how its files become eligible). Branch data directories
     * (`branch_<name>_v<seq>`) are vacuum CANDIDATES like version dirs, so
     * an abandoned, de-referenced branch lineage is collectable. */
+  // --------------------------------------- clone registry + full-era GC
+
+  /** Register a clone back-pointer at the source root (idempotent; the
+    * file name is a digest of the clone root). [[vacuumPlanFull]] walks
+    * registered clones so a source-side vacuum can never delete a file a
+    * live clone still references — the x104 shallow-clone contract's
+    * missing half. */
+  def registerClone(srcRoot: String, dstRoot: String): Unit = {
+    val d = new java.io.File(s"$srcRoot/clones")
+    d.mkdirs()
+    val name = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dstRoot.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(16)
+    java.nio.file.Files.write(new java.io.File(d, name).toPath, dstRoot.getBytes("UTF-8"))
+  }
+
+  /** Drop a clone registration (the clone was vacuumed away itself). */
+  def deregisterClone(srcRoot: String, dstRoot: String): Unit = {
+    val name = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dstRoot.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(16)
+    new java.io.File(s"$srcRoot/clones/$name").delete()
+  }
+
+  /** Registered clone roots of `root` (empty when none). */
+  def registeredClones(root: String): Seq[String] =
+    Option(new java.io.File(s"$root/clones").listFiles())
+      .map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .sorted
+
+  /** Full-era vacuum plan (x229) — [[vacuumPlan]] predates deletion
+    * vectors, delta files and clones; this one covers them all:
+    *   - CANDIDATES: data bucket dirs (v*, branch_*, delta_v*) AND DV
+    *     sidecar dirs (dv_v*[ _g* ]) under the root.
+    *   - REFERENCED: every entry's `path` AND `dvPath` from (a) retained
+    *     versions' manifests, (b) every named ref (tag/branch), (c) every
+    *     REGISTERED clone's every snapshot and ref — a clone pins the
+    *     source files it shares, so source-side GC keeps them until the
+    *     clone is deregistered.
+    * Returns (orphans, candidates, keptByCloneOnly) — the third is the
+    * audit trail: paths alive ONLY because a clone holds them.
+    * Unpublished WAP stages are deliberately NOT reachable roots: an
+    * abandoned stage is exactly what vacuum exists to collect.
+    */
+  def vacuumPlanFull(
+      s: SparkSession,
+      retain: Seq[Int],
+      root: String = dir
+  ): (Seq[String], Seq[String], Seq[String]) = {
+    def refsOfManifest(path: String): Seq[String] =
+      entriesAt(s, path).flatMap(e => Seq(e.path) ++ (if (e.dvPath.nonEmpty) Seq(e.dvPath) else Nil))
+    def namedRefManifests(r: String): Seq[String] =
+      Option(new java.io.File(s"$r/refs").listFiles())
+        .map(_.toSeq)
+        .getOrElse(Seq.empty)
+        .map(f => readRefMeta(s, f.getName, r).manifestPath)
+    def allVersionManifests(r: String): Seq[String] =
+      Option(new java.io.File(r).listFiles())
+        .map(_.toSeq)
+        .getOrElse(Seq.empty)
+        .filter(f => f.isDirectory && f.getName.matches("^manifest_v\\d+$"))
+        .map(_.getAbsolutePath)
+    val localRefs =
+      (retain.map(v => manifestPath(v, root)) ++ namedRefManifests(root)).flatMap(refsOfManifest)
+    val cloneRefs = registeredClones(root).flatMap { cr =>
+      (allVersionManifests(cr) ++ namedRefManifests(cr)).flatMap(refsOfManifest)
+    }
+    val localSet = localRefs.toSet
+    val referenced = localSet ++ cloneRefs
+    val rootFiles = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val dataDirs = rootFiles
+      .filter(f =>
+        f.isDirectory &&
+          (f.getName.matches("^v\\d+$") ||
+            f.getName.matches("^delta_v\\d+$") ||
+            (f.getName.startsWith("branch_") &&
+              !f.getName.matches("^branch_.*_manifest_v\\d+$")))
+      )
+      .flatMap(f => Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getAbsolutePath)
+    val dvDirs = rootFiles
+      .filter(f => f.isDirectory && f.getName.matches("^dv_v\\d+(_g\\d+)?$"))
+      .map(_.getAbsolutePath)
+    val candidates = (dataDirs ++ dvDirs).sorted
+    val orphans = candidates.filterNot(referenced.contains)
+    val keptByCloneOnly = candidates.filter(p => !localSet.contains(p) && referenced.contains(p))
+    (orphans, candidates, keptByCloneOnly)
+  }
+
+  /** Execute the full-era plan: delete orphan dirs, return them. Clone-
+    * and retention-referenced paths are structurally unreachable here —
+    * the refusal the CowGcSpec proves. */
+  def vacuumExecute(s: SparkSession, retain: Seq[Int], root: String = dir): Seq[String] = {
+    val (orphans, _, _) = vacuumPlanFull(s, retain, root)
+    orphans.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    orphans
+  }
+
   def vacuumPlan(s: SparkSession, retain: Seq[Int], root: String = dir): (Seq[String], Seq[String]) = {
     val refNames = Option(new java.io.File(s"$root/refs").listFiles())
       .map(_.toSeq)
