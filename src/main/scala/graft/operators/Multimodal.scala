@@ -820,6 +820,47 @@ object Multimodal {
         }(enc)
         .orderBy("img_id")
     }),
+    // PNG completion (x230) — the LAST quarantined slices leave: 16-bit
+    // gray+alpha and RGBA (full-depth white composite, then the §12.5
+    // reduction) and keyed tRNS transparency on types 0/2 at both
+    // depths (each fixture key equals its (0,0) sample, so the
+    // transparent branch fires in every keyed payload). Same shape as
+    // x168: kind pins the IHDR dispatch, pixels land in the shared 8×8
+    // resample/checksum contract, oracle replays the five class
+    // formulas.
+    "x230_png_complete" -> ((s, _) => {
+      graft.sources.PngFullFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("img_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("kind", StringType),
+          StructField("checksum", LongType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.PngFullFixture.payloadPath)
+        .mapPartitions { it =>
+          it.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            graft.sources.PngPixels.decode(payload) match {
+              case Some(img) =>
+                val cs = graft.sources.BmpPixels.checksum(graft.sources.BmpPixels.resizeNearest(img, 8, 8))
+                Row(
+                  r.getAs[Long]("img_id"),
+                  img.width,
+                  img.height,
+                  graft.sources.PngPixels.kindOf(payload).orNull,
+                  cs
+                )
+              case None => Row(r.getAs[Long]("img_id"), null, null, null, null)
+            }
+          }
+        }(enc)
+        .orderBy("img_id")
+    }),
     "x71_gif_decode" -> ((s, _) => {
       graft.sources.GifFixture.ensure(s)
       val schema = StructType(
@@ -1901,6 +1942,54 @@ object Multimodal {
         |      ELSE NULL
         |    END AS b2
         |  FROM px)
+        |SELECT img_id, width, height, kind,
+        |  CAST(sum(wgt * (3 * r + 5 * coalesce(g2, r) + 7 * coalesce(b2, r))) AS BIGINT) AS checksum
+        |FROM ch GROUP BY img_id, width, height, kind ORDER BY img_id""".stripMargin,
+    // x230: the five class formulas — 16-bit composites cleared to
+    // integer divisions, keyed classes matching against the (0,0)
+    // sample — through the shared checksum CTE.
+    "x230_png_complete" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height, clazz, kind
+        |  FROM '/root/repo/spark-warehouse/graft_png_full/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height, clazz, kind,
+        |    (gj.v * 8 + gi.v + 1) AS wgt,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |raw AS (
+        |  SELECT *,
+        |    (img_id*131 + sx*4799 + sy*9601) % 65536 AS c1,
+        |    (img_id*137 + sx*4801 + sy*9613) % 65536 AS c2,
+        |    (img_id*139 + sx*4813 + sy*9619) % 65536 AS c3,
+        |    (img_id*149 + sx*4817 + sy*9623) % 65536 AS c4,
+        |    (img_id*3 + sx*13 + sy*7) % 256 AS g8,
+        |    (img_id*131) % 65536 AS k1, (img_id*137) % 65536 AS k2,
+        |    (img_id*139) % 65536 AS k3
+        |  FROM px),
+        |ch AS (
+        |  SELECT img_id, width, height, kind, wgt,
+        |    CASE clazz
+        |      WHEN 'ga16' THEN (((c2*c1 + (65535-c2)*65535) // 65535) * 255 + 32767) // 65535
+        |      WHEN 'rgba16' THEN (((c4*c1 + (65535-c4)*65535) // 65535) * 255 + 32767) // 65535
+        |      WHEN 'gray_keyed' THEN CASE WHEN g8 = (img_id*3) % 256 THEN 255 ELSE g8 END
+        |      WHEN 'gray16_keyed' THEN CASE WHEN c1 = k1 THEN 255 ELSE (c1*255 + 32767) // 65535 END
+        |      ELSE CASE WHEN c1 = k1 AND c2 = k2 AND c3 = k3 THEN 255 ELSE (c1*255 + 32767) // 65535 END
+        |    END AS r,
+        |    CASE clazz
+        |      WHEN 'rgba16' THEN (((c4*c2 + (65535-c4)*65535) // 65535) * 255 + 32767) // 65535
+        |      WHEN 'rgb16_keyed' THEN
+        |        CASE WHEN c1 = k1 AND c2 = k2 AND c3 = k3 THEN 255 ELSE (c2*255 + 32767) // 65535 END
+        |      ELSE NULL
+        |    END AS g2,
+        |    CASE clazz
+        |      WHEN 'rgba16' THEN (((c4*c3 + (65535-c4)*65535) // 65535) * 255 + 32767) // 65535
+        |      WHEN 'rgb16_keyed' THEN
+        |        CASE WHEN c1 = k1 AND c2 = k2 AND c3 = k3 THEN 255 ELSE (c3*255 + 32767) // 65535 END
+        |      ELSE NULL
+        |    END AS b2
+        |  FROM raw)
         |SELECT img_id, width, height, kind,
         |  CAST(sum(wgt * (3 * r + 5 * coalesce(g2, r) + 7 * coalesce(b2, r))) AS BIGINT) AS checksum
         |FROM ch GROUP BY img_id, width, height, kind ORDER BY img_id""".stripMargin,

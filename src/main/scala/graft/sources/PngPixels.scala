@@ -20,12 +20,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * alpha prefix — x144), 4 (gray+alpha — x168) and 6 (RGBA), alpha
   * composited over white with an integer-exact formula the
   * x100/x144/x168 oracles mirror; bit depth 8 everywhere plus depth 16
-  * for types 0/2 (x168, §12.5 rounded reduction); sequential AND
-  * Adam7-interlaced scanline layouts (x146 — the seven passes are
-  * independently filtered sub-images deinterlaced by scatter;
-  * interlacing is TRANSPORT, so the pixel oracles are unchanged).
-  * 16-bit alpha variants and keyed (non-palette) transparency return
-  * None: quarantine, never a thrown task. All offsets are bounds-checked
+  * for types 0/2 (x168) and 4/6 (x230 — full-depth composite, then the
+  * §12.5 rounded reduction); KEYED transparency via tRNS on types 0/2
+  * at both depths (x230); sequential AND Adam7-interlaced scanline
+  * layouts (x146 — the seven passes are independently filtered
+  * sub-images deinterlaced by scatter; interlacing is TRANSPORT, so the
+  * pixel oracles are unchanged). Only spec-invalid shapes (16-bit
+  * indexed, tRNS on alpha types) return None — the color-type surface
+  * is COMPLETE. All offsets are bounds-checked
   * against the payload (untrusted executor-side bytes — the same
   * discipline as [[ImageMeta]]/[[BmpPixels]]).
   *
@@ -57,14 +59,15 @@ object PngPixels {
   /** Decode a non-interlaced PNG of color type 2 (RGB), 3 (PLTE indexed,
     * with or without a tRNS palette-alpha prefix — x144), 6 (RGBA), 0
     * (grayscale — x146), 4 (gray+alpha — x168), at bit depth 8; depth 16
-    * for types 0 and 2 (x168, reduced by the §12.5 rounding); all
-    * transparency composites over white with the integer-exact
-    * `c' = (a·c + (255−a)·255) div 255` mirrored in the x100/x144/x168
-    * oracles. None for anything else (including any CRC mismatch —
-    * corrupt payloads quarantine cleanly). A tRNS chunk on color types
-    * 0/2 (keyed transparency) and 16-bit alpha variants remain OUT of
-    * the supported surface and quarantine rather than silently decoding
-    * opaque/truncated. */
+    * for types 0 and 2 (x168) AND 4/6 (x230), reduced by the §12.5
+    * rounding. All 8-bit transparency composites over white with the
+    * integer-exact `c' = (a·c + (255−a)·255) div 255` mirrored in the
+    * x100/x144/x168 oracles; 16-bit alpha composites at full depth —
+    * `(a·c + (65535−a)·65535) div 65535` — then reduces. KEYED
+    * transparency (tRNS on types 0/2, x230): the sample / RGB triple
+    * matching the key at native depth is fully transparent. None for
+    * anything else (including any CRC mismatch — corrupt payloads
+    * quarantine cleanly); 16-bit indexed stays out (spec-invalid). */
   def decode(b: Array[Byte]): Option[BmpPixels.Image] = {
     if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
     var o = 8
@@ -95,9 +98,9 @@ object PngPixels {
           val il = b(o + 20) & 0xff
           if ((bitDepth != 8 && bitDepth != 16) || compression != 0 || filterMethod != 0 || il > 1)
             return None
-          // 16-bit alpha (4/6) and 16-bit indexed (spec-invalid anyway)
-          // stay out of scope — quarantine, never truncate silently
-          if (bitDepth == 16 && colorType != 0 && colorType != 2) return None
+          // 16-bit indexed is spec-invalid; every other 16-bit type is
+          // in scope (x168 added 0/2, x230 closed 4/6)
+          if (bitDepth == 16 && colorType == 3) return None
           deep = bitDepth == 16
           interlaced = il == 1
           val channels = colorType match {
@@ -124,12 +127,19 @@ object PngPixels {
           pal = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + n)
         case "tRNS" =>
           // PALETTE transparency (x144): per-entry alpha for a PREFIX of
-          // the palette, entries past it opaque (spec §11.3.2). Must
-          // follow PLTE and precede IDAT; a second tRNS, an over-long
-          // one, or tRNS for any other color type (keyed transparency —
-          // still out of scope) quarantines rather than decoding opaque.
-          if (colorType != 3 || pal == null || trns != null || idat.size() > 0) return None
-          if (n == 0 || n > pal.length / 3) return None
+          // the palette, entries past it opaque (spec §11.3.2). KEYED
+          // transparency (x230) on types 0/2: one 2-byte sample / one
+          // 6-byte RGB triple at the image's bit depth. Always before
+          // IDAT, never repeated, never on alpha-carrying types (4/6 —
+          // spec-forbidden) — those quarantine rather than decode opaque.
+          if (!seenIhdr || trns != null || idat.size() > 0) return None
+          colorType match {
+            case 3 =>
+              if (pal == null || n == 0 || n > pal.length / 3) return None
+            case 0 => if (n != 2) return None
+            case 2 => if (n != 6) return None
+            case _ => return None
+          }
           trns = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + n)
         case "IDAT" => if (!seenIhdr) return None else idat.write(b, o + 8, n)
         case "IEND" => seenIend = true
@@ -214,26 +224,51 @@ object PngPixels {
       }
     }
     def s16(p: Int): Int = ((px(p) & 0xff) << 8) | (px(p + 1) & 0xff)
+    // tRNS key samples (types 0/2): 2-byte big-endian each; for 8-bit
+    // images a key > 255 simply never matches (spec-legal encoding)
+    def key16(i: Int): Int = ((trns(2 * i) & 0xff) << 8) | (trns(2 * i + 1) & 0xff)
+    // 16-bit white composite, then the §12.5 reduction (x230)
+    def over16(a: Int, c: Int): Int = red16(((a.toLong * c + (65535L - a) * 65535L) / 65535L).toInt)
     colorType match {
       case 0 if deep =>
+        val k = if (trns != null) key16(0) else -1
         Some(BmpPixels.Image(w, h, (x, y0) => {
-          val g = red16(s16(y0 * stride + x * 2))
-          ((g, g, g))
+          val s = s16(y0 * stride + x * 2)
+          if (s == k) ((255, 255, 255))
+          else { val g = red16(s); ((g, g, g)) }
         }))
       case 2 if deep =>
+        val (kr, kg, kb) = if (trns != null) (key16(0), key16(1), key16(2)) else (-1, -1, -1)
         Some(BmpPixels.Image(w, h, (x, y0) => {
           val p = y0 * stride + x * 6
-          ((red16(s16(p)), red16(s16(p + 2)), red16(s16(p + 4))))
+          val (r, g, b2) = (s16(p), s16(p + 2), s16(p + 4))
+          if (r == kr && g == kg && b2 == kb) ((255, 255, 255))
+          else ((red16(r), red16(g), red16(b2)))
         }))
       case 0 =>
+        val k = if (trns != null) key16(0) else -1
         Some(BmpPixels.Image(w, h, (x, y0) => {
           val g = px(y0 * stride + x) & 0xff
-          ((g, g, g))
+          if (g == k) ((255, 255, 255)) else ((g, g, g))
         }))
       case 2 =>
+        val (kr, kg, kb) = if (trns != null) (key16(0), key16(1), key16(2)) else (-1, -1, -1)
         Some(BmpPixels.Image(w, h, (x, y0) => {
           val p = y0 * stride + x * 3
-          ((px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff))
+          val (r, g, b2) = (px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff)
+          if (r == kr && g == kg && b2 == kb) ((255, 255, 255)) else ((r, g, b2))
+        }))
+      case 4 if deep =>
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val p = y0 * stride + x * 4
+          val v = over16(s16(p + 2), s16(p))
+          ((v, v, v))
+        }))
+      case 6 if deep =>
+        Some(BmpPixels.Image(w, h, (x, y0) => {
+          val p = y0 * stride + x * 8
+          val a = s16(p + 6)
+          ((over16(a, s16(p)), over16(a, s16(p + 2)), over16(a, s16(p + 4))))
         }))
       case 4 =>
         // gray+alpha over white, the same integer floor composite
@@ -279,7 +314,9 @@ object PngPixels {
       case (2, 16) => Some("rgb16")
       case (3, 8)  => Some("palette")
       case (4, 8)  => Some("gray_alpha")
+      case (4, 16) => Some("gray_alpha16")
       case (6, 8)  => Some("rgba")
+      case (6, 16) => Some("rgba16")
       case _       => None
     }
   }
@@ -389,6 +426,80 @@ object PngPixels {
         cur(x * 6 + 2) = (g >> 8) & 0xff; cur(x * 6 + 3) = g & 0xff
         cur(x * 6 + 4) = (b >> 8) & 0xff; cur(x * 6 + 5) = b & 0xff
       }, depth = 16)
+
+  /** 2-byte-big-endian tRNS key chunk for types 0/2 (x230). */
+  private def trnsKeyChunk(vals: Seq[Int]): Array[Byte] =
+    chunk("tRNS", vals.flatMap(v => Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray)
+
+  /** Spec-valid 16-bit gray+alpha PNG (type 4, depth 16) — x230. */
+  def synthesizeGrayAlpha16(
+      w: Int,
+      h: Int,
+      ga16At: (Int, Int) => (Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 4, colorType = 4, plte = None, filterAt,
+      (x, y, cur) => {
+        val (g, a) = ga16At(x, y)
+        cur(x * 4) = (g >> 8) & 0xff; cur(x * 4 + 1) = g & 0xff
+        cur(x * 4 + 2) = (a >> 8) & 0xff; cur(x * 4 + 3) = a & 0xff
+      }, depth = 16)
+
+  /** Spec-valid 16-bit RGBA PNG (type 6, depth 16) — x230. */
+  def synthesizeRgba16(
+      w: Int,
+      h: Int,
+      rgba16At: (Int, Int) => (Int, Int, Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 8, colorType = 6, plte = None, filterAt,
+      (x, y, cur) => {
+        val (r, g, b, a) = rgba16At(x, y)
+        for ((v, i) <- Seq(r, g, b, a).zipWithIndex) {
+          cur(x * 8 + 2 * i) = (v >> 8) & 0xff; cur(x * 8 + 2 * i + 1) = v & 0xff
+        }
+      }, depth = 16)
+
+  /** 8-bit grayscale with a keyed-transparency tRNS (x230). */
+  def synthesizeGrayKeyed(
+      w: Int,
+      h: Int,
+      grayAt: (Int, Int) => Int,
+      key: Int,
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 1, colorType = 0, plte = None, filterAt,
+      (x, y, cur) => cur(x) = grayAt(x, y), afterPlte = trnsKeyChunk(Seq(key)))
+
+  /** 16-bit grayscale with a keyed-transparency tRNS (x230). */
+  def synthesizeGray16Keyed(
+      w: Int,
+      h: Int,
+      g16At: (Int, Int) => Int,
+      key: Int,
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 2, colorType = 0, plte = None, filterAt,
+      (x, y, cur) => {
+        val s = g16At(x, y)
+        cur(x * 2) = (s >> 8) & 0xff; cur(x * 2 + 1) = s & 0xff
+      }, afterPlte = trnsKeyChunk(Seq(key)), depth = 16)
+
+  /** 16-bit truecolor with a keyed-transparency tRNS (x230). */
+  def synthesizeRgb16Keyed(
+      w: Int,
+      h: Int,
+      rgb16At: (Int, Int) => (Int, Int, Int),
+      key: (Int, Int, Int),
+      filterAt: Int => Int = _ % 5
+  ): Array[Byte] =
+    assemble(w, h, bpp = 6, colorType = 2, plte = None, filterAt,
+      (x, y, cur) => {
+        val (r, g, b) = rgb16At(x, y)
+        cur(x * 6) = (r >> 8) & 0xff; cur(x * 6 + 1) = r & 0xff
+        cur(x * 6 + 2) = (g >> 8) & 0xff; cur(x * 6 + 3) = g & 0xff
+        cur(x * 6 + 4) = (b >> 8) & 0xff; cur(x * 6 + 5) = b & 0xff
+      }, afterPlte = trnsKeyChunk(Seq(key._1, key._2, key._3)), depth = 16)
 
   /** Spec-valid ADAM7-INTERLACED 8-bit truecolor PNG (x146): the seven
     * passes extracted, each filtered as its OWN sub-image (per-pass
@@ -729,6 +840,65 @@ object PngDepthFixture {
         .coalesce(1).write.mode("overwrite").parquet(payloadPath)
       r.map { case (id, _, w, h, k) => (id, w, h, k) }
         .toDF("img_id", "width", "height", "kind")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
+  }
+}
+
+/** Fixture for the x230 gate — the LAST PNG slices leaving quarantine:
+  * 16-bit gray+alpha, 16-bit RGBA, and keyed transparency (tRNS on
+  * types 0/2 at both depths). Five classes cycle by id; each keyed
+  * image's key equals its (0,0) sample, so the transparent path is
+  * load-bearing in every keyed payload. Formulas mirrored verbatim in
+  * the x230 oracle SQL.
+  */
+object PngFullFixture {
+  val dir = "/root/repo/spark-warehouse/graft_png_full"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def c1(id: Long)(x: Int, y: Int): Int = ((id * 131 + x * 4799 + y * 9601) % 65536).toInt
+  def c2(id: Long)(x: Int, y: Int): Int = ((id * 137 + x * 4801 + y * 9613) % 65536).toInt
+  def c3(id: Long)(x: Int, y: Int): Int = ((id * 139 + x * 4813 + y * 9619) % 65536).toInt
+  def c4(id: Long)(x: Int, y: Int): Int = ((id * 149 + x * 4817 + y * 9623) % 65536).toInt
+  def g8(id: Long)(x: Int, y: Int): Int = ((id * 3 + x * 13 + y * 7) % 256).toInt
+
+  def rows: Seq[(Long, Array[Byte], Int, Int, String, String)] = (0 until 200).map { i =>
+    val id = i.toLong
+    val w = 5 + (i * 7) % 40
+    val h = 4 + (i * 11) % 32
+    val f = (y: Int) => (y + i) % 5
+    val (p, clazz, kind) = (i % 5) match {
+      case 0 =>
+        (PngPixels.synthesizeGrayAlpha16(w, h, (x, y) => (c1(id)(x, y), c2(id)(x, y)), f), "ga16", "gray_alpha16")
+      case 1 =>
+        (PngPixels.synthesizeRgba16(w, h, (x, y) => (c1(id)(x, y), c2(id)(x, y), c3(id)(x, y), c4(id)(x, y)), f),
+          "rgba16", "rgba16")
+      case 2 =>
+        (PngPixels.synthesizeGrayKeyed(w, h, g8(id), key = ((id * 3) % 256).toInt, f), "gray_keyed", "gray")
+      case 3 =>
+        (PngPixels.synthesizeGray16Keyed(w, h, c1(id), key = ((id * 131) % 65536).toInt, f), "gray16_keyed", "gray16")
+      case _ =>
+        (PngPixels.synthesizeRgb16Keyed(
+          w, h,
+          (x, y) => (c1(id)(x, y), c2(id)(x, y), c3(id)(x, y)),
+          key = (((id * 131) % 65536).toInt, ((id * 137) % 65536).toInt, ((id * 139) % 65536).toInt),
+          f
+        ), "rgb16_keyed", "rgb16")
+    }
+    (id, p, w, h, clazz, kind)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val r = rows
+      r.map { case (id, p, _, _, _, _) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h, cl, k) => (id, w, h, cl, k) }
+        .toDF("img_id", "width", "height", "clazz", "kind")
         .coalesce(1).write.mode("overwrite").parquet(twinPath)
     }
   }

@@ -153,13 +153,19 @@ class PngPixelsSpec extends AnyFunSuite {
       val a = if (j == 0) 0x7f else 255
       assert(timg.rgb(x, y) === ((over(a, j), over(a, j), over(a, j))), s"tRNS ($x,$y)")
     }
-    // still-quarantined tRNS shapes: longer than the palette, and keyed
-    // transparency on truecolor (color types 0/2 stay out of scope)
+    // still-quarantined tRNS shapes: longer than the palette; a keyed
+    // tRNS on truecolor of the WRONG length (x230 accepts exactly 6)
     val tooLong = ok.take(insertAt) ++ chunk("tRNS", Array.fill[Byte](pal.size + 1)(0x10)) ++ ok.drop(insertAt)
     assert(PngPixels.decode(tooLong) === None)
     val rgbBytes = PngPixels.synthesize(6, 5, (x, y) => (x, y, x + y))
+    val rgbTrnsShort = rgbBytes.take(8 + 25) ++ chunk("tRNS", Array[Byte](0, 1, 0, 2)) ++ rgbBytes.drop(8 + 25)
+    assert(PngPixels.decode(rgbTrnsShort) === None)
+    // ... while a spec-length keyed tRNS on truecolor now DECODES (x230):
+    // exactly pixel (1,2) of this fixture matches the (1,2,3) key
     val rgbTrns = rgbBytes.take(8 + 25) ++ chunk("tRNS", Array[Byte](0, 1, 0, 2, 0, 3)) ++ rgbBytes.drop(8 + 25)
-    assert(PngPixels.decode(rgbTrns) === None)
+    val keyed = PngPixels.decode(rgbTrns).get
+    for (x <- 0 until 6; y <- 0 until 5)
+      assert(keyed.rgb(x, y) === (if ((x, y, x + y) == ((1, 2, 3))) ((255, 255, 255)) else ((x, y, x + y))))
   }
 
   test("tRNS: prefix alpha composites over white; ImageIO channels agree; opaque past the prefix") {
@@ -285,11 +291,11 @@ class PngPixelsSpec extends AnyFunSuite {
     }
   }
 
-  test("16-bit alpha variants quarantine instead of truncating (x168)") {
+  test("16-bit relabeling of an 8-bit body still quarantines (raw-size contract, x230)") {
     // take a valid 8-bit RGBA payload and relabel its IHDR depth to 16
-    // (CRC refreshed): channel count doubles, the raw-size contract
-    // breaks, and the decoder must return None — but first assert the
-    // depth guard itself fires, using a VALID-length 16-bit type-6 body
+    // (CRC refreshed): the TYPE is now in scope (x230), but the channel
+    // byte count doubles and the inflate exact-size contract breaks —
+    // the decoder must return None, never truncated pixels
     val rgba = PngPixels.synthesizeRgba(6, 4, (x, y) => (x, y, x + y, 200))
     val patched = rgba.clone()
     patched(24) = 16
@@ -300,7 +306,111 @@ class PngPixelsSpec extends AnyFunSuite {
     patched(30) = ((v >> 16) & 0xff).toByte
     patched(31) = ((v >> 8) & 0xff).toByte
     patched(32) = (v & 0xff).toByte
-    assert(PngPixels.decode(patched).isEmpty, "16-bit RGBA accepted")
-    assert(PngPixels.kindOf(patched).isEmpty, "16-bit RGBA kind labeled")
+    assert(PngPixels.decode(patched).isEmpty, "undersized 16-bit body accepted")
+    assert(PngPixels.kindOf(patched) === Some("rgba16"), "header dispatch labels the claimed kind")
+    // 16-bit indexed stays out: spec-invalid combination
+    val pal3 = PngPixels.synthesizePalette(4, 3, Seq((1, 2, 3)), (_, _) => 0)
+    val p16 = pal3.clone()
+    p16(24) = 16
+    val c2 = new java.util.zip.CRC32
+    c2.update(p16, 12, 17)
+    val v2 = c2.getValue
+    p16(29) = ((v2 >> 24) & 0xff).toByte
+    p16(30) = ((v2 >> 16) & 0xff).toByte
+    p16(31) = ((v2 >> 8) & 0xff).toByte
+    p16(32) = (v2 & 0xff).toByte
+    assert(PngPixels.decode(p16).isEmpty)
+    assert(PngPixels.kindOf(p16).isEmpty)
   }
+  test("x230: 16-bit gray+alpha — ImageIO raster agrees on raw samples; decode applies the 16-bit composite") {
+    val (w, h) = (9, 7)
+    val ga = (x: Int, y: Int) => ((x * 4799 + y * 9601 + 77) % 65536, (x * 4801 + y * 9613 + 31) % 65536)
+    val bytes = PngPixels.synthesizeGrayAlpha16(w, h, ga)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = ref.getRaster
+    def red16(s: Int) = (s * 255 + 32767) / 65535
+    def over16(a: Int, c: Int) = red16(((a.toLong * c + (65535L - a) * 65535L) / 65535L).toInt)
+    val img = PngPixels.decode(bytes).get
+    for (x <- 0 until w; y <- 0 until h) {
+      val (g, a) = ga(x, y)
+      assert(raster.getSample(x, y, 0) === g && raster.getSample(x, y, 1) === a, s"ImageIO raw ($x,$y)")
+      val v = over16(a, g)
+      assert(img.rgb(x, y) === ((v, v, v)), s"composite ($x,$y)")
+    }
+  }
+
+  test("x230: 16-bit RGBA — ImageIO raster agrees; per-channel 16-bit composite") {
+    val (w, h) = (8, 6)
+    val rgba = (x: Int, y: Int) =>
+      ((x * 4799 + y * 11) % 65536, (x * 4801 + y * 13) % 65536, (x * 4813 + y * 17) % 65536, (x * 4817 + y * 19) % 65536)
+    val bytes = PngPixels.synthesizeRgba16(w, h, rgba)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = ref.getRaster
+    def red16(s: Int) = (s * 255 + 32767) / 65535
+    def over16(a: Int, c: Int) = red16(((a.toLong * c + (65535L - a) * 65535L) / 65535L).toInt)
+    val img = PngPixels.decode(bytes).get
+    for (x <- 0 until w; y <- 0 until h) {
+      val (r, g, b, a) = rgba(x, y)
+      assert(Seq(raster.getSample(x, y, 0), raster.getSample(x, y, 1), raster.getSample(x, y, 2),
+        raster.getSample(x, y, 3)) === Seq(r, g, b, a), s"ImageIO raw ($x,$y)")
+      assert(img.rgb(x, y) === ((over16(a, r), over16(a, g), over16(a, b))), s"composite ($x,$y)")
+    }
+  }
+
+  test("x230: 8-bit keyed transparency — ImageIO reports alpha 0 exactly at key pixels") {
+    val (w, h) = (10, 9)
+    val gray = (x: Int, y: Int) => (x * 13 + y * 7) % 256
+    val key = gray(0, 0)
+    val bytes = PngPixels.synthesizeGrayKeyed(w, h, gray, key)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = PngPixels.decode(bytes).get
+    var matched = 0
+    for (x <- 0 until w; y <- 0 until h) {
+      val g = gray(x, y)
+      val ia = (ref.getRGB(x, y) >>> 24) & 0xff
+      if (g == key) { matched += 1; assert(ia === 0, s"ImageIO alpha ($x,$y)"); assert(img.rgb(x, y) === ((255, 255, 255))) }
+      else { assert(ia === 255, s"ImageIO alpha ($x,$y)"); assert(img.rgb(x, y) === ((g, g, g))) }
+    }
+    assert(matched > 0, "fixture must contain key pixels")
+  }
+
+  test("x230: 16-bit keyed RGB — raster raw samples agree; exact triple match goes white") {
+    val (w, h) = (7, 8)
+    val rgb = (x: Int, y: Int) => ((x * 4799 + y) % 65536, (x * 4801 + y * 3) % 65536, (x * 4813 + y * 5) % 65536)
+    val key = rgb(0, 0)
+    val bytes = PngPixels.synthesizeRgb16Keyed(w, h, rgb, key)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val raster = ref.getRaster
+    def red16(s: Int) = (s * 255 + 32767) / 65535
+    val img = PngPixels.decode(bytes).get
+    var matched = 0
+    for (x <- 0 until w; y <- 0 until h) {
+      val (r, g, b) = rgb(x, y)
+      assert(Seq(raster.getSample(x, y, 0), raster.getSample(x, y, 1), raster.getSample(x, y, 2)) === Seq(r, g, b))
+      if ((r, g, b) == key) { matched += 1; assert(img.rgb(x, y) === ((255, 255, 255))) }
+      else assert(img.rgb(x, y) === ((red16(r), red16(g), red16(b))), s"($x,$y)")
+    }
+    assert(matched > 0)
+  }
+
+  test("x230: tRNS on alpha-carrying types still quarantines (spec-forbidden)") {
+    // craft: take a valid gray+alpha PNG and splice a tRNS chunk before IDAT
+    val ok = PngPixels.synthesizeGrayAlpha(6, 5, (x, y) => ((x * 7 + y) % 256, (y * 11 + x) % 256))
+    def chunkAt(b: Array[Byte], off: Int): (String, Int) = {
+      val len = (((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) | ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)).toInt
+      (new String(b, off + 4, 4, "US-ASCII"), 12 + len)
+    }
+    var o = 8
+    var idatAt = -1
+    while (idatAt < 0) { val (t, sz) = chunkAt(ok, o); if (t == "IDAT") idatAt = o else o += sz }
+    val crc = new java.util.zip.CRC32
+    val data = Array[Byte](0, 42)
+    crc.update("tRNS".getBytes("US-ASCII")); crc.update(data)
+    val trns = Array[Byte](0, 0, 0, 2) ++ "tRNS".getBytes("US-ASCII") ++ data ++
+      Array(((crc.getValue >> 24) & 0xff).toByte, ((crc.getValue >> 16) & 0xff).toByte,
+        ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte)
+    val crafted = ok.take(idatAt) ++ trns ++ ok.drop(idatAt)
+    assert(PngPixels.decode(crafted) === None)
+  }
+
 }
