@@ -638,44 +638,59 @@ object Advanced {
     // ≡3 mod 10 stripe ×25), so the "skewed" verdict path is
     // load-bearing. Per profile: row/key counts, the max key's share,
     // skew ratio (max·keys/N — 1e6 = uniform), exact p50/p99 of the
-    // per-key count distribution (the x173 rank-pick over the BOUNDED
-    // counts table — single-partition window on key-count-sized input,
-    // the documented class), and a quantized entropy Σcnt·⌊log2(N div
-    // cnt)⌋/N in millibits (the x61 bin() trick — zero libm). The
+    // per-key count distribution, and a quantized entropy Σcnt·⌊log2(N
+    // div cnt)⌋/N in millibits (the x61 bin() trick — zero libm). The
     // salt-advice boolean (skew ratio > 4×) is the actionable output.
+    // The rank-picks (r8 hardening) run on the COUNT-VALUE census —
+    // never a key-sized rank: the rank-r value under (cnt, k) order
+    // depends only on the census (ties share the value), and a count
+    // census is provably √-bounded (Σ t·v = N with t ≥ 1 ⇒ at most
+    // 2√N distinct v: values > √N number < √N, the rest ≤ √N), so the
+    // 8192-wide bucket table is ≤ 2√N/8192 rows — 245 rows at a
+    // TRILLION-row profile — and its offsets come from a broadcast
+    // self-join; every window is bucket-partitioned. The profiler now
+    // survives exactly the distributions it diagnoses.
     // Scale shape: each profile is ONE key census with map-side combine;
-    // everything downstream operates on the counts table.
+    // everything downstream operates on the counts table or its census.
     "x182_skew_profile" -> ((s, d) => {
       val li = table(s, d, "lineitem").select(col("l_suppkey").as("k")).localCheckpoint()
       def profile(keys: DataFrame, id: Long): DataFrame = {
         val counts = keys.groupBy("k").agg(count(lit(1)).as("cnt")).localCheckpoint()
-        val ranked = counts
-          .withColumn("rk", row_number().over(Window.orderBy(col("cnt"), col("k"))))
-          .localCheckpoint() // two rank probes below — pin the one sort
         // quantized entropy needs n_rows first — second bounded agg over
         // the counts table with the total broadcast back
         val tot2 = counts.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
         val qent = counts
           .crossJoin(broadcast(tot2.select(col("n_rows").as("nr"))))
           .agg(sum(expr("cnt * (length(bin(nr div cnt)) - 1)")).as("hsum"))
+        val vc = counts
+          .groupBy("cnt")
+          .agg(count(lit(1)).as("t"))
+          .withColumn("bk", expr("cnt div 8192L"))
+          .localCheckpoint() // bucket offsets + positions
+        val offs = vc
+          .groupBy("bk")
+          .agg(sum("t").as("bt"))
+          .localCheckpoint() // self-joined (√-bounded, see above)
+        val offsCum = offs
+          .join(broadcast(offs.select(col("bk").as("bb"), col("bt").as("tb"))), col("bb") < col("bk"), "left")
+          .groupBy("bk")
+          .agg(coalesce(sum("tb"), lit(0L)).as("off"))
+        val wb = Window.partitionBy("bk").orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+        val pos = vc
+          .join(broadcast(offsCum), "bk")
+          .withColumn("cum", col("off") + coalesce(sum("t").over(wb), lit(0L)))
+          .localCheckpoint() // two rank probes below
+        def pick(p: Int, name: String) =
+          broadcast(
+            pos
+              .crossJoin(broadcast(tot2.select(col("n_keys").as("kk"))))
+              .where(expr(s"cum < ((kk - 1) * $p) div 100 + 1 AND ((kk - 1) * $p) div 100 + 1 <= cum + t"))
+              .select(col("cnt").as(name))
+          )
         tot2
           .crossJoin(broadcast(qent))
-          .crossJoin(
-            broadcast(
-              ranked
-                .crossJoin(broadcast(tot2.select(col("n_keys").as("kk"))))
-                .where(col("rk") === expr("((kk - 1) * 50) div 100 + 1"))
-                .select(col("cnt").as("p50_cnt"))
-            )
-          )
-          .crossJoin(
-            broadcast(
-              ranked
-                .crossJoin(broadcast(tot2.select(col("n_keys").as("kk"))))
-                .where(col("rk") === expr("((kk - 1) * 99) div 100 + 1"))
-                .select(col("cnt").as("p99_cnt"))
-            )
-          )
+          .crossJoin(pick(50, "p50_cnt"))
+          .crossJoin(pick(99, "p99_cnt"))
           .select(
             lit(id).as("profile"),
             col("n_rows"),
