@@ -34,6 +34,18 @@ object Bench {
       math.round(v * 100) / 100.0
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // act on the contention signal instead of just reporting it (the r7
+    // driver artifact published 2-4x-inflated queries at loadavg 7.92):
+    // wait out co-tenant load in bounded 15 s steps — up to 10 min, then
+    // run anyway (the waited_sec field + loadavg_start still tell the
+    // reader exactly what happened)
+    val settleLimitSec = 600
+    var waited = 0
+    while (loadavg > 2.0 && waited < settleLimitSec) {
+      System.err.println(s"[bench] loadavg ${loadavg} > 2.0 — waiting (${waited}s/${settleLimitSec}s)")
+      Thread.sleep(15000)
+      waited += 15
+    }
     val loadStart = loadavg
     // untimed warm sweep: one-time Janino codegen + plan-cache costs are
     // 0.9-6 s per query shape, independent of data size — noise at 100 TB,
@@ -46,7 +58,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"waited_sec":$waited}"""
     println(line)
     // The stdout line is the contract, but a capture window that truncates
     // it loses the per-query record (observed in the r6 driver artifact) —
