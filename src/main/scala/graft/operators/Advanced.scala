@@ -23,6 +23,121 @@ object Advanced {
     graft.functions.Hashing.md5Bucket(c.cast("string"), 100L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KMV join-cardinality estimation (x234, Beyer et al. SIGMOD'07) —
+    // the query-planning instrument: estimate the size of
+    // filtered-orders ⋈ lineitem from two 256-slot bottom-k sketches
+    // WITHOUT running the join, then verify against the exact counts in
+    // the same result (est, exact, err_ppm per metric — the x224
+    // instrument discipline: operator claims become measured operating
+    // points). Distinct estimate D̂ = (k−1)·2⁶⁰ div h₍ₖ₎ (exact when the
+    // side has < k keys); overlap = union-sketch agreement ρ·D̂_∪; join
+    // rows = overlap · rows/key under the uniform-multiplicity planner
+    // assumption — the err_ppm column reports exactly how wrong that
+    // assumption is here. Scale shape: sketches are TakeOrderedAndProject
+    // bottom-256 over hashed DISTINCT keys (map-side combine, per-
+    // partition heaps); everything downstream is ≤256-row arithmetic.
+    // The one full-size leg is the EXACT verification join — the thing
+    // the estimator exists to avoid, present here as its own oracle.
+    "x234_kmv_join_estimate" -> ((s, d) => {
+      def hashed(df: DataFrame): DataFrame =
+        df.select(
+          graft.functions.Hashing.md5Window15(concat(col("k").cast("string"), lit("#jk"))).as("h")
+        )
+      val a = table(s, d, "orders")
+        .where(expr("o_orderkey % 10 < 3"))
+        .select(col("o_orderkey").as("k"))
+        .distinct()
+        .localCheckpoint() // sketch + exact counts + exact joins
+      val bk = table(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"))
+        .distinct()
+        .localCheckpoint()
+      val ska = hashed(a).orderBy("h").limit(256).localCheckpoint()
+      val skb = hashed(bk).orderBy("h").limit(256).localCheckpoint()
+      val sku = ska.unionByName(skb).distinct().orderBy("h").limit(256).localCheckpoint()
+      def kmvEst(sk: DataFrame, alias: String): DataFrame =
+        sk.agg(count(lit(1)).as("c"), max("h").as("hk"))
+          .select(
+            expr("IF(c < 256, c, CAST((CAST(255 AS DECIMAL(38,0)) * 1152921504606846976) div hk AS BIGINT))")
+              .as(alias)
+          )
+      val rho = sku
+        .join(ska, Seq("h"), "left_semi")
+        .join(skb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("nboth"))
+      val li = table(s, d, "lineitem").select(col("l_orderkey"))
+      kmvEst(ska, "da")
+        .crossJoin(broadcast(kmvEst(skb, "db")))
+        .crossJoin(broadcast(kmvEst(sku, "du")))
+        .crossJoin(broadcast(rho))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("da_ex"))))
+        .crossJoin(broadcast(bk.agg(count(lit(1)).as("db_ex"))))
+        .crossJoin(broadcast(a.join(bk, "k").agg(count(lit(1)).as("ov_ex"))))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("nli"))))
+        .crossJoin(broadcast(li.join(a, col("l_orderkey") === col("k")).agg(count(lit(1)).as("jr_ex"))))
+        .withColumn("ov_est", expr("(nboth * du) div 256"))
+        .withColumn("jr_est", expr("(ov_est * nli) div db"))
+        .selectExpr(
+          "stack(4, 'd_orders_filtered', da, da_ex, 'd_lineitem_keys', db, db_ex, " +
+            "'key_overlap', ov_est, ov_ex, 'join_rows', jr_est, jr_ex) AS (metric, est, exact)"
+        )
+        .withColumn("err_ppm", expr("IF(exact = 0, 0L, (abs(est - exact) * 1000000) div exact)"))
+        .orderBy("metric")
+    }),
+    // CIDR longest-prefix enrichment join (x232) — the log-enrichment
+    // staple (GeoIP/allowlist/ASN lookup): map each IPv4 to its most
+    // specific containing network block. NEVER the ip×blocks theta join
+    // at corpus scale — the x93 grid trick on /16 cells: a block with
+    // prefix ≥ 16 lands in ONE cell, a shorter prefix expands to
+    // 2^(16−plen) cells (few short blocks, bounded fan-out), the ip
+    // stream equi-joins its single cell, and containment + the
+    // longest-prefix argmax (pure-integer key plen·2³² + base, so both
+    // engines break ties identically) run inside cells only. NESTED
+    // blocks are PLANTED (every odd block is a +6-bits sub-block of its
+    // even sibling), so the longest-prefix path is load-bearing, not
+    // decorative. Output: per-winning-block hit counts + the unmatched
+    // census row (base −1).
+    "x232_cidr_join" -> ((s, d) => {
+      val ips = table(s, d, "customer")
+        .select(graft.functions.Hashing.md5Bucket(concat(col("c_custkey").cast("string"), lit("#ip")), 1L << 32).as("ip"))
+        .distinct() // collision-clean universe: hits + unmatched = |ips|
+        .localCheckpoint() // match + unmatched legs
+      val blocks = s
+        .range(64)
+        .select(
+          (col("id") % 2).as("odd"),
+          graft.functions.Hashing
+            .md5Bucket(concat((col("id") / 2).cast("long").cast("string"), lit("#cidr")), 1L << 32)
+            .as("raw"),
+          expr("8 + ((id div 2) * 3) % 16").as("p0")
+        )
+        .select(
+          expr("CAST(p0 + IF(odd = 1, 6, 0) AS BIGINT)").as("plen"),
+          expr("(raw div shiftleft(1L, CAST(32 - (p0 + IF(odd = 1, 6, 0)) AS INT))) * shiftleft(1L, CAST(32 - (p0 + IF(odd = 1, 6, 0)) AS INT))")
+            .as("base")
+        )
+        .distinct()
+        .localCheckpoint() // cell expansion + winner re-agg
+      val cells = blocks
+        .withColumn("lo_cell", expr("base div 65536"))
+        .withColumn("hi_cell", expr("(base + shiftleft(1L, CAST(32 - plen AS INT)) - 1) div 65536"))
+        .select(col("base"), col("plen"), explode(expr("sequence(lo_cell, hi_cell)")).as("cell"))
+      val cand = ips
+        .withColumn("cell", expr("ip div 65536"))
+        .join(cells, "cell")
+        .where(expr("ip div shiftleft(1L, CAST(32 - plen AS INT)) = base div shiftleft(1L, CAST(32 - plen AS INT))"))
+        .localCheckpoint() // winner argmax + unmatched anti
+      val winners = cand
+        .groupBy("ip")
+        .agg(max(expr("plen * 4294967296L + base")).as("key"))
+        .groupBy(expr("key div 4294967296L").as("plen"), expr("key % 4294967296L").as("base"))
+        .agg(count(lit(1)).as("n_hits"))
+      val unmatched = ips
+        .join(cand.select("ip"), Seq("ip"), "left_anti")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(-1L).as("plen"), lit(-1L).as("base"), col("n_hits"))
+      winners.select(col("plen"), col("base"), col("n_hits")).unionByName(unmatched).orderBy("plen", "base")
+    }),
     "q21_cube" -> ((s, d) => {
       table(s, d, "orders")
         .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("yr"))
@@ -2251,6 +2366,70 @@ object Advanced {
   }
 
   def oracles: Map[String, String] = Map(
+    // x234: the same bottom-256 sketches by ORDER BY/LIMIT, same
+    // estimator arithmetic, same exact legs.
+    "x234_kmv_join_estimate" ->
+      """WITH a AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 10 < 3),
+        |bk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |ha AS (SELECT ('0x' || substr(md5(k || '#jk'), 1, 15))::BIGINT AS h FROM a),
+        |hb AS (SELECT ('0x' || substr(md5(k || '#jk'), 1, 15))::BIGINT AS h FROM bk),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u ORDER BY h LIMIT 256),
+        |ea AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |  ELSE CAST((255::HUGEINT * 1152921504606846976) // max(h) AS BIGINT) END AS da FROM ska),
+        |eb AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |  ELSE CAST((255::HUGEINT * 1152921504606846976) // max(h) AS BIGINT) END AS db FROM skb),
+        |eu AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |  ELSE CAST((255::HUGEINT * 1152921504606846976) // max(h) AS BIGINT) END AS du FROM sku),
+        |rho AS (SELECT count(*) AS nboth FROM sku
+        |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+        |ex AS (SELECT (SELECT count(*) FROM a) AS da_ex, (SELECT count(*) FROM bk) AS db_ex,
+        |  (SELECT count(*) FROM a WHERE k IN (SELECT k FROM bk)) AS ov_ex,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT k FROM a)) AS jr_ex,
+        |  (SELECT count(*) FROM lineitem) AS nli),
+        |ov AS (SELECT CAST((rho.nboth * eu.du) // 256 AS BIGINT) AS ov_est FROM rho, eu),
+        |jr AS (SELECT CAST((ov.ov_est * ex.nli) // eb.db AS BIGINT) AS jr_est FROM ov, ex, eb),
+        |m AS (
+        |  SELECT 'd_orders_filtered' AS metric, CAST(ea.da AS BIGINT) AS est,
+        |    CAST(ex.da_ex AS BIGINT) AS exact FROM ea, ex
+        |  UNION ALL SELECT 'd_lineitem_keys', CAST(eb.db AS BIGINT), CAST(ex.db_ex AS BIGINT) FROM eb, ex
+        |  UNION ALL SELECT 'key_overlap', ov.ov_est, CAST(ex.ov_ex AS BIGINT) FROM ov, ex
+        |  UNION ALL SELECT 'join_rows', jr.jr_est, CAST(ex.jr_ex AS BIGINT) FROM jr, ex)
+        |SELECT metric, est, exact,
+        |  CAST(CASE WHEN exact = 0 THEN 0 ELSE (abs(est - exact) * 1000000) // exact END AS BIGINT) AS err_ppm
+        |FROM m ORDER BY metric""".stripMargin,
+    // x232: the definitional ip×blocks containment join with the same
+    // pure-integer longest-prefix argmax key — affordable at gate scale,
+    // which is exactly what makes it a trustworthy oracle for the
+    // grid-bucketed plan.
+    "x232_cidr_join" ->
+      """WITH ips AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(c_custkey || '#ip'), 1, 15))::BIGINT % 4294967296 AS ip
+        |  FROM customer),
+        |b0 AS (SELECT range AS j FROM range(64)),
+        |blk1 AS (
+        |  SELECT 8 + ((j // 2) * 3) % 16 + CASE WHEN j % 2 = 1 THEN 6 ELSE 0 END AS plen,
+        |    ('0x' || substr(md5((j // 2) || '#cidr'), 1, 15))::BIGINT % 4294967296 AS raw
+        |  FROM b0),
+        |blocks AS (
+        |  SELECT DISTINCT CAST(plen AS BIGINT) AS plen,
+        |    (raw // (1::BIGINT << (32 - plen))) * (1::BIGINT << (32 - plen)) AS base
+        |  FROM blk1),
+        |cand AS (
+        |  SELECT ip, plen, base FROM ips, blocks
+        |  WHERE ip // (1::BIGINT << CAST(32 - plen AS INT)) = base // (1::BIGINT << CAST(32 - plen AS INT))),
+        |win AS (SELECT ip, max(plen * 4294967296 + base) AS key FROM cand GROUP BY ip),
+        |hits AS (
+        |  SELECT CAST(key // 4294967296 AS BIGINT) AS plen, CAST(key % 4294967296 AS BIGINT) AS base,
+        |    count(*) AS n_hits
+        |  FROM win GROUP BY 1, 2),
+        |unm AS (
+        |  SELECT CAST(-1 AS BIGINT) AS plen, CAST(-1 AS BIGINT) AS base, count(*) AS n_hits
+        |  FROM ips WHERE ip NOT IN (SELECT ip FROM cand))
+        |SELECT plen, base, n_hits FROM hits
+        |UNION ALL SELECT plen, base, n_hits FROM unm
+        |ORDER BY plen, base""".stripMargin,
     // x208: the identical census → md5-parity signs → 31 estimators →
     // median replay; both engines carry Z² in DECIMAL(38,0).
     "x208_ams_f2" ->

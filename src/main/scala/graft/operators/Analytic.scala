@@ -39,6 +39,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Market-basket association rules (x233, Agrawal & Srikant VLDB'94
+    // Apriori at the 2-itemset level) — the co-occurrence miner behind
+    // "frequently bought together" and feature-correlation audits:
+    // baskets = orders, items = part brands (order ⋈ broadcast part
+    // dim), rules = brand pairs with support ≥ 10 baskets, scored with
+    // integer-e6 confidence (both directions — the rule is ASYMMETRIC)
+    // and symmetric lift. Scale shape: the basket-item table is ONE
+    // distinct over the join (map-side combine); pair generation is a
+    // basket-keyed equi self-join bounded by basket-size² (≤ 7 brands a
+    // basket here — the bounded-quadratic x153/x166 class, and the
+    // Apriori frequency prune would cap it at any scale); the item
+    // census (≤ brand-count rows) broadcasts onto the pair census. Lift
+    // numerator n_ab·N·1e6 is ~1e17 at 16× — long-safe; DECIMAL(38,0)
+    // headroom needed past ~1e9 baskets (the x179/x181 discipline).
+    "x233_assoc_rules" -> ((s, d) => {
+      val ob = table(s, d, "lineitem")
+        .join(broadcast(table(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+        .localCheckpoint() // basket count + item census + pair self-join
+      val nOrders = ob.agg(countDistinct("o").as("n"))
+      val ic = ob.groupBy("b").agg(count(lit(1)).as("nb"))
+      val pairs = ob
+        .select(col("o"), col("b").as("b1"))
+        .join(ob.select(col("o"), col("b").as("b2")), "o")
+        .where(col("b1") < col("b2"))
+        .groupBy("b1", "b2")
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 10)
+      pairs
+        .join(broadcast(ic.select(col("b").as("b1"), col("nb").as("n1"))), "b1")
+        .join(broadcast(ic.select(col("b").as("b2"), col("nb").as("n2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(
+          col("b1").as("brand_a"),
+          col("b2").as("brand_b"),
+          col("n_ab"),
+          expr("(n_ab * 1000000) div n1").as("conf_ab_e6"),
+          expr("(n_ab * 1000000) div n2").as("conf_ba_e6"),
+          expr("(n_ab * n * 1000000) div (n1 * n2)").as("lift_e6")
+        )
+        .orderBy("brand_a", "brand_b")
+    }),
     // quartile assignment + rank-distribution stats per market segment. The
     // window order (cents, custkey) is total, so ntile's near-equal bucket
     // split — which is ROW-position, not value, based — is deterministic.
@@ -1080,6 +1123,27 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x233: the definitional basket self-join with identical e6 folds.
+    "x233_assoc_rules" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT o) AS n FROM ob),
+        |ic AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
+        |pr AS (
+        |  SELECT a.b AS b1, c.b AS b2, count(*) AS n_ab
+        |  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+        |  GROUP BY 1, 2)
+        |SELECT b1 AS brand_a, b2 AS brand_b, n_ab,
+        |  CAST((n_ab * 1000000) // i1.nb AS BIGINT) AS conf_ab_e6,
+        |  CAST((n_ab * 1000000) // i2.nb AS BIGINT) AS conf_ba_e6,
+        |  CAST((n_ab * n.n * 1000000) // (i1.nb * i2.nb) AS BIGINT) AS lift_e6
+        |FROM pr
+        |JOIN ic i1 ON pr.b1 = i1.b
+        |JOIN ic i2 ON pr.b2 = i2.b
+        |CROSS JOIN n
+        |WHERE n_ab >= 10
+        |ORDER BY brand_a, brand_b""".stripMargin,
     // x223: identical buckets, cleared-denominator areas in HUGEINT,
     // earlier-point tiebreak.
     "x223_lttb_downsample" ->

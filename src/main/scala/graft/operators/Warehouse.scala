@@ -1235,6 +1235,59 @@ object Warehouse {
         )
       ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
     }),
+    // Merkle-tree table diff (x231) — anti-entropy for table replication
+    // (the Dynamo/Cassandra repair primitive applied to the lakehouse):
+    // locate WHERE two snapshots differ without comparing rows — a
+    // 3-level additive hash tree (row digests → bucket → bucket-group →
+    // root, each level pmod 2⁶¹−1 of the child sum) built per snapshot,
+    // then a level-wise full-outer diff emitting ONLY differing nodes.
+    // Against the COW fixture's v1 vs v2: the root, the 3 touched
+    // groups, and the 4 changed buckets (update stripe + insert bucket)
+    // — everything else provably equal by hash at every level. The
+    // additive fold makes each level one map-side-combinable agg (a
+    // concat-hash would force per-node sorts); collision risk is the
+    // md5 birthday bound, not a correctness path. At scale the bucket
+    // hashes persist in the manifest (the x73 stats slot) and diff cost
+    // is O(changed · fanout-depth) metadata reads; this gate builds
+    // both trees online. Missing side (the v2-only insert bucket)
+    // surfaces as the -1 sentinel, never a null.
+    "x231_merkle_diff" -> ((s, d) => {
+      graft.sources.CowTable.ensure(s, d)
+      val P = "2305843009213693951L" // 2^61 - 1
+      def tree(version: Int): DataFrame = {
+        val rows = graft.sources.CowTable
+          .read(s, version)
+          .select(
+            expr(s"k div ${graft.sources.CowTable.BucketWidth}L").as("bucket"),
+            graft.functions.Hashing
+              .md5Window15(concat(col("k").cast("string"), lit("#"), col("cents").cast("string")))
+              .as("dig")
+          )
+        val bh = rows
+          .groupBy("bucket")
+          .agg(expr(s"CAST(pmod(sum(CAST(dig AS DECIMAL(38,0))), $P) AS BIGINT)").as("h"))
+          .localCheckpoint() // level-2 output + level-1 input
+        val gh = bh
+          .groupBy(expr("bucket div 8L").as("node"))
+          .agg(expr(s"CAST(pmod(sum(CAST(h AS DECIMAL(38,0))), $P) AS BIGINT)").as("h"))
+          .localCheckpoint() // level-1 output + root input
+        val root = gh.agg(expr(s"CAST(pmod(sum(CAST(h AS DECIMAL(38,0))), $P) AS BIGINT)").as("h"))
+        bh.select(lit(2L).as("level"), col("bucket").as("node"), col("h"))
+          .unionByName(gh.select(lit(1L).as("level"), col("node"), col("h")))
+          .unionByName(root.select(lit(0L).as("level"), lit(-1L).as("node"), col("h")))
+      }
+      tree(1)
+        .withColumnRenamed("h", "h1")
+        .join(tree(2).withColumnRenamed("h", "h2"), Seq("level", "node"), "full_outer")
+        .select(
+          col("level"),
+          col("node"),
+          coalesce(col("h1"), lit(-1L)).as("h1"),
+          coalesce(col("h2"), lit(-1L)).as("h2")
+        )
+        .where(col("h1") =!= col("h2"))
+        .orderBy("level", "node")
+    }),
     // Time travel: snapshot v1 read AFTER the v2 merge — carried files are
     // referenced (not copied) by v2, so this hash-matching the ORIGINAL
     // table is the gate-level proof that the merge overwrote nothing.
@@ -2306,6 +2359,41 @@ object Warehouse {
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
         |FROM c""".stripMargin,
+    // x231: both snapshots' trees rebuilt from the v1/v2 change formulas
+    // (the x86 CTE pair) with the same additive pmod fold per level.
+    "x231_merkle_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |d1 AS (SELECT bucket, ('0x' || substr(md5(k || '#' || cents), 1, 15))::BIGINT AS dig FROM base),
+        |d2 AS (SELECT bucket, ('0x' || substr(md5(k || '#' || cents), 1, 15))::BIGINT AS dig FROM v2),
+        |b1 AS (SELECT bucket AS node, CAST(sum(dig) % 2305843009213693951 AS BIGINT) AS h FROM d1 GROUP BY 1),
+        |b2 AS (SELECT bucket AS node, CAST(sum(dig) % 2305843009213693951 AS BIGINT) AS h FROM d2 GROUP BY 1),
+        |g1 AS (SELECT node // 8 AS node, CAST(sum(h) % 2305843009213693951 AS BIGINT) AS h FROM b1 GROUP BY 1),
+        |g2 AS (SELECT node // 8 AS node, CAST(sum(h) % 2305843009213693951 AS BIGINT) AS h FROM b2 GROUP BY 1),
+        |r1 AS (SELECT CAST(sum(h) % 2305843009213693951 AS BIGINT) AS h FROM g1),
+        |r2 AS (SELECT CAST(sum(h) % 2305843009213693951 AS BIGINT) AS h FROM g2),
+        |t1 AS (SELECT CAST(2 AS BIGINT) AS level, node, h FROM b1
+        |  UNION ALL SELECT 1, node, h FROM g1
+        |  UNION ALL SELECT 0, -1, h FROM r1),
+        |t2 AS (SELECT CAST(2 AS BIGINT) AS level, node, h FROM b2
+        |  UNION ALL SELECT 1, node, h FROM g2
+        |  UNION ALL SELECT 0, -1, h FROM r2)
+        |SELECT coalesce(t1.level, t2.level) AS level,
+        |  CAST(coalesce(t1.node, t2.node) AS BIGINT) AS node,
+        |  CAST(coalesce(t1.h, -1) AS BIGINT) AS h1,
+        |  CAST(coalesce(t2.h, -1) AS BIGINT) AS h2
+        |FROM t1 FULL OUTER JOIN t2 ON t1.level = t2.level AND t1.node = t2.node
+        |WHERE coalesce(t1.h, -1) <> coalesce(t2.h, -1)
+        |ORDER BY level, node""".stripMargin,
     // x229: the reachability census from the two stripe formulas — v1
     // dirs = base buckets; v3 dirs = stripe-A buckets; v5 dirs = buckets
     // with a LIVE 89-multiple (dead stripe-A keys no-op in the DV
