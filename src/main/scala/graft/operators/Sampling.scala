@@ -614,6 +614,64 @@ object Sampling {
         .orderBy("sel_rank")
     }),
 
+    // Neyman optimal allocation (x238, Neyman 1934) — the sampling
+    // DESIGN instrument completing the sampling family (x43 executes a
+    // stratified plan, x77 PPS, x217 apportions integers): allocate a
+    // 1000-row budget across customer nations ∝ N_h·σ_h — more samples
+    // where the metric is more variable, the variance-optimal design.
+    // The Neyman weight is EXACT-integer: N_h·Σx²−(Σx)² = N_h²σ_h², so
+    // w_h = isqrt(N_h·Σx²−(Σx)²) needs one integer square root —
+    // computed as float sqrt + a ±1 integer correction, so the double
+    // rounding can never fork the engines (exact ⌊√v⌋ both sides; v ~
+    // 1e16 at gate, DECIMAL intermediates guard the moment arithmetic).
+    // Integerization by largest remainder (the x217 Hamilton machinery):
+    // base = (n·w) div W, +1 seats by remainder rank — a ≤25-row
+    // bounded self-join re-rank. Σalloc = 1000 is hash-locked. Scale
+    // shape: one stratum-census pass with map-side combine; everything
+    // downstream is nation-count-sized.
+    "x238_neyman_alloc" -> ((s, d) => {
+      val budget = 1000L
+      val strata = table(s, d, "customer")
+        .select(col("c_nationkey").as("nk"), expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+        .groupBy("nk")
+        .agg(
+          count(lit(1)).as("n_h"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx")
+        )
+        .withColumn("vnum", expr("CAST(n_h * sxx - sx * sx AS DECIMAL(38,0))"))
+        .withColumn("r0", expr("CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT)"))
+        .withColumn(
+          "w",
+          expr(
+            "IF(CAST(r0 + 1 AS DECIMAL(38,0)) * (r0 + 1) <= vnum, r0 + 1, " +
+              "IF(CAST(r0 AS DECIMAL(38,0)) * r0 > vnum, r0 - 1, r0))"
+          )
+        )
+        .select("nk", "n_h", "w")
+        .localCheckpoint() // total weight + base/remainder + re-rank ×2
+      val tot = strata.agg(sum("w").as("tw"), count(lit(1)).as("n_strata"))
+      val based = strata
+        .crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($budget * w) div tw"))
+        .withColumn("rem", expr(s"($budget * w) % tw"))
+        .localCheckpoint() // leftover seats + remainder rank
+      val leftover = based.agg((lit(budget) - sum("base")).as("seats"))
+      val ranked = based
+        .join(
+          broadcast(based.select(col("rem").as("r2"), col("nk").as("nk2"))),
+          col("r2") > col("rem") || (col("r2") === col("rem") && col("nk2") < col("nk")),
+          "left"
+        )
+        .groupBy("nk", "n_h", "w", "base", "rem")
+        .agg((count(col("nk2")) + 1L).as("rk"))
+      ranked
+        .crossJoin(broadcast(leftover))
+        .withColumn("alloc", expr("base + IF(rk <= seats, 1L, 0L)"))
+        .select("nk", "n_h", "w", "base", "alloc")
+        .orderBy("nk")
+    }),
+
     // Score evaluation (x159): ROC-AUC + calibration deciles for the x149
     // DSIR score against its own target label ('en') — the eval loop every
     // learned/heuristic quality scorer needs before it drives selection
@@ -1170,6 +1228,26 @@ object Sampling {
       |  FROM sc CROSS JOIN tot)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // x238: identical moments → corrected isqrt → Hamilton seats.
+    "x238_neyman_alloc" ->
+      """WITH st AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_h,
+        |    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sx,
+        |    sum(CAST(round(c_acctbal * 100) AS BIGINT) * CAST(round(c_acctbal * 100) AS BIGINT)) AS sxx
+        |  FROM customer GROUP BY 1),
+        |v AS (SELECT nk, n_h, n_h * sxx - sx * sx AS vnum FROM st),
+        |r AS (SELECT nk, n_h, vnum, CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT) AS r0 FROM v),
+        |w AS (SELECT nk, CAST(n_h AS BIGINT) AS n_h,
+        |  CAST(CASE WHEN (r0 + 1) * (r0 + 1) <= vnum THEN r0 + 1
+        |       WHEN r0 * r0 > vnum THEN r0 - 1 ELSE r0 END AS BIGINT) AS w FROM r),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT nk, n_h, w, CAST((1000 * w) // t.tw AS BIGINT) AS base,
+        |  CAST((1000 * w) % t.tw AS BIGINT) AS rem FROM w, t),
+        |lo AS (SELECT 1000 - sum(base) AS seats FROM b),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, nk) AS rk FROM b)
+        |SELECT nk, n_h, w, base,
+        |  CAST(base + CASE WHEN rk <= lo.seats THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk, lo ORDER BY nk""".stripMargin,
     // x202: identical 9-slot argmax replay — same md5 window, same
     // first-position-of-max tiebreak, same 2-scheme union.
     "x202_hrw_rebalance" ->

@@ -1235,6 +1235,136 @@ object Warehouse {
         )
       ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
     }),
+    // Functional-dependency discovery (x239) — the data-profiling verb
+    // beside x138's column stats and x191's contracts: does column A
+    // determine column B? FD A→B holds iff |distinct(A,B)| =
+    // |distinct A|, and the violation count Σ_A(|B per A|−1) =
+    // n_pairs − n_lhs falls out of the same two numbers — so each
+    // candidate costs ONE distinct census over a 2-column pruned scan
+    // (map-side combine), no per-key explode, no self-join. Six
+    // candidates over three tables pin both verdict polarities (keys
+    // hold; reverse directions and lineitem fan-outs fail with measured
+    // violation rates).
+    "x239_fd_discovery" -> ((s, d) => {
+      def fd(tbl: String, lhs: String, rhs: String): DataFrame =
+        graft.Graft
+          .table(s, d, tbl)
+          .select(col(lhs).as("a"), col(rhs).as("b"))
+          .distinct()
+          .agg(count(lit(1)).as("n_pairs"), countDistinct("a").as("n_lhs"))
+          .select(
+            lit(tbl).as("tbl"),
+            lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"),
+            col("n_lhs"),
+            col("n_pairs"),
+            (col("n_pairs") - col("n_lhs")).as("violations"),
+            expr("((n_pairs - n_lhs) * 1000000) div n_pairs").as("viol_ppm"),
+            (col("n_pairs") === col("n_lhs")).as("holds")
+          )
+      Seq(
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderkey"),
+        ("customer", "c_custkey", "c_nationkey"),
+        ("customer", "c_nationkey", "c_custkey"),
+        ("lineitem", "l_orderkey", "l_suppkey"),
+        ("lineitem", "l_partkey", "l_suppkey")
+      ).map((fd _).tupled).reduce(_.unionByName(_)).orderBy("tbl", "lhs", "rhs")
+    }),
+    // Bitmap-index multi-predicate counts (x237) — the warehouse
+    // acceleration classic (Oracle/Druid/Pinot bitmap indexes): per
+    // distinct value of a low-cardinality column, a bitmap over row ids
+    // as 63-bit packed words (the x96/x97 DV convention, one (w, word)
+    // row per occupied word); a conjunctive/disjunctive predicate count
+    // is then word-wise AND/OR + bit_count over the TWO bitmaps — no
+    // data scan. Row ids: (l_orderkey·8 + l_linenumber)·256 + a per-key
+    // occurrence rank — the generator REUSES (orderkey, linenumber)
+    // (45832 distinct / 60000 rows at sf0.01), so the disambiguator is
+    // load-bearing; a key-partitioned bounded window, never
+    // monotonically_increasing_id, so bitmaps are reproducible and any
+    // collision breaks the scan-twin equality below. The gate emits
+    // every (returnflag × linestatus) AND count plus
+    // one OR and one AND-NOT row, each against its direct-scan twin
+    // (n_bitmap must equal n_scan — the contrast IS the proof, the x121
+    // split). Scale shape: bitmap build is one map-side-combinable
+    // bit_or census per value (words ≈ rows/63); intersections join on
+    // the word index only.
+    "x237_bitmap_index" -> ((s, d) => {
+      val li = graft.Graft
+        .table(s, d, "lineitem")
+        .select(
+          expr("l_orderkey * 8 + l_linenumber").as("rid0"),
+          col("l_returnflag").as("rf"),
+          col("l_linestatus").as("ls")
+        )
+        .withColumn(
+          "rid",
+          expr("rid0 * 256") +
+            row_number().over(Window.partitionBy("rid0").orderBy("rf", "ls")).cast("long")
+        )
+        .select("rid", "rf", "ls")
+        .localCheckpoint() // two bitmap builds + three scan twins
+      def bitmaps(c: String): DataFrame =
+        li.select(
+            col(c).as("v"),
+            expr("rid div 63").as("w"),
+            expr("shiftleft(1L, CAST(rid % 63 AS INT))").as("bit")
+          )
+          .groupBy("v", "w")
+          .agg(expr("bit_or(bit)").as("word"))
+      val bmR = bitmaps("rf").localCheckpoint()
+      val bmS = bitmaps("ls").localCheckpoint()
+      // AND for every (rf, ls) value pair: equi-join on w, bit_count(a&b);
+      // the pred universe is the value CROSS (a pair sharing no word —
+      // possible under extreme clustering — still gets its 0 row)
+      val andCounts = bmR
+        .select(col("v").as("rf"), col("w"), col("word").as("wa"))
+        .join(bmS.select(col("v").as("ls"), col("w"), col("word").as("wb")), "w")
+        .groupBy("rf", "ls")
+        .agg(sum(expr("bit_count(wa & wb)")).as("nb"))
+      val ands = bmR
+        .select(col("v").as("rf"))
+        .distinct()
+        .crossJoin(bmS.select(col("v").as("ls")).distinct())
+        .join(andCounts, Seq("rf", "ls"), "left")
+        .select(
+          concat(lit("and:"), col("rf"), lit("/"), col("ls")).as("pred"),
+          coalesce(col("nb"), lit(0L)).as("n_bitmap")
+        )
+      // OR and AND-NOT for one pinned pair (rf='R', ls='O'): full outer
+      // on w (absent word = 0)
+      val pairWords = bmR
+        .where(col("v") === "R")
+        .select(col("w"), col("word").as("wa"))
+        .join(bmS.where(col("v") === "O").select(col("w"), col("word").as("wb")), Seq("w"), "full_outer")
+        .select(coalesce(col("wa"), lit(0L)).as("wa"), coalesce(col("wb"), lit(0L)).as("wb"))
+        .localCheckpoint() // or + andnot
+      val orRow = pairWords
+        .agg(sum(expr("bit_count(wa | wb)")).as("n_bitmap"))
+        .select(lit("or:R/O").as("pred"), col("n_bitmap"))
+      val anRow = pairWords
+        .agg(sum(expr("bit_count(wa & ~wb)")).as("n_bitmap"))
+        .select(lit("andnot:R/O").as("pred"), col("n_bitmap"))
+      val scans = li
+        .select(
+          explode(
+            array(
+              concat(lit("and:"), col("rf"), lit("/"), col("ls")),
+              when(col("rf") === "R" || col("ls") === "O", lit("or:R/O")).otherwise(lit("-")),
+              when(col("rf") === "R" && col("ls") =!= "O", lit("andnot:R/O")).otherwise(lit("-"))
+            )
+          ).as("pred")
+        )
+        .where(col("pred") =!= "-")
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n_scan"))
+      ands
+        .unionByName(orRow)
+        .unionByName(anRow)
+        .join(scans, Seq("pred"), "left")
+        .select(col("pred"), col("n_bitmap"), coalesce(col("n_scan"), lit(0L)).as("n_scan"))
+        .orderBy("pred")
+    }),
     // Merkle-tree table diff (x231) — anti-entropy for table replication
     // (the Dynamo/Cassandra repair primitive applied to the lakehouse):
     // locate WHERE two snapshots differ without comparing rows — a
@@ -2359,6 +2489,46 @@ object Warehouse {
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
         |FROM c""".stripMargin,
+    // x239: the same two distinct counts per candidate.
+    "x239_fd_discovery" ->
+      """WITH c AS (
+        |  SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_lhs,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders)) AS n_pairs
+        |  UNION ALL SELECT 'orders', 'o_custkey', 'o_orderkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders))
+        |  UNION ALL SELECT 'customer', 'c_custkey', 'c_nationkey',
+        |    (SELECT count(DISTINCT c_custkey) FROM customer),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer))
+        |  UNION ALL SELECT 'customer', 'c_nationkey', 'c_custkey',
+        |    (SELECT count(DISTINCT c_nationkey) FROM customer),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_nationkey, c_custkey FROM customer))
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey', 'l_suppkey',
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem))
+        |  UNION ALL SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)))
+        |SELECT tbl, lhs, rhs, CAST(n_lhs AS BIGINT) AS n_lhs, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_pairs - n_lhs AS BIGINT) AS violations,
+        |  CAST(((n_pairs - n_lhs) * 1000000) // n_pairs AS BIGINT) AS viol_ppm,
+        |  n_pairs = n_lhs AS holds
+        |FROM c ORDER BY tbl, lhs, rhs""".stripMargin,
+    // x237: every pred's truth is the direct count — emitted as BOTH
+    // columns, so either side of the engine's bitmap-vs-scan contrast
+    // diverging breaks the hash.
+    "x237_bitmap_index" ->
+      """WITH li AS (SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem),
+        |pairs AS (SELECT a.rf, b.ls
+        |  FROM (SELECT DISTINCT rf FROM li) a, (SELECT DISTINCT ls FROM li) b),
+        |ands AS (SELECT 'and:' || p.rf || '/' || p.ls AS pred,
+        |  (SELECT count(*) FROM li WHERE li.rf = p.rf AND li.ls = p.ls) AS n FROM pairs p),
+        |orr AS (SELECT 'or:R/O' AS pred, count(*) AS n FROM li WHERE rf = 'R' OR ls = 'O'),
+        |an AS (SELECT 'andnot:R/O' AS pred, count(*) AS n FROM li WHERE rf = 'R' AND ls <> 'O'),
+        |u AS (SELECT * FROM ands UNION ALL SELECT * FROM orr UNION ALL SELECT * FROM an)
+        |SELECT pred, CAST(n AS BIGINT) AS n_bitmap, CAST(n AS BIGINT) AS n_scan
+        |FROM u ORDER BY pred""".stripMargin,
     // x231: both snapshots' trees rebuilt from the v1/v2 change formulas
     // (the x86 CTE pair) with the same additive pmod fold per level.
     "x231_merkle_diff" ->
