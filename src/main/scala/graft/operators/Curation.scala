@@ -89,6 +89,68 @@ object Curation {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Filter-attribution matrix (x240) — the instrument a filter STACK
+    // needs that per-filter gates (x19/x51/x60) can't give: which
+    // filter kills how much, what ONLY it catches (unique kills — a
+    // filter with zero unique kills is dead weight), and how filters
+    // overlap pairwise (Jaccard between kill sets — near-1 pairs are
+    // redundant). Five integer-ppm filters from ONE per-doc token
+    // census (length, mean token length, repetition, diversity,
+    // stopword ratio) fold into a 5-bit mask per doc; EVERYTHING
+    // downstream — per-filter kills, unique kills, all 10 pairwise
+    // overlaps, the any-filter total — is conditional sums over the
+    // ≤32-row mask census. Scale shape: one corpus pass with map-side
+    // combine, then 32-row arithmetic; no filter is ever re-scanned.
+    "x240_filter_attribution" -> ((s, d) => {
+      val stop = Seq("the", "of", "and", "to", "in", "a")
+      val perDoc = table(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("t"))
+        .groupBy("doc_id", "t")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          max("cnt").as("max_cnt"),
+          sum(expr("length(t) * cnt")).as("sum_len"),
+          sum(when(col("t").isin(stop: _*), col("cnt")).otherwise(0L)).as("stop_cnt")
+        )
+      val mask = perDoc
+        .select(
+          (when(expr("n_tokens < 30"), 1L).otherwise(0L) +
+            when(expr("sum_len * 100 < n_tokens * 300 OR sum_len * 100 > n_tokens * 800"), 2L).otherwise(0L) +
+            when(expr("max_cnt * 10 > n_tokens"), 4L).otherwise(0L) +
+            when(expr("n_types * 100 < n_tokens * 40"), 8L).otherwise(0L) +
+            when(expr("stop_cnt * 100 < n_tokens * 5"), 16L).otherwise(0L)).as("mask")
+        )
+        .groupBy("mask")
+        .agg(count(lit(1)).as("cnt"))
+      val names = Seq("len", "meanlen", "repeat", "diversity", "stopword")
+      val killCols = (0 until 5).map(i => sum(expr(s"IF((mask >> $i) & 1 = 1, cnt, 0L)")).as(s"k$i"))
+      val uniqCols = (0 until 5).map(i => sum(expr(s"IF(mask = ${1 << i}, cnt, 0L)")).as(s"u$i"))
+      val pairIdx = for (i <- 0 until 5; j <- i + 1 until 5) yield (i, j)
+      val pairCols = pairIdx.map { case (i, j) =>
+        sum(expr(s"IF((mask >> $i) & 1 = 1 AND (mask >> $j) & 1 = 1, cnt, 0L)")).as(s"p${i}_$j")
+      }
+      val base = Seq(sum("cnt").as("n_docs"), sum(expr("IF(mask != 0, cnt, 0L)")).as("killed"))
+      val aggs = killCols ++ uniqCols ++ pairCols ++ base
+      val one = mask.agg(aggs.head, aggs.tail: _*)
+      val filterStack = (0 until 5)
+        .map(i => s"'filter:${names(i)}', k$i, u$i, IF(n_docs = 0, 0L, (k$i * 1000000) div n_docs)")
+        .mkString(", ")
+      val pairStack = pairIdx
+        .map { case (i, j) =>
+          s"'pair:${names(i)}&${names(j)}', p${i}_$j, k$i + k$j - p${i}_$j, " +
+            s"IF(k$i + k$j - p${i}_$j = 0, 0L, (p${i}_$j * 1000000) div (k$i + k$j - p${i}_$j))"
+        }
+        .mkString(", ")
+      one
+        .selectExpr(
+          s"stack(16, $filterStack, $pairStack, 'any', killed, n_docs, " +
+            "IF(n_docs = 0, 0L, (killed * 1000000) div n_docs)) AS (name, n, n2, ratio_ppm)"
+        )
+        .orderBy("name")
+    }),
     // Mojibake detection + repair (x204) — the encoding-hygiene stage a
     // web corpus needs before any text operator (CP1252/Latin-1 misreads
     // of UTF-8 are the dominant encoding corruption in crawled text):
@@ -663,6 +725,42 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+    // x240: the same census, mask fold, and conditional sums.
+    "x240_filter_attribution" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types, max(cnt) AS max_cnt,
+        |  sum(length(t) * cnt) AS sum_len,
+        |  sum(CASE WHEN t IN ('the','of','and','to','in','a') THEN cnt ELSE 0 END) AS stop_cnt
+        |  FROM tc GROUP BY 1),
+        |mk AS (SELECT (CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END
+        |  + CASE WHEN sum_len * 100 < n_tokens * 300 OR sum_len * 100 > n_tokens * 800 THEN 2 ELSE 0 END
+        |  + CASE WHEN max_cnt * 10 > n_tokens THEN 4 ELSE 0 END
+        |  + CASE WHEN n_types * 100 < n_tokens * 40 THEN 8 ELSE 0 END
+        |  + CASE WHEN stop_cnt * 100 < n_tokens * 5 THEN 16 ELSE 0 END) AS mask, count(*) AS cnt
+        |  FROM pd GROUP BY 1),
+        |agg AS (SELECT sum(CASE WHEN (mask >> 0) & 1 = 1 THEN cnt ELSE 0 END) AS k0, sum(CASE WHEN (mask >> 1) & 1 = 1 THEN cnt ELSE 0 END) AS k1, sum(CASE WHEN (mask >> 2) & 1 = 1 THEN cnt ELSE 0 END) AS k2, sum(CASE WHEN (mask >> 3) & 1 = 1 THEN cnt ELSE 0 END) AS k3, sum(CASE WHEN (mask >> 4) & 1 = 1 THEN cnt ELSE 0 END) AS k4, sum(CASE WHEN mask = 1 THEN cnt ELSE 0 END) AS u0, sum(CASE WHEN mask = 2 THEN cnt ELSE 0 END) AS u1, sum(CASE WHEN mask = 4 THEN cnt ELSE 0 END) AS u2, sum(CASE WHEN mask = 8 THEN cnt ELSE 0 END) AS u3, sum(CASE WHEN mask = 16 THEN cnt ELSE 0 END) AS u4, sum(CASE WHEN (mask >> 0) & 1 = 1 AND (mask >> 1) & 1 = 1 THEN cnt ELSE 0 END) AS p0_1, sum(CASE WHEN (mask >> 0) & 1 = 1 AND (mask >> 2) & 1 = 1 THEN cnt ELSE 0 END) AS p0_2, sum(CASE WHEN (mask >> 0) & 1 = 1 AND (mask >> 3) & 1 = 1 THEN cnt ELSE 0 END) AS p0_3, sum(CASE WHEN (mask >> 0) & 1 = 1 AND (mask >> 4) & 1 = 1 THEN cnt ELSE 0 END) AS p0_4, sum(CASE WHEN (mask >> 1) & 1 = 1 AND (mask >> 2) & 1 = 1 THEN cnt ELSE 0 END) AS p1_2, sum(CASE WHEN (mask >> 1) & 1 = 1 AND (mask >> 3) & 1 = 1 THEN cnt ELSE 0 END) AS p1_3, sum(CASE WHEN (mask >> 1) & 1 = 1 AND (mask >> 4) & 1 = 1 THEN cnt ELSE 0 END) AS p1_4, sum(CASE WHEN (mask >> 2) & 1 = 1 AND (mask >> 3) & 1 = 1 THEN cnt ELSE 0 END) AS p2_3, sum(CASE WHEN (mask >> 2) & 1 = 1 AND (mask >> 4) & 1 = 1 THEN cnt ELSE 0 END) AS p2_4, sum(CASE WHEN (mask >> 3) & 1 = 1 AND (mask >> 4) & 1 = 1 THEN cnt ELSE 0 END) AS p3_4,
+        |  sum(cnt) AS n_docs, sum(CASE WHEN mask <> 0 THEN cnt ELSE 0 END) AS killed FROM mk),
+        |u AS (
+        |  SELECT 'filter:len' AS name, CAST(k0 AS BIGINT) AS n, CAST(u0 AS BIGINT) AS n2, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (k0 * 1000000) // n_docs END AS BIGINT) AS ratio_ppm FROM agg
+        |  UNION ALL SELECT 'filter:meanlen' AS name, CAST(k1 AS BIGINT) AS n, CAST(u1 AS BIGINT) AS n2, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (k1 * 1000000) // n_docs END AS BIGINT) AS ratio_ppm FROM agg
+        |  UNION ALL SELECT 'filter:repeat' AS name, CAST(k2 AS BIGINT) AS n, CAST(u2 AS BIGINT) AS n2, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (k2 * 1000000) // n_docs END AS BIGINT) AS ratio_ppm FROM agg
+        |  UNION ALL SELECT 'filter:diversity' AS name, CAST(k3 AS BIGINT) AS n, CAST(u3 AS BIGINT) AS n2, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (k3 * 1000000) // n_docs END AS BIGINT) AS ratio_ppm FROM agg
+        |  UNION ALL SELECT 'filter:stopword' AS name, CAST(k4 AS BIGINT) AS n, CAST(u4 AS BIGINT) AS n2, CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (k4 * 1000000) // n_docs END AS BIGINT) AS ratio_ppm FROM agg
+        |  UNION ALL SELECT 'pair:len&meanlen', CAST(p0_1 AS BIGINT), CAST(k0 + k1 - p0_1 AS BIGINT), CAST(CASE WHEN k0 + k1 - p0_1 = 0 THEN 0 ELSE (p0_1 * 1000000) // (k0 + k1 - p0_1) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:len&repeat', CAST(p0_2 AS BIGINT), CAST(k0 + k2 - p0_2 AS BIGINT), CAST(CASE WHEN k0 + k2 - p0_2 = 0 THEN 0 ELSE (p0_2 * 1000000) // (k0 + k2 - p0_2) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:len&diversity', CAST(p0_3 AS BIGINT), CAST(k0 + k3 - p0_3 AS BIGINT), CAST(CASE WHEN k0 + k3 - p0_3 = 0 THEN 0 ELSE (p0_3 * 1000000) // (k0 + k3 - p0_3) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:len&stopword', CAST(p0_4 AS BIGINT), CAST(k0 + k4 - p0_4 AS BIGINT), CAST(CASE WHEN k0 + k4 - p0_4 = 0 THEN 0 ELSE (p0_4 * 1000000) // (k0 + k4 - p0_4) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:meanlen&repeat', CAST(p1_2 AS BIGINT), CAST(k1 + k2 - p1_2 AS BIGINT), CAST(CASE WHEN k1 + k2 - p1_2 = 0 THEN 0 ELSE (p1_2 * 1000000) // (k1 + k2 - p1_2) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:meanlen&diversity', CAST(p1_3 AS BIGINT), CAST(k1 + k3 - p1_3 AS BIGINT), CAST(CASE WHEN k1 + k3 - p1_3 = 0 THEN 0 ELSE (p1_3 * 1000000) // (k1 + k3 - p1_3) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:meanlen&stopword', CAST(p1_4 AS BIGINT), CAST(k1 + k4 - p1_4 AS BIGINT), CAST(CASE WHEN k1 + k4 - p1_4 = 0 THEN 0 ELSE (p1_4 * 1000000) // (k1 + k4 - p1_4) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:repeat&diversity', CAST(p2_3 AS BIGINT), CAST(k2 + k3 - p2_3 AS BIGINT), CAST(CASE WHEN k2 + k3 - p2_3 = 0 THEN 0 ELSE (p2_3 * 1000000) // (k2 + k3 - p2_3) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:repeat&stopword', CAST(p2_4 AS BIGINT), CAST(k2 + k4 - p2_4 AS BIGINT), CAST(CASE WHEN k2 + k4 - p2_4 = 0 THEN 0 ELSE (p2_4 * 1000000) // (k2 + k4 - p2_4) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'pair:diversity&stopword', CAST(p3_4 AS BIGINT), CAST(k3 + k4 - p3_4 AS BIGINT), CAST(CASE WHEN k3 + k4 - p3_4 = 0 THEN 0 ELSE (p3_4 * 1000000) // (k3 + k4 - p3_4) END AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'any', CAST(killed AS BIGINT), CAST(n_docs AS BIGINT),
+        |    CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (killed * 1000000) // n_docs END AS BIGINT) FROM agg)
+        |SELECT name, n, n2, ratio_ppm FROM u ORDER BY name""".stripMargin,
     // x204: every field rebuilt from the plant formulas — the repaired
     // text must equal the pre-corruption clean text exactly (md5), and
     // the dirty char count equals the clean text's UTF-8 BYTE count on

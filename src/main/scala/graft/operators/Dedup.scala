@@ -429,6 +429,42 @@ object Dedup {
         .orderBy("lang")
     }),
 
+    // ---- near-dup resolution, KEEP-BEST variant -----------------------------
+    // x40 keeps each component's min doc_id — the arbitrary-but-cheap
+    // default. Production curation keeps the BEST copy (the cleanest of a
+    // boilerplate family often isn't the first-crawled): x242 picks the
+    // per-cluster argmax of an integer quality key (n_types·1e6 +
+    // n_tokens — diversity then length; one token-census pass) with a
+    // min-id tiebreak, as one max(struct(q, −doc_id)) agg per cluster —
+    // no window. The first_doc / differs columns quantify how often
+    // keep-first and keep-best actually disagree — the number that
+    // justifies (or kills) the extra quality pass.
+    "x242_keep_best" -> ((s, d) => {
+      val cc = connectedComponents(jaccardPairs(s, d))
+      val quality = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .groupBy("doc_id", "t")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg((countDistinct("t") * 1000000L + sum("cnt")).as("q"))
+      cc.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          min("doc_id").as("first_doc"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m")
+        )
+        .select(
+          col("cluster_id"),
+          col("cluster_size"),
+          (-col("m.nid")).as("kept_doc"),
+          col("m.q").as("kept_quality"),
+          col("first_doc"),
+          ((-col("m.nid")) =!= col("first_doc")).as("differs")
+        )
+        .orderBy("cluster_id")
+    }),
+
     // ---- entity resolution / record linkage --------------------------------
     // The identity face of dedup: records are NOISY VARIANTS of entities
     // (name/address linkage), so equality dedup (x01) can't see them and
@@ -1232,6 +1268,24 @@ object Dedup {
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT doc_id, cluster_id, cluster_size
          |FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // x242: same components, same quality key, argmax as row_number 1.
+    "x242_keep_best" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |$ccLabSql,
+         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents),
+         |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |qual AS (SELECT doc_id,
+         |  CAST(count(*) * 1000000 + sum(cnt) AS BIGINT) AS q FROM tc GROUP BY 1),
+         |j AS (SELECT lab.cluster_id, lab.doc_id, qual.q FROM lab JOIN qual USING (doc_id)),
+         |sel AS (SELECT cluster_id, doc_id, q,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk FROM j),
+         |agg AS (SELECT cluster_id, count(*) AS cluster_size, min(doc_id) AS first_doc
+         |  FROM j GROUP BY 1)
+         |SELECT a.cluster_id, a.cluster_size, s.doc_id AS kept_doc, s.q AS kept_quality,
+         |  a.first_doc, s.doc_id <> a.first_doc AS differs
+         |FROM agg a JOIN sel s ON a.cluster_id = s.cluster_id AND s.rk = 1
+         |ORDER BY a.cluster_id""".stripMargin,
     "x76_leakage_safe_split" ->
       s"""WITH RECURSIVE $shinglesSql,
          |$ccLabSql,

@@ -475,6 +475,39 @@ object Similarity {
         .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"))
         .orderBy("qid", "rk")),
 
+    // Mutual-nearest-neighbor alignment (x241) — the reciprocal-best-
+    // match criterion behind cross-lingual lexicon induction and
+    // embedding-space alignment (MUSE/Procrustes pipelines): a ↔ b align
+    // iff b is a's top-1 AND a is b's top-1 — one-directional argmax
+    // produces many-to-one collisions, mutuality is the standard fix.
+    // Sides = even/odd vec_ids; bit-exact float32 cosine (the x05
+    // convention, so the full pair list hash-checks); both argmaxes are
+    // qid-partitioned windows over ONE checkpointed cross frame. Scale
+    // shape: the cross is gate-affordable and the honest baseline — at
+    // corpus scale both argmax legs ride the x13 IVF lists or x06
+    // bucketed candidates; mutuality itself stays one equi-join.
+    "x241_mutual_nn" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val a = emb.where(expr("vec_id % 2 = 0")).select(col("vec_id").as("aid"), col("embedding").as("ae"))
+      val b = emb.where(expr("vec_id % 2 = 1")).select(col("vec_id").as("bid"), col("embedding").as("be"))
+      val cross = b
+        .join(broadcast(a))
+        .withColumn("cos", cosineF(col("ae"), col("be")))
+        .select("aid", "bid", "cos")
+        .localCheckpoint() // two argmax legs
+      val wa = Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))
+      val wb = Window.partitionBy("bid").orderBy(col("cos").desc, col("aid"))
+      val bestA = cross.withColumn("rk", row_number().over(wa)).where(col("rk") === 1).select("aid", "bid", "cos")
+      val bestB = cross.withColumn("rk", row_number().over(wb)).where(col("rk") === 1).select("aid", "bid")
+      val mutual = bestA.join(bestB, Seq("aid", "bid")).localCheckpoint() // rows + count
+      mutual
+        .select(col("aid"), col("bid"), cosE6(col("cos")).as("cos_e6"))
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+        .orderBy("aid")
+    }),
+
     // LSH-bucketed approximate top-k (scale path; rows-only check)
     "x06_sim_ann_lsh" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -1503,6 +1536,25 @@ object Similarity {
          |SELECT sel_rank, vec_id, rel, pen AS penalty, score2
          |FROM sel8 ORDER BY sel_rank""".stripMargin
     },
+    // x241: the same cross, argmaxes and mutuality in DuckDB's
+    // list_cosine_similarity (bit-compatible with CosineSimF32 at e6
+    // rounding — the x05 precedent).
+    "x241_mutual_nn" ->
+      """WITH a AS (SELECT vec_id AS aid, embedding AS ae FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id % 2 = 1),
+        |cx AS (SELECT aid, bid, list_cosine_similarity(ae, be) AS cos FROM a, b),
+        |ba AS (SELECT aid, bid, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rk FROM cx)
+        |  WHERE rk = 1),
+        |bb AS (SELECT aid, bid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rk FROM cx)
+        |  WHERE rk = 1),
+        |m AS (SELECT ba.aid, ba.bid, ba.cos FROM ba JOIN bb ON ba.aid = bb.aid AND ba.bid = bb.bid),
+        |c AS (SELECT (SELECT count(*) FROM m) AS n_mutual,
+        |  (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b)
+        |SELECT aid, bid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6,
+        |  c.n_mutual, c.n_a, c.n_b
+        |FROM m, c ORDER BY aid""".stripMargin,
     "x05_sim_cosine_topk" ->
       """SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6 FROM (
         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
