@@ -419,7 +419,42 @@ object ScaleProbe {
       // LTTB: monthly census absorbs the stream; buckets series-bounded
       "x223_lttb_downsample",
       // LSH eval: two audited pipelines + one pair join
-      "x224_lsh_eval"
+      "x224_lsh_eval",
+      // r8 additions over the scaled tables (fixture-bound ops — x226
+      // manifest tree, x227 zstd, x229-x231 COW roots — probe via their
+      // gates/specs instead):
+      // logistic GD: 5 rounds × two map-side-combinable shuffles over
+      // the 16x clone corpus (every bucket census ×16)
+      "x228_logistic_gd",
+      // CIDR join: 16x customer ips against the 64-block grid
+      "x232_cidr_join",
+      // assoc rules: basket self-join over 16x orders (baskets ×16, the
+      // per-basket bound unchanged)
+      "x233_assoc_rules",
+      // KMV estimate: bottom-256 heaps over 16x key streams
+      "x234_kmv_join_estimate",
+      // half-sample CI: 120 conditional sums in one 16x scan
+      "x235_halfsample_ci",
+      // decayed top-k: faced census over 16x events
+      "x236_decayed_topk",
+      // bitmap index: word censuses over 16x lineitem
+      "x237_bitmap_index",
+      // Neyman: stratum census over 16x customer
+      "x238_neyman_alloc",
+      // FD discovery: six 2-column distinct censuses over 16x tables
+      "x239_fd_discovery",
+      // filter attribution: one token-census pass over the 16x clone
+      // corpus, then 32-row arithmetic
+      "x240_filter_attribution",
+      // mutual NN: base embeddings scale (shape check)
+      "x241_mutual_nn",
+      // keep-best: CC over the 16x clone corpus — the dense-cluster
+      // worst case x37 already absorbs, plus one quality census
+      "x242_keep_best",
+      // RFM: three bucketed-prefix quintile passes over 16x customers
+      "x243_rfm_segments",
+      // reconciliation: one line agg + header join at 16x
+      "x244_order_reconcile"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

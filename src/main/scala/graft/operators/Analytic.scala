@@ -39,6 +39,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RFM segmentation (x243) — the classic customer-analytics verb
+    // (Hughes 1994): quintile-code every customer on Recency (days
+    // since last order), Frequency (order count) and Monetary (lifetime
+    // cents), emit the 5×5×5 segment census. Each quintile assignment
+    // is the x159 distributed NTILE — value census → cum-below via the
+    // x219 value-range bucketed prefix (posmod-floor bucket key: the
+    // monetary domain is near-unique and unbounded, recency/frequency
+    // domain-bounded — same machinery handles all three) → value-
+    // partitioned tie ranks → the closed-form tile. DecileNtileSpec's
+    // row-exactness proof covers the formula; the oracle uses DuckDB's
+    // own ntile(5). No unpartitioned window anywhere; cum tables join
+    // un-hinted (monetary's census is customer-sized — AQE decides, the
+    // x66 lesson).
+    "x243_rfm_segments" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .select(
+          col("o_custkey").as("ck"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)").as("day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")
+        )
+      val rfm = o
+        .groupBy("ck")
+        .agg(max("day").as("lastd"), count(lit(1)).as("f"), sum("cents").as("m"))
+        .crossJoin(broadcast(o.agg(max("day").as("maxd"))))
+        .withColumn("r", expr("maxd - lastd"))
+        .select("ck", "r", "f", "m")
+        .localCheckpoint() // three quintile passes + the final join
+      val ntot = rfm.agg(count(lit(1)).as("ntot"))
+      def quint(v: String, out: String): DataFrame = {
+        val census = rfm
+          .groupBy(col(v).as("vv"))
+          .agg(count(lit(1)).as("t"))
+          .withColumn("bk", expr("(vv - ((vv % 8192 + 8192) % 8192)) div 8192"))
+          .localCheckpoint() // offsets + positions
+        val offs = census.groupBy("bk").agg(sum("t").as("bt")).localCheckpoint() // self-joined
+        val offsCum = offs
+          .join(broadcast(offs.select(col("bk").as("b2"), col("bt").as("t2"))), col("b2") < col("bk"), "left")
+          .groupBy("bk")
+          .agg(coalesce(sum("t2"), lit(0L)).as("off"))
+        val wb = Window.partitionBy("bk").orderBy("vv").rowsBetween(Window.unboundedPreceding, -1)
+        val cum = census
+          .join(broadcast(offsCum), "bk")
+          .withColumn("cum", col("off") + coalesce(sum("t").over(wb), lit(0L)))
+          .select(col("vv").as(v), col("cum"))
+        rfm
+          .select(col("ck"), col(v))
+          .join(cum, v)
+          .withColumn("rk", col("cum") + row_number().over(Window.partitionBy(v).orderBy("ck")))
+          .crossJoin(broadcast(ntot))
+          .withColumn(
+            out,
+            expr(
+              "CAST(IF(rk <= (ntot % 5) * (ntot div 5 + 1), " +
+                "(rk - 1) div (ntot div 5 + 1) + 1, " +
+                "ntot % 5 + (rk - (ntot % 5) * (ntot div 5 + 1) - 1) div greatest(ntot div 5, 1) + 1) AS BIGINT)"
+            )
+          )
+          .select("ck", out)
+      }
+      rfm
+        .join(quint("r", "rq"), "ck")
+        .join(quint("f", "fq"), "ck")
+        .join(quint("m", "mq"), "ck")
+        .groupBy("rq", "fq", "mq")
+        .agg(count(lit(1)).as("n_customers"), sum("m").as("monetary_cents"))
+        .orderBy("rq", "fq", "mq")
+    }),
     // Exponentially-decayed heavy hitters (x236) — the TRENDING verb:
     // raw counts rank what was always big; ops dashboards need what is
     // big NOW. Integer-exact decay via right-shift — weight = 1024 >>
@@ -1227,6 +1294,27 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x243: DuckDB's own ntile(5) with the same (value, ck) order —
+    // the engine's closed form must land every customer in the same
+    // tile (DecileNtileSpec's proof, now cross-engine).
+    "x243_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |rfm AS (
+        |  SELECT ck, (SELECT max(day) FROM o) - max(day) AS r,
+        |    count(*) AS f, CAST(sum(cents) AS BIGINT) AS m
+        |  FROM o GROUP BY ck),
+        |q AS (
+        |  SELECT ck, m,
+        |    CAST(ntile(5) OVER (ORDER BY r, ck) AS BIGINT) AS rq,
+        |    CAST(ntile(5) OVER (ORDER BY f, ck) AS BIGINT) AS fq,
+        |    CAST(ntile(5) OVER (ORDER BY m, ck) AS BIGINT) AS mq
+        |  FROM rfm)
+        |SELECT rq, fq, mq, count(*) AS n_customers, CAST(sum(m) AS BIGINT) AS monetary_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY rq, fq, mq""".stripMargin,
     // x236: the same faced census + shift-decay, ranks as row_number
     // with the identical item tiebreak.
     "x236_decayed_topk" ->

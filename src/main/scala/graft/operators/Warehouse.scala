@@ -1235,6 +1235,52 @@ object Warehouse {
         )
       ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
     }),
+    // Order↔line reconciliation audit (x244) — the double-entry check
+    // every warehouse runs nightly: does the header total equal the sum
+    // of its lines under the stated formula (Σ price·(1−disc)·(1+tax),
+    // all integer cents, floor once per line)? The output is a DIFF
+    // HISTOGRAM, not a boolean — exact matches, over/under classes by
+    // ⌊log2|diff|⌋ (the x61 bin() trick), headerless-order sentinel —
+    // because at 100 TB "reconciled: no" is useless without the shape
+    // and mass of the discrepancy. One line-side agg + one header left
+    // join; the census is class-bounded.
+    "x244_order_reconcile" -> ((s, d) => {
+      val lines = graft.Graft
+        .table(s, d, "lineitem")
+        .select(
+          col("l_orderkey").as("ok"),
+          expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * " +
+              "(100 + CAST(round(l_tax * 100) AS BIGINT))) div 10000"
+          ).as("lv")
+        )
+        .groupBy("ok")
+        .agg(sum("lv").as("expected"))
+      val j = graft.Graft
+        .table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("actual"))
+        .join(lines, Seq("ok"), "left")
+        .withColumn("diff", expr("actual - coalesce(expected, 0L)"))
+        .withColumn(
+          "clazz",
+          expr(
+            "CASE WHEN expected IS NULL THEN 'no_lines' WHEN diff = 0 THEN 'exact' " +
+              "ELSE IF(diff > 0, 'over:2^', 'under:2^') || CAST(length(bin(abs(diff))) - 1 AS STRING) END"
+          )
+        )
+        .localCheckpoint() // class census + totals
+      j.groupBy("clazz")
+        .agg(count(lit(1)).as("n_orders"), sum(expr("abs(diff)")).as("sum_abs_diff"))
+        .crossJoin(
+          broadcast(
+            j.agg(
+              count(lit(1)).as("n_total"),
+              sum(expr("IF(diff = 0 AND expected IS NOT NULL, 1L, 0L)")).as("n_exact")
+            )
+          )
+        )
+        .orderBy("clazz")
+    }),
     // Functional-dependency discovery (x239) — the data-profiling verb
     // beside x138's column stats and x191's contracts: does column A
     // determine column B? FD A→B holds iff |distinct(A,B)| =
@@ -2489,6 +2535,24 @@ object Warehouse {
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
         |FROM c""".stripMargin,
+    // x244: the same line formula, join and diff classes.
+    "x244_order_reconcile" ->
+      """WITH l AS (SELECT l_orderkey AS ok,
+        |  (CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+        |   (100 + CAST(round(l_tax * 100) AS BIGINT))) // 10000 AS lv FROM lineitem),
+        |e AS (SELECT ok, CAST(sum(lv) AS BIGINT) AS expected FROM l GROUP BY 1),
+        |o AS (SELECT o_orderkey AS ok, CAST(round(o_totalprice * 100) AS BIGINT) AS actual FROM orders),
+        |j AS (SELECT o.ok, actual, expected, actual - coalesce(expected, 0) AS diff
+        |  FROM o LEFT JOIN e USING (ok)),
+        |c AS (SELECT CASE WHEN expected IS NULL THEN 'no_lines' WHEN diff = 0 THEN 'exact'
+        |  ELSE (CASE WHEN diff > 0 THEN 'over:2^' ELSE 'under:2^' END) ||
+        |       CAST(length(bin(abs(diff))) - 1 AS VARCHAR) END AS clazz, diff, expected FROM j),
+        |g AS (SELECT clazz, count(*) AS n_orders, CAST(sum(abs(diff)) AS BIGINT) AS sum_abs_diff
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN diff = 0 AND expected IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |  FROM c)
+        |SELECT clazz, n_orders, sum_abs_diff, t.n_total, t.n_exact FROM g, t ORDER BY clazz""".stripMargin,
     // x239: the same two distinct counts per candidate.
     "x239_fd_discovery" ->
       """WITH c AS (
