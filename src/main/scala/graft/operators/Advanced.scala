@@ -23,6 +23,36 @@ object Advanced {
     graft.functions.Hashing.md5Bucket(c.cast("string"), 100L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Join-amplification census (x246) — the pre-flight check BEFORE a
+    // 100 TB key join: exact output size from the key censuses alone
+    // (self-join rows = Σ c_k², never run the join to learn it will
+    // explode) + the top-10 amplifying keys (the salting candidates for
+    // x38/AQE skew handling). The exactness LAW is verified in-query on
+    // a 1%-of-keys slice (est ≡ actual — the x234 instrument
+    // discipline, slice-bounded so the verification leg itself stays
+    // scale-safe). One census with map-side combine; top-10 is
+    // TakeOrderedAndProject.
+    "x246_join_amplification" -> ((s, d) => {
+      val keys = table(s, d, "lineitem").select(col("l_partkey").as("k")).localCheckpoint()
+      val census = keys.groupBy("k").agg(count(lit(1)).as("c")).localCheckpoint()
+      val summary = census.agg(sum(expr("c * c")).as("est_self_join_rows"), count(lit(1)).as("n_keys"))
+      val sliceEst = census
+        .where(expr("k % 100 = 0"))
+        .agg(coalesce(sum(expr("c * c")), lit(0L)).as("slice_est"))
+      val sliceActual = keys
+        .where(expr("k % 100 = 0"))
+        .join(keys.where(expr("k % 100 = 0")).withColumnRenamed("k", "k2"), col("k") === col("k2"))
+        .agg(count(lit(1)).as("slice_actual"))
+      census
+        .orderBy(col("c").desc, col("k"))
+        .limit(10)
+        .withColumn("amp", expr("c * c"))
+        .crossJoin(broadcast(summary))
+        .crossJoin(broadcast(sliceEst))
+        .crossJoin(broadcast(sliceActual))
+        .select("k", "c", "amp", "est_self_join_rows", "n_keys", "slice_est", "slice_actual")
+        .orderBy(col("c").desc, col("k"))
+    }),
     // KMV join-cardinality estimation (x234, Beyer et al. SIGMOD'07) —
     // the query-planning instrument: estimate the size of
     // filtered-orders ⋈ lineitem from two 256-slot bottom-k sketches
@@ -2366,6 +2396,17 @@ object Advanced {
   }
 
   def oracles: Map[String, String] = Map(
+    // x246: census arithmetic + the definitional slice join.
+    "x246_join_amplification" ->
+      """WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+        |census AS (SELECT k, count(*) AS c FROM keys GROUP BY 1),
+        |s AS (SELECT CAST(sum(c * c) AS BIGINT) AS est_self_join_rows, count(*) AS n_keys FROM census),
+        |se AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS slice_est FROM census WHERE k % 100 = 0),
+        |sa AS (SELECT count(*) AS slice_actual FROM keys a JOIN keys b ON a.k = b.k AND a.k % 100 = 0),
+        |top AS (SELECT k, c FROM census ORDER BY c DESC, k LIMIT 10)
+        |SELECT k, CAST(c AS BIGINT) AS c, CAST(c * c AS BIGINT) AS amp,
+        |  s.est_self_join_rows, s.n_keys, se.slice_est, sa.slice_actual
+        |FROM top, s, se, sa ORDER BY c DESC, k""".stripMargin,
     // x234: the same bottom-256 sketches by ORDER BY/LIMIT, same
     // estimator arithmetic, same exact legs.
     "x234_kmv_join_estimate" ->

@@ -39,6 +39,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metric-delta attribution (x247) — the root-cause slicing verb
+    // ("why did revenue move?"): revenue of the last two complete
+    // 30-day buckets decomposed per customer nation, with the EXACT
+    // decomposition law Σ per-slice deltas = total delta hash-locked by
+    // emitting both sides. Contribution shares are \|delta\|-mass ppm
+    // (signed deltas keep their sign column; the share denominator is
+    // Σ\|delta\| so floor division stays positive — the cross-engine
+    // negative-division trap never opens). One scan with two
+    // conditional sums per slice (both periods in the same shuffle, the
+    // x157 discipline), nation dim broadcast.
+    "x247_delta_attribution" -> ((s, d) => {
+      val o = table(s, d, "orders")
+        .select(
+          col("o_custkey").as("ck"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT) div 30").as("mon"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")
+        )
+        .localCheckpoint() // bounds + period legs
+      val pe = o
+        .crossJoin(broadcast(o.agg(max("mon").as("maxm"))))
+        .where(expr("mon = maxm - 2 OR mon = maxm - 1"))
+        .join(
+          broadcast(table(s, d, "customer").select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))),
+          "ck"
+        )
+        .groupBy("nk")
+        .agg(
+          sum(expr("IF(mon = maxm - 2, cents, 0L)")).as("rev_a"),
+          sum(expr("IF(mon = maxm - 1, cents, 0L)")).as("rev_b")
+        )
+        .withColumn("delta", col("rev_b") - col("rev_a"))
+        .localCheckpoint() // totals + output
+      val tot = pe.agg(
+        sum("rev_a").as("tot_a"),
+        sum("rev_b").as("tot_b"),
+        sum("delta").as("tot_delta"),
+        sum(expr("abs(delta)")).as("tot_abs")
+      )
+      pe.crossJoin(broadcast(tot))
+        .withColumn("contrib_ppm", expr("IF(tot_abs = 0, 0L, (abs(delta) * 1000000) div tot_abs)"))
+        .select("nk", "rev_a", "rev_b", "delta", "contrib_ppm", "tot_a", "tot_b", "tot_delta")
+        .orderBy("nk")
+    }),
     // RFM segmentation (x243) — the classic customer-analytics verb
     // (Hughes 1994): quintile-code every customer on Recency (days
     // since last order), Frequency (order count) and Monetary (lifetime
@@ -1294,6 +1337,24 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x247: same buckets, conditional sums and |delta|-mass shares.
+    "x247_delta_attribution" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |  (epoch_us(o_orderdate::TIMESTAMP) // 86400000000) // 30 AS mon,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |mb AS (SELECT max(mon) AS maxm FROM o),
+        |pe AS (SELECT c_nationkey AS nk,
+        |  CAST(sum(CASE WHEN mon = maxm - 2 THEN cents ELSE 0 END) AS BIGINT) AS rev_a,
+        |  CAST(sum(CASE WHEN mon = maxm - 1 THEN cents ELSE 0 END) AS BIGINT) AS rev_b
+        |  FROM o, mb JOIN customer ON o.ck = c_custkey
+        |  WHERE mon = maxm - 2 OR mon = maxm - 1 GROUP BY 1),
+        |pd AS (SELECT nk, rev_a, rev_b, rev_b - rev_a AS delta FROM pe),
+        |t AS (SELECT CAST(sum(rev_a) AS BIGINT) AS tot_a, CAST(sum(rev_b) AS BIGINT) AS tot_b,
+        |  CAST(sum(delta) AS BIGINT) AS tot_delta, CAST(sum(abs(delta)) AS BIGINT) AS tot_abs FROM pd)
+        |SELECT nk, rev_a, rev_b, delta,
+        |  CAST(CASE WHEN t.tot_abs = 0 THEN 0 ELSE (abs(delta) * 1000000) // t.tot_abs END AS BIGINT) AS contrib_ppm,
+        |  t.tot_a, t.tot_b, t.tot_delta
+        |FROM pd, t ORDER BY nk""".stripMargin,
     // x243: DuckDB's own ntile(5) with the same (value, ck) order —
     // the engine's closed form must land every customer in the same
     // tile (DecileNtileSpec's proof, now cross-engine).

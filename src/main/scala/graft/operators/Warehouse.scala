@@ -1235,6 +1235,69 @@ object Warehouse {
         )
       ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
     }),
+    // Time-to-convert percentiles (x245) — the product-analytics metric
+    // beside x141's cohorts and q59's funnel: how LONG from first
+    // signup to first subsequent purchase, as exact integer-second
+    // p50/p90 (no t-digest hand-waving): per-user first-signup and
+    // first-purchase-after aggs, then the x182 rank-pick over the
+    // delta-value census (the rank-r value depends only on the census;
+    // bucket offsets by broadcast self-join over the 8192×-compressed
+    // bucket table, positions bucket-partitioned — zero unpartitioned
+    // windows). One row: conversion rate + p50/p90/mean/max seconds.
+    "x245_time_to_convert" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("user_id").as("u"),
+          col("event_type").as("t"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("sec")
+        )
+        .localCheckpoint() // signup + purchase legs
+      val su = ev.where(col("t") === "signup").groupBy("u").agg(min("sec").as("s0")).localCheckpoint()
+      val conv = ev
+        .where(col("t") === "purchase")
+        .join(su, "u")
+        .where(col("sec") >= col("s0"))
+        .groupBy("u")
+        .agg(min(expr("sec - s0")).as("delta"))
+        .localCheckpoint() // census + totals
+      val n = conv.agg(count(lit(1)).as("n_conv"), sum("delta").as("sum_delta"), max("delta").as("max_delta"))
+      val vc = conv
+        .groupBy("delta")
+        .agg(count(lit(1)).as("t"))
+        .withColumn("bk", expr("delta div 8192L"))
+        .localCheckpoint() // offsets + positions
+      val offs = vc.groupBy("bk").agg(sum("t").as("bt")).localCheckpoint()
+      val offsCum = offs
+        .join(broadcast(offs.select(col("bk").as("b2"), col("bt").as("t2"))), col("b2") < col("bk"), "left")
+        .groupBy("bk")
+        .agg(coalesce(sum("t2"), lit(0L)).as("off"))
+      val wb = Window.partitionBy("bk").orderBy("delta").rowsBetween(Window.unboundedPreceding, -1)
+      val pos = vc
+        .join(broadcast(offsCum), "bk")
+        .withColumn("cum", col("off") + coalesce(sum("t").over(wb), lit(0L)))
+        .localCheckpoint() // two picks
+      def pick(p: Int, name: String) =
+        broadcast(
+          pos
+            .crossJoin(broadcast(n.select(col("n_conv").as("nc"))))
+            .where(expr(s"cum < ((nc - 1) * $p) div 100 + 1 AND ((nc - 1) * $p) div 100 + 1 <= cum + t"))
+            .select(col("delta").as(name))
+        )
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(n))
+        .crossJoin(pick(50, "p50_s"))
+        .crossJoin(pick(90, "p90_s"))
+        .select(
+          col("n_signup"),
+          col("n_conv"),
+          expr("(n_conv * 1000000) div n_signup").as("conv_ppm"),
+          col("p50_s"),
+          col("p90_s"),
+          expr("sum_delta div n_conv").as("mean_s"),
+          col("max_delta").as("max_s")
+        )
+    }),
     // Order↔line reconciliation audit (x244) — the double-entry check
     // every warehouse runs nightly: does the header total equal the sum
     // of its lines under the stated formula (Σ price·(1−disc)·(1+tax),
@@ -2535,6 +2598,24 @@ object Warehouse {
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
         |FROM c""".stripMargin,
+    // x245: same legs; the rank picks replayed on the sorted deltas.
+    "x245_time_to_convert" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS t,
+        |  epoch_us(ts::TIMESTAMP) // 1000000 AS sec FROM events),
+        |su AS (SELECT u, min(sec) AS s0 FROM ev WHERE t = 'signup' GROUP BY 1),
+        |conv AS (SELECT ev.u, CAST(min(sec - s0) AS BIGINT) AS delta
+        |  FROM ev JOIN su USING (u) WHERE t = 'purchase' AND sec >= s0 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_conv, CAST(sum(delta) AS BIGINT) AS sum_delta,
+        |  max(delta) AS max_delta FROM conv),
+        |ns AS (SELECT count(*) AS n_signup FROM su),
+        |srt AS (SELECT delta, row_number() OVER (ORDER BY delta, u) AS rk FROM conv),
+        |p50 AS (SELECT delta AS p50_s FROM srt, n WHERE rk = ((n_conv - 1) * 50) // 100 + 1),
+        |p90 AS (SELECT delta AS p90_s FROM srt, n WHERE rk = ((n_conv - 1) * 90) // 100 + 1)
+        |SELECT ns.n_signup, n.n_conv,
+        |  CAST((n.n_conv * 1000000) // ns.n_signup AS BIGINT) AS conv_ppm,
+        |  p50.p50_s, p90.p90_s,
+        |  CAST(n.sum_delta // n.n_conv AS BIGINT) AS mean_s, n.max_delta AS max_s
+        |FROM n, ns, p50, p90""".stripMargin,
     // x244: the same line formula, join and diff classes.
     "x244_order_reconcile" ->
       """WITH l AS (SELECT l_orderkey AS ok,
