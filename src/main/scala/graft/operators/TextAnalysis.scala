@@ -912,6 +912,38 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // OOV-rate audit (x249) — the tokenizer-ops metric: how much of a
+    // NEW corpus slice falls outside a reference vocabulary (rising OOV
+    // = domain drift = retrain the tokenizer). Reference vocab = top-1k
+    // tokens of the even-doc half (TakeOrderedAndProject over the token
+    // census, freq-desc/token-asc total order); the odd half then
+    // reports per-lang token mass, OOV mass and OOV ppm via one
+    // broadcast vocab join. Scale shape: census + bounded top-k + one
+    // broadcast semi-style join over the stream — the vocab is
+    // constant-sized by construction.
+    "x249_oov_rate" -> ((s, d) => {
+      val tok = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(toks).as("t"))
+        .localCheckpoint() // vocab leg + eval leg
+      val vocab = tok
+        .where(col("doc_id") % 2 === 0)
+        .groupBy("t")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t"))
+        .limit(1000)
+        .select("t")
+      tok
+        .where(col("doc_id") % 2 === 1)
+        .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("t"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(expr("IF(in_vocab IS NULL, 1L, 0L)")).as("n_oov")
+        )
+        .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+        .orderBy("lang")
+    }),
+
     // Logistic-regression trainer (x228, operators/LogisticGd) — the
     // gradient-based trainer completing the learn→calibrate→evaluate
     // loop (x164 counts, x179 solves, x68 infers; this one DESCENDS):
@@ -2015,6 +2047,18 @@ object TextAnalysis {
           |  FROM s)
           |SELECT doc_id, n_tokens, score, score_pt, score_pt >= -50 AS keep
           |FROM p ORDER BY doc_id""".stripMargin,
+      // x249: same census, top-1k cut and join.
+      "x249_oov_rate" ->
+        """WITH tok AS (SELECT doc_id, lang,
+          |  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents),
+          |vocab AS (SELECT t FROM (
+          |  SELECT t, count(*) AS c FROM tok WHERE doc_id % 2 = 0 GROUP BY 1)
+          |  ORDER BY c DESC, t LIMIT 1000),
+          |ev AS (SELECT lang, t FROM tok WHERE doc_id % 2 = 1)
+          |SELECT lang, count(*) AS n_tokens,
+          |  CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  CAST((sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+          |FROM ev GROUP BY lang ORDER BY lang""".stripMargin,
       // x228: all 5 GD rounds unrolled as CTEs (the x72 discipline) —
       // fast-sigmoid errors, per-bucket gradients, posmod-floor updates,
       // then the odd-half midrank-AUC replay on the final weights.

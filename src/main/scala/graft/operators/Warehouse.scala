@@ -1235,6 +1235,37 @@ object Warehouse {
         )
       ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
     }),
+    // DAU/WAU/stickiness (x248) — the engagement dashboard staple: per
+    // day, distinct active users (DAU), trailing-7-day distinct users
+    // (WAU), and stickiness = DAU/WAU ppm. The trailing-distinct is the
+    // classic bounded-explode: each (user, day) activity row funds
+    // wau(day..day+6) — a ≤7× expansion of the DEDUPLICATED activity
+    // table (never raw events), then one distinct + census; no
+    // windows, no self-joins, day range capped to observed data. Scale
+    // shape: everything rides (user, day)-grain tables with map-side
+    // combine.
+    "x248_dau_wau" -> ((s, d) => {
+      val ud = graft.Graft
+        .events(s, d)
+        .select(
+          col("user_id").as("u"),
+          expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("day")
+        )
+        .distinct()
+        .localCheckpoint() // dau + wau legs + bounds
+      val bounds = ud.agg(max("day").as("maxd"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .crossJoin(broadcast(bounds))
+        .select(col("u"), explode(expr("sequence(day, least(day + 6, maxd))")).as("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(count(lit(1)).as("wau"))
+      dau
+        .join(wau, "day")
+        .withColumn("stickiness_ppm", expr("(dau * 1000000) div wau"))
+        .orderBy("day")
+    }),
     // Time-to-convert percentiles (x245) — the product-analytics metric
     // beside x141's cohorts and q59's funnel: how LONG from first
     // signup to first subsequent purchase, as exact integer-second
@@ -2598,6 +2629,18 @@ object Warehouse {
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
         |FROM c""".stripMargin,
+    // x248: same dedup, expansion and censuses.
+    "x248_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |  epoch_us(ts::TIMESTAMP) // 86400000000 AS day FROM events),
+        |b AS (SELECT max(day) AS maxd FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT DISTINCT u, t.d AS day
+        |  FROM ud, b, unnest(generate_series(day, least(day + 6, maxd))) t(d)),
+        |wau AS (SELECT day, count(*) AS wau FROM ex GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     // x245: same legs; the rank picks replayed on the sorted deltas.
     "x245_time_to_convert" ->
       """WITH ev AS (SELECT user_id AS u, event_type AS t,
