@@ -614,6 +614,73 @@ object Sampling {
         .orderBy("sel_rank")
     }),
 
+    // Geometric-mechanism DP counts (x251, Ghosh–Roughgarden–Sundararajan
+    // 2009) — the integer differential-privacy standard for count
+    // queries: noise = G₁ − G₂ with Gᵢ ~ Geometric(1/2) gives the
+    // two-sided geometric mechanism at ε = ln 2 for sensitivity-1
+    // counts. The geometric draws are EXACT and derandomized: the
+    // trailing-zero count of a 60-bit md5 window is Geometric(1/2) by
+    // construction (each extra zero halves the probability), so both
+    // engines draw identical noise — the GATE verifies the mechanism's
+    // arithmetic; production swaps the hash for a secure RNG, mechanism
+    // unchanged, and would never emit the true column this gate emits
+    // for verification. Utility ships in-row: |noisy − true| and the
+    // ε-accounting constant. One census + per-row hash arithmetic.
+    "x251_dp_geometric" -> ((s, d) => {
+      table(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("h1", graft.functions.Hashing.md5Window15(concat(col("nk").cast("string"), lit("#dp1"))))
+        .withColumn("h2", graft.functions.Hashing.md5Window15(concat(col("nk").cast("string"), lit("#dp2"))))
+        .withColumn("g1", expr("CAST(length(bin(h1 & -h1)) - 1 AS BIGINT)"))
+        .withColumn("g2", expr("CAST(length(bin(h2 & -h2)) - 1 AS BIGINT)"))
+        .withColumn("noisy_n", expr("greatest(true_n + g1 - g2, 0L)"))
+        .select(
+          col("nk"),
+          col("true_n"),
+          col("g1"),
+          col("g2"),
+          col("noisy_n"),
+          expr("abs(noisy_n - true_n)").as("abs_err"),
+          lit(693147L).as("epsilon_e6") // ln 2
+        )
+        .orderBy("nk")
+    }),
+
+    // k-anonymity audit (x252, Sweeney 2002) — the privacy verb before
+    // any data release: over the quasi-identifier (nation, market
+    // segment, coarse balance band), every equivalence class smaller
+    // than k = 5 re-identifies its members — the band makes the QI
+    // realistic (numeric attributes are what break k-anonymity in
+    // practice) and the audit load-bearing at every SF. Output: the
+    // risky classes (bounded — QI domains are dimension-sized) + the
+    // release verdict as constant columns
+    // (classes below k, rows at risk, min class size, suppression ppm).
+    // One QI census with map-side combine; the audit is census
+    // arithmetic.
+    "x252_k_anonymity" -> ((s, d) => {
+      val census = table(s, d, "customer")
+        .groupBy(
+          col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) - ((CAST(round(c_acctbal * 100) AS BIGINT) % 500000 + 500000) % 500000)) div 500000")
+            .as("bal_band")
+        )
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // risky list + verdict
+      val verdict = census.agg(
+        count(lit(1)).as("n_classes"),
+        sum(expr("IF(n < 5, 1L, 0L)")).as("n_below_k"),
+        sum(expr("IF(n < 5, n, 0L)")).as("rows_at_risk"),
+        min("n").as("min_class"),
+        expr("(sum(IF(n < 5, n, 0L)) * 1000000) div sum(n)").as("suppress_ppm")
+      )
+      census
+        .where(col("n") < 5)
+        .crossJoin(broadcast(verdict))
+        .orderBy("nk", "seg", "bal_band")
+    }),
+
     // Neyman optimal allocation (x238, Neyman 1934) — the sampling
     // DESIGN instrument completing the sampling family (x43 executes a
     // stratified plan, x77 PPS, x217 apportions integers): allocate a
@@ -1228,6 +1295,36 @@ object Sampling {
       |  FROM sc CROSS JOIN tot)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // x251: same census, trailing-zero geometrics, clamp.
+    "x251_dp_geometric" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS true_n FROM customer GROUP BY 1),
+        |h AS (SELECT nk, CAST(true_n AS BIGINT) AS true_n,
+        |  ('0x' || substr(md5(nk || '#dp1'), 1, 15))::BIGINT AS h1,
+        |  ('0x' || substr(md5(nk || '#dp2'), 1, 15))::BIGINT AS h2 FROM c),
+        |g AS (SELECT nk, true_n,
+        |  CAST(length(bin(h1 & -h1)) - 1 AS BIGINT) AS g1,
+        |  CAST(length(bin(h2 & -h2)) - 1 AS BIGINT) AS g2 FROM h),
+        |n AS (SELECT nk, true_n, g1, g2, greatest(true_n + g1 - g2, 0) AS noisy_n FROM g)
+        |SELECT nk, true_n, g1, g2, CAST(noisy_n AS BIGINT) AS noisy_n,
+        |  CAST(abs(noisy_n - true_n) AS BIGINT) AS abs_err,
+        |  CAST(693147 AS BIGINT) AS epsilon_e6
+        |FROM n ORDER BY nk""".stripMargin,
+    // x252: same census + verdict arithmetic.
+    "x252_k_anonymity" ->
+      """WITH b0 AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |c AS (SELECT nk, seg,
+        |  (cents - ((cents % 500000 + 500000) % 500000)) // 500000 AS bal_band, count(*) AS n
+        |  FROM b0 GROUP BY 1, 2, 3),
+        |v AS (SELECT count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  min(n) AS min_class,
+        |  CAST((sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000) // sum(n) AS BIGINT) AS suppress_ppm
+        |  FROM c)
+        |SELECT nk, seg, bal_band, CAST(n AS BIGINT) AS n, v.n_classes, v.n_below_k,
+        |  v.rows_at_risk, CAST(v.min_class AS BIGINT) AS min_class, v.suppress_ppm
+        |FROM c, v WHERE n < 5 ORDER BY nk, seg, bal_band""".stripMargin,
     // x238: identical moments → corrected isqrt → Hamilton seats.
     "x238_neyman_alloc" ->
       """WITH st AS (

@@ -1235,6 +1235,67 @@ object Warehouse {
         )
       ).toDF("n_candidates", "n_referenced", "n_orphans", "n_dv_orphans", "n_kept_clone_only")
     }),
+    // Bot-traffic detection (x250) — the ingest-hygiene verb a
+    // training-data pipeline runs before any engagement metric (bots
+    // poison x248/x141/x172 alike): per-user burst features — events in
+    // the user's HOTTEST second (eps_max), sub-second inter-arrival
+    // share (lag over a user-partitioned window — bounded groups), span
+    // vs volume — fold into a deterministic verdict (eps_max ≥ 5 OR
+    // sub-second share > 50%). Output: the verdict census per feature
+    // breakdown + the flagged-user list (bounded by construction at
+    // gate; at scale the list is a filter, not a collect). Integer
+    // seconds end to end.
+    "x250_bot_detection" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .select(
+          col("user_id").as("u"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          col("event_id")
+        )
+        .localCheckpoint() // eps census + inter-arrival legs
+      val eps = ev
+        .groupBy(col("u"), expr("us div 1000000").as("sec"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("u")
+        .agg(max("n").as("eps_max"))
+      val wArr = Window.partitionBy("u").orderBy("us", "event_id")
+      val arr = ev
+        .withColumn("prev", lag("us", 1).over(wArr))
+        .where(col("prev").isNotNull)
+        .groupBy("u")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(expr("IF(us - prev < 1000000, 1L, 0L)")).as("n_subsec")
+        )
+      val feats = ev
+        .groupBy("u")
+        .agg(count(lit(1)).as("n_events"))
+        .join(eps, "u")
+        .join(arr, Seq("u"), "left")
+        .select(
+          col("u"),
+          col("n_events"),
+          col("eps_max"),
+          coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+          coalesce(col("n_subsec"), lit(0L)).as("n_subsec")
+        )
+        .withColumn("bot", expr("eps_max >= 5 OR (n_gaps > 0 AND n_subsec * 2 > n_gaps)"))
+        .localCheckpoint() // census + flagged list
+      feats
+        .where(col("bot"))
+        .select(col("u"), col("n_events"), col("eps_max"), col("n_subsec"))
+        .crossJoin(
+          broadcast(
+            feats.agg(
+              count(lit(1)).as("n_users"),
+              sum(expr("IF(bot, 1L, 0L)")).as("n_bots"),
+              sum(expr("IF(bot, n_events, 0L)")).as("bot_events")
+            )
+          )
+        )
+        .orderBy("u")
+    }),
     // DAU/WAU/stickiness (x248) — the engagement dashboard staple: per
     // day, distinct active users (DAU), trailing-7-day distinct users
     // (WAU), and stickiness = DAU/WAU ppm. The trailing-distinct is the
@@ -2629,6 +2690,25 @@ object Warehouse {
         |  CAST(v1dirs + t2dirs + t3dirs - orphans AS BIGINT) AS n_referenced,
         |  CAST(v1dirs + t2dirs + t3dirs AS BIGINT) AS n_dirs
         |FROM c""".stripMargin,
+    // x250: same features via window lag, same verdict.
+    "x250_bot_detection" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS us, event_id FROM events),
+        |eps AS (SELECT u, max(n) AS eps_max FROM (
+        |  SELECT u, us // 1000000 AS sec, count(*) AS n FROM ev GROUP BY 1, 2) GROUP BY 1),
+        |arr AS (SELECT u, count(*) AS n_gaps,
+        |  CAST(sum(CASE WHEN us - prev < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_subsec
+        |  FROM (SELECT u, us, lag(us) OVER (PARTITION BY u ORDER BY us, event_id) AS prev FROM ev)
+        |  WHERE prev IS NOT NULL GROUP BY 1),
+        |f AS (SELECT e.u, e.n_events, eps.eps_max,
+        |    coalesce(arr.n_gaps, 0) AS n_gaps, coalesce(arr.n_subsec, 0) AS n_subsec,
+        |    (eps.eps_max >= 5 OR (coalesce(arr.n_gaps, 0) > 0
+        |      AND coalesce(arr.n_subsec, 0) * 2 > coalesce(arr.n_gaps, 0))) AS bot
+        |  FROM (SELECT u, count(*) AS n_events FROM ev GROUP BY 1) e
+        |  JOIN eps ON e.u = eps.u LEFT JOIN arr ON e.u = arr.u),
+        |t AS (SELECT count(*) AS n_users, CAST(sum(CASE WHEN bot THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
+        |  CAST(sum(CASE WHEN bot THEN n_events ELSE 0 END) AS BIGINT) AS bot_events FROM f)
+        |SELECT u, n_events, eps_max, n_subsec, t.n_users, t.n_bots, t.bot_events
+        |FROM f, t WHERE bot ORDER BY u""".stripMargin,
     // x248: same dedup, expansion and censuses.
     "x248_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
