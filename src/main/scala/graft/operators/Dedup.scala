@@ -819,6 +819,58 @@ object Dedup {
         )
     }),
 
+    // Band-geometry tuning sweep (x253) — x224 measured ONE operating
+    // point; this is the CURVE the band dial actually exposes: the same
+    // 16-component signatures cut as 16×1 / 8×2 / 4×4 bands, each
+    // config's candidates verified at the same agreement threshold and
+    // scored against x207's exact truth — three measured (P, R) points
+    // instead of the banding folklore. Measured gate finding: all three
+    // geometries saturate identically (P=0.96, R=1.0) because this
+    // corpus' near-dups are clone-grade (full signature agreement
+    // reaches candidates under ANY cut); the geometry dial only
+    // separates on mid-similarity pairs — and the instrument reports
+    // that flatness rather than assuming it. The truth leg and
+    // signature table compute ONCE (localCheckpoint), all legs reuse.
+    "x253_band_sweep" -> ((s, d) => {
+      val thr = 10L
+      val truth = Dedup
+        .queries("x207_prefix_join")(s, d)
+        .select(col("a"), col("b"))
+        .localCheckpoint() // three legs
+      val sig = minhashSigsFromRaw(wordShingleHashes(s, d).withColumnRenamed("sh", "hraw"))
+        .localCheckpoint() // three band cuts + six signature joins
+      val agree = (0 until K)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      def leg(rows: Int): DataFrame = {
+        val pred = bandCandidates(sig, rows)
+          .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+          .where(agree >= thr)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        truth
+          .withColumn("t", lit(1L))
+          .join(pred.withColumn("p", lit(1L)), Seq("a", "b"), "full_outer")
+          .agg(
+            sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("t").isNull, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("p").isNull, 1L).otherwise(0L)).as("fn")
+          )
+          .select(
+            lit((K / rows).toLong).as("bands"),
+            lit(rows.toLong).as("rows_per_band"),
+            (col("tp") + col("fn")).as("n_truth"),
+            (col("tp") + col("fp")).as("n_pred"),
+            col("tp"),
+            col("fp"),
+            col("fn"),
+            expr("IF(tp + fp = 0, 0L, tp * 1000000 div (tp + fp))").as("precision_e6"),
+            expr("IF(tp + fn = 0, 0L, tp * 1000000 div (tp + fn))").as("recall_e6")
+          )
+      }
+      leg(1).unionByName(leg(2)).unionByName(leg(4)).orderBy("rows_per_band")
+    }),
+
     // ---- MinHash + LSH banding --------------------------------------------
     // 16-component signature, 8 bands × 2 rows; candidate pairs = docs
     // sharing ≥1 band bucket; output the signature-agreement estimate.
@@ -1067,6 +1119,53 @@ object Dedup {
   }
 
   def oracles: Map[String, String] = Map(
+    // x253: three suffixed band/cand/pred/metric CTE chains over the
+    // shared truth — the x224 replay generalized to the sweep.
+    "x253_band_sweep" -> {
+      val agree = (0 until K).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      def legSql(rows: Int): String = {
+        val bands = (0 until K / rows)
+          .map { j =>
+            val keys = (0 until rows).map(r => s"m${j * rows + r} AS k$r").mkString(", ")
+            s"SELECT doc_id, $j AS band, $keys FROM sig"
+          }
+          .mkString(" UNION ALL ")
+        val conds = ("a.band = b.band" +: (0 until rows).map(r => s"a.k$r = b.k$r")).mkString(" AND ")
+        s"""bands$rows AS ($bands),
+           |cand$rows AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands$rows a JOIN bands$rows b ON $conds AND a.doc_id < b.doc_id),
+           |pred$rows AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM cand$rows
+           |  JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+           |  WHERE CAST($agree AS BIGINT) >= 10),
+           |f$rows AS (
+           |  SELECT truth.a IS NOT NULL AS t, pred$rows.a IS NOT NULL AS p
+           |  FROM truth FULL JOIN pred$rows ON truth.a = pred$rows.a AND truth.b = pred$rows.b),
+           |m$rows AS (
+           |  SELECT CAST(${K / rows} AS BIGINT) AS bands, CAST($rows AS BIGINT) AS rows_per_band,
+           |    CAST(count_if(t AND p) AS BIGINT) AS tp,
+           |    CAST(count_if(NOT coalesce(t, false)) AS BIGINT) AS fp,
+           |    CAST(count_if(NOT coalesce(p, false)) AS BIGINT) AS fn
+           |  FROM f$rows)""".stripMargin
+      }
+      s"""WITH $shinglesSql,
+         |$minhashSigSql,
+         |ts AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |ti AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a, b FROM ti JOIN ts sa ON sa.doc_id = a JOIN ts sb ON sb.doc_id = b
+         |  WHERE i * 1000000 // (sa.sz + sb.sz - i) >= 600000),
+         |${legSql(1)},
+         |${legSql(2)},
+         |${legSql(4)},
+         |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m4)
+         |SELECT bands, rows_per_band, tp + fn AS n_truth, tp + fp AS n_pred, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_e6,
+         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_e6
+         |FROM u ORDER BY rows_per_band""".stripMargin
+    },
     // x224: truth from the shared sh CTE (x207's exact pairs), predicted
     // from x03's signature/band CTEs, same agreement threshold, same
     // guarded integer metrics.
