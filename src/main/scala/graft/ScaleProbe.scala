@@ -454,7 +454,23 @@ object ScaleProbe {
       // RFM: three bucketed-prefix quintile passes over 16x customers
       "x243_rfm_segments",
       // reconciliation: one line agg + header join at 16x
-      "x244_order_reconcile"
+      "x244_order_reconcile",
+      // time-to-convert: per-user aggs + delta census over 16x events
+      "x245_time_to_convert",
+      // join amplification: key census + slice verify over 16x lineitem
+      "x246_join_amplification",
+      // DAU/WAU: <=7x expansion of the 16x (user, day) grain
+      "x248_dau_wau",
+      // OOV: token censuses over the 16x clone corpus
+      "x249_oov_rate",
+      // bot detection: user-partitioned lag over 16x events
+      "x250_bot_detection",
+      // band sweep: x207 truth + 3 band cuts over the clone corpus
+      "x253_band_sweep",
+      // churn features: customer-partitioned lag over 16x orders
+      "x254_churn_features",
+      // RFM / k-anon / DP / backtest are census-cheap; rode along once:
+      "x251_dp_geometric", "x252_k_anonymity", "x255_forecast_backtest"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
