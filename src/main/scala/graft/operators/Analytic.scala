@@ -39,6 +39,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUPED variance reduction (x257, Deng et al. WSDM 2013) — the
+    // experimentation-platform upgrade over x162's plain two-sample
+    // test: adjust the experiment metric by the pre-period covariate,
+    // y' = y − θ(x − x̄) with θ = cov(x,y)/var(x), shrinking arm-mean
+    // variance by ρ² — often the difference between a 2-week and a
+    // 2-month experiment. Units = customers; x/y = revenue cents in the
+    // two trailing 30-day buckets (x247's buckets); arms by md5 parity.
+    // All moments are DECIMAL integer sums in ONE pass; θ and the
+    // adjusted means are mirrored posmod-floor chains (each floor
+    // identical in both engines); ρ² ppm — the variance-reduction
+    // factor itself — rides as r1·c div vy with the two-floor
+    // quantization documented rather than floated.
+    "x257_cuped" -> ((s, d) => {
+      def fdiv(a: String, b: String) = s"(($a) - ((($a) % ($b) + ($b)) % ($b))) div ($b)"
+      val o = table(s, d, "orders")
+        .select(
+          col("o_custkey").as("ck"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT) div 30").as("mon"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")
+        )
+        .localCheckpoint() // bounds + unit table
+      val units = o
+        .crossJoin(broadcast(o.agg(max("mon").as("maxm"))))
+        .where(expr("mon = maxm - 2 OR mon = maxm - 1"))
+        .groupBy("ck")
+        .agg(
+          sum(expr("IF(mon = maxm - 2, cents, 0L)")).as("x"),
+          sum(expr("IF(mon = maxm - 1, cents, 0L)")).as("y")
+        )
+        .withColumn("arm", graft.functions.Hashing.md5Bucket(concat(col("ck").cast("string"), lit("#cuped")), 2L))
+        .localCheckpoint() // pooled moments + per-arm sums
+      val m = units.agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy")
+      )
+      val arms = units
+        .groupBy("arm")
+        .agg(
+          count(lit(1)).as("n_arm"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx_arm"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy_arm")
+        )
+      arms
+        .crossJoin(broadcast(m))
+        .withColumn("c", expr("n * sxy - sx * sy"))
+        .withColumn("vx", expr("n * sxx - sx * sx"))
+        .withColumn("vy", expr("n * syy - sy * sy"))
+        .withColumn("theta_e6", expr(s"CAST(IF(vx = 0, 0, ${fdiv("c * 1000000", "vx")}) AS BIGINT)"))
+        .withColumn("raw_mean_e6", expr(s"CAST(${fdiv("sy_arm * 1000000", "n_arm")} AS BIGINT)"))
+        .withColumn(
+          "adj_mean_e6",
+          expr(s"CAST(raw_mean_e6 - ${fdiv("theta_e6 * (n * sx_arm - CAST(n_arm AS DECIMAL(38,0)) * sx)", "CAST(n_arm AS DECIMAL(38,0)) * n")} AS BIGINT)")
+        )
+        .withColumn(
+          "rho2_ppm",
+          expr(
+            s"CAST(IF(vx = 0 OR vy = 0, 0, ${fdiv(s"(${fdiv("c * 1000", "vx")}) * c * 1000", "vy")}) AS BIGINT)"
+          )
+        )
+        .select("arm", "n_arm", "raw_mean_e6", "adj_mean_e6", "theta_e6", "rho2_ppm")
+        .orderBy("arm")
+    }),
+
     // Churn-feature pack (x254) — the feature-engineering verb feeding
     // x228's trainer: per-customer order-gap statistics (tenure, order
     // count, min/max/mean inter-order gap via a customer-partitioned
@@ -1452,6 +1519,44 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x257: every floor mirrored (theta, means, the two-step rho2).
+    "x257_cuped" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |  (epoch_us(o_orderdate::TIMESTAMP) // 86400000000) // 30 AS mon,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |mb AS (SELECT max(mon) AS maxm FROM o),
+        |u AS (SELECT ck,
+        |  CAST(sum(CASE WHEN mon = maxm - 2 THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN mon = maxm - 1 THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM o, mb WHERE mon = maxm - 2 OR mon = maxm - 1 GROUP BY 1),
+        |ua AS (SELECT ck, x, y, ('0x' || substr(md5(ck || '#cuped'), 1, 15))::BIGINT % 2 AS arm FROM u),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM ua),
+        |a AS (SELECT arm, count(*) AS n_arm, sum(x) AS sx_arm, sum(y) AS sy_arm FROM ua GROUP BY 1),
+        |dd AS (SELECT a.arm, a.n_arm, a.sx_arm, a.sy_arm, m.n, m.sx,
+        |  m.n * m.sxy - m.sx * m.sy AS c,
+        |  m.n * m.sxx - m.sx * m.sx AS vx,
+        |  m.n * m.syy - m.sy * m.sy AS vy FROM a, m),
+        |t AS (SELECT *,
+        |  CASE WHEN vx = 0 THEN 0 ELSE
+        |    ((c * 1000000) - (((c * 1000000) % vx + vx) % vx)) // vx END AS theta_e6,
+        |  ((sy_arm * 1000000) - (((sy_arm * 1000000) % n_arm + n_arm) % n_arm)) // n_arm AS raw_mean_e6
+        |  FROM dd),
+        |z AS (SELECT *,
+        |  raw_mean_e6 - ((theta_e6 * (n * sx_arm - n_arm * sx)
+        |    - ((theta_e6 * (n * sx_arm - n_arm * sx) % (n_arm * n) + (n_arm * n)) % (n_arm * n)))
+        |    // (n_arm * n)) AS adj_mean_e6,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN 0 ELSE
+        |    (((((c * 1000) - (((c * 1000) % vx + vx) % vx)) // vx) * c * 1000)
+        |     - ((((((c * 1000) - (((c * 1000) % vx + vx) % vx)) // vx) * c * 1000) % vy + vy) % vy))
+        |    // vy END AS rho2_ppm
+        |  FROM t)
+        |SELECT CAST(arm AS BIGINT) AS arm, n_arm,
+        |  CAST(raw_mean_e6 AS BIGINT) AS raw_mean_e6,
+        |  CAST(adj_mean_e6 AS BIGINT) AS adj_mean_e6,
+        |  CAST(theta_e6 AS BIGINT) AS theta_e6,
+        |  CAST(rho2_ppm AS BIGINT) AS rho2_ppm
+        |FROM z ORDER BY arm""".stripMargin,
     // x254: same gaps via window lag, same segment folds.
     "x254_churn_features" ->
       """WITH o AS (SELECT o_custkey AS ck,

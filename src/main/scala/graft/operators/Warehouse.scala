@@ -1472,6 +1472,36 @@ object Warehouse {
         ("lineitem", "l_partkey", "l_suppkey")
       ).map((fd _).tupled).reduce(_.unionByName(_)).orderBy("tbl", "lhs", "rhs")
     }),
+    // Physical-layout audit (x256) — the measurement x45/x187's
+    // decisions consume: per metadata level of the x226 manifest tree
+    // (data files, manifest files, the list), file / row-group / row
+    // counts with row-group size extremes, from FOOTERS ONLY — the
+    // engine's parquet-mr footer walk cross-verified against DuckDB's
+    // completely independent parquet_metadata() parser, so a footer
+    // misread on either side breaks the hash. Gate-SF pin: the oracle
+    // paths name the sf0.01 artifact (the x74 convention — the driver
+    // gate always runs sf0.01). Footer reads distribute; only the file
+    // list is driver-side.
+    "x256_layout_audit" -> ((s, d) => {
+      graft.sources.ManifestTree.ensure(s, d)
+      val root = graft.sources.ManifestTree.dir
+      def level(name: String, sub: String): DataFrame =
+        graft.sources.FooterStats
+          .layout(s, s"$root/$sub")
+          .agg(
+            countDistinct("file").as("n_files"),
+            count(lit(1)).as("n_row_groups"),
+            sum("rows").as("n_rows"),
+            min("rows").as("min_rg_rows"),
+            max("rows").as("max_rg_rows")
+          )
+          .select(lit(name).as("level"), col("n_files"), col("n_row_groups"), col("n_rows"),
+            col("min_rg_rows"), col("max_rg_rows"))
+      level("data", "data")
+        .unionByName(level("manifests", "manifests"))
+        .unionByName(level("list", "manifest_list"))
+        .orderBy("level")
+    }),
     // Bitmap-index multi-predicate counts (x237) — the warehouse
     // acceleration classic (Oracle/Druid/Pinot bitmap indexes): per
     // distinct value of a low-cardinality column, a bitmap over row ids
@@ -2783,6 +2813,31 @@ object Warehouse {
         |  CAST(((n_pairs - n_lhs) * 1000000) // n_pairs AS BIGINT) AS viol_ppm,
         |  n_pairs = n_lhs AS holds
         |FROM c ORDER BY tbl, lhs, rhs""".stripMargin,
+    // x256: DuckDB's own footer parser over the same files — one
+    // DISTINCT per (file, row group) because parquet_metadata() emits a
+    // row per column chunk.
+    "x256_layout_audit" ->
+      """WITH d AS (SELECT DISTINCT file_name, row_group_id, row_group_num_rows
+        |  FROM parquet_metadata('/root/repo/spark-warehouse/graft_mtree/data/*/*.parquet')),
+        |m AS (SELECT DISTINCT file_name, row_group_id, row_group_num_rows
+        |  FROM parquet_metadata('/root/repo/spark-warehouse/graft_mtree/manifests/*/*.parquet')),
+        |l AS (SELECT DISTINCT file_name, row_group_id, row_group_num_rows
+        |  FROM parquet_metadata('/root/repo/spark-warehouse/graft_mtree/manifest_list/*.parquet')),
+        |u AS (
+        |  SELECT 'data' AS level, count(DISTINCT file_name) AS n_files, count(*) AS n_row_groups,
+        |    CAST(sum(row_group_num_rows) AS BIGINT) AS n_rows,
+        |    CAST(min(row_group_num_rows) AS BIGINT) AS min_rg_rows,
+        |    CAST(max(row_group_num_rows) AS BIGINT) AS max_rg_rows FROM d
+        |  UNION ALL
+        |  SELECT 'manifests', count(DISTINCT file_name), count(*),
+        |    CAST(sum(row_group_num_rows) AS BIGINT),
+        |    CAST(min(row_group_num_rows) AS BIGINT), CAST(max(row_group_num_rows) AS BIGINT) FROM m
+        |  UNION ALL
+        |  SELECT 'list', count(DISTINCT file_name), count(*),
+        |    CAST(sum(row_group_num_rows) AS BIGINT),
+        |    CAST(min(row_group_num_rows) AS BIGINT), CAST(max(row_group_num_rows) AS BIGINT) FROM l)
+        |SELECT level, n_files, n_row_groups, n_rows, min_rg_rows, max_rg_rows
+        |FROM u ORDER BY level""".stripMargin,
     // x237: every pred's truth is the direct count — emitted as BOTH
     // columns, so either side of the engine's bitmap-vs-scan contrast
     // diverging breaks the hash.

@@ -55,6 +55,40 @@ object FooterStats {
       .reduce(_ + _)
   }
 
+  /** (file, rowGroup, rows) lines for every parquet file under `path`,
+    * recursively (partition dirs included) — the x256 layout-audit
+    * grain. Footer reads distribute; only the file LIST is driver-side.
+    */
+  def layout(s: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(c => walk(c.getPath))
+      else if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_")) Seq(p.toString)
+      else Seq.empty
+    }
+    val files = walk(root)
+    require(files.nonEmpty, s"layout: no parquet files under $path")
+    files
+      .toDS()
+      .repartition(math.min(files.size, s.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val bs = r.getFooter.getBlocks
+            (0 until bs.size()).map(i => (f, i, bs.get(i).getRowCount)).toVector
+          } finally r.close()
+        }
+      }
+      .toDF("file", "rg", "rows")
+  }
+
   // ---------------------------------------- row-group pruning (x124)
 
   /** One row-group's stats line: (file, rgIndex, minK, maxK, rows). */
