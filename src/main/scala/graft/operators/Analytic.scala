@@ -39,6 +39,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quantile treatment effects (x258) — the distributional face of
+    // x162/x257: a mean-zero treatment can still move the TAILS, and
+    // QTE(p) = q_treat(p) − q_control(p) at p25/50/75 is the standard
+    // report. Arms by md5 parity of the order key; per-arm EXACT
+    // quantiles via the x182 census rank-pick with arm-partitioned
+    // bucketed prefixes (the bucket table is price-domain-bounded —
+    // constant in corpus size — so its per-arm offsets come from one
+    // bounded self-join; every window (arm, bucket)-partitioned).
+    "x258_qte" -> ((s, d) => {
+      val rows = table(s, d, "lineitem")
+        .select(
+          graft.functions.Hashing.md5Bucket(concat(col("l_orderkey").cast("string"), lit("#qte")), 2L).as("arm"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")
+        )
+      val census = rows
+        .groupBy("arm", "cents")
+        .agg(count(lit(1)).as("t"))
+        .withColumn("bk", expr("cents div 8192L"))
+        .localCheckpoint() // offsets + positions + arm sizes
+      val offs = census.groupBy("arm", "bk").agg(sum("t").as("bt")).localCheckpoint()
+      val offsCum = offs
+        .join(
+          broadcast(offs.select(col("arm").as("a2"), col("bk").as("b2"), col("bt").as("t2"))),
+          col("a2") === col("arm") && col("b2") < col("bk"),
+          "left"
+        )
+        .groupBy("arm", "bk")
+        .agg(coalesce(sum("t2"), lit(0L)).as("off"))
+      val wb = Window.partitionBy("arm", "bk").orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+      val pos = census
+        .join(broadcast(offsCum), Seq("arm", "bk"))
+        .withColumn("cum", col("off") + coalesce(sum("t").over(wb), lit(0L)))
+        .localCheckpoint() // three picks
+      val narm = census.groupBy("arm").agg(sum("t").as("na"))
+      def pick(p: Int): DataFrame =
+        pos
+          .join(broadcast(narm), "arm")
+          .where(expr(s"cum < ((na - 1) * $p) div 100 + 1 AND ((na - 1) * $p) div 100 + 1 <= cum + t"))
+          .select(col("arm"), lit(p.toLong).as("pct"), col("cents").as("q"))
+      val q = pick(25).unionByName(pick(50)).unionByName(pick(75)).localCheckpoint() // both arms
+      q.where(col("arm") === 0)
+        .select(col("pct"), col("q").as("q_control"))
+        .join(q.where(col("arm") === 1).select(col("pct"), col("q").as("q_treat")), "pct")
+        .withColumn("qte_cents", col("q_treat") - col("q_control"))
+        .orderBy("pct")
+    }),
+
     // CUPED variance reduction (x257, Deng et al. WSDM 2013) — the
     // experimentation-platform upgrade over x162's plain two-sample
     // test: adjust the experiment metric by the pre-period covariate,
@@ -1519,6 +1566,19 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    // x258: per-arm sorted rank picks at the same rank convention.
+    "x258_qte" ->
+      """WITH r AS (SELECT ('0x' || substr(md5(l_orderkey || '#qte'), 1, 15))::BIGINT % 2 AS arm,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |n AS (SELECT arm, count(*) AS na FROM r GROUP BY 1),
+        |srt AS (SELECT arm, cents, row_number() OVER (PARTITION BY arm ORDER BY cents) AS rk FROM r),
+        |pc AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct),
+        |p AS (SELECT n.arm, pc.pct,
+        |  (SELECT cents FROM srt WHERE srt.arm = n.arm AND rk = ((n.na - 1) * pc.pct) // 100 + 1) AS q
+        |  FROM n, pc)
+        |SELECT p0.pct, p0.q AS q_control, p1.q AS q_treat, p1.q - p0.q AS qte_cents
+        |FROM p p0 JOIN p p1 ON p0.pct = p1.pct AND p0.arm = 0 AND p1.arm = 1
+        |ORDER BY p0.pct""".stripMargin,
     // x257: every floor mirrored (theta, means, the two-step rho2).
     "x257_cuped" ->
       """WITH o AS (SELECT o_custkey AS ck,

@@ -239,6 +239,78 @@ object Reshape {
     // (Suri & Vassilvitskii 2011). Graph: a deterministic sparse md5
     // digraph over the customer ids (3 draws per vertex, self-loops and
     // duplicates removed), replayed formula-for-formula by the oracle.
+    // Reciprocity + global transitivity (x259) — the two classic
+    // structure coefficients closing the graph-statistics family (x195
+    // assortativity is the third): reciprocity over the DIRECTED draw
+    // graph (share of directed edges whose reverse exists — one
+    // self-join on the reversed key), transitivity = 3·triangles /
+    // Σd(d−1)/2 over the undirected projection (triangles via the x95
+    // degree-oriented count, the wedge denominator a pure degree-census
+    // fold — no wedge materialization for the denominator). One row,
+    // everything census- or edge-linear.
+    "x259_graph_coefficients" -> ((s, d) => {
+      import s.implicits._
+      val verts = table(s, d, "customer").select(col("c_custkey").as("v"))
+      val n = verts.count()
+      val dir = verts
+        .crossJoin(broadcast(Seq(0, 1, 2).toDF("i")))
+        .select(
+          col("v").as("u"),
+          (graft.functions.Hashing
+            .md5Bucket(concat(col("v").cast("string"), lit("#e"), col("i").cast("string")), n) + 1L).as("w")
+        )
+        .where(col("u") =!= col("w"))
+        .distinct()
+        .localCheckpoint() // reciprocity self-join + undirected projection
+      val nDir = dir.agg(count(lit(1)).as("n_dir"))
+      val recip = dir
+        .join(dir.select(col("w").as("u"), col("u").as("w")), Seq("u", "w"), "left_semi")
+        .agg(count(lit(1)).as("n_recip"))
+      val edges = dir
+        .select(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"))
+        .distinct()
+        .localCheckpoint() // degree census + oriented triangles
+      val deg = edges
+        .select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // wedge fold + orientation joins
+      val wedgeTot = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+      val oriented = edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b"))
+            .as("src"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a"))
+            .as("dst")
+        )
+        .localCheckpoint() // wedge join + closing probe
+      val tri = oriented
+        .select(col("src").as("x"), col("dst").as("y"))
+        .join(oriented.select(col("src").as("y"), col("dst").as("z")), "y")
+        .join(oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      nDir
+        .crossJoin(broadcast(recip))
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_und"))))
+        .crossJoin(broadcast(wedgeTot))
+        .crossJoin(broadcast(tri))
+        .select(
+          lit(n).as("n_vertices"),
+          col("n_dir"),
+          col("n_recip"),
+          expr("(n_recip * 1000000) div n_dir").as("reciprocity_ppm"),
+          col("n_und"),
+          col("wedges"),
+          col("n_triangles"),
+          expr("IF(wedges = 0, 0L, (3 * n_triangles * 1000000) div wedges)").as("transitivity_ppm")
+        )
+    }),
+
     "x95_triangle_count" -> ((s, d) => {
       import s.implicits._
       val (edges, n) = md5Graph(s, d)
@@ -825,6 +897,38 @@ object Reshape {
     // the full orientation pipeline replayed in SQL: md5 edge formulas →
     // canonical dedup → degrees → (deg, id) orientation → wedge join →
     // triangle EXISTS — exact, because every step is integer/set algebra
+    // x259: the same draw graph, reciprocity semi-join, degree-census
+    // wedge fold, and x95 triangle machinery.
+    "x259_graph_coefficients" ->
+      """WITH nv AS (SELECT count(*) AS n FROM customer),
+        |raw AS (
+        |  SELECT c_custkey AS u,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR || '#e' || i), 1, 15))::BIGINT
+        |      % (SELECT n FROM nv) + 1 AS w
+        |  FROM customer, (SELECT unnest(range(3)) AS i)),
+        |dir AS (SELECT DISTINCT u, w FROM raw WHERE u <> w),
+        |nd AS (SELECT count(*) AS n_dir FROM dir),
+        |rc AS (SELECT count(*) AS n_recip FROM dir
+        |  WHERE EXISTS (SELECT 1 FROM dir d2 WHERE d2.u = dir.w AND d2.w = dir.u)),
+        |e AS (SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b FROM dir),
+        |deg AS (SELECT v, count(*) AS dg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |wt AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS wedges FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+        |         CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v),
+        |wg AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z FROM o o1 JOIN o o2 ON o1.dst = o2.src),
+        |tr AS (SELECT count(*) AS n_triangles FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.x AND o.dst = wg.z))
+        |SELECT CAST((SELECT n FROM nv) AS BIGINT) AS n_vertices,
+        |  nd.n_dir, rc.n_recip,
+        |  CAST((rc.n_recip * 1000000) // nd.n_dir AS BIGINT) AS reciprocity_ppm,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_und,
+        |  wt.wedges, CAST(tr.n_triangles AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN wt.wedges = 0 THEN 0
+        |       ELSE (3 * tr.n_triangles * 1000000) // wt.wedges END AS BIGINT) AS transitivity_ppm
+        |FROM nd, rc, wt, tr""".stripMargin,
     "x95_triangle_count" ->
       """WITH nv AS (SELECT count(*) AS n FROM customer),
         |raw AS (
