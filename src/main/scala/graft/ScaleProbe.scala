@@ -470,7 +470,14 @@ object ScaleProbe {
       // churn features: customer-partitioned lag over 16x orders
       "x254_churn_features",
       // RFM / k-anon / DP / backtest are census-cheap; rode along once:
-      "x251_dp_geometric", "x252_k_anonymity", "x255_forecast_backtest"
+      "x251_dp_geometric", "x252_k_anonymity", "x255_forecast_backtest",
+      // layout audit is fixture-metadata-bound (rides its gate); the rest:
+      // CUPED: one moments pass over 16x orders
+      "x257_cuped",
+      // QTE: arm-partitioned census picks over 16x lineitem
+      "x258_qte",
+      // graph coefficients: 16x-customer draw graph (edges x16)
+      "x259_graph_coefficients"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

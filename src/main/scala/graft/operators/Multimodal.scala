@@ -383,6 +383,34 @@ object Multimodal {
         .orderBy("blob_id")
     }),
 
+    // RFC 4180 CSV round-trip (x260) — the quoting edge cases the S1/S2
+    // ingestion family never exercises: embedded delimiters, doubled
+    // quotes, NEWLINES inside quoted fields (the case that breaks naive
+    // line-split readers — reading requires multiLine=true, which costs
+    // split parallelism: at 100 TB you forbid embedded newlines at the
+    // contract level or use a binary-safe format, and this gate
+    // DOCUMENTS that cost), and unquoted space preservation. The oracle
+    // rebuilds every value from the formulas without touching a CSV
+    // byte, so a hash match proves the whole Spark write→quote→read
+    // cycle content-preserving; CsvRoundTripSpec pins DuckDB's
+    // independent read_csv against the same file (the x256 cross-parser
+    // discipline).
+    "x260_csv_roundtrip" -> ((s, _) => {
+      graft.sources.CsvRoundTrip.ensure(s)
+      s.read
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .schema("rid LONG, f1 STRING, f2 LONG")
+        .csv(graft.sources.CsvRoundTrip.outPath)
+        .select(
+          col("rid"),
+          length(col("f1")).cast("long").as("f1_len"),
+          md5(col("f1")).as("f1_md5"),
+          col("f2")
+        )
+        .orderBy("rid")
+    }),
     // zstd frame decode (x227) — the modern default parquet/ORC codec
     // read back from scratch (RFC 8878: FSE normalized counts + decode
     // tables, Huffman with direct AND FSE-compressed weights, 1- and
@@ -1391,6 +1419,18 @@ object Multimodal {
         |  md5(content) AS content_md5
         |FROM c ORDER BY blob_id""".stripMargin,
 
+    // x260: every value rebuilt from the formulas — the CSV file is
+    // never read by the oracle.
+    "x260_csv_roundtrip" ->
+      """WITH r AS (SELECT range AS rid FROM range(300)),
+        |v AS (SELECT rid,
+        |  'v' || rid || CASE CAST(rid % 4 AS INT)
+        |    WHEN 0 THEN ',c' WHEN 1 THEN '"q"'
+        |    WHEN 2 THEN chr(10) || 'nl' ELSE ' sp ' END AS f1,
+        |  rid * 17 + 3 AS f2 FROM r)
+        |SELECT rid, CAST(length(f1) AS BIGINT) AS f1_len, md5(f1) AS f1_md5,
+        |  CAST(f2 AS BIGINT) AS f2
+        |FROM v ORDER BY rid""".stripMargin,
     // x227: the x198/x199 proof shape over the four zstd content-class
     // formulas — the oracle rebuilds every plaintext independently.
     "x227_zstd_decode" ->
