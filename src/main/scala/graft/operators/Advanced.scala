@@ -320,6 +320,47 @@ object Advanced {
     // sketch: kth minimum, retained count, and the (k-1)·2^60/v_k estimate,
     // all reproduced from first principles by the DuckDB oracle. ndv_exact
     // rides along so the result itself documents the sketch's error.
+    // Sketch-accuracy sweep (x261) — the x224 instrument discipline for
+    // the distinct-count sketch family: the SAME three key streams
+    // (dense orderkeys ~15k, small partkeys ~2k, mid custkeys) measured
+    // by both native sketches (x49 KMV k=256, x120 HLL p=8) against
+    // exact NDV, as est/exact/err_ppm rows. The sweep's finding IS the
+    // payload: raw HLL (no small-range correction — deliberately, x120
+    // documents the regime) degrades as the census shrinks toward the
+    // linear-counting regime while KMV's bottom-k stays unbiased below
+    // k and ~1/√k above — the numbers that pick a sketch per column.
+    // One aggregate pass per stream computes exact + both sketches.
+    "x261_sketch_accuracy" -> ((s, d) => {
+      def sweep(name: String, df: DataFrame): DataFrame =
+        df.agg(
+            countDistinct("item").as("exact"),
+            graft.functions
+              .KmvSketch(graft.functions.Hashing.md5Window15(col("item")), 256)
+              .as("sk"),
+            graft.functions.HllSketch(col("item"), 8).as("registers")
+          )
+          .withColumn(
+            "kmv_est",
+            when(size(col("sk")) < 256, size(col("sk")).cast("long"))
+              .otherwise(round(lit(255.0) * lit(math.pow(2, 60)) / get(col("sk"), lit(255))).cast("long"))
+          )
+          .withColumn("zsum", expr("aggregate(registers, 0L, (a, r) -> a + shiftleft(1L, CAST(53 - r AS INT)))"))
+          .withColumn(
+            "hll_est",
+            expr(
+              "CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) " +
+                "* CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) / CAST(zsum AS DOUBLE)) AS BIGINT)"
+            )
+          )
+          .selectExpr("stack(2, 'kmv', kmv_est, 'hll', hll_est) AS (method, est)", "exact")
+          .select(lit(name).as("stream"), col("method"), col("est"), col("exact"))
+      sweep("orderkeys", table(s, d, "lineitem").select(col("l_orderkey").cast("string").as("item")))
+        .unionByName(sweep("partkeys", table(s, d, "lineitem").select(col("l_partkey").cast("string").as("item"))))
+        .unionByName(sweep("custkeys", table(s, d, "orders").select(col("o_custkey").cast("string").as("item"))))
+        .withColumn("err_ppm", expr("(abs(est - exact) * 1000000) div exact"))
+        .orderBy("stream", "method")
+    }),
+
     "x49_kmv_distinct" -> ((s, d) => {
       val k = 256
       table(s, d, "lineitem")
@@ -2396,6 +2437,64 @@ object Advanced {
   }
 
   def oracles: Map[String, String] = Map(
+    // x261: both sketches replayed independently per stream - KMV by
+    // ORDER BY/LIMIT bottom-256, HLL by the x120 register rebuild.
+    "x261_sketch_accuracy" ->
+      """WITH st1 AS (SELECT l_orderkey::VARCHAR AS item FROM lineitem),
+        |di1 AS (SELECT DISTINCT item FROM st1),
+        |ex1 AS (SELECT count(*)::BIGINT AS exact FROM di1),
+        |hk1 AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM di1),
+        |ska1 AS (SELECT h FROM hk1 ORDER BY h LIMIT 256),
+        |kmv1 AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |  ELSE CAST(round(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END AS est FROM ska1),
+        |rh1 AS (SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM di1),
+        |rg1 AS (SELECT (hv % 256)::BIGINT AS idx,
+        |  max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS mx
+        |  FROM rh1 GROUP BY 1),
+        |fr1 AS (SELECT i.idx, coalesce(r.mx, 0) AS mx
+        |  FROM (SELECT unnest(range(256))::BIGINT AS idx) i LEFT JOIN rg1 r ON i.idx = r.idx),
+        |hll1 AS (SELECT CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |  / CAST(sum(1::BIGINT << (53 - mx)) AS DOUBLE)) AS BIGINT) AS est FROM fr1),
+        |st2 AS (SELECT l_partkey::VARCHAR AS item FROM lineitem),
+        |di2 AS (SELECT DISTINCT item FROM st2),
+        |ex2 AS (SELECT count(*)::BIGINT AS exact FROM di2),
+        |hk2 AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM di2),
+        |ska2 AS (SELECT h FROM hk2 ORDER BY h LIMIT 256),
+        |kmv2 AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |  ELSE CAST(round(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END AS est FROM ska2),
+        |rh2 AS (SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM di2),
+        |rg2 AS (SELECT (hv % 256)::BIGINT AS idx,
+        |  max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS mx
+        |  FROM rh2 GROUP BY 1),
+        |fr2 AS (SELECT i.idx, coalesce(r.mx, 0) AS mx
+        |  FROM (SELECT unnest(range(256))::BIGINT AS idx) i LEFT JOIN rg2 r ON i.idx = r.idx),
+        |hll2 AS (SELECT CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |  / CAST(sum(1::BIGINT << (53 - mx)) AS DOUBLE)) AS BIGINT) AS est FROM fr2),
+        |st3 AS (SELECT o_custkey::VARCHAR AS item FROM orders),
+        |di3 AS (SELECT DISTINCT item FROM st3),
+        |ex3 AS (SELECT count(*)::BIGINT AS exact FROM di3),
+        |hk3 AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM di3),
+        |ska3 AS (SELECT h FROM hk3 ORDER BY h LIMIT 256),
+        |kmv3 AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |  ELSE CAST(round(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END AS est FROM ska3),
+        |rh3 AS (SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM di3),
+        |rg3 AS (SELECT (hv % 256)::BIGINT AS idx,
+        |  max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS mx
+        |  FROM rh3 GROUP BY 1),
+        |fr3 AS (SELECT i.idx, coalesce(r.mx, 0) AS mx
+        |  FROM (SELECT unnest(range(256))::BIGINT AS idx) i LEFT JOIN rg3 r ON i.idx = r.idx),
+        |hll3 AS (SELECT CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |  / CAST(sum(1::BIGINT << (53 - mx)) AS DOUBLE)) AS BIGINT) AS est FROM fr3),
+        |u AS (
+        |  SELECT 'orderkeys' AS stream, 'hll' AS method, hll1.est AS est, ex1.exact AS exact FROM hll1, ex1
+        |  UNION ALL SELECT 'orderkeys', 'kmv', kmv1.est, ex1.exact FROM kmv1, ex1
+        |  UNION ALL SELECT 'partkeys' AS stream, 'hll' AS method, hll2.est AS est, ex2.exact AS exact FROM hll2, ex2
+        |  UNION ALL SELECT 'partkeys', 'kmv', kmv2.est, ex2.exact FROM kmv2, ex2
+        |  UNION ALL SELECT 'custkeys' AS stream, 'hll' AS method, hll3.est AS est, ex3.exact AS exact FROM hll3, ex3
+        |  UNION ALL SELECT 'custkeys', 'kmv', kmv3.est, ex3.exact FROM kmv3, ex3)
+        |SELECT stream, method, est, exact,
+        |  CAST((abs(est - exact) * 1000000) // exact AS BIGINT) AS err_ppm
+        |FROM u ORDER BY stream, method""".stripMargin,
     // x246: census arithmetic + the definitional slice join.
     "x246_join_amplification" ->
       """WITH keys AS (SELECT l_partkey AS k FROM lineitem),
