@@ -73,6 +73,58 @@ object TextAnalysis {
       |  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS b, count(*) AS cnt
       |  FROM tok GROUP BY 1, 2)""".stripMargin
 
+  /** x262 oracle: the x228 5-round chain evaluated at the w1/w3/w5
+    * prefixes — each snapshot gets the same odd-half midrank-AUC replay
+    * plus its weight-mass fold. */
+  private def x262OracleSql: String = {
+    def fdiv(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) // ($dd)"
+    def sig(z: String) = s"500000 + ${fdiv(s"($z) * 500000", s"1000000 + abs($z)")}"
+    val iters = (1 to 5)
+      .map { t =>
+        val pw = if (t == 1) "w0" else s"w${t - 1}"
+        s"""z$t AS (SELECT tr.doc_id, max(tr.y) AS y, CAST(sum($pw.w) AS BIGINT) AS z
+           |  FROM tr JOIN $pw ON tr.b = $pw.b GROUP BY tr.doc_id),
+           |e$t AS (SELECT doc_id, y * 1000000 - (${sig("z")}) AS e FROM z$t),
+           |g$t AS (SELECT tr.b, CAST(sum(e$t.e) AS BIGINT) AS g
+           |  FROM tr JOIN e$t ON tr.doc_id = e$t.doc_id GROUP BY tr.b),
+           |w$t AS (SELECT g$t.b, CAST($pw.w + ${fdiv("g", "ntr.n")} AS BIGINT) AS w
+           |  FROM g$t JOIN $pw ON g$t.b = $pw.b, ntr)""".stripMargin
+      }
+      .mkString(",\n")
+    val evals = Seq(1, 3, 5)
+      .map { k =>
+        s"""ev$k AS (SELECT o.doc_id, max(o.y) AS pos, CAST(sum(w$k.w) AS BIGINT) AS z
+           |  FROM odd o JOIN w$k ON o.b = w$k.b GROUP BY o.doc_id),
+           |grp$k AS (SELECT z, count(*) AS cnt, sum(pos) AS npos_g FROM ev$k GROUP BY z),
+           |cw$k AS (SELECT z, cnt, npos_g,
+           |  coalesce(sum(cnt) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM grp$k),
+           |st$k AS (SELECT CAST(sum(npos_g) AS BIGINT) AS npos, CAST(sum(cnt) - sum(npos_g) AS BIGINT) AS nneg,
+           |  CAST(sum(npos_g * (2 * cum + cnt + 1)) AS BIGINT) AS r2 FROM cw$k),
+           |auc$k AS (SELECT npos, nneg,
+           |  CAST(CASE WHEN npos * nneg = 0 THEN 0
+           |       ELSE ((r2 - npos * (npos + 1)) * 500000) // (npos * nneg) END AS BIGINT) AS auc_e6
+           |  FROM st$k),
+           |wl$k AS (SELECT CAST(sum(abs(w)) AS BIGINT) AS w_l1 FROM w$k)""".stripMargin
+      }
+      .mkString(",\n")
+    val rows = Seq(1, 3, 5)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS iters, auc$k.auc_e6, wl$k.w_l1, auc$k.npos, auc$k.nneg FROM auc$k, wl$k")
+      .mkString("\n        |  UNION ALL ")
+    s"""WITH $hashedFeaturesSql,
+       |lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+       |pres AS (SELECT doc_id, b FROM f UNION ALL SELECT doc_id, 256 AS b FROM documents),
+       |tr AS (SELECT p.doc_id, p.b, l.y FROM pres p JOIN lab l USING (doc_id) WHERE p.doc_id % 2 = 0),
+       |ntr AS (SELECT count(DISTINCT doc_id) AS n FROM tr),
+       |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM tr),
+       |$iters,
+       |odd AS (SELECT p.doc_id, p.b, l.y FROM pres p JOIN lab l USING (doc_id) WHERE p.doc_id % 2 = 1),
+       |$evals,
+       |u AS (
+       |  $rows)
+       |SELECT iters, auc_e6, w_l1, npos, nneg FROM u ORDER BY iters""".stripMargin
+  }
+
   /** x228 oracle: the full 5-round GD unrolled (z → fast-sigmoid error →
     * per-bucket gradient → posmod-floor update per iteration), then the
     * odd-half midrank-AUC replay over the final weights. */
@@ -942,6 +994,44 @@ object TextAnalysis {
         )
         .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
         .orderBy("lang")
+    }),
+
+    // Learning-curve sweep (x262) — the tuning instrument for x228: the
+    // SAME trainer at 1 / 3 / 5 GD rounds, each snapshot evaluated by
+    // the odd-half midrank AUC plus the weight-mass trajectory (‖w‖₁
+    // grows as the model commits; AUC shows when more rounds stop
+    // paying). The oracle evaluates at w1/w3/w5 of the ONE unrolled
+    // 5-round CTE chain — iteration prefixes are free in the replay, so
+    // the sweep costs the oracle nothing extra. Training at k rounds is
+    // recomputed per point (gate-cheap; at scale you'd checkpoint the
+    // weight trajectory once — the instrument's shape, not its cost, is
+    // the point).
+    "x262_learning_curve" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val pres = hashedFeatures(s, d)
+        .select(col("doc_id"), col("b"))
+        .unionByName(docs.select(col("doc_id"), lit(256L).as("b")))
+        .localCheckpoint() // 3 train legs + 3 eval legs
+      val lab = docs
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+        .localCheckpoint()
+      def point(iters: Int): DataFrame = {
+        val w = LogisticGd
+          .train(pres.where(col("doc_id") % 2 === 0), lab.where(col("doc_id") % 2 === 0), iters)
+          .localCheckpoint() // eval + norm
+        val scored = pres
+          .where(col("doc_id") % 2 === 1)
+          .join(w, "b")
+          .groupBy("doc_id")
+          .agg(sum("w").as("z"))
+          .join(lab.where(col("doc_id") % 2 === 1), "doc_id")
+          .select(col("z"), col("y").as("pos"))
+        LogisticGd
+          .auc(scored)
+          .crossJoin(broadcast(w.agg(sum(expr("abs(w)")).as("w_l1"))))
+          .select(lit(iters.toLong).as("iters"), col("auc_e6"), col("w_l1"), col("npos"), col("nneg"))
+      }
+      point(1).unionByName(point(3)).unionByName(point(5)).orderBy("iters")
     }),
 
     // Logistic-regression trainer (x228, operators/LogisticGd) — the
@@ -2063,6 +2153,8 @@ object TextAnalysis {
       // fast-sigmoid errors, per-bucket gradients, posmod-floor updates,
       // then the odd-half midrank-AUC replay on the final weights.
       "x228_logistic_gd" -> x228OracleSql,
+      // x262: the same chain evaluated at its iteration prefixes.
+      "x262_learning_curve" -> x262OracleSql,
       // x164: the identical smoothed floor-log2 NB train + argmax replay.
       "x164_nb_classifier" ->
         s"""WITH $hashedFeaturesSql,
