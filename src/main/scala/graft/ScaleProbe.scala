@@ -477,7 +477,11 @@ object ScaleProbe {
       // QTE: arm-partitioned census picks over 16x lineitem
       "x258_qte",
       // graph coefficients: 16x-customer draw graph (edges x16)
-      "x259_graph_coefficients"
+      "x259_graph_coefficients",
+      // sketch sweep: one agg pass per 16x key stream
+      "x261_sketch_accuracy",
+      // learning curve: 3 x228 trainings over the 16x clone corpus
+      "x262_learning_curve"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))
