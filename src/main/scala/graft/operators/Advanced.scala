@@ -339,17 +339,23 @@ object Advanced {
               .as("sk"),
             graft.functions.HllSketch(col("item"), 8).as("registers")
           )
+          // both estimators in exact integer fdiv (the x234 discipline —
+          // double round() would fork the gate on an exact .5 tie):
+          // KMV = (k−1)·2⁶⁰ div h₍ₖ₎; HLL's α·m²·2⁵³ is the exact rational
+          // (7213/10000)·(256000/257079)·65536·2⁵³ = N div (2570790000·Z)
           .withColumn(
             "kmv_est",
             when(size(col("sk")) < 256, size(col("sk")).cast("long"))
-              .otherwise(round(lit(255.0) * lit(math.pow(2, 60)) / get(col("sk"), lit(255))).cast("long"))
+              .otherwise(
+                expr("CAST((CAST(255 AS DECIMAL(38,0)) * 1152921504606846976) div element_at(sk, 256) AS BIGINT)")
+              )
           )
           .withColumn("zsum", expr("aggregate(registers, 0L, (a, r) -> a + shiftleft(1L, CAST(53 - r AS INT)))"))
           .withColumn(
             "hll_est",
             expr(
-              "CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) " +
-                "* CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) / CAST(zsum AS DOUBLE)) AS BIGINT)"
+              "CAST(CAST('1089997742110040029644455936000' AS DECIMAL(38,0)) " +
+                "div (CAST(2570790000 AS DECIMAL(38,0)) * zsum) AS BIGINT)"
             )
           )
           .selectExpr("stack(2, 'kmv', kmv_est, 'hll', hll_est) AS (method, est)", "exact")
@@ -2446,45 +2452,45 @@ object Advanced {
         |hk1 AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM di1),
         |ska1 AS (SELECT h FROM hk1 ORDER BY h LIMIT 256),
         |kmv1 AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
-        |  ELSE CAST(round(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END AS est FROM ska1),
+        |  ELSE CAST((255::HUGEINT * 1152921504606846976) // max(h) AS BIGINT) END AS est FROM ska1),
         |rh1 AS (SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM di1),
         |rg1 AS (SELECT (hv % 256)::BIGINT AS idx,
         |  max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS mx
         |  FROM rh1 GROUP BY 1),
         |fr1 AS (SELECT i.idx, coalesce(r.mx, 0) AS mx
         |  FROM (SELECT unnest(range(256))::BIGINT AS idx) i LEFT JOIN rg1 r ON i.idx = r.idx),
-        |hll1 AS (SELECT CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-        |  / CAST(sum(1::BIGINT << (53 - mx)) AS DOUBLE)) AS BIGINT) AS est FROM fr1),
+        |hll1 AS (SELECT CAST('1089997742110040029644455936000'::HUGEINT
+        |  // (2570790000::HUGEINT * sum(1::BIGINT << (53 - mx))) AS BIGINT) AS est FROM fr1),
         |st2 AS (SELECT l_partkey::VARCHAR AS item FROM lineitem),
         |di2 AS (SELECT DISTINCT item FROM st2),
         |ex2 AS (SELECT count(*)::BIGINT AS exact FROM di2),
         |hk2 AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM di2),
         |ska2 AS (SELECT h FROM hk2 ORDER BY h LIMIT 256),
         |kmv2 AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
-        |  ELSE CAST(round(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END AS est FROM ska2),
+        |  ELSE CAST((255::HUGEINT * 1152921504606846976) // max(h) AS BIGINT) END AS est FROM ska2),
         |rh2 AS (SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM di2),
         |rg2 AS (SELECT (hv % 256)::BIGINT AS idx,
         |  max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS mx
         |  FROM rh2 GROUP BY 1),
         |fr2 AS (SELECT i.idx, coalesce(r.mx, 0) AS mx
         |  FROM (SELECT unnest(range(256))::BIGINT AS idx) i LEFT JOIN rg2 r ON i.idx = r.idx),
-        |hll2 AS (SELECT CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-        |  / CAST(sum(1::BIGINT << (53 - mx)) AS DOUBLE)) AS BIGINT) AS est FROM fr2),
+        |hll2 AS (SELECT CAST('1089997742110040029644455936000'::HUGEINT
+        |  // (2570790000::HUGEINT * sum(1::BIGINT << (53 - mx))) AS BIGINT) AS est FROM fr2),
         |st3 AS (SELECT o_custkey::VARCHAR AS item FROM orders),
         |di3 AS (SELECT DISTINCT item FROM st3),
         |ex3 AS (SELECT count(*)::BIGINT AS exact FROM di3),
         |hk3 AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM di3),
         |ska3 AS (SELECT h FROM hk3 ORDER BY h LIMIT 256),
         |kmv3 AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
-        |  ELSE CAST(round(255.0 * 1152921504606846976.0 / max(h)) AS BIGINT) END AS est FROM ska3),
+        |  ELSE CAST((255::HUGEINT * 1152921504606846976) // max(h) AS BIGINT) END AS est FROM ska3),
         |rh3 AS (SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS hv FROM di3),
         |rg3 AS (SELECT (hv % 256)::BIGINT AS idx,
         |  max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS mx
         |  FROM rh3 GROUP BY 1),
         |fr3 AS (SELECT i.idx, coalesce(r.mx, 0) AS mx
         |  FROM (SELECT unnest(range(256))::BIGINT AS idx) i LEFT JOIN rg3 r ON i.idx = r.idx),
-        |hll3 AS (SELECT CAST(round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-        |  / CAST(sum(1::BIGINT << (53 - mx)) AS DOUBLE)) AS BIGINT) AS est FROM fr3),
+        |hll3 AS (SELECT CAST('1089997742110040029644455936000'::HUGEINT
+        |  // (2570790000::HUGEINT * sum(1::BIGINT << (53 - mx))) AS BIGINT) AS est FROM fr3),
         |u AS (
         |  SELECT 'orderkeys' AS stream, 'hll' AS method, hll1.est AS est, ex1.exact AS exact FROM hll1, ex1
         |  UNION ALL SELECT 'orderkeys', 'kmv', kmv1.est, ex1.exact FROM kmv1, ex1

@@ -97,12 +97,19 @@ object LogisticGd {
       .agg(
         sum("npos_g").as("npos"),
         (sum("cnt") - sum("npos_g")).as("nneg"),
-        sum(col("npos_g") * (lit(2L) * col("cum") + col("cnt") + 1L)).as("r2")
+        // r2 is a quadratic fold (Σ cnt·2·cum ~ n²) — DECIMAL(38,0)
+        sum((col("npos_g") * (lit(2L) * col("cum") + col("cnt") + 1L)).cast("decimal(38,0)")).as("r2")
       )
       .select(
         col("npos"),
         col("nneg"),
-        expr("IF(npos * nneg = 0, 0L, ((r2 - npos * (npos + 1)) * 500000) div (npos * nneg))").as("auc_e6")
+        // DECIMAL(38,0) headroom (advice-found): r2 grows as n², so the
+        // ·500000 product overflows BIGINT past ~4M scored rows — the
+        // x179/x181 quadratic-fold discipline applies here too
+        expr(
+          "IF(npos * nneg = 0, 0L, CAST(((CAST(r2 AS DECIMAL(38,0)) - CAST(npos AS DECIMAL(38,0)) * (npos + 1)) * 500000) " +
+            "div (CAST(npos AS DECIMAL(38,0)) * nneg) AS BIGINT))"
+        ).as("auc_e6")
       )
   }
 }

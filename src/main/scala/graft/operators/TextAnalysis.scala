@@ -103,7 +103,7 @@ object TextAnalysis {
            |  CAST(sum(npos_g * (2 * cum + cnt + 1)) AS BIGINT) AS r2 FROM cw$k),
            |auc$k AS (SELECT npos, nneg,
            |  CAST(CASE WHEN npos * nneg = 0 THEN 0
-           |       ELSE ((r2 - npos * (npos + 1)) * 500000) // (npos * nneg) END AS BIGINT) AS auc_e6
+           |       ELSE ((r2::HUGEINT - npos::HUGEINT * (npos + 1)) * 500000) // (npos::HUGEINT * nneg) END AS BIGINT) AS auc_e6
            |  FROM st$k),
            |wl$k AS (SELECT CAST(sum(abs(w)) AS BIGINT) AS w_l1 FROM w$k)""".stripMargin
       }
@@ -161,7 +161,7 @@ object TextAnalysis {
        |  CAST(sum(npos_g * (2 * cum + cnt + 1)) AS BIGINT) AS r2 FROM cw),
        |auc AS (SELECT npos, nneg,
        |  CAST(CASE WHEN npos * nneg = 0 THEN 0
-       |       ELSE ((r2 - npos * (npos + 1)) * 500000) // (npos * nneg) END AS BIGINT) AS auc_e6
+       |       ELSE ((r2::HUGEINT - npos::HUGEINT * (npos + 1)) * 500000) // (npos::HUGEINT * nneg) END AS BIGINT) AS auc_e6
        |  FROM st)
        |SELECT r.range AS b, CAST(coalesce(w5.w, 0) AS BIGINT) AS w_e6, a.auc_e6, a.npos, a.nneg
        |FROM range(257) r LEFT JOIN w5 ON r.range = w5.b, auc a

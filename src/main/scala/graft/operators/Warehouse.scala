@@ -1508,7 +1508,7 @@ object Warehouse {
     // as 63-bit packed words (the x96/x97 DV convention, one (w, word)
     // row per occupied word); a conjunctive/disjunctive predicate count
     // is then word-wise AND/OR + bit_count over the TWO bitmaps — no
-    // data scan. Row ids: (l_orderkey·8 + l_linenumber)·256 + a per-key
+    // data scan. Row ids: (l_orderkey·8 + l_linenumber)·65536 + a per-key
     // occurrence rank — the generator REUSES (orderkey, linenumber)
     // (45832 distinct / 60000 rows at sf0.01), so the disambiguator is
     // load-bearing; a key-partitioned bounded window, never
@@ -1529,8 +1529,11 @@ object Warehouse {
           col("l_linestatus").as("ls")
         )
         .withColumn(
+          // 16-bit disambiguator (advice-found: 8 bits silently collided
+          // a key's rank into the neighbor's bit space past 255 dups;
+          // 65536 keeps rid injective to ~4e14 keys × 64k dups)
           "rid",
-          expr("rid0 * 256") +
+          expr("rid0 * 65536") +
             row_number().over(Window.partitionBy("rid0").orderBy("rf", "ls")).cast("long")
         )
         .select("rid", "rf", "ls")

@@ -140,6 +140,14 @@ object PngPixels {
             case 2 => if (n != 6) return None
             case _ => return None
           }
+          // spec §11.3.2: key samples must fit the image bit depth — an
+          // 8-bit image with a nonzero high byte is spec-invalid and
+          // QUARANTINES (advice-found: letting it silently never match
+          // decoded fully opaque, off the never-silently-wrong line)
+          if (colorType != 3 && !deep) {
+            var ki = 0
+            while (ki < n) { if (b(o + 8 + ki) != 0) return None; ki += 2 }
+          }
           trns = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + n)
         case "IDAT" => if (!seenIhdr) return None else idat.write(b, o + 8, n)
         case "IEND" => seenIend = true
@@ -224,8 +232,8 @@ object PngPixels {
       }
     }
     def s16(p: Int): Int = ((px(p) & 0xff) << 8) | (px(p + 1) & 0xff)
-    // tRNS key samples (types 0/2): 2-byte big-endian each; for 8-bit
-    // images a key > 255 simply never matches (spec-legal encoding)
+    // tRNS key samples (types 0/2): 2-byte big-endian each; 8-bit images
+    // with a nonzero high byte were quarantined at chunk parse above
     def key16(i: Int): Int = ((trns(2 * i) & 0xff) << 8) | (trns(2 * i + 1) & 0xff)
     // 16-bit white composite, then the §12.5 reduction (x230)
     def over16(a: Int, c: Int): Int = red16(((a.toLong * c + (65535L - a) * 65535L) / 65535L).toInt)

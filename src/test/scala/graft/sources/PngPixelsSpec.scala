@@ -166,6 +166,14 @@ class PngPixelsSpec extends AnyFunSuite {
     val keyed = PngPixels.decode(rgbTrns).get
     for (x <- 0 until 6; y <- 0 until 5)
       assert(keyed.rgb(x, y) === (if ((x, y, x + y) == ((1, 2, 3))) ((255, 255, 255)) else ((x, y, x + y))))
+    // a key sample that does not FIT the 8-bit depth (nonzero high byte)
+    // is spec-invalid (§11.3.2) and quarantines — it must not decode
+    // fully-opaque by silently never matching (advice-found)
+    val rgbBadKey = rgbBytes.take(8 + 25) ++ chunk("tRNS", Array[Byte](1, 1, 0, 2, 0, 3)) ++ rgbBytes.drop(8 + 25)
+    assert(PngPixels.decode(rgbBadKey) === None)
+    val grayBytes = PngPixels.synthesizeGray(6, 5, (x, y) => x * 16 + y)
+    val grayBadKey = grayBytes.take(8 + 25) ++ chunk("tRNS", Array[Byte](2, 7)) ++ grayBytes.drop(8 + 25)
+    assert(PngPixels.decode(grayBadKey) === None)
   }
 
   test("tRNS: prefix alpha composites over white; ImageIO channels agree; opaque past the prefix") {
