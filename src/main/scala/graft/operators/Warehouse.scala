@@ -951,6 +951,42 @@ object Warehouse {
         )
       content.join(prov, Seq("bucket")).orderBy("bucket")
     }),
+    // Manifest-tree key-range planning (x263) — the x226 pipeline EATEN
+    // by the write-path tables (the r8 verdict's top task): the v3
+    // snapshot's manifest is now a two-level tree (group-count-sized
+    // LIST → immutable per-group manifest files → data buckets), and a
+    // key-range read plans through it prune-BEFORE-collect — list rows
+    // filter on group key stats, only surviving groups' manifest files
+    // open, the driver holds nothing but the final task list. The gate
+    // emits the pruned content (per-bucket rows + cents over the range)
+    // PLUS the planning census (groups total/read, files read, rows
+    // planned), every number recomputed by the oracle from the stacked
+    // v1→v3 change formulas — a stats bug that opens too few groups
+    // breaks content, one that opens too many breaks the census.
+    // CowManifestTreeSpec proves the isolation physically (all other
+    // groups corrupted on disk, plan + read unharmed).
+    "x263_mtree_range_plan" -> ((s, d) => {
+      val ct = graft.sources.CowTable
+      ct.ensure(s, d)
+      import s.implicits._
+      val (lo, hi) = (512L, 1535L) // buckets 0..1 cut mid-bucket both ends (exists at every SF)
+      val man = ct.manifestDir(3)
+      val planned = ct.pruneEntriesRange(s, man, lo, hi)
+      val acct = Seq(
+        (
+          ct.groupCount(s, man),
+          planned.map(_.bucket / ct.ManifestGroup).distinct.size.toLong,
+          planned.size.toLong,
+          planned.map(_.nRows).sum
+        )
+      ).toDF("n_groups_total", "n_groups_read", "n_files_read", "n_rows_planned")
+      ct.readEntries(s, planned)
+        .where(col("k").between(lo, hi))
+        .groupBy(expr(s"k div ${ct.BucketWidth}L").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+        .crossJoin(broadcast(acct))
+        .orderBy("bucket")
+    }),
     // Late-data watermark profile (x194) — the batch diagnostic that
     // SIZES the streaming layer's watermarks (every `withWatermark` in
     // EventStreams hardcodes a delay; this measures what a delay WOULD
@@ -2662,6 +2698,43 @@ object Warehouse {
         |            WHEN v3.bucket IN (SELECT bucket FROM t2) THEN 2
         |            ELSE 1 END AS BIGINT) AS src_version
         |FROM v3 GROUP BY v3.bucket ORDER BY v3.bucket""".stripMargin,
+    // x263: the v3 state replayed from the stacked change formulas, its
+    // per-bucket/per-group stat hulls rebuilt, the SAME two-level prune
+    // applied arithmetically — planning census and pruned content both
+    // closed-form
+    "x263_mtree_range_plan" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey // 1024 AS bucket
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, bucket,
+        |    cents + CASE WHEN k % 97 = 0 AND bucket % 5 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024, 100000 + i * 7
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |v3 AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN k % 103 = 0 AND bucket % 7 = 3 THEN 50000 + k % 1000 ELSE cents END AS cents
+        |  FROM v2 WHERE NOT (k % 101 = 0 AND bucket % 7 = 1)),
+        |bstats AS (SELECT bucket, min(k) AS mn, max(k) AS mx, count(*) AS nr FROM v3 GROUP BY 1),
+        |gstats AS (SELECT bucket // 8 AS g, min(mn) AS mn, max(mx) AS mx FROM bstats GROUP BY 1),
+        |gread AS (SELECT g FROM gstats WHERE mx >= 512 AND mn <= 1535),
+        |fread AS (SELECT b.* FROM bstats b JOIN gread ON b.bucket // 8 = gread.g
+        |  WHERE b.mx >= 512 AND b.mn <= 1535),
+        |acct AS (SELECT
+        |  (SELECT count(*)::BIGINT FROM gstats) AS n_groups_total,
+        |  (SELECT count(*)::BIGINT FROM gread) AS n_groups_read,
+        |  (SELECT count(*)::BIGINT FROM fread) AS n_files_read,
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fread) AS n_rows_planned),
+        |content AS (
+        |  SELECT bucket, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM v3 WHERE k BETWEEN 512 AND 1535 GROUP BY 1)
+        |SELECT c.bucket, c.n_rows, c.total_cents,
+        |  a.n_groups_total, a.n_groups_read, a.n_files_read, a.n_rows_planned
+        |FROM content c, acct a ORDER BY c.bucket""".stripMargin,
     // the MV increment law's oracle is the DIRECT v3 view — the gate's
     // incrementally-maintained numbers must land on it exactly
     // x155: the FULL recompute over the reunified tables — incremental

@@ -73,7 +73,7 @@ object CowEvo {
     val key = Fingerprint.of(
       s,
       s"$d/orders.parquet",
-      s"${CowTable.BucketWidth}|$DelFilter|$AddBase|$AddCount|$UpsFilter|$UpsBump|$UpsBase|$UpsCount|evo3"
+      s"${CowTable.BucketWidth}|$DelFilter|$AddBase|$AddCount|$UpsFilter|$UpsBump|$UpsBase|$UpsCount|evo4tree"
     )
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&

@@ -29,7 +29,7 @@ object CowGc {
   val DelB = s"k % 89 = 0 AND (k div ${CowTable.BucketWidth}L) % 3 = 0"
 
   def ensure(s: SparkSession, d: String): Unit = synchronized {
-    val key = Fingerprint.of(s, s"$d/orders.parquet", s"cowgc1|$DelA|$DelB")
+    val key = Fingerprint.of(s, s"$d/orders.parquet", s"cowgc2tree|$DelA|$DelB")
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key) return

@@ -76,22 +76,108 @@ object CowTable {
       schemaId: Int
   )
 
-  /** (bucket, path, min_key, max_key, n_rows, dv_path, n_del, schema_id)
-    * for one snapshot — a file-count-sized driver read, the table-format
-    * planning unit. */
-  def manifest(s: SparkSession, version: Int, root: String = dir): DataFrame =
-    s.read.parquet(manifestPath(version, root))
+  // --------------------------------------------- two-level manifest tree
+  // The x226 ManifestTree pattern EATEN by the write path (x263; the r8
+  // verdict's top task): a manifest directory holds ONE small parquet —
+  // the LIST, one row per bucket GROUP carrying that group's stats
+  // (min/max bucket + key, file/row/dv counts) and the ABSOLUTE path of
+  // an immutable group-manifest file under `$root/mfiles/<token>/`.
+  // Group files hold the per-file [[Entry]] rows of `ManifestGroup`
+  // consecutive buckets and NEVER move or change once written, so:
+  //   - a commit rewrites only the groups its buckets touch and carries
+  //     every other group BY REFERENCE (one list row, zero bytes read) —
+  //     commit metadata cost tracks the CHANGE, not the table;
+  //   - pruned planning ([[pruneEntries]]/[[pruneEntriesRange]]) opens
+  //     only surviving groups' files and the driver collects nothing but
+  //     the final task list — the full entry set never materializes;
+  //   - the list directory is the atomic-rename COMMIT OBJECT (group
+  //     files live outside it, absolute-referenced), which is what keeps
+  //     [[occCommit]]'s CAS a single `rename(2)`.
+  // At 10⁷ files a localized merge writes a handful of group files plus
+  // one group-count-sized list; only FULL-snapshot scans (whose task list
+  // IS the whole table — the Iceberg planFiles contract) ever enumerate
+  // every entry. Reference shape: Iceberg spec v2 manifest lists.
 
-  /** Manifest rows as [[Entry]]s; legacy 5-column manifests (pre-DV
-    * stream checkpoints) default to no DV / schema 1. */
+  /** buckets per group-manifest file — the manifest-list fan-out */
+  val ManifestGroup = 8L
+
+  private val listCols =
+    Seq("g", "mpath", "min_bucket", "max_bucket", "min_key", "max_key", "n_files", "n_rows", "n_dv")
+
+  /** the raw manifest LIST (one row per group) */
+  private def listDf(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  /** legacy FLAT manifests (pre-tree artifacts) carry entry rows directly */
+  private def isTree(l: DataFrame): Boolean = l.columns.contains("mpath")
+
+  /** normalize entry rows: legacy 5-column manifests (pre-DV stream
+    * checkpoints) default to no DV / schema 1; types pinned. */
+  private def normalizeEntries(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    df.select(
+      col("bucket").cast("long").as("bucket"),
+      col("path"),
+      col("min_key").cast("long").as("min_key"),
+      col("max_key").cast("long").as("max_key"),
+      col("n_rows").cast("long").as("n_rows"),
+      (if (cols("dv_path")) col("dv_path") else lit("")).as("dv_path"),
+      (if (cols("n_del")) col("n_del").cast("long") else lit(0L)).as("n_del"),
+      (if (cols("schema_id")) col("schema_id").cast("int") else lit(1)).as("schema_id")
+    )
+  }
+
+  private def emptyEntriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, String, Long, Long, Long, String, Long, Int)]
+      .toDF("bucket", "path", "min_key", "max_key", "n_rows", "dv_path", "n_del", "schema_id")
+  }
+
+  /** Entry rows of exactly `groups`, distributed: the list is pruned to
+    * those groups and ONLY their files are opened — entries of every
+    * other group are never deserialized (CowManifestTreeSpec proves it
+    * physically by corrupting them). */
+  private def readGroups(s: SparkSession, path: String, groups: Set[Long]): DataFrame = {
+    if (groups.isEmpty) return emptyEntriesDf(s)
+    val l = listDf(s, path)
+    if (!isTree(l))
+      return normalizeEntries(l).where(expr(s"bucket div ${ManifestGroup}L").isin(groups.toSeq.map(Long.box): _*))
+    val mpaths = l
+      .where(col("g").isin(groups.toSeq.map(Long.box): _*))
+      .select("mpath")
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    if (mpaths.isEmpty) emptyEntriesDf(s)
+    else normalizeEntries(s.read.parquet(mpaths.toIndexedSeq: _*))
+  }
+
+  /** ALL entries of one manifest as a distributed frame (full-snapshot
+    * scans and spec accounting; pruned ops go through [[pruneEntries]]).
+    * Driver materializes only the group-count-sized path list. */
+  def entriesDfAt(s: SparkSession, path: String): DataFrame = {
+    val l = listDf(s, path)
+    if (!isTree(l)) return normalizeEntries(l)
+    val mpaths = l.select("mpath").collect().map(_.getString(0)).sorted
+    if (mpaths.isEmpty) emptyEntriesDf(s)
+    else normalizeEntries(s.read.parquet(mpaths.toIndexedSeq: _*))
+  }
+
+  /** (bucket, path, min_key, max_key, n_rows, dv_path, n_del, schema_id)
+    * for one snapshot, distributed — the table-format planning unit. */
+  def manifest(s: SparkSession, version: Int, root: String = dir): DataFrame =
+    entriesDfAt(s, manifestPath(version, root))
+
+  /** Manifest rows as [[Entry]]s — the FULL set, for full-snapshot reads
+    * (whose task list is the whole table) and spec accounting. */
   def entries(s: SparkSession, version: Int, root: String = dir): Seq[Entry] =
     entriesAt(s, manifestPath(version, root))
 
   /** [[entries]] for an arbitrary manifest directory (staged WAP branches
     * live outside the `manifest_vN` namespace). */
-  def entriesAt(s: SparkSession, path: String): Seq[Entry] = {
-    val df = s.read.parquet(path)
-    val cols = df.columns.toSet
+  def entriesAt(s: SparkSession, path: String): Seq[Entry] =
+    toEntries(entriesDfAt(s, path))
+
+  private def toEntries(df: DataFrame): Seq[Entry] =
     df.collect()
       .map { r =>
         Entry(
@@ -100,12 +186,60 @@ object CowTable {
           r.getAs[Long]("min_key"),
           r.getAs[Long]("max_key"),
           r.getAs[Long]("n_rows"),
-          if (cols("dv_path")) r.getAs[String]("dv_path") else "",
-          if (cols("n_del")) r.getAs[Long]("n_del") else 0L,
-          if (cols("schema_id")) r.getAs[Int]("schema_id") else 1
+          r.getAs[String]("dv_path"),
+          r.getAs[Long]("n_del"),
+          r.getAs[Int]("schema_id")
         )
       }
       .toSeq
+      .sortBy(e => (e.bucket, e.path, e.dvPath))
+
+  /** Entries of exactly `buckets`, PRUNE-BEFORE-COLLECT: list rows filter
+    * to the buckets' groups, only surviving group files open, the driver
+    * holds a task-list-sized result — the planning primitive every
+    * merge/MOR/diff path uses. */
+  def pruneEntries(s: SparkSession, path: String, buckets: Set[Long]): Seq[Entry] = {
+    if (buckets.isEmpty) return Seq.empty
+    val df = readGroups(s, path, buckets.map(_ / ManifestGroup))
+    toEntries(df.where(col("bucket").isin(buckets.toSeq.map(Long.box): _*)))
+  }
+
+  /** Entries whose key range overlaps [lo, hi], stats-pruned at both
+    * levels (the x226 planRange pipeline on the write-path manifests). */
+  def pruneEntriesRange(s: SparkSession, path: String, lo: Long, hi: Long): Seq[Entry] = {
+    val l = listDf(s, path)
+    if (!isTree(l))
+      return toEntries(normalizeEntries(l).where(col("max_key") >= lo && col("min_key") <= hi))
+    val mpaths = l
+      .where(col("max_key") >= lo && col("min_key") <= hi)
+      .select("mpath")
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    if (mpaths.isEmpty) Seq.empty
+    else
+      toEntries(
+        normalizeEntries(s.read.parquet(mpaths.toIndexedSeq: _*))
+          .where(col("max_key") >= lo && col("min_key") <= hi)
+      )
+  }
+
+  /** number of group-manifest files the list references (plan accounting) */
+  def groupCount(s: SparkSession, path: String): Long = {
+    val l = listDf(s, path)
+    if (isTree(l)) l.count() else -1L
+  }
+
+  /** a snapshot's manifest directory (planning entry point for pruned
+    * scans: pair with [[pruneEntries]]/[[pruneEntriesRange]] +
+    * [[readEntries]]) */
+  def manifestDir(version: Int, root: String = dir): String = manifestPath(version, root)
+
+  /** Execute a plan: DV-masked read of exactly the planned entries —
+    * the x226 readTasks counterpart on the write-path tables. */
+  def readEntries(s: SparkSession, es: Seq[Entry]): DataFrame = {
+    require(es.nonEmpty, "readEntries on an empty plan (guard at the call site)")
+    rawRead(s, es)
   }
 
   // ------------------------------------------------- schema registry (ids)
@@ -220,9 +354,9 @@ object CowTable {
     val key = Fingerprint.of(
       s,
       s"$d/orders.parquet",
-      // "man8" salts the key for the 8-column manifest schema (dv_path /
-      // n_del / schema_id) so pre-DV artifacts rebuild once
-      s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount|$Upsert3Filter|$Delete3Filter|man8"
+      // "mtree1" salts the key for the two-level manifest tree (list +
+      // immutable group files) so flat-manifest artifacts rebuild once
+      s"$BucketWidth|$UpdateFilter|$UpdateBump|$InsertBase|$InsertCount|$Upsert3Filter|$Delete3Filter|mtree1"
     )
     val marker = new java.io.File(s"$dir/src_key")
     if (marker.exists() &&
@@ -282,7 +416,9 @@ object CowTable {
     if (new java.io.File(s"$srcRoot/schemas").exists())
       s.read.parquet(s"$srcRoot/schemas").coalesce(1).write.mode("overwrite").parquet(s"$dstRoot/schemas")
     versionSchemaId(s, srcVersion, srcRoot).foreach(sid => writeVersionMeta(s, dstRoot, 1, sid))
-    writeManifestRows(s, 1, entries(s, srcVersion, srcRoot), dstRoot)
+    // metadata is zero-copy too: the clone's list shares the source's
+    // immutable group files by reference — clone cost is one list write
+    copyManifest(s, dstRoot, manifestPath(srcVersion, srcRoot), manifestPath(1, dstRoot), "clone_v1")
     // back-pointer registration: source-side GC must treat the clone's
     // referenced paths as live (x229) — a clone the source cannot SEE is
     // a clone the source can break
@@ -402,28 +538,39 @@ object CowTable {
       changes: DataFrame,
       deletes: DataFrame = null,
       root: String = dir
-  ): Unit =
-    writeManifestRows(
+  ): Unit = {
+    mergeCompute(
       s,
-      toVersion,
-      mergeRows(s, entries(s, fromVersion, root), changes, deletes, s"$root/v$toVersion"),
-      root
+      root,
+      manifestPath(fromVersion, root),
+      manifestPath(toVersion, root),
+      s"v$toVersion",
+      changes,
+      deletes,
+      s"$root/v$toVersion"
     )
+    ()
+  }
 
   /** the merge COMPUTATION: writes rewritten/new data files under
-    * `outRoot` and returns the would-be manifest rows WITHOUT publishing —
-    * [[merge]] publishes directly, [[occCommit]] publishes via the atomic
-    * compare-and-swap below. */
-  private def mergeRows(
+    * `outRoot`, publishes the manifest at `outMan` (a copy-on-write
+    * commit — untouched groups carry by reference), and returns the
+    * touched-bucket footprint for the CAS machinery. Planning is
+    * PRUNE-BEFORE-COLLECT throughout: only the touched buckets' groups
+    * are ever opened, so a localized merge against a 10⁷-file table
+    * costs its changed buckets at both the data AND the metadata level. */
+  private def mergeCompute(
       s: SparkSession,
-      man: Seq[Entry],
+      root: String,
+      fromMan: String,
+      outMan: String,
+      token: String,
       changes: DataFrame,
       deletes: DataFrame,
       outRoot: String
-  ): Seq[Entry] = {
+  ): Set[Long] = {
     val ch = changes.withColumn("bucket", expr(s"k div ${BucketWidth}L"))
     val del = Option(deletes).map(_.withColumn("bucket", expr(s"k div ${BucketWidth}L")))
-    val manBuckets = man.map(_.bucket).toSet
     // change-side bucket lists: one row per touched bucket (dim-sized).
     // Delete buckets only count when the snapshot actually has them.
     val chBuckets = ch.select("bucket").distinct().collect().map(_.getLong(0)).toSet
@@ -434,7 +581,7 @@ object CowTable {
     val delBuckets = del
       .map { dl =>
         val dlBuckets = dl.select("bucket").distinct().collect().map(_.getLong(0)).toSet
-        val cand = man.filter(e => dlBuckets.contains(e.bucket))
+        val cand = pruneEntries(s, fromMan, dlBuckets)
         if (cand.isEmpty) Set.empty[Long]
         else
           rawRead(s, cand)
@@ -447,9 +594,8 @@ object CowTable {
       }
       .getOrElse(Set.empty[Long])
     val allTouched = chBuckets ++ delBuckets
-    val touched = man.filter(e => allTouched.contains(e.bucket))
-    val carried = man.filter(e => !allTouched.contains(e.bucket))
-    val newBuckets = chBuckets -- manBuckets
+    val touched = pruneEntries(s, fromMan, allTouched)
+    val newBuckets = chBuckets -- touched.map(_.bucket).toSet
     // rewrite pass: ONLY the touched buckets' files are read — the
     // manifest prune is what makes a small MERGE cheap on a huge table.
     // The read is DV-masked, so a COW rewrite of a merge-on-read bucket
@@ -493,14 +639,16 @@ object CowTable {
         .parquet(outRoot)
     }
     // new manifest: rewritten + inserted entries get fresh stats from ONE
-    // scan of the new files; carried entries keep path, stats AND dv
-    // reference verbatim (an all-carried merge — empty changes — writes
-    // no data dir at all). merge() is the pre-evolution/stream write path,
-    // so fresh files are schema 1 by contract; evolution commits have
-    // their own helpers.
+    // scan of the new files; every untouched GROUP carries by reference
+    // as a single list row — its entries never open (an all-carried merge
+    // — empty changes — is a pure list copy). merge() is the
+    // pre-evolution/stream write path, so fresh files are schema 1 by
+    // contract; evolution commits have their own helpers.
     val freshRows =
       if (touched.isEmpty && newBuckets.isEmpty) Seq.empty else statsOf(s, outRoot, schemaId = 1)
-    freshRows ++ carried
+    val footprint = allTouched ++ newBuckets
+    writeManifestCow(s, root, fromMan, outMan, token, footprint, entryDf(s, freshRows))
+    footprint
   }
 
   // -------------------------------------- optimistic concurrency (1 JVM)
@@ -515,28 +663,23 @@ object CowTable {
       }
       .max
 
-  /** Atomic manifest publication — the CAS: write the rows to a staging
-    * directory, then `rename(2)` it onto `manifest_vN`. The rename is
-    * atomic on a POSIX filesystem and FAILS if the target exists (a
-    * non-empty directory), so exactly one racing writer wins a version;
-    * losers get `false` and their staging dir removed. */
-  private def publishAtomic(s: SparkSession, version: Int, rows: Seq[Entry], root: String, token: String): Boolean = {
-    val staging = new java.io.File(s"${manifestPath(version, root)}.stage_$token")
-    if (staging.exists()) org.apache.commons.io.FileUtils.deleteDirectory(staging)
-    writeManifestTo(s, staging.getAbsolutePath, rows)
+  /** Atomic manifest publication — the CAS: `rename(2)` a staged LIST
+    * directory onto `manifest_vN`. The rename is atomic on a POSIX
+    * filesystem and FAILS if the target exists (a non-empty directory),
+    * so exactly one racing writer wins a version. The list is the whole
+    * commit object (group files live under `mfiles/`, absolute-referenced,
+    * and never move), which is what keeps the CAS a single rename. */
+  private def publishAtomic(version: Int, stagedList: String, root: String): Boolean =
     try {
       java.nio.file.Files.move(
-        staging.toPath,
+        new java.io.File(stagedList).toPath,
         new java.io.File(manifestPath(version, root)).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE
       )
       true
     } catch {
-      case _: java.nio.file.FileSystemException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging)
-        false
+      case _: java.nio.file.FileSystemException => false
     }
-  }
 
   /** Optimistic-concurrency MERGE: compute against a pinned snapshot
     * (`atVersion`, default the newest), write data under a WRITER-OWNED
@@ -560,52 +703,64 @@ object CowTable {
       maxRetries: Int = 5
   ): Either[Set[Long], Int] = {
     val base = atVersion.getOrElse(latestVersion(root))
-    val baseEntries = entries(s, base, root)
     val dataRoot = s"$root/occ_${writerId}_b$base"
-    val mine = mergeRows(s, baseEntries, changes, deletes, dataRoot)
-    casLoop(s, root, base, baseEntries, mine, writerId, maxRetries)
+    val mineMan = s"$root/occ_man_${writerId}_b$base"
+    val myTouched =
+      mergeCompute(s, root, manifestPath(base, root), mineMan, s"occ_${writerId}_b$base", changes, deletes, dataRoot)
+    casLoop(s, root, base, mineMan, myTouched, writerId, maxRetries)
   }
 
   /** The CAS-publish/rebase/conflict loop shared by [[occCommit]] and
-    * [[publishStaged]]: try to claim `base + 1`; on losing, rebase onto the
-    * winner when bucket footprints are disjoint, abort with the conflict
-    * set when they intersect. */
+    * [[publishStaged]]: try to claim `base + 1` by renaming my staged
+    * list; on losing, rebase onto the winner when bucket footprints are
+    * disjoint (a LIST-level rewrite — shared groups rebuilt at entry
+    * level since disjoint FOOTPRINTS can share a GROUP, everything else
+    * carried by reference; zero data I/O), abort with the conflict set
+    * when they intersect. The winner's footprint comes from
+    * [[diffTouchedBuckets]], which opens only groups whose list rows
+    * changed. On success the staged list is consumed (renamed) or
+    * deleted; its group files live on under `mfiles/`, referenced by the
+    * published manifest. */
   private def casLoop(
       s: SparkSession,
       root: String,
       base: Int,
-      baseEntries: Seq[Entry],
-      mine: Seq[Entry],
+      mineMan: String,
+      myTouched: Set[Long],
       token: String,
       maxRetries: Int
   ): Either[Set[Long], Int] = {
-    val baseByBucket = baseEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
-    val mineByBucket = mine.map(e => e.bucket -> (e.path, e.dvPath)).toMap
-    // my footprint: rewritten + new + dropped buckets
-    val myTouched =
-      mine.filter(e => !baseByBucket.get(e.bucket).contains((e.path, e.dvPath))).map(_.bucket).toSet ++
-        (baseByBucket.keySet -- mineByBucket.keySet)
     var parent = base
-    var parentEntries = baseEntries
-    var rows = mine
     var attempt = 0
     while (attempt <= maxRetries) {
-      if (publishAtomic(s, parent + 1, rows, root, token)) return Right(parent + 1)
+      val candidate =
+        if (parent == base) mineMan
+        else {
+          val c = s"${manifestPath(parent + 1, root)}.stage_${token}_a$attempt"
+          deleteLocalDir(c)
+          writeManifestCow(
+            s,
+            root,
+            manifestPath(parent, root),
+            c,
+            s"cas_${token}_a$attempt",
+            myTouched,
+            entryDf(s, pruneEntries(s, mineMan, myTouched))
+          )
+          c
+        }
+      if (publishAtomic(parent + 1, candidate, root)) {
+        if (candidate != mineMan) deleteLocalDir(mineMan)
+        return Right(parent + 1)
+      }
+      if (candidate != mineMan) deleteLocalDir(candidate)
       // lost the race: someone committed parent+1 (or further) — diff the
       // winner chain's footprint against ours
       val cur = latestVersion(root)
-      val curEntries = entries(s, cur, root)
-      val parentByBucket = parentEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
-      val curByBucket = curEntries.map(e => e.bucket -> (e.path, e.dvPath)).toMap
-      val winnerTouched =
-        curEntries.filter(e => !parentByBucket.get(e.bucket).contains((e.path, e.dvPath))).map(_.bucket).toSet ++
-          (parentByBucket.keySet -- curByBucket.keySet)
+      val winnerTouched = diffTouchedBuckets(s, manifestPath(parent, root), manifestPath(cur, root))
       val conflict = winnerTouched.intersect(myTouched)
       if (conflict.nonEmpty) return Left(conflict)
-      // disjoint: rebase = winner's view with my footprint overlaid
-      rows = curEntries.filter(e => !myTouched.contains(e.bucket)) ++ mine.filter(e => myTouched.contains(e.bucket))
       parent = cur
-      parentEntries = curEntries
       attempt += 1
     }
     Left(Set.empty)
@@ -631,8 +786,16 @@ object CowTable {
       root: String = dir
   ): Int = {
     val base = atVersion.getOrElse(latestVersion(root))
-    val rows = mergeRows(s, entries(s, base, root), changes, deletes, s"$root/wap_$name")
-    writeManifestTo(s, s"$root/wap_manifest_$name", rows)
+    mergeCompute(
+      s,
+      root,
+      manifestPath(base, root),
+      s"$root/wap_manifest_$name",
+      s"wap_$name",
+      changes,
+      deletes,
+      s"$root/wap_$name"
+    )
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/wap_base_$name"),
       base.toString.getBytes("UTF-8")
@@ -662,12 +825,13 @@ object CowTable {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/wap_base_$name")),
       "UTF-8"
     ).trim.toInt
-    val mine = stagedEntries(s, name, root)
-    casLoop(s, root, base, entries(s, base, root), mine, s"wap_$name", maxRetries) match {
+    val mineMan = s"$root/wap_manifest_$name"
+    val myTouched = diffTouchedBuckets(s, manifestPath(base, root), mineMan)
+    casLoop(s, root, base, mineMan, myTouched, s"wap_$name", maxRetries) match {
       case r @ Right(_) =>
-        // branch metadata is consumed; the data dir lives on, referenced
-        // by the published manifest exactly like any merge output
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/wap_manifest_$name"))
+        // branch list is consumed by the CAS (renamed or deleted); data
+        // dir and group files live on, referenced by the published
+        // manifest exactly like any merge output
         new java.io.File(s"$root/wap_base_$name").delete()
         r
       case l => l
@@ -744,9 +908,9 @@ object CowTable {
     val ref = readRefMeta(s, name, root)
     require(ref.kind == "branch", s"ref $name is a ${ref.kind}, not a branch")
     val seq = ref.seq + 1
-    val rows = mergeRows(s, entriesAt(s, ref.manifestPath), changes, deletes, s"$root/branch_${name}_v$seq")
     val manPath = s"$root/branch_${name}_manifest_v$seq"
-    writeManifestTo(s, manPath, rows)
+    mergeCompute(s, root, ref.manifestPath, manPath, s"branch_${name}_v$seq", changes, deletes,
+      s"$root/branch_${name}_v$seq")
     writeRef(s, root, name, Ref("branch", manPath, ref.baseVersion, seq))
   }
 
@@ -766,7 +930,9 @@ object CowTable {
         s"main is at v$latest but $name forked at v${ref.baseVersion}: divergent histories need a merge, not a fast-forward"
       )
     val next = latest + 1
-    writeManifestRows(s, next, entriesAt(s, ref.manifestPath), root)
+    // metadata-only: the branch head's LIST republished as main's next
+    // version; every group file carried by reference
+    copyManifest(s, root, ref.manifestPath, manifestPath(next, root), s"ff_${name}_v$next")
     // re-base the ref onto the version it just became: the branch's own
     // publish is not divergence, so a later commit+fast-forward cycle on
     // the same branch must keep working (review-found — without this the
@@ -852,10 +1018,10 @@ object CowTable {
       deletes: DataFrame,
       root: String = dir
   ): Unit = {
-    val man = entries(s, fromVersion, root)
+    val fromMan = manifestPath(fromVersion, root)
     val dl = deletes.withColumn("bucket", expr(s"k div ${BucketWidth}L"))
     val dlBuckets = dl.select("bucket").distinct().collect().map(_.getLong(0)).toSet
-    val cand = man.filter(e => dlBuckets.contains(e.bucket))
+    val cand = pruneEntries(s, fromMan, dlBuckets)
     val dvDir = s"$root/dv_v$toVersion"
     // ONE pass over the candidate buckets marks every live row hit/miss
     // (review-found: a separate semi probe + anti count read the data
@@ -901,7 +1067,7 @@ object CowTable {
       // wrongly mask another group's delta rows (the same key's NEW
       // version after a merge-on-read upsert). Single-group deletes keep
       // the historical `dv_vN` name; multi-group ones suffix `_gI`.
-      val touched = man.filter(e => hitBuckets.contains(e.bucket))
+      val touched = cand.filter(e => hitBuckets.contains(e.bucket))
       val groups = touched.groupBy(_.dvPath).toSeq.sortBy(_._1)
       val dvOf: Map[String, (String, Map[Long, Long])] = groups.zipWithIndex.map {
         case ((oldDv, grp), gi) =>
@@ -935,16 +1101,27 @@ object CowTable {
             .toMap
           oldDv -> (out, nd)
       }.toMap
-      val rows = man.flatMap { e =>
-        if (!hitBuckets.contains(e.bucket)) Some(e)
-        else if (liveLeft.getOrElse(e.bucket, 0L) == 0L) None // bucket fully deleted
+      // hit entries with their new DV references (fully-deleted buckets
+      // get no replacement row and vanish); untouched GROUPS carry by
+      // reference — the manifest commit cost tracks hit buckets, never
+      // table size
+      val modified = touched.flatMap { e =>
+        if (liveLeft.getOrElse(e.bucket, 0L) == 0L) None // bucket fully deleted
         else {
           val (out, nd) = dvOf(e.dvPath)
           Some(e.copy(dvPath = out, nDel = nd(e.bucket)))
         }
       }
-      writeManifestRows(s, toVersion, rows, root)
-    } else writeManifestRows(s, toVersion, man, root)
+      writeManifestCow(
+        s,
+        root,
+        fromMan,
+        manifestPath(toVersion, root),
+        s"mordel_v$toVersion",
+        hitBuckets,
+        entryDf(s, modified)
+      )
+    } else copyManifest(s, root, fromMan, manifestPath(toVersion, root), s"mordel_v$toVersion")
     versionSchemaId(s, fromVersion, root).foreach(writeVersionMeta(s, root, toVersion, _))
   }
 
@@ -978,12 +1155,24 @@ object CowTable {
       .partitionBy("bucket")
       .parquet(deltaRoot)
     val sid = versionSchemaId(s, fromVersion, root).getOrElse(1)
-    writeManifestRows(
-      s,
-      toVersion,
-      entries(s, toVersion, root) ++ statsOf(s, deltaRoot, sid),
-      root
+    // append the delta entries as a second COW manifest commit onto the
+    // morDelete result: only the delta buckets' groups rewrite (their
+    // current entries + the delta entries), everything else carries.
+    // The new list lands beside the target and swaps in — group files
+    // live under mfiles/ and never move, so the swap is list-only.
+    val toMan = manifestPath(toVersion, root)
+    val deltaStats = statsOf(s, deltaRoot, sid)
+    val deltaBuckets = deltaStats.map(_.bucket).toSet
+    val replacement = pruneEntries(s, toMan, deltaBuckets) ++ deltaStats
+    val tmp = s"$toMan.append"
+    writeManifestCow(s, root, toMan, tmp, s"delta_v$toVersion", deltaBuckets, entryDf(s, replacement))
+    deleteLocalDir(toMan)
+    java.nio.file.Files.move(
+      new java.io.File(tmp).toPath,
+      new java.io.File(toMan).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE
     )
+    ()
   }
 
   /** ROLLBACK (x134): publish `toVersion`'s manifest verbatim as
@@ -993,7 +1182,7 @@ object CowTable {
     * schema meta rides along. Cost is one manifest copy at any table
     * size. */
   def rollback(s: SparkSession, toVersion: Int, asVersion: Int, root: String = dir): Unit = {
-    writeManifestRows(s, asVersion, entries(s, toVersion, root), root)
+    copyManifest(s, root, manifestPath(toVersion, root), manifestPath(asVersion, root), s"rb_v$asVersion")
     versionSchemaId(s, toVersion, root).foreach(writeVersionMeta(s, root, asVersion, _))
   }
 
@@ -1004,8 +1193,17 @@ object CowTable {
     * pattern applied to deletion vectors: read cost and write cost both
     * track DV'd buckets, never table size. */
   def foldDv(s: SparkSession, fromVersion: Int, toVersion: Int, root: String = dir): Unit = {
-    val man = entries(s, fromVersion, root)
-    val (dvd, clean) = man.partition(_.dvPath.nonEmpty)
+    val fromMan = manifestPath(fromVersion, root)
+    // list-level prune: only groups whose n_dv stat is nonzero can carry
+    // DV'd entries — clean groups' files never open
+    val l = listDf(s, fromMan)
+    val dvGroupEntries =
+      if (!isTree(l)) entriesAt(s, fromMan)
+      else {
+        val dvGroups = l.where(col("n_dv") > 0).select("g").collect().map(_.getLong(0)).toSet
+        toEntries(readGroups(s, fromMan, dvGroups))
+      }
+    val dvd = dvGroupEntries.filter(_.dvPath.nonEmpty)
     if (dvd.nonEmpty) {
       val sids = dvd.map(_.schemaId).distinct
       require(sids.size == 1, s"foldDv folds one write-schema at a time, got $sids")
@@ -1015,9 +1213,22 @@ object CowTable {
         .mode("overwrite")
         .partitionBy("bucket")
         .parquet(s"$root/v$toVersion")
+      val dvdBuckets = dvd.map(_.bucket).toSet
+      // a DV'd bucket may ALSO hold clean entries (a post-fold delta):
+      // they carry verbatim inside the rewritten group
+      val cleanInDvdBuckets =
+        dvGroupEntries.filter(e => e.dvPath.isEmpty && dvdBuckets.contains(e.bucket))
       val fresh = statsOf(s, s"$root/v$toVersion", schemaId = sids.head)
-      writeManifestRows(s, toVersion, fresh ++ clean, root)
-    } else writeManifestRows(s, toVersion, man, root)
+      writeManifestCow(
+        s,
+        root,
+        fromMan,
+        manifestPath(toVersion, root),
+        s"fold_v$toVersion",
+        dvdBuckets,
+        entryDf(s, fresh ++ cleanInDvdBuckets)
+      )
+    } else copyManifest(s, root, fromMan, manifestPath(toVersion, root), s"fold_v$toVersion")
     versionSchemaId(s, fromVersion, root).foreach(writeVersionMeta(s, root, toVersion, _))
   }
 
@@ -1031,15 +1242,22 @@ object CowTable {
     * for "no value" (sentinel keeps the gate free of nullable columns);
     * same-value rewrites are not changes and are excluded. */
   def snapshotDiff(s: SparkSession, fromVersion: Int, toVersion: Int, root: String = dir): DataFrame = {
-    val eOld = entries(s, fromVersion, root).map(e => e.bucket -> e).toMap
-    val eNew = entries(s, toVersion, root).map(e => e.bucket -> e).toMap
+    val manO = manifestPath(fromVersion, root)
+    val manN = manifestPath(toVersion, root)
     // the change unit is (data path, dv path): a rewritten bucket differs
     // by path, a merge-on-read delete differs by dv reference only — both
     // sides read DV-MASKED, so MOR deletes diff as D rows exactly like
-    // COW deletes
-    def keyOf(e: Entry) = (e.path, e.dvPath)
-    val changedOld = eOld.collect { case (b, e) if !eNew.get(b).map(keyOf).contains(keyOf(e)) => e }.toSeq
-    val changedNew = eNew.collect { case (b, e) if !eOld.get(b).map(keyOf).contains(keyOf(e)) => e }.toSeq
+    // COW deletes. Planning is tree-pruned twice: carried GROUPS share
+    // their mpath (never opened), and within changed groups only the
+    // entries differing per bucket read — diff cost tracks changed files,
+    // never table size, at the metadata level too.
+    val changed = diffTouchedBuckets(s, manO, manN)
+    val allOld = pruneEntries(s, manO, changed)
+    val allNew = pruneEntries(s, manN, changed)
+    val oldSet = allOld.map(e => (e.bucket, e.path, e.dvPath)).toSet
+    val newSet = allNew.map(e => (e.bucket, e.path, e.dvPath)).toSet
+    val changedOld = allOld.filter(e => !newSet((e.bucket, e.path, e.dvPath)))
+    val changedNew = allNew.filter(e => !oldSet((e.bucket, e.path, e.dvPath)))
     def readSide(es: Seq[Entry], kc: String, cc: String): DataFrame =
       if (es.isEmpty)
         s.range(0).select(col("id").as(kc), col("id").as(cc))
@@ -1229,17 +1447,142 @@ object CowTable {
         r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n"), "", 0L, schemaId))
       .toSeq
 
-  def writeManifestRows(s: SparkSession, version: Int, rows: Seq[Entry], root: String = dir): Unit =
-    writeManifestTo(s, manifestPath(version, root), rows)
-
-  private def writeManifestTo(s: SparkSession, path: String, rows: Seq[Entry]): Unit = {
+  private def entryDf(s: SparkSession, rows: Seq[Entry]): DataFrame = {
     import s.implicits._
-    rows.sortBy(_.bucket)
+    rows
+      .sortBy(e => (e.bucket, e.path, e.dvPath))
       .map(e => (e.bucket, e.path, e.minKey, e.maxKey, e.nRows, e.dvPath, e.nDel, e.schemaId))
       .toDF("bucket", "path", "min_key", "max_key", "n_rows", "dv_path", "n_del", "schema_id")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(path)
+  }
+
+  /** Write `df`'s entry rows as IMMUTABLE group files under
+    * `$root/mfiles/<token>/` (auto-uniquified against reuse — stream
+    * replays rewrite the same version with a fresh token) and return
+    * their list rows. Group files never move once written: lists
+    * reference them absolutely, later commits carry them by reference. */
+  private def writeGroupFiles(s: SparkSession, root: String, token: String, df: DataFrame): DataFrame = {
+    var out = s"$root/mfiles/$token"
+    var i = 1
+    while (new java.io.File(out).exists()) { i += 1; out = s"$root/mfiles/${token}_$i" }
+    val e = normalizeEntries(df)
+      .withColumn("g", expr(s"bucket div ${ManifestGroup}L"))
+      .localCheckpoint() // two refs: group-file write + list aggregation
+    // one task per group ⇒ one file per group dir; `g` stays a DATA
+    // column (group files are read by explicit path, partition dirs
+    // only route the write)
+    e.withColumn("gp", col("g")).repartition(col("gp")).write.partitionBy("gp").parquet(out)
+    e.groupBy("g")
+      .agg(
+        min("bucket").as("min_bucket"),
+        max("bucket").as("max_bucket"),
+        min("min_key").as("min_key"),
+        max("max_key").as("max_key"),
+        count(lit(1)).as("n_files"),
+        sum("n_rows").as("n_rows"),
+        sum("n_del").as("n_dv")
+      )
+      .withColumn("mpath", concat(lit(s"$out/gp="), col("g")))
+      .select(listCols.map(col): _*)
+  }
+
+  /** Publish list rows at `path` (replacing any previous list). The list
+    * may derive from the path being replaced — materialized first. */
+  private def writeListTo(s: SparkSession, path: String, list: DataFrame): Unit = {
+    val rows = list.select(listCols.map(col): _*).localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    rows.repartition(1).write.parquet(path)
+  }
+
+  /** Whole-manifest write: every group file fresh (fixture builds and
+    * bootstrap manifests; incremental commits use [[writeManifestCow]]). */
+  def writeManifestRows(s: SparkSession, version: Int, rows: Seq[Entry], root: String = dir): Unit =
+    writeListTo(s, manifestPath(version, root), writeGroupFiles(s, root, s"v$version", entryDf(s, rows)))
+
+  /** COPY-ON-WRITE manifest commit — the metadata-level mirror of the
+    * data-level merge: groups containing `touched` buckets are rebuilt
+    * (their old entries minus touched buckets, plus `replacement`, which
+    * REPLACES every entry of a touched bucket — a touched bucket with no
+    * replacement row vanishes); every other group carries BY REFERENCE
+    * as one verbatim list row, its file never opened. */
+  private def writeManifestCow(
+      s: SparkSession,
+      root: String,
+      fromMan: String,
+      outMan: String,
+      token: String,
+      touched: Set[Long],
+      replacement: DataFrame
+  ): Unit = {
+    import s.implicits._
+    val repB = replacement.select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val allTouched = touched ++ repB
+    val tg = allTouched.map(_ / ManifestGroup)
+    val l = listDf(s, fromMan)
+    val anti =
+      if (allTouched.isEmpty) emptyEntriesDf(s).select("bucket")
+      else allTouched.toSeq.sorted.toDF("bucket")
+    if (!isTree(l)) {
+      // legacy flat source: one-time full upgrade onto the tree
+      val kept = normalizeEntries(l).join(broadcast(anti), Seq("bucket"), "left_anti")
+      writeListTo(s, outMan, writeGroupFiles(s, root, token, kept.unionByName(normalizeEntries(replacement))))
+      return
+    }
+    val kept = readGroups(s, fromMan, tg).join(broadcast(anti), Seq("bucket"), "left_anti")
+    val fresh = writeGroupFiles(s, root, token, kept.unionByName(normalizeEntries(replacement)))
+    val carried =
+      if (tg.isEmpty) l.select(listCols.map(col): _*)
+      else l.where(!col("g").isin(tg.toSeq.map(Long.box): _*)).select(listCols.map(col): _*)
+    writeListTo(s, outMan, carried.unionByName(fresh))
+  }
+
+  /** Metadata-only manifest copy: list rows verbatim, group files shared
+    * by reference — clone/rollback/fast-forward cost one group-count-
+    * sized list write at ANY table size. */
+  private def copyManifest(s: SparkSession, root: String, fromMan: String, outMan: String, token: String): Unit = {
+    val l = listDf(s, fromMan)
+    if (!isTree(l)) writeListTo(s, outMan, writeGroupFiles(s, root, token, normalizeEntries(l)))
+    else writeListTo(s, outMan, l)
+  }
+
+  /** Buckets whose entry set differs between two manifests, computed
+    * WITHOUT reading unchanged groups: carried groups share their mpath,
+    * so only groups whose list rows differ are opened and compared per
+    * bucket on the (path, dv_path) entry signature. */
+  private def diffTouchedBuckets(s: SparkSession, manA: String, manB: String): Set[Long] = {
+    val la = listDf(s, manA)
+    val lb = listDf(s, manB)
+    val changedGroups: Set[Long] =
+      if (!isTree(la) || !isTree(lb)) {
+        // legacy side: no carry metadata — compare every group
+        (toEntries(entriesDfAt(s, manA)) ++ toEntries(entriesDfAt(s, manB)))
+          .map(_.bucket / ManifestGroup)
+          .toSet
+      } else
+        la.select(col("g"), col("mpath").as("ma"))
+          .join(lb.select(col("g"), col("mpath").as("mb")), Seq("g"), "full_outer")
+          .where(col("ma").isNull || col("mb").isNull || col("ma") =!= col("mb"))
+          .select("g")
+          .collect()
+          .map(_.getLong(0))
+          .toSet
+    if (changedGroups.isEmpty) return Set.empty
+    def sig(man: String, out: String) =
+      readGroups(s, man, changedGroups)
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(concat_ws("\u0001", col("path"), col("dv_path")))).as(out))
+    sig(manA, "sa")
+      .join(sig(manB, "sb"), Seq("bucket"), "full_outer")
+      .where(col("sa").isNull || col("sb").isNull || col("sa") =!= col("sb"))
+      .select("bucket")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+  }
+
+  private def deleteLocalDir(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
   }
 }
