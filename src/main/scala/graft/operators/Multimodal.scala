@@ -420,6 +420,79 @@ object Multimodal {
     // classes cycle the encoder through Huffman/FSE/RLE/raw strategies;
     // same formula-oracle shape — DuckDB rebuilds lengths + digests from
     // the plaintext formulas, never touching a zstd byte.
+    // DEFLATE/zlib/gzip from RFC 1951/1950/1952 (x264) — the LAST
+    // borrowed codec replaced: the x227 conformance split applied to the
+    // dominant crawl transport. Fixtures are written by the OFFICIAL
+    // encoder (JDK Deflater/GZIPOutputStream — zlib itself) across every
+    // wrapper kind and level 0–9 (stored, fixed and dynamic blocks all
+    // load-bearing); the from-scratch reader decodes; `jdk_match` pins
+    // byte-equality against the official Inflater twin IN the gate row;
+    // the oracle rebuilds content from the closed-form formulas and
+    // never parses the format. PNG/ZIP/WARC/Avro run through this
+    // decoder too (Inflate.useScratch), so x176's gzip-WARC walk and
+    // x189's zip members are additional conformance surface.
+    "x264_inflate_decode" -> ((s, _) => {
+      graft.sources.InflateFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("kind", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jdk_match", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.InflateFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = { md.reset(); md.digest(b).map(x => f"${x & 0xff}%02x").mkString }
+          it.map { r =>
+            val id = r.getAs[Long]("blob_id")
+            val b = r.getAs[Array[Byte]]("payload")
+            val kind = graft.sources.InflateFixture.kind(id)
+            val cap = 16 << 20
+            val mine: Option[Array[Byte]] = kind match {
+              case 0 => graft.sources.Inflate.gunzip(b, cap)
+              case 1 => graft.sources.Inflate.zlib(b, cap)
+              case _ => graft.sources.Inflate.raw(b, 0, b.length, cap).map(_.data)
+            }
+            val jdk: Option[Array[Byte]] = kind match {
+              case 0 =>
+                try {
+                  val g = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+                  val bos = new java.io.ByteArrayOutputStream()
+                  val tmp = new Array[Byte](8192)
+                  var n = g.read(tmp)
+                  while (n >= 0) { bos.write(tmp, 0, n); n = g.read(tmp) }
+                  Some(bos.toByteArray)
+                } catch { case _: java.io.IOException => None }
+              case 1 =>
+                val inf = new java.util.zip.Inflater()
+                inf.setInput(b)
+                val bos = new java.io.ByteArrayOutputStream()
+                val tmp = new Array[Byte](8192)
+                try {
+                  var ok = true
+                  while (ok && !inf.finished()) {
+                    val n = inf.inflate(tmp)
+                    if (n == 0 && (inf.needsInput() || inf.needsDictionary())) ok = false
+                    else bos.write(tmp, 0, n)
+                  }
+                  if (ok) Some(bos.toByteArray) else None
+                } catch { case _: java.util.zip.DataFormatException => None } finally inf.end()
+              case _ => graft.sources.Inflate.rawJdk(b, 0, b.length, cap).map(_.data)
+            }
+            mine match {
+              case Some(d) =>
+                Row(id, kind.toLong, d.length.toLong, hex(d), jdk.exists(_.sameElements(d)))
+              case None => Row(id, kind.toLong, null, null, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -1433,6 +1506,23 @@ object Multimodal {
         |FROM v ORDER BY rid""".stripMargin,
     // x227: the x198/x199 proof shape over the four zstd content-class
     // formulas — the oracle rebuilds every plaintext independently.
+    // x264: content rebuilt from the fixture formulas — the oracle never
+    // sees a compressed byte; jdk_match must be TRUE everywhere.
+    "x264_inflate_decode" ->
+      """WITH zs AS (SELECT range AS z FROM range(240)),
+        |c0 AS (SELECT z, string_agg('w' || ((z*13 + i*7) % 31) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 199 + z % 300)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |c1 AS (SELECT z, repeat(chr(65 + CAST(z % 26 AS INT)), CAST(500 + z % 700 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 1),
+        |c2 AS (SELECT z, string_agg(md5('inf' || z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 3 + z % 8)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, string_agg('L,' || z || ',' || i || ',' || (z*19 + i*11) || chr(10), '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 9 + z % 20)) t(i) WHERE z % 4 = 3 GROUP BY z),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(z % 3 AS BIGINT) AS kind,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
+        |  TRUE AS jdk_match
+        |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

@@ -155,19 +155,13 @@ object AvroScan {
     }
   }
 
-  private def inflateRaw(b: Array[Byte]): Array[Byte] = {
-    val inf = new java.util.zip.Inflater(true)
-    inf.setInput(b)
-    val bos = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated deflate")
-      bos.write(buf, 0, n)
-    }
-    inf.end()
-    bos.toByteArray
-  }
+  private def inflateRaw(b: Array[Byte]): Array[Byte] =
+    // from-scratch RFC 1951 path (x264) or the JDK twin under the
+    // conformance toggle; decode() quarantines any throw
+    Inflate
+      .rawDispatch(b, 0, b.length, 256 << 20)
+      .map(_.data)
+      .getOrElse(throw new IllegalArgumentException("malformed deflate"))
 
   /** Decoded file: field metadata + rows of boxed values. */
   case class AvroData(fields: Seq[F2], rows: Seq[Seq[Any]])

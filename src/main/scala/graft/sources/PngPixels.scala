@@ -168,6 +168,15 @@ object PngPixels {
     }
     val rawLen = dims.map { case (wp, hp) => if (wp > 0 && hp > 0) hp * (1 + bpp * wp) else 0 }.sum
     val raw = new Array[Byte](rawLen)
+    if (Inflate.useScratch) {
+      // from-scratch RFC 1950/1951 path (x264); FDICT and bad Adler-32
+      // quarantine inside, the exact-size contract checked here — the
+      // stream must produce every scanline byte and nothing more
+      Inflate.zlib(idat.toByteArray, rawLen) match {
+        case Some(d) if d.length == rawLen => System.arraycopy(d, 0, raw, 0, rawLen)
+        case _                             => return None
+      }
+    } else {
     val inf = new Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -184,6 +193,7 @@ object PngPixels {
       // and nothing more (a trailing byte means the header lied)
       if (got != rawLen || inf.inflate(new Array[Byte](1)) != 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None } finally inf.end()
+    }
     // unfilter per pass into a pass-local buffer (recon(x) per spec §6,
     // neighbors = 0 beyond the PASS edge — each pass filters as its own
     // sub-image), then scatter into the image grid at (x0 + i·dx,

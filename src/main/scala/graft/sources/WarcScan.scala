@@ -34,6 +34,9 @@ import java.util.zip.{CRC32, Inflater}
   */
 object WarcScan {
 
+  /** decompression-bomb guard for one gzip member */
+  private val MaxInflate = 256 << 20
+
   /** One parsed WARC record. `httpStatus` is -1 for non-HTTP payloads and
     * HTTP requests; `body` is the HTTP payload body for application/http
     * records, the whole content block otherwise. */
@@ -71,20 +74,15 @@ object WarcScan {
       }
       if ((flg & 2) != 0) p += 2 // FHCRC
       if (p >= b.length) return None
-      val inf = new Inflater(true)
-      inf.setInput(b, p, b.length - p)
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      var consumed = 0
-      try {
-        while (!inf.finished()) {
-          val n = inf.inflate(tmp)
-          if (n == 0 && !inf.finished()) return None // truncated / needs dict
-          buf.write(tmp, 0, n)
-        }
-        consumed = inf.getBytesRead.toInt // before end() closes the handle
-      } catch { case _: java.util.zip.DataFormatException => return None } finally inf.end()
-      val data = buf.toByteArray
+      // raw member body: the from-scratch RFC 1951 path (x264) or the
+      // JDK twin under the conformance toggle; consumed drives the
+      // member walk to the trailer exactly like Inflater.getBytesRead
+      val o2 = Inflate.rawDispatch(b, p, b.length, MaxInflate) match {
+        case Some(x) => x
+        case None    => return None // truncated / malformed / needs dict
+      }
+      val consumed = o2.consumed
+      val data = o2.data
       val t = p + consumed // 8-byte trailer: CRC32 LE, ISIZE LE
       if (t + 8 > b.length) return None
       val crc = new CRC32(); crc.update(data)

@@ -85,19 +85,14 @@ object ZipScan {
           if (csize != usize) return None
           java.util.Arrays.copyOfRange(b, dataOff, dataOff + csize.toInt)
         } else {
-          val inf = new Inflater(true)
-          inf.setInput(b, dataOff, csize.toInt)
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          try {
-            while (!inf.finished()) {
-              val n = inf.inflate(tmp)
-              if (n == 0 && !inf.finished()) return None
-              buf.write(tmp, 0, n)
-            }
-            if (inf.getBytesRead > csize) return None
-          } catch { case _: java.util.zip.DataFormatException => return None } finally inf.end()
-          buf.toByteArray
+          // from-scratch RFC 1951 path (x264) or the JDK twin under the
+          // conformance toggle: input bounded to the central-directory
+          // csize, output to usize (a member producing more lies)
+          if (usize > Int.MaxValue - 64) return None
+          Inflate.rawDispatch(b, dataOff, dataOff + csize.toInt, usize.toInt) match {
+            case Some(o) => o.data
+            case None    => return None
+          }
         }
       if (body.length.toLong != usize) return None
       val c = new CRC32(); c.update(body)
