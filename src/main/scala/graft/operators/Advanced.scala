@@ -1066,6 +1066,40 @@ object Advanced {
           (est >= col("exact_rows")).as("upper_bound_holds")
         )
     }),
+    // Stats-FED join planning (x265) — the r8 verdict's "statistics as
+    // input" task: x129's histograms and x132's count-min sketches,
+    // persisted per (table, column) (sources/JoinStats, fingerprint-
+    // guarded), feed graft's THIRD optimizer rule (StatsJoinRule). The
+    // query is a DELIBERATELY mis-ordered 3-chain — the big-big
+    // lineitem⋈orders join written FIRST, the 15-customer stripe last;
+    // with the rule on, the greedy reorder must pull (orders ⋈ customer)
+    // to the bottom and broadcast-hint the stripe. The gate row carries
+    // the aggregate (hash-matched against DuckDB — the rule may change
+    // the PLAN, never the RESULT) plus the plan census: deepest-join
+    // tables with the rule ON and OFF (the x121 contrast discipline) and
+    // the injected-hint boolean. Conservative bail-outs (inner equi-only,
+    // fresh stats, ≥2× estimated gain) are StatsJoinSpec territory.
+    "x265_stats_join_reorder" -> ((s, d) => {
+      graft.sources.JoinStats.ensure(s, d)
+      import s.implicits._
+      def q = {
+        val li = table(s, d, "lineitem")
+          .select(col("l_orderkey"), expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        val ord = table(s, d, "orders").select("o_orderkey", "o_custkey")
+        val cust = table(s, d, "customer").where(col("c_custkey") < 15).select("c_custkey", "c_nationkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+      }
+      val (on, fired) = org.apache.spark.sql.graftbridge.Bridge.statsJoin(q)
+      require(fired, "x265: StatsJoinRule did not fire on the mis-ordered chain")
+      val (pairOn, bcastOn) = graft.sources.JoinStats.planAudit(on)
+      val (pairOff, bcastOff) = graft.sources.JoinStats.planAudit(q)
+      val audit = Seq((pairOn, bcastOn, pairOff, bcastOff))
+        .toDF("deepest_on", "bcast_on", "deepest_off", "bcast_off")
+      on.crossJoin(broadcast(audit)).orderBy("c_nationkey")
+    }),
     // HyperLogLog NDV sketch (x120) — the FIFTH native mergeable aggregate,
     // completing the sketch family: KMV (exact k-min state), Misra–Gries
     // (heavy-hitter membership), count-min (frequency), quantile (ranks),
@@ -2685,6 +2719,18 @@ object Advanced {
         |  CAST(ex.exact_rows AS BIGINT) AS exact_rows,
         |  (SELECT min(dot) FROM dots) >= ex.exact_rows AS upper_bound_holds
         |FROM ex""".stripMargin,
+    // x265: the DEFINITIONAL join (any order — the rule may change the
+    // plan, never the result) plus the expected plan census as literals:
+    // reordered deepest pair, injected broadcast hint, untouched twin.
+    "x265_stats_join_reorder" ->
+      """SELECT c_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  'customer,orders' AS deepest_on, TRUE AS bcast_on,
+        |  'lineitem,orders' AS deepest_off, FALSE AS bcast_off
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey < 15
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // x120: full register replay — HLL registers are per-slot maxes
     // (order-free), so the oracle rebuilds all 256 registers per group
     // from the same md5 formula (bin() = exact integer bit length), then

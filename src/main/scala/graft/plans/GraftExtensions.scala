@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: eager aggregation below provably-safe inner joins
     // (disable per session via spark.graft.eagerAgg.enabled=false)
     ext.injectOptimizerRule(_ => EagerAggRule)
+    // optimizer rewrite: stats-fed broadcast hints + inner-join-chain
+    // reorder from the persisted x129/x132 statistics artifact
+    // (OPT-IN per session via spark.graft.statsJoin.enabled=true after
+    // graft.sources.JoinStats.ensure wires the provider)
+    ext.injectOptimizerRule(_ => StatsJoinRule)
   }
 }
 

@@ -75,6 +75,25 @@ object Bridge {
     )
   }
 
+  /** Apply [[StatsJoinRule]] to a frame's analyzed plan and return the
+    * rewritten frame plus whether it changed — the explicit, session-
+    * isolated invocation the x265 gate uses (the `spark.sql.extensions`
+    * path applies the same rule session-wide behind
+    * spark.graft.statsJoin.enabled). */
+  def statsJoin(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Boolean) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val analyzed = ds.queryExecution.analyzed
+    val rewritten = StatsJoinRule.rewrite(analyzed)
+    (
+      org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, rewritten),
+      !rewritten.fastEquals(analyzed)
+    )
+  }
+
+  /** a frame's analyzed logical plan (plan-audit hook) */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
+
   /** Register a function builder on a live session (the runtime counterpart
     * of wiring `spark.sql.extensions=graft.plans.GraftExtensions` at
     * session build time). */

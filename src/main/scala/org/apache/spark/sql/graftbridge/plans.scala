@@ -387,3 +387,340 @@ object EagerAggRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan
     Some(Aggregate(agg.groupingExpressions, newAggExprs, newJoin, None))
   }
 }
+
+// ---------------------------------------------------------------------------
+// Stats-fed join planning (x265) — graft's THIRD optimizer rule, closing the
+// loop from "statistics as output" (x129 equi-depth histograms, x132
+// count-min join-size estimates — both gate-checked instruments) to
+// "statistics as input": a persisted stats artifact (sources/JoinStats)
+// feeds cardinality estimates into two planning decisions, with the
+// EagerAggRule school of conservative bail-outs so the rule can change
+// PLANS but never RESULTS.
+// ---------------------------------------------------------------------------
+
+/** per-column statistics the rule consumes (built by sources/JoinStats):
+  * NDV, equi-depth bounds (x129 shape), count-min sketch (x132 shape). */
+case class GraftColStats(ndv: Long, bounds: Array[Double], cm: Array[Long], depth: Int, width: Int)
+
+/** per-table statistics: row count + column stats by column name */
+case class GraftTableStats(rows: Long, cols: Map[String, GraftColStats])
+
+/** Stats-fed inner-join planning:
+  *
+  *   (a) BROADCAST side selection — a join side whose estimated rows
+  *       (table rows × filter selectivity from the x129 histogram) fall
+  *       under `spark.graft.statsJoin.broadcastRows` while the other side
+  *       is ≥4× larger gets a logical BROADCAST hint;
+  *   (b) JOIN REORDER — a 3+-relation inner equi-join chain is flattened
+  *       and greedily re-ordered by estimated intermediate size (pairwise
+  *       size = min of the x132 count-min inner product and the classic
+  *       |A|·|B|/max(ndv) containment estimate, each scaled by filter
+  *       selectivity), rebuilt left-deep ONLY when the estimated
+  *       intermediate total improves by `spark.graft.statsJoin.minGain`.
+  *
+  * Conservative bail-outs (the x160 discipline): INNER joins only, every
+  * condition a pure attr=attr conjunction, every leaf a Project/Filter
+  * chain over a parquet scan with registered FRESH stats (the provider is
+  * wired — and invalidated — by sources/JoinStats' fingerprint guard; no
+  * stats, no rewrite), hints only where none exist, and a final Project
+  * pins the original output order so the rewrite is invisible to parents.
+  * Reorder preserves semantics unconditionally (inner-join commutativity/
+  * associativity; every conjunct is re-applied at the first level where
+  * both sides are present, the rest on top). Disabled by default; enable
+  * per session via spark.graft.statsJoin.enabled=true.
+  */
+object StatsJoinRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  /** wired by graft.sources.JoinStats.ensure(); table name → stats */
+  @volatile var provider: Map[String, GraftTableStats] = Map.empty
+
+  private def conf(key: String, dflt: String): String =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, dflt)
+  private def enabled: Boolean = conf("spark.graft.statsJoin.enabled", "false") == "true"
+  private def broadcastRows: Long = conf("spark.graft.statsJoin.broadcastRows", "200000").toLong
+  private def minGain: Double = conf("spark.graft.statsJoin.minGain", "2.0").toDouble
+
+  /** estimated leaf: rows after filters + the underlying table name */
+  private case class Est(table: String, rows: Double)
+
+  private def tableOf(p: LogicalPlan): Option[String] = p match {
+    case l: LogicalRelation =>
+      l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.getName.stripSuffix(".parquet"))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  /** equi-depth fraction of rows with value ≤ v (x129 bounds) */
+  private def fracLe(bounds: Array[Double], v: Double): Double = {
+    if (bounds == null || bounds.length < 2) return 1.0
+    val b = bounds.length - 1
+    if (v < bounds(0)) return 0.0
+    if (v >= bounds(b)) return 1.0
+    var i = 0
+    while (i < b && bounds(i + 1) <= v) i += 1
+    val lo = bounds(i); val hi = bounds(i + 1)
+    val within = if (hi > lo) (v - lo) / (hi - lo) else 1.0
+    (i + within) / b
+  }
+
+  /** a foldable comparand's numeric value (the analyzer wraps literals in
+    * type-adjusting Casts — fold, don't pattern-match Literal) */
+  private def foldNum(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else
+      e.eval() match {
+        case n: Number            => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _                    => None
+      }
+
+  /** selectivity of one conjunct against a table's stats; 1.0 = unknown */
+  private def selOf(e: Expression, st: GraftTableStats): Double = e match {
+    case EqualTo(a: Attribute, v) if v.foldable =>
+      st.cols.get(a.name).map(c => 1.0 / math.max(1L, c.ndv)).getOrElse(1.0)
+    case EqualTo(v, a: Attribute) if v.foldable => selOf(EqualTo(a, v), st)
+    case LessThan(a: Attribute, v) if v.foldable =>
+      (st.cols.get(a.name), foldNum(v)) match {
+        case (Some(c), Some(x)) => fracLe(c.bounds, x)
+        case _                  => 1.0
+      }
+    case LessThanOrEqual(a: Attribute, v) if v.foldable => selOf(LessThan(a, v), st)
+    case GreaterThan(a: Attribute, v) if v.foldable =>
+      (st.cols.get(a.name), foldNum(v)) match {
+        case (Some(c), Some(x)) => 1.0 - fracLe(c.bounds, x)
+        case _                  => 1.0
+      }
+    case GreaterThanOrEqual(a: Attribute, v) if v.foldable => selOf(GreaterThan(a, v), st)
+    case LessThan(v, a: Attribute) if v.foldable            => selOf(GreaterThan(a, v), st)
+    case LessThanOrEqual(v, a: Attribute) if v.foldable     => selOf(GreaterThanOrEqual(a, v), st)
+    case GreaterThan(v, a: Attribute) if v.foldable         => selOf(LessThan(a, v), st)
+    case GreaterThanOrEqual(v, a: Attribute) if v.foldable  => selOf(LessThanOrEqual(a, v), st)
+    case In(a: Attribute, vs) if vs.forall(_.foldable) =>
+      st.cols.get(a.name).map(c => math.min(1.0, vs.size.toDouble / math.max(1L, c.ndv))).getOrElse(1.0)
+    case _ => 1.0 // unknown predicates never shrink an estimate
+  }
+
+  /** estimate a leaf subplan: Projects (row-count-neutral) and Filters
+    * over a registered parquet scan; anything else is unestimable (bail) */
+  private def estimate(p: LogicalPlan): Option[Est] = p match {
+    case Project(_, c) => estimate(c)
+    case Filter(cond, c) =>
+      estimate(c).map { e =>
+        val st = provider(e.table)
+        val sel = conjuncts(cond).map(selOf(_, st)).product
+        e.copy(rows = math.max(1.0, e.rows * sel))
+      }
+    case l: LogicalRelation =>
+      tableOf(l).flatMap(t => provider.get(t).map(st => Est(t, st.rows.toDouble)))
+    case _ => None
+  }
+
+  /** the (table, column-stats) a join-key attribute resolves to */
+  private def colStatsOf(leaf: LogicalPlan, a: Attribute): Option[GraftColStats] =
+    estimate(leaf).flatMap(e => provider(e.table).cols.get(a.name))
+
+  /** x132 count-min inner product: an upper bound on Σ f_A(k)·f_B(k) */
+  private def cmInner(a: GraftColStats, b: GraftColStats): Option[Double] = {
+    if (a.cm == null || b.cm == null || a.depth != b.depth || a.width != b.width) return None
+    if (a.cm.length != a.depth * a.width || b.cm.length != a.depth * a.width) return None
+    var best = Double.MaxValue
+    var d = 0
+    while (d < a.depth) {
+      var s = 0.0
+      var w = 0
+      while (w < a.width) { s += a.cm(d * a.width + w).toDouble * b.cm(d * a.width + w); w += 1 }
+      if (s < best) best = s
+      d += 1
+    }
+    Some(best)
+  }
+
+  /** pairwise join-size estimate across one equi-condition */
+  private def joinEst(
+      lLeaf: LogicalPlan,
+      lEst: Est,
+      lKey: Attribute,
+      rLeaf: LogicalPlan,
+      rEst: Est,
+      rKey: Attribute
+  ): Double = {
+    val lc = colStatsOf(lLeaf, lKey)
+    val rc = colStatsOf(rLeaf, rKey)
+    val lSel = lEst.rows / math.max(1.0, provider(lEst.table).rows.toDouble)
+    val rSel = rEst.rows / math.max(1.0, provider(rEst.table).rows.toDouble)
+    val byNdv = (lc, rc) match {
+      case (Some(a), Some(b)) =>
+        lEst.rows * rEst.rows / math.max(1.0, math.max(a.ndv, b.ndv).toDouble)
+      case _ => lEst.rows * rEst.rows
+    }
+    val byCm = for { a <- lc; b <- rc; ip <- cmInner(a, b) } yield ip * lSel * rSel
+    math.max(1.0, byCm.fold(byNdv)(c => math.min(c, byNdv)))
+  }
+
+  /** flatten a maximal hint-free inner-join chain */
+  private def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) = p match {
+    case Join(l, r, Inner, cond, hint) if hint == JoinHint.NONE =>
+      val (ls, lc) = flatten(l)
+      val (rs, rc) = flatten(r)
+      (ls ++ rs, lc ++ rc ++ cond.map(conjuncts).getOrElse(Nil))
+    case other => (Seq(other), Nil)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || provider.isEmpty) plan else rewrite(plan)
+
+  /** the rewrite itself, independent of the session toggle — the explicit
+    * Bridge.statsJoin invocation path (x265); no stats, no rewrite. */
+  def rewrite(plan: LogicalPlan): LogicalPlan =
+    if (provider.isEmpty) plan
+    else {
+      val reordered = plan.transformDown { case j: Join => reorder(j).getOrElse(j) }
+      reordered.transformUp {
+        case j @ Join(l, r, Inner, Some(cond), hint)
+            if hint == JoinHint.NONE &&
+              conjuncts(cond).forall {
+                case EqualTo(_: Attribute, _: Attribute) => true
+                case _                                   => false
+              } =>
+          (estimate(l), estimate(r)) match {
+            case (Some(el), Some(er)) if er.rows <= broadcastRows && el.rows >= 4 * er.rows =>
+              j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+            case (Some(el), Some(er)) if el.rows <= broadcastRows && er.rows >= 4 * el.rows =>
+              j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+            case _ => j
+          }
+      }
+    }
+
+  private def reorder(top: Join): Option[LogicalPlan] = {
+    if (top.joinType != Inner || top.hint != JoinHint.NONE) return None
+    val (rels, conds) = flatten(top)
+    if (rels.size < 3 || rels.size > 8 || conds.isEmpty) return None
+    val pairs = conds.map {
+      case eq @ EqualTo(_: Attribute, _: Attribute) => eq
+      case _                                        => return None
+    }
+    val ests = rels.map(estimate)
+    if (ests.exists(_.isEmpty)) return None
+    val est = rels.zip(ests.flatten).toMap
+    def sideOf(a: Attribute): Option[LogicalPlan] = rels.find(_.outputSet.contains(a))
+    // every conjunct must connect exactly two known relations
+    val edges: Seq[(LogicalPlan, Attribute, LogicalPlan, Attribute)] = pairs.map { eq =>
+      val (a, b) = (eq.left.asInstanceOf[Attribute], eq.right.asInstanceOf[Attribute])
+      (sideOf(a), sideOf(b)) match {
+        case (Some(x), Some(y)) if x ne y => (x, a, y, b)
+        case _                            => return None
+      }
+    }
+    // greedy left-deep order: cheapest connected pair, then cheapest
+    // marginal relation; estimates compose multiplicatively by the
+    // connecting key's containment factor
+    def pairCost(x: LogicalPlan, y: LogicalPlan): Option[Double] = {
+      val es = edges.collect {
+        case (a, ka, b, kb) if (a eq x) && (b eq y) => joinEst(a, est(a), ka, b, est(b), kb)
+        case (a, ka, b, kb) if (a eq y) && (b eq x) => joinEst(a, est(a), ka, b, est(b), kb)
+      }
+      if (es.isEmpty) None else Some(es.min)
+    }
+    val all = rels.toIndexedSeq
+    var bestPair: Option[(Int, Int, Double)] = None
+    for (i <- all.indices; k <- all.indices if k > i)
+      pairCost(all(i), all(k)).foreach { c =>
+        if (bestPair.forall(_._3 > c)) bestPair = Some((i, k, c))
+      }
+    val (i0, k0, c0) = bestPair.getOrElse(return None)
+    var order = Vector(all(i0), all(k0))
+    var curEst = c0
+    var cost = c0
+    var remaining = all.indices.filterNot(i => i == i0 || i == k0).map(all).toBuffer
+    while (remaining.nonEmpty) {
+      // marginal factor of adding r: the best connecting key's 1/max(ndv)
+      // containment, times r's estimated rows
+      def marginal(r: LogicalPlan): Option[Double] = {
+        val fs = edges.collect {
+          case (a, ka, b, kb) if (a eq r) && order.exists(_ eq b) =>
+            val ndv = math.max(
+              colStatsOf(a, ka).map(_.ndv).getOrElse(1L),
+              colStatsOf(b, kb).map(_.ndv).getOrElse(1L)
+            )
+            est(r).rows / math.max(1.0, ndv.toDouble)
+          case (a, ka, b, kb) if (b eq r) && order.exists(_ eq a) =>
+            val ndv = math.max(
+              colStatsOf(a, ka).map(_.ndv).getOrElse(1L),
+              colStatsOf(b, kb).map(_.ndv).getOrElse(1L)
+            )
+            est(r).rows / math.max(1.0, ndv.toDouble)
+        }
+        if (fs.isEmpty) None else Some(fs.min)
+      }
+      val cands = remaining.flatMap(r => marginal(r).map(f => (r, math.max(1.0, curEst * f))))
+      if (cands.isEmpty) return None // disconnected chain: never cross-join
+      val (next, nextEst) = cands.minBy(_._2)
+      order :+= next
+      curEst = nextEst
+      cost += nextEst
+      remaining -= next
+    }
+    if (order.map(System.identityHashCode) == all.map(System.identityHashCode)) return None
+    // original left-deep cost under the SAME estimator, for the guard band
+    var oEst = {
+      val c = pairCost(all(0), all(1))
+      c.getOrElse(est(all(0)).rows * est(all(1)).rows)
+    }
+    var oCost = oEst
+    for (i <- 2 until all.size) {
+      val fs = edges.collect {
+        case (a, ka, b, kb) if (a eq all(i)) && all.take(i).exists(_ eq b) =>
+          est(all(i)).rows / math.max(
+            1.0,
+            math
+              .max(colStatsOf(a, ka).map(_.ndv).getOrElse(1L), colStatsOf(b, kb).map(_.ndv).getOrElse(1L))
+              .toDouble
+          )
+        case (a, ka, b, kb) if (b eq all(i)) && all.take(i).exists(_ eq a) =>
+          est(all(i)).rows / math.max(
+            1.0,
+            math
+              .max(colStatsOf(a, ka).map(_.ndv).getOrElse(1L), colStatsOf(b, kb).map(_.ndv).getOrElse(1L))
+              .toDouble
+          )
+      }
+      oEst = math.max(1.0, oEst * (if (fs.isEmpty) est(all(i)).rows else fs.min))
+      oCost += oEst
+    }
+    if (cost * minGain > oCost) return None // guard band: not clearly better
+    // rebuild left-deep: each conjunct lands at the first level where both
+    // sides are available; anything left (none, given the edge check)
+    // would go to a Filter on top
+    var used = scala.collection.mutable.Set.empty[Int]
+    var cur: LogicalPlan = order.head
+    var avail = AttributeSet(order.head.output)
+    for (r <- order.tail) {
+      val nowAvail = avail ++ AttributeSet(r.output)
+      val here = pairs.zipWithIndex.filter { case (eq, idx) =>
+        !used.contains(idx) && eq.references.subsetOf(nowAvail)
+      }
+      here.foreach { case (_, idx) => used += idx }
+      val cond = here.map(_._1).reduceOption[Expression](And)
+      cur = Join(cur, r, Inner, cond, JoinHint.NONE)
+      avail = nowAvail
+    }
+    val leftover = pairs.zipWithIndex.filterNot { case (_, idx) => used.contains(idx) }.map(_._1)
+    val body = leftover.reduceOption[Expression](And).map(Filter(_, cur)).getOrElse(cur)
+    // pin the original column order so the rewrite is invisible upstream
+    Some(Project(top.output, body))
+  }
+}
