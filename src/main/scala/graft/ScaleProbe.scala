@@ -481,7 +481,13 @@ object ScaleProbe {
       // sketch sweep: one agg pass per 16x key stream
       "x261_sketch_accuracy",
       // learning curve: 3 x228 trainings over the 16x clone corpus
-      "x262_learning_curve"
+      "x262_learning_curve",
+      // manifest-tree range plan: 16x cow fixture rebuild + pruned read
+      "x263_mtree_range_plan",
+      // stats-fed reorder: stats build over 16x tables + the 3-chain
+      "x265_stats_join_reorder",
+      // incremental index: 16x corpus split-build + segment lookup
+      "x266_incremental_index"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

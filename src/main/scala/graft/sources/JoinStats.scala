@@ -70,13 +70,20 @@ object JoinStats {
     val qs = (0 to Buckets).map(i => i.toDouble / Buckets)
     val frames = specs.map { case (t, cols) =>
       val df = graft.Graft.table(s, d, t)
+      // TWO passes by necessity, not style (16×-probe-found): countDistinct
+      // plans through EXPAND, turning the partial aggregate's grouping into
+      // the distinct keys — and a TypedImperativeAggregate in the same agg
+      // then carries its 256 KB sketch buffer PER EXPANDED GROUP (a ~600 GB
+      // shuffle at 16×). Sketch/percentile aggregates stay global here;
+      // the distinct census runs alone (the ordinary q12 expand shape).
       val aggs = cols.flatMap { c =>
         Seq(
-          countDistinct(col(c)).as(s"${c}__ndv"),
           graft.functions.CountMin(col(c).cast("string"), Depth, Width).as(s"${c}__cm"),
           percentile_approx(col(c).cast("double"), lit(qs.toArray), lit(2000)).as(s"${c}__bounds")
         )
       } :+ count(lit(1)).as("__rows")
+      val ndvAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__ndv"))
+      val rNdv = df.agg(ndvAggs.head, ndvAggs.tail: _*).collect().head
       val r = df.agg(aggs.head, aggs.tail: _*).collect().head
       import s.implicits._
       cols
@@ -85,7 +92,7 @@ object JoinStats {
             t,
             c,
             r.getAs[Long]("__rows"),
-            r.getAs[Long](s"${c}__ndv"),
+            rNdv.getAs[Long](s"${c}__ndv"),
             Option(r.getAs[scala.collection.Seq[Any]](s"${c}__bounds"))
               .map(_.map(v => if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue()).toArray)
               .getOrElse(Array.empty[Double]),
