@@ -987,6 +987,37 @@ object Warehouse {
         .crossJoin(broadcast(acct))
         .orderBy("bucket")
     }),
+    // Manifest COMMIT census (x267) — x263 pins the READ side of the
+    // tree; this pins the WRITE side's carry-by-reference IN the gate.
+    // The censused commit is the CLONE's divergence merge (its mod-11
+    // bucket stripe is SPARSER than the 8-bucket group span, so all
+    // three statuses are load-bearing — the main fixture's mod-5/mod-7
+    // stripes touch every group): the clone v1→v2 merge must rewrite
+    // exactly the groups holding upsert-stripe buckets, ADD the far
+    // insert bucket's group, and carry every other group as a
+    // PATH-IDENTICAL list row (zero metadata bytes rewritten). The two
+    // snapshot LISTS join on group id, every group classifies carried
+    // (mpath equal) / rewritten (differs) / added (v2-only), and the
+    // oracle recomputes the census from the stacked change formulas —
+    // a commit that rewrites one group too many (or copies instead of
+    // carrying) flips the hash.
+    "x267_manifest_commit_census" -> ((s, d) => {
+      val ct = graft.sources.CowTable
+      ct.ensureClone(s, d)
+      val l1 = s.read.parquet(ct.manifestDir(1, ct.cloneDir)).select(col("g"), col("mpath").as("m1"))
+      val l2 = s.read.parquet(ct.manifestDir(2, ct.cloneDir)).select(col("g"), col("mpath").as("m2"))
+      l1.join(l2, Seq("g"), "full_outer")
+        .select(
+          when(col("m1").isNull, lit("added"))
+            .when(col("m2").isNull, lit("dropped"))
+            .when(col("m1") === col("m2"), lit("carried"))
+            .otherwise(lit("rewritten"))
+            .as("status")
+        )
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy("status")
+    }),
     // Late-data watermark profile (x194) — the batch diagnostic that
     // SIZES the streaming layer's watermarks (every `withWatermark` in
     // EventStreams hardcodes a delay; this measures what a delay WOULD
@@ -2735,6 +2766,27 @@ object Warehouse {
         |SELECT c.bucket, c.n_rows, c.total_cents,
         |  a.n_groups_total, a.n_groups_read, a.n_files_read, a.n_rows_planned
         |FROM content c, acct a ORDER BY c.bucket""".stripMargin,
+    // x267: the commit census from the stacked change formulas — clone
+    // v1 = source v2 state (update stripe + 10M inserts); its divergence
+    // merge touches the mod-11 upsert-stripe buckets (only those holding
+    // a k%113 key) plus the 20M insert bucket; groups split into
+    // rewritten / added / carried accordingly.
+    "x267_manifest_commit_census" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderkey // 1024 AS bucket FROM orders),
+        |v2src AS (
+        |  SELECT k, bucket FROM base
+        |  UNION ALL
+        |  SELECT 10000000 + i, (10000000 + i) // 1024 FROM (SELECT unnest(range(50)) AS i)),
+        |g1 AS (SELECT DISTINCT bucket // 8 AS g FROM v2src),
+        |tb AS (SELECT DISTINCT bucket FROM base WHERE k % 113 = 0 AND bucket % 11 = 4
+        |       UNION SELECT DISTINCT (20000000 + i) // 1024 FROM (SELECT unnest(range(20)) AS i)),
+        |tg AS (SELECT DISTINCT bucket // 8 AS g FROM tb),
+        |st AS (
+        |  SELECT g, CASE WHEN g IN (SELECT g FROM tg) THEN 'rewritten' ELSE 'carried' END AS status
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT g, 'added' FROM tg WHERE g NOT IN (SELECT g FROM g1))
+        |SELECT status, count(*) AS n_groups FROM st GROUP BY status ORDER BY status""".stripMargin,
     // the MV increment law's oracle is the DIRECT v3 view — the gate's
     // incrementally-maintained numbers must land on it exactly
     // x155: the FULL recompute over the reunified tables — incremental
