@@ -493,6 +493,108 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+
+    // DEFLATE/zlib/gzip ENCODE (x268) — x264's conformance split run in
+    // REVERSE: the from-scratch encoder (LZ77 hash chains, per-payload
+    // stored/fixed/dynamic cost pick, package-merge length-limited codes,
+    // RFC 1950/1952 wrappers) writes every stream, and the OFFICIAL
+    // implementation (JDK Inflater/GZIPInputStream — zlib itself) must
+    // decode it byte-exactly (`jdk_match`); graft's own x264 decoder must
+    // agree (`self_match`); `auto_min` pins the cost MODEL against the
+    // emitters (the auto pick may never lose to a forced strategy by more
+    // than the stored path's ≤7-bit alignment pessimism = 1 byte). The
+    // strategy dimension forces each block type so all three emitters are
+    // load-bearing; content classes and the oracle CTE are x264's own.
+    "x268_deflate_encode" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("wrapper", LongType),
+          StructField("strategy", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jdk_match", BooleanType),
+          StructField("self_match", BooleanType),
+          StructField("auto_min", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{Deflate, Inflate, InflateFixture}
+      s.range(240)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = { md.reset(); md.digest(b).map(x => f"${x & 0xff}%02x").mkString }
+          def jdkDecode(wrapper: Int, comp: Array[Byte]): Option[Array[Byte]] = wrapper match {
+            case 0 =>
+              try {
+                val g = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(comp))
+                val bos = new java.io.ByteArrayOutputStream()
+                val tmp = new Array[Byte](8192)
+                var n = g.read(tmp)
+                while (n >= 0) { bos.write(tmp, 0, n); n = g.read(tmp) }
+                Some(bos.toByteArray)
+              } catch { case _: java.io.IOException => None }
+            case 1 =>
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(comp)
+              val bos = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](8192)
+              try {
+                var ok = true
+                while (ok && !inf.finished()) {
+                  val n = inf.inflate(tmp)
+                  bos.write(tmp, 0, n)
+                  if (n == 0 && !inf.finished() && (inf.needsInput() || inf.needsDictionary())) ok = false
+                }
+                if (ok) Some(bos.toByteArray) else None
+              } catch { case _: java.util.zip.DataFormatException => None } finally inf.end()
+            case _ => Inflate.rawJdk(comp, 0, comp.length, 16 << 20).map(_.data)
+          }
+          it.map { r =>
+            val z = r.getLong(0)
+            val data = InflateFixture.content(z).getBytes("UTF-8")
+            val wrapper = (z % 3).toInt
+            val strategy = ((z / 3) % 3).toInt
+            val allow = strategy match {
+              case 0 => Deflate.AllowStored
+              case 1 => Deflate.AllowFixed
+              case _ => Deflate.AllowAll
+            }
+            val comp = wrapper match {
+              case 0 => Deflate.gzipCompress(data, allow)
+              case 1 => Deflate.zlibCompress(data, allow)
+              case _ => Deflate.deflateRaw(data, allow)
+            }
+            val jdk = jdkDecode(wrapper, comp)
+            val self: Option[Array[Byte]] = wrapper match {
+              case 0 => Inflate.gunzip(comp, 16 << 20)
+              case 1 => Inflate.zlib(comp, 16 << 20)
+              case _ => Inflate.raw(comp, 0, comp.length, 16 << 20).map(_.data)
+            }
+            val autoLen = Deflate.deflateRaw(data).length
+            val forcedMin = Seq(Deflate.AllowStored, Deflate.AllowFixed, Deflate.AllowDynamic)
+              .map(a => Deflate.deflateRaw(data, a).length)
+              .min
+            jdk match {
+              case Some(d) =>
+                Row(
+                  z,
+                  wrapper.toLong,
+                  strategy.toLong,
+                  d.length.toLong,
+                  hex(d),
+                  d.sameElements(data),
+                  self.exists(_.sameElements(data)),
+                  autoLen <= forcedMin + 1
+                )
+              case None => Row(z, wrapper.toLong, strategy.toLong, null, null, false, false, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -1522,6 +1624,26 @@ object Multimodal {
         |SELECT z AS blob_id, CAST(z % 3 AS BIGINT) AS kind,
         |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
         |  TRUE AS jdk_match
+        |FROM c ORDER BY blob_id""".stripMargin,
+    // x268: the encode twin — same content formulas; the md5 column is
+    // computed from what ZLIB ITSELF decoded out of OUR stream, so a
+    // hash match proves the official implementation accepted the
+    // from-scratch encoder's bytes and recovered the exact plaintext.
+    "x268_deflate_encode" ->
+      """WITH zs AS (SELECT range AS z FROM range(240)),
+        |c0 AS (SELECT z, string_agg('w' || ((z*13 + i*7) % 31) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 199 + z % 300)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |c1 AS (SELECT z, repeat(chr(65 + CAST(z % 26 AS INT)), CAST(500 + z % 700 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 1),
+        |c2 AS (SELECT z, string_agg(md5('inf' || z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 3 + z % 8)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, string_agg('L,' || z || ',' || i || ',' || (z*19 + i*11) || chr(10), '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 9 + z % 20)) t(i) WHERE z % 4 = 3 GROUP BY z),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(z % 3 AS BIGINT) AS wrapper,
+        |  CAST((z // 3) % 3 AS BIGINT) AS strategy,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
+        |  TRUE AS jdk_match, TRUE AS self_match, TRUE AS auto_min
         |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
