@@ -1996,6 +1996,34 @@ object Advanced {
         .orderBy("s_name")
     }),
 
+    // Measured-skew-fed salting (x270) — q38 chose its salt factor by
+    // hand; here the factor is CHOSEN BY A MEASUREMENT, extending the
+    // x265 stats-as-input loop from logical planning into physical skew
+    // handling. A deliberately skewed derived key (70% of lineitem on one
+    // value) is censused exactly (one partial-agg pass, ≤998 shuffled
+    // rows), the integer advice formula picks the salt count
+    // (share 0.7 × parallelism 32 → ceil 22.4 → clamped 16), and the
+    // salted join must produce the identical aggregate the plain join
+    // does — advice AND result both hash-pinned. A uniform key would
+    // advise salts=1 and take the unsalted branch (SkewAdviceSpec).
+    "x270_adaptive_salt" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+        .withColumn("skey", expr("CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 997 END"))
+      val dim = li
+        .select(col("skey"))
+        .distinct()
+        .select(col("skey"), concat(lit("s"), col("skey")).as("sname"))
+      val (share, salts) = Skew.advisedSalts(li, "skey", parallelism = 32, maxSalts = 16)
+      val joined = if (salts <= 1) li.join(dim, "skey") else Skew.saltedJoin(li, dim, "skey", salts)
+      joined
+        .groupBy("sname")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("value"))
+        .orderBy(col("n_items").desc, col("sname"))
+        .limit(10)
+        .withColumn("salts_used", lit(salts.toLong))
+        .withColumn("share_e6", lit(share))
+    }),
+
     // sink round-trips INSIDE the gate: the aggregate is written through the
     // engine's CSV / JSON-lines sinks, read back with the schema-explicit
     // readers, and only then returned — while the oracle computes the same
@@ -3470,6 +3498,25 @@ object Advanced {
       """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS value
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // x270: the census, the integer advice formula, and the PLAIN join's
+    // aggregate — the salted execution may never change any of them.
+    "x270_adaptive_salt" ->
+      """WITH li AS (
+        |  SELECT *, CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 997 END AS skey
+        |  FROM lineitem),
+        |c AS (SELECT skey, count(*) AS c FROM li GROUP BY 1),
+        |m AS (SELECT (max(c) * 1000000) // sum(c) AS share_e6 FROM c),
+        |adv AS (
+        |  SELECT share_e6,
+        |    greatest(1, least(16, (share_e6 * 32 + 999999) // 1000000)) AS salts
+        |  FROM m),
+        |j AS (
+        |  SELECT 's' || skey AS sname, count(*) AS n_items,
+        |    round(sum(l_extendedprice), 2) AS value
+        |  FROM li GROUP BY 1)
+        |SELECT sname, n_items, value, CAST(salts AS BIGINT) AS salts_used,
+        |  CAST(share_e6 AS BIGINT) AS share_e6
+        |FROM j, adv ORDER BY n_items DESC, sname LIMIT 10""".stripMargin,
     "etl_sas7bdat_scan" ->
       """SELECT category, count(*) AS n, count(value) AS n_value,
         |  round(sum(value), 2) AS sum_value, count(comment) AS n_comment

@@ -237,7 +237,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** x271's span scan over (doc_id, t): boundary wherever the md5-window
+    * hash of the trailing 8 chars ≡ 0 (mod 32), plus the forced end-of-doc
+    * cut; a doc-partitioned lag window turns cuts into (prev, i] spans.
+    * Returns (doc_id, prev, i, chunk) — order-reconstructible. */
+  private[graft] def cdcSpans(docs: DataFrame): DataFrame = {
+    val W = 8
+    val B = 32L
+    val withN = docs.withColumn("n", length(col("t")).cast("long"))
+    val bounds = withN
+      .where(col("n") >= W + 1) // i ranges [W, n-1]; Spark sequence() would DESCEND on an empty range
+      .withColumn("i", explode(expr(s"sequence(CAST($W AS BIGINT), n - 1)")))
+      .where(graft.functions.Hashing.md5Bucket(expr(s"substring(t, CAST(i - ${W - 1} AS INT), $W)"), B) === 0)
+      .select(col("doc_id"), col("i"))
+    val cuts = bounds.unionByName(withN.select(col("doc_id"), col("n").as("i")))
+    val wd = Window.partitionBy("doc_id").orderBy("i")
+    cuts
+      .withColumn("prev", coalesce(lag("i", 1).over(wd), lit(0L)))
+      .join(docs.select("doc_id", "t"), "doc_id")
+      .select(
+        col("doc_id"),
+        col("prev"),
+        col("i"),
+        expr("substring(t, CAST(prev + 1 AS INT), CAST(i - prev AS INT))").as("chunk")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Content-defined chunking (x271) — the STORAGE-dedup face of the
+    // family (Muthitacharoen et al. LBFS SOSP'01 / rsync's rolling
+    // window): chunk boundaries are declared wherever the hash of the
+    // trailing 8-char window hits 0 mod 32, so boundaries move WITH the
+    // content — an insertion near a doc's head shifts every x115
+    // fixed-window chunk but leaves all CDC chunks after the next
+    // boundary intact (CdcChunkSpec proves the shift-robustness law).
+    // Pipeline: per-doc boundary scan (explode over char positions —
+    // corpus-linear, ~1 row/char like x07's token explode), a
+    // doc-partitioned lag window turns cuts into spans (bounded by doc
+    // length), then a corpus-wide chunk-hash census: total vs distinct
+    // chunks (the storage dedup ratio) + the 10 most-shared chunks.
+    // Everything is the md5-window integer convention → both engines
+    // replay bit-exactly.
+    "x271_cdc_chunks" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      val h = cdcSpans(docs)
+        .select(md5(col("chunk")).as("chh"), length(col("chunk")).cast("long").as("clen"))
+        .localCheckpoint() // two refs: census + top-10
+      val census = h
+        .agg(count(lit(1)).as("total_chunks"), countDistinct(col("chh")).as("distinct_chunks"))
+        .withColumn("dedup_ratio_e6", expr("(distinct_chunks * 1000000) div total_chunks"))
+      h.groupBy("chh")
+        .agg(count(lit(1)).as("cnt"), max("clen").as("chunk_len"))
+        .orderBy(col("cnt").desc, col("chh"))
+        .limit(10)
+        .crossJoin(broadcast(census))
+        .select("chh", "cnt", "chunk_len", "total_chunks", "distinct_chunks", "dedup_ratio_e6")
+        .orderBy(col("cnt").desc, col("chh"))
+    }),
     // Prefix-filtering set-similarity join (x207) — the PROVABLY COMPLETE
     // scale algorithm for threshold Jaccard joins (Chaudhuri et al. ICDE
     // 2006 / AllPairs; x02's inverted index caps hot shingles at df≤50,
@@ -1119,6 +1175,35 @@ object Dedup {
   }
 
   def oracles: Map[String, String] = Map(
+    // x271: the identical boundary scan, span window, and census in SQL —
+    // the md5-window arithmetic is the shared convention, so chunk hashes
+    // agree byte-for-byte.
+    "x271_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, i
+        |  FROM d, unnest(generate_series(8, n - 1)) s(i)
+        |  WHERE n >= 9
+        |    AND ('0x' || substr(md5(substr(t, CAST(i - 7 AS INT), 8)), 1, 15))::BIGINT % 32 = 0),
+        |cuts AS (SELECT doc_id, i FROM b UNION ALL SELECT doc_id, n AS i FROM d),
+        |sp AS (
+        |  SELECT doc_id, i, coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS prev
+        |  FROM cuts),
+        |ck AS (
+        |  SELECT substr(d.t, CAST(sp.prev + 1 AS INT), CAST(sp.i - sp.prev AS INT)) AS chunk
+        |  FROM sp JOIN d USING (doc_id)),
+        |h AS (SELECT md5(chunk) AS chh, length(chunk) AS clen FROM ck),
+        |census AS (
+        |  SELECT count(*) AS total_chunks, count(DISTINCT chh) AS distinct_chunks FROM h),
+        |top AS (
+        |  SELECT chh, count(*) AS cnt, max(clen) AS chunk_len
+        |  FROM h GROUP BY 1 ORDER BY cnt DESC, chh LIMIT 10)
+        |SELECT chh, CAST(cnt AS BIGINT) AS cnt, CAST(chunk_len AS BIGINT) AS chunk_len,
+        |  CAST(total_chunks AS BIGINT) AS total_chunks,
+        |  CAST(distinct_chunks AS BIGINT) AS distinct_chunks,
+        |  CAST((distinct_chunks * 1000000) // total_chunks AS BIGINT) AS dedup_ratio_e6
+        |FROM top, census ORDER BY cnt DESC, chh""".stripMargin,
     // x253: three suffixed band/cand/pred/metric CTE chains over the
     // shared truth — the x224 replay generalized to the sweep.
     "x253_band_sweep" -> {

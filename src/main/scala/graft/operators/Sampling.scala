@@ -130,6 +130,49 @@ object Sampling {
     // 9-slot argmax is a per-row array expression inside codegen (no
     // explode of keys × shards), both schemes ride ONE scan via a 2-way
     // struct explode, and the only shuffle is the 18-group aggregation.
+    // Priority sampling (x272, Duffield–Lund–Thorup JACM'07) — WEIGHTED
+    // sampling without replacement with an unbiased subset-sum estimator,
+    // the missing face next to x30's uniform hash sample and x26's budget
+    // cut: priority q_i = w_i/u_i with u_i the md5-window hash on the 2^60
+    // grid (deterministic "randomness", the repo convention), the sample
+    // is the top-k priorities, τ the (k+1)-th, and each sampled item
+    // estimates its Horvitz–Thompson share as max(w_i, τ) — Σ over the
+    // sample is unbiased for Σw. Everything integer: priorities in
+    // DECIMAL(38,0) (w·2^60 overflows int64 — the x234 fdiv discipline),
+    // est/err via posmod floor division. Scale shape: the top-(k+1) cut is
+    // TakeOrderedAndProject (no global window); the rank window runs on
+    // the 51-row shortlist (the x149/x201 post-limit class).
+    "x272_priority_sample" -> ((s, d) => {
+      val k = 50
+      val o = table(s, d, "orders")
+        .select(col("o_orderkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("w"))
+        .withColumn("h", greatest(Hashing.md5Window15(col("o_orderkey").cast("string")), lit(1L)))
+        .withColumn("q", expr("CAST(w AS DECIMAL(38,0)) * 1152921504606846976 div h"))
+      val short = o
+        .orderBy(col("q").desc, col("o_orderkey"))
+        .limit(k + 1)
+        .localCheckpoint() // two refs: τ row + the k sampled rows
+      val wr = Window.orderBy(col("q").desc, col("o_orderkey")) // 51-row shortlist
+      val ranked = short.withColumn("rk", row_number().over(wr).cast("long"))
+      val tau = ranked.where(col("rk") === (k + 1)).select(col("q").as("tau"))
+      val exact = table(s, d, "orders")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("exact_cents"))
+      val est = ranked
+        .where(col("rk") <= k)
+        .crossJoin(broadcast(tau))
+        .agg(sum(expr("greatest(CAST(w AS DECIMAL(38,0)), tau)")).as("e"))
+        .select(expr("CAST(e AS BIGINT)").as("est_cents"))
+      ranked
+        .where(col("rk") <= k)
+        .select("rk", "o_orderkey", "w")
+        .crossJoin(broadcast(est))
+        .crossJoin(broadcast(exact))
+        // |err| + sign, never a signed floor division (the x247 discipline)
+        .withColumn("abs_err_e6", expr("abs(est_cents - exact_cents) * 1000000 div exact_cents"))
+        .withColumn("err_sign", expr("CAST(sign(est_cents - exact_cents) AS BIGINT)"))
+        .orderBy("rk")
+    }),
+
     "x202_hrw_rebalance" -> ((s, d) => {
       table(s, d, "orders")
         .select(col("o_orderkey").as("key"))
@@ -1347,6 +1390,31 @@ object Sampling {
         |FROM rk, lo ORDER BY nk""".stripMargin,
     // x202: identical 9-slot argmax replay — same md5 window, same
     // first-position-of-max tiebreak, same 2-scheme union.
+    // x272: the full priority order replayed (DuckDB may window the whole
+    // table — it is the oracle, not the scale path), τ picked at rank
+    // k+1, the HT estimator in HUGEINT, |err| + sign (no signed floor
+    // division crosses the engines).
+    "x272_priority_sample" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+        |h AS (
+        |  SELECT o_orderkey, w,
+        |    greatest(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT, 1) AS h
+        |  FROM o),
+        |q AS (SELECT o_orderkey, w, (w::HUGEINT * 1152921504606846976) // h AS q FROM h),
+        |r AS (
+        |  SELECT o_orderkey, w, q,
+        |    row_number() OVER (ORDER BY q DESC, o_orderkey) AS rk
+        |  FROM q),
+        |tau AS (SELECT q AS tau FROM r WHERE rk = 51),
+        |est AS (
+        |  SELECT CAST(sum(greatest(w::HUGEINT, tau)) AS BIGINT) AS est_cents
+        |  FROM r, tau WHERE rk <= 50),
+        |ex AS (SELECT CAST(sum(w) AS BIGINT) AS exact_cents FROM o)
+        |SELECT CAST(rk AS BIGINT) AS rk, o_orderkey, w, est_cents, exact_cents,
+        |  CAST(abs(est_cents - exact_cents) * 1000000 // exact_cents AS BIGINT) AS abs_err_e6,
+        |  CAST(sign(est_cents - exact_cents) AS BIGINT) AS err_sign
+        |FROM r, est, ex WHERE rk <= 50 ORDER BY rk""".stripMargin,
     "x202_hrw_rebalance" ->
       """WITH k AS (SELECT o_orderkey AS key FROM orders),
         |w AS (SELECT key,

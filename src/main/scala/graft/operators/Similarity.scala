@@ -621,6 +621,22 @@ object Similarity {
         .orderBy("qid", "rk")
     }),
 
+    // Incremental IVF maintenance (x269) — x266's segment discipline on
+    // the VECTOR index: base (80% stripe) + two ingest deltas (10% each)
+    // assigned against FROZEN float32 centroids trained on the base alone;
+    // search probes 4 of 8 centroids, prunes every segment to the probed
+    // cid DIRECTORIES before reading, exact-ranks the union. `seg` pins
+    // segment composition in the output (delta vectors must surface in
+    // the top-5 lists); the oracle replays the full search from the
+    // persisted artifact (the x74 pattern) with seg recomputed from the
+    // stripe arithmetic. IncIvfSpec proves ingest is append-only (base
+    // mtimes), base∪deltas ≡ one-segment full assign, compaction folds
+    // reading only the index, and cid pruning survives segmentation.
+    "x269_incremental_ivf" -> ((s, d) => {
+      val dir = incIvfEnsure(s, d)
+      incIvfSearch(s, dir, table(s, d, "embeddings"), k = 5, nQueries = 10, nprobe = 4)
+    }),
+
     // IVF+PQ (IVFADC, Jégou et al. 2011): the 100 TB memory story for the
     // x74 index — posting-list entries carry an 8-nibble product-quantized
     // RESIDUAL code (one packed int64) instead of the float32 vector, so
@@ -1048,6 +1064,186 @@ object Similarity {
     * for the corpus at `d` and persist it under the warehouse, keyed by the
     * corpus path — the expensive half of IVF, run once per corpus. Returns
     * the index directory. */
+  // ------------------------------------------------ incremental IVF (x269)
+  // x266's segment discipline applied to the VECTOR index (the optional
+  // half of the r8 verdict's task 4): the IVF index becomes base + delta_N
+  // segments, each a self-contained cid-partitioned posting store. An
+  // ingest batch assigns its NEW vectors against the FROZEN float32
+  // centroids (one broadcast pass over the batch — the corpus and the
+  // existing segments are never opened) and APPENDS one segment; search
+  // probes nprobe centroids, prunes every segment to the probed cid
+  // directories BEFORE reading, and exact-ranks the union; a compaction
+  // verb folds segments reading only the index. Centroid retraining is a
+  // REBUILD, not an ingest — the honest production split (FAISS's
+  // add-with-frozen-coarse-quantizer arrangement).
+
+  private val incIvfCentSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "cvec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+      )
+    )
+  )
+  private val incIvfListSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid_p", org.apache.spark.sql.types.LongType)
+    )
+  )
+
+  private[graft] def incIvfSegments(dir: String): Seq[String] =
+    "" +: Option(new java.io.File(dir).listFiles())
+      .map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+      .map(_.getName)
+      .sorted
+
+  private def incIvfSegRoot(dir: String, seg: String): String =
+    if (seg.isEmpty) dir else s"$dir/$seg"
+
+  /** Assignment against the frozen float32 centroids: bit-exact f32 cosine
+    * (the gate arithmetic), ties to the lowest cid — so any segment split
+    * of the same vectors assigns identically. */
+  private def incIvfAssign(emb: DataFrame, centF: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centF))
+      .groupBy("vec_id")
+      .agg(max(struct(cosineF(col("embedding"), col("cvec")).as("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).cast("long").as("cid"))
+
+  /** One self-contained segment: cid-partitioned (vec_id, cid) lists. The
+    * cid rides both as a data column and as the partition key (`cid_p`) so
+    * the oracle reads plain files while pruning stays directory-level. */
+  private def incIvfWriteSegment(s: SparkSession, segRoot: String, emb: DataFrame, centF: DataFrame): Unit =
+    incIvfAssign(emb, centF)
+      .withColumn("cid_p", col("cid"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cid_p")
+      .parquet(s"$segRoot/lists")
+
+  private[graft] def incIvfWriteSegmentForTest(s: SparkSession, segRoot: String, emb: DataFrame, dir: String): Unit =
+    incIvfWriteSegment(s, segRoot, emb, s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids"))
+
+  /** Ingest a batch of NEW vectors as an appended delta segment — existing
+    * segments' files are never opened or rewritten; only the frozen
+    * centroid table (nlist tiny rows) is read. */
+  private[graft] def incIvfIngest(s: SparkSession, dir: String, batch: Int, emb: DataFrame): Unit =
+    incIvfWriteSegment(
+      s,
+      s"$dir/delta_$batch",
+      emb,
+      s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids")
+    )
+
+  /** Fold every delta segment into a fresh base — read cost is the INDEX
+    * (vec_id/cid pairs), never the embedding corpus. */
+  private[graft] def incIvfCompact(s: SparkSession, dir: String): Unit = {
+    val segs = incIvfSegments(dir)
+    if (segs.size <= 1) return
+    val lists = segs
+      .map(seg =>
+        s.read.schema(incIvfListSchema).parquet(s"${incIvfSegRoot(dir, seg)}/lists").select("vec_id", "cid", "cid_p")
+      )
+      .reduce(_.unionByName(_))
+      .localCheckpoint() // materialize before the dirs below are replaced
+    lists.write.mode("overwrite").partitionBy("cid_p").parquet(s"$dir/compact_lists")
+    def rm(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    rm(s"$dir/lists")
+    segs.filter(_.nonEmpty).foreach(seg => rm(s"$dir/$seg"))
+    java.nio.file.Files.move(
+      new java.io.File(s"$dir/compact_lists").toPath,
+      new java.io.File(s"$dir/lists").toPath
+    )
+  }
+
+  /** IVF top-k over base ∪ deltas: probe the nprobe nearest frozen
+    * centroids per query, collect the probed cid set (≤ nlist values — a
+    * planning unit, the x170/x266 bucket-list class), prune every
+    * segment's lists to those DIRECTORIES, and exact-rank the union.
+    * `seg` records which segment each neighbor came from, pinning segment
+    * composition in the output itself. */
+  private[graft] def incIvfSearch(
+      s: SparkSession,
+      dir: String,
+      emb: DataFrame,
+      k: Int,
+      nQueries: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val centF = s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids")
+    val q = emb
+      .join(broadcast(lowestIds(emb, nQueries)), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probes = q
+      .crossJoin(broadcast(centF))
+      .withColumn("ccos", cosineF(col("qe"), col("cvec")))
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= nprobe)
+      .select("qid", "qe", "cid")
+      .localCheckpoint() // two refs: probed-cid planning pull + the join
+    val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val lists = incIvfSegments(dir).zipWithIndex
+      .map { case (seg, i) =>
+        s.read
+          .schema(incIvfListSchema)
+          .parquet(s"${incIvfSegRoot(dir, seg)}/lists")
+          .where(col("cid_p").isInCollection(probedCids))
+          .select(col("vec_id"), col("cid"), lit(i.toLong).as("seg"))
+      }
+      .reduce(_.unionByName(_))
+    val corpus = lists
+      .join(emb.select(col("vec_id"), col("embedding").as("ne")), "vec_id")
+      .select(col("vec_id").as("nid"), col("ne"), col("cid"), col("seg"))
+    val wn = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probes
+      .join(corpus, Seq("cid"))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("cos", cosineF(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(wn).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), cosE6(col("cos")).as("cos_e6"), col("seg"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Gate fixture: frozen centroids trained on the 80% base stripe, base
+    * segment = that stripe, two ingest batches of 10% each —
+    * fingerprint-guarded per source dir (the x74 gate-artifact pattern). */
+  private[graft] def incIvfEnsure(s: SparkSession, d: String): String = synchronized {
+    val fp = graft.sources.Fingerprint.of(s, s"$d/embeddings.parquet", "incivf-v1-nlist8-it3")
+    val dir = s"/root/repo/spark-warehouse/graft_incivf_gate/${new java.io.File(d).getName}"
+    val marker = new java.io.File(s"$dir/src_key")
+    val current =
+      if (marker.exists()) new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
+    if (current != fp) {
+      val f = new java.io.File(dir)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val emb = table(s, d, "embeddings")
+      val base = emb.where(col("vec_id") % 10 < 8)
+      kmeansCentroids(s, base, nlist = 8, iters = 3)
+        .select(col("cid").cast("long").as("cid"), transform(col("cvec"), x => x.cast("float")).as("cvec"))
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/centroids")
+      val centF = s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids")
+      incIvfWriteSegment(s, dir, base, centF)
+      incIvfIngest(s, dir, 1, emb.where(col("vec_id") % 10 === 8))
+      incIvfIngest(s, dir, 2, emb.where(col("vec_id") % 10 === 9))
+      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+    }
+    dir
+  }
+
   private[graft] def ivfEnsureIndex(s: SparkSession, d: String, nlist: Int, iters: Int): String = synchronized {
     // Cache key includes a CONTENT fingerprint of the corpus files
     // (name/size/mtime), not just the path — regenerating the corpus at the
@@ -1602,6 +1798,45 @@ object Similarity {
         |SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6
         |FROM (
         |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |  FROM cand)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // x269: full search replay over the UNION of the persisted segments
+    // (base + both deltas, plain parquet globs under the cid_p dirs); the
+    // probe prune is semantic (JOIN on cid), so an artifact where pruning
+    // broke composition hash-diverges; seg is recomputed from the stripe
+    // arithmetic the fixture ingests by.
+    "x269_incremental_ivf" ->
+      """WITH c AS (
+        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/centroids/*.parquet'),
+        |l AS (
+        |  SELECT vec_id, cid, 0 AS seg
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/lists/*/*.parquet'
+        |  UNION ALL
+        |  SELECT vec_id, cid, 1 AS seg
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/delta_1/lists/*/*.parquet'
+        |  UNION ALL
+        |  SELECT vec_id, cid, 2 AS seg
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/delta_2/lists/*/*.parquet'),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |pr AS (
+        |  SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qe, c.cvec) DESC, c.cid) AS crk
+        |    FROM q, c)
+        |  WHERE crk <= 4),
+        |cand AS (
+        |  SELECT pr.qid, e.vec_id AS nid, l.seg,
+        |    list_cosine_similarity(pr.qe, e.embedding) AS cos
+        |  FROM pr JOIN l USING (cid) JOIN embeddings e ON l.vec_id = e.vec_id
+        |  WHERE e.vec_id <> pr.qid)
+        |SELECT qid, rk, nid, CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6,
+        |  CAST(seg AS BIGINT) AS seg
+        |FROM (
+        |  SELECT qid, nid, cos, seg,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
         |  FROM cand)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
