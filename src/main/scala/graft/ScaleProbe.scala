@@ -487,7 +487,19 @@ object ScaleProbe {
       // stats-fed reorder: stats build over 16x tables + the 3-chain
       "x265_stats_join_reorder",
       // incremental index: 16x corpus split-build + segment lookup
-      "x266_incremental_index"
+      "x266_incremental_index",
+      // r9 session-2 additions:
+      // incremental IVF: base embeddings scale (segment build + pruned
+      // search — artifact is per-source-dir, so this is the shape check)
+      "x269_incremental_ivf",
+      // adaptive salt: exact key census + salted join over 16x lineitem
+      "x270_adaptive_salt",
+      // CDC chunking: char-position explode over the 16x clone corpus
+      // (~80M boundary candidates), doc-bounded span windows, chunk census
+      "x271_cdc_chunks",
+      // priority sample: per-row decimal priorities + top-51 heaps over
+      // 16x orders
+      "x272_priority_sample"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

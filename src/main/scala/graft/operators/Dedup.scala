@@ -245,6 +245,12 @@ object Dedup {
     val W = 8
     val B = 32L
     val withN = docs.withColumn("n", length(col("t")).cast("long"))
+    // cost note (16× probe): the md5-per-position window hash IS the
+    // dominant term (~450M hashes at 16×, ~45 s) — the price of a
+    // boundary rule both engines replay bit-exactly. A production CDC
+    // pass swaps in an O(1)/byte gear rolling hash behind the same span
+    // machinery; row-width games (pre-materializing (i, window) structs)
+    // measured SLOWER than letting codegen inline substring+md5 here.
     val bounds = withN
       .where(col("n") >= W + 1) // i ranges [W, n-1]; Spark sequence() would DESCEND on an empty range
       .withColumn("i", explode(expr(s"sequence(CAST($W AS BIGINT), n - 1)")))
