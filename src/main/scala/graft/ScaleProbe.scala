@@ -499,7 +499,10 @@ object ScaleProbe {
       "x271_cdc_chunks",
       // priority sample: per-row decimal priorities + top-51 heaps over
       // 16x orders
-      "x272_priority_sample"
+      "x272_priority_sample",
+      // stats-fed skew salting: skew-fixture + stats rebuild over the 16x
+      // lineitem (the JoinStats pass), then the salted join itself
+      "x273_stats_skew_join"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -1100,6 +1100,47 @@ object Advanced {
         .toDF("deepest_on", "bcast_on", "deepest_off", "bcast_off")
       on.crossJoin(broadcast(audit)).orderBy("c_nationkey")
     }),
+
+    // Stats-fed skew salting (x273) — graft's FOURTH optimizer rule: the
+    // x270 salting decision moved into the PLANNER, fed by the persisted
+    // x265 statistics instead of a fresh census. The fixture is x270's
+    // 70%-skewed key PERSISTED as real parquet leaves (sources/SkewFixture;
+    // JoinStats builds their stats), so the rule can resolve both sides:
+    // the count-min row-max/row-min bound puts the dominant key's share at
+    // ≥ the 20% threshold → the join re-plans onto a (key, salt) shuffle
+    // key with n = clamp(⌈share·32⌉, 2, 16). Emitted: the plain-join
+    // aggregate (the rewrite may change the PLAN, never the RESULT), the
+    // advice the rule planned with (share bound + salts — the oracle
+    // rebuilds the CM sketch from the fixture and replays both), and the
+    // salt-projection plan census (present with the rule, absent without).
+    "x273_stats_skew_join" -> ((s, d) => {
+      graft.sources.JoinStats.ensure(s, d) // ensures the skew fixture too
+      import s.implicits._
+      val root = graft.sources.SkewFixture.dir(d)
+      def q = {
+        val fact = s.read.parquet(s"$root/skewfact.parquet")
+        val dim = s.read.parquet(s"$root/skewdim.parquet")
+        fact
+          .join(dim, fact("skey") === dim("skey"))
+          .groupBy("sname")
+          .agg(count(lit(1)).as("n_items"), sum("cents").as("value_cents"))
+      }
+      val (on, fired) = org.apache.spark.sql.graftbridge.Bridge.statsSkew(q)
+      require(fired, "x273: StatsSkewRule did not fire on the skewed join")
+      val (shareE6, salts) =
+        org.apache.spark.sql.graftbridge.StatsSkewRule.adviceFor("skewfact", "skey").get
+      val audit = Seq(
+        (
+          org.apache.spark.sql.graftbridge.Bridge.saltAudit(on),
+          org.apache.spark.sql.graftbridge.Bridge.saltAudit(q),
+          shareE6,
+          salts.toLong
+        )
+      ).toDF("salted_on", "salted_off", "share_ub_e6", "salts_planned")
+      on.crossJoin(broadcast(audit))
+        .orderBy(col("n_items").desc, col("sname"))
+        .limit(10)
+    }),
     // HyperLogLog NDV sketch (x120) — the FIFTH native mergeable aggregate,
     // completing the sketch family: KMV (exact k-min state), Misra–Gries
     // (heavy-hitter membership), count-min (frequency), quantile (ranks),
@@ -2759,6 +2800,34 @@ object Advanced {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey < 15
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // x273: the plain-join aggregate over the PERSISTED fixture (the rule
+    // may change the plan, never the result), the count-min share bound
+    // rebuilt from the same md5 CM formula JoinStats persisted, the salt
+    // advice replayed, and the plan census as pinned literals.
+    "x273_stats_skew_join" ->
+      """WITH f AS (
+        |  SELECT skey, cents
+        |  FROM '/root/repo/spark-warehouse/graft_skewfix/sf0.01/skewfact.parquet/*.parquet'),
+        |dm AS (
+        |  SELECT skey, sname
+        |  FROM '/root/repo/spark-warehouse/graft_skewfix/sf0.01/skewdim.parquet/*.parquet'),
+        |j AS (
+        |  SELECT sname, count(*) AS n_items, CAST(sum(cents) AS BIGINT) AS value_cents
+        |  FROM f JOIN dm USING (skey) GROUP BY 1),
+        |grid AS (SELECT unnest(range(4)) AS i),
+        |cm AS (
+        |  SELECT i, ('0x' || substr(md5('cm' || i || ':' || skey::VARCHAR), 1, 15))::BIGINT % 8192 AS b,
+        |    count(*) AS c
+        |  FROM f, grid GROUP BY 1, 2),
+        |ub AS (SELECT min(mx) AS ub FROM (SELECT i, max(c) AS mx FROM cm GROUP BY i)),
+        |n AS (SELECT count(*) AS nr FROM f),
+        |adv AS (
+        |  SELECT (ub * 1000000) // nr AS share_ub_e6,
+        |    greatest(1, least(16, (((ub * 1000000) // nr) * 32 + 999999) // 1000000)) AS salts
+        |  FROM ub, n)
+        |SELECT sname, n_items, value_cents, TRUE AS salted_on, FALSE AS salted_off,
+        |  CAST(share_ub_e6 AS BIGINT) AS share_ub_e6, CAST(salts AS BIGINT) AS salts_planned
+        |FROM j, adv ORDER BY n_items DESC, sname LIMIT 10""".stripMargin,
     // x120: full register replay — HLL registers are per-slot maxes
     // (order-free), so the oracle rebuilds all 256 registers per group
     // from the same md5 formula (bin() = exact integer bit length), then

@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (OPT-IN per session via spark.graft.statsJoin.enabled=true after
     // graft.sources.JoinStats.ensure wires the provider)
     ext.injectOptimizerRule(_ => StatsJoinRule)
+    // optimizer rewrite: stats-fed skew SALTING — a qualifying inner
+    // equi-join whose probe key's count-min bound shows a dominant value
+    // re-plans onto a salted shuffle key (OPT-IN per session via
+    // spark.graft.skewSalt.enabled=true after JoinStats.ensure)
+    ext.injectOptimizerRule(_ => StatsSkewRule)
   }
 }
 

@@ -43,9 +43,20 @@ object JoinStats {
     "region" -> Seq("r_regionkey")
   )
 
+  /** warehouse-path tables included in the artifact (x273's persisted skew
+    * fixture — ensuring it here keeps fixture and statistics in lockstep) */
+  private def pathSpecs(s: SparkSession, d: String): Seq[(String, String, Seq[String])] = {
+    val root = SkewFixture.ensure(s, d)
+    Seq(
+      ("skewfact", s"$root/skewfact.parquet", Seq("skey")),
+      ("skewdim", s"$root/skewdim.parquet", Seq("skey"))
+    )
+  }
+
   private def fingerprint(s: SparkSession, d: String): String =
-    specs
-      .map { case (t, _) => Fingerprint.of(s, s"$d/$t.parquet", s"joinstats1|$Depth|$Width|$Buckets") }
+    (specs
+      .map { case (t, _) => Fingerprint.of(s, s"$d/$t.parquet", s"joinstats2|$Depth|$Width|$Buckets") } ++
+      pathSpecs(s, d).map { case (_, p, _) => Fingerprint.of(s, p, s"joinstats2|$Depth|$Width|$Buckets") })
       .mkString("|")
 
   /** Build (if stale) and LOAD the stats, wiring the rule's provider.
@@ -68,8 +79,10 @@ object JoinStats {
 
   private def build(s: SparkSession, d: String): Unit = {
     val qs = (0 to Buckets).map(i => i.toDouble / Buckets)
-    val frames = specs.map { case (t, cols) =>
-      val df = graft.Graft.table(s, d, t)
+    val sources: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] =
+      specs.map { case (t, cols) => (t, graft.Graft.table(s, d, t), cols) } ++
+        pathSpecs(s, d).map { case (t, p, cols) => (t, s.read.parquet(p), cols) }
+    val frames = sources.map { case (t, df, cols) =>
       // TWO passes by necessity, not style (16×-probe-found): countDistinct
       // plans through EXPAND, turning the partial aggregate's grouping into
       // the distinct keys — and a TypedImperativeAggregate in the same agg

@@ -90,9 +90,35 @@ object Bridge {
     )
   }
 
+  /** explicit StatsSkewRule invocation (x273) — rewrite + did-it-fire */
+  def statsSkew(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Boolean) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val analyzed = ds.queryExecution.analyzed
+    val rewritten = StatsSkewRule.rewrite(analyzed)
+    (
+      org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, rewritten),
+      !rewritten.fastEquals(analyzed)
+    )
+  }
+
+  /** does a frame's logical plan carry x273's salt projection? */
+  def saltAudit(df: org.apache.spark.sql.DataFrame): Boolean =
+    analyzedPlan(df)
+      .collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project
+            if p.projectList.exists(_.name == "_gsalt") =>
+          true
+      }
+      .getOrElse(false)
+
   /** a frame's analyzed logical plan (plan-audit hook) */
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].queryExecution.analyzed
+
+  /** a frame's OPTIMIZED logical plan — what session-injected rules have
+    * already transformed (the toggle-path audit hook) */
+  def optimizedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].queryExecution.optimizedPlan
 
   /** Register a function builder on a live session (the runtime counterpart
     * of wiring `spark.sql.extensions=graft.plans.GraftExtensions` at

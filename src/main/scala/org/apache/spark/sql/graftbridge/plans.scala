@@ -724,3 +724,156 @@ object StatsJoinRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPla
     Some(Project(top.output, body))
   }
 }
+
+// ---------------------------------------------------------------------------
+// Stats-fed skew salting (x273) — graft's FOURTH optimizer rule: the x270
+// salting decision moved from the query author into the planner. Where x270
+// measures skew with a fresh census, this rule reads the PERSISTED x265
+// statistics (sources/JoinStats) and rewrites a qualifying inner equi-join
+// into its salted equivalent at PLAN time — the stats-as-input loop extended
+// from logical join order (x265) into physical shuffle-key shape.
+// ---------------------------------------------------------------------------
+
+/** Salted-join rewrite fed by the count-min statistics:
+  *
+  * For an inner equi-join with a single attr=attr condition, the probe-side
+  * key's CM sketch gives an UPPER bound on its heaviest key frequency
+  * (every row's max cell ≥ maxFreq, so min over rows of row-max ≥ maxFreq —
+  * collisions only ever OVERestimate, which errs toward salting: a wasted
+  * salt costs build-side replication, never correctness). When the bounded
+  * share clears `minShareE6` and the build side's estimated rows stay under
+  * `maxBuildRows`, the join is rewritten to
+  *
+  *   Join(L + _gsalt = pmod(murmur3(L.*), n),
+  *        R × explode([0..n-1]) as _rsalt,
+  *        key AND _gsalt = _rsalt)           n = clamp(⌈share·par⌉, 2, maxSalts)
+  *
+  * — semantically the identity (every L row carries exactly one salt; every
+  * R row exists at every salt), physically the shuffle key becomes
+  * (key, salt) so the hot key spreads over n tasks. The x160/x265 bail-out
+  * discipline: inner-only, hint-free, single equi conjunct, both leaves
+  * estimable with FRESH stats, salt attrs absent (fixpoint-stable under the
+  * optimizer's repeated application), and a final Project pins the original
+  * output. Opt-in via spark.graft.skewSalt.enabled=true.
+  */
+object StatsSkewRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  private def conf(key: String, dflt: String): String =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, dflt)
+  private def enabled: Boolean = conf("spark.graft.skewSalt.enabled", "false") == "true"
+  private def minShareE6: Long = conf("spark.graft.skewSalt.minShareE6", "200000").toLong
+  private def maxSalts: Int = conf("spark.graft.skewSalt.maxSalts", "16").toInt
+  private def parallelism: Int = conf("spark.graft.skewSalt.parallelism", "32").toInt
+  private def maxBuildRows: Long = conf("spark.graft.skewSalt.maxBuildRows", "1000000").toLong
+
+  private def provider = StatsJoinRule.provider
+
+  /** CM upper bound on the heaviest key's frequency: min over depth rows of
+    * the row's max cell. */
+  private def maxFreqUB(c: GraftColStats): Option[Long] = {
+    if (c.cm == null || c.cm.length != c.depth * c.width) return None
+    var best = Long.MaxValue
+    var d = 0
+    while (d < c.depth) {
+      var mx = 0L
+      var w = 0
+      while (w < c.width) { mx = math.max(mx, c.cm(d * c.width + w)); w += 1 }
+      best = math.min(best, mx)
+      d += 1
+    }
+    Some(best)
+  }
+
+  /** (share-upper-bound ppm, advised salt count) for a stats column — the
+    * x270 advice formula run off the persisted sketch instead of a census.
+    * Exposed for the gate row, which must emit the same numbers the rule
+    * planned with. */
+  def adviceFor(table: String, column: String): Option[(Long, Int)] =
+    for {
+      st <- provider.get(table)
+      c <- st.cols.get(column)
+      mf <- maxFreqUB(c)
+    } yield {
+      val share = (BigInt(mf) * 1000000 / BigInt(math.max(1L, st.rows))).toLong
+      val salts = (BigInt(share) * parallelism + 999999) / 1000000 match {
+        case s if s < 1        => 1
+        case s if s > maxSalts => maxSalts
+        case s                 => s.toInt
+      }
+      (share, salts)
+    }
+
+  private def tableOf(p: LogicalPlan): Option[String] = p match {
+    case Project(_, c)  => tableOf(c)
+    case Filter(_, c)   => tableOf(c)
+    case l: LogicalRelation =>
+      l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.getName.stripSuffix(".parquet"))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** estimated post-filter rows of a leaf (NDV-equality selectivity only —
+    * the conservative subset of StatsJoinRule's estimator that this rule
+    * needs for the build-side affordability check) */
+  private def estRows(p: LogicalPlan): Option[Double] = p match {
+    case Project(_, c) => estRows(c)
+    case Filter(_, c)  => estRows(c) // unknown predicates never shrink
+    case l: LogicalRelation =>
+      tableOf(l).flatMap(t => provider.get(t).map(_.rows.toDouble))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || provider.isEmpty) plan else rewrite(plan)
+
+  /** the rewrite, independent of the session toggle (Bridge.statsSkew) */
+  def rewrite(plan: LogicalPlan): LogicalPlan =
+    if (provider.isEmpty) plan
+    else plan.transformUp { case j: Join => tryRewrite(j).getOrElse(j) }
+
+  private def saltNames = Set("_gsalt", "_rsalt")
+
+  private def tryRewrite(j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner || j.hint != JoinHint.NONE) return None
+    val cond = j.condition.getOrElse(return None)
+    // single equi conjunct only (v1); salt attrs anywhere = already salted
+    if (j.output.exists(a => saltNames.contains(a.name))) return None
+    cond match {
+      case EqualTo(a: Attribute, b: Attribute) =>
+        val (la, rb) =
+          if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) (a, b)
+          else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a)) (b, a)
+          else return None
+        val lTable = tableOf(j.left).getOrElse(return None)
+        val rRows = estRows(j.right).getOrElse(return None)
+        if (rRows > maxBuildRows) return None
+        val (share, salts) = adviceFor(lTable, la.name).getOrElse(return None)
+        if (share < minShareE6 || salts < 2) return None
+        // left: deterministic per-row salt over ALL left columns
+        val saltAlias =
+          Alias(Pmod(new Murmur3Hash(j.left.output), Literal(salts)), "_gsalt")()
+        val lp = Project(j.left.output :+ saltAlias, j.left)
+        // right: replicate over the salt domain
+        val rAttr = AttributeReference("_rsalt", org.apache.spark.sql.types.IntegerType, nullable = false)()
+        val gen = Generate(
+          Explode(CreateArray((0 until salts).map(Literal(_)))),
+          unrequiredChildIndex = Nil,
+          outer = false,
+          qualifier = None,
+          generatorOutput = Seq(rAttr),
+          child = j.right
+        )
+        val newCond = And(EqualTo(la, rb), EqualTo(saltAlias.toAttribute, rAttr))
+        Some(Project(j.output, Join(lp, gen, Inner, Some(newCond), JoinHint.NONE)))
+      case _ => None
+    }
+  }
+}
