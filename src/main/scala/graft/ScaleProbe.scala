@@ -502,7 +502,9 @@ object ScaleProbe {
       "x272_priority_sample",
       // stats-fed skew salting: skew-fixture + stats rebuild over the 16x
       // lineitem (the JoinStats pass), then the salted join itself
-      "x273_stats_skew_join"
+      "x273_stats_skew_join",
+      // incremental IVF+PQ: base embeddings scale (pruned ADC shape check)
+      "x274_incremental_ivfpq"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

@@ -637,6 +637,19 @@ object Similarity {
       incIvfSearch(s, dir, table(s, d, "embeddings"), k = 5, nQueries = 10, nprobe = 4)
     }),
 
+    // Incremental IVF+PQ (x274) — x269's segments carrying x102's 8-byte
+    // ADC codes: the full FAISS "add with frozen coarse quantizer AND
+    // frozen codebooks" path. Codebooks train once on the BASE stripe's
+    // residuals; each ingest batch encodes only its own vectors against
+    // them; search tables the query residuals once per probed list,
+    // scores base ∪ delta codes (cid-directory-pruned) by M int64 nibble
+    // lookups, and touches corpus floats only to re-rank the 40-deep
+    // shortlist. `seg` pins delta codes surfacing in the final top-5.
+    "x274_incremental_ivfpq" -> ((s, d) => {
+      val dir = incPqEnsure(s, d)
+      incPqSearch(s, dir, table(s, d, "embeddings"), k = 5, nQueries = 10, nprobe = 4, shortlist = 40)
+    }),
+
     // IVF+PQ (IVFADC, Jégou et al. 2011): the 100 TB memory story for the
     // x74 index — posting-list entries carry an 8-nibble product-quantized
     // RESIDUAL code (one packed int64) instead of the float32 vector, so
@@ -1244,6 +1257,178 @@ object Similarity {
     dir
   }
 
+  // -------------------------------------------- incremental IVF+PQ (x274)
+  // x269's segments carrying x102's 8-byte codes: the full FAISS
+  // "add with a frozen coarse quantizer AND frozen codebooks" path. The
+  // PQ codebooks train ONCE on the base stripe's residuals; an ingest
+  // batch encodes only its own vectors against them (corpus and existing
+  // code files never opened); ADC search reads base ∪ delta codes pruned
+  // to the probed cid directories; codebook retrain = rebuild.
+
+  private val incPqCodeSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pcodes", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid_p", org.apache.spark.sql.types.LongType)
+    )
+  )
+  private val incPqCbSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cq", org.apache.spark.sql.types.LongType)
+    )
+  )
+
+  private def incIvfSegListsDf(s: SparkSession, dir: String, seg: String): DataFrame =
+    s.read
+      .schema(incIvfListSchema)
+      .parquet(s"${incIvfSegRoot(dir, seg)}/lists")
+      .select("vec_id", "cid")
+
+  /** encode ONE segment's vectors against the frozen centroids+codebooks —
+    * the ingest-side unit: reads the batch's lists + the tiny frozen
+    * tables, writes one cid-partitioned code store, touches nothing else */
+  private[graft] def incPqEncodeSegment(s: SparkSession, dir: String, seg: String): Unit = {
+    val emb = s.read.parquet(s"${incPqEmbSource(dir)}")
+    val centF = s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids")
+    val cb = s.read.schema(incPqCbSchema).parquet(s"$dir/pq_codebooks")
+    pqEncode(pqResiduals(emb, centF, incIvfSegListsDf(s, dir, seg)), cb)
+      .withColumn("cid_p", col("cid"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cid_p")
+      .parquet(s"${incIvfSegRoot(dir, seg)}/pq_codes")
+  }
+
+  /** the embedding source the artifact was built from (recorded at build so
+    * ingest encodes batches against the same corpus table) */
+  private def incPqEmbSource(dir: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/emb_src")), "UTF-8")
+
+  /** train the frozen codebooks on the BASE segment's residuals (build-time
+    * unit; also the spec's hook for assembling artifacts by hand) */
+  private[graft] def pqTrainBaseForTest(s: SparkSession, dir: String): Unit = {
+    val emb = s.read.parquet(incPqEmbSource(dir))
+    val centF = s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids")
+    pqTrain(pqResiduals(emb, centF, incIvfSegListsDf(s, dir, "")))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/pq_codebooks")
+  }
+
+  /** Gate fixture: x269's segment tree + PQ codebooks trained on the BASE
+    * residuals only, every segment's codes encoded against them. */
+  private[graft] def incPqEnsure(s: SparkSession, d: String): String = synchronized {
+    val dir = incIvfEnsure(s, d)
+    val srcKey =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/src_key")), "UTF-8") +
+        s"|pq$PqM/$PqK/$PqGrid"
+    val marker = new java.io.File(s"$dir/pq_src_key")
+    val current =
+      if (marker.exists()) new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
+    if (current != srcKey) {
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/emb_src").toPath,
+        s"$d/embeddings.parquet".getBytes("UTF-8")
+      )
+      // codebooks: base residuals ONLY — frozen across every later ingest
+      pqTrainBaseForTest(s, dir)
+      incIvfSegments(dir).foreach(seg => incPqEncodeSegment(s, dir, seg))
+      java.nio.file.Files.write(marker.toPath, srcKey.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** ADC top-k over base ∪ delta codes: probe, prune every segment's code
+    * DIRECTORIES to the probed cids, score candidates by M nibble lookups
+    * (pure int64 — corpus floats touched only to re-rank the shortlist). */
+  private[graft] def incPqSearch(
+      s: SparkSession,
+      dir: String,
+      emb: DataFrame,
+      k: Int,
+      nQueries: Int,
+      nprobe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    val centF = s.read.schema(incIvfCentSchema).parquet(s"$dir/centroids")
+    val cb = s.read.schema(incPqCbSchema).parquet(s"$dir/pq_codebooks")
+    val q = emb
+      .join(broadcast(lowestIds(emb, nQueries)), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probes = q
+      .crossJoin(broadcast(centF))
+      .withColumn("ccos", cosineF(col("qe"), col("cvec")))
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= nprobe)
+      .select("qid", "cid", "cvec")
+      .localCheckpoint() // planning pull + distance table + list filter
+    val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val qres = probes
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("cvec"), posexplode(col("qe")).as(Seq("p", "v")))
+      .select(
+        col("qid"),
+        col("cid"),
+        expr(s"CAST(p div $PqDsub AS INT)").as("m"),
+        expr(s"CAST(p % $PqDsub AS INT)").as("j"),
+        expr(s"CAST(round((CAST(v AS DOUBLE) - CAST(element_at(cvec, p + 1) AS DOUBLE)) * $PqGrid) AS BIGINT)")
+          .as("qrq")
+      )
+    val dtab = qres
+      .join(broadcast(cb), Seq("m", "j"))
+      .groupBy("qid", "cid", "m", "code")
+      .agg(sum(expr("(qrq - cq) * (qrq - cq)")).as("dsub"))
+    val codes = incIvfSegments(dir).zipWithIndex
+      .map { case (seg, i) =>
+        s.read
+          .schema(incPqCodeSchema)
+          .parquet(s"${incIvfSegRoot(dir, seg)}/pq_codes")
+          .where(col("cid_p").isInCollection(probedCids))
+          .select(col("vec_id"), col("cid"), col("pcodes"), lit(i.toLong).as("seg"))
+      }
+      .reduce(_.unionByName(_))
+    val adc = codes
+      .join(broadcast(probes.select("qid", "cid")), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("cid"),
+        col("vec_id").as("nid"),
+        col("seg"),
+        col("pcodes"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m")
+      )
+      .select(
+        col("qid"),
+        col("cid"),
+        col("nid"),
+        col("seg"),
+        col("m"),
+        expr("CAST(shiftright(pcodes, 4 * m) & 15 AS INT)").as("code")
+      )
+      .join(broadcast(dtab), Seq("qid", "cid", "m", "code"))
+      .groupBy("qid", "nid", "seg")
+      .agg(sum("dsub").as("adc"))
+    val ws = Window.partitionBy("qid").orderBy(col("adc").asc, col("nid"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    adc
+      .withColumn("srk", row_number().over(ws))
+      .where(col("srk") <= shortlist)
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosineF(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("adc"), cosE6(col("cos")).as("cos_e6"), col("seg"))
+      .orderBy("qid", "rk")
+  }
+
   private[graft] def ivfEnsureIndex(s: SparkSession, d: String, nlist: Int, iters: Int): String = synchronized {
     // Cache key includes a CONTENT fingerprint of the corpus files
     // (name/size/mtime), not just the path — regenerating the corpus at the
@@ -1839,6 +2024,63 @@ object Similarity {
         |  SELECT qid, nid, cos, seg,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
         |  FROM cand)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // x274: the x102 ADC replay over the UNION of the persisted segments'
+    // code stores — residual grid, distance table, nibble unpack, and the
+    // exact float32 re-rank all engine-independent; seg from the glob.
+    "x274_incremental_ivfpq" ->
+      """WITH c AS (
+        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/centroids/*.parquet'),
+        |cb AS (
+        |  SELECT m, code, j, cq FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/pq_codebooks/*.parquet'),
+        |cd AS (
+        |  SELECT vec_id, cid, pcodes, 0 AS seg
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/pq_codes/*/*.parquet'
+        |  UNION ALL
+        |  SELECT vec_id, cid, pcodes, 1 AS seg
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/delta_1/pq_codes/*/*.parquet'
+        |  UNION ALL
+        |  SELECT vec_id, cid, pcodes, 2 AS seg
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/delta_2/pq_codes/*/*.parquet'),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |pr AS (
+        |  SELECT qid, qe, cid, cvec FROM (
+        |    SELECT q.qid, q.qe, c.cid, c.cvec,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qe, c.cvec) DESC, c.cid) AS crk
+        |    FROM q, c)
+        |  WHERE crk <= 4),
+        |qr AS (
+        |  SELECT qid, cid, CAST((i - 1) // 8 AS INT) AS m, CAST((i - 1) % 8 AS INT) AS j,
+        |    CAST(round((CAST(qe[i::INT] AS DOUBLE) - CAST(cvec[i::INT] AS DOUBLE)) * 1000) AS BIGINT) AS qrq
+        |  FROM pr, unnest(generate_series(1, len(qe))) t(i)),
+        |dt AS (
+        |  SELECT qid, cid, m, code, CAST(sum((qrq - cq) * (qrq - cq)) AS BIGINT) AS dsub
+        |  FROM qr JOIN cb USING (m, j) GROUP BY 1, 2, 3, 4),
+        |un AS (
+        |  SELECT vec_id, cid, seg, CAST(m AS INT) AS m,
+        |    CAST((pcodes >> CAST(4 * m AS INT)) & 15 AS INT) AS code
+        |  FROM cd, unnest(generate_series(0, 7)) t(m)),
+        |adc AS (
+        |  SELECT dt.qid, un.vec_id AS nid, un.seg, CAST(sum(dsub) AS BIGINT) AS adc
+        |  FROM un JOIN dt ON un.cid = dt.cid AND un.m = dt.m AND un.code = dt.code
+        |  WHERE un.vec_id <> dt.qid GROUP BY 1, 2, 3),
+        |sh AS (
+        |  SELECT qid, nid, seg, adc FROM (
+        |    SELECT qid, nid, seg, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS srk
+        |    FROM adc)
+        |  WHERE srk <= 40)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, adc,
+        |  CAST(round(CAST(cos AS DOUBLE) * 1000000) AS BIGINT) AS cos_e6,
+        |  CAST(seg AS BIGINT) AS seg
+        |FROM (
+        |  SELECT sh.qid, sh.nid, sh.seg, sh.adc,
+        |    list_cosine_similarity(q.qe, e.embedding) AS cos,
+        |    row_number() OVER (PARTITION BY sh.qid
+        |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, sh.nid) AS rk
+        |  FROM sh JOIN q USING (qid) JOIN embeddings e ON sh.nid = e.vec_id)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // x102: full search replay from the persisted PQ artifact (same GATE-SF
     // PIN as x74 — the artifact subdir is hardcoded sf0.01 because the
