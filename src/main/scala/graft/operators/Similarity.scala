@@ -650,6 +650,32 @@ object Similarity {
       incPqSearch(s, dir, table(s, d, "embeddings"), k = 5, nQueries = 10, nprobe = 4, shortlist = 40)
     }),
 
+    // Index-staleness instrument (x275, the x224 discipline on the vector
+    // index): x269's FROZEN-quantizer segmented search measured against
+    // the fully RETRAINED x74 index over the same corpus — the number
+    // that tells an operator when the add-path's centroid staleness has
+    // drifted enough to justify a rebuild. Per-query top-5 overlap + the
+    // corpus mean (ppm); both component searches are the already-audited
+    // gate pipelines (the x253 composition class), so this instrument's
+    // cost is the sum of audited parts.
+    "x275_ivf_staleness" -> ((s, d) => {
+      val frozen = queries("x269_incremental_ivf")(s, d).select(col("qid"), col("nid"))
+      val retrained = queries("x74_ivf_search")(s, d).select(col("qid"), col("nid"))
+      val f = frozen.localCheckpoint() // qid universe + the overlap join
+      val hits = f
+        .join(retrained, Seq("qid", "nid"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("h"))
+      val per = f
+        .select("qid")
+        .distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("overlap5"))
+        .localCheckpoint() // corpus mean + final projection
+      val corpus = per.agg(expr("(sum(overlap5) * 1000000) div (count(1) * 5)").as("mean_overlap_e6"))
+      per.crossJoin(broadcast(corpus)).orderBy("qid")
+    }),
+
     // IVF+PQ (IVFADC, Jégou et al. 2011): the 100 TB memory story for the
     // x74 index — posting-list entries carry an 8-nibble product-quantized
     // RESIDUAL code (one packed int64) instead of the float32 vector, so
@@ -1155,7 +1181,10 @@ object Similarity {
     )
 
   /** Fold every delta segment into a fresh base — read cost is the INDEX
-    * (vec_id/cid pairs), never the embedding corpus. */
+    * (vec_id/cid pairs, and the 8-byte code rows when the artifact carries
+    * the x274 PQ face), never the embedding corpus. Codes fold by simple
+    * union — they were all encoded against the SAME frozen codebooks, so
+    * compaction is pure file plumbing, no re-encode. */
   private[graft] def incIvfCompact(s: SparkSession, dir: String): Unit = {
     val segs = incIvfSegments(dir)
     if (segs.size <= 1) return
@@ -1166,16 +1195,36 @@ object Similarity {
       .reduce(_.unionByName(_))
       .localCheckpoint() // materialize before the dirs below are replaced
     lists.write.mode("overwrite").partitionBy("cid_p").parquet(s"$dir/compact_lists")
+    // the PQ face folds with the lists or not at all — deleting delta
+    // segments while only moving lists would orphan their codes and leave
+    // a base whose code store no longer covers its list store
+    val hasPq = new java.io.File(s"$dir/pq_codes").exists()
+    if (hasPq) {
+      segs
+        .map(seg => s.read.schema(incPqCodeSchema).parquet(s"${incIvfSegRoot(dir, seg)}/pq_codes"))
+        .reduce(_.unionByName(_))
+        .localCheckpoint()
+        .write
+        .mode("overwrite")
+        .partitionBy("cid_p")
+        .parquet(s"$dir/compact_pq_codes")
+    }
     def rm(p: String): Unit = {
       val f = new java.io.File(p)
       if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
     }
     rm(s"$dir/lists")
+    if (hasPq) rm(s"$dir/pq_codes")
     segs.filter(_.nonEmpty).foreach(seg => rm(s"$dir/$seg"))
     java.nio.file.Files.move(
       new java.io.File(s"$dir/compact_lists").toPath,
       new java.io.File(s"$dir/lists").toPath
     )
+    if (hasPq)
+      java.nio.file.Files.move(
+        new java.io.File(s"$dir/compact_pq_codes").toPath,
+        new java.io.File(s"$dir/pq_codes").toPath
+      )
   }
 
   /** IVF top-k over base ∪ deltas: probe the nprobe nearest frozen
@@ -2082,6 +2131,65 @@ object Similarity {
         |      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, sh.nid) AS rk
         |  FROM sh JOIN q USING (qid) JOIN embeddings e ON sh.nid = e.vec_id)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // x275: both component replays inlined with prefixed CTEs (frozen =
+    // x269's artifact, retrained = x74's), then the overlap census.
+    "x275_ivf_staleness" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+        |fc AS (
+        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/centroids/*.parquet'),
+        |fl AS (
+        |  SELECT vec_id, cid
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/lists/*/*.parquet'
+        |  UNION ALL SELECT vec_id, cid
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/delta_1/lists/*/*.parquet'
+        |  UNION ALL SELECT vec_id, cid
+        |    FROM '/root/repo/spark-warehouse/graft_incivf_gate/sf0.01/delta_2/lists/*/*.parquet'),
+        |fpr AS (
+        |  SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, fc.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qe, fc.cvec) DESC, fc.cid) AS crk
+        |    FROM q, fc)
+        |  WHERE crk <= 4),
+        |ftop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT fpr.qid, e.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY fpr.qid
+        |        ORDER BY list_cosine_similarity(fpr.qe, e.embedding) DESC, e.vec_id) AS rk
+        |    FROM fpr JOIN fl USING (cid) JOIN embeddings e ON fl.vec_id = e.vec_id
+        |    WHERE e.vec_id <> fpr.qid)
+        |  WHERE rk <= 5),
+        |rc AS (
+        |  SELECT cid, cvec FROM '/root/repo/spark-warehouse/graft_ivf_gate/sf0.01/centroids/*.parquet'),
+        |rl AS (
+        |  SELECT vec_id, cid FROM '/root/repo/spark-warehouse/graft_ivf_gate/sf0.01/lists/*.parquet'),
+        |rpr AS (
+        |  SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, rc.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qe, rc.cvec) DESC, rc.cid) AS crk
+        |    FROM q, rc)
+        |  WHERE crk <= 4),
+        |rtop AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT rpr.qid, e.vec_id AS nid,
+        |      row_number() OVER (PARTITION BY rpr.qid
+        |        ORDER BY list_cosine_similarity(rpr.qe, e.embedding) DESC, e.vec_id) AS rk
+        |    FROM rpr JOIN rl USING (cid) JOIN embeddings e ON rl.vec_id = e.vec_id
+        |    WHERE e.vec_id <> rpr.qid)
+        |  WHERE rk <= 5),
+        |h AS (
+        |  SELECT ftop.qid, count(*) AS h FROM ftop JOIN rtop USING (qid, nid) GROUP BY 1),
+        |per AS (
+        |  SELECT DISTINCT ftop.qid, coalesce(h.h, 0) AS overlap5
+        |  FROM ftop LEFT JOIN h ON ftop.qid = h.qid),
+        |corpus AS (
+        |  SELECT (sum(overlap5) * 1000000) // (count(*) * 5) AS mean_overlap_e6 FROM per)
+        |SELECT qid, CAST(overlap5 AS BIGINT) AS overlap5,
+        |  CAST(mean_overlap_e6 AS BIGINT) AS mean_overlap_e6
+        |FROM per, corpus ORDER BY qid""".stripMargin,
     // x102: full search replay from the persisted PQ artifact (same GATE-SF
     // PIN as x74 — the artifact subdir is hardcoded sf0.01 because the
     // verify gate always runs there). Probe ranking and the shortlist

@@ -86,6 +86,22 @@ class IncPqSpec extends AnyFunSuite {
     assert(ranking(dir) === ranking(full), "base ∪ deltas must equal the one-segment frozen encode")
   }
 
+  test("compaction folds lists AND codes together — never an orphaned code store") {
+    val dir = buildBase()
+    ingest(dir, 1, 8)
+    ingest(dir, 2, 9)
+    val before = ranking(dir)
+    Similarity.incIvfCompact(spark, dir)
+    assert(Similarity.incIvfSegments(dir) === Seq(""), "deltas must be gone")
+    assert(ranking(dir) === before, "compaction must not change the ADC ranking")
+    // coverage invariant: the folded code store spans exactly the folded lists
+    val lists = spark.read.parquet(s"$dir/lists").select("vec_id")
+    val codes = spark.read.parquet(s"$dir/pq_codes").select("vec_id")
+    assert(lists.exceptAll(codes).count() === 0 && codes.exceptAll(lists).count() === 0)
+    Similarity.incIvfCompact(spark, dir) // idempotent
+    assert(ranking(dir) === before)
+  }
+
   test("cid pruning survives segmentation on the code stores") {
     val dir = buildBase()
     ingest(dir, 1, 8)
