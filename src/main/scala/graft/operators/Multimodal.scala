@@ -312,6 +312,64 @@ object Multimodal {
         .orderBy("warc_id", "rec_idx")
     }),
 
+    // WARC EXPORT (x276) — the write half of the crawl transport, now
+    // possible because x268 closed the codec story: the same record
+    // formulas re-emitted with every member compressed by the
+    // from-scratch gzip ENCODER (Deflate.gzipCompress — deterministic
+    // header, CRC-32 + ISIZE trailer), then scanned back by x176's
+    // from-scratch member walk (which verifies BOTH trailers and
+    // advances by exact consumed length — the framing conformance
+    // check), with the official GZIPInputStream as the per-file decode
+    // twin (`jdk_ok`). A graft pipeline can now both INGEST and EMIT
+    // .warc.gz without java.util.zip on either side of the hot path.
+    "x276_warc_export" -> ((s, _) => {
+      graft.sources.WarcExportFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("warc_id", LongType),
+          StructField("rec_idx", LongType),
+          StructField("warc_type", StringType),
+          StructField("target_uri", StringType),
+          StructField("http_status", LongType),
+          StructField("body_bytes", LongType),
+          StructField("body_md5", StringType),
+          StructField("jdk_ok", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.WarcExportFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { r =>
+            val id = r.getAs[Long]("warc_id")
+            val payload = r.getAs[Array[Byte]]("payload")
+            // the official twin must walk OUR multi-member stream and
+            // recover the exact concatenated plaintext
+            val jdkOk =
+              try {
+                val g = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(payload))
+                val bos = new java.io.ByteArrayOutputStream()
+                val tmp = new Array[Byte](8192)
+                var n = g.read(tmp)
+                while (n >= 0) { bos.write(tmp, 0, n); n = g.read(tmp) }
+                graft.sources.Inflate.gunzip(payload, 64 << 20).exists(_.sameElements(bos.toByteArray))
+              } catch { case _: java.io.IOException => false }
+            graft.sources.WarcScan.parse(payload) match {
+              case Some(recs) =>
+                recs.map { rec =>
+                  md.reset()
+                  val hex = md.digest(rec.body).map(b => f"${b & 0xff}%02x").mkString
+                  Row(id, rec.recIdx, rec.warcType, rec.targetUri, rec.httpStatus,
+                    rec.body.length.toLong, hex, jdkOk)
+                }
+              case None => Seq(Row(id, null, null, null, null, null, null, false))
+            }
+          }
+        }(enc)
+        .orderBy("warc_id", "rec_idx")
+    }),
+
     // Snappy block decode (x198) — the ecosystem's own shuffle/Parquet
     // page codec read back from scratch (google/snappy
     // format_description.txt): varint preamble, literal / 1-2-4-byte
@@ -1520,6 +1578,41 @@ object Multimodal {
         |SELECT w AS warc_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type, target_uri,
         |  CAST(http_status AS BIGINT) AS http_status,
         |  CAST(length(body) AS BIGINT) AS body_bytes, md5(body) AS body_md5
+        |FROM u ORDER BY warc_id, rec_idx""".stripMargin,
+    // x276: the same formula replay — the export corpus must scan to the
+    // IDENTICAL census the official-encoder corpus does, with the JDK
+    // twin accepting every from-scratch member (TRUE everywhere).
+    "x276_warc_export" ->
+      """WITH ws AS (SELECT range AS w FROM range(200)),
+        |resp AS (
+        |  SELECT w, 1 + j AS rec_idx, 'response' AS warc_type,
+        |    'https://example.com/' || w || '/' || j AS target_uri,
+        |    CASE WHEN (w+j)%7=0 THEN 404 WHEN (w+j)%11=0 THEN 301 ELSE 200 END AS http_status,
+        |    CASE WHEN (w+j)%7=0 THEN 'missing ' || w || '/' || j
+        |         WHEN (w+j)%11=0 THEN ''
+        |         ELSE '<html><head><title>Doc ' || w || '-' || j ||
+        |           '</title><style>p{color:red}</style></head><body onload="f()"><h1>Head ' ||
+        |           w || '</h1><script>var x=' || j || ';</script><p>alpha&amp;beta ' || w ||
+        |           ' &lt;q&gt;</p><!--c ' || w || '--><a href="u>v">link ' || j ||
+        |           '</a><p>gamma &#65; delta</p></body></html>'
+        |    END AS body
+        |  FROM ws, unnest(generate_series(0, w % 4)) t(j)),
+        |info AS (
+        |  SELECT w, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS target_uri,
+        |    -1 AS http_status,
+        |    'software: graft-warc/1.0' || chr(13) || chr(10) ||
+        |    'format: WARC file version 1.0' || chr(13) || chr(10) AS body
+        |  FROM ws),
+        |req AS (
+        |  SELECT w, 2 + (w % 4) AS rec_idx, 'request' AS warc_type,
+        |    'https://example.com/' || w || '/0' AS target_uri,
+        |    -1 AS http_status, '' AS body
+        |  FROM ws WHERE w % 3 = 0),
+        |u AS (SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM req)
+        |SELECT w AS warc_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type, target_uri,
+        |  CAST(http_status AS BIGINT) AS http_status,
+        |  CAST(length(body) AS BIGINT) AS body_bytes, md5(body) AS body_md5,
+        |  TRUE AS jdk_ok
         |FROM u ORDER BY warc_id, rec_idx""".stripMargin,
 
     // x197: all six fields from the formulas (II/MM alternation included

@@ -227,7 +227,11 @@ object WarcFixture {
 
   private def date(w: Long): String = f"2026-01-${1 + w % 28}%02dT00:00:00Z"
 
-  def fileBytes(w: Long): Array[Byte] = {
+  def fileBytes(w: Long): Array[Byte] = fileBytes(w, WarcScan.gzipMember)
+
+  /** record stream with a pluggable member encoder — x176 writes with the
+    * official GZIPOutputStream, x276 with the from-scratch [[Deflate]] */
+  def fileBytes(w: Long, enc: Array[Byte] => Array[Byte]): Array[Byte] = {
     val recs = Seq.newBuilder[Array[Byte]]
     recs += WarcScan.record(
       "warcinfo", None, date(w), Some("application/warc-fields"),
@@ -249,8 +253,33 @@ object WarcFixture {
         "request", Some(s"https://example.com/$w/0"), date(w),
         Some("application/http;msgtype=request"), http)
     }
-    recs.result().map(WarcScan.gzipMember).reduce(_ ++ _)
+    recs.result().map(enc).reduce(_ ++ _)
   }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(s"$dir/_OK_V1").exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      (0L until 200L)
+        .map(w => (w, fileBytes(w)))
+        .toDF("warc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      new java.io.File(s"$dir/_OK_V1").createNewFile()
+    }
+  }
+}
+
+/** x276: the EXPORT corpus — the same record formulas, every member
+  * compressed by the from-scratch [[Deflate.gzipCompress]] instead of the
+  * official GZIPOutputStream. The scan side (from-scratch member walk with
+  * CRC-32 + ISIZE verification and exact consumed counts) becomes the
+  * conformance check on the encoder's gzip framing. */
+object WarcExportFixture {
+  val dir = "/root/repo/spark-warehouse/graft_warc_export"
+  val payloadPath = s"$dir/payloads"
+
+  def fileBytes(w: Long): Array[Byte] =
+    WarcFixture.fileBytes(w, r => Deflate.gzipCompress(r))
 
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     if (!new java.io.File(s"$dir/_OK_V1").exists()) {

@@ -852,6 +852,10 @@ object StatsSkewRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPla
           if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) (a, b)
           else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a)) (b, a)
           else return None
+        // murmur3 can't hash MapType columns — a probe side carrying one
+        // would make the REWRITTEN plan unresolvable; bail instead
+        if (j.left.output.exists(a => a.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+          return None
         val lTable = tableOf(j.left).getOrElse(return None)
         val rRows = estRows(j.right).getOrElse(return None)
         if (rRows > maxBuildRows) return None

@@ -80,6 +80,17 @@ class WarcScanSpec extends AnyFunSuite {
     assert(WarcScan.parse(WarcScan.gzipMember(rec ++ "zz".getBytes)).isEmpty, "post-record bytes")
   }
 
+  test("x276 export: from-scratch-gzip'd files parse record-identically to the official-encoder files") {
+    for (w <- 0L until 200L by 13L) {
+      val official = WarcScan.parse(WarcFixture.fileBytes(w))
+      val export = WarcScan.parse(WarcExportFixture.fileBytes(w))
+      assert(official.isDefined && export.isDefined, s"w=$w")
+      val a = official.get.map(r => (r.recIdx, r.warcType, r.targetUri, r.httpStatus, r.body.toSeq))
+      val b = export.get.map(r => (r.recIdx, r.warcType, r.targetUri, r.httpStatus, r.body.toSeq))
+      assert(a === b, s"w=$w: export corpus must carry the identical records")
+    }
+  }
+
   test("HtmlText handles the constructs a regex stripper gets wrong") {
     val html = WarcFixture.html(3L, 1L)
     val got = HtmlText.extract(html)
