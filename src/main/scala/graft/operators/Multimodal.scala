@@ -807,6 +807,65 @@ object Multimodal {
         .orderBy("zip_id", "member_idx")
     }),
 
+    // ZIP export (x277) — x276's move on the second container: the x189
+    // member formulas written by the from-scratch ZipWrite (APPNOTE
+    // local headers → central directory → EOCD, x268's deflate for
+    // method-8 members, x264's CRC-32), read back by graft's own STRICT
+    // ZipScan walk (CRC verified, directory walk must land exactly on
+    // the EOCD) with the official ZipInputStream as the per-file twin.
+    "x277_zip_export" -> ((s, _) => {
+      graft.sources.ZipExportFixture.ensure(s)
+      val schema = StructType(
+        Seq(
+          StructField("zip_id", LongType),
+          StructField("member_idx", LongType),
+          StructField("name", StringType),
+          StructField("method", LongType),
+          StructField("uncomp_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jdk_ok", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      s.read
+        .parquet(graft.sources.ZipExportFixture.payloadPath)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { r =>
+            val id = r.getAs[Long]("zip_id")
+            val payload = r.getAs[Array[Byte]]("payload")
+            val scanned = graft.sources.ZipScan.parse(payload)
+            // official twin: ZipInputStream must stream the same members
+            val jdkOk =
+              try {
+                val zi = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(payload))
+                val tmp = new Array[Byte](8192)
+                val got = Iterator
+                  .continually(zi.getNextEntry)
+                  .takeWhile(_ != null)
+                  .map { e =>
+                    val bos = new java.io.ByteArrayOutputStream()
+                    var n = zi.read(tmp)
+                    while (n >= 0) { bos.write(tmp, 0, n); n = zi.read(tmp) }
+                    (e.getName, bos.toByteArray.toSeq)
+                  }
+                  .toVector
+                scanned.exists(ms => ms.map(m => (m.name, m.body.toSeq)) == got)
+              } catch { case _: Exception => false }
+            scanned match {
+              case Some(ms) =>
+                ms.map { m =>
+                  md.reset()
+                  val hex = md.digest(m.body).map(b => f"${b & 0xff}%02x").mkString
+                  Row(id, m.idx, m.name, m.method.toLong, m.uncompBytes, hex, jdkOk)
+                }
+              case None => Seq(Row(id, null, null, null, null, null, false))
+            }
+          }
+        }(enc)
+        .orderBy("zip_id", "member_idx")
+    }),
+
     // HTML visible-text extraction (x177) — the boilerplate-strip step
     // between the WARC crawl (x176) and every text-curation operator:
     // a real single-pass tokenizer ([[graft.sources.HtmlText]]) with
@@ -1769,6 +1828,23 @@ object Multimodal {
         |  CAST(CASE WHEN j % 2 = 1 THEN 0 ELSE 8 END AS BIGINT) AS method,
         |  CAST(length(content) AS BIGINT) AS uncomp_bytes,
         |  md5(content) AS content_md5
+        |FROM c ORDER BY zip_id, member_idx""".stripMargin,
+    // x277: the identical member census over the EXPORT corpus, with the
+    // official ZipInputStream accepting every from-scratch archive.
+    "x277_zip_export" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |m AS (SELECT z, j FROM zs, unnest(generate_series(0, z % 3)) t(j)),
+        |c AS (
+        |  SELECT m.z, m.j,
+        |    string_agg(m.z || ',' || m.j || ',' || i || ',' || (m.z*31 + m.j*7 + i) || chr(10),
+        |      '' ORDER BY i) AS content
+        |  FROM m, unnest(generate_series(0, 1 + (m.z + m.j) % 4)) t2(i)
+        |  GROUP BY m.z, m.j)
+        |SELECT z AS zip_id, CAST(j AS BIGINT) AS member_idx,
+        |  'part_' || z || '_' || j || '.csv' AS name,
+        |  CAST(CASE WHEN j % 2 = 1 THEN 0 ELSE 8 END AS BIGINT) AS method,
+        |  CAST(length(content) AS BIGINT) AS uncomp_bytes,
+        |  md5(content) AS content_md5, TRUE AS jdk_ok
         |FROM c ORDER BY zip_id, member_idx""".stripMargin,
 
     // x177: the extraction of the generated markup is closed-form —

@@ -106,6 +106,62 @@ object ZipScan {
   }
 }
 
+/** x277's from-scratch ZIP WRITER (APPNOTE.TXT structures, x268's deflate
+  * for method-8 members): local file headers → central directory → EOCD,
+  * deterministic fields (DOS time/date zeroed), CRC-32 from the x264
+  * implementation. The conformance twins are graft's own strict
+  * [[ZipScan.parse]] (CRC + directory-walk verification) and the official
+  * `java.util.zip.ZipInputStream`. */
+object ZipWrite {
+
+  private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** members: (name, content, deflate?) → one archive. */
+  def archive(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val central = new java.io.ByteArrayOutputStream()
+    var nDone = 0
+    members.foreach { case (name, data, deflate) =>
+      val nameB = name.getBytes("UTF-8")
+      val crc = Inflate.crc32(data)
+      val comp = if (deflate) Deflate.deflateRaw(data) else data
+      val method = if (deflate) 8 else 0
+      val off = out.size()
+      // local file header
+      out.write(Array[Byte]('P', 'K', 3, 4))
+      w16(out, 20); w16(out, 0); w16(out, method)
+      w16(out, 0); w16(out, 0) // DOS time/date: deterministic zero
+      w32(out, crc); w32(out, comp.length.toLong); w32(out, data.length.toLong)
+      w16(out, nameB.length); w16(out, 0)
+      out.write(nameB); out.write(comp)
+      // central directory entry
+      central.write(Array[Byte]('P', 'K', 1, 2))
+      w16(central, 20); w16(central, 20); w16(central, 0); w16(central, method)
+      w16(central, 0); w16(central, 0)
+      w32(central, crc); w32(central, comp.length.toLong); w32(central, data.length.toLong)
+      w16(central, nameB.length); w16(central, 0); w16(central, 0)
+      w16(central, 0); w16(central, 0) // disk start, internal attrs
+      w32(central, 0L) // external attrs
+      w32(central, off.toLong)
+      central.write(nameB)
+      nDone += 1
+    }
+    val cdOff = out.size()
+    val cd = central.toByteArray
+    out.write(cd)
+    out.write(Array[Byte]('P', 'K', 5, 6))
+    w16(out, 0); w16(out, 0); w16(out, nDone); w16(out, nDone)
+    w32(out, cd.length.toLong); w32(out, cdOff.toLong); w16(out, 0)
+    out.toByteArray
+  }
+}
+
 /** Deterministic zip corpus: archives written by the OFFICIAL
   * `ZipOutputStream` (the PngPixels/ImageIO conformance split — JDK
   * writer, from-scratch reader), member contents closed-form so the
@@ -141,6 +197,35 @@ object ZipFixture {
     zo.close()
     out.toByteArray
   }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(s"$dir/_OK_V1").exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      (0L until 200L)
+        .map(z => (z, fileBytes(z)))
+        .toDF("zip_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      new java.io.File(s"$dir/_OK_V1").createNewFile()
+    }
+  }
+}
+
+/** x277: the EXPORT corpus — the same member formulas (incl. the
+  * stored/deflate alternation) written by [[ZipWrite]] with x268's
+  * deflate instead of ZipOutputStream. */
+object ZipExportFixture {
+  val dir = "/root/repo/spark-warehouse/graft_zip_export"
+  val payloadPath = s"$dir/payloads"
+
+  def fileBytes(z: Long): Array[Byte] =
+    ZipWrite.archive((0 until ZipFixture.nMembers(z)).map { j =>
+      (
+        s"part_${z}_$j.csv",
+        ZipFixture.content(z, j.toLong).getBytes("UTF-8"),
+        j % 2 == 0 // even members deflate — the x189 alternation
+      )
+    })
 
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     if (!new java.io.File(s"$dir/_OK_V1").exists()) {

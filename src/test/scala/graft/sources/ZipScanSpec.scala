@@ -30,6 +30,30 @@ class ZipScanSpec extends AnyFunSuite {
     assert(jdk === ours)
   }
 
+  test("x277 writer: from-scratch archives parse member-identically to the official-writer archives") {
+    for (z <- 0L until 200L by 13L) {
+      val official = ZipScan.parse(ZipFixture.fileBytes(z)).getOrElse(fail(s"official $z"))
+      val export = ZipScan.parse(ZipExportFixture.fileBytes(z)).getOrElse(fail(s"export $z"))
+      assert(
+        official.map(m => (m.idx, m.name, m.method, m.body.toSeq)) ===
+          export.map(m => (m.idx, m.name, m.method, m.body.toSeq)),
+        s"zip $z: export archive must carry the identical members"
+      )
+    }
+    // the writer's edge shapes the fixture never hits: empty member, an
+    // incompressible member where deflate still frames validly
+    val edge = ZipWrite.archive(
+      Seq(
+        ("empty.bin", Array.empty[Byte], true),
+        ("noise.bin", Array.tabulate[Byte](4096)(i => ((i * 131) ^ (i >> 3)).toByte), true),
+        ("stored.bin", "plain".getBytes("UTF-8"), false)
+      )
+    )
+    val ms = ZipScan.parse(edge).getOrElse(fail("edge archive quarantined"))
+    assert(ms.map(_.name) === Seq("empty.bin", "noise.bin", "stored.bin"))
+    assert(ms.head.body.isEmpty && ms(1).body.length === 4096)
+  }
+
   test("an archive with an EOCD comment still parses (backward signature scan)") {
     val out = new java.io.ByteArrayOutputStream()
     val zo = new java.util.zip.ZipOutputStream(out)
