@@ -1060,6 +1060,17 @@ object Multimodal {
       graft.sources.PngFixture.ensure(s)
       pngTileScan(s, graft.sources.PngFixture.payloadPath, withBits = true)
     }),
+    // PNG export (x278) — the image write path with ZERO java.util.zip:
+    // scanline filtering (all five filter WRITERS cycling per row) + the
+    // from-scratch zlib IDAT (x268) + CRC-32 chunks, decoded back by the
+    // from-scratch reader under x70's 8×8 resample/checksum/aHash census.
+    // Every PNG spec's ImageIO loop now conformance-checks this encoder
+    // too (pack routes through it by default — PngPixels.useScratchDeflate,
+    // the write-side Inflate.useScratch).
+    "x278_png_export" -> ((s, _) => {
+      graft.sources.PngExportFixture.ensure(s)
+      pngTileScan(s, graft.sources.PngExportFixture.payloadPath, withBits = true)
+    }),
     // REAL LZW decode in the gate — the other compressed-image family:
     // GIF header/descriptor walk → variable-width LSB-first LZW code
     // stream (dictionary growth to 12 bits, KwKwK, mid-stream clears) →
@@ -1949,6 +1960,31 @@ object Multimodal {
         |    (img_id * 5 + sx * 7 + sy * 3) % 256 AS r,
         |    (img_id * 9 + sx * 2 + sy * 5) % 256 AS gc,
         |    (img_id * 3 + sx * 4 + sy * 7) % 256 AS bc
+        |  FROM px),
+        |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
+        |SELECT val.img_id, width, height,
+        |  CAST(sum((k + 1) * (3 * r + 5 * gc + 7 * bc)) AS BIGINT) AS checksum,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k < 32  THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN (r + gc + bc) * 64 > total AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS lo
+        |FROM val JOIN tot USING (img_id)
+        |GROUP BY val.img_id, width, height ORDER BY img_id""".stripMargin,
+    // x278: x70's census shape over the export corpus's OWN pixel formula —
+    // a correct round-trip through the from-scratch ENCODER must land on it.
+    "x278_png_export" ->
+      """WITH t AS (
+        |  SELECT img_id, width, height
+        |  FROM '/root/repo/spark-warehouse/graft_png_export/twin/*.parquet'),
+        |g AS (SELECT unnest(range(8)) AS v),
+        |px AS (
+        |  SELECT img_id, width, height,
+        |    (gj.v * 8 + gi.v) AS k,
+        |    (gi.v * width) // 8 AS sx, (gj.v * height) // 8 AS sy
+        |  FROM t, g gi, g gj),
+        |val AS (
+        |  SELECT img_id, width, height, k,
+        |    (img_id * 11 + sx * 3 + sy * 13) % 256 AS r,
+        |    (img_id * 7 + sx * 5 + sy * 2) % 256 AS gc,
+        |    (img_id * 13 + sx * 9 + sy * 4) % 256 AS bc
         |  FROM px),
         |tot AS (SELECT img_id, sum(r + gc + bc) AS total FROM val GROUP BY img_id)
         |SELECT val.img_id, width, height,

@@ -38,6 +38,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   */
 object PngPixels {
 
+  /** x278: the writers' IDAT zlib routes through the from-scratch RFC 1950
+    * encoder (x268) by default — the write-side mirror of
+    * [[Inflate.useScratch]]; the JDK Deflater remains the toggle twin.
+    * Every PNG spec's ImageIO-conformance loop thereby exercises the
+    * encoder: a framing bug anywhere would fail ImageIO's own zlib. */
+  @volatile var useScratchDeflate = true
+
   private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   private def u32be(b: Array[Byte], o: Int): Long =
@@ -618,18 +625,63 @@ object PngPixels {
       raw: Array[Byte],
       depth: Int = 8
   ): Array[Byte] = {
-    val def_ = new Deflater()
-    def_.setInput(raw); def_.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val outBytes = new java.io.ByteArrayOutputStream()
-    while (!def_.finished()) outBytes.write(buf, 0, def_.deflate(buf))
-    def_.end()
-    val compressed = outBytes.toByteArray
+    val compressed =
+      if (PngPixels.useScratchDeflate) Deflate.zlibCompress(raw)
+      else {
+        val def_ = new Deflater()
+        def_.setInput(raw); def_.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val outBytes = new java.io.ByteArrayOutputStream()
+        while (!def_.finished()) outBytes.write(buf, 0, def_.deflate(buf))
+        def_.end()
+        outBytes.toByteArray
+      }
     val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     val idats = compressed.grouped(800).map(g => chunk("IDAT", g)).reduce(_ ++ _)
     Signature ++ chunk("IHDR", ihdr) ++
       plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
       afterPlte ++ idats ++ chunk("IEND", Array.empty[Byte])
+  }
+}
+
+/** x278: the PNG EXPORT gate corpus — truecolor images whose IDAT streams
+  * come from the from-scratch zlib writer (the pack toggle's default),
+  * filters cycling all five types so the filter WRITERS are load-bearing,
+  * decoded back by the from-scratch reader under the x70 census. Distinct
+  * pixel formula from x70's so a fixture mix-up cannot silently pass. */
+object PngExportFixture {
+  val dir = "/root/repo/spark-warehouse/graft_png_export"
+  val payloadPath = s"$dir/payloads"
+  val twinPath = s"$dir/twin"
+
+  def rgbAt(id: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 11 + x * 3 + y * 13) % 256).toInt,
+    ((id * 7 + x * 5 + y * 2) % 256).toInt,
+    ((id * 13 + x * 9 + y * 4) % 256).toInt
+  )
+
+  def rows: Seq[(Long, Array[Byte], Int, Int)] = (0 until 150).map { i =>
+    val w = 5 + (i * 9) % 37
+    val h = 4 + (i * 13) % 29
+    (i.toLong, PngPixels.synthesize(w, h, rgbAt(i.toLong), y => (y + i) % 5), w, h)
+  }
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!new java.io.File(twinPath).exists()) {
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val prev = PngPixels.useScratchDeflate
+      PngPixels.useScratchDeflate = true // the export corpus is ALWAYS scratch-compressed
+      val r =
+        try rows
+        finally PngPixels.useScratchDeflate = prev
+      r.map { case (id, p, _, _) => (id, p) }
+        .toDF("img_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(payloadPath)
+      r.map { case (id, _, w, h) => (id, w, h) }
+        .toDF("img_id", "width", "height")
+        .coalesce(1).write.mode("overwrite").parquet(twinPath)
+    }
   }
 }
 

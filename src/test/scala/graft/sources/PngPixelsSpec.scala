@@ -46,6 +46,24 @@ class PngPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("x278 toggle twins: scratch and JDK IDAT compressors yield pixel-identical files; ImageIO reads both") {
+    val f = (x: Int, y: Int) => ((x * 19 + y * 5) % 256, (x * 3 + y * 23) % 256, (x * 7 + y * 11) % 256)
+    val a = PngPixels.synthesize(23, 17, f) // scratch (default)
+    PngPixels.useScratchDeflate = false
+    val b =
+      try PngPixels.synthesize(23, 17, f)
+      finally PngPixels.useScratchDeflate = true
+    for (img <- Seq(a, b)) {
+      val ours = PngPixels.decode(img).get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+      for (x <- 0 until 23; y <- 0 until 17) {
+        assert(ours.rgb(x, y) === f(x, y))
+        val argb = ref.getRGB(x, y)
+        assert((((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)) === f(x, y))
+      }
+    }
+  }
+
   test("IDAT split across chunks is reassembled (large image forces multiple chunks)") {
     val (w, h) = (64, 64) // raw ≈ 12 KiB ⇒ several 800-byte IDAT chunks
     val bytes = PngPixels.synthesize(w, h, formula)
