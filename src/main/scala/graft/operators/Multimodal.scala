@@ -653,6 +653,74 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // zstd ENCODE (x279) — the x268 conformance split on the modern codec:
+    // the from-scratch RFC 8878 encoder (x268's LZ77 matcher, raw/RLE
+    // literals, Predefined_Mode FSE sequences chosen backward on the
+    // decoder's own tables) writes every frame; the OFFICIAL implementation
+    // (zstd-jni — facebook/zstd itself) must decode it byte-exactly
+    // (`jni_match`), graft's own x227 decoder must agree (`self_match`),
+    // and the auto cost pick may never lose to a forced strategy
+    // (`auto_min`, exact — no alignment pessimism in zstd's byte-aligned
+    // block framing). Strategies: 0 = store (raw blocks), 1 = forced
+    // sequences (with the spec-REQUIRED raw fallback when compressed ≥
+    // regenerated — RFC 8878 §3.1.1.2), 2 = auto. Content classes and the
+    // oracle CTE are x227's own formulas.
+    "x279_zstd_encode" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("strategy", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jni_match", BooleanType),
+          StructField("self_match", BooleanType),
+          StructField("auto_min", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{ZstdEncode, ZstdFixture, ZstdFrame}
+      s.range(200)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = { md.reset(); md.digest(b).map(x => f"${x & 0xff}%02x").mkString }
+          def jniDecode(comp: Array[Byte], n: Int): Option[Array[Byte]] =
+            try Some(com.github.luben.zstd.Zstd.decompress(comp, n))
+            catch { case _: com.github.luben.zstd.ZstdException => None }
+          it.map { r =>
+            val z = r.getLong(0)
+            val data = ZstdFixture.content(z).getBytes("UTF-8")
+            val strategy = (z % 3).toInt
+            val allow = strategy match {
+              case 0 => ZstdEncode.AllowRaw
+              case 1 => ZstdEncode.AllowSeq
+              case _ => ZstdEncode.AllowAll
+            }
+            val comp = ZstdEncode.compress(data, allow)
+            val jni = jniDecode(comp, data.length)
+            val self = ZstdFrame.decode(comp)
+            val autoLen = ZstdEncode.compress(data).length
+            val forcedMin = Seq(ZstdEncode.AllowRaw, ZstdEncode.AllowRaw | ZstdEncode.AllowRle, ZstdEncode.AllowSeq)
+              .map(a => ZstdEncode.compress(data, a).length)
+              .min
+            jni match {
+              case Some(d) =>
+                Row(
+                  z,
+                  strategy.toLong,
+                  d.length.toLong,
+                  hex(d),
+                  d.sameElements(data),
+                  self.exists(_.sameElements(data)),
+                  autoLen <= forcedMin
+                )
+              case None => Row(z, strategy.toLong, null, null, false, false, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -1807,6 +1875,26 @@ object Multimodal {
         |  CAST((z // 3) % 3 AS BIGINT) AS strategy,
         |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
         |  TRUE AS jdk_match, TRUE AS self_match, TRUE AS auto_min
+        |FROM c ORDER BY blob_id""".stripMargin,
+    // x279: the encode twin — same content formulas; the md5 column is
+    // computed from what the OFFICIAL zstd decoded out of OUR frame, so a
+    // hash match proves facebook/zstd accepted the from-scratch encoder's
+    // bytes and recovered the exact plaintext for every strategy.
+    "x279_zstd_encode" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 149 + z % 200)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |h1 AS (SELECT z, string_agg('Z,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |       FROM zs, unnest(generate_series(0, 4 + z % 9)) t(i) WHERE z % 4 = 1 GROUP BY z),
+        |c1 AS (SELECT z, h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(800 + z % 400 AS INT)) || h AS content FROM h1),
+        |c2 AS (SELECT z, string_agg(md5(z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 2 + z % 9)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, repeat(chr(97 + CAST(z % 26 AS INT)), CAST(300 + z % 500 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 3),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(z % 3 AS BIGINT) AS strategy,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
+        |  TRUE AS jni_match, TRUE AS self_match, TRUE AS auto_min
         |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),

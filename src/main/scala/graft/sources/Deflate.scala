@@ -131,7 +131,7 @@ object Deflate {
 
   /** Token stream: literals as 0..255; matches packed as
     * (1<<30) | (len<<16) | dist. */
-  private def tokenize(data: Array[Byte]): Array[Int] = {
+  private[sources] def tokenize(data: Array[Byte]): Array[Int] = {
     val n = data.length
     val out = new Array[Int](n + 1)
     var nOut = 0

@@ -1,0 +1,359 @@
+package graft.sources
+
+/** x279 — zstd **encoder** from the public spec (RFC 8878), the write half
+  * of x227: round 9 session 2 gave the engine gzip/zip/png EMIT paths
+  * (x276–x278) on top of the from-scratch DEFLATE encoder (x268); this
+  * closes the remaining codec direction so the modern default
+  * parquet/ORC/shuffle transport can be written without zstd-jni on the
+  * hot path. Conformance twin is the official implementation itself
+  * (facebook/zstd via Spark's bundled zstd-jni must decode every emitted
+  * frame byte-exactly) and graft's own from-scratch [[ZstdFrame]] decoder
+  * must agree — the exact mirror of the x268 gate discipline.
+  *
+  * Reference behavior studied from dangkhoipham/data_engineering_capstone
+  * (its parquet outputs ride Spark's default codecs; see
+  * `dags/libs/lib.py:52-218` for the pipeline the formats serve) — the
+  * format itself is RFC 8878, implemented from the spec text.
+  *
+  * Shape (the valid subset a v1 encoder needs — every choice decodable by
+  * ANY conforming decoder):
+  *   - Frame: magic + single-segment header with the smallest sufficient
+  *     frame-content-size field; no dictionary, no checksum (x227
+  *     quarantines checksum frames by design, and the twin gate needs the
+  *     scratch decoder to accept its own encoder's output).
+  *   - Blocks ≤ 124 KiB (headroom under the spec's 128 KiB cap so even a
+  *     forced-compressed incompressible block stays legal): per block the
+  *     encoder COSTS Raw, RLE (all-bytes-equal) and Compressed and emits
+  *     the cheapest; a strategy mask lets the gate force each path so all
+  *     three emitters stay load-bearing (the x268 AllowStored/Fixed/
+  *     Dynamic pattern).
+  *   - Compressed blocks: LZ77 matches from x268's hash-chain tokenizer
+  *     (32 KiB window, min match 3 — a strict subset of zstd's offset
+  *     space, so every emitted offset is legal), literals Raw or RLE,
+  *     sequences in Predefined_Mode FSE — the RFC 3.1.1.3.2.2 default
+  *     distributions, so no table description is emitted and the decoder
+  *     side is pinned to the exact tables x227 already proved against the
+  *     official decoder. Repeat-offset codes are never emitted
+  *     (Offset_Value = offset + 3 always > 3), sidestepping the history
+  *     rules on the write side.
+  *   - FSE encoding is the decode-table inverse: states are chosen
+  *     BACKWARD (last symbol first) using the decoder's own
+  *     (symbol, nbBits, baseline) arrays — for a symbol s and required
+  *     next-state t there is exactly ONE state of s whose
+  *     [baseline, baseline + 2^nbBits) range covers t; the bitstream is
+  *     assembled back-to-front under the padding-sentinel law of
+  *     RFC 3.1.1.7. Building the encoder ON the decoder's tables makes
+  *     table disagreement structurally impossible.
+  *
+  * Out of scope (valid subset, not missing correctness): Huffman-compressed
+  * literals (see [[ZstdEncode.AllowHuf]] — x280 adds them), custom FSE
+  * table descriptions, repeat offsets, multi-frame concatenation.
+  *
+  * Scale shape: per-payload pure function under `mapPartitions` (the
+  * x98/x151/x198/x199/x268 byte-codec class) — a corpus of payloads
+  * compresses embarrassingly parallel, no shuffle before the output sort.
+  */
+object ZstdEncode {
+
+  val AllowRaw = 1
+  val AllowRle = 2
+  val AllowSeq = 4
+  val AllowHuf = 8 // x280: Huffman-compressed literals inside Seq blocks
+  val AllowAll: Int = AllowRaw | AllowRle | AllowSeq | AllowHuf
+
+  private val MagicLE = 0xfd2fb528L
+  private val BlockMax = 124 << 10 // ≤ the spec's min(Window_Size, 128 KiB) with forced-compressed headroom
+
+  // ------------------------------------------------------- backward writer
+
+  /** Backward bitstream assembler (RFC 3.1.1.7 inverse): fields are
+    * appended in DECODER READ ORDER; `emit` lays them out so the first
+    * field occupies the highest live bits, then sets the padding-sentinel
+    * 1 just above the last live bit.
+    */
+  private final class BackW {
+    private var vals = new Array[Long](64) // (value << 8) | width
+    private var n = 0
+    private var total = 0
+    def field(v: Int, w: Int): Unit = if (w > 0) {
+      if (n == vals.length) vals = java.util.Arrays.copyOf(vals, n * 2)
+      vals(n) = (v.toLong << 8) | w
+      n += 1
+      total += w
+    }
+    def emit(out: java.io.ByteArrayOutputStream): Unit = {
+      val bytes = new Array[Byte]((total >> 3) + 1)
+      def set(i: Int): Unit = bytes(i >> 3) = (bytes(i >> 3) | (1 << (i & 7))).toByte
+      set(total) // sentinel
+      var cursor = total
+      var j = 0
+      while (j < n) {
+        val w = (vals(j) & 0xff).toInt
+        val v = vals(j) >>> 8
+        cursor -= w
+        var k = 0
+        while (k < w) { if (((v >>> k) & 1) != 0) set(cursor + k); k += 1 }
+        j += 1
+      }
+      out.write(bytes, 0, bytes.length)
+    }
+  }
+
+  // ------------------------------------------------------------ FSE encode
+
+  /** Encode-side view of a decode table: for each symbol, its states in
+    * ascending order; `transition(sym, next)` finds the unique state of
+    * `sym` covering `next` and the bits that move the decoder there.
+    */
+  private final class FseEnc(t: ZstdFrame.FseTable) {
+    val accuracyLog: Int = t.accuracyLog
+    private val symStates: Array[Array[Int]] = {
+      val maxSym = (0 until t.size).map(t.symbol(_)).max
+      val grouped = Array.fill(maxSym + 1)(List.empty[Int])
+      var st = t.size - 1
+      while (st >= 0) { grouped(t.symbol(st)) = st :: grouped(t.symbol(st)); st -= 1 }
+      grouped.map(_.toArray)
+    }
+    def firstState(sym: Int): Int = symStates(sym)(0)
+    /** (state, extraBits, width) such that baseline(state)+extraBits = next. */
+    def transition(sym: Int, next: Int): (Int, Int, Int) = {
+      val sts = symStates(sym)
+      var i = 0
+      while (i < sts.length) {
+        val st = sts(i)
+        val lo = t.baseline(st)
+        val w = t.nbBits(st)
+        if (next >= lo && next < lo + (1 << w)) return (st, next - lo, w)
+        i += 1
+      }
+      throw new IllegalStateException(s"fse encode: no state of symbol $sym covers $next")
+    }
+  }
+
+  private lazy val llEnc = new FseEnc(ZstdFrame.llDefaultTable)
+  private lazy val ofEnc = new FseEnc(ZstdFrame.ofDefaultTable)
+  private lazy val mlEnc = new FseEnc(ZstdFrame.mlDefaultTable)
+
+  private def llCodeOf(ll: Int): Int = {
+    if (ll < 16) ll
+    else {
+      var c = 35
+      while (ZstdFrame.LLBase(c) > ll) c -= 1
+      c
+    }
+  }
+  private def mlCodeOf(ml: Int): Int = {
+    if (ml <= 34) ml - 3
+    else {
+      var c = 52
+      while (ZstdFrame.MLBase(c) > ml) c -= 1
+      c
+    }
+  }
+
+  // ------------------------------------------------------ literals section
+
+  private def litHeader(ltype: Int, regen: Int, out: java.io.ByteArrayOutputStream): Unit = {
+    if (regen <= 31) out.write(ltype | (regen << 3))
+    else if (regen <= 4095) {
+      out.write(ltype | 0x04 | ((regen & 0xf) << 4))
+      out.write((regen >> 4) & 0xff)
+    } else {
+      out.write(ltype | 0x0c | ((regen & 0xf) << 4))
+      out.write((regen >> 4) & 0xff)
+      out.write((regen >> 12) & 0xff)
+    }
+  }
+
+  /** Raw (or RLE when all bytes agree) literals section. */
+  private def writeLiterals(lits: Array[Byte], nLits: Int, out: java.io.ByteArrayOutputStream): Unit = {
+    var rle = nLits > 0
+    var i = 1
+    while (rle && i < nLits) { rle = lits(i) == lits(0); i += 1 }
+    if (rle) {
+      litHeader(1, nLits, out)
+      out.write(lits(0))
+    } else {
+      litHeader(0, nLits, out)
+      out.write(lits, 0, nLits)
+    }
+  }
+
+  // ----------------------------------------------------- compressed blocks
+
+  /** Compressed-block payload (literals + sequences) for one block of
+    * input. Always constructible; the caller costs it against Raw/RLE.
+    */
+  private def compressedBlock(data: Array[Byte]): Array[Byte] = {
+    val tokens = Deflate.tokenize(data)
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+
+    // split the token stream into (ll, ofVal, ml) sequences + tail literals
+    val lits = new Array[Byte](data.length)
+    var nLits = 0
+    var pos = 0
+    var nSeq = 0
+    val seqLL = new Array[Int](tokens.length)
+    val seqOF = new Array[Int](tokens.length)
+    val seqML = new Array[Int](tokens.length)
+    var runStartLits = 0 // literals accumulated since the previous sequence
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      if ((tok & (1 << 30)) == 0) {
+        lits(nLits) = data(pos)
+        nLits += 1
+        runStartLits += 1
+        pos += 1
+      } else {
+        val len = (tok >>> 16) & 0x3fff
+        val dist = tok & 0xffff
+        seqLL(nSeq) = runStartLits
+        seqOF(nSeq) = dist + 3
+        seqML(nSeq) = len
+        nSeq += 1
+        runStartLits = 0
+        pos += len
+      }
+      t += 1
+    }
+
+    writeLiterals(lits, nLits, out)
+
+    if (nSeq == 0) {
+      out.write(0) // zero sequences, section ends
+      return out.toByteArray
+    }
+    // sequences header
+    if (nSeq < 128) out.write(nSeq)
+    else if (nSeq < 0x7f00) { out.write(128 + (nSeq >> 8)); out.write(nSeq & 0xff) }
+    else { out.write(255); out.write((nSeq - 0x7f00) & 0xff); out.write(((nSeq - 0x7f00) >> 8) & 0xff) }
+    out.write(0) // modes: Predefined for LL/OF/ML
+
+    // per-sequence codes
+    val llC = new Array[Int](nSeq)
+    val ofC = new Array[Int](nSeq)
+    val mlC = new Array[Int](nSeq)
+    var i = 0
+    while (i < nSeq) {
+      llC(i) = llCodeOf(seqLL(i))
+      mlC(i) = mlCodeOf(seqML(i))
+      ofC(i) = 31 - Integer.numberOfLeadingZeros(seqOF(i))
+      i += 1
+    }
+
+    // state chains, chosen backward (see scaladoc)
+    def chain(enc: FseEnc, codes: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+      val st = new Array[Int](nSeq)
+      val upd = new Array[Int](nSeq)
+      val updW = new Array[Int](nSeq)
+      st(nSeq - 1) = enc.firstState(codes(nSeq - 1))
+      var j = nSeq - 2
+      while (j >= 0) {
+        val (s, bits, w) = enc.transition(codes(j), st(j + 1))
+        st(j) = s
+        upd(j) = bits
+        updW(j) = w
+        j -= 1
+      }
+      (st, upd, updW)
+    }
+    val (llSt, llUp, llUw) = chain(llEnc, llC)
+    val (ofSt, ofUp, ofUw) = chain(ofEnc, ofC)
+    val (mlSt, mlUp, mlUw) = chain(mlEnc, mlC)
+
+    // bitstream fields in decoder read order (RFC 3.1.1.4)
+    val bw = new BackW
+    bw.field(llSt(0), llEnc.accuracyLog)
+    bw.field(ofSt(0), ofEnc.accuracyLog)
+    bw.field(mlSt(0), mlEnc.accuracyLog)
+    i = 0
+    while (i < nSeq) {
+      bw.field(seqOF(i) - (1 << ofC(i)), ofC(i))
+      bw.field(seqML(i) - ZstdFrame.MLBase(mlC(i)), ZstdFrame.MLBits(mlC(i)))
+      bw.field(seqLL(i) - ZstdFrame.LLBase(llC(i)), ZstdFrame.LLBits(llC(i)))
+      if (i < nSeq - 1) {
+        bw.field(llUp(i), llUw(i))
+        bw.field(mlUp(i), mlUw(i))
+        bw.field(ofUp(i), ofUw(i))
+      }
+      i += 1
+    }
+    bw.emit(out)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------ frame
+
+  /** Compress `data` into one zstd frame. `allow` masks the block
+    * strategies the cost pick may use (the x268 pattern); Raw is always
+    * available as the structural fallback for empty blocks.
+    */
+  def compress(data: Array[Byte], allow: Int = AllowAll): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    // magic, LE
+    out.write((MagicLE & 0xff).toInt)
+    out.write(((MagicLE >> 8) & 0xff).toInt)
+    out.write(((MagicLE >> 16) & 0xff).toInt)
+    out.write(((MagicLE >> 24) & 0xff).toInt)
+    // single-segment frame header with the smallest FCS field
+    val size = data.length
+    if (size <= 255) {
+      out.write(0x20) // fcsFlag 0, single-segment → 1-byte FCS
+      out.write(size)
+    } else if (size <= 65535 + 256) {
+      out.write(0x20 | (1 << 6))
+      val v = size - 256
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    } else {
+      out.write(0x20 | (2 << 6))
+      out.write(size & 0xff); out.write((size >> 8) & 0xff)
+      out.write((size >> 16) & 0xff); out.write((size >> 24) & 0xff)
+    }
+
+    val nBlocks = math.max(1, (size + BlockMax - 1) / BlockMax)
+    var b = 0
+    while (b < nBlocks) {
+      val from = b * BlockMax
+      val until = math.min(size, from + BlockMax)
+      val len = until - from
+      val chunk = java.util.Arrays.copyOfRange(data, from, until)
+      val last = b == nBlocks - 1
+
+      // candidates: (size, tieOrder, btype, payload)
+      var bestSize = Int.MaxValue
+      var bestOrder = Int.MaxValue
+      var bestType = -1
+      var bestPayload: Array[Byte] = null
+      def consider(sz: Int, order: Int, btype: Int, payload: Array[Byte]): Unit =
+        if (sz < bestSize || (sz == bestSize && order < bestOrder)) {
+          bestSize = sz; bestOrder = order; bestType = btype; bestPayload = payload
+        }
+      if (len == 0) consider(3, 0, 0, chunk) // empty input: one raw block
+      else {
+        if ((allow & AllowRle) != 0) {
+          var rle = true
+          var i = 1
+          while (rle && i < len) { rle = chunk(i) == chunk(0); i += 1 }
+          if (rle) consider(4, 0, 1, Array(chunk(0)))
+        }
+        if ((allow & AllowSeq) != 0) {
+          val payload = compressedBlock(chunk)
+          // RFC 8878 §3.1.1.2: a Compressed_Block's size must be STRICTLY
+          // smaller than its regenerated size — otherwise the spec requires
+          // a Raw_Block, so a forced-Seq strategy falls back rather than
+          // emit an invalid frame (the official decoder rejects it).
+          if (payload.length < len) consider(3 + payload.length, 1, 2, payload)
+        }
+        if ((allow & AllowRaw) != 0 || bestType < 0) consider(3 + len, 2, 0, chunk)
+      }
+
+      val bsize = if (bestType == 0) len else if (bestType == 1) len else bestPayload.length
+      val bh = (if (last) 1 else 0) | (bestType << 1) | (bsize << 3)
+      out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+      if (bestType == 0) out.write(bestPayload, 0, len) else out.write(bestPayload, 0, bestPayload.length)
+      b += 1
+    }
+    out.toByteArray
+  }
+}

@@ -98,7 +98,7 @@ object ZstdFrame {
   // ------------------------------------------------------------------ FSE
 
   /** FSE decode table: per state — symbol, nbBits to read, baseline. */
-  private final class FseTable(val accuracyLog: Int, norm: Array[Int]) {
+  private[sources] final class FseTable(val accuracyLog: Int, norm: Array[Int]) {
     val size: Int = 1 << accuracyLog
     val symbol = new Array[Int](size)
     val nbBits = new Array[Int](size)
@@ -194,20 +194,20 @@ object ZstdFrame {
     -1, -1)
   private val OFDefault = Array(1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, 1, -1, -1, -1, -1, -1)
-  private lazy val llDefaultTable = new FseTable(6, LLDefault)
-  private lazy val mlDefaultTable = new FseTable(6, MLDefault)
-  private lazy val ofDefaultTable = new FseTable(5, OFDefault)
+  private[sources] lazy val llDefaultTable = new FseTable(6, LLDefault)
+  private[sources] lazy val mlDefaultTable = new FseTable(6, MLDefault)
+  private[sources] lazy val ofDefaultTable = new FseTable(5, OFDefault)
 
   // RFC 3.1.1.3.2.1.1 — literals-length codes
-  private val LLBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20, 22,
+  private[sources] val LLBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20, 22,
     24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
-  private val LLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3,
+  private[sources] val LLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3,
     3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
   // RFC 3.1.1.3.2.1.1 — match-length codes
-  private val MLBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+  private[sources] val MLBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
     22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37, 39, 41, 43, 47, 51, 59, 67, 83,
     99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387, 32771, 65539)
-  private val MLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+  private[sources] val MLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
     0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15,
     16)
 

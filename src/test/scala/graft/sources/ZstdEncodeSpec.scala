@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conformance for the from-scratch RFC 8878 ENCODER (x279) — the x268
+  * discipline mirrored onto zstd: every emitted frame must be decoded
+  * byte-exactly by the OFFICIAL implementation (zstd-jni) AND by graft's
+  * own from-scratch [[ZstdFrame]] decoder, across content shapes, sizes
+  * (empty → multi-block) and forced block strategies, so all three block
+  * emitters stay load-bearing.
+  */
+class ZstdEncodeSpec extends AnyFunSuite {
+
+  private def officialDecode(comp: Array[Byte], n: Int): Option[Array[Byte]] =
+    try Some(com.github.luben.zstd.Zstd.decompress(comp, n))
+    catch { case _: com.github.luben.zstd.ZstdException => None }
+
+  private def roundtrip(raw: Array[Byte], allow: Int = ZstdEncode.AllowAll): Array[Byte] = {
+    val comp = ZstdEncode.compress(raw, allow)
+    val jni = officialDecode(comp, raw.length)
+    assert(jni.isDefined, s"official decoder rejected the frame (n=${raw.length}, allow=$allow)")
+    assert(java.util.Arrays.equals(jni.get, raw), s"official decode differs (n=${raw.length}, allow=$allow)")
+    val self = ZstdFrame.decode(comp)
+    assert(self.isDefined, s"scratch decoder rejected the frame (n=${raw.length}, allow=$allow)")
+    assert(java.util.Arrays.equals(self.get, raw), s"scratch decode differs (n=${raw.length}, allow=$allow)")
+    comp
+  }
+
+  test("fixture content classes, all 200 ids, both decoders byte-exact") {
+    (0L until 200L).foreach(z => roundtrip(ZstdFixture.content(z).getBytes("UTF-8")))
+  }
+
+  test("every forced strategy round-trips on every content class") {
+    for {
+      z <- 0L until 40L
+      allow <- Seq(ZstdEncode.AllowRaw, ZstdEncode.AllowSeq, ZstdEncode.AllowRaw | ZstdEncode.AllowRle)
+    } roundtrip(ZstdFixture.content(z).getBytes("UTF-8"), allow)
+  }
+
+  test("size sweep including empty, 1-byte, and multi-block frames") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 2, 3, 31, 32, 255, 256, 4095, 4096, 65791, 65792, 200000, 300000)) {
+      val skew = Array.tabulate[Byte](n)(_ => ('a' + rnd.nextInt(5)).toByte)
+      roundtrip(skew)
+    }
+  }
+
+  test("pure runs pick RLE blocks; the frame stays tiny") {
+    val run = Array.fill[Byte](100000)('Q')
+    val comp = roundtrip(run)
+    assert(comp.length < 32, s"RLE frame should be a few bytes, got ${comp.length}")
+  }
+
+  test("high-entropy input falls back to raw blocks; overhead is bounded") {
+    val rnd = new scala.util.Random(13)
+    val raw = new Array[Byte](50000)
+    rnd.nextBytes(raw)
+    val comp = roundtrip(raw)
+    assert(comp.length <= raw.length + 3 * ((raw.length / (124 << 10)) + 1) + 10)
+  }
+
+  test("auto pick never loses to a forced strategy") {
+    for (z <- 0L until 60L) {
+      val raw = ZstdFixture.content(z).getBytes("UTF-8")
+      val auto = ZstdEncode.compress(raw).length
+      val forced = Seq(ZstdEncode.AllowRaw, ZstdEncode.AllowRle | ZstdEncode.AllowRaw, ZstdEncode.AllowSeq)
+        .map(a => ZstdEncode.compress(raw, a).length)
+        .min
+      assert(auto <= forced, s"auto $auto > forced $forced at z=$z")
+    }
+  }
+
+  test("compressible text actually compresses through the sequence path") {
+    val text = ("the quick brown fox jumps over the lazy dog. " * 200).getBytes("UTF-8")
+    val comp = roundtrip(text)
+    assert(comp.length < text.length / 3, s"expected real compression, got ${comp.length}/${text.length}")
+  }
+
+  test("official zstd output decodes through scratch decoder and vice versa (both directions pinned)") {
+    for (z <- 0L until 30L) {
+      val raw = ZstdFixture.content(z).getBytes("UTF-8")
+      // official encode → scratch decode (x227's direction)
+      val offComp = com.github.luben.zstd.Zstd.compress(raw, 3)
+      assert(ZstdFrame.decode(offComp).exists(java.util.Arrays.equals(_, raw)))
+      // scratch encode → official decode (x279's direction)
+      roundtrip(raw)
+    }
+  }
+
+  test("deterministic: same input, same bytes") {
+    val raw = ZstdFixture.content(17L).getBytes("UTF-8")
+    assert(java.util.Arrays.equals(ZstdEncode.compress(raw), ZstdEncode.compress(raw)))
+  }
+}
