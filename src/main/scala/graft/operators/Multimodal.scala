@@ -721,6 +721,65 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // zstd Huffman literals (x280) — x279's remaining entropy stage: the
+    // literals section cost-picks a canonical Huffman table (package-merge
+    // ≤11-bit lengths, direct 4-bit weight description with the deduced
+    // last weight, single- or 4-stream under the 1023-byte header ceiling)
+    // whose codes are assigned by the DECODER's own rank-walk law, so the
+    // write side can never disagree with the table the read side builds.
+    // Strategy 1 FORCES Huffman whenever the alphabet is legal (the
+    // emitters stay load-bearing even where the cost pick would choose
+    // raw); huf_le pins that enabling Huffman never loses the frame-size
+    // cost pick. The md5 column is what the OFFICIAL zstd recovered.
+    "x280_zstd_huffman" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("strategy", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jni_match", BooleanType),
+          StructField("self_match", BooleanType),
+          StructField("huf_le", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{ZstdEncode, ZstdFixture, ZstdFrame}
+      s.range(200)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = { md.reset(); md.digest(b).map(x => f"${x & 0xff}%02x").mkString }
+          def jniDecode(comp: Array[Byte], n: Int): Option[Array[Byte]] =
+            try Some(com.github.luben.zstd.Zstd.decompress(comp, n))
+            catch { case _: com.github.luben.zstd.ZstdException => None }
+          it.map { r =>
+            val z = r.getLong(0)
+            val data = ZstdFixture.content(z).getBytes("UTF-8")
+            val strategy = (z % 2).toInt
+            val comp = ZstdEncode.compress(data, ZstdEncode.AllowAll, forceHuf = strategy == 1)
+            val jni = jniDecode(comp, data.length)
+            val self = ZstdFrame.decode(comp)
+            val hufLe = ZstdEncode.compress(data).length <=
+              ZstdEncode.compress(data, ZstdEncode.AllowAll & ~ZstdEncode.AllowHuf).length
+            jni match {
+              case Some(d) =>
+                Row(
+                  z,
+                  strategy.toLong,
+                  d.length.toLong,
+                  hex(d),
+                  d.sameElements(data),
+                  self.exists(_.sameElements(data)),
+                  hufLe
+                )
+              case None => Row(z, strategy.toLong, null, null, false, false, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -1895,6 +1954,25 @@ object Multimodal {
         |SELECT z AS blob_id, CAST(z % 3 AS BIGINT) AS strategy,
         |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
         |  TRUE AS jni_match, TRUE AS self_match, TRUE AS auto_min
+        |FROM c ORDER BY blob_id""".stripMargin,
+    // x280: the Huffman-literals twin — same content formulas; strategy 1
+    // forces the Huffman emitters, so a hash match proves the official
+    // decoder accepted every tree description and literal stream.
+    "x280_zstd_huffman" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 149 + z % 200)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |h1 AS (SELECT z, string_agg('Z,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |       FROM zs, unnest(generate_series(0, 4 + z % 9)) t(i) WHERE z % 4 = 1 GROUP BY z),
+        |c1 AS (SELECT z, h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(800 + z % 400 AS INT)) || h AS content FROM h1),
+        |c2 AS (SELECT z, string_agg(md5(z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 2 + z % 9)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, repeat(chr(97 + CAST(z % 26 AS INT)), CAST(300 + z % 500 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 3),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(z % 2 AS BIGINT) AS strategy,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
+        |  TRUE AS jni_match, TRUE AS self_match, TRUE AS huf_le
         |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),

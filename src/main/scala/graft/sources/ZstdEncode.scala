@@ -165,12 +165,49 @@ object ZstdEncode {
     }
   }
 
-  /** Raw (or RLE when all bytes agree) literals section. */
-  private def writeLiterals(lits: Array[Byte], nLits: Int, out: java.io.ByteArrayOutputStream): Unit = {
-    var rle = nLits > 0
+  /** Literals section: cost-picks Raw / RLE / Huffman-compressed under the
+    * strategy mask (Raw is always available as the structural fallback;
+    * `forceHuf` overrides the cost pick whenever Huffman is legal, so the
+    * gate can pin the Huffman emitters as load-bearing).
+    */
+  private def writeLiterals(
+      lits: Array[Byte],
+      nLits: Int,
+      out: java.io.ByteArrayOutputStream,
+      allow: Int,
+      forceHuf: Boolean
+  ): Unit = {
+    var rle = nLits > 0 && (allow & AllowRle) != 0
     var i = 1
     while (rle && i < nLits) { rle = lits(i) == lits(0); i += 1 }
-    if (rle) {
+
+    var hufBody: Array[Byte] = null
+    var hufFour = false
+    if ((allow & AllowHuf) != 0 && nLits >= 16) {
+      val freq = new Array[Int](256)
+      i = 0
+      while (i < nLits) { freq(lits(i) & 0xff) += 1; i += 1 }
+      val plan = new HufPlan(freq)
+      if (plan.legal) {
+        val (b, four) = plan.body(lits, nLits)
+        // single-stream is only header-expressible with comp ≤ 1023
+        if (four || b.length <= 1023) { hufBody = b; hufFour = four }
+      }
+    }
+
+    // exact section costs (header + payload) — the auto_min gate pin has
+    // zero margin, so the cost model must be the emitted byte count
+    def litHeaderSize(regen: Int): Int = if (regen <= 31) 1 else if (regen <= 4095) 2 else 3
+    def hufHeaderSize(regen: Int, comp: Int): Int =
+      if (regen <= 1023 && comp <= 1023) 3 else if (regen <= 16383 && comp <= 16383) 4 else 5
+    val rawCost = litHeaderSize(nLits) + nLits
+    val hufCost =
+      if (hufBody == null) Int.MaxValue
+      else hufHeaderSize(nLits, hufBody.length) + hufBody.length
+    if (hufBody != null && (forceHuf || (!rle && hufCost < rawCost))) {
+      hufHeader(nLits, hufBody.length, hufFour, out)
+      out.write(hufBody, 0, hufBody.length)
+    } else if (rle) {
       litHeader(1, nLits, out)
       out.write(lits(0))
     } else {
@@ -179,12 +216,133 @@ object ZstdEncode {
     }
   }
 
+  // ---------------------------------------------- Huffman literals (x280)
+
+  /** Huffman plan for a literals set: canonical codes assigned by the
+    * exact law the decoder's table construction implies (symbols grouped
+    * by weight ascending, natural order within a weight; a weight-w
+    * symbol's first table cell >> (w-1) IS its code, read MSB-first by
+    * the peek-tableLog decode loop). Direct 4-bit weight description —
+    * legal whenever the highest used byte is ≤ 128 (the h≥128 header form
+    * carries at most 128 explicit weights; the last used symbol's weight
+    * is deduced by the power-of-two completion law, which our complete
+    * package-merge lengths satisfy by construction). Returns null when
+    * the alphabet shape is out of the direct-description range.
+    */
+  private final class HufPlan(freq: Array[Int]) {
+    val maxUsed: Int = {
+      var m = -1
+      var s = 0
+      while (s < 256) { if (freq(s) > 0) m = s; s += 1 }
+      m
+    }
+    private val distinct = (0 until 256).count(freq(_) > 0)
+    val legal: Boolean = distinct >= 2 && maxUsed <= 128
+    var tableLog = 0
+    val codeOf = new Array[Int](256)
+    val lenOf = new Array[Int](256)
+    var desc: Array[Byte] = null
+    if (legal) {
+      val lens = Deflate.limitedLengths(java.util.Arrays.copyOf(freq, maxUsed + 1), 11)
+      tableLog = lens.max
+      val weights = new Array[Int](maxUsed + 1)
+      var s = 0
+      while (s <= maxUsed) { weights(s) = if (lens(s) > 0) tableLog + 1 - lens(s) else 0; s += 1 }
+      // decoder-mirror rank walk → canonical codes
+      val rankNext = new Array[Int](tableLog + 2)
+      var w = 1
+      var cur = 0
+      while (w <= tableLog) {
+        rankNext(w) = cur
+        s = 0
+        while (s <= maxUsed) { if (weights(s) == w) cur += 1 << (w - 1); s += 1 }
+        w += 1
+      }
+      s = 0
+      while (s <= maxUsed) {
+        val ww = weights(s)
+        if (ww > 0) {
+          codeOf(s) = rankNext(ww) >> (ww - 1)
+          lenOf(s) = tableLog + 1 - ww
+          rankNext(ww) += 1 << (ww - 1)
+        }
+        s += 1
+      }
+      // direct weight description: explicit weights for symbols 0..maxUsed-1
+      val n = maxUsed
+      desc = new Array[Byte](1 + (n + 1) / 2)
+      desc(0) = (127 + n).toByte
+      var i = 0
+      while (i < n) {
+        val nib = weights(i)
+        if (i % 2 == 0) desc(1 + i / 2) = (desc(1 + i / 2) | (nib << 4)).toByte
+        else desc(1 + i / 2) = (desc(1 + i / 2) | nib).toByte
+        i += 1
+      }
+    }
+    private def streamBytes(lits: Array[Byte], from: Int, until: Int): Array[Byte] = {
+      val bw = new BackW
+      var i = from
+      while (i < until) { val s = lits(i) & 0xff; bw.field(codeOf(s), lenOf(s)); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream((until - from) / 2 + 2)
+      bw.emit(bos)
+      bos.toByteArray
+    }
+    /** Full compressed-literals body (tree description + streams + jump
+      * table when 4-stream) and whether it is 4-stream. Single stream is
+      * only header-encodable for regen ≤ 1023 (size_format 0).
+      */
+    def body(lits: Array[Byte], nLits: Int): (Array[Byte], Boolean) = {
+      val bos = new java.io.ByteArrayOutputStream(nLits / 2 + desc.length + 8)
+      bos.write(desc, 0, desc.length)
+      if (nLits <= 1023) {
+        val s0 = streamBytes(lits, 0, nLits)
+        bos.write(s0, 0, s0.length)
+        (bos.toByteArray, false)
+      } else {
+        val seg = (nLits + 3) / 4
+        val s = Array(
+          streamBytes(lits, 0, seg),
+          streamBytes(lits, seg, 2 * seg),
+          streamBytes(lits, 2 * seg, 3 * seg),
+          streamBytes(lits, 3 * seg, nLits)
+        )
+        var k = 0
+        while (k < 3) { bos.write(s(k).length & 0xff); bos.write((s(k).length >> 8) & 0xff); k += 1 }
+        k = 0
+        while (k < 4) { bos.write(s(k), 0, s(k).length); k += 1 }
+        (bos.toByteArray, true)
+      }
+    }
+  }
+
+  /** ltype-2 literals header for (regen, comp) with the right size_format. */
+  private def hufHeader(regen: Int, comp: Int, fourStreams: Boolean, out: java.io.ByteArrayOutputStream): Unit = {
+    if (regen <= 1023 && comp <= 1023) {
+      val sf = if (fourStreams) 1 else 0
+      out.write(2 | (sf << 2) | ((regen & 0xf) << 4))
+      out.write(((regen >> 4) & 0x3f) | ((comp & 3) << 6))
+      out.write((comp >> 2) & 0xff)
+    } else if (regen <= 16383 && comp <= 16383) {
+      out.write(2 | (2 << 2) | ((regen & 0xf) << 4))
+      out.write((regen >> 4) & 0xff)
+      out.write(((regen >> 12) & 0x3) | ((comp & 0x3f) << 2))
+      out.write((comp >> 6) & 0xff)
+    } else {
+      out.write(2 | (3 << 2) | ((regen & 0xf) << 4))
+      out.write((regen >> 4) & 0xff)
+      out.write(((regen >> 12) & 0x3f) | ((comp & 3) << 6))
+      out.write((comp >> 2) & 0xff)
+      out.write((comp >> 10) & 0xff)
+    }
+  }
+
   // ----------------------------------------------------- compressed blocks
 
   /** Compressed-block payload (literals + sequences) for one block of
     * input. Always constructible; the caller costs it against Raw/RLE.
     */
-  private def compressedBlock(data: Array[Byte]): Array[Byte] = {
+  private def compressedBlock(data: Array[Byte], allow: Int, forceHuf: Boolean): Array[Byte] = {
     val tokens = Deflate.tokenize(data)
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
 
@@ -218,7 +376,7 @@ object ZstdEncode {
       t += 1
     }
 
-    writeLiterals(lits, nLits, out)
+    writeLiterals(lits, nLits, out, allow, forceHuf)
 
     if (nSeq == 0) {
       out.write(0) // zero sequences, section ends
@@ -289,7 +447,7 @@ object ZstdEncode {
     * strategies the cost pick may use (the x268 pattern); Raw is always
     * available as the structural fallback for empty blocks.
     */
-  def compress(data: Array[Byte], allow: Int = AllowAll): Array[Byte] = {
+  def compress(data: Array[Byte], allow: Int = AllowAll, forceHuf: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     // magic, LE
     out.write((MagicLE & 0xff).toInt)
@@ -338,7 +496,7 @@ object ZstdEncode {
           if (rle) consider(4, 0, 1, Array(chunk(0)))
         }
         if ((allow & AllowSeq) != 0) {
-          val payload = compressedBlock(chunk)
+          val payload = compressedBlock(chunk, allow, forceHuf)
           // RFC 8878 §3.1.1.2: a Compressed_Block's size must be STRICTLY
           // smaller than its regenerated size — otherwise the spec requires
           // a Raw_Block, so a forced-Seq strategy falls back rather than

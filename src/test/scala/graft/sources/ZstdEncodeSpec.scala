@@ -87,6 +87,58 @@ class ZstdEncodeSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------ Huffman literals (x280)
+
+  test("forced-Huffman literals round-trip on every content class and a size sweep") {
+    for (z <- 0L until 40L) {
+      val raw = ZstdFixture.content(z).getBytes("UTF-8")
+      val comp = ZstdEncode.compress(raw, ZstdEncode.AllowAll, forceHuf = true)
+      assert(officialDecode(comp, raw.length).exists(java.util.Arrays.equals(_, raw)), s"jni z=$z")
+      assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, raw)), s"self z=$z")
+    }
+    val rnd = new scala.util.Random(29)
+    for (n <- Seq(16, 100, 1023, 1024, 1100, 5000, 40000)) {
+      val hex = Array.tabulate[Byte](n)(_ => "0123456789abcdef".charAt(rnd.nextInt(16)).toByte)
+      val comp = ZstdEncode.compress(hex, ZstdEncode.AllowAll, forceHuf = true)
+      assert(officialDecode(comp, n).exists(java.util.Arrays.equals(_, hex)), s"jni n=$n")
+      assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, hex)), s"self n=$n")
+    }
+  }
+
+  test("entropy-skewed literals engage Huffman under the cost pick and win") {
+    val rnd = new scala.util.Random(31)
+    val hex = Array.tabulate[Byte](3000)(_ => "0123456789abcdef".charAt(rnd.nextInt(16)).toByte)
+    val withHuf = ZstdEncode.compress(hex, ZstdEncode.AllowAll)
+    val withoutHuf = ZstdEncode.compress(hex, ZstdEncode.AllowAll & ~ZstdEncode.AllowHuf)
+    assert(withHuf.length < withoutHuf.length, s"${withHuf.length} !< ${withoutHuf.length}")
+    assert(officialDecode(withHuf, hex.length).exists(java.util.Arrays.equals(_, hex)))
+    assert(ZstdFrame.decode(withHuf).exists(java.util.Arrays.equals(_, hex)))
+  }
+
+  test("4-stream literals: a matchless pair enumeration forces >1023 literals through Huffman") {
+    // all ordered pairs (a,b), a != b, over a 34-symbol alphabet: consecutive
+    // pairs are unique, so LZ77 matches are rare collisions and the literal
+    // set stays far above the 1023 single-stream ceiling
+    val syms = (40 until 74).map(_.toByte).toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    for (a <- syms; b <- syms if a != b) { bos.write(a); bos.write(b) }
+    val raw = bos.toByteArray // 2244 bytes
+    val comp = ZstdEncode.compress(raw, ZstdEncode.AllowAll, forceHuf = true)
+    assert(officialDecode(comp, raw.length).exists(java.util.Arrays.equals(_, raw)))
+    assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, raw)))
+    // 34-symbol alphabet → ≤ 6 bits/byte once Huffman engages
+    val plain = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowHuf)
+    assert(comp.length < plain.length)
+  }
+
+  test("bytes above 128 disable the direct weight description; encoder stays valid") {
+    val rnd = new scala.util.Random(37)
+    val wide = Array.tabulate[Byte](2000)(_ => (rnd.nextInt(200) + 50).toByte) // maxUsed > 128
+    val comp = ZstdEncode.compress(wide, ZstdEncode.AllowAll, forceHuf = true)
+    assert(officialDecode(comp, wide.length).exists(java.util.Arrays.equals(_, wide)))
+    assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, wide)))
+  }
+
   test("deterministic: same input, same bytes") {
     val raw = ZstdFixture.content(17L).getBytes("UTF-8")
     assert(java.util.Arrays.equals(ZstdEncode.compress(raw), ZstdEncode.compress(raw)))
