@@ -780,6 +780,64 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // zstd custom FSE tables (x281) — the "dynamic Huffman" analog on the
+    // modern codec: per block the encoder measures the real LL/OF/ML code
+    // distributions, normalizes them to a power-of-two table
+    // (deterministic largest-remainder, no −1 slots), SERIALIZES the
+    // normalized counts through the exact write-inverse of the decoder's
+    // adaptive-width RFC 4.1.1 scheme (zero-repeat flags, threshold
+    // shrinking), and cost-picks the custom section against the
+    // predefined one by emitted bytes; single-symbol channels use the
+    // 1-byte RLE table mode. Strategy 1 FORCES the custom-table emitters.
+    "x281_zstd_fse" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("strategy", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jni_match", BooleanType),
+          StructField("self_match", BooleanType),
+          StructField("fse_le", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{ZstdEncode, ZstdFixture, ZstdFrame}
+      s.range(200)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = { md.reset(); md.digest(b).map(x => f"${x & 0xff}%02x").mkString }
+          def jniDecode(comp: Array[Byte], n: Int): Option[Array[Byte]] =
+            try Some(com.github.luben.zstd.Zstd.decompress(comp, n))
+            catch { case _: com.github.luben.zstd.ZstdException => None }
+          it.map { r =>
+            val z = r.getLong(0)
+            val data = ZstdFixture.content(z).getBytes("UTF-8")
+            val strategy = (z % 2).toInt
+            val comp = ZstdEncode.compress(data, ZstdEncode.AllowAll, forceFse = strategy == 1)
+            val jni = jniDecode(comp, data.length)
+            val self = ZstdFrame.decode(comp)
+            val fseLe = ZstdEncode.compress(data).length <=
+              ZstdEncode.compress(data, ZstdEncode.AllowAll & ~ZstdEncode.AllowFse).length
+            jni match {
+              case Some(d) =>
+                Row(
+                  z,
+                  strategy.toLong,
+                  d.length.toLong,
+                  hex(d),
+                  d.sameElements(data),
+                  self.exists(_.sameElements(data)),
+                  fseLe
+                )
+              case None => Row(z, strategy.toLong, null, null, false, false, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -1973,6 +2031,26 @@ object Multimodal {
         |SELECT z AS blob_id, CAST(z % 2 AS BIGINT) AS strategy,
         |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
         |  TRUE AS jni_match, TRUE AS self_match, TRUE AS huf_le
+        |FROM c ORDER BY blob_id""".stripMargin,
+    // x281: the custom-table twin — same content formulas; strategy 1
+    // forces the measured-distribution FSE descriptions, so a hash match
+    // proves the official decoder accepted every normalized-count
+    // serialization and state machine the encoder built.
+    "x281_zstd_fse" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 149 + z % 200)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |h1 AS (SELECT z, string_agg('Z,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |       FROM zs, unnest(generate_series(0, 4 + z % 9)) t(i) WHERE z % 4 = 1 GROUP BY z),
+        |c1 AS (SELECT z, h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(800 + z % 400 AS INT)) || h AS content FROM h1),
+        |c2 AS (SELECT z, string_agg(md5(z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 2 + z % 9)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, repeat(chr(97 + CAST(z % 26 AS INT)), CAST(300 + z % 500 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 3),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(z % 2 AS BIGINT) AS strategy,
+        |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
+        |  TRUE AS jni_match, TRUE AS self_match, TRUE AS fse_le
         |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),

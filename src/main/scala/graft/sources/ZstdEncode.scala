@@ -59,7 +59,8 @@ object ZstdEncode {
   val AllowRle = 2
   val AllowSeq = 4
   val AllowHuf = 8 // x280: Huffman-compressed literals inside Seq blocks
-  val AllowAll: Int = AllowRaw | AllowRle | AllowSeq | AllowHuf
+  val AllowFse = 16 // x281: custom FSE table descriptions for sequences
+  val AllowAll: Int = AllowRaw | AllowRle | AllowSeq | AllowHuf | AllowFse
 
   private val MagicLE = 0xfd2fb528L
   private val BlockMax = 124 << 10 // ≤ the spec's min(Window_Size, 128 KiB) with forced-compressed headroom
@@ -133,6 +134,129 @@ object ZstdEncode {
   private lazy val llEnc = new FseEnc(ZstdFrame.llDefaultTable)
   private lazy val ofEnc = new FseEnc(ZstdFrame.ofDefaultTable)
   private lazy val mlEnc = new FseEnc(ZstdFrame.mlDefaultTable)
+
+  // ------------------------------------- custom FSE tables (x281, mode 2)
+
+  /** Forward LSB-first bit writer (RFC 4.1.1 table descriptions). */
+  private final class FwdBitW {
+    private var buf = new Array[Byte](64)
+    private var bitPos = 0
+    def bits(v: Int, n: Int): Unit = {
+      var k = 0
+      while (k < n) {
+        val abs = bitPos + k
+        if ((abs >> 3) >= buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        if (((v >> k) & 1) != 0) buf(abs >> 3) = (buf(abs >> 3) | (1 << (abs & 7))).toByte
+        k += 1
+      }
+      bitPos += n
+    }
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(buf, (bitPos + 7) >> 3)
+  }
+
+  /** Deterministic largest-remainder normalization of raw symbol counts to
+    * a 2^al slot table (no "less than 1" −1 slots — a valid, simpler
+    * subset). Every present symbol gets ≥ 1 slot; the sum is exactly 2^al.
+    */
+  private def normalize(freq: Array[Int], n: Int, al: Int): Array[Int] = {
+    val size = 1 << al
+    val norm = new Array[Int](freq.length)
+    var sum = 0
+    var s = 0
+    while (s < freq.length) {
+      if (freq(s) > 0) {
+        norm(s) = math.max(1, (freq(s).toLong * size / n).toInt)
+        sum += norm(s)
+      }
+      s += 1
+    }
+    if (sum < size) {
+      // round-robin extra slots in largest-remainder order (ties → lower symbol)
+      var diff = size - sum
+      val order = (0 until freq.length)
+        .filter(freq(_) > 0)
+        .sortBy(s0 => (-(freq(s0).toLong * size % n), s0))
+        .toArray
+      var i = 0
+      while (diff > 0) {
+        norm(order(i % order.length)) += 1
+        diff -= 1
+        i += 1
+      }
+    } else if (sum > size) {
+      var diff = sum - size
+      while (diff > 0) {
+        var mx = -1
+        s = 0
+        while (s < freq.length) { if (norm(s) > 1 && (mx < 0 || norm(s) > norm(mx))) mx = s; s += 1 }
+        norm(mx) -= 1
+        diff -= 1
+      }
+    }
+    norm
+  }
+
+  /** Serialize a normalized-count table (the exact write-inverse of
+    * [[ZstdFrame.readFseDesc]]'s adaptive-width scheme, RFC 4.1.1).
+    */
+  private def writeFseDesc(norm: Array[Int], al: Int): Array[Byte] = {
+    val w = new FwdBitW
+    w.bits(al - 5, 4)
+    var lastNz = norm.length - 1
+    while (lastNz >= 0 && norm(lastNz) == 0) lastNz -= 1
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nb = al + 1
+    var sym = 0
+    while (sym <= lastNz) {
+      val count = norm(sym)
+      val v = count + 1
+      val max = (2 * threshold - 1) - remaining
+      if (v < max) w.bits(v, nb - 1)
+      else if (v < threshold) w.bits(v, nb)
+      else w.bits(v + max, nb)
+      remaining -= (if (count < 0) -count else count)
+      sym += 1
+      if (count == 0) {
+        var z = 0
+        while (sym + z <= lastNz && norm(sym + z) == 0) z += 1
+        var zz = z
+        while (zz >= 3) { w.bits(3, 2); zz -= 3 }
+        w.bits(zz, 2)
+        sym += z
+      }
+      while (remaining > 1 && remaining < threshold) { nb -= 1; threshold >>= 1 }
+    }
+    require(remaining == 1, s"fse desc normalization did not land on 1 (got $remaining)")
+    w.bytes
+  }
+
+  /** Channel plan for one sequence-code stream: mode bits, the table
+    * description bytes (empty for predefined, 1 symbol byte for RLE), and
+    * the encoder view of the table the DECODER will build from them.
+    */
+  private final class ChanPlan(val mode: Int, val desc: Array[Byte], val enc: FseEnc)
+
+  private def customChan(codes: Array[Int], nSeq: Int, maxAL: Int): ChanPlan = {
+    var maxC = 0
+    var i = 0
+    while (i < nSeq) { if (codes(i) > maxC) maxC = codes(i); i += 1 }
+    val freq = new Array[Int](maxC + 1)
+    i = 0
+    while (i < nSeq) { freq(codes(i)) += 1; i += 1 }
+    val distinct = freq.count(_ > 0)
+    if (distinct == 1) {
+      val norm = new Array[Int](maxC + 1)
+      norm(maxC) = 1
+      new ChanPlan(1, Array(maxC.toByte), new FseEnc(new ZstdFrame.FseTable(0, norm)))
+    } else {
+      val needed = 32 - Integer.numberOfLeadingZeros(distinct - 1) // ceil log2
+      val scale = 63 - java.lang.Long.numberOfLeadingZeros(nSeq.toLong) // floor log2
+      val al = math.min(maxAL, math.max(5, math.max(needed, scale.toInt)))
+      val norm = normalize(freq, nSeq, al)
+      new ChanPlan(2, writeFseDesc(norm, al), new FseEnc(new ZstdFrame.FseTable(al, norm)))
+    }
+  }
 
   private def llCodeOf(ll: Int): Int = {
     if (ll < 16) ll
@@ -342,7 +466,7 @@ object ZstdEncode {
   /** Compressed-block payload (literals + sequences) for one block of
     * input. Always constructible; the caller costs it against Raw/RLE.
     */
-  private def compressedBlock(data: Array[Byte], allow: Int, forceHuf: Boolean): Array[Byte] = {
+  private def compressedBlock(data: Array[Byte], allow: Int, forceHuf: Boolean, forceFse: Boolean): Array[Byte] = {
     val tokens = Deflate.tokenize(data)
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
 
@@ -382,11 +506,6 @@ object ZstdEncode {
       out.write(0) // zero sequences, section ends
       return out.toByteArray
     }
-    // sequences header
-    if (nSeq < 128) out.write(nSeq)
-    else if (nSeq < 0x7f00) { out.write(128 + (nSeq >> 8)); out.write(nSeq & 0xff) }
-    else { out.write(255); out.write((nSeq - 0x7f00) & 0xff); out.write(((nSeq - 0x7f00) >> 8) & 0xff) }
-    out.write(0) // modes: Predefined for LL/OF/ML
 
     // per-sequence codes
     val llC = new Array[Int](nSeq)
@@ -400,44 +519,75 @@ object ZstdEncode {
       i += 1
     }
 
-    // state chains, chosen backward (see scaladoc)
-    def chain(enc: FseEnc, codes: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
-      val st = new Array[Int](nSeq)
-      val upd = new Array[Int](nSeq)
-      val updW = new Array[Int](nSeq)
-      st(nSeq - 1) = enc.firstState(codes(nSeq - 1))
-      var j = nSeq - 2
-      while (j >= 0) {
-        val (s, bits, w) = enc.transition(codes(j), st(j + 1))
-        st(j) = s
-        upd(j) = bits
-        updW(j) = w
-        j -= 1
-      }
-      (st, upd, updW)
-    }
-    val (llSt, llUp, llUw) = chain(llEnc, llC)
-    val (ofSt, ofUp, ofUw) = chain(ofEnc, ofC)
-    val (mlSt, mlUp, mlUw) = chain(mlEnc, mlC)
+    /** Full sequences section for one table choice per channel. */
+    def section(ll: ChanPlan, of: ChanPlan, ml: ChanPlan): Array[Byte] = {
+      val sec = new java.io.ByteArrayOutputStream(nSeq + 32)
+      if (nSeq < 128) sec.write(nSeq)
+      else if (nSeq < 0x7f00) { sec.write(128 + (nSeq >> 8)); sec.write(nSeq & 0xff) }
+      else { sec.write(255); sec.write((nSeq - 0x7f00) & 0xff); sec.write(((nSeq - 0x7f00) >> 8) & 0xff) }
+      sec.write((ll.mode << 6) | (of.mode << 4) | (ml.mode << 2))
+      sec.write(ll.desc, 0, ll.desc.length)
+      sec.write(of.desc, 0, of.desc.length)
+      sec.write(ml.desc, 0, ml.desc.length)
 
-    // bitstream fields in decoder read order (RFC 3.1.1.4)
-    val bw = new BackW
-    bw.field(llSt(0), llEnc.accuracyLog)
-    bw.field(ofSt(0), ofEnc.accuracyLog)
-    bw.field(mlSt(0), mlEnc.accuracyLog)
-    i = 0
-    while (i < nSeq) {
-      bw.field(seqOF(i) - (1 << ofC(i)), ofC(i))
-      bw.field(seqML(i) - ZstdFrame.MLBase(mlC(i)), ZstdFrame.MLBits(mlC(i)))
-      bw.field(seqLL(i) - ZstdFrame.LLBase(llC(i)), ZstdFrame.LLBits(llC(i)))
-      if (i < nSeq - 1) {
-        bw.field(llUp(i), llUw(i))
-        bw.field(mlUp(i), mlUw(i))
-        bw.field(ofUp(i), ofUw(i))
+      // state chains, chosen backward (see scaladoc)
+      def chain(enc: FseEnc, codes: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+        val st = new Array[Int](nSeq)
+        val upd = new Array[Int](nSeq)
+        val updW = new Array[Int](nSeq)
+        st(nSeq - 1) = enc.firstState(codes(nSeq - 1))
+        var j = nSeq - 2
+        while (j >= 0) {
+          val (s, bits, w) = enc.transition(codes(j), st(j + 1))
+          st(j) = s
+          upd(j) = bits
+          updW(j) = w
+          j -= 1
+        }
+        (st, upd, updW)
       }
-      i += 1
+      val (llSt, llUp, llUw) = chain(ll.enc, llC)
+      val (ofSt, ofUp, ofUw) = chain(of.enc, ofC)
+      val (mlSt, mlUp, mlUw) = chain(ml.enc, mlC)
+
+      // bitstream fields in decoder read order (RFC 3.1.1.4)
+      val bw = new BackW
+      bw.field(llSt(0), ll.enc.accuracyLog)
+      bw.field(ofSt(0), of.enc.accuracyLog)
+      bw.field(mlSt(0), ml.enc.accuracyLog)
+      var k = 0
+      while (k < nSeq) {
+        bw.field(seqOF(k) - (1 << ofC(k)), ofC(k))
+        bw.field(seqML(k) - ZstdFrame.MLBase(mlC(k)), ZstdFrame.MLBits(mlC(k)))
+        bw.field(seqLL(k) - ZstdFrame.LLBase(llC(k)), ZstdFrame.LLBits(llC(k)))
+        if (k < nSeq - 1) {
+          bw.field(llUp(k), llUw(k))
+          bw.field(mlUp(k), mlUw(k))
+          bw.field(ofUp(k), ofUw(k))
+        }
+        k += 1
+      }
+      bw.emit(sec)
+      sec.toByteArray
     }
-    bw.emit(out)
+
+    val empty = new Array[Byte](0)
+    val predef = section(
+      new ChanPlan(0, empty, llEnc),
+      new ChanPlan(0, empty, ofEnc),
+      new ChanPlan(0, empty, mlEnc)
+    )
+    val chosen =
+      if ((allow & AllowFse) == 0 && !forceFse) predef
+      else {
+        val custom = section(
+          customChan(llC, nSeq, 9),
+          customChan(ofC, nSeq, 8),
+          customChan(mlC, nSeq, 9)
+        )
+        if (forceFse || custom.length < predef.length) custom else predef
+      }
+    out.write(chosen, 0, chosen.length)
     out.toByteArray
   }
 
@@ -447,7 +597,12 @@ object ZstdEncode {
     * strategies the cost pick may use (the x268 pattern); Raw is always
     * available as the structural fallback for empty blocks.
     */
-  def compress(data: Array[Byte], allow: Int = AllowAll, forceHuf: Boolean = false): Array[Byte] = {
+  def compress(
+      data: Array[Byte],
+      allow: Int = AllowAll,
+      forceHuf: Boolean = false,
+      forceFse: Boolean = false
+  ): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     // magic, LE
     out.write((MagicLE & 0xff).toInt)
@@ -496,7 +651,7 @@ object ZstdEncode {
           if (rle) consider(4, 0, 1, Array(chunk(0)))
         }
         if ((allow & AllowSeq) != 0) {
-          val payload = compressedBlock(chunk, allow, forceHuf)
+          val payload = compressedBlock(chunk, allow, forceHuf, forceFse)
           // RFC 8878 §3.1.1.2: a Compressed_Block's size must be STRICTLY
           // smaller than its regenerated size — otherwise the spec requires
           // a Raw_Block, so a forced-Seq strategy falls back rather than

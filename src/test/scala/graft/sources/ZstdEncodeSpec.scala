@@ -139,6 +139,44 @@ class ZstdEncodeSpec extends AnyFunSuite {
     assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, wide)))
   }
 
+  // -------------------------------------------- custom FSE tables (x281)
+
+  test("forced custom FSE tables round-trip on every content class and size sweep") {
+    for (z <- 0L until 40L) {
+      val raw = ZstdFixture.content(z).getBytes("UTF-8")
+      val comp = ZstdEncode.compress(raw, ZstdEncode.AllowAll, forceFse = true)
+      assert(officialDecode(comp, raw.length).exists(java.util.Arrays.equals(_, raw)), s"jni z=$z")
+      assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, raw)), s"self z=$z")
+    }
+    val rnd = new scala.util.Random(41)
+    for (n <- Seq(50, 500, 5000, 50000, 200000)) {
+      val text = Array.tabulate[Byte](n)(_ => "abcde fgh ij klmno pqr".charAt(rnd.nextInt(22)).toByte)
+      val comp = ZstdEncode.compress(text, ZstdEncode.AllowAll, forceFse = true)
+      assert(officialDecode(comp, n).exists(java.util.Arrays.equals(_, text)), s"jni n=$n")
+      assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, text)), s"self n=$n")
+    }
+  }
+
+  test("custom tables include the RLE sequence mode: constant-offset content") {
+    // a strict period-7 repetition: after the first period every match has
+    // offset 7 → a single distinct OF code → RLE mode for that channel
+    val raw = ("ABCDEFG" * 500).getBytes("UTF-8")
+    val comp = ZstdEncode.compress(raw, ZstdEncode.AllowAll, forceFse = true)
+    assert(officialDecode(comp, raw.length).exists(java.util.Arrays.equals(_, raw)))
+    assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, raw)))
+  }
+
+  test("skewed sequence distributions: custom tables win the cost pick on large uniform text") {
+    // one dominant (ll, ml, offset) pattern — the predefined distributions
+    // pay for generality the content does not use
+    val raw = (0 until 3000).map(i => s"row ${i % 7} body").mkString("\n").getBytes("UTF-8")
+    val withFse = ZstdEncode.compress(raw, ZstdEncode.AllowAll)
+    val withoutFse = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowFse)
+    assert(withFse.length <= withoutFse.length)
+    assert(officialDecode(withFse, raw.length).exists(java.util.Arrays.equals(_, raw)))
+    assert(ZstdFrame.decode(withFse).exists(java.util.Arrays.equals(_, raw)))
+  }
+
   test("deterministic: same input, same bytes") {
     val raw = ZstdFixture.content(17L).getBytes("UTF-8")
     assert(java.util.Arrays.equals(ZstdEncode.compress(raw), ZstdEncode.compress(raw)))
