@@ -838,6 +838,93 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // Parquet from first principles (x282) — the engine's own data plane
+    // decoded with ZERO org.apache.parquet imports: Thrift compact footer,
+    // RLE/bit-packed hybrid levels, PLAIN + RLE_DICTIONARY values, page
+    // codecs from the repo's own spec implementations (Snappy x198, zstd
+    // x227, gzip x264). The oracle is DuckDB's OWN native parquet reader
+    // over the same physical file — two independent from-the-spec
+    // implementations agreeing cell-exactly on real data. Census over
+    // orders: every physical type the flat tables use (INT64, BYTE_ARRAY
+    // dictionary strings, DOUBLE, TIMESTAMP-as-INT64-micros).
+    "x282_parquet_scan" -> ((s, d) => {
+      import s.implicits._
+      val files = graft.sources.ParquetScan.listFiles(s, s"$d/orders.parquet")
+      val raw = files
+        .toDS()
+        .repartition(math.min(files.size, 8))
+        .mapPartitions { it =>
+          it.flatMap { f =>
+            val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+            val (_, rows) = graft.sources.ParquetScan.readFile(
+              bytes,
+              Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+            )
+            rows.iterator.map { r =>
+              (
+                r(0).asInstanceOf[Long],
+                new String(r(1).asInstanceOf[Array[Byte]], "UTF-8"),
+                r(2).asInstanceOf[Double],
+                r(3).asInstanceOf[Long],
+                new String(r(4).asInstanceOf[Array[Byte]], "UTF-8")
+              )
+            }
+          }
+        }
+        .toDF("k", "status", "price", "date_us", "priority")
+      raw
+        .groupBy("priority", "status")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_key"),
+          sum(expr("CAST(round(price * 100) AS BIGINT)")).as("sum_cents"),
+          min("date_us").as("min_us"),
+          max("date_us").as("max_us")
+        )
+        .orderBy("priority", "status")
+    }),
+
+    // x283 — the nested face of x282: the embeddings table's list<float>
+    // column assembled from definition/repetition levels (Dremel
+    // shredding) by the scratch reader; the census folds every element
+    // through floor(element * 1024) — float→double and ×2^10 are both
+    // EXACT, so the integer is bit-determined on both engines.
+    "x283_parquet_list" -> ((s, d) => {
+      import s.implicits._
+      val files = graft.sources.ParquetScan.listFiles(s, s"$d/embeddings.parquet")
+      val raw = files
+        .toDS()
+        .repartition(math.min(files.size, 8))
+        .mapPartitions { it =>
+          it.flatMap { f =>
+            val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+            val (_, rows) = graft.sources.ParquetScan.readFile(
+              bytes,
+              Seq("vec_id", "embedding.list.element", "label")
+            )
+            rows.iterator.map { r =>
+              val vec = r(1).asInstanceOf[Vector[Any]]
+              var fold = 0L
+              var i = 0
+              while (i < vec.length) {
+                fold += math.floor(vec(i).asInstanceOf[Float].toDouble * 1024d).toLong
+                i += 1
+              }
+              (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long], vec.length.toLong, fold)
+            }
+          }
+        }
+        .toDF("vec_id", "label", "dim", "fold")
+      raw
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("vec_id").as("sum_id"),
+          sum("dim").as("sum_dim"),
+          sum("fold").as("sum_fold")
+        )
+        .orderBy("label")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2052,6 +2139,21 @@ object Multimodal {
         |  CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
         |  TRUE AS jni_match, TRUE AS self_match, TRUE AS fse_le
         |FROM c ORDER BY blob_id""".stripMargin,
+    // x282/x283: DuckDB's native parquet reader over the SAME files —
+    // independent from-the-spec implementations must agree cell-exactly.
+    "x282_parquet_scan" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(epoch_us(o_orderdate)) AS min_us, max(epoch_us(o_orderdate)) AS max_us
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x283_parquet_list" ->
+      """SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS sum_dim,
+        |  CAST((SELECT sum(CAST(floor(CAST(u.e AS DOUBLE) * 1024) AS BIGINT))
+        |     FROM embeddings e2, unnest(e2.embedding) AS u(e)
+        |     WHERE e2.label = e1.label) AS BIGINT) AS sum_fold
+        |FROM embeddings e1 GROUP BY label ORDER BY label""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
