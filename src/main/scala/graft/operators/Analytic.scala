@@ -39,6 +39,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CART decision tree by level-wise distributed histogram splits
+    // (x284, operators/CartTree) — the tree trainer beside x228's GD and
+    // x164's NB, built the way distributed tree libraries actually scale:
+    // one (node, feature, bin) histogram shuffle per LEVEL, splits scored
+    // by integer cross-multiplied Gini in DECIMAL(38,0), argmax on the
+    // (S desc, f asc, bin asc) total order, pure nodes stop. Trains depth
+    // 3 on even orders (label: o_orderstatus='F', which TPC-H ties to
+    // order date — the tree must find the date split on its own), applies
+    // to odd orders; output = the split table + leaf censuses + held-out
+    // accuracy, so any divergence in binning, scoring, tie-breaks or
+    // routing breaks the hash. CartTreeSpec proves planted-concept
+    // recovery, purity stops and tie determinism.
+    "x284_cart_tree" -> ((s, d) => {
+      val base = table(s, d, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          (col("o_orderstatus") === "F").cast("long").as("y"),
+          (col("o_orderkey") % 2).as("split"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v0"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("v1"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("v2"),
+          (col("o_custkey") % 97).as("v3")
+        )
+        .localCheckpoint() // label joins for train leaves + eval scoring
+      val long = base.selectExpr(
+        "k",
+        "y",
+        "split",
+        "stack(4, CAST(0 AS BIGINT), v0, CAST(1 AS BIGINT), v1, CAST(2 AS BIGINT), v2, CAST(3 AS BIGINT), v3) AS (f, v)"
+      )
+      val ranges = long.where(col("split") === 0).groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+      val binned = CartTree.bin(long, ranges).localCheckpoint() // train census + both routings
+      val (splits, trainNodes) = CartTree.train(binned.where(col("split") === 0), depth = 3)
+      val leaves = trainNodes
+        .join(base.select("k", "y"), "k")
+        .groupBy("node")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .withColumn("pred", (col("pos") * 2 >= col("n")).cast("long"))
+        .localCheckpoint() // eval join + output rows
+      val evalNodes = CartTree.apply(binned.where(col("split") === 1), splits, depth = 3)
+      val acc = evalNodes
+        .join(base.select("k", "y"), "k")
+        .join(broadcast(leaves.select("node", "pred")), "node")
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum((col("pred") === col("y")).cast("long")).as("n_correct")
+        )
+        .select(col("n_eval"), expr("(n_correct * 1000000L) div n_eval").as("acc_e6"))
+      splits
+        .select(col("node"), lit(0L).as("is_leaf"), col("f"), col("thr"), lit(-1L).as("n"), lit(-1L).as("pos"), lit(-1L).as("pred"))
+        .unionByName(
+          leaves.select(col("node"), lit(1L).as("is_leaf"), lit(-1L).as("f"), lit(-1L).as("thr"), col("n"), col("pos"), col("pred"))
+        )
+        .crossJoin(broadcast(acc))
+        .orderBy("node", "is_leaf")
+    }),
     // Quantile treatment effects (x258) — the distributional face of
     // x162/x257: a mean-zero treatment can still move the TAILS, and
     // QTE(p) = q_treat(p) − q_control(p) at p25/50/75 is the standard
@@ -1565,7 +1621,80 @@ object Analytic {
     })
   )
 
+  /** x284 oracle: the full level-wise tree unrolled — per level a
+    * (node, f, bin) census, prefix sums, the DECIMAL(38,0) Gini
+    * cross-product argmax on the (s desc, f, bin) order, and the node
+    * routing; then leaf censuses and the odd-half accuracy replay.
+    */
+  private def x284OracleSql: String = {
+    def fdiv(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) // ($dd)"
+    def level(t: Int, prev: String, rows: String): String =
+      s"""cen$t AS (SELECT n.node, b.f, b.bin, count(*) AS cnt, CAST(sum(b.y) AS BIGINT) AS pos
+         |  FROM binned b JOIN $prev n USING (k) WHERE b.split = $rows GROUP BY 1, 2, 3),
+         |cand$t AS (SELECT node, f, bin,
+         |  CAST(sum(cnt) OVER w AS BIGINT) AS nl, CAST(sum(pos) OVER w AS BIGINT) AS pl,
+         |  CAST(sum(cnt) OVER wt AS BIGINT) AS tot, CAST(sum(pos) OVER wt AS BIGINT) AS tpos
+         |  FROM cen$t
+         |  WINDOW w AS (PARTITION BY node, f ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wt AS (PARTITION BY node, f)),
+         |sc$t AS (SELECT node, f, bin,
+         |  (pl::DECIMAL(38,0) * pl + (nl - pl)::DECIMAL(38,0) * (nl - pl)) * (tot - nl) +
+         |  ((tpos - pl)::DECIMAL(38,0) * (tpos - pl) +
+         |   (tot - nl - tpos + pl)::DECIMAL(38,0) * (tot - nl - tpos + pl)) * nl AS s
+         |  FROM cand$t WHERE nl > 0 AND nl < tot AND tpos > 0 AND tpos < tot),
+         |sp$t AS (SELECT node, f, bin AS thr FROM
+         |  (SELECT node, f, bin, row_number() OVER (PARTITION BY node ORDER BY s DESC, f, bin) AS rn FROM sc$t)
+         |  WHERE rn = 1)""".stripMargin
+    def route(t: Int, prev: String, next: String): String =
+      s"""$next AS (SELECT n.k,
+         |  CAST(CASE WHEN s.node IS NULL THEN n.node
+         |       ELSE n.node * 2 + CASE WHEN b.bin > s.thr THEN 1 ELSE 0 END END AS BIGINT) AS node
+         |  FROM $prev n LEFT JOIN sp$t s ON n.node = s.node
+         |  LEFT JOIN binned b ON b.k = n.k AND b.f = s.f)""".stripMargin
+    s"""WITH base AS (SELECT o_orderkey AS k, CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+       |  o_orderkey % 2 AS split,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS v0,
+       |  epoch_us(o_orderdate) // 86400000000 AS v1,
+       |  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS v2,
+       |  o_custkey % 97 AS v3 FROM orders),
+       |lng AS (
+       |  SELECT k, y, split, CAST(0 AS BIGINT) AS f, v0 AS v FROM base UNION ALL
+       |  SELECT k, y, split, CAST(1 AS BIGINT), v1 FROM base UNION ALL
+       |  SELECT k, y, split, CAST(2 AS BIGINT), v2 FROM base UNION ALL
+       |  SELECT k, y, split, CAST(3 AS BIGINT), v3 FROM base),
+       |rng AS (SELECT f, min(v) AS mn, max(v) AS mx FROM lng WHERE split = 0 GROUP BY f),
+       |binned AS (SELECT l.k, l.y, l.split, l.f,
+       |  least(greatest(${fdiv("(l.v - r.mn) * 16", "r.mx - r.mn + 1")}, 0), 15) AS bin
+       |  FROM lng l JOIN rng r USING (f)),
+       |n0 AS (SELECT DISTINCT k, CAST(1 AS BIGINT) AS node FROM binned WHERE split = 0),
+       |${level(0, "n0", "0")},
+       |${route(0, "n0", "n1")},
+       |${level(1, "n1", "0")},
+       |${route(1, "n1", "n2")},
+       |${level(2, "n2", "0")},
+       |${route(2, "n2", "n3")},
+       |leaf AS (SELECT n.node, count(*) AS n, CAST(sum(b.y) AS BIGINT) AS pos
+       |  FROM n3 n JOIN base b USING (k) GROUP BY 1),
+       |leafp AS (SELECT node, n, pos, CAST(pos * 2 >= n AS BIGINT) AS pred FROM leaf),
+       |e0 AS (SELECT DISTINCT k, CAST(1 AS BIGINT) AS node FROM binned WHERE split = 1),
+       |${route(0, "e0", "e1").replace("sp0 s", "sp0 s")},
+       |${route(1, "e1", "e2")},
+       |${route(2, "e2", "e3")},
+       |esc AS (SELECT e.k, b.y, l.pred FROM e3 e JOIN base b USING (k) JOIN leafp l USING (node)),
+       |acc AS (SELECT count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_e6 FROM esc),
+       |outp AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS is_leaf, f, thr,
+       |    CAST(-1 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS pos, CAST(-1 AS BIGINT) AS pred FROM sp0
+       |  UNION ALL SELECT node, 0, f, thr, -1, -1, -1 FROM sp1
+       |  UNION ALL SELECT node, 0, f, thr, -1, -1, -1 FROM sp2
+       |  UNION ALL SELECT node, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), n, pos, pred FROM leafp)
+       |SELECT o.node, o.is_leaf, o.f, o.thr, o.n, o.pos, o.pred, a.n_eval, a.acc_e6
+       |FROM outp o, acc a ORDER BY o.node, o.is_leaf""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "x284_cart_tree" -> x284OracleSql,
     // x258: per-arm sorted rank picks at the same rank convention.
     "x258_qte" ->
       """WITH r AS (SELECT ('0x' || substr(md5(l_orderkey || '#qte'), 1, 15))::BIGINT % 2 AS arm,
