@@ -39,6 +39,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Random forest by deterministic bagging (x285) — the ensemble face
+    // of x284 and an INSTRUMENT in the x224/x275 sense: 3 depth-2 trees,
+    // each trained on an md5-bucket ~2/3 bootstrap of the even-orders
+    // split (replayable sampling — the q30 convention), majority vote on
+    // the odd half; the output carries the three per-tree accuracies AND
+    // the forest accuracy side by side, so the gate row IS the
+    // does-bagging-help reading at this SF. Scale shape: 3 independent
+    // x284 trainings (each the bounded level-wise histogram pipeline) +
+    // one k-keyed 3-way vote join; nothing new materializes beyond the
+    // per-tree split/leaf tables.
+    "x285_random_forest" -> ((s, d) => {
+      val base = table(s, d, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          (col("o_orderstatus") === "F").cast("long").as("y"),
+          (col("o_orderkey") % 2).as("split"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v0"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("v1"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("v2"),
+          (col("o_custkey") % 97).as("v3")
+        )
+        .localCheckpoint()
+      val long = base.selectExpr(
+        "k",
+        "y",
+        "split",
+        "stack(4, CAST(0 AS BIGINT), v0, CAST(1 AS BIGINT), v1, CAST(2 AS BIGINT), v2, CAST(3 AS BIGINT), v3) AS (f, v)"
+      )
+      val ranges = long.where(col("split") === 0).groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+      val binned = CartTree.bin(long, ranges).localCheckpoint()
+      val evalBinned = binned.where(col("split") === 1)
+      val perTree = (0 until 3).map { t =>
+        val sample = binned.where(
+          col("split") === 0 &&
+            graft.functions.Hashing.md5Bucket(concat(col("k").cast("string"), lit(s"#rf$t")), 3L) < 2
+        )
+        val (splits, trainNodes) = CartTree.train(sample, depth = 2)
+        val leaves = trainNodes
+          .join(base.select("k", "y"), "k")
+          .groupBy("node")
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+          .withColumn("pred", (col("pos") * 2 >= col("n")).cast("long"))
+          .localCheckpoint()
+        val scored = CartTree
+          .apply(evalBinned, splits, depth = 2)
+          .join(broadcast(leaves.select("node", "pred")), "node")
+          .select(col("k"), col("pred").as(s"pred$t"))
+        (splits, leaves, scored)
+      }
+      val votes = perTree
+        .map(_._3)
+        .reduce(_.join(_, "k"))
+        .join(base.select("k", "y"), "k")
+        .withColumn("pv", ((col("pred0") + col("pred1") + col("pred2")) >= 2).cast("long"))
+        .localCheckpoint()
+      val accs = votes
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum((col("pv") === col("y")).cast("long")).as("cf"),
+          sum((col("pred0") === col("y")).cast("long")).as("c0"),
+          sum((col("pred1") === col("y")).cast("long")).as("c1"),
+          sum((col("pred2") === col("y")).cast("long")).as("c2")
+        )
+        .select(
+          col("n_eval"),
+          expr("(cf * 1000000L) div n_eval").as("forest_acc_e6"),
+          expr("(c0 * 1000000L) div n_eval").as("acc0_e6"),
+          expr("(c1 * 1000000L) div n_eval").as("acc1_e6"),
+          expr("(c2 * 1000000L) div n_eval").as("acc2_e6")
+        )
+      perTree.zipWithIndex
+        .map { case ((splits, leaves, _), t) =>
+          splits
+            .select(lit(t.toLong).as("tree"), col("node"), lit(0L).as("is_leaf"), col("f"), col("thr"), lit(-1L).as("n"), lit(-1L).as("pos"), lit(-1L).as("pred"))
+            .unionByName(
+              leaves.select(lit(t.toLong).as("tree"), col("node"), lit(1L).as("is_leaf"), lit(-1L).as("f"), lit(-1L).as("thr"), col("n"), col("pos"), col("pred"))
+            )
+        }
+        .reduce(_.unionByName(_))
+        .crossJoin(broadcast(accs))
+        .orderBy("tree", "node", "is_leaf")
+    }),
+
     // CART decision tree by level-wise distributed histogram splits
     // (x284, operators/CartTree) — the tree trainer beside x228's GD and
     // x164's NB, built the way distributed tree libraries actually scale:
@@ -1693,8 +1776,97 @@ object Analytic {
        |FROM outp o, acc a ORDER BY o.node, o.is_leaf""".stripMargin
   }
 
+  /** x285 oracle: three bagged depth-2 trees fully unrolled (per tree the
+    * x284 census/prefix/argmax/route blocks over its md5-bucket bootstrap),
+    * then the 3-way vote and the accuracy quartet.
+    */
+  private def x285OracleSql: String = {
+    def fdiv(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) // ($dd)"
+    def level(p: String, t: Int, prev: String, where: String): String =
+      s"""${p}cen$t AS (SELECT n.node, b.f, b.bin, count(*) AS cnt, CAST(sum(b.y) AS BIGINT) AS pos
+         |  FROM binned b JOIN $prev n USING (k) WHERE $where GROUP BY 1, 2, 3),
+         |${p}cand$t AS (SELECT node, f, bin,
+         |  CAST(sum(cnt) OVER w AS BIGINT) AS nl, CAST(sum(pos) OVER w AS BIGINT) AS pl,
+         |  CAST(sum(cnt) OVER wt AS BIGINT) AS tot, CAST(sum(pos) OVER wt AS BIGINT) AS tpos
+         |  FROM ${p}cen$t
+         |  WINDOW w AS (PARTITION BY node, f ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wt AS (PARTITION BY node, f)),
+         |${p}sc$t AS (SELECT node, f, bin,
+         |  (pl::DECIMAL(38,0) * pl + (nl - pl)::DECIMAL(38,0) * (nl - pl)) * (tot - nl) +
+         |  ((tpos - pl)::DECIMAL(38,0) * (tpos - pl) +
+         |   (tot - nl - tpos + pl)::DECIMAL(38,0) * (tot - nl - tpos + pl)) * nl AS s
+         |  FROM ${p}cand$t WHERE nl > 0 AND nl < tot AND tpos > 0 AND tpos < tot),
+         |${p}sp$t AS (SELECT node, f, bin AS thr FROM
+         |  (SELECT node, f, bin, row_number() OVER (PARTITION BY node ORDER BY s DESC, f, bin) AS rn FROM ${p}sc$t)
+         |  WHERE rn = 1)""".stripMargin
+    def route(p: String, t: Int, prev: String, next: String): String =
+      s"""$next AS (SELECT n.k,
+         |  CAST(CASE WHEN s.node IS NULL THEN n.node
+         |       ELSE n.node * 2 + CASE WHEN b.bin > s.thr THEN 1 ELSE 0 END END AS BIGINT) AS node
+         |  FROM $prev n LEFT JOIN ${p}sp$t s ON n.node = s.node
+         |  LEFT JOIN binned b ON b.k = n.k AND b.f = s.f)""".stripMargin
+    def tree(t: Int): String = {
+      val p = s"t${t}_"
+      val sample = s"('0x' || substr(md5(b.k || '#rf$t'), 1, 15))::BIGINT % 3 < 2"
+      s"""${p}n0 AS (SELECT DISTINCT k, CAST(1 AS BIGINT) AS node FROM binned b WHERE b.split = 0 AND $sample),
+         |${level(p, 0, s"${p}n0", s"b.split = 0 AND $sample")},
+         |${route(p, 0, s"${p}n0", s"${p}n1")},
+         |${level(p, 1, s"${p}n1", s"b.split = 0 AND $sample")},
+         |${route(p, 1, s"${p}n1", s"${p}n2")},
+         |${p}leaf AS (SELECT n.node, count(*) AS n, CAST(sum(b.y) AS BIGINT) AS pos
+         |  FROM ${p}n2 n JOIN base b USING (k) GROUP BY 1),
+         |${p}leafp AS (SELECT node, n, pos, CAST(pos * 2 >= n AS BIGINT) AS pred FROM ${p}leaf),
+         |${p}e0 AS (SELECT DISTINCT k, CAST(1 AS BIGINT) AS node FROM binned WHERE split = 1),
+         |${route(p, 0, s"${p}e0", s"${p}e1")},
+         |${route(p, 1, s"${p}e1", s"${p}e2")},
+         |${p}esc AS (SELECT e.k, b.y, l.pred FROM ${p}e2 e JOIN base b USING (k) JOIN ${p}leafp l USING (node))""".stripMargin
+    }
+    s"""WITH base AS (SELECT o_orderkey AS k, CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+       |  o_orderkey % 2 AS split,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS v0,
+       |  epoch_us(o_orderdate) // 86400000000 AS v1,
+       |  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS v2,
+       |  o_custkey % 97 AS v3 FROM orders),
+       |lng AS (
+       |  SELECT k, y, split, CAST(0 AS BIGINT) AS f, v0 AS v FROM base UNION ALL
+       |  SELECT k, y, split, CAST(1 AS BIGINT), v1 FROM base UNION ALL
+       |  SELECT k, y, split, CAST(2 AS BIGINT), v2 FROM base UNION ALL
+       |  SELECT k, y, split, CAST(3 AS BIGINT), v3 FROM base),
+       |rng AS (SELECT f, min(v) AS mn, max(v) AS mx FROM lng WHERE split = 0 GROUP BY f),
+       |binned AS (SELECT l.k, l.y, l.split, l.f,
+       |  least(greatest(${fdiv("(l.v - r.mn) * 16", "r.mx - r.mn + 1")}, 0), 15) AS bin
+       |  FROM lng l JOIN rng r USING (f)),
+       |${tree(0)},
+       |${tree(1)},
+       |${tree(2)},
+       |vote AS (SELECT a.k, a.y, a.pred AS pred0, b.pred AS pred1, c.pred AS pred2,
+       |  CAST(a.pred + b.pred + c.pred >= 2 AS BIGINT) AS pv
+       |  FROM t0_esc a JOIN t1_esc b USING (k) JOIN t2_esc c ON a.k = c.k),
+       |accs AS (SELECT count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN pv = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS forest_acc_e6,
+       |  CAST(sum(CASE WHEN pred0 = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc0_e6,
+       |  CAST(sum(CASE WHEN pred1 = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc1_e6,
+       |  CAST(sum(CASE WHEN pred2 = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc2_e6
+       |  FROM vote),
+       |outp AS (
+       |  SELECT CAST(0 AS BIGINT) AS tree, node, CAST(0 AS BIGINT) AS is_leaf, f, thr,
+       |    CAST(-1 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS pos, CAST(-1 AS BIGINT) AS pred FROM t0_sp0
+       |  UNION ALL SELECT 0, node, 0, f, thr, -1, -1, -1 FROM t0_sp1
+       |  UNION ALL SELECT 0, node, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), n, pos, pred FROM t0_leafp
+       |  UNION ALL SELECT 1, node, 0, f, thr, -1, -1, -1 FROM t1_sp0
+       |  UNION ALL SELECT 1, node, 0, f, thr, -1, -1, -1 FROM t1_sp1
+       |  UNION ALL SELECT 1, node, 1, -1, -1, n, pos, pred FROM t1_leafp
+       |  UNION ALL SELECT 2, node, 0, f, thr, -1, -1, -1 FROM t2_sp0
+       |  UNION ALL SELECT 2, node, 0, f, thr, -1, -1, -1 FROM t2_sp1
+       |  UNION ALL SELECT 2, node, 1, -1, -1, n, pos, pred FROM t2_leafp)
+       |SELECT o.tree, o.node, o.is_leaf, o.f, o.thr, o.n, o.pos, o.pred,
+       |  a.n_eval, a.forest_acc_e6, a.acc0_e6, a.acc1_e6, a.acc2_e6
+       |FROM outp o, accs a ORDER BY o.tree, o.node, o.is_leaf""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "x284_cart_tree" -> x284OracleSql,
+    "x285_random_forest" -> x285OracleSql,
     // x258: per-arm sorted rank picks at the same rank convention.
     "x258_qte" ->
       """WITH r AS (SELECT ('0x' || substr(md5(l_orderkey || '#qte'), 1, 15))::BIGINT % 2 AS arm,

@@ -93,6 +93,35 @@ class CartTreeSpec extends AnyFunSuite {
     assert(ev.where(col("pred") =!= col("y")).count() == 0, "depth-2 tree must solve the conjunction exactly")
   }
 
+  test("bagging (x285 shape): bootstraps are deterministic and replayable, majority vote is exact") {
+    // the md5-bucket bootstrap must be replayable from the driver-side twin
+    val ks = (0L until 300L)
+    val df = ks.map(k => Tuple1(k)).toDF("k")
+    for (t <- 0 until 3) {
+      val engine = df
+        .where(graft.functions.Hashing.md5Bucket(concat(col("k").cast("string"), lit(s"#rf$t")), 3L) < 2)
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      val twin = ks.filter(k => graft.functions.Hashing.md5BucketOf(s"$k#rf$t", 3L) < 2).toSet
+      assert(engine == twin, s"bootstrap $t diverges from the driver twin")
+      assert(engine.size > 150 && engine.size < 250, s"~2/3 sample expected, got ${engine.size}")
+    }
+    // the three bootstraps are distinct (different trees see different data)
+    val sets = (0 until 3).map(t => ks.filter(k => graft.functions.Hashing.md5BucketOf(s"$k#rf$t", 3L) < 2).toSet)
+    assert(sets.distinct.size == 3)
+    // majority vote algebra: pv = (p0+p1+p2 >= 2) over all 8 combinations
+    for (p0 <- 0 to 1; p1 <- 0 to 1; p2 <- 0 to 1) {
+      val expected = if (p0 + p1 + p2 >= 2) 1L else 0L
+      val got = Seq((p0.toLong, p1.toLong, p2.toLong))
+        .toDF("pred0", "pred1", "pred2")
+        .withColumn("pv", ((col("pred0") + col("pred1") + col("pred2")) >= 2).cast("long"))
+        .collect()(0)
+        .getAs[Long]("pv")
+      assert(got == expected)
+    }
+  }
+
   test("eval rows outside the train range clamp into the edge bins") {
     val train = (0L until 100L).map(k => (k, if (k % 100 >= 50) 1L else 0L, 0L, 0L, k % 100))
     val eval = Seq((1000L, 1L, 1L, 0L, 5000L), (1001L, 0L, 1L, 0L, -5000L))
