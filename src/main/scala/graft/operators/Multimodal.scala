@@ -925,6 +925,47 @@ object Multimodal {
         )
         .orderBy("label")
     }),
+    // Parquet WRITE from first principles (x286) — the write half of x282:
+    // thrift compact footers/page headers emitted by the exact inverse of
+    // the scratch reader, PLAIN v1 pages, hybrid definition levels, and
+    // the pages compressed by the repo's OWN codecs (gzip = x268 DEFLATE,
+    // zstd = x279). The engine-side census comes from the closed-form row
+    // FORMULAS (never from reading back); the oracle census is DuckDB's
+    // native reader over OUR BYTES for all three codec variants — any
+    // value corruption in the writer or its codecs diverges the hash.
+    "x286_parquet_write" -> ((s, _) => {
+      graft.sources.ParquetWriteFixture.ensure()
+      val n = graft.sources.ParquetWriteFixture.N.toLong
+      val src = s
+        .range(n)
+        .select(
+          col("id").as("k"),
+          expr("element_at(array('A','B','C'), CAST(id % 3 AS INT) + 1)").as("status"),
+          when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 37 % 100000).as("cents"),
+          (lit(8000L) + col("id") % 365).as("day"),
+          ((col("id") % 1000) * 0.25).as("price"),
+          (col("id") % 5).as("lineno"),
+          (col("id") % 3 === 0).as("flag"),
+          ((col("id") % 128).cast("double") * 0.0078125).as("ratio")
+        )
+      val census = src
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("sum_cents"),
+          sum(col("cents").isNull.cast("long")).as("n_null"),
+          sum("day").as("sum_day"),
+          sum(expr("CAST(round(price * 100) AS BIGINT)")).as("sum_price_c"),
+          sum("lineno").as("sum_lineno"),
+          sum(col("flag").cast("long")).as("n_flag"),
+          sum(floor(col("ratio") * 1024).cast("long")).as("sum_fold")
+        )
+      Seq(0L, 2L, 6L)
+        .map(c => census.withColumn("codec", lit(c)))
+        .reduce(_.unionByName(_))
+        .select("codec", "status", "n", "sum_cents", "n_null", "sum_day", "sum_price_c", "sum_lineno", "n_flag", "sum_fold")
+        .orderBy("codec", "status")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2154,6 +2195,24 @@ object Multimodal {
         |     FROM embeddings e2, unnest(e2.embedding) AS u(e)
         |     WHERE e2.label = e1.label) AS BIGINT) AS sum_fold
         |FROM embeddings e1 GROUP BY label ORDER BY label""".stripMargin,
+    // x286: DuckDB's native reader over the from-scratch writer's bytes —
+    // all three codec variants must yield the formula census.
+    "x286_parquet_write" ->
+      """WITH u AS (
+        |  SELECT CAST(0 AS BIGINT) AS codec, * FROM read_parquet('/root/repo/spark-warehouse/graft_pq/orders_c0.parquet')
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), * FROM read_parquet('/root/repo/spark-warehouse/graft_pq/orders_c2.parquet')
+        |  UNION ALL
+        |  SELECT CAST(6 AS BIGINT), * FROM read_parquet('/root/repo/spark-warehouse/graft_pq/orders_c6.parquet'))
+        |SELECT codec, status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(day) AS BIGINT) AS sum_day,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(lineno) AS BIGINT) AS sum_lineno,
+        |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+        |  CAST(sum(CAST(floor(CAST(ratio AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS sum_fold
+        |FROM u GROUP BY codec, status ORDER BY codec, status""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
