@@ -39,6 +39,98 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gradient-boosted regression trees (x287) — boosting beside x285's
+    // bagging, completing the ensemble pair the way production GBDT
+    // libraries work: 3 rounds of depth-2 REGRESSION trees fit to the
+    // integer e6-scale residuals (variance-reduction cross-product in
+    // DECIMAL(38,0)), leaf values = half the mean residual (η=0.5 as a
+    // posmod floor division), scores accumulated per round. The gate row
+    // carries the per-round train MAE TRIAD (the boosting-is-working
+    // learning curve, x262's discipline) beside the odd-half threshold
+    // accuracy. All integer; the oracle unrolls every round.
+    "x287_gbt" -> ((s, d) => {
+      def fdivE(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) div ($dd)"
+      val base = table(s, d, "orders")
+        .select(
+          col("o_orderkey").as("k"),
+          (col("o_orderstatus") === "F").cast("long").as("y"),
+          (col("o_orderkey") % 2).as("split"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v0"),
+          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("v1"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("v2"),
+          (col("o_custkey") % 97).as("v3")
+        )
+        .localCheckpoint()
+      val long = base.selectExpr(
+        "k",
+        "y",
+        "split",
+        "stack(4, CAST(0 AS BIGINT), v0, CAST(1 AS BIGINT), v1, CAST(2 AS BIGINT), v2, CAST(3 AS BIGINT), v3) AS (f, v)"
+      )
+      val ranges = long.where(col("split") === 0).groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+      val binned = CartTree.bin(long, ranges).localCheckpoint()
+      val train = binned.where(col("split") === 0)
+      val evalB = binned.where(col("split") === 1)
+
+      var scores = base
+        .where(col("split") === 0)
+        .select(col("k"), (col("y") * 1000000L).as("target"))
+        .withColumn("sc", lit(0L))
+        .localCheckpoint()
+      var evalScores = base.where(col("split") === 1).select(col("k"), col("y")).withColumn("sc", lit(0L))
+      var outRows: DataFrame = null
+      var maes: DataFrame = null
+      var r = 0
+      while (r < 3) {
+        val res = scores.select(col("k"), (col("target") - col("sc")).as("res")).localCheckpoint()
+        val bres = train.join(res, "k").select(col("k"), col("res"), col("f"), col("bin"))
+        val (splits, nodes) = CartTree.trainReg(bres, depth = 2)
+        val leafVals = nodes
+          .join(res, "k")
+          .groupBy("node")
+          .agg(count(lit(1)).as("n"), sum("res").as("sres"))
+          .withColumn("value", expr(fdivE("sres", "n * 2")))
+          .localCheckpoint()
+        scores = scores
+          .join(nodes, "k")
+          .join(broadcast(leafVals.select("node", "value")), "node")
+          .select(col("k"), col("target"), (col("sc") + col("value")).as("sc"))
+          .localCheckpoint()
+        evalScores = evalScores
+          .join(CartTree.apply(evalB, splits, depth = 2), "k")
+          .join(broadcast(leafVals.select("node", "value")), "node")
+          .select(col("k"), col("y"), (col("sc") + col("value")).as("sc"))
+          .localCheckpoint()
+        // train MSE after this round's update — the metric squared-loss
+        // boosting PROVABLY decreases (each η=0.5 leaf step cuts in-leaf
+        // SSE by ¾·n·mean²); MAE has no such guarantee and empirically
+        // RISES on minority-positive leaves, so it is deliberately not
+        // the curve here. Squared residuals ~1e12/row: the sum rides
+        // DECIMAL(38,0).
+        val mse = scores
+          .agg(
+            count(lit(1)).as("nt"),
+            sum(expr("CAST(target - sc AS DECIMAL(38,0)) * (target - sc)")).as("sq")
+          )
+          .select(expr(s"CAST(sq div nt AS BIGINT)").as(s"mse$r"))
+        maes = if (maes == null) mse else maes.crossJoin(mse)
+        val rows = splits
+          .select(lit(r.toLong).as("round"), col("node"), lit(0L).as("is_leaf"), col("f"), col("thr"), lit(-1L).as("n"), lit(0L).as("value"))
+          .unionByName(
+            leafVals.select(lit(r.toLong).as("round"), col("node"), lit(1L).as("is_leaf"), lit(-1L).as("f"), lit(-1L).as("thr"), col("n"), col("value"))
+          )
+        outRows = if (outRows == null) rows else outRows.unionByName(rows)
+        r += 1
+      }
+      val acc = evalScores
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum(((col("sc") >= 500000L).cast("long") === col("y")).cast("long")).as("nc")
+        )
+        .select(col("n_eval"), expr("(nc * 1000000L) div n_eval").as("acc_e6"))
+      outRows.crossJoin(broadcast(acc.crossJoin(maes))).orderBy("round", "node", "is_leaf")
+    }),
+
     // Random forest by deterministic bagging (x285) — the ensemble face
     // of x284 and an INSTRUMENT in the x224/x275 sense: 3 depth-2 trees,
     // each trained on an md5-bucket ~2/3 bootstrap of the even-orders
@@ -1864,9 +1956,106 @@ object Analytic {
        |FROM outp o, accs a ORDER BY o.tree, o.node, o.is_leaf""".stripMargin
   }
 
+  /** x287 oracle: three boosting rounds fully unrolled — per round the
+    * residual CTE, a depth-2 regression tree (variance cross-product
+    * argmax), leaf values as η=0.5 posmod means, train score update and
+    * eval routing; then the MAE triad and the threshold accuracy.
+    */
+  private def x287OracleSql: String = {
+    def fdiv(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) // ($dd)"
+    def level(p: String, t: Int, prev: String, res: String): String =
+      s"""${p}cen$t AS (SELECT n.node, b.f, b.bin, count(*) AS cnt, CAST(sum(t.res) AS BIGINT) AS sres
+         |  FROM binned b JOIN $prev n USING (k) JOIN $res t USING (k) WHERE b.split = 0 GROUP BY 1, 2, 3),
+         |${p}cand$t AS (SELECT node, f, bin,
+         |  CAST(sum(cnt) OVER w AS BIGINT) AS nl, CAST(sum(sres) OVER w AS BIGINT) AS sl,
+         |  CAST(sum(cnt) OVER wt AS BIGINT) AS tot, CAST(sum(sres) OVER wt AS BIGINT) AS stot
+         |  FROM ${p}cen$t
+         |  WINDOW w AS (PARTITION BY node, f ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wt AS (PARTITION BY node, f)),
+         |${p}sc$t AS (SELECT node, f, bin,
+         |  sl::DECIMAL(38,0) * sl * (tot - nl) + (stot - sl)::DECIMAL(38,0) * (stot - sl) * nl AS s
+         |  FROM ${p}cand$t WHERE nl > 0 AND nl < tot),
+         |${p}sp$t AS (SELECT node, f, bin AS thr FROM
+         |  (SELECT node, f, bin, row_number() OVER (PARTITION BY node ORDER BY s DESC, f, bin) AS rn FROM ${p}sc$t)
+         |  WHERE rn = 1)""".stripMargin
+    def route(p: String, t: Int, prev: String, next: String): String =
+      s"""$next AS (SELECT n.k,
+         |  CAST(CASE WHEN s.node IS NULL THEN n.node
+         |       ELSE n.node * 2 + CASE WHEN b.bin > s.thr THEN 1 ELSE 0 END END AS BIGINT) AS node
+         |  FROM $prev n LEFT JOIN ${p}sp$t s ON n.node = s.node
+         |  LEFT JOIN binned b ON b.k = n.k AND b.f = s.f)""".stripMargin
+    def round(r: Int): String = {
+      val p = s"r${r}_"
+      s"""res$r AS (SELECT k, target - sc AS res FROM s$r),
+         |${p}n0 AS (SELECT DISTINCT k, CAST(1 AS BIGINT) AS node FROM binned WHERE split = 0),
+         |${level(p, 0, s"${p}n0", s"res$r")},
+         |${route(p, 0, s"${p}n0", s"${p}n1")},
+         |${level(p, 1, s"${p}n1", s"res$r")},
+         |${route(p, 1, s"${p}n1", s"${p}n2")},
+         |${p}lv AS (SELECT n.node, count(*) AS n, CAST(sum(t.res) AS BIGINT) AS sres,
+         |  CAST(${fdiv("CAST(sum(t.res) AS BIGINT)", "count(*) * 2")} AS BIGINT) AS value
+         |  FROM ${p}n2 n JOIN res$r t USING (k) GROUP BY 1),
+         |s${r + 1} AS (SELECT s.k, s.target, CAST(s.sc + lv.value AS BIGINT) AS sc
+         |  FROM s$r s JOIN ${p}n2 nn USING (k) JOIN ${p}lv lv ON nn.node = lv.node),
+         |${p}e0 AS (SELECT DISTINCT k, CAST(1 AS BIGINT) AS node FROM binned WHERE split = 1),
+         |${route(p, 0, s"${p}e0", s"${p}e1")},
+         |${route(p, 1, s"${p}e1", s"${p}e2")},
+         |es${r + 1} AS (SELECT e.k, e.y, CAST(e.sc + lv.value AS BIGINT) AS sc
+         |  FROM es$r e JOIN ${p}e2 nn USING (k) JOIN ${p}lv lv ON nn.node = lv.node),
+         |mse$r AS (SELECT CAST(sum((target - sc)::HUGEINT * (target - sc)) // count(*) AS BIGINT) AS mse$r FROM s${r + 1})""".stripMargin
+    }
+    val sql = s"""WITH base AS (SELECT o_orderkey AS k, CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+       |  o_orderkey % 2 AS split,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS v0,
+       |  epoch_us(o_orderdate) // 86400000000 AS v1,
+       |  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS v2,
+       |  o_custkey % 97 AS v3 FROM orders),
+       |lng AS (
+       |  SELECT k, y, split, CAST(0 AS BIGINT) AS f, v0 AS v FROM base UNION ALL
+       |  SELECT k, y, split, CAST(1 AS BIGINT), v1 FROM base UNION ALL
+       |  SELECT k, y, split, CAST(2 AS BIGINT), v2 FROM base UNION ALL
+       |  SELECT k, y, split, CAST(3 AS BIGINT), v3 FROM base),
+       |rng AS (SELECT f, min(v) AS mn, max(v) AS mx FROM lng WHERE split = 0 GROUP BY f),
+       |binned AS (SELECT l.k, l.y, l.split, l.f,
+       |  least(greatest(${fdiv("(l.v - r.mn) * 16", "r.mx - r.mn + 1")}, 0), 15) AS bin
+       |  FROM lng l JOIN rng r USING (f)),
+       |s0 AS (SELECT k, CAST(y * 1000000 AS BIGINT) AS target, CAST(0 AS BIGINT) AS sc
+       |  FROM base WHERE split = 0),
+       |es0 AS (SELECT k, y, CAST(0 AS BIGINT) AS sc FROM base WHERE split = 1),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)},
+       |acc AS (SELECT count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN CAST(sc >= 500000 AS BIGINT) = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_e6
+       |  FROM es3),
+       |outp AS (
+       |  SELECT CAST(0 AS BIGINT) AS round, node, CAST(0 AS BIGINT) AS is_leaf, f, thr,
+       |    CAST(-1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS value FROM r0_sp0
+       |  UNION ALL SELECT 0, node, 0, f, thr, -1, 0 FROM r0_sp1
+       |  UNION ALL SELECT 0, node, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), n, value FROM r0_lv
+       |  UNION ALL SELECT 1, node, 0, f, thr, -1, 0 FROM r1_sp0
+       |  UNION ALL SELECT 1, node, 0, f, thr, -1, 0 FROM r1_sp1
+       |  UNION ALL SELECT 1, node, 1, -1, -1, n, value FROM r1_lv
+       |  UNION ALL SELECT 2, node, 0, f, thr, -1, 0 FROM r2_sp0
+       |  UNION ALL SELECT 2, node, 0, f, thr, -1, 0 FROM r2_sp1
+       |  UNION ALL SELECT 2, node, 1, -1, -1, n, value FROM r2_lv)
+       |SELECT o.round, o.node, o.is_leaf, o.f, o.thr, o.n, o.value,
+       |  a.n_eval, a.acc_e6, m0.mse0, m1.mse1, m2.mse2
+       |FROM outp o, acc a, mse0 m0, mse1 m1, mse2 m2
+       |ORDER BY o.round, o.node, o.is_leaf""".stripMargin
+    // DuckDB inlines CTEs per reference; the unrolled rounds reference the
+    // shared tables dozens of times, and each inline re-opens the orders
+    // parquet — MATERIALIZED pins them to one scan (fd-exhaustion fix).
+    val mat = Seq("base", "lng", "rng", "binned") ++
+      (0 to 3).flatMap(r => Seq(s"s$r", s"es$r")) ++
+      (0 to 2).flatMap(r => Seq(s"res$r") ++ Seq("n0", "n1", "n2", "e0", "e1", "e2", "lv", "cen0", "cen1").map(c => s"r${r}_$c"))
+    mat.foldLeft(sql)((acc0, name) => acc0.replace(s"$name AS (", s"$name AS MATERIALIZED ("))
+  }
+
   def oracles: Map[String, String] = Map(
     "x284_cart_tree" -> x284OracleSql,
     "x285_random_forest" -> x285OracleSql,
+    "x287_gbt" -> x287OracleSql,
     // x258: per-arm sorted rank picks at the same rank convention.
     "x258_qte" ->
       """WITH r AS (SELECT ('0x' || substr(md5(l_orderkey || '#qte'), 1, 15))::BIGINT % 2 AS arm,

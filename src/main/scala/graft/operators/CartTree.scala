@@ -115,6 +115,62 @@ object CartTree {
     (splits, nodes)
   }
 
+  /** Regression variant (x287): binned rows carry an integer residual
+    * `res` instead of a binary label; splits maximize the variance-
+    * reduction cross-product S = sumL²·nR + sumR²·nL (DECIMAL(38,0) —
+    * sum² ~ n²·1e12 at e6 residual scale). No purity stop (a constant-
+    * residual node just ties deterministically); both sides non-empty.
+    */
+  def trainReg(binned: DataFrame, depth: Int): (DataFrame, DataFrame) = {
+    val spark = binned.sparkSession
+    import spark.implicits._
+    var nodes = binned.select("k").distinct().withColumn("node", lit(1L)).localCheckpoint()
+    var splits = Seq.empty[(Long, Long, Long, Long)].toDF("level", "node", "f", "thr")
+    var t = 0
+    while (t < depth) {
+      val census = binned
+        .join(nodes, "k")
+        .groupBy("node", "f", "bin")
+        .agg(count(lit(1)).as("cnt"), sum("res").as("sres"))
+        .localCheckpoint()
+      val wNf = Window.partitionBy("node", "f").orderBy("bin")
+      val cand = census
+        .withColumn("nL", sum("cnt").over(wNf))
+        .withColumn("sL", sum("sres").over(wNf))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("node", "f")))
+        .withColumn("stot", sum("sres").over(Window.partitionBy("node", "f")))
+        .where(col("nL") > 0 && col("nL") < col("tot"))
+        .withColumn(
+          "s",
+          expr(
+            "CAST(sL AS DECIMAL(38,0)) * sL * (tot - nL) + " +
+              "CAST(stot - sL AS DECIMAL(38,0)) * (stot - sL) * nL"
+          )
+        )
+      val best = cand
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy("node").orderBy(col("s").desc, col("f").asc, col("bin").asc))
+        )
+        .where(col("rn") === 1)
+        .select(lit(t.toLong).as("level"), col("node"), col("f"), col("bin").as("thr"))
+        .localCheckpoint()
+      splits = splits.unionByName(best).localCheckpoint()
+      nodes = nodes
+        .join(broadcast(best.select(col("node"), col("f"), col("thr"))), Seq("node"), "left")
+        .join(binned.select(col("k"), col("f"), col("bin")), Seq("k", "f"), "left")
+        .select(
+          col("k"),
+          when(col("f").isNull, col("node"))
+            .otherwise(col("node") * 2 + when(col("bin") > col("thr"), 1L).otherwise(0L))
+            .as("node")
+        )
+        .localCheckpoint()
+      t += 1
+    }
+    (splits, nodes)
+  }
+
   /** Route rows (k, f, bin) through a trained split table. */
   def apply(binned: DataFrame, splits: DataFrame, depth: Int): DataFrame = {
     var nodes = binned.select("k").distinct().withColumn("node", lit(1L))

@@ -122,6 +122,48 @@ class CartTreeSpec extends AnyFunSuite {
     }
   }
 
+  test("boosting (x287 shape): regression rounds monotonically cut train MSE and solve a planted step") {
+    def fdivE(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) div ($dd)"
+    // v0 = k exactly covers [0, 999], so the 16-bin grid puts the planted
+    // boundary 500 ON a bin edge (a straddling bin would leave residual
+    // the tree cannot separate — a binning artifact, not a trainer bug)
+    val rows = (0L until 1000L).flatMap { k =>
+      val v0 = k % 1000
+      val y = if (v0 >= 500) 1L else 0L
+      Seq((k, y, 0L, 0L, v0), (k, y, 0L, 1L, (k * 91 + 3) % 17))
+    }
+    val b = binned(rows).localCheckpoint()
+    val lab = rows.map(r => (r._1, r._2)).distinct.toDF("k", "y")
+    var scores = lab.select(col("k"), (col("y") * 1000000L).as("target")).withColumn("sc", lit(0L))
+    var prevMse = Long.MaxValue
+    for (r <- 0 until 3) {
+      val res = scores.select(col("k"), (col("target") - col("sc")).as("res")).localCheckpoint()
+      val bres = b.join(res, "k").select(col("k"), col("res"), col("f"), col("bin"))
+      val (splits, nodes) = CartTree.trainReg(bres, depth = 2)
+      if (r == 0)
+        assert(splits.where(col("level") === 0).collect()(0).getAs[Long]("f") == 0L, "root on the signal")
+      val lv = nodes
+        .join(res, "k")
+        .groupBy("node")
+        .agg(count(lit(1)).as("n"), sum("res").as("sres"))
+        .withColumn("value", expr(fdivE("sres", "n * 2")))
+      scores = scores
+        .join(nodes, "k")
+        .join(lv.select("node", "value"), "node")
+        .select(col("k"), col("target"), (col("sc") + col("value")).as("sc"))
+        .localCheckpoint()
+      val mse = scores
+        .agg((sum(expr("CAST(target - sc AS DECIMAL(38,0)) * (target - sc)")) / count(lit(1))).cast("long").as("m"))
+        .collect()(0)
+        .getLong(0)
+      assert(mse < prevMse, s"round $r: MSE $mse did not drop below $prevMse")
+      prevMse = mse
+    }
+    // the planted step concept is separable: boosted scores threshold cleanly
+    val wrong = scores.where(((col("sc") >= 500000L).cast("long") * 1000000L) =!= col("target")).count()
+    assert(wrong == 0, s"$wrong rows misclassified on a separable planted step")
+  }
+
   test("eval rows outside the train range clamp into the edge bins") {
     val train = (0L until 100L).map(k => (k, if (k % 100 >= 50) 1L else 0L, 0L, 0L, k % 100))
     val eval = Seq((1000L, 1L, 1L, 0L, 5000L), (1001L, 0L, 1L, 0L, -5000L))
