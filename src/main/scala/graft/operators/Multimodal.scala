@@ -966,6 +966,92 @@ object Multimodal {
         .select("codec", "status", "n", "sum_cents", "n_null", "sum_day", "sum_price_c", "sum_lineno", "n_flag", "sum_fold")
         .orderBy("codec", "status")
     }),
+    // Dictionary-encoded parquet write (x288) — x286 plus THE parquet
+    // encoding: per-column first-occurrence dictionaries (cardinality
+    // ≤ 4096), PLAIN dictionary pages, RLE_DICTIONARY index pages through
+    // the generalized hybrid writer, dictionary_page_offset + the
+    // 3-encoding list in the footer. The census must survive the
+    // dictionary path AND the oracle counts dict-vs-plain chunks from
+    // parquet_metadata over OUR bytes — so both the values and the
+    // encoding decisions are pinned.
+    "x288_parquet_dict" -> ((s, _) => {
+      graft.sources.ParquetWriteFixture.ensure()
+      val n = graft.sources.ParquetWriteFixture.N.toLong
+      val src = s
+        .range(n)
+        .select(
+          col("id").as("k"),
+          expr("element_at(array('A','B','C'), CAST(id % 3 AS INT) + 1)").as("status"),
+          when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 37 % 100000).as("cents"),
+          (lit(8000L) + col("id") % 365).as("day"),
+          ((col("id") % 1000) * 0.25).as("price"),
+          (col("id") % 5).as("lineno"),
+          (col("id") % 3 === 0).as("flag"),
+          ((col("id") % 128).cast("double") * 0.0078125).as("ratio")
+        )
+      src
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("sum_cents"),
+          sum(col("cents").isNull.cast("long")).as("n_null"),
+          sum("day").as("sum_day"),
+          sum(expr("CAST(round(price * 100) AS BIGINT)")).as("sum_price_c"),
+          sum("lineno").as("sum_lineno"),
+          sum(col("flag").cast("long")).as("n_flag"),
+          sum(floor(col("ratio") * 1024).cast("long")).as("sum_fold")
+        )
+        // the writer's encoding decisions, derivable from the formula
+        // cardinalities: status 3, day 365, price 1000, lineno 5,
+        // ratio 128 → dictionary; k and cents exceed 4096, flag is
+        // boolean → plain
+        .withColumn("n_dict_cols", lit(5L))
+        .withColumn("n_plain_cols", lit(3L))
+        .orderBy("status")
+    }),
+
+    // Parquet column statistics write (x289) — the footer face x124/x129
+    // consume on the read side: per-chunk min/max/null_count Statistics
+    // (modern min_value/max_value fields, PLAIN-encoded singles) emitted
+    // by the from-scratch writer; the oracle reads them back through
+    // DuckDB's parquet_metadata over OUR bytes while the engine computes
+    // the same values from the row formulas — independent derivations of
+    // the pruning metadata every warehouse plans on.
+    "x289_parquet_stats" -> ((s, _) => {
+      graft.sources.ParquetWriteFixture.ensure()
+      val n = graft.sources.ParquetWriteFixture.N.toLong
+      val src = s
+        .range(n)
+        .select(
+          col("id").as("k"),
+          when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 37 % 100000).as("cents"),
+          (lit(8000L) + col("id") % 365).as("day"),
+          ((col("id") % 1000) * 0.25).as("price"),
+          (col("id") % 5).as("lineno"),
+          ((col("id") % 128).cast("double") * 0.0078125).as("ratio")
+        )
+      src
+        .agg(
+          min("k").as("k_mn"), max("k").as("k_mx"),
+          min("cents").as("cents_mn"), max("cents").as("cents_mx"),
+          sum(col("cents").isNull.cast("long")).as("cents_nulls"),
+          min("day").as("day_mn"), max("day").as("day_mx"),
+          min("price").as("price_mn"), max("price").as("price_mx"),
+          min("lineno").as("lineno_mn"), max("lineno").as("lineno_mx"),
+          min("ratio").as("ratio_mn"), max("ratio").as("ratio_mx")
+        )
+        .selectExpr(
+          """stack(6,
+            |'k', CAST(k_mn AS DOUBLE), CAST(k_mx AS DOUBLE), CAST(0 AS BIGINT),
+            |'cents', CAST(cents_mn AS DOUBLE), CAST(cents_mx AS DOUBLE), cents_nulls,
+            |'day', CAST(day_mn AS DOUBLE), CAST(day_mx AS DOUBLE), CAST(0 AS BIGINT),
+            |'price', price_mn, price_mx, CAST(0 AS BIGINT),
+            |'lineno', CAST(lineno_mn AS DOUBLE), CAST(lineno_mx AS DOUBLE), CAST(0 AS BIGINT),
+            |'ratio', ratio_mn, ratio_mx, CAST(0 AS BIGINT)
+            |) AS (name, min_v, max_v, nulls)""".stripMargin
+        )
+        .orderBy("name")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2213,6 +2299,34 @@ object Multimodal {
         |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
         |  CAST(sum(CAST(floor(CAST(ratio AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS sum_fold
         |FROM u GROUP BY codec, status ORDER BY codec, status""".stripMargin,
+    // x288: values through DuckDB's dictionary decode of OUR bytes + the
+    // dict/plain chunk census from parquet_metadata.
+    "x288_parquet_dict" ->
+      """WITH m AS (
+        |  SELECT CAST(count(CASE WHEN dictionary_page_offset IS NOT NULL THEN 1 END) AS BIGINT) AS n_dict_cols,
+        |    CAST(count(CASE WHEN dictionary_page_offset IS NULL THEN 1 END) AS BIGINT) AS n_plain_cols
+        |  FROM parquet_metadata('/root/repo/spark-warehouse/graft_pq/orders_dict.parquet'))
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(day) AS BIGINT) AS sum_day,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(lineno) AS BIGINT) AS sum_lineno,
+        |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+        |  CAST(sum(CAST(floor(CAST(ratio AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS sum_fold,
+        |  m.n_dict_cols, m.n_plain_cols
+        |FROM read_parquet('/root/repo/spark-warehouse/graft_pq/orders_dict.parquet'), m
+        |GROUP BY status, m.n_dict_cols, m.n_plain_cols ORDER BY status""".stripMargin,
+    // x289: the statistics the from-scratch writer put in the footer,
+    // read back by DuckDB's own metadata parser.
+    "x289_parquet_stats" ->
+      """SELECT path_in_schema AS name,
+        |  CAST(stats_min_value AS DOUBLE) AS min_v,
+        |  CAST(stats_max_value AS DOUBLE) AS max_v,
+        |  CAST(stats_null_count AS BIGINT) AS nulls
+        |FROM parquet_metadata('/root/repo/spark-warehouse/graft_pq/orders_dict.parquet')
+        |WHERE path_in_schema IN ('k', 'cents', 'day', 'price', 'lineno', 'ratio')
+        |ORDER BY name""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

@@ -93,9 +93,12 @@ object ParquetWrite {
 
   // ------------------------------------------------- level/value encoders
 
-  /** RLE/bit-packed hybrid for definition levels (bit width 1). */
-  private def hybridLevels(defs: Array[Int], from: Int, n: Int): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(n / 8 + 8)
+  /** RLE/bit-packed hybrid (levels AND dictionary indices): one RLE run
+    * when every value agrees, one bit-packed span otherwise (trailing
+    * pad values beyond `n` are zeros, read never past `n`).
+    */
+  private def hybridWrite(vals: Array[Int], n: Int, bitWidth: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(n * bitWidth / 8 + 8)
     def varint(v0: Long): Unit = {
       var v = v0
       while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
@@ -103,28 +106,35 @@ object ParquetWrite {
     }
     var uniform = true
     var i = 1
-    while (uniform && i < n) { uniform = defs(from + i) == defs(from); i += 1 }
+    while (uniform && i < n) { uniform = vals(i) == vals(0); i += 1 }
     if (uniform && n > 0) {
       varint((n.toLong << 1)) // RLE run
-      bos.write(defs(from)) // 1 byte for bit width 1
+      var k = 0
+      while (k < (bitWidth + 7) / 8) { bos.write((vals(0) >>> (8 * k)) & 0xff); k += 1 }
     } else {
       val groups = (n + 7) / 8
       varint((groups.toLong << 1) | 1) // bit-packed
-      var g = 0
-      while (g < groups) {
-        var b = 0
+      val bytes = new Array[Byte](groups * bitWidth)
+      var v = 0
+      while (v < n) {
+        val base = v * bitWidth
         var k = 0
-        while (k < 8) {
-          val idx = g * 8 + k
-          if (idx < n && defs(from + idx) == 1) b |= 1 << k
+        while (k < bitWidth) {
+          if (((vals(v) >>> k) & 1) != 0) {
+            val abs = base + k
+            bytes(abs >> 3) = (bytes(abs >> 3) | (1 << (abs & 7))).toByte
+          }
           k += 1
         }
-        bos.write(b)
-        g += 1
+        v += 1
       }
+      bos.write(bytes, 0, bytes.length)
     }
     bos.toByteArray
   }
+
+  private def hybridLevels(defs: Array[Int], from: Int, n: Int): Array[Byte] =
+    hybridWrite(java.util.Arrays.copyOfRange(defs, from, from + n), n, 1)
 
   /** PLAIN-encode `n` non-null cells (already null-stripped). */
   private def plainValues(vals: ArrayBuffer[Any], ptype: Int): Array[Byte] = {
@@ -172,16 +182,129 @@ object ParquetWrite {
     * Long (int32/int64), Double, Float, Boolean, String/Array[Byte]; null
     * only in optional columns.
     */
-  def write(schema: Seq[ColSpec], rows: Seq[Array[Any]], codec: Int): Array[Byte] = {
+  val DictMax = 4096
+
+  def write(
+      schema: Seq[ColSpec],
+      rows: Seq[Array[Any]],
+      codec: Int,
+      dictionary: Boolean = false,
+      statistics: Boolean = false
+  ): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
     val nRows = rows.length
 
-    final case class ChunkInfo(dataPageOffset: Long, totalComp: Long, totalUncomp: Long, numValues: Long)
+    final case class ChunkInfo(
+        dataPageOffset: Long,
+        dictPageOffset: Long, // -1 when absent
+        totalComp: Long,
+        totalUncomp: Long,
+        numValues: Long,
+        nullCount: Long,
+        minBytes: Array[Byte], // PLAIN single value, null when absent
+        maxBytes: Array[Byte]
+    )
+
+    def statKey(cs: ColSpec, v: Any): Double = cs.ptype match {
+      case TInt32 | TInt64 => v.asInstanceOf[Long].toDouble
+      case TFloat          => v.asInstanceOf[Float].toDouble
+      case TDouble         => v.asInstanceOf[Double]
+      case _               => 0d
+    }
+
+    def emitPage(
+        cs: ColSpec,
+        defs: Array[Int],
+        n: Int,
+        values: Array[Byte],
+        encoding: Int
+    ): (Array[Byte], Array[Byte], Int) = {
+      val body = new java.io.ByteArrayOutputStream(n * 8)
+      if (cs.optional) {
+        val lv = hybridLevels(defs, 0, n)
+        body.write(lv.length); body.write(lv.length >> 8); body.write(lv.length >> 16); body.write(lv.length >> 24)
+        body.write(lv, 0, lv.length)
+      }
+      body.write(values, 0, values.length)
+      val raw = body.toByteArray
+      val comp = compress(codec, raw)
+      val tw = new TW
+      var l = tw.i32Field(0, 1, 0L) // DATA_PAGE
+      l = tw.i32Field(l, 2, raw.length.toLong)
+      l = tw.i32Field(l, 3, comp.length.toLong)
+      l = tw.field(l, 5, 12)
+      var dl = tw.i32Field(0, 1, n.toLong)
+      dl = tw.i32Field(dl, 2, encoding.toLong)
+      dl = tw.i32Field(dl, 3, 3L)
+      dl = tw.i32Field(dl, 4, 3L)
+      tw.stop()
+      tw.stop()
+      (tw.bytes, comp, raw.length)
+    }
+
     val chunks = schema.zipWithIndex.map { case (cs, ci) =>
-      val dataPageOffset = out.size().toLong
+      // dictionary eligibility: first-occurrence distinct scan
+      var dict: ArrayBuffer[Any] = null
+      var dictIdx: java.util.HashMap[Any, Integer] = null
+      if (dictionary && cs.ptype != TBool && nRows > 0) {
+        def key(v: Any): Any = v match {
+          case a: Array[Byte] => new String(a, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case x              => x
+        }
+        val d = new java.util.HashMap[Any, Integer]()
+        val order = ArrayBuffer.empty[Any]
+        var i = 0
+        var ok = true
+        var nonNull = 0L
+        while (ok && i < nRows) {
+          val cell = rows(i)(ci)
+          if (cell != null) {
+            nonNull += 1
+            if (!d.containsKey(key(cell))) {
+              d.put(key(cell), d.size())
+              order += cell
+              if (d.size() > DictMax) ok = false
+            }
+          }
+          i += 1
+        }
+        // dictionary pays only when values REPEAT — near-unique columns
+        // packed as wide indices beat zstd'd PLAIN only past ~2× reuse
+        // (measured in ParquetWriteSpec before this guard existed)
+        if (ok && order.length.toLong * 2 <= nonNull) { dict = order; dictIdx = d }
+      }
+
+      val chunkStart = out.size().toLong
+      var dictOffset = -1L
       var totalComp = 0L
       var totalUncomp = 0L
+      if (dict != null) {
+        val raw = plainValues(dict, cs.ptype)
+        val comp = compress(codec, raw)
+        val tw = new TW
+        var l = tw.i32Field(0, 1, 2L) // DICTIONARY_PAGE
+        l = tw.i32Field(l, 2, raw.length.toLong)
+        l = tw.i32Field(l, 3, comp.length.toLong)
+        l = tw.field(l, 7, 12) // dictionary_page_header
+        var dl = tw.i32Field(0, 1, dict.length.toLong)
+        dl = tw.i32Field(dl, 2, 0L) // PLAIN
+        tw.stop(); tw.stop()
+        val hdr = tw.bytes
+        dictOffset = chunkStart
+        out.write(hdr, 0, hdr.length)
+        out.write(comp, 0, comp.length)
+        totalComp += hdr.length + comp.length
+        totalUncomp += hdr.length + raw.length
+      }
+      val dataPageOffset = out.size().toLong
+
+      var nullCount = 0L
+      var minV = Double.NaN
+      var maxV = Double.NaN
+      var minCell: Any = null
+      var maxCell: Any = null
+
       var done = 0
       while (done < nRows || (nRows == 0 && done == 0)) {
         val n = math.min(PageValues, nRows - done)
@@ -193,40 +316,50 @@ object ParquetWrite {
           if (cell == null) {
             require(cs.optional, s"null in required column ${cs.name}")
             defs(i) = 0
-          } else { defs(i) = 1; vals += cell }
+            nullCount += 1
+          } else {
+            defs(i) = 1
+            vals += cell
+            if (statistics && cs.ptype != TBool && cs.ptype != TBytes) {
+              val sk = statKey(cs, cell)
+              if (minCell == null || sk < minV) { minV = sk; minCell = cell }
+              if (maxCell == null || sk > maxV) { maxV = sk; maxCell = cell }
+            }
+          }
           i += 1
         }
-        val body = new java.io.ByteArrayOutputStream(n * 8)
-        if (cs.optional) {
-          val lv = hybridLevels(defs, 0, n)
-          body.write(lv.length); body.write(lv.length >> 8); body.write(lv.length >> 16); body.write(lv.length >> 24)
-          body.write(lv, 0, lv.length)
-        }
-        val pv = plainValues(vals, cs.ptype)
-        body.write(pv, 0, pv.length)
-        val raw = body.toByteArray
-        val comp = compress(codec, raw)
-        // PageHeader
-        val tw = new TW
-        var l = tw.i32Field(0, 1, 0L) // type = DATA_PAGE
-        l = tw.i32Field(l, 2, raw.length.toLong)
-        l = tw.i32Field(l, 3, comp.length.toLong)
-        l = tw.field(l, 5, 12) // data_page_header
-        var dl = tw.i32Field(0, 1, n.toLong)
-        dl = tw.i32Field(dl, 2, 0L) // encoding PLAIN
-        dl = tw.i32Field(dl, 3, 3L) // def level encoding RLE
-        dl = tw.i32Field(dl, 4, 3L) // rep level encoding RLE
-        tw.stop() // data_page_header
-        tw.stop() // page header
-        val hdr = tw.bytes
+        val (hdr, comp, rawLen) =
+          if (dict != null) {
+            val bw = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, dict.length - 1)))
+            val idx = new Array[Int](vals.length)
+            var j = 0
+            while (j < vals.length) {
+              val k0 = vals(j) match {
+                case a: Array[Byte] => new String(a, java.nio.charset.StandardCharsets.ISO_8859_1)
+                case x              => x
+              }
+              idx(j) = dictIdx.get(k0)
+              j += 1
+            }
+            val vb = new java.io.ByteArrayOutputStream(vals.length)
+            vb.write(bw)
+            val hy = hybridWrite(idx, idx.length, bw)
+            vb.write(hy, 0, hy.length)
+            emitPage(cs, defs, n, vb.toByteArray, 8) // RLE_DICTIONARY
+          } else {
+            val pv = plainValues(vals, cs.ptype)
+            emitPage(cs, defs, n, pv, 0)
+          }
         out.write(hdr, 0, hdr.length)
         out.write(comp, 0, comp.length)
         totalComp += hdr.length + comp.length
-        totalUncomp += hdr.length + raw.length
+        totalUncomp += hdr.length + rawLen
         done += n
         if (nRows == 0) done = 1 // single empty page for empty tables
       }
-      ChunkInfo(dataPageOffset, totalComp, totalUncomp, nRows.toLong)
+      val minB = if (minCell != null) plainValues(ArrayBuffer(minCell), cs.ptype) else null
+      val maxB = if (maxCell != null) plainValues(ArrayBuffer(maxCell), cs.ptype) else null
+      ChunkInfo(dataPageOffset, dictOffset, totalComp, totalUncomp, nRows.toLong, nullCount, minB, maxB)
     }
 
     // footer
@@ -257,9 +390,13 @@ object ParquetWrite {
         cl = fw.field(cl, 3, 12) // meta_data
         var ml = fw.i32Field(0, 1, cs.ptype.toLong)
         ml = fw.field(ml, 2, 9) // encodings
-        fw.listHeader(2, 5)
-        fw.zig(0L) // PLAIN
-        fw.zig(3L) // RLE (levels)
+        if (ch.dictPageOffset >= 0) {
+          fw.listHeader(3, 5)
+          fw.zig(0L); fw.zig(3L); fw.zig(8L) // PLAIN (dict page), RLE, RLE_DICTIONARY
+        } else {
+          fw.listHeader(2, 5)
+          fw.zig(0L); fw.zig(3L) // PLAIN, RLE
+        }
         ml = fw.field(ml, 3, 9) // path_in_schema
         fw.listHeader(1, 8)
         locally {
@@ -272,6 +409,22 @@ object ParquetWrite {
         ml = fw.i64Field(ml, 6, ch.totalUncomp)
         ml = fw.i64Field(ml, 7, ch.totalComp)
         ml = fw.i64Field(ml, 9, ch.dataPageOffset)
+        if (ch.dictPageOffset >= 0) ml = fw.i64Field(ml, 11, ch.dictPageOffset)
+        if (statistics && (ch.minBytes != null || ch.nullCount > 0)) {
+          ml = fw.field(ml, 12, 12) // statistics
+          var sl = fw.i64Field(0, 3, ch.nullCount)
+          if (ch.maxBytes != null) {
+            sl = fw.field(sl, 5, 8)
+            fw.varint(ch.maxBytes.length.toLong)
+            fw.out.write(ch.maxBytes, 0, ch.maxBytes.length)
+          }
+          if (ch.minBytes != null) {
+            sl = fw.field(sl, 6, 8)
+            fw.varint(ch.minBytes.length.toLong)
+            fw.out.write(ch.minBytes, 0, ch.minBytes.length)
+          }
+          fw.stop()
+        }
         fw.stop() // meta_data
         fw.stop() // column chunk
       }
@@ -328,7 +481,7 @@ object ParquetWriteFixture {
   )
 
   def ensure(): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/_OK_V1")
+    val marker = new java.io.File(s"$dir/_OK_V2")
     if (!marker.exists()) {
       new java.io.File(dir).mkdirs()
       val rows = (0L until N.toLong).map(row)
@@ -336,6 +489,9 @@ object ParquetWriteFixture {
         val bytes = write(schema, rows, codec)
         java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/orders_$tag.parquet"), bytes)
       }
+      // x288/x289: dictionary-encoded + statistics variant (zstd pages)
+      val dictBytes = write(schema, rows, CodecZstd, dictionary = true, statistics = true)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/orders_dict.parquet"), dictBytes)
       marker.createNewFile()
     }
   }

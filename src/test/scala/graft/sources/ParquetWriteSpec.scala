@@ -95,6 +95,59 @@ class ParquetWriteSpec extends AnyFunSuite {
     assert(got.count(_(1) == null) == 99)
   }
 
+  test("dictionary encoding (x288): roundtrip via Spark and the scratch reader, footer carries the dict offset") {
+    val rows = mkRows(3000)
+    val bytes = write(schema, rows, CodecZstd, dictionary = true)
+    val sp = s.read.parquet(writeTmp(bytes)).orderBy("k").collect()
+    assert(sp.length == 3000)
+    assert(sp(7).getAs[String]("nm") == "name_7")
+    assert(sp(7).getFloat(4) == 7 * 0.25f - 10f)
+    val (_, got) = ParquetScan.readFile(bytes, Seq("k", "small", "nm"))
+    assert(got.length == 3000)
+    assert(new String(got(13)(2).asInstanceOf[Array[Byte]], "UTF-8") == "name_13")
+    // the scratch reader's own footer parse sees the dictionary offsets
+    val fm = ParquetScan.footer(bytes)
+    val byPath = fm.rowGroups.head.leaves.map(l => l.path -> l).toMap
+    assert(byPath("nm").dictPageOffset >= 0, "nm (40 distinct) must be dictionary-encoded")
+    assert(byPath("small").dictPageOffset >= 0)
+    assert(byPath("k").dictPageOffset < 0, "a unique column must stay PLAIN (reuse guard)")
+    // dictionary shrinks NON-PERIODIC categorical data (periodic synthetic
+    // columns let zstd crush PLAIN via LZ77 period matches, so the win
+    // must be asserted on hash-shuffled category order)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def cat(i: Int): String = {
+      md.reset()
+      val h = md.digest(s"cat$i".getBytes("UTF-8"))
+      s"category_name_${(h(0) & 0x7f) % 40}"
+    }
+    val catSchema = Seq(ColSpec("k", TInt64, optional = false), ColSpec("c", TBytes, optional = false, utf8 = true))
+    val catRows = (0 until 3000).map(i => Array[Any](i.toLong, cat(i)))
+    val dictF = write(catSchema, catRows, CodecZstd, dictionary = true)
+    val plainF = write(catSchema, catRows, CodecZstd)
+    assert(dictF.length < plainF.length, s"${dictF.length} !< ${plainF.length}")
+  }
+
+  test("statistics (x289): the official parquet library reads back our min/max/null_count") {
+    val rows = mkRows(3000)
+    val bytes = write(schema, rows, CodecGzip, dictionary = true, statistics = true)
+    val path = writeTmp(bytes)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = r.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size()).map(cols.get).map(c => c.getPath.toDotString -> c).toMap
+      val kSt = byName("k").getStatistics
+      assert(kSt.genericGetMin.asInstanceOf[java.lang.Long] == 0L)
+      assert(kSt.genericGetMax.asInstanceOf[java.lang.Long] == 2999L)
+      assert(kSt.getNumNulls == 0L)
+      val dSt = byName("d").getStatistics
+      assert(dSt.getNumNulls == mkRows(3000).count(_(3) == null))
+      assert(dSt.genericGetMin.asInstanceOf[java.lang.Double] == -996.5d) // i=1: 3.5-1000
+      assert(dSt.genericGetMax.asInstanceOf[java.lang.Double] == 2999 * 3.5 - 1000)
+    } finally r.close()
+  }
+
   test("empty table") {
     val bytes = write(schema, Seq.empty, CodecUncompressed)
     assert(s.read.parquet(writeTmp(bytes)).count() == 0)
