@@ -504,7 +504,18 @@ object ScaleProbe {
       // lineitem (the JoinStats pass), then the salted join itself
       "x273_stats_skew_join",
       // incremental IVF+PQ: base embeddings scale (pruned ADC shape check)
-      "x274_incremental_ivfpq"
+      "x274_incremental_ivfpq",
+      // r9 session-3 additions:
+      // from-scratch parquet scan: 16x orders decoded per file-task
+      // (thrift footer + hybrid levels + dictionary pages + snappy pages)
+      "x282_parquet_scan",
+      // histogram CART: 3 level passes over 16x orders (census cells stay
+      // bounded; routing joins scale with rows)
+      "x284_cart_tree",
+      // forest: 3 bagged depth-2 trainings + the 3-way vote join
+      "x285_random_forest",
+      // GBT: 3 sequential rounds of regression trees + score updates
+      "x287_gbt"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

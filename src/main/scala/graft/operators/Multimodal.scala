@@ -1052,6 +1052,41 @@ object Multimodal {
         )
         .orderBy("name")
     }),
+    // Codec strategy sweep (x290) — the x253/x261-style instrument over
+    // the x279–x281 encoder: per content class the four strategy stacks
+    // (store → +sequences → +Huffman literals → +custom FSE tables) are
+    // emitted and the superset-cost-pick law is pinned: each richer stack
+    // never loses a byte (exact candidate-set inclusion with exact byte
+    // costs — the zero-margin discipline the auto_min pins established).
+    // The measured per-class ratios land in NOTES.md; the gate carries
+    // the law and the formula-verifiable plain totals.
+    "x290_codec_sweep" -> ((s, _) => {
+      import graft.sources.{ZstdEncode, ZstdFixture}
+      import s.implicits._
+      s.range(200)
+        .repartition(8)
+        .map { z =>
+          val data = ZstdFixture.content(z).getBytes("UTF-8")
+          val store = ZstdEncode.compress(data, ZstdEncode.AllowRaw).length
+          val pre = ZstdEncode.compress(data, ZstdEncode.AllowRaw | ZstdEncode.AllowRle | ZstdEncode.AllowSeq).length
+          val huf = ZstdEncode
+            .compress(data, ZstdEncode.AllowRaw | ZstdEncode.AllowRle | ZstdEncode.AllowSeq | ZstdEncode.AllowHuf)
+            .length
+          val all = ZstdEncode.compress(data).length
+          (z % 4, data.length.toLong, store.toLong, pre.toLong, huf.toLong, all.toLong)
+        }
+        .toDF("cls", "plain", "s_store", "s_pre", "s_huf", "s_all")
+        .groupBy("cls")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("plain").as("plain_bytes"),
+          min(col("s_store") >= col("s_pre") && col("s_pre") >= col("s_huf") && col("s_huf") >= col("s_all"))
+            .as("mono_ok"),
+          min(col("s_all") <= col("s_store")).as("all_le_store")
+        )
+        .select(col("cls"), col("n"), col("plain_bytes"), col("mono_ok"), col("all_le_store"))
+        .orderBy("cls")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2327,6 +2362,24 @@ object Multimodal {
         |FROM parquet_metadata('/root/repo/spark-warehouse/graft_pq/orders_dict.parquet')
         |WHERE path_in_schema IN ('k', 'cents', 'day', 'price', 'lineno', 'ratio')
         |ORDER BY name""".stripMargin,
+    // x290: the class census + plain totals from the content formulas;
+    // the monotone stack law must hold everywhere.
+    "x290_codec_sweep" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 149 + z % 200)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |h1 AS (SELECT z, string_agg('Z,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |       FROM zs, unnest(generate_series(0, 4 + z % 9)) t(i) WHERE z % 4 = 1 GROUP BY z),
+        |c1 AS (SELECT z, h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(800 + z % 400 AS INT)) || h AS content FROM h1),
+        |c2 AS (SELECT z, string_agg(md5(z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 2 + z % 9)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, repeat(chr(97 + CAST(z % 26 AS INT)), CAST(300 + z % 500 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 3),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z % 4 AS cls, count(*) AS n,
+        |  CAST(sum(length(content)) AS BIGINT) AS plain_bytes,
+        |  TRUE AS mono_ok, TRUE AS all_le_store
+        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
