@@ -1087,6 +1087,52 @@ object Multimodal {
         .select(col("cls"), col("n"), col("plain_bytes"), col("mono_ok"), col("all_le_store"))
         .orderBy("cls")
     }),
+    // zstd repeat offsets (x291) — the last sequence-coding face: the
+    // encoder mirrors the decoder's three-slot history (RFC 3.1.1.5)
+    // FORWARD (ll==0 index shift honored, rep0−1 never emitted, history
+    // threaded ACROSS blocks with raw-block gaps leaving it untouched —
+    // the frame-scoped state the per-block view would corrupt), and the
+    // rewrite is itself cost-picked because a new low OF symbol can GROW
+    // a custom FSE description (spec-caught, 1 byte). rep_le pins the
+    // exact-pick law.
+    "x291_zstd_repoffsets" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("n_bytes", LongType),
+          StructField("content_md5", StringType),
+          StructField("jni_match", BooleanType),
+          StructField("self_match", BooleanType),
+          StructField("rep_le", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{ZstdEncode, ZstdFixture, ZstdFrame}
+      s.range(200)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]): String = { md.reset(); md.digest(b).map(x => f"${x & 0xff}%02x").mkString }
+          def jniDecode(comp: Array[Byte], n: Int): Option[Array[Byte]] =
+            try Some(com.github.luben.zstd.Zstd.decompress(comp, n))
+            catch { case _: com.github.luben.zstd.ZstdException => None }
+          it.map { r =>
+            val z = r.getLong(0)
+            val data = ZstdFixture.content(z).getBytes("UTF-8")
+            val comp = ZstdEncode.compress(data)
+            val jni = jniDecode(comp, data.length)
+            val self = ZstdFrame.decode(comp)
+            val repLe = comp.length <= ZstdEncode.compress(data, ZstdEncode.AllowAll & ~ZstdEncode.AllowRep).length
+            jni match {
+              case Some(d) =>
+                Row(z, d.length.toLong, hex(d), d.sameElements(data), self.exists(_.sameElements(data)), repLe)
+              case None => Row(z, null, null, false, false, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2380,6 +2426,23 @@ object Multimodal {
         |  CAST(sum(length(content)) AS BIGINT) AS plain_bytes,
         |  TRUE AS mono_ok, TRUE AS all_le_store
         |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
+    // x291: the repeat-offset twin — official decode of the rep-enabled
+    // frames recovers every plaintext; the exact-pick law holds.
+    "x291_zstd_repoffsets" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
+        |       FROM zs, unnest(generate_series(0, 149 + z % 200)) t(i) WHERE z % 4 = 0 GROUP BY z),
+        |h1 AS (SELECT z, string_agg('Z,' || z || ',' || i || ',' || (z*17 + i*13) || chr(10), '' ORDER BY i) AS h
+        |       FROM zs, unnest(generate_series(0, 4 + z % 9)) t(i) WHERE z % 4 = 1 GROUP BY z),
+        |c1 AS (SELECT z, h || repeat(chr(65 + CAST(z % 26 AS INT)), CAST(800 + z % 400 AS INT)) || h AS content FROM h1),
+        |c2 AS (SELECT z, string_agg(md5(z || '#' || j), '' ORDER BY j) AS content
+        |       FROM zs, unnest(generate_series(0, 2 + z % 9)) t(j) WHERE z % 4 = 2 GROUP BY z),
+        |c3 AS (SELECT z, repeat(chr(97 + CAST(z % 26 AS INT)), CAST(300 + z % 500 AS INT)) AS content
+        |       FROM zs WHERE z % 4 = 3),
+        |c AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+        |SELECT z AS blob_id, CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
+        |  TRUE AS jni_match, TRUE AS self_match, TRUE AS rep_le
+        |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

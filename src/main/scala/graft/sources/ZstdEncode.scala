@@ -60,7 +60,8 @@ object ZstdEncode {
   val AllowSeq = 4
   val AllowHuf = 8 // x280: Huffman-compressed literals inside Seq blocks
   val AllowFse = 16 // x281: custom FSE table descriptions for sequences
-  val AllowAll: Int = AllowRaw | AllowRle | AllowSeq | AllowHuf | AllowFse
+  val AllowRep = 32 // x291: repeat-offset codes against the three-slot history
+  val AllowAll: Int = AllowRaw | AllowRle | AllowSeq | AllowHuf | AllowFse | AllowRep
 
   private val MagicLE = 0xfd2fb528L
   private val BlockMax = 124 << 10 // ≤ the spec's min(Window_Size, 128 KiB) with forced-compressed headroom
@@ -466,7 +467,17 @@ object ZstdEncode {
   /** Compressed-block payload (literals + sequences) for one block of
     * input. Always constructible; the caller costs it against Raw/RLE.
     */
-  private def compressedBlock(data: Array[Byte], allow: Int, forceHuf: Boolean, forceFse: Boolean): Array[Byte] = {
+  /** `repsIn`: the frame's three-slot repeat-offset history AT BLOCK ENTRY
+    * (the decoder carries it across blocks; raw/RLE blocks leave it
+    * untouched). Returns the payload and the history at block exit.
+    */
+  private def compressedBlock(
+      data: Array[Byte],
+      allow: Int,
+      forceHuf: Boolean,
+      forceFse: Boolean,
+      repsIn: Array[Long]
+  ): (Array[Byte], Array[Long]) = {
     val tokens = Deflate.tokenize(data)
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
 
@@ -504,7 +515,42 @@ object ZstdEncode {
 
     if (nSeq == 0) {
       out.write(0) // zero sequences, section ends
-      return out.toByteArray
+      return (out.toByteArray, repsIn)
+    }
+
+    // repeat-offset substitution (x291): walk FORWARD mirroring the
+    // decoder's three-slot history (RFC 3.1.1.5) and rewrite seqOF to the
+    // cheapest matching repeat code (ofVal 1..3; the ll==0 index shift
+    // honored; the rep0−1 trick never emitted). Codes 0/1 cost ≤1 extra
+    // bit vs ~11–15 for an explicit offset. The history STILL advances
+    // when reps are disabled — the decoder updates it on every explicit
+    // offset regardless.
+    var r0 = repsIn(0); var r1 = repsIn(1); var r2 = repsIn(2)
+    locally {
+      var i0 = 0
+      while (i0 < nSeq) {
+        val off = (seqOF(i0) - 3).toLong // current entries are explicit offset+3
+        val ll = seqLL(i0)
+        val ofVal =
+          if ((allow & AllowRep) == 0) -1
+          else if (ll != 0) {
+            if (off == r0) 1 else if (off == r1) 2 else if (off == r2) 3 else -1
+          } else {
+            if (off == r1) 1 else if (off == r2) 2 else -1
+          }
+        if (ofVal > 0) {
+          seqOF(i0) = ofVal
+          val idx = ofVal + (if (ll == 0) 1 else 0)
+          idx match {
+            case 1 => // r0 stays front
+            case 2 => val t = r1; r1 = r0; r0 = t
+            case 3 => val t = r2; r2 = r1; r1 = r0; r0 = t
+          }
+        } else {
+          r2 = r1; r1 = r0; r0 = off
+        }
+        i0 += 1
+      }
     }
 
     // per-sequence codes
@@ -588,7 +634,7 @@ object ZstdEncode {
         if (forceFse || custom.length < predef.length) custom else predef
       }
     out.write(chosen, 0, chosen.length)
-    out.toByteArray
+    (out.toByteArray, Array(r0, r1, r2))
   }
 
   // ------------------------------------------------------------------ frame
@@ -625,6 +671,7 @@ object ZstdEncode {
     }
 
     val nBlocks = math.max(1, (size + BlockMax - 1) / BlockMax)
+    var curReps = Array(1L, 4L, 8L) // frame-scoped (RFC 3.1.1.5)
     var b = 0
     while (b < nBlocks) {
       val from = b * BlockMax
@@ -634,6 +681,7 @@ object ZstdEncode {
       val last = b == nBlocks - 1
 
       // candidates: (size, tieOrder, btype, payload)
+      var pendingReps: Array[Long] = null // rep history IF the compressed candidate wins
       var bestSize = Int.MaxValue
       var bestOrder = Int.MaxValue
       var bestType = -1
@@ -651,12 +699,23 @@ object ZstdEncode {
           if (rle) consider(4, 0, 1, Array(chunk(0)))
         }
         if ((allow & AllowSeq) != 0) {
-          val payload = compressedBlock(chunk, allow, forceHuf, forceFse)
+          // rep rewriting is itself cost-picked: turning offsets into rep
+          // codes can GROW a custom FSE description (a new low symbol
+          // lengthens the serialized count table — spec-caught, 1 byte),
+          // so the with-reps candidate must win by exact byte count
+          val cands =
+            if ((allow & AllowRep) != 0)
+              Seq(
+                compressedBlock(chunk, allow, forceHuf, forceFse, curReps),
+                compressedBlock(chunk, allow & ~AllowRep, forceHuf, forceFse, curReps)
+              )
+            else Seq(compressedBlock(chunk, allow, forceHuf, forceFse, curReps))
+          val (payload, repsOut) = cands.minBy(_._1.length)
           // RFC 8878 §3.1.1.2: a Compressed_Block's size must be STRICTLY
           // smaller than its regenerated size — otherwise the spec requires
           // a Raw_Block, so a forced-Seq strategy falls back rather than
           // emit an invalid frame (the official decoder rejects it).
-          if (payload.length < len) consider(3 + payload.length, 1, 2, payload)
+          if (payload.length < len) { consider(3 + payload.length, 1, 2, payload); pendingReps = repsOut }
         }
         if ((allow & AllowRaw) != 0 || bestType < 0) consider(3 + len, 2, 0, chunk)
       }
@@ -665,6 +724,7 @@ object ZstdEncode {
       val bh = (if (last) 1 else 0) | (bestType << 1) | (bsize << 3)
       out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
       if (bestType == 0) out.write(bestPayload, 0, len) else out.write(bestPayload, 0, bestPayload.length)
+      if (bestType == 2) curReps = pendingReps // raw/RLE blocks leave the history untouched
       b += 1
     }
     out.toByteArray

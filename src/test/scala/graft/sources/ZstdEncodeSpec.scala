@@ -177,6 +177,47 @@ class ZstdEncodeSpec extends AnyFunSuite {
     assert(ZstdFrame.decode(withFse).exists(java.util.Arrays.equals(_, raw)))
   }
 
+  // ------------------------------------------- repeat offsets (x291)
+
+  test("repeat offsets round-trip on every class and never lose the cost pick") {
+    for (z <- 0L until 60L) {
+      val raw = ZstdFixture.content(z).getBytes("UTF-8")
+      val withRep = ZstdEncode.compress(raw)
+      val withoutRep = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowRep)
+      assert(withRep.length <= withoutRep.length, s"z=$z: rep ${withRep.length} > ${withoutRep.length}")
+      assert(officialDecode(withRep, raw.length).exists(java.util.Arrays.equals(_, raw)), s"jni z=$z")
+      assert(ZstdFrame.decode(withRep).exists(java.util.Arrays.equals(_, raw)), s"self z=$z")
+    }
+  }
+
+  test("repeat offsets actually engage: periodic content shrinks") {
+    val raw = ("0123456789abc" * 800).getBytes("UTF-8") // period 13 → constant offset
+    val withRep = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowRle) // RLE block would hide it
+    val withoutRep = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowRle & ~ZstdEncode.AllowRep)
+    assert(withRep.length < withoutRep.length, s"${withRep.length} !< ${withoutRep.length}")
+    assert(officialDecode(withRep, raw.length).exists(java.util.Arrays.equals(_, raw)))
+    assert(ZstdFrame.decode(withRep).exists(java.util.Arrays.equals(_, raw)))
+  }
+
+  test("repeat-offset history threads across blocks (multi-block frames, raw-block gaps)") {
+    // 300 KB periodic text → 3 blocks; block 2+ inherit block 1's history.
+    val rnd = new scala.util.Random(51)
+    val periodic = new StringBuilder
+    while (periodic.length < 300000) periodic.append("lorem ipsum dolor sit amet #").append(rnd.nextInt(4)).append(' ')
+    val raw = periodic.toString.getBytes("UTF-8")
+    val comp = ZstdEncode.compress(raw)
+    assert(officialDecode(comp, raw.length).exists(java.util.Arrays.equals(_, raw)), "jni multi-block reps")
+    assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, raw)), "self multi-block reps")
+    // compressible + incompressible + compressible: the middle RAW block
+    // must leave the history untouched for block 3
+    val noise = new Array[Byte](130000)
+    rnd.nextBytes(noise)
+    val mixed = raw.take(130000) ++ noise ++ raw.take(130000)
+    val compMixed = ZstdEncode.compress(mixed)
+    assert(officialDecode(compMixed, mixed.length).exists(java.util.Arrays.equals(_, mixed)), "jni raw-gap reps")
+    assert(ZstdFrame.decode(compMixed).exists(java.util.Arrays.equals(_, mixed)), "self raw-gap reps")
+  }
+
   test("deterministic: same input, same bytes") {
     val raw = ZstdFixture.content(17L).getBytes("UTF-8")
     assert(java.util.Arrays.equals(ZstdEncode.compress(raw), ZstdEncode.compress(raw)))
