@@ -1133,6 +1133,66 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // Multi-row-group parquet write (x292) — row groups ARE the
+    // distribution grain of the format; the writer splits every 4000 rows
+    // (k-sorted → disjoint k statistics windows, the layout x124-style
+    // skipping wants). The oracle reads the per-group census — row
+    // counts AND the k stats windows — from parquet_metadata over OUR
+    // bytes; the engine derives the same from the row formulas.
+    "x292_parquet_rowgroups" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.ParquetWriteFixture.ensure()
+      (0L until 5L)
+        .map(g => (g, 4000L, g * 4000L, g * 4000L + 3999L))
+        .toDF("rg", "rows", "k_min", "k_max")
+        .orderBy("rg")
+    }),
+
+    // Statistics-pruned scratch read (x293) — the loop closed: x286's
+    // writer puts x289 statistics in the footer, x282's reader CONSUMES
+    // them — a range probe decodes only the row groups whose k window
+    // intersects, then filters exactly. rg_total/rg_decoded are emitted,
+    // and the oracle recomputes the expected pruning from
+    // parquet_metadata's stats over OUR bytes while re-deriving the value
+    // census from its own read of the same file.
+    "x293_parquet_prune" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.ParquetWriteFixture.ensure()
+      val path = s"${graft.sources.ParquetWriteFixture.dir}/orders_mrg.parquet"
+      s.createDataset(Seq(path))
+        .flatMap { p =>
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+          val (_, rows, rgTotal, rgDecoded) = graft.sources.ParquetScan.readFileRange(
+            bytes,
+            Seq("k", "status", "cents", "day"),
+            "k",
+            6000L,
+            10500L
+          )
+          rows.map(r =>
+            (
+              r(0).asInstanceOf[Long],
+              new String(r(1).asInstanceOf[Array[Byte]], "UTF-8"),
+              Option(r(2)).map(_.asInstanceOf[Long]),
+              r(3).asInstanceOf[Long],
+              rgTotal.toLong,
+              rgDecoded.toLong
+            )
+          )
+        }
+        .toDF("k", "status", "cents", "day", "rgt", "rgd")
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          sum("cents").as("sum_cents"),
+          sum(col("cents").isNull.cast("long")).as("n_null"),
+          sum("day").as("sum_day"),
+          max("rgt").as("rg_total"),
+          max("rgd").as("rg_decoded")
+        )
+        .orderBy("status")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2443,6 +2503,31 @@ object Multimodal {
         |SELECT z AS blob_id, CAST(length(content) AS BIGINT) AS n_bytes, md5(content) AS content_md5,
         |  TRUE AS jni_match, TRUE AS self_match, TRUE AS rep_le
         |FROM c ORDER BY blob_id""".stripMargin,
+    // x292: per-row-group census from DuckDB's metadata parser over the
+    // from-scratch multi-row-group file — counts AND stats windows.
+    "x292_parquet_rowgroups" ->
+      """SELECT row_group_id AS rg, CAST(row_group_num_rows AS BIGINT) AS rows,
+        |  CAST(stats_min_value AS BIGINT) AS k_min, CAST(stats_max_value AS BIGINT) AS k_max
+        |FROM parquet_metadata('/root/repo/spark-warehouse/graft_pq/orders_mrg.parquet')
+        |WHERE path_in_schema = 'k' ORDER BY rg""".stripMargin,
+    // x293: the pruned census re-derived by DuckDB's own read of OUR
+    // bytes under the same predicate, and the expected pruning recomputed
+    // from OUR stats via parquet_metadata.
+    "x293_parquet_prune" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS rg_total,
+        |    CAST(count(CASE WHEN CAST(stats_max_value AS BIGINT) >= 6000
+        |                     AND CAST(stats_min_value AS BIGINT) <= 10500 THEN 1 END) AS BIGINT) AS rg_decoded
+        |  FROM parquet_metadata('/root/repo/spark-warehouse/graft_pq/orders_mrg.parquet')
+        |  WHERE path_in_schema = 'k')
+        |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(day) AS BIGINT) AS sum_day,
+        |  m.rg_total, m.rg_decoded
+        |FROM read_parquet('/root/repo/spark-warehouse/graft_pq/orders_mrg.parquet'), m
+        |WHERE k BETWEEN 6000 AND 10500
+        |GROUP BY status, m.rg_total, m.rg_decoded ORDER BY status""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

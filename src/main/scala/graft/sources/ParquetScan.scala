@@ -145,8 +145,22 @@ object ParquetScan {
       numValues: Long,
       dataPageOffset: Long,
       dictPageOffset: Long, // -1 when absent
-      totalCompressed: Long
-  )
+      totalCompressed: Long,
+      statMin: Array[Byte] = null, // Statistics min_value/max_value, PLAIN singles
+      statMax: Array[Byte] = null
+  ) {
+    /** decode an int64 stats value (null → None). */
+    private def i64(b: Array[Byte]): Option[Long] =
+      if (b == null || b.length != 8) None
+      else {
+        var v = 0L
+        var k = 0
+        while (k < 8) { v |= (b(k) & 0xffL) << (8 * k); k += 1 }
+        Some(v)
+      }
+    def statMinLong: Option[Long] = i64(statMin)
+    def statMaxLong: Option[Long] = i64(statMax)
+  }
 
   final case class RowGroupMeta(numRows: Long, leaves: Vector[LeafMeta])
 
@@ -199,6 +213,8 @@ object ParquetScan {
       var dictOff = -1L
       var totalComp = -1L
       var path = Vector.empty[String]
+      var stMin: Array[Byte] = null
+      var stMax: Array[Byte] = null
       tc.struct {
         case (1, _) => ptype = tc.i32(); true
         case (3, _) =>
@@ -211,9 +227,16 @@ object ParquetScan {
         case (7, _)  => totalComp = tc.i64(); true
         case (9, _)  => dataOff = tc.i64(); true
         case (11, _) => dictOff = tc.i64(); true
-        case _       => false
+        case (12, 12) => // Statistics: modern min_value/max_value
+          tc.struct {
+            case (5, 8) => stMax = tc.binary(); true
+            case (6, 8) => stMin = tc.binary(); true
+            case _      => false
+          }
+          true
+        case _ => false
       }
-      LeafMeta(path.mkString("."), ptype, 0, 0, codec, leafOptional = false, numValues, dataOff, dictOff, totalComp)
+      LeafMeta(path.mkString("."), ptype, 0, 0, codec, leafOptional = false, numValues, dataOff, dictOff, totalComp, stMin, stMax)
     }
 
     def parseColumnChunk(): LeafMeta = {
@@ -622,6 +645,50 @@ object ParquetScan {
       require(r == numRows - 1, s"list column assembled ${r + 1} rows vs $numRows")
     } else throw Bad(s"nesting depth ${ld.maxRep} unsupported")
     rows
+  }
+
+  /** Range-pruned read (x293): decode ONLY the row groups whose
+    * [min, max] statistics on int64 column `filterCol` intersect
+    * [lo, hi] — the writer's own x289 stats consumed by the engine's own
+    * reader — then filter rows exactly. A row group without stats is
+    * conservatively decoded. Returns (cols, rows, rgTotal, rgDecoded).
+    */
+  def readFileRange(
+      bytes: Array[Byte],
+      wanted: Seq[String],
+      filterCol: String,
+      lo: Long,
+      hi: Long
+  ): (Vector[String], Vector[Array[Any]], Int, Int) = {
+    val fm = footer(bytes)
+    val cols = wanted.toVector
+    val fIdx = cols.indexOf(filterCol)
+    require(fIdx >= 0, s"filter column $filterCol must be selected")
+    val rows = ArrayBuffer.empty[Array[Any]]
+    var decoded = 0
+    fm.rowGroups.foreach { rg =>
+      val byPath = rg.leaves.map(l => l.path -> l).toMap
+      val flm = byPath.getOrElse(filterCol, throw Bad(s"no column $filterCol"))
+      val skip = (flm.statMinLong, flm.statMaxLong) match {
+        case (Some(mn), Some(mx)) => mx < lo || mn > hi
+        case _                    => false // no stats → decode conservatively
+      }
+      if (!skip) {
+        decoded += 1
+        val perCol = cols.map { c =>
+          val lm = byPath.getOrElse(c, throw Bad(s"no column $c"))
+          assemble(readChunk(bytes, lm), rg.numRows.toInt)
+        }
+        var i = 0
+        while (i < rg.numRows.toInt) {
+          val v = perCol(fIdx)(i)
+          if (v != null && v.asInstanceOf[Long] >= lo && v.asInstanceOf[Long] <= hi)
+            rows += perCol.map(_(i)).toArray
+          i += 1
+        }
+      }
+    }
+    (cols, rows.toVector, fm.rowGroups.length, decoded)
   }
 
   /** Parquet data files under `path` (file or directory) — the planning

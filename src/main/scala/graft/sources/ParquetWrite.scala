@@ -189,7 +189,8 @@ object ParquetWrite {
       rows: Seq[Array[Any]],
       codec: Int,
       dictionary: Boolean = false,
-      statistics: Boolean = false
+      statistics: Boolean = false,
+      rowGroupRows: Int = Int.MaxValue
   ): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
@@ -243,11 +244,13 @@ object ParquetWrite {
       (tw.bytes, comp, raw.length)
     }
 
-    val chunks = schema.zipWithIndex.map { case (cs, ci) =>
+    def buildRg(gRows: Seq[Array[Any]]): Seq[ChunkInfo] = {
+      val gn = gRows.length
+      schema.zipWithIndex.map { case (cs, ci) =>
       // dictionary eligibility: first-occurrence distinct scan
       var dict: ArrayBuffer[Any] = null
       var dictIdx: java.util.HashMap[Any, Integer] = null
-      if (dictionary && cs.ptype != TBool && nRows > 0) {
+      if (dictionary && cs.ptype != TBool && gn > 0) {
         def key(v: Any): Any = v match {
           case a: Array[Byte] => new String(a, java.nio.charset.StandardCharsets.ISO_8859_1)
           case x              => x
@@ -257,8 +260,8 @@ object ParquetWrite {
         var i = 0
         var ok = true
         var nonNull = 0L
-        while (ok && i < nRows) {
-          val cell = rows(i)(ci)
+        while (ok && i < gn) {
+          val cell = gRows(i)(ci)
           if (cell != null) {
             nonNull += 1
             if (!d.containsKey(key(cell))) {
@@ -306,13 +309,13 @@ object ParquetWrite {
       var maxCell: Any = null
 
       var done = 0
-      while (done < nRows || (nRows == 0 && done == 0)) {
-        val n = math.min(PageValues, nRows - done)
+      while (done < gn || (gn == 0 && done == 0)) {
+        val n = math.min(PageValues, gn - done)
         val defs = new Array[Int](n)
         val vals = ArrayBuffer.empty[Any]
         var i = 0
         while (i < n) {
-          val cell = rows(done + i)(ci)
+          val cell = gRows(done + i)(ci)
           if (cell == null) {
             require(cs.optional, s"null in required column ${cs.name}")
             defs(i) = 0
@@ -355,12 +358,18 @@ object ParquetWrite {
         totalComp += hdr.length + comp.length
         totalUncomp += hdr.length + rawLen
         done += n
-        if (nRows == 0) done = 1 // single empty page for empty tables
+        if (gn == 0) done = 1 // single empty page for empty tables
       }
       val minB = if (minCell != null) plainValues(ArrayBuffer(minCell), cs.ptype) else null
       val maxB = if (maxCell != null) plainValues(ArrayBuffer(maxCell), cs.ptype) else null
-      ChunkInfo(dataPageOffset, dictOffset, totalComp, totalUncomp, nRows.toLong, nullCount, minB, maxB)
+      ChunkInfo(dataPageOffset, dictOffset, totalComp, totalUncomp, gn.toLong, nullCount, minB, maxB)
+      }
     }
+
+    val groups: Seq[Seq[Array[Any]]] =
+      if (rows.isEmpty) Seq(rows)
+      else rows.grouped(math.max(1, math.min(rowGroupRows, Int.MaxValue))).toSeq
+    val rgChunks = groups.map(buildRg)
 
     // footer
     val fw = new TW
@@ -381,8 +390,8 @@ object ParquetWrite {
     }
     l = fw.i64Field(l, 3, nRows.toLong) // num_rows
     l = fw.field(l, 4, 9) // row_groups
-    fw.listHeader(1, 12)
-    locally {
+    fw.listHeader(rgChunks.length, 12)
+    groups.zip(rgChunks).foreach { case (gRows, chunks) =>
       var rl = fw.field(0, 1, 9) // columns
       fw.listHeader(schema.length, 12)
       schema.zip(chunks).foreach { case (cs, ch) =>
@@ -429,7 +438,7 @@ object ParquetWrite {
         fw.stop() // column chunk
       }
       rl = fw.i64Field(rl, 2, chunks.map(_.totalComp).sum) // total_byte_size
-      rl = fw.i64Field(rl, 3, nRows.toLong) // num_rows
+      rl = fw.i64Field(rl, 3, gRows.length.toLong) // num_rows
       fw.stop()
     }
     l = fw.strField(l, 6, "graft x286 (from-scratch writer)")
@@ -481,7 +490,7 @@ object ParquetWriteFixture {
   )
 
   def ensure(): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/_OK_V2")
+    val marker = new java.io.File(s"$dir/_OK_V3")
     if (!marker.exists()) {
       new java.io.File(dir).mkdirs()
       val rows = (0L until N.toLong).map(row)
@@ -492,6 +501,9 @@ object ParquetWriteFixture {
       // x288/x289: dictionary-encoded + statistics variant (zstd pages)
       val dictBytes = write(schema, rows, CodecZstd, dictionary = true, statistics = true)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/orders_dict.parquet"), dictBytes)
+      // x292/x293: 5 row groups of 4000 rows, k-sorted → disjoint k stats
+      val mrgBytes = write(schema, rows, CodecZstd, dictionary = true, statistics = true, rowGroupRows = 4000)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/orders_mrg.parquet"), mrgBytes)
       marker.createNewFile()
     }
   }

@@ -148,6 +148,32 @@ class ParquetWriteSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("multi-row-group write (x292) + stats-pruned scratch read (x293)") {
+    val rows = mkRows(10000)
+    val bytes = write(schema, rows, CodecZstd, dictionary = true, statistics = true, rowGroupRows = 2000)
+    // Spark reads all 5 row groups
+    assert(s.read.parquet(writeTmp(bytes)).count() == 10000)
+    // scratch reader sees 5 groups and reads them all unpruned
+    val fm = ParquetScan.footer(bytes)
+    assert(fm.rowGroups.length == 5)
+    assert(fm.rowGroups.forall(_.numRows == 2000))
+    val (_, all) = ParquetScan.readFile(bytes, Seq("k"))
+    assert(all.length == 10000)
+    // pruned range read: k in [3000, 4500] lives entirely in group 1 and 2
+    val (_, got, rgTotal, rgDecoded) = ParquetScan.readFileRange(bytes, Seq("k", "small"), "k", 3000L, 4500L)
+    assert(rgTotal == 5 && rgDecoded == 2, s"expected 2/5 groups, got $rgDecoded/$rgTotal")
+    assert(got.length == 1501)
+    assert(got.map(_(0).asInstanceOf[Long]).min == 3000L)
+    assert(got.map(_(0).asInstanceOf[Long]).max == 4500L)
+    // an empty range decodes zero groups
+    val (_, none, _, rgd0) = ParquetScan.readFileRange(bytes, Seq("k"), "k", 50000L, 60000L)
+    assert(none.isEmpty && rgd0 == 0)
+    // a file WITHOUT statistics decodes conservatively (no wrong pruning)
+    val noStats = write(schema, rows, CodecZstd, rowGroupRows = 2000)
+    val (_, cons, _, rgdAll) = ParquetScan.readFileRange(noStats, Seq("k"), "k", 3000L, 4500L)
+    assert(rgdAll == 5 && cons.length == 1501)
+  }
+
   test("empty table") {
     val bytes = write(schema, Seq.empty, CodecUncompressed)
     assert(s.read.parquet(writeTmp(bytes)).count() == 0)
