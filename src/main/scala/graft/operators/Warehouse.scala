@@ -111,6 +111,86 @@ object Warehouse {
       )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multi-touch attribution (x294) — the marketing-warehouse staple
+    // beside q59's funnel / x141's retention / x172's paths: each purchase
+    // closes a JOURNEY (the touches since the user's previous purchase;
+    // error events are neither touch nor conversion), and four models
+    // split its 1e6 ppm credit — first-touch, last-touch, linear, and
+    // U-shaped (40/40/20) — with every floor-division remainder assigned
+    // to an explicit position so each model's total credit is EXACTLY
+    // n_conversions × 1e6 (`conserved` pins it). Trailing touches after
+    // the last purchase attribute to nothing by construction.
+    // Scale shape: one user-keyed window pass tags journeys, one
+    // (user, journey)-keyed window ranks touches (co-partitioned — the
+    // same exchange), then a 12-cell census; nothing row-shaped survives
+    // the aggs.
+    "x294_attribution" -> ((s, d) => {
+      val ev = graft.Graft
+        .events(s, d)
+        .where(col("event_type") =!= "error")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"),
+          col("event_type")
+        )
+      val wPrev = Window
+        .partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tagged = ev
+        .withColumn(
+          "journey",
+          coalesce(sum((col("event_type") === "purchase").cast("long")).over(wPrev), lit(0L))
+        )
+        .localCheckpoint() // touches + conversions legs
+      val convs = tagged.where(col("event_type") === "purchase").select(col("user_id"), col("journey"))
+      val nConv = convs.count() // 1 driver constant
+      val wj = Window.partitionBy("user_id", "journey").orderBy(col("us"), col("event_id"))
+      val ranked = tagged
+        .where(col("event_type") =!= "purchase")
+        .join(convs, Seq("user_id", "journey")) // only journeys a purchase closes
+        .withColumn("rk", row_number().over(wj))
+        .withColumn("nj", count(lit(1)).over(Window.partitionBy("user_id", "journey")))
+        .localCheckpoint() // credits + the attributed-journey count
+      // a back-to-back purchase closes a ZERO-touch journey: its credit is
+      // unassignable, so conservation is n_attributed × 1e6, not n_conv
+      val nAttr = ranked.select("user_id", "journey").distinct().count()
+      val credits = ranked.select(
+        col("event_type").as("channel"),
+        when(col("rk") === 1, 1000000L).otherwise(0L).as("c_first"),
+        when(col("rk") === col("nj"), 1000000L).otherwise(0L).as("c_last"),
+        (expr("1000000L div nj") +
+          when(col("rk") === col("nj"), lit(1000000L) - col("nj") * expr("1000000L div nj"))
+            .otherwise(0L)).as("c_linear"),
+        when(col("nj") === 1, 1000000L)
+          .when(col("nj") === 2, 500000L)
+          .when(col("rk") === 1, 400000L)
+          .when(col("rk") === col("nj"), 400000L)
+          .otherwise(
+            expr("200000L div (nj - 2)") +
+              when(col("rk") === col("nj") - 1, lit(200000L) - (col("nj") - 2) * expr("200000L div (nj - 2)"))
+                .otherwise(0L)
+          )
+          .as("c_ushape")
+      )
+      val cells = credits
+        .selectExpr(
+          "channel",
+          "stack(4, 'first', c_first, 'last', c_last, 'linear', c_linear, 'ushape', c_ushape) AS (model, credit)"
+        )
+        .groupBy("model", "channel")
+        .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_ppm"))
+        .localCheckpoint() // cells + per-model conservation
+      val conserved = cells
+        .groupBy("model")
+        .agg((sum("credit_ppm") === lit(nAttr * 1000000L)).as("conserved"))
+      cells
+        .join(broadcast(conserved), "model")
+        .withColumn("n_conv", lit(nConv))
+        .withColumn("n_attr", lit(nAttr))
+        .orderBy("model", "channel")
+    }),
     "q56_scd2_intervals" -> ((s, d) => {
       val ev = graft.Graft
         .events(s, d)
@@ -2359,6 +2439,43 @@ object Warehouse {
   )
 
   def oracles: Map[String, String] = Map(
+    // x294: the four credit splits replayed with identical floor-division
+    // remainders; conservation against the attributed-journey count.
+    "x294_attribution" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id, event_type
+        |  FROM events WHERE event_type <> 'error'),
+        |tagged AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey FROM ev),
+        |convs AS (SELECT user_id, journey FROM tagged WHERE event_type = 'purchase'),
+        |ranked AS (SELECT t.event_type AS channel, t.user_id, t.journey,
+        |  row_number() OVER (PARTITION BY t.user_id, t.journey ORDER BY t.us, t.event_id) AS rk,
+        |  count(*) OVER (PARTITION BY t.user_id, t.journey) AS nj
+        |  FROM tagged t JOIN convs c ON t.user_id = c.user_id AND t.journey = c.journey
+        |  WHERE t.event_type <> 'purchase'),
+        |credits AS (SELECT channel,
+        |  CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS c_first,
+        |  CASE WHEN rk = nj THEN 1000000 ELSE 0 END AS c_last,
+        |  (1000000 // nj) + CASE WHEN rk = nj THEN 1000000 - nj * (1000000 // nj) ELSE 0 END AS c_linear,
+        |  CASE WHEN nj = 1 THEN 1000000 WHEN nj = 2 THEN 500000
+        |       WHEN rk = 1 THEN 400000 WHEN rk = nj THEN 400000
+        |       ELSE (200000 // (nj - 2)) +
+        |         CASE WHEN rk = nj - 1 THEN 200000 - (nj - 2) * (200000 // (nj - 2)) ELSE 0 END
+        |  END AS c_ushape FROM ranked),
+        |st AS (
+        |  SELECT channel, 'first' AS model, c_first AS credit FROM credits
+        |  UNION ALL SELECT channel, 'last', c_last FROM credits
+        |  UNION ALL SELECT channel, 'linear', c_linear FROM credits
+        |  UNION ALL SELECT channel, 'ushape', c_ushape FROM credits),
+        |cells AS (SELECT model, channel, count(*) AS n_touches,
+        |  CAST(sum(credit) AS BIGINT) AS credit_ppm FROM st GROUP BY 1, 2),
+        |na AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, journey FROM ranked) t),
+        |nc AS (SELECT count(*) AS n FROM convs),
+        |cons AS (SELECT model, CAST(sum(credit_ppm) AS BIGINT) = (SELECT n FROM na) * 1000000 AS conserved
+        |  FROM cells GROUP BY 1)
+        |SELECT c.model, c.channel, c.n_touches, c.credit_ppm, o.conserved,
+        |  (SELECT n FROM nc) AS n_conv, (SELECT n FROM na) AS n_attr
+        |FROM cells c JOIN cons o USING (model) ORDER BY c.model, c.channel""".stripMargin,
     // x131: the oracle joins the RAW parquet originals (no partitioned
     // artifact), so a hash match proves the month-partitioned write +
     // DPP-pruned read is value-exact end to end.
