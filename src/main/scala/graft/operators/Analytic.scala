@@ -39,6 +39,91 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Analytic {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robust outlier audit (x295) — the data-quality face of x258's
+    // census machinery: per order priority the MEDIAN and the MAD
+    // (median absolute deviation), both EXACT integer rank picks over
+    // value censuses (bucketed prefix sums — the windows run on the
+    // price-domain-bounded bucket table, never the corpus), then the
+    // classic robust flag |x − med| > 3·MAD. Two census passes; no
+    // corpus-shaped window anywhere.
+    "x295_mad_outliers" -> ((s, d) => {
+      val rows = table(s, d, "orders")
+        .select(col("o_orderpriority").as("p"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+        .localCheckpoint() // median census + deviation pass + outlier flags
+
+      /** exact p50 rank pick per group over a (p, v) stream — the x258
+        * bucketed-census shape. */
+      def median(of: DataFrame): DataFrame = {
+        val census = of.groupBy("p", "v").agg(count(lit(1)).as("t")).withColumn("bk", expr("v div 8192L"))
+        val offs = census
+          .groupBy("p", "bk")
+          .agg(sum("t").as("bt"))
+          .withColumn(
+            "off",
+            coalesce(
+              sum("bt").over(Window.partitionBy("p").orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .select("p", "bk", "off")
+        val wb = Window.partitionBy("p", "bk").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        val sizes = of.groupBy("p").agg(count(lit(1)).as("na"))
+        census
+          .join(broadcast(offs), Seq("p", "bk"))
+          .withColumn("cum", col("off") + coalesce(sum("t").over(wb), lit(0L)))
+          .join(broadcast(sizes), "p")
+          .withColumn("tgt", expr("((na - 1) * 50) div 100 + 1"))
+          .where(col("cum") < col("tgt") && col("tgt") <= col("cum") + col("t"))
+          .select(col("p"), col("v").as("q"))
+      }
+
+      val med = median(rows).withColumnRenamed("q", "med").localCheckpoint()
+      val devs = rows.join(broadcast(med), "p").select(col("p"), abs(col("v") - col("med")).as("v"))
+      val mad = median(devs).withColumnRenamed("q", "mad")
+      rows
+        .join(broadcast(med), "p")
+        .join(broadcast(mad), "p")
+        .groupBy("p")
+        .agg(
+          count(lit(1)).as("n"),
+          max("med").as("med"),
+          max("mad").as("mad"),
+          sum((abs(col("v") - col("med")) > lit(3L) * col("mad")).cast("long")).as("n_out")
+        )
+        .withColumn("out_ppm", expr("(n_out * 1000000L) div n"))
+        .orderBy("p")
+    }),
+
+    // Benford first-digit audit (x296) — the fraud/data-quality classic
+    // beside x295's MAD flags and x138's profiler: the leading-digit
+    // distribution of order amounts vs Benford's law, expected shares as
+    // fixed e6 integer constants ⌊log10(1+1/d)·1e6⌋ (identical literals
+    // in both engines — no floating log anywhere), per-digit gaps and the
+    // total-variation distance in ppm riding as a broadcast column.
+    "x296_benford" -> ((s, d) => {
+      val exp = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+      val census = table(s, d, "orders")
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // shares + tvd legs
+      val total = census.agg(sum("n").as("tot"))
+      val cells = census
+        .crossJoin(broadcast(total))
+        .withColumn("obs_ppm", expr("(n * 1000000L) div tot"))
+        .withColumn(
+          "exp_ppm",
+          element_at(array(exp.map(lit): _*), col("digit").cast("int"))
+        )
+        .withColumn("gap_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .localCheckpoint()
+      val tvd = cells.agg(expr("sum(gap_ppm) div 2").as("tvd_ppm"))
+      cells
+        .crossJoin(broadcast(tvd))
+        .select(col("digit"), col("n"), col("tot"), col("obs_ppm"), col("exp_ppm"), col("gap_ppm"), col("tvd_ppm"))
+        .orderBy("digit")
+    }),
+
     // Gradient-boosted regression trees (x287) — boosting beside x285's
     // bagging, completing the ensemble pair the way production GBDT
     // libraries work: 3 rounds of depth-2 REGRESSION trees fit to the
@@ -2053,6 +2138,37 @@ object Analytic {
   }
 
   def oracles: Map[String, String] = Map(
+    // x295: sorted rank picks at the same ((n−1)·50)//100 + 1 convention,
+    // then the deviation median and the 3·MAD census.
+    "x295_mad_outliers" ->
+      """WITH r AS (SELECT o_orderpriority AS p, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |n AS (SELECT p, count(*) AS na FROM r GROUP BY 1),
+        |srt AS (SELECT p, v, row_number() OVER (PARTITION BY p ORDER BY v) AS rk FROM r),
+        |med AS (SELECT n.p, (SELECT v FROM srt WHERE srt.p = n.p AND rk = ((n.na - 1) * 50) // 100 + 1) AS med FROM n),
+        |d AS (SELECT r.p, abs(r.v - m.med) AS v FROM r JOIN med m ON r.p = m.p),
+        |dsrt AS (SELECT p, v, row_number() OVER (PARTITION BY p ORDER BY v) AS rk FROM d),
+        |mad AS (SELECT n.p, (SELECT v FROM dsrt WHERE dsrt.p = n.p AND rk = ((n.na - 1) * 50) // 100 + 1) AS mad FROM n)
+        |SELECT r.p, count(*) AS n, max(m.med) AS med, max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(r.v - m.med) > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  CAST(sum(CASE WHEN abs(r.v - m.med) > 3 * md.mad THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS out_ppm
+        |FROM r JOIN med m ON r.p = m.p JOIN mad md ON r.p = md.p
+        |GROUP BY r.p ORDER BY r.p""".stripMargin,
+    // x296: identical digit census + the same e6 constants.
+    "x296_benford" ->
+      """WITH r AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |b(d, e) AS (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |cells AS (SELECT c.digit, c.n, t.tot,
+        |  (c.n * 1000000) // t.tot AS obs_ppm, CAST(b.e AS BIGINT) AS exp_ppm,
+        |  abs((c.n * 1000000) // t.tot - b.e) AS gap_ppm
+        |  FROM c, t, b WHERE b.d = c.digit),
+        |tv AS (SELECT CAST(sum(gap_ppm) // 2 AS BIGINT) AS tvd_ppm FROM cells)
+        |SELECT cells.digit, cells.n, cells.tot, CAST(cells.obs_ppm AS BIGINT) AS obs_ppm,
+        |  cells.exp_ppm, CAST(cells.gap_ppm AS BIGINT) AS gap_ppm, tv.tvd_ppm
+        |FROM cells, tv ORDER BY digit""".stripMargin,
     "x284_cart_tree" -> x284OracleSql,
     "x285_random_forest" -> x285OracleSql,
     "x287_gbt" -> x287OracleSql,
