@@ -1193,6 +1193,83 @@ object Multimodal {
         )
         .orderBy("status")
     }),
+    // Avro export (x297) — the fourth emit-what-you-ingest move (x276
+    // WARC, x277 ZIP, x278 PNG, x286 parquet): the from-scratch container
+    // writer (deterministic md5-of-schema sync markers, x268 raw-DEFLATE
+    // blocks) emits every file; graft's own x119 scanner reads the census
+    // back and the OFFICIAL Apache Avro library must accept every file
+    // and agree cell-for-cell (`jdk_ok`). Codec alternates null/deflate.
+    "x297_avro_export" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("codec", StringType),
+          StructField("n_rows", LongType),
+          StructField("sum_id", LongType),
+          StructField("sum_opt", LongType),
+          StructField("n_null", LongType),
+          StructField("sum_cents", LongType),
+          StructField("names_md5", StringType),
+          StructField("jdk_ok", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{AvroFixture, AvroScan}
+      s.range(200)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val z = r.getLong(0)
+            val bytes = AvroFixture.fileBytes(z)
+            AvroScan.decode(bytes) match {
+              case Some(data) =>
+                val idx = data.fields.map(_.name).zipWithIndex.toMap
+                val rs = data.rows
+                val n = rs.length.toLong
+                val sumId = rs.map(_(idx("id")).asInstanceOf[Long]).sum
+                val opts = rs.map(_(idx("opt")))
+                val sumOpt = opts.collect { case v: Long => v }.sum
+                val nNull = opts.count(_ == null).toLong
+                val sumCents = rs.map(r0 => math.round(r0(idx("val")).asInstanceOf[Double] * 100)).sum
+                md.reset()
+                val namesMd5 = md
+                  .digest(rs.map(_(idx("name")).asInstanceOf[String]).mkString("|").getBytes("UTF-8"))
+                  .map(b => f"${b & 0xff}%02x")
+                  .mkString
+                // official Apache Avro reader over OUR bytes, cell-for-cell
+                val jdkOk =
+                  try {
+                    val rdr = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+                      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+                      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+                    )
+                    try {
+                      var ok = true
+                      var i = 0
+                      while (rdr.hasNext) {
+                        val rec = rdr.next()
+                        val src = rs(i)
+                        ok &= rec.get("id").asInstanceOf[Long] == src(idx("id")).asInstanceOf[Long]
+                        ok &= rec.get("name").toString == src(idx("name")).asInstanceOf[String]
+                        ok &= rec.get("val").asInstanceOf[Double] == src(idx("val")).asInstanceOf[Double]
+                        ok &= (rec.get("opt") == null) == (src(idx("opt")) == null)
+                        if (rec.get("opt") != null)
+                          ok &= rec.get("opt").asInstanceOf[Long] == src(idx("opt")).asInstanceOf[Long]
+                        ok &= rec.get("flag").asInstanceOf[Boolean] == src(idx("flag")).asInstanceOf[Boolean]
+                        i += 1
+                      }
+                      ok && i == rs.length
+                    } finally rdr.close()
+                  } catch { case _: Exception => false }
+                Row(z, AvroFixture.codec(z), n, sumId, sumOpt, nNull, sumCents, namesMd5, jdkOk)
+              case None => Row(z, AvroFixture.codec(z), null, null, null, null, null, null, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2528,6 +2605,22 @@ object Multimodal {
         |FROM read_parquet('/root/repo/spark-warehouse/graft_pq/orders_mrg.parquet'), m
         |WHERE k BETWEEN 6000 AND 10500
         |GROUP BY status, m.rg_total, m.rg_decoded ORDER BY status""".stripMargin,
+    // x297: the census rebuilt from the row formulas — the oracle never
+    // touches an Avro byte; jdk_ok TRUE everywhere proves the official
+    // library accepted every from-scratch container.
+    "x297_avro_export" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |r AS (SELECT z, i FROM zs, unnest(generate_series(0, CAST(2 + z % 7 AS INT))) t(i)),
+        |c AS (SELECT z, count(*) AS n_rows,
+        |  CAST(sum(z*100 + i) AS BIGINT) AS sum_id,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN 0 ELSE z + i END) AS BIGINT) AS sum_opt,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(((z + i) % 1000) * 25) AS BIGINT) AS sum_cents,
+        |  md5(string_agg('n' || ((z*31 + i*7) % 50), '|' ORDER BY i)) AS names_md5
+        |FROM r GROUP BY z)
+        |SELECT z AS blob_id, CASE WHEN z % 2 = 0 THEN 'null' ELSE 'deflate' END AS codec,
+        |  n_rows, sum_id, sum_opt, n_null, sum_cents, names_md5, TRUE AS jdk_ok
+        |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

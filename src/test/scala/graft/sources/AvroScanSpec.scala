@@ -81,6 +81,44 @@ class AvroScanSpec extends AnyFunSuite {
     check(bos.toByteArray, 2000)
   }
 
+  // -------------------------------------------------- write side (x297)
+
+  test("x297 writer: both codecs round-trip through the scratch scanner AND the official library") {
+    for (z <- 0L until 30L) {
+      val bytes = AvroFixture.fileBytes(z)
+      val own = AvroScan.decode(bytes)
+      assert(own.isDefined, s"scratch scan rejected z=$z")
+      assert(own.get.rows.length == (3 + z % 7), s"row count z=$z")
+      val rdr = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(bytes),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+      )
+      try {
+        var i = 0
+        while (rdr.hasNext) {
+          val rec = rdr.next()
+          assert(rec.get("id").asInstanceOf[Long] == z * 100 + i)
+          i += 1
+        }
+        assert(i == (3 + z % 7))
+      } finally rdr.close()
+    }
+  }
+
+  test("x297 writer: multi-block files, empty files, deterministic bytes, required-null refusal") {
+    import AvroWrite._
+    val fs = Seq(AvField("k", "long", nullable = false))
+    val many = (0L until 5000L).map(k => Array[Any](k))
+    val bytes = write(fs, many, "deflate", blockRows = 700) // 8 blocks
+    val own = AvroScan.decode(bytes)
+    assert(own.exists(_.rows.length == 5000))
+    assert(own.get.rows.map(_.head.asInstanceOf[Long]) == (0L until 5000L))
+    val empty = write(fs, Seq.empty, "null")
+    assert(AvroScan.decode(empty).exists(_.rows.isEmpty))
+    assert(java.util.Arrays.equals(write(fs, many, "deflate"), write(fs, many, "deflate")))
+    intercept[IllegalArgumentException](write(fs, Seq(Array[Any](null)), "null"))
+  }
+
   test("quarantine matrix: magic, codec, sync corruption, truncation") {
     val good = writeOfficial(Some(org.apache.avro.file.CodecFactory.deflateCodec(6)), 200)
     assert(AvroScan.decode(good).isDefined)
