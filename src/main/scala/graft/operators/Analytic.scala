@@ -38,6 +38,98 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Analytic {
 
+
+  /** The shared x287 boosting chain: 3 rounds of depth-2 regression trees
+    * over the orders features, integer end to end. Returns (the per-round
+    * split/leaf rows, the accuracy 1-row frame, the MSE triad, and the
+    * odd-half evalScores (k, y, sc) for downstream instruments like x298).
+    */
+  private def gbtChain(
+      s: SparkSession,
+      d: String
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def fdivE(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) div ($dd)"
+    val base = table(s, d, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        (col("o_orderstatus") === "F").cast("long").as("y"),
+        (col("o_orderkey") % 2).as("split"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v0"),
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("v1"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("v2"),
+        (col("o_custkey") % 97).as("v3")
+      )
+      .localCheckpoint()
+    val long = base.selectExpr(
+      "k",
+      "y",
+      "split",
+      "stack(4, CAST(0 AS BIGINT), v0, CAST(1 AS BIGINT), v1, CAST(2 AS BIGINT), v2, CAST(3 AS BIGINT), v3) AS (f, v)"
+    )
+    val ranges = long.where(col("split") === 0).groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+    val binned = CartTree.bin(long, ranges).localCheckpoint()
+    val train = binned.where(col("split") === 0)
+    val evalB = binned.where(col("split") === 1)
+
+    var scores = base
+      .where(col("split") === 0)
+      .select(col("k"), (col("y") * 1000000L).as("target"))
+      .withColumn("sc", lit(0L))
+      .localCheckpoint()
+    var evalScores = base.where(col("split") === 1).select(col("k"), col("y")).withColumn("sc", lit(0L))
+    var outRows: DataFrame = null
+    var mses: DataFrame = null
+    var r = 0
+    while (r < 3) {
+      val res = scores.select(col("k"), (col("target") - col("sc")).as("res")).localCheckpoint()
+      val bres = train.join(res, "k").select(col("k"), col("res"), col("f"), col("bin"))
+      val (splits, nodes) = CartTree.trainReg(bres, depth = 2)
+      val leafVals = nodes
+        .join(res, "k")
+        .groupBy("node")
+        .agg(count(lit(1)).as("n"), sum("res").as("sres"))
+        .withColumn("value", expr(fdivE("sres", "n * 2")))
+        .localCheckpoint()
+      scores = scores
+        .join(nodes, "k")
+        .join(broadcast(leafVals.select("node", "value")), "node")
+        .select(col("k"), col("target"), (col("sc") + col("value")).as("sc"))
+        .localCheckpoint()
+      evalScores = evalScores
+        .join(CartTree.apply(evalB, splits, depth = 2), "k")
+        .join(broadcast(leafVals.select("node", "value")), "node")
+        .select(col("k"), col("y"), (col("sc") + col("value")).as("sc"))
+        .localCheckpoint()
+      // train MSE after this round's update — the metric squared-loss
+      // boosting PROVABLY decreases (each η=0.5 leaf step cuts in-leaf
+      // SSE by ¾·n·mean²); MAE has no such guarantee and empirically
+      // RISES on minority-positive leaves, so it is deliberately not
+      // the curve here. Squared residuals ~1e12/row: the sum rides
+      // DECIMAL(38,0).
+      val mse = scores
+        .agg(
+          count(lit(1)).as("nt"),
+          sum(expr("CAST(target - sc AS DECIMAL(38,0)) * (target - sc)")).as("sq")
+        )
+        .select(expr(s"CAST(sq div nt AS BIGINT)").as(s"mse$r"))
+      mses = if (mses == null) mse else mses.crossJoin(mse)
+      val rows = splits
+        .select(lit(r.toLong).as("round"), col("node"), lit(0L).as("is_leaf"), col("f"), col("thr"), lit(-1L).as("n"), lit(0L).as("value"))
+        .unionByName(
+          leafVals.select(lit(r.toLong).as("round"), col("node"), lit(1L).as("is_leaf"), lit(-1L).as("f"), lit(-1L).as("thr"), col("n"), col("value"))
+        )
+      outRows = if (outRows == null) rows else outRows.unionByName(rows)
+      r += 1
+    }
+    val acc = evalScores
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(((col("sc") >= 500000L).cast("long") === col("y")).cast("long")).as("nc")
+      )
+      .select(col("n_eval"), expr("(nc * 1000000L) div n_eval").as("acc_e6"))
+    (outRows, acc, mses, evalScores)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Robust outlier audit (x295) — the data-quality face of x258's
     // census machinery: per order priority the MEDIAN and the MAD
@@ -134,86 +226,36 @@ object Analytic {
     // learning curve, x262's discipline) beside the odd-half threshold
     // accuracy. All integer; the oracle unrolls every round.
     "x287_gbt" -> ((s, d) => {
-      def fdivE(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) div ($dd)"
-      val base = table(s, d, "orders")
-        .select(
-          col("o_orderkey").as("k"),
-          (col("o_orderstatus") === "F").cast("long").as("y"),
-          (col("o_orderkey") % 2).as("split"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v0"),
-          expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)").as("v1"),
-          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("v2"),
-          (col("o_custkey") % 97).as("v3")
-        )
-        .localCheckpoint()
-      val long = base.selectExpr(
-        "k",
-        "y",
-        "split",
-        "stack(4, CAST(0 AS BIGINT), v0, CAST(1 AS BIGINT), v1, CAST(2 AS BIGINT), v2, CAST(3 AS BIGINT), v3) AS (f, v)"
-      )
-      val ranges = long.where(col("split") === 0).groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
-      val binned = CartTree.bin(long, ranges).localCheckpoint()
-      val train = binned.where(col("split") === 0)
-      val evalB = binned.where(col("split") === 1)
+      val (outRows, acc, mses, _) = gbtChain(s, d)
+      outRows.crossJoin(broadcast(acc.crossJoin(mses))).orderBy("round", "node", "is_leaf")
+    }),
 
-      var scores = base
-        .where(col("split") === 0)
-        .select(col("k"), (col("y") * 1000000L).as("target"))
-        .withColumn("sc", lit(0L))
-        .localCheckpoint()
-      var evalScores = base.where(col("split") === 1).select(col("k"), col("y")).withColumn("sc", lit(0L))
-      var outRows: DataFrame = null
-      var maes: DataFrame = null
-      var r = 0
-      while (r < 3) {
-        val res = scores.select(col("k"), (col("target") - col("sc")).as("res")).localCheckpoint()
-        val bres = train.join(res, "k").select(col("k"), col("res"), col("f"), col("bin"))
-        val (splits, nodes) = CartTree.trainReg(bres, depth = 2)
-        val leafVals = nodes
-          .join(res, "k")
-          .groupBy("node")
-          .agg(count(lit(1)).as("n"), sum("res").as("sres"))
-          .withColumn("value", expr(fdivE("sres", "n * 2")))
-          .localCheckpoint()
-        scores = scores
-          .join(nodes, "k")
-          .join(broadcast(leafVals.select("node", "value")), "node")
-          .select(col("k"), col("target"), (col("sc") + col("value")).as("sc"))
-          .localCheckpoint()
-        evalScores = evalScores
-          .join(CartTree.apply(evalB, splits, depth = 2), "k")
-          .join(broadcast(leafVals.select("node", "value")), "node")
-          .select(col("k"), col("y"), (col("sc") + col("value")).as("sc"))
-          .localCheckpoint()
-        // train MSE after this round's update — the metric squared-loss
-        // boosting PROVABLY decreases (each η=0.5 leaf step cuts in-leaf
-        // SSE by ¾·n·mean²); MAE has no such guarantee and empirically
-        // RISES on minority-positive leaves, so it is deliberately not
-        // the curve here. Squared residuals ~1e12/row: the sum rides
-        // DECIMAL(38,0).
-        val mse = scores
-          .agg(
-            count(lit(1)).as("nt"),
-            sum(expr("CAST(target - sc AS DECIMAL(38,0)) * (target - sc)")).as("sq")
-          )
-          .select(expr(s"CAST(sq div nt AS BIGINT)").as(s"mse$r"))
-        maes = if (maes == null) mse else maes.crossJoin(mse)
-        val rows = splits
-          .select(lit(r.toLong).as("round"), col("node"), lit(0L).as("is_leaf"), col("f"), col("thr"), lit(-1L).as("n"), lit(0L).as("value"))
-          .unionByName(
-            leafVals.select(lit(r.toLong).as("round"), col("node"), lit(1L).as("is_leaf"), lit(-1L).as("f"), lit(-1L).as("thr"), col("n"), col("value"))
-          )
-        outRows = if (outRows == null) rows else outRows.unionByName(rows)
-        r += 1
-      }
-      val acc = evalScores
-        .agg(
-          count(lit(1)).as("n_eval"),
-          sum(((col("sc") >= 500000L).cast("long") === col("y")).cast("long")).as("nc")
-        )
-        .select(col("n_eval"), expr("(nc * 1000000L) div n_eval").as("acc_e6"))
-      outRows.crossJoin(broadcast(acc.crossJoin(maes))).orderBy("round", "node", "is_leaf")
+    // GBT score calibration (x298) — the reliability instrument over
+    // x287's evaluator (the x224/x275 discipline applied to a TRAINED
+    // model): odd-half boosted scores binned into score deciles
+    // (clamped — boosted sums can leave [0, 1e6]), per bin the mean
+    // predicted ppm vs the empirical positive rate, and the expected
+    // calibration error ECE = Σ n_b·|gap_b| / n as the one-number
+    // reading. A well-calibrated model keeps obs ≈ mean score per bin;
+    // the instrument publishes where the η=0.5 / 3-round configuration
+    // actually sits instead of assuming it.
+    "x298_gbt_calibration" -> ((s, d) => {
+      val (_, _, _, evalScores) = gbtChain(s, d)
+      val cells = evalScores
+        .withColumn("bin", greatest(least(expr("(sc * 10L) div 1000000L"), lit(9L)), lit(0L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("sc").as("sum_sc"), sum("y").as("npos"))
+        // posmod floor: bin-0 score sums can be NEGATIVE (boosted sums
+        // undershoot 0) and Spark div truncates while DuckDB // floors
+        .withColumn("mean_sc_ppm", expr("(sum_sc - ((sum_sc % n + n) % n)) div n"))
+        .withColumn("obs_ppm", expr("(npos * 1000000L) div n"))
+        .withColumn("gap_ppm", abs(col("mean_sc_ppm") - col("obs_ppm")))
+        .localCheckpoint() // cells + the ECE fold
+      val ece = cells.agg(expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"))
+      cells
+        .crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("npos"), col("mean_sc_ppm"), col("obs_ppm"), col("gap_ppm"), col("ece_ppm"))
+        .orderBy("bin")
     }),
 
     // Random forest by deterministic bagging (x285) — the ensemble face
@@ -2046,7 +2088,29 @@ object Analytic {
     * argmax), leaf values as η=0.5 posmod means, train score update and
     * eval routing; then the MAE triad and the threshold accuracy.
     */
-  private def x287OracleSql: String = {
+  private def x287OracleSql: String = x287OracleSqlWithTail(
+    """outp AS (
+      |  SELECT CAST(0 AS BIGINT) AS round, node, CAST(0 AS BIGINT) AS is_leaf, f, thr,
+      |    CAST(-1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS value FROM r0_sp0
+      |  UNION ALL SELECT 0, node, 0, f, thr, -1, 0 FROM r0_sp1
+      |  UNION ALL SELECT 0, node, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), n, value FROM r0_lv
+      |  UNION ALL SELECT 1, node, 0, f, thr, -1, 0 FROM r1_sp0
+      |  UNION ALL SELECT 1, node, 0, f, thr, -1, 0 FROM r1_sp1
+      |  UNION ALL SELECT 1, node, 1, -1, -1, n, value FROM r1_lv
+      |  UNION ALL SELECT 2, node, 0, f, thr, -1, 0 FROM r2_sp0
+      |  UNION ALL SELECT 2, node, 0, f, thr, -1, 0 FROM r2_sp1
+      |  UNION ALL SELECT 2, node, 1, -1, -1, n, value FROM r2_lv)
+      |SELECT o.round, o.node, o.is_leaf, o.f, o.thr, o.n, o.value,
+      |  a.n_eval, a.acc_e6, m0.mse0, m1.mse1, m2.mse2
+      |FROM outp o, acc a, mse0 m0, mse1 m1, mse2 m2
+      |ORDER BY o.round, o.node, o.is_leaf""".stripMargin
+  )
+
+  /** The full x287 boosting chain (base → binned → 3 unrolled rounds →
+    * es3/acc/mse CTEs) with a caller-supplied final CTE+SELECT tail —
+    * shared by the x287 gate and the x298 calibration instrument.
+    */
+  private def x287OracleSqlWithTail(tail: String): String = {
     def fdiv(a: String, dd: String) = s"(($a) - ((($a) % ($dd) + ($dd)) % ($dd))) // ($dd)"
     def level(p: String, t: Int, prev: String, res: String): String =
       s"""${p}cen$t AS (SELECT n.node, b.f, b.bin, count(*) AS cnt, CAST(sum(t.res) AS BIGINT) AS sres
@@ -2113,21 +2177,7 @@ object Analytic {
        |acc AS (SELECT count(*) AS n_eval,
        |  CAST(sum(CASE WHEN CAST(sc >= 500000 AS BIGINT) = y THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS acc_e6
        |  FROM es3),
-       |outp AS (
-       |  SELECT CAST(0 AS BIGINT) AS round, node, CAST(0 AS BIGINT) AS is_leaf, f, thr,
-       |    CAST(-1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS value FROM r0_sp0
-       |  UNION ALL SELECT 0, node, 0, f, thr, -1, 0 FROM r0_sp1
-       |  UNION ALL SELECT 0, node, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), n, value FROM r0_lv
-       |  UNION ALL SELECT 1, node, 0, f, thr, -1, 0 FROM r1_sp0
-       |  UNION ALL SELECT 1, node, 0, f, thr, -1, 0 FROM r1_sp1
-       |  UNION ALL SELECT 1, node, 1, -1, -1, n, value FROM r1_lv
-       |  UNION ALL SELECT 2, node, 0, f, thr, -1, 0 FROM r2_sp0
-       |  UNION ALL SELECT 2, node, 0, f, thr, -1, 0 FROM r2_sp1
-       |  UNION ALL SELECT 2, node, 1, -1, -1, n, value FROM r2_lv)
-       |SELECT o.round, o.node, o.is_leaf, o.f, o.thr, o.n, o.value,
-       |  a.n_eval, a.acc_e6, m0.mse0, m1.mse1, m2.mse2
-       |FROM outp o, acc a, mse0 m0, mse1 m1, mse2 m2
-       |ORDER BY o.round, o.node, o.is_leaf""".stripMargin
+       |$tail""".stripMargin
     // DuckDB inlines CTEs per reference; the unrolled rounds reference the
     // shared tables dozens of times, and each inline re-opens the orders
     // parquet — MATERIALIZED pins them to one scan (fd-exhaustion fix).
@@ -2138,6 +2188,20 @@ object Analytic {
   }
 
   def oracles: Map[String, String] = Map(
+    // x298: the x287 chain through es3, then the decile reliability census.
+    "x298_gbt_calibration" -> x287OracleSqlWithTail(
+      """cal AS (SELECT greatest(least((sc * 10) // 1000000, 9), 0) AS bin, sc, y FROM es3),
+        |cells AS (SELECT bin, count(*) AS n, CAST(sum(sc) AS BIGINT) AS sum_sc,
+        |  CAST(sum(y) AS BIGINT) AS npos FROM cal GROUP BY 1),
+        |cc AS (SELECT bin, n, npos,
+        |  CAST((sum_sc - ((sum_sc % n + n) % n)) // n AS BIGINT) AS mean_sc_ppm,
+        |  CAST((npos * 1000000) // n AS BIGINT) AS obs_ppm FROM cells),
+        |cg AS (SELECT bin, n, npos, mean_sc_ppm, obs_ppm, abs(mean_sc_ppm - obs_ppm) AS gap_ppm FROM cc),
+        |ec AS (SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm FROM cg)
+        |SELECT cg.bin, cg.n, cg.npos, cg.mean_sc_ppm, cg.obs_ppm,
+        |  CAST(cg.gap_ppm AS BIGINT) AS gap_ppm, ec.ece_ppm
+        |FROM cg, ec ORDER BY cg.bin""".stripMargin
+    ),
     // x295: sorted rank picks at the same ((n−1)·50)//100 + 1 convention,
     // then the deviation median and the 3·MAD census.
     "x295_mad_outliers" ->

@@ -37,6 +37,23 @@ class RobustAuditSpec extends AnyFunSuite {
     assert(r.getAs[Long]("out_ppm") == 100000L)
   }
 
+  test("x298: calibration cells satisfy the ECE identity and bin algebra on real data") {
+    val out = Analytic.queries("x298_gbt_calibration")(s, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val n = r.getAs[Long]("n")
+      val gap = r.getAs[Long]("gap_ppm")
+      assert(gap == math.abs(r.getAs[Long]("mean_sc_ppm") - r.getAs[Long]("obs_ppm")))
+      assert(r.getAs[Long]("npos") <= n)
+    }
+    // ECE is the n-weighted mean of gaps (floor)
+    val ece = out.head.getAs[Long]("ece_ppm")
+    val expected = out.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_ppm")).sum / out.map(_.getAs[Long]("n")).sum
+    assert(ece == expected)
+  }
+
   test("x296: planted digit census with exact gaps and TVD") {
     // 9 rows with first digits 1..9 exactly once → obs 111111 ppm each
     val rows = (1 to 9).map(d => ("1-URGENT", d * 1.00))
