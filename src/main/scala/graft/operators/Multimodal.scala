@@ -1270,6 +1270,61 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // ORC from first principles (x299) — the x282 move on the OTHER
+    // columnar format: x106's official-writer fixture (Spark's ORC sink,
+    // zlib, partitioned by return flag) is decoded with zero
+    // org.apache.orc imports — protobuf postscript/footer/stripe walk,
+    // RLEv2 all four sub-encodings (incl. the PATCHED_BASE
+    // closestFixedBits entry rounding a tight reading mis-shifts —
+    // spec-caught), byte/bool RLE present streams, both string encodings,
+    // chunk codecs through the repo's own decoder family. Column pruning
+    // is physical (the timestamp column the reader doesn't support is
+    // simply never touched). The oracle rebuilds the census from the
+    // SOURCE parquet via DuckDB: cross-format AND cross-engine.
+    "x299_orc_scan" -> ((s, d) => {
+      import s.implicits._
+      graft.sources.OrcStore.ensure(s, d)
+      val root = new org.apache.hadoop.fs.Path(s"${graft.sources.OrcStore.dirFor(d)}/data")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(c => walk(c.getPath))
+        else if (p.getName.endsWith(".orc") && !p.getName.startsWith("_")) Seq(p.toUri.getPath)
+        else Seq.empty
+      }
+      val files = walk(root)
+      files
+        .toDS()
+        .repartition(math.min(files.size, 8))
+        .flatMap { f =>
+          val rf = f.split('/').find(_.startsWith("l_returnflag=")).map(_.stripPrefix("l_returnflag=")).getOrElse("?")
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+          val data = graft.sources.OrcScan
+            .decode(bytes, Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_linestatus")))
+            .getOrElse(throw new IllegalStateException(s"orc decode failed: $f"))
+          val idx = data.cols.map(_.name).zipWithIndex.toMap
+          data.rows.iterator.map { r =>
+            (
+              rf,
+              r(idx("l_linestatus")).asInstanceOf[String],
+              r(idx("l_orderkey")).asInstanceOf[Long],
+              r(idx("l_linenumber")).asInstanceOf[Long],
+              math.round(r(idx("l_quantity")).asInstanceOf[Double] * 100),
+              math.round(r(idx("l_extendedprice")).asInstanceOf[Double] * 100)
+            )
+          }
+        }
+        .toDF("rf", "ls", "okey", "ln", "qty_c", "price_c")
+        .groupBy("rf", "ls")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("okey").as("sum_key"),
+          sum("ln").as("sum_ln"),
+          sum("qty_c").as("sum_qty_c"),
+          sum("price_c").as("sum_price_c")
+        )
+        .orderBy("rf", "ls")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2621,6 +2676,16 @@ object Multimodal {
         |SELECT z AS blob_id, CASE WHEN z % 2 = 0 THEN 'null' ELSE 'deflate' END AS codec,
         |  n_rows, sum_id, sum_opt, n_null, sum_cents, names_md5, TRUE AS jdk_ok
         |FROM c ORDER BY blob_id""".stripMargin,
+    // x299: the census rebuilt from the SOURCE parquet — the oracle never
+    // sees an ORC byte; the scratch reader's decode of the official
+    // writer's files must land on the same numbers.
+    "x299_orc_scan" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

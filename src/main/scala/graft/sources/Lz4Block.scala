@@ -87,6 +87,53 @@ object Lz4Block {
     }
     None // input exhausted without a final literals-only sequence
   }
+
+  /** UNFRAMED block (x299's ORC chunk shape): no length prefix — the
+    * caller bounds the output with `cap` (ORC's compressionBlockSize);
+    * returns exactly the decoded bytes.
+    */
+  def decodeUnframed(b: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    if (cap < 0 || cap > MaxLen) return None
+    val out = new Array[Byte](cap)
+    var p = 0
+    var o = 0
+    while (p < b.length) {
+      val token = b(p) & 0xff; p += 1
+      var llen = token >> 4
+      if (llen == 15) {
+        var v = 255
+        while (v == 255) {
+          if (p >= b.length) return None
+          v = b(p) & 0xff; p += 1
+          llen += v
+          if (llen > MaxLen) return None
+        }
+      }
+      if (p + llen > b.length || o + llen > out.length) return None
+      System.arraycopy(b, p, out, o, llen); p += llen; o += llen
+      if (p == b.length) {
+        if ((token & 0x0f) != 0) return None
+        return Some(java.util.Arrays.copyOf(out, o))
+      }
+      if (p + 2 > b.length) return None
+      val off = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2
+      if (off <= 0 || off > o) return None
+      var mlen = (token & 0x0f) + 4
+      if ((token & 0x0f) == 15) {
+        var v = 255
+        while (v == 255) {
+          if (p >= b.length) return None
+          v = b(p) & 0xff; p += 1
+          mlen += v
+          if (mlen > MaxLen) return None
+        }
+      }
+      if (o + mlen > out.length) return None
+      var i = 0
+      while (i < mlen) { out(o) = out(o - off); o += 1; i += 1 }
+    }
+    if (o == 0 && b.isEmpty) Some(new Array[Byte](0)) else None
+  }
 }
 
 /** Deterministic LZ4 corpus: payloads framed as 4-byte LE plain length +
