@@ -1325,6 +1325,89 @@ object Multimodal {
         )
         .orderBy("rf", "ls")
     }),
+    // Cross-format parity (x300) — the capstone instrument over the
+    // from-scratch format family: ONE dataset through three independent
+    // format paths — scratch parquet writer→scratch parquet reader (zstd
+    // pages), scratch Avro writer→scratch Avro reader (deflate blocks),
+    // official ORC writer→scratch ORC reader — and every leg's census
+    // must equal the formula census the oracle computes without touching
+    // ANY format byte. The x106 contract ("format choice is invisible to
+    // results") proven across the engine's own implementations: a bug in
+    // any of the six read/write halves diverges its leg's rows.
+    "x300_format_parity" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.FormatParityFixture.ensure(s)
+      val dir = graft.sources.FormatParityFixture.dir
+      val legs = s
+        .createDataset(Seq("parquet", "avro", "orc"))
+        .repartition(3)
+        .flatMap { fmt =>
+          def cells(rs: Iterator[(Long, String, Option[Long], Double, Boolean)]) =
+            rs.map { case (k, st, cents, price, flag) =>
+              (fmt, st, k, cents.getOrElse(0L), cents.isEmpty, math.round(price * 100), flag)
+            }
+          fmt match {
+            case "parquet" =>
+              val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/data.parquet"))
+              val (_, rows) =
+                graft.sources.ParquetScan.readFile(bytes, Seq("k", "status", "cents", "price", "flag"))
+              cells(rows.iterator.map { r =>
+                (
+                  r(0).asInstanceOf[Long],
+                  new String(r(1).asInstanceOf[Array[Byte]], "UTF-8"),
+                  Option(r(2)).map(_.asInstanceOf[Long]),
+                  r(3).asInstanceOf[Double],
+                  r(4).asInstanceOf[Boolean]
+                )
+              })
+            case "avro" =>
+              val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/data.avro"))
+              val data = graft.sources.AvroScan.decode(bytes).getOrElse(throw new IllegalStateException("avro leg"))
+              val idx = data.fields.map(_.name).zipWithIndex.toMap
+              cells(data.rows.iterator.map { r =>
+                (
+                  r(idx("k")).asInstanceOf[Long],
+                  r(idx("status")).asInstanceOf[String],
+                  Option(r(idx("cents"))).map(_.asInstanceOf[Long]),
+                  r(idx("price")).asInstanceOf[Double],
+                  r(idx("flag")).asInstanceOf[Boolean]
+                )
+              })
+            case _ =>
+              val f = new java.io.File(s"$dir/data_orc")
+                .listFiles()
+                .filter(x => x.getName.endsWith(".orc") && !x.getName.startsWith("_"))
+                .sorted
+                .head
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              val data = graft.sources.OrcScan
+                .decode(bytes, Some(Seq("k", "status", "cents", "price", "flag")))
+                .getOrElse(throw new IllegalStateException("orc leg"))
+              val idx = data.cols.map(_.name).zipWithIndex.toMap
+              cells(data.rows.iterator.map { r =>
+                (
+                  r(idx("k")).asInstanceOf[Long],
+                  r(idx("status")).asInstanceOf[String],
+                  Option(r(idx("cents"))).map(_.asInstanceOf[Long]),
+                  r(idx("price")).asInstanceOf[Double],
+                  r(idx("flag")).asInstanceOf[Boolean]
+                )
+              })
+          }
+        }
+        .toDF("fmt", "status", "k", "cents", "is_null", "price_c", "flag")
+      legs
+        .groupBy("fmt", "status")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          sum("cents").as("sum_cents"),
+          sum(col("is_null").cast("long")).as("n_null"),
+          sum("price_c").as("sum_price_c"),
+          sum(col("flag").cast("long")).as("n_flag")
+        )
+        .orderBy("fmt", "status")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2686,6 +2769,25 @@ object Multimodal {
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x300: the formula census × three format tags — the oracle touches
+    // no format byte; every leg must land on it independently.
+    "x300_format_parity" ->
+      """WITH r AS (SELECT range AS i FROM range(20000)),
+        |c AS (SELECT
+        |  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END AS status,
+        |  i AS k,
+        |  CASE WHEN i % 7 = 0 THEN NULL ELSE i * 37 % 100000 END AS cents,
+        |  (i % 1000) * 25 AS price_c,
+        |  i % 3 = 0 AS flag FROM r),
+        |g AS (SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(coalesce(cents, 0)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag
+        |FROM c GROUP BY 1),
+        |f(fmt) AS (VALUES ('parquet'), ('avro'), ('orc'))
+        |SELECT f.fmt, g.status, g.n, g.sum_k, g.sum_cents, g.n_null, g.sum_price_c, g.n_flag
+        |FROM g, f ORDER BY f.fmt, g.status""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

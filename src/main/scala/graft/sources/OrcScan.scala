@@ -426,8 +426,8 @@ object OrcScan {
     }
     val cols = selected.map { case (tid, i) =>
       val k = typeKinds(tid)
-      if (k != 3 && k != 4 && k != 6 && k != 7)
-        throw Bad(s"unsupported orc type kind $k") // int/long/double/string only
+      if (k != 0 && k != 3 && k != 4 && k != 6 && k != 7)
+        throw Bad(s"unsupported orc type kind $k") // bool/int/long/double/string only
       OrcCol(fieldNames(i), k)
     }
     val selIds = selected.map(_._1)
@@ -495,6 +495,9 @@ object OrcScan {
         val nonNull = present.map(_.count(identity)).getOrElse(nRows)
         val enc = encodings(tid)
         val vals: Array[Any] = try c.kind match {
+          case 0 => // BOOLEAN: DATA is bit RLE over the non-null values
+            val data = streamOf(tid, 1).getOrElse(throw Bad("missing bool data"))
+            boolRle(data, nonNull).map(v => v: Any)
           case 3 | 4 => // INT / LONG: DATA (kind 1) RLEv2 signed
             if (enc._1 != 2) throw Bad(s"int encoding ${enc._1} unsupported") // DIRECT_V2
             val data = streamOf(tid, 1).getOrElse(throw Bad("missing int data"))

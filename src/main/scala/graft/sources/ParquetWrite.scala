@@ -453,6 +453,75 @@ object ParquetWrite {
   }
 }
 
+/** x300 fixture: ONE deterministic 20k-row dataset written through all
+  * three format paths — the from-scratch parquet writer (zstd pages), the
+  * from-scratch Avro writer (deflate blocks), and the OFFICIAL ORC writer
+  * (the one direction the repo reads from scratch but does not write) —
+  * so the parity instrument can prove the x106 contract ("format choice
+  * is invisible to results") across the engine's OWN implementations.
+  */
+object FormatParityFixture {
+  val dir = "/root/repo/spark-warehouse/graft_fmt"
+  val N = 20000
+
+  def row(i: Long): (Long, String, Any, Double, Boolean) = (
+    i,
+    Seq("A", "B", "C")((i % 3).toInt),
+    if (i % 7 == 0) null else java.lang.Long.valueOf(i * 37 % 100000),
+    (i % 1000) * 0.25,
+    i % 3 == 0
+  )
+
+  def ensure(s: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val marker = new java.io.File(s"$dir/_OK_V1")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      val rows = (0L until N.toLong).map(row)
+      // parquet via the x286 scratch writer
+      val pqSchema = Seq(
+        ParquetWrite.ColSpec("k", ParquetWrite.TInt64, optional = false),
+        ParquetWrite.ColSpec("status", ParquetWrite.TBytes, optional = false, utf8 = true),
+        ParquetWrite.ColSpec("cents", ParquetWrite.TInt64, optional = true),
+        ParquetWrite.ColSpec("price", ParquetWrite.TDouble, optional = false),
+        ParquetWrite.ColSpec("flag", ParquetWrite.TBool, optional = false)
+      )
+      val pqRows = rows.map(r => Array[Any](r._1, r._2, r._3, r._4, r._5))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/data.parquet"),
+        ParquetWrite.write(pqSchema, pqRows, ParquetWrite.CodecZstd, dictionary = true, statistics = true)
+      )
+      // avro via the x297 scratch writer
+      val avFields = Seq(
+        AvroWrite.AvField("k", "long", nullable = false),
+        AvroWrite.AvField("status", "string", nullable = false),
+        AvroWrite.AvField("cents", "long", nullable = true),
+        AvroWrite.AvField("price", "double", nullable = false),
+        AvroWrite.AvField("flag", "boolean", nullable = false)
+      )
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/data.avro"),
+        AvroWrite.write(avFields, pqRows, "deflate")
+      )
+      // ORC via the OFFICIAL writer (read-side-only format for the scratch family)
+      import org.apache.spark.sql.functions._
+      s.range(N.toLong)
+        .select(
+          col("id").as("k"),
+          expr("element_at(array('A','B','C'), CAST(id % 3 AS INT) + 1)").as("status"),
+          when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 37 % 100000).as("cents"),
+          ((col("id") % 1000) * 0.25).as("price"),
+          (col("id") % 3 === 0).as("flag")
+        )
+        .coalesce(1)
+        .write
+        .option("compression", "zlib")
+        .mode("overwrite")
+        .orc(s"$dir/data_orc")
+      marker.createNewFile()
+    }
+  }
+}
+
 /** x286 fixture: one deterministic 20k-row table written THREE times by the
   * from-scratch writer — uncompressed, gzip-paged (x268), zstd-paged
   * (x279). Every cell is closed-form in the row index, so the gate census

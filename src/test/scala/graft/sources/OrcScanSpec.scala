@@ -65,11 +65,13 @@ class OrcScanSpec extends AnyFunSuite {
     check(df, "zlib")
   }
 
-  test("nulls: present streams weave back exactly") {
+  test("nulls: present streams weave back exactly; booleans ride bit RLE") {
     import s.implicits._
     val df = (0 until 3000)
-      .map(i => (i.toLong, if (i % 3 == 0) None else Some(i.toLong * 5), if (i % 7 == 0) None else Some(s"v$i")))
-      .toDF("k", "optl", "opts")
+      .map(i =>
+        (i.toLong, if (i % 3 == 0) None else Some(i.toLong * 5), if (i % 7 == 0) None else Some(s"v$i"), i % 2 == 0)
+      )
+      .toDF("k", "optl", "opts", "b")
     check(df, "zlib")
   }
 
