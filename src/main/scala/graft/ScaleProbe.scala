@@ -515,7 +515,15 @@ object ScaleProbe {
       // forest: 3 bagged depth-2 trainings + the 3-way vote join
       "x285_random_forest",
       // GBT: 3 sequential rounds of regression trees + score updates
-      "x287_gbt"
+      "x287_gbt",
+      // attribution: user-keyed journey windows over 16x events
+      "x294_attribution",
+      // MAD audit: two census passes over 16x orders
+      "x295_mad_outliers",
+      // Benford: one digit census over 16x orders
+      "x296_benford",
+      // ORC scratch scan: 16x lineitem projection rebuilt + decoded
+      "x299_orc_scan"
     )
     val only = flags.collectFirst { case f if f.startsWith("--only=") => f.stripPrefix("--only=").split(',').toSet }
     val selected = only.fold(heavy)(o => heavy.filter(o.contains))

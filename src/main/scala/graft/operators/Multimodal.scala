@@ -1408,6 +1408,57 @@ object Multimodal {
         )
         .orderBy("fmt", "status")
     }),
+    // ORC stripe pruning (x301) — the x293 analog on the other columnar
+    // format: the scratch reader consumes the Metadata section's
+    // per-stripe IntegerStatistics to skip stripes whose key window
+    // misses the probe, then filters rows exactly (stat-less stripes
+    // decode conservatively). The `pruned` boolean pins that skipping
+    // actually ENGAGED on the sorted small-stripe fixture; the value
+    // census is DuckDB's from the source parquet under the same
+    // predicate.
+    "x301_orc_prune" -> ((s, d) => {
+      import s.implicits._
+      val path = graft.sources.OrcStore.ensureSorted(s, d)
+      val (lo, hi) = (4000L, 6999L)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs
+        .listStatus(root)
+        .map(_.getPath)
+        .filter(q => q.getName.endsWith(".orc") && !q.getName.startsWith("_"))
+        .map(_.toUri.getPath)
+        .toSeq
+        .sorted
+      files
+        .toDS()
+        .flatMap { f =>
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+          val data = graft.sources.OrcScan
+            .decodeRange(bytes, Seq("o_orderkey", "o_custkey", "cents", "o_orderpriority"), "o_orderkey", lo, hi)
+            .getOrElse(throw new IllegalStateException(s"orc range decode failed: $f"))
+          val idx = data.cols.map(_.name).zipWithIndex.toMap
+          data.rows.iterator.map { r =>
+            (
+              r(idx("o_orderpriority")).asInstanceOf[String],
+              r(idx("o_orderkey")).asInstanceOf[Long],
+              r(idx("o_custkey")).asInstanceOf[Long],
+              r(idx("cents")).asInstanceOf[Long],
+              data.stripesTotal.toLong,
+              data.stripesDecoded.toLong
+            )
+          }
+        }
+        .toDF("priority", "k", "ck", "cents", "stot", "sdec")
+        .groupBy("priority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          sum("ck").as("sum_ck"),
+          sum("cents").as("sum_cents"),
+          max(col("sdec") < col("stot") && col("sdec") > 0).as("pruned")
+        )
+        .orderBy("priority")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2788,6 +2839,16 @@ object Multimodal {
         |f(fmt) AS (VALUES ('parquet'), ('avro'), ('orc'))
         |SELECT f.fmt, g.status, g.n, g.sum_k, g.sum_cents, g.n_null, g.sum_price_c, g.n_flag
         |FROM g, f ORDER BY f.fmt, g.status""".stripMargin,
+    // x301: DuckDB's census over the SOURCE parquet under the same key
+    // predicate — the scratch pruned read of official ORC must match.
+    "x301_orc_prune" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  TRUE AS pruned
+        |FROM orders WHERE o_orderkey BETWEEN 4000 AND 6999
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

@@ -323,7 +323,12 @@ object OrcScan {
 
   final case class OrcCol(name: String, kind: Int) // kinds: 4 LONG, 3 INT, 6 DOUBLE, 7 STRING (spec ids)
 
-  final case class OrcData(cols: Vector[OrcCol], rows: Vector[Array[Any]])
+  final case class OrcData(
+      cols: Vector[OrcCol],
+      rows: Vector[Array[Any]],
+      stripesTotal: Int = 0,
+      stripesDecoded: Int = 0
+  )
 
   /** `wanted`: decode only these leaf columns (physical pruning — a
     * skipped column's streams are never touched, and unsupported types
@@ -333,12 +338,32 @@ object OrcScan {
     try Some(decodeOrThrow(bytes, wanted))
     catch { case _: Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
 
+  /** Range-pruned read (x301, the x293 analog): decode only stripes whose
+    * IntegerStatistics window on `filterCol` (from the file's Metadata
+    * section) intersects [lo, hi], then filter rows exactly; stripes
+    * without statistics decode conservatively. Counts are reported in
+    * the returned OrcData.
+    */
+  def decodeRange(
+      bytes: Array[Byte],
+      wanted: Seq[String],
+      filterCol: String,
+      lo: Long,
+      hi: Long
+  ): Option[OrcData] =
+    try Some(decodeOrThrow(bytes, Some(wanted), Some((filterCol, lo, hi))))
+    catch { case _: Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
   /** diagnostic twin: the structural reason a file quarantines (spec use). */
   private[sources] def decodeErr(bytes: Array[Byte]): String =
     try { decodeOrThrow(bytes); "ok" }
     catch { case e: Throwable => s"${e.getClass.getSimpleName}: ${e.getMessage} @ ${e.getStackTrace.take(2).mkString(" / ")}" }
 
-  private def decodeOrThrow(bytes: Array[Byte], wanted: Option[Seq[String]] = None): OrcData = {
+  private def decodeOrThrow(
+      bytes: Array[Byte],
+      wanted: Option[Seq[String]] = None,
+      range: Option[(String, Long, Long)] = None
+  ): OrcData = {
     val n = bytes.length
     if (n < 16) throw Bad("too short")
     val psLen = bytes(n - 1) & 0xff
@@ -348,6 +373,7 @@ object OrcScan {
     var footerLen = -1L
     var compression = 0
     var blockSize = 1 << 20
+    var metaLen = 0
     var magicOk = false
     locally {
       val pb = new PB(bytes, psFrom, n - 1)
@@ -356,6 +382,7 @@ object OrcScan {
           case (1, 0)    => footerLen = pb.varint(); true
           case (2, 0)    => compression = pb.varint().toInt; true
           case (3, 0)    => blockSize = pb.varint().toInt; true
+          case (5, 0)    => metaLen = pb.varint().toInt; true
           case (8000, 2) => magicOk = pb.str() == "ORC"; true
           case _         => false
         }
@@ -432,8 +459,76 @@ object OrcScan {
     }
     val selIds = selected.map(_._1)
 
+    // x301: per-stripe IntegerStatistics for the filter column, from the
+    // Metadata section ([metadata][footer][postscript]); a stripe without
+    // stats decodes conservatively
+    val stripeWindows: Option[Vector[Option[(Long, Long)]]] = range.map { case (fc, _, _) =>
+      val fIdx = selected.indexWhere { case (_, i) => fieldNames(i) == fc }
+      if (fIdx < 0) throw Bad(s"filter column $fc not selected")
+      val fTid = selIds(fIdx)
+      if (metaLen <= 0) Vector.fill(stripes.length)(None)
+      else {
+        val metaFrom = footerFrom - metaLen
+        val meta = inflateStream(bytes, metaFrom, footerFrom, compression, blockSize)
+        val wins = ArrayBuffer.empty[Option[(Long, Long)]]
+        val pb = new PB(meta, 0, meta.length)
+        pb.fields { (fid, wt) =>
+          (fid, wt) match {
+            case (1, 2) => // StripeStatistics
+              val sp = pb.sub()
+              var tid = 0
+              var win: Option[(Long, Long)] = None
+              sp.fields { (f2, w2) =>
+                (f2, w2) match {
+                  case (1, 2) => // ColumnStatistics, in type-id order
+                    val cp = sp.sub()
+                    if (tid == fTid) {
+                      cp.fields { (f3, w3) =>
+                        (f3, w3) match {
+                          case (2, 2) => // IntegerStatistics
+                            val ip = cp.sub()
+                            var mn = Option.empty[Long]
+                            var mx = Option.empty[Long]
+                            ip.fields { (f4, _) =>
+                              f4 match {
+                                case 1 => mn = Some { val u = ip.varint(); (u >>> 1) ^ -(u & 1) }; true
+                                case 2 => mx = Some { val u = ip.varint(); (u >>> 1) ^ -(u & 1) }; true
+                                case _ => false
+                              }
+                            }
+                            for (a <- mn; b0 <- mx) win = Some((a, b0))
+                            true
+                          case _ => false
+                        }
+                      }
+                    }
+                    tid += 1
+                    true
+                  case _ => false
+                }
+              }
+              wins += win
+              true
+            case _ => false
+          }
+        }
+        if (wins.length == stripes.length) wins.toVector else Vector.fill(stripes.length)(None)
+      }
+    }
+
+    var stripesDecoded = 0
     val rows = ArrayBuffer.empty[Array[Any]]
-    stripes.foreach { st =>
+    stripes.zipWithIndex.foreach { case (st, stIdx) =>
+      val skip = (range, stripeWindows) match {
+        case (Some((_, lo, hi)), Some(ws)) =>
+          ws(stIdx) match {
+            case Some((mn, mx)) => mx < lo || mn > hi
+            case None           => false
+          }
+        case _ => false
+      }
+      if (!skip) {
+      stripesDecoded += 1
       val sfFrom = (st.offset + st.indexLen + st.dataLen).toInt
       val sf = inflateStream(bytes, sfFrom, sfFrom + st.footLen.toInt, compression, blockSize)
       // StripeFooter: streams (fid 1), columns encodings (fid 2)
@@ -558,12 +653,20 @@ object OrcScan {
             out0
         }
       }
+      val fIdx = range.map { case (fc, _, _) => cols.indexWhere(_.name == fc) }.getOrElse(-1)
       var j = 0
       while (j < nRows) {
-        rows += cols.indices.map(colVals(_)(j)).toArray
+        val keep = range match {
+          case Some((_, lo, hi)) =>
+            val v = colVals(fIdx)(j)
+            v != null && v.asInstanceOf[Long] >= lo && v.asInstanceOf[Long] <= hi
+          case None => true
+        }
+        if (keep) rows += cols.indices.map(colVals(_)(j)).toArray
         j += 1
       }
+      }
     }
-    OrcData(cols.toVector, rows.toVector)
+    OrcData(cols.toVector, rows.toVector, stripes.length, stripesDecoded)
   }
 }

@@ -61,4 +61,37 @@ object OrcStore {
   }
 
   def read(s: SparkSession, d: String): DataFrame = s.read.orc(s"${dirFor(d)}/data")
+
+  /** x301 fixture: the orders keys SORTED into one small-stripe ORC file,
+    * so stripe statistics windows are disjoint and range probes can skip
+    * whole stripes. Fingerprint-guarded like everything else.
+    */
+  def ensureSorted(s: SparkSession, d: String): String = synchronized {
+    val dir = s"${dirFor(d)}_sorted"
+    val key = Fingerprint.of(s, s"$d/orders.parquet", "orc_sorted1")
+    val marker = new java.io.File(s"$dir/src_key")
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key)
+      return s"$dir/data"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    graft.Graft
+      .table(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority")
+      )
+      .coalesce(1)
+      .sortWithinPartitions("o_orderkey")
+      .write
+      .option("compression", "zlib")
+      .option("orc.stripe.size", (64 * 1024).toString)
+      .mode("overwrite")
+      .orc(s"$dir/data")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/src_key"), key.getBytes("UTF-8"))
+    s"$dir/data"
+  }
 }

@@ -104,6 +104,34 @@ class OrcScanSpec extends AnyFunSuite {
     check(df, "lz4") // x199
   }
 
+  test("stripe pruning (x301): range reads decode only intersecting stripes, rows exact") {
+    import s.implicits._
+    val dir = TestSpark.tempDir() + "/orc"
+    (0 until 200000)
+      .map(i => (i.toLong, s"v${i % 13}", i * 0.5))
+      .toDF("k", "c", "d")
+      .coalesce(1)
+      .sortWithinPartitions("k")
+      .write
+      .option("compression", "zlib")
+      .option("orc.stripe.size", "65536")
+      .mode("overwrite")
+      .orc(dir)
+    val bytes = fileBytes(dir)
+    val all = OrcScan.decode(bytes, Some(Seq("k"))).get
+    assert(all.rows.length == 200000)
+    val full = OrcScan.decodeRange(bytes, Seq("k", "c"), "k", 0L, 199999L).get
+    assert(full.stripesTotal > 1, s"need a multi-stripe file, got ${full.stripesTotal}")
+    // a narrow probe decodes a strict subset of stripes
+    val narrow = OrcScan.decodeRange(bytes, Seq("k", "c"), "k", 100000L, 100999L).get
+    assert(narrow.rows.length == 1000)
+    assert(narrow.rows.map(_(0).asInstanceOf[Long]).min == 100000L)
+    assert(narrow.stripesDecoded < narrow.stripesTotal, s"${narrow.stripesDecoded}/${narrow.stripesTotal} not pruned")
+    // empty range decodes zero stripes
+    val none = OrcScan.decodeRange(bytes, Seq("k"), "k", 900000L, 999999L).get
+    assert(none.rows.isEmpty && none.stripesDecoded == 0)
+  }
+
   test("structural lies quarantine") {
     import s.implicits._
     val dir = TestSpark.tempDir() + "/orc"
