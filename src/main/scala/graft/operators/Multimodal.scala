@@ -1459,6 +1459,32 @@ object Multimodal {
         )
         .orderBy("priority")
     }),
+    // Pruning-economics sweep (x302) — the x253-style CURVE over x293:
+    // four probe widths (point-ish, band, full, empty) against the
+    // multi-row-group file, each emitting its exact row census AND its
+    // decoded-group count; the oracle recomputes BOTH independently —
+    // values from its own read under the predicate, expected pruning
+    // from parquet_metadata's stats windows over OUR bytes. The row is
+    // the skip-fraction curve a layout decision reads, not an assertion.
+    "x302_prune_sweep" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.ParquetWriteFixture.ensure()
+      val path = s"${graft.sources.ParquetWriteFixture.dir}/orders_mrg.parquet"
+      val probes = Seq((0L, 6000L, 6999L), (1L, 6000L, 10500L), (2L, 0L, 19999L), (3L, 50000L, 60000L))
+      s.createDataset(probes)
+        .repartition(4)
+        .map { case (pid, lo, hi) =>
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+          val (_, rows, rgTotal, rgDecoded) =
+            graft.sources.ParquetScan.readFileRange(bytes, Seq("k", "day"), "k", lo, hi)
+          val n = rows.length.toLong
+          val sumK = rows.map(_(0).asInstanceOf[Long]).sum
+          val sumDay = rows.map(_(1).asInstanceOf[Long]).sum
+          (pid, lo, hi, n, sumK, sumDay, rgTotal.toLong, rgDecoded.toLong)
+        }
+        .toDF("probe", "lo", "hi", "n", "sum_k", "sum_day", "rg_total", "rg_decoded")
+        .orderBy("probe")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2849,6 +2875,27 @@ object Multimodal {
         |  TRUE AS pruned
         |FROM orders WHERE o_orderkey BETWEEN 4000 AND 6999
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x302: both halves re-derived — values by reading OUR file under
+    // each predicate, pruning expectations from OUR stats windows.
+    "x302_prune_sweep" ->
+      """WITH p(probe, lo, hi) AS (VALUES
+        |  (CAST(0 AS BIGINT), CAST(6000 AS BIGINT), CAST(6999 AS BIGINT)),
+        |  (1, 6000, 10500), (2, 0, 19999), (3, 50000, 60000)),
+        |m AS (SELECT CAST(stats_min_value AS BIGINT) AS mn, CAST(stats_max_value AS BIGINT) AS mx
+        |  FROM parquet_metadata('/root/repo/spark-warehouse/graft_pq/orders_mrg.parquet')
+        |  WHERE path_in_schema = 'k'),
+        |rg AS (SELECT p.probe, CAST(count(*) AS BIGINT) AS rg_total,
+        |  CAST(count(CASE WHEN m.mx >= p.lo AND m.mn <= p.hi THEN 1 END) AS BIGINT) AS rg_decoded
+        |  FROM p, m GROUP BY p.probe),
+        |v AS (SELECT p.probe, count(r.k) AS n,
+        |  CAST(coalesce(sum(r.k), 0) AS BIGINT) AS sum_k,
+        |  CAST(coalesce(sum(r.day), 0) AS BIGINT) AS sum_day
+        |  FROM p LEFT JOIN read_parquet('/root/repo/spark-warehouse/graft_pq/orders_mrg.parquet') r
+        |    ON r.k BETWEEN p.lo AND p.hi
+        |  GROUP BY p.probe)
+        |SELECT p.probe, p.lo, p.hi, v.n, v.sum_k, v.sum_day, rg.rg_total, rg.rg_decoded
+        |FROM p JOIN v ON p.probe = v.probe JOIN rg ON p.probe = rg.probe
+        |ORDER BY p.probe""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
