@@ -181,6 +181,62 @@ class ParquetWriteSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("fuzz: random schemas × codecs × dictionary × row groups round-trip through the scratch reader") {
+    val rnd = new scala.util.Random(0xbeef)
+    for (it <- 0 until 25) {
+      val nCols = 1 + rnd.nextInt(5)
+      val sch = (0 until nCols).map { c =>
+        val t = Seq(TInt64, TInt32, TDouble, TFloat, TBool, TBytes)(rnd.nextInt(6))
+        ColSpec(s"c$c", t, optional = rnd.nextBoolean(), utf8 = t == TBytes && rnd.nextBoolean())
+      }
+      val n = rnd.nextInt(4) match {
+        case 0 => 0
+        case 1 => 1 + rnd.nextInt(50)
+        case _ => rnd.nextInt(30000)
+      }
+      val rows = (0 until n).map { i =>
+        sch.map { cs =>
+          if (cs.optional && rnd.nextInt(5) == 0) null
+          else
+            cs.ptype match {
+              case TInt64  => rnd.nextLong() % 1000000: Any
+              case TInt32  => (rnd.nextInt(100000) - 50000).toLong: Any
+              case TDouble => rnd.nextDouble() * 1000 - 500: Any
+              case TFloat  => rnd.nextFloat() * 100 - 50: Any
+              case TBool   => rnd.nextBoolean(): Any
+              case _       => (if (rnd.nextBoolean()) s"s${rnd.nextInt(20)}" else s"u$i-${rnd.nextInt()}"): Any
+            }
+        }.toArray
+      }
+      val codec = Seq(CodecUncompressed, CodecGzip, CodecZstd)(rnd.nextInt(3))
+      val bytes = write(
+        sch,
+        rows,
+        codec,
+        dictionary = rnd.nextBoolean(),
+        statistics = rnd.nextBoolean(),
+        rowGroupRows = if (rnd.nextBoolean()) Int.MaxValue else 1 + rnd.nextInt(5000)
+      )
+      val (_, got) = ParquetScan.readFile(bytes, sch.map(_.name))
+      assert(got.length == n, s"it=$it rows")
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < nCols) {
+          val (a, b) = (got(i)(c), rows(i)(c))
+          val same = (a, b) match {
+            case (null, null)                       => true
+            case (x: Array[Byte], y: String)        => new String(x, "UTF-8") == y
+            case (x, y)                             => x == y
+          }
+          assert(same, s"it=$it row $i col $c: $a vs $b")
+          c += 1
+        }
+        i += 1
+      }
+    }
+  }
+
   test("null in a required column is refused") {
     val sch = Seq(ColSpec("k", TInt64, optional = false))
     intercept[IllegalArgumentException](write(sch, Seq(Array[Any](null)), CodecUncompressed))

@@ -218,6 +218,34 @@ class ZstdEncodeSpec extends AnyFunSuite {
     assert(ZstdFrame.decode(compMixed).exists(java.util.Arrays.equals(_, mixed)), "self raw-gap reps")
   }
 
+  test("fuzz: 300 random payload shapes × random strategy masks round-trip through both decoders") {
+    val rnd = new scala.util.Random(0xc0dec)
+    var i = 0
+    while (i < 300) {
+      val n = rnd.nextInt(6) match {
+        case 0 => 0
+        case 1 => rnd.nextInt(32)
+        case 2 => rnd.nextInt(1000)
+        case 3 => rnd.nextInt(10000)
+        case 4 => 120000 + rnd.nextInt(20000) // straddles the block boundary
+        case _ => rnd.nextInt(300000) // multi-block
+      }
+      val raw = rnd.nextInt(4) match {
+        case 0 => { val b = new Array[Byte](n); rnd.nextBytes(b); b } // entropy
+        case 1 => Array.tabulate[Byte](n)(_ => ('a' + rnd.nextInt(4)).toByte) // skewed
+        case 2 => Array.fill[Byte](n)((rnd.nextInt(256) - 128).toByte) // run
+        case _ => // periodic with noise
+          val period = 1 + rnd.nextInt(40)
+          Array.tabulate[Byte](n)(j => if (rnd.nextInt(50) == 0) rnd.nextInt(96).toByte else ('0' + (j % period) % 75).toByte)
+      }
+      val allow = (rnd.nextInt(32) | ZstdEncode.AllowRaw) & ZstdEncode.AllowAll | (rnd.nextInt(2) * ZstdEncode.AllowRep)
+      val comp = ZstdEncode.compress(raw, allow, forceHuf = rnd.nextBoolean(), forceFse = rnd.nextBoolean())
+      assert(officialDecode(comp, raw.length).exists(java.util.Arrays.equals(_, raw)), s"jni i=$i n=$n allow=$allow")
+      assert(ZstdFrame.decode(comp).exists(java.util.Arrays.equals(_, raw)), s"self i=$i n=$n allow=$allow")
+      i += 1
+    }
+  }
+
   test("deterministic: same input, same bytes") {
     val raw = ZstdFixture.content(17L).getBytes("UTF-8")
     assert(java.util.Arrays.equals(ZstdEncode.compress(raw), ZstdEncode.compress(raw)))
