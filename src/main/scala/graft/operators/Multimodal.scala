@@ -1485,6 +1485,77 @@ object Multimodal {
         .toDF("probe", "lo", "hi", "n", "sum_k", "sum_day", "rg_total", "rg_decoded")
         .orderBy("probe")
     }),
+    // Avro snappy codec (x303) — the third codec face on the container:
+    // reads verify the big-endian CRC-32 suffix over the decompressed
+    // block (never skipped); writes emit STORE-MODE snappy (the valid
+    // all-literal subset, the x279 AllowRaw analog — honest about being
+    // a validity story, not a ratio story) + the CRC. The official
+    // library must accept every emitted file cell-for-cell.
+    "x303_avro_snappy" -> ((s, _) => {
+      val schema = StructType(
+        Seq(
+          StructField("blob_id", LongType),
+          StructField("n_rows", LongType),
+          StructField("sum_id", LongType),
+          StructField("sum_opt", LongType),
+          StructField("n_null", LongType),
+          StructField("sum_cents", LongType),
+          StructField("names_md5", StringType),
+          StructField("jdk_ok", BooleanType)
+        )
+      )
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      import graft.sources.{AvroFixture, AvroScan, AvroWrite}
+      s.range(200)
+        .toDF("z")
+        .repartition(8)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            val z = r.getLong(0)
+            val bytes = AvroWrite.write(AvroFixture.fields, AvroFixture.rows(z), "snappy")
+            AvroScan.decode(bytes) match {
+              case Some(data) =>
+                val idx = data.fields.map(_.name).zipWithIndex.toMap
+                val rs = data.rows
+                val opts = rs.map(_(idx("opt")))
+                md.reset()
+                val namesMd5 = md
+                  .digest(rs.map(_(idx("name")).asInstanceOf[String]).mkString("|").getBytes("UTF-8"))
+                  .map(b => f"${b & 0xff}%02x")
+                  .mkString
+                val jdkOk =
+                  try {
+                    val rdr = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+                      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+                      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+                    )
+                    try {
+                      var i = 0
+                      var ok = true
+                      while (rdr.hasNext) {
+                        ok &= rdr.next().get("id").asInstanceOf[Long] == rs(i)(idx("id")).asInstanceOf[Long]
+                        i += 1
+                      }
+                      ok && i == rs.length
+                    } finally rdr.close()
+                  } catch { case _: Exception => false }
+                Row(
+                  z,
+                  rs.length.toLong,
+                  rs.map(_(idx("id")).asInstanceOf[Long]).sum,
+                  opts.collect { case v: Long => v }.sum,
+                  opts.count(_ == null).toLong,
+                  rs.map(r0 => math.round(r0(idx("val")).asInstanceOf[Double] * 100)).sum,
+                  namesMd5,
+                  jdkOk
+                )
+              case None => Row(z, null, null, null, null, null, null, false)
+            }
+          }
+        }(enc)
+        .orderBy("blob_id")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2896,6 +2967,20 @@ object Multimodal {
         |SELECT p.probe, p.lo, p.hi, v.n, v.sum_k, v.sum_day, rg.rg_total, rg.rg_decoded
         |FROM p JOIN v ON p.probe = v.probe JOIN rg ON p.probe = rg.probe
         |ORDER BY p.probe""".stripMargin,
+    // x303: the same formula census — the official reader accepted every
+    // store-mode snappy container; the CRC discipline rides the spec.
+    "x303_avro_snappy" ->
+      """WITH zs AS (SELECT range AS z FROM range(200)),
+        |r AS (SELECT z, i FROM zs, unnest(generate_series(0, CAST(2 + z % 7 AS INT))) t(i)),
+        |c AS (SELECT z, count(*) AS n_rows,
+        |  CAST(sum(z*100 + i) AS BIGINT) AS sum_id,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN 0 ELSE z + i END) AS BIGINT) AS sum_opt,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(((z + i) % 1000) * 25) AS BIGINT) AS sum_cents,
+        |  md5(string_agg('n' || ((z*31 + i*7) % 50), '|' ORDER BY i)) AS names_md5
+        |FROM r GROUP BY z)
+        |SELECT z AS blob_id, n_rows, sum_id, sum_opt, n_null, sum_cents, names_md5, TRUE AS jdk_ok
+        |FROM c ORDER BY blob_id""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

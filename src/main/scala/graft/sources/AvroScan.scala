@@ -188,7 +188,7 @@ object AvroScan {
         n = d.varlong()
       }
       val codec = meta.get("avro.codec").map(new String(_, "UTF-8")).getOrElse("null")
-      if (codec != "null" && codec != "deflate") return None
+      if (codec != "null" && codec != "deflate" && codec != "snappy") return None
       val schemaJson = new String(meta.getOrElse("avro.schema", return None), "UTF-8")
       val fields = parseSchema(schemaJson).getOrElse(return None)
       val sync = d.bytes(16)
@@ -198,7 +198,21 @@ object AvroScan {
         val size = d.varlong()
         if (cnt < 0 || size < 0 || d.p + size > b.length) return None
         val payload0 = d.bytes(size.toInt)
-        val payload = if (codec == "deflate") inflateRaw(payload0) else payload0
+        val payload = codec match {
+          case "deflate" => inflateRaw(payload0)
+          case "snappy" =>
+            // Avro snappy (x303): raw snappy block + 4-byte BIG-endian
+            // CRC-32 of the UNCOMPRESSED data — verified, never skipped
+            if (payload0.length < 4) return None
+            val body = java.util.Arrays.copyOf(payload0, payload0.length - 4)
+            val want =
+              ((payload0(payload0.length - 4) & 0xffL) << 24) | ((payload0(payload0.length - 3) & 0xffL) << 16) |
+                ((payload0(payload0.length - 2) & 0xffL) << 8) | (payload0(payload0.length - 1) & 0xffL)
+            val dec = SnappyBlock.decode(body).getOrElse(return None)
+            if (Inflate.crc32(dec) != want) return None
+            dec
+          case _ => payload0
+        }
         val pd = new Dec(payload)
         var i = 0L
         while (i < cnt) {

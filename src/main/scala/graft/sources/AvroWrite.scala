@@ -62,14 +62,15 @@ object AvroWrite {
     }
   }
 
-  /** One container file. `codec`: "null" or "deflate" (x268 raw). */
+  /** One container file. `codec`: "null", "deflate" (x268 raw) or
+    * "snappy" (x303: store-mode snappy + big-endian CRC-32 suffix). */
   def write(
       fields: Seq[AvField],
       rows: Seq[Array[Any]],
       codec: String = "deflate",
       blockRows: Int = 1000
   ): Array[Byte] = {
-    require(codec == "null" || codec == "deflate", s"unsupported codec $codec")
+    require(codec == "null" || codec == "deflate" || codec == "snappy", s"unsupported codec $codec")
     val json = schemaJson(fields)
     val sync = java.security.MessageDigest.getInstance("MD5").digest(json.getBytes("UTF-8"))
     val w = new W
@@ -83,7 +84,14 @@ object AvroWrite {
       val bw = new W
       block.foreach(r => fields.zipWithIndex.foreach { case (f, i) => encodeCell(bw, f, r(i)) })
       val raw0 = bw.out.toByteArray
-      val payload = if (codec == "deflate") Deflate.deflateRaw(raw0) else raw0
+      val payload = codec match {
+        case "deflate" => Deflate.deflateRaw(raw0)
+        case "snappy" =>
+          val body = SnappyBlock.encodeStored(raw0)
+          val crc = Inflate.crc32(raw0)
+          body ++ Array[Byte](((crc >> 24) & 0xff).toByte, ((crc >> 16) & 0xff).toByte, ((crc >> 8) & 0xff).toByte, (crc & 0xff).toByte)
+        case _ => raw0
+      }
       w.zig(block.length.toLong)
       w.zig(payload.length.toLong)
       w.raw(payload)

@@ -37,6 +37,30 @@ object SnappyBlock {
     * crafted-offset lesson). 64 MiB ≫ any fixture payload. */
   private val MaxLen = 64 << 20
 
+  /** Store-mode snappy ENCODER (x303): varint preamble + all-literal
+    * runs — the valid zero-compression subset (the x279 AllowRaw
+    * analog), so the engine can EMIT snappy payloads (Avro's snappy
+    * codec) that any conforming decoder — including this file's own —
+    * accepts. Literal tags per the public snappy format description:
+    * lengths ≤ 60 inline, else 60..63 with 1..4 LE extra length bytes.
+    */
+  def encodeStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    var v = data.length.toLong
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    var p = 0
+    while (p < data.length) {
+      val run = math.min(data.length - p, 1 << 16)
+      if (run <= 60) out.write((run - 1) << 2)
+      else if (run <= 256) { out.write(60 << 2); out.write(run - 1) }
+      else { out.write(61 << 2); out.write((run - 1) & 0xff); out.write(((run - 1) >> 8) & 0xff) }
+      out.write(data, p, run)
+      p += run
+    }
+    out.toByteArray
+  }
+
   /** Raw snappy block → decoded bytes, or None on any structural lie. */
   def decode(b: Array[Byte]): Option[Array[Byte]] = {
     var p = 0

@@ -119,14 +119,38 @@ class AvroScanSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](write(fs, Seq(Array[Any](null)), "null"))
   }
 
+  test("snappy codec (x303): official snappy files decode with CRC verification; own store-mode snappy round-trips both ways") {
+    // official writer → scratch scanner (real compressed snappy + CRC)
+    val official = writeOfficial(Some(org.apache.avro.file.CodecFactory.snappyCodec()), 500)
+    val got = AvroScan.decode(official)
+    assert(got.exists(_.rows.length == 500), "official snappy avro must decode")
+    // corrupting the CRC suffix quarantines (verified, never skipped)
+    val bad = official.clone(); bad(official.length - 20) = (bad(official.length - 20) ^ 0x55).toByte
+    assert(AvroScan.decode(bad).isEmpty || AvroScan.decode(bad).exists(_.rows.length != 500))
+    // own writer (store-mode snappy) → scratch scanner AND official reader
+    for (z <- 0L until 20L) {
+      val bytes = AvroWrite.write(AvroFixture.fields, AvroFixture.rows(z), "snappy")
+      assert(AvroScan.decode(bytes).exists(_.rows.length == (3 + z % 7)), s"own snappy z=$z")
+      val rdr = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(bytes),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+      )
+      try {
+        var i = 0
+        while (rdr.hasNext) { assert(rdr.next().get("id").asInstanceOf[Long] == z * 100 + i); i += 1 }
+        assert(i == (3 + z % 7))
+      } finally rdr.close()
+    }
+  }
+
   test("quarantine matrix: magic, codec, sync corruption, truncation") {
     val good = writeOfficial(Some(org.apache.avro.file.CodecFactory.deflateCodec(6)), 200)
     assert(AvroScan.decode(good).isDefined)
     val badMagic = good.clone(); badMagic(0) = 'X'
     assert(AvroScan.decode(badMagic) === None)
-    // unsupported codec: official snappy-coded file must quarantine, not crash
-    val snappy = writeOfficial(Some(org.apache.avro.file.CodecFactory.snappyCodec()), 50)
-    assert(AvroScan.decode(snappy) === None)
+    // unsupported codec: official bzip2-coded file must quarantine, not crash
+    val bzip2 = writeOfficial(Some(org.apache.avro.file.CodecFactory.bzip2Codec()), 50)
+    assert(AvroScan.decode(bzip2) === None)
     // corrupt the trailing sync marker
     val badSync = good.clone(); badSync(badSync.length - 1) = (badSync.last ^ 0x7f).toByte
     assert(AvroScan.decode(badSync) === None)
