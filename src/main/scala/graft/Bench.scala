@@ -9,17 +9,31 @@ package graft
   * an idle machine, individual queries show 10-25x one-off JIT/GC spikes
   * between back-to-back clean passes, and co-tenant JVMs inflate whole
   * stretches of a pass (both classes documented in NOTES.md and observed
-  * in the r4/r5 driver artifacts). A per-query retry can't catch
-  * contention that hits the warm and measured run alike. So: one untimed
-  * warm sweep (codegen + shuffle files), then TWO timed end-to-end suite
-  * passes, publishing the per-query MINIMUM — contention is bursty, and
-  * two full passes rarely collide on the same query. The JSON also carries
-  * the 1-minute system load average sampled at start and end, so the
-  * driver can flag a dirty run instead of publishing it.
+  * in the r4/r5 driver artifacts). So: one untimed warm sweep (codegen +
+  * shuffle files), then up to TWO timed end-to-end suite passes,
+  * publishing the per-query MINIMUM.
+  *
+  * Artifact availability (the r9 lesson): at 400+ queries the
+  * warm+2-pass structure outgrew the driver's capture window (rc=124,
+  * nothing parseable landed). Three defenses, in order of resort:
+  *   1. The complete JSON line is printed AND file-flushed after the
+  *      FIRST timed pass (`passes:1`), then overwritten after the second
+  *      (`passes:2`) — any capture window that survives pass 1 holds a
+  *      parseable artifact; a driver that takes the last stdout line gets
+  *      the best one available.
+  *   2. Pass 2 only runs if it fits the budget: skipped when elapsed so
+  *      far + the measured pass-1 time would exceed
+  *      SPARK_GRAFT_BENCH_BUDGET_SEC (default 1500 s).
+  *   3. A JVM shutdown hook writes whatever per-query results exist to
+  *      bench_last.json with `"partial":true` — so even a SIGTERM
+  *      mid-pass leaves a lift-able per-query record on disk.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val spark = Graft.session("graft-bench")
     def run1(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Unit =
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -33,6 +47,21 @@ object Bench {
       val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       math.round(v * 100) / 100.0
     }
+    // best-known per-query seconds; the shutdown hook reads this, so it
+    // must be consistent at every point (updated one entry at a time)
+    val best = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    def mkLine(passes: Int, loadStart: Double, waited: Int, partial: Boolean): String = {
+      import scala.jdk.CollectionConverters._
+      val entries = best.asScala.toSeq.sortBy(_._1)
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = entries.map(_._2).sum
+      val partialField = if (partial) ""","partial":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"waited_sec":$waited$partialField}"""
+    }
+    def writeFile(line: String): Unit =
+      try { val w = new java.io.PrintWriter("bench_last.json"); w.println(line); w.close() }
+      catch { case _: Throwable => () }
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // act on the contention signal instead of just reporting it (the r7
     // driver artifact published 2-4x-inflated queries at loadavg 7.92):
@@ -47,26 +76,37 @@ object Bench {
       waited += 15
     }
     val loadStart = loadavg
+    @volatile var hookPasses = 0
+    val hook = new Thread(() => writeFile(mkLine(hookPasses, loadStart, waited, partial = true)))
+    Runtime.getRuntime.addShutdownHook(hook)
     // untimed warm sweep: one-time Janino codegen + plan-cache costs are
     // 0.9-6 s per query shape, independent of data size — noise at 100 TB,
     // dominant at sf0.1. Steady state is what the number should mean.
     names.foreach { case (name, fn) => run1(fn, name) }
-    val pass1 = names.map { case (name, fn) => name -> timed(fn, name) }
-    val pass2 = names.map { case (name, fn) => name -> timed(fn, name) }
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
-    val loadEnd = loadavg
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"waited_sec":$waited}"""
-    println(line)
-    // The stdout line is the contract, but a capture window that truncates
-    // it loses the per-query record (observed in the r6 driver artifact) —
-    // so the identical line is also written whole to a file the driver (or
-    // a human) can lift after the fact.
-    try {
-      val w = new java.io.PrintWriter("bench_last.json"); w.println(line); w.close()
-    } catch { case _: Throwable => () }
+    val pass1Start = elapsedSec
+    names.foreach { case (name, fn) => best.put(name, timed(fn, name)) }
+    val pass1Sec = elapsedSec - pass1Start
+    hookPasses = 1
+    val line1 = mkLine(1, loadStart, waited, partial = false)
+    println(line1); Console.out.flush()
+    writeFile(line1)
+    // pass 2 publishes per-query min, but only if it fits the budget —
+    // a lost artifact costs more than a slightly noisier one (r9: rc=124)
+    val fits = elapsedSec + pass1Sec <= budgetSec
+    if (fits) {
+      names.foreach { case (name, fn) =>
+        val t = timed(fn, name)
+        val prev = if (best.containsKey(name)) best.get(name) else Double.MaxValue
+        best.put(name, math.min(prev, t))
+      }
+      hookPasses = 2
+      val line2 = mkLine(2, loadStart, waited, partial = false)
+      println(line2); Console.out.flush()
+      writeFile(line2)
+    } else {
+      System.err.println(f"[bench] budget guard: elapsed ${elapsedSec}%.0f s + pass1 ${pass1Sec}%.0f s > budget ${budgetSec}%.0f s — skipping pass 2 (passes:1)")
+    }
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }
