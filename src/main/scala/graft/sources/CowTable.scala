@@ -59,6 +59,74 @@ object CowTable {
 
   private def manifestPath(version: Int, root: String) = s"$root/manifest_v$version"
 
+  // ------------------------------------------------ filesystem (Hadoop API)
+  // Commit, marker, ref and manifest-walk IO goes through the Hadoop
+  // FileSystem API (r9 verdict item: the last single-node assumption in
+  // the scale story), so the table works unchanged on HDFS — including
+  // the atomic-rename CAS. Raw-object-store conditional-put (S3 without a
+  // rename layer) remains the documented non-goal. Fixture BUILDERS
+  // (ensure* markers) stay java.io — they are test-rig-local by design.
+  // Child paths are built from the PARENT STRING + child name, never from
+  // FileStatus.getPath.toString, so path strings keep the caller's form
+  // (no scheme injection) and stay comparable with manifest entry paths.
+
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def hfs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(hconf), p)
+  }
+
+  private def pathExists(path: String): Boolean = { val (fs, p) = hfs(path); fs.exists(p) }
+
+  private def deleteDir(path: String): Unit = {
+    val (fs, p) = hfs(path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def deleteFile(path: String): Unit = {
+    val (fs, p) = hfs(path)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  private def listNames(path: String): Seq[String] = {
+    val (fs, p) = hfs(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private def listDirNames(path: String): Seq[String] = {
+    val (fs, p) = hfs(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private def writeSmall(path: String, content: String): Unit = {
+    val (fs, p) = hfs(path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSmall(path: String): String = {
+    val (fs, p) = hfs(path)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try { val buf = new Array[Byte](len); in.readFully(0, buf); new String(buf, "UTF-8") }
+    finally in.close()
+  }
+
+  /** single-writer rename (list swaps whose target was just removed) */
+  private def renameInto(src: String, dst: String): Unit = {
+    val (fs, sp) = hfs(src)
+    if (!fs.rename(sp, new org.apache.hadoop.fs.Path(dst)))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
   /** One manifest row: the planning unit. `dvPath` is the deletion-vector
     * sidecar directory masking this bucket ("" = none, the merge-on-read
     * half of the write path); `nDel` its masked-row count; `schemaId` the
@@ -110,6 +178,118 @@ object CowTable {
   /** legacy FLAT manifests (pre-tree artifacts) carry entry rows directly */
   private def isTree(l: DataFrame): Boolean = l.columns.contains("mpath")
 
+  // ------------------------------------------------------- manifest cache
+  // The r9 bench showed every snapshot access re-reading list + group
+  // parquet as fresh Spark jobs (x145 alone opens 9 snapshots, and carried
+  // groups are SHARED between snapshots by path). Both layers are
+  // memoizable: a published list never changes under its `manifest_vN`
+  // path and group files are immutable once written — but fixture rebuilds
+  // delete-and-recreate the same paths, so a hit is only trusted after a
+  // cheap FS freshness check (listStatus names+lengths+mtimes — microseconds
+  // against a Spark job's ~100 ms floor). Nothing needs explicit
+  // invalidation: commits claim NEW paths, and any same-path rewrite
+  // (fixture rebuild, re-staged WAP branch, vacuum) changes the signature.
+  // Driver-size discipline: the list cache holds group-count-sized rows
+  // (what the old code collect()ed anyway), the group cache holds entry
+  // rows only for groups actually opened (ManifestGroup-bounded), and
+  // manifests above [[MaxCachedEntries]] total files bypass the entry
+  // cache entirely and keep the distributed read — a 10⁷-file table never
+  // pins the driver. Both caches drop wholesale at a size bound (they
+  // re-warm in one read; an LRU would buy nothing at these sizes).
+
+  /** full-manifest entry sets above this bypass the cache (stay distributed) */
+  val MaxCachedEntries: Long = 100000L
+
+  private case class ListRow(
+      g: Long, mpath: String, minBucket: Long, maxBucket: Long,
+      minKey: Long, maxKey: Long, nFiles: Long, nRows: Long, nDv: Long)
+
+  /** (signature, None = legacy flat manifest | Some(list rows)) per path */
+  private val listCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Option[Seq[ListRow]])]()
+
+  /** (signature, entry rows) per group-manifest path */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Entry])]()
+
+  /** cheap content signature of a manifest/group directory: child names +
+    * lengths + mtimes. Computed BEFORE the read it guards, so a
+    * concurrent rewrite can only leave a stale-signature entry (refused
+    * on the next hit), never a fresh-signature stale payload. */
+  private def dirSig(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted
+      .mkString("|")
+  }
+
+  /** list rows of a tree manifest (None for legacy flat), cached. */
+  private def listRowsOf(s: SparkSession, path: String): Option[Seq[ListRow]] = {
+    val sig = dirSig(s, path)
+    val hit = listCache.get(path)
+    if (hit != null && hit._1 == sig) return hit._2
+    val l = listDf(s, path)
+    val v: Option[Seq[ListRow]] =
+      if (!isTree(l)) None
+      else
+        Some(
+          l.select(listCols.map(col): _*)
+            .collect()
+            .map(r =>
+              ListRow(
+                r.getAs[Long]("g"), r.getAs[String]("mpath"),
+                r.getAs[Long]("min_bucket"), r.getAs[Long]("max_bucket"),
+                r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
+                r.getAs[Long]("n_files"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_dv")))
+            .toSeq
+            .sortBy(_.g))
+    if (listCache.size > 512) listCache.clear()
+    listCache.put(path, (sig, v))
+    v
+  }
+
+  /** Entry rows for each requested (g → mpath), cache-first; misses are
+    * fetched in ONE batched parquet read (group files carry `g` as a data
+    * column, so rows route back without filename games). */
+  private def groupEntriesOf(s: SparkSession, byG: Seq[(Long, String)]): Map[Long, Seq[Entry]] = {
+    val out = scala.collection.mutable.Map[Long, Seq[Entry]]()
+    val missing = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    byG.foreach { case (g, mp) =>
+      val sig = dirSig(s, mp)
+      val hit = groupCache.get(mp)
+      if (hit != null && hit._1 == sig) out(g) = hit._2
+      else missing += ((g, mp, sig))
+    }
+    if (missing.nonEmpty) {
+      val rows = s
+        .read
+        .parquet(missing.map(_._2).sorted.toIndexedSeq: _*)
+        .select(
+          col("g").cast("long"),
+          col("bucket").cast("long"), col("path"),
+          col("min_key").cast("long"), col("max_key").cast("long"),
+          col("n_rows").cast("long"), col("dv_path"),
+          col("n_del").cast("long"), col("schema_id").cast("int"))
+        .collect()
+        .map(r =>
+          (r.getLong(0),
+            Entry(r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+              r.getLong(5), r.getString(6), r.getLong(7), r.getInt(8))))
+      val grouped = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).toSeq.sortBy(e => (e.bucket, e.path, e.dvPath))
+      }
+      if (groupCache.size > 4096) groupCache.clear()
+      missing.foreach { case (g, mp, sig) =>
+        val es = grouped.getOrElse(g, Seq.empty)
+        groupCache.put(mp, (sig, es))
+        out(g) = es
+      }
+    }
+    out.toMap
+  }
+
   /** normalize entry rows: legacy 5-column manifests (pre-DV stream
     * checkpoints) default to no DV / schema 1; types pinned. */
   private def normalizeEntries(df: DataFrame): DataFrame = {
@@ -138,28 +318,37 @@ object CowTable {
     * physically by corrupting them). */
   private def readGroups(s: SparkSession, path: String, groups: Set[Long]): DataFrame = {
     if (groups.isEmpty) return emptyEntriesDf(s)
-    val l = listDf(s, path)
-    if (!isTree(l))
-      return normalizeEntries(l).where(expr(s"bucket div ${ManifestGroup}L").isin(groups.toSeq.map(Long.box): _*))
-    val mpaths = l
-      .where(col("g").isin(groups.toSeq.map(Long.box): _*))
-      .select("mpath")
-      .collect()
-      .map(_.getString(0))
-      .sorted
-    if (mpaths.isEmpty) emptyEntriesDf(s)
-    else normalizeEntries(s.read.parquet(mpaths.toIndexedSeq: _*))
+    listRowsOf(s, path) match {
+      case None =>
+        normalizeEntries(listDf(s, path))
+          .where(expr(s"bucket div ${ManifestGroup}L").isin(groups.toSeq.map(Long.box): _*))
+      case Some(rows) =>
+        val sel = rows.filter(r => groups(r.g))
+        if (sel.isEmpty) emptyEntriesDf(s)
+        else {
+          val m = groupEntriesOf(s, sel.map(r => r.g -> r.mpath))
+          entryDf(s, sel.flatMap(r => m(r.g)))
+        }
+    }
   }
 
   /** ALL entries of one manifest as a distributed frame (full-snapshot
     * scans and spec accounting; pruned ops go through [[pruneEntries]]).
-    * Driver materializes only the group-count-sized path list. */
+    * Cache-served at gate sizes; manifests above [[MaxCachedEntries]]
+    * files keep the distributed group read (driver materializes only the
+    * group-count-sized path list). */
   def entriesDfAt(s: SparkSession, path: String): DataFrame = {
-    val l = listDf(s, path)
-    if (!isTree(l)) return normalizeEntries(l)
-    val mpaths = l.select("mpath").collect().map(_.getString(0)).sorted
-    if (mpaths.isEmpty) emptyEntriesDf(s)
-    else normalizeEntries(s.read.parquet(mpaths.toIndexedSeq: _*))
+    listRowsOf(s, path) match {
+      case None => normalizeEntries(listDf(s, path))
+      case Some(rows) =>
+        if (rows.isEmpty) emptyEntriesDf(s)
+        else if (rows.map(_.nFiles).sum > MaxCachedEntries)
+          normalizeEntries(s.read.parquet(rows.map(_.mpath).sorted.toIndexedSeq: _*))
+        else {
+          val m = groupEntriesOf(s, rows.map(r => r.g -> r.mpath))
+          entryDf(s, rows.flatMap(r => m(r.g)))
+        }
+    }
   }
 
   /** (bucket, path, min_key, max_key, n_rows, dv_path, n_del, schema_id)
@@ -200,35 +389,47 @@ object CowTable {
     * merge/MOR/diff path uses. */
   def pruneEntries(s: SparkSession, path: String, buckets: Set[Long]): Seq[Entry] = {
     if (buckets.isEmpty) return Seq.empty
-    val df = readGroups(s, path, buckets.map(_ / ManifestGroup))
-    toEntries(df.where(col("bucket").isin(buckets.toSeq.map(Long.box): _*)))
+    listRowsOf(s, path) match {
+      case None =>
+        toEntries(
+          normalizeEntries(listDf(s, path)).where(col("bucket").isin(buckets.toSeq.map(Long.box): _*)))
+      case Some(rows) =>
+        val groups = buckets.map(_ / ManifestGroup)
+        val sel = rows.filter(r => groups(r.g))
+        if (sel.isEmpty) Seq.empty
+        else {
+          val m = groupEntriesOf(s, sel.map(r => r.g -> r.mpath))
+          sel.flatMap(r => m(r.g)).filter(e => buckets(e.bucket)).sortBy(e => (e.bucket, e.path, e.dvPath))
+        }
+    }
   }
 
   /** Entries whose key range overlaps [lo, hi], stats-pruned at both
     * levels (the x226 planRange pipeline on the write-path manifests). */
   def pruneEntriesRange(s: SparkSession, path: String, lo: Long, hi: Long): Seq[Entry] = {
-    val l = listDf(s, path)
-    if (!isTree(l))
-      return toEntries(normalizeEntries(l).where(col("max_key") >= lo && col("min_key") <= hi))
-    val mpaths = l
-      .where(col("max_key") >= lo && col("min_key") <= hi)
-      .select("mpath")
-      .collect()
-      .map(_.getString(0))
-      .sorted
-    if (mpaths.isEmpty) Seq.empty
-    else
-      toEntries(
-        normalizeEntries(s.read.parquet(mpaths.toIndexedSeq: _*))
-          .where(col("max_key") >= lo && col("min_key") <= hi)
-      )
+    listRowsOf(s, path) match {
+      case None =>
+        toEntries(
+          normalizeEntries(listDf(s, path)).where(col("max_key") >= lo && col("min_key") <= hi))
+      case Some(rows) =>
+        val sel = rows.filter(r => r.maxKey >= lo && r.minKey <= hi)
+        if (sel.isEmpty) Seq.empty
+        else {
+          val m = groupEntriesOf(s, sel.map(r => r.g -> r.mpath))
+          sel
+            .flatMap(r => m(r.g))
+            .filter(e => e.maxKey >= lo && e.minKey <= hi)
+            .sortBy(e => (e.bucket, e.path, e.dvPath))
+        }
+    }
   }
 
   /** number of group-manifest files the list references (plan accounting) */
-  def groupCount(s: SparkSession, path: String): Long = {
-    val l = listDf(s, path)
-    if (isTree(l)) l.count() else -1L
-  }
+  def groupCount(s: SparkSession, path: String): Long =
+    listRowsOf(s, path) match {
+      case Some(rows) => rows.size.toLong
+      case None       => -1L
+    }
 
   /** a snapshot's manifest directory (planning entry point for pruned
     * scans: pair with [[pruneEntries]]/[[pruneEntriesRange]] +
@@ -264,7 +465,7 @@ object CowTable {
   /** the snapshot's CURRENT schema id, None for legacy/no-meta versions
     * (also surfaced by the x130 snapshots metadata table) */
   def versionSchemaId(s: SparkSession, version: Int, root: String): Option[Int] =
-    if (new java.io.File(s"$root/meta_v$version").exists())
+    if (pathExists(s"$root/meta_v$version"))
       Some(s.read.parquet(s"$root/meta_v$version").collect().head.getAs[Int]("schema_id"))
     else None
 
@@ -413,7 +614,7 @@ object CowTable {
     * sharing unchanged storage; a clone-side vacuum only ever lists the
     * clone root, so shared source files are structurally out of its reach. */
   def cloneTable(s: SparkSession, srcVersion: Int, dstRoot: String, srcRoot: String = dir): Unit = {
-    if (new java.io.File(s"$srcRoot/schemas").exists())
+    if (pathExists(s"$srcRoot/schemas"))
       s.read.parquet(s"$srcRoot/schemas").coalesce(1).write.mode("overwrite").parquet(s"$dstRoot/schemas")
     versionSchemaId(s, srcVersion, srcRoot).foreach(sid => writeVersionMeta(s, dstRoot, 1, sid))
     // metadata is zero-copy too: the clone's list shares the source's
@@ -656,30 +857,51 @@ object CowTable {
   /** newest committed version: max N over `manifest_vN` directories (the
     * staging dirs carry a `.stage` suffix and never match) */
   def latestVersion(root: String = dir): Int =
-    Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .flatMap { f =>
-        val m = "^manifest_v(\\d+)$".r.findFirstMatchIn(f.getName)
+    listNames(root)
+      .flatMap { n =>
+        val m = "^manifest_v(\\d+)$".r.findFirstMatchIn(n)
         m.map(_.group(1).toInt)
       }
       .max
 
-  /** Atomic manifest publication — the CAS: `rename(2)` a staged LIST
-    * directory onto `manifest_vN`. The rename is atomic on a POSIX
-    * filesystem and FAILS if the target exists (a non-empty directory),
-    * so exactly one racing writer wins a version. The list is the whole
-    * commit object (group files live under `mfiles/`, absolute-referenced,
-    * and never move), which is what keeps the CAS a single rename. */
-  private def publishAtomic(version: Int, stagedList: String, root: String): Boolean =
-    try {
-      java.nio.file.Files.move(
-        new java.io.File(stagedList).toPath,
-        new java.io.File(manifestPath(version, root)).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE
-      )
-      true
-    } catch {
-      case _: java.nio.file.FileSystemException => false
+  /** Atomic manifest publication — the CAS: rename a staged LIST
+    * directory onto `manifest_vN`; exactly one racing writer wins a
+    * version. The list is the whole commit object (group files live under
+    * `mfiles/`, absolute-referenced, and never move), which is what keeps
+    * the CAS a single rename. Two scheme-specific paths, both atomic:
+    *
+    *   - local: kernel `rename(2)` via nio ATOMIC_MOVE, which fails on an
+    *     existing non-empty target. Deliberately NOT
+    *     `RawLocalFileSystem.rename` — that API has a copy fallback that
+    *     would let a racing LOSER merge its staged list into the winner's
+    *     published directory.
+    *   - HDFS (and any scheme with a real AbstractFileSystem): the
+    *     `FileContext` rename without OVERWRITE — the NameNode-serialized
+    *     RENAME2 RPC, which atomically fails if the target exists.
+    *
+    * Raw object stores without atomic rename are the documented non-goal. */
+  private def publishAtomic(version: Int, stagedList: String, root: String): Boolean = {
+    val dst = manifestPath(version, root)
+    val (fs, dstPath) = hfs(dst)
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.move(
+            new java.io.File(stagedList).toPath,
+            new java.io.File(dst).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE
+          )
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      case _ =>
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(dstPath.toUri, hconf)
+            .rename(new org.apache.hadoop.fs.Path(stagedList), dstPath)
+          true
+        } catch { case _: java.io.IOException => false }
     }
+  }
 
   /** Optimistic-concurrency MERGE: compute against a pinned snapshot
     * (`atVersion`, default the newest), write data under a WRITER-OWNED
@@ -737,7 +959,7 @@ object CowTable {
         if (parent == base) mineMan
         else {
           val c = s"${manifestPath(parent + 1, root)}.stage_${token}_a$attempt"
-          deleteLocalDir(c)
+          deleteDir(c)
           writeManifestCow(
             s,
             root,
@@ -750,10 +972,10 @@ object CowTable {
           c
         }
       if (publishAtomic(parent + 1, candidate, root)) {
-        if (candidate != mineMan) deleteLocalDir(mineMan)
+        if (candidate != mineMan) deleteDir(mineMan)
         return Right(parent + 1)
       }
-      if (candidate != mineMan) deleteLocalDir(candidate)
+      if (candidate != mineMan) deleteDir(candidate)
       // lost the race: someone committed parent+1 (or further) — diff the
       // winner chain's footprint against ours
       val cur = latestVersion(root)
@@ -796,10 +1018,7 @@ object CowTable {
       deletes,
       s"$root/wap_$name"
     )
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/wap_base_$name"),
-      base.toString.getBytes("UTF-8")
-    )
+    writeSmall(s"$root/wap_base_$name", base.toString)
     base
   }
 
@@ -821,10 +1040,7 @@ object CowTable {
       root: String = dir,
       maxRetries: Int = 5
   ): Either[Set[Long], Int] = {
-    val base = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/wap_base_$name")),
-      "UTF-8"
-    ).trim.toInt
+    val base = readSmall(s"$root/wap_base_$name").trim.toInt
     val mineMan = s"$root/wap_manifest_$name"
     val myTouched = diffTouchedBuckets(s, manifestPath(base, root), mineMan)
     casLoop(s, root, base, mineMan, myTouched, s"wap_$name", maxRetries) match {
@@ -832,7 +1048,7 @@ object CowTable {
         // branch list is consumed by the CAS (renamed or deleted); data
         // dir and group files live on, referenced by the published
         // manifest exactly like any merge output
-        new java.io.File(s"$root/wap_base_$name").delete()
+        deleteFile(s"$root/wap_base_$name")
         r
       case l => l
     }
@@ -840,11 +1056,8 @@ object CowTable {
 
   /** Abort a staged branch: delete manifest, base marker and data dir. */
   def abortStaged(s: SparkSession, name: String, root: String = dir): Unit = {
-    Seq(s"$root/wap_manifest_$name", s"$root/wap_$name").foreach { p =>
-      val f = new java.io.File(p)
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-    }
-    new java.io.File(s"$root/wap_base_$name").delete()
+    Seq(s"$root/wap_manifest_$name", s"$root/wap_$name").foreach(deleteDir)
+    deleteFile(s"$root/wap_base_$name")
   }
 
   // ------------------------------------------------ named refs (x150)
@@ -1166,12 +1379,8 @@ object CowTable {
     val replacement = pruneEntries(s, toMan, deltaBuckets) ++ deltaStats
     val tmp = s"$toMan.append"
     writeManifestCow(s, root, toMan, tmp, s"delta_v$toVersion", deltaBuckets, entryDf(s, replacement))
-    deleteLocalDir(toMan)
-    java.nio.file.Files.move(
-      new java.io.File(tmp).toPath,
-      new java.io.File(toMan).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE
-    )
+    deleteDir(toMan)
+    renameInto(tmp, toMan)
     ()
   }
 
@@ -1196,12 +1405,12 @@ object CowTable {
     val fromMan = manifestPath(fromVersion, root)
     // list-level prune: only groups whose n_dv stat is nonzero can carry
     // DV'd entries — clean groups' files never open
-    val l = listDf(s, fromMan)
     val dvGroupEntries =
-      if (!isTree(l)) entriesAt(s, fromMan)
-      else {
-        val dvGroups = l.where(col("n_dv") > 0).select("g").collect().map(_.getLong(0)).toSet
-        toEntries(readGroups(s, fromMan, dvGroups))
+      listRowsOf(s, fromMan) match {
+        case None => entriesAt(s, fromMan)
+        case Some(rows) =>
+          val dvGroups = rows.filter(_.nDv > 0).map(_.g).toSet
+          toEntries(readGroups(s, fromMan, dvGroups))
       }
     val dvd = dvGroupEntries.filter(_.dvPath.nonEmpty)
     if (dvd.nonEmpty) {
@@ -1296,36 +1505,24 @@ object CowTable {
     * registered clones so a source-side vacuum can never delete a file a
     * live clone still references — the x104 shallow-clone contract's
     * missing half. */
-  def registerClone(srcRoot: String, dstRoot: String): Unit = {
-    val d = new java.io.File(s"$srcRoot/clones")
-    d.mkdirs()
-    val name = java.security.MessageDigest
+  private def cloneRegName(dstRoot: String): String =
+    java.security.MessageDigest
       .getInstance("MD5")
       .digest(dstRoot.getBytes("UTF-8"))
       .map("%02x".format(_))
       .mkString
       .take(16)
-    java.nio.file.Files.write(new java.io.File(d, name).toPath, dstRoot.getBytes("UTF-8"))
-  }
+
+  def registerClone(srcRoot: String, dstRoot: String): Unit =
+    writeSmall(s"$srcRoot/clones/${cloneRegName(dstRoot)}", dstRoot)
 
   /** Drop a clone registration (the clone was vacuumed away itself). */
-  def deregisterClone(srcRoot: String, dstRoot: String): Unit = {
-    val name = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(dstRoot.getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-      .take(16)
-    new java.io.File(s"$srcRoot/clones/$name").delete()
-  }
+  def deregisterClone(srcRoot: String, dstRoot: String): Unit =
+    deleteFile(s"$srcRoot/clones/${cloneRegName(dstRoot)}")
 
   /** Registered clone roots of `root` (empty when none). */
   def registeredClones(root: String): Seq[String] =
-    Option(new java.io.File(s"$root/clones").listFiles())
-      .map(_.toSeq)
-      .getOrElse(Seq.empty)
-      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      .sorted
+    listNames(s"$root/clones").map(n => readSmall(s"$root/clones/$n")).sorted
 
   /** Full-era vacuum plan (x229) — [[vacuumPlan]] predates deletion
     * vectors, delta files and clones; this one covers them all:
@@ -1349,16 +1546,9 @@ object CowTable {
     def refsOfManifest(path: String): Seq[String] =
       entriesAt(s, path).flatMap(e => Seq(e.path) ++ (if (e.dvPath.nonEmpty) Seq(e.dvPath) else Nil))
     def namedRefManifests(r: String): Seq[String] =
-      Option(new java.io.File(s"$r/refs").listFiles())
-        .map(_.toSeq)
-        .getOrElse(Seq.empty)
-        .map(f => readRefMeta(s, f.getName, r).manifestPath)
+      listNames(s"$r/refs").map(n => readRefMeta(s, n, r).manifestPath)
     def allVersionManifests(r: String): Seq[String] =
-      Option(new java.io.File(r).listFiles())
-        .map(_.toSeq)
-        .getOrElse(Seq.empty)
-        .filter(f => f.isDirectory && f.getName.matches("^manifest_v\\d+$"))
-        .map(_.getAbsolutePath)
+      listDirNames(r).filter(_.matches("^manifest_v\\d+$")).map(n => s"$r/$n")
     val localRefs =
       (retain.map(v => manifestPath(v, root)) ++ namedRefManifests(root)).flatMap(refsOfManifest)
     val cloneRefs = registeredClones(root).flatMap { cr =>
@@ -1366,21 +1556,14 @@ object CowTable {
     }
     val localSet = localRefs.toSet
     val referenced = localSet ++ cloneRefs
-    val rootFiles = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    val dataDirs = rootFiles
-      .filter(f =>
-        f.isDirectory &&
-          (f.getName.matches("^v\\d+$") ||
-            f.getName.matches("^delta_v\\d+$") ||
-            (f.getName.startsWith("branch_") &&
-              !f.getName.matches("^branch_.*_manifest_v\\d+$")))
-      )
-      .flatMap(f => Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(_.getAbsolutePath)
-    val dvDirs = rootFiles
-      .filter(f => f.isDirectory && f.getName.matches("^dv_v\\d+(_g\\d+)?$"))
-      .map(_.getAbsolutePath)
+    val rootDirNames = listDirNames(root)
+    val dataDirs = rootDirNames
+      .filter(n =>
+        n.matches("^v\\d+$") ||
+          n.matches("^delta_v\\d+$") ||
+          (n.startsWith("branch_") && !n.matches("^branch_.*_manifest_v\\d+$")))
+      .flatMap(n => listDirNames(s"$root/$n").filter(_.startsWith("bucket=")).map(b => s"$root/$n/$b"))
+    val dvDirs = rootDirNames.filter(_.matches("^dv_v\\d+(_g\\d+)?$")).map(n => s"$root/$n")
     val candidates = (dataDirs ++ dvDirs).sorted
     val orphans = candidates.filterNot(referenced.contains)
     val keptByCloneOnly = candidates.filter(p => !localSet.contains(p) && referenced.contains(p))
@@ -1400,25 +1583,15 @@ object CowTable {
   }
 
   def vacuumPlan(s: SparkSession, retain: Seq[Int], root: String = dir): (Seq[String], Seq[String]) = {
-    val refNames = Option(new java.io.File(s"$root/refs").listFiles())
-      .map(_.toSeq)
-      .getOrElse(Seq.empty)
-      .map(_.getName)
+    val refNames = listNames(s"$root/refs")
     val referenced = (retain
       .flatMap(v => manifest(s, v, root).select("path").collect().map(_.getString(0))) ++
       refNames.flatMap(n => entriesAt(s, readRefMeta(s, n, root).manifestPath).map(_.path))).toSet
-    val all = new java.io.File(root)
-      .listFiles()
-      .filter(f =>
-        f.isDirectory &&
-          (f.getName.matches("^v\\d+$") ||
-            (f.getName.startsWith("branch_") &&
-              !f.getName.matches("^branch_.*_manifest_v\\d+$")))
-      )
-      .flatMap(_.listFiles())
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(_.getAbsolutePath)
-      .toSeq
+    val all = listDirNames(root)
+      .filter(n =>
+        n.matches("^v\\d+$") ||
+          (n.startsWith("branch_") && !n.matches("^branch_.*_manifest_v\\d+$")))
+      .flatMap(n => listDirNames(s"$root/$n").filter(_.startsWith("bucket=")).map(b => s"$root/$n/$b"))
     val orphans = all.filterNot(referenced.contains)
     (orphans.sorted, all.sorted)
   }
@@ -1430,8 +1603,7 @@ object CowTable {
     * swallowing exceptions — a real read failure must fail the merge, not
     * silently publish a manifest missing every rewritten bucket. */
   def statsOf(s: SparkSession, root: String, schemaId: Int): Seq[Entry] = {
-    val children = Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    if (!children.exists(f => f.isDirectory && f.getName.startsWith("bucket="))) Seq.empty
+    if (!listDirNames(root).exists(_.startsWith("bucket="))) Seq.empty
     else statsOfUnsafe(s, root, schemaId)
   }
 
@@ -1463,7 +1635,7 @@ object CowTable {
   private def writeGroupFiles(s: SparkSession, root: String, token: String, df: DataFrame): DataFrame = {
     var out = s"$root/mfiles/$token"
     var i = 1
-    while (new java.io.File(out).exists()) { i += 1; out = s"$root/mfiles/${token}_$i" }
+    while (pathExists(out)) { i += 1; out = s"$root/mfiles/${token}_$i" }
     val e = normalizeEntries(df)
       .withColumn("g", expr(s"bucket div ${ManifestGroup}L"))
       .localCheckpoint() // two refs: group-file write + list aggregation
@@ -1519,31 +1691,38 @@ object CowTable {
     val repB = replacement.select("bucket").distinct().collect().map(_.getLong(0)).toSet
     val allTouched = touched ++ repB
     val tg = allTouched.map(_ / ManifestGroup)
-    val l = listDf(s, fromMan)
     val anti =
       if (allTouched.isEmpty) emptyEntriesDf(s).select("bucket")
       else allTouched.toSeq.sorted.toDF("bucket")
-    if (!isTree(l)) {
-      // legacy flat source: one-time full upgrade onto the tree
-      val kept = normalizeEntries(l).join(broadcast(anti), Seq("bucket"), "left_anti")
-      writeListTo(s, outMan, writeGroupFiles(s, root, token, kept.unionByName(normalizeEntries(replacement))))
-      return
+    listRowsOf(s, fromMan) match {
+      case None =>
+        // legacy flat source: one-time full upgrade onto the tree
+        val kept = normalizeEntries(listDf(s, fromMan)).join(broadcast(anti), Seq("bucket"), "left_anti")
+        writeListTo(s, outMan, writeGroupFiles(s, root, token, kept.unionByName(normalizeEntries(replacement))))
+      case Some(rows) =>
+        val kept = readGroups(s, fromMan, tg).join(broadcast(anti), Seq("bucket"), "left_anti")
+        val fresh = writeGroupFiles(s, root, token, kept.unionByName(normalizeEntries(replacement)))
+        val carried = listRowsDf(s, rows.filter(r => !tg(r.g)))
+        writeListTo(s, outMan, carried.unionByName(fresh))
     }
-    val kept = readGroups(s, fromMan, tg).join(broadcast(anti), Seq("bucket"), "left_anti")
-    val fresh = writeGroupFiles(s, root, token, kept.unionByName(normalizeEntries(replacement)))
-    val carried =
-      if (tg.isEmpty) l.select(listCols.map(col): _*)
-      else l.where(!col("g").isin(tg.toSeq.map(Long.box): _*)).select(listCols.map(col): _*)
-    writeListTo(s, outMan, carried.unionByName(fresh))
   }
 
   /** Metadata-only manifest copy: list rows verbatim, group files shared
     * by reference — clone/rollback/fast-forward cost one group-count-
     * sized list write at ANY table size. */
-  private def copyManifest(s: SparkSession, root: String, fromMan: String, outMan: String, token: String): Unit = {
-    val l = listDf(s, fromMan)
-    if (!isTree(l)) writeListTo(s, outMan, writeGroupFiles(s, root, token, normalizeEntries(l)))
-    else writeListTo(s, outMan, l)
+  private def copyManifest(s: SparkSession, root: String, fromMan: String, outMan: String, token: String): Unit =
+    listRowsOf(s, fromMan) match {
+      case None =>
+        writeListTo(s, outMan, writeGroupFiles(s, root, token, normalizeEntries(listDf(s, fromMan))))
+      case Some(rows) => writeListTo(s, outMan, listRowsDf(s, rows))
+    }
+
+  /** cached list rows back to a frame (carry paths in commits/copies) */
+  private def listRowsDf(s: SparkSession, rows: Seq[ListRow]): DataFrame = {
+    import s.implicits._
+    rows
+      .map(r => (r.g, r.mpath, r.minBucket, r.maxBucket, r.minKey, r.maxKey, r.nFiles, r.nRows, r.nDv))
+      .toDF(listCols: _*)
   }
 
   /** Buckets whose entry set differs between two manifests, computed
@@ -1551,22 +1730,21 @@ object CowTable {
     * so only groups whose list rows differ are opened and compared per
     * bucket on the (path, dv_path) entry signature. */
   private def diffTouchedBuckets(s: SparkSession, manA: String, manB: String): Set[Long] = {
-    val la = listDf(s, manA)
-    val lb = listDf(s, manB)
+    val la = listRowsOf(s, manA)
+    val lb = listRowsOf(s, manB)
     val changedGroups: Set[Long] =
-      if (!isTree(la) || !isTree(lb)) {
-        // legacy side: no carry metadata — compare every group
-        (toEntries(entriesDfAt(s, manA)) ++ toEntries(entriesDfAt(s, manB)))
-          .map(_.bucket / ManifestGroup)
-          .toSet
-      } else
-        la.select(col("g"), col("mpath").as("ma"))
-          .join(lb.select(col("g"), col("mpath").as("mb")), Seq("g"), "full_outer")
-          .where(col("ma").isNull || col("mb").isNull || col("ma") =!= col("mb"))
-          .select("g")
-          .collect()
-          .map(_.getLong(0))
-          .toSet
+      (la, lb) match {
+        case (Some(ra), Some(rb)) =>
+          // carried groups share their mpath — only differing list rows count
+          val ma = ra.map(r => r.g -> r.mpath).toMap
+          val mb = rb.map(r => r.g -> r.mpath).toMap
+          (ma.keySet ++ mb.keySet).filter(g => ma.get(g) != mb.get(g))
+        case _ =>
+          // legacy side: no carry metadata — compare every group
+          (toEntries(entriesDfAt(s, manA)) ++ toEntries(entriesDfAt(s, manB)))
+            .map(_.bucket / ManifestGroup)
+            .toSet
+      }
     if (changedGroups.isEmpty) return Set.empty
     def sig(man: String, out: String) =
       readGroups(s, man, changedGroups)
@@ -1581,8 +1759,4 @@ object CowTable {
       .toSet
   }
 
-  private def deleteLocalDir(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-  }
 }
