@@ -336,7 +336,7 @@ object OrcScan {
     */
   def decode(bytes: Array[Byte], wanted: Option[Seq[String]] = None): Option[OrcData] =
     try Some(decodeOrThrow(bytes, wanted))
-    catch { case _: Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+    catch { case _: Bad | _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
 
   /** Range-pruned read (x301, the x293 analog): decode only stripes whose
     * IntegerStatistics window on `filterCol` (from the file's Metadata
@@ -352,7 +352,7 @@ object OrcScan {
       hi: Long
   ): Option[OrcData] =
     try Some(decodeOrThrow(bytes, Some(wanted), Some((filterCol, lo, hi))))
-    catch { case _: Bad | _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+    catch { case _: Bad | _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
 
   /** diagnostic twin: the structural reason a file quarantines (spec use). */
   private[sources] def decodeErr(bytes: Array[Byte]): String =

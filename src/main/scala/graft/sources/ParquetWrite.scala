@@ -207,11 +207,14 @@ object ParquetWrite {
         maxBytes: Array[Byte]
     )
 
-    def statKey(cs: ColSpec, v: Any): Double = cs.ptype match {
-      case TInt32 | TInt64 => v.asInstanceOf[Long].toDouble
-      case TFloat          => v.asInstanceOf[Float].toDouble
-      case TDouble         => v.asInstanceOf[Double]
-      case _               => 0d
+    // native per-type comparison: a Double sort key would collapse distinct
+    // longs with |v| > 2^53, silently corrupting the min/max that
+    // readFileRange prunes on
+    def statCmp(cs: ColSpec, a: Any, b: Any): Int = cs.ptype match {
+      case TInt32 | TInt64 => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case TFloat          => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+      case TDouble         => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _               => 0
     }
 
     def emitPage(
@@ -303,8 +306,6 @@ object ParquetWrite {
       val dataPageOffset = out.size().toLong
 
       var nullCount = 0L
-      var minV = Double.NaN
-      var maxV = Double.NaN
       var minCell: Any = null
       var maxCell: Any = null
 
@@ -324,9 +325,8 @@ object ParquetWrite {
             defs(i) = 1
             vals += cell
             if (statistics && cs.ptype != TBool && cs.ptype != TBytes) {
-              val sk = statKey(cs, cell)
-              if (minCell == null || sk < minV) { minV = sk; minCell = cell }
-              if (maxCell == null || sk > maxV) { maxV = sk; maxCell = cell }
+              if (minCell == null || statCmp(cs, cell, minCell) < 0) minCell = cell
+              if (maxCell == null || statCmp(cs, cell, maxCell) > 0) maxCell = cell
             }
           }
           i += 1
@@ -395,7 +395,11 @@ object ParquetWrite {
       var rl = fw.field(0, 1, 9) // columns
       fw.listHeader(schema.length, 12)
       schema.zip(chunks).foreach { case (cs, ch) =>
-        var cl = fw.i64Field(0, 2, ch.dataPageOffset) // file_offset
+        // file_offset = chunk's FIRST byte (parquet-mr getStartingPos):
+        // the dictionary page when present, else the first data page —
+        // strict readers derive chunk byte ranges from this
+        val chunkStart = if (ch.dictPageOffset >= 0) ch.dictPageOffset else ch.dataPageOffset
+        var cl = fw.i64Field(0, 2, chunkStart) // file_offset
         cl = fw.field(cl, 3, 12) // meta_data
         var ml = fw.i32Field(0, 1, cs.ptype.toLong)
         ml = fw.field(ml, 2, 9) // encodings
