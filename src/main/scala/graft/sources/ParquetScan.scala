@@ -164,13 +164,25 @@ object ParquetScan {
 
   final case class RowGroupMeta(numRows: Long, leaves: Vector[LeafMeta])
 
-  final case class FileMeta(numRows: Long, rowGroups: Vector[RowGroupMeta], leafOrder: Vector[String])
+  /** Schema-walk facts per leaf, independent of row groups — what a
+    * DataSource needs to infer a table schema even from an empty file.
+    * `logical` tags: "string", "date", "decimal", "ts_{millis|micros|
+    * nanos}_{utc|ntz}", "" = none. */
+  final case class LeafInfo(maxDef: Int, maxRep: Int, leafOptional: Boolean, ptype: Int, logical: String)
+
+  final case class FileMeta(
+      numRows: Long,
+      rowGroups: Vector[RowGroupMeta],
+      leafOrder: Vector[String],
+      leaves: Vector[(String, LeafInfo)] = Vector.empty)
 
   private final case class SchemaEl(
       name: String,
       ptype: Int,
       repetition: Int, // 0 required 1 optional 2 repeated
-      numChildren: Int
+      numChildren: Int,
+      conv: Int,      // ConvertedType enum, -1 when absent (UTF8=0, DATE=6)
+      logical: String // LogicalType union, "" when absent
   )
 
   /** Parse the footer's FileMetaData. */
@@ -195,14 +207,51 @@ object ParquetScan {
       var ptype = -1
       var rep = 0
       var children = 0
+      var conv = -1
+      var logical = ""
       tc.struct {
         case (1, _) => ptype = tc.i32(); true
         case (3, _) => rep = tc.i32(); true
         case (4, _) => name = tc.string(); true
         case (5, _) => children = tc.i32(); true
-        case _      => false
+        case (6, _) => conv = tc.i32(); true
+        case (10, 12) => // LogicalType union (members are empty structs,
+          // except TIMESTAMP which carries {isAdjustedToUTC, unit-union})
+          tc.struct {
+            case (1, 12) => logical = "string"; tc.skip(12); true
+            case (5, 12) => logical = "decimal"; tc.skip(12); true
+            case (6, 12) => logical = "date"; tc.skip(12); true
+            case (8, 12) =>
+              var utc = false
+              var unit = "micros"
+              tc.struct {
+                case (1, bt) => utc = bt == 1; true // bool lives in the nibble
+                case (2, 12) =>
+                  tc.struct {
+                    case (1, 12) => unit = "millis"; tc.skip(12); true
+                    case (2, 12) => unit = "micros"; tc.skip(12); true
+                    case (3, 12) => unit = "nanos"; tc.skip(12); true
+                    case _       => false
+                  }
+                  true
+                case _ => false
+              }
+              logical = s"ts_${unit}_${if (utc) "utc" else "ntz"}"
+              true
+            case _ => false
+          }
+          true
+        case _ => false
       }
-      SchemaEl(name, ptype, rep, children)
+      // pre-2.4 writers carry only ConvertedType — normalize onto the tags
+      if (logical.isEmpty) logical = conv match {
+        case 0  => "string"
+        case 6  => "date"
+        case 9  => "ts_millis_utc"
+        case 10 => "ts_micros_utc"
+        case _  => ""
+      }
+      SchemaEl(name, ptype, rep, children, conv, logical)
     }
 
     def parseColumnMeta(): LeafMeta = {
@@ -281,7 +330,7 @@ object ParquetScan {
 
     // walk the schema tree: leaf (maxDef, maxRep) from repetition types
     if (schema.isEmpty) throw Bad("empty schema")
-    val levels = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int, Boolean)]
+    val levels = scala.collection.mutable.LinkedHashMap.empty[String, LeafInfo]
     var idx = 1 // skip root
     def walk(prefix: Vector[String], d0: Int, r0: Int): Unit = {
       val el = schema(idx)
@@ -289,7 +338,8 @@ object ParquetScan {
       val d = d0 + (if (el.repetition != 0) 1 else 0)
       val r = r0 + (if (el.repetition == 2) 1 else 0)
       if (el.numChildren == 0)
-        levels += ((prefix :+ el.name).mkString(".") -> ((d, r, el.repetition == 1)))
+        levels += ((prefix :+ el.name).mkString(".") ->
+          LeafInfo(d, r, el.repetition == 1, el.ptype, el.logical))
       else {
         var c = 0
         while (c < el.numChildren) { walk(prefix :+ el.name, d, r); c += 1 }
@@ -303,12 +353,12 @@ object ParquetScan {
       RowGroupMeta(
         rg.numRows,
         rg.leaves.map { lm =>
-          val (d, r, opt) = levels.getOrElse(lm.path, throw Bad(s"chunk path ${lm.path} not in schema"))
-          lm.copy(maxDef = d, maxRep = r, leafOptional = opt)
+          val li = levels.getOrElse(lm.path, throw Bad(s"chunk path ${lm.path} not in schema"))
+          lm.copy(maxDef = li.maxDef, maxRep = li.maxRep, leafOptional = li.leafOptional)
         }
       )
     }
-    FileMeta(numRows, rgs.toVector, levels.keys.toVector)
+    FileMeta(numRows, rgs.toVector, levels.keys.toVector, levels.toVector)
   }
 
   // ------------------------------------------------- RLE/bit-packed hybrid
@@ -447,6 +497,15 @@ object ParquetScan {
 
   /** Decode one column chunk from the full file bytes. */
   def readChunk(bytes: Array[Byte], lm: LeafMeta): LeafData = {
+    // this reader addresses the file as one byte array, so every chunk
+    // offset must fit in Int range AND inside the array — reject cleanly
+    // instead of letting .toInt wrap negative and mis-address bytes
+    // (files ≥ 2 GiB are the builtin reader's territory)
+    if (lm.dataPageOffset < 0 || lm.dataPageOffset > bytes.length ||
+      lm.dictPageOffset > bytes.length || lm.numValues > Int.MaxValue)
+      throw Bad(
+        s"chunk offsets out of range for a ${bytes.length}-byte buffer: " +
+          s"data=${lm.dataPageOffset} dict=${lm.dictPageOffset} n=${lm.numValues}")
     var pos = if (lm.dictPageOffset >= 0) lm.dictPageOffset.toInt else lm.dataPageOffset.toInt
     var dict: Array[Any] = null
     val defs = new Array[Int](lm.numValues.toInt)
