@@ -1556,6 +1556,25 @@ object Multimodal {
         }(enc)
         .orderBy("blob_id")
     }),
+    // DataSource V2 face of the scratch parquet reader (x304, r10): the
+    // same driver-generated table read through
+    // spark.read.format("graft-parquet") — splittable (file, row-group)
+    // partitions, pruned columns, the doc_id range pushed into row-group
+    // stats skips — and hash-checked against DuckDB reading the identical
+    // bytes with its own parser. ParquetSourceSpec additionally pins
+    // builtin-reader parity and the plan-level pruning/pushdown asserts.
+    "x304_dsv2_scan" -> ((s, dir) => {
+      s.read
+        .format("graft-parquet")
+        .load(s"$dir/documents.parquet")
+        .where(col("doc_id") >= 100L && col("doc_id") <= 5000L)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -2981,6 +3000,14 @@ object Multimodal {
         |FROM r GROUP BY z)
         |SELECT z AS blob_id, n_rows, sum_id, sum_opt, n_null, sum_cents, names_md5, TRUE AS jdk_ok
         |FROM c ORDER BY blob_id""".stripMargin,
+    // x304: DuckDB reads the same parquet bytes with its own parser —
+    // two independent format implementations agreeing on the same file.
+    "x304_dsv2_scan" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents WHERE doc_id BETWEEN 100 AND 5000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content
