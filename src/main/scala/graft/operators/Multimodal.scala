@@ -1575,6 +1575,39 @@ object Multimodal {
           sum("doc_id").as("sum_id"))
         .orderBy("lang")
     }),
+    // DSv2 WRITE face (x305, r10): df.write.format("graft-parquet")
+    // lands the bytes through the x286/x288 scratch writer (dictionary +
+    // statistics on, zstd pages via the own encoder), one file per task.
+    // The engine emits the closed-form census from the SOURCE frame —
+    // never from reading back its own bytes — and the oracle is DuckDB's
+    // native reader over the dsv2-written files: any corruption in the
+    // sink path (type mapping, null handling, dictionary, codec, footer)
+    // diverges the hash. The write runs live on every invocation — the
+    // sink IS the operator under test (x286's fixture-guard pattern
+    // deliberately not applied).
+    "x305_dsv2_write" -> ((s, _) => {
+      val outDir = "/root/repo/spark-warehouse/graft_pq_dsv2"
+      val src = s
+        .range(20000L)
+        .select(
+          col("id").as("k"),
+          expr("element_at(array('ae','be','ce','de'), CAST(id % 4 AS INT) + 1)").as("tag"),
+          when(col("id") % 9 === 0, lit(null)).otherwise((col("id") * 31) % 100000).as("cents"),
+          (col("id") % 2 === 0).as("flag"),
+          ((col("id") % 1000).cast("double") * 0.5).as("price")
+        )
+      src.repartition(4).write.format("graft-parquet").mode("overwrite").save(outDir)
+      src
+        .groupBy("tag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("sum_cents"),
+          sum(col("cents").isNull.cast("long")).as("n_null"),
+          sum(col("flag").cast("long")).as("n_flag"),
+          sum(expr("CAST(round(price * 100) AS BIGINT)")).as("sum_price_c")
+        )
+        .orderBy("tag")
+    }),
     "x227_zstd_decode" -> ((s, _) => {
       graft.sources.ZstdFixture.ensure(s)
       val schema = StructType(
@@ -3008,6 +3041,16 @@ object Multimodal {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM documents WHERE doc_id BETWEEN 100 AND 5000
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // x305: DuckDB's reader over the dsv2-written bytes — the write half
+    // of the two-independent-implementations agreement.
+    "x305_dsv2_write" ->
+      """SELECT tag, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM read_parquet('/root/repo/spark-warehouse/graft_pq_dsv2/*.parquet')
+        |GROUP BY tag ORDER BY tag""".stripMargin,
     "x227_zstd_decode" ->
       """WITH zs AS (SELECT range AS z FROM range(200)),
         |c0 AS (SELECT z, string_agg('tok' || ((z*31 + i*17) % 23) || ' ', '' ORDER BY i) AS content

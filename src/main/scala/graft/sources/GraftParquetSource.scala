@@ -77,10 +77,40 @@ object GraftParquetSource {
     } finally in.close()
   }
 
+  /** Footer-only parse: reads the 8-byte tail for the footer length, then
+    * just the footer region — planning and schema inference stay
+    * METADATA-sized however large the data is (the driver must never read
+    * file bodies to plan; the r10 framing fix). The synthetic buffer
+    * fakes the leading magic so [[ParquetScan.footer]]'s structural
+    * checks hold; chunk offsets in the result are absolute file offsets
+    * and are only dereferenced executor-side against full file bytes. */
+  private[sources] def footerOnly(file: String): ParquetScan.FileMeta = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len >= 12, s"$file too short for a parquet footer")
+    val in = fs.open(p)
+    try {
+      val tail8 = new Array[Byte](8)
+      in.readFully(len - 8, tail8)
+      val flen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) | ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
+      require(flen > 0 && flen + 12 <= len, s"$file: bad footer length $flen")
+      val synth = new Array[Byte](12 + flen)
+      synth(0) = 'P'; synth(1) = 'A'; synth(2) = 'R'; synth(3) = '1'
+      in.readFully(len - 8 - flen, synth, 4, flen)
+      System.arraycopy(tail8, 0, synth, 4 + flen, 8)
+      ParquetScan.footer(synth)
+    } finally in.close()
+  }
+
   private def footerOf(path: String): ParquetScan.FileMeta = {
     val files = ParquetScan.listFiles(SparkSession.active, path)
     require(files.nonEmpty, s"no parquet files under $path")
-    ParquetScan.footer(readBytes(files.head))
+    footerOnly(files.head)
   }
 
   /** leaf facts → Spark schema. Leaf cells arrive from [[ParquetScan]] as
@@ -146,13 +176,19 @@ object GraftParquetSource {
     }
 }
 
-class GraftParquetTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+class GraftParquetTable(path: String, tableSchema: StructType)
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-parquet:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftParquetScanBuilder(path, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftParquetWriteBuilder(path, info.schema())
 }
 
 class GraftParquetScanBuilder(path: String, full: StructType)
@@ -226,12 +262,12 @@ class GraftParquetScan(
     s"graft-parquet $path, bounds=${bounds.toSeq.sortBy(_._1).mkString(",")}"
 
   /** (file, row group) grain: planned driver-side from the file list +
-    * footers (file-count-sized, the same planning cost class as every
-    * parquet scan), decoded executor-side. */
+    * FOOTER-ONLY tail reads (metadata-sized — file bodies are never read
+    * to plan), decoded executor-side. */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = ParquetScan.listFiles(SparkSession.active, path)
     files.flatMap { f =>
-      val fm = ParquetScan.footer(GraftParquetSource.readBytes(f))
+      val fm = GraftParquetSource.footerOnly(f)
       fm.rowGroups.indices.map(rg => GraftParquetPartition(f, rg))
     }.toArray
   }
@@ -301,4 +337,143 @@ class GraftParquetPartitionReader(
   override def get(): InternalRow = rows.next()
 
   override def close(): Unit = ()
+}
+
+// --------------------------------------------------------------- write path
+
+/** The x286/x288 scratch parquet WRITER behind `df.write.format
+  * ("graft-parquet")` — the sink half of the DSv2 story. Each task writes
+  * one file (`part-<partition>-<task>.parquet`) with the from-scratch
+  * writer: dictionary encoding on, column statistics on (so the source's
+  * own read path can stats-prune what it wrote), zstd pages via the
+  * repo's own encoder. `mode("overwrite")` truncates the target directory
+  * on the driver before tasks launch — a fixture-grade swap, not the
+  * atomic rename commit (that protocol lives in [[CowTable]]; a real
+  * table write goes through it). Scope: flat scalar columns
+  * (int/long/float/double/boolean/string/binary); dates, timestamps and
+  * lists reject at write-build time, never as wrong bytes. */
+class GraftParquetWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = { doTruncate = true; this }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftParquetBatchWrite(path, schema, doTruncate)
+    }
+}
+
+class GraftParquetBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  // validate the schema up front: an unsupported column must fail the
+  // write's build, not a task mid-stream
+  GraftParquetWriterFactory.colSpecs(schema)
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new GraftParquetWriterFactory(path, schema)
+  }
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftParquetCommit(file) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ => ()
+    }
+}
+
+case class GraftParquetCommit(file: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+object GraftParquetWriterFactory {
+  /** Spark schema → writer column specs; rejects what the writer can't
+    * represent faithfully. */
+  def colSpecs(schema: StructType): Seq[ParquetWrite.ColSpec] =
+    schema.fields.toSeq.map { f =>
+      val pt = f.dataType match {
+        case LongType    => ParquetWrite.TInt64
+        case IntegerType => ParquetWrite.TInt32
+        case DoubleType  => ParquetWrite.TDouble
+        case FloatType   => ParquetWrite.TFloat
+        case BooleanType => ParquetWrite.TBool
+        case StringType | BinaryType => ParquetWrite.TBytes
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft-parquet write: unsupported column type $other (${f.name})")
+      }
+      ParquetWrite.ColSpec(f.name, pt, optional = f.nullable, utf8 = f.dataType == StringType)
+    }
+}
+
+class GraftParquetWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(
+      partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftParquetDataWriter(s"$path/part-$partitionId-$taskId.parquet", schema)
+}
+
+class GraftParquetDataWriter(file: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val specs = GraftParquetWriterFactory.colSpecs(schema)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+
+  override def write(row: InternalRow): Unit = {
+    val cells = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      cells(i) =
+        if (row.isNullAt(i)) null
+        else
+          schema.fields(i).dataType match {
+            case LongType    => row.getLong(i)
+            case IntegerType => row.getInt(i).toLong
+            case DoubleType  => row.getDouble(i)
+            case FloatType   => row.getFloat(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType  => row.getUTF8String(i).getBytes
+            case BinaryType  => row.getBinary(i)
+            case other       => throw new IllegalArgumentException(s"unsupported $other")
+          }
+      i += 1
+    }
+    buf += cells
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val bytes = ParquetWrite.write(
+      specs,
+      buf.toSeq,
+      codec = ParquetWrite.CodecZstd,
+      dictionary = true,
+      statistics = true,
+      rowGroupRows = ParquetWrite.PageValues
+    )
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(bytes)
+    finally out.close()
+    GraftParquetCommit(file)
+  }
+
+  override def abort(): Unit = ()
+
+  override def close(): Unit = buf.clear()
 }

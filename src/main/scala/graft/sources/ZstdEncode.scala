@@ -462,6 +462,101 @@ object ZstdEncode {
     }
   }
 
+  // ------------------------------------------------------------ LZ pass
+  // zstd-native tokenizer (r10): the encoder previously reused
+  // Deflate.tokenize, inheriting deflate's format limits — 258-byte match
+  // cap, 32 KiB window, 16-bit token packing — none of which bind in
+  // zstd, whose ML code table reaches 131074 and whose single-segment
+  // window spans the frame. This finder searches the WHOLE block
+  // (≤ 124 KiB) and extends matches to the block end, so an 800-byte run
+  // is ONE sequence instead of four capped ones — the measured gap on the
+  // match-heavy corpora (NOTES r9s3) was mostly these caps, not the
+  // search policy. Same hash-chain + 1-step-lazy structure as the deflate
+  // pass; tokens are Longs (literal = byte value; match =
+  // (1<<62) | len<<24 | dist) because zstd's lengths and offsets outgrow
+  // the deflate pass's bit packing.
+
+  private val ZMinMatch = 3
+  private val ZHashBits = 16
+  private val ZMaxChain = 256
+
+  private def tokenizeZ(data: Array[Byte]): Array[Long] = {
+    val n = data.length
+    val out = new Array[Long](n + 1)
+    var nOut = 0
+    if (n < ZMinMatch + 1) {
+      var i = 0
+      while (i < n) { out(nOut) = (data(i) & 0xff).toLong; nOut += 1; i += 1 }
+      return java.util.Arrays.copyOf(out, nOut)
+    }
+    val head = new Array[Int](1 << ZHashBits)
+    java.util.Arrays.fill(head, -1)
+    val prev = new Array[Int](n)
+
+    def hash(i: Int): Int =
+      (((data(i) & 0xff) << 11) ^ ((data(i + 1) & 0xff) << 6) ^ (data(i + 2) & 0xff)) & ((1 << ZHashBits) - 1)
+
+    def insert(i: Int): Unit = if (i + ZMinMatch <= n) {
+      val h = hash(i)
+      prev(i) = head(h)
+      head(h) = i
+    }
+
+    /** longest match at i as (len<<24)|dist, or 0; nearest wins ties */
+    def findMatch(i: Int, minLen: Int): Long = {
+      if (i + ZMinMatch > n) return 0L
+      var cand = head(hash(i))
+      var chain = ZMaxChain
+      var bestLen = minLen - 1
+      var bestDist = 0
+      val maxLen = n - i
+      while (cand >= 0 && chain > 0) {
+        val probe = math.min(bestLen.max(0), maxLen - 1)
+        if (cand < i && data(cand + probe) == data(i + probe)) {
+          var l = 0
+          while (l < maxLen && data(cand + l) == data(i + l)) l += 1
+          if (l > bestLen) { bestLen = l; bestDist = i - cand }
+        }
+        cand = prev(cand)
+        chain -= 1
+      }
+      if (bestLen >= minLen && bestDist >= 1) (bestLen.toLong << 24) | bestDist.toLong else 0L
+    }
+
+    var i = 0
+    var pendingLit = -1
+    var pendingMatch = 0L
+    while (i < n) {
+      val m = if (i + ZMinMatch <= n) findMatch(i, ZMinMatch) else 0L
+      if (pendingLit >= 0) {
+        val pl = (pendingMatch >>> 24).toInt
+        if (m != 0L && (m >>> 24).toInt > pl) {
+          out(nOut) = (data(pendingLit) & 0xff).toLong; nOut += 1
+          pendingLit = i; pendingMatch = m
+          insert(i)
+          i += 1
+        } else {
+          out(nOut) = (1L << 62) | pendingMatch; nOut += 1
+          val end = pendingLit + pl
+          while (i < end) { insert(i); i += 1 }
+          pendingLit = -1; pendingMatch = 0L
+        }
+      } else if (m != 0L) {
+        pendingLit = i; pendingMatch = m
+        insert(i)
+        i += 1
+      } else {
+        out(nOut) = (data(i) & 0xff).toLong; nOut += 1
+        insert(i)
+        i += 1
+      }
+    }
+    if (pendingLit >= 0) {
+      out(nOut) = (1L << 62) | pendingMatch; nOut += 1
+    }
+    java.util.Arrays.copyOf(out, nOut)
+  }
+
   // ----------------------------------------------------- compressed blocks
 
   /** Compressed-block payload (literals + sequences) for one block of
@@ -478,7 +573,7 @@ object ZstdEncode {
       forceFse: Boolean,
       repsIn: Array[Long]
   ): (Array[Byte], Array[Long]) = {
-    val tokens = Deflate.tokenize(data)
+    val tokens = tokenizeZ(data)
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
 
     // split the token stream into (ll, ofVal, ml) sequences + tail literals
@@ -493,14 +588,14 @@ object ZstdEncode {
     var t = 0
     while (t < tokens.length) {
       val tok = tokens(t)
-      if ((tok & (1 << 30)) == 0) {
+      if ((tok & (1L << 62)) == 0) {
         lits(nLits) = data(pos)
         nLits += 1
         runStartLits += 1
         pos += 1
       } else {
-        val len = (tok >>> 16) & 0x3fff
-        val dist = tok & 0xffff
+        val len = ((tok >>> 24) & 0x3fffff).toInt
+        val dist = (tok & 0xffffff).toInt
         seqLL(nSeq) = runStartLits
         seqOF(nSeq) = dist + 3
         seqML(nSeq) = len

@@ -84,6 +84,34 @@ class GraftParquetSourceSpec extends AnyFunSuite {
     assert(scan.description().contains("(k,(1000,1499))"))
   }
 
+  test("write path round-trips through the builtin reader; overwrite truncates") {
+    val dir = TestSpark.tempDir() + "/dsv2w"
+    import spark.implicits._
+    val src = (0L until 3000L)
+      .map(i => (i, s"t${i % 5}", if (i % 7 == 0) null else java.lang.Long.valueOf(i * 3), i % 2 == 0, i * 0.25))
+      .toDF("k", "tag", "cents", "flag", "price")
+    src.repartition(3).write.format("graft-parquet").mode("overwrite").save(dir)
+    val back = spark.read.parquet(dir)
+    assert(sortedRows(back) === sortedRows(src))
+    // and through the scratch reader's own DSv2 scan
+    assert(sortedRows(spark.read.format("graft-parquet").load(dir)) === sortedRows(src))
+    // overwrite replaces, never appends
+    val src2 = src.where(col("k") < 100L)
+    src2.repartition(2).write.format("graft-parquet").mode("overwrite").save(dir)
+    assert(spark.read.parquet(dir).count() === 100L)
+  }
+
+  test("write path rejects unsupported column types at build, not mid-task") {
+    val dir = TestSpark.tempDir() + "/dsv2w_bad"
+    import spark.implicits._
+    val bad = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("k", "ts")
+    val e = intercept[Exception] {
+      bad.write.format("graft-parquet").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("unsupported column type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported column type")))
+  }
+
   test("count(*)-style empty projection still counts rows") {
     val n = spark.read.format("graft-parquet").load(s"$sf/documents.parquet").count()
     val ref = spark.read.parquet(s"$sf/documents.parquet").count()

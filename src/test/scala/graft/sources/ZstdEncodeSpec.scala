@@ -190,8 +190,20 @@ class ZstdEncodeSpec extends AnyFunSuite {
     }
   }
 
-  test("repeat offsets actually engage: periodic content shrinks") {
-    val raw = ("0123456789abc" * 800).getBytes("UTF-8") // period 13 → constant offset
+  test("repeat offsets actually engage: constant-stride recurrences shrink") {
+    // The r10 whole-block matcher collapses pure periodic text ("abc"*N)
+    // into ONE sequence — no second offset to repeat. Reps need MANY
+    // sequences sharing an offset: unique literal runs interleaved with a
+    // recurring phrase at constant stride, so every phrase match carries
+    // the same distance while the literals between keep the matches
+    // separate.
+    val rnd = new scala.util.Random(7)
+    val sb = new StringBuilder
+    (0 until 800).foreach { _ =>
+      (0 until 8).foreach(_ => sb.append(('a' + rnd.nextInt(26)).toChar))
+      sb.append("the quick brown fox")
+    }
+    val raw = sb.toString.getBytes("UTF-8")
     val withRep = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowRle) // RLE block would hide it
     val withoutRep = ZstdEncode.compress(raw, ZstdEncode.AllowAll & ~ZstdEncode.AllowRle & ~ZstdEncode.AllowRep)
     assert(withRep.length < withoutRep.length, s"${withRep.length} !< ${withoutRep.length}")
