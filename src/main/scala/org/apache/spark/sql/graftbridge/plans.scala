@@ -102,7 +102,13 @@ case class TopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial) UnspecifiedDistribution :: Nil else ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    // keyless = GLOBAL top-k (an unpartitioned rank-filter window): the
+    // final pass must see every partial survivor in ONE partition —
+    // ClusteredDistribution(Nil) is a constructor error, AllTuples is the
+    // single-partition distribution that means it
+    else if (keys.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 

@@ -48,6 +48,26 @@ class TopKRewriteSpec extends AnyFunSuite {
     } finally ruled.conf.set("spark.graft.topkRewrite.enabled", "true")
   }
 
+  test("keyless (global) rank-filter plans on AllTuples and stays exact (x272 regression)") {
+    // an UNPARTITIONED row_number window rewrites to a KEYLESS top-k —
+    // the exec must demand AllTuples, not ClusteredDistribution(Nil)
+    // (which is a constructor error; found by the r10 session-wide rule
+    // trial on x272's priority-sample shortlist)
+    def global(s: org.apache.spark.sql.SparkSession) = {
+      val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Graft
+        .table(s, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 7)
+        .orderBy("rn")
+    }
+    val q = global(ruled)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), s"rewrite did not fire:\n$plan")
+    assert(global(ruled).collect().map(_.toSeq).toSeq === global(TestSpark.spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("rank() is NOT rewritten (tie semantics can exceed k rows)") {
     val w = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc)
     val q = Graft
