@@ -404,6 +404,13 @@ object ZstdEncode {
         else desc(1 + i / 2) = (desc(1 + i / 2) | nib).toByte
         i += 1
       }
+      // FSE-compressed weight description (RFC 4.2.1.2, r10): direct costs
+      // (maxUsed+1)/2 bytes, which dominates small wide-alphabet payloads
+      // (hex text: 52 table bytes on a ~100-byte stream — the measured
+      // class-2 gap). Exact byte cost-pick against direct; termination
+      // edges fall back rather than ship.
+      val fse = fseWeightDesc(weights, n)
+      if (fse != null && fse.length < desc.length) desc = fse
     }
     private def streamBytes(lits: Array[Byte], from: Int, until: Int): Array[Byte] = {
       val bw = new BackW
@@ -439,6 +446,92 @@ object ZstdEncode {
         (bos.toByteArray, true)
       }
     }
+  }
+
+  /** FSE-compress the explicit weight stream w_0..w_{n-1} (RFC 4.2.1.2):
+    * [1-byte total][FSE table description, AL ≤ 6][backward bitstream —
+    * st1 then st2 init states, then interleaved state updates in decode
+    * read order]. Decode alternates st1/st2 and terminates when an update
+    * read overflows into zero padding, so the encoder must end the stream
+    * exactly at the last successful update AND land the terminating state
+    * on an entry with nbBits ≥ 1 (a zero-width update never overflows —
+    * the decoder would emit ghost weights). Returns null whenever the
+    * shape can't be expressed (single-symbol table, no wide final state,
+    * > 127 bytes) — the caller keeps the direct description. */
+  private def fseWeightDesc(wts: Array[Int], n: Int): Array[Byte] = {
+    if (n < 2) return null
+    val freq = new Array[Int](12)
+    var i = 0
+    while (i < n) { freq(wts(i)) += 1; i += 1 }
+    val distinct = freq.count(_ > 0)
+    if (distinct < 2) return null // one symbol → all nbBits can be 0, no termination
+    val needed = 32 - Integer.numberOfLeadingZeros(distinct - 1)
+    val scale = (63 - java.lang.Long.numberOfLeadingZeros(n.toLong)).toInt
+    val al = math.min(6, math.max(5, math.max(needed, scale)))
+    val norm = normalize(freq, n, al)
+    val tdesc = writeFseDesc(norm, al)
+    val tab = new ZstdFrame.FseTable(al, norm)
+    val enc = new FseEnc(tab)
+    // terminating state must overflow the empty stream: nbBits ≥ 1
+    def wideState(sym: Int): Int = {
+      var st = 0
+      while (st < tab.size) {
+        if (tab.symbol(st) == sym && tab.nbBits(st) >= 1) return st
+        st += 1
+      }
+      -1
+    }
+    val e = (n + 1) / 2 // even-index weights ride st1
+    val o = n / 2 // odd-index weights ride st2
+    val st1 = new Array[Int](e); val u1b = new Array[Int](e); val u1w = new Array[Int](e)
+    val st2 = new Array[Int](o); val u2b = new Array[Int](o); val u2w = new Array[Int](o)
+    // the chain whose LAST update the decoder attempts is st1 for even n,
+    // st2 for odd n — that chain's final state needs nbBits ≥ 1
+    if (n % 2 == 0) {
+      val ws = wideState(wts(2 * (e - 1)))
+      if (ws < 0) return null
+      st1(e - 1) = ws
+      st2(o - 1) = enc.firstState(wts(2 * (o - 1) + 1))
+    } else {
+      val ws = wideState(wts(2 * (o - 1) + 1))
+      if (ws < 0) return null
+      st2(o - 1) = ws
+      st1(e - 1) = enc.firstState(wts(2 * (e - 1)))
+    }
+    var j = e - 2
+    while (j >= 0) {
+      val (s, b, w) = enc.transition(wts(2 * j), st1(j + 1)); st1(j) = s; u1b(j) = b; u1w(j) = w
+      j -= 1
+    }
+    j = o - 2
+    while (j >= 0) {
+      val (s, b, w) = enc.transition(wts(2 * j + 1), st2(j + 1)); st2(j) = s; u2b(j) = b; u2w(j) = w
+      j -= 1
+    }
+    // bitstream fields in decoder read order: init states, then updates
+    // interleaved u1_0, u2_0, u1_1, u2_1, … (the decoder reads a state's
+    // update right after emitting its symbol)
+    val bw = new BackW
+    bw.field(st1(0), al)
+    bw.field(st2(0), al)
+    val m1 = e - 1
+    val m2 = o - 1
+    var k = 0
+    while (k < math.max(m1, m2)) {
+      if (k < m1) bw.field(u1b(k), u1w(k))
+      if (k < m2) bw.field(u2b(k), u2w(k))
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(32)
+    bw.emit(bos)
+    val stream = bos.toByteArray
+    val total = tdesc.length + stream.length
+    if (total > 127) return null // header byte < 128 IS the FSE marker
+    val out = new Array[Byte](1 + total)
+    out(0) = total.toByte
+    System.arraycopy(tdesc, 0, out, 1, tdesc.length)
+    System.arraycopy(stream, 0, out, 1 + tdesc.length, stream.length)
+    out
   }
 
   /** ltype-2 literals header for (regen, comp) with the right size_format. */
