@@ -2230,6 +2230,29 @@ object Advanced {
         .orderBy("category")
     }),
 
+    // The SAS reader as a registered DataSource V2 (x306, r10): the EXACT
+    // consumption shape the reference uses — notebook cell 5 loads I94
+    // data via spark.read.format("com.github.saurfang.sas.spark"); a
+    // reference user swaps the format string for "graft-sas7bdat" and
+    // keeps their code. Page-range input partitions, decode-level column
+    // pruning (row-major format: pruning skips cell conversion, not disk
+    // bytes — stated honestly in the source scaladoc). Same aggregate and
+    // oracle as etl_sas7bdat_scan: the two paths must agree hash-exactly.
+    "x306_dsv2_sas" -> ((s, _) => {
+      graft.sources.SasFixture.ensure(s)
+      s.read
+        .format("graft-sas7bdat")
+        .load(graft.sources.SasFixture.sasPath)
+        .groupBy("category")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("value")).as("n_value"),
+          round(sum("value"), 2).as("sum_value"),
+          count(col("comment")).as("n_comment")
+        )
+        .orderBy("category")
+    }),
+
     // Same decode contract over an RLE-COMPRESSED (SASYZCRL / COMPRESS=CHAR)
     // file — the layout most production SAS exports ship, and the one the
     // reference's saurfang datasource handles in notebook cell 5. The
@@ -3587,6 +3610,13 @@ object Advanced {
         |  CAST(share_e6 AS BIGINT) AS share_e6
         |FROM j, adv ORDER BY n_items DESC, sname LIMIT 10""".stripMargin,
     "etl_sas7bdat_scan" ->
+      """SELECT category, count(*) AS n, count(value) AS n_value,
+        |  round(sum(value), 2) AS sum_value, count(comment) AS n_comment
+        |FROM '/root/repo/spark-warehouse/graft_sas/twin/*.parquet'
+        |GROUP BY category ORDER BY category""".stripMargin,
+    // x306: identical oracle to etl_sas7bdat_scan — the DSv2 face must
+    // agree with the function face AND the parquet twin.
+    "x306_dsv2_sas" ->
       """SELECT category, count(*) AS n, count(value) AS n_value,
         |  round(sum(value), 2) AS sum_value, count(comment) AS n_comment
         |FROM '/root/repo/spark-warehouse/graft_sas/twin/*.parquet'

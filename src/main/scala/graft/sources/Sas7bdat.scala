@@ -230,12 +230,19 @@ object Sas7bdat {
   /** Decode the data rows of one page (DATA pages fully; MIX pages per the
     * block-count convention; on RLE files, meta pages carry one row per
     * signature-less subheader). Returns decoded rows as value arrays. */
-  def pageRows(meta: SasMeta, pg: Array[Byte]): Iterator[Array[Any]] = {
+  /** Rows of one page. `wanted` (optional) selects column ORDINALS to
+    * decode, cells returned in that order — SAS is row-major so pruning
+    * cannot skip disk bytes, but it skips the per-cell float/string
+    * conversion, which is the CPU cost on wide tables (the DSv2 scan's
+    * pruning contract). */
+  def pageRows(meta: SasMeta, pg: Array[Byte], wanted: Array[Int] = null): Iterator[Array[Any]] = {
     val pageType = u16(pg, meta.bitOffset) & 0xff00
     val blockCount = u16(pg, meta.bitOffset + 2)
     val nSub = u16(pg, meta.bitOffset + 4)
+    val sel: Array[SasCol] =
+      if (wanted == null) meta.cols.toArray else wanted.map(meta.cols(_))
     def decode(b: Array[Byte], base: Int): Array[Any] =
-      meta.cols.map { c =>
+      sel.map { c =>
         if (c.isNum) numCell(b, base + c.offset, c.length): Any
         else strCell(b, base + c.offset, c.length): Any
       }.toArray[Any]
@@ -273,7 +280,7 @@ object Sas7bdat {
   def sparkSchema(meta: SasMeta): StructType =
     StructType(meta.cols.map(c => StructField(c.name, if (c.isNum) DoubleType else StringType, nullable = true)))
 
-  private def hadoopReadAt(path: Path, conf: Configuration): (Long, Int) => Array[Byte] = {
+  private[sources] def hadoopReadAt(path: Path, conf: Configuration): (Long, Int) => Array[Byte] = {
     val fs = path.getFileSystem(conf)
     (pos: Long, len: Int) => {
       val in = fs.open(path)
