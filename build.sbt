@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 8g thrashes GC when one JVM executes the whole 50+-query suite twice
   // (Bench warm+timed): near-full heap → multi-minute single-thread GC
-  // stalls with 92% idle CPU. The box has 128 GiB; default high.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // stalls with 92% idle CPU. The box has 128 GiB; default high — raised
+  // 24g→32g in r10 after the bench slice showed a uniform ~1.27x drag as
+  // the suite grew 360→400+ queries in one JVM (NOTES r10: GC headroom is
+  // the one knob that tracks suite size).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
