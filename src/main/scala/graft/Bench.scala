@@ -35,13 +35,21 @@ object Bench {
     val wallStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val spark = Graft.session("graft-bench")
-    def run1(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Unit =
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+    // A SIGTERM (driver timeout) stops the SparkContext via its own
+    // shutdown hook while THIS main loop keeps running: every remaining
+    // query then "fails" in ~0 s, and a min() against those fakes would
+    // publish a complete-looking line with a fabricated fast tail
+    // (observed r10: a killed pass 2 emitted passes:2/total 466 s).
+    // Defense: a failed query yields NaN (never entered into the min),
+    // and a stopped context aborts the sweep immediately.
+    def stopped: Boolean = spark.sparkContext.isStopped
+    def run1(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Boolean =
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Double = {
       val t0 = System.nanoTime()
-      run1(fn, name)
-      (System.nanoTime() - t0) / 1e9
+      val ok = run1(fn, name)
+      if (!ok || stopped) Double.NaN else (System.nanoTime() - t0) / 1e9
     }
     def loadavg: Double = {
       val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
@@ -82,9 +90,13 @@ object Bench {
     // untimed warm sweep: one-time Janino codegen + plan-cache costs are
     // 0.9-6 s per query shape, independent of data size — noise at 100 TB,
     // dominant at sf0.1. Steady state is what the number should mean.
-    names.foreach { case (name, fn) => run1(fn, name) }
+    names.iterator.takeWhile(_ => !stopped).foreach { case (name, fn) => run1(fn, name) }
     val pass1Start = elapsedSec
-    names.foreach { case (name, fn) => best.put(name, timed(fn, name)) }
+    names.iterator.takeWhile(_ => !stopped).foreach { case (name, fn) =>
+      val t = timed(fn, name)
+      if (!t.isNaN) best.put(name, t)
+    }
+    if (stopped) return // shutdown hook's partial line is the artifact
     val pass1Sec = elapsedSec - pass1Start
     hookPasses = 1
     val line1 = mkLine(1, loadStart, waited, partial = false)
@@ -94,11 +106,14 @@ object Bench {
     // a lost artifact costs more than a slightly noisier one (r9: rc=124)
     val fits = elapsedSec + pass1Sec <= budgetSec
     if (fits) {
-      names.foreach { case (name, fn) =>
+      names.iterator.takeWhile(_ => !stopped).foreach { case (name, fn) =>
         val t = timed(fn, name)
-        val prev = if (best.containsKey(name)) best.get(name) else Double.MaxValue
-        best.put(name, math.min(prev, t))
+        if (!t.isNaN) {
+          val prev = if (best.containsKey(name)) best.get(name) else Double.MaxValue
+          best.put(name, math.min(prev, t))
+        }
       }
+      if (stopped) return // pass-1 line + the hook's partial both on disk
       hookPasses = 2
       val line2 = mkLine(2, loadStart, waited, partial = false)
       println(line2); Console.out.flush()
